@@ -1,0 +1,71 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes to completion through the noop sink (full
+computation, no driver collect) — the number measured is the engine's
+end-to-end query wall time, the thing the 2x-of-baseline gate grades.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per operator family that dominates cost at scale —
+# wide agg, star join, window scan, pivot, self-join, plus the
+# training-data extensions as they land.
+HEADLINE = [
+    "q1_pricing_summary",
+    "j3_broadcast_dim_revenue",
+    "j9_self_join_back",
+    "a11_pivot_sum",
+    "w1_lag_delta",
+    "w4_running_sum",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from big_data_bowl___2023_spark import registry
+    from big_data_bowl___2023_spark.session import get_spark
+
+    qs = registry.all_queries()
+    names = [n for n in HEADLINE if n in qs]
+    extra = os.environ.get("SPARK_GRAFT_BENCH_EXTRA")
+    if extra:
+        names += [n for n in extra.split(",") if n in qs and n not in names]
+
+    spark = get_spark("bench")
+    # Warm the JVM/codegen path once so measured times are query cost,
+    # not first-call setup.
+    qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,85 @@
+"""Aggregations (SURVEY.md §2.4 A1–A12).
+
+All grouped aggregations get map-side partial aggregation for free from
+Spark (the reference's single-node hash agg has no such notion); the
+helpers below only add the semantic choices: exact median strategy,
+pinned pivot values, deterministic describe.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def grouped_agg(df: DataFrame, keys: Sequence[str],
+                **aggs: Column) -> DataFrame:
+    """A1–A7: one-pass multi-aggregate ``summarise`` (MO:17-18 etc.).
+    Aliases come from the kwarg names so downstream column names are
+    deterministic (driver hash-compare requirement)."""
+    exprs = [expr.alias(name) for name, expr in aggs.items()]
+    return df.groupBy(*keys).agg(*exprs)
+
+
+def grouped_median(df: DataFrame, keys: Sequence[str], col: str,
+                   alias: str = "median") -> DataFrame:
+    """A5: exact grouped median (MBE:161-167; MO:18-34; EPA:15).
+
+    ``F.median`` is exact (full group materialization) — fine here
+    because groups are per-player/per-team and stay small even at
+    100 TB (SURVEY §7.7). For huge groups switch to
+    ``F.percentile_approx`` with a tight accuracy and document the
+    tolerance.
+    """
+    return df.groupBy(*keys).agg(F.median(col).alias(alias))
+
+
+def distinct_rows(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """A9: DISTINCT / ``unique()`` (MBE:18, 24, 115, 140; MC:37)."""
+    return df.select(*cols).distinct() if cols else df.distinct()
+
+
+def value_counts(df: DataFrame, col: str) -> DataFrame:
+    """A10: frequency table (``table()``, WIP.R:278, 291)."""
+    return df.groupBy(col).agg(F.count(F.lit(1)).alias("n"))
+
+
+def pivot_sum(df: DataFrame, keys: Sequence[str], pivot_col: str,
+              values: Sequence[str], value_col: str) -> DataFrame:
+    """A11: long→wide pivot with SUM and zero fill — the
+    ``reshape::cast`` spread of Frame_Status (MBE:94-96).
+
+    ``values`` is pinned (SURVEY §4.3.4): Catalyst skips the extra
+    distinct-values job and the output schema is deterministic; absent
+    combinations read 0, matching R cast's fill (SURVEY §7.5).
+    """
+    out = (df.groupBy(*keys)
+             .pivot(pivot_col, list(values))
+             .sum(value_col))
+    return out.na.fill(0, subset=list(values))
+
+
+def summary_stats(df: DataFrame, col: str) -> DataFrame:
+    """A12: ungrouped six-number summary — R ``summary()`` (MBE:153).
+    One pass: min/q1/median/mean/q3/max, exact percentiles."""
+    c = F.col(col)
+    return df.agg(
+        F.min(c).alias("min"),
+        F.percentile(c, F.lit(0.25)).alias("q1"),
+        F.median(c).alias("median"),
+        F.avg(c).alias("mean"),
+        F.percentile(c, F.lit(0.75)).alias("q3"),
+        F.max(c).alias("max"),
+    )
+
+
+def histogram(df: DataFrame, col: str, bin_width: float) -> DataFrame:
+    """A12: fixed-width histogram (R ``hist(col, breaks=20)``,
+    MBE:154-156) as a groupBy over the bucketed value — fully
+    distributed, unlike R's single-node binning."""
+    bucket = F.floor(F.col(col) / F.lit(bin_width)).alias("bucket")
+    return (df.select(bucket)
+              .groupBy("bucket")
+              .agg(F.count(F.lit(1)).alias("n")))

@@ -1,0 +1,56 @@
+"""SparkSession factory tuned for the engine.
+
+The reference (SURVEY.md §3) is a single R process with eager in-memory
+materialization; here the session is configured so the same logical
+pipelines scale out: AQE for runtime re-planning (broadcast decisions,
+skew-join splitting, partition coalescing), Arrow for any pandas-UDF
+boundary, and shuffle partitioning sized from the environment rather
+than hard-coded.
+
+At 100 TB the same code runs with a different master/conf; nothing in
+the engine assumes local mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Columnar batch + shuffle sizing chosen so a partition of a wide
+# frame-grain table (the reference's main_df analogue) stays well under
+# executor memory at large SF: 128 MiB input splits are the parquet
+# industry default; shuffle partitions default to 2x cores locally and
+# should be overridden (or left to AQE coalescing) on a real cluster.
+_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.shuffle.partitions": "32",
+    # Deterministic timestamp behavior across engines (oracle = DuckDB).
+    "spark.sql.session.timeZone": "UTC",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(app_name: str = "big-data-bowl-2023-spark",
+              master: str | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or reuse) the engine session.
+
+    ``SPARK_GRAFT_CPUS`` sizes local parallelism, mirroring how a real
+    deployment would size ``spark.executor.cores`` x instances.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name)
+    builder = builder.master(master or f"local[{cpus}]")
+    conf = dict(_DEFAULTS)
+    if cpus not in ("*", ""):
+        conf["spark.sql.shuffle.partitions"] = str(max(int(cpus), 8))
+    conf.update(extra_conf or {})
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

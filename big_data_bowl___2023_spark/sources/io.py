@@ -1,0 +1,58 @@
+"""Readers/writers (SURVEY.md §2.1 S1–S4).
+
+S1  single-CSV scan with header            — Data Load and Cleaning.R:15-17
+S2  multi-file glob scan + UNION ALL       — Data Load and Cleaning.R:20-22
+S3  external parquet dataset loader        — EPA_Comparison.R:3
+S4  standardized parquet sink (the reference has none; every named
+    output table here writes parquet so downstream stages re-read
+    columnar data with pushdown/pruning intact)
+
+Glob reads are the scale path: ``spark.read.csv("weeks/week*.csv")``
+unions natively with one task per file split — no driver-side loop,
+unlike the reference's ``lapply(read_csv) %>% bind_rows``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver star-schema table (parquet, self-describing).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; it is read as raw nanos (``nanosAsLong``) and
+    truncated to a microsecond TimestampType — the same truncation
+    DuckDB applies on ``CAST(ts AS TIMESTAMP)``, so oracles stay
+    value-identical.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_csv_glob(spark: SparkSession, pattern: str,
+                  schema: T.StructType) -> DataFrame:
+    """S1/S2: schema-pinned CSV scan; a glob pattern is a native
+    multi-file union (reference: DLC:20-22 reads week1..8 and binds
+    rows — here one declarative scan, parallel by file split)."""
+    return (spark.read
+            .option("header", True)
+            .schema(schema)
+            .csv(pattern))
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
+                  partition_by: list[str] | None = None) -> None:
+    """S4: standard sink. ``partition_by`` enables partition pruning
+    for downstream readers (e.g. partition tracking by gameId at full
+    scale so per-game queries touch one directory)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

@@ -1,0 +1,117 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every registered query at a given SF dir on Spark AND its DuckDB
+oracle, then compares row count, column names, and an order-insensitive
+value hash. Use while iterating so oracle drift is caught before the
+driver round runs.
+
+Usage: python tools/verify_local.py [sf_dir] [name_filter ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def norm_cell(v):
+    if v is None or (isinstance(v, float) and pd.isna(v)):
+        return "NULL"
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, bool):
+        return str(bool(v))
+    return str(v)
+
+
+def frame_hash(df: pd.DataFrame) -> tuple[int, list[str], str]:
+    cols = sorted(df.columns)
+    df = df[cols]
+    rows = sorted(
+        "|".join(norm_cell(v) for v in rec) for rec in df.itertuples(index=False)
+    )
+    h = hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
+    return len(df), cols, h
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    name_filter = sys.argv[2:]
+
+    from big_data_bowl___2023_spark import registry
+    from big_data_bowl___2023_spark.session import get_spark
+
+    qs = registry.all_queries()
+    oracles = registry.all_oracles()
+    if name_filter:
+        qs = {k: v for k, v in qs.items()
+              if any(f in k for f in name_filter)}
+
+    spark = get_spark("verify-local")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    n_pass = n_fail = n_rowsonly = 0
+    for name, fn in sorted(qs.items()):
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"rows-only {name}: {len(sdf)} rows "
+                  f"({time.time()-t0:.1f}s)")
+            n_rowsonly += 1
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        sn, scols, sh = frame_hash(sdf)
+        on, ocols, oh = frame_hash(odf)
+        ok = (sn, scols, sh) == (on, ocols, oh)
+        status = "pass" if ok else "FAIL"
+        if ok:
+            n_pass += 1
+        else:
+            n_fail += 1
+        print(f"{status} {name}: spark({sn},{sh}) vs oracle({on},{oh}) "
+              f"({time.time()-t0:.1f}s)")
+        if not ok:
+            if scols != ocols:
+                print(f"  cols spark={scols} oracle={ocols}")
+            elif sn == on:
+                merged = sdf[sorted(sdf.columns)].copy()
+                omerged = odf[sorted(odf.columns)].copy()
+                srows = sorted("|".join(norm_cell(v) for v in r)
+                               for r in merged.itertuples(index=False))
+                orows = sorted("|".join(norm_cell(v) for v in r)
+                               for r in omerged.itertuples(index=False))
+                diffs = [(a, b) for a, b in zip(srows, orows) if a != b]
+                for a, b in diffs[:3]:
+                    print(f"  spark : {a}\n  oracle: {b}")
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
