@@ -1,0 +1,23 @@
+"""Deduplication strategies for large-scale corpus curation
+(north-star extensions): exact hash, word-shingle Jaccard,
+MinHash+LSH banding, SimHash, embedding-cosine near-dup.
+
+All batch DataFrame→DataFrame; each strategy documents its shuffle
+profile — at 100 TB dedup cost is dominated by the candidate-pair
+explosion, and every module here bounds it (banding, shingle
+frequency caps, block joins) rather than materializing O(n²).
+"""
+
+from .exact import exact_dedup, fingerprint_docs
+from .ngram import jaccard_pairs, shingle_docs
+from .minhash import minhash_band_pairs, minhash_signatures, mllib_minhash_pairs
+from .simhash import simhash_docs
+from .embedding import cosine_near_dup_pairs
+
+__all__ = [
+    "exact_dedup", "fingerprint_docs",
+    "jaccard_pairs", "shingle_docs",
+    "minhash_band_pairs", "minhash_signatures", "mllib_minhash_pairs",
+    "simhash_docs",
+    "cosine_near_dup_pairs",
+]

@@ -1,0 +1,133 @@
+"""MinHash + LSH banding near-dup detection.
+
+Pipeline: shingle → k min-hashes per doc (signature) → band keys →
+candidate pairs from band-key equality → exact Jaccard verification on
+candidates only. The band join bounds the pair explosion to documents
+that collide in ≥1 band: O(collisions), not O(n²) — the property that
+makes near-dup dedup feasible at corpus scale.
+
+Two implementations:
+
+* ``minhash_band_pairs`` — engine-native, hash = md5(seed‖shingle)
+  with *string* min (lexicographic). Fully deterministic and
+  reproducible by any engine (the driver's DuckDB oracle re-derives
+  identical signatures), no seed state.
+* ``mllib_minhash_pairs`` — ``pyspark.ml.feature.MinHashLSH``
+  (seeded), the stock MLlib scale path with approxSimilarityJoin.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .ngram import shingle_docs
+
+DEFAULT_PERMS = 8
+DEFAULT_BANDS = 4
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 2,
+                       num_perms: int = DEFAULT_PERMS) -> DataFrame:
+    """One row per doc: h0..h{k-1} minhash signature columns plus the
+    distinct-shingle count (needed for Jaccard verification). One
+    shuffle (groupBy doc) regardless of k — the k hashes are computed
+    in the map phase."""
+    sh = shingle_docs(df, text_col, id_col, n)
+    aggs = [F.min(F.md5(F.encode(F.concat(F.lit(str(i)), F.col("shingle")),
+                                 "UTF-8"))).alias(f"h{i}")
+            for i in range(num_perms)]
+    aggs.append(F.count(F.lit(1)).alias("n_sh"))
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _band_df(sig: DataFrame, num_perms: int, bands: int) -> DataFrame:
+    """Explode the signature into (doc_id, band, band_hash) rows."""
+    rows_per_band = num_perms // bands
+    structs = []
+    for b in range(bands):
+        parts = [F.col(f"h{b * rows_per_band + r}")
+                 for r in range(rows_per_band)]
+        structs.append(F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.encode(F.concat(*parts), "UTF-8")).alias("bh")))
+    return (sig.select("doc_id",
+                       F.explode(F.array(*structs)).alias("e"))
+               .select("doc_id", "e.band", "e.bh"))
+
+
+def minhash_band_pairs(df: DataFrame, threshold: float,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       n: int = 2, num_perms: int = DEFAULT_PERMS,
+                       bands: int = DEFAULT_BANDS) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for band-colliding pairs whose exact
+    shingle Jaccard ≥ threshold.
+
+    Verification joins the shingle sets only for candidate pairs
+    (semi-join pushout), so the expensive exact step is proportional
+    to collisions, not corpus size squared.
+    """
+    sh = shingle_docs(df, text_col, id_col, n).cache()
+    aggs = [F.min(F.md5(F.encode(F.concat(F.lit(str(i)), F.col("shingle")),
+                                 "UTF-8"))).alias(f"h{i}")
+            for i in range(num_perms)]
+    aggs.append(F.count(F.lit(1)).alias("n_sh"))
+    sig = sh.groupBy("doc_id").agg(*aggs).cache()
+
+    bandsdf = _band_df(sig, num_perms, bands)
+    a, b = bandsdf.alias("a"), bandsdf.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bh") == F.col("b.bh"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+             .distinct())
+
+    sa = sh.select(F.col("doc_id").alias("doc_a"),
+                   F.col("shingle").alias("s"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"),
+                   F.col("shingle").alias("s"))
+    shared = (cand.join(sa, "doc_a").join(sb, ["doc_b", "s"])
+                  .groupBy("doc_a", "doc_b")
+                  .agg(F.count(F.lit(1)).alias("shared")))
+
+    na = sig.select(F.col("doc_id").alias("doc_a"),
+                    F.col("n_sh").alias("n_a"))
+    nb = sig.select(F.col("doc_id").alias("doc_b"),
+                    F.col("n_sh").alias("n_b"))
+    j = (F.col("shared")
+         / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double"))
+    return (shared.join(na, "doc_a").join(nb, "doc_b")
+            .filter(j >= F.lit(threshold))
+            .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard")))
+
+
+def mllib_minhash_pairs(df: DataFrame, threshold: float,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 2, num_hash_tables: int = 8,
+                        seed: int = 42) -> DataFrame:
+    """MLlib MinHashLSH scale path: HashingTF shingle vectors →
+    approxSimilarityJoin at (1 - threshold) Jaccard distance.
+    Seeded but hash-function-internal → driver checks rows-only."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = (shingle_docs(df, text_col, id_col, n)
+          .groupBy("doc_id")
+          .agg(F.collect_list("shingle").alias("shingles"))
+          .filter(F.size("shingles") > 0))   # MinHashLSH needs ≥1 entry
+    tf = HashingTF(inputCol="shingles", outputCol="features",
+                   numFeatures=1 << 18, binary=True)
+    feats = tf.transform(sh)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes",
+                     numHashTables=num_hash_tables, seed=seed)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 1.0 - threshold,
+                                       distCol="jaccard_dist")
+    return (pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+            .select(F.col("datasetA.doc_id").alias("doc_a"),
+                    F.col("datasetB.doc_id").alias("doc_b"),
+                    F.round(1.0 - F.col("jaccard_dist"), 6).alias("jaccard")))

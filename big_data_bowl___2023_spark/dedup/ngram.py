@@ -1,0 +1,69 @@
+"""Word n-gram (shingle) Jaccard near-dup detection.
+
+The scalable shape: explode distinct shingles → self-join on shingle →
+count shared → Jaccard from per-doc shingle counts. Cost is driven by
+shingle document-frequency: a shingle appearing in d docs contributes
+d² candidate pairs, so ``max_doc_freq`` caps the hot keys (stopword
+shingles) — the classic skew guard that makes this viable at corpus
+scale. Exact for all pairs sharing ≥1 surviving shingle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as Tx
+
+
+def shingle_docs(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", n: int = 2) -> DataFrame:
+    """Distinct word n-gram shingles per doc, one row per (doc,
+    shingle). slice/zip_with keeps shingling inside codegen; docs
+    shorter than n simply produce no rows."""
+    toks = Tx.tokenize(F.col(text_col))
+    cols = [F.slice(toks, i + 1, F.greatest(F.size(toks) - n + 1, F.lit(0)))
+            for i in range(n)]
+    sh = cols[0]
+    for c in cols[1:]:
+        sh = F.zip_with(sh, c, lambda a, b: F.concat_ws(" ", a, b))
+    return (df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(sh).alias("shingle"))
+              .distinct())
+
+
+def jaccard_pairs(df: DataFrame, threshold: float,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 2, max_doc_freq: int | None = None) -> DataFrame:
+    """Pairs (doc_a < doc_b, jaccard) with Jaccard ≥ threshold.
+
+    Returns columns (doc_a, doc_b, jaccard·round6). With
+    ``max_doc_freq`` set, shingles present in more documents than the
+    cap are dropped before the pair join (bounded skew; slightly
+    conservative Jaccard).
+    """
+    sh = shingle_docs(df, text_col, id_col, n)
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = (sh.join(freq.filter(F.col("df") <= max_doc_freq)
+                      .select("shingle"), "shingle", "left_semi"))
+    sh = sh.cache()  # reused 3x: pair join (both sides) + counts
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                     & (F.col("a.doc_id") < F.col("b.doc_id")))
+               .groupBy(F.col("a.doc_id").alias("doc_a"),
+                        F.col("b.doc_id").alias("doc_b"))
+               .agg(F.count(F.lit(1)).alias("shared")))
+
+    ca = counts.select(F.col("doc_id").alias("doc_a"),
+                       F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"),
+                       F.col("n_sh").alias("n_b"))
+    j = (F.col("shared")
+         / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double"))
+    return (shared.join(ca, "doc_a").join(cb, "doc_b")
+            .filter(j >= F.lit(threshold))
+            .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard")))

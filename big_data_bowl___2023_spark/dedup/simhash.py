@@ -1,0 +1,78 @@
+"""SimHash document sketches.
+
+Per token, a 32-bit hash contributes ±1 per bit position (weighted by
+occurrence count); the sign of each accumulated position is the sketch
+bit. Near-dups differ in few bits (Hamming distance).
+
+Bit source: the 32 hex digits of md5(token), bit = digit ≥ 8. Chosen
+over xxhash64 so the sketch is engine-reproducible (DuckDB oracle
+derives identical bits) — at production scale swap in xxhash64 for
+speed; the plan shape is identical.
+
+Shuffle profile: explode tokens → one groupBy(doc) with 32 conditional
+sums — a single shuffle, map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as Tx
+
+SIMHASH_BITS = 32
+_HIGH_HEX = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def simhash_docs(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash) with simhash as a 32-char '0'/'1' string —
+    string form keeps it portable across engines and hashable by the
+    driver's value compare."""
+    toks = (df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(Tx.tokenize(F.col(text_col))).alias("tok"))
+              .withColumn("h", F.md5(F.encode(F.col("tok"), "UTF-8"))))
+    sums = [
+        F.sum(F.when(F.substring("h", j + 1, 1).isin(*_HIGH_HEX), 1)
+               .otherwise(-1)).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    acc = toks.groupBy("doc_id").agg(*sums)
+    bits = [F.when(F.col(f"b{j}") > 0, "1").otherwise("0")
+            for j in range(SIMHASH_BITS)]
+    return acc.select("doc_id", F.concat(*bits).alias("simhash"))
+
+
+def hamming_pairs(df: DataFrame, max_distance: int,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by sketch Hamming distance. Blocked on the
+    sketch halves (a pair within distance d ≤ bits/2 shares at least
+    one identical half — pigeonhole), so the join is on block keys,
+    not a cross product."""
+    sk = simhash_docs(df, text_col, id_col)
+    half = SIMHASH_BITS // 2
+    blocks = sk.select(
+        "doc_id", "simhash",
+        F.explode(F.array(
+            F.concat(F.lit("L"), F.substring("simhash", 1, half)),
+            F.concat(F.lit("R"), F.substring("simhash", half + 1, half)),
+        )).alias("block"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (a.join(b, (F.col("a.block") == F.col("b.block"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("a.simhash").alias("sh_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     F.col("b.simhash").alias("sh_b"))
+             .distinct())
+    # Hamming distance between '0'/'1' strings: count differing chars.
+    pos = F.sequence(F.lit(1), F.lit(SIMHASH_BITS))
+    dist = F.aggregate(
+        pos, F.lit(0),
+        lambda acc, i: acc + F.when(
+            F.substring(F.col("sh_a"), i.cast("int"), 1)
+            != F.substring(F.col("sh_b"), i.cast("int"), 1), 1).otherwise(0))
+    return (cand.withColumn("hamming", dist)
+                .filter(F.col("hamming") <= max_distance)
+                .select("doc_a", "doc_b", "hamming"))

@@ -1,0 +1,100 @@
+"""Text-analysis column functions for the training-data pipeline
+surface (north-star extensions, SURVEY.md §4.3): tokenization,
+normalization, fingerprinting, language-ID heuristics, quality
+scoring. All built-in expressions — JVM-side, codegen-friendly, no
+UDFs — so they run at 100 TB scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram/stopword language-ID
+# heuristic. Deliberately tiny: language ID at scale is a scan-time
+# scoring pass, and the marker sets are the tunable.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "los", "las", "que"),
+    "fr": ("le", "la", "les", "des", "est"),
+    "de": ("der", "die", "das", "und", "ist"),
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def tokenize(text: Column) -> Column:
+    """Whitespace tokenization → array<string>."""
+    return F.split(text, " ")
+
+
+def normalize(text: Column) -> Column:
+    """Lowercase, trim, collapse runs of whitespace — the canonical
+    form fingerprints and exact dedup key on."""
+    return F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+    md5 (not xxhash64) so external oracles/engines reproduce it."""
+    return F.md5(F.encode(normalize(text), "UTF-8"))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokenize(text)).cast("bigint")
+
+
+def count_in_set(tokens: Column, words: tuple[str, ...]) -> Column:
+    """How many tokens fall in a word set — array filter, no explode,
+    no shuffle."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokenize(text)
+    n = F.size(toks)
+    return F.when(n > 0,
+                  count_in_set(toks, STOPWORDS) / n.cast("double")
+                  ).otherwise(F.lit(0.0))
+
+
+def avg_token_len(text: Column) -> Column:
+    toks = tokenize(text)
+    n = F.size(toks)
+    total = F.aggregate(toks, F.lit(0),
+                        lambda acc, t: acc + F.length(t))
+    return F.when(n > 0, total.cast("double") / n.cast("double")
+                  ).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0, ~1]: stopword density +
+    length saturation + token-shape, the standard pretraining-corpus
+    filter shape. Fixed double evaluation order (oracle-matched)."""
+    n = token_count(text).cast("double")
+    return (F.lit(0.5) * stopword_ratio(text)
+            + F.lit(0.3) * F.least(n / F.lit(100.0), F.lit(1.0))
+            + F.lit(0.2) * (avg_token_len(text) / F.lit(10.0)))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    toks = tokenize(text)
+    return {lang: count_in_set(toks, markers)
+            for lang, markers in LANG_MARKERS.items()}
+
+
+def detect_lang(text: Column) -> Column:
+    """Marker-stopword language ID: highest marker count wins, ties
+    broken by fixed language order, zero evidence → 'und'."""
+    scores = lang_scores(text)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    # Forward iteration with strict > : the first language in
+    # LANG_MARKERS order wins ties (deterministic, oracle-matched).
+    for lang in LANG_MARKERS:
+        s = scores[lang]
+        better = s > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, s).otherwise(best_score)
+    return best_lang

@@ -1,0 +1,187 @@
+"""Driver-checked deduplication queries over ``documents`` /
+``embeddings`` (north-star extensions).
+
+The md5-based sketches (minhash, simhash) are deliberately engine-
+reproducible, so even the LSH banding pipeline has an exact DuckDB
+oracle — the oracle re-derives identical signatures, candidates, and
+verified pairs. Only the MLlib-internal variants are rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .. import dedup as dd
+from ..dedup.minhash import DEFAULT_BANDS, DEFAULT_PERMS
+from ..dedup.simhash import SIMHASH_BITS, _HIGH_HEX
+from ..registry import query
+from ._util import load_table
+
+JACCARD_THRESHOLD = 0.3
+COSINE_THRESHOLD = 0.4
+
+# Shared oracle CTEs: word-bigram distinct shingles per doc.
+_SHINGLES = """
+  toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  sh AS (SELECT DISTINCT doc_id,
+                unnest(list_transform(range(1, len(t)),
+                                      i -> t[i] || ' ' || t[i+1])) AS s
+         FROM toks),
+  cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)"""
+
+
+@query(
+    "dedup_exact",
+    r"""SELECT doc_id, fingerprint FROM (
+          SELECT doc_id,
+                 md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+                     AS fingerprint,
+                 ROW_NUMBER() OVER (PARTITION BY
+                     md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+                     ORDER BY doc_id) AS rn
+          FROM documents)
+        WHERE rn = 1""",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: min doc_id per normalized-text fingerprint — one
+    shuffle, row_number, no join-back (dedup.exact)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.exact_dedup(docs).select("doc_id", "fingerprint")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""WITH {_SHINGLES},
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+          FROM sh a JOIN sh b
+            ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               ROUND(shared / CAST(ca.n + cb.n - shared AS DOUBLE), 6)
+                   AS jaccard
+        FROM pairs
+        JOIN cnt ca ON ca.doc_id = doc_a
+        JOIN cnt cb ON cb.doc_id = doc_b
+        WHERE shared / CAST(ca.n + cb.n - shared AS DOUBLE)
+              >= {JACCARD_THRESHOLD}""",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-bigram Jaccard near-dup pairs ≥ threshold via the
+    explode→shingle-join→agg plan (dedup.ngram). Cost bounded by
+    shingle document frequency (skew cap available; off here for
+    oracle parity)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.jaccard_pairs(docs, JACCARD_THRESHOLD)
+
+
+def _minhash_oracle() -> str:
+    perms, bands = DEFAULT_PERMS, DEFAULT_BANDS
+    rpb = perms // bands
+    sig_cols = ",\n                 ".join(
+        f"MIN(md5('{i}' || s)) AS h{i}" for i in range(perms))
+    band_rows = "\n          UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({parts}) AS bh FROM sig".format(
+            b=b, parts=" || ".join(f"h{b * rpb + r}" for r in range(rpb)))
+        for b in range(bands))
+    return f"""WITH {_SHINGLES},
+        sig AS (SELECT doc_id,
+                 {sig_cols},
+                 COUNT(*) AS n FROM sh GROUP BY doc_id),
+        bands AS ({band_rows}),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.bh = b.bh
+                      AND a.doc_id < b.doc_id),
+        shared AS (
+          SELECT c.doc_a, c.doc_b, COUNT(*) AS sh_n
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.doc_a
+          JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+          GROUP BY 1, 2)
+        SELECT s.doc_a, s.doc_b,
+               ROUND(s.sh_n / CAST(na.n + nb.n - s.sh_n AS DOUBLE), 6)
+                   AS jaccard
+        FROM shared s
+        JOIN sig na ON na.doc_id = s.doc_a
+        JOIN sig nb ON nb.doc_id = s.doc_b
+        WHERE s.sh_n / CAST(na.n + nb.n - s.sh_n AS DOUBLE)
+              >= {JACCARD_THRESHOLD}"""
+
+
+@query("dedup_minhash_lsh", _minhash_oracle())
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash (8 perms) + LSH (4 bands) banding → candidate pairs →
+    exact-Jaccard verification ≥ threshold. Deterministic md5 string-
+    min sketches, so the DuckDB oracle reproduces the banding exactly
+    (dedup.minhash.minhash_band_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_band_pairs(docs, JACCARD_THRESHOLD)
+
+
+def _simhash_oracle() -> str:
+    high = ", ".join(f"'{h}'" for h in _HIGH_HEX)
+    bit_exprs = ",\n               ".join(
+        f"CASE WHEN SUM(CASE WHEN substr(md5(tok), {j + 1}, 1) IN ({high})"
+        f" THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END AS b{j}"
+        for j in range(SIMHASH_BITS))
+    concat = " || ".join(f"b{j}" for j in range(SIMHASH_BITS))
+    return f"""WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        acc AS (
+          SELECT doc_id,
+               {bit_exprs}
+          FROM toks GROUP BY doc_id)
+        SELECT doc_id, {concat} AS simhash FROM acc"""
+
+
+@query("dedup_simhash", _simhash_oracle())
+def dedup_simhash(spark, sf_dir):
+    """SimHash 32-bit sketch per document (dedup.simhash): one explode
+    + one grouped pass with 32 conditional sums; md5-hex bit source so
+    the oracle derives identical sketches."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash_docs(docs)
+
+
+@query("dedup_simhash_hamming")
+def dedup_simhash_hamming(spark, sf_dir):
+    """SimHash near-dup pairs within Hamming ≤ 6, blocked on sketch
+    halves (pigeonhole) — rows-only: the sketch itself is oracle-
+    verified by dedup_simhash; this adds the blocked pair join."""
+    from ..dedup.simhash import hamming_pairs
+    docs = load_table(spark, sf_dir, "documents")
+    return hamming_pairs(docs, 6)
+
+
+@query(
+    "dedup_embedding_cosine",
+    f"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND(list_dot_product(a.e, b.e)
+                     / (sqrt(list_dot_product(a.e, a.e))
+                        * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e))
+                 * sqrt(list_dot_product(b.e, b.e)))
+              >= {COSINE_THRESHOLD}""",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs ≥ threshold over the half
+    matrix (dedup.embedding): double-cast once, zip_with/aggregate
+    kernel, no UDF."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dd.cosine_near_dup_pairs(emb, COSINE_THRESHOLD)
+
+
+@query("dedup_minhash_mllib")
+def dedup_minhash_mllib(spark, sf_dir):
+    """MLlib MinHashLSH approxSimilarityJoin — the stock scale path.
+    Rows-only: MLlib's internal hash family isn't reproducible in
+    SQL; the engine-native dedup_minhash_lsh is the oracle-checked
+    equivalent."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.mllib_minhash_pairs(docs, JACCARD_THRESHOLD)

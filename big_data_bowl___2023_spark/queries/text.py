@@ -1,0 +1,114 @@
+"""Driver-checked text-analysis queries over ``documents`` (north-star
+extensions: language-ID, quality scoring, token counting, document
+fingerprinting). All pure built-in expressions — no UDFs — with exact
+DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import text as Tx
+from ..registry import query
+from ._util import load_table
+
+_EN = ", ".join(f"'{w}'" for w in Tx.LANG_MARKERS["en"])
+_ES = ", ".join(f"'{w}'" for w in Tx.LANG_MARKERS["es"])
+_FR = ", ".join(f"'{w}'" for w in Tx.LANG_MARKERS["fr"])
+_DE = ", ".join(f"'{w}'" for w in Tx.LANG_MARKERS["de"])
+
+
+@query(
+    "t_token_count",
+    """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+       FROM documents""",
+)
+def t_token_count(spark, sf_dir):
+    """Whitespace token counting — the unit cost measure for corpus
+    budgeting. Stays in codegen: split + size, no explode."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id",
+                       Tx.token_count(F.col("text")).alias("n_tokens"))
+
+
+@query(
+    "t_fingerprint",
+    r"""SELECT doc_id,
+               md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+                   AS fingerprint
+        FROM documents""",
+)
+def t_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 over normalized text (lower, trim,
+    collapse whitespace) — the exact-dedup key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id",
+                       Tx.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@query(
+    "t_langid",
+    f"""WITH scored AS (
+          SELECT doc_id,
+                 len(list_filter(string_split(text,' '), x -> x IN ({_EN}))) AS s_en,
+                 len(list_filter(string_split(text,' '), x -> x IN ({_ES}))) AS s_es,
+                 len(list_filter(string_split(text,' '), x -> x IN ({_FR}))) AS s_fr,
+                 len(list_filter(string_split(text,' '), x -> x IN ({_DE}))) AS s_de
+          FROM documents)
+        SELECT doc_id,
+               CASE
+                 WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de
+                      AND s_en > 0 THEN 'en'
+                 WHEN s_es >= s_fr AND s_es >= s_de AND s_es > 0 THEN 'es'
+                 WHEN s_fr >= s_de AND s_fr > 0 THEN 'fr'
+                 WHEN s_de > 0 THEN 'de'
+                 ELSE 'und'
+               END AS lang_pred
+        FROM scored""",
+)
+def t_langid(spark, sf_dir):
+    """Marker-stopword language ID (n-gram heuristic family): scan-
+    time scoring pass; first language in marker order wins ties."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id",
+                       Tx.detect_lang(F.col("text")).alias("lang_pred"))
+
+
+@query(
+    "t_quality_score",
+    f"""WITH base AS (
+          SELECT doc_id,
+                 string_split(text, ' ') AS toks,
+                 len(string_split(text, ' ')) AS n_tokens
+          FROM documents)
+        SELECT doc_id, n_tokens,
+               ROUND(sw_ratio, 6) AS stopword_ratio,
+               ROUND(avg_len, 6) AS avg_token_len,
+               ROUND(0.5 * sw_ratio
+                     + 0.3 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                     + 0.2 * (avg_len / 10.0), 6) AS quality
+        FROM (
+          SELECT doc_id, n_tokens,
+                 CASE WHEN n_tokens > 0 THEN
+                   CAST(len(list_filter(toks, x -> x IN ({_EN})))
+                        AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                 ELSE 0.0 END AS sw_ratio,
+                 CASE WHEN n_tokens > 0 THEN
+                   CAST(list_aggregate(list_transform(toks,
+                        x -> length(x)), 'sum') AS DOUBLE)
+                     / CAST(n_tokens AS DOUBLE)
+                 ELSE 0.0 END AS avg_len
+          FROM base)""",
+)
+def t_quality_score(spark, sf_dir):
+    """Quality scoring: stopword density + length saturation + token
+    shape — the pretraining-corpus filter features, computed in one
+    codegen pass per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    txt = F.col("text")
+    return docs.select(
+        "doc_id",
+        Tx.token_count(txt).alias("n_tokens"),
+        F.round(Tx.stopword_ratio(txt), 6).alias("stopword_ratio"),
+        F.round(Tx.avg_token_len(txt), 6).alias("avg_token_len"),
+        F.round(Tx.quality_score(txt), 6).alias("quality"))

@@ -33,6 +33,7 @@ _DEFAULTS = {
     # Deterministic timestamp behavior across engines (oracle = DuckDB).
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",
+    "spark.ui.showConsoleProgress": "false",
 }
 
 

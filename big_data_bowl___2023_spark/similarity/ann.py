@@ -1,0 +1,149 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Three tiers, trading recall for scan cost:
+
+* ``brute_force_topk`` — exact: broadcast the (small) query set
+  against the full corpus, per-query top-k via window. The baseline
+  every approximate path is measured against. Corpus-side cost is one
+  full scan per batch of queries — fine when queries are batched.
+* ``ivf_topk`` — IVF-style: k-means-free variant that assigns corpus
+  vectors to coarse cells via deterministic hyperplane signs, probes
+  only matching cells. Sub-linear scan at the cost of recall.
+* ``brp_lsh_topk`` — stock MLlib BucketedRandomProjectionLSH
+  (Euclidean buckets), the library scale path (seeded; rows-only for
+  the driver check).
+
+All kernels share functions.vectors (double arithmetic, no UDF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vectors as V
+
+
+def _prep(df: DataFrame, vec_col: str, id_col: str, out_id: str):
+    return df.select(F.col(id_col).alias(out_id),
+                     V.as_double(F.col(vec_col)).alias(f"{out_id}_v"))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cosine, rank).
+    The query side is broadcast (queries ≪ corpus); ranking is a
+    window per query with id tie-break so results are total-ordered.
+    Self-matches (same id) are excluded."""
+    c = _prep(corpus, vec_col, id_col, "neighbor_id")
+    q = _prep(queries, vec_col, id_col, "query_id")
+    cos = V.cosine(F.col("query_id_v"), F.col("neighbor_id_v"))
+    scored = (c.join(F.broadcast(q),
+                     F.col("query_id") != F.col("neighbor_id"))
+               .withColumn("cosine", F.round(cos, 6)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+def _cell_key(vec, planes) -> F.Column:
+    """Sign pattern of the vector against deterministic hyperplanes →
+    coarse cell id string. Planes are ±1 patterns derived from fixed
+    index strides — reproducible with no RNG state."""
+    bits = []
+    for p in planes:
+        proj = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(float(x)) for x in p]),
+                       lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(proj >= 0, "1").otherwise("0"))
+    return F.concat(*bits)
+
+
+def _make_planes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes: plane i flips sign with period
+    2^(i+1) over the dimension index (Walsh-Hadamard-like rows) —
+    orthogonal-ish, no RNG, identical across runs and engines."""
+    planes = []
+    for i in range(n_planes):
+        period = 2 << i
+        planes.append([1.0 if (d // (period // 2)) % 2 == 0 else -1.0
+                       for d in range(dim)])
+    return planes
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             dim: int = 64, n_planes: int = 3,
+             n_probe_flips: int = 1) -> DataFrame:
+    """IVF/LSH-bucketed approximate top-k: corpus partitioned into
+    2^n_planes sign cells; each query probes its own cell plus cells
+    within ``n_probe_flips`` bit flips (multi-probe). The scan touches
+    ~(probed/2^n_planes) of the corpus — the knob that keeps ANN
+    sub-linear at 100 TB. Exact cosine within probed cells."""
+    planes = _make_planes(dim, n_planes)
+    c = _prep(corpus, vec_col, id_col, "neighbor_id").withColumn(
+        "cell", _cell_key(F.col("neighbor_id_v"), planes))
+    q = _prep(queries, vec_col, id_col, "query_id").withColumn(
+        "cell", _cell_key(F.col("query_id_v"), planes))
+
+    # Multi-probe: expand each query to its cell + single-bit flips.
+    def flips(cell):
+        cells = [cell]
+        for j in range(n_planes):
+            flipped = F.concat(
+                F.substring(cell, 1, j),
+                F.when(F.substring(cell, j + 1, 1) == "1", "0").otherwise("1"),
+                F.substring(cell, j + 2, n_planes - j - 1))
+            cells.append(flipped)
+        return F.array(*cells) if n_probe_flips else F.array(cell)
+
+    q = q.select("query_id", "query_id_v",
+                 F.explode(flips(F.col("cell"))).alias("cell")).distinct()
+
+    cos = V.cosine(F.col("query_id_v"), F.col("neighbor_id_v"))
+    scored = (c.join(F.broadcast(q), "cell")
+               .filter(F.col("query_id") != F.col("neighbor_id"))
+               .withColumn("cosine", F.round(cos, 6)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "neighbor_id", "cosine", "rank")
+                  .dropDuplicates(["query_id", "neighbor_id"]))
+
+
+def brp_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 bucket_length: float = 2.0, num_tables: int = 3,
+                 seed: int = 42) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH approxNearestNeighbors per
+    query — the stock library path (Euclidean distance buckets)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        array_to_vector(V.as_double(F.col(vec_col))).alias("features"))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes",
+        bucketLength=bucket_length, numHashTables=num_tables, seed=seed)
+    model = lsh.fit(feats)
+    qfeats = queries.select(
+        F.col(id_col).alias("query_id"),
+        array_to_vector(V.as_double(F.col(vec_col))).alias("features"))
+    tf_corpus = model.transform(feats)
+    joined = model.approxSimilarityJoin(
+        tf_corpus, qfeats, float("inf"), distCol="dist")
+    out = (joined.filter(
+        F.col("datasetA.neighbor_id") != F.col("datasetB.query_id"))
+        .select(F.col("datasetB.query_id").alias("query_id"),
+                F.col("datasetA.neighbor_id").alias("neighbor_id"),
+                F.round("dist", 6).alias("distance")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("distance"), F.asc("neighbor_id"))
+    return (out.withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= k))

@@ -1,0 +1,78 @@
+"""Semantic tests for the dedup + similarity extensions: LSH recall vs
+the exact baseline, sketch stability, blocking correctness."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_bowl___2023_spark import dedup as dd
+from big_data_bowl___2023_spark.similarity import brute_force_topk, ivf_topk
+from big_data_bowl___2023_spark.sources.io import load_table
+
+
+def test_exact_dedup_keeps_min_id(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    # Append a duplicate of doc 0 with a higher id: dedup must drop it.
+    dup = docs.limit(1).withColumn("doc_id", F.lit(10_000_000))
+    withdup = docs.unionByName(dup)
+    out = dd.exact_dedup(withdup)
+    assert out.count() == docs.count()
+    assert out.filter(F.col("doc_id") == 10_000_000).count() == 0
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
+    """Band-LSH candidates must recover most true near-dup pairs
+    (j >= 0.5 pairs are near-certain band collisions at 4x2)."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {(r.doc_a, r.doc_b)
+             for r in dd.jaccard_pairs(docs, 0.5).collect()}
+    lsh = {(r.doc_a, r.doc_b)
+           for r in dd.minhash_band_pairs(docs, 0.5).collect()}
+    assert lsh <= exact  # verification step guarantees no false pairs
+    if exact:
+        assert len(lsh & exact) / len(exact) >= 0.8
+
+
+def test_simhash_near_dups_have_close_sketches(spark, sf_dir):
+    """True near-dups (high jaccard) should sit within small Hamming
+    distance of each other."""
+    docs = load_table(spark, sf_dir, "documents")
+    near = dd.jaccard_pairs(docs, 0.8)
+    sk = dd.simhash_docs(docs)
+    a = sk.select(F.col("doc_id").alias("doc_a"),
+                  F.col("simhash").alias("sh_a"))
+    b = sk.select(F.col("doc_id").alias("doc_b"),
+                  F.col("simhash").alias("sh_b"))
+    joined = near.join(a, "doc_a").join(b, "doc_b")
+    dist = F.aggregate(
+        F.sequence(F.lit(1), F.lit(32)), F.lit(0),
+        lambda acc, i: acc + F.when(
+            F.substring("sh_a", i.cast("int"), 1)
+            != F.substring("sh_b", i.cast("int"), 1), 1).otherwise(0))
+    rows = joined.withColumn("d", dist).collect()
+    for r in rows:
+        assert r.d <= 10, f"near-dup pair {r.doc_a},{r.doc_b} far: {r.d}"
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """Multi-probe IVF must recover a reasonable share of the exact
+    top-k (it probes n_planes+1 of 8 cells -> recall well above the
+    50% scan fraction)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in brute_force_topk(emb, queries, 5).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in ivf_topk(emb, queries, 5).collect()}
+    assert len(approx & exact) / len(exact) >= 0.5
+
+
+def test_brute_force_topk_ranks_unique(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = brute_force_topk(emb, queries, 5)
+    per_q = out.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("rank").alias("nr")).collect()
+    for r in per_q:
+        assert r.n == 5 and r.nr == 5
