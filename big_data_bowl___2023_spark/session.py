@@ -23,6 +23,10 @@ from pyspark.sql import SparkSession
 # industry default; shuffle partitions default to 2x cores locally and
 # should be overridden (or left to AQE coalescing) on a real cluster.
 _DEFAULTS = {
+    # local[N] runs driver==executor in one JVM; size the heap for
+    # broadcast builds + cached frame-grain intermediates (the box has
+    # 128 GiB; a real cluster sets executor memory instead).
+    "spark.driver.memory": "12g",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
