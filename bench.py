@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Headline set: one per operator family that dominates cost at scale —
 # wide agg, star join, window scan, pivot, self-join, plus the
-# training-data extensions as they land.
+# training-data extensions (dedup, text, similarity, streaming).
 HEADLINE = [
     "q1_pricing_summary",
     "j3_broadcast_dim_revenue",
@@ -29,6 +29,11 @@ HEADLINE = [
     "a11_pivot_sum",
     "w1_lag_delta",
     "w4_running_sum",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "t_quality_score",
+    "sim_topk_cosine",
+    "stream_tumbling_counts",
 ]
 
 

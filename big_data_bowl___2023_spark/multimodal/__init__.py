@@ -1,0 +1,10 @@
+from .binary_ops import (
+    MEDIA_SCHEMA,
+    decode_media,
+    extract_features,
+    frame_sample,
+    media_from_documents,
+)
+
+__all__ = ["MEDIA_SCHEMA", "decode_media", "extract_features",
+           "frame_sample", "media_from_documents"]

@@ -158,23 +158,34 @@ def dedup_simhash_hamming(spark, sf_dir):
 @query(
     "dedup_embedding_cosine",
     f"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-                   FROM embeddings)
+                   FROM embeddings),
+        n AS (SELECT vec_id,
+                     list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
+                         AS u
+              FROM v)
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               ROUND(list_dot_product(a.e, b.e)
-                     / (sqrt(list_dot_product(a.e, a.e))
-                        * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
-        FROM v a JOIN v b ON a.vec_id < b.vec_id
-        WHERE list_dot_product(a.e, b.e)
-              / (sqrt(list_dot_product(a.e, a.e))
-                 * sqrt(list_dot_product(b.e, b.e)))
-              >= {COSINE_THRESHOLD}""",
+               ROUND(list_dot_product(a.u, b.u), 6) AS cosine
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.u, b.u) >= {COSINE_THRESHOLD}""",
 )
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs ≥ threshold over the half
-    matrix (dedup.embedding): double-cast once, zip_with/aggregate
-    kernel, no UDF."""
+    matrix (dedup.embedding): double-cast + L2-normalize once, then a
+    single dot-product fold per pair — no UDF, oracle mirrors the
+    normalize-then-dot arithmetic exactly."""
     emb = load_table(spark, sf_dir, "embeddings")
     return dd.cosine_near_dup_pairs(emb, COSINE_THRESHOLD)
+
+
+@query("dedup_embedding_cosine_gemm")
+def dedup_embedding_cosine_gemm(spark, sf_dir):
+    """Block-GEMM variant of the exact cosine pairs: numpy matrix
+    products over Arrow-batched vector blocks (rows-only: GEMM sums
+    associate differently than the oracle's sequential fold; the pair
+    SET matches the oracle-checked dedup_embedding_cosine — asserted
+    in pytest)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dd.cosine_near_dup_pairs_gemm(emb, COSINE_THRESHOLD)
 
 
 @query("dedup_minhash_mllib")

@@ -1,0 +1,213 @@
+"""Driver-checked composite-pipeline analogues (SURVEY.md §2.11) on
+the star schema: the reference's Q1–Q8 pipeline *shapes* re-phrased
+over ``events``/``lineitem`` so the driver's oracle can grade them
+(the NFL-shaped originals run on fixture tables under pytest —
+pipelines.nfl). Plus the scalar-surface (F1–F7) and multimodal
+(mapInPandas) coverage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..multimodal import decode_media, extract_features, media_from_documents
+from ..operators.aggregates import pivot_sum
+from ..registry import query
+from ._util import EVENTS_CTE, load_table, r6
+
+
+@query(
+    "qpipe_session_bounds",
+    f"""{EVENTS_CTE}
+        SELECT v.user_id,
+               v.first_view,
+               p.last_purchase
+        FROM (SELECT user_id, MIN(ts) AS first_view FROM ev
+              WHERE event_type = 'view' GROUP BY user_id) v
+        JOIN (SELECT user_id, MAX(ts) AS last_purchase FROM ev
+              WHERE event_type = 'purchase' GROUP BY user_id) p
+          ON v.user_id = p.user_id""",
+)
+def qpipe_session_bounds(spark, sf_dir):
+    """Q2 ``play_bounds`` analogue: per-entity start/end markers from
+    an event vocabulary (ball_snap → pass_forward becomes first view →
+    last purchase), then joined — filter → distinct-agg → rename →
+    join, the exact MBE:21-30 shape."""
+    ev = load_table(spark, sf_dir, "events")
+    start = (ev.filter(F.col("event_type") == "view")
+             .groupBy("user_id").agg(F.min("ts").alias("first_view")))
+    end = (ev.filter(F.col("event_type") == "purchase")
+           .groupBy("user_id").agg(F.max("ts").alias("last_purchase")))
+    return start.join(end, ["user_id"])
+
+
+@query(
+    "qpipe_drop_detection",
+    f"""{EVENTS_CTE},
+        seq AS (
+          SELECT user_id, event_id, value,
+                 value - LAG(value) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id) AS delta,
+                 ROW_NUMBER() OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM ev)
+        SELECT user_id, MIN(event_id) AS first_drop_event
+        FROM seq
+        WHERE delta < -100.0 AND rn >= 3
+        GROUP BY user_id""",
+)
+def qpipe_drop_detection(spark, sf_dir):
+    """Q3 ``qb_set_point`` analogue: the peak-velocity detector shape
+    (MBE:47-52) — ordered lag delta, positional guard, first trigger
+    per group via grouped MIN."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (ev.withColumn("delta", F.col("value") - F.lag("value").over(w))
+             .withColumn("rn", F.row_number().over(w)))
+    return (seq.filter((F.col("delta") < -100.0) & (F.col("rn") >= 3))
+               .groupBy("user_id")
+               .agg(F.min("event_id").alias("first_drop_event")))
+
+
+@query(
+    "qpipe_pivot_metric",
+    f"""{EVENTS_CTE},
+        wide AS (
+          SELECT user_id,
+                 SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS purchase,
+                 SUM(CASE WHEN event_type = 'click' THEN value ELSE 0 END) AS click,
+                 SUM(CASE WHEN event_type = 'view' THEN value ELSE 0 END) AS view
+          FROM ev GROUP BY user_id)
+        SELECT user_id,
+               ROUND(purchase / (click + view + 1.0), 6) AS conversion_value
+        FROM wide
+        WHERE purchase > 0""",
+)
+def qpipe_pivot_metric(spark, sf_dir):
+    """Q4 ``pressure_metric`` analogue: pivot to wide statuses then a
+    guarded ratio metric (MBE:94-104) — pivot_sum + conditional
+    division + positivity filter."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = pivot_sum(ev.select("user_id", "event_type", "value"),
+                     ["user_id"], "event_type",
+                     ["purchase", "click", "view"], "value")
+    metric = F.col("purchase") / (F.col("click") + F.col("view") + F.lit(1.0))
+    return (wide.filter(F.col("purchase") > 0)
+                .select("user_id", r6(metric).alias("conversion_value")))
+
+
+@query(
+    "qpipe_rankings",
+    f"""{EVENTS_CTE}
+        SELECT user_id,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 3)
+                   AS sum_value,
+               COUNT(*) AS n_events,
+               ROUND(MEDIAN(value), 3) AS median_value
+        FROM ev GROUP BY user_id
+        HAVING COUNT(*) >= 60""",
+)
+def qpipe_rankings(spark, sf_dir):
+    """Q8 ``rankings`` analogue (MO:17-21): sum + count + exact median
+    per entity, HAVING attempt threshold, round(3) outputs."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy("user_id")
+            .agg(F.round(F.sum(F.col("value").cast("decimal(18,2)"))
+                          .cast("double"), 3).alias("sum_value"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.median("value"), 3).alias("median_value"))
+            .filter(F.col("n_events") >= 60))
+
+
+@query(
+    "qpipe_exclusion_cleanup",
+    f"""{EVENTS_CTE}
+        SELECT e.user_id, COUNT(*) AS n_ok_events
+        FROM ev e
+        WHERE NOT EXISTS (
+            SELECT 1 FROM ev x
+            WHERE x.user_id = e.user_id
+              AND x.event_type = 'error' AND x.value > 400.0)
+        GROUP BY e.user_id""",
+)
+def qpipe_exclusion_cleanup(spark, sf_dir):
+    """Q1 cleanup analogue (DLC:40-47): derive an exclusion key set
+    from a predicate, anti-join it away, then aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    bad = (ev.filter((F.col("event_type") == "error")
+                     & (F.col("value") > 400.0))
+           .select("user_id").distinct())
+    return (ev.join(bad, ["user_id"], "left_anti")
+              .groupBy("user_id")
+              .agg(F.count(F.lit(1)).alias("n_ok_events")))
+
+
+# ----------------------------------------------------- scalar surface
+
+@query(
+    "f7_conditional_sentinel",
+    """SELECT l_orderkey, l_linenumber,
+              CASE WHEN l_returnflag = 'R' THEN -999.0
+                   WHEN l_quantity <= 10.0 THEN l_quantity * 2.0
+                   WHEN l_quantity <= 30.0 THEN l_quantity + 5.0
+                   ELSE l_quantity END AS adjusted_qty
+       FROM lineitem""",
+)
+def f7_conditional_sentinel(spark, sf_dir):
+    """F7/P5: nested vectorized conditionals with a sentinel branch —
+    the MBE:45 ``-999`` idiom plus the 3-deep ifelse chains
+    (MBE:81-82, 100-103)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.when(F.col("l_returnflag") == "R", F.lit(-999.0))
+         .when(q <= 10.0, q * 2.0)
+         .when(q <= 30.0, q + 5.0)
+         .otherwise(q).alias("adjusted_qty"))
+
+
+@query(
+    "f1_math_surface",
+    """SELECT l_orderkey, l_linenumber,
+              ABS(l_discount - l_tax) AS abs_diff,
+              GREATEST(l_discount, l_tax) AS gmax,
+              LEAST(l_discount, l_tax) AS gmin,
+              ROUND(l_extendedprice / 100.0, 4) AS price_hundreds
+       FROM lineitem WHERE l_quantity < 3.0""",
+)
+def f1_math_surface(spark, sf_dir):
+    """F1–F4: abs / pmax / pmin / round / arithmetic (MBE:52, 77;
+    MO:20). Rounding scale 4 = identity for 2-decimal money / 100 —
+    rounding at a coarser digit would sit exactly on half-boundaries,
+    where Spark (HALF_UP on the decimal string) and DuckDB (binary
+    nearest-even) legitimately disagree."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d, t = F.col("l_discount"), F.col("l_tax")
+    return (li.filter(F.col("l_quantity") < 3.0)
+            .select("l_orderkey", "l_linenumber",
+                    F.abs(d - t).alias("abs_diff"),
+                    F.greatest(d, t).alias("gmax"),
+                    F.least(d, t).alias("gmin"),
+                    F.round(F.col("l_extendedprice") / 100.0, 4)
+                     .alias("price_hundreds")))
+
+
+# --------------------------------------------------------- multimodal
+
+@query("mm_decode_media")
+def mm_decode_media(spark, sf_dir):
+    """Multimodal decode pass (rows-only: the mapInPandas Arrow
+    plumbing is the product; the stub decode is deterministic and
+    pytest-verified). documents.text bytes stand in for image blobs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media(media_from_documents(docs))
+
+
+@query("mm_extract_features")
+def mm_extract_features(spark, sf_dir):
+    """Multimodal feature extraction (rows-only): Arrow-batched
+    mapInPandas → array<float> embeddings ready for similarity.ann."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(media_from_documents(docs))

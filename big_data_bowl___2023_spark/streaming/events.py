@@ -1,0 +1,120 @@
+"""Structured Streaming over the ``events`` table (SURVEY.md §2.9 /
+§7.1.7 stretch scope).
+
+The reference is pure batch, but its per-play event sequences
+(ball_snap → pass_forward, MBE:22-30) are session shapes and its 10 Hz
+frame clock is event time — this module maps both to Structured
+Streaming: tumbling windows for the calendar rollups and
+``session_window`` for the snap→throw sessionization.
+
+Batch-parity design: every transformation here takes a DataFrame
+(streaming or batch — the API is identical by construction), so the
+driver-checked queries run the SAME code through a one-shot
+``availableNow`` trigger into a memory sink and compare against a
+batch SQL oracle. In production the trigger/sink switch to continuous
+micro-batches + kafka/delta with a watermark; the logical plan is
+unchanged.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_STREAM_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),        # raw nanos (see below)
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def _stage_dir(sf_dir: str) -> str:
+    """The file stream source monitors a *directory*; stage the single
+    events.parquet into a stable per-sf temp dir (symlink — no copy)."""
+    import hashlib
+    import os
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    d = os.path.join(
+        "/tmp", f"spark_stream_{hashlib.md5(src.encode()).hexdigest()[:10]}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        try:
+            os.symlink(src, link)
+        except OSError:
+            import shutil
+            shutil.copyfile(src, link)
+    return d
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over events.parquet. The ns-precision ts is
+    read as raw nanos and truncated to a microsecond timestamp —
+    identical to the batch reader (sources.io.load_table)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (spark.readStream
+              .schema(EVENT_STREAM_SCHEMA)
+              .parquet(_stage_dir(sf_dir)))
+    return stream.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 day",
+                    watermark: str | None = None) -> DataFrame:
+    """Per-window, per-type counts and exact-decimal value sums — the
+    streaming form of the calendar rollup (f9_datetime_rollup).
+    ``watermark`` bounds state for late data in continuous mode."""
+    if watermark:
+        events = events.withWatermark("ts", watermark)
+    return (events
+            .groupBy(F.window("ts", width).alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,2)"))
+                  .cast("double").alias("total_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    "event_type", "n", "total_value"))
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes",
+                    watermark: str | None = None) -> DataFrame:
+    """Per-user activity sessions via ``session_window`` — the
+    state-machine shape of the reference's snap→throw play delimiting
+    (MBE:22-30), expressed with the built-in session operator instead
+    of custom state. A session extends while consecutive events are
+    < gap apart; window end = last event + gap."""
+    if watermark:
+        events = events.withWatermark("ts", watermark)
+    return (events
+            .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("event_id").alias("first_event_id"))
+            .select("user_id",
+                    F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events", "first_event_id"))
+
+
+def run_available_now(result: DataFrame, spark: SparkSession) -> DataFrame:
+    """Execute a streaming aggregation to completion over the data
+    available now (one-shot), returning the final result table.
+
+    Memory sink + complete mode: every window is emitted regardless of
+    watermark progress, giving exact batch parity for the driver's
+    oracle comparison. Production deployments swap this for
+    append-mode + durable sink.
+    """
+    name = f"q_{uuid.uuid4().hex[:12]}"
+    q = (result.writeStream
+         .format("memory")
+         .queryName(name)
+         .outputMode("complete")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name)

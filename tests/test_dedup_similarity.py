@@ -76,3 +76,16 @@ def test_brute_force_topk_ranks_unique(spark, sf_dir):
         F.countDistinct("rank").alias("nr")).collect()
     for r in per_q:
         assert r.n == 5 and r.nr == 5
+
+
+def test_gemm_pairs_match_fold_pairs(spark, sf_dir):
+    """Block-GEMM and expression-fold kernels find the same pair set
+    with cosines equal to 1e-9."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    fold = {(r.vec_a, r.vec_b): r.cosine
+            for r in dd.cosine_near_dup_pairs(emb, 0.4).collect()}
+    gemm = {(r.vec_a, r.vec_b): r.cosine
+            for r in dd.cosine_near_dup_pairs_gemm(emb, 0.4).collect()}
+    assert set(fold) == set(gemm)
+    for k in fold:
+        assert abs(fold[k] - gemm[k]) < 1e-9

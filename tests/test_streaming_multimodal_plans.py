@@ -1,0 +1,99 @@
+"""Tests for the streaming layer (stream/batch parity), multimodal
+mapInPandas plumbing (determinism, batch shape), and physical-plan
+assertions (pushdown, broadcast, no cartesian)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_bowl___2023_spark import plans
+from big_data_bowl___2023_spark.multimodal import (
+    decode_media,
+    extract_features,
+    frame_sample,
+    media_from_documents,
+)
+from big_data_bowl___2023_spark.sources.io import load_table
+from big_data_bowl___2023_spark.streaming import (
+    read_event_stream,
+    run_available_now,
+    tumbling_counts,
+)
+
+
+def test_stream_batch_parity(spark, sf_dir):
+    """availableNow streaming result == identical batch aggregation."""
+    stream_out = run_available_now(
+        tumbling_counts(read_event_stream(spark, sf_dir), "1 day"),
+        spark).collect()
+    ev = load_table(spark, sf_dir, "events")
+    batch = (ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.col("value").cast("decimal(18,2)"))
+                   .cast("double").alias("total_value"))
+             .select(F.col("w.start").alias("window_start"),
+                     "event_type", "n", "total_value")).collect()
+    key = lambda r: (r.window_start, r.event_type)
+    assert sorted((key(r), r.n, r.total_value) for r in stream_out) == \
+           sorted((key(r), r.n, r.total_value) for r in batch)
+
+
+def test_multimodal_decode_deterministic(spark, sf_dir):
+    """Stub decode is stable across runs and batch-shape independent
+    (repartitioning must not change results)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_from_documents(docs)
+    a = {r.media_id: (r.width, r.height, r.n_channels)
+         for r in decode_media(media).collect()}
+    b = {r.media_id: (r.width, r.height, r.n_channels)
+         for r in decode_media(media.repartition(7)).collect()}
+    assert a == b and len(a) == docs.count()
+    assert all(16 <= w < 256 and 16 <= h < 256 and 1 <= c <= 3
+               for w, h, c in a.values())
+
+
+def test_multimodal_features_shape(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rows = extract_features(media_from_documents(docs)).collect()
+    assert rows
+    for r in rows:
+        assert len(r.features) == 8
+        assert all(0.0 <= v <= 1.0 for v in r.features)
+
+
+def test_multimodal_frame_sample_one_to_many(spark, sf_dir):
+    """1→N mapInPandas: more output rows than inputs, frame bytes are
+    slices of the payload."""
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = media_from_documents(docs)
+    frames = frame_sample(media, every_n_bytes=64, max_frames=4).collect()
+    assert len(frames) > 20
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r.media_id, []).append(r.frame_index)
+    assert all(sorted(v) == list(range(len(v)))
+               for v in by_media.values())
+
+
+def test_plan_pushdown(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = (li.filter(F.col("l_quantity") > 45.0)
+            .select("l_orderkey", "l_quantity"))
+    plans.assert_pushed_filters(df, "GreaterThan(l_quantity,45.0)")
+
+
+def test_plan_broadcast_star_join(spark, sf_dir):
+    from big_data_bowl___2023_spark.registry import all_queries
+    df = all_queries()["j3_broadcast_dim_revenue"](spark, sf_dir)
+    plans.assert_broadcast_join(df, min_count=2)
+    plans.assert_no_cartesian(df)
+
+
+def test_entry_plan_is_pruned(spark, sf_dir):
+    """Flagship q1 must read only the columns it uses (ReadSchema
+    pruned to 7 of 11 lineitem columns)."""
+    from big_data_bowl___2023_spark.registry import all_queries
+    df = all_queries()["q1_pricing_summary"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read and "l_quantity" in read
