@@ -196,3 +196,33 @@ def dedup_minhash_mllib(spark, sf_dir):
     equivalent."""
     docs = load_table(spark, sf_dir, "documents")
     return dd.mllib_minhash_pairs(docs, JACCARD_THRESHOLD)
+
+
+@query(
+    "dedup_ngram_capped",
+    f"""WITH {_SHINGLES},
+        hot AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 50),
+        shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN hot ON sh.s = hot.s),
+        cntc AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+          FROM shc a JOIN shc b
+            ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               ROUND(shared / CAST(ca.n + cb.n - shared AS DOUBLE), 6)
+                   AS jaccard
+        FROM pairs
+        JOIN cntc ca ON ca.doc_id = doc_a
+        JOIN cntc cb ON cb.doc_id = doc_b
+        WHERE shared / CAST(ca.n + cb.n - shared AS DOUBLE)
+              >= {JACCARD_THRESHOLD}""",
+)
+def dedup_ngram_capped(spark, sf_dir):
+    """n-gram Jaccard with the document-frequency skew cap active
+    (dedup.ngram max_doc_freq): shingles in > 50 docs are dropped
+    before the pair join — the guard that bounds the d² pair explosion
+    on hot (stopword) shingles at corpus scale. Jaccard is computed on
+    the surviving shingle sets; oracle applies the identical cap."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.jaccard_pairs(docs, JACCARD_THRESHOLD, max_doc_freq=50)

@@ -523,3 +523,62 @@ def f9_datetime_rollup(spark, sf_dir):
     return (ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
               .agg(F.count(F.lit(1)).alias("n"),
                    dsum("value").alias("total_value")))
+
+
+@query(
+    "s1_csv_glob_roundtrip",
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation""",
+)
+def s1_csv_glob_roundtrip(spark, sf_dir):
+    """S1/S2: schema-pinned CSV scan over a multi-file glob — the
+    weekly-tracking-file ingest (DLC:15-22). The nation table is
+    staged once as a sharded CSV directory (Spark write → N part
+    files), then read back through sources.read_csv_glob with an
+    explicit schema; the oracle is the original table, proving the
+    CSV reader loses nothing."""
+    import hashlib
+    import os
+
+    from pyspark.sql import types as T
+
+    from ..sources.io import read_csv_glob
+
+    nation = load_table(spark, sf_dir, "nation")
+    stage = os.path.join(
+        "/tmp",
+        f"spark_graft_csv_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}")
+    marker = os.path.join(stage, "_SUCCESS")
+    if not os.path.exists(marker):
+        (nation.repartition(3)
+         .write.mode("overwrite").option("header", True).csv(stage))
+    schema = T.StructType([
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType()),
+    ])
+    return read_csv_glob(spark, f"{stage}/part-*.csv", schema)
+
+
+@query(
+    "j1_three_key_join",
+    f"""{EVENTS_CTE},
+        g AS (SELECT user_id, event_type,
+                     CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+                     COUNT(*) AS n_day
+              FROM ev GROUP BY 1, 2, 3)
+        SELECT e.event_id, e.user_id, e.event_type, g.n_day
+        FROM ev e
+        JOIN g ON e.user_id = g.user_id
+              AND e.event_type = g.event_type
+              AND CAST(DATE_TRUNC('day', e.ts) AS TIMESTAMP) = g.day""",
+)
+def j1_three_key_join(spark, sf_dir):
+    """J1: inner equi-join on a 3-part composite key — the
+    tracking ⋈ pffScoutingData join shape (DLC:25, keys
+    playId/nflId/gameId → here user/type/day)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts")))
+    g = (ev.groupBy("user_id", "event_type", "day")
+         .agg(F.count(F.lit(1)).alias("n_day")))
+    return (ev.join(g, ["user_id", "event_type", "day"], "inner")
+            .select("event_id", "user_id", "event_type", "n_day"))

@@ -112,3 +112,27 @@ def t_quality_score(spark, sf_dir):
         F.round(Tx.stopword_ratio(txt), 6).alias("stopword_ratio"),
         F.round(Tx.avg_token_len(txt), 6).alias("avg_token_len"),
         F.round(Tx.quality_score(txt), 6).alias("quality"))
+
+
+@query(
+    "t_lang_distribution",
+    f"""WITH scored AS (
+          SELECT doc_id, lang,
+                 len(list_filter(string_split(text,' '), x -> x IN ({_EN}))) AS s_en
+          FROM documents)
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               SUM(CASE WHEN s_en > 0 THEN 1 ELSE 0 END) AS n_en_markers
+        FROM scored GROUP BY lang""",
+)
+def t_lang_distribution(spark, sf_dir):
+    """Corpus language rollup: declared language vs marker evidence —
+    the aggregate view a curation pipeline monitors."""
+    docs = load_table(spark, sf_dir, "documents")
+    s_en = Tx.count_in_set(Tx.tokenize(F.col("text")),
+                           Tx.LANG_MARKERS["en"])
+    return (docs.withColumn("s_en", s_en)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.when(F.col("s_en") > 0, 1).otherwise(0))
+                  .alias("n_en_markers")))
