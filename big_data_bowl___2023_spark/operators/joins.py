@@ -70,3 +70,53 @@ def self_join_back(detail: DataFrame, derived: DataFrame,
     joined = d.join(g, cond, how)
     drop = [F.col(f"derived.{k}") for k in keys]
     return joined.drop(*drop)
+
+
+def write_bucketed(df: DataFrame, table: str, keys: Sequence[str],
+                   num_buckets: int = 16,
+                   sort_keys: Sequence[str] | None = None) -> None:
+    """Persist a bucketed (and bucket-sorted) catalog table.
+
+    Bucketing pre-shuffles data by join key at WRITE time: two tables
+    bucketed on the same keys with the same bucket count join with NO
+    exchange (and with sortBy, no sort) — the co-located-join layout
+    for fact⋈fact joins repeated across many queries at 100 TB, e.g.
+    tracking ⋈ scouting on (gameId, playId, nflId). Verified by
+    plan assertion in tests (no Exchange under SortMergeJoin).
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # A fresh session's in-memory catalog forgets managed tables but
+    # their warehouse directories persist; clear the stale location.
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    if warehouse.startswith(("file:", "/")):
+        import shutil
+        path = warehouse.removeprefix("file:")
+        shutil.rmtree(f"{path}/{table.lower()}", ignore_errors=True)
+    w = (df.write.mode("overwrite")
+         .bucketBy(num_buckets, *keys)
+         .sortBy(*(sort_keys or keys)))
+    w.saveAsTable(table)
+
+
+def salted_join(skewed: DataFrame, other: DataFrame,
+                keys: Sequence[str], salt_on: str,
+                n_salts: int = 8, how: str = "inner") -> DataFrame:
+    """Equi-join with salting for a skewed key distribution.
+
+    The skewed side gets a deterministic salt derived from a row
+    identity column (``salt_on``) — no RNG, reproducible; the other
+    side is replicated n_salts×. Each hot key's rows spread over
+    n_salts shuffle partitions instead of one straggler task. AQE's
+    skew-join handles moderate skew automatically; salting is the
+    explicit tool for the pathological keys AQE cannot split (single
+    huge key within one partition of a non-sort-merge join).
+    """
+    salted = skewed.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(salt_on)), F.lit(n_salts)))
+    replicas = other.crossJoin(
+        F.broadcast(
+            other.sparkSession.range(n_salts)
+            .select(F.col("id").cast("int").alias("__salt"))))
+    out = salted.join(replicas, [*keys, "__salt"], how)
+    return out.drop("__salt")

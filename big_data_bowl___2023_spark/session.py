@@ -36,6 +36,8 @@ _DEFAULTS = {
     "spark.sql.shuffle.partitions": "32",
     # Deterministic timestamp behavior across engines (oracle = DuckDB).
     "spark.sql.session.timeZone": "UTC",
+    # Catalog tables (bucketed layouts) land outside the repo.
+    "spark.sql.warehouse.dir": "/tmp/spark_graft_warehouse",
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
 }

@@ -88,3 +88,37 @@ def test_filter_not_in_null_semantics(spark, sf_dir):
     kept = flt.filter_not_in(ev, "et", ["click"], keep_nulls=True)
     n_null = ev.filter(F.col("et").isNull()).count()
     assert kept.count() == dropped.count() + n_null
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir):
+    """J-layout: tables bucketed on the join key must join with no
+    Exchange in the plan (co-located join, SURVEY §4.3)."""
+    from big_data_bowl___2023_spark import plans
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+    jn.write_bucketed(li, "b_lineitem", ["l_orderkey"], 8)
+    jn.write_bucketed(o.withColumnRenamed("o_orderkey", "l_orderkey"),
+                      "b_orders", ["l_orderkey"], 8)
+    # Force SMJ (the planner prefers broadcast at this toy size —
+    # at real fact⋈fact scale SMJ is what the bucketing serves).
+    joined = spark.table("b_lineitem").hint("merge").join(
+        spark.table("b_orders"), ["l_orderkey"])
+    plan = plans.formatted_plan(joined)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan[:1500]
+    assert joined.count() == li.count()
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Salting must not change join semantics, only key distribution."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(F.avg("value").alias("avg_v"))
+    plain = ev.join(dim, ["event_type"]).select("event_id", "avg_v")
+    salted = jn.salted_join(ev, dim, ["event_type"],
+                            salt_on="event_id").select("event_id", "avg_v")
+    assert plain.count() == salted.count()
+    assert plain.subtract(salted).count() == 0
+    assert salted.subtract(plain).count() == 0
