@@ -111,7 +111,17 @@ def salted_join(skewed: DataFrame, other: DataFrame,
     skew-join handles moderate skew automatically; salting is the
     explicit tool for the pathological keys AQE cannot split (single
     huge key within one partition of a non-sort-merge join).
+
+    Only ``inner`` and ``left`` (skewed side preserved) are supported:
+    for right/full outer joins every unmatched replica row would emit
+    ``n_salts`` duplicate null-extended rows — a silent correctness
+    bug, so those modes raise instead.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: "
+            "outer-preserving the replicated side would duplicate "
+            "unmatched rows n_salts times")
     salted = skewed.withColumn(
         "__salt", F.pmod(F.xxhash64(F.col(salt_on)), F.lit(n_salts)))
     replicas = other.crossJoin(

@@ -544,9 +544,14 @@ def s1_csv_glob_roundtrip(spark, sf_dir):
     from ..sources.io import read_csv_glob
 
     nation = load_table(spark, sf_dir, "nation")
-    stage = os.path.join(
-        "/tmp",
-        f"spark_graft_csv_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}")
+    # Stage key covers the source file's content identity (mtime+size),
+    # not just its path: a regenerated nation.parquet at the same path
+    # invalidates the staged CSV instead of silently reusing it.
+    src = os.path.join(sf_dir, "nation.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()).hexdigest()[:10]
+    stage = os.path.join("/tmp", f"spark_graft_csv_{key}")
     marker = os.path.join(stage, "_SUCCESS")
     if not os.path.exists(marker):
         (nation.repartition(3)

@@ -122,7 +122,8 @@ def t_quality_score(spark, sf_dir):
           FROM documents)
         SELECT lang,
                COUNT(*) AS n_docs,
-               SUM(CASE WHEN s_en > 0 THEN 1 ELSE 0 END) AS n_en_markers
+               CAST(SUM(CASE WHEN s_en > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_en_markers
         FROM scored GROUP BY lang""",
 )
 def t_lang_distribution(spark, sf_dir):
