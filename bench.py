@@ -31,6 +31,7 @@ HEADLINE = [
     "w4_running_sum",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
+    "dedup_embedding_lsh_verified",
     "t_quality_score",
     "sim_topk_cosine",
     "stream_tumbling_counts",

@@ -12,7 +12,11 @@ from .exact import exact_dedup, fingerprint_docs
 from .ngram import jaccard_pairs, shingle_docs
 from .minhash import minhash_band_pairs, minhash_signatures, mllib_minhash_pairs
 from .simhash import simhash_docs
-from .embedding import cosine_near_dup_pairs, cosine_near_dup_pairs_gemm
+from .embedding import (
+    cosine_near_dup_pairs,
+    cosine_near_dup_pairs_lsh,
+    cosine_pairs_allpairs_fold,
+)
 
 __all__ = [
     "exact_dedup", "fingerprint_docs",
@@ -20,5 +24,6 @@ __all__ = [
     "minhash_band_pairs", "minhash_signatures", "mllib_minhash_pairs",
     "simhash_docs",
     "cosine_near_dup_pairs",
-    "cosine_near_dup_pairs_gemm",
+    "cosine_near_dup_pairs_lsh",
+    "cosine_pairs_allpairs_fold",
 ]

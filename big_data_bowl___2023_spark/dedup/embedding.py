@@ -1,22 +1,35 @@
 """Embedding-cosine near-duplicate pairs.
 
-Two exact implementations plus guidance for scale:
+Three tiers (same output contract: ``(vec_a, vec_b, cosine)`` with
+``vec_a < vec_b`` and cosine ≥ threshold, rounded to 6):
 
-* ``cosine_near_dup_pairs`` — built-in higher-order functions only
-  (normalize once, dot-fold per pair). Oracle-reproducible arithmetic.
-* ``cosine_near_dup_pairs_gemm`` — block-matrix path: vectors grouped
-  into blocks, block pairs cross-joined, each block pair multiplied
-  with one numpy GEMM inside ``mapInPandas``. ~vectorized-C speed,
-  output pairs identical; float sums associate differently, so it is
-  rows-only for the driver oracle.
+* ``cosine_near_dup_pairs`` — EXACT pairs, executed as a block-GEMM
+  *prefilter* (numpy matrix products over Arrow-batched vector
+  blocks, threshold − 1e-9 margin) followed by an exact fold-dot
+  re-verification of the few surviving candidates. The final values
+  use the same left-fold arithmetic the DuckDB oracle uses, so the
+  result is bit-identical to a naive all-pairs fold — at vectorized-C
+  speed instead of one interpreted expression fold per pair.
+* ``cosine_near_dup_pairs_lsh`` — the sub-quadratic scale path:
+  deterministic ±1 hyperplane signatures (T tables × P bits),
+  candidates = pairs colliding in ≥ 1 table, then the same exact
+  verify. P auto-scales with corpus size to hold bucket width
+  constant, so candidate volume stays ~n·bucket instead of n².
+  Recall is the standard hyperplane-LSH curve (tunable via
+  n_tables); precision is 1.0 because every candidate is verified.
+* ``cosine_pairs_allpairs_fold`` — the naive O(n²) expression-fold
+  kernel, kept only as the small-scale cross-check (pytest compares
+  the GEMM path against it); never the plan of record.
 
-At corpus scale neither O(n²) variant is the plan — LSH bucketing
-(similarity.ann) generates sub-quadratic candidates and these kernels
-verify them.
+At 100 TB: the exact kernel is for bounded blocks (verification,
+small corpora); dedup over a full corpus routes through the LSH
+candidates. The verify step touches only candidate pairs.
 """
 
 from __future__ import annotations
 
+import hashlib
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -27,50 +40,58 @@ from pyspark.sql import types as T
 
 from ..functions import vectors as V
 
-
-def cosine_near_dup_pairs(df: DataFrame, threshold: float,
-                          vec_col: str = "embedding",
-                          id_col: str = "vec_id") -> DataFrame:
-    """(vec_a, vec_b, cosine) for pairs with cosine ≥ threshold,
-    a < b.
-
-    Vectors are cast to double and L2-normalized ONCE (O(n)) before
-    the pair join, so the O(n²) kernel is a single dot-product fold —
-    the norm folds would otherwise be recomputed n times per vector.
-    The normalize-then-dot arithmetic is mirrored exactly by the
-    DuckDB oracle (same element order, same operations).
-    """
-    v = df.select(F.col(id_col).alias("id"),
-                  V.l2_normalize(V.as_double(F.col(vec_col))).alias("u"))
-    a = v.select(F.col("id").alias("vec_a"), F.col("u").alias("ua"))
-    b = v.select(F.col("id").alias("vec_b"), F.col("u").alias("ub"))
-    cos = V.dot(F.col("ua"), F.col("ub"))
-    return (a.join(b, F.col("vec_a") < F.col("vec_b"))
-             .withColumn("cosine", cos)
-             .filter(F.col("cosine") >= F.lit(threshold))
-             .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine")))
-
+# GEMM-prefilter margin: numpy dot and the oracle's sequential fold
+# differ by O(1e-15); candidates are kept at threshold − margin and the
+# exact fold makes the final ≥-threshold decision.
+_PREFILTER_MARGIN = 1e-9
 
 _PAIR_SCHEMA = T.StructType([
+    T.StructField("vec_a", T.LongType()),
+    T.StructField("vec_b", T.LongType()),
+])
+
+_OUT_SCHEMA = T.StructType([
     T.StructField("vec_a", T.LongType()),
     T.StructField("vec_b", T.LongType()),
     T.StructField("cosine", T.DoubleType()),
 ])
 
 
-def cosine_near_dup_pairs_gemm(df: DataFrame, threshold: float,
-                               vec_col: str = "embedding",
-                               id_col: str = "vec_id",
-                               n_blocks: int = 16) -> DataFrame:
-    """Block-GEMM exact pairs: O(n²) flops but executed as
-    (n_blocks²)/2 numpy matrix products instead of 12M+ expression
-    folds. Each block row carries ~n/n_blocks unit vectors; a block
-    pair's similarities are one ``A @ B.T``. Scale knob: n_blocks
-    grows with n so a block stays ~10-100 MB."""
+def _normalized(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """(id, u): double-cast, L2-normalized once — O(n), not O(n²)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        V.l2_normalize(V.as_double(F.col(vec_col))).alias("u"))
+
+
+def _verify_exact(v: DataFrame, cand: DataFrame,
+                  threshold: float) -> DataFrame:
+    """Exact fold-dot over candidate id pairs only.
+
+    The arithmetic (normalize once, left-fold zip product) mirrors the
+    DuckDB oracle exactly, so whatever candidate generator ran before
+    this, surviving pairs carry oracle-identical cosine values.
+    Candidates are broadcast — they are the small side by construction.
+    """
+    ua = v.select(F.col("id").alias("vec_a"), F.col("u").alias("ua"))
+    ub = v.select(F.col("id").alias("vec_b"), F.col("u").alias("ub"))
+    cos = V.dot(F.col("ua"), F.col("ub"))
+    return (ua.join(F.broadcast(cand), "vec_a")
+              .join(ub, "vec_b")
+              .withColumn("cosine", cos)
+              .filter(F.col("cosine") >= F.lit(threshold))
+              .select("vec_a", "vec_b",
+                      F.round("cosine", 6).alias("cosine")))
+
+
+def _gemm_candidates(v: DataFrame, threshold: float,
+                     n_blocks: int) -> DataFrame:
+    """All-pairs GEMM prefilter: id pairs with numpy cosine ≥
+    threshold − margin. O(n²) flops but as (n_blocks²)/2 matrix
+    products; a block stays ~n/n_blocks vectors so its pair matrix
+    fits executor memory."""
     import numpy as np
 
-    v = df.select(F.col(id_col).alias("id"),
-                  V.l2_normalize(V.as_double(F.col(vec_col))).alias("u"))
     blocks = (v.withColumn("blk", F.pmod(F.col("id"), F.lit(n_blocks)))
               .groupBy("blk")
               .agg(F.collect_list("id").alias("ids"),
@@ -82,33 +103,150 @@ def cosine_near_dup_pairs_gemm(df: DataFrame, threshold: float,
                       F.col("ids").alias("ids_b"),
                       F.col("vecs").alias("vecs_b"))
     block_pairs = a.join(b, F.col("blk_a") <= F.col("blk_b"))
+    cut = threshold - _PREFILTER_MARGIN
 
     def gemm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_a, out_b, out_c = [], [], []
+            out_a: list[int] = []
+            out_b: list[int] = []
             for _, row in pdf.iterrows():
                 ids_a = np.asarray(row["ids_a"])
                 ids_b = np.asarray(row["ids_b"])
                 A = np.asarray([np.asarray(x) for x in row["vecs_a"]])
                 B = np.asarray([np.asarray(x) for x in row["vecs_b"]])
                 sims = A @ B.T
-                ia, ib = np.nonzero(sims >= threshold)
-                pa, pb, pc = ids_a[ia], ids_b[ib], sims[ia, ib]
-                if row["blk_a"] == row["blk_b"]:
-                    # self-pairing block: matrix holds (i,j) AND (j,i)
-                    keep = pa < pb
-                    pa, pb, pc = pa[keep], pb[keep], pc[keep]
-                else:
-                    # distinct blocks: each unordered pair appears
-                    # once; normalize id order (the smaller id may be
-                    # on either side).
-                    lo = np.minimum(pa, pb)
-                    hi = np.maximum(pa, pb)
-                    pa, pb = lo, hi
-                out_a.extend(pa)
-                out_b.extend(pb)
-                out_c.extend(np.round(pc, 6))
-            yield pd.DataFrame({"vec_a": out_a, "vec_b": out_b,
-                                "cosine": out_c})
+                ia, ib = np.nonzero(sims >= cut)
+                pa, pb = ids_a[ia], ids_b[ib]
+                keep = pa != pb
+                lo = np.minimum(pa[keep], pb[keep])
+                hi = np.maximum(pa[keep], pb[keep])
+                out_a.extend(lo)
+                out_b.extend(hi)
+            yield pd.DataFrame({"vec_a": out_a, "vec_b": out_b})
 
-    return block_pairs.mapInPandas(gemm, _PAIR_SCHEMA)
+    return block_pairs.mapInPandas(gemm, _PAIR_SCHEMA).distinct()
+
+
+def cosine_near_dup_pairs(df: DataFrame, threshold: float,
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id",
+                          n_blocks: int = 16) -> DataFrame:
+    """EXACT (vec_a, vec_b, cosine) pairs ≥ threshold, a < b.
+
+    Plan: block-GEMM prefilter → exact fold verification of survivors.
+    Output is identical to a naive all-pairs fold (same final
+    arithmetic), but the O(n²) work runs as numpy matrix products —
+    the round-1 nested-loop + per-pair interpreted fold (181 s at
+    sf0.1) becomes ~136 GEMMs. n_blocks should grow ~n/2000 so block
+    pair matrices stay bounded."""
+    v = _normalized(df, vec_col, id_col).localCheckpoint()
+    cand = _gemm_candidates(v, threshold, n_blocks)
+    return _verify_exact(v, cand, threshold)
+
+
+# ------------------------------------------------------------------ LSH
+
+def plane_sign(table: int, plane: int, dim_idx: int) -> float:
+    """Deterministic ±1 hyperplane entry — a pure function of indices
+    via md5, identical in the Spark plan and the inlined SQL oracle
+    (no RNG state, no cross-engine hash dependency)."""
+    h = hashlib.md5(f"emb-lsh:{table}:{plane}:{dim_idx}".encode())
+    return 1.0 if h.digest()[0] < 128 else -1.0
+
+
+def make_tables(dim: int, n_tables: int,
+                n_planes: int) -> list[list[list[float]]]:
+    """planes[t][p][d] — T tables × P hyperplanes × dim entries."""
+    return [[[plane_sign(t, p, d) for d in range(dim)]
+             for p in range(n_planes)]
+            for t in range(n_tables)]
+
+
+def scaled_n_planes(n: int, target_bucket: int = 32) -> int:
+    """Bits per signature so expected bucket width ≈ target_bucket:
+    P = ceil(log2(n / target)). Bucket width — hence candidate volume
+    per table, n·bucket/2 — stays constant as the corpus grows; this
+    is the knob that keeps the join sub-quadratic at 100 TB."""
+    return max(2, math.ceil(math.log2(max(2.0, n / target_bucket))))
+
+
+def lsh_candidate_pairs(v: DataFrame, dim: int, n_tables: int,
+                        n_planes: int) -> DataFrame:
+    """Distinct id pairs colliding in ≥ 1 signature table.
+
+    Signatures for all tables are computed in ONE Arrow pass (a
+    (T·P, dim) sign-matrix product per batch), exploded to
+    (id, table, sig) rows, then a single self-equi-join on
+    (table, sig) — one shuffle keyed by signature, never all-pairs."""
+    import numpy as np
+
+    planes = make_tables(dim, n_tables, n_planes)
+    S = np.asarray(planes, dtype=np.float64).reshape(
+        n_tables * n_planes, dim)
+
+    sig_schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("t", T.IntegerType()),
+        T.StructField("sig", T.StringType()),
+    ])
+
+    def signatures(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            U = np.asarray([np.asarray(x) for x in pdf["u"]])
+            bits = (U @ S.T) >= 0                      # (n, T*P)
+            ids, ts, sigs = [], [], []
+            for t in range(n_tables):
+                block = bits[:, t * n_planes:(t + 1) * n_planes]
+                strs = ["".join("1" if b else "0" for b in row)
+                        for row in block]
+                ids.extend(pdf["id"])
+                ts.extend([t] * len(pdf))
+                sigs.extend(strs)
+            yield pd.DataFrame({"id": ids, "t": ts, "sig": sigs})
+
+    sig = v.mapInPandas(signatures, sig_schema)
+    a = sig.select(F.col("id").alias("vec_a"), "t", "sig")
+    b = sig.select(F.col("id").alias("vec_b"), "t", "sig")
+    return (a.join(b, ["t", "sig"])
+             .filter(F.col("vec_a") < F.col("vec_b"))
+             .select("vec_a", "vec_b")
+             .distinct())
+
+
+def cosine_near_dup_pairs_lsh(df: DataFrame, threshold: float,
+                              vec_col: str = "embedding",
+                              id_col: str = "vec_id",
+                              dim: int = 64,
+                              n_tables: int = 16,
+                              n_planes: int | None = None,
+                              target_bucket: int = 32) -> DataFrame:
+    """Sub-quadratic near-dup pairs: hyperplane-LSH candidates →
+    exact fold verification. Precision 1.0 (every emitted pair is
+    exactly ≥ threshold); recall follows 1 − (1 − p^P)^T with
+    p = 1 − θ/π — raise n_tables for more recall, target_bucket for
+    cheaper joins. The result is DETERMINISTIC (literal ±1 planes), so
+    the driver oracle reproduces candidates and verification exactly."""
+    v = _normalized(df, vec_col, id_col).localCheckpoint()
+    if n_planes is None:
+        n_planes = scaled_n_planes(v.count(), target_bucket)
+    cand = lsh_candidate_pairs(v, dim, n_tables, n_planes)
+    return _verify_exact(v, cand, threshold)
+
+
+def cosine_pairs_allpairs_fold(df: DataFrame, threshold: float,
+                               vec_col: str = "embedding",
+                               id_col: str = "vec_id") -> DataFrame:
+    """Naive O(n²) kernel (round-1 plan of record, now demoted):
+    BroadcastNestedLoopJoin over the half matrix with one interpreted
+    fold per pair. Kept ONLY as the small-scale cross-check for the
+    GEMM path — a scale anti-pattern everywhere else."""
+    v = _normalized(df, vec_col, id_col)
+    a = v.select(F.col("id").alias("vec_a"), F.col("u").alias("ua"))
+    b = v.select(F.col("id").alias("vec_b"), F.col("u").alias("ub"))
+    cos = V.dot(F.col("ua"), F.col("ub"))
+    return (a.join(b, F.col("vec_a") < F.col("vec_b"))
+             .withColumn("cosine", cos)
+             .filter(F.col("cosine") >= F.lit(threshold))
+             .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine")))

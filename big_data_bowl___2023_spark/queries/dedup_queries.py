@@ -49,30 +49,13 @@ def dedup_exact(spark, sf_dir):
     return dd.exact_dedup(docs).select("doc_id", "fingerprint")
 
 
-@query(
-    "dedup_ngram_jaccard",
-    f"""WITH {_SHINGLES},
-        pairs AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-          FROM sh a JOIN sh b
-            ON a.s = b.s AND a.doc_id < b.doc_id
-          GROUP BY 1, 2)
-        SELECT doc_a, doc_b,
-               ROUND(shared / CAST(ca.n + cb.n - shared AS DOUBLE), 6)
-                   AS jaccard
-        FROM pairs
-        JOIN cnt ca ON ca.doc_id = doc_a
-        JOIN cnt cb ON cb.doc_id = doc_b
-        WHERE shared / CAST(ca.n + cb.n - shared AS DOUBLE)
-              >= {JACCARD_THRESHOLD}""",
-)
-def dedup_ngram_jaccard(spark, sf_dir):
-    """Exact word-bigram Jaccard near-dup pairs ≥ threshold via the
-    explode→shingle-join→agg plan (dedup.ngram). Cost bounded by
-    shingle document frequency (skew cap available; off here for
-    oracle parity)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return dd.jaccard_pairs(docs, JACCARD_THRESHOLD)
+# NOTE (round 2): the driver's correctness gate checks the FIRST 50
+# registered queries; the registry is curated to exactly 50 so every
+# row is driver-checked. Dropped from the registry (still exported and
+# pytest-covered): the uncapped dedup_ngram_jaccard (the capped variant
+# is the scale path and shares the same kernel), the MLlib MinHash and
+# standalone GEMM variants (no_oracle rows; superseded by the
+# oracle-checked operators below).
 
 
 def _minhash_oracle() -> str:
@@ -169,33 +152,68 @@ def dedup_simhash_hamming(spark, sf_dir):
         WHERE list_dot_product(a.u, b.u) >= {COSINE_THRESHOLD}""",
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup pairs ≥ threshold over the half
-    matrix (dedup.embedding): double-cast + L2-normalize once, then a
-    single dot-product fold per pair — no UDF, oracle mirrors the
-    normalize-then-dot arithmetic exactly."""
+    """EXACT embedding-cosine near-dup pairs ≥ threshold
+    (dedup.embedding.cosine_near_dup_pairs): block-GEMM prefilter →
+    exact fold re-verification of survivors. The final values use the
+    same normalize-once + left-fold-dot arithmetic the oracle mirrors,
+    so the output is bit-identical to the naive all-pairs fold — but
+    the O(n²) work runs as numpy matrix products (round-1's
+    BroadcastNestedLoopJoin + per-pair interpreted fold was 181 s of
+    the 203 s bench; this plan retires it)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return dd.cosine_near_dup_pairs(emb, COSINE_THRESHOLD)
 
 
-@query("dedup_embedding_cosine_gemm")
-def dedup_embedding_cosine_gemm(spark, sf_dir):
-    """Block-GEMM variant of the exact cosine pairs: numpy matrix
-    products over Arrow-batched vector blocks (rows-only: GEMM sums
-    associate differently than the oracle's sequential fold; the pair
-    SET matches the oracle-checked dedup_embedding_cosine — asserted
-    in pytest)."""
+def _embedding_lsh_oracle() -> str:
+    """The LSH pipeline restated in SQL: identical literal ±1 planes,
+    signature bits by projection sign, candidates = collision in ≥ 1
+    table, exact cosine verify. Deterministic end to end."""
+    from ..dedup.embedding import make_tables
+    planes = make_tables(_EMB_DIM, _EMB_TABLES, _EMB_PLANES)
+    sig_cols = []
+    for t in range(_EMB_TABLES):
+        bits = " || ".join(
+            "CASE WHEN list_dot_product(u, ["
+            + ", ".join(str(x) for x in planes[t][p])
+            + "]) >= 0 THEN '1' ELSE '0' END"
+            for p in range(_EMB_PLANES))
+        sig_cols.append(f"({bits}) AS sig_{t}")
+    collide = " OR ".join(
+        f"a.sig_{t} = b.sig_{t}" for t in range(_EMB_TABLES))
+    sig_select = ",\n                 ".join(sig_cols)
+    return f"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings),
+        n AS (SELECT vec_id,
+                     list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
+                         AS u
+              FROM v),
+        sig AS (SELECT vec_id, u,
+                 {sig_select}
+                FROM n)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND(list_dot_product(a.u, b.u), 6) AS cosine
+        FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND ({collide})
+        WHERE list_dot_product(a.u, b.u) >= {COSINE_THRESHOLD}"""
+
+
+# sf0.01 has 500 vectors → scaled_n_planes(500, 32) = 4; the oracle
+# (driver contract: compared at sf=0.01) pins the same parameters.
+_EMB_DIM, _EMB_TABLES, _EMB_PLANES, _EMB_BUCKET = 64, 16, 4, 32
+
+
+@query("dedup_embedding_lsh_verified", _embedding_lsh_oracle())
+def dedup_embedding_lsh_verified(spark, sf_dir):
+    """SUB-QUADRATIC near-dup pairs — the 100 TB plan of record
+    (dedup.embedding.cosine_near_dup_pairs_lsh): deterministic
+    hyperplane signatures (16 tables, bits auto-scaled to hold bucket
+    width ~32), one signature-keyed self-join for candidates, exact
+    fold verification. Precision 1.0 by construction; recall vs the
+    exact kernel is asserted in pytest. Candidate volume scales
+    ~n·bucket, not n²."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return dd.cosine_near_dup_pairs_gemm(emb, COSINE_THRESHOLD)
-
-
-@query("dedup_minhash_mllib")
-def dedup_minhash_mllib(spark, sf_dir):
-    """MLlib MinHashLSH approxSimilarityJoin — the stock scale path.
-    Rows-only: MLlib's internal hash family isn't reproducible in
-    SQL; the engine-native dedup_minhash_lsh is the oracle-checked
-    equivalent."""
-    docs = load_table(spark, sf_dir, "documents")
-    return dd.mllib_minhash_pairs(docs, JACCARD_THRESHOLD)
+    return dd.cosine_near_dup_pairs_lsh(
+        emb, COSINE_THRESHOLD, dim=_EMB_DIM, n_tables=_EMB_TABLES,
+        target_bucket=_EMB_BUCKET)
 
 
 @query(
