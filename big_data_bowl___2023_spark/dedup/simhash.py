@@ -43,21 +43,39 @@ def simhash_docs(df: DataFrame, text_col: str = "text",
     return acc.select("doc_id", F.concat(*bits).alias("simhash"))
 
 
+def segment_bounds(bits: int, max_distance: int) -> list[tuple[int, int]]:
+    """(1-based offset, length) for ``max_distance + 1`` contiguous
+    sketch segments. Pigeonhole: a pair with Hamming distance ≤ d has
+    its ≤ d differing bits spread over d+1 segments, so at least one
+    segment is bit-identical — blocking on these keys is COMPLETE for
+    distance ≤ d (round-1 blocked on 2 halves, which only guarantees
+    completeness for d ≤ 1; flagged by the round-1 advisor)."""
+    n_seg = max_distance + 1
+    base, rem = divmod(bits, n_seg)
+    bounds, off = [], 1
+    for i in range(n_seg):
+        length = base + (1 if i < rem else 0)
+        bounds.append((off, length))
+        off += length
+    return bounds
+
+
 def hamming_pairs(df: DataFrame, max_distance: int,
                   text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
-    """Near-dup pairs by sketch Hamming distance. Blocked on the
-    sketch halves (a pair within distance d ≤ bits/2 shares at least
-    one identical half — pigeonhole), so the join is on block keys,
-    not a cross product."""
+    """Near-dup pairs by sketch Hamming distance, blocked on
+    ``max_distance + 1`` sketch segments (pigeonhole-complete for
+    distance ≤ max_distance), so the join is on block keys, not a
+    cross product. Candidate volume per segment scales with sketch
+    collision density, not n²."""
     sk = simhash_docs(df, text_col, id_col)
-    half = SIMHASH_BITS // 2
     blocks = sk.select(
         "doc_id", "simhash",
-        F.explode(F.array(
-            F.concat(F.lit("L"), F.substring("simhash", 1, half)),
-            F.concat(F.lit("R"), F.substring("simhash", half + 1, half)),
-        )).alias("block"))
+        F.explode(F.array(*[
+            F.concat(F.lit(f"{i}:"), F.substring("simhash", off, length))
+            for i, (off, length) in enumerate(
+                segment_bounds(SIMHASH_BITS, max_distance))
+        ])).alias("block"))
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (a.join(b, (F.col("a.block") == F.col("b.block"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))

@@ -128,14 +128,46 @@ def dedup_simhash(spark, sf_dir):
     return dd.simhash_docs(docs)
 
 
-@query("dedup_simhash_hamming")
+_HAMMING_MAX = 6
+
+
+def _simhash_hamming_oracle() -> str:
+    """The segment-blocked Hamming join restated in SQL over the
+    oracle-identical sketches: same segment offsets, same candidate
+    join, same Hamming fold."""
+    from ..dedup.simhash import segment_bounds
+    seg_rows = "\n          UNION ALL ".join(
+        f"SELECT doc_id, simhash, '{i}:' || substr(simhash, {off}, {ln})"
+        " AS block FROM sk"
+        for i, (off, ln) in enumerate(
+            segment_bounds(SIMHASH_BITS, _HAMMING_MAX)))
+    return f"""WITH sk AS ({_simhash_oracle()}),
+        blocks AS ({seg_rows}),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sh_a,
+                        b.doc_id AS doc_b, b.simhash AS sh_b
+                 FROM blocks a JOIN blocks b
+                   ON a.block = b.block AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               len(list_filter(range(1, {SIMHASH_BITS + 1}),
+                   i -> substr(sh_a, CAST(i AS INT), 1)
+                        <> substr(sh_b, CAST(i AS INT), 1))) AS hamming
+        FROM cand
+        WHERE len(list_filter(range(1, {SIMHASH_BITS + 1}),
+                  i -> substr(sh_a, CAST(i AS INT), 1)
+                       <> substr(sh_b, CAST(i AS INT), 1)))
+              <= {_HAMMING_MAX}"""
+
+
+@query("dedup_simhash_hamming", _simhash_hamming_oracle())
 def dedup_simhash_hamming(spark, sf_dir):
-    """SimHash near-dup pairs within Hamming ≤ 6, blocked on sketch
-    halves (pigeonhole) — rows-only: the sketch itself is oracle-
-    verified by dedup_simhash; this adds the blocked pair join."""
+    """SimHash near-dup pairs within Hamming ≤ 6, blocked on
+    max_distance+1 = 7 sketch segments — pigeonhole-COMPLETE for the
+    distance bound (round-1's 2-half blocking was only complete for
+    distance ≤ 1). The oracle re-derives identical sketches, segment
+    blocks, candidates, and distances."""
     from ..dedup.simhash import hamming_pairs
     docs = load_table(spark, sf_dir, "documents")
-    return hamming_pairs(docs, 6)
+    return hamming_pairs(docs, _HAMMING_MAX)
 
 
 @query(
