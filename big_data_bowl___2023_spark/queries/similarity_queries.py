@@ -44,16 +44,59 @@ def sim_topk_cosine(spark, sf_dir):
     return brute_force_topk(emb, queries, TOP_K)
 
 
-@query("sim_ivf_topk")
+_IVF_DIM, _IVF_PLANES = 64, 3
+
+
+def _ivf_oracle() -> str:
+    """The IVF pipeline restated in SQL: identical literal planes →
+    sign cells, the same 1-bit-flip probe expansion, exact cosine +
+    ranking within probed cells."""
+    from ..similarity.ann import _make_planes
+    planes = _make_planes(_IVF_DIM, _IVF_PLANES)
+    cell = " || ".join(
+        "CASE WHEN list_dot_product(e, ["
+        + ", ".join(str(x) for x in p)
+        + "]) >= 0 THEN '1' ELSE '0' END"
+        for p in planes)
+    flips = "\n          UNION ALL ".join(
+        f"SELECT vec_id, e, substr(cell, 1, {j}) || "
+        f"(CASE WHEN substr(cell, {j + 1}, 1) = '1' THEN '0' ELSE '1' END)"
+        f" || substr(cell, {j + 2}, {_IVF_PLANES - j - 1}) AS cell FROM q0"
+        for j in range(_IVF_PLANES))
+    return f"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings),
+        c AS (SELECT vec_id, e, {cell} AS cell FROM v),
+        q0 AS (SELECT vec_id, e, cell FROM c WHERE vec_id < {N_QUERIES}),
+        probe AS (SELECT DISTINCT vec_id, e, cell FROM (
+          SELECT vec_id, e, cell FROM q0
+          UNION ALL {flips})),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 ROUND(list_dot_product(q.e, c.e)
+                       / (sqrt(list_dot_product(q.e, q.e))
+                          * sqrt(list_dot_product(c.e, c.e))), 6) AS cosine
+          FROM probe q JOIN c ON q.cell = c.cell
+                       AND q.vec_id <> c.vec_id)
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored)
+        WHERE rank <= {TOP_K}"""
+
+
+@query("sim_ivf_topk", _ivf_oracle())
 def sim_ivf_topk(spark, sf_dir):
-    """IVF-style ANN: deterministic hyperplane sign cells + multi-
-    probe, exact cosine within probed cells — the sub-linear scan
-    path (similarity.ann.ivf_topk). Rows-only: the cell assignment is
-    deterministic but impractically large to restate in one oracle;
-    recall is tested against the brute-force baseline in pytest."""
+    """IVF-style ANN: deterministic hyperplane sign cells + 1-bit-flip
+    multi-probe, exact cosine within probed cells — the sub-linear
+    scan path (similarity.ann.ivf_topk). The planes are literal
+    Walsh-like ±1 rows, so the oracle re-derives cells, probes, and
+    ranking exactly; recall vs brute force is additionally asserted
+    in pytest."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    return ivf_topk(emb, queries, TOP_K)
+    return ivf_topk(emb, queries, TOP_K, dim=_IVF_DIM,
+                    n_planes=_IVF_PLANES)
 
 
 @query("sim_brp_lsh_topk")

@@ -78,12 +78,16 @@ def _make_planes(dim: int, n_planes: int) -> list[list[float]]:
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
              vec_col: str = "embedding", id_col: str = "vec_id",
              dim: int = 64, n_planes: int = 3,
-             n_probe_flips: int = 1) -> DataFrame:
+             probe_adjacent: bool = True) -> DataFrame:
     """IVF/LSH-bucketed approximate top-k: corpus partitioned into
-    2^n_planes sign cells; each query probes its own cell plus cells
-    within ``n_probe_flips`` bit flips (multi-probe). The scan touches
-    ~(probed/2^n_planes) of the corpus — the knob that keeps ANN
-    sub-linear at 100 TB. Exact cosine within probed cells."""
+    2^n_planes sign cells; each query probes its own cell plus — when
+    ``probe_adjacent`` — every cell one bit flip away (n_planes + 1
+    cells of 2^n_planes). The probed fraction is the knob that keeps
+    ANN sub-linear at 100 TB. Exact cosine within probed cells.
+
+    (Round-1 exposed this as ``n_probe_flips: int`` but only ever
+    generated 1-bit flips — the advisor flagged the knob as
+    misleading; it is now the boolean it actually was.)"""
     planes = _make_planes(dim, n_planes)
     c = _prep(corpus, vec_col, id_col, "neighbor_id").withColumn(
         "cell", _cell_key(F.col("neighbor_id_v"), planes))
@@ -99,7 +103,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
                 F.when(F.substring(cell, j + 1, 1) == "1", "0").otherwise("1"),
                 F.substring(cell, j + 2, n_planes - j - 1))
             cells.append(flipped)
-        return F.array(*cells) if n_probe_flips else F.array(cell)
+        return F.array(*cells) if probe_adjacent else F.array(cell)
 
     q = q.select("query_id", "query_id_v",
                  F.explode(flips(F.col("cell"))).alias("cell")).distinct()
