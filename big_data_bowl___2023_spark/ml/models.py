@@ -132,6 +132,64 @@ def feature_importances(model: PipelineModel) -> dict[str, float]:
     return {f: float(imps[i]) for i, f in enumerate(FEATURES)}
 
 
+def rfe_selection(data: DataFrame, features: list[str], target: str,
+                  num_folds: int = 3, seed: int = SEED,
+                  sizes: list[int] | None = None) -> list[dict]:
+    """M10 recursive feature elimination (WIP.R:241-274: caret
+    ``rfe(..., sizes = c(1:2), rfFuncs, cv)``).
+
+    With d features the caret search space is the best subset per
+    size; here that subset search is explicit: every combination of
+    each requested size is scored by seeded k-fold CV RMSE, the best
+    subset per size is reported, and the globally best subset is
+    flagged ``selected``. Each CV fit is a distributed MLlib job;
+    the loop is O(subsets) driver-side orchestration only — with the
+    reference's d = 2 that is 3 fits, and the generic path stays
+    usable for small d (caret's rfe is likewise exponential-ish in
+    practice via per-size rankings).
+
+    Returns one dict per size: n_features, feature_set (csv),
+    cv_rmse, selected."""
+    from itertools import combinations
+
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    sizes = sizes or list(range(1, len(features) + 1))
+    train = data.select(*features, target).localCheckpoint()
+    evaluator = RegressionEvaluator(labelCol=target,
+                                    predictionCol="prediction",
+                                    metricName="rmse")
+
+    def cv_rmse(subset: tuple[str, ...]) -> float:
+        pipe = Pipeline(stages=[
+            VectorAssembler(inputCols=list(subset),
+                            outputCol="features_raw"),
+            StandardScaler(inputCol="features_raw", outputCol="features",
+                           withMean=False, withStd=True),
+            LinearRegression(featuresCol="features", labelCol=target),
+        ])
+        cv = CrossValidator(estimator=pipe,
+                            estimatorParamMaps=ParamGridBuilder().build(),
+                            evaluator=evaluator, numFolds=num_folds,
+                            seed=seed, parallelism=2)
+        return float(cv.fit(train).avgMetrics[0])
+
+    per_size = []
+    for size in sizes:
+        scored = sorted(
+            ((cv_rmse(sub), sub) for sub in combinations(features, size)),
+            key=lambda x: (x[0], x[1]))
+        best_rmse, best_sub = scored[0]
+        per_size.append({"n_features": size,
+                         "feature_set": ",".join(best_sub),
+                         "cv_rmse": round(best_rmse, 6)})
+    winner = min(per_size, key=lambda r: r["cv_rmse"])["n_features"]
+    for r in per_size:
+        r["selected"] = r["n_features"] == winner
+    return per_size
+
+
 def blockers_with_dpzs(blockers_metric: DataFrame,
                        rushers_scored: DataFrame,
                        players: DataFrame) -> DataFrame:
