@@ -37,6 +37,21 @@ def assert_broadcast_join(df: DataFrame, min_count: int = 1) -> None:
         + plan[:2000])
 
 
+def assert_partition_pruned(df: DataFrame, *fragments: str) -> None:
+    """Every fragment must appear inside a PartitionFilters list —
+    i.e. the scan enumerates only matching partition directories
+    (at 100 TB: a per-key query touches one directory, not the whole
+    dataset)."""
+    plan = formatted_plan(df)
+    lines = [line for line in plan.splitlines()
+             if "PartitionFilters" in line]
+    joined = "\n".join(lines)
+    for frag in fragments:
+        assert frag in joined, (
+            f"partition filter {frag!r} not applied; "
+            f"PartitionFilters lines:\n{joined}")
+
+
 def assert_no_cartesian(df: DataFrame) -> None:
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, (

@@ -564,6 +564,54 @@ def s1_csv_glob_roundtrip(spark, sf_dir):
     return read_csv_glob(spark, f"{stage}/part-*.csv", schema)
 
 
+def stage_partitioned_events(spark, sf_dir: str) -> str:
+    """Stage ``events`` as a hive-partitioned parquet dataset
+    (partitionBy event_type) under /tmp, keyed on the SOURCE file's
+    content identity (mtime+size) so a regenerated source invalidates
+    the stage. Returns the dataset path."""
+    import hashlib
+    import os
+
+    from ..sources.io import write_parquet
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()).hexdigest()[:10]
+    stage = os.path.join("/tmp", f"spark_graft_part_{key}")
+    marker = os.path.join(stage, "_SUCCESS")
+    if not os.path.exists(marker):
+        write_parquet(load_table(spark, sf_dir, "events"), stage,
+                      partition_by=["event_type"])
+    return stage
+
+
+@query(
+    "s5_partition_pruning",
+    f"""{EVENTS_CTE}
+        SELECT user_id,
+               COUNT(*) AS n_purchases,
+               {dsum_sql("value")} AS total_value
+        FROM ev WHERE event_type = 'purchase'
+        GROUP BY user_id""",
+)
+def s5_partition_pruning(spark, sf_dir):
+    """S4 + partition pruning: events written through the engine's
+    partitioned parquet sink (sources.io.write_parquet partition_by),
+    read back with a partition-key predicate — the scan enumerates
+    ONE directory of five (plan shows PartitionFilters; asserted in
+    pytest via plans.assert_partition_pruned). The oracle is the
+    original un-partitioned table, proving the partitioned layout is
+    lossless. At 100 TB this is the difference between a per-key
+    query reading ~20 TB and reading one partition."""
+    stage = stage_partitioned_events(spark, sf_dir)
+    ev = spark.read.parquet(stage)
+    return (ev.filter(F.col("event_type") == "purchase")
+              .groupBy("user_id")
+              .agg(F.count(F.lit(1)).alias("n_purchases"),
+                   dsum("value").alias("total_value")))
+
+
 @query(
     "j1_three_key_join",
     f"""{EVENTS_CTE},

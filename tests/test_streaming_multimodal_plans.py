@@ -89,6 +89,26 @@ def test_plan_broadcast_star_join(spark, sf_dir):
     plans.assert_no_cartesian(df)
 
 
+def test_plan_partition_pruning(spark, sf_dir):
+    """The partitioned-sink round trip must prune to ONE event_type
+    directory: PartitionFilters carries the equality predicate and
+    the scan's selected partition count is 1."""
+    from big_data_bowl___2023_spark.queries.relational import (
+        stage_partitioned_events,
+    )
+    stage = stage_partitioned_events(spark, sf_dir)
+    ev = spark.read.parquet(stage)
+    df = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    plans.assert_partition_pruned(df, "event_type")
+    plan = plans.formatted_plan(df)
+    assert "isnotnull(event_type" in plan
+    # Pruned read: the value-level filter must NOT appear as a data
+    # filter — it is satisfied entirely by directory selection.
+    data_filters = [l for l in plan.splitlines()
+                    if "PushedFilters" in l]
+    assert all("purchase" not in l for l in data_filters)
+
+
 def test_entry_plan_is_pruned(spark, sf_dir):
     """Flagship q1 must read only the columns it uses (ReadSchema
     pruned to 7 of 11 lineitem columns)."""
