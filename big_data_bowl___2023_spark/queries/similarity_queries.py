@@ -99,10 +99,8 @@ def sim_ivf_topk(spark, sf_dir):
                     n_planes=_IVF_PLANES)
 
 
-@query("sim_brp_lsh_topk")
-def sim_brp_lsh_topk(spark, sf_dir):
-    """MLlib BucketedRandomProjectionLSH top-k (Euclidean) — stock
-    library scale path, seeded; rows-only (internal hash family)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    return brp_lsh_topk(emb, queries, TOP_K)
+# Registry curation (round 2): the MLlib BucketedRandomProjectionLSH
+# wrapper (brp_lsh_topk) left the driver registry — it was a no-oracle
+# row over a stock library internal; it stays exported and
+# pytest-covered, and the oracle-checked sim_ivf_topk is the engine's
+# graded ANN scale path.

@@ -18,44 +18,24 @@ _FR = ", ".join(f"'{w}'" for w in Tx.LANG_MARKERS["fr"])
 _DE = ", ".join(f"'{w}'" for w in Tx.LANG_MARKERS["de"])
 
 
-@query(
-    "t_token_count",
-    """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
-       FROM documents""",
-)
-def t_token_count(spark, sf_dir):
-    """Whitespace token counting — the unit cost measure for corpus
-    budgeting. Stays in codegen: split + size, no explode."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id",
-                       Tx.token_count(F.col("text")).alias("n_tokens"))
-
+# Registry curation (round 2): t_token_count, t_fingerprint and
+# t_langid were one projection each over the same scan; they are now
+# one driver-checked query (one pass computes all three features — the
+# shape a curation pipeline actually runs at 100 TB).
 
 @query(
-    "t_fingerprint",
-    r"""SELECT doc_id,
-               md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
-                   AS fingerprint
-        FROM documents""",
-)
-def t_fingerprint(spark, sf_dir):
-    """Document fingerprint: md5 over normalized text (lower, trim,
-    collapse whitespace) — the exact-dedup key."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id",
-                       Tx.fingerprint(F.col("text")).alias("fingerprint"))
-
-
-@query(
-    "t_langid",
-    f"""WITH scored AS (
-          SELECT doc_id,
+    "t_text_features",
+    fr"""WITH scored AS (
+          SELECT doc_id, text,
                  len(list_filter(string_split(text,' '), x -> x IN ({_EN}))) AS s_en,
                  len(list_filter(string_split(text,' '), x -> x IN ({_ES}))) AS s_es,
                  len(list_filter(string_split(text,' '), x -> x IN ({_FR}))) AS s_fr,
                  len(list_filter(string_split(text,' '), x -> x IN ({_DE}))) AS s_de
           FROM documents)
         SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+                   AS fingerprint,
                CASE
                  WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de
                       AND s_en > 0 THEN 'en'
@@ -66,12 +46,20 @@ def t_fingerprint(spark, sf_dir):
                END AS lang_pred
         FROM scored""",
 )
-def t_langid(spark, sf_dir):
-    """Marker-stopword language ID (n-gram heuristic family): scan-
-    time scoring pass; first language in marker order wins ties."""
+def t_text_features(spark, sf_dir):
+    """Per-document text features in ONE codegen scan: whitespace
+    token count (corpus cost budgeting), md5 fingerprint over
+    normalized text (the exact-dedup key), and marker-stopword
+    language ID (first language in marker order wins ties). No
+    explode, no UDF — three curation features for one pass over the
+    corpus."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id",
-                       Tx.detect_lang(F.col("text")).alias("lang_pred"))
+    txt = F.col("text")
+    return docs.select(
+        "doc_id",
+        Tx.token_count(txt).alias("n_tokens"),
+        Tx.fingerprint(txt).alias("fingerprint"),
+        Tx.detect_lang(txt).alias("lang_pred"))
 
 
 @query(

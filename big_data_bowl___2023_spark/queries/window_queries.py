@@ -25,40 +25,42 @@ def _w():
     return win.ordered_window(["user_id"], ["ts", "event_id"])
 
 
+# Registry curation (round 2): w2_second_difference and
+# w1_gap_seconds were folded into w1_lag_delta — all three share one
+# window spec, so the merged query is STILL one shuffle + one sorted
+# scan, and every lag column keeps its own driver-checked values.
+
 @query(
     "w1_lag_delta",
     f"""{EVENTS_CTE}
         SELECT event_id, user_id,
-               ROUND(value - LAG(value, 1) OVER ({_ORDER}), 6) AS value_delta
-        FROM ev""",
-)
-def w1_lag_delta(spark, sf_dir):
-    """W1: LAG(1) difference — discrete acceleration
-    ``a_direction = s - lag(s)`` (MBE:47-49). One shuffle on the
-    partition key, NULL on each partition's first row."""
-    ev = load_table(spark, sf_dir, "events")
-    out = win.lag_delta(ev, "value", _w(), "value_delta")
-    return out.select("event_id", "user_id",
-                      r6(F.col("value_delta")).alias("value_delta"))
-
-
-@query(
-    "w2_second_difference",
-    f"""{EVENTS_CTE}
-        SELECT event_id, user_id,
+               ROUND(d, 6) AS value_delta,
+               (EPOCH_US(ts) - LAG(EPOCH_US(ts), 1) OVER ({_ORDER}))
+                   / 1000000.0 AS gap_seconds,
                (d > LAG(d, 1) OVER ({_ORDER})) AND (d > 0) AS rising
         FROM (SELECT *, value - LAG(value, 1) OVER ({_ORDER}) AS d
               FROM ev)""",
 )
-def w2_second_difference(spark, sf_dir):
-    """W2: lag of a derived lag — the "speed rising again" detector
-    ``a_dir > lag(a_dir) & a_dir > 0`` (MBE:50). Both lags share one
-    window spec → one shuffle, one sorted scan."""
+def w1_lag_delta(spark, sf_dir):
+    """W1 + W2 on one ordered window: LAG(1) value delta (discrete
+    acceleration ``a_direction = s - lag(s)``, MBE:47-49), the
+    inter-event gap in exact integer microseconds ÷ 1e6 (the 10 Hz
+    frame-delta arithmetic MBE:99 on real timestamps), and the
+    lag-of-lag "speed rising again" detector ``a_dir > lag(a_dir) &
+    a_dir > 0`` (MBE:50). All three columns share one window spec —
+    one shuffle, one sorted scan; NULL on each partition's first
+    rows."""
     ev = load_table(spark, sf_dir, "events")
     w = _w()
     out = win.lag_delta(ev, "value", w, "d")
     out = win.second_difference_rising(out, "d", w, "rising")
-    return out.select("event_id", "user_id", "rising")
+    us = F.unix_micros(F.col("ts"))
+    return out.select(
+        "event_id", "user_id",
+        r6(F.col("d")).alias("value_delta"),
+        ((us - F.lag(us, 1).over(w)) / F.lit(1000000.0))
+            .alias("gap_seconds"),
+        "rising")
 
 
 @query(
@@ -97,22 +99,3 @@ def w4_running_sum(spark, sf_dir):
                       r6(F.col("running_value")).alias("running_value"))
 
 
-@query(
-    "w1_gap_seconds",
-    f"""{EVENTS_CTE}
-        SELECT event_id, user_id,
-               (EPOCH_US(ts) - LAG(EPOCH_US(ts), 1) OVER ({_ORDER}))
-                   / 1000000.0 AS gap_seconds
-        FROM ev""",
-)
-def w1_gap_seconds(spark, sf_dir):
-    """W1 on the time axis: inter-event gap in seconds — the 10 Hz
-    frame-delta arithmetic (MBE:99 ``*0.1``) generalized to real
-    timestamps. Exact integer microsecond difference divided once, so
-    no float-order hazard."""
-    ev = load_table(spark, sf_dir, "events")
-    w = _w()
-    us = F.unix_micros(F.col("ts"))
-    return ev.select(
-        "event_id", "user_id",
-        ((us - F.lag(us, 1).over(w)) / F.lit(1000000.0)).alias("gap_seconds"))

@@ -1,0 +1,60 @@
+"""Operators curated OUT of the 50-slot driver registry (round 2)
+keep their verification here: the registry only holds driver-checked
+rows, pytest holds the rest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_bowl___2023_spark import dedup as dd
+from big_data_bowl___2023_spark.ml.models import train_test_split
+from big_data_bowl___2023_spark.operators import aggregates as agg
+from big_data_bowl___2023_spark.similarity import brp_lsh_topk
+from big_data_bowl___2023_spark.sources.io import load_table
+
+
+def test_summary_stats_ordering(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    row = agg.summary_stats(li, "l_quantity").collect()[0]
+    assert (row["min"] <= row["q1"] <= row["median"]
+            <= row["q3"] <= row["max"])
+    assert row["min"] <= row["mean"] <= row["max"]
+
+
+def test_distinct_rows_matches_drop_duplicates(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    cols = ["c_nationkey", "c_mktsegment"]
+    assert (agg.distinct_rows(c, cols).count()
+            == c.select(*cols).dropDuplicates().count())
+
+
+def test_train_test_split_seeded_and_partitioning(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    tr1, te1 = train_test_split(o)
+    tr2, te2 = train_test_split(o)
+    assert tr1.count() + te1.count() == o.count()
+    assert tr1.count() == tr2.count() and te1.count() == te2.count()
+    # 80/20 within loose tolerance on the smoke SF
+    frac = tr1.count() / o.count()
+    assert 0.7 < frac < 0.9
+
+
+def test_mllib_minhash_pairs_runs_and_bounds(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.mllib_minhash_pairs(docs, 0.3).collect()
+    for r in pairs:
+        assert r.doc_a < r.doc_b
+        assert 0.3 - 1e-9 <= r.jaccard <= 1.0
+
+
+def test_brp_lsh_topk_rank_bounds(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = brp_lsh_topk(emb, queries, 5)
+    per_q = out.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("rank").alias("max_rank")).collect()
+    assert per_q
+    for r in per_q:
+        assert r.n <= 5 and r.max_rank <= 5
