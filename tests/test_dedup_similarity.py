@@ -90,6 +90,23 @@ def test_gemm_prefilter_matches_allpairs_fold(spark, sf_dir):
     assert naive == fast
 
 
+def test_embedding_cosine_plan_has_no_nested_loop(spark, sf_dir):
+    """Regression guard for the round-1 scale-killer: the exact
+    cosine plan must contain no BroadcastNestedLoopJoin or cartesian
+    product — the O(n²) work lives in the GEMM mapInPandas stage, and
+    the only joins are the block-pair theta join over n_blocks² rows
+    (bounded) and broadcast verify joins."""
+    from big_data_bowl___2023_spark import plans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = dd.cosine_near_dup_pairs(emb, 0.4)
+    plan = plans.formatted_plan(df)
+    # The block-pair join (16x16 rows) is the permitted tiny BNLJ; the
+    # verify joins over the full vector table must be broadcast-hash.
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
 def test_embedding_lsh_verified_subset_and_recall(spark, sf_dir):
     """LSH-verified pairs: precision 1.0 (subset of exact pairs with
     identical cosines) and recall in line with the hyperplane
