@@ -84,6 +84,33 @@ def _verify_exact(v: DataFrame, cand: DataFrame,
                       F.round("cosine", 6).alias("cosine")))
 
 
+def _np_prefilter(v: DataFrame, cand: DataFrame,
+                  threshold: float) -> DataFrame:
+    """Vectorized candidate screening: join candidate id pairs to
+    their unit vectors and evaluate all dots per Arrow batch with one
+    einsum — keeps the interpreted fold off the (possibly large)
+    candidate set; only survivors reach the exact verify. Join
+    strategy is left to AQE: at small candidate volume it broadcasts,
+    at scale it shuffles on the id keys."""
+    import numpy as np
+
+    ua = v.select(F.col("id").alias("vec_a"), F.col("u").alias("ua"))
+    ub = v.select(F.col("id").alias("vec_b"), F.col("u").alias("ub"))
+    rows = cand.join(ua, "vec_a").join(ub, "vec_b")
+    cut = threshold - _PREFILTER_MARGIN
+
+    def dots(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.asarray([np.asarray(x) for x in pdf["ua"]])
+            B = np.asarray([np.asarray(x) for x in pdf["ub"]])
+            sims = np.einsum("ij,ij->i", A, B)
+            yield pdf.loc[sims >= cut, ["vec_a", "vec_b"]]
+
+    return rows.mapInPandas(dots, _PAIR_SCHEMA)
+
+
 def _gemm_candidates(v: DataFrame, threshold: float,
                      n_blocks: int) -> DataFrame:
     """All-pairs GEMM prefilter: id pairs with numpy cosine ≥
@@ -232,7 +259,8 @@ def cosine_near_dup_pairs_lsh(df: DataFrame, threshold: float,
     if n_planes is None:
         n_planes = scaled_n_planes(v.count(), target_bucket)
     cand = lsh_candidate_pairs(v, dim, n_tables, n_planes)
-    return _verify_exact(v, cand, threshold)
+    survivors = _np_prefilter(v, cand, threshold)
+    return _verify_exact(v, survivors, threshold)
 
 
 def cosine_pairs_allpairs_fold(df: DataFrame, threshold: float,
