@@ -100,20 +100,105 @@ def session_windows(events: DataFrame, gap: str = "30 minutes",
                     "n_events", "first_event_id"))
 
 
-def run_available_now(result: DataFrame, spark: SparkSession) -> DataFrame:
+_FUNNEL_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("first_purchase_event", T.LongType()),
+    T.StructField("views_before", T.LongType()),
+])
+
+_FUNNEL_STATE = T.StructType([
+    T.StructField("views", T.LongType()),
+    T.StructField("fired", T.BooleanType()),
+])
+
+
+def funnel_detect(events: DataFrame, min_views: int = 3) -> DataFrame:
+    """CUSTOM stateful operator (applyInPandasWithState): per-user
+    funnel detection — emit the first ``purchase`` that follows at
+    least ``min_views`` ``view`` events. This is the reference's
+    snap→throw play state machine (MBE:22-30) in its general form: a
+    per-key sequence detector whose state (view count, fired flag)
+    survives across micro-batches — not expressible with
+    session_window or tumbling aggregation.
+
+    State is two scalars per user → bounded; at 100 TB the state
+    store shards by user_id across executors like any keyed state.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState
+
+    def detect(key, pdfs, state: GroupState):
+        (user_id,) = key
+        views, fired = state.get if state.exists else (0, False)
+        # The per-key iterator arrives in arbitrary chunks; order is
+        # only defined after concatenating the batch (event-time order
+        # across micro-batches is an in-order-source assumption,
+        # standard for this detector shape).
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"])
+        out = []
+        for _, row in batch.iterrows():
+            if fired:
+                break
+            if row["event_type"] == "view":
+                views += 1
+            elif row["event_type"] == "purchase" and views >= min_views:
+                fired = True
+                out.append((user_id, int(row["event_id"]), views))
+        state.update((views, fired))
+        if out:
+            yield pd.DataFrame(out, columns=["user_id",
+                                             "first_purchase_event",
+                                             "views_before"])
+
+    return (events
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                detect,
+                outputStructType=_FUNNEL_SCHEMA,
+                stateStructType=_FUNNEL_STATE,
+                outputMode="append",
+                timeoutConf="NoTimeout"))
+
+
+def funnel_detect_batch(events: DataFrame, min_views: int = 3) -> DataFrame:
+    """Batch oracle for funnel_detect: same semantics via windows —
+    running view count per user, first qualifying purchase."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    flagged = (events
+               .withColumn("views_before",
+                           F.count(F.when(F.col("event_type") == "view", 1))
+                            .over(w))
+               .filter((F.col("event_type") == "purchase")
+                       & (F.col("views_before") >= min_views)))
+    first = (Window.partitionBy("user_id").orderBy("ts", "event_id"))
+    return (flagged.withColumn("rn", F.row_number().over(first))
+            .filter(F.col("rn") == 1)
+            .select("user_id",
+                    F.col("event_id").alias("first_purchase_event"),
+                    "views_before"))
+
+
+def run_available_now(result: DataFrame, spark: SparkSession,
+                      output_mode: str = "complete") -> DataFrame:
     """Execute a streaming aggregation to completion over the data
     available now (one-shot), returning the final result table.
 
     Memory sink + complete mode: every window is emitted regardless of
     watermark progress, giving exact batch parity for the driver's
-    oracle comparison. Production deployments swap this for
-    append-mode + durable sink.
+    oracle comparison. Append mode is for operators that only emit
+    finalized rows (applyInPandasWithState). Production deployments
+    swap this for a durable sink.
     """
     name = f"q_{uuid.uuid4().hex[:12]}"
     q = (result.writeStream
          .format("memory")
          .queryName(name)
-         .outputMode("complete")
+         .outputMode(output_mode)
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()

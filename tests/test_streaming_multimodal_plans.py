@@ -38,6 +38,26 @@ def test_stream_batch_parity(spark, sf_dir):
            sorted((key(r), r.n, r.total_value) for r in batch)
 
 
+def test_stateful_funnel_stream_batch_parity(spark, sf_dir):
+    """The custom applyInPandasWithState funnel detector, run as a
+    one-shot stream, must match the window-based batch derivation of
+    the same semantics row for row."""
+    from big_data_bowl___2023_spark.streaming import (
+        funnel_detect,
+        funnel_detect_batch,
+    )
+
+    stream_out = run_available_now(
+        funnel_detect(read_event_stream(spark, sf_dir), min_views=3),
+        spark, output_mode="append").collect()
+    batch = funnel_detect_batch(
+        load_table(spark, sf_dir, "events"), min_views=3).collect()
+    as_set = lambda rows: {(r.user_id, r.first_purchase_event,
+                            r.views_before) for r in rows}
+    assert stream_out, "funnel detector emitted nothing"
+    assert as_set(stream_out) == as_set(batch)
+
+
 def test_multimodal_decode_deterministic(spark, sf_dir):
     """Stub decode is stable across runs and batch-shape independent
     (repartitioning must not change results)."""
