@@ -47,6 +47,26 @@ def read_csv_glob(spark: SparkSession, pattern: str,
             .csv(pattern))
 
 
+def read_jsonl_glob(spark: SparkSession, pattern: str,
+                    schema: T.StructType) -> DataFrame:
+    """S1/S2 for JSON-lines — the standard interchange format of
+    text-corpus pipelines. Schema-pinned (no sampling inference job);
+    a glob is a native multi-file union, one task per file split.
+    Corrupt records fail fast (FAILFAST) rather than silently nulling
+    — at 100 TB a permissive default hides data loss."""
+    return (spark.read
+            .schema(schema)
+            .option("mode", "FAILFAST")
+            .json(pattern))
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (interchange with non-columnar consumers; for
+    engine-internal round trips prefer write_parquet — columnar,
+    pushdown-friendly, ~5-10x smaller)."""
+    df.write.mode(mode).json(path)
+
+
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
                   partition_by: list[str] | None = None) -> None:
     """S4: standard sink. ``partition_by`` enables partition pruning

@@ -48,6 +48,23 @@ def test_mllib_minhash_pairs_runs_and_bounds(spark, sf_dir):
         assert 0.3 - 1e-9 <= r.jaccard <= 1.0
 
 
+def test_jsonl_roundtrip_lossless(spark, sf_dir, tmp_path):
+    """documents → sharded JSONL → schema-pinned glob read loses
+    nothing (S1/S2 for the corpus interchange format)."""
+    from big_data_bowl___2023_spark.sources.io import (
+        read_jsonl_glob,
+        write_jsonl,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stage = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs.repartition(3), stage)
+    back = read_jsonl_glob(spark, f"{stage}/part-*.json", docs.schema)
+    orig = {r.doc_id: (r.text, r.lang) for r in docs.collect()}
+    got = {r.doc_id: (r.text, r.lang) for r in back.collect()}
+    assert got == orig
+
+
 def test_brp_lsh_topk_rank_bounds(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3)
