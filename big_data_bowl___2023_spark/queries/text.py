@@ -34,6 +34,8 @@ _DE = ", ".join(f"'{w}'" for w in Tx.LANG_MARKERS["de"])
           FROM documents)
         SELECT doc_id,
                len(string_split(text, ' ')) AS n_tokens,
+               len(regexp_extract_all(text, '{Tx.BPE_PATTERN}'))
+                   AS n_bpe_tokens,
                md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
                    AS fingerprint,
                CASE
@@ -48,16 +50,17 @@ _DE = ", ".join(f"'{w}'" for w in Tx.LANG_MARKERS["de"])
 )
 def t_text_features(spark, sf_dir):
     """Per-document text features in ONE codegen scan: whitespace
-    token count (corpus cost budgeting), md5 fingerprint over
-    normalized text (the exact-dedup key), and marker-stopword
-    language ID (first language in marker order wins ties). No
-    explode, no UDF — three curation features for one pass over the
-    corpus."""
+    token count, BPE-ish pre-tokenizer piece count (the LLM token
+    budget estimate), md5 fingerprint over normalized text (the
+    exact-dedup key), and marker-stopword language ID (first language
+    in marker order wins ties). No explode, no UDF — four curation
+    features for one pass over the corpus."""
     docs = load_table(spark, sf_dir, "documents")
     txt = F.col("text")
     return docs.select(
         "doc_id",
         Tx.token_count(txt).alias("n_tokens"),
+        Tx.bpe_token_count(txt).alias("n_bpe_tokens"),
         Tx.fingerprint(txt).alias("fingerprint"),
         Tx.detect_lang(txt).alias("lang_pred"))
 
