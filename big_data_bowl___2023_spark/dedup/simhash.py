@@ -68,9 +68,19 @@ def hamming_pairs(df: DataFrame, max_distance: int,
     distance ≤ max_distance), so the join is on block keys, not a
     cross product. Candidate volume per segment scales with sketch
     collision density, not n²."""
-    sk = simhash_docs(df, text_col, id_col)
+    half = SIMHASH_BITS // 2
+    sk = simhash_docs(df, text_col, id_col).localCheckpoint()
+    # Integer halves ONCE per document (O(n)); the per-PAIR distance
+    # is then two XOR+popcounts in whole-stage codegen — a 32-step
+    # per-pair string fold here cost 376 s at sf0.1 (5.5M candidates).
+    ints = sk.select(
+        "doc_id",
+        F.conv(F.substring("simhash", 1, half), 2, 10)
+         .cast("bigint").alias("hi"),
+        F.conv(F.substring("simhash", half + 1, half), 2, 10)
+         .cast("bigint").alias("lo"))
     blocks = sk.select(
-        "doc_id", "simhash",
+        "doc_id",
         F.explode(F.array(*[
             F.concat(F.lit(f"{i}:"), F.substring("simhash", off, length))
             for i, (off, length) in enumerate(
@@ -80,17 +90,18 @@ def hamming_pairs(df: DataFrame, max_distance: int,
     cand = (a.join(b, (F.col("a.block") == F.col("b.block"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
              .select(F.col("a.doc_id").alias("doc_a"),
-                     F.col("a.simhash").alias("sh_a"),
-                     F.col("b.doc_id").alias("doc_b"),
-                     F.col("b.simhash").alias("sh_b"))
+                     F.col("b.doc_id").alias("doc_b"))
              .distinct())
-    # Hamming distance between '0'/'1' strings: count differing chars.
-    pos = F.sequence(F.lit(1), F.lit(SIMHASH_BITS))
-    dist = F.aggregate(
-        pos, F.lit(0),
-        lambda acc, i: acc + F.when(
-            F.substring(F.col("sh_a"), i.cast("int"), 1)
-            != F.substring(F.col("sh_b"), i.cast("int"), 1), 1).otherwise(0))
-    return (cand.withColumn("hamming", dist)
+    ia = ints.select(F.col("doc_id").alias("doc_a"),
+                     F.col("hi").alias("hi_a"), F.col("lo").alias("lo_a"))
+    ib = ints.select(F.col("doc_id").alias("doc_b"),
+                     F.col("hi").alias("hi_b"), F.col("lo").alias("lo_b"))
+    dist = (F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+            + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))))
+    # Join strategy left to AQE: the per-doc int table broadcasts at
+    # small corpus size and shuffle-joins on doc id at scale.
+    return (cand.join(ia, "doc_a")
+                .join(ib, "doc_b")
+                .withColumn("hamming", dist.cast("int"))
                 .filter(F.col("hamming") <= max_distance)
                 .select("doc_a", "doc_b", "hamming"))

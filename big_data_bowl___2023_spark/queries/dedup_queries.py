@@ -137,25 +137,35 @@ def _simhash_hamming_oracle() -> str:
     join, same Hamming fold."""
     from ..dedup.simhash import segment_bounds
     seg_rows = "\n          UNION ALL ".join(
-        f"SELECT doc_id, simhash, '{i}:' || substr(simhash, {off}, {ln})"
+        f"SELECT doc_id, '{i}:' || substr(simhash, {off}, {ln})"
         " AS block FROM sk"
         for i, (off, ln) in enumerate(
             segment_bounds(SIMHASH_BITS, _HAMMING_MAX)))
+    half = SIMHASH_BITS // 2
+
+    def bits_to_int(start: int) -> str:
+        return ("list_aggregate(list_transform(range(1, {n}), i -> "
+                "CASE WHEN substr(simhash, CAST({start} + i - 1 AS INT), 1)"
+                " = '1' THEN 1 << ({half} - CAST(i AS INT)) ELSE 0 END), "
+                "'sum')").format(n=half + 1, start=start, half=half)
+
     return f"""WITH sk AS ({_simhash_oracle()}),
+        ints AS (SELECT doc_id,
+                        {bits_to_int(1)} AS hi,
+                        {bits_to_int(half + 1)} AS lo
+                 FROM sk),
         blocks AS ({seg_rows}),
-        cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sh_a,
-                        b.doc_id AS doc_b, b.simhash AS sh_b
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                  FROM blocks a JOIN blocks b
                    ON a.block = b.block AND a.doc_id < b.doc_id)
         SELECT doc_a, doc_b,
-               len(list_filter(range(1, {SIMHASH_BITS + 1}),
-                   i -> substr(sh_a, CAST(i AS INT), 1)
-                        <> substr(sh_b, CAST(i AS INT), 1))) AS hamming
+               CAST(bit_count(xor(ia.hi, ib.hi))
+                    + bit_count(xor(ia.lo, ib.lo)) AS INT) AS hamming
         FROM cand
-        WHERE len(list_filter(range(1, {SIMHASH_BITS + 1}),
-                  i -> substr(sh_a, CAST(i AS INT), 1)
-                       <> substr(sh_b, CAST(i AS INT), 1)))
-              <= {_HAMMING_MAX}"""
+        JOIN ints ia ON ia.doc_id = doc_a
+        JOIN ints ib ON ib.doc_id = doc_b
+        WHERE bit_count(xor(ia.hi, ib.hi))
+              + bit_count(xor(ia.lo, ib.lo)) <= {_HAMMING_MAX}"""
 
 
 @query("dedup_simhash_hamming", _simhash_hamming_oracle())
