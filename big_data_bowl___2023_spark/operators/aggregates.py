@@ -83,3 +83,27 @@ def histogram(df: DataFrame, col: str, bin_width: float) -> DataFrame:
     return (df.select(bucket)
               .groupBy("bucket")
               .agg(F.count(F.lit(1)).alias("n")))
+
+
+def approx_distinct(df: DataFrame, keys: Sequence[str], col: str,
+                    rsd: float = 0.05,
+                    alias: str = "approx_distinct") -> DataFrame:
+    """Approximate COUNT(DISTINCT) via HyperLogLog++ — the 100 TB form
+    of A9/A10: fixed sketch memory per group and a mergeable partial
+    state, where exact distinct would shuffle every value. ``rsd``
+    is the target relative standard deviation (sketch size knob)."""
+    return df.groupBy(*keys).agg(
+        F.approx_count_distinct(col, rsd).alias(alias))
+
+
+def approx_quantiles(df: DataFrame, keys: Sequence[str], col: str,
+                     probabilities: Sequence[float] = (0.25, 0.5, 0.75),
+                     accuracy: int = 10_000) -> DataFrame:
+    """Approximate percentiles via the Greenwald-Khanna sketch — the
+    100 TB form of A5/A12: bounded state, map-side mergeable, error
+    ≤ 1/accuracy of rank. Returns one array column ``quantiles``
+    aligned with ``probabilities``."""
+    probs = F.array(*[F.lit(float(p)) for p in probabilities])
+    return df.groupBy(*keys).agg(
+        F.percentile_approx(F.col(col), probs, F.lit(accuracy))
+         .alias("quantiles"))

@@ -75,3 +75,19 @@ def test_brp_lsh_topk_rank_bounds(spark, sf_dir):
     assert per_q
     for r in per_q:
         assert r.n <= 5 and r.max_rank <= 5
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    """HLL++ estimate within ~3 rsd of the exact distinct count."""
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.select("user_id").distinct().count()
+    est = agg.approx_distinct(ev, [], "user_id", rsd=0.05).collect()[0][0]
+    assert abs(est - exact) <= max(3, 0.15 * exact)
+
+
+def test_approx_quantiles_bracket_exact_median(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.agg(F.median("value")).collect()[0][0]
+    q = agg.approx_quantiles(ev, [], "value").collect()[0]["quantiles"]
+    assert q[0] <= exact <= q[2]
+    assert abs(q[1] - exact) < 5.0
