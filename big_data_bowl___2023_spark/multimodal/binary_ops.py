@@ -44,9 +44,12 @@ DECODED_SCHEMA = T.StructType([
 ])
 
 FEATURE_DIM = 8
+# Double, not float32: the stub features are exact small-int ratios
+# (byte/255) and the driver oracle recomputes them in SQL — float32
+# round-trip noise would make cross-engine value hashes diverge.
 FEATURES_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
-    T.StructField("features", T.ArrayType(T.FloatType())),
+    T.StructField("features", T.ArrayType(T.DoubleType())),
 ])
 
 FRAME_SCHEMA = T.StructType([

@@ -192,15 +192,53 @@ def f1_math_surface(spark, sf_dir):
 # decode → mapInPandas plumbing end-to-end; decode determinism stays
 # pytest-verified.
 
-@query("mm_extract_features")
+def _mm_oracle() -> str:
+    """The stub decode + feature arithmetic restated in SQL: the stub
+    derives every output from md5/sha256 of the payload bytes, and
+    DuckDB's md5/sha256 hash the same bytes — so even this mapInPandas
+    pipeline has an exact oracle. Hex-pair → byte via digit strpos."""
+    from ..multimodal.binary_ops import FEATURE_DIM
+
+    def byte(h: str, j: int) -> str:
+        def p(i: int) -> str:
+            return (f"(strpos('0123456789abcdef', "
+                    f"substr({h}, {i}, 1)) - 1)")
+        return f"(16 * {p(2 * j + 1)} + {p(2 * j + 2)})"
+
+    return f"""WITH meta AS (
+          SELECT doc_id AS media_id, 'image' AS modality,
+                 md5(text) AS mh, sha256(text) AS sh
+          FROM documents)
+        SELECT media_id, modality,
+               CAST(16 + {byte('mh', 0)} % 240 AS INT) AS width,
+               CAST(16 + {byte('mh', 1)} % 240 AS INT) AS height,
+               CAST(1 + {byte('mh', 2)} % 3 AS INT) AS n_channels,
+               'stub' AS decoder,
+               CAST(t.i AS INT) AS dim_idx,
+               CASE t.i {" ".join(
+                   f"WHEN {j} THEN {byte('sh', j)} / 255.0"
+                   for j in range(FEATURE_DIM))} END AS feature
+        FROM meta CROSS JOIN range(0, {FEATURE_DIM}) t(i)"""
+
+
+@query("mm_extract_features", _mm_oracle())
 def mm_extract_features(spark, sf_dir):
-    """Multimodal pipeline (rows-only: the mapInPandas Arrow plumbing
-    is the product; the stub decode is deterministic and pytest-
-    verified): documents.text bytes stand in for image blobs →
-    decode pass → Arrow-batched feature extraction → array<float>
-    embeddings ready for similarity.ann."""
+    """Multimodal pipeline: documents.text bytes stand in for image
+    blobs → decode pass → Arrow-batched feature extraction, exploded
+    to one row per (media, dim) so every value is scalar-hashable.
+    The mapInPandas Arrow plumbing is the product; the stub codec is
+    hash-derived and deterministic, which makes even this Python
+    stage fully oracle-checked (the oracle recomputes the md5/sha256
+    arithmetic in SQL). Swapping in a real codec changes only
+    ``_decode_one`` / the feature body — and moves the query to
+    rows-only, as a real model forward pass should be."""
     docs = load_table(spark, sf_dir, "documents")
     media = media_from_documents(docs)
     meta = decode_media(media)
     feats = extract_features(media)
-    return meta.join(feats, "media_id")
+    exploded = feats.select(
+        "media_id",
+        F.posexplode("features").alias("dim_idx", "feature"))
+    return (meta.select("media_id", "modality", "width", "height",
+                        "n_channels", "decoder")
+            .join(exploded, "media_id"))
