@@ -129,6 +129,27 @@ def test_plan_partition_pruning(spark, sf_dir):
     assert all("purchase" not in l for l in data_filters)
 
 
+def test_merged_window_query_single_exchange(spark, sf_dir):
+    """w1_lag_delta computes three lag columns over one window spec —
+    the plan must shuffle exactly once (one Exchange for the
+    partitionBy; a second Exchange would mean the specs diverged)."""
+    from big_data_bowl___2023_spark.registry import all_queries
+    df = all_queries()["w1_lag_delta"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    n_exchange = sum(1 for line in plan.splitlines()
+                     if line.strip().startswith("+- Exchange")
+                     or line.strip().startswith("Exchange"))
+    assert n_exchange == 1, plan[:2000]
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    """o5_ranking's ORDER BY + LIMIT must compile to
+    TakeOrderedAndProject (per-partition heaps), not a global Sort."""
+    from big_data_bowl___2023_spark.registry import all_queries
+    df = all_queries()["o5_ranking"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in plans.formatted_plan(df)
+
+
 def test_entry_plan_is_pruned(spark, sf_dir):
     """Flagship q1 must read only the columns it uses (ReadSchema
     pruned to 7 of 11 lineitem columns)."""
