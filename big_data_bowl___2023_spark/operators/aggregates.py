@@ -107,3 +107,22 @@ def approx_quantiles(df: DataFrame, keys: Sequence[str], col: str,
     return df.groupBy(*keys).agg(
         F.percentile_approx(F.col(col), probs, F.lit(accuracy))
          .alias("quantiles"))
+
+
+def corr_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Pearson correlation matrix (the reference's Corr Matrix /
+    Pass_Blockers_Corr_Matrix artifacts): every pairwise ``corr`` in
+    ONE aggregation pass — d(d+1)/2 streaming covariance accumulators,
+    no per-pair scans, no collect of row data. Output is the long
+    form (col_a, col_b, corr), one row per unordered pair incl. the
+    unit diagonal, rounded to 6 for engine-stable comparison."""
+    aggs = []
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            aggs.append(F.round(F.corr(F.col(a), F.col(b)), 6)
+                        .alias(f"{a}|{b}"))
+    row = df.agg(*aggs).collect()[0]
+    spark = df.sparkSession
+    out = [(a, b, float(row[f"{a}|{b}"]))
+           for i, a in enumerate(cols) for b in cols[i:]]
+    return spark.createDataFrame(out, ["col_a", "col_b", "corr"])

@@ -91,3 +91,23 @@ def test_approx_quantiles_bracket_exact_median(spark, sf_dir):
     q = agg.approx_quantiles(ev, [], "value").collect()[0]["quantiles"]
     assert q[0] <= exact <= q[2]
     assert abs(q[1] - exact) < 5.0
+
+
+def test_corr_matrix_against_duckdb(spark, sf_dir):
+    """One-pass Pearson matrix matches DuckDB's corr() per pair and
+    has a unit diagonal."""
+    import duckdb
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    got = {(r.col_a, r.col_b): r.corr
+           for r in agg.corr_matrix(li, cols).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW li AS SELECT * FROM "
+                f"'{sf_dir}/lineitem.parquet'")
+    for (a, b), v in got.items():
+        ref = con.execute(
+            f"SELECT ROUND(corr({a}, {b}), 6) FROM li").fetchone()[0]
+        if a == b:
+            assert v == 1.0
+        assert abs(v - ref) <= 1e-6
