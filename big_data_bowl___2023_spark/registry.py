@@ -32,6 +32,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Registration order = driver check order (the driver verifies the
+# first 50 registered queries; the registry holds exactly 50). The
+# rows-only ML queries register last so that, if a future driver
+# truncates by time instead of count, only the weakest-evidence rows
+# are at risk.
 _QUERY_MODULES = [
     "relational",
     "window_queries",
@@ -39,8 +44,8 @@ _QUERY_MODULES = [
     "dedup_queries",
     "similarity_queries",
     "pipeline_queries",
-    "ml_queries",
     "streaming_queries",
+    "ml_queries",
 ]
 
 
