@@ -126,3 +126,25 @@ def corr_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     out = [(a, b, float(row[f"{a}|{b}"]))
            for i, a in enumerate(cols) for b in cols[i:]]
     return spark.createDataFrame(out, ["col_a", "col_b", "corr"])
+
+
+def time_rollup(df: DataFrame, ts_col: str,
+                resolutions: Sequence[str],
+                keys: Sequence[str],
+                **aggs: Column) -> DataFrame:
+    """Hypertable-style multi-resolution rollup (continuous-aggregate
+    shape): the same measures at several time granularities in ONE
+    shuffle — each row explodes to (resolution, bucket) pairs and a
+    single groupBy aggregates all resolutions together, instead of
+    one scan+shuffle per granularity. Resolutions are date_trunc
+    units ('hour', 'day', 'week', 'month', ...)."""
+    pairs = F.explode(F.array(*[
+        F.struct(F.lit(r).alias("resolution"),
+                 F.date_trunc(r, F.col(ts_col)).alias("bucket"))
+        for r in resolutions])).alias("rb")
+    exprs = [expr.alias(name) for name, expr in aggs.items()]
+    return (df.select(pairs, *[F.col(k) for k in keys],
+                      *[F.col(c) for c in df.columns if c not in keys])
+            .groupBy(F.col("rb.resolution").alias("resolution"),
+                     F.col("rb.bucket").alias("bucket"), *keys)
+            .agg(*exprs))
