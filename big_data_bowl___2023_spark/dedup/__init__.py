@@ -17,6 +17,7 @@ from .embedding import (
     cosine_near_dup_pairs_lsh,
     cosine_pairs_allpairs_fold,
 )
+from .clusters import canonical_docs, connected_components, resolve_clusters
 
 __all__ = [
     "exact_dedup", "fingerprint_docs",
@@ -26,4 +27,5 @@ __all__ = [
     "cosine_near_dup_pairs",
     "cosine_near_dup_pairs_lsh",
     "cosine_pairs_allpairs_fold",
+    "canonical_docs", "connected_components", "resolve_clusters",
 ]

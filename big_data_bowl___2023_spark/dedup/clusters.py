@@ -1,0 +1,131 @@
+"""Duplicate-cluster resolution: transitive closure over near-dup pairs.
+
+Every near-dup stage in this package (minhash/simhash/ngram/embedding)
+emits PAIRS, but production dedup needs COMPONENTS: a~b and b~c must
+collapse into one cluster even though (a, c) was never emitted, and
+exactly one representative per cluster survives.
+
+Implemented as alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC 2014):
+
+* each round is two grouped passes (two shuffles) over the edge set;
+* converges in O(log n) rounds on any graph — near-dup clusters
+  (tiny diameter) converge in 2-3;
+* intermediate edge sets stay linear in the input: no component is
+  ever materialized on a single worker, which is what keeps this safe
+  at 100 TB when one boilerplate page collides with millions of
+  documents (a single giant component). A naive "collect pairs and
+  union-find on the driver" dies exactly there.
+
+Each iteration ends in ``localCheckpoint()`` — iterative self-joins
+otherwise grow an exponential logical plan and stall the driver in
+analysis long before any executor works (same lesson as
+pipelines/nfl.py's fan-out DAG).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MAX_ROUNDS = 20
+
+
+def _normalize_edges(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Undirected edge list → (u, v) with u != v, deduplicated."""
+    return (pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+                 .filter(F.col("u") != F.col("v"))
+                 .distinct())
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(Γ(u) ∪ {u})."""
+    sym = edges.union(edges.select(F.col("v").alias("u"),
+                                   F.col("u").alias("v")))
+    mins = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+               .select("u", F.least("u", "mn").alias("m")))
+    return (sym.join(mins, "u")
+               .filter(F.col("v") > F.col("u"))
+               .select(F.col("v").alias("u"), F.col("m").alias("v"))
+               .filter(F.col("u") != F.col("v"))
+               .distinct())
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges high→low, then connect every low neighbor of u
+    (and u itself) to min(Γ⁻(u) ∪ {u})."""
+    o = edges.select(F.greatest("u", "v").alias("u"),
+                     F.least("u", "v").alias("v"))
+    mins = o.groupBy("u").agg(F.min("v").alias("m"))
+    nbr = o.join(mins, "u").select(F.col("v").alias("u"),
+                                   F.col("m").alias("v"))
+    self_ = mins.select(F.col("u"), F.col("m").alias("v"))
+    return (nbr.union(self_)
+               .filter(F.col("u") != F.col("v"))
+               .distinct())
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(F.count(F.lit(1)).alias("c"),
+                    F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0))
+                     .alias("h")).collect()[0]
+    return int(row.c), int(row.h)
+
+
+def connected_components(pairs: DataFrame, a_col: str = "doc_a",
+                         b_col: str = "doc_b") -> DataFrame:
+    """(node, component) for every node that appears in ``pairs``,
+    where component = the minimum node id of its connected component.
+
+    Alternates large-star / small-star until the edge set reaches a
+    fixpoint (checked with a count + order-independent hash — one
+    1-row action per round, no driver-side edge materialization).
+    At the fixpoint the edge set is a union of stars: every node
+    points directly at its component root.
+    """
+    edges = _normalize_edges(pairs, a_col, b_col).localCheckpoint()
+    prev = _checksum(edges)
+    for _ in range(MAX_ROUNDS):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        cur = _checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    roots = edges.select(F.col("u").alias("node"),
+                         F.col("v").alias("component"))
+    self_rows = roots.select(F.col("component").alias("node"),
+                             F.col("component"))
+    return roots.union(self_rows).distinct()
+
+
+def resolve_clusters(docs: DataFrame, pairs: DataFrame,
+                     id_col: str = "doc_id", a_col: str = "doc_a",
+                     b_col: str = "doc_b") -> DataFrame:
+    """Every doc labeled with its duplicate-cluster id (component min;
+    singletons label themselves). One left join against the component
+    map — the map is tiny relative to the corpus (only docs that
+    collided), so Catalyst broadcasts it in the common case."""
+    comp = connected_components(pairs, a_col, b_col)
+    labels = comp.select(F.col("node").alias(id_col),
+                         F.col("component").alias("cluster_id"))
+    return (docs.join(labels, id_col, "left")
+                .withColumn("cluster_id",
+                            F.coalesce("cluster_id", F.col(id_col))))
+
+
+def canonical_docs(docs: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id", prefer_col: str | None = None,
+                   a_col: str = "doc_a", b_col: str = "doc_b") -> DataFrame:
+    """Keep exactly one representative per duplicate cluster.
+
+    Default keeps the min id; with ``prefer_col`` keeps the highest
+    value of that column (quality score, length, …) with id as the
+    deterministic tiebreak. Single window over the cluster key — no
+    join-back."""
+    labeled = resolve_clusters(docs, pairs, id_col, a_col, b_col)
+    order = ([F.col(prefer_col).desc()] if prefer_col else []) \
+        + [F.col(id_col).asc()]
+    w = Window.partitionBy("cluster_id").orderBy(*order)
+    return (labeled.withColumn("__rn", F.row_number().over(w))
+                   .filter(F.col("__rn") == 1)
+                   .drop("__rn", "cluster_id"))
