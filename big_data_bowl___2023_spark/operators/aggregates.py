@@ -109,6 +109,41 @@ def approx_quantiles(df: DataFrame, keys: Sequence[str], col: str,
          .alias("quantiles"))
 
 
+def rollup_agg(df: DataFrame, keys: Sequence[str],
+               **aggs: Column) -> DataFrame:
+    """Hierarchical subtotals: GROUP BY ROLLUP(keys) — every prefix of
+    the key list plus the grand total, in ONE shuffle (Catalyst expands
+    the grouping sets into a single Expand + hash aggregate, not one
+    scan per level). ``g_<key>`` indicator columns (0 = grouped,
+    1 = rolled up) disambiguate subtotal NULLs from genuine NULL key
+    values — required for a lossless OLAP result."""
+    exprs = [expr.alias(name) for name, expr in aggs.items()]
+    gcols = [F.grouping(k).cast("int").alias(f"g_{k}") for k in keys]
+    return df.rollup(*keys).agg(*gcols, *exprs)
+
+
+def cube_agg(df: DataFrame, keys: Sequence[str],
+             **aggs: Column) -> DataFrame:
+    """All 2^k marginal combinations: GROUP BY CUBE(keys), one Expand +
+    one shuffle. Same ``g_<key>`` indicators as ``rollup_agg``."""
+    exprs = [expr.alias(name) for name, expr in aggs.items()]
+    gcols = [F.grouping(k).cast("int").alias(f"g_{k}") for k in keys]
+    return df.cube(*keys).agg(*gcols, *exprs)
+
+
+def grouping_sets_agg(df: DataFrame, sets: Sequence[Sequence[str]],
+                      keys: Sequence[str], **aggs: Column) -> DataFrame:
+    """Explicit GROUPING SETS — the general form rollup/cube compile
+    to; lets a caller compute exactly the marginals a dashboard needs
+    (e.g. ((a, b), (a), ()) but never (b)) without paying for the full
+    cube. One Expand + one shuffle regardless of set count."""
+    exprs = [expr.alias(name) for name, expr in aggs.items()]
+    gcols = [F.grouping(k).cast("int").alias(f"g_{k}") for k in keys]
+    gsets = [[F.col(c) for c in s] for s in sets]
+    return df.groupingSets(gsets, *[F.col(k) for k in keys]).agg(
+        *gcols, *exprs)
+
+
 def corr_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """Pearson correlation matrix (the reference's Corr Matrix /
     Pass_Blockers_Corr_Matrix artifacts): every pairwise ``corr`` in
