@@ -1,3 +1,4 @@
-from . import aggregates, filters, joins, setops, sorts, windows
+from . import aggregates, filters, joins, sampling, setops, sorts, windows
 
-__all__ = ["aggregates", "filters", "joins", "setops", "sorts", "windows"]
+__all__ = ["aggregates", "filters", "joins", "sampling", "setops",
+           "sorts", "windows"]

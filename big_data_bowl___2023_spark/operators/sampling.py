@@ -1,0 +1,118 @@
+"""Deterministic sampling and shard packing for training-data
+curation.
+
+Reproducibility is the design constraint: a 100 TB curation run must
+be able to re-derive the exact same sample/shard assignment on a
+re-run (lineage audits, incremental re-builds), so nothing here uses
+``rand()`` or partition-order-dependent state. Randomness comes from
+content hashes (xxhash64 of the id), which any engine reproduces.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+HASH_BUCKETS = 1_000_000
+
+
+def hash_sample(df: DataFrame, fraction: float,
+                id_col: str = "doc_id", seed: int = 0) -> DataFrame:
+    """Stateless deterministic ~fraction sample: keep rows whose
+    id-hash bucket falls under the cut. Pure scan-side filter — no
+    shuffle, no sort, pushes down past column pruning — the only
+    sampling shape that is free at 100 TB. Sample membership is stable
+    across runs and across engines (xxhash64 is pinned in both)."""
+    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)),
+                    F.lit(HASH_BUCKETS))
+    return df.filter(bucket < F.lit(int(round(fraction * HASH_BUCKETS))))
+
+
+def stratified_sample_exact(df: DataFrame, strata: Sequence[str],
+                            fraction: float,
+                            id_col: str = "doc_id") -> DataFrame:
+    """Exactly ceil(fraction * n) rows per stratum, chosen by id-hash
+    order (deterministic, unbiased for content-independent ids). One
+    shuffle on the strata key: both the stratum size and the rank come
+    from the same window partition, no count-join-back pass.
+
+    The per-stratum sort is the price of exactness — for merely
+    approximate per-stratum fractions use ``hash_sample`` which is
+    shuffle-free."""
+    w = Window.partitionBy(*strata)
+    wo = w.orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+    return (df.withColumn("__n", F.count(F.lit(1)).over(w))
+              .withColumn("__rn", F.row_number().over(wo))
+              .filter(F.col("__rn")
+                      <= F.ceil(F.col("__n") * F.lit(fraction)))
+              .drop("__n", "__rn"))
+
+
+def pack_by_budget(df: DataFrame, budget: int,
+                   size_col: str, partition_cols: Sequence[str],
+                   id_col: str = "doc_id",
+                   shard_col: str = "shard") -> DataFrame:
+    """Boundary packing of rows into token-budget training shards:
+    within each partition, rows in id-hash order are assigned
+    shard = floor(exclusive-cumsum / budget) — one window pass, no
+    iteration, whole-stage codegen end to end.
+
+    Contract: shard boundaries sit at multiples of ``budget`` in the
+    running total, so a shard's sum may exceed the budget by at most
+    (its last row's size − 1). Use ``pack_by_budget_strict`` when the
+    budget is a hard ceiling (e.g. a model context window).
+
+    Shards are per partition key (date, language, source …): a global
+    sequential pack would serialize into a single task, so the caller
+    chooses the parallelism unit.
+    """
+    w = (Window.partitionBy(*partition_cols)
+         .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum(F.col(size_col)).over(w)
+    return df.withColumn(
+        shard_col,
+        F.floor((cum - F.col(size_col)) / F.lit(budget)).cast("bigint"))
+
+
+def pack_by_budget_strict(df: DataFrame, budget: int,
+                          size_col: str, partition_cols: Sequence[str],
+                          id_col: str = "doc_id",
+                          shard_col: str = "shard") -> DataFrame:
+    """Strict greedy packing: a shard's total NEVER exceeds ``budget``
+    unless a single row alone does (that row gets a shard of its own).
+    This is the hard-ceiling variant for context-window shards.
+
+    The reset-on-overflow recurrence is inherently sequential, which
+    no window expression can state, so each partition group runs one
+    Arrow ``applyInPandas`` pass in id-hash order. Sequential-within-
+    group is exactly the parallelism the semantics allow; groups pack
+    concurrently.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+    import pandas as pd
+
+    out_schema = StructType(df.schema.fields
+                            + [StructField(shard_col, LongType(), False)])
+    keyed = df.withColumn("__h", F.xxhash64(F.col(id_col)))
+    part_keys = list(partition_cols)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__h", id_col], kind="mergesort")
+        shards, shard, acc = [], 0, 0
+        first = True
+        for size in pdf[size_col]:
+            size = int(size)
+            if not first and acc + size > budget:
+                shard += 1
+                acc = 0
+            shards.append(shard)
+            acc += size
+            first = False
+        pdf = pdf.copy()
+        pdf[shard_col] = shards
+        return pdf.drop(columns=["__h"])
+
+    return keyed.groupBy(*part_keys).applyInPandas(pack, out_schema)
