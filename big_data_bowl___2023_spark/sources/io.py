@@ -15,6 +15,7 @@ unlike the reference's ``lapply(read_csv) %>% bind_rows``.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -29,7 +30,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         return df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -75,4 +75,31 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_parquet_clustered(df: DataFrame, path: str,
+                            cluster_by: list[str],
+                            num_files: int | None = None,
+                            max_records_per_file: int | None = None,
+                            mode: str = "overwrite") -> None:
+    """Range-clustered layout: ``repartitionByRange`` on the cluster
+    keys + ``sortWithinPartitions``, so every output file covers a
+    disjoint key range (equal keys never straddle files). Parquet
+    min/max statistics then let any reader skip whole files/row-groups
+    for range predicates on those keys — the single biggest scan
+    saving available at 100 TB for time- or id-ranged queries, without
+    any table-format dependency.
+
+    ``num_files`` sizes the output explicitly (file-count control is
+    the compaction knob: thousands of small files destroy scan setup
+    time at scale); ``max_records_per_file`` bounds file size when one
+    range is hot."""
+    parts = ([F.col(c) for c in cluster_by])
+    out = (df.repartitionByRange(num_files, *parts) if num_files
+           else df.repartitionByRange(*parts))
+    out = out.sortWithinPartitions(*cluster_by)
+    w = out.write.mode(mode)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
     w.parquet(path)

@@ -1,0 +1,83 @@
+"""Range-clustered parquet layout: every output file must cover a
+disjoint key range (the property parquet min/max file skipping relies
+on), file count must obey the compaction knob, and range predicates on
+the cluster key must reach the scan as pushed filters."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from big_data_bowl___2023_spark.sources.io import (
+    load_table, write_parquet_clustered,
+)
+
+
+def test_clustered_files_have_disjoint_ranges(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/orders_by_date"
+        write_parquet_clustered(orders, path, ["o_orderdate"],
+                                num_files=8)
+        per_file = (spark.read.parquet(path)
+                    .groupBy(F.input_file_name().alias("f"))
+                    .agg(F.min("o_orderdate").alias("lo"),
+                         F.max("o_orderdate").alias("hi"),
+                         F.count(F.lit(1)).alias("n"))
+                    .collect())
+        assert 1 < len(per_file) <= 8
+        assert sum(r.n for r in per_file) == orders.count()
+        ranges = sorted([(r.lo, r.hi) for r in per_file])
+        for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+            assert lo1 <= hi1
+            # strictly disjoint: equal keys never straddle files
+            assert hi1 < lo2
+
+        # round-trip equality (clustering must not lose/dup rows)
+        back = spark.read.parquet(path)
+        assert back.count() == orders.count()
+        assert (back.agg(F.sum(F.col("o_totalprice")
+                               .cast("decimal(18,2)"))).collect()[0][0]
+                == orders.agg(F.sum(F.col("o_totalprice")
+                                    .cast("decimal(18,2)"))
+                              ).collect()[0][0])
+
+
+def test_clustered_range_predicate_pushdown(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/orders_by_key"
+        write_parquet_clustered(orders, path, ["o_orderkey"],
+                                num_files=4)
+        q = (spark.read.parquet(path)
+             .filter((F.col("o_orderkey") >= 100)
+                     & (F.col("o_orderkey") < 200))
+             .select("o_orderkey", "o_totalprice"))
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan
+        assert "GreaterThanOrEqual(o_orderkey,100)" in plan
+        # column pruning reached the scan too
+        assert "o_orderstatus" not in plan.split("ReadSchema")[1][:200]
+        got = sorted(r.o_orderkey for r in q.collect())
+        want = sorted(r.o_orderkey for r in
+                      orders.filter((F.col("o_orderkey") >= 100)
+                                    & (F.col("o_orderkey") < 200))
+                      .collect())
+        assert got == want
+
+
+def test_max_records_per_file_bounds_file_size(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.count()
+    cap = max(1, n // 10)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/orders_capped"
+        write_parquet_clustered(orders, path, ["o_orderkey"],
+                                num_files=2, max_records_per_file=cap)
+        per_file = (spark.read.parquet(path)
+                    .groupBy(F.input_file_name())
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect())
+        assert all(r.n <= cap for r in per_file)
+        assert len(per_file) >= n // cap
