@@ -1,3 +1,9 @@
+from .dedup_stream import (
+    fingerprint_index,
+    incremental_dedup,
+    incremental_minhash_pairs,
+    read_document_stream,
+)
 from .events import (
     funnel_detect,
     funnel_detect_batch,
@@ -7,5 +13,7 @@ from .events import (
     tumbling_counts,
 )
 
-__all__ = ["funnel_detect", "funnel_detect_batch", "read_event_stream",
+__all__ = ["fingerprint_index", "funnel_detect", "funnel_detect_batch",
+           "incremental_dedup", "incremental_minhash_pairs",
+           "read_document_stream", "read_event_stream",
            "run_available_now", "session_windows", "tumbling_counts"]
