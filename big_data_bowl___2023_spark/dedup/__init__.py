@@ -18,6 +18,11 @@ from .embedding import (
     cosine_pairs_allpairs_fold,
 )
 from .clusters import canonical_docs, connected_components, resolve_clusters
+from .decontaminate import (
+    contaminated_doc_ids,
+    contamination_report,
+    decontaminate,
+)
 
 __all__ = [
     "exact_dedup", "fingerprint_docs",
@@ -28,4 +33,5 @@ __all__ = [
     "cosine_near_dup_pairs_lsh",
     "cosine_pairs_allpairs_fold",
     "canonical_docs", "connected_components", "resolve_clusters",
+    "contaminated_doc_ids", "contamination_report", "decontaminate",
 ]
