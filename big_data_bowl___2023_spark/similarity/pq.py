@@ -1,0 +1,192 @@
+"""Product quantization (PQ) for embedding search at corpus scale.
+
+Jégou et al., "Product Quantization for Nearest Neighbor Search"
+(TPAMI 2011): split each d-dim vector into ``m`` subvectors, k-means
+each subspace into ``k`` centroids, store a vector as its m centroid
+ids — 64-dim float32 (256 B) becomes m=8 codes (8 B), a 32× memory
+cut, which is what lets a 100 TB embedding corpus live in cluster RAM.
+Search uses asymmetric distance computation (ADC): per query, one
+m×k lookup table of query-subvector↔centroid distances; a corpus row
+is scored with m table lookups + adds, never a d-dim product.
+
+Spark mapping — every hot path stays in codegen (zero UDF):
+
+* training: Lloyd iterations where EACH iteration is ONE aggregation
+  job over the (id, subspace, subvector) exploded view — assignment is
+  an argmin expression against broadcast literal centroids, the update
+  is a grouped per-dimension mean; the driver holds only the m×k×(d/m)
+  centroid array (≤ a few KB);
+* encoding: per-subspace argmin expressions → ``codes array<int>``;
+* ADC: the per-query LUT is a flat m·k literal-free array expression
+  computed once per query row; scoring is a broadcast join of the
+  (tiny) query LUTs against the codes table with
+  ``element_at(lut, m·k_offset + code)`` sums.
+
+Vectors are L2-normalized first, so ascending squared-L2 ADC order
+matches descending cosine order and recall is measured against
+``brute_force_topk``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vectors as V
+
+DEFAULT_M = 8
+DEFAULT_K = 16
+
+
+def _slices(vec, dim: int, m: int) -> list:
+    sub = dim // m
+    return [F.slice(vec, i * sub + 1, sub) for i in range(m)]
+
+
+def _sq_dist(sv, cent) -> F.Column:
+    """Squared L2 between a subvector column and a centroid (array
+    column or literal array) — one zip_with/aggregate fold."""
+    return F.aggregate(
+        F.zip_with(sv, cent, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _lit_vec(xs) -> F.Column:
+    return F.array(*[F.lit(float(x)) for x in xs])
+
+
+def _argmin_code(sv, cents_m) -> F.Column:
+    """Index (0-based) of the nearest of the k literal centroids."""
+    darr = F.array(*[_sq_dist(sv, _lit_vec(c)) for c in cents_m])
+    return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+
+
+def _normalized(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"),
+        V.l2_normalize(V.as_double(F.col(vec_col))).alias("u"))
+
+
+def train_pq(corpus: DataFrame, vec_col: str = "embedding",
+             id_col: str = "vec_id", dim: int = 64,
+             m: int = DEFAULT_M, k: int = DEFAULT_K,
+             n_iters: int = 8) -> list:
+    """m×k×(dim/m) codebooks as a nested Python list.
+
+    Deterministic init (subvectors of the k corpus rows with smallest
+    md5(id) — no RNG state), then ``n_iters`` Lloyd rounds. Each round
+    is one Spark aggregation: explode to (id, subspace, subvector),
+    argmin-assign against the current broadcast centroids, grouped
+    per-dimension mean. Empty clusters keep their previous centroid."""
+    sub = dim // m
+    v = _normalized(corpus, vec_col, id_col)
+    seeds = (v.orderBy(F.md5(F.col("id").cast("string")))
+             .limit(k).collect())
+    # cents[mi][j] = list of sub floats
+    cents = [[list(r.u[mi * sub:(mi + 1) * sub]) for r in seeds]
+             for mi in range(m)]
+
+    sub_tbl = v.select(
+        "id", F.posexplode(F.array(*_slices(F.col("u"), dim, m)))
+        .alias("mi", "sv")).localCheckpoint()
+
+    for _ in range(n_iters):
+        # per-subspace argmin against the current centroids: pick the
+        # subspace's distance array with element_at on a nested literal
+        darr_by_m = F.array(*[
+            F.array(*[_sq_dist(F.col("sv"), _lit_vec(c))
+                      for c in cents[mi]])
+            for mi in range(m)])
+        darr = F.element_at(darr_by_m, F.col("mi") + 1)
+        code = (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+        stats = (sub_tbl.withColumn("code", code)
+                 .groupBy("mi", "code")
+                 .agg(F.array(*[F.avg(F.col("sv")[d]).alias(f"a{d}")
+                                for d in range(sub)]).alias("mean"),
+                      F.count(F.lit(1)).alias("n"))
+                 .collect())
+        for r in stats:
+            cents[r.mi][r.code] = [float(x) for x in r.mean]
+    return cents
+
+
+def encode_pq(corpus: DataFrame, cents: list,
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              dim: int = 64) -> DataFrame:
+    """(id, codes array<int> of length m): the compressed corpus.
+    Pure argmin expressions per subspace — encoding a 100 TB corpus is
+    one codegen scan, no Python."""
+    m = len(cents)
+    v = _normalized(corpus, vec_col, id_col)
+    slices = _slices(F.col("u"), dim, m)
+    codes = F.array(*[_argmin_code(slices[mi], cents[mi])
+                      for mi in range(m)])
+    return v.select("id", codes.alias("codes"))
+
+
+def pq_topk(codes: DataFrame, queries: DataFrame, cents: list, k: int,
+            vec_col: str = "embedding", id_col: str = "vec_id",
+            dim: int = 64) -> DataFrame:
+    """ADC top-k: (query_id, neighbor_id, adc_dist, rank).
+
+    Each query row computes its flat m·n_cent LUT once; the broadcast
+    join prices every corpus code row at m element_at lookups + adds.
+    Ascending squared-L2 over normalized vectors ≡ descending cosine."""
+    m, n_cent = len(cents), len(cents[0])
+    q = _normalized(queries, vec_col, id_col)
+    qslices = _slices(F.col("u"), dim, m)
+    lut = F.array(*[_sq_dist(qslices[mi], _lit_vec(cents[mi][j]))
+                    for mi in range(m) for j in range(n_cent)])
+    qlut = q.select(F.col("id").alias("query_id"), lut.alias("lut"))
+
+    score = None
+    for mi in range(m):
+        term = F.element_at(
+            F.col("lut"),
+            F.lit(mi * n_cent + 1) + F.element_at(F.col("codes"), mi + 1))
+        score = term if score is None else score + term
+
+    scored = (codes.withColumnRenamed("id", "neighbor_id")
+              .join(F.broadcast(qlut),
+                    F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("adc_dist", F.round(score, 6)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "adc_dist", "rank"))
+
+
+def pq_topk_rerank(codes: DataFrame, corpus: DataFrame,
+                   queries: DataFrame, cents: list, k: int,
+                   shortlist: int | None = None,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   dim: int = 64) -> DataFrame:
+    """ADC shortlist → EXACT cosine re-rank (the +R stage of IVFADC+R):
+    (query_id, neighbor_id, cosine, rank).
+
+    The compressed scan prices every corpus row with table lookups and
+    keeps only ``shortlist`` (default 5k) candidates per query; full
+    vectors are fetched for those few rows only (a candidate-side
+    broadcast join back to the corpus) and re-scored exactly. Recall
+    approaches exact search while the corpus-wide pass never touches a
+    raw vector — the memory/IO contract that matters at 100 TB."""
+    if shortlist is None:
+        shortlist = 5 * k
+    cand = pq_topk(codes, queries, cents, shortlist,
+                   vec_col, id_col, dim).select("query_id", "neighbor_id")
+    c = _normalized(corpus, vec_col, id_col).select(
+        F.col("id").alias("neighbor_id"), F.col("u").alias("un"))
+    q = _normalized(queries, vec_col, id_col).select(
+        F.col("id").alias("query_id"), F.col("u").alias("uq"))
+    cos = F.aggregate(F.zip_with(F.col("uq"), F.col("un"),
+                                 lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    scored = (c.join(F.broadcast(cand), "neighbor_id")
+              .join(F.broadcast(q), "query_id")
+              .withColumn("cosine", F.round(cos, 6)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))
