@@ -1,3 +1,3 @@
-from . import scalar, text, vectors
+from . import json_ops, scalar, text, vectors
 
-__all__ = ["scalar", "text", "vectors"]
+__all__ = ["json_ops", "scalar", "text", "vectors"]

@@ -105,6 +105,17 @@ def write_parquet_clustered(df: DataFrame, path: str,
     w.parquet(path)
 
 
+def read_parquet_evolved(spark: SparkSession, *paths: str) -> DataFrame:
+    """Read parquet written under an EVOLVING schema (columns added
+    over time, the normal state of a long-lived 100 TB table):
+    ``mergeSchema`` unions the footers' schemas, rows from older files
+    null-fill the newer columns. Footer merging costs one metadata
+    pass — which is why it is opt-in here and not a default read
+    setting; pushdown and pruning still apply to every column that
+    exists in a given file."""
+    return (spark.read.option("mergeSchema", "true").parquet(*paths))
+
+
 def zorder_column(df: DataFrame, cols: list[str],
                   bits: int = 8) -> "F.Column":
     """Z-value (Morton code) over ≥2 numeric columns.
