@@ -1,4 +1,13 @@
-from . import aggregates, filters, joins, sampling, setops, sorts, windows
+from . import (
+    aggregates,
+    filters,
+    incremental,
+    joins,
+    sampling,
+    setops,
+    sorts,
+    windows,
+)
 
-__all__ = ["aggregates", "filters", "joins", "sampling", "setops",
-           "sorts", "windows"]
+__all__ = ["aggregates", "filters", "incremental", "joins", "sampling",
+           "setops", "sorts", "windows"]
