@@ -30,6 +30,47 @@ def hash_sample(df: DataFrame, fraction: float,
     return df.filter(bucket < F.lit(int(round(fraction * HASH_BUCKETS))))
 
 
+def build_mixture(df: DataFrame, weights: dict[str, float],
+                  total_tokens: int, source_col: str = "source",
+                  token_col: str = "n_tokens",
+                  id_col: str = "doc_id", seed: int = 0) -> DataFrame:
+    """Training-mixture construction: sample each source so its token
+    share matches ``weights`` within a ``total_tokens`` budget (the
+    Pile/DoReMi mixing step).
+
+    One aggregation derives per-source token totals; each source's
+    keep-fraction is ``weight·total_tokens / source_tokens`` (clamped
+    at 1 — a source too small to fill its share contributes everything
+    it has; callers detect the shortfall by comparing realized vs
+    target shares). Membership is then ONE deterministic hash-filter
+    scan with the per-source cut joined in broadcast — no shuffle of
+    corpus rows, rerun-stable, unlisted sources drop out.
+
+    Expected (not exact) token totals: the hash filter samples
+    documents, so realized share converges to target as docs/source
+    grows — the law-of-large-numbers contract every hash-sampled
+    mixture pipeline accepts. Exact ceilings compose downstream via
+    ``pack_by_budget_strict``."""
+    totals = (df.groupBy(source_col)
+              .agg(F.sum(token_col).alias("__src_tokens"))
+              .collect())
+    cuts = []
+    for r in totals:
+        w = weights.get(r[source_col])
+        if w is None:
+            continue
+        frac = min(1.0, (w * total_tokens) / max(1, r["__src_tokens"]))
+        cuts.append((r[source_col], int(round(frac * HASH_BUCKETS))))
+    spark = df.sparkSession
+    cut_df = spark.createDataFrame(
+        cuts, f"{source_col} string, __cut long")
+    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)),
+                    F.lit(HASH_BUCKETS))
+    return (df.join(F.broadcast(cut_df), source_col)
+            .filter(bucket < F.col("__cut"))
+            .drop("__cut"))
+
+
 def stratified_sample_exact(df: DataFrame, strata: Sequence[str],
                             fraction: float,
                             id_col: str = "doc_id") -> DataFrame:
