@@ -43,6 +43,30 @@ _DEFAULTS = {
 }
 
 
+def enable_runtime_filters(spark: SparkSession,
+                           application_side_min_bytes: int = 0) -> None:
+    """Turn on runtime bloom-filter join pruning for this session.
+
+    Catalyst can build a bloom filter from the FILTERED build side of
+    a shuffle join and push it into the probe side's scan — rows whose
+    join key cannot match are dropped at the source, before the
+    shuffle. For a fact ⋈ selective-dim join at 100 TB this prunes
+    most of the fact scan's shuffle output; it is the runtime
+    complement to static partition pruning.
+
+    Spark gates injection on the probe scan being large
+    (``applicationSideScanSizeThreshold``, default 10 GB — always met
+    by a real fact table; lowered here so local tests exercise the
+    same plan). The feature itself ships enabled in Spark 3.5+; this
+    helper only adjusts the size gate."""
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled",
+                   "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold",
+        str(application_side_min_bytes))
+
+
 def get_spark(app_name: str = "big-data-bowl-2023-spark",
               master: str | None = None,
               extra_conf: dict[str, str] | None = None) -> SparkSession:
