@@ -105,6 +105,84 @@ def write_parquet_clustered(df: DataFrame, path: str,
     w.parquet(path)
 
 
+def _file_digests(df: DataFrame) -> dict:
+    """Per-file {rows, xor64} over every data column: one scan,
+    bit_xor of row hashes (order-insensitive, overflow-free — a sum
+    would trip ANSI overflow; ordering-sensitive digests would tie the
+    manifest to task scheduling)."""
+    import os
+
+    cols = [F.col(c) for c in df.columns]
+    rows = (df.groupBy(F.input_file_name().alias("f"))
+            .agg(F.count(F.lit(1)).alias("rows"),
+                 F.bit_xor(F.xxhash64(*cols)).alias("xor64"))
+            .collect())
+    return {os.path.basename(r.f): {"rows": r.rows, "xor64": r.xor64}
+            for r in rows}
+
+
+def write_parquet_with_manifest(df: DataFrame, path: str,
+                                mode: str = "overwrite") -> dict:
+    """Parquet sink + integrity manifest (``_MANIFEST.json``).
+
+    Object stores lose files, partial job retries leave orphans, and
+    a 100 TB table cannot be eyeballed: the manifest records per-file
+    row counts and content digests at write time so any later reader
+    can cheaply answer "is this dataset exactly what the job wrote?".
+    ``verify_parquet_manifest`` recomputes and reports missing,
+    extra, and modified files."""
+    import json
+    import os
+
+    df.write.mode(mode).parquet(path)
+    written = df.sparkSession.read.parquet(path)
+    manifest = {
+        "columns": written.columns,
+        "files": _file_digests(written),
+    }
+    manifest["total_rows"] = sum(
+        f["rows"] for f in manifest["files"].values())
+    with open(os.path.join(path, "_MANIFEST.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    return manifest
+
+
+def verify_parquet_manifest(spark: SparkSession, path: str) -> dict:
+    """Recompute digests and diff against the manifest. Returns
+    {"ok", "missing", "extra", "modified", "rows_expected",
+    "rows_found"} — one scan, same cost as any full read."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_MANIFEST.json")) as fh:
+        manifest = json.load(fh)
+    # List through the Hadoop FS API (works on any scheme) and read
+    # the EXPLICIT current file set: verification must see the
+    # filesystem as it is now, not the session's FileStatusCache view
+    # of a directory it read before the tampering.
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(
+        spark._jsc.hadoopConfiguration())  # type: ignore[union-attr]
+    files = [s.getPath().toString() for s in fs.listStatus(jpath)
+             if s.getPath().getName().endswith(".parquet")]
+    spark.catalog.refreshByPath(path)
+    found = _file_digests(
+        spark.read.parquet(*files).select(*manifest["columns"]))
+    expected = manifest["files"]
+    missing = sorted(set(expected) - set(found))
+    extra = sorted(set(found) - set(expected))
+    modified = sorted(f for f in set(found) & set(expected)
+                      if found[f] != expected[f])
+    rows_found = sum(f["rows"] for f in found.values())
+    return {
+        "ok": not (missing or extra or modified),
+        "missing": missing, "extra": extra, "modified": modified,
+        "rows_expected": manifest["total_rows"],
+        "rows_found": rows_found,
+    }
+
+
 def read_parquet_evolved(spark: SparkSession, *paths: str) -> DataFrame:
     """Read parquet written under an EVOLVING schema (columns added
     over time, the normal state of a long-lived 100 TB table):
