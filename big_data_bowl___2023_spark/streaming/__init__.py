@@ -1,6 +1,7 @@
 from .dedup_stream import (
     fingerprint_index,
     incremental_dedup,
+    incremental_dedup_watermarked,
     incremental_minhash_pairs,
     read_document_stream,
 )
@@ -14,6 +15,7 @@ from .events import (
 )
 
 __all__ = ["fingerprint_index", "funnel_detect", "funnel_detect_batch",
-           "incremental_dedup", "incremental_minhash_pairs",
-           "read_document_stream", "read_event_stream",
-           "run_available_now", "session_windows", "tumbling_counts"]
+           "incremental_dedup", "incremental_dedup_watermarked",
+           "incremental_minhash_pairs", "read_document_stream",
+           "read_event_stream", "run_available_now", "session_windows",
+           "tumbling_counts"]

@@ -90,6 +90,27 @@ def incremental_dedup(new_docs: DataFrame,
     return deduped
 
 
+def incremental_dedup_watermarked(stream_df: DataFrame, ts_col: str,
+                                  delay: str,
+                                  text_col: str = "text") -> DataFrame:
+    """Within-stream dedup with BOUNDED state.
+
+    Plain ``dropDuplicates`` keeps one state entry per distinct
+    fingerprint forever — unbounded on an unbounded stream.
+    ``dropDuplicatesWithinWatermark`` evicts an entry once the
+    watermark passes its event time + delay, so state size is bounded
+    by the distinct-fingerprint rate within the watermark horizon.
+    The contract weakens accordingly: duplicates arriving within
+    ``delay`` of each other are dropped; a duplicate arriving after
+    its predecessor's state was evicted is emitted again (downstream
+    reconciles against the historical index, which is exactly what
+    ``incremental_dedup``'s anti join does)."""
+    fp = stream_df.withColumn("fingerprint",
+                              Tx.fingerprint(F.col(text_col)))
+    return (fp.withWatermark(ts_col, delay)
+            .dropDuplicatesWithinWatermark(["fingerprint"]))
+
+
 def incremental_minhash_pairs(new_docs: DataFrame, corpus: DataFrame,
                               threshold: float,
                               num_perms: int = MH.DEFAULT_PERMS,
