@@ -5,9 +5,10 @@ from . import (
     joins,
     sampling,
     setops,
+    skew,
     sorts,
     windows,
 )
 
 __all__ = ["aggregates", "filters", "incremental", "joins", "sampling",
-           "setops", "sorts", "windows"]
+           "setops", "skew", "sorts", "windows"]

@@ -105,6 +105,31 @@ def write_parquet_clustered(df: DataFrame, path: str,
     w.parquet(path)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — the other columnar interchange format (Hive/Trino
+    estates); same pushdown/pruning properties as parquet."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def read_binary_files(spark: SparkSession, pattern: str,
+                      glob_filter: str | None = None) -> DataFrame:
+    """Raw-asset ingestion via the ``binaryFile`` source: one row per
+    file with (path, modificationTime, length, content binary) — the
+    entry point that turns a bucket of images/audio into a DataFrame
+    the multimodal ops (multimodal/binary_ops.py) consume. Spark
+    splits at file granularity, so thousands of assets parallelize
+    across executors; pair with ``pathGlobFilter`` to prune by
+    extension at listing time."""
+    r = spark.read.format("binaryFile")
+    if glob_filter:
+        r = r.option("pathGlobFilter", glob_filter)
+    return r.load(pattern)
+
+
 def _file_digests(df: DataFrame) -> dict:
     """Per-file {rows, xor64} over every data column: one scan,
     bit_xor of row hashes (order-insensitive, overflow-free — a sum
