@@ -67,6 +67,20 @@ def enable_runtime_filters(spark: SparkSession,
         str(application_side_min_bytes))
 
 
+def enable_aggregate_pushdown(spark: SparkSession) -> None:
+    """Answer bare MIN/MAX/COUNT from parquet footer statistics.
+
+    A full-table MIN/MAX/COUNT over 100 TB normally scans every row;
+    with aggregate pushdown the DSv2 parquet scan reads only the file
+    footers — O(files), not O(rows). Two confs: the pushdown switch,
+    and routing parquet through the v2 source (the v1 path cannot push
+    aggregates). Applies to ungrouped, unfiltered aggregates over
+    plain columns — anything else falls back to a normal scan, so
+    enabling this is never a correctness trade."""
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+
+
 def get_spark(app_name: str = "big-data-bowl-2023-spark",
               master: str | None = None,
               extra_conf: dict[str, str] | None = None) -> SparkSession:
