@@ -1,6 +1,7 @@
 from . import (
     aggregates,
     filters,
+    graph,
     incremental,
     joins,
     sampling,
@@ -10,5 +11,5 @@ from . import (
     windows,
 )
 
-__all__ = ["aggregates", "filters", "incremental", "joins", "sampling",
-           "setops", "skew", "sorts", "windows"]
+__all__ = ["aggregates", "filters", "graph", "incremental", "joins",
+           "sampling", "setops", "skew", "sorts", "windows"]
