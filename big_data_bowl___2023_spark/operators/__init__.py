@@ -1,6 +1,7 @@
 from . import (
     aggregates,
     filters,
+    fuzzy,
     graph,
     incremental,
     joins,
@@ -11,5 +12,5 @@ from . import (
     windows,
 )
 
-__all__ = ["aggregates", "filters", "graph", "incremental", "joins",
-           "sampling", "setops", "skew", "sorts", "windows"]
+__all__ = ["aggregates", "filters", "fuzzy", "graph", "incremental",
+           "joins", "sampling", "setops", "skew", "sorts", "windows"]
