@@ -8,6 +8,7 @@ from .dedup_stream import (
 from .events import (
     funnel_detect,
     funnel_detect_batch,
+    hopping_counts,
     read_event_stream,
     run_available_now,
     session_windows,
@@ -15,7 +16,7 @@ from .events import (
 )
 
 __all__ = ["fingerprint_index", "funnel_detect", "funnel_detect_batch",
-           "incremental_dedup", "incremental_dedup_watermarked",
-           "incremental_minhash_pairs", "read_document_stream",
-           "read_event_stream", "run_available_now", "session_windows",
-           "tumbling_counts"]
+           "hopping_counts", "incremental_dedup",
+           "incremental_dedup_watermarked", "incremental_minhash_pairs",
+           "read_document_stream", "read_event_stream",
+           "run_available_now", "session_windows", "tumbling_counts"]

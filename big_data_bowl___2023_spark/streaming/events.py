@@ -81,6 +81,25 @@ def tumbling_counts(events: DataFrame, width: str = "1 day",
                     "event_type", "n", "total_value"))
 
 
+def hopping_counts(events: DataFrame, width: str = "1 day",
+                   slide: str = "6 hours",
+                   watermark: str | None = None) -> DataFrame:
+    """Sliding (hopping) windows: every event lands in width/slide
+    overlapping windows — the moving-average / rolling-rate shape
+    (e.g. "events per trailing day, updated every 6 hours"). Same
+    plan as tumbling but the window expression fans each row out to
+    its covering windows map-side; state per key is width/slide
+    window entries, still bounded by the watermark."""
+    if watermark:
+        events = events.withWatermark("ts", watermark)
+    return (events
+            .groupBy(F.window("ts", width, slide).alias("w"),
+                     "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"),
+                    "event_type", "n"))
+
+
 def session_windows(events: DataFrame, gap: str = "30 minutes",
                     watermark: str | None = None) -> DataFrame:
     """Per-user activity sessions via ``session_window`` — the
