@@ -67,18 +67,26 @@ def minhash_band_pairs(df: DataFrame, threshold: float,
     """(doc_a, doc_b, jaccard) for band-colliding pairs whose exact
     shingle Jaccard ≥ threshold.
 
-    Verification joins the shingle sets only for candidate pairs
-    (semi-join pushout), so the expensive exact step is proportional
-    to collisions, not corpus size squared.
+    ONE shuffle builds everything per-doc: raw (non-distinct) shingle
+    rows aggregate to the k min-hashes (min is duplicate-insensitive,
+    so distinct-ing first would be a wasted exchange), the distinct
+    shingle SET (``collect_set``, bounded by document length), and its
+    size. Verification then touches only candidate pairs: two joins
+    against the small per-doc table and a codegen
+    ``size(array_intersect(...))`` per pair — the round-1 shape
+    re-shuffled the full shingle table per verify side (3M-row
+    exchange at sf0.1); this one never shuffles shingle rows again.
     """
-    sh = shingle_docs(df, text_col, id_col, n).cache()
+    toks_sh = shingle_docs(df, text_col, id_col, n, distinct=False)
     aggs = [F.min(F.md5(F.encode(F.concat(F.lit(str(i)), F.col("shingle")),
                                  "UTF-8"))).alias(f"h{i}")
             for i in range(num_perms)]
-    aggs.append(F.count(F.lit(1)).alias("n_sh"))
-    sig = sh.groupBy("doc_id").agg(*aggs).cache()
+    aggs.append(F.collect_set("shingle").alias("sset"))
+    per_doc = (toks_sh.groupBy("doc_id").agg(*aggs)
+               .withColumn("n_sh", F.size("sset"))
+               .cache())
 
-    bandsdf = _band_df(sig, num_perms, bands)
+    bandsdf = _band_df(per_doc, num_perms, bands)
     a, b = bandsdf.alias("a"), bandsdf.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bh") == F.col("b.bh"))
@@ -87,21 +95,16 @@ def minhash_band_pairs(df: DataFrame, threshold: float,
                      F.col("b.doc_id").alias("doc_b"))
              .distinct())
 
-    sa = sh.select(F.col("doc_id").alias("doc_a"),
-                   F.col("shingle").alias("s"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"),
-                   F.col("shingle").alias("s"))
-    shared = (cand.join(sa, "doc_a").join(sb, ["doc_b", "s"])
-                  .groupBy("doc_a", "doc_b")
-                  .agg(F.count(F.lit(1)).alias("shared")))
-
-    na = sig.select(F.col("doc_id").alias("doc_a"),
-                    F.col("n_sh").alias("n_a"))
-    nb = sig.select(F.col("doc_id").alias("doc_b"),
-                    F.col("n_sh").alias("n_b"))
-    j = (F.col("shared")
-         / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double"))
-    return (shared.join(na, "doc_a").join(nb, "doc_b")
+    sa = per_doc.select(F.col("doc_id").alias("doc_a"),
+                        F.col("sset").alias("set_a"),
+                        F.col("n_sh").alias("n_a"))
+    sb = per_doc.select(F.col("doc_id").alias("doc_b"),
+                        F.col("sset").alias("set_b"),
+                        F.col("n_sh").alias("n_b"))
+    shared = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+    j = (shared
+         / (F.col("n_a") + F.col("n_b") - shared).cast("double"))
+    return (cand.join(sa, "doc_a").join(sb, "doc_b")
             .filter(j >= F.lit(threshold))
             .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard")))
 

@@ -17,19 +17,23 @@ from ..functions import text as Tx
 
 
 def shingle_docs(df: DataFrame, text_col: str = "text",
-                 id_col: str = "doc_id", n: int = 2) -> DataFrame:
-    """Distinct word n-gram shingles per doc, one row per (doc,
-    shingle). slice/zip_with keeps shingling inside codegen; docs
-    shorter than n simply produce no rows."""
+                 id_col: str = "doc_id", n: int = 2,
+                 distinct: bool = True) -> DataFrame:
+    """Word n-gram shingles per doc, one row per (doc, shingle),
+    distinct by default. slice/zip_with keeps shingling inside
+    codegen; docs shorter than n simply produce no rows.
+    ``distinct=False`` skips the dedup exchange for consumers whose
+    aggregates are duplicate-insensitive (min-hash) or that dedup in
+    the same shuffle (collect_set)."""
     toks = Tx.tokenize(F.col(text_col))
     cols = [F.slice(toks, i + 1, F.greatest(F.size(toks) - n + 1, F.lit(0)))
             for i in range(n)]
     sh = cols[0]
     for c in cols[1:]:
         sh = F.zip_with(sh, c, lambda a, b: F.concat_ws(" ", a, b))
-    return (df.select(F.col(id_col).alias("doc_id"),
-                      F.explode(sh).alias("shingle"))
-              .distinct())
+    out = df.select(F.col(id_col).alias("doc_id"),
+                    F.explode(sh).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def jaccard_pairs(df: DataFrame, threshold: float,
