@@ -1,3 +1,3 @@
-from . import json_ops, scalar, text, vectors
+from . import gopher, json_ops, redact, scalar, text, vectors
 
-__all__ = ["json_ops", "scalar", "text", "vectors"]
+__all__ = ["gopher", "json_ops", "redact", "scalar", "text", "vectors"]
