@@ -1,0 +1,96 @@
+"""The full corpus-curation → training-shard export pipeline.
+
+Each stage already exists as a tested operator; this module is the
+PRODUCT composition — the one function a data engineer calls to turn
+a raw document table into packed training shards:
+
+    quality gate (Gopher rules) → PII redaction → exact dedup →
+    near-dup cluster resolution (MinHash-LSH → connected components,
+    keep best per cluster) → benchmark decontamination →
+    context-window chunking → per-source token-budget packing →
+    sharded JSONL export (partitioned by source/shard)
+
+Everything stays one lazy Catalyst chain until the export action; the
+returned stats (one count per stage) are the audit record a curation
+run must emit anyway. At 100 TB each stage keeps its own scale
+contract (documented in its module) — the composition adds no new
+shuffles beyond the stages themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..dedup import canonical_docs, exact_dedup, minhash_band_pairs
+from ..dedup.decontaminate import decontaminate
+from ..functions.gopher import gopher_filter
+from ..functions.redact import redact_documents
+from ..functions import text as Tx
+from ..operators.chunking import chunk_sequences
+from ..operators.sampling import pack_by_budget
+from ..sources.io import write_jsonl
+
+
+def curate_and_export(docs: DataFrame, out_dir: str,
+                      benchmark: DataFrame | None = None,
+                      seq_len: int = 512,
+                      shard_budget: int = 4096,
+                      jaccard_threshold: float = 0.3,
+                      min_words: int = 50) -> dict:
+    """Run the pipeline and write shards; returns per-stage counts.
+
+    Shards are packed per source (the parallelism unit — a global
+    pack would serialize) and written as JSONL partitioned by
+    (source, shard) for straight consumption by a trainer."""
+    stats = {"input": docs.count()}
+
+    quality = gopher_filter(docs, min_words=min_words)
+    stats["after_quality"] = quality.count()
+
+    clean = redact_documents(quality)
+
+    deduped = exact_dedup(clean).drop("fingerprint")
+    stats["after_exact_dedup"] = deduped.count()
+
+    pairs = minhash_band_pairs(deduped, jaccard_threshold)
+    # keep the longest doc per near-dup cluster (id tiebreak)
+    withlen = deduped.withColumn("__len", F.length("text"))
+    canon = (canonical_docs(withlen, pairs, prefer_col="__len")
+             .drop("__len", "cluster_id"))
+    stats["after_near_dedup"] = canon.count()
+
+    if benchmark is not None:
+        canon = decontaminate(canon, benchmark)
+        stats["after_decontamination"] = canon.count()
+
+    chunks = (chunk_sequences(canon, seq_len)
+              .join(canon.select("doc_id", "source"), "doc_id"))
+    stats["chunks"] = chunks.count()
+
+    packed = pack_by_budget(chunks, shard_budget, "n_tokens",
+                            ["source"], id_col="doc_id")
+    write_jsonl(packed.repartition("source", "shard")
+                .sortWithinPartitions("doc_id", "seq_idx"),
+                out_dir)
+    stats["shards"] = (packed.select("source", "shard")
+                       .distinct().count())
+    return stats
+
+
+def curation_report(docs: DataFrame) -> DataFrame:
+    """Pre-flight per-source health: doc counts, Gopher pass rate,
+    token volume — the numbers that decide thresholds BEFORE running
+    the pipeline. One aggregation scan."""
+    from ..functions.gopher import flags
+
+    fl = flags(F.col("text"))
+    all_pass = None
+    for c in fl.values():
+        c = F.coalesce(c, F.lit(False))
+        all_pass = c if all_pass is None else (all_pass & c)
+    return (docs.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg(all_pass.cast("double")), 6)
+                 .alias("gopher_pass_rate"),
+                 F.sum(Tx.token_count(F.col("text"))).alias("n_tokens")))

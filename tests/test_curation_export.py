@@ -1,0 +1,79 @@
+"""E45 — end-to-end curation export: stage counts monotone and
+consistent, planted artifacts (duplicate, near-duplicate, PII,
+benchmark leak, junk doc) each handled by their stage, shards respect
+the packing contract, and the JSONL output round-trips."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from big_data_bowl___2023_spark.pipelines.curation import (
+    curate_and_export,
+    curation_report,
+)
+from big_data_bowl___2023_spark.sources.io import load_table
+
+BASE = ("the quick brown fox jumps over the lazy dog and then runs "
+        "far away into the quiet green forest before the cold night "
+        "falls while other animals watch from their warm burrows and "
+        "wonder where the fox is going tonight with such great haste")
+
+
+def _fixture(spark):
+    near_dup = BASE.replace("lazy", "sleepy")  # high-Jaccard variant
+    rows = [
+        (1, BASE, "web"),
+        (2, BASE, "web"),                       # exact duplicate of 1
+        (3, near_dup, "web"),                   # near-duplicate of 1
+        (4, ("an entirely separate report on warehouse inventory "
+             "levels and quarterly shipping delays across regions "
+             "with contact me a@b.io now appended for support ") * 2,
+         "mail"),                               # PII, unrelated text
+        (5, "junk " * 3, "web"),                # fails word count
+        (6, ("completely different text about spark shuffle planning "
+             * 8), "docs"),
+        (7, ("the secret benchmark passage lives here precisely "
+             "unchanged word for word in this document ") * 3, "web"),
+    ]
+    bench = spark.createDataFrame(
+        [(100, "the secret benchmark passage lives here precisely "
+               "unchanged word for word")],
+        ["bench_id", "text"])
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"]), bench
+
+
+def test_pipeline_end_to_end(spark):
+    docs, bench = _fixture(spark)
+    with tempfile.TemporaryDirectory() as tmp:
+        stats = curate_and_export(docs, f"{tmp}/shards",
+                                  benchmark=bench, seq_len=16,
+                                  shard_budget=64, min_words=40)
+        assert stats["input"] == 7
+        assert stats["after_quality"] == 6          # 5 dropped
+        assert stats["after_exact_dedup"] == 5      # 2 dropped
+        assert stats["after_near_dedup"] == 4       # 3 clustered away
+        assert stats["after_decontamination"] == 3  # 7 dropped
+        assert stats["chunks"] >= 3 and stats["shards"] >= 1
+
+        out = spark.read.json(f"{tmp}/shards")
+        kept_docs = {int(r.doc_id) for r in
+                     out.select("doc_id").distinct().collect()}
+        # cluster {1,3} keeps the LONGER variant (doc 3)
+        assert kept_docs == {3, 4, 6}
+        # PII scrubbed before chunking
+        assert out.filter(F.col("seq_text").contains("a@b.io")).count() == 0
+        assert out.filter(F.col("seq_text").contains("[PII-email]")
+                          ).count() > 0
+        # boundary-packing contract: every chunk fits the window
+        assert out.agg(F.max("n_tokens")).collect()[0][0] <= 16
+
+
+def test_curation_report(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rep = {r.source: r for r in curation_report(docs).collect()}
+    assert len(rep) == docs.select("source").distinct().count()
+    for r in rep.values():
+        assert r.n_docs > 0 and r.n_tokens > 0
+        assert 0.0 <= r.gopher_pass_rate <= 1.0
