@@ -9,8 +9,10 @@ from . import (
     setops,
     skew,
     sorts,
+    splits,
     windows,
 )
 
 __all__ = ["aggregates", "filters", "fuzzy", "graph", "incremental",
-           "joins", "sampling", "setops", "skew", "sorts", "windows"]
+           "joins", "sampling", "setops", "skew", "sorts", "splits",
+           "windows"]

@@ -120,6 +120,38 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
                   .dropDuplicates(["query_id", "neighbor_id"]))
 
 
+def mine_hard_negatives(corpus: DataFrame, k: int,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id",
+                        label_col: str = "label") -> DataFrame:
+    """(anchor_id, negative_id, cosine, rank): for every vector, its
+    k most-similar neighbors with a DIFFERENT label — the hard
+    negatives contrastive training mines from a labeled corpus (easy
+    negatives are random; the near-misses carry the gradient signal).
+
+    Composition: exact top-k scoring with the label-mismatch predicate
+    pushed INTO the join, so same-label pairs never reach the ranking
+    window. At corpus scale route the candidate step through the LSH/
+    IVF/PQ paths instead of this broadcast brute force."""
+    c = _prep(corpus, vec_col, id_col, "negative_id").join(
+        corpus.select(F.col(id_col).alias("negative_id"),
+                      F.col(label_col).alias("neg_label")),
+        "negative_id")
+    q = _prep(corpus, vec_col, id_col, "anchor_id").join(
+        corpus.select(F.col(id_col).alias("anchor_id"),
+                      F.col(label_col).alias("anchor_label")),
+        "anchor_id")
+    cos = V.cosine(F.col("anchor_id_v"), F.col("negative_id_v"))
+    scored = (c.join(F.broadcast(q),
+                     F.col("anchor_label") != F.col("neg_label"))
+              .withColumn("cosine", F.round(cos, 6)))
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.asc("negative_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("anchor_id", "negative_id", "cosine", "rank"))
+
+
 def brp_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int,
                  vec_col: str = "embedding", id_col: str = "vec_id",
                  bucket_length: float = 2.0, num_tables: int = 3,

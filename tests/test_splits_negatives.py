@@ -1,0 +1,66 @@
+"""E46/E47 — leakage-safe splitting (no near-dup pair crosses folds,
+frozen assignments, fraction tracking) and hard-negative mining (top
+similar cross-label neighbors, verified against a python oracle)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from big_data_bowl___2023_spark.dedup import minhash_band_pairs
+from big_data_bowl___2023_spark.operators.splits import (
+    assert_no_leakage,
+    leakage_safe_split,
+)
+from big_data_bowl___2023_spark.similarity import mine_hard_negatives
+from big_data_bowl___2023_spark.sources.io import load_table
+
+
+def test_split_never_separates_near_dups(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_band_pairs(docs, 0.3).cache()
+    assert pairs.count() > 0
+    split = leakage_safe_split(docs, pairs, test_frac=0.2).cache()
+
+    assert assert_no_leakage(split, pairs) == 0
+    # row-level hash split WOULD leak on this corpus (sanity that the
+    # check has teeth): assign by doc hash instead of cluster hash
+    naive = split.withColumn(
+        "split", F.when(F.pmod(F.xxhash64("doc_id"), 5) == 0,
+                        "test").otherwise("train"))
+    assert assert_no_leakage(naive, pairs) > 0
+
+    # fraction lands near target and assignments are deterministic
+    frac = (split.filter(F.col("split") == "test").count()
+            / split.count())
+    assert 0.1 < frac < 0.3
+    again = leakage_safe_split(docs, pairs, test_frac=0.2)
+    assert split.select("doc_id", "split").exceptAll(
+        again.select("doc_id", "split")).count() == 0
+
+
+def test_hard_negatives_vs_python_oracle(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(120).cache()
+    K = 5
+    got = defaultdict(list)
+    for r in (mine_hard_negatives(emb, K).orderBy("anchor_id", "rank")
+              .collect()):
+        got[r.anchor_id].append((r.negative_id, r.cosine))
+
+    rows = emb.collect()
+    ids = [r.vec_id for r in rows]
+    labels = {r.vec_id: r.label for r in rows}
+    V = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+         for r in rows}
+    for a in ids:
+        cands = []
+        for b in ids:
+            if labels[b] == labels[a]:
+                continue
+            c = float(V[a] @ V[b]
+                      / (np.linalg.norm(V[a]) * np.linalg.norm(V[b])))
+            cands.append((b, round(c, 6)))
+        cands.sort(key=lambda t: (-t[1], t[0]))
+        assert got[a] == cands[:K], a
