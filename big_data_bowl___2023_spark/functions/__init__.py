@@ -1,3 +1,4 @@
-from . import gopher, json_ops, redact, scalar, text, vectors
+from . import gopher, json_ops, lm_score, redact, scalar, text, vectors
 
-__all__ = ["gopher", "json_ops", "redact", "scalar", "text", "vectors"]
+__all__ = ["gopher", "json_ops", "lm_score", "redact", "scalar",
+           "text", "vectors"]
