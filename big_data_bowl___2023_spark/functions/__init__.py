@@ -1,4 +1,13 @@
-from . import gopher, json_ops, lm_score, redact, scalar, text, vectors
+from . import (
+    gopher,
+    json_ops,
+    lm_score,
+    redact,
+    scalar,
+    text,
+    vectors,
+    vocab,
+)
 
 __all__ = ["gopher", "json_ops", "lm_score", "redact", "scalar",
-           "text", "vectors"]
+           "text", "vectors", "vocab"]

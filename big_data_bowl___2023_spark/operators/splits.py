@@ -42,6 +42,19 @@ def leakage_safe_split(docs: DataFrame, pairs: DataFrame,
     return labeled.withColumn("split", side)
 
 
+def leakage_safe_folds(docs: DataFrame, pairs: DataFrame, k: int,
+                       id_col: str = "doc_id",
+                       seed: int = 0) -> DataFrame:
+    """K-fold variant for cross-validation: input plus ``cluster_id``
+    and ``fold`` ∈ [0, k). Same cluster-hash determinism — every
+    member of a duplicate cluster shares a fold, so no CV split ever
+    trains on an eval document's near-duplicate."""
+    labeled = resolve_clusters(docs, pairs, id_col=id_col)
+    fold = F.pmod(F.xxhash64(F.col("cluster_id"), F.lit(seed)),
+                  F.lit(k)).cast("int")
+    return labeled.withColumn("fold", fold)
+
+
 def assert_no_leakage(split_docs: DataFrame, pairs: DataFrame,
                       id_col: str = "doc_id") -> int:
     """Number of near-dup pairs crossing the split (MUST be 0 for a
