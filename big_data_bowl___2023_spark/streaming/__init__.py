@@ -5,6 +5,7 @@ from .dedup_stream import (
     incremental_minhash_pairs,
     read_document_stream,
 )
+from .joins import foreach_batch_upsert, interval_join
 from .events import (
     funnel_detect,
     funnel_detect_batch,
@@ -15,7 +16,8 @@ from .events import (
     tumbling_counts,
 )
 
-__all__ = ["fingerprint_index", "funnel_detect", "funnel_detect_batch",
+__all__ = ["fingerprint_index", "foreach_batch_upsert", "funnel_detect",
+           "funnel_detect_batch", "interval_join",
            "hopping_counts", "incremental_dedup",
            "incremental_dedup_watermarked", "incremental_minhash_pairs",
            "read_document_stream", "read_event_stream",
