@@ -58,8 +58,15 @@ def score_documents(docs: DataFrame, lm: DataFrame,
     (nothing to score). Higher = more corpus-typical."""
     vocab = lm.select("w2").distinct().count()
     bg = _bigrams(docs, text_col, id_col)
-    joined = bg.join(lm, ["w1", "w2"], "left")
-    # unseen w1: n_prefix null -> treated as 0
+    # Join the pair counts on (w1, w2) and the prefix counts on w1
+    # INDEPENDENTLY: an unseen bigram whose prefix w1 IS in the model
+    # must still see its true n_prefix, else p degrades to
+    # add_k/(add_k*vocab) and rare continuations of common prefixes
+    # get inflated scores.
+    counts = lm.select("w1", "w2", "n_bigram")
+    prefix = lm.select("w1", "n_prefix").distinct()
+    joined = (bg.join(counts, ["w1", "w2"], "left")
+              .join(prefix, ["w1"], "left"))
     p = ((F.coalesce(F.col("n_bigram"), F.lit(0)) + F.lit(add_k))
          / (F.coalesce(F.col("n_prefix"), F.lit(0))
             + F.lit(add_k * vocab)))

@@ -154,11 +154,19 @@ def corr_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     aggs = []
     for i, a in enumerate(cols):
         for b in cols[i:]:
-            aggs.append(F.round(F.corr(F.col(a), F.col(b)), 6)
-                        .alias(f"{a}|{b}"))
+            # corr spelled as try_divide(covar, sx*sy): F.corr raises
+            # DIVIDE_BY_ZERO under ANSI mode when a column is constant;
+            # this form yields null there (surfaced as NaN below)
+            r = F.try_divide(
+                F.covar_samp(F.col(a), F.col(b)),
+                F.stddev_samp(F.col(a)) * F.stddev_samp(F.col(b)))
+            aggs.append(F.round(r, 6).alias(f"{a}|{b}"))
     row = df.agg(*aggs).collect()[0]
     spark = df.sparkSession
-    out = [(a, b, float(row[f"{a}|{b}"]))
+    # corr of a constant column is null (zero variance) — surface it
+    # as NaN rather than raising float(None)
+    out = [(a, b, float(row[f"{a}|{b}"])
+            if row[f"{a}|{b}"] is not None else float("nan"))
            for i, a in enumerate(cols) for b in cols[i:]]
     return spark.createDataFrame(out, ["col_a", "col_b", "corr"])
 

@@ -49,4 +49,8 @@ def chunk_sequences(df: DataFrame, seq_len: int,
                     F.explode(starts).alias("seq_idx"))
             .select("doc_id", "seq_idx",
                     F.concat_ws(" ", window).alias("seq_text"),
-                    F.size(window).alias("n_tokens")))
+                    F.size(window).alias("n_tokens"))
+            # stride > seq_len can place the last start index past the
+            # final token (ceil((n-L)/S)+1 overshoots when S doesn't
+            # divide n-L evenly) — an empty window is never a chunk
+            .filter(F.col("n_tokens") > 0))

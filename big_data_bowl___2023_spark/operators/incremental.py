@@ -37,7 +37,10 @@ def partial_rollup(df: DataFrame, group_cols: Sequence[str],
     for c in num_cols:
         aggs += [F.sum(c).alias(f"sum_{c}"),
                  F.min(c).alias(f"min_{c}"),
-                 F.max(c).alias(f"max_{c}")]
+                 F.max(c).alias(f"max_{c}"),
+                 # non-null count: avg must divide by count(c), not
+                 # count(*), or nulls in c skew the finalized average
+                 F.count(c).alias(f"cnt_{c}")]
     for c in distinct_cols:
         aggs.append(F.hll_sketch_agg(c).alias(f"hll_{c}"))
     return df.groupBy(*group_cols).agg(*aggs)
@@ -55,7 +58,8 @@ def merge_rollups(state: DataFrame, delta: DataFrame,
     for c in num_cols:
         aggs += [F.sum(f"sum_{c}").alias(f"sum_{c}"),
                  F.min(f"min_{c}").alias(f"min_{c}"),
-                 F.max(f"max_{c}").alias(f"max_{c}")]
+                 F.max(f"max_{c}").alias(f"max_{c}"),
+                 F.sum(f"cnt_{c}").alias(f"cnt_{c}")]
     for c in distinct_cols:
         aggs.append(F.hll_union_agg(f"hll_{c}").alias(f"hll_{c}"))
     return u.groupBy(*group_cols).agg(*aggs)
@@ -69,7 +73,7 @@ def finalize_rollup(state: DataFrame, group_cols: Sequence[str],
     cols = [*[F.col(c) for c in group_cols], F.col("n")]
     for c in num_cols:
         cols += [F.col(f"sum_{c}"), F.col(f"min_{c}"), F.col(f"max_{c}"),
-                 (F.col(f"sum_{c}") / F.col("n")).alias(f"avg_{c}")]
+                 (F.col(f"sum_{c}") / F.col(f"cnt_{c}")).alias(f"avg_{c}")]
     for c in distinct_cols:
         cols.append(F.hll_sketch_estimate(F.col(f"hll_{c}"))
                     .alias(f"distinct_{c}"))

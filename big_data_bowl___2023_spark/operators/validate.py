@@ -89,8 +89,14 @@ class Suite:
         if self._aggs:
             exprs = []
             for i, (_, _, metric, _, passed) in enumerate(self._aggs):
-                exprs.append(metric.alias(f"m{i}"))
-                exprs.append(passed.alias(f"p{i}"))
+                # on an empty frame sum-based metrics are null: a null
+                # violation count is zero violations, and the null
+                # comparison it feeds is a pass — coalesce both so the
+                # suite reports instead of raising float(None)
+                exprs.append(F.coalesce(metric, F.lit(0.0))
+                             .alias(f"m{i}"))
+                exprs.append(F.coalesce(passed, F.lit(True))
+                             .alias(f"p{i}"))
             agg = df.agg(*exprs).collect()[0]
             for i, (check, col, _, thr, _) in enumerate(self._aggs):
                 rows.append((check, col, float(agg[f"m{i}"]), thr,

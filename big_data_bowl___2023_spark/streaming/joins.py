@@ -32,14 +32,24 @@ def interval_join(left: DataFrame, right: DataFrame, key: str,
 
     On streaming inputs both sides get the watermark (required for
     state eviction); on batch inputs the same plan is an ordinary
-    range join, which is what the parity test exploits."""
+    range join, which is what the parity test exploits.
+
+    Right-side payload columns come out prefixed ``r_`` so that two
+    streams sharing payload names (the common case: both carry e.g.
+    ``value``) never produce ambiguous output columns."""
+    reserved = {"k", "l_ts", "r_ts"}
+    clash = [c for c in left.columns
+             if c not in (key, left_ts) and c in reserved]
+    if clash:
+        raise ValueError(
+            f"left payload columns collide with reserved names: {clash}")
     l = left.select(F.col(key).alias("k"),
                     F.col(left_ts).alias("l_ts"),
                     *[c for c in left.columns
                       if c not in (key, left_ts)])
     r = right.select(F.col(key).alias("k"),
                      F.col(right_ts).alias("r_ts"),
-                     *[c for c in right.columns
+                     *[F.col(c).alias(f"r_{c}") for c in right.columns
                        if c not in (key, right_ts)])
     if watermark and l.isStreaming:
         l = l.withWatermark("l_ts", watermark)

@@ -29,6 +29,18 @@ def test_hand_counted_windows(spark):
     assert len(out) == 5
 
 
+def test_stride_beyond_seq_len_no_empty_windows(spark):
+    """Regression: n=10, L=2, S=5 — the count formula overshoots and
+    would emit a start index past the last token; the empty window
+    must be filtered, the real windows kept."""
+    text = " ".join(f"t{i}" for i in range(1, 11))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    out = {r.seq_idx: (r.seq_text, r.n_tokens)
+           for r in chunk_sequences(df, seq_len=2, stride=5).collect()}
+    assert out == {0: ("t1 t2", 2), 1: ("t6 t7", 2)}
+    assert all(n > 0 for _, n in out.values())
+
+
 def test_disjoint_windows_reconstruct_document(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(50)
     chunks = chunk_sequences(docs, seq_len=7)  # stride defaults to 7

@@ -37,6 +37,25 @@ def test_hand_computed_scores(spark):
     assert scored[10][1] > scored[11][1]  # typical beats unseen
 
 
+def test_unseen_bigram_with_seen_prefix(spark):
+    """Regression: an unseen (w1,w2) whose prefix w1 IS in the model
+    must be smoothed against the true n_prefix, not 0 — the (w1,w2)
+    left join alone nulls n_prefix for exactly these rows."""
+    corpus = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d")], ["doc_id", "text"])
+    lm = train_bigram_lm(corpus)
+    V = 3
+    scored = {r.doc_id: (r.n_bigrams, r.avg_logprob)
+              for r in score_documents(
+                  spark.createDataFrame([(20, "a c")],
+                                        ["doc_id", "text"]),
+                  lm).collect()}
+    # (a,c) unseen but prefix 'a' has n_prefix=2: log(k/(2+kV))
+    assert scored[20] == (1, round(smoothed_logprob(0, 2, V), 6))
+    # and the buggy value it must NOT equal: log(k/(0+kV))
+    assert scored[20][1] != round(smoothed_logprob(0, 0, V), 6)
+
+
 def test_corpus_text_beats_gibberish(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     lm = train_bigram_lm(docs).cache()

@@ -35,17 +35,31 @@ def test_interval_join_stream_batch_parity(spark, sf_dir):
 
     batch = interval_join(_typed(ev_b, ta), _typed(ev_b, tb),
                           "user_id", upper="10 minutes")
-    b_rows = {(r.k, r[f"{ta}_id"], r[f"{tb}_id"])
+    b_rows = {(r.k, r[f"{ta}_id"], r[f"r_{tb}_id"])
               for r in batch.collect()}
     assert len(b_rows) > 0
 
     ev_s = read_event_stream(spark, sf_dir)
     stream = interval_join(_typed(ev_s, ta), _typed(ev_s, tb),
                            "user_id", upper="10 minutes")
-    s_rows = {(r.k, r[f"{ta}_id"], r[f"{tb}_id"])
+    s_rows = {(r.k, r[f"{ta}_id"], r[f"r_{tb}_id"])
               for r in run_available_now(stream, spark,
                                          output_mode="append").collect()}
     assert s_rows == b_rows
+
+
+def test_interval_join_shared_payload_names(spark):
+    """Both sides carrying the same payload column name must not
+    produce ambiguous output columns (right side comes out r_-prefixed)."""
+    left = spark.createDataFrame(
+        [(1, 100.0, "L")], ["uid", "ts", "value"])
+    right = spark.createDataFrame(
+        [(1, 150.0, "R")], ["uid", "ts", "value"])
+    out = interval_join(left, right, "uid",
+                        lower="0 seconds", upper="2 minutes")
+    assert set(out.columns) == {"k", "l_ts", "value", "r_ts", "r_value"}
+    row = out.collect()[0]
+    assert (row.value, row.r_value) == ("L", "R")
 
 
 def test_foreach_batch_upsert_converges(spark):

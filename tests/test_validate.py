@@ -91,6 +91,38 @@ def test_foreign_key_and_gate(spark, sf_dir):
     assert not check_all_passed(res)
 
 
+def test_suite_on_empty_frame_reports_not_raises(spark, sf_dir):
+    """Regression: sum-based metrics are null on an empty input; the
+    suite must report them as zero violations / pass, not raise
+    TypeError on float(None)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.lit(False))
+    res = (Suite()
+           .non_empty()
+           .in_range("o_totalprice", 0.0, 1e9)
+           .satisfies("priority_known",
+                      F.col("o_orderpriority").isNotNull())
+           .run(orders))
+    by_check = {r.check: r for r in res.collect()}
+    assert by_check["in_range"].metric == 0.0
+    assert by_check["in_range"].passed
+    assert by_check["satisfies"].metric == 0.0
+    assert by_check["satisfies"].passed
+    assert not by_check["non_empty"].passed  # empty still fails this
+    assert not check_all_passed(res)
+
+
+def test_corr_matrix_constant_column_yields_nan(spark):
+    from big_data_bowl___2023_spark.operators import aggregates as agg
+    import math
+    df = spark.createDataFrame([(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)],
+                               ["x", "c"])
+    got = {(r.col_a, r.col_b): r.corr
+           for r in agg.corr_matrix(df, ["x", "c"]).collect()}
+    assert got[("x", "x")] == 1.0
+    assert math.isnan(got[("x", "c")])  # zero variance: no corr
+    assert math.isnan(got[("c", "c")])
+
+
 def test_gate_fails_on_duplicates_and_range(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     dupes = docs.unionByName(docs.limit(10))
