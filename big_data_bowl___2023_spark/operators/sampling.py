@@ -17,6 +17,43 @@ from pyspark.sql import functions as F
 
 HASH_BUCKETS = 1_000_000
 
+# portable split granularity: 4 hex chars of md5 = 65536 buckets
+PORTABLE_BUCKETS = 65536
+
+
+def portable_split_cut(fraction: float) -> str:
+    """4-hex-char cut below which a row is OUT of the kept fraction:
+    keep ⇔ substr(md5(id_str), 1, 4) >= cut. md5 hex is lowercase in
+    every engine and hex-string order is numeric order, so the SAME
+    predicate is expressible in Spark, DuckDB, or any ANSI SQL —
+    unlike xxhash64, which only Spark computes."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    cut = int(round((1.0 - fraction) * PORTABLE_BUCKETS))
+    if cut >= PORTABLE_BUCKETS:     # fraction ~ 0: keep nothing
+        return "g"                  # 'g' > every hex char
+    return format(cut, "04x")
+
+
+def portable_split_col(id_col: str, fraction: float) -> F.Column:
+    """Boolean keep-column for a deterministic, ENGINE-PORTABLE
+    ~``fraction`` split keyed on the id's md5. Same contract as
+    ``hash_sample`` (stateless scan-side filter, no shuffle, rerun-
+    stable) but reproducible outside Spark, which is what makes
+    downstream model fits oracle-checkable. Quantized to 1/65536."""
+    hx = F.substring(
+        F.md5(F.col(id_col).cast("string").cast("binary")), 1, 4)
+    return hx >= F.lit(portable_split_cut(fraction))
+
+
+def portable_train_test_split(df: DataFrame, train_frac: float,
+                              id_col: str) -> tuple[DataFrame, DataFrame]:
+    """Deterministic 80/20-style split both engines reproduce; the
+    two sides partition the input exactly (complementary filters on
+    the same hash)."""
+    keep = portable_split_col(id_col, train_frac)
+    return df.filter(keep), df.filter(~keep)
+
 
 def hash_sample(df: DataFrame, fraction: float,
                 id_col: str = "doc_id", seed: int = 0) -> DataFrame:
