@@ -230,6 +230,91 @@ def kruskal_wallis(df: DataFrame, group_col: str,
     }
 
 
+_STAT_SCHEMA = T.StructType([
+    T.StructField("test", T.StringType()),
+    T.StructField("group_a", T.StringType()),
+    T.StructField("group_b", T.StringType()),
+    T.StructField("statistic", T.DoubleType()),
+    T.StructField("df", T.DoubleType()),
+])
+
+
+def significance_stats(spark: SparkSession, df: DataFrame,
+                       group_col: str, value_col: str,
+                       scale: int = 100) -> DataFrame:
+    """Oracle-checkable M11 statistics (VERDICT r2 #2): the pairwise
+    pooled-t statistics and tie-corrected Kruskal-Wallis H WITHOUT
+    p-values — every number here is derived from integer-exact moment
+    sums (values quantized by ``scale``; the events table is 2-decimal
+    so scale=100 is lossless) through formulas spelled identically in
+    the DuckDB oracle, so the driver can hash-check them. The
+    special-function p-values remain in ``significance_tests``
+    (rows-only / pytest-pinned — betainc/gammq aren't SQL).
+
+    Distribution shape matches ``pairwise_t_tests``/``kruskal_wallis``:
+    one grouped aggregation for moments, distinct-value cumulative
+    counts for midranks; only O(groups + distinct values) reaches the
+    driver."""
+    vc = F.round(F.col(value_col) * scale, 0).cast("bigint")
+    base = (df.filter(F.col(value_col).isNotNull())
+            .select(F.col(group_col).cast("string").alias("g"),
+                    vc.alias("vc")))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+
+    gm = base.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("vc"))).alias("svi"),
+        F.sum(dec(F.col("vc") * F.col("vc"))).alias("svvi")).collect()
+    groups = sorted(gm, key=lambda r: r["g"])
+    k = len(groups)
+    stats = []
+    for r in groups:
+        nf = float(r["n"])
+        sv = float(r["svi"]) / scale
+        svv = float(r["svvi"]) / scale / scale
+        mean = sv / nf
+        var = (svv - sv * sv / nf) / (nf - 1.0)
+        stats.append((r["g"], nf, mean, var))
+    nn = sum(nf for _, nf, _, _ in stats)       # integer-valued: exact
+    pnum = sum((nf - 1.0) * var for _, nf, _, var in stats)
+    pv = pnum / (nn - k)
+    rows = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            ga, na, ma, _ = stats[i]
+            gb, nb, mb, _ = stats[j]
+            t = (ma - mb) / sqrt(pv * (1.0 / na + 1.0 / nb))
+            rows.append(("pairwise_t_pooled", ga, gb,
+                         round(t, 6), nn - k))
+
+    # Kruskal-Wallis on the same quantized values: midranks are
+    # half-integers from exact counts, so r_sum is order-independent
+    vcnt = base.groupBy("vc").agg(F.count(F.lit(1)).alias("cnt"))
+    w = (Window.orderBy("vc")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = vcnt.withColumn(
+        "rank_avg",
+        F.sum("cnt").over(w) - F.col("cnt") + (F.col("cnt") + 1) / 2.0)
+    gv = base.groupBy("g", "vc").agg(F.count(F.lit(1)).alias("gcnt"))
+    pg = (gv.join(ranked, "vc")
+          .groupBy("g")
+          .agg(F.sum(F.col("gcnt") * F.col("rank_avg")).alias("r_sum"),
+               F.sum("gcnt").alias("ng"))).collect()
+    ties = ranked.agg(
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt")
+              - F.col("cnt")).alias("t3")).collect()[0]["t3"]
+    n_int = sum(r["ng"] for r in pg)
+    nf_tot = float(n_int)
+    s = sum(r["r_sum"] * r["r_sum"] / float(r["ng"]) for r in pg)
+    h = 12.0 / (nf_tot * (nf_tot + 1.0)) * s - 3.0 * (nf_tot + 1.0)
+    tie = 1.0 - float(ties) / float(n_int ** 3 - n_int)
+    if tie > 0:
+        h = h / tie
+    rows.append(("kruskal_wallis", None, None, round(h, 6),
+                 float(k - 1)))
+    return spark.createDataFrame(rows, _STAT_SCHEMA)
+
+
 _SIG_SCHEMA = T.StructType([
     T.StructField("test", T.StringType()),
     T.StructField("group_a", T.StringType()),

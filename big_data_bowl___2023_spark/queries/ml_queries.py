@@ -146,28 +146,236 @@ def ml_expected_value_model(spark, sf_dir):
         F.round(F.col("o_totalprice") - pred, 2).alias("residual"))
 
 
-@query("ml_significance_tests")
-def ml_significance_tests(spark, sf_dir):
-    """M11 (WIP.R:295-299): pooled pairwise t-tests (Bonferroni) +
-    tie-corrected Kruskal-Wallis over event_type groups of value —
-    the ``pairwise.t.test(Zone, label)`` / ``kruskal.test`` shape.
-    Sufficient statistics and midranks are distributed aggregations;
-    p-values come from the engine's own incomplete-beta/gamma
-    implementations (ml.stats; closed-form cases pinned in pytest)."""
-    from ..ml.stats import significance_tests
+_SIG_STATS_ORACLE = """
+WITH ev AS (SELECT CAST(event_type AS VARCHAR) AS g,
+                   CAST(ROUND(value * 100) AS BIGINT) AS vc
+            FROM events WHERE value IS NOT NULL),
+gm AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS n,
+              CAST(SUM(vc) AS DOUBLE)/100 AS sv,
+              CAST(SUM(vc*vc) AS DOUBLE)/100/100 AS svv
+       FROM ev GROUP BY g),
+gs AS (SELECT g, n, sv/n AS mean,
+              (svv - sv*sv/n)/(n - 1.0) AS var FROM gm),
+tot AS (SELECT SUM(n) AS nn, COUNT(*) AS k,
+               SUM((n - 1.0)*var) AS pnum FROM gs),
+pool AS (SELECT nn, k, pnum/(nn - k) AS pv FROM tot),
+pairs AS (
+  SELECT 'pairwise_t_pooled' AS test, a.g AS group_a, b.g AS group_b,
+         ROUND((a.mean - b.mean)
+               / sqrt(p.pv*(1.0/a.n + 1.0/b.n)), 6) AS statistic,
+         p.nn - p.k AS df
+  FROM gs a JOIN gs b ON a.g < b.g CROSS JOIN pool p),
+vcnt AS (SELECT vc, COUNT(*) AS cnt FROM ev GROUP BY vc),
+ranked AS (SELECT vc, cnt,
+  SUM(cnt) OVER (ORDER BY vc
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    - cnt + (cnt + 1)/2.0 AS rank_avg FROM vcnt),
+gv AS (SELECT g, vc, COUNT(*) AS gcnt FROM ev GROUP BY g, vc),
+pg AS (SELECT g, SUM(gcnt*rank_avg) AS r_sum, SUM(gcnt) AS ng
+       FROM gv JOIN ranked USING (vc) GROUP BY g),
+kwm AS (SELECT SUM(r_sum*r_sum/CAST(ng AS DOUBLE)) AS s,
+               CAST(SUM(ng) AS DOUBLE) AS nf,
+               SUM(ng) AS ni, COUNT(*) AS k FROM pg),
+tiet AS (SELECT SUM(cnt*cnt*cnt - cnt) AS t3 FROM vcnt),
+kw AS (SELECT
+  12.0/(m.nf*(m.nf + 1.0)) * m.s - 3.0*(m.nf + 1.0) AS h_raw,
+  1.0 - CAST(t.t3 AS DOUBLE)
+      / CAST(CAST(m.ni AS HUGEINT)*m.ni*m.ni - m.ni AS DOUBLE) AS tie,
+  m.k FROM kwm m CROSS JOIN tiet t)
+SELECT * FROM pairs
+UNION ALL
+SELECT 'kruskal_wallis', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       ROUND(CASE WHEN tie > 0 THEN h_raw/tie ELSE h_raw END, 6),
+       CAST(k - 1 AS DOUBLE)
+FROM kw
+"""
+
+
+@query("ml_significance_stats", oracle=_SIG_STATS_ORACLE)
+def ml_significance_stats(spark, sf_dir):
+    """M11 (WIP.R:295-299): pooled pairwise t statistics + tie-
+    corrected Kruskal-Wallis H over event_type groups of value — the
+    ``pairwise.t.test(Zone, label)`` / ``kruskal.test`` statistics,
+    hash-checked against a DuckDB oracle built on the same integer-
+    exact quantized moments (ml/stats.py::significance_stats). The
+    special-function p-values (incomplete beta/gamma) are not SQL;
+    they live in ``significance_tests`` with closed-form cases pinned
+    in pytest (test_ml_stats.py)."""
+    from ..ml.stats import significance_stats
 
     ev = load_table(spark, sf_dir, "events")
-    return significance_tests(spark, ev, "event_type", "value")
+    return significance_stats(spark, ev, "event_type", "value")
 
 
-@query("ml_rfe_selection")
+# --- RFE oracle: engine-portable 3-fold CV over closed-form OLS ---
+# Folds come from 2 md5 hex chars (256 buckets split 85/85/86); every
+# per-fold moment is an exact integer on both engines, and the
+# solve/SSE formulas are emitted from ml/closed_form.py templates so
+# Spark-driver Python and DuckDB evaluate bit-identical doubles.
+
+_FOLD_SQL = ("CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2)"
+             " <= '54' THEN 0"
+             " WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2)"
+             " <= 'a9' THEN 1 ELSE 2 END")
+
+_HM = {"n": "hn", "s1": "hs1", "s2": "hs2", "s11": "hs11",
+       "s12": "hs12", "s22": "hs22", "sy": "hsy", "s1y": "hs1y",
+       "s2y": "hs2y", "syy": "hsyy"}
+
+
+def _rfe_oracle() -> str:
+    da, a0, a1 = cf.solve_ols1_sql("n", "s1", "s11", "sy", "s1y")
+    db, b0, b2 = cf.solve_ols1_sql("n", "s2", "s22", "sy", "s2y")
+    dc, c0, c1, c2 = cf.solve_ols2_sql(
+        "n", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y")
+    coefs = (f"({a0})/({da}) AS b0_a, ({a1})/({da}) AS b1_a, "
+             f"({b0})/({db}) AS b0_b, ({b2})/({db}) AS b2_b, "
+             f"({c0})/({dc}) AS b0_c, ({c1})/({dc}) AS b1_c, "
+             f"({c2})/({dc}) AS b2_c")
+    sse_a = cf.sse_quadform2_sql(_HM, "b0_a", "b1_a", "0.0")
+    sse_b = cf.sse_quadform2_sql(_HM, "b0_b", "0.0", "b2_b")
+    sse_c = cf.sse_quadform2_sql(_HM, "b0_c", "b1_c", "b2_c")
+    feats_nosplit = _FEATS_SQL.split(",\ntr AS")[0]
+    return f"""
+WITH {feats_nosplit},
+f AS (SELECT *, {_FOLD_SQL} AS fold FROM feats),
+fm AS (SELECT fold, COUNT(*) AS ni, SUM(x1) AS s1i, SUM(x2) AS s2i,
+              SUM(x1*x1) AS s11i, SUM(x1*x2) AS s12i,
+              SUM(x2*x2) AS s22i, SUM(yc) AS syi,
+              SUM(x1*yc) AS s1yi, SUM(x2*yc) AS s2yi,
+              SUM(CAST(yc AS HUGEINT)*yc) AS syyi
+       FROM f GROUP BY fold),
+tm AS (SELECT SUM(ni) AS ni, SUM(s1i) AS s1i, SUM(s2i) AS s2i,
+              SUM(s11i) AS s11i, SUM(s12i) AS s12i, SUM(s22i) AS s22i,
+              SUM(syi) AS syi, SUM(s1yi) AS s1yi, SUM(s2yi) AS s2yi
+       FROM fm),
+tr AS (SELECT fm.fold,
+  CAST(tm.ni - fm.ni AS DOUBLE) AS n,
+  CAST(tm.s1i - fm.s1i AS DOUBLE) AS s1,
+  CAST(tm.s2i - fm.s2i AS DOUBLE) AS s2,
+  CAST(tm.s11i - fm.s11i AS DOUBLE) AS s11,
+  CAST(tm.s12i - fm.s12i AS DOUBLE) AS s12,
+  CAST(tm.s22i - fm.s22i AS DOUBLE) AS s22,
+  CAST(tm.syi - fm.syi AS DOUBLE)/100 AS sy,
+  CAST(tm.s1yi - fm.s1yi AS DOUBLE)/100 AS s1y,
+  CAST(tm.s2yi - fm.s2yi AS DOUBLE)/100 AS s2y,
+  CAST(fm.ni AS DOUBLE) AS hn, CAST(fm.s1i AS DOUBLE) AS hs1,
+  CAST(fm.s2i AS DOUBLE) AS hs2, CAST(fm.s11i AS DOUBLE) AS hs11,
+  CAST(fm.s12i AS DOUBLE) AS hs12, CAST(fm.s22i AS DOUBLE) AS hs22,
+  CAST(fm.syi AS DOUBLE)/100 AS hsy,
+  CAST(fm.s1yi AS DOUBLE)/100 AS hs1y,
+  CAST(fm.s2yi AS DOUBLE)/100 AS hs2y,
+  CAST(fm.syyi AS DOUBLE)/100/100 AS hsyy
+  FROM fm CROSS JOIN tm),
+coef AS (SELECT tr.*, {coefs} FROM tr),
+sse AS (SELECT fold, hn,
+  {sse_a} AS sse_a, {sse_b} AS sse_b, {sse_c} AS sse_c FROM coef),
+sums AS (SELECT SUM(GREATEST(sse_a, 0.0)) AS ssa,
+                SUM(GREATEST(sse_b, 0.0)) AS ssb,
+                SUM(GREATEST(sse_c, 0.0)) AS ssc,
+                SUM(hn) AS nh FROM sse),
+cand AS (
+  SELECT 1 AS n_features, 'n_items' AS feature_set,
+         sqrt(ssa/nh) AS rmse FROM sums
+  UNION ALL SELECT 1, 'total_qty', sqrt(ssb/nh) FROM sums
+  UNION ALL SELECT 2, 'n_items,total_qty', sqrt(ssc/nh) FROM sums),
+best AS (SELECT n_features, feature_set, ROUND(rmse, 6) AS cv_rmse,
+  ROW_NUMBER() OVER (PARTITION BY n_features
+                     ORDER BY rmse, feature_set) AS rn FROM cand),
+sel AS (SELECT n_features AS win FROM best WHERE rn = 1
+        ORDER BY cv_rmse, n_features LIMIT 1)
+SELECT b.n_features, b.feature_set, b.cv_rmse,
+       (b.n_features = s.win) AS selected
+FROM best b CROSS JOIN sel s WHERE b.rn = 1
+"""
+
+
+def _fold_col():
+    hx = F.substring(
+        F.md5(F.col("o_orderkey").cast("string").cast("binary")), 1, 2)
+    return (F.when(hx <= "54", 0).when(hx <= "a9", 1).otherwise(2)
+            .alias("fold"))
+
+
+@query("ml_rfe_selection", oracle=_rfe_oracle())
 def ml_rfe_selection(spark, sf_dir):
-    """M10 (WIP.R:241-274): explicit best-subset-per-size feature
-    selection with seeded 3-fold CV RMSE over {n_items, total_qty};
-    the winning size is flagged ``selected`` (caret rfe sizes=1:2)."""
-    from ..ml.models import rfe_selection
+    """M10 (WIP.R:241-274): best-subset-per-size feature selection
+    with 3-fold CV RMSE over {n_items, total_qty}; the winning size is
+    flagged ``selected`` (caret rfe sizes=1:2).
 
-    data = _order_features(spark, sf_dir)
-    rows = rfe_selection(data, ["n_items", "total_qty"], "o_totalprice")
-    return spark.createDataFrame(rows).select(
-        "n_features", "feature_set", "cv_rmse", "selected")
+    Hash-checkable restatement of ml/models.py::rfe_selection (which
+    stays as the general-d operator, pytest-covered): folds are the
+    engine-portable md5 split, every (subset × fold) OLS is the Cramer
+    closed form over integer-exact train = total − fold moments, and
+    held-out SSE is the quadratic form over the fold's own moments —
+    ONE distributed aggregation total (ml/closed_form.py spells the
+    identical arithmetic for the DuckDB oracle)."""
+    data = _int_features(_order_features(spark, sf_dir)) \
+        .withColumn("fold", _fold_col())
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_fold = data.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("ni"),
+        F.sum(d(F.col("x1"))).alias("s1i"),
+        F.sum(d(F.col("x2"))).alias("s2i"),
+        F.sum(d(F.col("x1") * F.col("x1"))).alias("s11i"),
+        F.sum(d(F.col("x1") * F.col("x2"))).alias("s12i"),
+        F.sum(d(F.col("x2") * F.col("x2"))).alias("s22i"),
+        F.sum(d(F.col("yc"))).alias("syi"),
+        F.sum(d(F.col("x1") * F.col("yc"))).alias("s1yi"),
+        F.sum(d(F.col("x2") * F.col("yc"))).alias("s2yi"),
+        F.sum(d(F.col("yc") * F.col("yc"))).alias("syyi"),
+    ).collect()
+    keys = ["ni", "s1i", "s2i", "s11i", "s12i", "s22i",
+            "syi", "s1yi", "s2yi", "syyi"]
+    folds = {r["fold"]: {k: int(r[k]) for k in keys} for r in per_fold}
+    tot = {k: sum(f[k] for f in folds.values()) for k in keys}
+
+    def to_float(m, held_out: bool):
+        out = {"n": float(m["ni"]),
+               "s1": float(m["s1i"]), "s2": float(m["s2i"]),
+               "s11": float(m["s11i"]), "s12": float(m["s12i"]),
+               "s22": float(m["s22i"]),
+               "sy": float(m["syi"]) / 100,
+               "s1y": float(m["s1yi"]) / 100,
+               "s2y": float(m["s2yi"]) / 100}
+        if held_out:
+            out["syy"] = float(m["syyi"]) / 100 / 100
+        return out
+
+    def cv_rmse(subset: str) -> float:
+        sq, nh = 0.0, 0.0
+        for j in sorted(folds):
+            hold = folds[j]
+            tr = to_float({k: tot[k] - hold[k] for k in keys}, False)
+            hm = to_float(hold, True)
+            if subset == "n_items":
+                b0, b1 = cf.solve_ols1(tr["n"], tr["s1"], tr["s11"],
+                                       tr["sy"], tr["s1y"])
+                b2 = 0.0
+            elif subset == "total_qty":
+                b0, b2 = cf.solve_ols1(tr["n"], tr["s2"], tr["s22"],
+                                       tr["sy"], tr["s2y"])
+                b1 = 0.0
+            else:
+                b0, b1, b2 = cf.solve_ols2(
+                    tr["n"], tr["s1"], tr["s2"], tr["s11"], tr["s12"],
+                    tr["s22"], tr["sy"], tr["s1y"], tr["s2y"])
+            sq += max(cf.sse_quadform2(hm, b0, b1, b2), 0.0)
+            nh += hm["n"]
+        from math import sqrt
+        return sqrt(sq / nh)
+
+    cands = [(1, "n_items", cv_rmse("n_items")),
+             (1, "total_qty", cv_rmse("total_qty")),
+             (2, "n_items,total_qty", cv_rmse("n_items,total_qty"))]
+    per_size = {}
+    for nfeat, fs, rmse in cands:   # best subset per size by (rmse, name)
+        if nfeat not in per_size or (rmse, fs) < per_size[nfeat]:
+            per_size[nfeat] = (rmse, fs)
+    rows = [(nfeat, fs, round(rmse, 6))
+            for nfeat, (rmse, fs) in sorted(per_size.items())]
+    win = min(rows, key=lambda r: (r[2], r[0]))[0]
+    return spark.createDataFrame(
+        [(nfeat, fs, r6, nfeat == win) for nfeat, fs, r6 in rows],
+        "n_features int, feature_set string, cv_rmse double, "
+        "selected boolean")

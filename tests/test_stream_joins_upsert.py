@@ -51,10 +51,12 @@ def test_interval_join_stream_batch_parity(spark, sf_dir):
 def test_interval_join_shared_payload_names(spark):
     """Both sides carrying the same payload column name must not
     produce ambiguous output columns (right side comes out r_-prefixed)."""
+    import datetime as dt
+    t0 = dt.datetime(2023, 1, 1, 12, 0, 0)
     left = spark.createDataFrame(
-        [(1, 100.0, "L")], ["uid", "ts", "value"])
+        [(1, t0, "L")], ["uid", "ts", "value"])
     right = spark.createDataFrame(
-        [(1, 150.0, "R")], ["uid", "ts", "value"])
+        [(1, t0 + dt.timedelta(seconds=50), "R")], ["uid", "ts", "value"])
     out = interval_join(left, right, "uid",
                         lower="0 seconds", upper="2 minutes")
     assert set(out.columns) == {"k", "l_ts", "value", "r_ts", "r_value"}
