@@ -3,11 +3,12 @@ from .ann import (
     brute_force_topk,
     ivf_topk,
     mine_hard_negatives,
+    mine_hard_negatives_ann,
 )
 from .pq import encode_pq, pq_topk, pq_topk_rerank, train_pq
 from .retrieval import bm25_scores, bm25_topk, term_postings
 
 __all__ = ["brute_force_topk", "brp_lsh_topk", "ivf_topk",
-           "mine_hard_negatives",
+           "mine_hard_negatives", "mine_hard_negatives_ann",
            "encode_pq", "pq_topk", "pq_topk_rerank", "train_pq",
            "bm25_scores", "bm25_topk", "term_postings"]

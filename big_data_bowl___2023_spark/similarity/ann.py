@@ -131,8 +131,9 @@ def mine_hard_negatives(corpus: DataFrame, k: int,
 
     Composition: exact top-k scoring with the label-mismatch predicate
     pushed INTO the join, so same-label pairs never reach the ranking
-    window. At corpus scale route the candidate step through the LSH/
-    IVF/PQ paths instead of this broadcast brute force."""
+    window. This broadcast brute force is EXACT and serves as the
+    recall oracle; at corpus scale use ``mine_hard_negatives_ann``,
+    which routes candidates through the LSH tables."""
     c = _prep(corpus, vec_col, id_col, "negative_id").join(
         corpus.select(F.col(id_col).alias("negative_id"),
                       F.col(label_col).alias("neg_label")),
@@ -145,6 +146,73 @@ def mine_hard_negatives(corpus: DataFrame, k: int,
     scored = (c.join(F.broadcast(q),
                      F.col("anchor_label") != F.col("neg_label"))
               .withColumn("cosine", F.round(cos, 6)))
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.asc("negative_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("anchor_id", "negative_id", "cosine", "rank"))
+
+
+def mine_hard_negatives_ann(corpus: DataFrame, k: int,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id",
+                            label_col: str = "label",
+                            dim: int = 64, n_tables: int = 8,
+                            n_planes: int | None = None,
+                            target_bucket: int = 32) -> DataFrame:
+    """Corpus-scale hard-negative mining (VERDICT r2 #4): same output
+    contract as ``mine_hard_negatives`` but candidates come from the
+    deterministic hyperplane-LSH tables (dedup/embedding.py::
+    lsh_candidate_pairs) instead of a corpus×corpus broadcast NLJ.
+
+    Composition:
+    1. candidate pairs = signature collisions in ≥1 of T tables —
+       one shuffle keyed by (table, sig); P auto-scales with corpus
+       size (``scaled_n_planes``) so candidate volume stays ~n·bucket
+       per table, never n²;
+    2. the label-mismatch predicate is applied ON THE CANDIDATE SET
+       (two id-keyed label joins) before any scoring, so same-label
+       pairs never reach the exact kernel;
+    3. survivors are exactly re-scored (fold-dot over unit vectors)
+       and ranked per anchor — identical arithmetic to the brute
+       miner, which pytest keeps as the recall oracle.
+
+    Recall follows the standard hyperplane-LSH curve: a true top-k
+    negative is missed only if it collides in NO table; raise
+    ``n_tables`` to push recall up. An anchor may also return fewer
+    than k rows at low collision rates — acceptable for mining, where
+    volume matters more than per-anchor exactness."""
+    from ..dedup.embedding import (
+        _normalized,
+        lsh_candidate_pairs,
+        scaled_n_planes,
+    )
+
+    v = _normalized(corpus, vec_col, id_col).localCheckpoint()
+    if n_planes is None:
+        n_planes = scaled_n_planes(v.count(), target_bucket)
+    cand = lsh_candidate_pairs(v, dim, n_tables, n_planes)
+
+    labels = corpus.select(F.col(id_col).alias("id"),
+                           F.col(label_col).alias("lbl"))
+    cand = (cand
+            .join(labels.select(F.col("id").alias("vec_a"),
+                                F.col("lbl").alias("lbl_a")), "vec_a")
+            .join(labels.select(F.col("id").alias("vec_b"),
+                                F.col("lbl").alias("lbl_b")), "vec_b")
+            .filter(F.col("lbl_a") != F.col("lbl_b"))
+            .select("vec_a", "vec_b"))
+    # candidates are a<b pairs; mining needs both directions
+    pairs = cand.select(F.col("vec_a").alias("anchor_id"),
+                        F.col("vec_b").alias("negative_id")).unionByName(
+        cand.select(F.col("vec_b").alias("anchor_id"),
+                    F.col("vec_a").alias("negative_id")))
+
+    ua = v.select(F.col("id").alias("anchor_id"), F.col("u").alias("ua"))
+    ub = v.select(F.col("id").alias("negative_id"), F.col("u").alias("ub"))
+    scored = (pairs.join(ua, "anchor_id").join(ub, "negative_id")
+              .withColumn("cosine",
+                          F.round(V.dot(F.col("ua"), F.col("ub")), 6)))
     w = Window.partitionBy("anchor_id").orderBy(
         F.desc("cosine"), F.asc("negative_id"))
     return (scored.withColumn("rank", F.row_number().over(w))

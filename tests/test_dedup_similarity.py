@@ -124,3 +124,32 @@ def test_embedding_lsh_verified_subset_and_recall(spark, sf_dir):
         assert v == exact[k]
     if exact:
         assert len(lsh) / len(exact) >= 0.8
+
+
+def test_scaled_n_blocks_bounds_block_rows():
+    """VERDICT r2 #5: the GEMM block count must auto-scale with the
+    corpus so each block (ONE grouped row of collect_list vectors)
+    stays ~target_block vectors at any n — a 10x or 100x corpus must
+    not grow the per-row payload, only the number of block rows."""
+    from big_data_bowl___2023_spark.dedup.embedding import scaled_n_blocks
+
+    for n in (100, 2_000, 20_000, 200_000, 2_000_000):
+        nb = scaled_n_blocks(n)
+        assert nb >= 16
+        # widest block a ceil-split can produce
+        assert -(-n // nb) <= 2000, (n, nb)
+    # small corpora keep the floor (plan unchanged vs round 2)
+    assert scaled_n_blocks(1) == 16
+    assert scaled_n_blocks(32_000) == 16
+
+
+def test_auto_n_blocks_matches_pinned_plan(spark, sf_dir):
+    """Auto-scaled n_blocks is a physical-plan knob only: output must
+    be identical to an explicitly pinned block count."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    auto = {(r.vec_a, r.vec_b): r.cosine
+            for r in dd.cosine_near_dup_pairs(emb, 0.4).collect()}
+    pinned = {(r.vec_a, r.vec_b): r.cosine
+              for r in dd.cosine_near_dup_pairs(
+                  emb, 0.4, n_blocks=7).collect()}
+    assert auto == pinned

@@ -14,7 +14,10 @@ from big_data_bowl___2023_spark.operators.splits import (
     assert_no_leakage,
     leakage_safe_split,
 )
-from big_data_bowl___2023_spark.similarity import mine_hard_negatives
+from big_data_bowl___2023_spark.similarity import (
+    mine_hard_negatives,
+    mine_hard_negatives_ann,
+)
 from big_data_bowl___2023_spark.sources.io import load_table
 
 
@@ -64,3 +67,35 @@ def test_hard_negatives_vs_python_oracle(spark, sf_dir):
             cands.append((b, round(c, 6)))
         cands.sort(key=lambda t: (-t[1], t[0]))
         assert got[a] == cands[:K], a
+
+
+def test_ann_hard_negatives_recall_vs_exact(spark, sf_dir):
+    """The LSH-backed miner must recover most of the exact miner's
+    top-k negatives (recall target), emit ONLY valid cross-label
+    pairs with correct cosines, and never touch an all-pairs join."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(200).cache()
+    K = 5
+    exact = defaultdict(set)
+    cosines = {}
+    for r in mine_hard_negatives(emb, K).collect():
+        exact[r.anchor_id].add(r.negative_id)
+        cosines[(r.anchor_id, r.negative_id)] = r.cosine
+
+    ann = mine_hard_negatives_ann(emb, K, n_tables=16).cache()
+    labels = {r.vec_id: r.label for r in emb.collect()}
+    got = defaultdict(set)
+    for r in ann.collect():
+        got[r.anchor_id].add(r.negative_id)
+        assert labels[r.anchor_id] != labels[r.negative_id]
+        # where ANN found an exact-top-k pair, the cosine is identical
+        if (r.anchor_id, r.negative_id) in cosines:
+            assert r.cosine == cosines[(r.anchor_id, r.negative_id)]
+
+    hits = sum(len(exact[a] & got[a]) for a in exact)
+    total = sum(len(exact[a]) for a in exact)
+    assert hits / total >= 0.7, f"recall {hits}/{total}"
+
+    plan = (mine_hard_negatives_ann(emb, K, n_tables=4)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
