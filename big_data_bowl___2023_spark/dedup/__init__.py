@@ -10,7 +10,12 @@ frequency caps, block joins) rather than materializing O(n²).
 
 from .exact import exact_dedup, fingerprint_docs
 from .ngram import jaccard_pairs, shingle_docs
-from .minhash import minhash_band_pairs, minhash_signatures, mllib_minhash_pairs
+from .minhash import (
+    band_candidates,
+    minhash_band_pairs,
+    minhash_signatures,
+    mllib_minhash_pairs,
+)
 from .simhash import simhash_docs
 from .embedding import (
     cosine_near_dup_pairs,
@@ -27,6 +32,7 @@ from .decontaminate import (
 __all__ = [
     "exact_dedup", "fingerprint_docs",
     "jaccard_pairs", "shingle_docs",
+    "band_candidates",
     "minhash_band_pairs", "minhash_signatures", "mllib_minhash_pairs",
     "simhash_docs",
     "cosine_near_dup_pairs",

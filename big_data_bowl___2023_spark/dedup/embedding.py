@@ -211,13 +211,20 @@ def scaled_n_planes(n: int, target_bucket: int = 32) -> int:
 
 
 def lsh_candidate_pairs(v: DataFrame, dim: int, n_tables: int,
-                        n_planes: int) -> DataFrame:
+                        n_planes: int,
+                        max_bucket: int | None = None) -> DataFrame:
     """Distinct id pairs colliding in ≥ 1 signature table.
 
     Signatures for all tables are computed in ONE Arrow pass (a
     (T·P, dim) sign-matrix product per batch), exploded to
     (id, table, sig) rows, then a single self-equi-join on
-    (table, sig) — one shuffle keyed by signature, never all-pairs."""
+    (table, sig) — one shuffle keyed by signature, never all-pairs.
+
+    ``scaled_n_planes`` keeps the EXPECTED bucket width constant, but
+    a degenerate corpus (many identical vectors) still collapses into
+    one (table, sig) bucket no plane count can split — ``max_bucket``
+    arms the hot-bucket star guard (dedup.minhash.band_candidates):
+    oversize buckets emit O(m) hub pairs instead of O(m²)."""
     import numpy as np
 
     planes = make_tables(dim, n_tables, n_planes)
@@ -246,13 +253,11 @@ def lsh_candidate_pairs(v: DataFrame, dim: int, n_tables: int,
                 sigs.extend(strs)
             yield pd.DataFrame({"id": ids, "t": ts, "sig": sigs})
 
+    from .minhash import band_candidates
+
     sig = v.mapInPandas(signatures, sig_schema)
-    a = sig.select(F.col("id").alias("vec_a"), "t", "sig")
-    b = sig.select(F.col("id").alias("vec_b"), "t", "sig")
-    return (a.join(b, ["t", "sig"])
-             .filter(F.col("vec_a") < F.col("vec_b"))
-             .select("vec_a", "vec_b")
-             .distinct())
+    return band_candidates(sig, max_bucket, band_cols=("t", "sig"),
+                           id_col="id", out_cols=("vec_a", "vec_b"))
 
 
 def cosine_near_dup_pairs_lsh(df: DataFrame, threshold: float,
@@ -261,17 +266,20 @@ def cosine_near_dup_pairs_lsh(df: DataFrame, threshold: float,
                               dim: int = 64,
                               n_tables: int = 16,
                               n_planes: int | None = None,
-                              target_bucket: int = 32) -> DataFrame:
+                              target_bucket: int = 32,
+                              max_bucket: int | None = None) -> DataFrame:
     """Sub-quadratic near-dup pairs: hyperplane-LSH candidates →
     exact fold verification. Precision 1.0 (every emitted pair is
     exactly ≥ threshold); recall follows 1 − (1 − p^P)^T with
     p = 1 − θ/π — raise n_tables for more recall, target_bucket for
     cheaper joins. The result is DETERMINISTIC (literal ±1 planes), so
-    the driver oracle reproduces candidates and verification exactly."""
+    the driver oracle reproduces candidates and verification exactly.
+    ``max_bucket`` arms the hot-bucket star guard for corpora with
+    mass-duplicate vectors (see ``lsh_candidate_pairs``)."""
     v = _normalized(df, vec_col, id_col).localCheckpoint()
     if n_planes is None:
         n_planes = scaled_n_planes(v.count(), target_bucket)
-    cand = lsh_candidate_pairs(v, dim, n_tables, n_planes)
+    cand = lsh_candidate_pairs(v, dim, n_tables, n_planes, max_bucket)
     survivors = _np_prefilter(v, cand, threshold)
     return _verify_exact(v, survivors, threshold)
 
