@@ -22,6 +22,11 @@ from .embedding import (
     cosine_near_dup_pairs_lsh,
     cosine_pairs_allpairs_fold,
 )
+from .winnow import (
+    fingerprint_overlap_pairs,
+    kgram_hashes,
+    winnow_fingerprints,
+)
 from .clusters import canonical_docs, connected_components, resolve_clusters
 from .decontaminate import (
     contaminated_doc_ids,
@@ -38,6 +43,7 @@ __all__ = [
     "cosine_near_dup_pairs",
     "cosine_near_dup_pairs_lsh",
     "cosine_pairs_allpairs_fold",
+    "fingerprint_overlap_pairs", "kgram_hashes", "winnow_fingerprints",
     "canonical_docs", "connected_components", "resolve_clusters",
     "contaminated_doc_ids", "contamination_report", "decontaminate",
 ]
