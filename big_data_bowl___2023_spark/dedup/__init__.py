@@ -27,6 +27,11 @@ from .winnow import (
     kgram_hashes,
     winnow_fingerprints,
 )
+from .semantic import (
+    kmeans_assign,
+    semantic_dedup,
+    semantic_dup_pairs,
+)
 from .clusters import canonical_docs, connected_components, resolve_clusters
 from .decontaminate import (
     contaminated_doc_ids,
@@ -44,6 +49,7 @@ __all__ = [
     "cosine_near_dup_pairs_lsh",
     "cosine_pairs_allpairs_fold",
     "fingerprint_overlap_pairs", "kgram_hashes", "winnow_fingerprints",
+    "kmeans_assign", "semantic_dedup", "semantic_dup_pairs",
     "canonical_docs", "connected_components", "resolve_clusters",
     "contaminated_doc_ids", "contamination_report", "decontaminate",
 ]

@@ -1,0 +1,107 @@
+"""SemDeDup-style semantic deduplication.
+
+The embedding-space dedup used for web-scale LLM corpora (Abbas et
+al., "SemDeDup: Data-efficient learning at web-scale through semantic
+deduplication", 2023): k-means-cluster the normalized embeddings,
+compare pairs ONLY within a cluster, and drop all but one
+representative of each near-duplicate group. Cross-cluster pairs are
+the accepted recall cost — the point is that per-cluster work is
+(n/k)² instead of n², and clusters shard perfectly across executors.
+
+Composition over existing engine pieces (nothing new to verify at
+the kernel level):
+
+* centroids: ``similarity.pq.train_pq`` with m=1 — the distributed
+  Lloyd trainer degenerates to full-vector k-means (deterministic
+  md5-seeded init, one aggregation job per iteration, O(k·dim)
+  driver state);
+* assignment: the pq codegen argmin — one scan, zero Python;
+* within-cluster candidates: ``minhash.band_candidates`` on the
+  cluster id, so the mass-duplicate pathology is bounded by the same
+  hot-bucket star guard as the LSH paths (``max_bucket``);
+* verification: the exact fold-dot kernel (``embedding._verify_exact``)
+  — precision 1.0, identical arithmetic to the exact near-dup paths;
+* keeper choice: ``clusters.connected_components`` + min-id
+  canonicalization, identical to the MinHash dedup flow.
+
+Reference scope note: north-star extension (SURVEY.md §2 extensions,
+inventory E57); the reference has no corpus operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .clusters import connected_components
+from .embedding import _normalized, _verify_exact
+from .minhash import band_candidates
+
+
+def scaled_k(n: int, target_cluster: int = 500) -> int:
+    """Clusters so the mean population ≈ target_cluster: within-
+    cluster pair work is Σ(n/k)²·k = n²/k, so holding n/k constant
+    keeps it LINEAR in n — the SemDeDup paper's ~100k clusters for
+    web scale is this same rule. Mirrors ``scaled_n_planes`` /
+    ``scaled_n_blocks``: callers never tune it."""
+    return max(4, -(-max(1, n) // target_cluster))
+
+
+def kmeans_assign(df: DataFrame, k: int = 16, n_iters: int = 8,
+                  vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """(id, u, cluster): full-vector k-means assignment.
+
+    Training is ``train_pq(m=1)`` (deterministic seeds, Lloyd rounds
+    as single aggregation jobs); assignment is the same literal-
+    centroid argmin expression the PQ encoder uses — pure codegen."""
+    from ..similarity.pq import _argmin_code, train_pq
+
+    v = _normalized(df, vec_col, id_col)
+    dim = len(v.select("u").first().u)
+    cents = train_pq(df, vec_col=vec_col, id_col=id_col, dim=dim,
+                     m=1, k=k, n_iters=n_iters)[0]
+    return v.withColumn("cluster", _argmin_code(F.col("u"), cents))
+
+
+def semantic_dup_pairs(df: DataFrame, threshold: float,
+                       k: int | None = None,
+                       n_iters: int = 8, vec_col: str = "embedding",
+                       id_col: str = "vec_id",
+                       max_bucket: int | None = None,
+                       target_cluster: int = 500) -> DataFrame:
+    """(vec_a, vec_b, cosine) with cosine ≥ threshold, both members
+    of the same k-means cluster. Precision 1.0 (every pair exactly
+    verified); recall < 1 only through cluster-boundary splits — the
+    SemDeDup contract. Candidates come from a cluster-keyed
+    band join with the hot-bucket star guard available, so even a
+    corpus collapsing into one cluster stays O(m) candidates when
+    ``max_bucket`` is set. ``k`` defaults to ``scaled_k`` of the
+    corpus count, holding mean cluster population ~target_cluster so
+    total pair work stays linear in n."""
+    if k is None:
+        k = scaled_k(df.count(), target_cluster)
+    assigned = (kmeans_assign(df, k, n_iters, vec_col, id_col)
+                .localCheckpoint())
+    cand = band_candidates(
+        assigned.select("id", "cluster"), max_bucket,
+        band_cols=("cluster",), id_col="id",
+        out_cols=("vec_a", "vec_b"))
+    v = assigned.select("id", "u")
+    return _verify_exact(v, cand, threshold)
+
+
+def semantic_dedup(df: DataFrame, threshold: float,
+                   k: int | None = None,
+                   n_iters: int = 8, vec_col: str = "embedding",
+                   id_col: str = "vec_id",
+                   max_bucket: int | None = None) -> DataFrame:
+    """The rows of ``df`` that survive semantic dedup: for every
+    connected group of within-cluster near-duplicates, the min-id
+    member is kept; all other rows pass through untouched."""
+    pairs = semantic_dup_pairs(df, threshold, k, n_iters,
+                               vec_col, id_col, max_bucket)
+    comp = connected_components(pairs, "vec_a", "vec_b")
+    drop = (comp.filter(F.col("node") != F.col("component"))
+            .select(F.col("node").alias(id_col)))
+    return df.join(drop, id_col, "left_anti")

@@ -1,0 +1,89 @@
+"""SemDeDup composition (dedup/semantic.py): precision 1.0 against
+the exact kernel, subset + recall semantics, keeper rules, the planted
+near-duplicate flow, and the degenerate-corpus guard."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_bowl___2023_spark import dedup as dd
+from big_data_bowl___2023_spark.dedup.semantic import (
+    kmeans_assign,
+    scaled_k,
+    semantic_dedup,
+    semantic_dup_pairs,
+)
+from big_data_bowl___2023_spark.sources.io import load_table
+
+THRESH = 0.4
+
+
+def test_scaled_k_holds_cluster_population():
+    for n in (100, 2_000, 50_000, 1_000_000):
+        k = scaled_k(n)
+        assert k >= 4
+        assert n / k <= 500 or k == 4
+    assert scaled_k(1_000_000) == 2000
+
+
+def test_kmeans_assign_partitions_corpus(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = kmeans_assign(emb, k=8, n_iters=4)
+    n = emb.count()
+    assert a.count() == n
+    clusters = [r.cluster for r in
+                a.select("cluster").distinct().collect()]
+    assert all(0 <= c < 8 for c in clusters)
+    assert len(clusters) > 1
+    # deterministic: same data, same assignment, any partitioning
+    b = kmeans_assign(emb.repartition(13), k=8, n_iters=4)
+    assert (a.select("id", "cluster").exceptAll(
+        b.select("id", "cluster")).count() == 0)
+
+
+def test_pairs_are_exact_subset_with_identical_cosines(spark, sf_dir):
+    """Precision 1.0: every SemDeDup pair appears in the exact pair
+    set with a bit-identical cosine (same verify kernel)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {(r.vec_a, r.vec_b): r.cosine
+             for r in dd.cosine_near_dup_pairs(emb, THRESH).collect()}
+    sem = {(r.vec_a, r.vec_b): r.cosine
+           for r in semantic_dup_pairs(emb, THRESH, k=8).collect()}
+    assert set(sem) <= set(exact)
+    for p, c in sem.items():
+        assert c == exact[p]
+    if exact:
+        # k=8 over 500-2000 vectors keeps clusters coarse → recall
+        # should be substantial on this fixture
+        assert len(sem) / len(exact) >= 0.3
+
+
+def test_semantic_dedup_drops_planted_clones(spark, sf_dir):
+    """Planted exact clones of existing vectors must be dropped (they
+    land in the same cluster by construction); min id is kept."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(300)
+    clones = (emb.limit(5)
+              .withColumn("vec_id", F.col("vec_id") + F.lit(10_000_000)))
+    corpus = emb.unionByName(clones)
+    kept = semantic_dedup(corpus, 0.999, k=8)
+    kept_ids = {r.vec_id for r in kept.select("vec_id").collect()}
+    # every clone (higher id than its original) was dropped
+    assert not any(i >= 10_000_000 for i in kept_ids)
+    # nothing else disappeared unless it had a 0.999 twin in-corpus
+    dup_pairs = semantic_dup_pairs(corpus, 0.999, k=8).count()
+    assert len(kept_ids) == corpus.count() - dup_pairs or \
+        len(kept_ids) >= corpus.count() - 2 * dup_pairs
+
+
+def test_degenerate_corpus_star_guard(spark):
+    """All-identical vectors collapse into ONE cluster no k can
+    split; max_bucket keeps candidates at O(m) hub pairs and dedup
+    still keeps exactly one representative."""
+    m = 200
+    clone = [0.3] * 8 + [-0.2] * 8
+    rows = [(i, clone) for i in range(m)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = semantic_dup_pairs(emb, 0.999, k=4, max_bucket=20).cache()
+    assert pairs.count() == m - 1          # star, not m²/2
+    kept = semantic_dedup(emb, 0.999, k=4, max_bucket=20)
+    assert [r.vec_id for r in kept.collect()] == [0]
