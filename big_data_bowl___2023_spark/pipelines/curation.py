@@ -6,9 +6,15 @@ a raw document table into packed training shards:
 
     quality gate (Gopher rules) → PII redaction → exact dedup →
     near-dup cluster resolution (MinHash-LSH → connected components,
-    keep best per cluster) → benchmark decontamination →
+    keep best per cluster) → [verbatim-overlap dedup (winnowing)] →
+    benchmark decontamination → [DSIR target-domain selection] →
     context-window chunking → per-source token-budget packing →
     sharded JSONL export (partitioned by source/shard)
+
+    Bracketed stages are opt-in (``overlap_shared`` / ``dsir_target``
+    arguments); embedding-space SemDeDup runs separately on the
+    embeddings table (dedup/semantic.py) because it keys on vectors,
+    not text.
 
 Everything stays one lazy Catalyst chain until the export action; the
 returned stats (one count per stage) are the audit record a curation
@@ -24,6 +30,8 @@ from pyspark.sql import functions as F
 
 from ..dedup import canonical_docs, exact_dedup, minhash_band_pairs
 from ..dedup.decontaminate import decontaminate
+from ..dedup.winnow import fingerprint_overlap_pairs
+from ..operators.dsir import dsir_resample
 from ..functions.gopher import gopher_filter
 from ..functions.redact import redact_documents
 from ..functions import text as Tx
@@ -37,7 +45,10 @@ def curate_and_export(docs: DataFrame, out_dir: str,
                       seq_len: int = 512,
                       shard_budget: int = 4096,
                       jaccard_threshold: float = 0.3,
-                      min_words: int = 50) -> dict:
+                      min_words: int = 50,
+                      overlap_shared: int | None = None,
+                      dsir_target: DataFrame | None = None,
+                      dsir_n_docs: int | None = None) -> dict:
     """Run the pipeline and write shards; returns per-stage counts.
 
     Shards are packed per source (the parallelism unit — a global
@@ -60,9 +71,25 @@ def curate_and_export(docs: DataFrame, out_dir: str,
              .drop("__len", "cluster_id"))
     stats["after_near_dedup"] = canon.count()
 
+    if overlap_shared is not None:
+        # verbatim-overlap (winnowed fingerprint) dedup: same
+        # keep-longest rule over overlap clusters as the MinHash stage
+        ov = fingerprint_overlap_pairs(canon, min_shared=overlap_shared,
+                                       max_doc_freq=1000)
+        withlen = canon.withColumn("__len", F.length("text"))
+        canon = (canonical_docs(withlen, ov, prefer_col="__len")
+                 .drop("__len", "cluster_id"))
+        stats["after_overlap_dedup"] = canon.count()
+
     if benchmark is not None:
         canon = decontaminate(canon, benchmark)
         stats["after_decontamination"] = canon.count()
+
+    if dsir_target is not None:
+        n_sel = dsir_n_docs or max(1, stats["input"] // 2)
+        canon = dsir_resample(canon, dsir_target, n_sel) \
+            .drop("logw", "key")
+        stats["after_dsir_selection"] = canon.count()
 
     chunks = (chunk_sequences(canon, seq_len)
               .join(canon.select("doc_id", "source"), "doc_id"))

@@ -77,3 +77,41 @@ def test_curation_report(spark, sf_dir):
     for r in rep.values():
         assert r.n_docs > 0 and r.n_tokens > 0
         assert 0.0 <= r.gopher_pass_rate <= 1.0
+
+
+def test_optional_overlap_and_dsir_stages(spark):
+    """Opt-in stages: a doc sharing a long verbatim passage (but low
+    overall Jaccard) survives MinHash yet is caught by the winnowing
+    overlap stage; DSIR then keeps the docs closest to the target
+    domain."""
+    passage = ("this exact boilerplate disclaimer paragraph appears "
+               "verbatim across otherwise unrelated documents today")
+    rows = [
+        (1, BASE + " " + passage, "web"),
+        # shares ONLY the passage with 1 — Jaccard far below 0.3
+        (2, passage + " meanwhile the warehouse report discusses "
+            "entirely different operational matters and staffing "
+            "levels through winter months with many extra words "
+            "about logistics budgets and planning cycles ahead", "web"),
+        (3, ("completely different text about spark shuffle planning "
+             "and adaptive execution strategies in modern engines "
+             * 4), "docs"),
+        (4, ("the quarterly financial summary lists revenue cost "
+             "margin and outlook figures for every region in detail "
+             * 4), "mail"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    target = spark.createDataFrame(
+        [(900, "spark shuffle planning adaptive execution engines")],
+        ["doc_id", "text"])
+    import tempfile
+    with tempfile.TemporaryDirectory() as tmp:
+        stats = curate_and_export(
+            docs, f"{tmp}/shards", seq_len=16, shard_budget=64,
+            min_words=20, overlap_shared=2,
+            dsir_target=target, dsir_n_docs=2)
+    # MinHash kept all 4 (no high-Jaccard pair); overlap stage merged
+    # the passage-sharing pair 1/2 down to its longer member
+    assert stats["after_near_dedup"] == 4
+    assert stats["after_overlap_dedup"] == 3
+    assert stats["after_dsir_selection"] == 2
