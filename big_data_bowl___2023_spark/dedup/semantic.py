@@ -38,7 +38,7 @@ from .embedding import _normalized, _verify_exact
 from .minhash import band_candidates
 
 
-def scaled_k(n: int, target_cluster: int = 500) -> int:
+def scaled_k(n: int, target_cluster: int = 250) -> int:
     """Clusters so the mean population ≈ target_cluster: within-
     cluster pair work is Σ(n/k)²·k = n²/k, so holding n/k constant
     keeps it LINEAR in n — the SemDeDup paper's ~100k clusters for
@@ -47,9 +47,10 @@ def scaled_k(n: int, target_cluster: int = 500) -> int:
     return max(4, -(-max(1, n) // target_cluster))
 
 
-def kmeans_assign(df: DataFrame, k: int = 16, n_iters: int = 8,
+def kmeans_assign(df: DataFrame, k: int = 16, n_iters: int = 4,
                   vec_col: str = "embedding",
-                  id_col: str = "vec_id") -> DataFrame:
+                  id_col: str = "vec_id",
+                  dim: int | None = None) -> DataFrame:
     """(id, u, cluster): full-vector k-means assignment.
 
     Training is ``train_pq(m=1)`` (deterministic seeds, Lloyd rounds
@@ -58,7 +59,8 @@ def kmeans_assign(df: DataFrame, k: int = 16, n_iters: int = 8,
     from ..similarity.pq import _argmin_code, train_pq
 
     v = _normalized(df, vec_col, id_col)
-    dim = len(v.select("u").first().u)
+    if dim is None:   # one probe job; pass dim to skip it
+        dim = len(v.select("u").first().u)
     cents = train_pq(df, vec_col=vec_col, id_col=id_col, dim=dim,
                      m=1, k=k, n_iters=n_iters)[0]
     return v.withColumn("cluster", _argmin_code(F.col("u"), cents))
@@ -66,10 +68,11 @@ def kmeans_assign(df: DataFrame, k: int = 16, n_iters: int = 8,
 
 def semantic_dup_pairs(df: DataFrame, threshold: float,
                        k: int | None = None,
-                       n_iters: int = 8, vec_col: str = "embedding",
+                       n_iters: int = 4, vec_col: str = "embedding",
                        id_col: str = "vec_id",
                        max_bucket: int | None = None,
-                       target_cluster: int = 500) -> DataFrame:
+                       target_cluster: int = 250,
+                       dim: int | None = None) -> DataFrame:
     """(vec_a, vec_b, cosine) with cosine ≥ threshold, both members
     of the same k-means cluster. Precision 1.0 (every pair exactly
     verified); recall < 1 only through cluster-boundary splits — the
@@ -81,7 +84,7 @@ def semantic_dup_pairs(df: DataFrame, threshold: float,
     total pair work stays linear in n."""
     if k is None:
         k = scaled_k(df.count(), target_cluster)
-    assigned = (kmeans_assign(df, k, n_iters, vec_col, id_col)
+    assigned = (kmeans_assign(df, k, n_iters, vec_col, id_col, dim)
                 .localCheckpoint())
     cand = band_candidates(
         assigned.select("id", "cluster"), max_bucket,
@@ -93,7 +96,7 @@ def semantic_dup_pairs(df: DataFrame, threshold: float,
 
 def semantic_dedup(df: DataFrame, threshold: float,
                    k: int | None = None,
-                   n_iters: int = 8, vec_col: str = "embedding",
+                   n_iters: int = 4, vec_col: str = "embedding",
                    id_col: str = "vec_id",
                    max_bucket: int | None = None) -> DataFrame:
     """The rows of ``df`` that survive semantic dedup: for every

@@ -22,8 +22,8 @@ def test_scaled_k_holds_cluster_population():
     for n in (100, 2_000, 50_000, 1_000_000):
         k = scaled_k(n)
         assert k >= 4
-        assert n / k <= 500 or k == 4
-    assert scaled_k(1_000_000) == 2000
+        assert n / k <= 250 or k == 4
+    assert scaled_k(1_000_000) == 4000
 
 
 def test_kmeans_assign_partitions_corpus(spark, sf_dir):
