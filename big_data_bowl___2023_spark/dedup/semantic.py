@@ -72,7 +72,8 @@ def semantic_dup_pairs(df: DataFrame, threshold: float,
                        id_col: str = "vec_id",
                        max_bucket: int | None = None,
                        target_cluster: int = 250,
-                       dim: int | None = None) -> DataFrame:
+                       dim: int | None = None,
+                       n: int | None = None) -> DataFrame:
     """(vec_a, vec_b, cosine) with cosine ≥ threshold, both members
     of the same k-means cluster. Precision 1.0 (every pair exactly
     verified); recall < 1 only through cluster-boundary splits — the
@@ -81,9 +82,11 @@ def semantic_dup_pairs(df: DataFrame, threshold: float,
     corpus collapsing into one cluster stays O(m) candidates when
     ``max_bucket`` is set. ``k`` defaults to ``scaled_k`` of the
     corpus count, holding mean cluster population ~target_cluster so
-    total pair work stays linear in n."""
+    total pair work stays linear in n. ``n``/``dim`` hints skip the
+    two driver-side probe jobs (a count and a first) when the caller
+    already knows them — the bench and pipeline paths always do."""
     if k is None:
-        k = scaled_k(df.count(), target_cluster)
+        k = scaled_k(n if n is not None else df.count(), target_cluster)
     assigned = (kmeans_assign(df, k, n_iters, vec_col, id_col, dim)
                 .localCheckpoint())
     cand = band_candidates(
@@ -98,12 +101,15 @@ def semantic_dedup(df: DataFrame, threshold: float,
                    k: int | None = None,
                    n_iters: int = 4, vec_col: str = "embedding",
                    id_col: str = "vec_id",
-                   max_bucket: int | None = None) -> DataFrame:
+                   max_bucket: int | None = None,
+                   dim: int | None = None,
+                   n: int | None = None) -> DataFrame:
     """The rows of ``df`` that survive semantic dedup: for every
     connected group of within-cluster near-duplicates, the min-id
     member is kept; all other rows pass through untouched."""
     pairs = semantic_dup_pairs(df, threshold, k, n_iters,
-                               vec_col, id_col, max_bucket)
+                               vec_col, id_col, max_bucket,
+                               dim=dim, n=n)
     comp = connected_components(pairs, "vec_a", "vec_b")
     drop = (comp.filter(F.col("node") != F.col("component"))
             .select(F.col("node").alias(id_col)))

@@ -22,17 +22,28 @@ from pyspark.sql import types as T
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver star-schema table (parquet, self-describing).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; it is read as raw nanos (``nanosAsLong``) and
-    truncated to a microsecond TimestampType — the same truncation
-    DuckDB applies on ``CAST(ts AS TIMESTAMP)``, so oracles stay
-    value-identical.
+    ``events.ts`` has shipped as both parquet TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS) across testdata generations, so the handling is
+    type-adaptive on the *read* dtype rather than assuming an encoding:
+
+    - NANOS files: Spark's vectorized reader rejects them, so they are
+      read as raw nanos (``nanosAsLong`` → LongType) and truncated to
+      a microsecond TimestampType — the same truncation DuckDB applies
+      on ``CAST(ts AS TIMESTAMP)``.
+    - MICROS files (plain timestamp / timestamp_ntz): cast straight to
+      TimestampType; ``nanosAsLong`` is a no-op on them.
+
+    Either way the output column is a session-tz TimestampType with
+    microsecond values identical to the DuckDB oracle's.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -24,14 +24,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENT_STREAM_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),        # raw nanos (see below)
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
+def _event_stream_schema(ts_type: T.DataType) -> T.StructType:
+    """Stream schema with the ts field pinned to whatever the parquet
+    files actually carry (LongType under nanosAsLong for legacy
+    TIMESTAMP(NANOS) files, TimestampType/NTZ for micros files)."""
+    return T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", ts_type),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
 
 
 def _stage_dir(sf_dir: str) -> str:
@@ -54,15 +58,23 @@ def _stage_dir(sf_dir: str) -> str:
 
 
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over events.parquet. The ns-precision ts is
-    read as raw nanos and truncated to a microsecond timestamp —
-    identical to the batch reader (sources.io.load_table)."""
+    """File-source stream over events.parquet, type-adaptive on the
+    ts encoding exactly like the batch reader (sources.io.load_table):
+    legacy TIMESTAMP(NANOS) files arrive as raw nanos (nanosAsLong)
+    and are truncated to microseconds; TIMESTAMP(MICROS) files are
+    cast straight to a session-tz TimestampType. A one-off batch scan
+    of the footer picks the stream schema (streams must pre-declare
+    theirs — no inference at 100 TB anyway)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    staged = _stage_dir(sf_dir)
+    ts_type = spark.read.parquet(staged).schema["ts"].dataType
     stream = (spark.readStream
-              .schema(EVENT_STREAM_SCHEMA)
-              .parquet(_stage_dir(sf_dir)))
-    return stream.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")))
+              .schema(_event_stream_schema(ts_type))
+              .parquet(staged))
+    if isinstance(ts_type, T.LongType):
+        return stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(events: DataFrame, width: str = "1 day",
