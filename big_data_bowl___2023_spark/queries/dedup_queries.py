@@ -119,11 +119,15 @@ def _simhash_oracle() -> str:
         SELECT doc_id, {concat} AS simhash FROM acc"""
 
 
-@query("dedup_simhash", _simhash_oracle())
 def dedup_simhash(spark, sf_dir):
     """SimHash 32-bit sketch per document (dedup.simhash): one explode
     + one grouped pass with 32 conditional sums; md5-hex bit source so
-    the oracle derives identical sketches."""
+    the oracle derives identical sketches.
+
+    Demoted from the 50-slot driver registry in round 4 (its sketch
+    derivation is re-verified verbatim inside the
+    ``dedup_simhash_hamming`` oracle, so the slot was redundant);
+    oracle parity lives on in tests/test_demoted_ops.py."""
     docs = load_table(spark, sf_dir, "documents")
     return dd.simhash_docs(docs)
 

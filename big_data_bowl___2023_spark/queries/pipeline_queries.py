@@ -242,3 +242,58 @@ def mm_extract_features(spark, sf_dir):
     return (meta.select("media_id", "modality", "width", "height",
                         "n_channels", "decoder")
             .join(exploded, "media_id"))
+
+
+@query(
+    "qpipe_blocker_counts",
+    """WITH disc AS (
+          SELECT l_orderkey, COUNT(*) AS n_disc_suppliers FROM (
+            SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+            WHERE l_discount >= 0.05) GROUP BY l_orderkey),
+        alls AS (
+          SELECT l_orderkey, COUNT(*) AS n_all_suppliers FROM (
+            SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+          GROUP BY l_orderkey)
+        SELECT o.o_orderkey,
+               COALESCE(d.n_disc_suppliers, 0) AS n_disc_suppliers,
+               COALESCE(a.n_all_suppliers, 0) AS n_all_suppliers,
+               o.o_totalprice
+        FROM orders o
+        LEFT JOIN disc d ON d.l_orderkey = o.o_orderkey
+        LEFT JOIN alls a ON a.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem WHERE l_quantity >= 30)""",
+)
+def qpipe_blocker_counts(spark, sf_dir):
+    """Q5 ``blocker_counts`` analogue (MBE:120-141): two filtered
+    dedup-count aggregates over the same fact table (OL blockers /
+    all blockers becomes discounted suppliers / all suppliers per
+    order), attached to the entity grain with left-join + zero fill,
+    then the reference's dedup-then-merge existence filter as a
+    semi-join (rushers blocked by >=1 OL becomes orders with >=1
+    heavy line). Exercises the real engine operators
+    (joins.left_join_fill / joins.semi_join), not inlined joins."""
+    from ..operators import joins as jn
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def supplier_count(filtered, alias):
+        return (filtered.select("l_orderkey", "l_suppkey").distinct()
+                .groupBy("l_orderkey")
+                .agg(F.count(F.lit(1)).alias(alias))
+                .withColumnRenamed("l_orderkey", "o_orderkey"))
+
+    disc = supplier_count(
+        li.filter(F.col("l_discount") >= 0.05), "n_disc_suppliers")
+    alls = supplier_count(li, "n_all_suppliers")
+    heavy = (li.filter(F.col("l_quantity") >= 30)
+             .select(F.col("l_orderkey").alias("o_orderkey")))
+    out = orders.select("o_orderkey", "o_totalprice")
+    out = jn.left_join_fill(out, disc, ["o_orderkey"],
+                            fill={"n_disc_suppliers": 0})
+    out = jn.left_join_fill(out, alls, ["o_orderkey"],
+                            fill={"n_all_suppliers": 0})
+    out = jn.semi_join(out, heavy, ["o_orderkey"])
+    return out.select("o_orderkey", "n_disc_suppliers",
+                      "n_all_suppliers", "o_totalprice")

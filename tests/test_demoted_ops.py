@@ -111,3 +111,23 @@ def test_corr_matrix_against_duckdb(spark, sf_dir):
         if a == b:
             assert v == 1.0
         assert abs(v - ref) <= 1e-6
+
+
+def test_simhash_sketch_matches_duckdb(spark, sf_dir):
+    """dedup_simhash was demoted from the driver registry in round 4
+    (the dedup_simhash_hamming oracle re-derives the sketches anyway);
+    its bit-exact oracle parity is kept here."""
+    import duckdb
+
+    from big_data_bowl___2023_spark.queries.dedup_queries import (
+        _simhash_oracle,
+        dedup_simhash,
+    )
+
+    got = {r.doc_id: r.simhash
+           for r in dedup_simhash(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_dir}/documents.parquet'")
+    ref = dict(con.execute(_simhash_oracle()).fetchall())
+    assert got == ref
