@@ -48,28 +48,41 @@ def curate_and_export(docs: DataFrame, out_dir: str,
                       min_words: int = 50,
                       overlap_shared: int | None = None,
                       dsir_target: DataFrame | None = None,
-                      dsir_n_docs: int | None = None) -> dict:
+                      dsir_n_docs: int | None = None,
+                      lazy_stats: bool = False) -> dict:
     """Run the pipeline and write shards; returns per-stage counts.
 
     Shards are packed per source (the parallelism unit — a global
     pack would serialize) and written as JSONL partitioned by
-    (source, shard) for straight consumption by a trainer."""
-    stats = {"input": docs.count()}
+    (source, shard) for straight consumption by a trainer.
+
+    ``lazy_stats=False`` (default) counts after every stage — the
+    audit record a curation run must emit anyway, at the cost of one
+    extra job per stage. ``lazy_stats=True`` skips every count so the
+    whole pipeline collapses into the single export action — the
+    100 TB mode when the audit comes from the written manifest
+    instead."""
+    def tally(key: str, frame: DataFrame) -> None:
+        if not lazy_stats:
+            stats[key] = frame.count()
+
+    stats: dict = {}
+    tally("input", docs)
 
     quality = gopher_filter(docs, min_words=min_words)
-    stats["after_quality"] = quality.count()
+    tally("after_quality", quality)
 
     clean = redact_documents(quality)
 
     deduped = exact_dedup(clean).drop("fingerprint")
-    stats["after_exact_dedup"] = deduped.count()
+    tally("after_exact_dedup", deduped)
 
     pairs = minhash_band_pairs(deduped, jaccard_threshold)
     # keep the longest doc per near-dup cluster (id tiebreak)
     withlen = deduped.withColumn("__len", F.length("text"))
     canon = (canonical_docs(withlen, pairs, prefer_col="__len")
              .drop("__len", "cluster_id"))
-    stats["after_near_dedup"] = canon.count()
+    tally("after_near_dedup", canon)
 
     if overlap_shared is not None:
         # verbatim-overlap (winnowed fingerprint) dedup: same
@@ -79,29 +92,30 @@ def curate_and_export(docs: DataFrame, out_dir: str,
         withlen = canon.withColumn("__len", F.length("text"))
         canon = (canonical_docs(withlen, ov, prefer_col="__len")
                  .drop("__len", "cluster_id"))
-        stats["after_overlap_dedup"] = canon.count()
+        tally("after_overlap_dedup", canon)
 
     if benchmark is not None:
         canon = decontaminate(canon, benchmark)
-        stats["after_decontamination"] = canon.count()
+        tally("after_decontamination", canon)
 
     if dsir_target is not None:
-        n_sel = dsir_n_docs or max(1, stats["input"] // 2)
+        n_sel = dsir_n_docs or max(1, stats.get("input", docs.count()) // 2)
         canon = dsir_resample(canon, dsir_target, n_sel) \
             .drop("logw", "key")
-        stats["after_dsir_selection"] = canon.count()
+        tally("after_dsir_selection", canon)
 
     chunks = (chunk_sequences(canon, seq_len)
               .join(canon.select("doc_id", "source"), "doc_id"))
-    stats["chunks"] = chunks.count()
+    tally("chunks", chunks)
 
     packed = pack_by_budget(chunks, shard_budget, "n_tokens",
                             ["source"], id_col="doc_id")
     write_jsonl(packed.repartition("source", "shard")
                 .sortWithinPartitions("doc_id", "seq_idx"),
                 out_dir)
-    stats["shards"] = (packed.select("source", "shard")
-                       .distinct().count())
+    if not lazy_stats:
+        stats["shards"] = (packed.select("source", "shard")
+                           .distinct().count())
     return stats
 
 

@@ -7,10 +7,14 @@ and stops, with exactly-once file-source semantics across runs."""
 
 from __future__ import annotations
 
+import pytest
+
 import tempfile
 import time
 
 from big_data_bowl___2023_spark.streaming import incremental_dedup
+
+pytestmark = pytest.mark.slow
 
 
 def _run_once(spark, data, ckpt, out_dir):

@@ -5,6 +5,8 @@ the packing contract, and the JSONL output round-trips."""
 
 from __future__ import annotations
 
+import pytest
+
 import tempfile
 
 from pyspark.sql import functions as F
@@ -14,6 +16,8 @@ from big_data_bowl___2023_spark.pipelines.curation import (
     curation_report,
 )
 from big_data_bowl___2023_spark.sources.io import load_table
+
+pytestmark = pytest.mark.slow
 
 BASE = ("the quick brown fox jumps over the lazy dog and then runs "
         "far away into the quiet green forest before the cold night "
@@ -115,3 +119,18 @@ def test_optional_overlap_and_dsir_stages(spark):
     assert stats["after_near_dedup"] == 4
     assert stats["after_overlap_dedup"] == 3
     assert stats["after_dsir_selection"] == 2
+
+
+def test_lazy_stats_same_output_no_counts(spark):
+    """lazy_stats=True must write identical shards while returning no
+    per-stage counts — the single-action 100 TB mode."""
+    docs, bench = _fixture(spark)
+    with tempfile.TemporaryDirectory() as tmp:
+        stats = curate_and_export(docs, f"{tmp}/lazy", benchmark=bench,
+                                  seq_len=16, shard_budget=64,
+                                  min_words=40, lazy_stats=True)
+        assert stats == {}, "lazy mode must run zero count jobs"
+        out = spark.read.json(f"{tmp}/lazy")
+        kept_docs = {int(r.doc_id) for r in
+                     out.select("doc_id").distinct().collect()}
+        assert kept_docs == {3, 4, 6}

@@ -5,9 +5,13 @@ from important nodes ⇒ higher rank."""
 
 from __future__ import annotations
 
+import pytest
+
 import numpy as np
 
 from big_data_bowl___2023_spark.operators.graph import pagerank
+
+pytestmark = pytest.mark.slow
 
 # 0→1, 0→2, 1→2, 2→0, 3→2 ; node 4 dangling (edge 2→4 gives it mass)
 EDGES = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (2, 4)]

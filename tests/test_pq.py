@@ -22,6 +22,8 @@ from big_data_bowl___2023_spark.similarity import (
 )
 from big_data_bowl___2023_spark.sources.io import load_table
 
+pytestmark = pytest.mark.slow
+
 M, KCENT, TOPK = 8, 32, 10
 
 

@@ -4,6 +4,8 @@ near-duplicate flow, and the degenerate-corpus guard."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from big_data_bowl___2023_spark import dedup as dd
@@ -14,6 +16,8 @@ from big_data_bowl___2023_spark.dedup.semantic import (
     semantic_dup_pairs,
 )
 from big_data_bowl___2023_spark.sources.io import load_table
+
+pytestmark = pytest.mark.slow
 
 THRESH = 0.4
 

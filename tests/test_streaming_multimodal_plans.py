@@ -34,6 +34,10 @@ def test_stream_batch_parity(spark, sf_dir):
              .select(F.col("w.start").alias("window_start"),
                      "event_type", "n", "total_value")).collect()
     key = lambda r: (r.window_start, r.event_type)
+    # Epoch-collapse guard (round-3 failure mode): a mis-decoded ts
+    # merges every window into ~1970 — parity alone can't catch it
+    # because the batch side would collapse identically.
+    assert min(r.window_start for r in stream_out).year > 2000
     assert sorted((key(r), r.n, r.total_value) for r in stream_out) == \
            sorted((key(r), r.n, r.total_value) for r in batch)
 

@@ -6,6 +6,8 @@ the horizon rather than by stream history."""
 
 from __future__ import annotations
 
+import pytest
+
 import tempfile
 import time
 import uuid
@@ -14,6 +16,8 @@ from datetime import datetime, timedelta
 from big_data_bowl___2023_spark.streaming import (
     incremental_dedup_watermarked,
 )
+
+pytestmark = pytest.mark.slow
 
 T0 = datetime(2026, 1, 1, 12, 0, 0)
 
