@@ -32,6 +32,11 @@ from .semantic import (
     semantic_dedup,
     semantic_dup_pairs,
 )
+from .lines import (
+    remove_repeated_lines,
+    repeated_line_stats,
+    split_lines,
+)
 from .clusters import canonical_docs, connected_components, resolve_clusters
 from .decontaminate import (
     contaminated_doc_ids,
@@ -50,6 +55,7 @@ __all__ = [
     "cosine_pairs_allpairs_fold",
     "fingerprint_overlap_pairs", "kgram_hashes", "winnow_fingerprints",
     "kmeans_assign", "semantic_dedup", "semantic_dup_pairs",
+    "remove_repeated_lines", "repeated_line_stats", "split_lines",
     "canonical_docs", "connected_components", "resolve_clusters",
     "contaminated_doc_ids", "contamination_report", "decontaminate",
 ]

@@ -4,17 +4,18 @@ Each stage already exists as a tested operator; this module is the
 PRODUCT composition — the one function a data engineer calls to turn
 a raw document table into packed training shards:
 
-    quality gate (Gopher rules) → PII redaction → exact dedup →
+    quality gate (Gopher rules) → PII redaction →
+    [corpus-wide repeated-line scrub (C4 rule)] → exact dedup →
     near-dup cluster resolution (MinHash-LSH → connected components,
     keep best per cluster) → [verbatim-overlap dedup (winnowing)] →
     benchmark decontamination → [DSIR target-domain selection] →
     context-window chunking → per-source token-budget packing →
     sharded JSONL export (partitioned by source/shard)
 
-    Bracketed stages are opt-in (``overlap_shared`` / ``dsir_target``
-    arguments); embedding-space SemDeDup runs separately on the
-    embeddings table (dedup/semantic.py) because it keys on vectors,
-    not text.
+    Bracketed stages are opt-in (``line_dedup_min_chars`` /
+    ``overlap_shared`` / ``dsir_target`` arguments); embedding-space
+    SemDeDup runs separately on the embeddings table
+    (dedup/semantic.py) because it keys on vectors, not text.
 
 Everything stays one lazy Catalyst chain until the export action; the
 returned stats (one count per stage) are the audit record a curation
@@ -28,7 +29,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..dedup import canonical_docs, exact_dedup, minhash_band_pairs
+from ..dedup import (
+    canonical_docs,
+    exact_dedup,
+    minhash_band_pairs,
+    remove_repeated_lines,
+)
 from ..dedup.decontaminate import decontaminate
 from ..dedup.winnow import fingerprint_overlap_pairs
 from ..operators.dsir import dsir_resample
@@ -49,6 +55,7 @@ def curate_and_export(docs: DataFrame, out_dir: str,
                       overlap_shared: int | None = None,
                       dsir_target: DataFrame | None = None,
                       dsir_n_docs: int | None = None,
+                      line_dedup_min_chars: int | None = None,
                       lazy_stats: bool = False) -> dict:
     """Run the pipeline and write shards; returns per-stage counts.
 
@@ -73,6 +80,14 @@ def curate_and_export(docs: DataFrame, out_dir: str,
     tally("after_quality", quality)
 
     clean = redact_documents(quality)
+
+    if line_dedup_min_chars is not None:
+        # corpus-wide boilerplate scrub (C4 repeated-span rule) BEFORE
+        # exact dedup: stripping shared footers/banners first lets the
+        # whole-text fingerprint see the real content.
+        clean = remove_repeated_lines(clean,
+                                      min_chars=line_dedup_min_chars)
+        tally("after_line_dedup", clean)
 
     deduped = exact_dedup(clean).drop("fingerprint")
     tally("after_exact_dedup", deduped)

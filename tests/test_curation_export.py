@@ -134,3 +134,30 @@ def test_lazy_stats_same_output_no_counts(spark):
         kept_docs = {int(r.doc_id) for r in
                      out.select("doc_id").distinct().collect()}
         assert kept_docs == {3, 4, 6}
+
+
+def test_optional_line_dedup_stage(spark):
+    """Planted cross-document boilerplate line is scrubbed (first
+    occurrence kept) when the opt-in stage is enabled."""
+    footer = ("subscribe to our newsletter for updates and special "
+              "offers every single week")
+    base = [
+        (1, "alpha original content with plenty of words to say\n"
+            + footer, "web"),
+        (2, "beta writes an entirely different body of text here\n"
+            + footer, "web"),
+    ]
+    docs = spark.createDataFrame(base, ["doc_id", "text", "source"])
+    with tempfile.TemporaryDirectory() as tmp:
+        stats = curate_and_export(docs, f"{tmp}/shards", seq_len=16,
+                                  shard_budget=64, min_words=5,
+                                  line_dedup_min_chars=30)
+        assert stats["after_line_dedup"] == 2
+        out = spark.read.json(f"{tmp}/shards")
+        joined = (out.orderBy("doc_id", "seq_idx")
+                  .groupBy("doc_id")
+                  .agg(F.concat_ws(" ", F.collect_list("seq_text"))
+                       .alias("t")).collect())
+        texts = {int(r.doc_id): r.t for r in joined}
+        assert "newsletter" in texts[1]      # first occurrence kept
+        assert "newsletter" not in texts[2]  # repeat scrubbed

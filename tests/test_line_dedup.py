@@ -1,0 +1,136 @@
+"""Corpus-wide repeated-line removal (dedup/lines.py): planted
+boilerplate handled per policy, short-line exemption, determinism
+under repartitioning, and full-pipeline parity against a DuckDB
+oracle on a multi-line corpus derived from the real documents table.
+"""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from big_data_bowl___2023_spark.dedup.lines import (
+    remove_repeated_lines,
+    repeated_line_stats,
+)
+from big_data_bowl___2023_spark.sources.io import load_table
+
+FOOTER = "subscribe to our newsletter for updates and special offers"
+BANNER = "this website uses cookies to improve your experience today"
+
+
+def _fixture(spark):
+    rows = [
+        (1, f"alpha unique content first\n{FOOTER}\nmore alpha text here"),
+        (2, f"{BANNER}\nbeta has its own words\n{FOOTER}"),
+        (3, f"{BANNER}\ngamma writes something else entirely\nok"),
+        (4, "delta is fully original\nno repeats at all in here"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_stats_report(spark):
+    docs = _fixture(spark)
+    stats = {r.sample_line.strip(): r
+             for r in repeated_line_stats(docs, min_chars=30).collect()}
+    assert set(stats) == {FOOTER, BANNER}
+    assert stats[FOOTER].n_occurrences == 2
+    assert stats[FOOTER].n_docs == 2
+    assert stats[FOOTER].first_doc == 1
+    assert stats[BANNER].first_doc == 2 and stats[BANNER].first_line_no == 0
+
+
+def test_keep_first_policy(spark):
+    docs = _fixture(spark)
+    out = {r.doc_id: r.text
+           for r in remove_repeated_lines(docs, min_chars=30).collect()}
+    # doc 1 holds the first FOOTER occurrence → keeps it
+    assert out[1] == (
+        f"alpha unique content first\n{FOOTER}\nmore alpha text here")
+    # doc 2: BANNER first occurrence kept, FOOTER (second) removed
+    assert out[2] == f"{BANNER}\nbeta has its own words"
+    # doc 3: BANNER second occurrence removed; short 'ok' line exempt
+    assert out[3] == "gamma writes something else entirely\nok"
+    assert out[4] == docs.filter("doc_id = 4").first().text
+
+
+def test_keep_none_policy(spark):
+    docs = _fixture(spark)
+    out = {r.doc_id: r.text
+           for r in remove_repeated_lines(docs, min_chars=30,
+                                          keep="none").collect()}
+    for t in out.values():
+        assert FOOTER not in t and BANNER not in t
+    assert out[1] == "alpha unique content first\nmore alpha text here"
+
+
+def test_all_lines_removed_yields_empty_text(spark):
+    docs = spark.createDataFrame(
+        [(1, FOOTER), (2, FOOTER)], ["doc_id", "text"])
+    out = {r.doc_id: r.text
+           for r in remove_repeated_lines(docs, min_chars=30,
+                                          keep="none").collect()}
+    assert out == {1: "", 2: ""}
+
+
+def test_partitioning_invariance(spark):
+    docs = _fixture(spark)
+    a = {(r.doc_id, r.text) for r in
+         remove_repeated_lines(docs, min_chars=30).collect()}
+    b = {(r.doc_id, r.text) for r in
+         remove_repeated_lines(docs.repartition(7), min_chars=30)
+         .collect()}
+    assert a == b
+
+
+def test_matches_duckdb_oracle_on_documents(spark, sf_dir):
+    """Full-pipeline parity on real data: both engines derive the
+    same multi-line corpus from documents.parquet (every ' merge '
+    becomes a newline), then remove corpus-wide repeated lines with
+    the keep-first rule."""
+    min_chars = 10
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.regexp_replace("text", " merge ", "\n")
+                     .alias("text")))
+    got = {r.doc_id: r.text
+           for r in remove_repeated_lines(docs, min_chars=min_chars)
+           .collect()}
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_dir}/documents.parquet'")
+    ref = dict(con.execute(f"""
+        WITH src AS (
+          SELECT doc_id, replace(text, ' merge ', chr(10)) AS text
+          FROM documents),
+        splits AS (
+          SELECT doc_id, string_split(text, chr(10)) AS parts
+          FROM src),
+        pos AS (
+          SELECT doc_id, unnest(range(1, len(parts) + 1)) AS i
+          FROM splits),
+        lines AS (
+          SELECT p.doc_id, p.i - 1 AS line_no, s.parts[p.i] AS line
+          FROM pos p JOIN splits s USING (doc_id)),
+        keyed AS (
+          SELECT doc_id, line_no, line,
+                 CASE WHEN length(trim(line)) >= {min_chars}
+                      THEN md5(trim(line)) END AS h
+          FROM lines),
+        rep AS (
+          SELECT h, MIN(doc_id * 1000000 + line_no) AS first_key
+          FROM keyed WHERE h IS NOT NULL
+          GROUP BY h HAVING COUNT(*) > 1),
+        kept AS (
+          SELECT k.doc_id, k.line_no, k.line
+          FROM keyed k LEFT JOIN rep r ON k.h = r.h
+          WHERE r.h IS NULL
+             OR k.doc_id * 1000000 + k.line_no = r.first_key)
+        SELECT s.doc_id,
+               COALESCE(
+                 (SELECT string_agg(kk.line, chr(10)
+                                    ORDER BY kk.line_no)
+                  FROM kept kk WHERE kk.doc_id = s.doc_id), '')
+        FROM src s""").fetchall())
+    assert got == ref
