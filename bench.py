@@ -70,9 +70,22 @@ def _extra_ops():
         target = docs.filter(F.col("doc_id") % 7 == 0)
         return dsir_resample(docs, target, 100)
 
+    def linededup(spark, sf_dir):
+        from big_data_bowl___2023_spark.dedup.lines import (
+            remove_repeated_lines,
+        )
+        # testdata documents are single-line; derive a deterministic
+        # multi-line corpus the same way the oracle test does.
+        docs = (load_table(spark, sf_dir, "documents")
+                .select("doc_id",
+                        F.regexp_replace("text", " merge ", "\n")
+                         .alias("text")))
+        return remove_repeated_lines(docs, min_chars=10)
+
     return {"dedup_winnow_overlap": winnow,
             "dedup_semantic_pairs": semdedup,
-            "dsir_select": dsir}
+            "dsir_select": dsir,
+            "dedup_repeated_lines": linededup}
 
 
 def main() -> None:
