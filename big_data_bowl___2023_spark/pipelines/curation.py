@@ -4,7 +4,8 @@ Each stage already exists as a tested operator; this module is the
 PRODUCT composition — the one function a data engineer calls to turn
 a raw document table into packed training shards:
 
-    quality gate (Gopher rules) → PII redaction →
+    quality gate (Gopher rules) → [learned quality filter
+    (fastText-style classifier)] → PII redaction →
     [corpus-wide repeated-line scrub (C4 rule)] → exact dedup →
     near-dup cluster resolution (MinHash-LSH → connected components,
     keep best per cluster) → [verbatim-overlap dedup (winnowing)] →
@@ -12,8 +13,9 @@ a raw document table into packed training shards:
     context-window chunking → per-source token-budget packing →
     sharded JSONL export (partitioned by source/shard)
 
-    Bracketed stages are opt-in (``line_dedup_min_chars`` /
-    ``overlap_shared`` / ``dsir_target`` arguments); embedding-space
+    Bracketed stages are opt-in (``quality_model`` /
+    ``line_dedup_min_chars`` / ``overlap_shared`` / ``dsir_target``
+    arguments); embedding-space
     SemDeDup runs separately on the embeddings table
     (dedup/semantic.py) because it keys on vectors, not text.
 
@@ -39,6 +41,7 @@ from ..dedup.decontaminate import decontaminate
 from ..dedup.winnow import fingerprint_overlap_pairs
 from ..operators.dsir import dsir_resample
 from ..functions.gopher import gopher_filter
+from ..functions.quality_model import model_quality_filter
 from ..functions.redact import redact_documents
 from ..functions import text as Tx
 from ..operators.chunking import chunk_sequences
@@ -56,6 +59,8 @@ def curate_and_export(docs: DataFrame, out_dir: str,
                       dsir_target: DataFrame | None = None,
                       dsir_n_docs: int | None = None,
                       line_dedup_min_chars: int | None = None,
+                      quality_model=None,
+                      quality_model_threshold: float = 0.5,
                       lazy_stats: bool = False) -> dict:
     """Run the pipeline and write shards; returns per-stage counts.
 
@@ -78,6 +83,14 @@ def curate_and_export(docs: DataFrame, out_dir: str,
 
     quality = gopher_filter(docs, min_words=min_words)
     tally("after_quality", quality)
+
+    if quality_model is not None:
+        # learned second gate (functions/quality_model.py): scoring
+        # is a broadcast-model map pass, no shuffle added.
+        quality = model_quality_filter(
+            quality, quality_model,
+            threshold=quality_model_threshold).drop("quality_prob")
+        tally("after_model_quality", quality)
 
     clean = redact_documents(quality)
 

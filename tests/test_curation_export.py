@@ -161,3 +161,39 @@ def test_optional_line_dedup_stage(spark):
         texts = {int(r.doc_id): r.t for r in joined}
         assert "newsletter" in texts[1]      # first occurrence kept
         assert "newsletter" not in texts[2]  # repeat scrubbed
+
+
+def test_optional_model_quality_stage(spark):
+    """A classifier trained on clean-vs-spam weak labels gates the
+    pipeline when passed in; the spam doc is dropped by the model
+    stage (it passes the mechanical Gopher gate)."""
+    from big_data_bowl___2023_spark.functions.quality_model import (
+        train_quality_classifier,
+        weak_labels_from_source,
+    )
+
+    clean = ("careful analysis of the experimental results shows the "
+             "method improves accuracy across every evaluated "
+             "benchmark while requiring substantially less compute")
+    spam = ("click here buy now free offer winner prize claim "
+            "instantly guaranteed ") * 4
+    train = spark.createDataFrame(
+        [(i, clean + f" v{i}", "docs") for i in range(10)]
+        + [(50 + i, spam + f" s{i}", "web") for i in range(10)],
+        ["doc_id", "text", "source"])
+    model = train_quality_classifier(
+        weak_labels_from_source(train, ("docs",)))
+
+    docs = spark.createDataFrame(
+        [(1, clean + " held out content", "docs"),
+         (2, spam + " held out spam", "web")],
+        ["doc_id", "text", "source"])
+    with tempfile.TemporaryDirectory() as tmp:
+        stats = curate_and_export(docs, f"{tmp}/shards", seq_len=16,
+                                  shard_budget=64, min_words=5,
+                                  quality_model=model)
+        assert stats["after_quality"] == 2          # Gopher passes both
+        assert stats["after_model_quality"] == 1    # model drops spam
+        out = spark.read.json(f"{tmp}/shards")
+        assert {int(r.doc_id) for r in
+                out.select("doc_id").distinct().collect()} == {1}
