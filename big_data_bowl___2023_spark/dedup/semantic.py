@@ -50,12 +50,23 @@ def scaled_k(n: int, target_cluster: int = 250) -> int:
 def kmeans_assign(df: DataFrame, k: int = 16, n_iters: int = 4,
                   vec_col: str = "embedding",
                   id_col: str = "vec_id",
-                  dim: int | None = None) -> DataFrame:
+                  dim: int | None = None,
+                  codegen_max_k: int = 64) -> DataFrame:
     """(id, u, cluster): full-vector k-means assignment.
 
     Training is ``train_pq(m=1)`` (deterministic seeds, Lloyd rounds
-    as single aggregation jobs); assignment is the same literal-
-    centroid argmin expression the PQ encoder uses — pure codegen."""
+    as single aggregation jobs over a capped training sample).
+    Assignment picks its physical shape by ``k``:
+
+    * k ≤ ``codegen_max_k``: the literal-centroid argmin expression
+      the PQ encoder uses — pure whole-stage codegen, zero joins;
+    * k > ``codegen_max_k``: broadcast-replicate against a k-row
+      centroid table + map-side ``min_by`` fold. A thousand-literal
+      argmin would blow past the JVM codegen method-size limits that
+      `scaled_k` reaches on large corpora; the replicate path keeps
+      the per-row k·dim distance work but streams it, and the
+      groupBy(id) collapses map-side (replication preserves row
+      locality) so the exchange carries one row per vector."""
     from ..similarity.pq import _argmin_code, train_pq
 
     v = _normalized(df, vec_col, id_col)
@@ -63,7 +74,32 @@ def kmeans_assign(df: DataFrame, k: int = 16, n_iters: int = 4,
         dim = len(v.select("u").first().u)
     cents = train_pq(df, vec_col=vec_col, id_col=id_col, dim=dim,
                      m=1, k=k, n_iters=n_iters)[0]
-    return v.withColumn("cluster", _argmin_code(F.col("u"), cents))
+    if k <= codegen_max_k:
+        return v.withColumn("cluster", _argmin_code(F.col("u"), cents))
+    return _assign_by_join(v, cents)
+
+
+def _assign_by_join(v: DataFrame, cents: list) -> DataFrame:
+    """(id, u, cluster) via a broadcast centroid table: deterministic
+    (ties break to the lowest code, matching _argmin_code's
+    array_position-of-min semantics). The crossJoin is the deliberate
+    broadcast-replicate idiom (same as the salt replication in
+    operators/joins.py) — an inner NLJ whose build side is the k-row
+    table, NOT a corpus×corpus blowup."""
+    from ..similarity.pq import _sq_dist
+
+    spark = v.sparkSession
+    cdf = spark.createDataFrame(
+        [(j, [float(x) for x in c]) for j, c in enumerate(cents)],
+        "code int, cent array<double>")
+    joined = v.crossJoin(F.broadcast(cdf))
+    d = _sq_dist(F.col("u"), F.col("cent"))
+    return (joined
+            .select("id", "u", F.col("code"), d.alias("__d"))
+            .groupBy("id")
+            .agg(F.first("u").alias("u"),
+                 F.min_by("code", F.struct("__d", "code"))
+                  .alias("cluster")))
 
 
 def semantic_dup_pairs(df: DataFrame, threshold: float,

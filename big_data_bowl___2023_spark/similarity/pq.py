@@ -70,16 +70,34 @@ def _normalized(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
 def train_pq(corpus: DataFrame, vec_col: str = "embedding",
              id_col: str = "vec_id", dim: int = 64,
              m: int = DEFAULT_M, k: int = DEFAULT_K,
-             n_iters: int = 8) -> list:
+             n_iters: int = 8,
+             train_rows: int | None = 100_000) -> list:
     """m×k×(dim/m) codebooks as a nested Python list.
 
     Deterministic init (subvectors of the k corpus rows with smallest
     md5(id) — no RNG state), then ``n_iters`` Lloyd rounds. Each round
     is one Spark aggregation: explode to (id, subspace, subvector),
     argmin-assign against the current broadcast centroids, grouped
-    per-dimension mean. Empty clusters keep their previous centroid."""
+    per-dimension mean. Empty clusters keep their previous centroid.
+
+    ``train_rows`` caps the Lloyd training set at the ``train_rows``
+    corpus rows with smallest md5(id) — the same deterministic order
+    the seeds use. Codebooks need ~10⁵ training vectors regardless of
+    corpus size (Jégou et al. train on a sample), so without the cap
+    every Lloyd round would be a FULL-corpus pass — the difference
+    between 8 scans of 100 TB and 8 scans of a few GB. ``None``
+    trains on everything (the pre-round-4 behavior; identical output
+    whenever the corpus is smaller than the cap)."""
     sub = dim // m
     v = _normalized(corpus, vec_col, id_col)
+    if train_rows is not None:
+        # TakeOrdered computes per-partition top-n map-side; the
+        # repartition fans the (small) training set back out so the
+        # Lloyd rounds keep their parallelism. For corpora where even
+        # per-partition top-n merge is too hot, pre-sample with
+        # operators.sampling.hash_sample and pass train_rows=None.
+        v = (v.orderBy(F.md5(F.col("id").cast("string")))
+             .limit(train_rows).repartition("id"))
     seeds = (v.orderBy(F.md5(F.col("id").cast("string")))
              .limit(k).collect())
     # cents[mi][j] = list of sub floats
