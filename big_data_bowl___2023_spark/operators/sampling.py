@@ -128,6 +128,32 @@ def stratified_sample_exact(df: DataFrame, strata: Sequence[str],
               .drop("__n", "__rn"))
 
 
+def cap_per_group(df: DataFrame, group_cols: Sequence[str],
+                  max_rows: int,
+                  priority_col: str | None = None,
+                  id_col: str = "doc_id") -> DataFrame:
+    """At most ``max_rows`` rows per group — the RefinedWeb-style
+    per-domain/per-source document quota that stops any one domain
+    from dominating a crawl corpus. ``priority_col`` (descending,
+    e.g. a learned quality probability) decides WHICH rows survive;
+    without it the deterministic id-hash order makes the cap an
+    unbiased per-group sample. One shuffle on the group key; the
+    per-group sort is window-local (no global order).
+
+    At 100 TB the hot group (the biggest domain) lands on one task —
+    bounded by that group's row count, the same contract as
+    ``stratified_sample_exact``; groups hot enough to spill should be
+    pre-thinned with ``hash_sample``."""
+    order = []
+    if priority_col is not None:
+        order.append(F.col(priority_col).desc())
+    order += [F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc()]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") <= max_rows)
+              .drop("__rn"))
+
+
 def pack_by_budget(df: DataFrame, budget: int,
                    size_col: str, partition_cols: Sequence[str],
                    id_col: str = "doc_id",

@@ -127,3 +127,34 @@ def test_pack_strict_never_exceeds_budget(spark, sf_dir):
             assert r.total <= budget or r.mx > budget
     # strict packing keeps every input row exactly once
     assert packed.count() == docs.count()
+
+
+def test_cap_per_group_quota_and_determinism(spark, sf_dir):
+    from big_data_bowl___2023_spark.operators.sampling import (
+        cap_per_group,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    capped = cap_per_group(docs, ["source"], 25)
+    sizes = {r.source: r["count"]
+             for r in capped.groupBy("source").count().collect()}
+    orig = {r.source: r["count"]
+            for r in docs.groupBy("source").count().collect()}
+    for s, n in sizes.items():
+        assert n == min(25, orig[s])
+    again = cap_per_group(docs.repartition(13), ["source"], 25)
+    assert {r.doc_id for r in capped.select("doc_id").collect()} == \
+           {r.doc_id for r in again.select("doc_id").collect()}
+
+
+def test_cap_per_group_priority_keeps_best(spark):
+    from big_data_bowl___2023_spark.operators.sampling import (
+        cap_per_group,
+    )
+
+    rows = [(i, "web", float(i % 10)) for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "score"])
+    kept = cap_per_group(df, ["source"], 6, priority_col="score")
+    scores = sorted(r.score for r in kept.collect())
+    # 30 rows, scores 0-9 three times each: the top-6 are {9,9,9,8,8,8}
+    assert scores == [8.0, 8.0, 8.0, 9.0, 9.0, 9.0]
