@@ -35,6 +35,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from big_data_bowl___2023_spark import dedup as dd  # noqa: E402
+from big_data_bowl___2023_spark.dedup.lines import (  # noqa: E402
+    remove_repeated_lines,
+    repeated_line_stats,
+)
 from big_data_bowl___2023_spark.dedup.embedding import (  # noqa: E402
     _normalized,
     lsh_candidate_pairs,
@@ -131,6 +135,24 @@ def main() -> None:
         n_mh = dd.minhash_band_pairs(docs, 0.3, max_bucket=100_000).count()
         t_mh = time.time() - t0
 
+        # repeated-line removal under a deliberately hot key: every
+        # doc (all replicas) shares ONE boilerplate line, so its
+        # global count is n_docs — the partial-agg absorption claim
+        # is what this leg measures. ' merge(_r)? ' tokens become
+        # newlines so replicas have organic within-replica repeats
+        # too.
+        boiler = ("subscribe to the data digest newsletter for "
+                  "weekly updates and offers")
+        docs_ml = docs.withColumn(
+            "text",
+            F.concat(F.regexp_replace("text", " merge(_\\d+)? ", "\n"),
+                     F.lit("\n" + boiler)))
+        t0 = time.time()
+        n_hot = repeated_line_stats(docs_ml, min_chars=10).count()
+        n_lines_kept = (remove_repeated_lines(docs_ml, min_chars=10)
+                        .count())
+        t_lines = time.time() - t0
+
         print(json.dumps({
             "scale": scale, "n_emb": n_emb, "n_docs": n_docs,
             "n_planes": planes, "n_blocks": scaled_n_blocks(n_emb),
@@ -141,6 +163,8 @@ def main() -> None:
             "exact_pairs": n_exact,
             "exact_sec": round(t_exact, 2) if t_exact else None,
             "minhash_pairs": n_mh, "minhash_sec": round(t_mh, 2),
+            "repeated_lines": n_hot, "line_docs_out": n_lines_kept,
+            "line_dedup_sec": round(t_lines, 2),
         }), flush=True)
     spark.stop()
 
