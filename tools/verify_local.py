@@ -6,6 +6,10 @@ value hash. Use while iterating so oracle drift is caught before the
 driver round runs.
 
 Usage: python tools/verify_local.py [sf_dir] [name_filter ...]
+
+``--extras`` additionally smoke-runs the bench-only operators
+(bench.py `_extra_ops` — outside the 50-slot driver registry, so
+rows-only: each must execute and return > 0 rows).
 """
 
 from __future__ import annotations
@@ -47,14 +51,19 @@ def frame_hash(df: pd.DataFrame) -> tuple[int, list[str], str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    name_filter = sys.argv[2:]
+    args = [a for a in sys.argv[1:] if a != "--extras"]
+    with_extras = "--extras" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    name_filter = args[1:]
 
     from big_data_bowl___2023_spark import registry
     from big_data_bowl___2023_spark.session import get_spark
 
     qs = registry.all_queries()
     oracles = registry.all_oracles()
+    if with_extras:
+        import bench
+        qs.update(bench._extra_ops())
     if name_filter:
         qs = {k: v for k, v in qs.items()
               if any(f in k for f in name_filter)}
