@@ -9,7 +9,7 @@ frequency caps, block joins) rather than materializing O(n²).
 """
 
 from .exact import exact_dedup, fingerprint_docs
-from .ngram import jaccard_pairs, shingle_docs
+from .ngram import duplication_profile, jaccard_pairs, shingle_docs
 from .minhash import (
     band_candidates,
     minhash_band_pairs,
@@ -46,7 +46,7 @@ from .decontaminate import (
 
 __all__ = [
     "exact_dedup", "fingerprint_docs",
-    "jaccard_pairs", "shingle_docs",
+    "duplication_profile", "jaccard_pairs", "shingle_docs",
     "band_candidates",
     "minhash_band_pairs", "minhash_signatures", "mllib_minhash_pairs",
     "simhash_docs",

@@ -71,3 +71,34 @@ def jaccard_pairs(df: DataFrame, threshold: float,
     return (shared.join(ca, "doc_a").join(cb, "doc_b")
             .filter(j >= F.lit(threshold))
             .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard")))
+
+
+def duplication_profile(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        n: int = 3) -> DataFrame:
+    """Per-document duplication fraction: the share of a document's
+    distinct n-gram shingles that also occur in at least one OTHER
+    document — the corpus-health stat training-data reports publish
+    (high values flag boilerplate-heavy or template-generated slices
+    that pair-level dedup thresholds miss).
+
+    Columns: (doc_id, n_shingles, n_duplicated, dup_fraction·round6).
+    Docs shorter than ``n`` tokens have no shingles and are omitted
+    (no shingle evidence either way).
+
+    Scale shape: one groupBy(shingle) document-frequency count
+    (partial agg absorbs hot shingles map-side) + one shingle-keyed
+    semi-structured join back + one doc-keyed aggregation. No pair
+    join at all — cost is linear in total shingle volume, unlike
+    ``jaccard_pairs``, so it runs corpus-wide without a frequency
+    cap."""
+    sh = shingle_docs(df, text_col, id_col, n).cache()
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    joined = sh.join(freq, "shingle")
+    out = (joined.groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_shingles"),
+                F.sum((F.col("df") > 1).cast("long"))
+                 .alias("n_duplicated")))
+    return out.withColumn(
+        "dup_fraction",
+        F.round(F.col("n_duplicated") / F.col("n_shingles"), 6))

@@ -134,3 +134,53 @@ def test_matches_duckdb_oracle_on_documents(spark, sf_dir):
                   FROM kept kk WHERE kk.doc_id = s.doc_id), '')
         FROM src s""").fetchall())
     assert got == ref
+
+
+def test_duplication_profile_matches_duckdb(spark, sf_dir):
+    """Per-doc duplication fraction vs a DuckDB re-derivation on real
+    documents (trigram shingles, distinct per doc)."""
+    from big_data_bowl___2023_spark.dedup.ngram import (
+        duplication_profile,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {r.doc_id: (r.n_shingles, r.n_duplicated, r.dup_fraction)
+           for r in duplication_profile(docs, n=3).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_dir}/documents.parquet'")
+    ref = {d: (ns, nd, round(nd / ns, 6)) for d, ns, nd in con.execute("""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+          FROM documents),
+        pos AS (
+          SELECT doc_id, unnest(range(1, len(t) - 1)) AS i
+          FROM toks WHERE len(t) >= 3),
+        sh AS (
+          SELECT DISTINCT p.doc_id,
+                 array_to_string(t[p.i : p.i + 2], ' ') AS shingle
+          FROM pos p JOIN toks USING (doc_id)),
+        freq AS (
+          SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+        SELECT s.doc_id, COUNT(*) AS n_shingles,
+               SUM(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS n_dup
+        FROM sh s JOIN freq f USING (shingle)
+        GROUP BY s.doc_id""").fetchall()}
+    assert got == ref
+
+
+def test_duplication_profile_planted_extremes(spark):
+    from big_data_bowl___2023_spark.dedup.ngram import (
+        duplication_profile,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),   # exact clone
+        (3, "one unique sentence nobody else wrote here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.dup_fraction
+           for r in duplication_profile(docs, n=3).collect()}
+    assert got[1] == 1.0 and got[2] == 1.0   # every shingle shared
+    assert got[3] == 0.0
