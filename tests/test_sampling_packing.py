@@ -158,3 +158,39 @@ def test_cap_per_group_priority_keeps_best(spark):
     scores = sorted(r.score for r in kept.collect())
     # 30 rows, scores 0-9 three times each: the top-6 are {9,9,9,8,8,8}
     assert scores == [8.0, 8.0, 8.0, 9.0, 9.0, 9.0]
+
+
+def test_quantile_buckets_balance_and_order(spark, sf_dir):
+    from big_data_bowl___2023_spark.operators.sampling import (
+        quantile_buckets,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    b = quantile_buckets(li.select("l_extendedprice"),
+                         "l_extendedprice", 4)
+    sizes = {r.bucket: r["count"]
+             for r in b.groupBy("bucket").count().collect()}
+    n = sum(sizes.values())
+    assert set(sizes) == {0, 1, 2, 3}
+    for c in sizes.values():            # ~balanced quartiles
+        assert 0.2 < c / n < 0.3
+    # bucket order respects value order
+    stats = {r.bucket: (r.lo, r.hi) for r in
+             b.groupBy("bucket")
+              .agg(F.min("l_extendedprice").alias("lo"),
+                   F.max("l_extendedprice").alias("hi")).collect()}
+    for i in range(3):
+        assert stats[i][1] <= stats[i + 1][0]
+
+
+def test_quantile_buckets_nulls(spark):
+    from big_data_bowl___2023_spark.operators.sampling import (
+        quantile_buckets,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0), (5, None)],
+        ["id", "x"])
+    got = {r.id: r.bucket for r in quantile_buckets(df, "x", 2).collect()}
+    assert got[5] is None
+    assert got[1] == 0 and got[4] == 1
