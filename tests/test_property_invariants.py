@@ -1,0 +1,120 @@
+"""Property-based invariants (hypothesis) for the round-4 operators.
+
+Each property is checked over randomized small inputs — the goal is
+edge-case coverage (empty docs, all-duplicate corpora, equal
+timestamps, single-user streams) that hand fixtures miss. Example
+counts are kept low: every example pays a Spark job, so these assert
+LOGICAL invariants, not throughput.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from big_data_bowl___2023_spark.dedup.lines import remove_repeated_lines
+from big_data_bowl___2023_spark.operators.sampling import cap_per_group
+from big_data_bowl___2023_spark.operators.sessions import sessionize
+
+SETTINGS = dict(max_examples=8, deadline=None,
+                suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+WORDS = ["alpha", "beta", "gamma", "delta", "shared",
+         "boilerplate", "unique"]
+
+line_st = st.lists(st.sampled_from(WORDS), min_size=0, max_size=6) \
+    .map(" ".join)
+doc_st = st.lists(line_st, min_size=0, max_size=5).map("\n".join)
+
+
+@given(texts=st.lists(doc_st, min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_line_dedup_output_lines_subset_and_ordered(spark, texts):
+    """Every output doc's lines are a subsequence of its input lines
+    (nothing invented, order preserved), and eligible repeated lines
+    appear at most once corpus-wide under keep='first'."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    out = {r.doc_id: r.text for r in
+           remove_repeated_lines(docs, min_chars=10).collect()}
+    seen = {}
+    for i, t in enumerate(texts):
+        out_lines = out[i].split("\n") if out[i] else []
+        in_lines = t.split("\n")
+        it = iter(in_lines)
+        for line in out_lines:          # subsequence check
+            for cand in it:
+                if cand == line:
+                    break
+            else:
+                raise AssertionError(
+                    f"line {line!r} not in order in doc {i}: {in_lines}")
+        for line in out_lines:
+            key = line.strip()
+            if len(key) >= 10:
+                seen[key] = seen.get(key, 0) + 1
+    assert all(v == 1 for v in seen.values()), seen
+
+
+@given(events=st.lists(
+    st.tuples(st.integers(0, 3),            # user
+              st.integers(0, 5000)),        # minutes offset
+    min_size=1, max_size=25))
+@settings(**SETTINGS)
+def test_sessionize_partition_and_gap_invariants(spark, events):
+    """Sessions partition each user's events; within a session every
+    consecutive gap is <= the threshold; across session boundaries
+    the gap is > the threshold."""
+    gap_min = 30
+    base = datetime(2024, 1, 1)
+    rows = [(i, base + timedelta(minutes=m), u)
+            for i, (u, m) in enumerate(events)]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id"])
+    got = sorted(((r.user_id, r.ts, r.event_id, r.session_idx)
+                  for r in sessionize(df, gap_min).collect()))
+    by_user: dict = {}
+    for u, ts, eid, sidx in got:
+        by_user.setdefault(u, []).append((ts, eid, sidx))
+    for u, seq in by_user.items():
+        assert seq[0][2] == 1                    # sessions start at 1
+        for (t0, _, s0), (t1, _, s1) in zip(seq, seq[1:]):
+            gap = (t1 - t0).total_seconds()
+            if s1 == s0:
+                assert gap <= gap_min * 60
+            else:
+                assert s1 == s0 + 1              # contiguous indices
+                assert gap > gap_min * 60
+
+
+@given(rows=st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]),
+              st.floats(0, 100, allow_nan=False)),
+    min_size=1, max_size=20),
+    cap=st.integers(1, 5))
+@settings(**SETTINGS)
+def test_cap_per_group_invariants(spark, rows, cap):
+    """Never more than cap rows per group; with a priority column the
+    kept rows are exactly a top-slice by score (no kept row scores
+    below a dropped row of the same group)."""
+    df = spark.createDataFrame(
+        [(i, g, s) for i, (g, s) in enumerate(rows)],
+        ["doc_id", "source", "score"])
+    kept = cap_per_group(df, ["source"], cap,
+                         priority_col="score").collect()
+    by_group: dict = {}
+    for r in kept:
+        by_group.setdefault(r.source, []).append(r)
+    all_by_group: dict = {}
+    for i, (g, s) in enumerate(rows):
+        all_by_group.setdefault(g, []).append((s, i))
+    for g, members in all_by_group.items():
+        kept_g = by_group.get(g, [])
+        assert len(kept_g) == min(cap, len(members))
+        if len(members) > cap:
+            kept_min = min(r.score for r in kept_g)
+            kept_ids = {r.doc_id for r in kept_g}
+            dropped_max = max(s for s, i in members
+                              if i not in kept_ids)
+            assert kept_min >= dropped_max - 1e-9
