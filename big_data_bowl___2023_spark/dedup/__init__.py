@@ -8,7 +8,7 @@ explosion, and every module here bounds it (banding, shingle
 frequency caps, block joins) rather than materializing O(n²).
 """
 
-from .exact import exact_dedup, fingerprint_docs
+from .exact import corpus_diff, exact_dedup, fingerprint_docs
 from .ngram import duplication_profile, jaccard_pairs, shingle_docs
 from .minhash import (
     band_candidates,
@@ -45,7 +45,7 @@ from .decontaminate import (
 )
 
 __all__ = [
-    "exact_dedup", "fingerprint_docs",
+    "corpus_diff", "exact_dedup", "fingerprint_docs",
     "duplication_profile", "jaccard_pairs", "shingle_docs",
     "band_candidates",
     "minhash_band_pairs", "minhash_signatures", "mllib_minhash_pairs",

@@ -30,3 +30,34 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     return (fp.withColumn("__rn", F.row_number().over(w))
               .filter(F.col("__rn") == 1)
               .drop("__rn"))
+
+
+def corpus_diff(old: DataFrame, new: DataFrame,
+                text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Snapshot diff between two corpus versions, one row per
+    changed document: (doc_id, change ∈ {added, removed, modified}).
+
+    Semantics by id and content fingerprint: an id only in ``new`` is
+    ``added``, only in ``old`` is ``removed``, in both with a
+    different normalized-text fingerprint is ``modified``; unchanged
+    docs are omitted. This is the audit pass an incremental curation
+    pipeline runs before reprocessing — only ``added``/``modified``
+    ids need to flow through dedup/scoring again, and ``removed`` ids
+    need tombstoning in downstream indexes.
+
+    One full-outer join on the id (both sides pre-projected to
+    (id, fingerprint) — column pruning keeps the 100 TB text columns
+    out of the shuffle entirely)."""
+    o = fingerprint_docs(old, text_col, id_col) \
+        .select(F.col(id_col), F.col("fingerprint").alias("__old_fp"))
+    n = fingerprint_docs(new, text_col, id_col) \
+        .select(F.col(id_col), F.col("fingerprint").alias("__new_fp"))
+    j = o.join(n, id_col, "full_outer")
+    change = (F.when(F.col("__old_fp").isNull(), F.lit("added"))
+              .when(F.col("__new_fp").isNull(), F.lit("removed"))
+              .when(F.col("__old_fp") != F.col("__new_fp"),
+                    F.lit("modified")))
+    return (j.withColumn("change", change)
+             .filter(F.col("change").isNotNull())
+             .select(id_col, "change"))

@@ -131,3 +131,52 @@ def test_simhash_sketch_matches_duckdb(spark, sf_dir):
                 f"'{sf_dir}/documents.parquet'")
     ref = dict(con.execute(_simhash_oracle()).fetchall())
     assert got == ref
+
+
+def test_corpus_diff_matches_duckdb(spark, sf_dir):
+    """corpus_diff vs a DuckDB full-outer re-derivation: old = the
+    documents table, new = documents with one doc dropped, one
+    modified, and one added."""
+    import duckdb
+
+    from big_data_bowl___2023_spark.dedup.exact import corpus_diff
+
+    old = load_table(spark, sf_dir, "documents")
+    max_id = old.agg(F.max("doc_id")).first()[0]
+    new = (old.filter(F.col("doc_id") != 0)
+           .withColumn("text",
+                       F.when(F.col("doc_id") == 1,
+                              F.concat(F.col("text"), F.lit(" edited")))
+                        .otherwise(F.col("text")))
+           .unionByName(old.orderBy("doc_id").limit(1).withColumn(
+               "doc_id", F.lit(max_id + 1))))
+    got = {(r.doc_id, r.change) for r in
+           corpus_diff(old, new).collect()}
+    assert (0, "removed") in got
+    assert (1, "modified") in got
+    assert (max_id + 1, "added") in got
+    assert len(got) == 3
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_dir}/documents.parquet'")
+    ref = set(map(tuple, con.execute(f"""
+        WITH old AS (SELECT doc_id, md5(lower(trim(text))) AS fp
+                     FROM documents),
+        new AS (
+          SELECT doc_id,
+                 md5(lower(trim(CASE WHEN doc_id = 1
+                                THEN text || ' edited' ELSE text END)))
+                   AS fp
+          FROM documents WHERE doc_id != 0
+          UNION ALL
+          (SELECT {max_id + 1}, md5(lower(trim(text)))
+           FROM documents ORDER BY doc_id LIMIT 1))
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.fp != n.fp THEN 'modified' END AS change
+        FROM old o FULL OUTER JOIN new n USING (doc_id)
+        WHERE (o.doc_id IS NULL OR n.doc_id IS NULL OR o.fp != n.fp)
+        """).fetchall()))
+    assert got == ref
