@@ -10,12 +10,13 @@ a raw document table into packed training shards:
     near-dup cluster resolution (MinHash-LSH → connected components,
     keep best per cluster) → [verbatim-overlap dedup (winnowing)] →
     benchmark decontamination → [DSIR target-domain selection] →
-    context-window chunking → per-source token-budget packing →
+    [per-source quota cap] → context-window chunking →
+    per-source token-budget packing →
     sharded JSONL export (partitioned by source/shard)
 
     Bracketed stages are opt-in (``quality_model`` /
-    ``line_dedup_min_chars`` / ``overlap_shared`` / ``dsir_target``
-    arguments); embedding-space
+    ``line_dedup_min_chars`` / ``overlap_shared`` / ``dsir_target`` /
+    ``max_docs_per_source`` arguments); embedding-space
     SemDeDup runs separately on the embeddings table
     (dedup/semantic.py) because it keys on vectors, not text.
 
@@ -45,7 +46,7 @@ from ..functions.quality_model import model_quality_filter
 from ..functions.redact import redact_documents
 from ..functions import text as Tx
 from ..operators.chunking import chunk_sequences
-from ..operators.sampling import pack_by_budget
+from ..operators.sampling import cap_per_group, pack_by_budget
 from ..sources.io import write_jsonl
 
 
@@ -61,6 +62,7 @@ def curate_and_export(docs: DataFrame, out_dir: str,
                       line_dedup_min_chars: int | None = None,
                       quality_model=None,
                       quality_model_threshold: float = 0.5,
+                      max_docs_per_source: int | None = None,
                       lazy_stats: bool = False) -> dict:
     """Run the pipeline and write shards; returns per-stage counts.
 
@@ -131,6 +133,12 @@ def curate_and_export(docs: DataFrame, out_dir: str,
         canon = dsir_resample(canon, dsir_target, n_sel) \
             .drop("logw", "key")
         tally("after_dsir_selection", canon)
+
+    if max_docs_per_source is not None:
+        # RefinedWeb-style per-source quota AFTER dedup/selection so
+        # the cap counts surviving docs, not raw crawl volume.
+        canon = cap_per_group(canon, ["source"], max_docs_per_source)
+        tally("after_source_cap", canon)
 
     chunks = (chunk_sequences(canon, seq_len)
               .join(canon.select("doc_id", "source"), "doc_id"))

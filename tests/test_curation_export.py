@@ -197,3 +197,24 @@ def test_optional_model_quality_stage(spark):
         out = spark.read.json(f"{tmp}/shards")
         assert {int(r.doc_id) for r in
                 out.select("doc_id").distinct().collect()} == {1}
+
+
+def test_optional_source_cap_stage(spark):
+    """max_docs_per_source bounds every source's survivors."""
+    def body(tag: str) -> str:
+        # mostly unique tokens per doc so near-dup stages keep all
+        return " ".join(f"{tag}tok{j}" for j in range(12))
+
+    rows = [(i, body(f"w{i}"), "web") for i in range(8)]
+    rows += [(100 + i, body(f"m{i}"), "mail") for i in range(2)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    with tempfile.TemporaryDirectory() as tmp:
+        stats = curate_and_export(docs, f"{tmp}/shards", seq_len=16,
+                                  shard_budget=64, min_words=5,
+                                  max_docs_per_source=3)
+        assert stats["after_source_cap"] == 5      # min(3,8)+min(3,2)
+        out = spark.read.json(f"{tmp}/shards")
+        per_src = {r.source: r["count"] for r in
+                   out.select("source", "doc_id").distinct()
+                      .groupBy("source").count().collect()}
+        assert per_src["web"] == 3 and per_src["mail"] == 2
