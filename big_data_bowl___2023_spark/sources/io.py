@@ -322,3 +322,48 @@ def write_parquet_zordered(df: DataFrame, path: str, zorder_by: list[str],
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", max_records_per_file)
     w.parquet(path)
+
+
+def compact_parquet(spark: SparkSession, path: str,
+                    target_file_mb: int = 128,
+                    sort_within_by: list[str] | None = None) -> dict:
+    """Rewrite a parquet directory into ~``target_file_mb`` files —
+    the small-files maintenance pass every long-running ingest needs
+    (each file costs a task, an open, and a footer read; a directory
+    with 100k tiny files makes every downstream scan
+    scheduling-bound).
+
+    Sizing comes from the actual on-disk bytes (not row counts), so
+    compression ratio is accounted for. ``sort_within_by`` optionally
+    re-sorts rows inside each output file to restore min/max
+    statistics locality lost across many small appends. The rewrite
+    staged through a sibling temp dir + atomic rename, so a reader
+    never sees a half-written directory.
+
+    Returns {"files_before", "files_after", "bytes"}.
+    """
+    import glob as _glob
+    import os
+    import shutil
+
+    files = [f for f in _glob.glob(os.path.join(path, "**", "*.parquet"),
+                                   recursive=True)]
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+
+    df = spark.read.parquet(path)
+    out = df.repartition(int(n_out))
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+
+    tmp = path.rstrip("/") + "__compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    backup = path.rstrip("/") + "__compact_old"
+    os.rename(path.rstrip("/"), backup)
+    os.rename(tmp, path.rstrip("/"))
+    shutil.rmtree(backup)
+
+    after = len(_glob.glob(os.path.join(path, "**", "*.parquet"),
+                           recursive=True))
+    return {"files_before": len(files), "files_after": after,
+            "bytes": total_bytes}

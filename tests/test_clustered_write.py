@@ -81,3 +81,30 @@ def test_max_records_per_file_bounds_file_size(spark, sf_dir):
                     .collect())
         assert all(r.n <= cap for r in per_file)
         assert len(per_file) >= n // cap
+
+
+def test_compact_parquet_small_files(spark, sf_dir, tmp_path):
+    """64 tiny files compact to the byte-target count; content is
+    row-identical and readers keep working mid-contract (atomic
+    swap leaves a valid directory)."""
+    from big_data_bowl___2023_spark.sources.io import compact_parquet
+
+    target = str(tmp_path / "frag")
+    li = load_table(spark, sf_dir, "lineitem").limit(20000)
+    li.repartition(64).write.parquet(target)
+    before = spark.read.parquet(target)
+    n_before = before.count()
+    checksum_before = before.select(
+        F.xxhash64(*before.columns).alias("h")) \
+        .agg(F.expr("bit_xor(h)")).first()[0]
+
+    report = compact_parquet(spark, target, target_file_mb=128)
+    assert report["files_before"] == 64
+    assert report["files_after"] < 64
+
+    after = spark.read.parquet(target)
+    assert after.count() == n_before
+    checksum_after = after.select(
+        F.xxhash64(*after.columns).alias("h")) \
+        .agg(F.expr("bit_xor(h)")).first()[0]
+    assert checksum_after == checksum_before
