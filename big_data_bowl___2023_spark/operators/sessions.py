@@ -93,3 +93,28 @@ def cohort_retention(events: DataFrame, period: str = "week",
                     F.col(user_col))
             .groupBy("cohort", "period_offset")
             .agg(F.countDistinct(user_col).alias("n_users")))
+
+
+def rolling_counts(events: DataFrame, window_minutes: int = 60,
+                   user_col: str = "user_id", ts_col: str = "ts",
+                   value_col: str | None = None) -> DataFrame:
+    """Events + trailing-window activity: for every event, how many
+    of the same entity's events (and optionally how much value) fell
+    in the preceding ``window_minutes`` including this one — the
+    batch counterpart of the streaming hopping windows, at per-event
+    grain (rate limiting, burst detection, velocity features).
+
+    A RANGE frame over unix seconds: one shuffle on the entity key,
+    state bounded by the frame — no self-join, no explode to
+    per-window rows."""
+    w = (Window.partitionBy(user_col)
+         .orderBy(F.unix_timestamp(F.col(ts_col)))
+         .rangeBetween(-(window_minutes * 60 - 1), 0))
+    out = events.withColumn("n_in_window",
+                            F.count(F.lit(1)).over(w))
+    if value_col is not None:
+        out = out.withColumn(
+            "value_in_window",
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+             .over(w).cast("double"))
+    return out

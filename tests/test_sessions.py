@@ -4,7 +4,7 @@ events table, single-shuffle plan, and retention-matrix invariants."""
 
 from __future__ import annotations
 
-from datetime import datetime
+from datetime import datetime, timedelta
 
 import duckdb
 
@@ -108,3 +108,43 @@ def test_cohort_retention_matches_duckdb(spark, sf_dir):
     # their own first period by construction)
     cohorts = {c for c, _ in got}
     assert all((c, 0) in got for c in cohorts)
+
+
+def test_rolling_counts_matches_duckdb(spark, sf_dir):
+    from big_data_bowl___2023_spark.operators.sessions import (
+        rolling_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    got = {r.event_id: (r.n_in_window, r.value_in_window)
+           for r in rolling_counts(ev, 60, value_col="value").collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_dir}/events.parquet'")
+    ref = {e: (n, v) for e, n, v in con.execute("""
+        WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+                           user_id, value FROM events)
+        SELECT event_id,
+               COUNT(*) OVER w AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w
+                    AS DOUBLE) AS v
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                     RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+        """).fetchall()}
+    assert got == ref
+
+
+def test_rolling_counts_hand_fixture(spark):
+    from big_data_bowl___2023_spark.operators.sessions import (
+        rolling_counts,
+    )
+
+    base = datetime(2024, 1, 1, 12, 0)
+    rows = [(1, base, 1), (2, base + timedelta(minutes=30), 1),
+            (3, base + timedelta(minutes=59), 1),
+            (4, base + timedelta(minutes=120), 1)]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id"])
+    got = {r.event_id: r.n_in_window
+           for r in rolling_counts(df, 60).collect()}
+    assert got == {1: 1, 2: 2, 3: 3, 4: 1}
