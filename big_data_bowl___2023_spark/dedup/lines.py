@@ -37,14 +37,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _regex_quote(s: str) -> str:
+    """Java ``Pattern.quote``: wrap in \\Q...\\E, splicing around any
+    embedded \\E. ``F.split`` treats its pattern as a Java regex while
+    ``array_join`` (the rejoin side) uses the delimiter literally —
+    without quoting, a regex-special delimiter like '.' or '|' would
+    split on the pattern but rejoin the raw characters, silently
+    corrupting text."""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 def split_lines(docs: DataFrame, delimiter: str = "\n",
                 id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """(id, line_no, line): one row per line, order preserved via
-    ``posexplode`` — map-side only, no shuffle."""
+    ``posexplode`` — map-side only, no shuffle. ``delimiter`` is a
+    literal string (regex-quoted before it reaches ``F.split``)."""
     return docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), delimiter))
+        F.posexplode(F.split(F.col(text_col), _regex_quote(delimiter)))
          .alias("line_no", "line"))
 
 
@@ -56,7 +67,10 @@ def repeated_line_stats(docs: DataFrame, min_chars: int = 30,
     """(line_hash, n_occurrences, n_docs, first_doc, first_line_no,
     sample_line) for every eligible line occurring more than
     ``max_occurrences`` times — the audit report that decides
-    thresholds before a destructive pass. One groupBy shuffle."""
+    thresholds before a destructive pass. One groupBy shuffle.
+    ``sample_line`` is the line text at the globally-first occurrence
+    (``min_by`` on (id, line_no)) — deterministic under any
+    partitioning, so the report is rerun-stable."""
     lines = split_lines(docs, delimiter, id_col, text_col)
     norm = F.trim(F.col("line"))
     eligible = lines.filter(F.length(norm) >= min_chars).select(
@@ -69,7 +83,7 @@ def repeated_line_stats(docs: DataFrame, min_chars: int = 30,
             .agg(F.count(F.lit(1)).alias("n_occurrences"),
                  F.countDistinct(id_col).alias("n_docs"),
                  F.min(first).alias("_first"),
-                 F.first("line").alias("sample_line"))
+                 F.min_by("line", first).alias("sample_line"))
             .filter(F.col("n_occurrences") > max_occurrences)
             .select("line_hash", "n_occurrences", "n_docs",
                     F.col("_first.d").alias("first_doc"),

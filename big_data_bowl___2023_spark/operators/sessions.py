@@ -74,19 +74,22 @@ def cohort_retention(events: DataFrame, period: str = "week",
 
     The cohort assignment is a min-over-user window (shares the
     aggregation's user partitioning, no join-back), then one
-    distinct-count aggregation on (cohort, offset)."""
+    distinct-count aggregation on (cohort, offset).
+
+    The offset is CALENDAR arithmetic (``datediff`` of the truncated
+    periods over whole days), not epoch-seconds division — so a week
+    containing a DST transition (604800±3600 s) still lands on the
+    right offset under any session timezone."""
     per = F.date_trunc(period, F.col(ts_col))
     w = Window.partitionBy(user_col)
-    seconds = {"week": 7 * 86400, "day": 86400}
-    if period not in seconds:
-        raise ValueError(f"period must be one of {sorted(seconds)}")
-    step = seconds[period]
+    days = {"week": 7, "day": 1}
+    if period not in days:
+        raise ValueError(f"period must be one of {sorted(days)}")
     with_cohort = (events
                    .select(F.col(user_col), per.alias("__p"))
                    .withColumn("__cohort", F.min("__p").over(w)))
-    offset = ((F.unix_timestamp(F.col("__p"))
-               - F.unix_timestamp(F.col("__cohort")))
-              / step).cast("long")
+    offset = F.floor(
+        F.datediff(F.col("__p"), F.col("__cohort")) / days[period])
     return (with_cohort
             .select(F.col("__cohort").alias("cohort"),
                     offset.alias("period_offset"),
@@ -97,7 +100,8 @@ def cohort_retention(events: DataFrame, period: str = "week",
 
 def rolling_counts(events: DataFrame, window_minutes: int = 60,
                    user_col: str = "user_id", ts_col: str = "ts",
-                   value_col: str | None = None) -> DataFrame:
+                   value_col: str | None = None,
+                   value_type: str | None = None) -> DataFrame:
     """Events + trailing-window activity: for every event, how many
     of the same entity's events (and optionally how much value) fell
     in the preceding ``window_minutes`` including this one — the
@@ -106,15 +110,31 @@ def rolling_counts(events: DataFrame, window_minutes: int = 60,
 
     A RANGE frame over unix seconds: one shuffle on the entity key,
     state bounded by the frame — no self-join, no explode to
-    per-window rows."""
+    per-window rows.
+
+    Granularity contract: the frame key is ``unix_timestamp`` —
+    WHOLE-SECOND resolution. Events in the same second are mutually
+    "within the window" regardless of sub-second order (events.ts
+    carries microseconds; they are intentionally ignored — the frame
+    boundary is second-aligned). Fine for minutes-scale windows; a
+    sub-second window would need an epoch-micros ordering key.
+
+    ``value_type``: optional cast applied to ``value_col`` before the
+    windowed sum. Default (None) sums at the column's own type —
+    doubles stay doubles, full precision. Pass e.g.
+    ``"decimal(18,2)"`` for money semantics (2-dp rounding,
+    order-insensitive exact addition); note a decimal cast silently
+    rounds to its scale and values beyond its precision overflow to
+    NULL, which the sum then skips."""
     w = (Window.partitionBy(user_col)
          .orderBy(F.unix_timestamp(F.col(ts_col)))
          .rangeBetween(-(window_minutes * 60 - 1), 0))
     out = events.withColumn("n_in_window",
                             F.count(F.lit(1)).over(w))
     if value_col is not None:
+        v = F.col(value_col)
+        if value_type is not None:
+            v = v.cast(value_type)
         out = out.withColumn(
-            "value_in_window",
-            F.sum(F.col(value_col).cast("decimal(18,2)"))
-             .over(w).cast("double"))
+            "value_in_window", F.sum(v).over(w).cast("double"))
     return out

@@ -336,19 +336,41 @@ def compact_parquet(spark: SparkSession, path: str,
     Sizing comes from the actual on-disk bytes (not row counts), so
     compression ratio is accounted for. ``sort_within_by`` optionally
     re-sorts rows inside each output file to restore min/max
-    statistics locality lost across many small appends. The rewrite
-    staged through a sibling temp dir + atomic rename, so a reader
-    never sees a half-written directory.
+    statistics locality lost across many small appends.
+
+    All listing and renaming goes through the Hadoop FileSystem API,
+    so the same code runs against local FS, HDFS, or any object store
+    with a Hadoop connector — no ``os``/``glob`` path assumptions.
+    The rewrite is staged through a sibling temp dir, then swapped in
+    with two FS renames. The swap is NOT atomic: there is a brief
+    window (old→backup, tmp→final) in which the path does not exist,
+    so treat compaction as stop-the-world per directory — schedule it
+    when no reader is mid-scan of that path. Any failure during or
+    after the swap restores the backup to the original path before
+    re-raising, so the directory is never left missing.
 
     Returns {"files_before", "files_after", "bytes"}.
     """
-    import glob as _glob
-    import os
-    import shutil
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()  # type: ignore[union-attr]
 
-    files = [f for f in _glob.glob(os.path.join(path, "**", "*.parquet"),
-                                   recursive=True)]
-    total_bytes = sum(os.path.getsize(f) for f in files)
+    def _jpath(p: str):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    root = _jpath(path.rstrip("/"))
+    fs = root.getFileSystem(conf)
+
+    def _list_parquet(p):
+        out = []
+        it = fs.listFiles(p, True)  # recursive
+        while it.hasNext():
+            st = it.next()
+            if st.getPath().getName().endswith(".parquet"):
+                out.append(st)
+        return out
+
+    before = _list_parquet(root)
+    total_bytes = sum(st.getLen() for st in before)
     n_out = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
 
     df = spark.read.parquet(path)
@@ -356,14 +378,28 @@ def compact_parquet(spark: SparkSession, path: str,
     if sort_within_by:
         out = out.sortWithinPartitions(*sort_within_by)
 
-    tmp = path.rstrip("/") + "__compact_tmp"
-    out.write.mode("overwrite").parquet(tmp)
-    backup = path.rstrip("/") + "__compact_old"
-    os.rename(path.rstrip("/"), backup)
-    os.rename(tmp, path.rstrip("/"))
-    shutil.rmtree(backup)
+    tmp = _jpath(path.rstrip("/") + "__compact_tmp")
+    backup = _jpath(path.rstrip("/") + "__compact_old")
+    fs.delete(tmp, True)
+    out.write.mode("overwrite").parquet(tmp.toString())
 
-    after = len(_glob.glob(os.path.join(path, "**", "*.parquet"),
-                           recursive=True))
-    return {"files_before": len(files), "files_after": after,
+    swapped_out = False
+    try:
+        if not fs.rename(root, backup):
+            raise IOError(f"rename {root} -> {backup} failed")
+        swapped_out = True
+        if not fs.rename(tmp, root):
+            raise IOError(f"rename {tmp} -> {root} failed")
+    except Exception:
+        # Restore the original directory before surfacing the error —
+        # a failed compaction must leave the dataset readable.
+        if swapped_out and not fs.exists(root):
+            fs.rename(backup, root)
+        fs.delete(tmp, True)
+        raise
+    fs.delete(backup, True)
+    spark.catalog.refreshByPath(path)
+
+    after = len(_list_parquet(root))
+    return {"files_before": len(before), "files_after": after,
             "bytes": total_bytes}

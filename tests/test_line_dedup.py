@@ -83,6 +83,37 @@ def test_partitioning_invariance(spark):
     assert a == b
 
 
+def test_stats_report_partitioning_invariant(spark):
+    """The audit report (sample_line included) is rerun-stable: every
+    column is deterministic under arbitrary repartitioning because
+    sample_line is min_by((doc, line_no)), not first()."""
+    docs = _fixture(spark)
+    a = {tuple(r) for r in
+         repeated_line_stats(docs, min_chars=30).collect()}
+    b = {tuple(r) for r in
+         repeated_line_stats(docs.repartition(11), min_chars=30)
+         .collect()}
+    assert a == b
+    # sample_line is specifically the text at (first_doc, first_line_no)
+    for r in repeated_line_stats(docs, min_chars=30).collect():
+        src = docs.filter(F.col("doc_id") == r.first_doc).first().text
+        assert src.split("\n")[r.first_line_no] == r.sample_line
+
+
+def test_regex_special_delimiter_roundtrips(spark):
+    """A regex-special delimiter ('|') is treated as a literal on the
+    split side and the rejoin side — no silent corruption."""
+    long_a = "this segment repeats verbatim across both documents"
+    rows = [(1, f"unique one alpha beta|{long_a}|tail one here"),
+            (2, f"{long_a}|unique two gamma delta something")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.text
+           for r in remove_repeated_lines(
+               docs, min_chars=30, delimiter="|").collect()}
+    assert out[1] == f"unique one alpha beta|{long_a}|tail one here"
+    assert out[2] == "unique two gamma delta something"
+
+
 def test_matches_duckdb_oracle_on_documents(spark, sf_dir):
     """Full-pipeline parity on real data: both engines derive the
     same multi-line corpus from documents.parquet (every ' merge '

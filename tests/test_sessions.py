@@ -117,7 +117,9 @@ def test_rolling_counts_matches_duckdb(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     got = {r.event_id: (r.n_in_window, r.value_in_window)
-           for r in rolling_counts(ev, 60, value_col="value").collect()}
+           for r in rolling_counts(
+               ev, 60, value_col="value",
+               value_type="decimal(18,2)").collect()}
     con = duckdb.connect()
     con.execute(f"CREATE VIEW events AS SELECT * FROM "
                 f"'{sf_dir}/events.parquet'")
@@ -148,3 +150,73 @@ def test_rolling_counts_hand_fixture(spark):
     got = {r.event_id: r.n_in_window
            for r in rolling_counts(df, 60).collect()}
     assert got == {1: 1, 2: 2, 3: 3, 4: 1}
+
+
+def test_rolling_counts_subsecond_ties(spark):
+    """Granularity contract: the RANGE frame keys on whole seconds, so
+    events inside the same second count each other regardless of
+    sub-second order, and the window boundary is second-aligned."""
+    from big_data_bowl___2023_spark.operators.sessions import (
+        rolling_counts,
+    )
+
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # two events in the same second, microseconds apart
+        (1, base.replace(microsecond=100), 1),
+        (2, base.replace(microsecond=900000), 1),
+        # 59m59s later: inside a 60-min trailing window of both
+        (3, base + timedelta(minutes=59, seconds=59), 1),
+        # 60m00s later: the second-aligned frame (3599s preceding)
+        # excludes the base-second events
+        (4, base + timedelta(minutes=60), 1),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id"])
+    got = {r.event_id: r.n_in_window
+           for r in rolling_counts(df, 60).collect()}
+    # 1 and 2 share a second: both see both (sub-second order ignored)
+    assert got[1] == 2 and got[2] == 2
+    assert got[3] == 3
+    assert got[4] == 2          # events 3 and 4 only
+
+
+def test_rolling_counts_sum_precision_default(spark):
+    """Default value_type=None sums at the column's own type — no
+    silent 2-dp rounding, no decimal-overflow-to-NULL."""
+    from big_data_bowl___2023_spark.operators.sessions import (
+        rolling_counts,
+    )
+
+    base = datetime(2024, 1, 1, 12, 0)
+    rows = [(1, base, 1, 0.001), (2, base + timedelta(minutes=1), 1, 0.002),
+            (3, base + timedelta(minutes=2), 1, 1e16)]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "value"])
+    got = {r.event_id: r.value_in_window
+           for r in rolling_counts(df, 60, value_col="value").collect()}
+    assert abs(got[2] - 0.003) < 1e-12      # not rounded away
+    assert got[3] == 1e16 + 0.003           # not NULL-skipped
+
+
+def test_cohort_retention_dst_safe_offsets(spark):
+    """Calendar (datediff) offsets: a week spanning a fall-back DST
+    transition still lands on offset 1 under a DST session timezone
+    (the epoch-seconds formulation would truncate 604800+3600 s to
+    offset 1 only by luck of the division direction — spring-forward
+    weeks are 601200 s and would floor to 0)."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone",
+                   "America/New_York")
+    try:
+        rows = [
+            # US spring-forward 2024-03-10: week of Mar 4 -> week of
+            # Mar 11 is 604800-3600 s in local wall time
+            (1, datetime(2024, 3, 5, 10, 0)),
+            (1, datetime(2024, 3, 12, 10, 0)),
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "ts"])
+        got = {r.period_offset: r.n_users
+               for r in cohort_retention(df, "week").collect()}
+        assert got == {0: 1, 1: 1}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
