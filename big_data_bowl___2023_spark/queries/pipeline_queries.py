@@ -143,6 +143,94 @@ def qpipe_exclusion_cleanup(spark, sf_dir):
               .agg(F.count(F.lit(1)).alias("n_ok_events")))
 
 
+@query(
+    "qpipe_epa_comparison",
+    """WITH per_order AS (
+          SELECT l_orderkey,
+                 CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(*) AS disc_rate
+          FROM lineitem GROUP BY l_orderkey),
+        ext AS (
+          SELECT o_orderkey, o_orderpriority, o_totalprice
+          FROM orders
+          WHERE o_orderstatus = 'F' AND o_custkey IS NOT NULL)
+        SELECT o_orderpriority,
+               ROUND(MEDIAN(disc_rate), 6) AS median_disc_rate,
+               ROUND(MEDIAN(o_totalprice), 6) AS median_totalprice
+        FROM ext JOIN per_order ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority""",
+)
+def qpipe_epa_comparison(spark, sf_dir):
+    """Q9 ``epa_comparison`` analogue (EPA_Comparison.R:1-15): the
+    external-table comparison shape — filter+rename the external
+    feed (REG-season pass plays becomes finished orders), aggregate
+    the fact table to entity grain (per-play mean %PZ/s becomes
+    per-order mean discount), join on the entity key, then per-group
+    medians of BOTH metrics (defteam medians of PZs and epa becomes
+    priority-class medians of discount rate and total price).
+
+    Float policy: the per-order mean goes through an exact decimal
+    sum divided by the exact count, so the doubles entering MEDIAN
+    are bit-identical across engines; medians round(6)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    per_order = (li.groupBy("l_orderkey")
+                 .agg((F.sum(F.col("l_discount").cast("decimal(18,6)"))
+                        .cast("double")
+                       / F.count(F.lit(1))).alias("disc_rate")))     # EPA:10
+    ext = (orders
+           .filter((F.col("o_orderstatus") == "F")
+                   & F.col("o_custkey").isNotNull())                 # EPA:4-5
+           .select("o_orderkey", "o_orderpriority", "o_totalprice"))  # EPA:7-8
+    joined = ext.join(per_order,
+                      ext.o_orderkey == per_order.l_orderkey)        # EPA:11
+    return (joined.groupBy("o_orderpriority")
+            .agg(F.round(F.median("disc_rate"), 6)
+                  .alias("median_disc_rate"),
+                 F.round(F.median("o_totalprice"), 6)
+                  .alias("median_totalprice")))                      # EPA:15
+
+
+@query(
+    "qpipe_time_to_throw",
+    f"""{EVENTS_CTE}
+        SELECT user_id,
+               MIN(ts) AS first_ts,
+               MAX(ts) AS last_ts,
+               CAST(epoch(date_trunc('second', MAX(ts)))
+                    - epoch(date_trunc('second', MIN(ts))) AS BIGINT)
+                   AS seconds_active,
+               MAX(value) AS peak_value
+        FROM ev
+        WHERE event_type IN ('view', 'purchase') AND value > 0.0
+        GROUP BY user_id""",
+)
+def qpipe_time_to_throw(spark, sf_dir):
+    """Q10 ``time_to_throw`` analogue (WIP.R:73-77): event-vocabulary
+    filter plus attribute guards (ball_snap/pass_forward + QB +
+    completion becomes view/purchase + positive value), grouped
+    min/max of the ordering field as start/end, a carried max metric
+    (playResult yards becomes peak value), and the derived duration.
+
+    ``unix_timestamp`` floors to whole seconds; the oracle mirrors
+    that with epoch(date_trunc('second', ...)) — DuckDB's bare
+    epoch() returns fractional DOUBLE seconds, whose difference
+    truncates differently than Spark's floor-then-subtract."""
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.filter(F.col("event_type").isin(["view", "purchase"])
+                  & (F.col("value") > 0.0))                        # WIP:73-74
+    out = (t.groupBy("user_id")
+           .agg(F.min("ts").alias("first_ts"),
+                F.max("ts").alias("last_ts"),
+                F.max("value").alias("peak_value")))               # WIP:75-76
+    return (out.withColumn(
+                "seconds_active",
+                F.unix_timestamp("last_ts")
+                - F.unix_timestamp("first_ts"))                    # WIP:77
+            .select("user_id", "first_ts", "last_ts",
+                    "seconds_active", "peak_value"))
+
+
 # ----------------------------------------------------- scalar surface
 
 # Registry curation (round 2): f7_conditional_sentinel folded into

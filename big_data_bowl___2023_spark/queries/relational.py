@@ -70,13 +70,17 @@ def p8_category_cleanup(spark, sf_dir):
     return out.select("event_id", "user_id", "event_type")
 
 
-@query(
-    "p10_compound_predicate",
-    """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+# Registry curation (round 5): p10_compound_predicate demoted from
+# the 50-slot driver registry to free a slot for the Q9 analogue
+# (qpipe_epa_comparison) — the compound-boolean path it checked is
+# already driver-exercised by p8 + p13 + f1_math_surface. Oracle
+# parity continues in tests/test_demoted_ops.py.
+P10_ORACLE = """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
        FROM lineitem
        WHERE (l_quantity > 30.0 AND l_discount < 0.02)
-          OR (l_quantity < 5.0 AND l_tax > 0.06)""",
-)
+          OR (l_quantity < 5.0 AND l_tax > 0.06)"""
+
+
 def p10_compound_predicate(spark, sf_dir):
     """P9/P10: compound nested boolean filter (DLC:40-44; MBE:34-52)."""
     li = load_table(spark, sf_dir, "lineitem")

@@ -105,9 +105,12 @@ def t_quality_score(spark, sf_dir):
         F.round(Tx.quality_score(txt), 6).alias("quality"))
 
 
-@query(
-    "t_lang_distribution",
-    f"""WITH scored AS (
+# Registry curation (round 5): t_lang_distribution demoted from the
+# 50-slot driver registry to free a slot for the Q10 analogue
+# (qpipe_time_to_throw) — its tokenize/count_in_set path is already
+# driver-exercised by t_text_features and t_quality_score. Oracle
+# parity continues in tests/test_demoted_ops.py.
+T_LANG_ORACLE = f"""WITH scored AS (
           SELECT doc_id, lang,
                  len(list_filter(string_split(text,' '), x -> x IN ({_EN}))) AS s_en
           FROM documents)
@@ -115,8 +118,9 @@ def t_quality_score(spark, sf_dir):
                COUNT(*) AS n_docs,
                CAST(SUM(CASE WHEN s_en > 0 THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_en_markers
-        FROM scored GROUP BY lang""",
-)
+        FROM scored GROUP BY lang"""
+
+
 def t_lang_distribution(spark, sf_dir):
     """Corpus language rollup: declared language vs marker evidence —
     the aggregate view a curation pipeline monitors."""

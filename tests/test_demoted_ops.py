@@ -180,3 +180,43 @@ def test_corpus_diff_matches_duckdb(spark, sf_dir):
         WHERE (o.doc_id IS NULL OR n.doc_id IS NULL OR o.fp != n.fp)
         """).fetchall()))
     assert got == ref
+
+
+def test_p10_compound_predicate_matches_duckdb(spark, sf_dir):
+    """p10_compound_predicate was demoted from the driver registry in
+    round 5 (compound booleans stay driver-checked via p8/p13/f1);
+    its exact oracle parity is kept here."""
+    import duckdb
+
+    from big_data_bowl___2023_spark.queries.relational import (
+        P10_ORACLE,
+        p10_compound_predicate,
+    )
+
+    got = {tuple(r) for r in p10_compound_predicate(spark, sf_dir)
+           .collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"'{sf_dir}/lineitem.parquet'")
+    ref = set(map(tuple, con.execute(P10_ORACLE).fetchall()))
+    assert got == ref
+
+
+def test_t_lang_distribution_matches_duckdb(spark, sf_dir):
+    """t_lang_distribution was demoted from the driver registry in
+    round 5 (tokenize/count_in_set stays driver-checked via
+    t_text_features/t_quality_score); oracle parity kept here."""
+    import duckdb
+
+    from big_data_bowl___2023_spark.queries.text import (
+        T_LANG_ORACLE,
+        t_lang_distribution,
+    )
+
+    got = {tuple(r) for r in t_lang_distribution(spark, sf_dir)
+           .collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_dir}/documents.parquet'")
+    ref = set(map(tuple, con.execute(T_LANG_ORACLE).fetchall()))
+    assert got == ref
