@@ -86,10 +86,32 @@ def _extra_ops():
                          .alias("text")))
         return remove_repeated_lines(docs, min_chars=10)
 
+    def curation_e2e(spark, sf_dir):
+        """The product path end-to-end: Gopher quality gate → PII
+        redaction → corpus-wide line scrub → exact dedup → MinHash
+        near-dup resolution → decontamination → chunking → shard
+        packing, as ONE lazy chain through the noop sink (pure
+        compute; curate_and_export adds only the JSONL write)."""
+        from big_data_bowl___2023_spark.pipelines.curation import (
+            curation_frame,
+        )
+        docs = (load_table(spark, sf_dir, "documents")
+                .select("doc_id", "source",
+                        F.regexp_replace("text", " merge ", "\n")
+                         .alias("text")))
+        benchmark = (docs.filter(F.col("doc_id") % 97 == 0)
+                     .select(F.col("doc_id").alias("bench_id"),
+                             "text"))
+        return curation_frame(docs, benchmark=benchmark,
+                              seq_len=128, shard_budget=1024,
+                              min_words=20,
+                              line_dedup_min_chars=10)
+
     return {"dedup_winnow_overlap": winnow,
             "dedup_semantic_pairs": semdedup,
             "dsir_select": dsir,
-            "dedup_repeated_lines": linededup}
+            "dedup_repeated_lines": linededup,
+            "curation_e2e": curation_e2e}
 
 
 def main() -> None:

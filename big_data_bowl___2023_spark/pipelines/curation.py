@@ -50,21 +50,104 @@ from ..operators.sampling import cap_per_group, pack_by_budget
 from ..sources.io import write_jsonl
 
 
+def curation_frame(docs: DataFrame,
+                   benchmark: DataFrame | None = None,
+                   seq_len: int = 512,
+                   shard_budget: int = 4096,
+                   jaccard_threshold: float = 0.3,
+                   min_words: int = 50,
+                   overlap_shared: int | None = None,
+                   dsir_target: DataFrame | None = None,
+                   dsir_n_docs: int | None = None,
+                   line_dedup_min_chars: int | None = None,
+                   quality_model=None,
+                   quality_model_threshold: float = 0.5,
+                   max_docs_per_source: int | None = None,
+                   stage_hook=None) -> DataFrame:
+    """Build the full curation chain LAZILY and return the packed
+    frame (one row per training chunk with its (source, shard)
+    assignment) — no action is run here, so the caller picks the
+    sink: ``curate_and_export`` writes JSONL shards, the bench runs
+    it through the noop sink to time pure compute.
+
+    ``stage_hook(key, frame)``, when given, is called at every stage
+    boundary — ``curate_and_export`` uses it for the per-stage audit
+    counts."""
+    def hook(key: str, frame: DataFrame) -> None:
+        if stage_hook is not None:
+            stage_hook(key, frame)
+
+    hook("input", docs)
+
+    quality = gopher_filter(docs, min_words=min_words)
+    hook("after_quality", quality)
+
+    if quality_model is not None:
+        # learned second gate (functions/quality_model.py): scoring
+        # is a broadcast-model map pass, no shuffle added.
+        quality = model_quality_filter(
+            quality, quality_model,
+            threshold=quality_model_threshold).drop("quality_prob")
+        hook("after_model_quality", quality)
+
+    clean = redact_documents(quality)
+
+    if line_dedup_min_chars is not None:
+        # corpus-wide boilerplate scrub (C4 repeated-span rule) BEFORE
+        # exact dedup: stripping shared footers/banners first lets the
+        # whole-text fingerprint see the real content.
+        clean = remove_repeated_lines(clean,
+                                      min_chars=line_dedup_min_chars)
+        hook("after_line_dedup", clean)
+
+    deduped = exact_dedup(clean).drop("fingerprint")
+    hook("after_exact_dedup", deduped)
+
+    pairs = minhash_band_pairs(deduped, jaccard_threshold)
+    # keep the longest doc per near-dup cluster (id tiebreak)
+    withlen = deduped.withColumn("__len", F.length("text"))
+    canon = (canonical_docs(withlen, pairs, prefer_col="__len")
+             .drop("__len", "cluster_id"))
+    hook("after_near_dedup", canon)
+
+    if overlap_shared is not None:
+        # verbatim-overlap (winnowed fingerprint) dedup: same
+        # keep-longest rule over overlap clusters as the MinHash stage
+        ov = fingerprint_overlap_pairs(canon, min_shared=overlap_shared,
+                                       max_doc_freq=1000)
+        withlen = canon.withColumn("__len", F.length("text"))
+        canon = (canonical_docs(withlen, ov, prefer_col="__len")
+                 .drop("__len", "cluster_id"))
+        hook("after_overlap_dedup", canon)
+
+    if benchmark is not None:
+        canon = decontaminate(canon, benchmark)
+        hook("after_decontamination", canon)
+
+    if dsir_target is not None:
+        n_sel = dsir_n_docs or max(1, docs.count() // 2)
+        canon = dsir_resample(canon, dsir_target, n_sel) \
+            .drop("logw", "key")
+        hook("after_dsir_selection", canon)
+
+    if max_docs_per_source is not None:
+        # RefinedWeb-style per-source quota AFTER dedup/selection so
+        # the cap counts surviving docs, not raw crawl volume.
+        canon = cap_per_group(canon, ["source"], max_docs_per_source)
+        hook("after_source_cap", canon)
+
+    chunks = (chunk_sequences(canon, seq_len)
+              .join(canon.select("doc_id", "source"), "doc_id"))
+    hook("chunks", chunks)
+
+    return pack_by_budget(chunks, shard_budget, "n_tokens",
+                          ["source"], id_col="doc_id")
+
+
 def curate_and_export(docs: DataFrame, out_dir: str,
-                      benchmark: DataFrame | None = None,
-                      seq_len: int = 512,
-                      shard_budget: int = 4096,
-                      jaccard_threshold: float = 0.3,
-                      min_words: int = 50,
-                      overlap_shared: int | None = None,
-                      dsir_target: DataFrame | None = None,
-                      dsir_n_docs: int | None = None,
-                      line_dedup_min_chars: int | None = None,
-                      quality_model=None,
-                      quality_model_threshold: float = 0.5,
-                      max_docs_per_source: int | None = None,
-                      lazy_stats: bool = False) -> dict:
+                      lazy_stats: bool = False, **kwargs) -> dict:
     """Run the pipeline and write shards; returns per-stage counts.
+    Accepts every :func:`curation_frame` keyword.
 
     Shards are packed per source (the parallelism unit — a global
     pack would serialize) and written as JSONL partitioned by
@@ -76,76 +159,13 @@ def curate_and_export(docs: DataFrame, out_dir: str,
     whole pipeline collapses into the single export action — the
     100 TB mode when the audit comes from the written manifest
     instead."""
+    stats: dict = {}
+
     def tally(key: str, frame: DataFrame) -> None:
         if not lazy_stats:
             stats[key] = frame.count()
 
-    stats: dict = {}
-    tally("input", docs)
-
-    quality = gopher_filter(docs, min_words=min_words)
-    tally("after_quality", quality)
-
-    if quality_model is not None:
-        # learned second gate (functions/quality_model.py): scoring
-        # is a broadcast-model map pass, no shuffle added.
-        quality = model_quality_filter(
-            quality, quality_model,
-            threshold=quality_model_threshold).drop("quality_prob")
-        tally("after_model_quality", quality)
-
-    clean = redact_documents(quality)
-
-    if line_dedup_min_chars is not None:
-        # corpus-wide boilerplate scrub (C4 repeated-span rule) BEFORE
-        # exact dedup: stripping shared footers/banners first lets the
-        # whole-text fingerprint see the real content.
-        clean = remove_repeated_lines(clean,
-                                      min_chars=line_dedup_min_chars)
-        tally("after_line_dedup", clean)
-
-    deduped = exact_dedup(clean).drop("fingerprint")
-    tally("after_exact_dedup", deduped)
-
-    pairs = minhash_band_pairs(deduped, jaccard_threshold)
-    # keep the longest doc per near-dup cluster (id tiebreak)
-    withlen = deduped.withColumn("__len", F.length("text"))
-    canon = (canonical_docs(withlen, pairs, prefer_col="__len")
-             .drop("__len", "cluster_id"))
-    tally("after_near_dedup", canon)
-
-    if overlap_shared is not None:
-        # verbatim-overlap (winnowed fingerprint) dedup: same
-        # keep-longest rule over overlap clusters as the MinHash stage
-        ov = fingerprint_overlap_pairs(canon, min_shared=overlap_shared,
-                                       max_doc_freq=1000)
-        withlen = canon.withColumn("__len", F.length("text"))
-        canon = (canonical_docs(withlen, ov, prefer_col="__len")
-                 .drop("__len", "cluster_id"))
-        tally("after_overlap_dedup", canon)
-
-    if benchmark is not None:
-        canon = decontaminate(canon, benchmark)
-        tally("after_decontamination", canon)
-
-    if dsir_target is not None:
-        n_sel = dsir_n_docs or max(1, stats.get("input", docs.count()) // 2)
-        canon = dsir_resample(canon, dsir_target, n_sel) \
-            .drop("logw", "key")
-        tally("after_dsir_selection", canon)
-
-    if max_docs_per_source is not None:
-        # RefinedWeb-style per-source quota AFTER dedup/selection so
-        # the cap counts surviving docs, not raw crawl volume.
-        canon = cap_per_group(canon, ["source"], max_docs_per_source)
-        tally("after_source_cap", canon)
-
-    chunks = (chunk_sequences(canon, seq_len)
-              .join(canon.select("doc_id", "source"), "doc_id"))
-    tally("chunks", chunks)
-
-    packed = pack_by_budget(chunks, shard_budget, "n_tokens",
-                            ["source"], id_col="doc_id")
+    packed = curation_frame(docs, stage_hook=tally, **kwargs)
     write_jsonl(packed.repartition("source", "shard")
                 .sortWithinPartitions("doc_id", "seq_idx"),
                 out_dir)

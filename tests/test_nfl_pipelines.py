@@ -139,6 +139,47 @@ def test_metric_eval_labels_align(outputs):
     assert med[1] > med[0]
 
 
+def test_metric_eval_matches_duckdb(pipeline):
+    """Q6 oracle parity (MBE:161-167): every metric_eval table —
+    median %PZ/s + count per independent label — matches DuckDB
+    computing the same aggregate over the identical input rows.
+
+    Registry decision (round 5): Q6 does NOT get a driver slot — its
+    operator content (grouped exact median + count, multi-label) is
+    already hash-checked by a5_grouped_median and qpipe_rankings;
+    demoting a non-redundant slot for it would weaken net coverage.
+    This test closes the correctness loop at equivalent strength."""
+    import duckdb
+
+    ev = nfl.metric_eval(pipeline["rushers_final"],
+                         pipeline["pass_blockers"])
+    label_of = {
+        "by_hurry": "pff_hurry", "by_hit": "pff_hit",
+        "by_sack": "pff_sack", "by_pass_result": "passResult",
+        "by_position": "pff_positionLinedUp",
+        "blockers_by_position": "pff_positionLinedUp",
+    }
+    src = {"blockers_by_position": "pass_blockers"}
+    con = duckdb.connect()
+    for name, out in ev.items():
+        label = label_of[name]
+        base = pipeline[src.get(name, "rushers_final")]
+        pdf = base.select(label,
+                          "Percent_to_Pressure_Zone_per_s").toPandas()
+        con.register("t", pdf)
+        ref = {r[0]: (r[1], r[2]) for r in con.execute(
+            f"""SELECT "{label}",
+                       MEDIAN(Percent_to_Pressure_Zone_per_s),
+                       COUNT(*)
+                FROM t GROUP BY 1""").fetchall()}
+        got = {r[label]: (r.median_pzs, r.n) for r in out.collect()}
+        assert set(got) == set(ref), name
+        for k, (m, n) in got.items():
+            assert n == ref[k][1], (name, k)
+            assert abs(m - ref[k][0]) < 1e-9, (name, k)
+        con.unregister("t")
+
+
 def test_epa_comparison_shape(outputs):
     """Q9: one row per defteam with PZs/epa medians."""
     rows = outputs["epa_comparison"]

@@ -39,7 +39,31 @@ BUDGETS = {
     "p15_left_join_fill": (1, 1),
     "dedup_minhash_lsh": (2, 3),        # band agg + verify join
     "sim_topk_cosine": (1, 1),          # queries broadcast, topk window
+    # --- expensive extension queries (round 5): the costly plans are
+    # where a crept-in shuffle hurts most, so they get budgets too.
+    "dedup_semantic_pairs": (1, 2),     # centroids broadcast; one
+                                        # cluster-keyed shuffle
+    "dsir_select": (6, 2),              # explode + doc-keyed shuffles
+                                        # + TakeOrdered; models bcast
+    "dedup_repeated_lines": (2, 1),     # line-hash count + doc
+                                        # reassembly; repeated-subset
+                                        # join broadcasts at this SF
+    "qpipe_pivot_metric": (2, 0),       # groupBy + pivot
+    "mm_extract_features": (0, 1),      # mapInPandas scan-side; meta
+                                        # join broadcasts
+    "qpipe_epa_comparison": (2, 1),     # per-order agg + median agg;
+                                        # orders side broadcasts
+    "qpipe_time_to_throw": (1, 0),      # one grouped min/max
 }
+
+# Extension ops benched outside the 50-slot registry (bench._extra_ops)
+# still need budget coverage — resolve names through bench's map too.
+def _all_queries():
+    import bench
+
+    qs = dict(registry.all_queries())
+    qs.update(bench._extra_ops())
+    return qs
 
 
 def _counts(plan: str) -> tuple[int, int]:
@@ -50,7 +74,7 @@ def _counts(plan: str) -> tuple[int, int]:
 
 @pytest.mark.parametrize("name", sorted(BUDGETS))
 def test_shuffle_budget(spark, sf_dir, name):
-    qs = registry.all_queries()
+    qs = _all_queries()
     plan = formatted_plan(qs[name](spark, sf_dir))
     shuffles, bcasts = _counts(plan)
     max_shuffles, min_bcast = BUDGETS[name]
