@@ -54,6 +54,13 @@ BUDGETS = {
     "qpipe_epa_comparison": (2, 1),     # per-order agg + median agg;
                                         # orders side broadcasts
     "qpipe_time_to_throw": (1, 0),      # one grouped min/max
+    "curation_e2e": (42, 8),            # whole product composition:
+                                        # measured 39 shuffles / 12
+                                        # broadcasts at sf0.01 — the
+                                        # ceiling catches a stage
+                                        # losing its broadcast or a
+                                        # new shuffle creeping into
+                                        # ANY stage of the chain
 }
 
 # Extension ops benched outside the 50-slot registry (bench._extra_ops)
