@@ -51,11 +51,15 @@ def kmeans_assign(df: DataFrame, k: int = 16, n_iters: int = 4,
                   vec_col: str = "embedding",
                   id_col: str = "vec_id",
                   dim: int | None = None,
-                  codegen_max_k: int = 64) -> DataFrame:
+                  codegen_max_k: int = 64,
+                  n: int | None = None) -> DataFrame:
     """(id, u, cluster): full-vector k-means assignment.
 
     Training is ``train_pq(m=1)`` (deterministic seeds, Lloyd rounds
-    as single aggregation jobs over a capped training sample).
+    as single aggregation jobs over a capped training sample, exact-
+    fixpoint early stop). ``n`` is the optional corpus-rowcount hint
+    that lets training skip the sample stage when the corpus already
+    fits the cap (see train_pq).
     Assignment picks its physical shape by ``k``:
 
     * k ≤ ``codegen_max_k``: the literal-centroid argmin expression
@@ -73,7 +77,7 @@ def kmeans_assign(df: DataFrame, k: int = 16, n_iters: int = 4,
     if dim is None:   # one probe job; pass dim to skip it
         dim = len(v.select("u").first().u)
     cents = train_pq(df, vec_col=vec_col, id_col=id_col, dim=dim,
-                     m=1, k=k, n_iters=n_iters)[0]
+                     m=1, k=k, n_iters=n_iters, n=n)[0]
     if k <= codegen_max_k:
         return v.withColumn("cluster", _argmin_code(F.col("u"), cents))
     return _assign_by_join(v, cents)
@@ -122,8 +126,11 @@ def semantic_dup_pairs(df: DataFrame, threshold: float,
     two driver-side probe jobs (a count and a first) when the caller
     already knows them — the bench and pipeline paths always do."""
     if k is None:
-        k = scaled_k(n if n is not None else df.count(), target_cluster)
-    assigned = (kmeans_assign(df, k, n_iters, vec_col, id_col, dim)
+        if n is None:
+            n = df.count()
+        k = scaled_k(n, target_cluster)
+    assigned = (kmeans_assign(df, k, n_iters, vec_col, id_col, dim,
+                              n=n)
                 .localCheckpoint())
     cand = band_candidates(
         assigned.select("id", "cluster"), max_bucket,

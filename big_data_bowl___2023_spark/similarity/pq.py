@@ -71,14 +71,18 @@ def train_pq(corpus: DataFrame, vec_col: str = "embedding",
              id_col: str = "vec_id", dim: int = 64,
              m: int = DEFAULT_M, k: int = DEFAULT_K,
              n_iters: int = 8,
-             train_rows: int | None = 100_000) -> list:
+             train_rows: int | None = 100_000,
+             n: int | None = None) -> list:
     """m×k×(dim/m) codebooks as a nested Python list.
 
     Deterministic init (subvectors of the k corpus rows with smallest
-    md5(id) — no RNG state), then ``n_iters`` Lloyd rounds. Each round
-    is one Spark aggregation: explode to (id, subspace, subvector),
-    argmin-assign against the current broadcast centroids, grouped
-    per-dimension mean. Empty clusters keep their previous centroid.
+    md5(id) — no RNG state), then up to ``n_iters`` Lloyd rounds. Each
+    round is one Spark aggregation: explode to (id, subspace,
+    subvector), argmin-assign against the current broadcast centroids,
+    grouped per-dimension mean. Empty clusters keep their previous
+    centroid. Rounds stop early at an EXACT fixpoint (no centroid
+    moved at all) — further rounds would recompute the identical
+    codebooks, so the early exit is bit-identical, just cheaper.
 
     ``train_rows`` caps the Lloyd training set at the ``train_rows``
     corpus rows with smallest md5(id) — the same deterministic order
@@ -87,10 +91,18 @@ def train_pq(corpus: DataFrame, vec_col: str = "embedding",
     every Lloyd round would be a FULL-corpus pass — the difference
     between 8 scans of 100 TB and 8 scans of a few GB. ``None``
     trains on everything (the pre-round-4 behavior; identical output
-    whenever the corpus is smaller than the cap)."""
+    whenever the corpus is smaller than the cap).
+
+    ``n`` is an optional corpus-rowcount hint: when the caller knows
+    ``n <= train_rows`` the cap's TakeOrdered sort + repartition are
+    skipped outright (they would select every row anyway). Opt-in
+    because skipping the repartition reassociates the Lloyd averages
+    — values agree to float-summation order (~1e-9), not bitwise, so
+    paths whose oracles pin exact centroid arithmetic simply don't
+    pass the hint."""
     sub = dim // m
     v = _normalized(corpus, vec_col, id_col)
-    if train_rows is not None:
+    if train_rows is not None and (n is None or n > train_rows):
         # TakeOrdered computes per-partition top-n map-side; the
         # repartition fans the (small) training set back out so the
         # Lloyd rounds keep their parallelism. For corpora where even
@@ -123,8 +135,11 @@ def train_pq(corpus: DataFrame, vec_col: str = "embedding",
                                 for d in range(sub)]).alias("mean"),
                       F.count(F.lit(1)).alias("n"))
                  .collect())
+        prev = [[list(c) for c in cb] for cb in cents]
         for r in stats:
             cents[r.mi][r.code] = [float(x) for x in r.mean]
+        if cents == prev:       # exact fixpoint: done, bit-identical
+            break
     return cents
 
 
