@@ -85,8 +85,8 @@ def test_max_records_per_file_bounds_file_size(spark, sf_dir):
 
 def test_compact_parquet_small_files(spark, sf_dir, tmp_path):
     """64 tiny files compact to the byte-target count; content is
-    row-identical and readers keep working mid-contract (atomic
-    swap leaves a valid directory)."""
+    row-identical after the staged Hadoop-FS swap (brief
+    unavailability window, but never a half-written directory)."""
     from big_data_bowl___2023_spark.sources.io import compact_parquet
 
     target = str(tmp_path / "frag")
@@ -108,3 +108,31 @@ def test_compact_parquet_small_files(spark, sf_dir, tmp_path):
         F.xxhash64(*after.columns).alias("h")) \
         .agg(F.expr("bit_xor(h)")).first()[0]
     assert checksum_after == checksum_before
+
+
+def test_compact_parquet_failed_swap_leaves_dataset_intact(
+        spark, sf_dir, tmp_path):
+    """A failure during the swap must leave the original directory
+    readable and clean up the temp dir (the rollback contract). The
+    failure is induced by occupying the backup path with a plain
+    file, which makes the first FS rename fail."""
+    import os
+
+    import pytest
+
+    from big_data_bowl___2023_spark.sources.io import compact_parquet
+
+    target = str(tmp_path / "frag")
+    li = load_table(spark, sf_dir, "lineitem").limit(1000)
+    li.repartition(4).write.parquet(target)
+
+    with open(target + "__compact_old", "w") as fh:
+        fh.write("occupied")
+    with pytest.raises(Exception):
+        compact_parquet(spark, target, target_file_mb=128)
+
+    # original dataset untouched and readable
+    spark.catalog.refreshByPath(target)
+    assert spark.read.parquet(target).count() == 1000
+    # staged temp dir cleaned up
+    assert not os.path.exists(target + "__compact_tmp")
