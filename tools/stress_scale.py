@@ -153,6 +153,23 @@ def main() -> None:
                         .count())
         t_lines = time.time() - t0
 
+        # full product composition (round 5): quality → redact → line
+        # scrub → exact dedup → near-dup resolution → decontaminate →
+        # chunk → pack as ONE lazy chain through the noop sink — the
+        # end-to-end scaling of everything above composed, measured
+        # on the same derived corpus.
+        from big_data_bowl___2023_spark.pipelines.curation import (
+            curation_frame,
+        )
+        benchmark = (docs_ml.filter(F.col("doc_id") % 97 == 0)
+                     .select(F.col("doc_id").alias("bench_id"), "text"))
+        t0 = time.time()
+        (curation_frame(docs_ml, benchmark=benchmark, seq_len=128,
+                        shard_budget=1024, min_words=20,
+                        line_dedup_min_chars=10)
+         .write.format("noop").mode("overwrite").save())
+        t_cur = time.time() - t0
+
         print(json.dumps({
             "scale": scale, "n_emb": n_emb, "n_docs": n_docs,
             "n_planes": planes, "n_blocks": scaled_n_blocks(n_emb),
@@ -165,6 +182,7 @@ def main() -> None:
             "minhash_pairs": n_mh, "minhash_sec": round(t_mh, 2),
             "repeated_lines": n_hot, "line_docs_out": n_lines_kept,
             "line_dedup_sec": round(t_lines, 2),
+            "curation_sec": round(t_cur, 2),
         }), flush=True)
     spark.stop()
 
