@@ -5,6 +5,11 @@ from .dedup_stream import (
     incremental_minhash_pairs,
     read_document_stream,
 )
+from .curation import (
+    benchmark_shingle_set,
+    curate_document_stream,
+    stream_decontaminate,
+)
 from .joins import foreach_batch_upsert, interval_join
 from .events import (
     funnel_detect,
@@ -16,9 +21,11 @@ from .events import (
     tumbling_counts,
 )
 
-__all__ = ["fingerprint_index", "foreach_batch_upsert", "funnel_detect",
+__all__ = ["benchmark_shingle_set", "curate_document_stream",
+           "fingerprint_index", "foreach_batch_upsert", "funnel_detect",
            "funnel_detect_batch", "interval_join",
            "hopping_counts", "incremental_dedup",
            "incremental_dedup_watermarked", "incremental_minhash_pairs",
            "read_document_stream", "read_event_stream",
-           "run_available_now", "session_windows", "tumbling_counts"]
+           "run_available_now", "session_windows", "stream_decontaminate",
+           "tumbling_counts"]

@@ -1,0 +1,141 @@
+"""Streaming curation: the continuous-ingestion counterpart of the
+batch curation pipeline (pipelines/curation.py).
+
+A production corpus is not rebuilt from scratch per run — documents
+arrive continuously, and the quality/dedup gates should run on
+arrival so the persisted bronze layer is already clean. The stage
+split is honest about what can stream:
+
+Stream-safe stages (map-side or bounded keyed state):
+* Gopher quality gate — per-row codegen flags, no state;
+* learned quality filter — broadcast-model scoring, no state;
+* PII redaction — regexp chain, no state;
+* benchmark decontamination — the benchmark side is tiny (eval
+  suites), so its distinct shingles collect to the driver once at
+  plan-build time and the stream filter is a map-side
+  ``array_intersect`` against that literal set — semantically the
+  same ≥ ``min_overlap``-distinct-shared-shingles rule as the batch
+  ``decontaminate`` (verified by a parity test);
+* within-stream exact dedup — ``dropDuplicates`` on the content
+  fingerprint (state = one entry per distinct fingerprint), or the
+  watermark-bounded variant when an event-time column exists;
+* against-history dedup — stream-static LEFT ANTI join on the
+  persisted fingerprint index (no stream-side state buffering).
+
+Corpus-GLOBAL stages cannot stream and are not faked here: repeated-
+line removal, near-dup cluster resolution (MinHash/winnowing), DSIR
+selection, per-source quotas, and shard packing all need the whole
+corpus in one aggregation. They run as the periodic batch compaction
+pass (pipelines/curation.curate_and_export) over the accumulated
+stream output — the standard bronze→silver split for continuous
+ingestion.
+
+Reference scope note: north-star extension (SURVEY.md §2 extensions);
+the reference has no streaming surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..dedup.decontaminate import DEFAULT_NGRAM
+from ..dedup.ngram import shingle_docs
+from ..functions.gopher import gopher_filter
+from ..functions.quality_model import model_quality_filter
+from ..functions.redact import redact_documents
+from .dedup_stream import (
+    incremental_dedup,
+    incremental_dedup_watermarked,
+)
+
+
+def benchmark_shingle_set(benchmark: DataFrame, n: int = DEFAULT_NGRAM,
+                          text_col: str = "text",
+                          id_col: str = "bench_id") -> list[str]:
+    """The benchmark's distinct word n-grams, collected driver-side.
+
+    One tiny job at plan-build time — the same "benchmark is small"
+    premise the batch path uses to broadcast it. The returned list is
+    embedded as a literal array in the stream filter, so each
+    micro-batch does zero extra jobs."""
+    return [r.shingle for r in
+            shingle_docs(benchmark, text_col, id_col, n)
+            .select("shingle").distinct().collect()]
+
+
+def stream_decontaminate(docs: DataFrame, bench_shingles: list[str],
+                         n: int = DEFAULT_NGRAM, min_overlap: int = 1,
+                         text_col: str = "text") -> DataFrame:
+    """Drop documents sharing ≥ ``min_overlap`` distinct word n-grams
+    with the benchmark set — map-side (works identically on a stream
+    or a batch frame; no shuffle, no state).
+
+    The doc's shingle array is built with the same slice/zip_with
+    codegen kernel as ``shingle_docs`` (pre-explode), intersected
+    with the literal benchmark array. ``array_intersect`` is
+    set-semantics (distinct matches), mirroring the batch
+    ``contamination_report`` count of DISTINCT shared shingles."""
+    from ..functions import text as Tx
+
+    if not bench_shingles:
+        return docs
+    toks = Tx.tokenize(F.col(text_col))
+    cols = [F.slice(toks, i + 1,
+                    F.greatest(F.size(toks) - n + 1, F.lit(0)))
+            for i in range(n)]
+    sh = cols[0]
+    for c in cols[1:]:
+        sh = F.zip_with(sh, c, lambda a, b: F.concat_ws(" ", a, b))
+    bench_arr = F.array(*[F.lit(s) for s in bench_shingles])
+    n_shared = F.size(F.array_intersect(sh, bench_arr))
+    return docs.filter(n_shared < min_overlap)
+
+
+def curate_document_stream(stream_docs: DataFrame,
+                           history: DataFrame | None = None,
+                           benchmark: DataFrame | None = None,
+                           quality_model=None,
+                           quality_model_threshold: float = 0.5,
+                           min_words: int = 50,
+                           decontaminate_n: int = DEFAULT_NGRAM,
+                           min_overlap: int = 1,
+                           ts_col: str | None = None,
+                           dedup_delay: str | None = None,
+                           bench_text_col: str = "text",
+                           bench_id_col: str = "bench_id") -> DataFrame:
+    """The stream-safe curation stages composed over a document
+    stream (or a batch frame — every stage is trigger-agnostic):
+
+        Gopher gate → [learned quality filter] → PII redaction →
+        [map-side decontamination] → within-stream exact dedup →
+        [against-history anti join]
+
+    The output carries a ``fingerprint`` column (the dedup key) so
+    the sink can feed the historical index directly. With ``ts_col``
+    + ``dedup_delay`` the dedup state is watermark-bounded
+    (re-emission past the horizon reconciles against ``history`` —
+    see incremental_dedup_watermarked); otherwise state is one entry
+    per distinct fingerprint.
+
+    Corpus-global stages (line scrub, near-dup resolution, quotas,
+    packing) intentionally have no streaming analogue — run the batch
+    pipeline periodically over this stream's accumulated output."""
+    out = gopher_filter(stream_docs, min_words=min_words)
+    if quality_model is not None:
+        out = model_quality_filter(
+            out, quality_model,
+            threshold=quality_model_threshold).drop("quality_prob")
+    out = redact_documents(out)
+    if benchmark is not None:
+        shingles = benchmark_shingle_set(
+            benchmark, decontaminate_n, bench_text_col, bench_id_col)
+        out = stream_decontaminate(out, shingles, decontaminate_n,
+                                   min_overlap)
+    if ts_col is not None and dedup_delay is not None:
+        out = incremental_dedup_watermarked(out, ts_col, dedup_delay)
+        if history is not None:
+            out = out.join(history, "fingerprint", "left_anti")
+    else:
+        out = incremental_dedup(out, history)
+    return out

@@ -1,0 +1,120 @@
+"""Streaming curation (streaming/curation.py): map-side
+decontamination parity with the batch operator, the composed
+stream-safe gate chain on a hand fixture, and stream/batch parity of
+the full composition over the real documents table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_bowl___2023_spark.dedup.decontaminate import decontaminate
+from big_data_bowl___2023_spark.streaming import (
+    benchmark_shingle_set,
+    curate_document_stream,
+    fingerprint_index,
+    read_document_stream,
+    run_available_now,
+    stream_decontaminate,
+)
+
+N = 4  # short shingles so small fixtures can collide on purpose
+
+
+def _bench(spark):
+    return spark.createDataFrame(
+        [(100, "the secret benchmark passage lives here precisely")],
+        ["bench_id", "text"])
+
+
+def test_stream_decontaminate_matches_batch(spark, sf_dir):
+    """The literal-array intersect filter keeps EXACTLY the documents
+    the batch shingle-join decontaminate keeps — same n, same
+    min_overlap, real corpus + a benchmark built from real docs so
+    overlaps actually occur."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    benchmark = (docs.filter(F.col("doc_id") % 31 == 0)
+                 .select(F.col("doc_id").alias("bench_id"), "text"))
+    batch = {r.doc_id for r in
+             decontaminate(docs, benchmark, n=N,
+                           bench_text_col="text").collect()}
+    shingles = benchmark_shingle_set(benchmark, n=N)
+    assert shingles, "fixture must produce benchmark shingles"
+    streamed = {r.doc_id for r in
+                stream_decontaminate(docs, shingles, n=N).collect()}
+    assert streamed == batch
+    assert len(streamed) < docs.count()     # something was dropped
+
+
+def test_stream_decontaminate_min_overlap(spark):
+    docs = spark.createDataFrame(
+        [(1, "the secret benchmark passage lives here precisely intact"),
+         (2, "completely unrelated words about warehouse logistics")],
+        ["doc_id", "text"])
+    shingles = benchmark_shingle_set(_bench(spark), n=N)
+    kept1 = {r.doc_id for r in
+             stream_decontaminate(docs, shingles, n=N).collect()}
+    assert kept1 == {2}
+    # raising min_overlap past the shared-shingle count keeps doc 1
+    kept_hi = {r.doc_id for r in
+               stream_decontaminate(docs, shingles, n=N,
+                                    min_overlap=10**6).collect()}
+    assert kept_hi == {1, 2}
+
+
+def test_curate_stream_hand_fixture(spark):
+    """Every stream-safe gate fires on a batch frame (the stages are
+    trigger-agnostic): Gopher drops junk, redaction scrubs PII,
+    decontamination drops the benchmark leak, dedup keeps one copy
+    per fingerprint and honors history."""
+    base = ("a perfectly ordinary paragraph with enough distinct "
+            "words to pass the quality gate and contribute value "
+            "to the corpus in every measurable way today")
+    rows = [
+        (1, base, ""),
+        (2, base, ""),                          # exact duplicate of 1
+        (3, "junk " * 10, ""),                  # fails min word count
+        (4, base + " reach me at a@b.io for details or else", ""),
+        (5, "the secret benchmark passage lives here precisely "
+            + base, ""),                        # contaminated
+        (6, "historic " + base, ""),            # already in history
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    history = fingerprint_index(
+        spark.createDataFrame([(60, "historic " + base)],
+                              ["doc_id", "text"]))
+    out = curate_document_stream(
+        docs, history=history, benchmark=_bench(spark),
+        min_words=20, decontaminate_n=N)
+    got = {r.doc_id: r.text for r in out.collect()}
+    assert 3 not in got and 5 not in got and 6 not in got
+    assert len(set(got) & {1, 2}) == 1          # one fingerprint kept
+    assert 4 in got and "a@b.io" not in got[4]
+    assert "[PII-email]" in got[4]
+
+
+def test_curate_stream_batch_parity(spark, sf_dir):
+    """availableNow streaming run == the identical composition run as
+    a batch, at the fingerprint level (the corpus-membership
+    contract), over the real documents table."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    history = fingerprint_index(
+        docs.filter(F.col("doc_id") % 5 == 0)).cache()
+    history.count()
+    benchmark = (docs.filter(F.col("doc_id") % 31 == 1)
+                 .select(F.col("doc_id").alias("bench_id"), "text"))
+
+    stream = read_document_stream(spark, sf_dir)
+    streamed = run_available_now(
+        curate_document_stream(stream, history=history,
+                               benchmark=benchmark, min_words=5,
+                               decontaminate_n=N),
+        spark, output_mode="append")
+    batch = curate_document_stream(docs, history=history,
+                                   benchmark=benchmark, min_words=5,
+                                   decontaminate_n=N)
+    s_fp = {r.fingerprint for r in
+            streamed.select("fingerprint").collect()}
+    b_fp = {r.fingerprint for r in batch.select("fingerprint").collect()}
+    assert s_fp == b_fp
+    assert 0 < len(s_fp) < docs.count()
