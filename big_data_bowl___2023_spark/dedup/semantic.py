@@ -71,14 +71,25 @@ def kmeans_assign(df: DataFrame, k: int = 16, n_iters: int = 4,
       the per-row k·dim distance work but streams it, and the
       groupBy(id) collapses map-side (replication preserves row
       locality) so the exchange carries one row per vector."""
-    from ..similarity.pq import _argmin_code, train_pq
+    from ..similarity.pq import train_pq
 
     v = _normalized(df, vec_col, id_col)
     if dim is None:   # one probe job; pass dim to skip it
         dim = len(v.select("u").first().u)
     cents = train_pq(df, vec_col=vec_col, id_col=id_col, dim=dim,
                      m=1, k=k, n_iters=n_iters, n=n)[0]
-    if k <= codegen_max_k:
+    return assign_with_centroids(v, cents, codegen_max_k)
+
+
+def assign_with_centroids(v: DataFrame, cents: list,
+                          codegen_max_k: int = 64) -> DataFrame:
+    """(id, u, cluster) for PRE-TRAINED centroids — the assignment
+    half of kmeans_assign, reusable when the codebook is an artifact
+    (incremental ingest assigns new batches against the corpus's
+    frozen centroids so cluster boundaries never move between runs)."""
+    from ..similarity.pq import _argmin_code
+
+    if len(cents) <= codegen_max_k:
         return v.withColumn("cluster", _argmin_code(F.col("u"), cents))
     return _assign_by_join(v, cents)
 
@@ -138,6 +149,60 @@ def semantic_dup_pairs(df: DataFrame, threshold: float,
         out_cols=("vec_a", "vec_b"))
     v = assigned.select("id", "u")
     return _verify_exact(v, cand, threshold)
+
+
+def incremental_semantic_pairs(new_emb: DataFrame, corpus: DataFrame,
+                               threshold: float,
+                               k: int | None = None,
+                               n_iters: int = 4,
+                               vec_col: str = "embedding",
+                               id_col: str = "vec_id",
+                               target_cluster: int = 250,
+                               dim: int | None = None,
+                               n_corpus: int | None = None
+                               ) -> DataFrame:
+    """(vec_new, vec_corpus, cosine ≥ threshold): semantic near-dups
+    between an ingest batch and the existing corpus WITHOUT re-pairing
+    the corpus against itself — the SemDeDup analogue of
+    ``streaming.incremental_minhash_pairs``.
+
+    Centroids train on the CORPUS only, so cluster boundaries are a
+    frozen artifact as batches arrive (at scale: persist ``cents``
+    from the last full run instead of retraining — the Lloyd rounds
+    here are the bootstrap path). Both sides assign map-side against
+    the broadcast centroids; candidates are ONE new×corpus equi-join
+    on the cluster id; exact fold verification touches candidates
+    only. Corpus×corpus pair work is zero by construction; new×new
+    dups within the batch are ``semantic_dup_pairs`` over the (small)
+    batch, mirroring the MinHash incremental contract.
+
+    Caller contract: new and corpus id spaces are disjoint (ingest
+    ids are monotone in practice); a shared id would be dropped by
+    the inequality guard rather than verified."""
+    from ..similarity.pq import train_pq
+
+    if k is None:
+        if n_corpus is None:
+            n_corpus = corpus.count()
+        k = scaled_k(n_corpus, target_cluster)
+    vc = _normalized(corpus, vec_col, id_col)
+    if dim is None:
+        dim = len(vc.select("u").first().u)
+    cents = train_pq(corpus, vec_col=vec_col, id_col=id_col, dim=dim,
+                     m=1, k=k, n_iters=n_iters, n=n_corpus)[0]
+    ac = assign_with_centroids(vc, cents)
+    an = assign_with_centroids(_normalized(new_emb, vec_col, id_col),
+                               cents)
+    cand = (an.select(F.col("id").alias("vec_a"), "cluster")
+            .join(ac.select(F.col("id").alias("vec_b"), "cluster"),
+                  "cluster")
+            .filter(F.col("vec_a") != F.col("vec_b"))
+            .select("vec_a", "vec_b"))
+    v_all = (an.select("id", "u")
+             .unionByName(ac.select("id", "u")).distinct())
+    return (_verify_exact(v_all, cand, threshold)
+            .select(F.col("vec_a").alias("vec_new"),
+                    F.col("vec_b").alias("vec_corpus"), "cosine"))
 
 
 def semantic_dedup(df: DataFrame, threshold: float,

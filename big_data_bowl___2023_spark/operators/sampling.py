@@ -108,6 +108,44 @@ def build_mixture(df: DataFrame, weights: dict[str, float],
             .drop("__cut"))
 
 
+def temperature_weights(token_totals: dict[str, int],
+                        temperature: float = 1.0) -> dict[str, float]:
+    """Source-mixing weights by sampling temperature (the XLM-R /
+    multilingual-LM rebalancing rule): weight_i ∝ share_i^(1/T),
+    normalized to sum 1. T=1 reproduces natural shares; T→∞ tends to
+    uniform; T<1 sharpens toward the largest sources. Pure driver-side
+    arithmetic over the per-source token totals (one small aggregate
+    the caller already has, e.g. from ``curation_report``); feed the
+    result straight into ``build_mixture``."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    total = sum(token_totals.values())
+    if total <= 0:
+        return {s: 0.0 for s in token_totals}
+    powered = {s: (t / total) ** (1.0 / temperature)
+               for s, t in token_totals.items()}
+    z = sum(powered.values())
+    return {s: p / z for s, p in powered.items()}
+
+
+def build_temperature_mixture(df: DataFrame, total_tokens: int,
+                              temperature: float = 1.0,
+                              source_col: str = "source",
+                              token_col: str = "n_tokens",
+                              id_col: str = "doc_id",
+                              seed: int = 0) -> DataFrame:
+    """``build_mixture`` with weights derived from the corpus's own
+    per-source token shares at the given sampling temperature — one
+    extra tiny aggregate, then the same single broadcast-joined
+    hash-filter scan."""
+    totals = {r[source_col]: r["__t"] for r in
+              df.groupBy(source_col)
+              .agg(F.sum(token_col).alias("__t")).collect()}
+    w = temperature_weights(totals, temperature)
+    return build_mixture(df, w, total_tokens, source_col, token_col,
+                         id_col, seed)
+
+
 def stratified_sample_exact(df: DataFrame, strata: Sequence[str],
                             fraction: float,
                             id_col: str = "doc_id") -> DataFrame:

@@ -62,3 +62,65 @@ def test_clamp_unlisted_and_monotone_budget(spark, sf_dir):
     big = build_mixture(docs, weights, int(corpus_tokens * 0.5))
     assert {r.doc_id for r in small.collect()} \
         <= {r.doc_id for r in big.collect()}
+
+
+def test_temperature_weights_properties():
+    from big_data_bowl___2023_spark.operators.sampling import (
+        temperature_weights,
+    )
+
+    totals = {"web": 8_000, "books": 1_500, "code": 500}
+    nat = temperature_weights(totals, 1.0)
+    # T=1 reproduces natural shares
+    assert abs(nat["web"] - 0.8) < 1e-12
+    assert abs(sum(nat.values()) - 1.0) < 1e-12
+    # higher temperature flattens toward uniform (rare sources gain)
+    hot = temperature_weights(totals, 4.0)
+    assert hot["code"] > nat["code"] and hot["web"] < nat["web"]
+    assert abs(sum(hot.values()) - 1.0) < 1e-12
+    # very high T ~ uniform
+    flat = temperature_weights(totals, 1e9)
+    for v in flat.values():
+        assert abs(v - 1 / 3) < 1e-3
+    # T<1 sharpens toward the dominant source
+    cold = temperature_weights(totals, 0.5)
+    assert cold["web"] > nat["web"]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        temperature_weights(totals, 0.0)
+
+
+def test_build_temperature_mixture_rebalances(spark, sf_dir):
+    """At high temperature the realized token shares move toward
+    uniform relative to the natural (T=1) mixture."""
+    from big_data_bowl___2023_spark.functions import text as Tx
+    from big_data_bowl___2023_spark.operators.sampling import (
+        build_temperature_mixture,
+    )
+    from big_data_bowl___2023_spark.sources.io import load_table
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .withColumn("n_tokens", Tx.token_count(F.col("text"))))
+    total = int(docs.agg(F.sum("n_tokens")).first()[0] * 0.5)
+
+    def shares(mix):
+        rows = (mix.groupBy("source").agg(F.sum("n_tokens").alias("t"))
+                .collect())
+        z = sum(r.t for r in rows)
+        return {r.source: r.t / z for r in rows}
+
+    s_nat = shares(build_temperature_mixture(docs, total, 1.0))
+    s_hot = shares(build_temperature_mixture(docs, total, 8.0))
+    n = len(s_nat)
+    # hot mixture is closer to uniform in L1 distance
+    d_nat = sum(abs(v - 1 / n) for v in s_nat.values())
+    d_hot = sum(abs(v - 1 / n) for v in s_hot.values())
+    assert d_hot <= d_nat
+    # determinism: same seed, same membership
+    a = {r.doc_id for r in
+         build_temperature_mixture(docs, total, 8.0).select("doc_id")
+         .collect()}
+    b = {r.doc_id for r in
+         build_temperature_mixture(docs, total, 8.0).select("doc_id")
+         .collect()}
+    assert a == b

@@ -143,3 +143,64 @@ def test_pq_sampled_training_subsample_still_clusters(spark, sf_dir):
     sizes = [r["count"] for r in sub.groupBy("cluster").count().collect()]
     assert sum(sizes) == a.count()
     assert len(sizes) >= 2 and max(sizes) < sum(sizes)
+
+
+def test_incremental_semantic_pairs_cross_only_and_exact(spark, sf_dir):
+    """Incremental SemDeDup: the output is exactly the cross-side
+    (new x corpus) same-cluster pairs with brute-force-exact cosines
+    - corpus x corpus never paired, values oracle-identical."""
+    import itertools
+
+    import numpy as np
+
+    from big_data_bowl___2023_spark.dedup.semantic import (
+        assign_with_centroids,
+        incremental_semantic_pairs,
+    )
+    from big_data_bowl___2023_spark.dedup.embedding import _normalized
+    from big_data_bowl___2023_spark.similarity.pq import train_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 4 != 0)
+    # "new batch": remaining vectors, ids offset to a disjoint space,
+    # plus one exact clone of a corpus vector (a guaranteed find)
+    clone_src = corpus.orderBy("vec_id").limit(1)
+    new = (emb.filter(F.col("vec_id") % 4 == 0)
+           .withColumn("vec_id", F.col("vec_id") + F.lit(10_000_000))
+           .unionByName(clone_src.withColumn(
+               "vec_id", F.col("vec_id") + F.lit(20_000_000))))
+
+    n_corpus = corpus.count()
+    got = {(r.vec_new, r.vec_corpus): r.cosine
+           for r in incremental_semantic_pairs(
+               new, corpus, THRESH, dim=64,
+               n_corpus=n_corpus).collect()}
+
+    # oracle: same corpus-trained centroids, brute-force cosines
+    from big_data_bowl___2023_spark.dedup.semantic import scaled_k
+    k = scaled_k(n_corpus)
+    cents = train_pq(corpus, dim=64, m=1, k=k, n_iters=4,
+                     n=n_corpus)[0]
+    a_new = {r.id: (r.cluster, np.array(r.u)) for r in
+             assign_with_centroids(
+                 _normalized(new, "embedding", "vec_id"),
+                 cents).collect()}
+    a_cor = {r.id: (r.cluster, np.array(r.u)) for r in
+             assign_with_centroids(
+                 _normalized(corpus, "embedding", "vec_id"),
+                 cents).collect()}
+    ref = {}
+    for (ni, (nc, nu)), (ci, (cc, cu)) in itertools.product(
+            a_new.items(), a_cor.items()):
+        if nc == cc and ni != ci:
+            cos = float(np.dot(nu, cu))
+            if round(cos, 6) >= THRESH:
+                ref[(ni, ci)] = round(cos, 6)
+    assert set(got) == set(ref)
+    for p, c in got.items():
+        assert abs(c - ref[p]) <= 1e-6
+    # the planted clone is found with cosine 1.0 against its source
+    clone_id = clone_src.first().vec_id
+    assert got[(clone_id + 20_000_000, clone_id)] == 1.0
+    # cross-only by construction: every left id is a new-batch id
+    assert all(a >= 10_000_000 for a, _ in got)
