@@ -159,7 +159,8 @@ def incremental_semantic_pairs(new_emb: DataFrame, corpus: DataFrame,
                                id_col: str = "vec_id",
                                target_cluster: int = 250,
                                dim: int | None = None,
-                               n_corpus: int | None = None
+                               n_corpus: int | None = None,
+                               cents: list | None = None
                                ) -> DataFrame:
     """(vec_new, vec_corpus, cosine ≥ threshold): semantic near-dups
     between an ingest batch and the existing corpus WITHOUT re-pairing
@@ -167,9 +168,10 @@ def incremental_semantic_pairs(new_emb: DataFrame, corpus: DataFrame,
     ``streaming.incremental_minhash_pairs``.
 
     Centroids train on the CORPUS only, so cluster boundaries are a
-    frozen artifact as batches arrive (at scale: persist ``cents``
-    from the last full run instead of retraining — the Lloyd rounds
-    here are the bootstrap path). Both sides assign map-side against
+    frozen artifact as batches arrive — pass ``cents`` (from
+    ``similarity.pq.load_codebooks``) to assign against the persisted
+    codebook of the last full run; the Lloyd rounds here are only the
+    bootstrap path. Both sides assign map-side against
     the broadcast centroids; candidates are ONE new×corpus equi-join
     on the cluster id; exact fold verification touches candidates
     only. Corpus×corpus pair work is zero by construction; new×new
@@ -181,15 +183,17 @@ def incremental_semantic_pairs(new_emb: DataFrame, corpus: DataFrame,
     the inequality guard rather than verified."""
     from ..similarity.pq import train_pq
 
-    if k is None:
-        if n_corpus is None:
-            n_corpus = corpus.count()
-        k = scaled_k(n_corpus, target_cluster)
     vc = _normalized(corpus, vec_col, id_col)
-    if dim is None:
-        dim = len(vc.select("u").first().u)
-    cents = train_pq(corpus, vec_col=vec_col, id_col=id_col, dim=dim,
-                     m=1, k=k, n_iters=n_iters, n=n_corpus)[0]
+    if cents is None:
+        if k is None:
+            if n_corpus is None:
+                n_corpus = corpus.count()
+            k = scaled_k(n_corpus, target_cluster)
+        if dim is None:
+            dim = len(vc.select("u").first().u)
+        cents = train_pq(corpus, vec_col=vec_col, id_col=id_col,
+                         dim=dim, m=1, k=k, n_iters=n_iters,
+                         n=n_corpus)[0]
     ac = assign_with_centroids(vc, cents)
     an = assign_with_centroids(_normalized(new_emb, vec_col, id_col),
                                cents)

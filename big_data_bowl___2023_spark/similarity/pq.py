@@ -143,6 +143,46 @@ def train_pq(corpus: DataFrame, vec_col: str = "embedding",
     return cents
 
 
+def save_codebooks(spark, cents: list, path: str) -> None:
+    """Persist trained codebooks as a JSON artifact through the
+    Hadoop FileSystem API (local FS, HDFS, or object store — same
+    contract as the parquet sinks). Codebooks are tiny (m·k·sub
+    floats) but operationally load-bearing: incremental ingest must
+    assign new batches against the SAME centroids the corpus was
+    sharded with, so the codebook is a versioned artifact of the full
+    run, not something retrained per batch."""
+    import json
+
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(
+        spark._jsc.hadoopConfiguration())  # type: ignore[union-attr]
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(json.dumps(cents).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def load_codebooks(spark, path: str) -> list:
+    """Read a :func:`save_codebooks` artifact back as the nested
+    list ``train_pq`` returns — float round trip is exact (json reads
+    the same repr doubles back)."""
+    import json
+
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(
+        spark._jsc.hadoopConfiguration())  # type: ignore[union-attr]
+    stream = fs.open(jpath)
+    try:
+        util = jvm.org.apache.commons.io.IOUtils
+        data = util.toByteArray(stream)
+    finally:
+        stream.close()
+    return json.loads(bytes(data).decode("utf-8"))
+
+
 def encode_pq(corpus: DataFrame, cents: list,
               vec_col: str = "embedding", id_col: str = "vec_id",
               dim: int = 64) -> DataFrame:

@@ -84,3 +84,44 @@ def test_rerank_recall_and_exact_scores(pq_setup):
     assert overlap
     for r, expected in overlap:
         assert r.cosine == expected
+
+
+def test_codebook_artifact_round_trip(spark, sf_dir, tmp_path):
+    """save/load through the Hadoop FS API round-trips codebooks
+    exactly, and incremental_semantic_pairs over a loaded artifact
+    matches the retrain path bit-for-bit (the frozen-centroid
+    contract for continuous ingestion)."""
+    from pyspark.sql import functions as F
+
+    from big_data_bowl___2023_spark.dedup.semantic import (
+        incremental_semantic_pairs,
+        scaled_k,
+    )
+    from big_data_bowl___2023_spark.similarity.pq import (
+        load_codebooks,
+        save_codebooks,
+        train_pq,
+    )
+    from big_data_bowl___2023_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 3 != 0)
+    new = (emb.filter(F.col("vec_id") % 3 == 0)
+           .withColumn("vec_id", F.col("vec_id") + F.lit(10_000_000)))
+    n_corpus = corpus.count()
+    k = scaled_k(n_corpus)
+    cents = train_pq(corpus, dim=64, m=1, k=k, n_iters=2, n=n_corpus)
+
+    path = str(tmp_path / "codebook.json")
+    save_codebooks(spark, cents, path)
+    loaded = load_codebooks(spark, path)
+    assert loaded == cents
+
+    fresh = {(r.vec_new, r.vec_corpus, r.cosine) for r in
+             incremental_semantic_pairs(
+                 new, corpus, 0.4, n_iters=2, dim=64,
+                 n_corpus=n_corpus).collect()}
+    frozen = {(r.vec_new, r.vec_corpus, r.cosine) for r in
+              incremental_semantic_pairs(
+                  new, corpus, 0.4, cents=loaded[0]).collect()}
+    assert fresh == frozen
