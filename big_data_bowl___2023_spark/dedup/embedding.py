@@ -65,18 +65,22 @@ def _normalized(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
 
 
 def _verify_exact(v: DataFrame, cand: DataFrame,
-                  threshold: float) -> DataFrame:
+                  threshold: float,
+                  broadcast_candidates: bool = True) -> DataFrame:
     """Exact fold-dot over candidate id pairs only.
 
     The arithmetic (normalize once, left-fold zip product) mirrors the
     DuckDB oracle exactly, so whatever candidate generator ran before
     this, surviving pairs carry oracle-identical cosine values.
-    Candidates are broadcast — they are the small side by construction.
-    """
+    ``broadcast_candidates=True`` (default) pins the broadcast for
+    generators whose candidate volume is bounded by construction
+    (banding/star-guarded paths); pass False when the candidate set
+    is not provably small and AQE should pick the join strategy."""
     ua = v.select(F.col("id").alias("vec_a"), F.col("u").alias("ua"))
     ub = v.select(F.col("id").alias("vec_b"), F.col("u").alias("ub"))
     cos = V.dot(F.col("ua"), F.col("ub"))
-    return (ua.join(F.broadcast(cand), "vec_a")
+    c = F.broadcast(cand) if broadcast_candidates else cand
+    return (ua.join(c, "vec_a")
               .join(ub, "vec_b")
               .withColumn("cosine", cos)
               .filter(F.col("cosine") >= F.lit(threshold))

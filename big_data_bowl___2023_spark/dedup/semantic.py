@@ -140,8 +140,14 @@ def semantic_dup_pairs(df: DataFrame, threshold: float,
         if n is None:
             n = df.count()
         k = scaled_k(n, target_cluster)
-    assigned = (kmeans_assign(df, k, n_iters, vec_col, id_col, dim,
-                              n=n)
+    # NOTE: the corpus-count hint is deliberately NOT forwarded to
+    # train_pq here: skipping the cap's TakeOrdered+repartition makes
+    # centroid float sums depend on the input's physical partitioning,
+    # and this operator pins partitioning-invariant output (the same
+    # property its sibling ops test). Callers that accept layout-
+    # dependent (still deterministic-per-layout) centroids can call
+    # kmeans_assign(..., n=...) themselves.
+    assigned = (kmeans_assign(df, k, n_iters, vec_col, id_col, dim)
                 .localCheckpoint())
     cand = band_candidates(
         assigned.select("id", "cluster"), max_bucket,
@@ -160,7 +166,8 @@ def incremental_semantic_pairs(new_emb: DataFrame, corpus: DataFrame,
                                target_cluster: int = 250,
                                dim: int | None = None,
                                n_corpus: int | None = None,
-                               cents: list | None = None
+                               cents: list | None = None,
+                               max_cluster: int | None = None
                                ) -> DataFrame:
     """(vec_new, vec_corpus, cosine ≥ threshold): semantic near-dups
     between an ingest batch and the existing corpus WITHOUT re-pairing
@@ -168,15 +175,27 @@ def incremental_semantic_pairs(new_emb: DataFrame, corpus: DataFrame,
     ``streaming.incremental_minhash_pairs``.
 
     Centroids train on the CORPUS only, so cluster boundaries are a
-    frozen artifact as batches arrive — pass ``cents`` (from
-    ``similarity.pq.load_codebooks``) to assign against the persisted
+    frozen artifact as batches arrive — pass ``cents`` (a single
+    codebook: ``load_codebooks(spark, path)[0]`` for the m=1
+    artifacts this path saves) to assign against the persisted
     codebook of the last full run; the Lloyd rounds here are only the
-    bootstrap path. Both sides assign map-side against
-    the broadcast centroids; candidates are ONE new×corpus equi-join
-    on the cluster id; exact fold verification touches candidates
-    only. Corpus×corpus pair work is zero by construction; new×new
-    dups within the batch are ``semantic_dup_pairs`` over the (small)
-    batch, mirroring the MinHash incremental contract.
+    bootstrap path. Both sides assign map-side against the broadcast
+    centroids; candidates are ONE new×corpus equi-join on the cluster
+    id (join strategy left to AQE — the candidate volume is data-
+    dependent, so it is NOT force-broadcast); exact fold verification
+    touches candidates only. Corpus×corpus pair work is zero by
+    construction; new×new dups within the batch are
+    ``semantic_dup_pairs`` over the (small) batch, mirroring the
+    MinHash incremental contract.
+
+    ``max_cluster`` is the mass-duplicate guard (the cross-side
+    analogue of the batch path's hot-bucket star guard): a corpus
+    cluster holding more than ``max_cluster`` members contributes
+    only its min-id member to pairing — on a degenerate corpus the
+    candidate volume stays O(n_new) instead of n_new × cluster, and
+    a new doc matching the (mutually near-identical) mass cluster
+    still surfaces via the hub. Default None = exact, like the batch
+    default.
 
     Caller contract: new and corpus id spaces are disjoint (ingest
     ids are monotone in practice); a shared id would be dropped by
@@ -192,19 +211,29 @@ def incremental_semantic_pairs(new_emb: DataFrame, corpus: DataFrame,
         if dim is None:
             dim = len(vc.select("u").first().u)
         cents = train_pq(corpus, vec_col=vec_col, id_col=id_col,
-                         dim=dim, m=1, k=k, n_iters=n_iters,
-                         n=n_corpus)[0]
+                         dim=dim, m=1, k=k, n_iters=n_iters)[0]
     ac = assign_with_centroids(vc, cents)
     an = assign_with_centroids(_normalized(new_emb, vec_col, id_col),
                                cents)
+    corpus_side = ac.select(F.col("id").alias("vec_b"), "cluster")
+    if max_cluster is not None:
+        from pyspark.sql import Window
+        w = Window.partitionBy("cluster")
+        corpus_side = (corpus_side
+                       .withColumn("__cn", F.count(F.lit(1)).over(w))
+                       .withColumn("__min", F.min("vec_b").over(w))
+                       .filter((F.col("__cn") <= max_cluster)
+                               | (F.col("vec_b") == F.col("__min")))
+                       .drop("__cn", "__min"))
     cand = (an.select(F.col("id").alias("vec_a"), "cluster")
-            .join(ac.select(F.col("id").alias("vec_b"), "cluster"),
-                  "cluster")
+            .join(corpus_side, "cluster")
             .filter(F.col("vec_a") != F.col("vec_b"))
             .select("vec_a", "vec_b"))
-    v_all = (an.select("id", "u")
-             .unionByName(ac.select("id", "u")).distinct())
-    return (_verify_exact(v_all, cand, threshold)
+    # ids are disjoint by contract — plain union, no dedup shuffle of
+    # the (wide) vector payload.
+    v_all = an.select("id", "u").unionByName(ac.select("id", "u"))
+    return (_verify_exact(v_all, cand, threshold,
+                          broadcast_candidates=False)
             .select(F.col("vec_a").alias("vec_new"),
                     F.col("vec_b").alias("vec_corpus"), "cosine"))
 

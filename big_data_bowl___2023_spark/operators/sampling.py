@@ -119,6 +119,7 @@ def temperature_weights(token_totals: dict[str, int],
     result straight into ``build_mixture``."""
     if temperature <= 0:
         raise ValueError(f"temperature must be > 0, got {temperature}")
+    token_totals = {s: (t or 0) for s, t in token_totals.items()}
     total = sum(token_totals.values())
     if total <= 0:
         return {s: 0.0 for s in token_totals}
@@ -138,7 +139,7 @@ def build_temperature_mixture(df: DataFrame, total_tokens: int,
     per-source token shares at the given sampling temperature — one
     extra tiny aggregate, then the same single broadcast-joined
     hash-filter scan."""
-    totals = {r[source_col]: r["__t"] for r in
+    totals = {r[source_col]: r["__t"] or 0 for r in
               df.groupBy(source_col)
               .agg(F.sum(token_col).alias("__t")).collect()}
     w = temperature_weights(totals, temperature)

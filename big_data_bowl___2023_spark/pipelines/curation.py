@@ -72,12 +72,15 @@ def curation_frame(docs: DataFrame,
 
     ``stage_hook(key, frame)``, when given, is called at every stage
     boundary — ``curate_and_export`` uses it for the per-stage audit
-    counts."""
-    def hook(key: str, frame: DataFrame) -> None:
+    counts. A hook that returns the row count (as the audit tally
+    does) lets the DSIR default reuse it instead of re-counting the
+    raw corpus."""
+    def hook(key: str, frame: DataFrame):
         if stage_hook is not None:
-            stage_hook(key, frame)
+            return stage_hook(key, frame)
+        return None
 
-    hook("input", docs)
+    input_n = hook("input", docs)
 
     quality = gopher_filter(docs, min_words=min_words)
     hook("after_quality", quality)
@@ -125,7 +128,8 @@ def curation_frame(docs: DataFrame,
         hook("after_decontamination", canon)
 
     if dsir_target is not None:
-        n_sel = dsir_n_docs or max(1, docs.count() // 2)
+        n_sel = dsir_n_docs or max(
+            1, (input_n if input_n is not None else docs.count()) // 2)
         canon = dsir_resample(canon, dsir_target, n_sel) \
             .drop("logw", "key")
         hook("after_dsir_selection", canon)
@@ -161,9 +165,11 @@ def curate_and_export(docs: DataFrame, out_dir: str,
     instead."""
     stats: dict = {}
 
-    def tally(key: str, frame: DataFrame) -> None:
+    def tally(key: str, frame: DataFrame):
         if not lazy_stats:
             stats[key] = frame.count()
+            return stats[key]
+        return None
 
     packed = curation_frame(docs, stage_hook=tally, **kwargs)
     write_jsonl(packed.repartition("source", "shard")

@@ -381,7 +381,19 @@ def compact_parquet(spark: SparkSession, path: str,
     tmp = _jpath(path.rstrip("/") + "__compact_tmp")
     backup = _jpath(path.rstrip("/") + "__compact_old")
     fs.delete(tmp, True)
-    out.write.mode("overwrite").parquet(tmp.toString())
+    # A leftover backup can only be stale: if a prior run died MID-swap
+    # (data only in backup), the dataset path would not exist and the
+    # spark.read above would already have failed — reaching this point
+    # means the live data is at `path`, so any existing backup is a
+    # prior run's undeleted copy. It must go now: Hadoop rename into an
+    # existing directory nests the source INSIDE it, which would
+    # corrupt both the swap and the rollback.
+    fs.delete(backup, True)
+    try:
+        out.write.mode("overwrite").parquet(tmp.toString())
+    except Exception:
+        fs.delete(tmp, True)    # no partial staging left behind
+        raise
 
     swapped_out = False
     try:

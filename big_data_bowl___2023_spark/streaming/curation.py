@@ -73,9 +73,20 @@ def stream_decontaminate(docs: DataFrame, bench_shingles: list[str],
 
     The doc's shingle array is built with the same slice/zip_with
     codegen kernel as ``shingle_docs`` (pre-explode), intersected
-    with the literal benchmark array. ``array_intersect`` is
-    set-semantics (distinct matches), mirroring the batch
-    ``contamination_report`` count of DISTINCT shared shingles."""
+    with the literal benchmark array (set semantics — DISTINCT
+    shared shingles). NULL text never matches (kept, like the batch
+    path, whose shingle join produces no rows for it).
+
+    Semantics note vs batch ``decontaminate``: the count here is
+    distinct shared shingles against the UNION of all benchmark
+    items; the batch path counts per (doc, benchmark-item) pair. At
+    ``min_overlap=1`` (the default, and the published-pipeline
+    standard at n=8) the two are exactly equivalent — the parity
+    test pins that. At ``min_overlap>1`` the stream filter is the
+    STRICTER gate (shingles spread across different benchmark items
+    still accumulate), which is the conservative direction for an
+    on-arrival bronze gate; run the batch operator in the silver
+    pass when per-item thresholds matter."""
     from ..functions import text as Tx
 
     if not bench_shingles:
@@ -89,7 +100,8 @@ def stream_decontaminate(docs: DataFrame, bench_shingles: list[str],
         sh = F.zip_with(sh, c, lambda a, b: F.concat_ws(" ", a, b))
     bench_arr = F.array(*[F.lit(s) for s in bench_shingles])
     n_shared = F.size(F.array_intersect(sh, bench_arr))
-    return docs.filter(n_shared < min_overlap)
+    return docs.filter(
+        F.coalesce(n_shared < min_overlap, F.lit(True)))
 
 
 def curate_document_stream(stream_docs: DataFrame,

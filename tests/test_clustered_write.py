@@ -110,12 +110,38 @@ def test_compact_parquet_small_files(spark, sf_dir, tmp_path):
     assert checksum_after == checksum_before
 
 
-def test_compact_parquet_failed_swap_leaves_dataset_intact(
+def test_compact_parquet_stale_artifacts_recovered(
         spark, sf_dir, tmp_path):
-    """A failure during the swap must leave the original directory
-    readable and clean up the temp dir (the rollback contract). The
-    failure is induced by occupying the backup path with a plain
-    file, which makes the first FS rename fail."""
+    """Leftover __compact_old/__compact_tmp from a crashed prior run
+    are stale by construction (a mid-swap crash leaves no dataset at
+    the path, so this run's read would fail first) — compaction must
+    clear them and succeed rather than nesting the dataset inside the
+    stale directory on rename."""
+    import os
+
+    from big_data_bowl___2023_spark.sources.io import compact_parquet
+
+    target = str(tmp_path / "frag")
+    li = load_table(spark, sf_dir, "lineitem").limit(1000)
+    li.repartition(8).write.parquet(target)
+    n = spark.read.parquet(target).count()
+
+    os.makedirs(target + "__compact_old/junk")
+    os.makedirs(target + "__compact_tmp/junk")
+    report = compact_parquet(spark, target, target_file_mb=128)
+    assert report["files_before"] == 8
+
+    spark.catalog.refreshByPath(target)
+    assert spark.read.parquet(target).count() == n
+    assert not os.path.exists(target + "__compact_old")
+    assert not os.path.exists(target + "__compact_tmp")
+
+
+def test_compact_parquet_failed_stage_leaves_dataset_intact(
+        spark, sf_dir, tmp_path):
+    """A failure while STAGING (before any swap) must leave the
+    original directory untouched and clean up the temp dir — induced
+    with a sort column that doesn't exist."""
     import os
 
     import pytest
@@ -126,13 +152,10 @@ def test_compact_parquet_failed_swap_leaves_dataset_intact(
     li = load_table(spark, sf_dir, "lineitem").limit(1000)
     li.repartition(4).write.parquet(target)
 
-    with open(target + "__compact_old", "w") as fh:
-        fh.write("occupied")
     with pytest.raises(Exception):
-        compact_parquet(spark, target, target_file_mb=128)
+        compact_parquet(spark, target, target_file_mb=128,
+                        sort_within_by=["no_such_column"])
 
-    # original dataset untouched and readable
     spark.catalog.refreshByPath(target)
     assert spark.read.parquet(target).count() == 1000
-    # staged temp dir cleaned up
     assert not os.path.exists(target + "__compact_tmp")

@@ -204,3 +204,18 @@ def test_incremental_semantic_pairs_cross_only_and_exact(spark, sf_dir):
     assert got[(clone_id + 20_000_000, clone_id)] == 1.0
     # cross-only by construction: every left id is a new-batch id
     assert all(a >= 10_000_000 for a, _ in got)
+
+
+def test_semantic_pairs_partitioning_invariant(spark, sf_dir):
+    """The default path's output must not depend on the input's
+    physical layout — the reason semantic_dup_pairs does NOT forward
+    the corpus-count hint to train_pq (skipping the cap's canonical
+    TakeOrdered+repartition would make Lloyd float sums, and hence
+    near-threshold pairs, layout-dependent)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = {(r.vec_a, r.vec_b, r.cosine) for r in
+         semantic_dup_pairs(emb, THRESH, dim=64).collect()}
+    b = {(r.vec_a, r.vec_b, r.cosine) for r in
+         semantic_dup_pairs(emb.repartition(13), THRESH,
+                            dim=64).collect()}
+    assert a == b

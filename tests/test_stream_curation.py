@@ -118,3 +118,45 @@ def test_curate_stream_batch_parity(spark, sf_dir):
     b_fp = {r.fingerprint for r in batch.select("fingerprint").collect()}
     assert s_fp == b_fp
     assert 0 < len(s_fp) < docs.count()
+
+
+def test_stream_decontaminate_null_text_kept(spark):
+    """NULL text never matches a shingle — kept, like the batch path
+    (whose shingle join simply produces no rows for it)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+    docs = spark.createDataFrame(
+        [(1, None), (2, "the secret benchmark passage lives here "
+                        "precisely and then some")], schema)
+    shingles = benchmark_shingle_set(_bench(spark), n=N)
+    kept = {r.doc_id for r in
+            stream_decontaminate(docs, shingles, n=N).collect()}
+    assert kept == {1}
+
+
+def test_stream_decontaminate_union_semantics_documented(spark):
+    """Pinned contract: at min_overlap>1 the stream gate counts
+    shared shingles against the UNION of benchmark items (stricter),
+    while the batch operator thresholds per (doc, item) pair — a doc
+    sharing one shingle with each of two different items is dropped
+    by the stream gate but kept by batch decontaminate."""
+    # each 5-word item yields two 4-gram shingles, both present in
+    # the doc: per-item overlap = 2, union overlap = 4
+    bench2 = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon"),
+         (101, "one two three four five")],
+        ["bench_id", "text"])
+    doc = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon unrelated filler words "
+             "one two three four five closing remark")],
+        ["doc_id", "text"])
+    shingles = benchmark_shingle_set(bench2, n=N)
+    assert len(shingles) == 4
+    stream_kept = stream_decontaminate(
+        doc, shingles, n=N, min_overlap=3).count()
+    batch_kept = decontaminate(doc, bench2, n=N, min_overlap=3,
+                               bench_text_col="text").count()
+    assert stream_kept == 0      # union overlap 4 >= 3
+    assert batch_kept == 1       # per-item overlap max 2 < 3
