@@ -8,6 +8,7 @@ from .dedup_stream import (
 from .curation import (
     benchmark_shingle_set,
     curate_document_stream,
+    make_curation_ingest_batch_fn,
     stream_decontaminate,
 )
 from .joins import foreach_batch_upsert, interval_join
@@ -26,6 +27,7 @@ __all__ = ["benchmark_shingle_set", "curate_document_stream",
            "funnel_detect_batch", "interval_join",
            "hopping_counts", "incremental_dedup",
            "incremental_dedup_watermarked", "incremental_minhash_pairs",
+           "make_curation_ingest_batch_fn",
            "read_document_stream", "read_event_stream",
            "run_available_now", "session_windows", "stream_decontaminate",
            "tumbling_counts"]

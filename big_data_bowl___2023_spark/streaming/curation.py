@@ -104,6 +104,53 @@ def stream_decontaminate(docs: DataFrame, bench_shingles: list[str],
         F.coalesce(n_shared < min_overlap, F.lit(True)))
 
 
+def make_curation_ingest_batch_fn(out_dir: str, index_dir: str,
+                                  benchmark: DataFrame | None = None,
+                                  quality_model=None,
+                                  quality_model_threshold: float = 0.5,
+                                  min_words: int = 50,
+                                  decontaminate_n: int = DEFAULT_NGRAM,
+                                  min_overlap: int = 1,
+                                  bench_text_col: str = "text",
+                                  bench_id_col: str = "bench_id"):
+    """The continuous-ingestion LOOP: a ``foreachBatch`` function that
+    curates each micro-batch against the CURRENT membership index,
+    appends the survivors to ``out_dir``, and appends their
+    fingerprints to ``index_dir`` — so cross-batch dedup state lives
+    in the index (a durable parquet artifact that survives restarts,
+    redeployments, and checkpoint loss), not in stream state.
+
+    Within a batch: the stream-safe gates + first-per-fingerprint;
+    across batches: the anti join against the index that the
+    processor itself just updated. The first batch bootstraps both
+    directories. Returns the function to pass to
+    ``stream.writeStream.foreachBatch(...)`` — also directly callable
+    with (batch_df, batch_id) for batch backfills."""
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            spark.catalog.refreshByPath(index_dir)
+            history = spark.read.parquet(index_dir)
+            history.limit(1).collect()
+        except Exception:
+            history = None
+        curated = curate_document_stream(
+            batch_df, history=history, benchmark=benchmark,
+            quality_model=quality_model,
+            quality_model_threshold=quality_model_threshold,
+            min_words=min_words, decontaminate_n=decontaminate_n,
+            min_overlap=min_overlap, bench_text_col=bench_text_col,
+            bench_id_col=bench_id_col).localCheckpoint()
+        curated.drop("fingerprint").write.mode("append") \
+            .parquet(out_dir)
+        # the dedup key is already attached (post-redaction text
+        # fingerprint, consistent across batches) — index it as-is
+        curated.select("fingerprint").distinct().write.mode("append") \
+            .parquet(index_dir)
+
+    return process
+
+
 def curate_document_stream(stream_docs: DataFrame,
                            history: DataFrame | None = None,
                            benchmark: DataFrame | None = None,

@@ -160,3 +160,46 @@ def test_stream_decontaminate_union_semantics_documented(spark):
                                bench_text_col="text").count()
     assert stream_kept == 0      # union overlap 4 >= 3
     assert batch_kept == 1       # per-item overlap max 2 < 3
+
+
+def test_curation_ingest_loop_multi_batch(spark, tmp_path):
+    """The foreachBatch ingestion loop: batch 1 bootstraps the output
+    + index; batch 2's cross-batch duplicates are suppressed by the
+    index the loop itself updated; the index ends as the union of all
+    emitted fingerprints. Processor invoked directly (the foreachBatch
+    contract) — batch semantics are identical to the wired stream."""
+    from big_data_bowl___2023_spark.streaming import (
+        make_curation_ingest_batch_fn,
+    )
+
+    base = ("a perfectly ordinary paragraph with enough distinct "
+            "words to pass the quality gate and contribute value "
+            "to the corpus in every measurable way today")
+    out_dir = str(tmp_path / "docs")
+    idx_dir = str(tmp_path / "index")
+    process = make_curation_ingest_batch_fn(out_dir, idx_dir,
+                                            min_words=20)
+
+    b1 = spark.createDataFrame(
+        [(1, "first " + base, "web"), (2, "second " + base, "web")],
+        ["doc_id", "text", "source"])
+    process(b1, 0)
+    assert spark.read.parquet(out_dir).count() == 2
+    assert spark.read.parquet(idx_dir).count() == 2
+
+    b2 = spark.createDataFrame(
+        [(3, "first " + base, "web"),      # dup of batch-1 doc 1
+         (4, "third " + base, "web"),      # novel
+         (5, "third " + base, "web")],     # within-batch dup of 4
+        ["doc_id", "text", "source"])
+    process(b2, 1)
+    spark.catalog.refreshByPath(out_dir)
+    spark.catalog.refreshByPath(idx_dir)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 3                # docs 1, 2, one of {4,5}
+    ids = {r.doc_id for r in out.collect()}
+    assert 3 not in ids
+    assert len(ids & {4, 5}) == 1
+    idx = spark.read.parquet(idx_dir)
+    assert idx.count() == 3
+    assert idx.distinct().count() == 3     # no duplicate index rows
