@@ -324,6 +324,82 @@ def write_parquet_zordered(df: DataFrame, path: str, zorder_by: list[str],
     w.parquet(path)
 
 
+def snapshot_versions(spark: SparkSession, table_dir: str) -> list[int]:
+    """Existing version numbers under a snapshot table (``v=N``
+    children), via the Hadoop FS API (any scheme)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(table_dir)
+    fs = jpath.getFileSystem(
+        spark._jsc.hadoopConfiguration())  # type: ignore[union-attr]
+    if not fs.exists(jpath):
+        return []
+    out = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v="):
+            try:
+                out.append(int(name[2:]))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
+def publish_snapshot(df: DataFrame, table_dir: str,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> dict:
+    """Publish an immutable, versioned corpus snapshot:
+    ``table_dir/v=N`` (N = previous max + 1) written with the
+    integrity manifest (per-file row counts + digests), plus a
+    change-count diff against the previous version.
+
+    Versioned immutable snapshots are how a 100 TB corpus ships to
+    consumers safely: readers pin a version (no torn reads during a
+    publish), the manifest answers "is this exactly what was
+    written?", and the diff is the audit record deciding what an
+    incremental reprocess must touch (only added/modified ids flow
+    through dedup/scoring again; removed ids tombstone downstream
+    indexes). The diff joins (id, fingerprint) projections only —
+    document text never enters its shuffle.
+
+    Returns {"version", "path", "rows", "diff": {added, removed,
+    modified} | None}."""
+    from ..dedup.exact import corpus_diff
+
+    spark = df.sparkSession
+    versions = snapshot_versions(spark, table_dir)
+    version = (versions[-1] + 1) if versions else 1
+    path = f"{table_dir.rstrip('/')}/v={version}"
+    manifest = write_parquet_with_manifest(df, path)
+    diff = None
+    if versions:
+        prev = spark.read.parquet(
+            f"{table_dir.rstrip('/')}/v={versions[-1]}")
+        counts = {r.change: r.n for r in
+                  corpus_diff(prev, spark.read.parquet(path),
+                              text_col, id_col)
+                  .groupBy("change")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
+        diff = {k: counts.get(k, 0)
+                for k in ("added", "removed", "modified")}
+    return {"version": version, "path": path,
+            "rows": manifest["total_rows"], "diff": diff}
+
+
+def read_snapshot(spark: SparkSession, table_dir: str,
+                  version: int | None = None) -> DataFrame:
+    """Read a pinned (or the latest) snapshot version. Pinning is the
+    reader-side contract: a concurrent publish creates v=N+1 and
+    never mutates the version being read."""
+    versions = snapshot_versions(spark, table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots under {table_dir}")
+    v = version if version is not None else versions[-1]
+    if v not in versions:
+        raise FileNotFoundError(
+            f"version {v} not in {versions} under {table_dir}")
+    return spark.read.parquet(f"{table_dir.rstrip('/')}/v={v}")
+
+
 def compact_parquet(spark: SparkSession, path: str,
                     target_file_mb: int = 128,
                     sort_within_by: list[str] | None = None) -> dict:

@@ -159,3 +159,49 @@ def test_compact_parquet_failed_stage_leaves_dataset_intact(
     spark.catalog.refreshByPath(target)
     assert spark.read.parquet(target).count() == 1000
     assert not os.path.exists(target + "__compact_tmp")
+
+
+def test_snapshot_publish_read_diff(spark, sf_dir, tmp_path):
+    """Versioned snapshot publishing: v=1 bootstraps, v=2 records the
+    change counts against v=1, readers pin any version, manifests
+    verify, and unknown versions fail loudly."""
+    import pytest
+
+    from big_data_bowl___2023_spark.sources.io import (
+        publish_snapshot,
+        read_snapshot,
+        verify_parquet_manifest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(200).cache()
+    table = str(tmp_path / "corpus")
+
+    r1 = publish_snapshot(docs, table)
+    assert r1["version"] == 1 and r1["diff"] is None
+    assert r1["rows"] == 200
+
+    # v2: drop 10 docs, modify 5, add 3
+    base = docs.filter(F.col("doc_id") % 20 != 0)        # remove ~10
+    modified = base.withColumn(
+        "text", F.when(F.col("doc_id") % 37 == 1,
+                       F.concat(F.col("text"), F.lit(" edited")))
+                 .otherwise(F.col("text")))
+    added = (docs.limit(3)
+             .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000)))
+    v2 = modified.unionByName(added)
+    r2 = publish_snapshot(v2, table)
+    assert r2["version"] == 2
+    n_removed = docs.count() - base.count()
+    n_modified = base.filter(F.col("doc_id") % 37 == 1).count()
+    assert r2["diff"] == {"added": 3, "removed": n_removed,
+                          "modified": n_modified}
+
+    # readers pin versions; latest is v2
+    assert read_snapshot(spark, table, 1).count() == 200
+    assert read_snapshot(spark, table).count() == v2.count()
+    # manifest written and verifies for both versions
+    for v in (1, 2):
+        rep = verify_parquet_manifest(spark, f"{table}/v={v}")
+        assert rep["ok"], rep
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, table, 9)
