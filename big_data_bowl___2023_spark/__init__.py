@@ -10,6 +10,7 @@ plumbing) that make the engine useful at 100 TB.
 
 Layout:
     session     — tuned SparkSession builder (AQE, Arrow, shuffle sizing)
+    catalog     — the star schema as temp views: the spark.sql entry point
     sources     — explicit schemas + readers/writers (SURVEY §2.1)
     operators   — relational core: filters/joins/aggs/windows/sorts/setops
     functions   — scalar/text/vector column expression helpers

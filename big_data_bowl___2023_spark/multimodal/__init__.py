@@ -4,7 +4,8 @@ from .binary_ops import (
     extract_features,
     frame_sample,
     media_from_documents,
+    resize_media,
 )
 
 __all__ = ["MEDIA_SCHEMA", "decode_media", "extract_features",
-           "frame_sample", "media_from_documents"]
+           "frame_sample", "media_from_documents", "resize_media"]

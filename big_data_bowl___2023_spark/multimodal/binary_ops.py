@@ -58,6 +58,13 @@ FRAME_SCHEMA = T.StructType([
     T.StructField("frame_bytes", T.BinaryType()),
 ])
 
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("data", T.BinaryType()),
+])
+
 
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Derive a deterministic media table from ``documents`` (the test
@@ -128,6 +135,58 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
 
     return (media.select("media_id", "data")
             .mapInPandas(feats, FEATURES_SCHEMA))
+
+
+def _resize_one(data: bytes, modality: str,
+                max_side: int) -> tuple[int, int, bytes]:
+    """STUB RESIZE. Tries the real codec; otherwise derives the
+    target dims from the stub decode (aspect-preserving fit into
+    ``max_side``) and emits a deterministic byte payload proportional
+    to the target pixel count — the real path's cost shape (output
+    bytes scale with target dims, not source bytes) without the
+    codec."""
+    if modality == "image":
+        try:  # real path, absent in this container
+            import io
+
+            from PIL import Image
+            img = Image.open(io.BytesIO(data))
+            img.thumbnail((max_side, max_side))
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            return img.width, img.height, buf.getvalue()
+        except Exception:
+            pass
+    w, h, _, _ = _decode_one(data, modality)
+    scale = min(1.0, max_side / max(w, h))
+    tw, th = max(1, int(w * scale)), max(1, int(h * scale))
+    seed = hashlib.md5(data).digest()
+    n_out = tw * th  # 1 "byte per pixel" stand-in
+    payload = (seed * (n_out // len(seed) + 1))[:n_out]
+    return tw, th, payload
+
+
+def resize_media(media: DataFrame, max_side: int = 32) -> DataFrame:
+    """Aspect-preserving resize pass (thumbnailing for vision-model
+    preprocessing): (media_id, data) → (media_id, width, height,
+    data). Same Arrow mapInPandas shape as decode — and the one pass
+    whose OUTPUT payload is bounded by design (≤ max_side² per
+    record), which is what makes downstream shuffles of resized
+    media affordable at 100 TB while the raw originals stay in the
+    object store."""
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [_resize_one(bytes(d), m, max_side)
+                   for d, m in zip(pdf["data"], pdf["modality"])]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "width": [o[0] for o in out],
+                "height": [o[1] for o in out],
+                "data": [o[2] for o in out],
+            })
+
+    return (media.select("media_id", "modality", "data")
+            .mapInPandas(resize, RESIZED_SCHEMA))
 
 
 def frame_sample(media: DataFrame, every_n_bytes: int = 64,

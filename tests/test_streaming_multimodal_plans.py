@@ -162,3 +162,35 @@ def test_entry_plan_is_pruned(spark, sf_dir):
     plan = plans.formatted_plan(df)
     read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "l_orderkey" not in read and "l_quantity" in read
+
+def test_multimodal_resize_bounded_and_deterministic(spark, sf_dir):
+    """Resize pass: aspect preserved, both dims <= max_side, output
+    payload exactly width*height bytes (the bounded-output contract
+    that makes shuffling resized media affordable), deterministic
+    across runs."""
+    from big_data_bowl___2023_spark.multimodal import (
+        decode_media,
+        media_from_documents,
+        resize_media,
+    )
+    from big_data_bowl___2023_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = media_from_documents(docs)
+    orig = {r.media_id: (r.width, r.height)
+            for r in decode_media(media).collect()}
+    out = {r.media_id: (r.width, r.height, bytes(r.data))
+           for r in resize_media(media, max_side=32).collect()}
+    assert set(out) == set(orig)
+    for mid, (w, h, data) in out.items():
+        ow, oh = orig[mid]
+        assert 1 <= w <= 32 and 1 <= h <= 32
+        assert len(data) == w * h
+        # aspect preserved within integer truncation
+        if ow >= oh:
+            assert w >= h
+        else:
+            assert h >= w
+    again = {r.media_id: (r.width, r.height, bytes(r.data))
+             for r in resize_media(media, max_side=32).collect()}
+    assert again == out
