@@ -215,3 +215,25 @@ def test_duplication_profile_planted_extremes(spark):
            for r in duplication_profile(docs, n=3).collect()}
     assert got[1] == 1.0 and got[2] == 1.0   # every shingle shared
     assert got[3] == 0.0
+
+
+def test_regex_quote_split_rejoin_identity(spark):
+    """For any delimiter — regex metacharacters, '\\E' (the quote
+    escape itself), multi-char — split on the quoted pattern then
+    rejoin with the literal delimiter reconstructs the text."""
+    from big_data_bowl___2023_spark.dedup.lines import _regex_quote
+
+    delims = [".", "|", "**", "$^", "\\E", "a.b", "(", "[]", "\t",
+              ".*+?", "\\Q"]
+    text_parts = ["alpha", "beta gamma", "", "delta"]
+    rows = []
+    for i, d in enumerate(delims):
+        rows.append((i, d, d.join(text_parts)))
+    df = spark.createDataFrame(rows, ["i", "delim", "text"])
+    for i, d in enumerate(delims):
+        got = (df.filter(F.col("i") == i)
+               .select(F.array_join(
+                   F.split(F.col("text"), _regex_quote(d)),
+                   d).alias("r"))
+               .first().r)
+        assert got == d.join(text_parts), repr(d)
