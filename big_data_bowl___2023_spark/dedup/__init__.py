@@ -42,6 +42,9 @@ from .decontaminate import (
     contaminated_doc_ids,
     contamination_report,
     decontaminate,
+    semantic_contaminated_ids,
+    semantic_contamination_report,
+    semantic_decontaminate,
 )
 
 __all__ = [
@@ -58,4 +61,6 @@ __all__ = [
     "remove_repeated_lines", "repeated_line_stats", "split_lines",
     "canonical_docs", "connected_components", "resolve_clusters",
     "contaminated_doc_ids", "contamination_report", "decontaminate",
+    "semantic_contaminated_ids", "semantic_contamination_report",
+    "semantic_decontaminate",
 ]

@@ -81,3 +81,108 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     return docs.join(
         F.broadcast(bad.withColumnRenamed("doc_id", id_col)),
         id_col, "left_anti")
+
+
+def semantic_contamination_report(corpus_emb: DataFrame,
+                                  bench_emb: DataFrame,
+                                  threshold: float,
+                                  vec_col: str = "embedding",
+                                  id_col: str = "vec_id",
+                                  bench_vec_col: str | None = None,
+                                  bench_id_col: str | None = None,
+                                  max_bench: int = 200_000) -> DataFrame:
+    """(vec_id, bench_id, cosine): corpus embeddings within cosine ≥
+    ``threshold`` of ANY benchmark embedding — the EMBEDDING-space
+    complement of the n-gram guard above. Paraphrased eval items share
+    no 8-gram with their source but sit next to it in embedding space;
+    published decontamination pipelines run both guards.
+
+    Spark shape — the benchmark side is small by definition (eval
+    suites are thousands of items), so it rides as ONE broadcast numpy
+    matrix and the corpus streams past it map-side: each Arrow batch
+    scores batch × benchᵀ in a single dgemm, no shuffle, no candidate
+    join, no corpus bytes moved. Linear in corpus size, embarrassingly
+    parallel — the plan is Scan → ArrowEvalPython, zero Exchange
+    (plan-asserted in tests). ``max_bench`` guards the contract: a
+    benchmark too big to broadcast should go through the LSH near-dup
+    path instead (``dedup.embedding.cosine_near_dup_pairs_lsh``).
+
+    ``cosine`` is the double-precision GEMM value rounded to 6 dp,
+    and the ≥-threshold cut is applied to the ROUNDED value, so the
+    boundary is reproducible across numpy versions and batch splits.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .embedding import _normalized
+
+    bench_vec_col = bench_vec_col or vec_col
+    bench_id_col = bench_id_col or id_col
+    vb = _normalized(bench_emb, bench_vec_col, bench_id_col).collect()
+    if len(vb) > max_bench:
+        raise ValueError(
+            f"benchmark side has {len(vb)} rows > max_bench="
+            f"{max_bench}; too big to broadcast — use the LSH "
+            f"near-dup path for benchmark-vs-corpus at this size")
+    corpus_id_type = corpus_emb.schema[id_col].dataType
+    bench_id_type = bench_emb.schema[bench_id_col].dataType
+    out_schema = T.StructType([
+        T.StructField("vec_id", corpus_id_type),
+        T.StructField("bench_id", bench_id_type),
+        T.StructField("cosine", T.DoubleType()),
+    ])
+    spark = corpus_emb.sparkSession
+    if not vb:
+        return spark.createDataFrame([], out_schema)
+    B = np.asarray([list(r.u) for r in vb], dtype=np.float64)
+    bids = np.asarray([r.id for r in vb])
+    bc = spark.sparkContext.broadcast((bids, B))
+
+    vc = _normalized(corpus_emb, vec_col, id_col)
+
+    def score(batches):
+        bida, Bm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.asarray([np.asarray(x) for x in pdf["u"]],
+                           dtype=np.float64)
+            S = np.round(A @ Bm.T, 6)
+            ia, ib = np.nonzero(S >= threshold)
+            yield pd.DataFrame({
+                "vec_id": pdf["id"].to_numpy()[ia],
+                "bench_id": bida[ib],
+                "cosine": S[ia, ib]})
+
+    return vc.mapInPandas(score, out_schema)
+
+
+def semantic_contaminated_ids(corpus_emb: DataFrame,
+                              bench_emb: DataFrame, threshold: float,
+                              vec_col: str = "embedding",
+                              id_col: str = "vec_id",
+                              bench_vec_col: str | None = None,
+                              bench_id_col: str | None = None
+                              ) -> DataFrame:
+    """Distinct corpus ids to quarantine (any benchmark hit
+    suffices), named after ``id_col`` for direct join-back."""
+    rep = semantic_contamination_report(
+        corpus_emb, bench_emb, threshold, vec_col, id_col,
+        bench_vec_col, bench_id_col)
+    return rep.select(F.col("vec_id").alias(id_col)).distinct()
+
+
+def semantic_decontaminate(corpus_emb: DataFrame, bench_emb: DataFrame,
+                           threshold: float,
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id",
+                           bench_vec_col: str | None = None,
+                           bench_id_col: str | None = None
+                           ) -> DataFrame:
+    """The corpus minus embedding-space contaminated rows — broadcast
+    LEFT ANTI against the flagged-id set, schema preserved."""
+    bad = semantic_contaminated_ids(
+        corpus_emb, bench_emb, threshold, vec_col, id_col,
+        bench_vec_col, bench_id_col)
+    return corpus_emb.join(F.broadcast(bad), id_col, "left_anti")

@@ -3,6 +3,7 @@ from . import (
     filters,
     fuzzy,
     graph,
+    heavy,
     incremental,
     joins,
     sampling,
@@ -13,6 +14,6 @@ from . import (
     windows,
 )
 
-__all__ = ["aggregates", "filters", "fuzzy", "graph", "incremental",
+__all__ = ["aggregates", "filters", "fuzzy", "graph", "heavy", "incremental",
            "joins", "sampling", "setops", "skew", "sorts", "splits",
            "windows"]

@@ -1,0 +1,179 @@
+"""Exact heavy hitters without a full-key shuffle (Misra-Gries).
+
+``groupBy(key).count()`` over a 100 TB corpus shuffles every distinct
+key — for per-line / per-shingle / per-domain frequency questions the
+distinct-key universe is billions of rows, yet the answer wanted is
+the handful of keys above a frequency threshold. The classic two-pass
+fix (Misra & Gries 1982; merge rule from Agarwal et al.,
+"Mergeable Summaries", PODS'12):
+
+* **pass 1 — candidate discovery, ZERO shuffle**: each partition
+  folds its rows into a bounded Misra-Gries summary of capacity
+  ``c`` (an ``mapInPandas`` scan, Arrow-batched; state is one dict of
+  ≤ c keys regardless of partition size). A partition summary
+  undercounts any key by at most ``n_p/(c+1)``, and the union of the
+  per-partition summaries therefore contains EVERY key with global
+  count > n/(c+1): a key absent from all summaries has total count
+  ≤ Σ n_p/(c+1) = n/(c+1). With ``c ≥ 1/phi`` the candidate set is a
+  superset of all phi-heavy keys — a hard guarantee, not a heuristic.
+  The summary side output also carries per-partition row counts, so
+  the total ``n`` falls out of the same pass (no extra count job).
+* **pass 2 — exact verification, candidate-only shuffle**: the tiny
+  candidate set (≤ partitions·c rows) broadcast-semi-joins the corpus
+  and only MATCHING rows reach the groupBy — the shuffle carries the
+  heavy keys' rows, not the billion-key tail. Counts are exact, so
+  the final ``count >= ceil(phi·n)`` filter makes the result
+  IDENTICAL to the naive full groupBy — verified against a DuckDB
+  oracle in tests.
+
+Reference scope note: north-star extension (SURVEY.md §2 extensions);
+the reference has no corpus-frequency operators. The corpus use case
+is boilerplate mining: "which exact lines / user agents / domains
+dominate the crawl" before choosing line-scrub thresholds
+(dedup/lines.py consumes the answer).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAX_CAPACITY = 200_000
+
+
+def mg_capacity(min_freq_ratio: float, slack: int = 2) -> int:
+    """Summary capacity for a phi = ``min_freq_ratio`` query: the
+    union-of-summaries guarantee needs c ≥ 1/phi; ``slack`` tightens
+    the per-key undercount (error ≤ n/(slack/phi)) so pass-2's
+    candidate set stays close to the true heavy set instead of
+    dragging in ~1/phi borderline keys per partition."""
+    import math
+
+    if not (0.0 < min_freq_ratio <= 1.0):
+        raise ValueError(f"min_freq_ratio must be in (0, 1], "
+                         f"got {min_freq_ratio}")
+    c = int(math.ceil(slack / min_freq_ratio))
+    if c > MAX_CAPACITY:
+        raise ValueError(
+            f"capacity {c} (= {slack}/{min_freq_ratio}) exceeds "
+            f"{MAX_CAPACITY}; thresholds this small are a full "
+            f"frequency query — use groupBy().count() instead")
+    return max(1, c)
+
+
+def _mg_merge(state: dict, counts, capacity: int) -> None:
+    """Merge a batch's exact counts into the bounded summary IN
+    PLACE: add, then apply the PODS'12 merge step — subtract the
+    (c+1)-th largest count from everything and drop non-positives.
+    Each such step removes at least one key, so the state size is
+    bounded by c + batch_distinct between compactions and ≤ c after."""
+    import heapq
+
+    for val, cnt in counts.items():
+        state[val] = state.get(val, 0) + int(cnt)
+    if len(state) > capacity:
+        sub = heapq.nlargest(capacity + 1, state.values())[capacity]
+        for val in [v for v, c in state.items() if c <= sub]:
+            del state[val]
+        for val in state:
+            state[val] -= sub
+
+
+def partition_summaries(df: DataFrame, key_col: str,
+                        capacity: int) -> DataFrame:
+    """(key, lower_bound, is_null_key, part_rows): one Misra-Gries
+    summary row per surviving key per partition. ``part_rows`` is the
+    partition's total row count, carried on the FIRST row only (0 on
+    the rest) so a plain sum recovers n. NULL keys are counted like
+    any other value (SQL GROUP BY semantics) but travel under the
+    ``is_null_key`` flag because an Arrow null in ``key`` must stay
+    distinguishable from a padding row. No shuffle: pure
+    mapInPandas."""
+    key_type = df.schema[key_col].dataType
+    out_schema = T.StructType([
+        T.StructField("key", key_type),
+        T.StructField("lower_bound", T.LongType()),
+        T.StructField("is_null_key", T.BooleanType()),
+        T.StructField("part_rows", T.LongType()),
+    ])
+
+    def summarize(batches: Iterator[pd.DataFrame]
+                  ) -> Iterator[pd.DataFrame]:
+        state: dict = {}
+        null_cnt = 0
+        rows = 0
+        for pdf in batches:
+            rows += len(pdf)
+            col = pdf[key_col]
+            null_cnt += int(col.isna().sum())
+            vc = col.dropna().value_counts()
+            if len(vc):
+                _mg_merge(state, vc, capacity)
+        if rows == 0:
+            return
+        # NULL keys can't live in the dict next to real values
+        # (pandas NaN collapses them); track exactly via one counter —
+        # no capacity pressure, the bound still holds for every key.
+        keys = list(state) + ([None] if null_cnt else [])
+        lbs = list(state.values()) + ([null_cnt] if null_cnt else [])
+        nulls = [False] * len(state) + ([True] if null_cnt else [])
+        if not keys:        # rows present but every count decremented
+            keys, lbs, nulls = [None], [0], [False]
+        part = [rows] + [0] * (len(keys) - 1)
+        yield pd.DataFrame({"key": keys,
+                            "lower_bound": pd.array(lbs, dtype="int64"),
+                            "is_null_key": nulls,
+                            "part_rows": pd.array(part, dtype="int64")})
+
+    return df.select(key_col).mapInPandas(summarize, out_schema)
+
+
+def heavy_hitters(df: DataFrame, key_col: str,
+                  min_freq_ratio: float, slack: int = 2) -> DataFrame:
+    """(``key_col``, count): EXACTLY the keys whose frequency is
+    ≥ ceil(min_freq_ratio · n), with exact counts — same rows as
+    ``groupBy(key).count().filter(...)`` but the only corpus-scale
+    shuffle carries candidate-key rows, not the full distinct-key
+    universe. NULL keys participate (SQL GROUP BY semantics).
+
+    The candidate summary is materialized driver-side — bounded by
+    partitions × capacity rows, i.e. KBs at any corpus size — to
+    decide ``n`` and seed the broadcast probe without an extra
+    full-corpus count job."""
+    import math
+
+    capacity = mg_capacity(min_freq_ratio, slack)
+    spark = df.sparkSession
+    summary = partition_summaries(df, key_col, capacity).collect()
+    n = sum(r.part_rows for r in summary)
+    if n == 0:
+        return (df.groupBy(key_col)
+                .agg(F.count(F.lit(1)).alias("count")))  # empty, typed
+    min_count = int(math.ceil(min_freq_ratio * n))
+    # padding rows (all-decremented partitions) have is_null_key=False
+    # and key None — they are not candidates; a real NULL-key candidate
+    # is is_null_key=True.
+    cand_vals = sorted({r.key for r in summary
+                        if r.key is not None and r.lower_bound > 0})
+    null_cand = any(r.is_null_key and r.lower_bound > 0 for r in summary)
+    key_type = df.schema[key_col].dataType
+    cand = spark.createDataFrame(
+        [(v,) for v in cand_vals],
+        T.StructType([T.StructField("__hh_key", key_type)]))
+    # equi semi-join only (an OR'd left-side NULL predicate would turn
+    # this into a nested-loop join); NULL-key rows rejoin via a
+    # codegen filter + union, both map-side.
+    matched = df.select(key_col).join(
+        F.broadcast(cand), F.col(key_col) == F.col("__hh_key"),
+        "left_semi")
+    if null_cand:
+        matched = matched.unionByName(
+            df.select(key_col).filter(F.col(key_col).isNull()))
+    return (matched.groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("count"))
+            .filter(F.col("count") >= F.lit(min_count)))
