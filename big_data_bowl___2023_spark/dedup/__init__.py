@@ -37,7 +37,12 @@ from .lines import (
     repeated_line_stats,
     split_lines,
 )
-from .clusters import canonical_docs, connected_components, resolve_clusters
+from .clusters import (
+    canonical_docs,
+    connected_components,
+    resolve_clusters,
+    source_overlap_matrix,
+)
 from .decontaminate import (
     contaminated_doc_ids,
     contamination_report,
@@ -60,6 +65,7 @@ __all__ = [
     "kmeans_assign", "semantic_dedup", "semantic_dup_pairs",
     "remove_repeated_lines", "repeated_line_stats", "split_lines",
     "canonical_docs", "connected_components", "resolve_clusters",
+    "source_overlap_matrix",
     "contaminated_doc_ids", "contamination_report", "decontaminate",
     "semantic_contaminated_ids", "semantic_contamination_report",
     "semantic_decontaminate",

@@ -129,3 +129,39 @@ def canonical_docs(docs: DataFrame, pairs: DataFrame,
     return (labeled.withColumn("__rn", F.row_number().over(w))
                    .filter(F.col("__rn") == 1)
                    .drop("__rn", "cluster_id"))
+
+
+def source_overlap_matrix(pairs: DataFrame, docs: DataFrame,
+                          id_col: str = "doc_id",
+                          source_col: str = "source",
+                          a_col: str = "doc_a",
+                          b_col: str = "doc_b") -> DataFrame:
+    """(source_a, source_b, n_pairs): how many near-duplicate pairs
+    connect each pair of sources — the audit that answers "which
+    crawls/dumps duplicate each other" before deciding per-source
+    keep priorities (``resolve_clusters`` preference columns,
+    ``cap_per_group`` quotas). The diagonal (source_a == source_b) is
+    within-source duplication.
+
+    Source pairs are canonicalized unordered (least/greatest), so the
+    matrix is upper-triangular and a pair is never double-counted.
+
+    Scale shape: ``docs`` is pruned to (id, source) BEFORE joining —
+    text never enters either join — and the pair table is already
+    bounded by whatever dedup path produced it (banding, star guards).
+    Two id-keyed joins + one tiny groupBy; join strategy left to AQE
+    (the id→source side may be broadcast-able or not depending on
+    corpus size)."""
+    src = docs.select(F.col(id_col).alias("__id"),
+                      F.col(source_col).alias("__src"))
+    labeled = (pairs
+               .select(F.col(a_col).alias("__a"), F.col(b_col).alias("__b"))
+               .join(src.withColumnRenamed("__id", "__a")
+                     .withColumnRenamed("__src", "__sa"), "__a")
+               .join(src.withColumnRenamed("__id", "__b")
+                     .withColumnRenamed("__src", "__sb"), "__b"))
+    return (labeled
+            .select(F.least("__sa", "__sb").alias("source_a"),
+                    F.greatest("__sa", "__sb").alias("source_b"))
+            .groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).alias("n_pairs")))

@@ -115,3 +115,51 @@ def detect_lang(text: Column) -> Column:
         best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(better, s).otherwise(best_score)
     return best_lang
+
+
+def compression_ratio_udf():
+    """Pandas UDF: per-document zlib compression ratio
+    (compressed_bytes / raw_bytes of the UTF-8 text; empty/null → 1.0).
+
+    The signal (used alongside the Gopher shape rules in crawl
+    pipelines): highly repetitive or templated text compresses far
+    below typical prose (~0.3-0.6 for natural English; boilerplate
+    and keyword-stuffed spam dip under ~0.2), so a low ratio flags
+    machine-generated filler that per-LINE dedup misses. This is the
+    one quality signal with no codegen equivalent — DEFLATE needs
+    real LZ77 state — so it runs as an Arrow-batched pandas UDF
+    where the per-row work is C-side zlib; it stays map-side (no
+    shuffle) and linear in corpus bytes.
+
+    Deterministic: zlib level 6 output length for fixed input bytes
+    is stable for a given zlib, and the RATIO is robust even across
+    zlib builds (tests pin exact values against python zlib, the
+    same library the workers use)."""
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def ratio(texts):
+        def one(t):
+            if t is None:
+                return 1.0
+            raw = t.encode("utf-8")
+            if not raw:
+                return 1.0
+            return len(zlib.compress(raw, 6)) / len(raw)
+        return texts.map(one)
+
+    # real class objects, not strings: the module-level `from
+    # __future__ import annotations` would stringify inline hints and
+    # pyspark's eval-type inference can't resolve them in this scope.
+    ratio.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(ratio, "double")
+
+
+def compression_signal(df, text_col: str = "text",
+                       out_col: str = "compression_ratio"):
+    """``df`` + a ``compression_ratio`` column — composes with the
+    Gopher gate / quantile bucketing for threshold or stratified
+    filtering."""
+    return df.withColumn(out_col, compression_ratio_udf()(F.col(text_col)))
