@@ -12,6 +12,7 @@ from .curation import (
     stream_decontaminate,
 )
 from .joins import foreach_batch_upsert, interval_join
+from .trending import latest_summaries, streaming_heavy_hitters
 from .events import (
     funnel_detect,
     funnel_detect_batch,
@@ -30,4 +31,5 @@ __all__ = ["benchmark_shingle_set", "curate_document_stream",
            "make_curation_ingest_batch_fn",
            "read_document_stream", "read_event_stream",
            "run_available_now", "session_windows", "stream_decontaminate",
+           "streaming_heavy_hitters", "latest_summaries",
            "tumbling_counts"]
