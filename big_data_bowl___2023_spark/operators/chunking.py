@@ -14,7 +14,7 @@ amplification — chunking is map-side only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as Tx
@@ -54,3 +54,81 @@ def chunk_sequences(df: DataFrame, seq_len: int,
             # final token (ceil((n-L)/S)+1 overshoots when S doesn't
             # divide n-L evenly) — an empty window is never a chunk
             .filter(F.col("n_tokens") > 0))
+
+
+def assemble_sequences(df: DataFrame, seq_len: int,
+                       sep_tokens: int = 1,
+                       text_col: str = "text",
+                       id_col: str = "doc_id",
+                       group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Cross-document packed-sequence manifest — the GPT-style
+    pretraining layout: documents concatenate end-to-end (each
+    followed by ``sep_tokens`` separator/EOS tokens) and the stream
+    is cut into fixed ``seq_len`` windows that CROSS document
+    boundaries, so no token is lost to per-document padding.
+    ``chunk_sequences`` above cuts within a document; this operator
+    is the other half a trainer needs.
+
+    Output grain: one row per (sequence × contributing document) —
+    (seq_id, doc_id, doc_offset, seq_offset, span_len) — the span
+    manifest a data loader uses to materialize sequence ``seq_id``
+    without this job ever shuffling text: only (id, token-count) rows
+    enter the window, the manifest is pure span arithmetic, and the
+    loader joins text back by doc_id at read time.
+
+    Document order is deterministic id-hash order within each
+    ``group_cols`` group (same contract as ``pack_by_budget``); the
+    packing is sequential per group BY DEFINITION (positions are a
+    running sum), so the caller picks the parallelism unit — a global
+    single-stream pack is group_cols=() and serializes into one
+    window partition, the thing the grouped form exists to avoid.
+
+    Span invariants (tested): per-doc span_len sums to the doc's
+    token count (lossless); per-sequence span_len sums to seq_len
+    minus that sequence's separator tokens (and less for the final
+    partial sequence)."""
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    if sep_tokens < 0:
+        raise ValueError("sep_tokens must be >= 0")
+    sized = (df.select(*group_cols,
+                       F.col(id_col).alias("doc_id"),
+                       Tx.token_count(F.col(text_col)).alias("__n"))
+             .filter(F.col("__n") > 0))
+    w = (Window.partitionBy(*group_cols) if group_cols
+         else Window.partitionBy())
+    w = (w.orderBy(F.xxhash64(F.col("doc_id")).asc(),
+                   F.col("doc_id").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum(F.col("__n") + F.lit(sep_tokens)).over(w)
+    start = (cum - F.col("__n") - F.lit(sep_tokens)).alias("__start")
+    spans = (sized.withColumn("__start", start)
+             .withColumn("__end", F.col("__start") + F.col("__n"))
+             .withColumn("seq_id", F.explode(F.sequence(
+                 F.floor(F.col("__start") / seq_len),
+                 F.floor((F.col("__end") - 1) / seq_len)))))
+    seq_base = F.col("seq_id") * seq_len
+    doc_off = F.greatest(seq_base - F.col("__start"), F.lit(0))
+    seq_off = F.greatest(F.col("__start") - seq_base, F.lit(0))
+    span_len = (F.least(F.col("__end"), seq_base + seq_len)
+                - F.greatest(F.col("__start"), seq_base))
+    return spans.select(
+        *group_cols, "seq_id", "doc_id",
+        doc_off.cast("bigint").alias("doc_offset"),
+        seq_off.cast("bigint").alias("seq_offset"),
+        span_len.cast("bigint").alias("span_len"))
+
+
+def sequence_manifest(spans: DataFrame,
+                      group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Collapse :func:`assemble_sequences` spans to one row per
+    training sequence: (seq_id, n_docs, n_tokens, spans) where
+    ``spans`` is the seq-offset-ordered array of (doc_id, doc_offset,
+    seq_offset, span_len) structs — the shard-file record format.
+    One groupBy on seq_id; span rows are tiny (no text)."""
+    return (spans.groupBy(*group_cols, "seq_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("span_len").alias("n_tokens"),
+                 F.array_sort(F.collect_list(F.struct(
+                     "seq_offset", "doc_id", "doc_offset",
+                     "span_len"))).alias("spans")))
