@@ -107,11 +107,41 @@ def _extra_ops():
                               min_words=20,
                               line_dedup_min_chars=10)
 
+    def heavy_lines(spark, sf_dir):
+        """Boilerplate mining: exact heavy hitters over the derived
+        line corpus (the discovery query that picks line-scrub
+        thresholds). Pass 1 runs eagerly at call time (mapInPandas
+        summaries + driver-side candidate collapse), pass 2 is the
+        returned candidate-only recount plan."""
+        from big_data_bowl___2023_spark.dedup.lines import split_lines
+        from big_data_bowl___2023_spark.operators.heavy import (
+            heavy_hitters,
+        )
+        docs = (load_table(spark, sf_dir, "documents")
+                .select("doc_id",
+                        F.regexp_replace("text", " merge ", "\n")
+                         .alias("text")))
+        return heavy_hitters(split_lines(docs), "line", 0.001)
+
+    def seq_assembly(spark, sf_dir):
+        """Trainer-facing last mile: cross-doc packed-sequence spans
+        → per-sequence shard manifest, one source-grouped stream."""
+        from big_data_bowl___2023_spark.operators.chunking import (
+            assemble_sequences,
+            sequence_manifest,
+        )
+        docs = load_table(spark, sf_dir, "documents")
+        spans = assemble_sequences(docs, 512,
+                                   group_cols=("source",))
+        return sequence_manifest(spans, group_cols=("source",))
+
     return {"dedup_winnow_overlap": winnow,
             "dedup_semantic_pairs": semdedup,
             "dsir_select": dsir,
             "dedup_repeated_lines": linededup,
-            "curation_e2e": curation_e2e}
+            "curation_e2e": curation_e2e,
+            "heavy_hitters_lines": heavy_lines,
+            "seq_assembly": seq_assembly}
 
 
 def main() -> None:

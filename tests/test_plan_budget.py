@@ -61,6 +61,14 @@ BUDGETS = {
                                         # losing its broadcast or a
                                         # new shuffle creeping into
                                         # ANY stage of the chain
+    "heavy_hitters_lines": (1, 1),      # candidate-only recount: one
+                                        # groupBy shuffle, candidates
+                                        # broadcast (pass 1 is
+                                        # mapInPandas, no plan here)
+    "seq_assembly": (1, 0),             # per-source window; the
+                                        # manifest groupBy REUSES the
+                                        # window's source partitioning
+                                        # (source ⊆ grouping keys)
 }
 
 # Extension ops benched outside the 50-slot registry (bench._extra_ops)
