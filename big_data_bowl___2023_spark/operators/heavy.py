@@ -141,16 +141,23 @@ def heavy_hitters(df: DataFrame, key_col: str,
     shuffle carries candidate-key rows, not the full distinct-key
     universe. NULL keys participate (SQL GROUP BY semantics).
 
-    The candidate summary is materialized driver-side — bounded by
-    partitions × capacity rows, i.e. KBs at any corpus size — to
-    decide ``n`` and seed the broadcast probe without an extra
-    full-corpus count job."""
+    The summary never materializes on the driver: it is
+    localCheckpoint-ed (bounded by partitions × capacity rows), only
+    the scalar (n, has-null-candidate) pair is collected, and the
+    candidate set feeds the probe as a broadcast DataFrame — so the
+    operator holds at any partition count."""
     import math
 
     capacity = mg_capacity(min_freq_ratio, slack)
-    spark = df.sparkSession
-    summary = partition_summaries(df, key_col, capacity).collect()
-    n = sum(r.part_rows for r in summary)
+    # one pass-1 job; the checkpoint stops the (full-corpus) scan
+    # from re-running for the stats agg and the candidate probe
+    summary = (partition_summaries(df, key_col, capacity)
+               .localCheckpoint())
+    stats = summary.agg(
+        F.sum("part_rows").alias("n"),
+        F.max(F.col("is_null_key")
+              & (F.col("lower_bound") > 0)).alias("null_cand")).first()
+    n = stats.n or 0
     if n == 0:
         return (df.groupBy(key_col)
                 .agg(F.count(F.lit(1)).alias("count")))  # empty, typed
@@ -158,20 +165,20 @@ def heavy_hitters(df: DataFrame, key_col: str,
     # padding rows (all-decremented partitions) have is_null_key=False
     # and key None — they are not candidates; a real NULL-key candidate
     # is is_null_key=True.
-    cand_vals = sorted({r.key for r in summary
-                        if r.key is not None and r.lower_bound > 0})
-    null_cand = any(r.is_null_key and r.lower_bound > 0 for r in summary)
-    key_type = df.schema[key_col].dataType
-    cand = spark.createDataFrame(
-        [(v,) for v in cand_vals],
-        T.StructType([T.StructField("__hh_key", key_type)]))
+    # no distinct: duplicate keys across partition summaries are
+    # harmless in a LEFT SEMI build side (the broadcast hash map
+    # dedups), and dropping it keeps the candidate path shuffle-free
+    cand = (summary
+            .filter(F.col("key").isNotNull()
+                    & (F.col("lower_bound") > 0))
+            .select(F.col("key").alias("__hh_key")))
     # equi semi-join only (an OR'd left-side NULL predicate would turn
     # this into a nested-loop join); NULL-key rows rejoin via a
     # codegen filter + union, both map-side.
     matched = df.select(key_col).join(
         F.broadcast(cand), F.col(key_col) == F.col("__hh_key"),
         "left_semi")
-    if null_cand:
+    if stats.null_cand:
         matched = matched.unionByName(
             df.select(key_col).filter(F.col(key_col).isNull()))
     return (matched.groupBy(key_col)
