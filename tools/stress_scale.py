@@ -38,6 +38,10 @@ from big_data_bowl___2023_spark import dedup as dd  # noqa: E402
 from big_data_bowl___2023_spark.dedup.lines import (  # noqa: E402
     remove_repeated_lines,
     repeated_line_stats,
+    split_lines,
+)
+from big_data_bowl___2023_spark.operators.heavy import (  # noqa: E402
+    heavy_hitters,
 )
 from big_data_bowl___2023_spark.dedup.embedding import (  # noqa: E402
     _normalized,
@@ -153,6 +157,16 @@ def main() -> None:
                         .count())
         t_lines = time.time() - t0
 
+        # heavy hitters over the same line corpus: the planted
+        # boilerplate line has global count = n_docs (the hottest
+        # possible key). Pass 1 absorbs it in per-partition MG
+        # summaries (no shuffle); pass 2 recounts candidates only —
+        # the wall-vs-scale curve is the no-full-shuffle claim.
+        t0 = time.time()
+        n_heavy = heavy_hitters(split_lines(docs_ml), "line",
+                                0.001).count()
+        t_heavy = time.time() - t0
+
         # full product composition (round 5): quality → redact → line
         # scrub → exact dedup → near-dup resolution → decontaminate →
         # chunk → pack as ONE lazy chain through the noop sink — the
@@ -182,6 +196,7 @@ def main() -> None:
             "minhash_pairs": n_mh, "minhash_sec": round(t_mh, 2),
             "repeated_lines": n_hot, "line_docs_out": n_lines_kept,
             "line_dedup_sec": round(t_lines, 2),
+            "heavy_keys": n_heavy, "heavy_sec": round(t_heavy, 2),
             "curation_sec": round(t_cur, 2),
         }), flush=True)
     spark.stop()
