@@ -197,3 +197,67 @@ def curation_report(docs: DataFrame) -> DataFrame:
                  F.round(F.avg(all_pass.cast("double")), 6)
                  .alias("gopher_pass_rate"),
                  F.sum(Tx.token_count(F.col("text"))).alias("n_tokens")))
+
+
+def corpus_profile(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   source_col: str = "source") -> DataFrame:
+    """Per-source corpus data card — the one-call report that feeds
+    dataset documentation and threshold decisions before a curation
+    run: (source, n_docs, n_tokens, avg_tokens, gopher_pass_rate,
+    mean_quality, en_share, compression_p50, exact_dup_rate).
+
+    Two corpus passes regardless of size: ONE aggregation scan computes
+    every per-document signal (token counts, Gopher flags, heuristic
+    quality, language ID, zlib compression ratio) map-side and folds
+    them per source; the exact-duplicate rate adds the standard
+    fingerprint shuffle (count per md5, docs in shared fingerprints)
+    and joins its tiny per-source tally back broadcast-side. Medians
+    use Spark's exact ``percentile`` (same interpolation DuckDB's
+    quantile_cont applies, so the card is oracle-checkable).
+    """
+    from ..dedup.exact import fingerprint_docs
+    from ..functions import text as Tx
+    from ..functions.gopher import flags
+    from ..functions.text import compression_ratio_udf, detect_lang
+
+    fl = flags(F.col(text_col))
+    all_pass = None
+    for c in fl.values():
+        c = F.coalesce(c, F.lit(False))
+        all_pass = c if all_pass is None else (all_pass & c)
+
+    enriched = docs.select(
+        F.col(source_col).alias("source"),
+        Tx.token_count(F.col(text_col)).alias("__tok"),
+        all_pass.cast("double").alias("__pass"),
+        Tx.quality_score(F.col(text_col)).alias("__q"),
+        (detect_lang(F.col(text_col)) == "en")
+        .cast("double").alias("__en"),
+        compression_ratio_udf()(F.col(text_col)).alias("__c"))
+    base = (enriched.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__tok").alias("n_tokens"),
+        F.round(F.avg("__tok"), 6).alias("avg_tokens"),
+        F.round(F.avg("__pass"), 6).alias("gopher_pass_rate"),
+        F.round(F.avg("__q"), 6).alias("mean_quality"),
+        F.round(F.avg("__en"), 6).alias("en_share"),
+        F.round(F.expr("percentile(__c, 0.5)"), 6)
+        .alias("compression_p50")))
+
+    from pyspark.sql import Window
+
+    # fingerprint_docs keeps every input column, so source rides
+    # along and no join-back is needed — one fingerprint shuffle total
+    fp = (fingerprint_docs(docs, text_col, id_col)
+          .select(F.col(source_col).alias("source"), "fingerprint"))
+    shared = (fp.withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy("fingerprint")))
+        .filter(F.col("__n") > 1)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("__dups")))
+    return (base.join(F.broadcast(shared), "source", "left")
+            .withColumn("exact_dup_rate",
+                        F.round(F.coalesce(F.col("__dups"), F.lit(0))
+                                / F.col("n_docs"), 6))
+            .drop("__dups"))
