@@ -118,3 +118,42 @@ def test_cap_per_group_invariants(spark, rows, cap):
             dropped_max = max(s for s, i in members
                               if i not in kept_ids)
             assert kept_min >= dropped_max - 1e-9
+
+
+# ---------------------------------------------------------- MG merge
+
+@given(stream=st.lists(st.integers(min_value=0, max_value=30),
+                       min_size=1, max_size=400),
+       capacity=st.integers(min_value=1, max_value=12),
+       n_chunks=st.integers(min_value=1, max_value=5))
+@settings(max_examples=200, deadline=None)
+def test_mg_merge_undercount_and_candidate_bounds(stream, capacity,
+                                                  n_chunks):
+    """Pure-python Misra-Gries invariants (no Spark): after merging a
+    stream in arbitrary chunkings, (1) state size <= capacity,
+    (2) every tracked count lower-bounds the true count,
+    (3) total undercount of any key <= n/(capacity+1) — so every key
+    with true count > n/(capacity+1) is present: the union-candidate
+    guarantee heavy_hitters and streaming_heavy_hitters build on,
+    under ANY batch split (batch boundaries must not matter)."""
+    import collections
+
+    from big_data_bowl___2023_spark.operators.heavy import _mg_merge
+
+    exact = collections.Counter(stream)
+    n = len(stream)
+    state: dict = {}
+    step = max(1, len(stream) // n_chunks)
+    for i in range(0, len(stream), step):
+        chunk = collections.Counter(stream[i:i + step])
+        _mg_merge(state, chunk, capacity)
+
+    assert len(state) <= capacity
+    bound = n / (capacity + 1)
+    for k, c in state.items():
+        assert 0 < c <= exact[k]
+    for k, true_c in exact.items():
+        tracked = state.get(k, 0)
+        assert true_c - tracked <= bound
+        if true_c > bound:
+            assert k in state
