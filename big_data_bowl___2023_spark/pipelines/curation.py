@@ -261,3 +261,43 @@ def corpus_profile(docs: DataFrame, text_col: str = "text",
                         F.round(F.coalesce(F.col("__dups"), F.lit(0))
                                 / F.col("n_docs"), 6))
             .drop("__dups"))
+
+
+def curation_sequences(docs: DataFrame, seq_len: int = 2048,
+                       sep_tokens: int = 1,
+                       stage_hook=None, **kwargs) -> DataFrame:
+    """The trainer-facing output mode: run the SAME gate chain as
+    :func:`curation_frame` (every keyword forwards), then emit
+    cross-document packed-sequence manifests
+    (``operators.chunking.assemble_sequences`` → one record per
+    training sequence, per-source streams) instead of per-doc chunk
+    shards. Use when the consumer is a pretraining loader that wants
+    fixed ``seq_len`` windows crossing document boundaries rather
+    than document-grain JSONL.
+
+    Everything stays lazy: the chunk/pack tail of the underlying
+    chain is constructed but never executed — only the manifest plan
+    the caller acts on runs. ``seq_len`` here is the TRAINING
+    sequence length (the forwarded chain's own ``seq_len`` is
+    irrelevant because its chunk stage is discarded)."""
+    from ..operators.chunking import assemble_sequences, sequence_manifest
+
+    captured: dict = {}
+
+    def capture(key, frame):
+        captured[key] = frame
+        if stage_hook is not None:
+            return stage_hook(key, frame)
+        return None
+
+    curation_frame(docs, stage_hook=capture, **kwargs)
+    # the last doc-grain stage that ran is the curated corpus
+    for key in ("after_source_cap", "after_dsir_selection",
+                "after_decontamination", "after_overlap_dedup",
+                "after_near_dedup"):
+        if key in captured:
+            canon = captured[key]
+            break
+    spans = assemble_sequences(canon, seq_len, sep_tokens,
+                               group_cols=("source",))
+    return sequence_manifest(spans, group_cols=("source",))

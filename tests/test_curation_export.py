@@ -218,3 +218,54 @@ def test_optional_source_cap_stage(spark):
                    out.select("source", "doc_id").distinct()
                       .groupBy("source").count().collect()}
         assert per_src["web"] == 3 and per_src["mail"] == 2
+
+
+def test_curation_sequences_manifest(spark):
+    """Trainer-output mode: same gates (planted artifacts all
+    removed), manifest covers every surviving token exactly once and
+    matches assemble_sequences applied to the curated set."""
+    from big_data_bowl___2023_spark.functions import text as Tx
+    from big_data_bowl___2023_spark.operators.chunking import (
+        assemble_sequences,
+        sequence_manifest,
+    )
+    from big_data_bowl___2023_spark.pipelines.curation import (
+        curation_frame,
+        curation_sequences,
+    )
+
+    docs, bench = _fixture(spark)
+    seq_len = 32
+    man = curation_sequences(docs, seq_len=seq_len, sep_tokens=1,
+                             benchmark=bench, min_words=20).collect()
+
+    # survivors per the document-grain chain (captured independently)
+    captured = {}
+    curation_frame(docs, benchmark=bench, min_words=20,
+                   stage_hook=lambda k, f: captured.__setitem__(k, f))
+    canon = captured["after_decontamination"]
+    surv = {r.doc_id for r in canon.select("doc_id").collect()}
+    # gates held: junk (5), exact dup (one of 1/2), near-dup (3),
+    # leak (7) are gone
+    assert 5 not in surv and 7 not in surv
+    assert len(surv & {1, 2, 3}) == 1
+
+    # every surviving token appears exactly once across the manifest
+    tok = {r.doc_id: r.n for r in
+           canon.select("doc_id", Tx.token_count(F.col("text"))
+                        .alias("n")).collect()}
+    from collections import defaultdict
+    per_doc = defaultdict(int)
+    for r in man:
+        assert r.n_tokens <= seq_len
+        for s in r.spans:
+            per_doc[s.doc_id] += s.span_len
+    assert dict(per_doc) == tok
+
+    # wiring identity: equals assemble_sequences over the curated set
+    direct = sequence_manifest(
+        assemble_sequences(canon, seq_len, 1, group_cols=("source",)),
+        group_cols=("source",)).collect()
+    key = lambda r: (r.source, r.seq_id)
+    assert (sorted([(key(r), r.n_docs, r.n_tokens) for r in man])
+            == sorted([(key(r), r.n_docs, r.n_tokens) for r in direct]))
