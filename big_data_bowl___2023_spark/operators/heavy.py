@@ -146,13 +146,42 @@ def heavy_hitters(df: DataFrame, key_col: str,
     the scalar (n, has-null-candidate) pair is collected, and the
     candidate set feeds the probe as a broadcast DataFrame — so the
     operator holds at any partition count."""
-    import math
-
     capacity = mg_capacity(min_freq_ratio, slack)
     # one pass-1 job; the checkpoint stops the (full-corpus) scan
     # from re-running for the stats agg and the candidate probe
     summary = (partition_summaries(df, key_col, capacity)
                .localCheckpoint())
+    return heavy_hitters_from_summary(df, summary, key_col,
+                                      min_freq_ratio)
+
+
+def merge_summaries(*summaries: DataFrame) -> DataFrame:
+    """Fold several :func:`partition_summaries` outputs (e.g. one
+    persisted artifact per ingest batch) into one summary with the
+    same schema and the same guarantee: summed lower bounds
+    undercount any key by at most Σ nᵢ/(capacity+1) = n/(capacity+1),
+    so the union of keys remains a candidate superset for the
+    combined corpus — heavy-hitter monitoring of a GROWING corpus
+    without ever rescanning old batches. No re-compaction is applied
+    (it would only shrink the candidate set; correctness never needs
+    it), so this is a plain union + groupBy over tiny inputs."""
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.unionByName(s)
+    return (out.groupBy("key", "is_null_key")
+            .agg(F.sum("lower_bound").alias("lower_bound"),
+                 F.sum("part_rows").alias("part_rows"))
+            .select("key", "lower_bound", "is_null_key", "part_rows"))
+
+
+def heavy_hitters_from_summary(df: DataFrame, summary: DataFrame,
+                               key_col: str,
+                               min_freq_ratio: float) -> DataFrame:
+    """Exact recount pass against a prebuilt (possibly merged)
+    summary: same output contract as :func:`heavy_hitters`, with
+    ``df`` the COMBINED corpus the summary describes."""
+    import math
+
     stats = summary.agg(
         F.sum("part_rows").alias("n"),
         F.max(F.col("is_null_key")
@@ -160,21 +189,18 @@ def heavy_hitters(df: DataFrame, key_col: str,
     n = stats.n or 0
     if n == 0:
         return (df.groupBy(key_col)
-                .agg(F.count(F.lit(1)).alias("count")))  # empty, typed
+                .agg(F.count(F.lit(1)).alias("count")))
     min_count = int(math.ceil(min_freq_ratio * n))
-    # padding rows (all-decremented partitions) have is_null_key=False
-    # and key None — they are not candidates; a real NULL-key candidate
-    # is is_null_key=True.
-    # no distinct: duplicate keys across partition summaries are
-    # harmless in a LEFT SEMI build side (the broadcast hash map
-    # dedups), and dropping it keeps the candidate path shuffle-free
+    # padding rows (all-decremented partitions) are key-NULL with
+    # lower_bound 0 — not candidates; a real NULL-key candidate rides
+    # the is_null_key flag. No distinct on candidates: duplicates are
+    # deduped by the broadcast hash build, and skipping it keeps the
+    # candidate path shuffle-free. Equi semi-join only — an OR'd
+    # left-side NULL predicate would become a nested-loop join.
     cand = (summary
             .filter(F.col("key").isNotNull()
                     & (F.col("lower_bound") > 0))
             .select(F.col("key").alias("__hh_key")))
-    # equi semi-join only (an OR'd left-side NULL predicate would turn
-    # this into a nested-loop join); NULL-key rows rejoin via a
-    # codegen filter + union, both map-side.
     matched = df.select(key_col).join(
         F.broadcast(cand), F.col(key_col) == F.col("__hh_key"),
         "left_semi")

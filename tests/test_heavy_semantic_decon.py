@@ -194,3 +194,53 @@ def test_semantic_empty_bench(spark):
         emb, emb.filter(F.lit(False)), 0.9)
     assert empty.count() == 0
     assert empty.columns == ["vec_id", "bench_id", "cosine"]
+
+
+def test_merged_summaries_incremental(spark):
+    """Growing-corpus monitoring: summaries built per batch, merged
+    WITHOUT rescanning old batches, exact recount over the union —
+    equals the naive groupBy over the combined corpus. Includes a key
+    that is never heavy within any single batch."""
+    from big_data_bowl___2023_spark.operators.heavy import (
+        heavy_hitters_from_summary,
+        merge_summaries,
+    )
+
+    b1 = ["hot"] * 50 + ["slow"] * 8 + [f"a{i}" for i in range(120)]
+    b2 = ["hot"] * 10 + ["slow"] * 8 + [f"b{i}" for i in range(120)]
+    b3 = ["slow"] * 8 + [f"c{i}" for i in range(120)]
+    cap = mg_capacity(0.05)     # phi 0.05 -> capacity 40
+    dfs, summaries = [], []
+    for b in (b1, b2, b3):
+        d = spark.createDataFrame([(k,) for k in b],
+                                  ["k"]).repartition(3)
+        dfs.append(d)
+        summaries.append(
+            partition_summaries(d, "k", cap).localCheckpoint())
+
+    merged = merge_summaries(*summaries).localCheckpoint()
+    union = dfs[0].unionByName(dfs[1]).unionByName(dfs[2])
+    got = {(r.k, r["count"]) for r in
+           heavy_hitters_from_summary(union, merged, "k",
+                                      0.05).collect()}
+    assert got == _oracle(b1 + b2 + b3, 0.05)
+    # 'slow' (24 of 444) is heavy only combined: never >= phi*n of
+    # any single batch's recount threshold once tails dilute it —
+    # the merged bound still surfaces it
+    assert ("slow", 24) in got
+
+
+def test_merge_preserves_summary_schema(spark):
+    from big_data_bowl___2023_spark.operators.heavy import (
+        merge_summaries,
+    )
+
+    d = spark.createDataFrame(
+        [("x",)] * 10 + [(None,)] * 3, "k string").repartition(2)
+    s = partition_summaries(d, "k", 4)
+    m = merge_summaries(s, s)
+    assert m.columns == ["key", "lower_bound", "is_null_key",
+                        "part_rows"]
+    r = {(row.key, row.is_null_key): row for row in m.collect()}
+    assert r[("x", False)].lower_bound == 20      # summed across both
+    assert r[(None, True)].lower_bound == 6
