@@ -160,8 +160,17 @@ def source_overlap_matrix(pairs: DataFrame, docs: DataFrame,
                      .withColumnRenamed("__src", "__sa"), "__a")
                .join(src.withColumnRenamed("__id", "__b")
                      .withColumnRenamed("__src", "__sb"), "__b"))
+    # least/greatest SKIP nulls (a NULL-source doc would collapse a
+    # cross pair onto the other source's diagonal); canonicalize with
+    # a null-safe order instead — NULL sorts first, so it stays a
+    # distinct "unknown source" row in the matrix
+    a_first = (F.col("__sa").isNull()
+               | (F.col("__sb").isNotNull()
+                  & (F.col("__sa") <= F.col("__sb"))))
     return (labeled
-            .select(F.least("__sa", "__sb").alias("source_a"),
-                    F.greatest("__sa", "__sb").alias("source_b"))
+            .select(F.when(a_first, F.col("__sa"))
+                    .otherwise(F.col("__sb")).alias("source_a"),
+                    F.when(a_first, F.col("__sb"))
+                    .otherwise(F.col("__sa")).alias("source_b"))
             .groupBy("source_a", "source_b")
             .agg(F.count(F.lit(1)).alias("n_pairs")))

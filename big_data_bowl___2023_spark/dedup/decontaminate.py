@@ -119,12 +119,19 @@ def semantic_contamination_report(corpus_emb: DataFrame,
 
     bench_vec_col = bench_vec_col or vec_col
     bench_id_col = bench_id_col or id_col
-    vb = _normalized(bench_emb, bench_vec_col, bench_id_col).collect()
+    # take(max_bench+1), not collect(): the guard must bound what
+    # reaches the driver, so at most max_bench+1 rows are ever pulled
+    # regardless of the benchmark's true size. Rows with NULL
+    # embeddings are ignored on both sides (they have no position in
+    # embedding space to match).
+    vb = (_normalized(bench_emb.filter(
+        F.col(bench_vec_col).isNotNull()), bench_vec_col, bench_id_col)
+        .take(max_bench + 1))
     if len(vb) > max_bench:
         raise ValueError(
-            f"benchmark side has {len(vb)} rows > max_bench="
-            f"{max_bench}; too big to broadcast — use the LSH "
-            f"near-dup path for benchmark-vs-corpus at this size")
+            f"benchmark side exceeds max_bench={max_bench}; too big "
+            f"to broadcast — use the LSH near-dup path for "
+            f"benchmark-vs-corpus at this size")
     corpus_id_type = corpus_emb.schema[id_col].dataType
     bench_id_type = bench_emb.schema[bench_id_col].dataType
     out_schema = T.StructType([
@@ -137,9 +144,15 @@ def semantic_contamination_report(corpus_emb: DataFrame,
         return spark.createDataFrame([], out_schema)
     B = np.asarray([list(r.u) for r in vb], dtype=np.float64)
     bids = np.asarray([r.id for r in vb])
+    # lifetime note: the broadcast stays referenced by the returned
+    # plan's closure; once the caller drops the DataFrame, Python GC
+    # releases the handle and Spark's ContextCleaner reclaims the
+    # executor copies — no explicit destroy() is safe earlier, the
+    # plan may still be re-executed.
     bc = spark.sparkContext.broadcast((bids, B))
 
-    vc = _normalized(corpus_emb, vec_col, id_col)
+    vc = _normalized(corpus_emb.filter(F.col(vec_col).isNotNull()),
+                     vec_col, id_col)
 
     def score(batches):
         bida, Bm = bc.value

@@ -66,18 +66,27 @@ def flags(text: Column,
     }
 
 
+def all_pass(text: Column, **thresholds) -> Column:
+    """AND of every rule (null text fails everything) — the single
+    definition of ``pass_gopher``, shared by the flag/filter surface
+    and the report/profile aggregations."""
+    acc = None
+    for col in flags(text, **thresholds).values():
+        col = F.coalesce(col, F.lit(False))
+        acc = col if acc is None else (acc & col)
+    return acc
+
+
 def gopher_flags(df: DataFrame, text_col: str = "text",
                  **thresholds) -> DataFrame:
     """Input plus one boolean column per rule and ``pass_gopher``
     (AND of all rules; null text fails everything)."""
     fl = flags(F.col(text_col), **thresholds)
     out = df
-    all_pass = None
     for name, col in fl.items():
-        col = F.coalesce(col, F.lit(False))
-        out = out.withColumn(name, col)
-        all_pass = col if all_pass is None else (all_pass & col)
-    return out.withColumn("pass_gopher", all_pass)
+        out = out.withColumn(name, F.coalesce(col, F.lit(False)))
+    return out.withColumn("pass_gopher",
+                          all_pass(F.col(text_col), **thresholds))
 
 
 def gopher_filter(df: DataFrame, text_col: str = "text",

@@ -66,6 +66,18 @@ def mg_capacity(min_freq_ratio: float, slack: int = 2) -> int:
     return max(1, c)
 
 
+def ceil_phi_n(min_freq_ratio: float, n: int) -> int:
+    """ceil(phi·n) in exact DECIMAL arithmetic on phi's decimal repr:
+    float multiply turns 0.07·100 into 7.000000000000001 and a float
+    ceil would silently raise the threshold to 8, excluding a key at
+    exactly the documented frequency. Decimal(str(phi)) recovers the
+    number the caller wrote."""
+    import math
+    from decimal import Decimal
+
+    return int(math.ceil(Decimal(str(min_freq_ratio)) * n))
+
+
 def _mg_merge(state: dict, counts, capacity: int) -> None:
     """Merge a batch's exact counts into the bounded summary IN
     PLACE: add, then apply the PODS'12 merge step — subtract the
@@ -176,21 +188,30 @@ def merge_summaries(*summaries: DataFrame) -> DataFrame:
 
 def heavy_hitters_from_summary(df: DataFrame, summary: DataFrame,
                                key_col: str,
-                               min_freq_ratio: float) -> DataFrame:
+                               min_freq_ratio: float,
+                               broadcast_max_candidates: int = 1_000_000
+                               ) -> DataFrame:
     """Exact recount pass against a prebuilt (possibly merged)
     summary: same output contract as :func:`heavy_hitters`, with
-    ``df`` the COMBINED corpus the summary describes."""
-    import math
+    ``df`` the COMBINED corpus the summary describes.
 
+    ``broadcast_max_candidates`` bounds the candidate build side the
+    broadcast hint is applied to — MAX_CAPACITY bounds per-partition
+    state, but partitions × capacity does not bound the union; past
+    the cap the hint is dropped and the semi join shuffles candidate
+    KEYS only (still never the corpus tail's distinct-key universe)."""
     stats = summary.agg(
         F.sum("part_rows").alias("n"),
         F.max(F.col("is_null_key")
-              & (F.col("lower_bound") > 0)).alias("null_cand")).first()
+              & (F.col("lower_bound") > 0)).alias("null_cand"),
+        F.sum((F.col("key").isNotNull()
+               & (F.col("lower_bound") > 0)).cast("long"))
+        .alias("n_cand")).first()
     n = stats.n or 0
     if n == 0:
         return (df.groupBy(key_col)
                 .agg(F.count(F.lit(1)).alias("count")))
-    min_count = int(math.ceil(min_freq_ratio * n))
+    min_count = ceil_phi_n(min_freq_ratio, n)
     # padding rows (all-decremented partitions) are key-NULL with
     # lower_bound 0 — not candidates; a real NULL-key candidate rides
     # the is_null_key flag. No distinct on candidates: duplicates are
@@ -201,9 +222,10 @@ def heavy_hitters_from_summary(df: DataFrame, summary: DataFrame,
             .filter(F.col("key").isNotNull()
                     & (F.col("lower_bound") > 0))
             .select(F.col("key").alias("__hh_key")))
+    if (stats.n_cand or 0) <= broadcast_max_candidates:
+        cand = F.broadcast(cand)
     matched = df.select(key_col).join(
-        F.broadcast(cand), F.col(key_col) == F.col("__hh_key"),
-        "left_semi")
+        cand, F.col(key_col) == F.col("__hh_key"), "left_semi")
     if stats.null_cand:
         matched = matched.unionByName(
             df.select(key_col).filter(F.col(key_col).isNull()))

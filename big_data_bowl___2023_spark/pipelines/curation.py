@@ -185,16 +185,12 @@ def curation_report(docs: DataFrame) -> DataFrame:
     """Pre-flight per-source health: doc counts, Gopher pass rate,
     token volume — the numbers that decide thresholds BEFORE running
     the pipeline. One aggregation scan."""
-    from ..functions.gopher import flags
+    from ..functions.gopher import all_pass
 
-    fl = flags(F.col("text"))
-    all_pass = None
-    for c in fl.values():
-        c = F.coalesce(c, F.lit(False))
-        all_pass = c if all_pass is None else (all_pass & c)
     return (docs.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.round(F.avg(all_pass.cast("double")), 6)
+                 F.round(F.avg(all_pass(F.col("text"))
+                               .cast("double")), 6)
                  .alias("gopher_pass_rate"),
                  F.sum(Tx.token_count(F.col("text"))).alias("n_tokens")))
 
@@ -217,20 +213,13 @@ def corpus_profile(docs: DataFrame, text_col: str = "text",
     quantile_cont applies, so the card is oracle-checkable).
     """
     from ..dedup.exact import fingerprint_docs
-    from ..functions import text as Tx
-    from ..functions.gopher import flags
+    from ..functions.gopher import all_pass
     from ..functions.text import compression_ratio_udf, detect_lang
-
-    fl = flags(F.col(text_col))
-    all_pass = None
-    for c in fl.values():
-        c = F.coalesce(c, F.lit(False))
-        all_pass = c if all_pass is None else (all_pass & c)
 
     enriched = docs.select(
         F.col(source_col).alias("source"),
         Tx.token_count(F.col(text_col)).alias("__tok"),
-        all_pass.cast("double").alias("__pass"),
+        all_pass(F.col(text_col)).cast("double").alias("__pass"),
         Tx.quality_score(F.col(text_col)).alias("__q"),
         (detect_lang(F.col(text_col)) == "en")
         .cast("double").alias("__en"),

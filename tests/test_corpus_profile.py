@@ -51,18 +51,13 @@ def test_signal_columns_match_per_doc_kernels(spark, sf_dir):
     same per-doc expressions (each kernel is oracle-tested in its own
     suite; this pins the card's wiring and rounding)."""
     from big_data_bowl___2023_spark.functions import text as Tx
-    from big_data_bowl___2023_spark.functions.gopher import flags
+    from big_data_bowl___2023_spark.functions.gopher import all_pass
     from big_data_bowl___2023_spark.functions.text import detect_lang
 
     docs, card = _card(spark, sf_dir)
-    fl = flags(F.col("text"))
-    all_pass = None
-    for c in fl.values():
-        c = F.coalesce(c, F.lit(False))
-        all_pass = c if all_pass is None else (all_pass & c)
     per_doc = (docs.select(
         "source", "text",
-        all_pass.cast("double").alias("p"),
+        all_pass(F.col("text")).cast("double").alias("p"),
         Tx.quality_score(F.col("text")).alias("q"),
         (detect_lang(F.col("text")) == "en").cast("double").alias("en"))
         .collect())

@@ -17,6 +17,7 @@ from big_data_bowl___2023_spark.dedup import (
     semantic_decontaminate,
 )
 from big_data_bowl___2023_spark.operators.heavy import (
+    ceil_phi_n,
     heavy_hitters,
     mg_capacity,
     partition_summaries,
@@ -35,7 +36,7 @@ def _oracle(pairs, phi):
     n = len(pairs)
     rows = con.execute(
         "select key, count(*) c from t group by key "
-        "having c >= ?", [math.ceil(phi * n)]).fetchall()
+        "having c >= ?", [ceil_phi_n(phi, n)]).fetchall()
     return {(k, c) for k, c in rows}
 
 
@@ -71,7 +72,7 @@ def test_heavy_hitters_events_table(spark, sf_dir):
         exact = {(r.event_type, r["count"]) for r in
                  ev.groupBy("event_type")
                  .agg(F.count(F.lit(1)).alias("count"))
-                 .filter(F.col("count") >= math.ceil(phi * n))
+                 .filter(F.col("count") >= ceil_phi_n(phi, n))
                  .collect()}
         got = {(r.event_type, r["count"])
                for r in heavy_hitters(ev, "event_type", phi).collect()}
@@ -108,6 +109,19 @@ def test_heavy_plan_shape(spark):
     assert "BroadcastExchange" in plan2
     assert "CartesianProduct" not in plan2
     assert "BroadcastNestedLoopJoin" not in plan2
+
+
+def test_exact_threshold_arithmetic(spark):
+    """phi=0.07, n=100: float ceil(0.07*100)=8 would wrongly exclude
+    a key at exactly the documented 7% frequency — the Decimal path
+    keeps the contract count >= 7."""
+    assert ceil_phi_n(0.07, 100) == 7
+    assert math.ceil(0.07 * 100) == 8      # the float trap, pinned
+    keys = ["edge"] * 7 + [f"t{i}" for i in range(93)]
+    df = spark.createDataFrame([(k,) for k in keys], ["k"]).repartition(4)
+    got = {(r.k, r["count"])
+           for r in heavy_hitters(df, "k", 0.07).collect()}
+    assert ("edge", 7) in got
 
 
 def test_capacity_validation():
@@ -244,3 +258,16 @@ def test_merge_preserves_summary_schema(spark):
     r = {(row.key, row.is_null_key): row for row in m.collect()}
     assert r[("x", False)].lower_bound == 20      # summed across both
     assert r[(None, True)].lower_bound == 6
+
+
+def test_semantic_null_embeddings_ignored(spark):
+    """NULL embeddings on either side are skipped, not crashed on."""
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None)],
+        "vec_id long, embedding array<double>")
+    bench = spark.createDataFrame(
+        [(100, [2.0, 0.0]), (101, None)],
+        "vec_id long, embedding array<double>")
+    rep = semantic_contamination_report(corpus, bench, 0.99).collect()
+    assert [(r.vec_id, r.bench_id, r.cosine) for r in rep] \
+        == [(1, 100, 1.0)]

@@ -82,3 +82,17 @@ def test_compression_plan_mapside(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     plan = formatted_plan(compression_signal(docs))
     assert "Exchange" not in plan
+
+
+def test_source_overlap_null_source_stays_distinct(spark):
+    """least/greatest skip NULLs — the null-safe canonicalization must
+    keep a NULL-source doc as its own matrix row instead of collapsing
+    the pair onto the other source's diagonal."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, "web"), (3, "web")],
+        "doc_id long, source string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], ["doc_a", "doc_b"])
+    got = {(r.source_a, r.source_b, r.n_pairs)
+           for r in source_overlap_matrix(pairs, docs).collect()}
+    assert got == {(None, "web", 1), ("web", "web", 1)}
