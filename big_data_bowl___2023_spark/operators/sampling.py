@@ -283,3 +283,27 @@ def pack_by_budget_strict(df: DataFrame, budget: int,
         return pdf.drop(columns=["__h"])
 
     return keyed.groupBy(*part_keys).applyInPandas(pack, out_schema)
+
+
+def epoch_shuffle(df: DataFrame, seed: int,
+                  id_col: str = "doc_id",
+                  n_shards: int | None = None) -> DataFrame:
+    """Reproducible global training-order shuffle: rows ordered by
+    ``xxhash64(seed, id)`` — a deterministic permutation that changes
+    completely with ``seed`` (one per epoch), is independent of input
+    partitioning/file layout, and needs no materialized random column
+    (rand() would make every recompute/retry reorder the epoch).
+
+    With ``n_shards`` the order is realized as ``repartitionByRange``
+    on the hash + within-shard sort — each output shard is a sorted
+    contiguous slice of the global order, so a loader streaming shards
+    in index order replays the exact permutation while Spark writes
+    them in parallel. Without it, a plain global orderBy (range
+    exchange under the hood) — same order, planner-chosen shards."""
+    h = F.xxhash64(F.lit(seed), F.col(id_col))
+    if n_shards is None:
+        return df.orderBy(h.asc(), F.col(id_col).asc())
+    return (df.withColumn("__eo", h)
+            .repartitionByRange(n_shards, F.col("__eo"), F.col(id_col))
+            .sortWithinPartitions("__eo", id_col)
+            .drop("__eo"))

@@ -194,3 +194,30 @@ def test_quantile_buckets_nulls(spark):
     got = {r.id: r.bucket for r in quantile_buckets(df, "x", 2).collect()}
     assert got[5] is None
     assert got[1] == 0 and got[4] == 1
+
+
+def test_epoch_shuffle_determinism_and_seed_sensitivity(spark, sf_dir):
+    from big_data_bowl___2023_spark.operators.sampling import (
+        epoch_shuffle,
+    )
+    from big_data_bowl___2023_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    a = [r.doc_id for r in epoch_shuffle(docs, seed=1).collect()]
+    b = [r.doc_id for r in
+         epoch_shuffle(docs.repartition(13), seed=1).collect()]
+    c = [r.doc_id for r in epoch_shuffle(docs, seed=2).collect()]
+    assert a == b                       # layout-independent
+    assert sorted(a) == sorted(c)       # permutation of same rows
+    assert a != c                       # seed changes the order
+    assert a != sorted(a)               # actually shuffled
+
+    # sharded form replays the identical global order shard by shard
+    sharded = epoch_shuffle(docs, seed=1, n_shards=4)
+    sp = (sharded.withColumn("pid", F.spark_partition_id())
+          .collect())
+    by_shard: dict = {}
+    for r in sp:
+        by_shard.setdefault(r.pid, []).append(r.doc_id)
+    replay = [d for pid in sorted(by_shard) for d in by_shard[pid]]
+    assert replay == a
