@@ -251,3 +251,62 @@ def brp_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int,
         F.asc("distance"), F.asc("neighbor_id"))
     return (out.withColumn("rank", F.row_number().over(w))
                .filter(F.col("rank") <= k))
+
+
+def build_contrastive_pairs(corpus: DataFrame, pos_threshold: float,
+                            k_neg: int,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id",
+                            neg_margin: int = 4) -> DataFrame:
+    """Self-supervised contrastive training data from an UNLABELED
+    embedding corpus: (anchor_id, positive_id, pos_cosine, negatives)
+    — one row per near-duplicate pair (cosine ≥ ``pos_threshold``,
+    the positives), each carrying the anchor's ``k_neg`` hardest
+    negatives: its most-similar vectors that are NOT positives of the
+    anchor and not the anchor itself. Hard negatives sit just below
+    the positive band — the near-misses that carry gradient signal
+    (labeled corpora use ``mine_hard_negatives`` instead).
+
+    Composition over tested kernels: positives from the exact
+    GEMM-prefiltered near-dup pass; negative candidates from
+    ``brute_force_topk`` over the anchor set (k_neg + ``neg_margin``
+    over-fetch, then positives/self anti-filtered and re-ranked) —
+    the exact/oracle path. At corpus scale swap the top-k stage for
+    ``ivf_topk``/``pq_topk_rerank`` and the positives for
+    ``cosine_near_dup_pairs_lsh`` — same contract, bucketed cost.
+
+    Anchors are the LOWER id of each positive pair (one direction per
+    unordered pair, deterministic); ``negatives`` is a seq-ordered
+    array of (negative_id, cosine) structs, hardest first."""
+    from ..dedup.embedding import cosine_near_dup_pairs
+
+    pos = cosine_near_dup_pairs(corpus, pos_threshold,
+                                vec_col=vec_col, id_col=id_col)
+    # vec_a < vec_b by construction of the pair kernel → anchor=vec_a
+    anchors = (pos.select(F.col("vec_a").alias(id_col)).distinct()
+               .join(corpus, id_col))
+    cand = brute_force_topk(corpus, anchors, k_neg + neg_margin,
+                            vec_col, id_col)
+    # drop candidates that are positives of this anchor (either
+    # direction) — what remains is below the positive band
+    pos_edges = (pos.select(F.col("vec_a").alias("query_id"),
+                            F.col("vec_b").alias("neighbor_id"))
+                 .unionByName(
+                     pos.select(F.col("vec_b").alias("query_id"),
+                                F.col("vec_a").alias("neighbor_id"))))
+    negs = (cand.join(pos_edges, ["query_id", "neighbor_id"],
+                      "left_anti")
+            .withColumn("__rn", F.row_number().over(
+                Window.partitionBy("query_id")
+                .orderBy(F.desc("cosine"), F.asc("neighbor_id"))))
+            .filter(F.col("__rn") <= k_neg)
+            .groupBy("query_id")
+            .agg(F.array_sort(F.collect_list(F.struct(
+                F.col("__rn").alias("rank"),
+                F.col("neighbor_id").alias("negative_id"),
+                "cosine"))).alias("negatives")))
+    return (pos.select(F.col("vec_a").alias("anchor_id"),
+                       F.col("vec_b").alias("positive_id"),
+                       F.col("cosine").alias("pos_cosine"))
+            .join(negs.withColumnRenamed("query_id", "anchor_id"),
+                  "anchor_id", "left"))

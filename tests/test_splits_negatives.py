@@ -99,3 +99,42 @@ def test_ann_hard_negatives_recall_vs_exact(spark, sf_dir):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_build_contrastive_pairs(spark):
+    """Planted geometry: two near-dup clusters (positives), a
+    mid-similarity neighbor (the hard negative), an orthogonal vector
+    (easy negative, ranked last)."""
+    import math
+
+    from big_data_bowl___2023_spark.similarity.ann import (
+        build_contrastive_pairs,
+    )
+
+    c, s = math.cos(0.2), math.sin(0.2)
+    rows = [
+        (1, [1.0, 0.0, 0.0]), (2, [0.999, 0.001, 0.0]),  # cluster A
+        (3, [0.0, 1.0, 0.0]), (4, [0.001, 0.999, 0.0]),  # cluster B
+        (5, [c, s, 0.0]),          # near A but below the positive band
+        (6, [0.0, 0.0, 1.0]),      # orthogonal to everything
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.anchor_id: r for r in
+           build_contrastive_pairs(emb, 0.999, k_neg=2).collect()}
+
+    # positives: exactly the two planted clusters, anchor = lower id
+    assert set(out) == {1, 3}
+    assert out[1].positive_id == 2 and out[3].positive_id == 4
+    assert out[1].pos_cosine >= 0.999
+
+    # anchor 1's negatives: hardest first = 5 (cos≈0.98), never the
+    # positive (2) or itself; orthogonal 6 is not in the top-2
+    negs1 = [(n.negative_id, n.cosine) for n in out[1].negatives]
+    assert len(negs1) == 2
+    assert negs1[0][0] == 5 and negs1[0][1] < 0.999
+    assert 2 not in {n[0] for n in negs1}
+    assert all(negs1[i][1] >= negs1[i + 1][1]
+               for i in range(len(negs1) - 1))
+
+    # anchor 3's negative set excludes its positive 4
+    assert 4 not in {n.negative_id for n in out[3].negatives}
