@@ -135,13 +135,22 @@ def _extra_ops():
                                    group_cols=("source",))
         return sequence_manifest(spans, group_cols=("source",))
 
+    def profile(spark, sf_dir):
+        """Per-source data card: one signal-agg scan (incl. the zlib
+        pandas UDF) + the fingerprint dup-rate pass."""
+        from big_data_bowl___2023_spark.pipelines.curation import (
+            corpus_profile,
+        )
+        return corpus_profile(load_table(spark, sf_dir, "documents"))
+
     return {"dedup_winnow_overlap": winnow,
             "dedup_semantic_pairs": semdedup,
             "dsir_select": dsir,
             "dedup_repeated_lines": linededup,
             "curation_e2e": curation_e2e,
             "heavy_hitters_lines": heavy_lines,
-            "seq_assembly": seq_assembly}
+            "seq_assembly": seq_assembly,
+            "corpus_profile": profile}
 
 
 def main() -> None:

@@ -69,6 +69,9 @@ BUDGETS = {
                                         # manifest groupBy REUSES the
                                         # window's source partitioning
                                         # (source ⊆ grouping keys)
+    "corpus_profile": (3, 1),           # signal agg + fingerprint
+                                        # window + dup-rate agg; tally
+                                        # joins back broadcast
 }
 
 # Extension ops benched outside the 50-slot registry (bench._extra_ops)

@@ -167,6 +167,19 @@ def main() -> None:
                                 0.001).count()
         t_heavy = time.time() - t0
 
+        # packed-sequence assembly: only (id, token-count) enters the
+        # per-source window; wall should track row count, not text
+        # bytes
+        from big_data_bowl___2023_spark.operators.chunking import (
+            assemble_sequences,
+            sequence_manifest,
+        )
+        t0 = time.time()
+        n_seq = sequence_manifest(
+            assemble_sequences(docs_ml, 512, group_cols=("source",)),
+            group_cols=("source",)).count()
+        t_seq = time.time() - t0
+
         # full product composition (round 5): quality → redact → line
         # scrub → exact dedup → near-dup resolution → decontaminate →
         # chunk → pack as ONE lazy chain through the noop sink — the
@@ -197,6 +210,7 @@ def main() -> None:
             "repeated_lines": n_hot, "line_docs_out": n_lines_kept,
             "line_dedup_sec": round(t_lines, 2),
             "heavy_keys": n_heavy, "heavy_sec": round(t_heavy, 2),
+            "sequences": n_seq, "seq_assembly_sec": round(t_seq, 2),
             "curation_sec": round(t_cur, 2),
         }), flush=True)
     spark.stop()
