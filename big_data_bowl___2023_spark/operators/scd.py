@@ -1,0 +1,156 @@
+"""Slowly-changing-dimension (type 2) versioning.
+
+The warehouse-side complement of the snapshot/upsert sinks: instead
+of overwriting a dimension row in place (losing history) or keeping
+whole-corpus versions (``publish_snapshot``), SCD2 keeps one row PER
+VERSION of each entity with a validity interval — the shape every
+point-in-time join (``operators.asof``) wants on its build side.
+
+Spark shape: the merge is two window passes and a union — no
+iterative driver logic, no per-key loop:
+
+* updates: per-key ordered dedupe + no-change suppression (a lag
+  window over the compared attributes), then each surviving update
+  becomes a version row whose ``valid_to`` is the NEXT update's
+  timestamp (lead window) — open-ended for the last;
+* current dimension: open rows of keys touched by surviving updates
+  close at that key's first update timestamp (broadcast-joinable
+  per-key aggregate); history rows and untouched keys pass through
+  byte-identical.
+
+Both windows shuffle on the entity key only; attribute payloads ride
+along. At 100 TB-dimension scale the update batch is the small side
+and its per-key aggregate broadcasts.
+
+Reference scope note: north-star extension (SURVEY.md §2
+extensions); the reference has no dimension-versioning surface.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_init(updates: DataFrame, key_cols: Sequence[str],
+              ts_col: str = "effective_ts",
+              compare_cols: Sequence[str] | None = None) -> DataFrame:
+    """Bootstrap an SCD2 dimension from an update stream alone:
+    every no-change-suppressed update becomes a version row with
+    (valid_from, valid_to, is_current). Equivalent to scd2_apply
+    against an empty dimension."""
+    keys = list(key_cols)
+    attrs = list(compare_cols) if compare_cols is not None else [
+        c for c in updates.columns if c not in keys and c != ts_col]
+
+    w_ord = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    attr_struct = F.struct(*[F.col(c) for c in attrs])
+    changed = (updates
+               .withColumn("__prev", F.lag(attr_struct).over(w_ord))
+               # first version per key always survives; later ones
+               # only when the compared attributes actually changed
+               # (null-safe: <=> treats NULL==NULL as equal)
+               .filter(F.col("__prev").isNull()
+                       | ~F.col("__prev").eqNullSafe(attr_struct))
+               .drop("__prev"))
+    w_next = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    out = (changed
+           .withColumn("valid_from", F.col(ts_col))
+           .withColumn("valid_to", F.lead(ts_col).over(w_next))
+           .withColumn("is_current", F.col("valid_to").isNull())
+           .drop(ts_col))
+    return out.select(*keys, *attrs, "valid_from", "valid_to",
+                      "is_current")
+
+
+def scd2_apply(dim: DataFrame, updates: DataFrame,
+               key_cols: Sequence[str],
+               ts_col: str = "effective_ts",
+               compare_cols: Sequence[str] | None = None) -> DataFrame:
+    """The new dimension snapshot after applying an update batch.
+
+    ``dim`` is an SCD2 table (output of :func:`scd2_init` or a prior
+    apply): keys + attributes + (valid_from, valid_to, is_current).
+    ``updates`` carries keys + attributes + ``ts_col``. Semantics:
+
+    * an update whose attributes equal the entity's attributes at
+      that point of the update sequence is suppressed (no version
+      churn on no-op upserts);
+    * each surviving update opens a new version at its timestamp and
+      closes at the key's next surviving update (open-ended last);
+    * the previously-open row of a touched key closes at that key's
+      first surviving update timestamp;
+    * LATE updates — timestamped at or before a touched key's
+      current ``valid_from`` — are DROPPED (the open row's validity
+      would have to be rewritten retroactively; route genuinely
+      late-arriving history through :func:`scd2_init` rebuilds
+      instead). History rows and untouched keys pass through
+      unchanged.
+
+    Invariants (tested): exactly one ``is_current`` row per key;
+    per-key intervals are non-overlapping and contiguous."""
+    keys = list(key_cols)
+    attrs = list(compare_cols) if compare_cols is not None else [
+        c for c in updates.columns if c not in keys and c != ts_col]
+
+    cur = dim.filter(F.col("is_current"))
+    hist = dim.filter(~F.col("is_current"))
+
+    # drop late updates: ts must be strictly after the open row's
+    # valid_from (unknown keys have no open row — all ts admissible)
+    open_meta = cur.select(*keys, F.col("valid_from").alias("__cur_vf"),
+                           F.struct(*[F.col(c) for c in attrs])
+                           .alias("__cur_attrs"))
+    upd = (updates.join(open_meta, keys, "left")
+           .filter(F.col("__cur_vf").isNull()
+                   | (F.col(ts_col) > F.col("__cur_vf"))))
+
+    # no-change suppression against the running previous attributes:
+    # the first update per key compares against the OPEN row's
+    # attributes, later ones against the preceding update
+    w_ord = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    attr_struct = F.struct(*[F.col(c) for c in attrs])
+    prev = F.coalesce(F.lag(attr_struct).over(w_ord),
+                      F.col("__cur_attrs"))
+    changed = (upd.withColumn("__prev", prev)
+               .filter(F.col("__prev").isNull()
+                       | ~F.col("__prev").eqNullSafe(attr_struct))
+               .drop("__prev", "__cur_vf", "__cur_attrs"))
+
+    new_versions = (changed
+                    .withColumn("valid_from", F.col(ts_col))
+                    .withColumn("valid_to",
+                                F.lead(ts_col).over(
+                                    Window.partitionBy(*keys)
+                                    .orderBy(F.col(ts_col).asc())))
+                    .withColumn("is_current",
+                                F.col("valid_to").isNull())
+                    .drop(ts_col)
+                    .select(*keys, *attrs, "valid_from", "valid_to",
+                            "is_current"))
+
+    # close open rows of touched keys at the first surviving update
+    first_ts = (changed.groupBy(*keys)
+                .agg(F.min(ts_col).alias("__close_at")))
+    closed = (cur.join(F.broadcast(first_ts), keys, "left")
+              .withColumn("valid_to",
+                          F.when(F.col("__close_at").isNotNull(),
+                                 F.col("__close_at"))
+                          .otherwise(F.col("valid_to")))
+              .withColumn("is_current", F.col("__close_at").isNull())
+              .drop("__close_at"))
+
+    return (hist.unionByName(closed)
+            .unionByName(new_versions))
+
+
+def scd2_at(dim: DataFrame, ts) -> DataFrame:
+    """Point-in-time view: the version of every entity valid at
+    ``ts`` (a literal or Column) — the dimension side of a
+    time-travel join. Codegen interval filter, no shuffle."""
+    t = ts if hasattr(ts, "_jc") else F.lit(ts)
+    return dim.filter((F.col("valid_from") <= t)
+                      & (F.col("valid_to").isNull()
+                         | (F.col("valid_to") > t)))

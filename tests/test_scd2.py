@@ -1,0 +1,133 @@
+"""SCD2 dimension versioning: hand-derived merge fixture, python
+simulation oracle on real events, structural invariants, and
+point-in-time views."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from big_data_bowl___2023_spark.operators.scd import (
+    scd2_apply,
+    scd2_at,
+    scd2_init,
+)
+from big_data_bowl___2023_spark.sources.io import load_table
+
+T = lambda d, h=0: datetime(2026, 1, d, h)
+
+
+def _invariants(rows, keys=("k",)):
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(tuple(getattr(r, k) for k in keys),
+                          []).append(r)
+    for vers in by_key.values():
+        assert sum(1 for v in vers if v.is_current) == 1
+        vers = sorted(vers, key=lambda v: v.valid_from)
+        for a, b in zip(vers, vers[1:]):
+            assert a.valid_to == b.valid_from      # contiguous
+        assert vers[-1].valid_to is None           # open-ended
+
+
+def test_init_and_apply_hand_fixture(spark):
+    ups = spark.createDataFrame(
+        [("a", "v1", T(1)), ("a", "v1", T(2)),      # no-op suppressed
+         ("a", "v2", T(3)),
+         ("b", "x", T(1))],
+        ["k", "attr", "effective_ts"])
+    dim = scd2_init(ups, ["k"])
+    rows = dim.collect()
+    _invariants(rows)
+    a = sorted([r for r in rows if r.k == "a"],
+               key=lambda r: r.valid_from)
+    assert [(r.attr, r.valid_from, r.valid_to) for r in a] == [
+        ("v1", T(1), T(3)), ("v2", T(3), None)]
+
+    # batch 2: change b, no-op a (suppressed), late update for a
+    # (ts <= open valid_from -> dropped), brand-new key c
+    ups2 = spark.createDataFrame(
+        [("b", "y", T(5)), ("a", "v2", T(6)), ("a", "v9", T(2)),
+         ("c", "new", T(4))],
+        ["k", "attr", "effective_ts"])
+    dim2 = scd2_apply(dim, ups2, ["k"])
+    rows2 = dim2.collect()
+    _invariants(rows2)
+    got = {(r.k, r.attr, r.valid_from, r.valid_to, r.is_current)
+           for r in rows2}
+    assert ("b", "x", T(1), T(5), False) in got
+    assert ("b", "y", T(5), None, True) in got
+    assert ("c", "new", T(4), None, True) in got
+    # a unchanged: still two versions, v2 open; late v9 dropped
+    assert sum(1 for r in rows2 if r.k == "a") == 2
+    assert ("a", "v2", T(3), None, True) in got
+
+
+def test_multi_update_chain_single_batch(spark):
+    dim = scd2_init(spark.createDataFrame(
+        [("k1", "a", T(1))], ["k", "attr", "effective_ts"]), ["k"])
+    ups = spark.createDataFrame(
+        [("k1", "b", T(2)), ("k1", "b", T(3)), ("k1", "c", T(4))],
+        ["k", "attr", "effective_ts"])
+    rows = scd2_apply(dim, ups, ["k"]).collect()
+    _invariants(rows)
+    chain = sorted(rows, key=lambda r: r.valid_from)
+    assert [(r.attr, r.valid_from, r.valid_to) for r in chain] == [
+        ("a", T(1), T(2)), ("b", T(2), T(4)), ("c", T(4), None)]
+
+
+def test_apply_vs_python_simulation_on_events(spark, sf_dir):
+    """Real data: per-user latest event_type as the tracked attribute,
+    first half of the stream bootstraps, second half applies; oracle
+    is a direct python replay of the documented semantics."""
+    ev = (load_table(spark, sf_dir, "events")
+          .select(F.col("user_id").alias("k"),
+                  F.col("event_type").alias("attr"),
+                  F.col("ts").alias("effective_ts"),
+                  "event_id"))
+    # unique ts per key: keep the first event per (k, ts)
+    ev = (ev.withColumn("__rn", F.row_number().over(
+        __import__("pyspark.sql.window", fromlist=["Window"])
+        .Window.partitionBy("k", "effective_ts")
+        .orderBy("event_id"))).filter(F.col("__rn") == 1)
+        .drop("__rn", "event_id"))
+    rows = [(r.k, r.attr, r.effective_ts) for r in ev.collect()]
+    rows.sort(key=lambda x: (x[0], x[2]))
+    cut = sorted(t for _, _, t in rows)[len(rows) // 2]   # median ts
+    first = [(k, a, t) for k, a, t in rows if t < cut]
+    second = [(k, a, t) for k, a, t in rows if t >= cut]
+    assert first and second
+
+    def replay(seq):
+        state: dict = {}
+        for k, a, t in seq:
+            vers = state.setdefault(k, [])
+            if vers and vers[-1][0] == a:
+                continue
+            if vers:
+                vers[-1] = (vers[-1][0], vers[-1][1], t)
+            vers.append((a, t, None))
+        return {(k, a, vf, vt, vt is None)
+                for k, vers in state.items() for a, vf, vt in vers}
+
+    dim = scd2_init(spark.createDataFrame(
+        first, ["k", "attr", "effective_ts"]), ["k"])
+    out = scd2_apply(dim, spark.createDataFrame(
+        second, ["k", "attr", "effective_ts"]), ["k"])
+    got = {(r.k, r.attr, r.valid_from, r.valid_to, r.is_current)
+           for r in out.collect()}
+    assert got == replay(first + second)
+    _invariants(out.collect())
+
+
+def test_point_in_time_view(spark):
+    ups = spark.createDataFrame(
+        [("a", "v1", T(1)), ("a", "v2", T(5)), ("b", "x", T(3))],
+        ["k", "attr", "effective_ts"])
+    dim = scd2_init(ups, ["k"])
+    at = {r.k: r.attr for r in scd2_at(dim, T(4)).collect()}
+    assert at == {"a": "v1", "b": "x"}       # v2 not yet effective
+    at5 = {r.k: r.attr for r in scd2_at(dim, T(5)).collect()}
+    assert at5["a"] == "v2"                  # inclusive valid_from
+    assert scd2_at(dim, T(1, 0)).count() == 1  # only a exists at T1
