@@ -154,3 +154,27 @@ def scd2_at(dim: DataFrame, ts) -> DataFrame:
     return dim.filter((F.col("valid_from") <= t)
                       & (F.col("valid_to").isNull()
                          | (F.col("valid_to") > t)))
+
+
+def scd2_enrich(facts: DataFrame, dim: DataFrame,
+                key_cols: Sequence[str], ts_col: str,
+                how: str = "left") -> DataFrame:
+    """Fact rows enriched with the dimension VERSION valid at each
+    fact's timestamp — the time-travel join SCD2 exists for. The
+    interval predicate rides in the join condition (equi on the
+    entity keys + non-equi on validity), so Spark hash-joins on the
+    keys and evaluates the interval per key-match: cost is facts ×
+    versions-per-key, and versions are non-overlapping so at most
+    one dimension row matches each fact. ``how="left"`` keeps facts
+    with no valid version (NULL attributes)."""
+    keys = list(key_cols)
+    cond = None
+    for k in keys:
+        c = facts[k] == dim[k]
+        cond = c if cond is None else (cond & c)
+    cond = (cond
+            & (dim["valid_from"] <= facts[ts_col])
+            & (dim["valid_to"].isNull()
+               | (dim["valid_to"] > facts[ts_col])))
+    joined = facts.join(dim, cond, how)
+    return joined.drop(*[dim[k] for k in keys]).drop("is_current")

@@ -131,3 +131,21 @@ def test_point_in_time_view(spark):
     at5 = {r.k: r.attr for r in scd2_at(dim, T(5)).collect()}
     assert at5["a"] == "v2"                  # inclusive valid_from
     assert scd2_at(dim, T(1, 0)).count() == 1  # only a exists at T1
+
+
+def test_enrich_time_travel_join(spark):
+    from big_data_bowl___2023_spark.operators.scd import scd2_enrich
+
+    dim = scd2_init(spark.createDataFrame(
+        [("a", "v1", T(1)), ("a", "v2", T(5)), ("b", "x", T(3))],
+        ["k", "attr", "effective_ts"]), ["k"])
+    facts = spark.createDataFrame(
+        [(1, "a", T(2)), (2, "a", T(5)), (3, "a", T(9)),
+         (4, "b", T(1)),      # before b existed -> NULL attr
+         (5, "c", T(4))],     # unknown key -> NULL attr
+        ["fact_id", "k", "ts"])
+    out = {r.fact_id: r.attr
+           for r in scd2_enrich(facts, dim, ["k"], "ts").collect()}
+    assert out == {1: "v1", 2: "v2", 3: "v2", 4: None, 5: None}
+    # exactly one row per fact (non-overlapping versions)
+    assert scd2_enrich(facts, dim, ["k"], "ts").count() == 5
