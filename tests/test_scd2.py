@@ -149,3 +149,37 @@ def test_enrich_time_travel_join(spark):
     assert out == {1: "v1", 2: "v2", 3: "v2", 4: None, 5: None}
     # exactly one row per fact (non-overlapping versions)
     assert scd2_enrich(facts, dim, ["k"], "ts").count() == 5
+
+
+def test_scd2_plan_shapes(spark):
+    """init is ONE key shuffle (lag and lead share the window
+    partition); apply over a materialized dimension stays at ≤4
+    shuffles with the close-out aggregate broadcast; the enrich join
+    is a hash join on the entity keys, never a nested loop."""
+    import re
+
+    from big_data_bowl___2023_spark.operators.scd import scd2_enrich
+    from big_data_bowl___2023_spark.plans.explain import formatted_plan
+
+    ups = spark.createDataFrame(
+        [("a", "v1", T(1)), ("a", "v2", T(3)), ("b", "x", T(1))],
+        ["k", "attr", "effective_ts"])
+
+    def counts(df):
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        return (len(re.findall(r"\(\d+\) Exchange\b", plan)),
+                len(re.findall(r"\(\d+\) BroadcastExchange\b", plan)))
+
+    sh, _ = counts(scd2_init(ups, ["k"]))
+    assert sh <= 1
+
+    dim = scd2_init(ups, ["k"]).localCheckpoint()
+    ups2 = spark.createDataFrame([("b", "y", T(5))],
+                                 ["k", "attr", "effective_ts"])
+    sh, bc = counts(scd2_apply(dim, ups2, ["k"]))
+    assert sh <= 4 and bc >= 1
+
+    facts = spark.createDataFrame([(1, "a", T(2))], ["f", "k", "ts"])
+    counts(scd2_enrich(facts, dim, ["k"], "ts"))
