@@ -102,3 +102,48 @@ def drifted_columns(reference: DataFrame, current: DataFrame,
     trigger list."""
     rep = psi_report(reference, current, cols, n_buckets)
     return [r.column for r in rep.collect() if r.psi >= threshold]
+
+
+def psi_report_categorical(reference: DataFrame, current: DataFrame,
+                           cols: Sequence[str],
+                           max_categories: int = 50) -> DataFrame:
+    """(column, psi, n_categories_used): PSI over CATEGORICAL columns
+    — label-shift / source-mix drift. Bins are the reference's top
+    ``max_categories`` values by frequency (deterministic: count desc,
+    value asc); everything else folds into an OTHER bin and NULL is
+    its own bin, so a new category surging in the current snapshot
+    shows up as OTHER-share growth rather than silently vanishing.
+    Two tiny aggregations per column, same smoothing and reading as
+    :func:`psi_report`."""
+    spark = reference.sparkSession
+    rows = []
+    for col in cols:
+        top = [r[0] for r in
+               (reference.filter(F.col(col).isNotNull())
+                .groupBy(col).count()
+                .orderBy(F.desc("count"), F.asc(col))
+                .limit(max_categories).collect())]
+        topset = set(top)
+        bin_expr = (F.when(F.col(col).isNull(), F.lit("__null__"))
+                    .when(F.col(col).isin(*[F.lit(t) for t in top])
+                          if top else F.lit(False),
+                          F.col(col).cast("string"))
+                    .otherwise(F.lit("__other__")))
+
+        def shares(df, side):
+            return {r.b: r.n for r in
+                    df.groupBy(bin_expr.alias("b"))
+                    .agg(F.count(F.lit(1)).alias("n")).collect()}
+
+        cr = shares(reference, "ref")
+        cc = shares(current, "cur")
+        nr, nc = sum(cr.values()), sum(cc.values())
+        psi = 0.0
+        for b in set(cr) | set(cc):
+            p = max(cr.get(b, 0) / max(nr, 1), _EPS)
+            q = max(cc.get(b, 0) / max(nc, 1), _EPS)
+            psi += (q - p) * math.log(q / p)
+        rows.append((col, round(psi, 6), len(topset) + 2))
+    return spark.createDataFrame(rows,
+                                 "column string, psi double, "
+                                 "n_categories_used int")

@@ -103,3 +103,48 @@ def test_approx_edges_mode(spark, sf_dir):
     approx = psi_report(ref, cur, ["value"],
                         exact_edges=False).first().psi
     assert abs(exact - approx) < 0.05     # same verdict either way
+
+
+def test_categorical_psi_source_mix(spark, sf_dir):
+    from big_data_bowl___2023_spark.operators.drift import (
+        psi_report_categorical,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    same = ev.filter(F.col("event_id") % 2 == 1)
+    # identical mix: stable
+    psi = psi_report_categorical(ref, same,
+                                 ["event_type"]).first().psi
+    assert psi < 0.1
+    # planted shift: drop one event type entirely from current
+    etype = ev.groupBy("event_type").count() \
+        .orderBy(F.desc("count")).first().event_type
+    cur = same.filter(F.col("event_type") != etype)
+    psi2 = psi_report_categorical(ref, cur,
+                                  ["event_type"]).first().psi
+    assert psi2 > 0.25
+
+    # python oracle parity on the shifted pair
+    def py(refv, curv):
+        from collections import Counter
+        top = sorted(Counter(v for v in refv if v is not None).items(),
+                     key=lambda kv: (-kv[1], kv[0]))[:50]
+        tops = {k for k, _ in top}
+
+        def b(v):
+            if v is None:
+                return "__null__"
+            return v if v in tops else "__other__"
+        cr, cc = Counter(map(b, refv)), Counter(map(b, curv))
+        nr, nc = sum(cr.values()), sum(cc.values())
+        s = 0.0
+        for k in set(cr) | set(cc):
+            p = max(cr.get(k, 0) / nr, 1e-6)
+            q = max(cc.get(k, 0) / nc, 1e-6)
+            s += (q - p) * math.log(q / p)
+        return round(s, 6)
+
+    refv = [r.event_type for r in ref.select("event_type").collect()]
+    curv = [r.event_type for r in cur.select("event_type").collect()]
+    assert psi2 == py(refv, curv)
