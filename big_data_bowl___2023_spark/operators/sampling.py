@@ -307,3 +307,18 @@ def epoch_shuffle(df: DataFrame, seed: int,
             .repartitionByRange(n_shards, F.col("__eo"), F.col(id_col))
             .sortWithinPartitions("__eo", id_col)
             .drop("__eo"))
+
+
+def hash_sample_exact(df: DataFrame, k: int, seed: int = 0,
+                      id_col: str = "doc_id") -> DataFrame:
+    """EXACTLY ``min(k, n)`` rows, deterministically: the k smallest
+    ``xxhash64(seed, id)`` values — an unbiased fixed-size sample
+    (eval-set carving, fixed-budget audits) where ``hash_sample``'s
+    Bernoulli fraction gives only an expected size. Spark executes
+    orderBy+limit as TakeOrdered: per-partition top-k map-side, one
+    tiny merge — no global sort materialization. Same seed → same
+    rows on any layout; different seeds → independent samples.
+    Membership is NOT nested across k (use ``hash_sample`` for
+    grow-only subsets)."""
+    h = F.xxhash64(F.lit(seed), F.col(id_col))
+    return df.orderBy(h.asc(), F.col(id_col).asc()).limit(k)

@@ -221,3 +221,28 @@ def test_epoch_shuffle_determinism_and_seed_sensitivity(spark, sf_dir):
         by_shard.setdefault(r.pid, []).append(r.doc_id)
     replay = [d for pid in sorted(by_shard) for d in by_shard[pid]]
     assert replay == a
+
+
+def test_hash_sample_exact(spark, sf_dir):
+    from big_data_bowl___2023_spark.operators.sampling import (
+        hash_sample_exact,
+    )
+    from big_data_bowl___2023_spark.plans.explain import formatted_plan
+    from big_data_bowl___2023_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    s1 = sorted(r.doc_id for r in
+                hash_sample_exact(docs, 50, seed=1).collect())
+    s1b = sorted(r.doc_id for r in
+                 hash_sample_exact(docs.repartition(9), 50,
+                                   seed=1).collect())
+    s2 = sorted(r.doc_id for r in
+                hash_sample_exact(docs, 50, seed=2).collect())
+    assert len(s1) == 50 and s1 == s1b      # exact k, layout-proof
+    assert s1 != s2                          # seed-independent draws
+    assert hash_sample_exact(docs, n + 10, seed=1).count() == n
+    assert hash_sample_exact(docs, 50, seed=1).columns == docs.columns
+    # TakeOrdered, not a global sort materialization
+    assert "TakeOrderedAndProject" in formatted_plan(
+        hash_sample_exact(docs, 50, seed=1))
