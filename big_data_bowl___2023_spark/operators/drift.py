@@ -11,7 +11,8 @@ both snapshots against those same bins, and
 with the usual reading: < 0.1 stable, 0.1–0.25 moderate shift,
 > 0.25 action required.
 
-Spark shape: ONE pass over each snapshot per report — reference bin
+Spark shape: one pass over each snapshot per report (all columns
+folded into a single exploded groupBy) — reference bin
 edges come from the exact ``percentile`` aggregate (deterministic,
 oracle-matched; swap for approx_percentile at 100 TB, the knob is a
 parameter), bucket assignment is a codegen comparison chain (the
@@ -34,22 +35,28 @@ from pyspark.sql import functions as F
 _EPS = 1e-6     # share smoothing: empty bins contribute finitely
 
 
-def _edges(reference: DataFrame, col: str, n_buckets: int,
-           exact: bool) -> list[float]:
+def _all_edges(reference: DataFrame, cols: list, n_buckets: int,
+               exact: bool) -> dict:
+    """column -> deduped ascending edge list, ALL columns in one pass
+    (one percentile aggregate, or one multi-column approxQuantile)."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
     if exact:
-        qs = [i / n_buckets for i in range(1, n_buckets)]
-        row = reference.agg(F.percentile(
-            F.col(col), F.array(*[F.lit(q) for q in qs]))
-            .alias("e")).first()
-        edges = list(row.e or [])
+        row = reference.agg(*[
+            F.percentile(F.col(c), F.array(*[F.lit(q) for q in qs]))
+            .alias(f"e_{i}") for i, c in enumerate(cols)]).first()
+        raw = {c: list(row[f"e_{i}"] or [])
+               for i, c in enumerate(cols)}
     else:
-        edges = reference.approxQuantile(
-            col, [i / n_buckets for i in range(1, n_buckets)], 1e-3)
-    # dedupe (constant/low-cardinality columns produce tied edges)
-    out: list[float] = []
-    for e in edges:
-        if e is not None and (not out or e > out[-1]):
-            out.append(float(e))
+        multi = reference.approxQuantile(list(cols), qs, 1e-3)
+        raw = dict(zip(cols, multi))
+    out: dict = {}
+    for c, edges in raw.items():
+        ded: list[float] = []
+        for e in edges:
+            # dedupe (constant/low-cardinality columns tie edges)
+            if e is not None and (not ded or e > ded[-1]):
+                ded.append(float(e))
+        out[c] = ded
     return out
 
 
@@ -60,10 +67,18 @@ def _bucket(col: str, edges: list[float]) -> F.Column:
     return F.when(F.col(col).isNull(), F.lit(-1)).otherwise(b)
 
 
-def _shares(df: DataFrame, col: str, edges: list[float],
-            side: str) -> DataFrame:
-    return (df.groupBy(_bucket(col, edges).alias("bucket"))
-            .agg(F.count(F.lit(1)).alias(f"n_{side}")))
+def _all_shares(df: DataFrame, edges_by_col: dict) -> dict:
+    """{(column, bucket): count} for every column in ONE scan: each
+    row explodes to (column, bucket) pairs, one groupBy."""
+    pairs = F.array(*[
+        F.struct(F.lit(c).alias("column"),
+                 _bucket(c, e).alias("bucket"))
+        for c, e in edges_by_col.items()])
+    rows = (df.select(F.explode(pairs).alias("p"))
+            .groupBy(F.col("p.column").alias("column"),
+                     F.col("p.bucket").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n")).collect())
+    return {(r.column, r.bucket): r.n for r in rows}
 
 
 def psi_report(reference: DataFrame, current: DataFrame,
@@ -74,22 +89,30 @@ def psi_report(reference: DataFrame, current: DataFrame,
     own bucket, id −1). ``exact_edges=False`` switches the edge
     computation to ``approxQuantile`` for corpus-scale references —
     bucket SEMANTICS are identical, only edge placement is
-    approximate."""
+    approximate. Job count is independent of ``len(cols)``: one edge
+    pass over the reference, then one bucket-share scan per snapshot
+    (rows explode to (column, bucket) pairs, one groupBy)."""
     spark = reference.sparkSession
+    cols = list(cols)
+    edges_by_col = _all_edges(reference, cols, n_buckets, exact_edges)
+    ref_sh = _all_shares(reference, edges_by_col)
+    cur_sh = _all_shares(current, edges_by_col)
+    n_ref = {c: 0 for c in cols}
+    n_cur = {c: 0 for c in cols}
+    for (c, _), n in ref_sh.items():
+        n_ref[c] += n
+    for (c, _), n in cur_sh.items():
+        n_cur[c] += n
     rows = []
-    for col in cols:
-        edges = _edges(reference, col, n_buckets, exact_edges)
-        ref = _shares(reference, col, edges, "ref")
-        cur = _shares(current, col, edges, "cur")
-        joined = ref.join(cur, "bucket", "full").collect()
-        n_ref = sum(r.n_ref or 0 for r in joined)
-        n_cur = sum(r.n_cur or 0 for r in joined)
+    for c in cols:
+        buckets = ({b for (cc, b) in ref_sh if cc == c}
+                   | {b for (cc, b) in cur_sh if cc == c})
         psi = 0.0
-        for r in joined:
-            p = max((r.n_ref or 0) / max(n_ref, 1), _EPS)
-            q = max((r.n_cur or 0) / max(n_cur, 1), _EPS)
+        for b in buckets:
+            p = max(ref_sh.get((c, b), 0) / max(n_ref[c], 1), _EPS)
+            q = max(cur_sh.get((c, b), 0) / max(n_cur[c], 1), _EPS)
             psi += (q - p) * math.log(q / p)
-        rows.append((col, round(psi, 6), len(edges) + 1))
+        rows.append((c, round(psi, 6), len(edges_by_col[c]) + 1))
     return spark.createDataFrame(rows,
                                  "column string, psi double, "
                                  "n_buckets_used int")
@@ -97,10 +120,12 @@ def psi_report(reference: DataFrame, current: DataFrame,
 
 def drifted_columns(reference: DataFrame, current: DataFrame,
                     cols: Sequence[str], threshold: float = 0.25,
-                    n_buckets: int = 10) -> list[str]:
+                    n_buckets: int = 10,
+                    exact_edges: bool = True) -> list[str]:
     """Columns whose PSI crosses ``threshold`` — the retrain/alert
-    trigger list."""
-    rep = psi_report(reference, current, cols, n_buckets)
+    trigger list. ``exact_edges`` forwards to :func:`psi_report`
+    (False = the corpus-scale approx mode)."""
+    rep = psi_report(reference, current, cols, n_buckets, exact_edges)
     return [r.column for r in rep.collect() if r.psi >= threshold]
 
 
@@ -130,13 +155,13 @@ def psi_report_categorical(reference: DataFrame, current: DataFrame,
                           F.col(col).cast("string"))
                     .otherwise(F.lit("__other__")))
 
-        def shares(df, side):
+        def shares(df):
             return {r.b: r.n for r in
                     df.groupBy(bin_expr.alias("b"))
                     .agg(F.count(F.lit(1)).alias("n")).collect()}
 
-        cr = shares(reference, "ref")
-        cc = shares(current, "cur")
+        cr = shares(reference)
+        cc = shares(current)
         nr, nc = sum(cr.values()), sum(cc.values())
         psi = 0.0
         for b in set(cr) | set(cc):

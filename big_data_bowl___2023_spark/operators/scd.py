@@ -34,31 +34,56 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _dedup_per_ts(updates: DataFrame, keys: list, ts_col: str,
+                  attrs: list) -> DataFrame:
+    """Deterministic (key, ts) uniqueness: ties keep the row whose
+    attribute tuple sorts first — duplicate-timestamp updates would
+    otherwise make the version windows order-nondeterministic.
+    Partitioned on the KEYS alone (duplicates detected by lag on the
+    timestamp), so it shares the version windows' exchange instead of
+    adding a (keys, ts)-keyed one."""
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col).asc(),
+        *[F.col(c).asc_nulls_first() for c in attrs])
+    return (updates.withColumn("__prev_ts",
+                               F.lag(ts_col).over(w))
+            .filter(F.col("__prev_ts").isNull()
+                    | (F.col("__prev_ts") != F.col(ts_col)))
+            .drop("__prev_ts"))
+
+
 def scd2_init(updates: DataFrame, key_cols: Sequence[str],
               ts_col: str = "effective_ts",
               compare_cols: Sequence[str] | None = None) -> DataFrame:
     """Bootstrap an SCD2 dimension from an update stream alone:
     every no-change-suppressed update becomes a version row with
     (valid_from, valid_to, is_current). Equivalent to scd2_apply
-    against an empty dimension."""
-    keys = list(key_cols)
-    attrs = list(compare_cols) if compare_cols is not None else [
-        c for c in updates.columns if c not in keys and c != ts_col]
+    against an empty dimension.
 
+    ``compare_cols`` narrows CHANGE DETECTION only — every non-key,
+    non-ts column is always carried as version payload; columns
+    outside the compare set keep the value of the update that opened
+    the version. Duplicate (key, ts) updates are deduplicated
+    deterministically (smallest attribute tuple wins)."""
+    keys = list(key_cols)
+    attrs = [c for c in updates.columns
+             if c not in keys and c != ts_col]
+    cmp_cols = list(compare_cols) if compare_cols is not None else attrs
+
+    updates = _dedup_per_ts(updates, keys, ts_col, attrs)
     w_ord = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
-    attr_struct = F.struct(*[F.col(c) for c in attrs])
+    cmp_struct = F.struct(*[F.col(c) for c in cmp_cols])
     changed = (updates
-               .withColumn("__prev", F.lag(attr_struct).over(w_ord))
+               .withColumn("__prev", F.lag(cmp_struct).over(w_ord))
                # first version per key always survives; later ones
                # only when the compared attributes actually changed
                # (null-safe: <=> treats NULL==NULL as equal)
                .filter(F.col("__prev").isNull()
-                       | ~F.col("__prev").eqNullSafe(attr_struct))
+                       | ~F.col("__prev").eqNullSafe(cmp_struct))
                .drop("__prev"))
-    w_next = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
     out = (changed
            .withColumn("valid_from", F.col(ts_col))
-           .withColumn("valid_to", F.lead(ts_col).over(w_next))
+           .withColumn("valid_to", F.lead(ts_col).over(w_ord))
            .withColumn("is_current", F.col("valid_to").isNull())
            .drop(ts_col))
     return out.select(*keys, *attrs, "valid_from", "valid_to",
@@ -89,11 +114,18 @@ def scd2_apply(dim: DataFrame, updates: DataFrame,
       instead). History rows and untouched keys pass through
       unchanged.
 
+    ``compare_cols`` narrows CHANGE DETECTION only; every non-key,
+    non-ts update column is carried as version payload. Duplicate
+    (key, ts) updates are deduplicated deterministically (smallest
+    attribute tuple wins).
+
     Invariants (tested): exactly one ``is_current`` row per key;
     per-key intervals are non-overlapping and contiguous."""
     keys = list(key_cols)
-    attrs = list(compare_cols) if compare_cols is not None else [
-        c for c in updates.columns if c not in keys and c != ts_col]
+    attrs = [c for c in updates.columns
+             if c not in keys and c != ts_col]
+    cmp_cols = list(compare_cols) if compare_cols is not None else attrs
+    updates = _dedup_per_ts(updates, keys, ts_col, attrs)
 
     cur = dim.filter(F.col("is_current"))
     hist = dim.filter(~F.col("is_current"))
@@ -101,7 +133,7 @@ def scd2_apply(dim: DataFrame, updates: DataFrame,
     # drop late updates: ts must be strictly after the open row's
     # valid_from (unknown keys have no open row — all ts admissible)
     open_meta = cur.select(*keys, F.col("valid_from").alias("__cur_vf"),
-                           F.struct(*[F.col(c) for c in attrs])
+                           F.struct(*[F.col(c) for c in cmp_cols])
                            .alias("__cur_attrs"))
     upd = (updates.join(open_meta, keys, "left")
            .filter(F.col("__cur_vf").isNull()
@@ -111,12 +143,12 @@ def scd2_apply(dim: DataFrame, updates: DataFrame,
     # the first update per key compares against the OPEN row's
     # attributes, later ones against the preceding update
     w_ord = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
-    attr_struct = F.struct(*[F.col(c) for c in attrs])
-    prev = F.coalesce(F.lag(attr_struct).over(w_ord),
+    cmp_struct = F.struct(*[F.col(c) for c in cmp_cols])
+    prev = F.coalesce(F.lag(cmp_struct).over(w_ord),
                       F.col("__cur_attrs"))
     changed = (upd.withColumn("__prev", prev)
                .filter(F.col("__prev").isNull()
-                       | ~F.col("__prev").eqNullSafe(attr_struct))
+                       | ~F.col("__prev").eqNullSafe(cmp_struct))
                .drop("__prev", "__cur_vf", "__cur_attrs"))
 
     new_versions = (changed

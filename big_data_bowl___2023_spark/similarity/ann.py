@@ -277,15 +277,29 @@ def build_contrastive_pairs(corpus: DataFrame, pos_threshold: float,
 
     Anchors are the LOWER id of each positive pair (one direction per
     unordered pair, deterministic); ``negatives`` is a seq-ordered
-    array of (negative_id, cosine) structs, hardest first."""
+    array of (negative_id, cosine) structs, hardest first.
+
+    The top-k over-fetch is ``k_neg + max(positive degree) +
+    neg_margin``: an anchor inside a near-dup cluster of m members
+    has m−1 positives that outrank every true negative, so a FIXED
+    margin would starve exactly the densest anchors of negatives —
+    the degree-scaled fetch guarantees ≥ k_neg survivors per anchor
+    (when the corpus has that many non-positives at all)."""
     from ..dedup.embedding import cosine_near_dup_pairs
 
     pos = cosine_near_dup_pairs(corpus, pos_threshold,
                                 vec_col=vec_col, id_col=id_col)
+    pos = pos.localCheckpoint()   # reused three times below
     # vec_a < vec_b by construction of the pair kernel → anchor=vec_a
     anchors = (pos.select(F.col("vec_a").alias(id_col)).distinct()
                .join(corpus, id_col))
-    cand = brute_force_topk(corpus, anchors, k_neg + neg_margin,
+    deg_row = (pos.select(F.explode(F.array("vec_a", "vec_b"))
+                          .alias("n"))
+               .groupBy("n").count()
+               .agg(F.max("count").alias("m")).first())
+    max_degree = int(deg_row.m or 0)
+    cand = brute_force_topk(corpus, anchors,
+                            k_neg + max_degree + neg_margin,
                             vec_col, id_col)
     # drop candidates that are positives of this anchor (either
     # direction) — what remains is below the positive band

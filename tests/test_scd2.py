@@ -183,3 +183,45 @@ def test_scd2_plan_shapes(spark):
 
     facts = spark.createDataFrame([(1, "a", T(2))], ["f", "k", "ts"])
     counts(scd2_enrich(facts, dim, ["k"], "ts"))
+
+
+def test_compare_cols_subset_keeps_payload(spark):
+    """compare_cols narrows change detection only — non-compared
+    payload columns are carried on every version, and apply must not
+    churn versions on payload-only changes."""
+    ups = spark.createDataFrame(
+        [("a", "v1", "p1", T(1)),
+         ("a", "v1", "p2", T(2)),    # payload-only change: suppressed
+         ("a", "v2", "p3", T(3))],   # compared change: new version
+        ["k", "attr", "extra", "effective_ts"])
+    dim = scd2_init(ups, ["k"], compare_cols=["attr"])
+    rows = sorted(dim.collect(), key=lambda r: r.valid_from)
+    assert [r.extra for r in rows] == ["p1", "p3"]   # payload kept
+    assert [(r.attr, r.valid_to is None) for r in rows] == [
+        ("v1", False), ("v2", True)]
+
+    ups2 = spark.createDataFrame(
+        [("a", "v2", "p9", T(5)),    # payload-only: suppressed
+         ("a", "v3", "p4", T(6))],
+        ["k", "attr", "extra", "effective_ts"])
+    out = scd2_apply(dim, ups2, ["k"], compare_cols=["attr"])
+    rows2 = sorted(out.collect(), key=lambda r: r.valid_from)
+    assert [(r.attr, r.extra) for r in rows2] == [
+        ("v1", "p1"), ("v2", "p3"), ("v3", "p4")]
+    _invariants(rows2)
+
+
+def test_duplicate_ts_deterministic(spark):
+    """Duplicate (key, ts) updates resolve deterministically: the
+    smallest attribute tuple wins the slot, on any layout."""
+    rows = [("a", "zzz", T(1)), ("a", "aaa", T(1)), ("a", "mmm", T(2))]
+    a = scd2_init(spark.createDataFrame(
+        rows, ["k", "attr", "effective_ts"]).repartition(5),
+        ["k"]).collect()
+    b = scd2_init(spark.createDataFrame(
+        list(reversed(rows)), ["k", "attr", "effective_ts"])
+        .repartition(2), ["k"]).collect()
+    key = lambda rs: sorted((r.attr, r.valid_from, r.valid_to)
+                            for r in rs)
+    assert key(a) == key(b)
+    assert key(a)[0][0] == "aaa"      # min tuple won the T(1) slot

@@ -138,3 +138,26 @@ def test_build_contrastive_pairs(spark):
 
     # anchor 3's negative set excludes its positive 4
     assert 4 not in {n.negative_id for n in out[3].negatives}
+
+
+def test_contrastive_dense_cluster_still_gets_negatives(spark):
+    """An anchor inside a large near-dup cluster must still receive
+    k_neg negatives — the over-fetch scales with positive degree."""
+    import math
+
+    from big_data_bowl___2023_spark.similarity.ann import (
+        build_contrastive_pairs,
+    )
+
+    # 8 mutual near-dups around e1 + 3 genuinely different vectors
+    rows = [(i, [1.0, i * 1e-4, 0.0]) for i in range(1, 9)]
+    rows += [(20, [0.6, 0.8, 0.0]), (21, [0.0, 1.0, 0.0]),
+             (22, [0.0, 0.0, 1.0])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = build_contrastive_pairs(emb, 0.999, k_neg=3,
+                                  neg_margin=0).collect()
+    assert out
+    for r in out:
+        negs = {n.negative_id for n in r.negatives}
+        assert len(negs) == 3                       # full quota
+        assert negs <= {20, 21, 22}                 # never a positive
