@@ -172,3 +172,52 @@ def psi_report_categorical(reference: DataFrame, current: DataFrame,
     return spark.createDataFrame(rows,
                                  "column string, psi double, "
                                  "n_categories_used int")
+
+
+def bucket_shares_stream(stream: DataFrame, edges_by_col: dict
+                         ) -> DataFrame:
+    """Streaming side of drift monitoring: bucket a stream against
+    FROZEN reference edges (``_all_edges`` output persisted from the
+    reference snapshot — centroid-artifact pattern) and maintain
+    running (column, bucket) counts as a streaming aggregation. The
+    bucket chain is the same codegen expression the batch report
+    uses, so batch and stream shares are definitionally consistent.
+    Complete/update-mode sink; feed the latest table to
+    :func:`psi_from_shares` against the reference's shares."""
+    pairs = F.array(*[
+        F.struct(F.lit(c).alias("column"),
+                 _bucket(c, e).alias("bucket"))
+        for c, e in edges_by_col.items()])
+    return (stream.select(F.explode(pairs).alias("p"))
+            .groupBy(F.col("p.column").alias("column"),
+                     F.col("p.bucket").alias("bucket"))
+            .count())
+
+
+def psi_from_shares(ref_shares: dict, cur_rows) -> dict:
+    """{column: psi} from precomputed share tables: ``ref_shares`` is
+    the {(column, bucket): count} dict (``_all_shares`` of the
+    reference), ``cur_rows`` an iterable of (column, bucket, count)
+    rows — e.g. the collected streaming share table. Pure driver-side
+    arithmetic over tiny inputs."""
+    cur: dict = {}
+    for r in cur_rows:
+        cur[(r[0], r[1])] = r[2]
+    cols = ({c for c, _ in ref_shares} | {c for c, _ in cur})
+    n_ref = {c: 0 for c in cols}
+    n_cur = {c: 0 for c in cols}
+    for (c, _), n in ref_shares.items():
+        n_ref[c] += n
+    for (c, _), n in cur.items():
+        n_cur[c] += n
+    out = {}
+    for c in cols:
+        buckets = ({b for (cc, b) in ref_shares if cc == c}
+                   | {b for (cc, b) in cur if cc == c})
+        psi = 0.0
+        for b in buckets:
+            p = max(ref_shares.get((c, b), 0) / max(n_ref[c], 1), _EPS)
+            q = max(cur.get((c, b), 0) / max(n_cur[c], 1), _EPS)
+            psi += (q - p) * math.log(q / p)
+        out[c] = round(psi, 6)
+    return out

@@ -148,3 +148,46 @@ def test_categorical_psi_source_mix(spark, sf_dir):
     refv = [r.event_type for r in ref.select("event_type").collect()]
     curv = [r.event_type for r in cur.select("event_type").collect()]
     assert psi2 == py(refv, curv)
+
+
+def test_streaming_drift_monitor_batch_parity(spark, sf_dir, tmp_path):
+    """The streaming share table over a file stream equals the batch
+    shares, and psi_from_shares reproduces psi_report exactly —
+    batch/stream definitional consistency."""
+    import uuid
+
+    from big_data_bowl___2023_spark.operators.drift import (
+        _all_edges,
+        _all_shares,
+        bucket_shares_stream,
+        psi_from_shares,
+        psi_report,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+
+    edges = _all_edges(ref, ["value"], 10, True)
+    ref_sh = _all_shares(ref, edges)
+
+    # stream the current snapshot from files
+    path = str(tmp_path / "cur")
+    cur.coalesce(2).write.parquet(path)
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    name = f"q_{uuid.uuid4().hex[:12]}"
+    q = (bucket_shares_stream(stream, edges).writeStream
+         .format("memory").queryName(name).outputMode("complete")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got_rows = [(r.column, r.bucket, r["count"])
+                for r in spark.table(name).collect()]
+
+    # share parity with the batch scan
+    assert {(c, b): n for c, b, n in got_rows} == _all_shares(cur,
+                                                              edges)
+    # PSI parity with the batch report
+    psi_stream = psi_from_shares(ref_sh, got_rows)["value"]
+    psi_batch = psi_report(ref, cur, ["value"]).first().psi
+    assert psi_stream == psi_batch
