@@ -221,3 +221,58 @@ def psi_from_shares(ref_shares: dict, cur_rows) -> dict:
             psi += (q - p) * math.log(q / p)
         out[c] = round(psi, 6)
     return out
+
+
+def schema_diff(reference: DataFrame, current: DataFrame) -> dict:
+    """{'added': [...], 'removed': [...], 'retyped': [(col, ref_type,
+    cur_type), ...]}: structural drift between snapshots — the check
+    that runs BEFORE any value-level PSI (a retyped or vanished
+    column is drift no bucket share will surface). Pure metadata,
+    zero jobs."""
+    ref_t = {f.name: f.dataType.simpleString()
+             for f in reference.schema.fields}
+    cur_t = {f.name: f.dataType.simpleString()
+             for f in current.schema.fields}
+    return {
+        "added": sorted(set(cur_t) - set(ref_t)),
+        "removed": sorted(set(ref_t) - set(cur_t)),
+        "retyped": sorted((c, ref_t[c], cur_t[c])
+                          for c in set(ref_t) & set(cur_t)
+                          if ref_t[c] != cur_t[c]),
+    }
+
+
+def category_bins(reference: DataFrame, cols: Sequence[str],
+                  max_categories: int = 50) -> dict:
+    """column -> reference top-K category list (deterministic order)
+    — the frozen-artifact form of the categorical bins, for streaming
+    monitors and cross-run reuse (persist as JSON like PQ codebooks)."""
+    out = {}
+    for col in cols:
+        out[col] = [r[0] for r in
+                    (reference.filter(F.col(col).isNotNull())
+                     .groupBy(col).count()
+                     .orderBy(F.desc("count"), F.asc(col))
+                     .limit(max_categories).collect())]
+    return out
+
+
+def category_shares_stream(stream: DataFrame, bins_by_col: dict
+                           ) -> DataFrame:
+    """Streaming (column, bucket, count) over FROZEN categorical bins
+    (top-K / __other__ / __null__ — same binning as
+    :func:`psi_report_categorical`); feed the latest table to
+    :func:`psi_from_shares` against the reference's shares."""
+    pairs = []
+    for c, top in bins_by_col.items():
+        bin_expr = (F.when(F.col(c).isNull(), F.lit("__null__"))
+                    .when(F.col(c).isin(*[F.lit(t) for t in top])
+                          if top else F.lit(False),
+                          F.col(c).cast("string"))
+                    .otherwise(F.lit("__other__")))
+        pairs.append(F.struct(F.lit(c).alias("column"),
+                              bin_expr.alias("bucket")))
+    return (stream.select(F.explode(F.array(*pairs)).alias("p"))
+            .groupBy(F.col("p.column").alias("column"),
+                     F.col("p.bucket").alias("bucket"))
+            .count())

@@ -191,3 +191,52 @@ def test_streaming_drift_monitor_batch_parity(spark, sf_dir, tmp_path):
     psi_stream = psi_from_shares(ref_sh, got_rows)["value"]
     psi_batch = psi_report(ref, cur, ["value"]).first().psi
     assert psi_stream == psi_batch
+
+
+def test_schema_diff(spark):
+    from big_data_bowl___2023_spark.operators.drift import schema_diff
+
+    ref = spark.createDataFrame([(1, "x", 2.0)], ["a", "b", "c"])
+    cur = spark.createDataFrame([(1, 5, True)], ["a", "c", "d"])
+    d = schema_diff(ref, cur)
+    assert d == {"added": ["d"], "removed": ["b"],
+                 "retyped": [("c", "double", "bigint")]}
+    assert schema_diff(ref, ref) == {"added": [], "removed": [],
+                                     "retyped": []}
+
+
+def test_streaming_categorical_shares_parity(spark, sf_dir, tmp_path):
+    import uuid
+
+    from big_data_bowl___2023_spark.operators.drift import (
+        category_bins,
+        category_shares_stream,
+        psi_from_shares,
+        psi_report_categorical,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    bins = category_bins(ref, ["event_type"])
+
+    path = str(tmp_path / "cur")
+    cur.coalesce(1).write.parquet(path)
+    stream = spark.readStream.schema(
+        spark.read.parquet(path).schema).parquet(path)
+    name = f"q_{uuid.uuid4().hex[:12]}"
+    q = (category_shares_stream(stream, bins).writeStream
+         .format("memory").queryName(name).outputMode("complete")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = [(r.column, r.bucket, r["count"])
+           for r in spark.table(name).collect()]
+    # PSI from the streamed shares == batch categorical report
+    ref_shares = {("event_type", b): n for (_, b, n) in
+                  [(r.column, r.bucket, r["count"]) for r in
+                   category_shares_stream(ref, bins)
+                   .collect()]}
+    psi_stream = psi_from_shares(ref_shares, got)["event_type"]
+    psi_batch = psi_report_categorical(
+        ref, cur, ["event_type"]).first().psi
+    assert psi_stream == psi_batch
