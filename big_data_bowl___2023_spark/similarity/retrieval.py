@@ -88,3 +88,30 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
                   .filter(F.col("rank") <= k)
                   .select("query_id", "doc_id", "rank",
                           F.round("score", 6).alias("score")))
+
+
+def doc_keywords(docs: DataFrame, k: int = 10,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 min_idf: float = 0.0) -> DataFrame:
+    """(doc_id, keywords): each document's top-``k`` terms by tf-idf
+    — corpus-exploration / tagging / cluster-labeling surface over
+    the SAME postings table the BM25 retriever builds, so scores are
+    definitionally consistent with retrieval. ``keywords`` is a
+    rank-ordered array of (term, tfidf) structs; ``min_idf`` drops
+    stop-grade terms before the ranking window (they'd win on raw tf
+    in every doc while carrying no information).
+
+    One ranking window over the postings, partitioned by doc —
+    postings volume is token volume, no extra corpus scan."""
+    post = term_postings(docs, text_col, id_col)
+    if min_idf > 0.0:
+        post = post.filter(F.col("idf") >= F.lit(min_idf))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term"))
+    return (post.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .groupBy("doc_id")
+            .agg(F.array_sort(F.collect_list(F.struct(
+                F.col("__rn").alias("rank"), "term",
+                F.round("tfidf", 6).alias("tfidf"))))
+                .alias("keywords")))

@@ -124,3 +124,52 @@ def test_postings_tfidf_and_hot_term_cap(spark, sf_dir):
     tight = bm25_scores(docs, queries, min_idf=float(hot.idf) + 1e-9).count()
     assert tight <= loose
     post.unpersist()
+
+
+def test_doc_keywords_vs_duckdb(spark, sf_dir):
+    """Top-k per-doc tf-idf keywords match a DuckDB recompute of the
+    same postings ranking (rank + term + rounded score)."""
+    import duckdb
+
+    from big_data_bowl___2023_spark.similarity.retrieval import (
+        doc_keywords,
+        term_postings,
+    )
+    from big_data_bowl___2023_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    got = {}
+    for r in doc_keywords(docs, k=5).collect():
+        got[r.doc_id] = [(kw.rank, kw.term, kw.tfidf)
+                         for kw in r.keywords]
+
+    post = term_postings(docs).toPandas()
+    con = duckdb.connect()
+    con.register("post", post)
+    want: dict = {}
+    for doc_id, rank, term, tfidf in con.execute("""
+        select doc_id, rn, term, round(tfidf, 6) from (
+          select doc_id, term, tfidf,
+                 row_number() over (partition by doc_id
+                     order by tfidf desc, term asc) as rn
+          from post) where rn <= 5""").fetchall():
+        want.setdefault(doc_id, []).append((rank, term, tfidf))
+    for d in want:
+        want[d].sort()
+    assert got == want and got
+
+
+def test_doc_keywords_min_idf_drops_ubiquitous_terms(spark):
+    from big_data_bowl___2023_spark.similarity.retrieval import (
+        doc_keywords,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "common alpha alpha alpha"), (2, "common beta beta"),
+         (3, "common gamma gamma")],
+        ["doc_id", "text"])
+    # 'common' is in every doc -> idf = log(1 + 0/3.x) near floor
+    out = {r.doc_id: [kw.term for kw in r.keywords]
+           for r in doc_keywords(docs, k=2, min_idf=0.2).collect()}
+    assert all("common" not in terms for terms in out.values())
+    assert out[1][0] == "alpha"
