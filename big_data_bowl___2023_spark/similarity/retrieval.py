@@ -102,7 +102,14 @@ def doc_keywords(docs: DataFrame, k: int = 10,
     in every doc while carrying no information).
 
     One ranking window over the postings, partitioned by doc —
-    postings volume is token volume, no extra corpus scan."""
+    postings volume is token volume, no extra corpus scan.
+
+    GROUP-grain labeling for free: pass a grouping column as
+    ``id_col`` (e.g. ``id_col="source"`` or a cluster-id column) —
+    ``term_postings`` sums tf across rows sharing an id, so the
+    "documents" become the groups and the keywords label each
+    source/cluster (idf then measures cross-GROUP distinctiveness).
+    """
     post = term_postings(docs, text_col, id_col)
     if min_idf > 0.0:
         post = post.filter(F.col("idf") >= F.lit(min_idf))

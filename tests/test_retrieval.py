@@ -173,3 +173,26 @@ def test_doc_keywords_min_idf_drops_ubiquitous_terms(spark):
            for r in doc_keywords(docs, k=2, min_idf=0.2).collect()}
     assert all("common" not in terms for terms in out.values())
     assert out[1][0] == "alpha"
+
+
+def test_group_grain_keywords_label_sources(spark):
+    """id_col = a grouping column turns doc_keywords into a
+    cluster/source labeler: per-group tf sums, idf across groups."""
+    from big_data_bowl___2023_spark.similarity.retrieval import (
+        doc_keywords,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "football touchdown quarterback", "sports"),
+         (2, "touchdown pass quarterback blitz", "sports"),
+         (3, "election ballot senate", "politics"),
+         (4, "senate vote ballot debate", "politics")],
+        ["doc_id", "text", "source"])
+    out = {r.doc_id: [kw.term for kw in r.keywords]
+           for r in doc_keywords(docs, k=2,
+                                 id_col="source").collect()}
+    assert set(out) == {"sports", "politics"}
+    assert set(out["sports"]) <= {"touchdown", "quarterback",
+                                  "football", "pass", "blitz"}
+    assert set(out["politics"]) <= {"senate", "ballot", "election",
+                                    "vote", "debate"}
