@@ -157,3 +157,75 @@ def test_mg_merge_undercount_and_candidate_bounds(stream, capacity,
         assert true_c - tracked <= bound
         if true_c > bound:
             assert k in state
+
+
+# ------------------------------------------------------------- SCD2
+
+@given(n1=st.integers(min_value=0, max_value=12),
+       n2=st.integers(min_value=1, max_value=12),
+       data=st.data())
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.data_too_large])
+def test_scd2_random_streams_match_replay(spark, n1, n2, data):
+    """Random two-phase update streams (init batch + apply batch,
+    unique (key, ts) by construction) always equal the python replay
+    of the documented semantics, and always satisfy the structural
+    invariants."""
+    from datetime import datetime
+
+    from big_data_bowl___2023_spark.operators.scd import (
+        scd2_apply,
+        scd2_init,
+    )
+
+    keys = ["a", "b"]
+    attrs = ["x", "y", "z"]
+    # unique (key, ts): sample distinct ts slots per key, split into
+    # init (earlier) and apply (later) halves
+    events = []
+    for k in keys:
+        n_ts = data.draw(st.integers(min_value=0,
+                                     max_value=n1 + n2))
+        ts_list = sorted(data.draw(st.lists(
+            st.integers(min_value=1, max_value=40),
+            min_size=n_ts, max_size=n_ts, unique=True)))
+        for t in ts_list:
+            events.append((k, data.draw(st.sampled_from(attrs)),
+                           datetime(2026, 1, 1, 0, t)))
+    if not events:
+        return
+    events.sort(key=lambda e: (e[0], e[2]))
+    cut = datetime(2026, 1, 1, 0, 20)
+    first = [e for e in events if e[2] < cut]
+    second = [e for e in events if e[2] >= cut]
+    if not first or not second:
+        return
+
+    def replay(seq):
+        state: dict = {}
+        for k, a, t in seq:
+            vers = state.setdefault(k, [])
+            if vers and vers[-1][0] == a:
+                continue
+            if vers:
+                vers[-1] = (vers[-1][0], vers[-1][1], t)
+            vers.append((a, t, None))
+        return {(k, a, vf, vt, vt is None)
+                for k, vers in state.items() for a, vf, vt in vers}
+
+    dim = scd2_init(spark.createDataFrame(
+        first, ["k", "attr", "effective_ts"]), ["k"])
+    out = scd2_apply(dim, spark.createDataFrame(
+        second, ["k", "attr", "effective_ts"]), ["k"]).collect()
+    got = {(r.k, r.attr, r.valid_from, r.valid_to, r.is_current)
+           for r in out}
+    assert got == replay(events)
+    by_key: dict = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append(r)
+    for vers in by_key.values():
+        assert sum(1 for v in vers if v.is_current) == 1
+        vs = sorted(vers, key=lambda v: v.valid_from)
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to == b.valid_from
