@@ -276,3 +276,46 @@ def category_shares_stream(stream: DataFrame, bins_by_col: dict
             .groupBy(F.col("p.column").alias("column"),
                      F.col("p.bucket").alias("bucket"))
             .count())
+
+
+def save_drift_artifacts(spark, path: str, edges_by_col: dict,
+                         bins_by_col: dict | None = None) -> None:
+    """Persist the frozen monitoring reference — numeric quantile
+    edges (``_all_edges``) and optional categorical top-K bins
+    (``category_bins``) — as one JSON artifact through the Hadoop
+    FileSystem API (local/HDFS/object store), the same pattern as the
+    PQ codebook artifacts: monitors across runs and streaming
+    restarts must bucket against the SAME reference, so the bins are
+    a versioned output of the reference snapshot, not something
+    recomputed per run."""
+    import json
+
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        payload = {"edges": edges_by_col,
+                   "bins": bins_by_col or {}}
+        out.write(bytearray(json.dumps(payload).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def load_drift_artifacts(spark, path: str) -> tuple[dict, dict]:
+    """(edges_by_col, bins_by_col) back from
+    :func:`save_drift_artifacts` — float round trip exact (json
+    repr doubles)."""
+    import json
+
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(jpath)
+    try:
+        util = jvm.org.apache.commons.io.IOUtils
+        data = util.toByteArray(stream)
+    finally:
+        stream.close()
+    payload = json.loads(bytes(data).decode("utf-8"))
+    return payload["edges"], payload["bins"]

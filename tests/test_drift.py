@@ -240,3 +240,25 @@ def test_streaming_categorical_shares_parity(spark, sf_dir, tmp_path):
     psi_batch = psi_report_categorical(
         ref, cur, ["event_type"]).first().psi
     assert psi_stream == psi_batch
+
+
+def test_drift_artifacts_round_trip(spark, sf_dir, tmp_path):
+    """Frozen reference bins persist through the Hadoop-FS JSON
+    artifact bit-exactly; a monitor rebuilt from the artifact
+    produces identical shares."""
+    from big_data_bowl___2023_spark.operators.drift import (
+        _all_edges,
+        _all_shares,
+        category_bins,
+        load_drift_artifacts,
+        save_drift_artifacts,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = _all_edges(ev, ["value"], 10, True)
+    bins = category_bins(ev, ["event_type"])
+    path = str(tmp_path / "drift_ref.json")
+    save_drift_artifacts(spark, path, edges, bins)
+    edges2, bins2 = load_drift_artifacts(spark, path)
+    assert edges2 == edges and bins2 == bins
+    assert _all_shares(ev, edges2) == _all_shares(ev, edges)
