@@ -13,12 +13,14 @@ with the usual reading: < 0.1 stable, 0.1–0.25 moderate shift,
 
 Spark shape: one pass over each snapshot per report (all columns
 folded into a single exploded groupBy) — reference bin
-edges come from the exact ``percentile`` aggregate (deterministic,
-oracle-matched; swap for approx_percentile at 100 TB, the knob is a
-parameter), bucket assignment is a codegen comparison chain (the
-same shape as ``sampling.quantile_buckets``), and the per-column
-shares are a pair of tiny aggregations joined on the bucket id.
-NULLs are their own bucket (a drift in nullability is drift).
+edges come from the exact ``percentile`` aggregate below
+EXACT_EDGES_MAX_ROWS (deterministic, oracle-matched) and
+``approxQuantile`` above it — auto-selected so the 100 TB default is
+never the full-materialization path — bucket assignment is a codegen
+comparison chain (the same shape as ``sampling.quantile_buckets``),
+and the per-column shares are a pair of tiny aggregations joined on
+the bucket id. NULLs are their own bucket, and float NaN its own
+(a drift in nullability — or NaN rate — is drift).
 
 Reference scope note: north-star extension (SURVEY.md §2
 extensions); the reference has no monitoring surface.
@@ -33,6 +35,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _EPS = 1e-6     # share smoothing: empty bins contribute finitely
+
+# exact_edges auto-selection: above this reference row count the exact
+# ``percentile`` aggregate (full per-column group materialization) is
+# the wrong default and the report switches to approxQuantile — the
+# scale path a 100 TB reference must take. One count() job, trivial
+# next to either edge computation.
+EXACT_EDGES_MAX_ROWS = 5_000_000
 
 
 def _all_edges(reference: DataFrame, cols: list, n_buckets: int,
@@ -53,17 +62,33 @@ def _all_edges(reference: DataFrame, cols: list, n_buckets: int,
     for c, edges in raw.items():
         ded: list[float] = []
         for e in edges:
-            # dedupe (constant/low-cardinality columns tie edges)
-            if e is not None and (not ded or e > ded[-1]):
+            # dedupe (constant/low-cardinality columns tie edges);
+            # drop non-finite edges — a NaN-polluted reference would
+            # otherwise poison the whole comparison chain (NaN fails
+            # every <=, breaking the monotone dedupe too)
+            if (e is not None and math.isfinite(e)
+                    and (not ded or e > ded[-1])):
                 ded.append(float(e))
         out[c] = ded
     return out
 
 
-def _bucket(col: str, edges: list[float]) -> F.Column:
+def _is_float(df: DataFrame, col: str) -> bool:
+    return df.schema[col].dataType.simpleString() in ("float", "double")
+
+
+def _bucket(col: str, edges: list[float],
+            is_float: bool = False) -> F.Column:
+    """NULL → bucket −1, NaN (float columns) → bucket −2: NaN fails
+    every ``<=`` edge comparison and would otherwise silently land in
+    the top value bucket, conflating a NaN-rate rise with high-value
+    drift — the module's stance is that nullability drift (and its
+    float cousin) is drift, so each gets its own bin."""
     b = F.lit(len(edges))                  # top bucket
     for i in reversed(range(len(edges))):
         b = F.when(F.col(col) <= F.lit(edges[i]), F.lit(i)).otherwise(b)
+    if is_float:
+        b = F.when(F.isnan(F.col(col)), F.lit(-2)).otherwise(b)
     return F.when(F.col(col).isNull(), F.lit(-1)).otherwise(b)
 
 
@@ -72,7 +97,7 @@ def _all_shares(df: DataFrame, edges_by_col: dict) -> dict:
     row explodes to (column, bucket) pairs, one groupBy."""
     pairs = F.array(*[
         F.struct(F.lit(c).alias("column"),
-                 _bucket(c, e).alias("bucket"))
+                 _bucket(c, e, _is_float(df, c)).alias("bucket"))
         for c, e in edges_by_col.items()])
     rows = (df.select(F.explode(pairs).alias("p"))
             .groupBy(F.col("p.column").alias("column"),
@@ -81,20 +106,37 @@ def _all_shares(df: DataFrame, edges_by_col: dict) -> dict:
     return {(r.column, r.bucket): r.n for r in rows}
 
 
+def _resolve_exact(reference: DataFrame,
+                   exact_edges: bool | None) -> bool:
+    """exact_edges=None → auto: exact ``percentile`` edges only while
+    the reference fits comfortably (≤ EXACT_EDGES_MAX_ROWS), else the
+    approxQuantile scale path — so the default a 100 TB caller gets is
+    never the full-materialization aggregate."""
+    if exact_edges is not None:
+        return exact_edges
+    return reference.count() <= EXACT_EDGES_MAX_ROWS
+
+
 def psi_report(reference: DataFrame, current: DataFrame,
                cols: Sequence[str], n_buckets: int = 10,
-               exact_edges: bool = True) -> DataFrame:
+               exact_edges: bool | None = None) -> DataFrame:
     """(column, psi, n_buckets_used): one PSI per numeric column,
     bucketed on the REFERENCE snapshot's quantile edges (NULL is its
-    own bucket, id −1). ``exact_edges=False`` switches the edge
-    computation to ``approxQuantile`` for corpus-scale references —
-    bucket SEMANTICS are identical, only edge placement is
-    approximate. Job count is independent of ``len(cols)``: one edge
-    pass over the reference, then one bucket-share scan per snapshot
-    (rows explode to (column, bucket) pairs, one groupBy)."""
+    own bucket, id −1; float NaN its own bucket, id −2).
+    ``n_buckets_used`` counts the bins actually OBSERVED in either
+    share table — including the NULL/NaN bins when populated — the
+    same convention as :func:`psi_report_categorical`.
+    ``exact_edges=False`` switches the edge computation to
+    ``approxQuantile`` for corpus-scale references — bucket SEMANTICS
+    are identical, only edge placement is approximate; the default
+    (None) auto-selects by reference size (EXACT_EDGES_MAX_ROWS).
+    Job count is independent of ``len(cols)``: one edge pass over the
+    reference, then one bucket-share scan per snapshot (rows explode
+    to (column, bucket) pairs, one groupBy)."""
     spark = reference.sparkSession
     cols = list(cols)
-    edges_by_col = _all_edges(reference, cols, n_buckets, exact_edges)
+    exact = _resolve_exact(reference, exact_edges)
+    edges_by_col = _all_edges(reference, cols, n_buckets, exact)
     ref_sh = _all_shares(reference, edges_by_col)
     cur_sh = _all_shares(current, edges_by_col)
     n_ref = {c: 0 for c in cols}
@@ -112,7 +154,7 @@ def psi_report(reference: DataFrame, current: DataFrame,
             p = max(ref_sh.get((c, b), 0) / max(n_ref[c], 1), _EPS)
             q = max(cur_sh.get((c, b), 0) / max(n_cur[c], 1), _EPS)
             psi += (q - p) * math.log(q / p)
-        rows.append((c, round(psi, 6), len(edges_by_col[c]) + 1))
+        rows.append((c, round(psi, 6), len(buckets)))
     return spark.createDataFrame(rows,
                                  "column string, psi double, "
                                  "n_buckets_used int")
@@ -121,12 +163,79 @@ def psi_report(reference: DataFrame, current: DataFrame,
 def drifted_columns(reference: DataFrame, current: DataFrame,
                     cols: Sequence[str], threshold: float = 0.25,
                     n_buckets: int = 10,
-                    exact_edges: bool = True) -> list[str]:
+                    exact_edges: bool | None = None) -> list[str]:
     """Columns whose PSI crosses ``threshold`` — the retrain/alert
     trigger list. ``exact_edges`` forwards to :func:`psi_report`
-    (False = the corpus-scale approx mode)."""
+    (False = the corpus-scale approx mode, None = auto by size)."""
     rep = psi_report(reference, current, cols, n_buckets, exact_edges)
     return [r.column for r in rep.collect() if r.psi >= threshold]
+
+
+def psi_report_grouped(reference: DataFrame, current: DataFrame,
+                       cols: Sequence[str], group_col: str,
+                       n_buckets: int = 10,
+                       exact_edges: bool | None = None) -> DataFrame:
+    """(``group_col``, column, psi, n_buckets_used): per-group PSI —
+    mix shift PER SOURCE, the question a corpus-wide report averages
+    away (a stable global distribution can hide one source drifting up
+    while another drifts down). Bin edges come from the WHOLE
+    reference (one pass), so every group is scored against the same
+    yardstick and group PSIs are comparable; each snapshot then takes
+    ONE (group, column, bucket) share scan. A group present in only
+    one snapshot is scored against the smoothed-empty other side —
+    appearing/vanishing sources read as large PSI, which is the right
+    alert. Driver-side arithmetic is bounded by groups × cols ×
+    (buckets + 2) rows: ``group_col`` must be low-cardinality (source
+    labels, shard families), not an id."""
+    spark = reference.sparkSession
+    cols = list(cols)
+    exact = _resolve_exact(reference, exact_edges)
+    edges_by_col = _all_edges(reference, cols, n_buckets, exact)
+
+    def shares(df):
+        pairs = F.array(*[
+            F.struct(F.lit(c).alias("column"),
+                     _bucket(c, e, _is_float(df, c)).alias("bucket"))
+            for c, e in edges_by_col.items()])
+        rows = (df.select(F.col(group_col).alias("g"),
+                          F.explode(pairs).alias("p"))
+                .groupBy("g", F.col("p.column").alias("column"),
+                         F.col("p.bucket").alias("bucket"))
+                .agg(F.count(F.lit(1)).alias("n")).collect())
+        return {(r.g, r.column, r.bucket): r.n for r in rows}
+
+    ref_sh = shares(reference)
+    cur_sh = shares(current)
+    groups = sorted({g for (g, _, _) in ref_sh}
+                    | {g for (g, _, _) in cur_sh},
+                    key=lambda g: (g is None, g))
+    n_ref: dict = {}
+    n_cur: dict = {}
+    for (g, c, _), n in ref_sh.items():
+        n_ref[(g, c)] = n_ref.get((g, c), 0) + n
+    for (g, c, _), n in cur_sh.items():
+        n_cur[(g, c)] = n_cur.get((g, c), 0) + n
+    rows = []
+    for g in groups:
+        for c in cols:
+            buckets = ({b for (gg, cc, b) in ref_sh
+                        if gg == g and cc == c}
+                       | {b for (gg, cc, b) in cur_sh
+                          if gg == g and cc == c})
+            if not buckets:
+                continue
+            psi = 0.0
+            for b in buckets:
+                p = max(ref_sh.get((g, c, b), 0)
+                        / max(n_ref.get((g, c), 0), 1), _EPS)
+                q = max(cur_sh.get((g, c, b), 0)
+                        / max(n_cur.get((g, c), 0), 1), _EPS)
+                psi += (q - p) * math.log(q / p)
+            rows.append((g, c, round(psi, 6), len(buckets)))
+    group_type = reference.schema[group_col].dataType.simpleString()
+    return spark.createDataFrame(
+        rows, f"{group_col} {group_type}, column string, psi double, "
+              "n_buckets_used int")
 
 
 def psi_report_categorical(reference: DataFrame, current: DataFrame,
@@ -138,8 +247,10 @@ def psi_report_categorical(reference: DataFrame, current: DataFrame,
     value asc); everything else folds into an OTHER bin and NULL is
     its own bin, so a new category surging in the current snapshot
     shows up as OTHER-share growth rather than silently vanishing.
-    Two tiny aggregations per column, same smoothing and reading as
-    :func:`psi_report`."""
+    ``n_categories_used`` counts the bins actually OBSERVED in either
+    share table (__other__/__null__ included only when populated) —
+    the same convention as :func:`psi_report`. Two tiny aggregations
+    per column, same smoothing and reading as :func:`psi_report`."""
     spark = reference.sparkSession
     rows = []
     for col in cols:
@@ -148,7 +259,6 @@ def psi_report_categorical(reference: DataFrame, current: DataFrame,
                 .groupBy(col).count()
                 .orderBy(F.desc("count"), F.asc(col))
                 .limit(max_categories).collect())]
-        topset = set(top)
         bin_expr = (F.when(F.col(col).isNull(), F.lit("__null__"))
                     .when(F.col(col).isin(*[F.lit(t) for t in top])
                           if top else F.lit(False),
@@ -168,7 +278,7 @@ def psi_report_categorical(reference: DataFrame, current: DataFrame,
             p = max(cr.get(b, 0) / max(nr, 1), _EPS)
             q = max(cc.get(b, 0) / max(nc, 1), _EPS)
             psi += (q - p) * math.log(q / p)
-        rows.append((col, round(psi, 6), len(topset) + 2))
+        rows.append((col, round(psi, 6), len(set(cr) | set(cc))))
     return spark.createDataFrame(rows,
                                  "column string, psi double, "
                                  "n_categories_used int")
@@ -186,7 +296,7 @@ def bucket_shares_stream(stream: DataFrame, edges_by_col: dict
     :func:`psi_from_shares` against the reference's shares."""
     pairs = F.array(*[
         F.struct(F.lit(c).alias("column"),
-                 _bucket(c, e).alias("bucket"))
+                 _bucket(c, e, _is_float(stream, c)).alias("bucket"))
         for c, e in edges_by_col.items()])
     return (stream.select(F.explode(pairs).alias("p"))
             .groupBy(F.col("p.column").alias("column"),

@@ -209,7 +209,13 @@ def heavy_hitters_from_summary(df: DataFrame, summary: DataFrame,
         .alias("n_cand")).first()
     n = stats.n or 0
     if n == 0:
-        return (df.groupBy(key_col)
+        # An empty summary describes an empty corpus. Returning a full
+        # groupBy of df here would silently run the exact unthresholded
+        # full-shuffle query this operator exists to avoid whenever the
+        # summary is stale or mismatched — fail safe with an empty
+        # result in the output schema instead.
+        return (df.select(key_col).limit(0)
+                .groupBy(key_col)
                 .agg(F.count(F.lit(1)).alias("count")))
     min_count = ceil_phi_n(min_freq_ratio, n)
     # padding rows (all-decremented partitions) are key-NULL with

@@ -119,8 +119,33 @@ def scd2_apply(dim: DataFrame, updates: DataFrame,
     (key, ts) updates are deduplicated deterministically (smallest
     attribute tuple wins).
 
+    A CDC consumer that needs the dropped late rows back (to decide
+    on reprocessing / an scd2_init rebuild) should call
+    :func:`scd2_apply_with_quarantine` instead — same result
+    dimension, plus the quarantined updates as a DataFrame.
+
     Invariants (tested): exactly one ``is_current`` row per key;
     per-key intervals are non-overlapping and contiguous."""
+    new_dim, _ = scd2_apply_with_quarantine(dim, updates, key_cols,
+                                            ts_col, compare_cols)
+    return new_dim
+
+
+def scd2_apply_with_quarantine(
+        dim: DataFrame, updates: DataFrame, key_cols: Sequence[str],
+        ts_col: str = "effective_ts",
+        compare_cols: Sequence[str] | None = None
+        ) -> tuple[DataFrame, DataFrame]:
+    """(new_dim, quarantined): :func:`scd2_apply` plus the LATE
+    updates it dropped, in the update batch's own schema (keys +
+    attributes + ``ts_col``). An update is quarantined when its
+    timestamp is at or before its key's currently-open
+    ``valid_from`` — applying it would rewrite closed history — and
+    for in-order feeds the quarantine is empty (zero behavior
+    change). Duplicate-(key, ts) rows removed by the deterministic
+    dedupe are NOT quarantined (they are redundant, not late). The
+    quarantine rides the same keys-join the admission filter already
+    performs, so exposing it adds no extra shuffle."""
     keys = list(key_cols)
     attrs = [c for c in updates.columns
              if c not in keys and c != ts_col]
@@ -135,9 +160,12 @@ def scd2_apply(dim: DataFrame, updates: DataFrame,
     open_meta = cur.select(*keys, F.col("valid_from").alias("__cur_vf"),
                            F.struct(*[F.col(c) for c in cmp_cols])
                            .alias("__cur_attrs"))
-    upd = (updates.join(open_meta, keys, "left")
-           .filter(F.col("__cur_vf").isNull()
-                   | (F.col(ts_col) > F.col("__cur_vf"))))
+    joined = updates.join(open_meta, keys, "left")
+    admissible = (F.col("__cur_vf").isNull()
+                  | (F.col(ts_col) > F.col("__cur_vf")))
+    quarantined = (joined.filter(~admissible)
+                   .select(*updates.columns))
+    upd = joined.filter(admissible)
 
     # no-change suppression against the running previous attributes:
     # the first update per key compares against the OPEN row's
@@ -175,7 +203,7 @@ def scd2_apply(dim: DataFrame, updates: DataFrame,
               .drop("__close_at"))
 
     return (hist.unionByName(closed)
-            .unionByName(new_versions))
+            .unionByName(new_versions)), quarantined
 
 
 def scd2_at(dim: DataFrame, ts) -> DataFrame:
@@ -209,4 +237,7 @@ def scd2_enrich(facts: DataFrame, dim: DataFrame,
             & (dim["valid_to"].isNull()
                | (dim["valid_to"] > facts[ts_col])))
     joined = facts.join(dim, cond, how)
-    return joined.drop(*[dim[k] for k in keys]).drop("is_current")
+    # drop the DIMENSION's bookkeeping columns specifically — a bare
+    # .drop("is_current") would hit (or ambiguously match) a fact
+    # column of the same name and corrupt the fact side
+    return joined.drop(*[dim[k] for k in keys]).drop(dim["is_current"])

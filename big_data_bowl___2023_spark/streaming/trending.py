@@ -123,3 +123,41 @@ def latest_summaries(emitted: DataFrame) -> DataFrame:
             .withColumn("__mx", F.max("bucket_rows").over(w))
             .filter(F.col("bucket_rows") == F.col("__mx"))
             .drop("__mx"))
+
+
+def summaries_as_batch(latest: DataFrame) -> DataFrame:
+    """Adapt :func:`latest_summaries` output to the batch summary
+    schema (key, lower_bound, is_null_key, part_rows) so the
+    monitor→exact-recount loop closes as ONE pipeline:
+
+        stream → streaming_heavy_hitters → latest_summaries
+               → summaries_as_batch
+               → operators.heavy.heavy_hitters_from_summary(archive, …)
+
+    Each bucket plays the role of a batch partition: its summary saw
+    that bucket's FULL keyspace slice, so the per-bucket MG bound maps
+    exactly onto the per-partition bound ``heavy_hitters_from_summary``
+    relies on. ``bucket_rows`` is carried as ``part_rows`` on one row
+    per bucket (0 on the rest) so a plain sum recovers n; the NULL-key
+    marker an emptied bucket emits becomes a padding row (lower_bound
+    0, is_null_key False — the streaming operator drops NULL keys, so
+    a NULL-key CANDIDATE cannot exist and the archived stream must be
+    filtered to non-NULL keys the same way before the recount). Keys
+    stay strings (the streaming state schema); cast the archive's key
+    column to string for the recount join. Tiny input (≤ buckets ×
+    capacity rows) — the window is free."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy("bucket")
+         .orderBy(F.col("key").asc_nulls_last())
+         .rowsBetween(Window.unboundedPreceding,
+                      Window.currentRow))
+    return (latest
+            .withColumn("__rn", F.count(F.lit(1)).over(w))
+            .select(
+                F.col("key"),
+                F.coalesce(F.col("lower_bound"), F.lit(0))
+                .alias("lower_bound"),
+                F.lit(False).alias("is_null_key"),
+                F.when(F.col("__rn") == 1, F.col("bucket_rows"))
+                .otherwise(F.lit(0)).alias("part_rows")))

@@ -262,3 +262,187 @@ def test_drift_artifacts_round_trip(spark, sf_dir, tmp_path):
     edges2, bins2 = load_drift_artifacts(spark, path)
     assert edges2 == edges and bins2 == bins
     assert _all_shares(ev, edges2) == _all_shares(ev, edges)
+
+
+def test_nan_gets_its_own_bucket(spark):
+    """Float NaN routes to bucket −2 — a NaN-rate rise must read as
+    its own drift, not as high-value drift in the top bucket."""
+    from big_data_bowl___2023_spark.operators.drift import (
+        _all_edges,
+        _all_shares,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, float(i % 10)) for i in range(1000)], ["id", "x"])
+    cur = spark.createDataFrame(
+        [(i, float("nan") if i % 2 else float(i % 10))
+         for i in range(1000)], ["id", "x"])
+    edges = _all_edges(ref, ["x"], 10, True)
+    sh = _all_shares(cur, edges)
+    assert sh[("x", -2)] == 500                 # NaN bucket, exact
+    # the top value bucket did NOT absorb the NaNs: value buckets sum
+    # to exactly the 500 real values
+    assert sum(n for (c, b), n in sh.items() if b >= 0) == 500
+
+    # exact python-oracle parity with NaN routing mirrored
+    psi = psi_report(ref, cur, ["x"]).first().psi
+
+    def bucket(v):
+        if v is None:
+            return -1
+        if math.isnan(v):
+            return -2
+        es = edges["x"]
+        for i, e in enumerate(es):
+            if v <= e:
+                return i
+        return len(es)
+
+    refv = [r.x for r in ref.select("x").collect()]
+    curv = [r.x for r in cur.select("x").collect()]
+
+    def shares(vals):
+        c: dict = {}
+        for v in vals:
+            c[bucket(v)] = c.get(bucket(v), 0) + 1
+        return c
+
+    cr, cc = shares(refv), shares(curv)
+    want = 0.0
+    for b in set(cr) | set(cc):
+        p = max(cr.get(b, 0) / 1000, 1e-6)
+        q = max(cc.get(b, 0) / 1000, 1e-6)
+        want += (q - p) * math.log(q / p)
+    assert psi == round(want, 6)
+    assert psi > 0.25        # half the column going NaN is a red alert
+
+
+def test_bin_counts_report_observed_bins(spark):
+    """n_buckets_used / n_categories_used both count bins actually
+    observed in the share tables — NULL/NaN/__other__ included only
+    when populated (the two reports use one convention)."""
+    from big_data_bowl___2023_spark.operators.drift import (
+        psi_report_categorical,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, float(i % 10)) for i in range(1000)], ["id", "x"])
+    r = psi_report(ref, ref, ["x"]).first()
+    assert r.n_buckets_used == 10               # no NULL/NaN observed
+    cur = spark.createDataFrame(
+        [(i, None if i % 2 else float(i % 10)) for i in range(1000)],
+        "id long, x double")
+    r2 = psi_report(ref, cur, ["x"]).first()
+    assert r2.n_buckets_used == 11              # + the NULL bin
+
+    cat_ref = spark.createDataFrame(
+        [(i, "ab"[i % 2]) for i in range(100)], ["id", "c"])
+    rc = psi_report_categorical(cat_ref, cat_ref, ["c"]).first()
+    assert rc.n_categories_used == 2            # no __other__/__null__
+    cat_cur = spark.createDataFrame(
+        [(i, None if i % 4 == 0 else "abz"[i % 3])
+         for i in range(100)], "id long, c string")
+    rc2 = psi_report_categorical(cat_ref, cat_cur, ["c"]).first()
+    assert rc2.n_categories_used == 4           # a, b, __other__, __null__
+
+
+def test_exact_edges_auto_selects_by_reference_size(spark, monkeypatch):
+    """Default exact_edges=None picks exact percentile edges for small
+    references and the approxQuantile scale path above the threshold —
+    the 100 TB default is never the full-materialization aggregate."""
+    from big_data_bowl___2023_spark.operators import drift
+
+    ref = spark.createDataFrame(
+        [(i, float(i)) for i in range(2000)], ["id", "x"])
+    cur = spark.createDataFrame(
+        [(i, float(i) + 100.0) for i in range(2000)], ["id", "x"])
+
+    auto_small = psi_report(ref, cur, ["x"]).first().psi
+    exact = psi_report(ref, cur, ["x"], exact_edges=True).first().psi
+    assert auto_small == exact                  # small ref -> exact
+
+    monkeypatch.setattr(drift, "EXACT_EDGES_MAX_ROWS", 100)
+    auto_big = psi_report(ref, cur, ["x"]).first().psi
+    approx = psi_report(ref, cur, ["x"], exact_edges=False).first().psi
+    assert auto_big == approx                   # big ref -> approx
+
+
+def test_grouped_psi_per_source(spark):
+    """psi_report_grouped: per-group PSI against SHARED whole-reference
+    edges — one group drifting is visible even when the global mix is
+    engineered to look stable; python oracle parity per group."""
+    import random
+
+    from big_data_bowl___2023_spark.operators.drift import (
+        _all_edges,
+        psi_report_grouped,
+    )
+
+    rnd = random.Random(13)
+    # two sources, same base distribution in the reference
+    ref_rows = [(("s1" if i % 2 else "s2"), rnd.gauss(0.0, 1.0))
+                for i in range(4000)]
+    # current: s1 shifts +2 sigma, s2 shifts -2 sigma — the GLOBAL
+    # mean is unchanged, only the grouped report can see it
+    cur_rows = [(g, v + (2.0 if g == "s1" else -2.0))
+                for g, v in ref_rows]
+    ref = spark.createDataFrame(ref_rows, ["src", "x"])
+    cur = spark.createDataFrame(cur_rows, ["src", "x"])
+
+    rep = {(r.src, r.column): (r.psi, r.n_buckets_used)
+           for r in psi_report_grouped(ref, cur, ["x"], "src")
+           .collect()}
+    assert set(rep) == {("s1", "x"), ("s2", "x")}
+    assert rep[("s1", "x")][0] > 1.0 and rep[("s2", "x")][0] > 1.0
+
+    # the global (ungrouped) report on the same pair is much tamer
+    # than either group's drift — the signal the grouped report adds
+    global_psi = psi_report(ref, cur, ["x"]).first().psi
+    assert global_psi < min(rep[("s1", "x")][0], rep[("s2", "x")][0])
+
+    # python oracle on one group, using the SHARED reference edges
+    edges = _all_edges(ref, ["x"], 10, True)["x"]
+
+    def bucket(v):
+        for i, e in enumerate(edges):
+            if v <= e:
+                return i
+        return len(edges)
+
+    def psi_of(refv, curv):
+        cr: dict = {}
+        cc: dict = {}
+        for v in refv:
+            cr[bucket(v)] = cr.get(bucket(v), 0) + 1
+        for v in curv:
+            cc[bucket(v)] = cc.get(bucket(v), 0) + 1
+        s = 0.0
+        for b in set(cr) | set(cc):
+            p = max(cr.get(b, 0) / len(refv), 1e-6)
+            q = max(cc.get(b, 0) / len(curv), 1e-6)
+            s += (q - p) * math.log(q / p)
+        return round(s, 6)
+
+    for g in ("s1", "s2"):
+        want = psi_of([v for gg, v in ref_rows if gg == g],
+                      [v for gg, v in cur_rows if gg == g])
+        assert rep[(g, "x")][0] == want
+
+
+def test_grouped_psi_appearing_vanishing_source(spark):
+    """A source present in only one snapshot is scored against the
+    smoothed-empty other side — it must appear in the report with a
+    large PSI, not vanish."""
+    from big_data_bowl___2023_spark.operators.drift import (
+        psi_report_grouped,
+    )
+
+    ref = spark.createDataFrame(
+        [("old", float(i % 7)) for i in range(500)], ["src", "x"])
+    cur = spark.createDataFrame(
+        [("new", float(i % 7)) for i in range(500)], ["src", "x"])
+    rep = {r.src: r.psi
+           for r in psi_report_grouped(ref, cur, ["x"], "src")
+           .collect()}
+    assert set(rep) == {"old", "new"}
+    assert rep["old"] > 1.0 and rep["new"] > 1.0

@@ -271,3 +271,20 @@ def test_semantic_null_embeddings_ignored(spark):
     rep = semantic_contamination_report(corpus, bench, 0.99).collect()
     assert [(r.vec_id, r.bench_id, r.cosine) for r in rep] \
         == [(1, 100, 1.0)]
+
+
+def test_empty_summary_fails_safe(spark):
+    """An empty/mismatched summary must NOT degrade into the exact
+    unthresholded full-shuffle groupBy the operator exists to avoid —
+    it returns an empty result in the output schema instead."""
+    from big_data_bowl___2023_spark.operators.heavy import (
+        heavy_hitters_from_summary,
+    )
+
+    corpus = spark.createDataFrame(
+        [("x",)] * 50 + [(f"t{i}",) for i in range(100)], "k string")
+    empty_summary = partition_summaries(
+        corpus.filter(F.lit(False)), "k", 8)
+    out = heavy_hitters_from_summary(corpus, empty_summary, "k", 0.1)
+    assert out.columns == ["k", "count"]
+    assert out.count() == 0

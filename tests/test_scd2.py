@@ -225,3 +225,73 @@ def test_duplicate_ts_deterministic(spark):
                             for r in rs)
     assert key(a) == key(b)
     assert key(a)[0][0] == "aaa"      # min tuple won the T(1) slot
+
+
+def test_apply_quarantines_late_updates(spark):
+    """scd2_apply_with_quarantine returns the dropped late rows in the
+    update batch's own schema; the result dimension is identical to
+    scd2_apply's."""
+    from big_data_bowl___2023_spark.operators.scd import (
+        scd2_apply_with_quarantine,
+    )
+
+    dim = scd2_init(spark.createDataFrame(
+        [("a", "v1", T(3)), ("b", "x", T(4))],
+        ["k", "attr", "effective_ts"]), ["k"])
+
+    ups = spark.createDataFrame(
+        [("a", "v2", T(5)),       # in-order: applies
+         ("a", "v0", T(2)),       # late (ts < a's valid_from): drop
+         ("b", "y", T(4)),        # late (ts == b's valid_from): drop
+         ("c", "new", T(1))],     # unknown key: any ts admissible
+        ["k", "attr", "effective_ts"])
+    new_dim, quarantined = scd2_apply_with_quarantine(dim, ups, ["k"])
+
+    assert quarantined.columns == ["k", "attr", "effective_ts"]
+    assert {(r.k, r.attr, r.effective_ts)
+            for r in quarantined.collect()} == {
+        ("a", "v0", T(2)), ("b", "y", T(4))}
+
+    got = {(r.k, r.attr, r.valid_from, r.valid_to, r.is_current)
+           for r in new_dim.collect()}
+    assert got == {(r.k, r.attr, r.valid_from, r.valid_to,
+                    r.is_current)
+                   for r in scd2_apply(dim, ups, ["k"]).collect()}
+    _invariants(new_dim.collect())
+    assert ("c", "new", T(1), None, True) in got
+
+
+def test_quarantine_empty_for_in_order_feed(spark):
+    """Zero behavior change for in-order feeds: empty quarantine, and
+    deduped duplicate-(key, ts) rows are NOT quarantined (redundant,
+    not late)."""
+    from big_data_bowl___2023_spark.operators.scd import (
+        scd2_apply_with_quarantine,
+    )
+
+    dim = scd2_init(spark.createDataFrame(
+        [("a", "v1", T(1))], ["k", "attr", "effective_ts"]), ["k"])
+    ups = spark.createDataFrame(
+        [("a", "v2", T(3)), ("a", "v9", T(3)),    # dup (key, ts)
+         ("b", "x", T(2))],
+        ["k", "attr", "effective_ts"])
+    _, quarantined = scd2_apply_with_quarantine(dim, ups, ["k"])
+    assert quarantined.count() == 0
+
+
+def test_enrich_survives_fact_side_is_current(spark):
+    """A fact table carrying its own is_current column keeps it intact
+    through the time-travel enrich — only the dimension's bookkeeping
+    column is dropped."""
+    from big_data_bowl___2023_spark.operators.scd import scd2_enrich
+
+    dim = scd2_init(spark.createDataFrame(
+        [("a", "v1", T(1)), ("a", "v2", T(5))],
+        ["k", "attr", "effective_ts"]), ["k"])
+    facts = spark.createDataFrame(
+        [(1, "a", T(2), True), (2, "a", T(6), False)],
+        ["fact_id", "k", "ts", "is_current"])
+    out = scd2_enrich(facts, dim, ["k"], "ts")
+    assert out.columns.count("is_current") == 1
+    got = {r.fact_id: (r.attr, r.is_current) for r in out.collect()}
+    assert got == {1: ("v1", True), 2: ("v2", False)}
