@@ -21,6 +21,15 @@ Prints one JSON line per scale point; paste the table into
 BASELINE.md as the round-3 scaling record.
 
 Usage: SPARK_GRAFT_CPUS=16 python tools/stress_scale.py [sf_dir]
+
+``--product S1 S2 ...`` (e.g. ``--product 16 64``) runs ONLY the
+document-product legs — repeated-line scrub, heavy hitters, sequence
+assembly, curation_e2e — at the given scales. 64x (320k docs at
+sf0.1) is past the point where the serial job-count floor dominates
+local wall time, so the data term's slope is finally visible: the
+strongest 100x-readiness evidence available on one machine. The
+embedding legs are excluded from --product because 64x replication of
+the vector corpus measures the replica generator, not the engine.
 """
 
 from __future__ import annotations
@@ -100,12 +109,81 @@ def scaled(base, scale: int, repl):
     return out
 
 
+def product_legs(spark, docs0, scales) -> None:
+    """Document-product legs only (line scrub, heavy hitters,
+    sequence assembly, curation_e2e) at the requested scales — the
+    64x evidence run."""
+    from big_data_bowl___2023_spark.operators.chunking import (
+        assemble_sequences,
+        sequence_manifest,
+    )
+    from big_data_bowl___2023_spark.pipelines.curation import (
+        curation_frame,
+    )
+
+    boiler = ("subscribe to the data digest newsletter for "
+              "weekly updates and offers")
+    for scale in scales:
+        docs = scaled(docs0, scale, replicate_documents) \
+            .localCheckpoint()
+        n_docs = docs.count()
+        docs_ml = docs.withColumn(
+            "text",
+            F.concat(F.regexp_replace("text", " merge(_\\d+)? ", "\n"),
+                     F.lit("\n" + boiler)))
+
+        t0 = time.time()
+        n_hot = repeated_line_stats(docs_ml, min_chars=10).count()
+        n_kept = remove_repeated_lines(docs_ml, min_chars=10).count()
+        t_lines = time.time() - t0
+
+        t0 = time.time()
+        n_heavy = heavy_hitters(split_lines(docs_ml), "line",
+                                0.001).count()
+        t_heavy = time.time() - t0
+
+        t0 = time.time()
+        n_seq = sequence_manifest(
+            assemble_sequences(docs_ml, 512, group_cols=("source",)),
+            group_cols=("source",)).count()
+        t_seq = time.time() - t0
+
+        benchmark = (docs_ml.filter(F.col("doc_id") % 97 == 0)
+                     .select(F.col("doc_id").alias("bench_id"), "text"))
+        t0 = time.time()
+        (curation_frame(docs_ml, benchmark=benchmark, seq_len=128,
+                        shard_budget=1024, min_words=20,
+                        line_dedup_min_chars=10)
+         .write.format("noop").mode("overwrite").save())
+        t_cur = time.time() - t0
+
+        print(json.dumps({
+            "scale": scale, "n_docs": n_docs,
+            "repeated_lines": n_hot, "line_docs_out": n_kept,
+            "line_dedup_sec": round(t_lines, 2),
+            "heavy_keys": n_heavy, "heavy_sec": round(t_heavy, 2),
+            "sequences": n_seq, "seq_assembly_sec": round(t_seq, 2),
+            "curation_sec": round(t_cur, 2),
+        }), flush=True)
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    argv = sys.argv[1:]
+    product_scales = None
+    if "--product" in argv:
+        i = argv.index("--product")
+        product_scales = [int(s) for s in argv[i + 1:]] or [16, 64]
+        argv = argv[:i]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
     spark = get_spark("stress")
-    emb0 = load_table(spark, sf_dir, "embeddings").cache()
     docs0 = load_table(spark, sf_dir, "documents").cache()
-    emb0.count(), docs0.count()
+    docs0.count()
+    if product_scales is not None:
+        product_legs(spark, docs0, product_scales)
+        spark.stop()
+        return
+    emb0 = load_table(spark, sf_dir, "embeddings").cache()
+    emb0.count()
 
     for scale in SCALES:
         emb = scaled(emb0, scale, replicate_embeddings).localCheckpoint()

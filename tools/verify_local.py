@@ -10,6 +10,14 @@ Usage: python tools/verify_local.py [sf_dir] [name_filter ...]
 ``--extras`` additionally smoke-runs the bench-only operators
 (bench.py `_extra_ops` — outside the 50-slot driver registry, so
 rows-only: each must execute and return > 0 rows).
+
+``--bench-gate`` appends an anchor-aware micro-bench: three cheap
+representative queries (q1 wide agg, w1 window scan, minhash dedup)
+run median-of-3 at sf0.1 through the noop sink and print their ratio
+to the committed ``BASELINE_anchors.json`` quiet-run anchors — a plan
+regression in the core paths is caught here, before the driver's
+bench sweep is the first to see it. Ratios ≲ 1.5x are noise on a
+shared VM; > 2x on a quiet machine means look at the plan.
 """
 
 from __future__ import annotations
@@ -50,9 +58,48 @@ def frame_hash(df: pd.DataFrame) -> tuple[int, list[str], str]:
     return len(df), cols, h
 
 
+GATE_QUERIES = ("q1_pricing_summary", "w1_lag_delta",
+                "dedup_minhash_lsh")
+
+
+def bench_gate(spark, qs) -> None:
+    """Median-of-3 micro-bench of GATE_QUERIES at sf0.1 vs the
+    committed quiet-run anchors; prints one line per query."""
+    import json
+    import statistics
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "BASELINE_anchors.json")
+    if not os.path.exists(path):
+        print("bench-gate: no BASELINE_anchors.json, skipping")
+        return
+    with open(path) as fh:
+        anchors = json.load(fh)["anchors"]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR",
+                            "/root/testdata/sf0.1")
+    print("\nbench-gate (sf0.1, median-of-3 vs quiet anchors):")
+    for name in GATE_QUERIES:
+        if name not in qs or name not in anchors:
+            continue
+        qs[name](spark, sf_dir).write.format("noop") \
+            .mode("overwrite").save()            # warm
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop") \
+                .mode("overwrite").save()
+            runs.append(time.time() - t0)
+        med = statistics.median(runs)
+        a = anchors[name]
+        print(f"  {name}: {med:.2f}s vs anchor {a:.2f}s "
+              f"= {med / a:.2f}x")
+
+
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--extras"]
+    args = [a for a in sys.argv[1:]
+            if a not in ("--extras", "--bench-gate")]
     with_extras = "--extras" in sys.argv[1:]
+    with_gate = "--bench-gate" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     name_filter = args[1:]
 
@@ -118,6 +165,14 @@ def main() -> int:
                 for a, b in diffs[:3]:
                     print(f"  spark : {a}\n  oracle: {b}")
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    if with_gate:
+        gate_qs = registry.all_queries()
+        try:
+            import bench
+            gate_qs.update(bench._extra_ops())
+        except Exception:
+            pass
+        bench_gate(spark, gate_qs)
     spark.stop()
     return 1 if n_fail else 0
 
