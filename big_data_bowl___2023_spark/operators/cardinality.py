@@ -1,0 +1,87 @@
+"""Mergeable distinct-count summaries (HyperLogLog sketches).
+
+The cardinality complement of the Misra-Gries frequency artifacts
+(``operators.heavy``): "how many distinct URLs / fingerprints / users
+per source" over a growing corpus, without ever rescanning old
+batches. ``COUNT(DISTINCT key)`` at 100 TB shuffles every distinct
+key; an HLL sketch is a bounded (~KB) binary summary whose union is
+lossless with respect to the estimate — so each ingest batch persists
+one tiny sketch row per group, and corpus-wide distinct counts come
+from unioning artifacts, never from the raw data.
+
+Spark shape: the Apache DataSketches HLL aggregates that ship with
+Spark (``hll_sketch_agg`` / ``hll_union_agg`` /
+``hll_sketch_estimate``) — JVM-side, map-side partial aggregation,
+one tiny groupBy per batch. No UDFs anywhere. Relative error is
+~1.04/sqrt(2^lgConfigK) (~1.6% at the default lgConfigK=12);
+``lg_config_k`` is the knob when tighter counts are worth 2× sketch
+bytes per step.
+
+The artifact is a plain DataFrame (group cols + binary sketch), so it
+persists as parquet like any table — same pattern as the PQ codebook
+and drift-edge artifacts.
+
+Reference scope note: north-star extension (SURVEY.md §2 extensions);
+the reference has no cardinality surface.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cardinality_summary(df: DataFrame, key_col: str,
+                        group_cols: Sequence[str] = (),
+                        lg_config_k: int = 12) -> DataFrame:
+    """(group_cols..., sketch): one HLL sketch of ``key_col``'s
+    distinct values per group — the per-batch artifact. NULL keys are
+    ignored (SQL COUNT(DISTINCT) semantics); a NULL GROUP is its own
+    row (SQL GROUP BY semantics). One map-side-combined groupBy; the
+    output is ≤ groups rows of ~KB sketches regardless of input
+    size."""
+    gcols = list(group_cols)
+    agg = F.hll_sketch_agg(key_col, lg_config_k).alias("sketch")
+    if gcols:
+        return df.groupBy(*gcols).agg(agg)
+    return df.agg(agg)
+
+
+def merge_cardinality(*summaries: DataFrame) -> DataFrame:
+    """Fold several :func:`cardinality_summary` outputs (same
+    group_cols and lg_config_k) into one summary with the same
+    schema: sketch union is associative and commutative, so a growing
+    corpus' running distinct counts never rescan old batches — the
+    same move as ``operators.heavy.merge_summaries``, for
+    cardinality. Union + groupBy over tiny artifact rows."""
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.unionByName(s)
+    gcols = [c for c in out.columns if c != "sketch"]
+    agg = F.hll_union_agg("sketch").alias("sketch")
+    if gcols:
+        return out.groupBy(*gcols).agg(agg)
+    return out.agg(agg)
+
+
+def cardinality_estimate(summary: DataFrame) -> DataFrame:
+    """(group_cols..., distinct_estimate): the readable form of a
+    (possibly merged) summary. Pure projection — zero shuffle."""
+    gcols = [c for c in summary.columns if c != "sketch"]
+    return summary.select(
+        *gcols,
+        F.hll_sketch_estimate("sketch").alias("distinct_estimate"))
+
+
+def distinct_count_report(df: DataFrame, key_col: str,
+                          group_cols: Sequence[str] = (),
+                          lg_config_k: int = 12) -> DataFrame:
+    """One-shot (group_cols..., distinct_estimate) — sketch + estimate
+    in a single pass for callers that don't need the artifact. At
+    100 TB this replaces ``groupBy(...).agg(countDistinct(key))``:
+    the shuffle carries one sketch per group instead of every
+    distinct key."""
+    return cardinality_estimate(
+        cardinality_summary(df, key_col, group_cols, lg_config_k))
