@@ -21,6 +21,13 @@ The artifact is a plain DataFrame (group cols + binary sketch), so it
 persists as parquet like any table — same pattern as the PQ codebook
 and drift-edge artifacts.
 
+Relationship to ``operators.incremental``: that module embeds the same
+HLL primitive as ONE column inside a maintained multi-aggregate rollup
+state (count/sum/min/max/avg + distinct, merged per refresh); this one
+is the standalone cardinality-only surface — per-batch artifacts you
+union ad hoc, across arbitrary batch groupings, without adopting the
+rollup-state loop. Same sketches, interchangeable bytes.
+
 Reference scope note: north-star extension (SURVEY.md §2 extensions);
 the reference has no cardinality surface.
 """

@@ -18,6 +18,10 @@ The stored state is just a DataFrame (parquet-persistable, binary
 sketch column included), so the maintenance loop is: read state ∪
 partial(new batch) → merge → write state. Nothing here rescans
 anything but the delta.
+
+For cardinality-ONLY questions (per-source distinct URLs across
+ingest batches, no other aggregates), ``operators.cardinality`` is
+the standalone artifact surface over the same HLL primitive.
 """
 
 from __future__ import annotations

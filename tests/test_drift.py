@@ -446,3 +446,21 @@ def test_grouped_psi_appearing_vanishing_source(spark):
            .collect()}
     assert set(rep) == {"old", "new"}
     assert rep["old"] > 1.0 and rep["new"] > 1.0
+
+
+def test_grouped_psi_degenerates_to_ungrouped(spark, sf_dir):
+    """With one group, psi_report_grouped must equal psi_report —
+    both bucket on the same whole-reference edges, so the grouped
+    report is a strict refinement, not a different statistic."""
+    from big_data_bowl___2023_spark.operators.drift import (
+        psi_report_grouped,
+    )
+
+    ev = load_table(spark, sf_dir, "events") \
+        .withColumn("g", F.lit("all"))
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    grouped = psi_report_grouped(ref, cur, ["value"], "g").first()
+    flat = psi_report(ref, cur, ["value"]).first()
+    assert grouped.psi == flat.psi
+    assert grouped.n_buckets_used == flat.n_buckets_used
