@@ -174,7 +174,8 @@ def drifted_columns(reference: DataFrame, current: DataFrame,
 def psi_report_grouped(reference: DataFrame, current: DataFrame,
                        cols: Sequence[str], group_col: str,
                        n_buckets: int = 10,
-                       exact_edges: bool | None = None) -> DataFrame:
+                       exact_edges: bool | None = None,
+                       max_groups: int = 10_000) -> DataFrame:
     """(``group_col``, column, psi, n_buckets_used): per-group PSI —
     mix shift PER SOURCE, the question a corpus-wide report averages
     away (a stable global distribution can hide one source drifting up
@@ -186,9 +187,21 @@ def psi_report_grouped(reference: DataFrame, current: DataFrame,
     appearing/vanishing sources read as large PSI, which is the right
     alert. Driver-side arithmetic is bounded by groups × cols ×
     (buckets + 2) rows: ``group_col`` must be low-cardinality (source
-    labels, shard families), not an id."""
+    labels, shard families), not an id — ``max_groups`` enforces it
+    (one cheap partial-agg count per snapshot) so an id column fails
+    fast instead of collecting millions of share rows."""
     spark = reference.sparkSession
     cols = list(cols)
+    n_groups = max(
+        reference.select(group_col).distinct().count(),
+        current.select(group_col).distinct().count())
+    if n_groups > max_groups:
+        raise ValueError(
+            f"group_col '{group_col}' has {n_groups} distinct values "
+            f"(> max_groups={max_groups}); the grouped report "
+            f"collects groups x cols x buckets share rows on the "
+            f"driver — pass a low-cardinality grouping (source "
+            f"labels), or raise max_groups deliberately")
     exact = _resolve_exact(reference, exact_edges)
     edges_by_col = _all_edges(reference, cols, n_buckets, exact)
 

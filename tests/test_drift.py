@@ -464,3 +464,18 @@ def test_grouped_psi_degenerates_to_ungrouped(spark, sf_dir):
     flat = psi_report(ref, cur, ["value"]).first()
     assert grouped.psi == flat.psi
     assert grouped.n_buckets_used == flat.n_buckets_used
+
+
+def test_grouped_psi_rejects_id_grouping(spark):
+    """An id-cardinality group_col fails fast instead of collecting
+    millions of driver-side share rows."""
+    import pytest
+
+    from big_data_bowl___2023_spark.operators.drift import (
+        psi_report_grouped,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i % 10)) for i in range(500)], ["id", "x"])
+    with pytest.raises(ValueError, match="max_groups"):
+        psi_report_grouped(df, df, ["x"], "id", max_groups=100)
