@@ -229,3 +229,69 @@ def test_scd2_random_streams_match_replay(spark, n1, n2, data):
         vs = sorted(vers, key=lambda v: v.valid_from)
         for a, b in zip(vs, vs[1:]):
             assert a.valid_to == b.valid_from
+
+
+@given(n_upd=st.integers(min_value=1, max_value=14), data=st.data())
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.data_too_large])
+def test_scd2_quarantine_accounting(spark, n_upd, data):
+    """Random out-of-order apply batches: the quarantine is EXACTLY
+    the deduped updates at or before their key's open valid_from, and
+    the result dimension equals applying only the admissible rest —
+    no update is lost or double-applied."""
+    from datetime import datetime
+
+    from big_data_bowl___2023_spark.operators.scd import (
+        scd2_apply,
+        scd2_apply_with_quarantine,
+        scd2_init,
+    )
+
+    T = lambda t: datetime(2026, 1, 1, 0, t)
+    keys = ["a", "b"]
+    # dim: each key bootstrapped with one version at a drawn ts
+    init_rows = [(k, "v0", T(data.draw(st.integers(5, 15),
+                                       label=f"init_{k}")))
+                 for k in keys]
+    dim = scd2_init(spark.createDataFrame(
+        init_rows, ["k", "attr", "effective_ts"]), ["k"]) \
+        .localCheckpoint()
+    open_vf = {k: t for k, _, t in init_rows}
+
+    # updates: arbitrary ts 1..30 (before OR after the open version),
+    # duplicates allowed (deduped deterministically)
+    ups = [(data.draw(st.sampled_from(keys), label=f"k{i}"),
+            data.draw(st.sampled_from(["p", "q", "r"]),
+                      label=f"a{i}"),
+            T(data.draw(st.integers(1, 30), label=f"t{i}")))
+           for i in range(n_upd)]
+    updf = spark.createDataFrame(ups, ["k", "attr", "effective_ts"])
+
+    # python dedupe mirror: per (key, ts) keep smallest attr tuple
+    best: dict = {}
+    for k, a, t in ups:
+        if (k, t) not in best or a < best[(k, t)]:
+            best[(k, t)] = a
+    deduped = [(k, a, t) for (k, t), a in best.items()]
+    want_late = {(k, a, t) for k, a, t in deduped
+                 if t <= open_vf[k]}
+    admissible = [u for u in deduped
+                  if (u[0], u[1], u[2]) not in want_late]
+
+    new_dim, quar = scd2_apply_with_quarantine(dim, updf, ["k"])
+    got_late = {(r.k, r.attr, r.effective_ts)
+                for r in quar.collect()}
+    assert got_late == want_late
+
+    if admissible:
+        want_dim = scd2_apply(
+            dim, spark.createDataFrame(
+                admissible, ["k", "attr", "effective_ts"]), ["k"])
+    else:
+        want_dim = dim        # everything quarantined: no-op apply
+    got = {(r.k, r.attr, r.valid_from, r.valid_to, r.is_current)
+           for r in new_dim.collect()}
+    want = {(r.k, r.attr, r.valid_from, r.valid_to, r.is_current)
+            for r in want_dim.collect()}
+    assert got == want
