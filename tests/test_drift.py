@@ -479,3 +479,37 @@ def test_grouped_psi_rejects_id_grouping(spark):
         [(i, float(i % 10)) for i in range(500)], ["id", "x"])
     with pytest.raises(ValueError, match="max_groups"):
         psi_report_grouped(df, df, ["x"], "id", max_groups=100)
+
+
+def test_streaming_shares_route_nan_like_batch(spark, tmp_path):
+    """The streaming bucket chain gives float NaN the same dedicated
+    bucket (−2) as the batch scan — stream/batch definitional
+    consistency extends to the NaN bin."""
+    import uuid
+
+    from big_data_bowl___2023_spark.operators.drift import (
+        _all_edges,
+        _all_shares,
+        bucket_shares_stream,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, float(i % 10)) for i in range(200)], ["id", "x"])
+    cur = spark.createDataFrame(
+        [(i, float("nan") if i % 4 == 0 else float(i % 10))
+         for i in range(200)], ["id", "x"])
+    edges = _all_edges(ref, ["x"], 5, True)
+
+    path = str(tmp_path / "cur")
+    cur.coalesce(1).write.parquet(path)
+    stream = spark.readStream.schema(
+        spark.read.parquet(path).schema).parquet(path)
+    name = f"q_{uuid.uuid4().hex[:12]}"
+    q = (bucket_shares_stream(stream, edges).writeStream
+         .format("memory").queryName(name).outputMode("complete")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.column, r.bucket): r["count"]
+           for r in spark.table(name).collect()}
+    assert got == _all_shares(cur, edges)
+    assert got[("x", -2)] == 50
