@@ -11,6 +11,7 @@ from .curation import (
     make_curation_ingest_batch_fn,
     stream_decontaminate,
 )
+from .cardinality import windowed_distinct_counts
 from .joins import foreach_batch_upsert, interval_join
 from .trending import latest_summaries, streaming_heavy_hitters
 from .events import (
@@ -32,4 +33,4 @@ __all__ = ["benchmark_shingle_set", "curate_document_stream",
            "read_document_stream", "read_event_stream",
            "run_available_now", "session_windows", "stream_decontaminate",
            "streaming_heavy_hitters", "latest_summaries",
-           "tumbling_counts"]
+           "tumbling_counts", "windowed_distinct_counts"]

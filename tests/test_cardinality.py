@@ -119,3 +119,77 @@ def test_plan_no_distinct_key_shuffle(spark, sf_dir):
     assert "Expand" not in plan          # no count-distinct rewrite
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+# ------------------------------------------------- streaming monitor
+
+def test_windowed_distinct_counts_stream_batch_parity(spark, sf_dir,
+                                                      tmp_path):
+    """The streaming windowed sketch estimates equal the batch run of
+    the SAME function over the same data (hll_sketch_agg is
+    deterministic for a given multiset), and track exact
+    countDistinct within the sketch tolerance."""
+    import uuid
+
+    from big_data_bowl___2023_spark.streaming.cardinality import (
+        windowed_distinct_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events") \
+        .select("ts", "user_id", "event_type")
+    path = str(tmp_path / "ev")
+    ev.coalesce(2).write.parquet(path)
+    stream = spark.readStream.schema(
+        spark.read.parquet(path).schema).parquet(path)
+
+    name = f"q_{uuid.uuid4().hex[:12]}"
+    q = (windowed_distinct_counts(stream, "user_id", "ts", "1 day",
+                                  watermark="1 hour")
+         .drop("sketch")
+         .writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r.window.start: r.distinct_estimate
+           for r in spark.table(name).collect()}
+
+    batch = {r.window.start: r.distinct_estimate
+             for r in windowed_distinct_counts(
+                 spark.read.parquet(path), "user_id", "ts", "1 day")
+             .collect()}
+    assert got == batch
+    exact = {r.w.start: r.n for r in
+             ev.groupBy(F.window("ts", "1 day").alias("w"))
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert set(got) == set(exact)
+    for w, n in exact.items():
+        assert _close(got[w], n)
+
+
+def test_window_sketches_merge_to_corpus_distinct(spark, sf_dir,
+                                                  tmp_path):
+    """Per-window sketches from the stream merge (via the batch
+    merge_cardinality) into the corpus-lifetime distinct count —
+    archived emissions answer 'distinct users ever' without
+    rescanning the stream."""
+    import uuid
+
+    from big_data_bowl___2023_spark.streaming.cardinality import (
+        windowed_distinct_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events") \
+        .select("ts", "user_id")
+    path = str(tmp_path / "ev")
+    ev.coalesce(1).write.parquet(path)
+    stream = spark.readStream.schema(
+        spark.read.parquet(path).schema).parquet(path)
+    name = f"q_{uuid.uuid4().hex[:12]}"
+    q = (windowed_distinct_counts(stream, "user_id", "ts", "1 day")
+         .writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    merged = merge_cardinality(
+        spark.table(name).select("sketch"))
+    est = cardinality_estimate(merged).first().distinct_estimate
+    exact = ev.select("user_id").distinct().count()
+    assert _close(est, exact)
