@@ -56,17 +56,29 @@ def cardinality_summary(df: DataFrame, key_col: str,
     return df.agg(agg)
 
 
-def merge_cardinality(*summaries: DataFrame) -> DataFrame:
+def merge_cardinality(*summaries: DataFrame,
+                      group_cols: Sequence[str] | None = None
+                      ) -> DataFrame:
     """Fold several :func:`cardinality_summary` outputs (same
     group_cols and lg_config_k) into one summary with the same
     schema: sketch union is associative and commutative, so a growing
     corpus' running distinct counts never rescan old batches — the
     same move as ``operators.heavy.merge_summaries``, for
-    cardinality. Union + groupBy over tiny artifact rows."""
+    cardinality. Union + groupBy over tiny artifact rows.
+
+    ``group_cols=None`` (default) infers the grouping as every
+    non-``sketch`` column — correct for bare ``cardinality_summary``
+    artifacts. Inputs that carry EXTRA columns (the streaming
+    emissions add ``window`` and ``distinct_estimate``) MUST pass
+    ``group_cols`` explicitly — ``()`` to collapse everything into
+    one corpus-lifetime sketch — or the extras would be treated as
+    group keys and nothing would merge."""
     out = summaries[0]
     for s in summaries[1:]:
-        out = out.unionByName(s)
-    gcols = [c for c in out.columns if c != "sketch"]
+        out = out.unionByName(s, allowMissingColumns=False)
+    gcols = ([c for c in out.columns if c != "sketch"]
+             if group_cols is None else list(group_cols))
+    out = out.select(*gcols, "sketch")
     agg = F.hll_union_agg("sketch").alias("sketch")
     if gcols:
         return out.groupBy(*gcols).agg(agg)

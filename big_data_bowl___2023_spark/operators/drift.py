@@ -222,19 +222,22 @@ def psi_report_grouped(reference: DataFrame, current: DataFrame,
     groups = sorted({g for (g, _, _) in ref_sh}
                     | {g for (g, _, _) in cur_sh},
                     key=lambda g: (g is None, g))
+    # single-pass indexes: totals and observed buckets per (g, c) —
+    # a per-(g, c) rescan of the share dicts would be quadratic in
+    # the share-table size (groups x cols x buckets entries)
     n_ref: dict = {}
     n_cur: dict = {}
-    for (g, c, _), n in ref_sh.items():
+    buckets_by_gc: dict = {}
+    for (g, c, b), n in ref_sh.items():
         n_ref[(g, c)] = n_ref.get((g, c), 0) + n
-    for (g, c, _), n in cur_sh.items():
+        buckets_by_gc.setdefault((g, c), set()).add(b)
+    for (g, c, b), n in cur_sh.items():
         n_cur[(g, c)] = n_cur.get((g, c), 0) + n
+        buckets_by_gc.setdefault((g, c), set()).add(b)
     rows = []
     for g in groups:
         for c in cols:
-            buckets = ({b for (gg, cc, b) in ref_sh
-                        if gg == g and cc == c}
-                       | {b for (gg, cc, b) in cur_sh
-                          if gg == g and cc == c})
+            buckets = buckets_by_gc.get((g, c))
             if not buckets:
                 continue
             psi = 0.0

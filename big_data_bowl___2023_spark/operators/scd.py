@@ -136,16 +136,17 @@ def scd2_apply_with_quarantine(
         ts_col: str = "effective_ts",
         compare_cols: Sequence[str] | None = None
         ) -> tuple[DataFrame, DataFrame]:
-    """(new_dim, quarantined): :func:`scd2_apply` plus the LATE
+    """(new_dim, quarantined): :func:`scd2_apply` plus the inadmissible
     updates it dropped, in the update batch's own schema (keys +
     attributes + ``ts_col``). An update is quarantined when its
-    timestamp is at or before its key's currently-open
-    ``valid_from`` — applying it would rewrite closed history — and
-    for in-order feeds the quarantine is empty (zero behavior
-    change). Duplicate-(key, ts) rows removed by the deterministic
-    dedupe are NOT quarantined (they are redundant, not late). The
-    quarantine rides the same keys-join the admission filter already
-    performs, so exposing it adds no extra shuffle."""
+    timestamp is at or before its key's currently-open ``valid_from``
+    (applying it would rewrite closed history) or NULL (a malformed
+    CDC row — no version can open at an unknown time); for in-order,
+    well-formed feeds the quarantine is empty (zero behavior change).
+    Duplicate-(key, ts) rows removed by the deterministic dedupe are
+    NOT quarantined (they are redundant, not late). The quarantine
+    rides the same keys-join the admission filter already performs,
+    so exposing it adds no extra shuffle."""
     keys = list(key_cols)
     attrs = [c for c in updates.columns
              if c not in keys and c != ts_col]
@@ -161,8 +162,15 @@ def scd2_apply_with_quarantine(
                            F.struct(*[F.col(c) for c in cmp_cols])
                            .alias("__cur_attrs"))
     joined = updates.join(open_meta, keys, "left")
-    admissible = (F.col("__cur_vf").isNull()
-                  | (F.col(ts_col) > F.col("__cur_vf")))
+    # NULL-timestamp updates are malformed CDC rows: inadmissible for
+    # ANY key (a version can't open at an unknown time). The leading
+    # isNotNull also keeps `admissible` two-valued, so the ~admissible
+    # quarantine complement is exact — with a bare NULL > comparison
+    # both filters would drop the row and it would vanish from BOTH
+    # outputs.
+    admissible = (F.col(ts_col).isNotNull()
+                  & (F.col("__cur_vf").isNull()
+                     | (F.col(ts_col) > F.col("__cur_vf"))))
     quarantined = (joined.filter(~admissible)
                    .select(*updates.columns))
     upd = joined.filter(admissible)

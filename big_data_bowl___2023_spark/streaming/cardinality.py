@@ -13,9 +13,12 @@ semantics as every other windowed aggregation in
 The emitted rows carry BOTH the estimate (monitoring reads it
 directly) and the sketch bytes: persisted per-window sketches merge
 across windows — or across days of archived emissions — via
-``operators.cardinality.merge_cardinality``, giving corpus-lifetime
-distinct counts without rescanning the stream. NULL keys are ignored
-(SQL COUNT(DISTINCT) semantics), same as the batch operator.
+``operators.cardinality.merge_cardinality(emissions,
+group_cols=())``, giving corpus-lifetime distinct counts without
+rescanning the stream (``group_cols`` must be explicit here: the
+emissions carry window/estimate columns that are NOT group keys).
+NULL keys are ignored (SQL COUNT(DISTINCT) semantics), same as the
+batch operator.
 
 Reference scope note: north-star extension (SURVEY.md §2 extensions);
 the reference has no streaming surface.

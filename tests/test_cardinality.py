@@ -188,8 +188,10 @@ def test_window_sketches_merge_to_corpus_distinct(spark, sf_dir,
          .writeStream.format("memory").queryName(name)
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination()
-    merged = merge_cardinality(
-        spark.table(name).select("sketch"))
+    # the advertised composition: emissions straight into the batch
+    # merge, group_cols=() collapsing windows into one lifetime sketch
+    merged = merge_cardinality(spark.table(name), group_cols=())
+    assert merged.columns == ["sketch"]
     est = cardinality_estimate(merged).first().distinct_estimate
     exact = ev.select("user_id").distinct().count()
     assert _close(est, exact)

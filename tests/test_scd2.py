@@ -295,3 +295,26 @@ def test_enrich_survives_fact_side_is_current(spark):
     assert out.columns.count("is_current") == 1
     got = {r.fact_id: (r.attr, r.is_current) for r in out.collect()}
     assert got == {1: ("v1", True), 2: ("v2", False)}
+
+
+def test_null_timestamp_updates_quarantined(spark):
+    """A NULL-timestamp update is a malformed CDC row: it must land in
+    the quarantine (for known AND unknown keys), never vanish from
+    both outputs or open a version at an unknown time."""
+    from big_data_bowl___2023_spark.operators.scd import (
+        scd2_apply_with_quarantine,
+    )
+
+    dim = scd2_init(spark.createDataFrame(
+        [("a", "v1", T(3))], ["k", "attr", "effective_ts"]), ["k"])
+    ups = spark.createDataFrame(
+        [("a", "v2", None),       # known key, NULL ts
+         ("z", "new", None),      # unknown key, NULL ts
+         ("a", "v3", T(5))],      # well-formed
+        "k string, attr string, effective_ts timestamp")
+    new_dim, quar = scd2_apply_with_quarantine(dim, ups, ["k"])
+    assert {(r.k, r.attr) for r in quar.collect()} == {
+        ("a", "v2"), ("z", "new")}
+    rows = {(r.k, r.attr, r.is_current) for r in new_dim.collect()}
+    assert rows == {("a", "v1", False), ("a", "v3", True)}
+    _invariants(new_dim.collect())

@@ -168,13 +168,21 @@ def product_legs(spark, docs0, scales) -> None:
 
 
 def main() -> None:
+    # position-independent parsing: integer args are --product scales,
+    # the (single) non-integer non-flag arg is sf_dir — so
+    # `--product 16 64 /data/sf0.1` and `/data/sf0.1 --product 16`
+    # both mean what they say instead of crashing on int(sf_dir)
     argv = sys.argv[1:]
-    product_scales = None
-    if "--product" in argv:
-        i = argv.index("--product")
-        product_scales = [int(s) for s in argv[i + 1:]] or [16, 64]
-        argv = argv[:i]
-    sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
+    want_product = "--product" in argv
+    scales = [int(a) for a in argv if a.lstrip("-").isdigit()]
+    paths = [a for a in argv
+             if not a.lstrip("-").isdigit() and a != "--product"]
+    if len(paths) > 1:
+        raise SystemExit(f"at most one sf_dir argument, got {paths}")
+    product_scales = (scales or [16, 64]) if want_product else None
+    if scales and not want_product:
+        raise SystemExit("scale arguments require --product")
+    sf_dir = paths[0] if paths else "/root/testdata/sf0.1"
     spark = get_spark("stress")
     docs0 = load_table(spark, sf_dir, "documents").cache()
     docs0.count()

@@ -62,9 +62,18 @@ GATE_QUERIES = ("q1_pricing_summary", "w1_lag_delta",
                 "dedup_minhash_lsh")
 
 
+BENCH_GATE_SF_DIR = "/root/testdata/sf0.1"   # anchors are sf0.1-only
+
+
 def bench_gate(spark, qs) -> None:
-    """Median-of-3 micro-bench of GATE_QUERIES at sf0.1 vs the
-    committed quiet-run anchors; prints one line per query."""
+    """Median-of-3 micro-bench of GATE_QUERIES vs the committed
+    quiet-run anchors; prints one line per query. Always runs at
+    BENCH_GATE_SF_DIR — the anchors are only meaningful at sf0.1, so
+    neither the sweep's positional sf_dir nor SPARK_GRAFT_SF_DIR
+    (often pointed at sf0.01 for fast iteration) is honored here;
+    grading sf0.01 data against sf0.1 anchors would print ~0.1x
+    ratios that hide a real regression. Never raises: a gate problem
+    must not turn an all-pass correctness sweep into a failure."""
     import json
     import statistics
 
@@ -73,22 +82,28 @@ def bench_gate(spark, qs) -> None:
     if not os.path.exists(path):
         print("bench-gate: no BASELINE_anchors.json, skipping")
         return
+    if not os.path.isdir(BENCH_GATE_SF_DIR):
+        print(f"bench-gate: {BENCH_GATE_SF_DIR} missing, skipping")
+        return
     with open(path) as fh:
         anchors = json.load(fh)["anchors"]
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR",
-                            "/root/testdata/sf0.1")
-    print("\nbench-gate (sf0.1, median-of-3 vs quiet anchors):")
+    print(f"\nbench-gate ({BENCH_GATE_SF_DIR}, median-of-3 vs "
+          f"quiet anchors):")
     for name in GATE_QUERIES:
         if name not in qs or name not in anchors:
             continue
-        qs[name](spark, sf_dir).write.format("noop") \
-            .mode("overwrite").save()            # warm
-        runs = []
-        for _ in range(3):
-            t0 = time.time()
-            qs[name](spark, sf_dir).write.format("noop") \
-                .mode("overwrite").save()
-            runs.append(time.time() - t0)
+        try:
+            qs[name](spark, BENCH_GATE_SF_DIR).write.format("noop") \
+                .mode("overwrite").save()            # warm
+            runs = []
+            for _ in range(3):
+                t0 = time.time()
+                qs[name](spark, BENCH_GATE_SF_DIR).write \
+                    .format("noop").mode("overwrite").save()
+                runs.append(time.time() - t0)
+        except Exception as e:    # noqa: BLE001 — report, don't fail
+            print(f"  {name}: ERROR {str(e).splitlines()[0][:120]}")
+            continue
         med = statistics.median(runs)
         a = anchors[name]
         print(f"  {name}: {med:.2f}s vs anchor {a:.2f}s "
