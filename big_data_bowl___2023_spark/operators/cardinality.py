@@ -73,6 +73,9 @@ def merge_cardinality(*summaries: DataFrame,
     ``group_cols`` explicitly — ``()`` to collapse everything into
     one corpus-lifetime sketch — or the extras would be treated as
     group keys and nothing would merge."""
+    if not summaries:
+        raise ValueError("merge_cardinality needs at least one "
+                         "summary (got an empty artifact list)")
     out = summaries[0]
     for s in summaries[1:]:
         out = out.unionByName(s, allowMissingColumns=False)

@@ -92,18 +92,56 @@ def _bucket(col: str, edges: list[float],
     return F.when(F.col(col).isNull(), F.lit(-1)).otherwise(b)
 
 
-def _all_shares(df: DataFrame, edges_by_col: dict) -> dict:
-    """{(column, bucket): count} for every column in ONE scan: each
-    row explodes to (column, bucket) pairs, one groupBy."""
+def _all_shares(df: DataFrame, edges_by_col: dict,
+                group_col: str | None = None) -> dict:
+    """{(column, bucket): count} — or {(group, column, bucket): count}
+    with ``group_col`` — for every column in ONE scan: each row
+    explodes to (column, bucket) pairs, one groupBy. The single
+    bucket-assignment code path for every batch report (the streaming
+    monitor shares the ``_bucket`` chain)."""
     pairs = F.array(*[
         F.struct(F.lit(c).alias("column"),
                  _bucket(c, e, _is_float(df, c)).alias("bucket"))
         for c, e in edges_by_col.items()])
-    rows = (df.select(F.explode(pairs).alias("p"))
-            .groupBy(F.col("p.column").alias("column"),
+    gsel = [F.col(group_col).alias("g")] if group_col else []
+    gkey = ["g"] if group_col else []
+    rows = (df.select(*gsel, F.explode(pairs).alias("p"))
+            .groupBy(*gkey, F.col("p.column").alias("column"),
                      F.col("p.bucket").alias("bucket"))
             .agg(F.count(F.lit(1)).alias("n")).collect())
+    if group_col:
+        return {(r.g, r.column, r.bucket): r.n for r in rows}
     return {(r.column, r.bucket): r.n for r in rows}
+
+
+def _psi_from_share_dicts(ref_sh: dict, cur_sh: dict) -> dict:
+    """{key_prefix: (psi, n_buckets_observed)} from two share dicts
+    keyed by (*prefix, bucket) — prefix is (column,) for the flat
+    report, (group, column) for the grouped one. Single pass over
+    each dict (totals + observed-bucket index), shared smoothing —
+    the one PSI-arithmetic code path every report uses."""
+    n_ref: dict = {}
+    n_cur: dict = {}
+    buckets: dict = {}
+    for k, n in ref_sh.items():
+        p = k[:-1]
+        n_ref[p] = n_ref.get(p, 0) + n
+        buckets.setdefault(p, set()).add(k[-1])
+    for k, n in cur_sh.items():
+        p = k[:-1]
+        n_cur[p] = n_cur.get(p, 0) + n
+        buckets.setdefault(p, set()).add(k[-1])
+    out = {}
+    for p, bs in buckets.items():
+        psi = 0.0
+        for b in bs:
+            pr = max(ref_sh.get(p + (b,), 0)
+                     / max(n_ref.get(p, 0), 1), _EPS)
+            q = max(cur_sh.get(p + (b,), 0)
+                    / max(n_cur.get(p, 0), 1), _EPS)
+            psi += (q - pr) * math.log(q / pr)
+        out[p] = (round(psi, 6), len(bs))
+    return out
 
 
 def _resolve_exact(reference: DataFrame,
@@ -139,22 +177,8 @@ def psi_report(reference: DataFrame, current: DataFrame,
     edges_by_col = _all_edges(reference, cols, n_buckets, exact)
     ref_sh = _all_shares(reference, edges_by_col)
     cur_sh = _all_shares(current, edges_by_col)
-    n_ref = {c: 0 for c in cols}
-    n_cur = {c: 0 for c in cols}
-    for (c, _), n in ref_sh.items():
-        n_ref[c] += n
-    for (c, _), n in cur_sh.items():
-        n_cur[c] += n
-    rows = []
-    for c in cols:
-        buckets = ({b for (cc, b) in ref_sh if cc == c}
-                   | {b for (cc, b) in cur_sh if cc == c})
-        psi = 0.0
-        for b in buckets:
-            p = max(ref_sh.get((c, b), 0) / max(n_ref[c], 1), _EPS)
-            q = max(cur_sh.get((c, b), 0) / max(n_cur[c], 1), _EPS)
-            psi += (q - p) * math.log(q / p)
-        rows.append((c, round(psi, 6), len(buckets)))
+    table = _psi_from_share_dicts(ref_sh, cur_sh)
+    rows = [(c, *table.get((c,), (0.0, 0))) for c in cols]
     return spark.createDataFrame(rows,
                                  "column string, psi double, "
                                  "n_buckets_used int")
@@ -188,70 +212,47 @@ def psi_report_grouped(reference: DataFrame, current: DataFrame,
     alert. Driver-side arithmetic is bounded by groups × cols ×
     (buckets + 2) rows: ``group_col`` must be low-cardinality (source
     labels, shard families), not an id — ``max_groups`` enforces it
-    (one cheap partial-agg count per snapshot) so an id column fails
-    fast instead of collecting millions of share rows."""
+    (one cheap partial-agg count over the UNION of both snapshots'
+    group sets) so an id column fails fast instead of collecting
+    millions of share rows."""
+    from pyspark.sql import types as T
+
+    if group_col in ("column", "psi", "n_buckets_used"):
+        raise ValueError(
+            f"group_col '{group_col}' collides with a report output "
+            f"column — alias it first")
     spark = reference.sparkSession
     cols = list(cols)
-    n_groups = max(
-        reference.select(group_col).distinct().count(),
-        current.select(group_col).distinct().count())
+    n_groups = (reference.select(group_col)
+                .unionByName(current.select(group_col))
+                .distinct().count())
     if n_groups > max_groups:
         raise ValueError(
             f"group_col '{group_col}' has {n_groups} distinct values "
-            f"(> max_groups={max_groups}); the grouped report "
-            f"collects groups x cols x buckets share rows on the "
-            f"driver — pass a low-cardinality grouping (source "
-            f"labels), or raise max_groups deliberately")
+            f"across the two snapshots (> max_groups={max_groups}); "
+            f"the grouped report collects groups x cols x buckets "
+            f"share rows on the driver — pass a low-cardinality "
+            f"grouping (source labels), or raise max_groups "
+            f"deliberately")
     exact = _resolve_exact(reference, exact_edges)
     edges_by_col = _all_edges(reference, cols, n_buckets, exact)
-
-    def shares(df):
-        pairs = F.array(*[
-            F.struct(F.lit(c).alias("column"),
-                     _bucket(c, e, _is_float(df, c)).alias("bucket"))
-            for c, e in edges_by_col.items()])
-        rows = (df.select(F.col(group_col).alias("g"),
-                          F.explode(pairs).alias("p"))
-                .groupBy("g", F.col("p.column").alias("column"),
-                         F.col("p.bucket").alias("bucket"))
-                .agg(F.count(F.lit(1)).alias("n")).collect())
-        return {(r.g, r.column, r.bucket): r.n for r in rows}
-
-    ref_sh = shares(reference)
-    cur_sh = shares(current)
-    groups = sorted({g for (g, _, _) in ref_sh}
-                    | {g for (g, _, _) in cur_sh},
+    ref_sh = _all_shares(reference, edges_by_col, group_col)
+    cur_sh = _all_shares(current, edges_by_col, group_col)
+    table = _psi_from_share_dicts(ref_sh, cur_sh)
+    groups = sorted({g for (g, _) in table},
                     key=lambda g: (g is None, g))
-    # single-pass indexes: totals and observed buckets per (g, c) —
-    # a per-(g, c) rescan of the share dicts would be quadratic in
-    # the share-table size (groups x cols x buckets entries)
-    n_ref: dict = {}
-    n_cur: dict = {}
-    buckets_by_gc: dict = {}
-    for (g, c, b), n in ref_sh.items():
-        n_ref[(g, c)] = n_ref.get((g, c), 0) + n
-        buckets_by_gc.setdefault((g, c), set()).add(b)
-    for (g, c, b), n in cur_sh.items():
-        n_cur[(g, c)] = n_cur.get((g, c), 0) + n
-        buckets_by_gc.setdefault((g, c), set()).add(b)
-    rows = []
-    for g in groups:
-        for c in cols:
-            buckets = buckets_by_gc.get((g, c))
-            if not buckets:
-                continue
-            psi = 0.0
-            for b in buckets:
-                p = max(ref_sh.get((g, c, b), 0)
-                        / max(n_ref.get((g, c), 0), 1), _EPS)
-                q = max(cur_sh.get((g, c, b), 0)
-                        / max(n_cur.get((g, c), 0), 1), _EPS)
-                psi += (q - p) * math.log(q / p)
-            rows.append((g, c, round(psi, 6), len(buckets)))
-    group_type = reference.schema[group_col].dataType.simpleString()
-    return spark.createDataFrame(
-        rows, f"{group_col} {group_type}, column string, psi double, "
-              "n_buckets_used int")
+    rows = [(g, c, *table[(g, c)])
+            for g in groups for c in cols if (g, c) in table]
+    # programmatic schema: an f-string DDL would choke on group
+    # column names that aren't bare identifiers
+    schema = T.StructType([
+        T.StructField(group_col,
+                      reference.schema[group_col].dataType),
+        T.StructField("column", T.StringType()),
+        T.StructField("psi", T.DoubleType()),
+        T.StructField("n_buckets_used", T.IntegerType()),
+    ])
+    return spark.createDataFrame(rows, schema)
 
 
 def psi_report_categorical(reference: DataFrame, current: DataFrame,
@@ -329,24 +330,8 @@ def psi_from_shares(ref_shares: dict, cur_rows) -> dict:
     cur: dict = {}
     for r in cur_rows:
         cur[(r[0], r[1])] = r[2]
-    cols = ({c for c, _ in ref_shares} | {c for c, _ in cur})
-    n_ref = {c: 0 for c in cols}
-    n_cur = {c: 0 for c in cols}
-    for (c, _), n in ref_shares.items():
-        n_ref[c] += n
-    for (c, _), n in cur.items():
-        n_cur[c] += n
-    out = {}
-    for c in cols:
-        buckets = ({b for (cc, b) in ref_shares if cc == c}
-                   | {b for (cc, b) in cur if cc == c})
-        psi = 0.0
-        for b in buckets:
-            p = max(ref_shares.get((c, b), 0) / max(n_ref[c], 1), _EPS)
-            q = max(cur.get((c, b), 0) / max(n_cur[c], 1), _EPS)
-            psi += (q - p) * math.log(q / p)
-        out[c] = round(psi, 6)
-    return out
+    return {p[0]: psi for p, (psi, _) in
+            _psi_from_share_dicts(ref_shares, cur).items()}
 
 
 def schema_diff(reference: DataFrame, current: DataFrame) -> dict:

@@ -43,13 +43,17 @@ def _dedup_per_ts(updates: DataFrame, keys: list, ts_col: str,
     timestamp), so it shares the version windows' exchange instead of
     adding a (keys, ts)-keyed one."""
     w = Window.partitionBy(*keys).orderBy(
-        F.col(ts_col).asc(),
+        F.col(ts_col).asc_nulls_first(),
         *[F.col(c).asc_nulls_first() for c in attrs])
-    return (updates.withColumn("__prev_ts",
-                               F.lag(ts_col).over(w))
-            .filter(F.col("__prev_ts").isNull()
-                    | (F.col("__prev_ts") != F.col(ts_col)))
-            .drop("__prev_ts"))
+    # lag the ts INSIDE a struct: a NULL lag result then means "no
+    # previous row", unambiguously — lagging the bare column can't
+    # tell "first row" from "previous ts is NULL", which let
+    # duplicate NULL-timestamp rows both survive the dedupe
+    prev = F.lag(F.struct(F.col(ts_col).alias("t"))).over(w)
+    return (updates.withColumn("__prev", prev)
+            .filter(F.col("__prev").isNull()
+                    | ~F.col("__prev")["t"].eqNullSafe(F.col(ts_col)))
+            .drop("__prev"))
 
 
 def scd2_init(updates: DataFrame, key_cols: Sequence[str],

@@ -109,10 +109,26 @@ def scaled(base, scale: int, repl):
     return out
 
 
-def product_legs(spark, docs0, scales) -> None:
-    """Document-product legs only (line scrub, heavy hitters,
-    sequence assembly, curation_e2e) at the requested scales — the
-    64x evidence run."""
+BOILER = ("subscribe to the data digest newsletter for "
+          "weekly updates and offers")
+
+
+def derive_multiline(docs):
+    """The shared stress corpus: ' merge(_r)? ' tokens become newlines
+    (organic within-replica repeats) and every doc gains ONE planted
+    corpus-wide boilerplate line — the hottest possible key, global
+    count = n_docs."""
+    return docs.withColumn(
+        "text",
+        F.concat(F.regexp_replace("text", " merge(_\\d+)? ", "\n"),
+                 F.lit("\n" + BOILER)))
+
+
+def run_document_legs(docs_ml) -> dict:
+    """Time the four document-product legs on a derived corpus and
+    return their JSON fields — the ONE definition both the full run
+    and --product share, so the two modes can never silently measure
+    or report different things."""
     from big_data_bowl___2023_spark.operators.chunking import (
         assemble_sequences,
         sequence_manifest,
@@ -121,50 +137,56 @@ def product_legs(spark, docs0, scales) -> None:
         curation_frame,
     )
 
-    boiler = ("subscribe to the data digest newsletter for "
-              "weekly updates and offers")
+    t0 = time.time()
+    n_hot = repeated_line_stats(docs_ml, min_chars=10).count()
+    n_kept = remove_repeated_lines(docs_ml, min_chars=10).count()
+    t_lines = time.time() - t0
+
+    # heavy hitters over the line corpus: pass 1 absorbs the planted
+    # hot key in per-partition MG summaries (no shuffle); pass 2
+    # recounts candidates only — the no-full-shuffle claim.
+    t0 = time.time()
+    n_heavy = heavy_hitters(split_lines(docs_ml), "line",
+                            0.001).count()
+    t_heavy = time.time() - t0
+
+    # packed-sequence assembly: only (id, token-count) enters the
+    # per-source window; wall should track row count, not text bytes
+    t0 = time.time()
+    n_seq = sequence_manifest(
+        assemble_sequences(docs_ml, 512, group_cols=("source",)),
+        group_cols=("source",)).count()
+    t_seq = time.time() - t0
+
+    # full product composition as ONE lazy chain through the noop sink
+    benchmark = (docs_ml.filter(F.col("doc_id") % 97 == 0)
+                 .select(F.col("doc_id").alias("bench_id"), "text"))
+    t0 = time.time()
+    (curation_frame(docs_ml, benchmark=benchmark, seq_len=128,
+                    shard_budget=1024, min_words=20,
+                    line_dedup_min_chars=10)
+     .write.format("noop").mode("overwrite").save())
+    t_cur = time.time() - t0
+
+    return {
+        "repeated_lines": n_hot, "line_docs_out": n_kept,
+        "line_dedup_sec": round(t_lines, 2),
+        "heavy_keys": n_heavy, "heavy_sec": round(t_heavy, 2),
+        "sequences": n_seq, "seq_assembly_sec": round(t_seq, 2),
+        "curation_sec": round(t_cur, 2),
+    }
+
+
+def product_legs(spark, docs0, scales) -> None:
+    """Document-product legs only at the requested scales — the 64x
+    evidence run (embedding legs excluded: see module docstring)."""
     for scale in scales:
         docs = scaled(docs0, scale, replicate_documents) \
             .localCheckpoint()
         n_docs = docs.count()
-        docs_ml = docs.withColumn(
-            "text",
-            F.concat(F.regexp_replace("text", " merge(_\\d+)? ", "\n"),
-                     F.lit("\n" + boiler)))
-
-        t0 = time.time()
-        n_hot = repeated_line_stats(docs_ml, min_chars=10).count()
-        n_kept = remove_repeated_lines(docs_ml, min_chars=10).count()
-        t_lines = time.time() - t0
-
-        t0 = time.time()
-        n_heavy = heavy_hitters(split_lines(docs_ml), "line",
-                                0.001).count()
-        t_heavy = time.time() - t0
-
-        t0 = time.time()
-        n_seq = sequence_manifest(
-            assemble_sequences(docs_ml, 512, group_cols=("source",)),
-            group_cols=("source",)).count()
-        t_seq = time.time() - t0
-
-        benchmark = (docs_ml.filter(F.col("doc_id") % 97 == 0)
-                     .select(F.col("doc_id").alias("bench_id"), "text"))
-        t0 = time.time()
-        (curation_frame(docs_ml, benchmark=benchmark, seq_len=128,
-                        shard_budget=1024, min_words=20,
-                        line_dedup_min_chars=10)
-         .write.format("noop").mode("overwrite").save())
-        t_cur = time.time() - t0
-
-        print(json.dumps({
-            "scale": scale, "n_docs": n_docs,
-            "repeated_lines": n_hot, "line_docs_out": n_kept,
-            "line_dedup_sec": round(t_lines, 2),
-            "heavy_keys": n_heavy, "heavy_sec": round(t_heavy, 2),
-            "sequences": n_seq, "seq_assembly_sec": round(t_seq, 2),
-            "curation_sec": round(t_cur, 2),
-        }), flush=True)
+        legs = run_document_legs(derive_multiline(docs))
+        print(json.dumps({"scale": scale, "n_docs": n_docs, **legs}),
+              flush=True)
 
 
 def main() -> None:
@@ -172,16 +194,28 @@ def main() -> None:
     # the (single) non-integer non-flag arg is sf_dir — so
     # `--product 16 64 /data/sf0.1` and `/data/sf0.1 --product 16`
     # both mean what they say instead of crashing on int(sf_dir)
+    import re
+
     argv = sys.argv[1:]
     want_product = "--product" in argv
-    scales = [int(a) for a in argv if a.lstrip("-").isdigit()]
-    paths = [a for a in argv
-             if not a.lstrip("-").isdigit() and a != "--product"]
+    scales: list[int] = []
+    paths: list[str] = []
+    for a in argv:
+        if a == "--product":
+            continue
+        if re.fullmatch(r"[0-9]+", a):      # positive ints only
+            scales.append(int(a))
+        elif a.startswith("-"):
+            raise SystemExit(f"unknown flag {a!r} (only --product)")
+        else:
+            paths.append(a)
+    if any(sc < 1 for sc in scales):
+        raise SystemExit(f"scales must be >= 1, got {scales}")
     if len(paths) > 1:
         raise SystemExit(f"at most one sf_dir argument, got {paths}")
-    product_scales = (scales or [16, 64]) if want_product else None
     if scales and not want_product:
         raise SystemExit("scale arguments require --product")
+    product_scales = (scales or [16, 64]) if want_product else None
     sf_dir = paths[0] if paths else "/root/testdata/sf0.1"
     spark = get_spark("stress")
     docs0 = load_table(spark, sf_dir, "documents").cache()
@@ -225,63 +259,7 @@ def main() -> None:
         n_mh = dd.minhash_band_pairs(docs, 0.3, max_bucket=100_000).count()
         t_mh = time.time() - t0
 
-        # repeated-line removal under a deliberately hot key: every
-        # doc (all replicas) shares ONE boilerplate line, so its
-        # global count is n_docs — the partial-agg absorption claim
-        # is what this leg measures. ' merge(_r)? ' tokens become
-        # newlines so replicas have organic within-replica repeats
-        # too.
-        boiler = ("subscribe to the data digest newsletter for "
-                  "weekly updates and offers")
-        docs_ml = docs.withColumn(
-            "text",
-            F.concat(F.regexp_replace("text", " merge(_\\d+)? ", "\n"),
-                     F.lit("\n" + boiler)))
-        t0 = time.time()
-        n_hot = repeated_line_stats(docs_ml, min_chars=10).count()
-        n_lines_kept = (remove_repeated_lines(docs_ml, min_chars=10)
-                        .count())
-        t_lines = time.time() - t0
-
-        # heavy hitters over the same line corpus: the planted
-        # boilerplate line has global count = n_docs (the hottest
-        # possible key). Pass 1 absorbs it in per-partition MG
-        # summaries (no shuffle); pass 2 recounts candidates only —
-        # the wall-vs-scale curve is the no-full-shuffle claim.
-        t0 = time.time()
-        n_heavy = heavy_hitters(split_lines(docs_ml), "line",
-                                0.001).count()
-        t_heavy = time.time() - t0
-
-        # packed-sequence assembly: only (id, token-count) enters the
-        # per-source window; wall should track row count, not text
-        # bytes
-        from big_data_bowl___2023_spark.operators.chunking import (
-            assemble_sequences,
-            sequence_manifest,
-        )
-        t0 = time.time()
-        n_seq = sequence_manifest(
-            assemble_sequences(docs_ml, 512, group_cols=("source",)),
-            group_cols=("source",)).count()
-        t_seq = time.time() - t0
-
-        # full product composition (round 5): quality → redact → line
-        # scrub → exact dedup → near-dup resolution → decontaminate →
-        # chunk → pack as ONE lazy chain through the noop sink — the
-        # end-to-end scaling of everything above composed, measured
-        # on the same derived corpus.
-        from big_data_bowl___2023_spark.pipelines.curation import (
-            curation_frame,
-        )
-        benchmark = (docs_ml.filter(F.col("doc_id") % 97 == 0)
-                     .select(F.col("doc_id").alias("bench_id"), "text"))
-        t0 = time.time()
-        (curation_frame(docs_ml, benchmark=benchmark, seq_len=128,
-                        shard_budget=1024, min_words=20,
-                        line_dedup_min_chars=10)
-         .write.format("noop").mode("overwrite").save())
-        t_cur = time.time() - t0
+        legs = run_document_legs(derive_multiline(docs))
 
         print(json.dumps({
             "scale": scale, "n_emb": n_emb, "n_docs": n_docs,
@@ -293,11 +271,7 @@ def main() -> None:
             "exact_pairs": n_exact,
             "exact_sec": round(t_exact, 2) if t_exact else None,
             "minhash_pairs": n_mh, "minhash_sec": round(t_mh, 2),
-            "repeated_lines": n_hot, "line_docs_out": n_lines_kept,
-            "line_dedup_sec": round(t_lines, 2),
-            "heavy_keys": n_heavy, "heavy_sec": round(t_heavy, 2),
-            "sequences": n_seq, "seq_assembly_sec": round(t_seq, 2),
-            "curation_sec": round(t_cur, 2),
+            **legs,
         }), flush=True)
     spark.stop()
 

@@ -85,8 +85,12 @@ def bench_gate(spark, qs) -> None:
     if not os.path.isdir(BENCH_GATE_SF_DIR):
         print(f"bench-gate: {BENCH_GATE_SF_DIR} missing, skipping")
         return
-    with open(path) as fh:
-        anchors = json.load(fh)["anchors"]
+    try:
+        with open(path) as fh:
+            anchors = json.load(fh)["anchors"]
+    except Exception as e:    # noqa: BLE001 — corrupt file, not a fail
+        print(f"bench-gate: unreadable anchors file ({e}), skipping")
+        return
     print(f"\nbench-gate ({BENCH_GATE_SF_DIR}, median-of-3 vs "
           f"quiet anchors):")
     for name in GATE_QUERIES:
