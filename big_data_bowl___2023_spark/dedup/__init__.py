@@ -43,6 +43,15 @@ from .clusters import (
     resolve_clusters,
     source_overlap_matrix,
 )
+from .bloom import (
+    bloom_bytes,
+    bloom_exact_anti_join,
+    bloom_parameters,
+    bloom_prefilter,
+    bloom_summary,
+    merge_blooms,
+    might_contain,
+)
 from .decontaminate import (
     contaminated_doc_ids,
     contamination_report,
@@ -66,6 +75,9 @@ __all__ = [
     "remove_repeated_lines", "repeated_line_stats", "split_lines",
     "canonical_docs", "connected_components", "resolve_clusters",
     "source_overlap_matrix",
+    "bloom_bytes", "bloom_exact_anti_join", "bloom_parameters",
+    "bloom_prefilter", "bloom_summary", "merge_blooms",
+    "might_contain",
     "contaminated_doc_ids", "contamination_report", "decontaminate",
     "semantic_contaminated_ids", "semantic_contamination_report",
     "semantic_decontaminate",
