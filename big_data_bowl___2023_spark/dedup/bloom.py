@@ -208,11 +208,16 @@ def merge_blooms(*summaries: DataFrame) -> DataFrame:
 
 
 def bloom_bytes(summary: DataFrame) -> tuple[bytes, BloomParams]:
-    """Materialize the dense little-endian byte form of a (possibly
-    merged) artifact: (bytes of length num_bits/8, params). The
-    collect is bounded by the artifact's non-zero words — at most
-    num_bits/64 rows — and the dense array by the MAX_BITS guard.
-    Raises if the artifact mixes parameters (mismatched merges)."""
+    """Materialize the dense little-endian byte form of an artifact:
+    (bytes of length num_bits/8, params). Accepts a merged artifact
+    OR a plain union of per-batch artifacts (an append-only parquet
+    dir of bloom_summary outputs read back as one DataFrame):
+    duplicate word_idx rows OR together here, so an ingest loop can
+    append one summary per batch and never rewrite old rows —
+    :func:`merge_blooms` then becomes optional compaction. The
+    collect is bounded by total non-zero words across batches and the
+    dense array by the MAX_BITS guard. Raises if the artifact mixes
+    parameters (mismatched merges)."""
     rows = summary.collect()
     if not rows:
         raise ValueError("empty bloom artifact: bloom_summary always "
@@ -229,7 +234,7 @@ def bloom_bytes(summary: DataFrame) -> tuple[bytes, BloomParams]:
         raise ValueError(f"num_bits {num_bits} exceeds {MAX_BITS}")
     words = np.zeros(num_bits // 64, dtype=np.int64)
     for r in rows:
-        words[r["word_idx"]] = r["bits"]
+        words[r["word_idx"]] |= r["bits"]
     return (words.view(np.uint64).astype("<u8").tobytes(),
             BloomParams(int(num_bits), int(num_hashes)))
 

@@ -20,7 +20,12 @@ Stream-safe stages (map-side or bounded keyed state):
   fingerprint (state = one entry per distinct fingerprint), or the
   watermark-bounded variant when an event-time column exists;
 * against-history dedup — stream-static LEFT ANTI join on the
-  persisted fingerprint index (no stream-side state buffering).
+  persisted fingerprint index (no stream-side state buffering);
+  optionally Bloom-gated (dedup/bloom.py): a mergeable filter
+  artifact maintained alongside the index routes "definitely novel"
+  rows around the join map-side, so the exact anti join's shuffle
+  carries only true duplicates + ~fpr of the novel rows — at 100 TB
+  the index probe stops being per-batch full-index work.
 
 Corpus-GLOBAL stages cannot stream and are not faked here: repeated-
 line removal, near-dup cluster resolution (MinHash/winnowing), DSIR
@@ -39,6 +44,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..dedup.bloom import (
+    bloom_exact_anti_join,
+    bloom_parameters,
+    bloom_summary,
+)
 from ..dedup.decontaminate import DEFAULT_NGRAM
 from ..dedup.ngram import shingle_docs
 from ..functions.gopher import gopher_filter
@@ -112,7 +122,10 @@ def make_curation_ingest_batch_fn(out_dir: str, index_dir: str,
                                   decontaminate_n: int = DEFAULT_NGRAM,
                                   min_overlap: int = 1,
                                   bench_text_col: str = "text",
-                                  bench_id_col: str = "bench_id"):
+                                  bench_id_col: str = "bench_id",
+                                  bloom_dir: str | None = None,
+                                  bloom_expected_keys: int = 1_000_000,
+                                  bloom_fpr: float = 0.01):
     """The continuous-ingestion LOOP: a ``foreachBatch`` function that
     curates each micro-batch against the CURRENT membership index,
     appends the survivors to ``out_dir``, and appends their
@@ -125,7 +138,22 @@ def make_curation_ingest_batch_fn(out_dir: str, index_dir: str,
     processor itself just updated. The first batch bootstraps both
     directories. Returns the function to pass to
     ``stream.writeStream.foreachBatch(...)`` — also directly callable
-    with (batch_df, batch_id) for batch backfills."""
+    with (batch_df, batch_id) for batch backfills.
+
+    ``bloom_dir`` (optional) turns on the Bloom gate: the loop
+    maintains an APPEND-ONLY dir of per-batch ``bloom_summary``
+    artifacts over the same fingerprints it indexes, and each batch's
+    against-history check becomes :func:`~...dedup.bloom.
+    bloom_exact_anti_join` — same exact answer (zero false negatives;
+    parity-tested), but only the filter's "maybe" rows reach the
+    index join. Appends never rewrite old artifact rows (OR is
+    idempotent; ``bloom_bytes`` folds duplicate words). Sizing is
+    fixed at bootstrap from ``bloom_expected_keys``/``bloom_fpr`` —
+    size for the corpus's LIFETIME distinct-fingerprint count, not
+    one batch (an overfull filter degrades to more "maybe" rows, i.e.
+    gradually back to plain anti-join cost, never to wrong answers).
+    A pre-existing index without a filter is bootstrapped by one full
+    index scan on the first gated batch."""
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         try:
@@ -134,19 +162,55 @@ def make_curation_ingest_batch_fn(out_dir: str, index_dir: str,
             history.limit(1).collect()
         except Exception:
             history = None
+        history_bloom = None
+        bloom_params = None
+        if bloom_dir is not None:
+            bloom_params = bloom_parameters(bloom_expected_keys,
+                                            bloom_fpr)
+            if history is not None:
+                try:
+                    spark.catalog.refreshByPath(bloom_dir)
+                    history_bloom = spark.read.parquet(bloom_dir)
+                    history_bloom.limit(1).collect()
+                except Exception:
+                    history_bloom = None
+                if history_bloom is None:
+                    # index exists but no filter yet: bootstrap from
+                    # the full index once, so the no-false-negative
+                    # premise holds from the first gated batch
+                    bloom_summary(history, "fingerprint",
+                                  *bloom_params) \
+                        .write.mode("append").parquet(bloom_dir)
+                    spark.catalog.refreshByPath(bloom_dir)
+                    history_bloom = spark.read.parquet(bloom_dir)
+                else:
+                    p = history_bloom.select("num_bits",
+                                             "num_hashes") \
+                        .distinct().collect()
+                    if len(p) != 1:
+                        raise ValueError(
+                            f"bloom dir {bloom_dir} mixes filter "
+                            f"parameters {p}; it is not a single "
+                            f"loop's artifact dir")
+                    bloom_params = (int(p[0]["num_bits"]),
+                                    int(p[0]["num_hashes"]))
         curated = curate_document_stream(
             batch_df, history=history, benchmark=benchmark,
             quality_model=quality_model,
             quality_model_threshold=quality_model_threshold,
             min_words=min_words, decontaminate_n=decontaminate_n,
             min_overlap=min_overlap, bench_text_col=bench_text_col,
-            bench_id_col=bench_id_col).localCheckpoint()
+            bench_id_col=bench_id_col,
+            history_bloom=history_bloom).localCheckpoint()
         curated.drop("fingerprint").write.mode("append") \
             .parquet(out_dir)
         # the dedup key is already attached (post-redaction text
         # fingerprint, consistent across batches) — index it as-is
-        curated.select("fingerprint").distinct().write.mode("append") \
-            .parquet(index_dir)
+        new_fps = curated.select("fingerprint").distinct()
+        new_fps.write.mode("append").parquet(index_dir)
+        if bloom_dir is not None:
+            bloom_summary(new_fps, "fingerprint", *bloom_params) \
+                .write.mode("append").parquet(bloom_dir)
 
     return process
 
@@ -162,7 +226,9 @@ def curate_document_stream(stream_docs: DataFrame,
                            ts_col: str | None = None,
                            dedup_delay: str | None = None,
                            bench_text_col: str = "text",
-                           bench_id_col: str = "bench_id") -> DataFrame:
+                           bench_id_col: str = "bench_id",
+                           history_bloom: DataFrame | None = None
+                           ) -> DataFrame:
     """The stream-safe curation stages composed over a document
     stream (or a batch frame — every stage is trigger-agnostic):
 
@@ -179,7 +245,13 @@ def curate_document_stream(stream_docs: DataFrame,
 
     Corpus-global stages (line scrub, near-dup resolution, quotas,
     packing) intentionally have no streaming analogue — run the batch
-    pipeline periodically over this stream's accumulated output."""
+    pipeline periodically over this stream's accumulated output.
+
+    ``history_bloom`` (a dedup/bloom.py artifact covering EVERY
+    fingerprint in ``history`` — a stale filter breaks the
+    no-false-negative premise) upgrades the against-history anti join
+    to the Bloom-gated exact form: identical answer, join shuffle
+    bounded by the "maybe" rows."""
     out = gopher_filter(stream_docs, min_words=min_words)
     if quality_model is not None:
         out = model_quality_filter(
@@ -193,8 +265,12 @@ def curate_document_stream(stream_docs: DataFrame,
                                    min_overlap)
     if ts_col is not None and dedup_delay is not None:
         out = incremental_dedup_watermarked(out, ts_col, dedup_delay)
-        if history is not None:
-            out = out.join(history, "fingerprint", "left_anti")
     else:
-        out = incremental_dedup(out, history)
+        out = incremental_dedup(out)
+    if history is not None:
+        if history_bloom is not None:
+            out = bloom_exact_anti_join(out, "fingerprint", history,
+                                        "fingerprint", history_bloom)
+        else:
+            out = out.join(history, "fingerprint", "left_anti")
     return out

@@ -195,3 +195,19 @@ def test_bloom_exact_anti_join_matches_plain(spark, sf_dir):
     want = {(r["doc_id"], r["text"]) for r in plain.collect()}
     assert got == want
     assert (None, "null-key row") in got
+
+
+def test_append_only_artifact_dir_equals_merged(spark, tmp_path):
+    """bloom_bytes over a plain UNION of per-batch artifacts (the
+    append-only parquet-dir maintenance mode: each batch appends its
+    summary, nothing is rewritten) ORs duplicate words and equals the
+    explicitly merged / single-pass filter bit-for-bit."""
+    params = bloom_parameters(2000, 0.01)
+    a = _members(spark, 1000, "a")
+    b = _members(spark, 1000, "b")
+    path = str(tmp_path / "bloom_dir")
+    bloom_summary(a, "k", *params).write.mode("append").parquet(path)
+    bloom_summary(b, "k", *params).write.mode("append").parquet(path)
+    appended = spark.read.parquet(path)
+    whole = bloom_summary(a.union(b), "k", *params)
+    assert bloom_bytes(appended) == bloom_bytes(whole)

@@ -203,3 +203,92 @@ def test_curation_ingest_loop_multi_batch(spark, tmp_path):
     idx = spark.read.parquet(idx_dir)
     assert idx.count() == 3
     assert idx.distinct().count() == 3     # no duplicate index rows
+
+
+def test_curation_ingest_loop_bloom_gated_parity(spark, tmp_path):
+    """The Bloom-gated ingest loop emits EXACTLY the same corpus as
+    the plain loop (zero false negatives -> identical suppression),
+    while maintaining an append-only filter-artifact dir alongside
+    the index (one summary per batch + nothing rewritten)."""
+    from big_data_bowl___2023_spark.streaming import (
+        make_curation_ingest_batch_fn,
+    )
+
+    base = ("a perfectly ordinary paragraph with enough distinct "
+            "words to pass the quality gate and contribute value "
+            "to the corpus in every measurable way today")
+    batches = [
+        [(1, "first " + base, "web"), (2, "second " + base, "web")],
+        [(3, "first " + base, "web"),     # cross-batch dup of 1
+         (4, "third " + base, "web")],    # novel
+        [(5, "second " + base, "web"),    # cross-batch dup of 2
+         (6, "third " + base, "web")],    # cross-batch dup of 4
+    ]
+    plain = make_curation_ingest_batch_fn(
+        str(tmp_path / "p_docs"), str(tmp_path / "p_idx"),
+        min_words=20)
+    gated = make_curation_ingest_batch_fn(
+        str(tmp_path / "g_docs"), str(tmp_path / "g_idx"),
+        min_words=20, bloom_dir=str(tmp_path / "g_bloom"),
+        bloom_expected_keys=1000, bloom_fpr=0.01)
+    for i, rows in enumerate(batches):
+        b = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+        plain(b, i)
+        gated(b, i)
+    for d in ("p_docs", "g_docs", "p_idx", "g_idx", "g_bloom"):
+        spark.catalog.refreshByPath(str(tmp_path / d))
+    p_ids = {r.doc_id for r in
+             spark.read.parquet(str(tmp_path / "p_docs")).collect()}
+    g_ids = {r.doc_id for r in
+             spark.read.parquet(str(tmp_path / "g_docs")).collect()}
+    assert p_ids == g_ids == {1, 2, 4}
+    # index parity too
+    p_fp = {r.fingerprint for r in
+            spark.read.parquet(str(tmp_path / "p_idx")).collect()}
+    g_fp = {r.fingerprint for r in
+            spark.read.parquet(str(tmp_path / "g_idx")).collect()}
+    assert p_fp == g_fp and len(g_fp) == 3
+    # the filter artifact covers every indexed fingerprint
+    from big_data_bowl___2023_spark.dedup.bloom import might_contain
+    bloom = spark.read.parquet(str(tmp_path / "g_bloom"))
+    idx = spark.read.parquet(str(tmp_path / "g_idx"))
+    import pyspark.sql.functions as F
+    assert might_contain(idx, "fingerprint", bloom, "hit") \
+        .filter(~F.col("hit")).count() == 0
+
+
+def test_bloom_gate_bootstraps_from_existing_index(spark, tmp_path):
+    """Turning the Bloom gate on over an index built WITHOUT one:
+    the first gated batch scans the index once to build the filter,
+    so cross-batch duplicates of the pre-gate era are still
+    suppressed (the no-false-negative premise holds from batch 1 of
+    the gated loop)."""
+    from big_data_bowl___2023_spark.streaming import (
+        make_curation_ingest_batch_fn,
+    )
+
+    base = ("a perfectly ordinary paragraph with enough distinct "
+            "words to pass the quality gate and contribute value "
+            "to the corpus in every measurable way today")
+    out_dir = str(tmp_path / "docs")
+    idx_dir = str(tmp_path / "index")
+    bloom_dir = str(tmp_path / "bloom")
+    pre = make_curation_ingest_batch_fn(out_dir, idx_dir,
+                                        min_words=20)
+    pre(spark.createDataFrame(
+        [(1, "first " + base, "web")],
+        ["doc_id", "text", "source"]), 0)
+    assert not (tmp_path / "bloom").exists()
+
+    gated = make_curation_ingest_batch_fn(
+        out_dir, idx_dir, min_words=20, bloom_dir=bloom_dir,
+        bloom_expected_keys=1000)
+    gated(spark.createDataFrame(
+        [(2, "first " + base, "web"),     # dup of pre-gate doc 1
+         (3, "second " + base, "web")],   # novel
+        ["doc_id", "text", "source"]), 1)
+    spark.catalog.refreshByPath(out_dir)
+    ids = {r.doc_id for r in
+           spark.read.parquet(out_dir).collect()}
+    assert ids == {1, 3}
+    assert (tmp_path / "bloom").exists()
