@@ -1,0 +1,243 @@
+"""Mergeable point-frequency summaries (count-min sketch).
+
+The last member of the mergeable-artifact family: ``operators.heavy``
+keeps the EXACT counts of the heavy keys and nothing else;
+``operators.cardinality`` counts distincts; ``dedup.bloom`` answers
+membership; this module answers "approximately how often does ANY
+given key occur" — including the billion-key tail that Misra-Gries
+deliberately forgets — from a bounded counter matrix (Cormode &
+Muthukrishnan, "An improved data stream summary: the count-min
+sketch and its applications", J. Algorithms 2005).
+
+Guarantees (depth d = ⌈ln 1/δ⌉ rows, width w = ⌈e/ε⌉ counters):
+estimate ≥ true count ALWAYS (one-sided), and estimate ≤ true count
++ ε·N with probability ≥ 1−δ (N = total weight). Counters are plain
+sums, so two sketches over disjoint batches merge by cell-wise
+addition — per-batch artifacts fold into corpus-lifetime frequencies
+without rescanning old data. Unlike the Bloom filter's OR, addition
+is NOT idempotent: re-merging a batch double-counts it, so track
+coverage (same contract as the t-digest artifacts).
+
+Corpus use cases: shingle document-frequency for IDF/stop-term cuts
+without materializing the full posting counts; token frequencies for
+vocab pruning; per-domain request rates — anywhere the answer is a
+lookup against a frequency table too large to keep exactly.
+
+Spark shape — the same discipline as dedup/bloom.py:
+
+* **hashing is JVM codegen**: two ``xxhash64`` columns; row ``i`` of
+  the sketch uses position ``(h1 + i·h2') mod w`` (pairwise-
+  independent enough in practice; Kirsch-Mitzenmacher double
+  hashing), so build and probe agree by construction.
+* **the artifact is SPARSE**: one ``(row_idx, col_idx, count)`` row
+  per non-zero counter, built per-partition with ``mapInPandas``
+  (zero shuffle) and combined with a map-side-combinable
+  ``groupBy.sum`` — bounded by d·w cells, not input rows. Merging
+  batches is union + the same sum (an append-only parquet dir of
+  per-batch summaries is therefore a valid sketch: cms_matrix sums
+  duplicate cells).
+* **probing is map-side**: the dense d×w matrix broadcasts and an
+  Arrow-batched pandas UDF takes the min over d counters per key.
+
+NULL keys are EXCLUDED on build (COUNT(key) semantics) and probe
+NULL (SQL-unknown), mirroring the Bloom module.
+
+Reference scope note: north-star extension (SURVEY.md §2 extensions);
+the reference has no frequency-sketch surface.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, NamedTuple
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..dedup.bloom import _hash_cols, _positions
+
+# dense d×w int64 broadcast guard: 64 Mi counters = 512 MiB
+MAX_CELLS = 64 * 1024 * 1024
+
+
+class CmsParams(NamedTuple):
+    width: int
+    depth: int
+
+
+def cms_parameters(epsilon: float = 1e-4,
+                   delta: float = 0.01) -> CmsParams:
+    """Width/depth for overestimate ≤ ε·N with probability ≥ 1−δ:
+    w = ⌈e/ε⌉, d = ⌈ln(1/δ)⌉. The defaults (ε=1e-4, δ=0.01) give a
+    5×27183 ≈ 1 MB sketch."""
+    if not (0.0 < epsilon < 1.0):
+        raise ValueError(f"epsilon must be in (0, 1), got {epsilon}")
+    if not (0.0 < delta < 1.0):
+        raise ValueError(f"delta must be in (0, 1), got {delta}")
+    w = int(math.ceil(math.e / epsilon))
+    d = max(1, int(math.ceil(math.log(1.0 / delta))))
+    if w * d > MAX_CELLS:
+        raise ValueError(
+            f"epsilon={epsilon}, delta={delta} needs {w * d} "
+            f"counters (> {MAX_CELLS}); a tolerance this tight is a "
+            f"full frequency table — use groupBy().count()")
+    return CmsParams(w, d)
+
+
+_SPARSE_SCHEMA = T.StructType([
+    T.StructField("row_idx", T.IntegerType(), False),
+    T.StructField("col_idx", T.LongType(), False),
+    T.StructField("count", T.LongType(), False),
+    T.StructField("width", T.LongType(), False),
+    T.StructField("depth", T.IntegerType(), False),
+])
+
+
+def cms_summary(df: DataFrame, key_col: str, width: int, depth: int,
+                weight_col: str | None = None) -> DataFrame:
+    """(row_idx, col_idx, count, width, depth): sparse non-zero-cell
+    form of the count-min sketch over ``key_col``'s non-NULL values —
+    the per-batch artifact. ``weight_col`` adds that column's value
+    per row instead of 1 (e.g. pre-aggregated (key, n) inputs; NULL
+    weights count 0). Zero-shuffle per-partition build + one bounded
+    cell-keyed sum (map-side partial agg)."""
+    if width <= 0 or depth <= 0:
+        raise ValueError(f"width and depth must be positive, got "
+                         f"({width}, {depth})")
+    if width * depth > MAX_CELLS:
+        raise ValueError(f"width*depth {width * depth} exceeds the "
+                         f"dense broadcast guard {MAX_CELLS}")
+    cols = ["__h1", "__h2"] + ([weight_col] if weight_col else [])
+    hashed = _hash_cols(df, key_col) \
+        .filter(F.col(key_col).isNotNull()).select(*cols)
+
+    def build(batches: Iterator[pd.DataFrame]
+              ) -> Iterator[pd.DataFrame]:
+        cells = np.zeros((depth, width), dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            h1 = pdf["__h1"].to_numpy()
+            h2 = pdf["__h2"].to_numpy()
+            if weight_col:
+                wts = pd.to_numeric(pdf[weight_col],
+                                    errors="coerce") \
+                    .fillna(0).to_numpy(dtype=np.int64)
+            else:
+                wts = np.ones(len(pdf), dtype=np.int64)
+            # _positions yields row i's column per input row; the
+            # sketch uses bit-width = counter columns here
+            for i, pos in enumerate(
+                    _positions(h1, h2, width, depth)):
+                np.add.at(cells[i], pos, wts)
+        r, c = np.nonzero(cells)
+        yield pd.DataFrame({
+            "row_idx": pd.array(r, dtype="int32"),
+            "col_idx": pd.array(c, dtype="int64"),
+            "count": pd.array(cells[r, c], dtype="int64"),
+            "width": pd.array([width] * len(r), dtype="int64"),
+            "depth": pd.array([depth] * len(r), dtype="int32"),
+        })
+
+    # literal anchor row, as in bloom_summary: keeps the artifact
+    # self-describing when the input is empty
+    anchor = df.sparkSession.range(1).select(
+        F.lit(0).cast("int").alias("row_idx"),
+        F.lit(0).cast("long").alias("col_idx"),
+        F.lit(0).cast("long").alias("count"),
+        F.lit(width).cast("long").alias("width"),
+        F.lit(depth).cast("int").alias("depth"))
+    per_part = hashed.mapInPandas(build, _SPARSE_SCHEMA) \
+                     .unionByName(anchor)
+    return (per_part
+            .groupBy("row_idx", "col_idx", "width", "depth")
+            .agg(F.sum("count").alias("count"))
+            .select("row_idx", "col_idx", "count", "width", "depth"))
+
+
+def merge_cms(*summaries: DataFrame) -> DataFrame:
+    """Fold several :func:`cms_summary` artifacts (same width/depth)
+    into one: union + cell-wise sum. NOT idempotent — counters add,
+    so re-merging a batch double-counts it (track coverage, as with
+    the t-digest artifacts)."""
+    if not summaries:
+        raise ValueError("merge_cms needs at least one summary")
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.unionByName(s, allowMissingColumns=False)
+    return (out.groupBy("row_idx", "col_idx", "width", "depth")
+               .agg(F.sum("count").alias("count"))
+               .select("row_idx", "col_idx", "count", "width",
+                       "depth"))
+
+
+def cms_matrix(summary: DataFrame) -> tuple[np.ndarray, CmsParams]:
+    """Materialize the dense d×w counter matrix of a (possibly
+    merged, possibly append-only-unioned) artifact. Duplicate cells
+    SUM (counters add), so a parquet dir of per-batch summaries reads
+    back as the merged sketch. Bounded by MAX_CELLS; raises on
+    mixed parameters."""
+    rows = summary.collect()
+    if not rows:
+        raise ValueError("empty cms artifact: cms_summary always "
+                         "emits an anchor cell, so this input is not "
+                         "a cms_summary output")
+    params = {(r["width"], r["depth"]) for r in rows}
+    if len(params) > 1:
+        raise ValueError(f"cms artifact mixes parameters {params}; "
+                         f"sketches with different width/depth "
+                         f"cannot be merged or probed together")
+    width, depth = next(iter(params))
+    if width * depth > MAX_CELLS:
+        raise ValueError(f"width*depth {width * depth} exceeds "
+                         f"{MAX_CELLS}")
+    cells = np.zeros((depth, width), dtype=np.int64)
+    for r in rows:
+        cells[r["row_idx"], r["col_idx"]] += r["count"]
+    return cells, CmsParams(int(width), int(depth))
+
+
+def estimate_counts(df: DataFrame, key_col: str, summary: DataFrame,
+                    out_col: str = "freq_estimate") -> DataFrame:
+    """df + long ``out_col``: the count-min estimate of each key's
+    total weight in the sketched corpus — ≥ the true count always,
+    ≤ true + ε·N with probability 1−δ per key; NULL for NULL keys.
+    Map-side: codegen hashes + one Arrow-batched pandas UDF over the
+    broadcast dense matrix — zero shuffle, zero join."""
+    cells, (width, depth) = cms_matrix(summary)
+    bc = df.sparkSession.sparkContext.broadcast(cells)
+
+    @F.pandas_udf(T.LongType())
+    def probe(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        if not len(h1):
+            return pd.Series([], dtype="int64")
+        mat = bc.value
+        a1 = h1.to_numpy()
+        a2 = h2.to_numpy()
+        est = np.full(len(h1), np.iinfo(np.int64).max,
+                      dtype=np.int64)
+        for i, pos in enumerate(_positions(a1, a2, width, depth)):
+            est = np.minimum(est, mat[i][pos])
+        return pd.Series(est)
+
+    hashed = _hash_cols(df, key_col)
+    val = F.when(F.col(key_col).isNull(),
+                 F.lit(None).cast("long")) \
+           .otherwise(probe("__h1", "__h2"))
+    return hashed.withColumn(out_col, val).drop("__h1", "__h2")
+
+
+def frequency_report(df: DataFrame, key_col: str, probe: DataFrame,
+                     probe_key: str, epsilon: float = 1e-4,
+                     delta: float = 0.01) -> DataFrame:
+    """One-shot: sketch ``df[key_col]``, estimate every ``probe``
+    key's frequency. At 100 TB this replaces a count-join against a
+    full ``groupBy(key).count()`` table: the corpus pass shuffles
+    ≤ d·w cells and the probe side never joins."""
+    w, d = cms_parameters(epsilon, delta)
+    return estimate_counts(probe, probe_key,
+                           cms_summary(df, key_col, w, d))

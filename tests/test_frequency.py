@@ -1,0 +1,165 @@
+"""Count-min sketch frequency artifacts (operators/frequency.py).
+
+Contracts under test:
+* one-sided soundness — estimate ≥ true count for EVERY key (exact
+  guarantee, not probabilistic);
+* error envelope — overestimate ≤ ε·N on a zipf-ish workload;
+* merged per-batch artifacts equal the single-pass sketch CELL-WISE
+  (sums are associative), and an append-only parquet dir of
+  summaries reads back as the merged sketch;
+* layout invariance (counter sums are deterministic);
+* weighted build == exploded unweighted build;
+* parquet round trip, empty-input self-description, mixed-parameter
+  refusal, NULL-key exclusion/probe-NULL, map-side probe plan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_bowl___2023_spark.operators.frequency import (
+    CmsParams,
+    cms_matrix,
+    cms_parameters,
+    cms_summary,
+    estimate_counts,
+    frequency_report,
+    merge_cms,
+)
+
+
+def _zipf_df(spark, n=20_000, n_keys=500, seed=11):
+    rng = np.random.default_rng(seed)
+    ks = rng.zipf(1.3, size=n) % n_keys
+    return spark.createDataFrame(
+        [(int(i), f"key{int(k)}") for i, k in enumerate(ks)],
+        "id long, k string")
+
+
+def test_cms_parameters_math():
+    p = cms_parameters(1e-4, 0.01)
+    assert p.width == 27183  # ceil(e / 1e-4)
+    assert p.depth == 5      # ceil(ln 100)
+    with pytest.raises(ValueError):
+        cms_parameters(0.0, 0.01)
+    with pytest.raises(ValueError):
+        cms_parameters(1e-4, 1.5)
+    with pytest.raises(ValueError):
+        cms_parameters(1e-9, 0.01)  # blows the cell guard
+
+
+def test_soundness_and_error_envelope(spark):
+    df = _zipf_df(spark)
+    n = df.count()
+    w, d = cms_parameters(1e-3, 0.01)
+    summary = cms_summary(df, "k", w, d)
+    exact = df.groupBy("k").count() \
+        .withColumnRenamed("count", "true_n")
+    est = estimate_counts(exact, "k", summary)
+    rows = est.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["freq_estimate"] >= r["true_n"], r["k"]
+    # ε=1e-3, N=20k -> envelope 20 per key w.p. 0.99; assert all
+    # within 5× the envelope to keep the test deterministic-safe
+    worst = max(r["freq_estimate"] - r["true_n"] for r in rows)
+    assert worst <= 5 * 1e-3 * n
+    # total mass is exact: each sketch row sums all weights
+    cells, _ = cms_matrix(summary)
+    assert (cells.sum(axis=1) == n).all()
+
+
+def test_merge_equals_single_pass_and_append_dir(spark, tmp_path):
+    df = _zipf_df(spark, n=6_000)
+    w, d = cms_parameters(1e-3, 0.05)
+    batches = [df.filter(F.pmod(F.col("id"), F.lit(3)) == i)
+               for i in range(3)]
+    whole = cms_summary(df, "k", w, d)
+    merged = merge_cms(*[cms_summary(b, "k", w, d)
+                         for b in batches])
+    wc, wp = cms_matrix(whole)
+    mc, mp = cms_matrix(merged)
+    assert wp == mp == CmsParams(w, d)
+    assert (wc == mc).all()
+    # append-only dir: per-batch summaries written with append read
+    # back as ONE artifact == the merged sketch
+    path = str(tmp_path / "cms_dir")
+    for b in batches:
+        cms_summary(b, "k", w, d).write.mode("append").parquet(path)
+    ac, ap = cms_matrix(spark.read.parquet(path))
+    assert ap == wp and (ac == wc).all()
+
+
+def test_layout_invariance_exact(spark):
+    df = _zipf_df(spark, n=4_000)
+    w, d = cms_parameters(1e-3, 0.05)
+    one, _ = cms_matrix(cms_summary(df.coalesce(1), "k", w, d))
+    many, _ = cms_matrix(cms_summary(df.repartition(13), "k", w, d))
+    assert (one == many).all()
+
+
+def test_weighted_build_equals_exploded(spark):
+    w, d = cms_parameters(1e-2, 0.05)
+    weighted = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 0), ("d", None)],
+        "k string, n int")
+    exploded = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3, "k string")
+    cw, _ = cms_matrix(cms_summary(weighted, "k", w, d,
+                                   weight_col="n"))
+    ce, _ = cms_matrix(cms_summary(exploded, "k", w, d))
+    assert (cw == ce).all()
+
+
+def test_round_trip_empty_mixed_null(spark, tmp_path):
+    w, d = cms_parameters(1e-2, 0.05)
+    df = spark.createDataFrame(
+        [("a",), ("a",), (None,)], "k string")
+    summary = cms_summary(df, "k", w, d)
+    path = str(tmp_path / "cms")
+    summary.write.parquet(path)
+    rc, rp = cms_matrix(spark.read.parquet(path))
+    oc, op = cms_matrix(summary)
+    assert rp == op and (rc == oc).all()
+    # NULL excluded from the build: total mass 2, not 3
+    assert rc.sum(axis=1).tolist() == [2] * d
+    # probe: NULL key -> NULL estimate
+    probed = estimate_counts(df, "k", summary).collect()
+    by_k = {r["k"]: r["freq_estimate"] for r in probed}
+    assert by_k[None] is None
+    assert by_k["a"] >= 2
+    # empty input still self-describing
+    empty = spark.createDataFrame([], "k string")
+    ec, ep = cms_matrix(cms_summary(empty, "k", w, d))
+    assert ep == CmsParams(w, d) and ec.sum() == 0
+    # mixed parameters refuse to dense
+    other = cms_summary(df, "k", w + 1, d)
+    with pytest.raises(ValueError, match="mixes parameters"):
+        cms_matrix(merge_cms(summary, other))
+    with pytest.raises(ValueError, match="at least"):
+        merge_cms()
+
+
+def test_probe_plan_is_map_side(spark):
+    w, d = cms_parameters(1e-2, 0.05)
+    df = spark.createDataFrame([("a",), ("b",)], "k string")
+    summary = cms_summary(df, "k", w, d)
+    plan = estimate_counts(df, "k", summary) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
+
+
+def test_frequency_report_on_documents(spark, sf_dir):
+    """IDF-style probe: sketch the corpus' lang values, estimate
+    each distinct lang's frequency — estimates ≥ exact and close at
+    this tiny key cardinality."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = docs.groupBy("lang").count()
+    rep = frequency_report(docs, "lang", exact, "lang",
+                           epsilon=1e-3, delta=0.01)
+    for r in rep.collect():
+        assert r["freq_estimate"] >= r["count"]
+        assert r["freq_estimate"] <= r["count"] + 5
