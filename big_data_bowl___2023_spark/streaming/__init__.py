@@ -12,6 +12,11 @@ from .curation import (
     stream_decontaminate,
 )
 from .cardinality import windowed_distinct_counts
+from .quantiles import (
+    latest_window_digests,
+    windowed_quantile_digests,
+    windows_as_quantile_summary,
+)
 from .joins import foreach_batch_upsert, interval_join
 from .trending import latest_summaries, streaming_heavy_hitters
 from .events import (
@@ -33,4 +38,6 @@ __all__ = ["benchmark_shingle_set", "curate_document_stream",
            "read_document_stream", "read_event_stream",
            "run_available_now", "session_windows", "stream_decontaminate",
            "streaming_heavy_hitters", "latest_summaries",
-           "tumbling_counts", "windowed_distinct_counts"]
+           "tumbling_counts", "windowed_distinct_counts",
+           "latest_window_digests", "windowed_quantile_digests",
+           "windows_as_quantile_summary"]

@@ -211,3 +211,16 @@ def test_append_only_artifact_dir_equals_merged(spark, tmp_path):
     appended = spark.read.parquet(path)
     whole = bloom_summary(a.union(b), "k", *params)
     assert bloom_bytes(appended) == bloom_bytes(whole)
+
+
+def test_build_plan_single_bounded_shuffle(spark):
+    """bloom_summary's only Exchange is the bounded word-keyed
+    bit_or combine — the per-partition build itself never shuffles
+    input rows."""
+    import re
+    params = bloom_parameters(500, 0.01)
+    plan = bloom_summary(_members(spark, 500), "k", *params) \
+        ._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 1

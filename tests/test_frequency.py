@@ -163,3 +163,16 @@ def test_frequency_report_on_documents(spark, sf_dir):
     for r in rep.collect():
         assert r["freq_estimate"] >= r["count"]
         assert r["freq_estimate"] <= r["count"] + 5
+
+
+def test_build_plan_single_bounded_shuffle(spark):
+    """cms_summary's only Exchange is the bounded cell-keyed sum —
+    the per-partition build never shuffles input rows."""
+    import re
+    w, d = cms_parameters(1e-2, 0.05)
+    df = spark.createDataFrame([("a",), ("b",)], "k string")
+    plan = cms_summary(df, "k", w, d) \
+        ._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 1

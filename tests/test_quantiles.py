@@ -198,3 +198,15 @@ def test_validation_errors(spark):
         quantile_estimate(summary, [1.5])
     with pytest.raises(ValueError, match="at least"):
         merge_quantile_summaries()
+
+
+def test_build_plan_single_digest_shuffle(spark):
+    """quantile_summary's only Exchange carries per-partition digest
+    rows to the per-group merge — raw values never shuffle."""
+    import re
+    df, _ = _lognormal_df(spark, n=2_000)
+    plan = quantile_summary(df, "v") \
+        ._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 1
