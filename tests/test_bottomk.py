@@ -1,0 +1,179 @@
+"""Bottom-k / KMV uniform-sample artifacts (operators/bottomk.py).
+
+Contracts under test:
+* the sample is EXACTLY the k distinct keys with the smallest seeded
+  hash (verified against a whole-corpus Spark-SQL recompute);
+* deterministic and layout-invariant — bit-identical rows under any
+  partitioning;
+* merged per-batch artifacts == the single-pass sketch exactly, and
+  re-merging an included batch changes nothing (idempotent);
+* duplicate keys collapse, carrying the least payload tuple;
+* KMV distinct estimate: exact below k, within the error envelope
+  at k; NULL keys excluded / NULL groups kept;
+* parquet round trip; bounded candidate shuffle (raw rows never
+  shuffle: ≤ 2 Exchanges, both over candidate rows);
+* different seeds draw different samples.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_bowl___2023_spark.operators.bottomk import (
+    bottomk_summary,
+    kmv_distinct_estimate,
+    merge_bottomk,
+)
+
+K = 32
+
+
+def _keys(spark, n, prefix="key", group=None):
+    df = spark.range(n).select(
+        F.concat(F.lit(prefix), F.col("id")).alias("k"))
+    if group is not None:
+        df = df.withColumn("g", F.lit(group))
+    return df
+
+
+def _expected(df, key_col, k, seed=0):
+    """Brute-force oracle: whole-corpus hash sort in plain Spark."""
+    return {r["k"] for r in
+            df.select(key_col)
+              .distinct()
+              .withColumn("h", F.xxhash64(F.lit(seed), F.col(key_col)))
+              .orderBy("h", key_col).limit(k).collect()}
+
+
+def test_sample_is_exact_bottom_k(spark):
+    df = _keys(spark, 5000)
+    got = bottomk_summary(df, "k", K)
+    rows = got.collect()
+    assert len(rows) == K
+    assert {r["k"] for r in rows} == _expected(df, "k", K)
+    # hash column is the real hash (artifact is self-verifying)
+    for r in rows:
+        assert r["kmv_hash"] is not None
+
+
+def test_layout_invariance_bit_exact(spark):
+    df = _keys(spark, 2000)
+    a = sorted(map(tuple, bottomk_summary(
+        df.coalesce(1), "k", K).collect()))
+    b = sorted(map(tuple, bottomk_summary(
+        df.repartition(17), "k", K).collect()))
+    assert a == b
+
+
+def test_merge_exact_and_idempotent(spark):
+    a = _keys(spark, 1500, "a")
+    b = _keys(spark, 1500, "b")
+    whole = sorted(map(tuple, bottomk_summary(
+        a.union(b), "k", K).collect()))
+    sa = bottomk_summary(a, "k", K)
+    sb = bottomk_summary(b, "k", K)
+    merged = merge_bottomk(sa, sb, key_col="k", k=K)
+    assert sorted(map(tuple, merged.collect())) == whole
+    again = merge_bottomk(merged, sb, key_col="k", k=K)
+    assert sorted(map(tuple, again.collect())) == whole
+    with pytest.raises(ValueError, match="at least"):
+        merge_bottomk(key_col="k", k=K)
+
+
+def test_duplicate_keys_collapse_least_payload(spark):
+    df = spark.createDataFrame(
+        [("dup", "z-src", 9), ("dup", "a-src", 1),
+         ("only", "m-src", 5)],
+        "k string, src string, n int").repartition(4)
+    rows = {r["k"]: r for r in
+            bottomk_summary(df, "k", 10,
+                            payload_cols=["src", "n"]).collect()}
+    assert len(rows) == 2
+    assert rows["dup"]["src"] == "a-src" and rows["dup"]["n"] == 1
+    assert rows["only"]["src"] == "m-src"
+
+
+def test_grouped_null_group_and_null_keys(spark):
+    df = spark.createDataFrame(
+        [("a", "k1"), ("a", "k2"), (None, "k3"), ("a", None)],
+        "g string, k string")
+    got = bottomk_summary(df, "k", 10, group_cols=["g"])
+    by_g = {}
+    for r in got.collect():
+        by_g.setdefault(r["g"], set()).add(r["k"])
+    assert by_g == {"a": {"k1", "k2"}, None: {"k3"}}
+    est = {r["g"]: r["distinct_estimate"] for r in
+           kmv_distinct_estimate(got, 10,
+                                 group_cols=["g"]).collect()}
+    assert est == {"a": 2.0, None: 1.0}  # below k -> exact
+
+
+def test_kmv_estimate_envelope_at_k(spark):
+    n, k = 20_000, 256
+    df = _keys(spark, n)
+    est = kmv_distinct_estimate(
+        bottomk_summary(df, "k", k), k).collect()[0]
+    # relative error ~1/sqrt(k-2) ≈ 6.3%; accept 4 sigma
+    assert abs(est["distinct_estimate"] - n) < 0.25 * n
+
+
+def test_parquet_round_trip_and_growth(spark, tmp_path):
+    old = _keys(spark, 1000, "old")
+    path = str(tmp_path / "bottomk")
+    bottomk_summary(old, "k", K).write.parquet(path)
+    reloaded = spark.read.parquet(path)
+    fresh = bottomk_summary(_keys(spark, 1000, "new"), "k", K)
+    grown = merge_bottomk(reloaded, fresh, key_col="k", k=K)
+    whole = bottomk_summary(
+        _keys(spark, 1000, "old").union(_keys(spark, 1000, "new")),
+        "k", K)
+    assert sorted(map(tuple, grown.collect())) == \
+        sorted(map(tuple, whole.collect()))
+
+
+def test_seed_sensitivity_and_validation(spark):
+    df = _keys(spark, 3000)
+    s0 = {r["k"] for r in bottomk_summary(df, "k", K,
+                                          seed=0).collect()}
+    s1 = {r["k"] for r in bottomk_summary(df, "k", K,
+                                          seed=1).collect()}
+    assert s0 != s1                      # different draws
+    assert len(s0) == len(s1) == K
+    with pytest.raises(ValueError, match="k must be"):
+        bottomk_summary(df, "k", 0)
+    with pytest.raises(ValueError, match="collision"):
+        bottomk_summary(df, "k", 5, payload_cols=["k"])
+
+
+def test_candidate_only_shuffle_plan(spark):
+    """Raw rows never shuffle: the plan's Exchanges sit above the
+    mapInPandas partial stage (candidate rows only), and there are at
+    most 2 (global key-dedup + top-k window share partitioning when
+    the grouping allows; ceiling 2 either way)."""
+    import re
+    df = _keys(spark, 1000).withColumn("g", F.lit("s"))
+    plan = bottomk_summary(df, "k", K, group_cols=["g"]) \
+        ._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 2
+    # the scan-side stage is the Python partial, below any Exchange
+    assert "MapInPandas" in plan
+
+
+def test_sample_on_documents_with_payload(spark, sf_dir):
+    """Product shape: 10 inspectable docs per source, deterministic,
+    with payload columns along for the ride."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = bottomk_summary(docs, "doc_id", 10, group_cols=["source"],
+                        payload_cols=["lang", "n_chars"])
+    per_src = {r["source"]: r["n"] for r in
+               s.groupBy("source").agg(
+                   F.count(F.lit(1)).alias("n")).collect()}
+    n_sources = docs.select("source").distinct().count()
+    assert len(per_src) == n_sources
+    assert all(n == 10 for n in per_src.values())
+    # payloads are real document attributes
+    joined = s.join(docs, ["doc_id", "source"], "inner")
+    assert joined.count() == s.count()

@@ -168,12 +168,60 @@ def run_document_legs(docs_ml) -> dict:
      .write.format("noop").mode("overwrite").save())
     t_cur = time.time() - t0
 
+    # mergeable-sketch legs (round 6): build wall should track rows
+    # (one scan + one bounded shuffle each), probe wall should track
+    # rows map-side. Bloom is sized from the corpus so fpr holds at
+    # every scale; CMS width/depth and digest compression are FIXED —
+    # the artifacts must stay bounded while data grows.
+    from big_data_bowl___2023_spark.dedup.bloom import (
+        bloom_parameters,
+        bloom_summary,
+        might_contain,
+    )
+    from big_data_bowl___2023_spark.operators.frequency import (
+        cms_parameters,
+        cms_summary,
+    )
+    from big_data_bowl___2023_spark.operators.quantiles import (
+        quantile_summary,
+    )
+
+    n_docs = docs_ml.count()
+    fps = docs_ml.select(F.md5("text").alias("fp"))
+    bparams = bloom_parameters(max(n_docs, 1000), 0.01)
+    t0 = time.time()
+    bloom = bloom_summary(fps, "fp", *bparams).localCheckpoint()
+    t_bloom_build = time.time() - t0
+    t0 = time.time()
+    n_maybe = might_contain(fps, "fp", bloom, "hit") \
+        .filter(F.col("hit")).count()
+    t_bloom_probe = time.time() - t0
+
+    w, d = cms_parameters(1e-3, 0.01)
+    t0 = time.time()
+    n_cells = cms_summary(split_lines(docs_ml), "line", w, d).count()
+    t_cms = time.time() - t0
+
+    t0 = time.time()
+    dig = quantile_summary(
+        docs_ml.select("source", F.length("text").alias("len")),
+        "len", group_cols=("source",))
+    n_centroids = dig.select(
+        F.sum(F.size("means")).alias("s")).collect()[0]["s"]
+    t_digest = time.time() - t0
+
     return {
         "repeated_lines": n_hot, "line_docs_out": n_kept,
         "line_dedup_sec": round(t_lines, 2),
         "heavy_keys": n_heavy, "heavy_sec": round(t_heavy, 2),
         "sequences": n_seq, "seq_assembly_sec": round(t_seq, 2),
         "curation_sec": round(t_cur, 2),
+        "bloom_bits": bparams.num_bits, "bloom_hits": n_maybe,
+        "bloom_build_sec": round(t_bloom_build, 2),
+        "bloom_probe_sec": round(t_bloom_probe, 2),
+        "cms_cells": n_cells, "cms_sec": round(t_cms, 2),
+        "tdigest_centroids": int(n_centroids),
+        "tdigest_sec": round(t_digest, 2),
     }
 
 
