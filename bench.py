@@ -156,7 +156,25 @@ def _extra_ops():
         )
         return corpus_profile(load_table(spark, sf_dir, "documents"))
 
+    def bloom_probe(spark, sf_dir):
+        """Mergeable-sketch ingest gate: build the corpus fingerprint
+        Bloom filter (sized to the corpus at 1% fpr — one scan + one
+        bounded word shuffle) and probe every fingerprint map-side."""
+        from big_data_bowl___2023_spark.dedup.bloom import (
+            bloom_parameters,
+            bloom_summary,
+            might_contain,
+        )
+        from pyspark.sql import functions as F
+
+        docs = load_table(spark, sf_dir, "documents")
+        fps = docs.select(F.md5("text").alias("fp"))
+        params = bloom_parameters(max(docs.count(), 1000), 0.01)
+        return might_contain(fps, "fp",
+                             bloom_summary(fps, "fp", *params))
+
     return {"dedup_winnow_overlap": winnow,
+            "bloom_probe_corpus": bloom_probe,
             "dedup_semantic_pairs": semdedup,
             "dsir_select": dsir,
             "dedup_repeated_lines": linededup,

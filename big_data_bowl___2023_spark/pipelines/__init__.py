@@ -1,3 +1,3 @@
-from . import fixtures, nfl
+from . import artifacts, curation, fixtures, nfl
 
-__all__ = ["fixtures", "nfl"]
+__all__ = ["artifacts", "curation", "fixtures", "nfl"]
