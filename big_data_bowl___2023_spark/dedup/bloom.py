@@ -192,19 +192,18 @@ def bloom_summary(df: DataFrame, key_col: str, num_bits: int,
 
 def merge_blooms(*summaries: DataFrame) -> DataFrame:
     """Fold several :func:`bloom_summary` artifacts (SAME num_bits /
-    num_hashes — enforced at action time by the grouped ``bit_or``
-    leaving mixed-parameter rows distinct, and eagerly here when the
-    plans expose literal params) into one artifact with the same
-    schema. OR is idempotent, so overlapping batches are safe."""
-    if not summaries:
-        raise ValueError("merge_blooms needs at least one summary")
-    out = summaries[0]
-    for s in summaries[1:]:
-        out = out.unionByName(s, allowMissingColumns=False)
-    merged = (out.groupBy("word_idx", "num_bits", "num_hashes")
-                 .agg(F.bit_or("bits").alias("bits"))
-                 .select("word_idx", "bits", "num_bits", "num_hashes"))
-    return merged
+    num_hashes) into one artifact with the same schema. OR is
+    idempotent, so overlapping batches are safe. This stays lazy, so
+    a parameter MISMATCH is not detected here — the grouped
+    ``bit_or`` simply keeps mixed-parameter rows distinct, and the
+    error surfaces when :func:`bloom_bytes` densifies the artifact
+    (probe time, or immediately if you densify to validate)."""
+    from ..operators._fold import fold_union
+
+    out = fold_union(summaries, "merge_blooms")
+    return (out.groupBy("word_idx", "num_bits", "num_hashes")
+               .agg(F.bit_or("bits").alias("bits"))
+               .select("word_idx", "bits", "num_bits", "num_hashes"))
 
 
 def bloom_bytes(summary: DataFrame) -> tuple[bytes, BloomParams]:
@@ -240,17 +239,28 @@ def bloom_bytes(summary: DataFrame) -> tuple[bytes, BloomParams]:
 
 
 def might_contain(df: DataFrame, key_col: str, summary: DataFrame,
-                  out_col: str = "maybe_in_set") -> DataFrame:
+                  out_col: str = "maybe_in_set",
+                  broadcast_handle: list | None = None) -> DataFrame:
     """df + boolean ``out_col``: False ⇒ key definitely NOT in the
     filtered set (the hard guarantee), True ⇒ maybe (false positives
     at the built fpr), NULL for NULL keys (membership of NULL is
     SQL-unknown). Map-side: codegen hashes + one Arrow-batched pandas
-    UDF over the broadcast dense bits — zero shuffle, zero join."""
+    UDF over the broadcast dense bits — zero shuffle, zero join.
+
+    Each call ships one dense broadcast (MB-scale). One-shot callers
+    can leave cleanup to the ContextCleaner (the broadcast is freed
+    when this plan is GC'd), but LONG-RUNNING callers probing every
+    micro-batch should pass ``broadcast_handle`` (a list) and call
+    ``.unpersist()`` on the appended Broadcast once the batch's
+    actions finish — otherwise un-freed 100 MB-class blocks pile up
+    between GC cycles."""
     dense, params = bloom_bytes(summary)
     num_bits, num_hashes = params
     # A real broadcast, not closure capture: the dense form is
     # MB-scale and must ship to executors once, not per task.
     bc = df.sparkSession.sparkContext.broadcast(dense)
+    if broadcast_handle is not None:
+        broadcast_handle.append(bc)
 
     @F.pandas_udf(T.BooleanType())
     def probe(h1: pd.Series, h2: pd.Series) -> pd.Series:
@@ -295,7 +305,9 @@ def bloom_prefilter(df: DataFrame, key_col: str, summary: DataFrame,
 
 def bloom_exact_anti_join(df: DataFrame, key_col: str,
                           index: DataFrame, index_key: str,
-                          summary: DataFrame) -> DataFrame:
+                          summary: DataFrame,
+                          broadcast_handle: list | None = None
+                          ) -> DataFrame:
     """Rows of ``df`` whose key is NOT in ``index`` — EXACTLY the
     plain anti-join's answer (verified in tests), but the anti-join's
     shuffle carries only the Bloom "maybe" rows (true members +
@@ -304,8 +316,10 @@ def bloom_exact_anti_join(df: DataFrame, key_col: str,
     misses index keys breaks the no-false-negative premise and WILL
     return rows the index contains. NULL keys keep anti-join
     semantics: NULL never matches the index, so NULL-key rows
-    survive."""
-    flagged = might_contain(df, key_col, summary, "__maybe")
+    survive. ``broadcast_handle`` forwards to :func:`might_contain`
+    for per-micro-batch cleanup."""
+    flagged = might_contain(df, key_col, summary, "__maybe",
+                            broadcast_handle)
     clear = flagged.filter(F.col("__maybe").isNull()
                            | ~F.col("__maybe")).drop("__maybe")
     maybe = flagged.filter(F.col("__maybe")).drop("__maybe")

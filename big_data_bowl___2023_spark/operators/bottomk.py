@@ -64,17 +64,21 @@ def bottomk_summary(df: DataFrame, key_col: str, k: int,
                     group_cols: Sequence[str] = (),
                     payload_cols: Sequence[str] = (),
                     seed: int = 0) -> DataFrame:
-    """(group_cols..., key_col, kmv_hash, payload_cols...): at most
-    ``k`` rows per group — the k distinct keys with the smallest
-    ``xxhash64(seed, key)``, each carrying the lexicographically
-    least payload tuple observed for that key. The per-batch/corpus
-    artifact; persist as parquet, grow with :func:`merge_bottomk`."""
+    """(group_cols..., key_col, kmv_hash, payload_cols..., kmv_k):
+    at most ``k`` rows per group — the k distinct keys with the
+    smallest ``xxhash64(seed, key)``, each carrying the least payload
+    tuple observed for that key (NULL payload fields sort FIRST, the
+    Spark ordering, so the pick is layout-invariant). ``kmv_k``
+    records the build k on every row, making the artifact
+    self-describing: merges and the KMV estimator validate against
+    it. The per-batch/corpus artifact; persist as parquet, grow with
+    :func:`merge_bottomk`."""
     if not (0 < k <= MAX_K):
         raise ValueError(f"k must be in (0, {MAX_K}], got {k}")
     gcols = list(group_cols)
     pcols = list(payload_cols)
-    overlap = {key_col, HASH_COL} & set(pcols) | \
-        ({HASH_COL} & set(gcols + [key_col]))
+    overlap = {key_col, HASH_COL, "kmv_k"} & set(pcols) | \
+        ({HASH_COL, "kmv_k"} & set(gcols + [key_col]))
     if overlap:
         raise ValueError(f"column collision {overlap}: payload must "
                          f"not repeat the key, and {HASH_COL!r} is "
@@ -95,7 +99,12 @@ def bottomk_summary(df: DataFrame, key_col: str, k: int,
                 continue
             both = pdf if state is None else pd.concat(
                 [state, pdf], ignore_index=True)
-            both = both.sort_values(sort_cols, kind="mergesort")
+            # na_position="first" matches Spark's NULLS FIRST struct
+            # ordering in phase 2 — without it a NULL-payload row
+            # would win in one phase and lose in the other, making
+            # the artifact depend on partitioning
+            both = both.sort_values(sort_cols, kind="mergesort",
+                                    na_position="first")
             both = both.drop_duplicates(
                 subset=gcols + [key_col], keep="first")
             if gcols:
@@ -109,6 +118,10 @@ def bottomk_summary(df: DataFrame, key_col: str, k: int,
 
     partials = hashed.mapInPandas(partial, out_schema)
     return _global_topk(partials, key_col, k, gcols, pcols)
+
+
+def _with_k(df: DataFrame, k: int) -> DataFrame:
+    return df.withColumn("kmv_k", F.lit(int(k)).cast("int"))
 
 
 def _global_topk(rows: DataFrame, key_col: str, k: int,
@@ -129,7 +142,7 @@ def _global_topk(rows: DataFrame, key_col: str, k: int,
                 .filter(F.col("__rn") <= k)
     cols = [*gcols, key_col, HASH_COL] \
         + [F.col(f"__p.{c}").alias(c) for c in pcols]
-    return ranked.select(*cols)
+    return _with_k(ranked.select(*cols), k)
 
 
 def merge_bottomk(*summaries: DataFrame, key_col: str, k: int,
@@ -141,25 +154,42 @@ def merge_bottomk(*summaries: DataFrame, key_col: str, k: int,
     a merge for more would bias the tail) into one artifact with the
     same schema. Idempotent: duplicate keys share a hash and
     collapse, so overlapping batches are safe."""
-    if not summaries:
-        raise ValueError("merge_bottomk needs at least one summary")
-    out = summaries[0]
-    for s in summaries[1:]:
-        out = out.unionByName(s, allowMissingColumns=False)
-    return _global_topk(out, key_col, k, list(group_cols),
-                        list(payload_cols))
+    from ._fold import fold_union
+
+    out = fold_union(summaries, "merge_bottomk")
+    build_k = [r["kmv_k"] for r in
+               out.select("kmv_k").distinct().collect()]
+    if any(k > bk for bk in build_k):
+        raise ValueError(
+            f"merge k={k} exceeds a build k in {sorted(build_k)}: a "
+            f"sketch only kept its k smallest keys, so a larger "
+            f"merge k would produce a hash-truncated, tail-biased "
+            f"sample presented as a uniform k-sample")
+    return _global_topk(out.drop("kmv_k"), key_col, k,
+                        list(group_cols), list(payload_cols))
 
 
-def kmv_distinct_estimate(summary: DataFrame, k: int,
+def kmv_distinct_estimate(summary: DataFrame,
                           group_cols: Sequence[str] = ()
                           ) -> DataFrame:
     """(group_cols..., distinct_estimate): the KMV cardinality read
-    of a bottom-k artifact. A group holding fewer than k keys is
-    EXACT (the sketch has every key); at k the estimate is
-    (k−1)/h_(k) with ~1/sqrt(k−2) relative error. Cross-checks the
-    HLL artifacts — and unlike them, the evidence rows are sitting in
-    the sketch."""
+    of a bottom-k artifact. ``k`` is read from the artifact's own
+    ``kmv_k`` column (passing a wrong k here was the one way to make
+    a full sketch read as an 'exact' undercount). A group holding
+    fewer than k keys is EXACT (the sketch has every key); at k the
+    estimate is (k−1)/h_(k) with ~1/sqrt(k−2) relative error.
+    Cross-checks the HLL artifacts — and unlike them, the evidence
+    rows are sitting in the sketch."""
     gcols = list(group_cols)
+    ks = [r["kmv_k"] for r in
+          summary.select("kmv_k").distinct().collect()]
+    if not ks:
+        raise ValueError("empty bottom-k artifact: nothing to "
+                         "estimate from")
+    if len(ks) != 1:
+        raise ValueError(f"artifact carries mixed build k {sorted(ks)}"
+                         f"; merge to a single k first")
+    k = int(ks[0])
     # normalize int64 hash to (0, 1]: (h - INT64_MIN) / 2^64
     u = (F.col("__maxh").cast("double")
          - float(-(2 ** 63))) / float(2 ** 64)

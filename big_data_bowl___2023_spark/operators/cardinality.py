@@ -73,12 +73,9 @@ def merge_cardinality(*summaries: DataFrame,
     ``group_cols`` explicitly — ``()`` to collapse everything into
     one corpus-lifetime sketch — or the extras would be treated as
     group keys and nothing would merge."""
-    if not summaries:
-        raise ValueError("merge_cardinality needs at least one "
-                         "summary (got an empty artifact list)")
-    out = summaries[0]
-    for s in summaries[1:]:
-        out = out.unionByName(s, allowMissingColumns=False)
+    from ._fold import fold_union
+
+    out = fold_union(summaries, "merge_cardinality")
     gcols = ([c for c in out.columns if c != "sketch"]
              if group_cols is None else list(group_cols))
     out = out.select(*gcols, "sketch")

@@ -152,7 +152,12 @@ def _resolve_exact(reference: DataFrame,
     never the full-materialization aggregate."""
     if exact_edges is not None:
         return exact_edges
-    return reference.count() <= EXACT_EDGES_MAX_ROWS
+    # "rows <= MAX?" needs a bounded probe, not a full count() of a
+    # possibly-100 TB reference: LIMIT MAX+1 stops scanning as soon
+    # as enough rows surface, and comparing ITS count answers the
+    # threshold question exactly.
+    probe = reference.limit(EXACT_EDGES_MAX_ROWS + 1).count()
+    return probe <= EXACT_EDGES_MAX_ROWS
 
 
 def psi_report(reference: DataFrame, current: DataFrame,

@@ -103,8 +103,10 @@ def cms_summary(df: DataFrame, key_col: str, width: int, depth: int,
     form of the count-min sketch over ``key_col``'s non-NULL values —
     the per-batch artifact. ``weight_col`` adds that column's value
     per row instead of 1 (e.g. pre-aggregated (key, n) inputs; NULL
-    weights count 0). Zero-shuffle per-partition build + one bounded
-    cell-keyed sum (map-side partial agg)."""
+    weights count 0; weights must be NON-NEGATIVE INTEGERS — negative
+    or fractional values fail the build rather than silently breaking
+    the one-sided guarantee). Zero-shuffle per-partition build + one
+    bounded cell-keyed sum (map-side partial agg)."""
     if width <= 0 or depth <= 0:
         raise ValueError(f"width and depth must be positive, got "
                          f"({width}, {depth})")
@@ -124,9 +126,25 @@ def cms_summary(df: DataFrame, key_col: str, width: int, depth: int,
             h1 = pdf["__h1"].to_numpy()
             h2 = pdf["__h2"].to_numpy()
             if weight_col:
-                wts = pd.to_numeric(pdf[weight_col],
-                                    errors="coerce") \
-                    .fillna(0).to_numpy(dtype=np.int64)
+                raw_w = pd.to_numeric(pdf[weight_col],
+                                      errors="coerce").fillna(0)
+                wts = raw_w.to_numpy(dtype=np.int64)
+                # negative weights would DECREMENT shared cells and
+                # break the one-sided estimate>=true guarantee the
+                # whole module advertises; fractional weights would
+                # silently truncate — both are caller errors, not
+                # sketch inputs
+                if (wts < 0).any():
+                    raise ValueError(
+                        f"cms_summary: negative weight in "
+                        f"{weight_col!r} — count-min counters are "
+                        f"non-negative; deletions need a different "
+                        f"sketch")
+                if (raw_w.to_numpy(dtype=float) != wts).any():
+                    raise ValueError(
+                        f"cms_summary: non-integer weight in "
+                        f"{weight_col!r} would be silently "
+                        f"truncated; pre-round explicitly")
             else:
                 wts = np.ones(len(pdf), dtype=np.int64)
             # _positions yields row i's column per input row; the
@@ -164,11 +182,9 @@ def merge_cms(*summaries: DataFrame) -> DataFrame:
     into one: union + cell-wise sum. NOT idempotent — counters add,
     so re-merging a batch double-counts it (track coverage, as with
     the t-digest artifacts)."""
-    if not summaries:
-        raise ValueError("merge_cms needs at least one summary")
-    out = summaries[0]
-    for s in summaries[1:]:
-        out = out.unionByName(s, allowMissingColumns=False)
+    from ._fold import fold_union
+
+    out = fold_union(summaries, "merge_cms")
     return (out.groupBy("row_idx", "col_idx", "width", "depth")
                .agg(F.sum("count").alias("count"))
                .select("row_idx", "col_idx", "count", "width",
@@ -202,14 +218,21 @@ def cms_matrix(summary: DataFrame) -> tuple[np.ndarray, CmsParams]:
 
 
 def estimate_counts(df: DataFrame, key_col: str, summary: DataFrame,
-                    out_col: str = "freq_estimate") -> DataFrame:
+                    out_col: str = "freq_estimate",
+                    broadcast_handle: list | None = None
+                    ) -> DataFrame:
     """df + long ``out_col``: the count-min estimate of each key's
     total weight in the sketched corpus — ≥ the true count always,
     ≤ true + ε·N with probability 1−δ per key; NULL for NULL keys.
     Map-side: codegen hashes + one Arrow-batched pandas UDF over the
-    broadcast dense matrix — zero shuffle, zero join."""
+    broadcast dense matrix — zero shuffle, zero join. Long-running
+    per-micro-batch callers: pass ``broadcast_handle`` and unpersist
+    the appended Broadcast after the batch's actions (the dedup/bloom
+    probe documents the leak mode)."""
     cells, (width, depth) = cms_matrix(summary)
     bc = df.sparkSession.sparkContext.broadcast(cells)
+    if broadcast_handle is not None:
+        broadcast_handle.append(bc)
 
     @F.pandas_udf(T.LongType())
     def probe(h1: pd.Series, h2: pd.Series) -> pd.Series:

@@ -177,9 +177,9 @@ def merge_summaries(*summaries: DataFrame) -> DataFrame:
     without ever rescanning old batches. No re-compaction is applied
     (it would only shrink the candidate set; correctness never needs
     it), so this is a plain union + groupBy over tiny inputs."""
-    out = summaries[0]
-    for s in summaries[1:]:
-        out = out.unionByName(s)
+    from ._fold import fold_union
+
+    out = fold_union(summaries, "merge_summaries")
     return (out.groupBy("key", "is_null_key")
             .agg(F.sum("lower_bound").alias("lower_bound"),
                  F.sum("part_rows").alias("part_rows"))

@@ -248,12 +248,9 @@ def merge_quantile_summaries(*summaries: DataFrame,
 
     ``group_cols=None`` infers the grouping as every non-digest
     column — correct for bare quantile_summary artifacts."""
-    if not summaries:
-        raise ValueError("merge_quantile_summaries needs at least "
-                         "one summary")
-    out = summaries[0]
-    for s in summaries[1:]:
-        out = out.unionByName(s, allowMissingColumns=False)
+    from ._fold import fold_union
+
+    out = fold_union(summaries, "merge_quantile_summaries")
     gcols = ([c for c in out.columns if c not in _DIGEST_FIELDS]
              if group_cols is None else list(group_cols))
     out = out.select(*gcols, *_DIGEST_FIELDS)

@@ -154,6 +154,25 @@ def make_curation_ingest_batch_fn(out_dir: str, index_dir: str,
     gradually back to plain anti-join cost, never to wrong answers).
     A pre-existing index without a filter is bootstrapped by one full
     index scan on the first gated batch."""
+    def _read_bloom_dir(spark):
+        """(artifact df | None, dir params | None). Params come from
+        the DIR whenever it exists — never from the constructor args
+        once a dir is established — so a transient index-read failure
+        can't make the loop append mismatched-parameter summaries and
+        brick every later batch."""
+        try:
+            spark.catalog.refreshByPath(bloom_dir)
+            df = spark.read.parquet(bloom_dir)
+            df.limit(1).collect()
+        except Exception:
+            return None, None
+        p = df.select("num_bits", "num_hashes").distinct().collect()
+        if len(p) != 1:
+            raise ValueError(
+                f"bloom dir {bloom_dir} mixes filter parameters "
+                f"{p}; it is not a single loop's artifact dir")
+        return df, (int(p[0]["num_bits"]), int(p[0]["num_hashes"]))
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         try:
@@ -165,52 +184,52 @@ def make_curation_ingest_batch_fn(out_dir: str, index_dir: str,
         history_bloom = None
         bloom_params = None
         if bloom_dir is not None:
-            bloom_params = bloom_parameters(bloom_expected_keys,
-                                            bloom_fpr)
-            if history is not None:
-                try:
-                    spark.catalog.refreshByPath(bloom_dir)
-                    history_bloom = spark.read.parquet(bloom_dir)
-                    history_bloom.limit(1).collect()
-                except Exception:
-                    history_bloom = None
-                if history_bloom is None:
-                    # index exists but no filter yet: bootstrap from
-                    # the full index once, so the no-false-negative
-                    # premise holds from the first gated batch
-                    bloom_summary(history, "fingerprint",
-                                  *bloom_params) \
-                        .write.mode("append").parquet(bloom_dir)
-                    spark.catalog.refreshByPath(bloom_dir)
-                    history_bloom = spark.read.parquet(bloom_dir)
-                else:
-                    p = history_bloom.select("num_bits",
-                                             "num_hashes") \
-                        .distinct().collect()
-                    if len(p) != 1:
-                        raise ValueError(
-                            f"bloom dir {bloom_dir} mixes filter "
-                            f"parameters {p}; it is not a single "
-                            f"loop's artifact dir")
-                    bloom_params = (int(p[0]["num_bits"]),
-                                    int(p[0]["num_hashes"]))
-        curated = curate_document_stream(
-            batch_df, history=history, benchmark=benchmark,
-            quality_model=quality_model,
-            quality_model_threshold=quality_model_threshold,
-            min_words=min_words, decontaminate_n=decontaminate_n,
-            min_overlap=min_overlap, bench_text_col=bench_text_col,
-            bench_id_col=bench_id_col,
-            history_bloom=history_bloom).localCheckpoint()
-        curated.drop("fingerprint").write.mode("append") \
-            .parquet(out_dir)
-        # the dedup key is already attached (post-redaction text
-        # fingerprint, consistent across batches) — index it as-is
-        new_fps = curated.select("fingerprint").distinct()
-        new_fps.write.mode("append").parquet(index_dir)
-        if bloom_dir is not None:
-            bloom_summary(new_fps, "fingerprint", *bloom_params) \
-                .write.mode("append").parquet(bloom_dir)
+            history_bloom, dir_params = _read_bloom_dir(spark)
+            bloom_params = dir_params or bloom_parameters(
+                bloom_expected_keys, bloom_fpr)
+            if history is not None and history_bloom is None:
+                # index exists but no filter yet: bootstrap from the
+                # full index once, so the no-false-negative premise
+                # holds from the first gated batch
+                bloom_summary(history, "fingerprint",
+                              *bloom_params) \
+                    .write.mode("append").parquet(bloom_dir)
+                history_bloom, bloom_params = _read_bloom_dir(spark)
+            if history is None:
+                history_bloom = None    # nothing to gate against
+        probe_bcs: list = []
+        try:
+            curated = curate_document_stream(
+                batch_df, history=history, benchmark=benchmark,
+                quality_model=quality_model,
+                quality_model_threshold=quality_model_threshold,
+                min_words=min_words, decontaminate_n=decontaminate_n,
+                min_overlap=min_overlap,
+                bench_text_col=bench_text_col,
+                bench_id_col=bench_id_col,
+                history_bloom=history_bloom,
+                broadcast_handle=probe_bcs).localCheckpoint()
+            curated.drop("fingerprint").write.mode("append") \
+                .parquet(out_dir)
+            # the dedup key is already attached (post-redaction text
+            # fingerprint, consistent across batches) — index it
+            # as-is. APPEND ORDER IS LOAD-BEARING: the filter goes
+            # first so a crash between the two writes leaves the
+            # filter AHEAD of the index (harmless: "maybe" rows
+            # still hit the exact join) — never BEHIND it, which
+            # would silently admit duplicates forever after.
+            new_fps = curated.select("fingerprint").distinct() \
+                .localCheckpoint()
+            if bloom_dir is not None:
+                bloom_summary(new_fps, "fingerprint", *bloom_params) \
+                    .write.mode("append").parquet(bloom_dir)
+            new_fps.write.mode("append").parquet(index_dir)
+        finally:
+            # per-batch probe broadcasts (MB-scale dense filters)
+            # are freed eagerly, not left to driver GC — a stream
+            # processes thousands of batches
+            for bc in probe_bcs:
+                bc.unpersist(blocking=False)
 
     return process
 
@@ -227,7 +246,8 @@ def curate_document_stream(stream_docs: DataFrame,
                            dedup_delay: str | None = None,
                            bench_text_col: str = "text",
                            bench_id_col: str = "bench_id",
-                           history_bloom: DataFrame | None = None
+                           history_bloom: DataFrame | None = None,
+                           broadcast_handle: list | None = None
                            ) -> DataFrame:
     """The stream-safe curation stages composed over a document
     stream (or a batch frame — every stage is trigger-agnostic):
@@ -270,7 +290,8 @@ def curate_document_stream(stream_docs: DataFrame,
     if history is not None:
         if history_bloom is not None:
             out = bloom_exact_anti_join(out, "fingerprint", history,
-                                        "fingerprint", history_bloom)
+                                        "fingerprint", history_bloom,
+                                        broadcast_handle)
         else:
             out = out.join(history, "fingerprint", "left_anti")
     return out

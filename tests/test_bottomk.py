@@ -104,7 +104,7 @@ def test_grouped_null_group_and_null_keys(spark):
         by_g.setdefault(r["g"], set()).add(r["k"])
     assert by_g == {"a": {"k1", "k2"}, None: {"k3"}}
     est = {r["g"]: r["distinct_estimate"] for r in
-           kmv_distinct_estimate(got, 10,
+           kmv_distinct_estimate(got,
                                  group_cols=["g"]).collect()}
     assert est == {"a": 2.0, None: 1.0}  # below k -> exact
 
@@ -113,7 +113,7 @@ def test_kmv_estimate_envelope_at_k(spark):
     n, k = 20_000, 256
     df = _keys(spark, n)
     est = kmv_distinct_estimate(
-        bottomk_summary(df, "k", k), k).collect()[0]
+        bottomk_summary(df, "k", k)).collect()[0]
     # relative error ~1/sqrt(k-2) ≈ 6.3%; accept 4 sigma
     assert abs(est["distinct_estimate"] - n) < 0.25 * n
 
@@ -177,3 +177,41 @@ def test_sample_on_documents_with_payload(spark, sf_dir):
     # payloads are real document attributes
     joined = s.join(docs, ["doc_id", "source"], "inner")
     assert joined.count() == s.count()
+
+
+def test_null_payload_layout_invariant(spark):
+    """A key whose payload is NULL in one partition and set in
+    another must resolve identically under any layout (Spark's
+    NULLS-FIRST struct ordering, mirrored by the pandas phase)."""
+    df = spark.createDataFrame(
+        [("dup", None, 7), ("dup", "b-src", 1), ("x", "m", 2)],
+        "k string, src string, n int")
+    rows = {}
+    for layout in (df.coalesce(1), df.repartition(5)):
+        got = sorted(map(tuple, bottomk_summary(
+            layout, "k", 10, payload_cols=["src", "n"]).collect()))
+        rows.setdefault("all", []).append(got)
+    assert rows["all"][0] == rows["all"][1]
+    by_k = {t[0]: t for t in rows["all"][0]}
+    assert by_k["dup"][2] is None        # NULL payload wins (first)
+
+
+def test_merge_k_larger_than_build_refused(spark):
+    df = _keys(spark, 500)
+    s = bottomk_summary(df, "k", 16)
+    with pytest.raises(ValueError, match="exceeds a build k"):
+        merge_bottomk(s, s, key_col="k", k=32)
+    # shrinking k is fine
+    small = merge_bottomk(s, key_col="k", k=8)
+    assert small.count() == 8
+    assert small.collect()[0]["kmv_k"] == 8
+
+
+def test_artifact_self_describes_k(spark):
+    df = _keys(spark, 100)
+    s = bottomk_summary(df, "k", 16)
+    assert {r["kmv_k"] for r in s.collect()} == {16}
+    # the estimator reads k from the artifact: below-k group exact
+    tiny = bottomk_summary(_keys(spark, 5), "k", 16)
+    est = kmv_distinct_estimate(tiny).collect()[0]
+    assert est["distinct_estimate"] == 5.0

@@ -176,3 +176,16 @@ def test_build_plan_single_bounded_shuffle(spark):
             spark._jvm.org.apache.spark.sql.execution.ExplainMode
             .fromString("formatted"))
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 1
+
+
+def test_invalid_weights_fail_loudly(spark):
+    """Negative weights would decrement shared cells (breaking the
+    one-sided guarantee); fractional weights would silently truncate.
+    Both fail the build instead."""
+    w, d = cms_parameters(1e-2, 0.05)
+    neg = spark.createDataFrame([("a", -1)], "k string, n int")
+    with pytest.raises(Exception, match="negative weight"):
+        cms_matrix(cms_summary(neg, "k", w, d, weight_col="n"))
+    frac = spark.createDataFrame([("a", 2.7)], "k string, n double")
+    with pytest.raises(Exception, match="non-integer weight"):
+        cms_matrix(cms_summary(frac, "k", w, d, weight_col="n"))

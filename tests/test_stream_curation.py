@@ -292,3 +292,99 @@ def test_bloom_gate_bootstraps_from_existing_index(spark, tmp_path):
            spark.read.parquet(out_dir).collect()}
     assert ids == {1, 3}
     assert (tmp_path / "bloom").exists()
+
+
+def test_bloom_dir_params_survive_index_read_failure(spark, tmp_path):
+    """A transient index-read failure must NOT make the loop append
+    summaries sized from the constructor args: once a bloom dir
+    exists, its own parameters win. Simulated by deleting the index
+    dir (the read fails exactly like a transient IO error) while
+    running a loop constructed with DIFFERENT sizing."""
+    import shutil
+
+    from big_data_bowl___2023_spark.streaming import (
+        make_curation_ingest_batch_fn,
+    )
+
+    base = ("a perfectly ordinary paragraph with enough distinct "
+            "words to pass the quality gate and contribute value "
+            "to the corpus in every measurable way today")
+    out_dir = str(tmp_path / "docs")
+    idx_dir = str(tmp_path / "index")
+    bloom_dir = str(tmp_path / "bloom")
+    gated = make_curation_ingest_batch_fn(
+        out_dir, idx_dir, min_words=20, bloom_dir=bloom_dir,
+        bloom_expected_keys=1000)
+    gated(spark.createDataFrame(
+        [(1, "first " + base, "web")],
+        ["doc_id", "text", "source"]), 0)
+    spark.catalog.refreshByPath(bloom_dir)
+    params0 = spark.read.parquet(bloom_dir) \
+        .select("num_bits", "num_hashes").distinct().collect()
+    assert len(params0) == 1
+
+    shutil.rmtree(idx_dir)            # the "transient" failure
+    other = make_curation_ingest_batch_fn(
+        out_dir, idx_dir, min_words=20, bloom_dir=bloom_dir,
+        bloom_expected_keys=50_000)   # different sizing args
+    other(spark.createDataFrame(
+        [(2, "second " + base, "web")],
+        ["doc_id", "text", "source"]), 1)
+    spark.catalog.refreshByPath(bloom_dir)
+    params1 = spark.read.parquet(bloom_dir) \
+        .select("num_bits", "num_hashes").distinct().collect()
+    assert params1 == params0         # dir params won; no mixing
+
+
+def test_bloom_write_precedes_index_write(spark, tmp_path):
+    """Append order is load-bearing: the filter write lands BEFORE
+    the index write, so a crash between the two leaves the filter
+    AHEAD of the index (harmless: "maybe" rows still hit the exact
+    join) rather than behind it (silent permanent duplicate
+    admission). Simulated by making the INDEX append fail: the
+    filter dir must already contain the failed batch's bits."""
+    import pathlib
+    import shutil
+
+    import numpy as np
+    import pytest
+
+    from big_data_bowl___2023_spark.dedup.bloom import bloom_bytes
+    from big_data_bowl___2023_spark.streaming import (
+        make_curation_ingest_batch_fn,
+    )
+
+    base = ("a perfectly ordinary paragraph with enough distinct "
+            "words to pass the quality gate and contribute value "
+            "to the corpus in every measurable way today")
+    out_dir = str(tmp_path / "docs")
+    idx_dir = str(tmp_path / "index")
+    bloom_dir = str(tmp_path / "bloom")
+    gated = make_curation_ingest_batch_fn(
+        out_dir, idx_dir, min_words=20, bloom_dir=bloom_dir,
+        bloom_expected_keys=1000)
+    gated(spark.createDataFrame(
+        [(1, "first " + base, "web")],
+        ["doc_id", "text", "source"]), 0)
+    spark.catalog.refreshByPath(bloom_dir)
+    before, _ = bloom_bytes(spark.read.parquet(bloom_dir))
+    bits_before = int(np.unpackbits(
+        np.frombuffer(before, dtype=np.uint8)).sum())
+
+    # crash the INDEX append of batch 1 by replacing the index dir
+    # with a plain file — the parquet append raises AFTER the bloom
+    # append has run
+    shutil.rmtree(idx_dir)
+    pathlib.Path(idx_dir).write_text("not a directory")
+    with pytest.raises(Exception):
+        gated(spark.createDataFrame(
+            [(2, "second " + base, "web")],
+            ["doc_id", "text", "source"]), 1)
+
+    # the filter is AHEAD: batch 1's fingerprint bits are already in
+    # the dir (single-parameter, densifiable) despite the index crash
+    spark.catalog.refreshByPath(bloom_dir)
+    after, _ = bloom_bytes(spark.read.parquet(bloom_dir))
+    bits_after = int(np.unpackbits(
+        np.frombuffer(after, dtype=np.uint8)).sum())
+    assert bits_after > bits_before
