@@ -144,6 +144,26 @@ def write_batch_artifacts(docs: DataFrame, out_dir: str,
                        prev)
 
 
+def make_artifact_batch_fn(out_dir: str,
+                           spec: ArtifactSpec = ArtifactSpec()):
+    """``foreachBatch`` adapter: attach the artifact store to a
+    document stream so every micro-batch leaves its sketches behind.
+
+        stream.writeStream.foreachBatch(
+            make_artifact_batch_fn(out_dir)).start()
+
+    Micro-batch ids are Structured Streaming's batch ids — replayed
+    batches (checkpoint recovery re-runs the last uncommitted batch)
+    hit the dynamic-partition-overwrite path and REPLACE their
+    earlier artifacts, so exactly-once artifact accounting falls out
+    of the store's layout. Also directly callable with
+    (batch_df, batch_id) for batch backfills."""
+    def process(docs: DataFrame, batch_id: int) -> None:
+        write_batch_artifacts(docs, out_dir, int(batch_id), spec)
+
+    return process
+
+
 def corpus_artifact_views(spark: SparkSession, out_dir: str,
                           spec: ArtifactSpec = ArtifactSpec(),
                           batches: Sequence[int] | None = None

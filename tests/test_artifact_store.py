@@ -160,3 +160,44 @@ def test_time_travel_prefix_view(spark, store):
                                  batches=[0, 1])
     n01 = sum(r["count"] for r in both["quantiles"].collect())
     assert n01 == batches[0].count() + batches[1].count()
+
+
+def test_foreach_batch_adapter_stream_and_replay(spark, sf_dir,
+                                                 tmp_path):
+    """The foreachBatch adapter wires the store to a stream: each
+    micro-batch leaves its sketches under batch=N, and a REPLAYED
+    batch id (checkpoint recovery re-runs the last uncommitted
+    batch) replaces its artifacts instead of double-counting."""
+    import time
+
+    from big_data_bowl___2023_spark.pipelines.artifacts import (
+        make_artifact_batch_fn,
+    )
+
+    src = str(tmp_path / "incoming")
+    store = str(tmp_path / "store")
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text", "source"))
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    b0.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    b1.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream
+         .foreachBatch(make_artifact_batch_fn(store, SPEC))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    views = corpus_artifact_views(spark, store, SPEC)
+    n = sum(r["count"] for r in views["quantiles"].collect())
+    assert n == docs.count()
+
+    # checkpoint-recovery replay: re-running a batch id replaces
+    make_artifact_batch_fn(store, SPEC)(b1, 1)
+    views2 = corpus_artifact_views(spark, store, SPEC)
+    n2 = sum(r["count"] for r in views2["quantiles"].collect())
+    assert n2 == n
