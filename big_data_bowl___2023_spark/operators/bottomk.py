@@ -200,3 +200,72 @@ def kmv_distinct_estimate(summary: DataFrame,
                  F.col("__n").cast("double")) \
            .otherwise((F.lit(float(k - 1)) / u))
     return agg.select(*gcols, est.alias("distinct_estimate"))
+
+
+def kmv_overlap_estimate(a: DataFrame, b: DataFrame, key_col: str,
+                         group_cols: Sequence[str] = ()
+                         ) -> DataFrame:
+    """(group_cols..., jaccard, intersection_estimate,
+    union_estimate): set-overlap estimates between two corpora FROM
+    THEIR BOTTOM-K ARTIFACTS ALONE — no corpus join, no rescan. The
+    classic bottom-k set operation (Cohen & Kaplan, PODC'07): the k
+    smallest hashes of A∪B are a uniform sample of the union, so the
+    fraction of them present in BOTH sketches estimates the Jaccard
+    similarity (σ ≈ sqrt(J(1−J)/k)), and the union's KMV cardinality
+    scales it to an intersection count. Groups where both sketches
+    hold every key (below k) are EXACT.
+
+    Guards: both artifacts must share the build k (enforced via
+    ``kmv_k``) and the hash seed — an inconsistent seed is detected
+    by any co-occurring key carrying two different hashes, checked
+    against the (tiny) sketch rows before estimating. The use case
+    is `dedup.clusters.source_overlap_matrix`'s question at artifact
+    cost: cross-source/cross-snapshot contamination screening before
+    deciding to run the exact pair join."""
+    gcols = list(group_cols)
+    ks = {r["kmv_k"] for r in
+          a.select("kmv_k").union(b.select("kmv_k"))
+          .distinct().collect()}
+    if len(ks) != 1:
+        raise ValueError(f"overlap estimation needs one shared build "
+                         f"k, got {sorted(ks)}")
+    k = int(ks.pop())
+    ta = a.select(*gcols, key_col, HASH_COL) \
+        .withColumn("__in_a", F.lit(True)) \
+        .withColumn("__in_b", F.lit(False))
+    tb = b.select(*gcols, key_col, HASH_COL) \
+        .withColumn("__in_a", F.lit(False)) \
+        .withColumn("__in_b", F.lit(True))
+    both = ta.unionByName(tb)
+    per_key = both.groupBy(*gcols, key_col).agg(
+        F.min(HASH_COL).alias(HASH_COL),
+        F.max(HASH_COL).alias("__hmax"),
+        F.max("__in_a").alias("__in_a"),
+        F.max("__in_b").alias("__in_b"))
+    bad = per_key.filter(F.col(HASH_COL) != F.col("__hmax")).count()
+    if bad:
+        raise ValueError(
+            f"{bad} key(s) carry two different kmv_hash values "
+            f"across the two artifacts — they were built with "
+            f"different seeds and cannot be compared")
+    part = [F.col(c) for c in gcols] if gcols else [F.lit(0)]
+    w = Window.partitionBy(*part).orderBy(F.col(HASH_COL).asc(),
+                                          F.col(key_col).asc())
+    union_k = per_key.withColumn("__rn", F.row_number().over(w)) \
+                     .filter(F.col("__rn") <= k)
+    u = (F.col("__maxh").cast("double")
+         - float(-(2 ** 63))) / float(2 ** 64)
+    agg = union_k.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.max(HASH_COL).alias("__maxh"),
+        F.sum((F.col("__in_a") & F.col("__in_b")).cast("long"))
+        .alias("__inter"))
+    union_est = F.when(F.col("__n") < k,
+                       F.col("__n").cast("double")) \
+                 .otherwise(F.lit(float(k - 1)) / u)
+    jaccard = F.col("__inter") / F.col("__n")
+    return agg.select(
+        *gcols,
+        jaccard.alias("jaccard"),
+        (jaccard * union_est).alias("intersection_estimate"),
+        union_est.alias("union_estimate"))

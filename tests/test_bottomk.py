@@ -215,3 +215,77 @@ def test_artifact_self_describes_k(spark):
     tiny = bottomk_summary(_keys(spark, 5), "k", 16)
     est = kmv_distinct_estimate(tiny).collect()[0]
     assert est["distinct_estimate"] == 5.0
+
+
+def test_kmv_overlap_known_jaccard(spark):
+    """A=0..2499, B=1500..3999: |∩|=1000, |∪|=4000, J=0.25. At k=256
+    the estimator's σ(J)≈0.027 — accept 4σ. Estimates come from the
+    ARTIFACTS only (no corpus join)."""
+    from big_data_bowl___2023_spark.operators.bottomk import (
+        kmv_overlap_estimate,
+    )
+    k = 256
+    a = spark.range(0, 2500).select(
+        F.concat(F.lit("key"), F.col("id")).alias("k"))
+    b = spark.range(1500, 4000).select(
+        F.concat(F.lit("key"), F.col("id")).alias("k"))
+    est = kmv_overlap_estimate(
+        bottomk_summary(a, "k", k),
+        bottomk_summary(b, "k", k), "k").collect()[0]
+    assert abs(est["jaccard"] - 0.25) < 0.11
+    assert abs(est["union_estimate"] - 4000) < 1000
+    assert abs(est["intersection_estimate"] - 1000) < 450
+
+
+def test_kmv_overlap_exact_below_k_and_disjoint(spark):
+    from big_data_bowl___2023_spark.operators.bottomk import (
+        kmv_overlap_estimate,
+    )
+    a = _keys(spark, 20, "s")          # s0..s19
+    b = spark.range(10, 30).select(
+        F.concat(F.lit("s"), F.col("id")).alias("k"))  # s10..s29
+    est = kmv_overlap_estimate(
+        bottomk_summary(a, "k", 64),
+        bottomk_summary(b, "k", 64), "k").collect()[0]
+    assert est["jaccard"] == pytest.approx(10 / 30)
+    assert est["union_estimate"] == 30.0
+    assert est["intersection_estimate"] == pytest.approx(10.0)
+    # disjoint corpora: zero across the board
+    c = _keys(spark, 20, "t")
+    z = kmv_overlap_estimate(
+        bottomk_summary(a, "k", 64),
+        bottomk_summary(c, "k", 64), "k").collect()[0]
+    assert z["jaccard"] == 0.0
+    assert z["intersection_estimate"] == 0.0
+
+
+def test_kmv_overlap_guards(spark):
+    from big_data_bowl___2023_spark.operators.bottomk import (
+        kmv_overlap_estimate,
+    )
+    df = _keys(spark, 100)
+    with pytest.raises(ValueError, match="shared build k"):
+        kmv_overlap_estimate(bottomk_summary(df, "k", 16),
+                             bottomk_summary(df, "k", 32), "k")
+    with pytest.raises(ValueError, match="different seeds"):
+        kmv_overlap_estimate(bottomk_summary(df, "k", 16, seed=0),
+                             bottomk_summary(df, "k", 16, seed=9),
+                             "k")
+
+
+def test_kmv_overlap_grouped(spark):
+    from big_data_bowl___2023_spark.operators.bottomk import (
+        kmv_overlap_estimate,
+    )
+    a = spark.createDataFrame(
+        [("g1", f"k{i}") for i in range(10)]
+        + [("g2", f"k{i}") for i in range(5)], "g string, k string")
+    b = spark.createDataFrame(
+        [("g1", f"k{i}") for i in range(5, 15)]
+        + [("g2", f"x{i}") for i in range(5)], "g string, k string")
+    est = {r["g"]: r for r in kmv_overlap_estimate(
+        bottomk_summary(a, "k", 32, group_cols=["g"]),
+        bottomk_summary(b, "k", 32, group_cols=["g"]),
+        "k", group_cols=["g"]).collect()}
+    assert est["g1"]["jaccard"] == pytest.approx(5 / 15)
+    assert est["g2"]["jaccard"] == 0.0
