@@ -22,6 +22,12 @@ and the per-column shares are a pair of tiny aggregations joined on
 the bucket id. NULLs are their own bucket, and float NaN its own
 (a drift in nullability — or NaN rate — is drift).
 
+Archived-snapshot variant: when both snapshots already left t-digest
+artifacts behind (``operators.quantiles`` / the artifact store),
+``quantiles.psi_from_digests`` computes the same PSI from the
+artifacts alone — neither snapshot rescanned; parity with this
+module is tested.
+
 Reference scope note: north-star extension (SURVEY.md §2
 extensions); the reference has no monitoring surface.
 """

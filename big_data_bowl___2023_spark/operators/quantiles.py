@@ -310,6 +310,93 @@ def _quantiles_from_digest(means: np.ndarray, weights: np.ndarray,
     return np.interp(ranks, xs, ys).tolist()
 
 
+def _cdf_from_digest(means: np.ndarray, weights: np.ndarray,
+                     vmin, vmax, xs_query: np.ndarray) -> np.ndarray:
+    """Rank fraction at each query value — the inverse of
+    :func:`_quantiles_from_digest`, same centroid-center
+    interpolation."""
+    n = weights.sum()
+    centers = np.cumsum(weights) - weights / 2.0
+    xs = np.concatenate(([float(vmin)], means, [float(vmax)]))
+    rs = np.concatenate(([0.0], centers, [n]))
+    return np.interp(xs_query, xs, rs) / n
+
+
+def psi_from_digests(reference: DataFrame, current: DataFrame,
+                     n_buckets: int = 10,
+                     group_cols: Sequence[str] = ()) -> DataFrame:
+    """(group_cols..., psi, n_ref, n_cur): Population Stability Index
+    between two archived t-digest artifacts of the SAME metric — the
+    ``operators.drift`` question answered from the artifact store,
+    with neither snapshot rescanned. Buckets are the reference
+    digest's quantile edges (the drift module's convention); each
+    side's bucket shares come from its digest's CDF; the PSI formula
+    and ``_EPS`` smoothing are drift's own, so its thresholds
+    (``drifted_columns``' 0.25 alert default) carry over. Accuracy inherits the
+    digest rank error (~1/compression per edge) — parity with the
+    raw-data ``psi_report`` is tested to a small absolute band.
+
+    Differences from raw-data PSI, by construction: digests hold
+    non-NULL, non-NaN values only, so the NULL/NaN drift buckets do
+    not exist here (compare ``count`` against raw row counts for
+    nullability drift); a group empty or missing on either side
+    reports psi NULL (appeared/vanished — drift by definition,
+    flagged rather than faked). Pure driver-side math over artifact
+    rows (≤ groups, bounded)."""
+    from .drift import _EPS
+
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    gcols = list(group_cols)
+
+    def collect(summary):
+        out = {}
+        for r in summary.collect():
+            key = tuple(r[c] for c in gcols)
+            out[key] = r
+        return out
+
+    ref = collect(reference)
+    cur = collect(current)
+    rows = []
+    for key in sorted(set(ref) | set(cur),
+                      key=lambda t: tuple(str(v) for v in t)):
+        a, b = ref.get(key), cur.get(key)
+        n_ref = int(a["count"]) if a is not None else 0
+        n_cur = int(b["count"]) if b is not None else 0
+        if n_ref == 0 or n_cur == 0:
+            rows.append((*key, None, n_ref, n_cur))
+            continue
+        am = np.asarray(a["means"], dtype=float)
+        aw = np.asarray(a["weights"], dtype=float)
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        edges = np.asarray(_quantiles_from_digest(
+            am, aw, a["min"], a["max"], probs), dtype=float)
+
+        def shares(row):
+            m = np.asarray(row["means"], dtype=float)
+            w = np.asarray(row["weights"], dtype=float)
+            cdf = _cdf_from_digest(m, w, row["min"], row["max"],
+                                   np.clip(edges, row["min"],
+                                           row["max"]))
+            # clamp handles edges outside this side's observed range:
+            # below-min edges read CDF 0, above-max read 1
+            cdf = np.concatenate(([0.0], cdf, [1.0]))
+            return np.diff(cdf)
+
+        p = np.maximum(shares(a), _EPS)
+        q = np.maximum(shares(b), _EPS)
+        psi = float(np.sum((q - p) * np.log(q / p)))
+        rows.append((*key, round(psi, 6), n_ref, n_cur))
+
+    spark = reference.sparkSession
+    schema_cols = ", ".join(
+        [f"`{c}` {reference.schema[c].dataType.simpleString()}"
+         for c in gcols]
+        + ["psi double", "n_ref long", "n_cur long"])
+    return spark.createDataFrame(rows, schema_cols)
+
+
 def quantile_report(df: DataFrame, value_col: str,
                     probabilities: Sequence[float],
                     group_cols: Sequence[str] = (),

@@ -210,3 +210,66 @@ def test_build_plan_single_digest_shuffle(spark):
             spark._jvm.org.apache.spark.sql.execution.ExplainMode
             .fromString("formatted"))
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 1
+
+
+def test_psi_from_digests_parity_with_raw_drift(spark):
+    """Artifact-based PSI tracks the raw-data drift monitor: near
+    zero on an identically distributed pair, parity within a small
+    absolute band on a planted one-sigma shift, and above the 0.25
+    alert threshold on a two-sigma shift — same edges convention,
+    same smoothing."""
+    from big_data_bowl___2023_spark.operators.drift import psi_report
+    from big_data_bowl___2023_spark.operators.quantiles import (
+        psi_from_digests,
+    )
+
+    rng = np.random.default_rng(17)
+    ref_vals = rng.normal(0.0, 1.0, size=12_000)
+    same = rng.normal(0.0, 1.0, size=12_000)
+    shift1 = rng.normal(1.0, 1.0, size=12_000)
+    shift2 = rng.normal(2.0, 1.0, size=12_000)
+
+    def df_of(vals):
+        return spark.createDataFrame(
+            [(float(v),) for v in vals], "v double")
+
+    ref = df_of(ref_vals)
+    dig_ref = quantile_summary(ref, "v")
+    for cur_vals, lo, hi in ((same, 0.0, 0.02),
+                             (shift1, 0.25, None),
+                             (shift2, 0.25, None)):
+        cur = df_of(cur_vals)
+        raw = psi_report(ref, cur, ["v"]).collect()[0]["psi"]
+        art = psi_from_digests(dig_ref,
+                               quantile_summary(cur, "v")) \
+            .collect()[0]
+        assert art["n_ref"] == 12_000 and art["n_cur"] == 12_000
+        assert lo <= art["psi"], (raw, art["psi"])
+        if hi is not None:
+            assert art["psi"] <= hi
+        assert abs(art["psi"] - raw) < 0.08, (raw, art["psi"])
+
+
+def test_psi_from_digests_grouped_and_missing_side(spark):
+    from big_data_bowl___2023_spark.operators.quantiles import (
+        psi_from_digests,
+    )
+
+    rng = np.random.default_rng(4)
+    rows_ref = [("a", float(v)) for v in rng.normal(0, 1, 3000)] \
+        + [("gone", float(v)) for v in rng.normal(0, 1, 500)]
+    rows_cur = [("a", float(v)) for v in rng.normal(3, 1, 3000)] \
+        + [("new", float(v)) for v in rng.normal(0, 1, 500)]
+    ref = spark.createDataFrame(rows_ref, "g string, v double")
+    cur = spark.createDataFrame(rows_cur, "g string, v double")
+    rep = {r["g"]: r for r in psi_from_digests(
+        quantile_summary(ref, "v", ["g"]),
+        quantile_summary(cur, "v", ["g"]),
+        group_cols=["g"]).collect()}
+    assert rep["a"]["psi"] > 0.25          # three-sigma shift: alert
+    assert rep["gone"]["psi"] is None and rep["gone"]["n_cur"] == 0
+    assert rep["new"]["psi"] is None and rep["new"]["n_ref"] == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n_buckets"):
+        psi_from_digests(quantile_summary(ref, "v"),
+                         quantile_summary(cur, "v"), n_buckets=1)
