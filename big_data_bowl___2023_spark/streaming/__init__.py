@@ -12,6 +12,11 @@ from .curation import (
     stream_decontaminate,
 )
 from .cardinality import windowed_distinct_counts
+from .frequency import (
+    latest_window_sketches,
+    windowed_cms_sketches,
+    windows_as_cms_summary,
+)
 from .quantiles import (
     latest_window_digests,
     windowed_quantile_digests,
@@ -40,4 +45,6 @@ __all__ = ["benchmark_shingle_set", "curate_document_stream",
            "streaming_heavy_hitters", "latest_summaries",
            "tumbling_counts", "windowed_distinct_counts",
            "latest_window_digests", "windowed_quantile_digests",
-           "windows_as_quantile_summary"]
+           "windows_as_quantile_summary",
+           "latest_window_sketches", "windowed_cms_sketches",
+           "windows_as_cms_summary"]
