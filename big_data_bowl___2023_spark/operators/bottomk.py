@@ -64,21 +64,25 @@ def bottomk_summary(df: DataFrame, key_col: str, k: int,
                     group_cols: Sequence[str] = (),
                     payload_cols: Sequence[str] = (),
                     seed: int = 0) -> DataFrame:
-    """(group_cols..., key_col, kmv_hash, payload_cols..., kmv_k):
-    at most ``k`` rows per group — the k distinct keys with the
-    smallest ``xxhash64(seed, key)``, each carrying the least payload
-    tuple observed for that key (NULL payload fields sort FIRST, the
-    Spark ordering, so the pick is layout-invariant). ``kmv_k``
-    records the build k on every row, making the artifact
-    self-describing: merges and the KMV estimator validate against
-    it. The per-batch/corpus artifact; persist as parquet, grow with
+    """(group_cols..., key_col, kmv_hash, payload_cols..., kmv_k,
+    kmv_seed): at most ``k`` rows per group — the k distinct keys
+    with the smallest ``xxhash64(seed, key)``, each carrying the
+    least payload tuple observed for that key (NULL payload fields
+    sort FIRST, the Spark ordering, so the pick is layout-invariant).
+    ``kmv_k`` / ``kmv_seed`` record the build parameters on every
+    row, making the artifact self-describing: merges and the
+    estimators validate against them (two sketches hashed with
+    different seeds are numerically incomparable, and for large
+    corpora no co-occurring sketch key would reveal it). The
+    per-batch/corpus artifact; persist as parquet, grow with
     :func:`merge_bottomk`."""
     if not (0 < k <= MAX_K):
         raise ValueError(f"k must be in (0, {MAX_K}], got {k}")
     gcols = list(group_cols)
     pcols = list(payload_cols)
-    overlap = {key_col, HASH_COL, "kmv_k"} & set(pcols) | \
-        ({HASH_COL, "kmv_k"} & set(gcols + [key_col]))
+    meta = {HASH_COL, "kmv_k", "kmv_seed"}
+    overlap = ({key_col} | meta) & set(pcols) | \
+        (meta & set(gcols + [key_col]))
     if overlap:
         raise ValueError(f"column collision {overlap}: payload must "
                          f"not repeat the key, and {HASH_COL!r} is "
@@ -117,15 +121,38 @@ def bottomk_summary(df: DataFrame, key_col: str, k: int,
             yield state
 
     partials = hashed.mapInPandas(partial, out_schema)
-    return _global_topk(partials, key_col, k, gcols, pcols)
+    return _global_topk(partials, key_col, k, gcols, pcols, seed)
 
 
-def _with_k(df: DataFrame, k: int) -> DataFrame:
-    return df.withColumn("kmv_k", F.lit(int(k)).cast("int"))
+def _with_meta(df: DataFrame, k: int, seed: int) -> DataFrame:
+    return df.withColumn("kmv_k", F.lit(int(k)).cast("int")) \
+             .withColumn("kmv_seed", F.lit(int(seed)).cast("long"))
+
+
+def _rank_topk(df: DataFrame, key_col: str, k: int,
+               gcols: list) -> DataFrame:
+    """Per-group k smallest (hash, key) rows — the ONE ranking used
+    by build, merge, and overlap estimation."""
+    part = [F.col(c) for c in gcols] if gcols else [F.lit(0)]
+    w = Window.partitionBy(*part).orderBy(F.col(HASH_COL).asc(),
+                                          F.col(key_col).asc())
+    return df.withColumn("__rn", F.row_number().over(w)) \
+             .filter(F.col("__rn") <= k)
+
+
+def _kmv_estimate_expr(k: int, n_col: str = "__n",
+                       maxh_col: str = "__maxh"):
+    """(k−1)/h_(k) on the (0,1]-normalized max sketch hash; exact n
+    below k — the ONE estimator expression (distinct and overlap
+    reads share it)."""
+    u = (F.col(maxh_col).cast("double")
+         - float(-(2 ** 63))) / float(2 ** 64)
+    return F.when(F.col(n_col) < k, F.col(n_col).cast("double")) \
+            .otherwise(F.lit(float(k - 1)) / u)
 
 
 def _global_topk(rows: DataFrame, key_col: str, k: int,
-                 gcols: list, pcols: list) -> DataFrame:
+                 gcols: list, pcols: list, seed: int) -> DataFrame:
     """Dedup-by-key + per-group k-smallest over candidate rows (tiny:
     ≤ partitions·k per group)."""
     if pcols:
@@ -135,14 +162,10 @@ def _global_topk(rows: DataFrame, key_col: str, k: int,
     else:
         agg = rows.groupBy(*gcols, key_col).agg(
             F.min(HASH_COL).alias(HASH_COL))
-    part = [F.col(c) for c in gcols] if gcols else [F.lit(0)]
-    w = Window.partitionBy(*part).orderBy(F.col(HASH_COL).asc(),
-                                          F.col(key_col).asc())
-    ranked = agg.withColumn("__rn", F.row_number().over(w)) \
-                .filter(F.col("__rn") <= k)
+    ranked = _rank_topk(agg, key_col, k, gcols)
     cols = [*gcols, key_col, HASH_COL] \
         + [F.col(f"__p.{c}").alias(c) for c in pcols]
-    return _with_k(ranked.select(*cols), k)
+    return _with_meta(ranked.select(*cols), k, seed)
 
 
 def merge_bottomk(*summaries: DataFrame, key_col: str, k: int,
@@ -157,16 +180,23 @@ def merge_bottomk(*summaries: DataFrame, key_col: str, k: int,
     from ._fold import fold_union
 
     out = fold_union(summaries, "merge_bottomk")
-    build_k = [r["kmv_k"] for r in
-               out.select("kmv_k").distinct().collect()]
+    meta = out.select("kmv_k", "kmv_seed").distinct().collect()
+    build_k = sorted({r["kmv_k"] for r in meta})
+    seeds = sorted({r["kmv_seed"] for r in meta})
+    if len(seeds) != 1:
+        raise ValueError(
+            f"artifacts were built with different seeds {seeds}: "
+            f"their hashes are numerically incomparable and cannot "
+            f"merge")
     if any(k > bk for bk in build_k):
         raise ValueError(
-            f"merge k={k} exceeds a build k in {sorted(build_k)}: a "
+            f"merge k={k} exceeds a build k in {build_k}: a "
             f"sketch only kept its k smallest keys, so a larger "
             f"merge k would produce a hash-truncated, tail-biased "
             f"sample presented as a uniform k-sample")
-    return _global_topk(out.drop("kmv_k"), key_col, k,
-                        list(group_cols), list(payload_cols))
+    return _global_topk(out.drop("kmv_k", "kmv_seed"), key_col, k,
+                        list(group_cols), list(payload_cols),
+                        seeds[0])
 
 
 def kmv_distinct_estimate(summary: DataFrame,
@@ -190,16 +220,11 @@ def kmv_distinct_estimate(summary: DataFrame,
         raise ValueError(f"artifact carries mixed build k {sorted(ks)}"
                          f"; merge to a single k first")
     k = int(ks[0])
-    # normalize int64 hash to (0, 1]: (h - INT64_MIN) / 2^64
-    u = (F.col("__maxh").cast("double")
-         - float(-(2 ** 63))) / float(2 ** 64)
     agg = summary.groupBy(*gcols).agg(
         F.count(F.lit(1)).alias("__n"),
         F.max(HASH_COL).alias("__maxh"))
-    est = F.when(F.col("__n") < k,
-                 F.col("__n").cast("double")) \
-           .otherwise((F.lit(float(k - 1)) / u))
-    return agg.select(*gcols, est.alias("distinct_estimate"))
+    return agg.select(*gcols, _kmv_estimate_expr(k)
+                      .alias("distinct_estimate"))
 
 
 def kmv_overlap_estimate(a: DataFrame, b: DataFrame, key_col: str,
@@ -215,21 +240,33 @@ def kmv_overlap_estimate(a: DataFrame, b: DataFrame, key_col: str,
     scales it to an intersection count. Groups where both sketches
     hold every key (below k) are EXACT.
 
-    Guards: both artifacts must share the build k (enforced via
-    ``kmv_k``) and the hash seed — an inconsistent seed is detected
-    by any co-occurring key carrying two different hashes, checked
-    against the (tiny) sketch rows before estimating. The use case
-    is `dedup.clusters.source_overlap_matrix`'s question at artifact
+    Guards: both artifacts must share the build k AND the hash seed
+    — both read from the artifacts' own ``kmv_k``/``kmv_seed``
+    metadata (a seed mismatch makes the two hash scales numerically
+    incomparable and would read as jaccard ≈ 0, the false
+    'no contamination' answer; co-occurring-key hash disagreement is
+    kept as a belt-and-braces second check but is vanishingly rare
+    at corpus scale, ~k²/n). The use case is
+    `dedup.clusters.source_overlap_matrix`'s question at artifact
     cost: cross-source/cross-snapshot contamination screening before
     deciding to run the exact pair join."""
     gcols = list(group_cols)
-    ks = {r["kmv_k"] for r in
-          a.select("kmv_k").union(b.select("kmv_k"))
-          .distinct().collect()}
+    meta = a.select("kmv_k", "kmv_seed").union(
+        b.select("kmv_k", "kmv_seed")).distinct().collect()
+    if not meta:
+        raise ValueError("empty bottom-k artifacts: nothing to "
+                         "estimate overlap from")
+    ks = sorted({r["kmv_k"] for r in meta})
+    seeds = sorted({r["kmv_seed"] for r in meta})
+    if len(seeds) != 1:
+        raise ValueError(
+            f"artifacts were built with different seeds {seeds}: "
+            f"their hash scales are incomparable — overlap would "
+            f"silently read as zero")
     if len(ks) != 1:
         raise ValueError(f"overlap estimation needs one shared build "
-                         f"k, got {sorted(ks)}")
-    k = int(ks.pop())
+                         f"k, got {ks}")
+    k = int(ks[0])
     ta = a.select(*gcols, key_col, HASH_COL) \
         .withColumn("__in_a", F.lit(True)) \
         .withColumn("__in_b", F.lit(False))
@@ -248,21 +285,13 @@ def kmv_overlap_estimate(a: DataFrame, b: DataFrame, key_col: str,
             f"{bad} key(s) carry two different kmv_hash values "
             f"across the two artifacts — they were built with "
             f"different seeds and cannot be compared")
-    part = [F.col(c) for c in gcols] if gcols else [F.lit(0)]
-    w = Window.partitionBy(*part).orderBy(F.col(HASH_COL).asc(),
-                                          F.col(key_col).asc())
-    union_k = per_key.withColumn("__rn", F.row_number().over(w)) \
-                     .filter(F.col("__rn") <= k)
-    u = (F.col("__maxh").cast("double")
-         - float(-(2 ** 63))) / float(2 ** 64)
+    union_k = _rank_topk(per_key, key_col, k, gcols)
     agg = union_k.groupBy(*gcols).agg(
         F.count(F.lit(1)).alias("__n"),
         F.max(HASH_COL).alias("__maxh"),
         F.sum((F.col("__in_a") & F.col("__in_b")).cast("long"))
         .alias("__inter"))
-    union_est = F.when(F.col("__n") < k,
-                       F.col("__n").cast("double")) \
-                 .otherwise(F.lit(float(k - 1)) / u)
+    union_est = _kmv_estimate_expr(k)
     jaccard = F.col("__inter") / F.col("__n")
     return agg.select(
         *gcols,

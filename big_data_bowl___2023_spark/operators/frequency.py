@@ -49,7 +49,7 @@ the reference has no frequency-sketch surface.
 from __future__ import annotations
 
 import math
-from typing import Iterator, NamedTuple
+from typing import Iterator, NamedTuple, Sequence
 
 import numpy as np
 import pandas as pd
@@ -98,83 +98,120 @@ _SPARSE_SCHEMA = T.StructType([
 
 
 def cms_summary(df: DataFrame, key_col: str, width: int, depth: int,
-                weight_col: str | None = None) -> DataFrame:
-    """(row_idx, col_idx, count, width, depth): sparse non-zero-cell
-    form of the count-min sketch over ``key_col``'s non-NULL values —
-    the per-batch artifact. ``weight_col`` adds that column's value
-    per row instead of 1 (e.g. pre-aggregated (key, n) inputs; NULL
-    weights count 0; weights must be NON-NEGATIVE INTEGERS — negative
-    or fractional values fail the build rather than silently breaking
-    the one-sided guarantee). Zero-shuffle per-partition build + one
-    bounded cell-keyed sum (map-side partial agg)."""
+                weight_col: str | None = None,
+                group_cols: Sequence[str] = ()) -> DataFrame:
+    """(group_cols..., row_idx, col_idx, count, width, depth): sparse
+    non-zero-cell form of the count-min sketch over ``key_col``'s
+    non-NULL values — the per-batch artifact; with ``group_cols`` one
+    independent sketch per group (per-source / per-window key
+    frequencies — partition-local state is groups × d×w, so size the
+    matrix down when groups are many). ``weight_col`` adds that
+    column's value per row instead of 1 (e.g. pre-aggregated (key, n)
+    inputs; NULL weights count 0; weights must be NON-NEGATIVE
+    INTEGERS — negative or fractional values fail the build rather
+    than silently breaking the one-sided guarantee). Zero-shuffle
+    per-partition build + one bounded cell-keyed sum (map-side
+    partial agg). The ungrouped artifact carries an anchor cell so it
+    is self-describing even for empty input; a GROUP appears only
+    when it has non-NULL-key rows (groups of an empty input are
+    unknowable)."""
     if width <= 0 or depth <= 0:
         raise ValueError(f"width and depth must be positive, got "
                          f"({width}, {depth})")
     if width * depth > MAX_CELLS:
         raise ValueError(f"width*depth {width * depth} exceeds the "
                          f"dense broadcast guard {MAX_CELLS}")
-    cols = ["__h1", "__h2"] + ([weight_col] if weight_col else [])
+    gcols = list(group_cols)
+    cols = [*gcols, "__h1", "__h2"] \
+        + ([weight_col] if weight_col else [])
     hashed = _hash_cols(df, key_col) \
         .filter(F.col(key_col).isNotNull()).select(*cols)
+    group_fields = [hashed.schema[c] for c in gcols]
+    out_schema = T.StructType(list(group_fields)
+                              + list(_SPARSE_SCHEMA.fields))
+
+    def weights_of(pdf: pd.DataFrame) -> np.ndarray:
+        if not weight_col:
+            return np.ones(len(pdf), dtype=np.int64)
+        raw_w = pd.to_numeric(pdf[weight_col],
+                              errors="coerce").fillna(0)
+        wts = raw_w.to_numpy(dtype=np.int64)
+        # negative weights would DECREMENT shared cells and break
+        # the one-sided estimate>=true guarantee the whole module
+        # advertises; fractional weights would silently truncate —
+        # both are caller errors, not sketch inputs
+        if (wts < 0).any():
+            raise ValueError(
+                f"cms_summary: negative weight in {weight_col!r} — "
+                f"count-min counters are non-negative; deletions "
+                f"need a different sketch")
+        if (raw_w.to_numpy(dtype=float) != wts).any():
+            raise ValueError(
+                f"cms_summary: non-integer weight in "
+                f"{weight_col!r} would be silently truncated; "
+                f"pre-round explicitly")
+        return wts
+
+    def fold(cells: np.ndarray, pdf: pd.DataFrame) -> None:
+        h1 = pdf["__h1"].to_numpy()
+        h2 = pdf["__h2"].to_numpy()
+        wts = weights_of(pdf)
+        for i, pos in enumerate(_positions(h1, h2, width, depth)):
+            np.add.at(cells[i], pos, wts)
 
     def build(batches: Iterator[pd.DataFrame]
               ) -> Iterator[pd.DataFrame]:
-        cells = np.zeros((depth, width), dtype=np.int64)
+        states: dict = {}
         for pdf in batches:
             if not len(pdf):
                 continue
-            h1 = pdf["__h1"].to_numpy()
-            h2 = pdf["__h2"].to_numpy()
-            if weight_col:
-                raw_w = pd.to_numeric(pdf[weight_col],
-                                      errors="coerce").fillna(0)
-                wts = raw_w.to_numpy(dtype=np.int64)
-                # negative weights would DECREMENT shared cells and
-                # break the one-sided estimate>=true guarantee the
-                # whole module advertises; fractional weights would
-                # silently truncate — both are caller errors, not
-                # sketch inputs
-                if (wts < 0).any():
-                    raise ValueError(
-                        f"cms_summary: negative weight in "
-                        f"{weight_col!r} — count-min counters are "
-                        f"non-negative; deletions need a different "
-                        f"sketch")
-                if (raw_w.to_numpy(dtype=float) != wts).any():
-                    raise ValueError(
-                        f"cms_summary: non-integer weight in "
-                        f"{weight_col!r} would be silently "
-                        f"truncated; pre-round explicitly")
+            if gcols:
+                for gkey, sub in pdf.groupby(gcols, dropna=False,
+                                             sort=False):
+                    if not isinstance(gkey, tuple):
+                        gkey = (gkey,)
+                    gkey = tuple(None if pd.isna(v) else v
+                                 for v in gkey)
+                    cells = states.get(gkey)
+                    if cells is None:
+                        cells = states[gkey] = np.zeros(
+                            (depth, width), dtype=np.int64)
+                    fold(cells, sub)
             else:
-                wts = np.ones(len(pdf), dtype=np.int64)
-            # _positions yields row i's column per input row; the
-            # sketch uses bit-width = counter columns here
-            for i, pos in enumerate(
-                    _positions(h1, h2, width, depth)):
-                np.add.at(cells[i], pos, wts)
-        r, c = np.nonzero(cells)
-        yield pd.DataFrame({
-            "row_idx": pd.array(r, dtype="int32"),
-            "col_idx": pd.array(c, dtype="int64"),
-            "count": pd.array(cells[r, c], dtype="int64"),
-            "width": pd.array([width] * len(r), dtype="int64"),
-            "depth": pd.array([depth] * len(r), dtype="int32"),
-        })
+                cells = states.get(())
+                if cells is None:
+                    cells = states[()] = np.zeros((depth, width),
+                                                  dtype=np.int64)
+                fold(cells, pdf)
+        for gkey, cells in states.items():
+            r, c = np.nonzero(cells)
+            row = {col: [v] * len(r)
+                   for col, v in zip(gcols, gkey)}
+            row.update({
+                "row_idx": pd.array(r, dtype="int32"),
+                "col_idx": pd.array(c, dtype="int64"),
+                "count": pd.array(cells[r, c], dtype="int64"),
+                "width": pd.array([width] * len(r), dtype="int64"),
+                "depth": pd.array([depth] * len(r), dtype="int32"),
+            })
+            yield pd.DataFrame(row)
 
-    # literal anchor row, as in bloom_summary: keeps the artifact
-    # self-describing when the input is empty
-    anchor = df.sparkSession.range(1).select(
-        F.lit(0).cast("int").alias("row_idx"),
-        F.lit(0).cast("long").alias("col_idx"),
-        F.lit(0).cast("long").alias("count"),
-        F.lit(width).cast("long").alias("width"),
-        F.lit(depth).cast("int").alias("depth"))
-    per_part = hashed.mapInPandas(build, _SPARSE_SCHEMA) \
-                     .unionByName(anchor)
+    per_part = hashed.mapInPandas(build, out_schema)
+    if not gcols:
+        # literal anchor row, as in bloom_summary: keeps the
+        # ungrouped artifact self-describing when the input is empty
+        anchor = df.sparkSession.range(1).select(
+            F.lit(0).cast("int").alias("row_idx"),
+            F.lit(0).cast("long").alias("col_idx"),
+            F.lit(0).cast("long").alias("count"),
+            F.lit(width).cast("long").alias("width"),
+            F.lit(depth).cast("int").alias("depth"))
+        per_part = per_part.unionByName(anchor)
     return (per_part
-            .groupBy("row_idx", "col_idx", "width", "depth")
+            .groupBy(*gcols, "row_idx", "col_idx", "width", "depth")
             .agg(F.sum("count").alias("count"))
-            .select("row_idx", "col_idx", "count", "width", "depth"))
+            .select(*gcols, "row_idx", "col_idx", "count", "width",
+                    "depth"))
 
 
 def merge_cms(*summaries: DataFrame) -> DataFrame:
@@ -196,7 +233,16 @@ def cms_matrix(summary: DataFrame) -> tuple[np.ndarray, CmsParams]:
     merged, possibly append-only-unioned) artifact. Duplicate cells
     SUM (counters add), so a parquet dir of per-batch summaries reads
     back as the merged sketch. Bounded by MAX_CELLS; raises on
-    mixed parameters."""
+    mixed parameters, and on a GROUPED artifact (densifying one
+    would silently sum unrelated groups' counters — filter to one
+    group, or drop the group axis deliberately, first)."""
+    extra = set(summary.columns) - {"row_idx", "col_idx", "count",
+                                    "width", "depth"}
+    if extra:
+        raise ValueError(
+            f"grouped cms artifact (extra columns {sorted(extra)}): "
+            f"densifying would sum sketches across groups — filter "
+            f"to one group first")
     rows = summary.collect()
     if not rows:
         raise ValueError("empty cms artifact: cms_summary always "

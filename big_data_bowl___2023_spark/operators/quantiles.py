@@ -353,6 +353,12 @@ def psi_from_digests(reference: DataFrame, current: DataFrame,
         out = {}
         for r in summary.collect():
             key = tuple(r[c] for c in gcols)
+            if key in out:
+                raise ValueError(
+                    f"multiple digest rows for group {key}: this is "
+                    f"an unmerged artifact (e.g. a per-batch "
+                    f"append dir) — fold it with "
+                    f"merge_quantile_summaries first")
             out[key] = r
         return out
 

@@ -134,12 +134,17 @@ def write_batch_artifacts(docs: DataFrame, out_dir: str,
                           "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode",
                    "dynamic")
+    # six independent artifact jobs read the batch — persist once so
+    # the micro-batch lineage (parse/transform/source read) executes
+    # once, not six times per trigger
+    docs = docs.persist()
     try:
         for kind, df in batch_artifacts(docs, spec).items():
             (df.withColumn("batch", F.lit(int(batch_id)))
                .write.mode("overwrite").partitionBy("batch")
                .parquet(f"{out_dir}/{kind}"))
     finally:
+        docs.unpersist()
         spark.conf.set("spark.sql.sources.partitionOverwriteMode",
                        prev)
 

@@ -103,35 +103,14 @@ def windowed_cms_sketches(stream: DataFrame, key_col: str,
     if not stream.isStreaming:
         from ..operators.frequency import cms_summary
 
-        # reuse the batch kernel per window for exact parity; the
-        # NULL-key filter mirrors the streaming path so an all-NULL
-        # window emits nothing on either side
-        plain = stream.select(win_start, *gcols, key_col) \
-            .filter(F.col(key_col).isNotNull())
-        parts = []
-        for r in plain.select("window_start", *gcols) \
-                      .distinct().collect():
-            cond = (F.col("window_start") == r["window_start"])
-            for c in gcols:
-                cond = cond & (F.col(c).eqNullSafe(r[c]))
-            sub = plain.filter(cond)
-            sk = cms_summary(sub, key_col, width, depth)
-            for c in ["window_start", *gcols]:
-                sk = sk.withColumn(c, F.lit(r[c]))
-            parts.append(sk.select("window_start", *gcols,
-                                   "row_idx", "col_idx", "count",
-                                   "width", "depth"))
-        if not parts:
-            empty_fields = ([plain.schema["window_start"]]
-                            + [plain.schema[c] for c in gcols]
-                            + _SKETCH_OUT_FIELDS[:-1])
-            return stream.sparkSession.createDataFrame(
-                [], T.StructType(empty_fields)) \
-                .withColumn("emit_seq", F.lit(1).cast("long"))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out.withColumn("emit_seq", F.lit(1).cast("long"))
+        # one grouped pass through the batch kernel: same hashing,
+        # same cells, NULL-key exclusion and NULL windows/groups
+        # handled by the kernel's pandas groupby (dropna=False) —
+        # bit-parity with the streaming path by construction
+        plain = stream.select(win_start, *gcols, key_col)
+        return cms_summary(plain, key_col, width, depth,
+                           group_cols=["window_start", *gcols]) \
+            .withColumn("emit_seq", F.lit(1).cast("long"))
 
     key_fields = [T.StructField("window_start", T.TimestampType())] \
         + [src.schema[c] for c in gcols]
@@ -195,12 +174,26 @@ def latest_window_sketches(emissions: DataFrame,
             .drop("__mx"))
 
 
-def windows_as_cms_summary(latest: DataFrame) -> DataFrame:
+def windows_as_cms_summary(latest: DataFrame,
+                           group_cols: Sequence[str] = ()
+                           ) -> DataFrame:
     """Collapse the window axis of latest-per-window sketch rows into
-    ONE ``operators.frequency`` artifact (corpus-lifetime key
-    frequencies from archived window emissions, stream never
-    rescanned). Probe with ``estimate_counts`` directly."""
+    one ``operators.frequency`` artifact PER GROUP (corpus-lifetime
+    key frequencies from archived window emissions, stream never
+    rescanned) — pass the same ``group_cols`` the stream used, or
+    groups would silently sum into one sketch. Ungrouped output
+    probes with ``estimate_counts`` directly; grouped output is one
+    sketch per group (filter to a group before densifying —
+    ``cms_matrix`` enforces this)."""
     from ..operators.frequency import merge_cms
 
-    return merge_cms(latest.select("row_idx", "col_idx", "count",
-                                   "width", "depth"))
+    gcols = list(group_cols)
+    pruned = latest.select(*gcols, "row_idx", "col_idx", "count",
+                           "width", "depth")
+    if not gcols:
+        return merge_cms(pruned)
+    return (pruned
+            .groupBy(*gcols, "row_idx", "col_idx", "width", "depth")
+            .agg(F.sum("count").alias("count"))
+            .select(*gcols, "row_idx", "col_idx", "count", "width",
+                    "depth"))

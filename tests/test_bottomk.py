@@ -289,3 +289,11 @@ def test_kmv_overlap_grouped(spark):
         "k", group_cols=["g"]).collect()}
     assert est["g1"]["jaccard"] == pytest.approx(5 / 15)
     assert est["g2"]["jaccard"] == 0.0
+
+
+def test_merge_refuses_mixed_seeds(spark):
+    df = _keys(spark, 200)
+    s0 = bottomk_summary(df, "k", 16, seed=0)
+    s1 = bottomk_summary(df, "k", 16, seed=1)
+    with pytest.raises(ValueError, match="different seeds"):
+        merge_bottomk(s0, s1, key_col="k", k=16).collect()

@@ -189,3 +189,27 @@ def test_invalid_weights_fail_loudly(spark):
     frac = spark.createDataFrame([("a", 2.7)], "k string, n double")
     with pytest.raises(Exception, match="non-integer weight"):
         cms_matrix(cms_summary(frac, "k", w, d, weight_col="n"))
+
+
+def test_grouped_sketches_per_group_exact(spark):
+    """group_cols builds one independent sketch per group: each
+    group's cells equal an ungrouped build over that group's rows,
+    NULL groups kept, and cms_matrix refuses the grouped artifact
+    (densifying would sum unrelated groups)."""
+    w, d = cms_parameters(1e-2, 0.05)
+    df = spark.createDataFrame(
+        [("a", "k1"), ("a", "k1"), ("a", "k2"),
+         ("b", "k1"), (None, "k9"), ("a", None)],
+        "g string, k string")
+    grouped = cms_summary(df, "k", w, d, group_cols=["g"])
+    for g, n_rows in (("a", 3), ("b", 1), (None, 1)):
+        sub = grouped.filter(F.col("g").eqNullSafe(F.lit(g))) \
+            .drop("g")
+        ref = cms_summary(df.filter(F.col("g").eqNullSafe(F.lit(g))),
+                          "k", w, d)
+        gc, gp = cms_matrix(sub)
+        rc, rp = cms_matrix(ref)
+        assert gp == rp and (gc == rc).all(), g
+        assert (gc.sum(axis=1) == n_rows).all(), g
+    with pytest.raises(ValueError, match="grouped cms artifact"):
+        cms_matrix(grouped)
