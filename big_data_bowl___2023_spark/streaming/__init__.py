@@ -17,6 +17,11 @@ from .frequency import (
     windowed_cms_sketches,
     windows_as_cms_summary,
 )
+from .samples import (
+    latest_window_samples,
+    windowed_samples,
+    windows_as_sample,
+)
 from .quantiles import (
     latest_window_digests,
     windowed_quantile_digests,
@@ -47,4 +52,6 @@ __all__ = ["benchmark_shingle_set", "curate_document_stream",
            "latest_window_digests", "windowed_quantile_digests",
            "windows_as_quantile_summary",
            "latest_window_sketches", "windowed_cms_sketches",
-           "windows_as_cms_summary"]
+           "windows_as_cms_summary",
+           "latest_window_samples", "windowed_samples",
+           "windows_as_sample"]
