@@ -164,14 +164,10 @@ def latest_window_sketches(emissions: DataFrame,
     """The CURRENT sketch cells per (window, group) from archived
     update-mode emissions (max emit_seq wins) — the double-count
     guard before any cross-window fold, counters being additive."""
-    from pyspark.sql import Window
+    from ._emissions import latest_by_emit_seq
 
-    keys = ["window_start", *group_cols]
-    w = Window.partitionBy(*keys)
-    return (emissions
-            .withColumn("__mx", F.max("emit_seq").over(w))
-            .filter(F.col("emit_seq") == F.col("__mx"))
-            .drop("__mx"))
+    return latest_by_emit_seq(emissions,
+                              ["window_start", *group_cols])
 
 
 def windows_as_cms_summary(latest: DataFrame,

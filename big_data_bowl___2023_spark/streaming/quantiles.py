@@ -152,13 +152,10 @@ def latest_window_digests(emissions: DataFrame,
     correct input to a cross-window merge — t-digest weights add, so
     summing every emission would count each micro-batch's rows once
     per later re-emission."""
-    from pyspark.sql import Window
+    from ._emissions import latest_by_emit_seq
 
-    keys = ["window_start", *group_cols]
-    w = Window.partitionBy(*keys).orderBy(F.col("emit_seq").desc())
-    return (emissions
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1).drop("__rn"))
+    return latest_by_emit_seq(emissions,
+                              ["window_start", *group_cols])
 
 
 def windows_as_quantile_summary(latest: DataFrame,

@@ -60,6 +60,17 @@ def windowed_samples(stream: DataFrame, key_col: str, ts_col: str,
         raise ValueError(f"k must be in (0, {MAX_K}], got {k}")
     gcols = list(group_cols)
     pcols = list(payload_cols)
+    # same collision contract on BOTH branches (the batch fallback
+    # inherits bottomk_summary's check; the streaming path must not
+    # silently overwrite a user column with its bookkeeping)
+    reserved = {HASH_COL, "kmv_k", "kmv_seed", "window_start",
+                "emit_seq"}
+    clash = (reserved | {key_col}) & set(pcols) | \
+        (reserved & set(gcols + [key_col]))
+    if clash:
+        raise ValueError(f"column collision {clash}: payload must "
+                         f"not repeat the key, and "
+                         f"{sorted(reserved)} are reserved")
     win_start = F.window(ts_col, window)["start"].alias(
         "window_start")
     if not stream.isStreaming:
@@ -96,6 +107,26 @@ def windowed_samples(stream: DataFrame, key_col: str, ts_col: str,
          for i, f in enumerate(sample_fields)]
         + [T.StructField("emit_seq", T.LongType())])
     sort_cols = [HASH_COL, key_col, *pcols]
+    int_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+    def norm_lists(cur: pd.DataFrame) -> list:
+        """Per-column Python lists with NaN→None and integral types
+        restored: a NULL in an int payload turns the pandas column
+        float64 (NaN), which Arrow refuses to pack back into the
+        integer state/output fields. The batch operator supports NULL
+        payloads, so the stream must too."""
+        out = []
+        for name, field in zip(sample_cols, sample_fields):
+            vals = []
+            for v in cur[name]:
+                if pd.isna(v):
+                    vals.append(None)
+                elif isinstance(field.dataType, int_types):
+                    vals.append(int(v))
+                else:
+                    vals.append(v)
+            out.append(vals)
+        return out
 
     def update(key, pdfs: Iterator[pd.DataFrame],
                state: GroupState):
@@ -116,8 +147,11 @@ def windowed_samples(stream: DataFrame, key_col: str, ts_col: str,
                                         keep="first").head(k)
             cur = allr.reset_index(drop=True)
         seq += 1
-        state.update((*[cur[c].tolist() for c in sample_cols],
-                      int(seq)))
+        lists = norm_lists(cur)
+        cur = pd.DataFrame(
+            {c: pd.Series(v, dtype=object)
+             for c, v in zip(sample_cols, lists)})
+        state.update((*lists, int(seq)))
         row = cur.copy()
         for f, v in reversed(list(zip(key_fields, key))):
             row.insert(0, f.name, [v] * len(row))
@@ -140,14 +174,10 @@ def latest_window_samples(emissions: DataFrame,
     correctness — bottom-k merges are idempotent — but pruning
     superseded emissions keeps archives and downstream merges
     small."""
-    from pyspark.sql import Window
+    from ._emissions import latest_by_emit_seq
 
-    keys = ["window_start", *group_cols]
-    w = Window.partitionBy(*keys)
-    return (emissions
-            .withColumn("__mx", F.max("emit_seq").over(w))
-            .filter(F.col("emit_seq") == F.col("__mx"))
-            .drop("__mx"))
+    return latest_by_emit_seq(emissions,
+                              ["window_start", *group_cols])
 
 
 def windows_as_sample(latest: DataFrame, key_col: str, k: int,

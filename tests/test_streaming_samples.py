@@ -127,3 +127,38 @@ def test_state_carry_equals_batch_sketch(spark):
                 .select("k", "kmv_hash", "n"))
             assert a == b
         assert {r["emit_seq"] for r in bres.collect()} == {1}
+
+
+def test_null_payloads_and_collision_guard(spark):
+    """NULL int payloads survive the typed-array state round trip
+    (batch parity holds on inputs the batch contract supports), and
+    reserved-name collisions raise on the streaming path exactly as
+    the batch path does."""
+    rows = [(T0 + dt.timedelta(seconds=1), "dup", None),
+            (T0 + dt.timedelta(seconds=2), "dup", 7),
+            (T0 + dt.timedelta(seconds=3), "solo", 5)]
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/events"
+        # two batches so the NULL-payload row crosses a state
+        # round trip
+        _write_batch(spark, path, rows[:1])
+        _write_batch(spark, path, rows[1:])
+        emissions = _run_stream(spark, path)
+        latest = latest_window_samples(emissions)
+        got = {r["k"]: r["n"] for r in latest.collect()}
+        ref = bottomk_summary(
+            spark.createDataFrame([(k, n) for _, k, n in rows],
+                                  "k string, n int"),
+            "k", K, payload_cols=["n"])
+        want = {r["k"]: r["n"] for r in ref.collect()}
+        assert got == want
+        assert got["dup"] is None          # NULLS-FIRST tie-break
+
+    df = spark.createDataFrame(rows, "ts timestamp, k string, n int")
+    stream_like = df  # batch branch shares the guard
+    with pytest.raises(ValueError, match="collision"):
+        windowed_samples(stream_like, "k", "ts", "1 minute", K,
+                         payload_cols=["emit_seq"])
+    with pytest.raises(ValueError, match="collision"):
+        windowed_samples(stream_like, "k", "ts", "1 minute", K,
+                         payload_cols=["k"])
