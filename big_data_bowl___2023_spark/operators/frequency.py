@@ -300,6 +300,73 @@ def estimate_counts(df: DataFrame, key_col: str, summary: DataFrame,
     return hashed.withColumn(out_col, val).drop("__h1", "__h2")
 
 
+def estimate_counts_grouped(df: DataFrame, key_col: str,
+                            group_col: str, summary: DataFrame,
+                            out_col: str = "freq_estimate"
+                            ) -> DataFrame:
+    """df + long ``out_col``: the count-min estimate of each key's
+    weight WITHIN ITS OWN GROUP's sketch, against a grouped artifact
+    (``cms_summary(..., group_cols=[group_col])``). One dense matrix
+    per group broadcasts as a dict (total size = groups × d×w,
+    guarded by MAX_CELLS across ALL groups); probing stays map-side.
+    Rows whose group has no sketch — or whose key/group is NULL —
+    estimate NULL (per-group sketches exist only for groups with
+    non-NULL-key rows, so an unknown group is 'never sketched', not
+    'count 0')."""
+    rows = summary.collect()
+    if not rows:
+        raise ValueError("empty grouped cms artifact")
+    params = {(r["width"], r["depth"]) for r in rows}
+    if len(params) > 1:
+        raise ValueError(f"cms artifact mixes parameters {params}")
+    width, depth = map(int, next(iter(params)))
+    groups: dict = {}
+    for r in rows:
+        cells = groups.get(r[group_col])
+        if cells is None:
+            cells = groups[r[group_col]] = np.zeros(
+                (depth, width), dtype=np.int64)
+        cells[r["row_idx"], r["col_idx"]] += r["count"]
+    if len(groups) * width * depth > MAX_CELLS:
+        raise ValueError(
+            f"{len(groups)} groups × {width * depth} cells exceeds "
+            f"the broadcast guard {MAX_CELLS}; shrink the matrix or "
+            f"probe per group")
+    bc = df.sparkSession.sparkContext.broadcast(groups)
+
+    # double, not long: a row whose group has no sketch carries NaN
+    # through the Arrow batch; the caller-side cast restores long
+    @F.pandas_udf(T.DoubleType())
+    def probe(g: pd.Series, h1: pd.Series,
+              h2: pd.Series) -> pd.Series:
+        if not len(g):
+            return pd.Series([], dtype="float64")
+        by_g = bc.value
+        est = np.full(len(g), np.nan)
+        gv = g.to_numpy(dtype=object)
+        a1 = h1.to_numpy()
+        a2 = h2.to_numpy()
+        for grp in pd.unique(g.dropna()):
+            mat = by_g.get(grp)
+            if mat is None:
+                continue
+            m = gv == grp
+            vals = np.full(int(m.sum()), np.iinfo(np.int64).max,
+                           dtype=np.int64)
+            for i, pos in enumerate(
+                    _positions(a1[m], a2[m], width, depth)):
+                vals = np.minimum(vals, mat[i][pos])
+            est[m] = vals
+        return pd.Series(est)
+
+    hashed = _hash_cols(df, key_col)
+    val = F.when(F.col(key_col).isNull()
+                 | F.col(group_col).isNull(),
+                 F.lit(None).cast("long")) \
+           .otherwise(probe(group_col, "__h1", "__h2").cast("long"))
+    return hashed.withColumn(out_col, val).drop("__h1", "__h2")
+
+
 def frequency_report(df: DataFrame, key_col: str, probe: DataFrame,
                      probe_key: str, epsilon: float = 1e-4,
                      delta: float = 0.01) -> DataFrame:

@@ -201,3 +201,43 @@ def test_foreach_batch_adapter_stream_and_replay(spark, sf_dir,
     views2 = corpus_artifact_views(spark, store, SPEC)
     n2 = sum(r["count"] for r in views2["quantiles"].collect())
     assert n2 == n
+
+
+def test_store_drift_between_batches(spark, store):
+    """Second-order artifact question: drift between two ingest
+    batches' length distributions, straight from the store's
+    quantile views — neither batch rescanned. Random thirds of the
+    same corpus read as stable; a batch of doubled lengths alerts.
+    (Per-source grain is folded out: at sf0.001 each source holds
+    ~8 docs per batch, far below PSI's useful sample size.)"""
+    import tempfile
+
+    from big_data_bowl___2023_spark.operators.quantiles import (
+        merge_quantile_summaries,
+        psi_from_digests,
+    )
+    from big_data_bowl___2023_spark.pipelines.artifacts import (
+        write_batch_artifacts,
+    )
+
+    out_dir, docs, batches, _ = store
+
+    def whole(view):
+        return merge_quantile_summaries(
+            view["quantiles"].drop("source"), group_cols=[])
+
+    v0 = corpus_artifact_views(spark, out_dir, SPEC, batches=[0])
+    v1 = corpus_artifact_views(spark, out_dir, SPEC, batches=[1])
+    stable = psi_from_digests(whole(v0), whole(v1)).collect()[0]
+    assert stable["n_ref"] > 100 and stable["n_cur"] > 100
+    assert stable["psi"] < 0.25
+
+    shifted = batches[1].withColumn(
+        "text", F.concat(F.col("text"), F.col("text")))
+    with tempfile.TemporaryDirectory() as tmp:
+        write_batch_artifacts(batches[0], tmp, 0, SPEC)
+        write_batch_artifacts(shifted, tmp, 1, SPEC)
+        a = corpus_artifact_views(spark, tmp, SPEC, batches=[0])
+        b = corpus_artifact_views(spark, tmp, SPEC, batches=[1])
+        alert = psi_from_digests(whole(a), whole(b)).collect()[0]
+        assert alert["psi"] > 0.25

@@ -213,3 +213,36 @@ def test_grouped_sketches_per_group_exact(spark):
         assert (gc.sum(axis=1) == n_rows).all(), g
     with pytest.raises(ValueError, match="grouped cms artifact"):
         cms_matrix(grouped)
+
+
+def test_grouped_probe_per_group_estimates(spark):
+    """estimate_counts_grouped probes each key against ITS group's
+    sketch: per-group sound estimates, NULL for unknown groups and
+    NULL keys/groups, map-side plan."""
+    from big_data_bowl___2023_spark.operators.frequency import (
+        estimate_counts_grouped,
+    )
+    w, d = cms_parameters(1e-2, 0.05)
+    corpus = spark.createDataFrame(
+        [("a", "k1")] * 5 + [("a", "k2")] * 2 + [("b", "k1")] * 3,
+        "g string, k string")
+    summary = cms_summary(corpus, "k", w, d, group_cols=["g"])
+    probe = spark.createDataFrame(
+        [("a", "k1", 5), ("a", "k2", 2), ("b", "k1", 3),
+         ("zzz", "k1", None), (None, "k1", None), ("a", None, None)],
+        "g string, k string, true_n int")
+    got = {(r["g"], r["k"]): r["freq_estimate"]
+           for r in estimate_counts_grouped(probe, "k", "g",
+                                            summary).collect()}
+    assert got[("a", "k1")] >= 5
+    assert got[("a", "k2")] >= 2
+    assert got[("b", "k1")] >= 3
+    # cross-group isolation: b's sketch has mass 3, so its k1
+    # estimate cannot include a's 5 occurrences beyond collisions
+    assert got[("b", "k1")] <= 3
+    assert got[("zzz", "k1")] is None    # group never sketched
+    assert got[(None, "k1")] is None
+    assert got[("a", None)] is None
+    plan = estimate_counts_grouped(probe, "k", "g", summary) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
