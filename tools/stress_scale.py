@@ -210,6 +210,18 @@ def run_document_legs(docs_ml) -> dict:
         F.sum(F.size("means")).alias("s")).collect()[0]["s"]
     t_digest = time.time() - t0
 
+    # bottom-k samples: per-source uniform sample, candidate-only
+    # shuffle — wall should sit on the scan + tiny-window floor at
+    # any corpus size, output bounded at k rows per source
+    from big_data_bowl___2023_spark.operators.bottomk import (
+        bottomk_summary,
+    )
+
+    t0 = time.time()
+    n_sample = bottomk_summary(docs_ml, "doc_id", 100,
+                               group_cols=("source",)).count()
+    t_bottomk = time.time() - t0
+
     return {
         "repeated_lines": n_hot, "line_docs_out": n_kept,
         "line_dedup_sec": round(t_lines, 2),
@@ -222,6 +234,8 @@ def run_document_legs(docs_ml) -> dict:
         "cms_cells": n_cells, "cms_sec": round(t_cms, 2),
         "tdigest_centroids": int(n_centroids),
         "tdigest_sec": round(t_digest, 2),
+        "bottomk_rows": n_sample,
+        "bottomk_sec": round(t_bottomk, 2),
     }
 
 
