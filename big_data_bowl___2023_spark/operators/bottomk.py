@@ -298,3 +298,51 @@ def kmv_overlap_estimate(a: DataFrame, b: DataFrame, key_col: str,
         jaccard.alias("jaccard"),
         (jaccard * union_est).alias("intersection_estimate"),
         union_est.alias("union_estimate"))
+
+
+def kmv_overlap_matrix(summary: DataFrame, key_col: str,
+                       group_col: str) -> DataFrame:
+    """(group_a, group_b, jaccard, intersection_estimate,
+    union_estimate) for EVERY unordered group pair, from ONE grouped
+    bottom-k artifact — `dedup.clusters.source_overlap_matrix`'s
+    answer at artifact cost: no pair join, no corpus scan, just the
+    :func:`kmv_overlap_estimate` math applied per pair over the
+    collected sketch rows (bounded: groups × k). Pairs where both
+    groups' sketches hold every key (below k) are EXACT. One hash
+    seed by construction (a single artifact), so the cross-artifact
+    seed guard is unnecessary here."""
+    rows = summary.collect()
+    if not rows:
+        raise ValueError("empty bottom-k artifact: nothing to "
+                         "estimate overlap from")
+    ks = {r["kmv_k"] for r in rows}
+    if len(ks) != 1:
+        raise ValueError(f"artifact carries mixed build k "
+                         f"{sorted(ks)}; merge to a single k first")
+    k = int(ks.pop())
+    by_group: dict = {}
+    for r in rows:
+        by_group.setdefault(r[group_col], {})[r[key_col]] = \
+            int(r[HASH_COL])
+    groups = sorted(by_group, key=str)
+    out = []
+    for i, ga in enumerate(groups):
+        for gb in groups[i + 1:]:
+            a, b = by_group[ga], by_group[gb]
+            union = sorted(
+                ((h, key) for key, h in {**a, **b}.items()))[:k]
+            n = len(union)
+            inter = sum(1 for h, key in union
+                        if key in a and key in b)
+            if n < k:
+                union_est = float(n)
+            else:
+                maxh = union[-1][0]
+                u = (maxh + 2.0 ** 63) / 2.0 ** 64
+                union_est = (k - 1) / u
+            j = inter / n if n else 0.0
+            out.append((ga, gb, j, j * union_est, union_est))
+    gtype = summary.schema[group_col].dataType.simpleString()
+    return summary.sparkSession.createDataFrame(
+        out, f"group_a {gtype}, group_b {gtype}, jaccard double, "
+             f"intersection_estimate double, union_estimate double")

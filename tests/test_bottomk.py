@@ -297,3 +297,40 @@ def test_merge_refuses_mixed_seeds(spark):
     s1 = bottomk_summary(df, "k", 16, seed=1)
     with pytest.raises(ValueError, match="different seeds"):
         merge_bottomk(s0, s1, key_col="k", k=16).collect()
+
+
+def test_kmv_overlap_matrix_matches_pairwise_and_exact(spark):
+    """The all-pairs matrix from ONE grouped artifact agrees with
+    pairwise kmv_overlap_estimate calls, and is EXACT on small
+    groups: three sources with known overlaps."""
+    from big_data_bowl___2023_spark.operators.bottomk import (
+        kmv_overlap_estimate,
+        kmv_overlap_matrix,
+    )
+    rows = [("s1", f"k{i}") for i in range(20)] \
+        + [("s2", f"k{i}") for i in range(10, 30)] \
+        + [("s3", f"x{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "src string, k string")
+    art = bottomk_summary(df, "k", 64, group_cols=["src"])
+    mat = {(r["group_a"], r["group_b"]): r for r in
+           kmv_overlap_matrix(art, "k", "src").collect()}
+    assert set(mat) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+    assert mat[("s1", "s2")]["jaccard"] == pytest.approx(10 / 30)
+    assert mat[("s1", "s2")]["intersection_estimate"] == \
+        pytest.approx(10.0)
+    assert mat[("s1", "s3")]["jaccard"] == 0.0
+    assert mat[("s2", "s3")]["jaccard"] == 0.0
+    # agrees with the two-artifact pairwise path
+    for (ga, gb), r in mat.items():
+        pair = kmv_overlap_estimate(
+            bottomk_summary(df.filter(F.col("src") == ga), "k", 64),
+            bottomk_summary(df.filter(F.col("src") == gb), "k", 64),
+            "k").collect()[0]
+        assert r["jaccard"] == pytest.approx(pair["jaccard"])
+        assert r["union_estimate"] == \
+            pytest.approx(pair["union_estimate"])
+    # guards
+    with pytest.raises(ValueError, match="mixed build k"):
+        kmv_overlap_matrix(
+            bottomk_summary(df, "k", 16, group_cols=["src"])
+            .unionByName(art), "k", "src")
