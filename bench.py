@@ -2,11 +2,19 @@
 
 Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
-JSON line: {"metric": ..., "value": N, "unit": "sec",
-"queries": {name: median_sec}, "runs": {name: [sec, ...]},
-"errors": N, "sf": ...}. Per-query times are the median of
+compact JSON line — the VERY LAST stdout line, after spark.stop() —
+{"metric": ..., "value": N, "unit": "sec",
+"queries": {name: median_sec}, "contended": [...], "errors": N,
+"sf": ...}. Per-query times are the median of
 ``$SPARK_GRAFT_BENCH_RUNS`` (default 3) executions; "value" is null
 when any query errored (a partial total is not anchor-comparable).
+
+The printed line is deliberately SMALL and LAST: the round-6 driver
+could not parse BENCH_r06 because the line (grown by anchors/runs/
+retries echoes) outgrew its fixed tail-capture window and the head
+was cut off. The full record — per-run shots, retry shots, the
+anchors used — goes to the ``bench_full.json`` sidecar next to this
+file instead; the stdout line carries only what the driver gates on.
 
 Each query executes to completion through the noop sink (full
 computation, no driver collect) — the number measured is the engine's
@@ -279,7 +287,7 @@ def main() -> None:
 
     total = round(sum(v for v in times.values()
                       if isinstance(v, (int, float))), 3)
-    print(json.dumps({
+    summary = {
         "metric": "headline_queries_total",
         # A partial total is NOT comparable to prior rounds' anchors:
         # null it out when any query errored so downstream comparisons
@@ -287,14 +295,26 @@ def main() -> None:
         "value": total if errors == 0 else None,
         "unit": "sec",
         "queries": times,
-        "runs": all_runs,
-        "anchors": anchors,
         "contended": contended,
-        "retries": retries,
         "errors": errors,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    # Full record (per-run shots, retry shots, anchors used) goes to
+    # the sidecar; the stdout line stays small enough for the driver's
+    # tail capture.
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+    try:
+        with open(sidecar, "w") as fh:
+            json.dump({**summary, "runs": all_runs, "anchors": anchors,
+                       "retries": retries}, fh, indent=1)
+    except OSError:
+        pass                      # read-only checkout: summary suffices
     spark.stop()
+    # LAST stdout line — nothing (not even Spark shutdown) may print
+    # after this, so a tail capture always holds the complete line.
+    sys.stdout.flush()
+    print(json.dumps(summary), flush=True)
     if errors == len(names):
         sys.exit(1)
 
