@@ -66,19 +66,39 @@ def _normalized(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
 
 def _verify_exact(v: DataFrame, cand: DataFrame,
                   threshold: float,
-                  broadcast_candidates: bool = True) -> DataFrame:
+                  broadcast_candidates: bool | str = "auto",
+                  broadcast_limit: int = 2_000_000) -> DataFrame:
     """Exact fold-dot over candidate id pairs only.
 
     The arithmetic (normalize once, left-fold zip product) mirrors the
     DuckDB oracle exactly, so whatever candidate generator ran before
     this, surviving pairs carry oracle-identical cosine values.
-    ``broadcast_candidates=True`` (default) pins the broadcast for
-    generators whose candidate volume is bounded by construction
-    (banding/star-guarded paths); pass False when the candidate set
-    is not provably small and AQE should pick the join strategy."""
+
+    ``broadcast_candidates`` picks the join strategy for the (narrow)
+    candidate side against the (wide) vector table:
+
+    * ``"auto"`` (default) — size-aware: the candidate plan is
+      materialized once (localCheckpoint — it is about to be consumed
+      by two joins anyway) and counted; the broadcast is pinned only
+      when the count is ≤ ``broadcast_limit`` rows, else the strategy
+      is left to AQE's runtime statistics. Prefiltered survivor sets
+      are *usually* near-output-sized, but carry no construction-time
+      bound — the round-6 verdict's scale review — so the pin must be
+      bought with an actual count, not assumed.
+    * ``True`` — unconditional pin: ONLY for generators whose
+      candidate volume is bounded by construction.
+    * ``False`` — plain join, AQE decides (candidate volume is
+      data-dependent and possibly large, e.g. a raw cluster-keyed
+      equi-join).
+
+    ``broadcast_limit`` defaults to 2M id pairs ≈ 32 MB of packed
+    rows — half the session's 64 MB autoBroadcastJoinThreshold."""
     ua = v.select(F.col("id").alias("vec_a"), F.col("u").alias("ua"))
     ub = v.select(F.col("id").alias("vec_b"), F.col("u").alias("ub"))
     cos = V.dot(F.col("ua"), F.col("ub"))
+    if broadcast_candidates == "auto":
+        cand = cand.localCheckpoint()
+        broadcast_candidates = cand.count() <= broadcast_limit
     c = F.broadcast(cand) if broadcast_candidates else cand
     return (ua.join(c, "vec_a")
               .join(ub, "vec_b")

@@ -19,8 +19,13 @@ the kernel level):
 * within-cluster candidates: ``minhash.band_candidates`` on the
   cluster id, so the mass-duplicate pathology is bounded by the same
   hot-bucket star guard as the LSH paths (``max_bucket``);
+* candidate screening: the vectorized ``embedding._np_prefilter``
+  (one einsum per Arrow batch over the raw within-cluster pairs, AQE
+  joins) — the raw candidate volume is ~target_cluster/2 rows PER
+  corpus vector, linear in n, so it must never be broadcast;
 * verification: the exact fold-dot kernel (``embedding._verify_exact``)
-  — precision 1.0, identical arithmetic to the exact near-dup paths;
+  over the near-output-sized prefilter survivors — precision 1.0,
+  identical arithmetic to the exact near-dup paths;
 * keeper choice: ``clusters.connected_components`` + min-id
   canonicalization, identical to the MinHash dedup flow.
 
@@ -34,7 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .clusters import connected_components
-from .embedding import _normalized, _verify_exact
+from .embedding import _normalized, _np_prefilter, _verify_exact
 from .minhash import band_candidates
 
 
@@ -154,7 +159,13 @@ def semantic_dup_pairs(df: DataFrame, threshold: float,
         band_cols=("cluster",), id_col="id",
         out_cols=("vec_a", "vec_b"))
     v = assigned.select("id", "u")
-    return _verify_exact(v, cand, threshold)
+    # The raw within-cluster pair set is ~target_cluster/2 rows per
+    # corpus vector — LINEAR in n, so it must flow through the
+    # vectorized prefilter (AQE joins, einsum screening) first; only
+    # the near-output-sized survivors reach the exact verify, whose
+    # "auto" mode buys its broadcast with an actual row count.
+    survivors = _np_prefilter(v, cand, threshold)
+    return _verify_exact(v, survivors, threshold)
 
 
 def incremental_semantic_pairs(new_emb: DataFrame, corpus: DataFrame,

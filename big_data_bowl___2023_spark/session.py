@@ -15,7 +15,30 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession
+
+
+def pin(df: DataFrame, durable: bool = False) -> DataFrame:
+    """Materialization pin for a fan-out / iterative reuse boundary.
+
+    ``durable=False`` (default): ``localCheckpoint()`` — eager, fast,
+    and it TRUNCATES lineage, which the deep self-joining pipelines
+    need to keep driver-side analysis/codegen linear. The cost is that
+    the checkpoint blocks are non-replicated and non-recomputable: on
+    a cluster that loses an executor (preemption is routine at scale)
+    the job dies instead of recomputing.
+
+    ``durable=True``: ``persist(StorageLevel.DISK_ONLY)`` — keeps the
+    full lineage, so a lost block is recomputed from source instead of
+    killing the job; the preemptible-cluster setting. Lineage is NOT
+    truncated, so prefer it at pipeline entry points (one pin per
+    stage), not inside tight iterative loops where plans compound.
+
+    Same DataFrame values either way — pytest pins the equivalence."""
+    if durable:
+        return df.persist(StorageLevel.DISK_ONLY)
+    return df.localCheckpoint()
 
 # Columnar batch + shuffle sizing chosen so a partition of a wide
 # frame-grain table (the reference's main_df analogue) stays well under
