@@ -17,7 +17,8 @@ Implemented as alternating large-star / small-star (Kiveris et al.,
   documents (a single giant component). A naive "collect pairs and
   union-find on the driver" dies exactly there.
 
-Each iteration ends in ``localCheckpoint()`` — iterative self-joins
+Each iteration ends in a ``session.pin(truncate=True)`` (a local or
+reliable checkpoint by durability mode) — iterative self-joins
 otherwise grow an exponential logical plan and stall the driver in
 analysis long before any executor works (same lesson as
 pipelines/nfl.py's fan-out DAG).
@@ -27,6 +28,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..session import pin
 
 MAX_ROUNDS = 20
 
@@ -83,10 +86,10 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     At the fixpoint the edge set is a union of stars: every node
     points directly at its component root.
     """
-    edges = _normalize_edges(pairs, a_col, b_col).localCheckpoint()
+    edges = pin(_normalize_edges(pairs, a_col, b_col), truncate=True)
     prev = _checksum(edges)
     for _ in range(MAX_ROUNDS):
-        edges = _small_star(_large_star(edges)).localCheckpoint()
+        edges = pin(_small_star(_large_star(edges)), truncate=True)
         cur = _checksum(edges)
         if cur == prev:
             break

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from .clusters import connected_components
 from .embedding import _normalized, _np_prefilter, _verify_exact
 from .minhash import band_candidates
+from ..session import pin
 
 
 def scaled_k(n: int, target_cluster: int = 250) -> int:
@@ -152,8 +153,7 @@ def semantic_dup_pairs(df: DataFrame, threshold: float,
     # property its sibling ops test). Callers that accept layout-
     # dependent (still deterministic-per-layout) centroids can call
     # kmeans_assign(..., n=...) themselves.
-    assigned = (kmeans_assign(df, k, n_iters, vec_col, id_col, dim)
-                .localCheckpoint())
+    assigned = pin(kmeans_assign(df, k, n_iters, vec_col, id_col, dim))
     cand = band_candidates(
         assigned.select("id", "cluster"), max_bucket,
         band_cols=("cluster",), id_col="id",

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as Tx
+from ..session import pin
 
 SIMHASH_BITS = 32
 _HIGH_HEX = ("8", "9", "a", "b", "c", "d", "e", "f")
@@ -69,7 +70,7 @@ def hamming_pairs(df: DataFrame, max_distance: int,
     cross product. Candidate volume per segment scales with sketch
     collision density, not n²."""
     half = SIMHASH_BITS // 2
-    sk = simhash_docs(df, text_col, id_col).localCheckpoint()
+    sk = pin(simhash_docs(df, text_col, id_col))
     # Integer halves ONCE per document (O(n)); the per-PAIR distance
     # is then two XOR+popcounts in whole-stage codegen — a 32-step
     # per-pair string fold here cost 376 s at sf0.1 (5.5M candidates).

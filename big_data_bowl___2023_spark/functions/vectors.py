@@ -40,6 +40,15 @@ def l2_normalize(vec: Column) -> Column:
     dot product. In an O(n²) pair kernel this removes two norm folds
     per PAIR (they were being recomputed n times per vector) — the
     difference between 100 s and 30 s at sf0.1, and between feasible
-    and not at corpus scale."""
+    and not at corpus scale.
+
+    Degenerate inputs (zero norm, or NaN/Inf components) normalize
+    to NULL, not NaN: cosine is undefined for them, and Spark sorts
+    NaN GREATEST, so a NaN similarity would satisfy every ``>=
+    threshold`` filter and top every ranking — the round-7 ADVICE
+    finding. NULL instead fails threshold filters and sorts last in
+    descending top-k, matching the numpy prefilters (where NaN >= cut
+    is False) and :func:`cosine`'s 0.0-for-zero-norm convention."""
     n = norm(vec)
-    return F.transform(vec, lambda x: x / n)
+    return F.when(~F.isnan(n) & (n > 0),
+                  F.transform(vec, lambda x: x / n))

@@ -27,6 +27,8 @@ from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import pin
+
 FEATURES = ["Blockers_All", "is_play_action"]   # MC:19-24
 TARGET = "Percent_to_Pressure_Zone_per_s"
 SEED = 99                                        # MC:15
@@ -80,7 +82,7 @@ def fit_expected_metric_model(train: DataFrame,
     # localCheckpoint truncates the (deep) metric-pipeline lineage so
     # each job reads materialized partitions instead of re-walking the
     # plan. Distributed — no driver collect.
-    data = train.select(*FEATURES, TARGET).localCheckpoint()
+    data = pin(train.select(*FEATURES, TARGET))
     if not use_cv:
         return pipe.fit(data)
     evaluator = RegressionEvaluator(labelCol=TARGET, predictionCol="xPZs",
@@ -97,7 +99,7 @@ def compare_models(train: DataFrame,
     """M7 (MC:27-30): CV RMSE per model family."""
     evaluator = RegressionEvaluator(labelCol=TARGET, predictionCol="xPZs",
                                     metricName="rmse")
-    data = train.select(*FEATURES, TARGET).localCheckpoint()
+    data = pin(train.select(*FEATURES, TARGET))
     out = {}
     for name, reg in _regressors().items():
         cv = CrossValidator(estimator=_pipeline(reg),

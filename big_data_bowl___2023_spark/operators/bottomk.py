@@ -80,13 +80,17 @@ def bottomk_summary(df: DataFrame, key_col: str, k: int,
         raise ValueError(f"k must be in (0, {MAX_K}], got {k}")
     gcols = list(group_cols)
     pcols = list(payload_cols)
-    meta = {HASH_COL, "kmv_k", "kmv_seed"}
-    overlap = ({key_col} | meta) & set(pcols) | \
-        (meta & set(gcols + [key_col]))
-    if overlap:
-        raise ValueError(f"column collision {overlap}: payload must "
-                         f"not repeat the key, and {HASH_COL!r} is "
-                         f"reserved")
+    # every output column must be distinct: key vs payload vs group
+    # overlaps (not just the reserved meta names) would produce an
+    # ambiguous duplicate-named select
+    out_cols = gcols + [key_col, HASH_COL] + pcols \
+        + ["kmv_k", "kmv_seed"]
+    dupes = {c for c in out_cols if out_cols.count(c) > 1}
+    if dupes:
+        raise ValueError(
+            f"column collision {sorted(dupes)}: group/key/payload "
+            f"columns must be pairwise distinct, and "
+            f"{HASH_COL!r}/'kmv_k'/'kmv_seed' are reserved")
     hashed = (df.filter(F.col(key_col).isNotNull())
                 .withColumn(HASH_COL,
                             F.xxhash64(F.lit(seed), F.col(key_col)))
@@ -279,20 +283,38 @@ def kmv_overlap_estimate(a: DataFrame, b: DataFrame, key_col: str,
         F.max(HASH_COL).alias("__hmax"),
         F.max("__in_a").alias("__in_a"),
         F.max("__in_b").alias("__in_b"))
-    bad = per_key.filter(F.col(HASH_COL) != F.col("__hmax")).count()
-    if bad:
-        raise ValueError(
-            f"{bad} key(s) carry two different kmv_hash values "
-            f"across the two artifacts — they were built with "
-            f"different seeds and cannot be compared")
-    union_k = _rank_topk(per_key, key_col, k, gcols)
-    agg = union_k.groupBy(*gcols).agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.max(HASH_COL).alias("__maxh"),
-        F.sum((F.col("__in_a") & F.col("__in_b")).cast("long"))
-        .alias("__inter"))
+    # the belt-and-braces co-occurring-key hash check rides the SAME
+    # aggregation as the estimate (no separate eager count() job —
+    # the round-7 ADVICE #3 double-cost): rank over ALL per-key rows,
+    # restrict the estimator aggregates to the top-k conditionally,
+    # and count disagreeing keys group-wide alongside them. The
+    # window and the groupBy share the group keys, so this stays one
+    # shuffle.
+    part = [F.col(c) for c in gcols] if gcols else [F.lit(0)]
+    w = Window.partitionBy(*part).orderBy(F.col(HASH_COL).asc(),
+                                          F.col(key_col).asc())
+    ranked = per_key.withColumn("__rn", F.row_number().over(w))
+    in_k = F.col("__rn") <= k
+    agg = ranked.groupBy(*gcols).agg(
+        F.sum(in_k.cast("long")).alias("__n"),
+        F.max(F.when(in_k, F.col(HASH_COL))).alias("__maxh"),
+        F.sum(F.when(in_k & F.col("__in_a") & F.col("__in_b"),
+                     F.lit(1)).otherwise(F.lit(0))).alias("__inter"),
+        F.sum((F.col(HASH_COL) != F.col("__hmax")).cast("long"))
+        .alias("__badn"))
     union_est = _kmv_estimate_expr(k)
-    jaccard = F.col("__inter") / F.col("__n")
+    # surfaces when the result is computed (laziness preserved): a
+    # key hashed differently by the two artifacts means mixed seeds
+    # slipped past the metadata guard — poison the output instead of
+    # returning the false 'no contamination' jaccard≈0 answer
+    guard = F.when(
+        F.col("__badn") > 0,
+        F.raise_error(F.format_string(
+            "%s key(s) carry two different kmv_hash values across "
+            "the two artifacts — they were built with different "
+            "seeds and cannot be compared", F.col("__badn"))))
+    jaccard = F.when(F.col("__badn") > 0, guard.cast("double")) \
+        .otherwise(F.col("__inter") / F.col("__n"))
     return agg.select(
         *gcols,
         jaccard.alias("jaccard"),

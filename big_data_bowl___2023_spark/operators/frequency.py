@@ -334,15 +334,18 @@ def estimate_counts_grouped(df: DataFrame, key_col: str,
             f"probe per group")
     bc = df.sparkSession.sparkContext.broadcast(groups)
 
-    # double, not long: a row whose group has no sketch carries NaN
-    # through the Arrow batch; the caller-side cast restores long
-    @F.pandas_udf(T.DoubleType())
+    # pandas nullable Int64 (masked int, Arrow-native), NOT float64
+    # with NaN: a double round-trip silently loses exactness above
+    # 2^53, and sketch cells are int64 sums that can legitimately
+    # exceed it at corpus scale (round-7 ADVICE #4)
+    @F.pandas_udf(T.LongType())
     def probe(g: pd.Series, h1: pd.Series,
               h2: pd.Series) -> pd.Series:
         if not len(g):
-            return pd.Series([], dtype="float64")
+            return pd.Series([], dtype="Int64")
         by_g = bc.value
-        est = np.full(len(g), np.nan)
+        vals = np.zeros(len(g), dtype=np.int64)
+        found = np.zeros(len(g), dtype=bool)
         gv = g.to_numpy(dtype=object)
         a1 = h1.to_numpy()
         a2 = h2.to_numpy()
@@ -351,19 +354,21 @@ def estimate_counts_grouped(df: DataFrame, key_col: str,
             if mat is None:
                 continue
             m = gv == grp
-            vals = np.full(int(m.sum()), np.iinfo(np.int64).max,
+            mins = np.full(int(m.sum()), np.iinfo(np.int64).max,
                            dtype=np.int64)
             for i, pos in enumerate(
                     _positions(a1[m], a2[m], width, depth)):
-                vals = np.minimum(vals, mat[i][pos])
-            est[m] = vals
-        return pd.Series(est)
+                mins = np.minimum(mins, mat[i][pos])
+            vals[m] = mins
+            found[m] = True
+        return pd.Series(
+            pd.arrays.IntegerArray(vals, mask=~found))
 
     hashed = _hash_cols(df, key_col)
     val = F.when(F.col(key_col).isNull()
                  | F.col(group_col).isNull(),
                  F.lit(None).cast("long")) \
-           .otherwise(probe(group_col, "__h1", "__h2").cast("long"))
+           .otherwise(probe(group_col, "__h1", "__h2"))
     return hashed.withColumn(out_col, val).drop("__h1", "__h2")
 
 

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import pin
+
 
 def pagerank(edges: DataFrame, damping: float = 0.85,
              n_iters: int = 15, src_col: str = "src",
@@ -56,5 +58,5 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
                           * F.coalesce(F.col("s"), F.lit(0.0)))
                          .alias("rank")))
         if (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint()
+            ranks = pin(ranks, truncate=True)
     return ranks

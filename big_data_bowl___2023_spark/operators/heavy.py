@@ -43,6 +43,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..session import pin
+
 MAX_CAPACITY = 200_000
 
 
@@ -161,8 +163,7 @@ def heavy_hitters(df: DataFrame, key_col: str,
     capacity = mg_capacity(min_freq_ratio, slack)
     # one pass-1 job; the checkpoint stops the (full-corpus) scan
     # from re-running for the stats agg and the candidate probe
-    summary = (partition_summaries(df, key_col, capacity)
-               .localCheckpoint())
+    summary = pin(partition_summaries(df, key_col, capacity))
     return heavy_hitters_from_summary(df, summary, key_col,
                                       min_freq_ratio)
 

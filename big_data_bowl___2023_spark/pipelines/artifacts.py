@@ -129,24 +129,21 @@ def write_batch_artifacts(docs: DataFrame, out_dir: str,
     ``{out_dir}/{kind}/batch={batch_id}/``. Dynamic partition
     overwrite: retrying a batch id replaces its previous (possibly
     partial) artifacts — never double-counts them."""
-    spark = docs.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
-                          "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                   "dynamic")
     # six independent artifact jobs read the batch — persist once so
     # the micro-batch lineage (parse/transform/source read) executes
     # once, not six times per trigger
     docs = docs.persist()
     try:
         for kind, df in batch_artifacts(docs, spec).items():
+            # per-WRITE dynamic overwrite (not a session-conf toggle:
+            # two concurrent streams racing a global set/restore could
+            # land a STATIC overwrite that wipes every other batch)
             (df.withColumn("batch", F.lit(int(batch_id)))
                .write.mode("overwrite").partitionBy("batch")
+               .option("partitionOverwriteMode", "dynamic")
                .parquet(f"{out_dir}/{kind}"))
     finally:
         docs.unpersist()
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                       prev)
 
 
 def make_artifact_batch_fn(out_dir: str,

@@ -13,7 +13,9 @@ three deliberate divergences, all documented in SURVEY §7.4:
 Scale shape: ``main_df`` is the single wide frame-grain table
 (tracking ⋈ scouting ⋈ plays ⋈ players). It fans out to ~8 consumers
 and the metric stage self-joins repeatedly, so lineage is TRUNCATED
-(``localCheckpoint``) at each fan-out point — the Spark equivalent of
+(``session.pin(truncate=True)`` — a local checkpoint by default, a
+reliable checkpoint under durable mode) at each fan-out point — the
+Spark equivalent of
 the reference's eager materialization (SURVEY §4.3.3). Plain
 ``cache()`` is not enough: it reuses physical results but the logical
 plan still duplicates per self-join level, and driver-side
@@ -31,6 +33,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..operators import joins as jn
+from ..session import durable_pins, pin
 from ..operators.aggregates import pivot_sum
 
 # Vocabulary the filters depend on (FIXTURES.md §A).
@@ -152,14 +155,14 @@ def qb_set_point(main_df: DataFrame, play_start: DataFrame,
         (F.col("a_direction") > F.lag("a_direction", 1).over(w))
         & (F.col("a_direction") > 0))
     # qb fans out into two aggregates of itself (peak, set_point)
-    # that join back. localCheckpoint (not cache) — caching reuses the
+    # that join back. pin/truncate (not cache) — caching reuses the
     # physical result but every derived query still re-analyzes the
     # duplicated logical subtree, and the plan grows exponentially
     # down the pipeline (driver-side analysis/codegen dominates).
     # Truncating lineage here is the Spark equivalent of the
     # reference's eager materialization (SURVEY §4.3.3); on a real
     # cluster this is a checkpoint or a silver-table write.
-    qb = qb.localCheckpoint()
+    qb = pin(qb, truncate=True)
 
     peak = (qb.filter((F.col("a_direction") < 0)
                       & ((F.col("frameId") - F.col("dropStartFrameId")) >= 3)
@@ -216,7 +219,7 @@ def pass_rusher_frames(main_df: DataFrame, qb_sp: DataFrame,
          .otherwise(""))                                              # MBE:81-82
     # r joins an aggregate of itself next (pressure_start) —
     # truncate lineage (see qb_set_point).
-    r = r.localCheckpoint()
+    r = pin(r, truncate=True)
 
     pressure_start = (r.filter(F.col("frame_trigger") == "pressure")
                       .groupBy("playId", "gameId", "nflId")
@@ -240,9 +243,9 @@ def pressure_metric(rusher_frames: DataFrame,
     deltas wide and derive %PZ and %PZ/s per rusher-play."""
     # summary feeds three consumers (pivot, Delta_End, labels) that
     # re-join — truncate lineage once (see qb_set_point).
-    summary = (rusher_frames
-               .filter(F.col("Frame_Status").isNotNull())
-               .localCheckpoint())                                    # MBE:93
+    summary = pin(rusher_frames
+                  .filter(F.col("Frame_Status").isNotNull()),
+                  truncate=True)                                      # MBE:93
 
     wide = pivot_sum(
         summary.select("playId", "gameId", "nflId",
@@ -472,12 +475,29 @@ def time_to_throw(main_df: DataFrame) -> DataFrame:
 
 def run_relational_pipeline(tracking: DataFrame, pff: DataFrame,
                             plays: DataFrame, players: DataFrame,
-                            epa_pbp: DataFrame | None = None
+                            epa_pbp: DataFrame | None = None,
+                            durable: bool | None = None
                             ) -> dict[str, DataFrame]:
     """Everything up to (not including) the ML stage: Q1–Q6, Q9–Q10.
-    ``main_df`` is cached here — the deliberate persist for the 8-way
-    fan-out (SURVEY §4.3.3)."""
-    main_df = build_main_df(tracking, pff, plays, players).localCheckpoint()
+    ``main_df`` is pinned here — the deliberate materialization for
+    the 8-way fan-out (SURVEY §4.3.3). ``durable`` threads the
+    persistence mode to EVERY pin in the pipeline (here and inside
+    qb_set_point / pass_rusher_frames / pressure_metric):
+    ``True`` = preemption-safe reliable checkpoints for cluster runs,
+    ``False`` = fast local checkpoints, ``None`` (default) = the
+    ambient ``session.durable_pins`` / env mode. Output values are
+    identical in every mode (tests/test_pin_durability.py)."""
+    with durable_pins(durable):
+        return _relational_pipeline(tracking, pff, plays, players,
+                                    epa_pbp)
+
+
+def _relational_pipeline(tracking: DataFrame, pff: DataFrame,
+                         plays: DataFrame, players: DataFrame,
+                         epa_pbp: DataFrame | None
+                         ) -> dict[str, DataFrame]:
+    main_df = pin(build_main_df(tracking, pff, plays, players),
+                  truncate=True)
     play_start, play_end = play_bounds(main_df)
     pa = play_action_flags(pff)
     sp = qb_set_point(main_df, play_start, play_end)
@@ -487,7 +507,8 @@ def run_relational_pipeline(tracking: DataFrame, pff: DataFrame,
     ol, al = blocker_counts(main_df)
     # rushers_final also fans out (rankings, eval, EPA, ML) — again
     # truncate; it is play-grain (tiny relative to frames).
-    final = finalize_rushers(rushers, ol, al, blockers, pa).localCheckpoint()
+    final = pin(finalize_rushers(rushers, ol, al, blockers, pa),
+                truncate=True)
     bmetric = blockers_with_metric(blockers, final)
     out = {
         "main_df": main_df,

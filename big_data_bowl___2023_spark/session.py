@@ -13,32 +13,85 @@ the engine assumes local mode.
 
 from __future__ import annotations
 
+import contextlib
 import os
+import tempfile
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 
+# Ambient default for pin(durable=None) call sites. Seeded from the
+# environment so a cluster deployment flips every pipeline to the
+# preemption-safe mode with one env var, no code change; tests and
+# entry points override it scoped via durable_pins().
+_DURABLE_PINS: list[bool] = [
+    os.environ.get("SPARK_GRAFT_DURABLE_PINS", "").lower()
+    in ("1", "true", "yes")]
 
-def pin(df: DataFrame, durable: bool = False) -> DataFrame:
+
+@contextlib.contextmanager
+def durable_pins(enabled: bool | None = True):
+    """Scope the default persistence mode of every pin() underneath.
+
+    ``None`` means "leave the ambient default alone" so entry points
+    can expose a tri-state ``durable`` kwarg and forward it blindly."""
+    if enabled is None:
+        yield
+        return
+    prev = _DURABLE_PINS[0]
+    _DURABLE_PINS[0] = bool(enabled)
+    try:
+        yield
+    finally:
+        _DURABLE_PINS[0] = prev
+
+
+def pin(df: DataFrame, durable: bool | None = None,
+        truncate: bool = False) -> DataFrame:
     """Materialization pin for a fan-out / iterative reuse boundary.
+    Every pipeline fan-out in the engine routes through here (a
+    source-hygiene pytest bans direct ``localCheckpoint`` calls), so
+    the durability policy is one switch, not a per-file audit.
 
-    ``durable=False`` (default): ``localCheckpoint()`` — eager, fast,
-    and it TRUNCATES lineage, which the deep self-joining pipelines
-    need to keep driver-side analysis/codegen linear. The cost is that
-    the checkpoint blocks are non-replicated and non-recomputable: on
-    a cluster that loses an executor (preemption is routine at scale)
+    ``durable=None`` (default) reads the ambient mode: ``False``
+    unless ``SPARK_GRAFT_DURABLE_PINS=1`` or a ``durable_pins()``
+    scope is active (entry points thread their ``durable`` kwarg
+    through that scope).
+
+    ``durable=False``: ``localCheckpoint()`` — eager, fast, and it
+    TRUNCATES lineage, which the deep self-joining pipelines need to
+    keep driver-side analysis/codegen linear. The cost is that the
+    checkpoint blocks are non-replicated and non-recomputable: on a
+    cluster that loses an executor (preemption is routine at scale)
     the job dies instead of recomputing.
 
-    ``durable=True``: ``persist(StorageLevel.DISK_ONLY)`` — keeps the
-    full lineage, so a lost block is recomputed from source instead of
-    killing the job; the preemptible-cluster setting. Lineage is NOT
-    truncated, so prefer it at pipeline entry points (one pin per
-    stage), not inside tight iterative loops where plans compound.
+    ``durable=True``: the preemption-safe mode.
 
-    Same DataFrame values either way — pytest pins the equivalence."""
-    if durable:
-        return df.persist(StorageLevel.DISK_ONLY)
-    return df.localCheckpoint()
+    * ``truncate=False`` — ``persist(StorageLevel.DISK_ONLY)``: full
+      lineage kept, so a lost block is recomputed from source instead
+      of killing the job. The cheap durable flavor; right for one-shot
+      fan-outs whose lineage is re-analyzable.
+    * ``truncate=True`` — reliable ``checkpoint()`` to the checkpoint
+      dir (set it to HDFS/object storage on a real cluster; a local
+      temp dir is auto-provisioned otherwise). For sites where
+      truncation is load-bearing: iterative loops whose plans compound
+      (connected components, PageRank) and read-modify-write sinks
+      whose lineage must NOT be recomputable after the target path
+      changes (upsert, the streaming curation loop).
+
+    Same DataFrame values in every mode — pytest pins the equivalence
+    (tests/test_pin_durability.py)."""
+    if durable is None:
+        durable = _DURABLE_PINS[0]
+    if not durable:
+        return df.localCheckpoint()
+    if truncate:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            sc.setCheckpointDir(
+                tempfile.mkdtemp(prefix="spark_graft_ckpt_"))
+        return df.checkpoint()
+    return df.persist(StorageLevel.DISK_ONLY)
 
 # Columnar batch + shuffle sizing chosen so a partition of a wide
 # frame-grain table (the reference's main_df analogue) stays well under

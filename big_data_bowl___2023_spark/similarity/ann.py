@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import vectors as V
+from ..session import pin
 
 
 def _prep(df: DataFrame, vec_col: str, id_col: str, out_id: str):
@@ -188,7 +189,7 @@ def mine_hard_negatives_ann(corpus: DataFrame, k: int,
         scaled_n_planes,
     )
 
-    v = _normalized(corpus, vec_col, id_col).localCheckpoint()
+    v = pin(_normalized(corpus, vec_col, id_col))
     if n_planes is None:
         n_planes = scaled_n_planes(v.count(), target_bucket)
     cand = lsh_candidate_pairs(v, dim, n_tables, n_planes)
@@ -289,7 +290,7 @@ def build_contrastive_pairs(corpus: DataFrame, pos_threshold: float,
 
     pos = cosine_near_dup_pairs(corpus, pos_threshold,
                                 vec_col=vec_col, id_col=id_col)
-    pos = pos.localCheckpoint()   # reused three times below
+    pos = pin(pos)                # reused three times below
     # vec_a < vec_b by construction of the pair kernel → anchor=vec_a
     anchors = (pos.select(F.col("vec_a").alias(id_col)).distinct()
                .join(corpus, id_col))

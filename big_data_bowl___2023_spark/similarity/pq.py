@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import vectors as V
+from ..session import pin
 
 DEFAULT_M = 8
 DEFAULT_K = 16
@@ -62,9 +63,12 @@ def _argmin_code(sv, cents_m) -> F.Column:
 
 
 def _normalized(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    # degenerate (zero-norm/NaN) vectors normalize to NULL — drop
+    # them; see dedup.embedding._normalized for the rationale
     return df.select(
         F.col(id_col).alias("id"),
-        V.l2_normalize(V.as_double(F.col(vec_col))).alias("u"))
+        V.l2_normalize(V.as_double(F.col(vec_col))).alias("u")) \
+        .filter(F.col("u").isNotNull())
 
 
 def train_pq(corpus: DataFrame, vec_col: str = "embedding",
@@ -118,7 +122,8 @@ def train_pq(corpus: DataFrame, vec_col: str = "embedding",
 
     sub_tbl = v.select(
         "id", F.posexplode(F.array(*_slices(F.col("u"), dim, m)))
-        .alias("mi", "sv")).localCheckpoint()
+        .alias("mi", "sv"))
+    sub_tbl = pin(sub_tbl)
 
     for _ in range(n_iters):
         # per-subspace argmin against the current centroids: pick the

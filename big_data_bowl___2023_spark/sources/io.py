@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..session import pin
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver star-schema table (parquet, self-describing).
@@ -143,14 +145,14 @@ def upsert_partitioned(spark: SparkSession, table_dir: str,
             .filter(F.col(partition_col).isin(parts)))
     keys = updates.select(*key_cols)
     merged = updates.unionByName(
-        base.join(keys, key_cols, "left_anti")).localCheckpoint()
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (merged.write.mode("overwrite")
-         .partitionBy(partition_col).parquet(table_dir))
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        base.join(keys, key_cols, "left_anti"))
+    merged = pin(merged, truncate=True)
+    # per-WRITE dynamic overwrite — a session-global conf toggle can
+    # race concurrent writers into a STATIC overwrite of the table
+    (merged.write.mode("overwrite")
+     .partitionBy(partition_col)
+     .option("partitionOverwriteMode", "dynamic")
+     .parquet(table_dir))
 
 
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:

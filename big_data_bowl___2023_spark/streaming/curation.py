@@ -54,10 +54,30 @@ from ..dedup.ngram import shingle_docs
 from ..functions.gopher import gopher_filter
 from ..functions.quality_model import model_quality_filter
 from ..functions.redact import redact_documents
+from ..session import pin
 from .dedup_stream import (
     incremental_dedup,
     incremental_dedup_watermarked,
 )
+
+
+def _read_parquet_if_present(spark, path: str) -> DataFrame | None:
+    """Read a parquet dir, or None ONLY when it is genuinely absent
+    or holds no parquet footers yet (the bootstrap states). Every
+    other failure mode — permissions, torn files, transient storage
+    errors mid-scan — re-raises: Spark surfaces dir-absent/empty as
+    AnalysisException at read planning, while transient runtime
+    faults surface as execution errors, so catching only the former
+    cleanly separates 'nothing established yet' from 'retry me'."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        spark.catalog.refreshByPath(path)
+        df = spark.read.parquet(path)
+    except AnalysisException:
+        return None
+    df.limit(1).collect()   # probe the scan; runtime faults raise
+    return df
 
 
 def benchmark_shingle_set(benchmark: DataFrame, n: int = DEFAULT_NGRAM,
@@ -157,14 +177,14 @@ def make_curation_ingest_batch_fn(out_dir: str, index_dir: str,
     def _read_bloom_dir(spark):
         """(artifact df | None, dir params | None). Params come from
         the DIR whenever it exists — never from the constructor args
-        once a dir is established — so a transient index-read failure
-        can't make the loop append mismatched-parameter summaries and
-        brick every later batch."""
-        try:
-            spark.catalog.refreshByPath(bloom_dir)
-            df = spark.read.parquet(bloom_dir)
-            df.limit(1).collect()
-        except Exception:
+        once a dir is established — so a bootstrap append can only
+        ever happen against a genuinely absent dir. A transient read
+        failure on an established dir RE-RAISES (the batch retries)
+        instead of masquerading as dir-absent, which would append
+        constructor-parameter summaries into a dir built with
+        different parameters and brick every later batch."""
+        df = _read_parquet_if_present(spark, bloom_dir)
+        if df is None:
             return None, None
         p = df.select("num_bits", "num_hashes").distinct().collect()
         if len(p) != 1:
@@ -175,12 +195,10 @@ def make_curation_ingest_batch_fn(out_dir: str, index_dir: str,
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
-            spark.catalog.refreshByPath(index_dir)
-            history = spark.read.parquet(index_dir)
-            history.limit(1).collect()
-        except Exception:
-            history = None
+        # dir-absent → bootstrap; any OTHER read failure raises (a
+        # transient error treated as 'no history' would silently
+        # admit every duplicate in this batch)
+        history = _read_parquet_if_present(spark, index_dir)
         history_bloom = None
         bloom_params = None
         if bloom_dir is not None:
@@ -190,11 +208,14 @@ def make_curation_ingest_batch_fn(out_dir: str, index_dir: str,
             if history is not None and history_bloom is None:
                 # index exists but no filter yet: bootstrap from the
                 # full index once, so the no-false-negative premise
-                # holds from the first gated batch
+                # holds from the first gated batch. bloom_params
+                # stays the tuple just written — no second parameter
+                # inference to drift from the write
                 bloom_summary(history, "fingerprint",
                               *bloom_params) \
                     .write.mode("append").parquet(bloom_dir)
-                history_bloom, bloom_params = _read_bloom_dir(spark)
+                spark.catalog.refreshByPath(bloom_dir)
+                history_bloom = spark.read.parquet(bloom_dir)
             if history is None:
                 history_bloom = None    # nothing to gate against
         probe_bcs: list = []
@@ -208,7 +229,8 @@ def make_curation_ingest_batch_fn(out_dir: str, index_dir: str,
                 bench_text_col=bench_text_col,
                 bench_id_col=bench_id_col,
                 history_bloom=history_bloom,
-                broadcast_handle=probe_bcs).localCheckpoint()
+                broadcast_handle=probe_bcs)
+            curated = pin(curated, truncate=True)
             curated.drop("fingerprint").write.mode("append") \
                 .parquet(out_dir)
             # the dedup key is already attached (post-redaction text
@@ -218,8 +240,9 @@ def make_curation_ingest_batch_fn(out_dir: str, index_dir: str,
             # filter AHEAD of the index (harmless: "maybe" rows
             # still hit the exact join) — never BEHIND it, which
             # would silently admit duplicates forever after.
-            new_fps = curated.select("fingerprint").distinct() \
-                .localCheckpoint()
+            new_fps = pin(
+                curated.select("fingerprint").distinct(),
+                truncate=True)
             if bloom_dir is not None:
                 bloom_summary(new_fps, "fingerprint", *bloom_params) \
                     .write.mode("append").parquet(bloom_dir)

@@ -334,3 +334,44 @@ def test_kmv_overlap_matrix_matches_pairwise_and_exact(spark):
         kmv_overlap_matrix(
             bottomk_summary(df, "k", 16, group_cols=["src"])
             .unionByName(art), "k", "src")
+
+
+def test_kmv_overlap_hash_check_is_lazy_single_job(spark):
+    """Round-8 (r7 ADVICE #3): the co-occurring-key hash check rides
+    the result aggregation instead of a separate eager count() job —
+    so (a) building the estimate schedules no full-artifact action,
+    and (b) a corrupted artifact (same seed metadata, disagreeing
+    hashes) poisons the RESULT computation with the original
+    message, not the call."""
+    from big_data_bowl___2023_spark.operators.bottomk import (
+        HASH_COL,
+        kmv_overlap_estimate,
+    )
+    df = _keys(spark, 100)
+    sa = bottomk_summary(df, "k", 16)
+    # same kmv_seed metadata, silently different hash scale — the
+    # exact corruption the belt-and-braces check exists to catch
+    sb = bottomk_summary(df, "k", 16) \
+        .withColumn(HASH_COL, F.col(HASH_COL) + 1)
+    est = kmv_overlap_estimate(sa, sb, "k")     # no raise: lazy
+    with pytest.raises(Exception, match="cannot be compared"):
+        est.collect()
+    # healthy artifacts still estimate exactly (below-k corpora)
+    ok = kmv_overlap_estimate(sa, bottomk_summary(df, "k", 16),
+                              "k").collect()[0]
+    assert ok["jaccard"] == 1.0
+
+
+def test_bottomk_rejects_group_payload_and_key_collisions(spark):
+    """Round-8 (r7 ADVICE #5): the column-overlap guard covers ALL
+    pairwise collisions — group∩payload and key∈groups slipped the
+    old check and produced duplicate-named output columns."""
+    df = spark.createDataFrame(
+        [("a", "g", 1)], "k string, g string, v long")
+    with pytest.raises(ValueError, match="collision"):
+        bottomk_summary(df, "k", 4, group_cols=["g"],
+                        payload_cols=["g"])       # group repeated
+    with pytest.raises(ValueError, match="collision"):
+        bottomk_summary(df, "k", 4, group_cols=["k"])  # key in groups
+    with pytest.raises(ValueError, match="collision"):
+        bottomk_summary(df, "k", 4, payload_cols=["v", "v"])

@@ -156,3 +156,31 @@ def test_auto_n_blocks_matches_pinned_plan(spark, sf_dir):
               for r in dd.cosine_near_dup_pairs(
                   emb, 0.4, n_blocks=7).collect()}
     assert auto == pinned
+
+
+def test_zero_norm_vectors_never_pair_and_never_crash(spark):
+    """Round-8 (r7 ADVICE #2): degenerate zero-norm vectors normalize
+    to NULL and are dropped from every pair path — previously the
+    exact path surfaced them as NaN-cosine pairs (Spark sorts NaN
+    greatest, so NaN >= threshold passed) while the numpy prefilter
+    paths silently dropped them; one consistent documented behavior
+    now, and the einsum/GEMM kernels never see a None row."""
+    import random
+
+    rng = random.Random(8)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(30)]
+    rows.append((97, rows[0][1]))            # exact dup of id 0
+    rows.append((98, [0.0] * 8))             # zero-norm
+    rows.append((99, [0.0] * 8))             # zero-norm twin
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    for pairs in (
+            dd.cosine_near_dup_pairs(emb, 0.9),
+            dd.cosine_near_dup_pairs_lsh(emb, 0.9, dim=8, n_tables=4),
+    ):
+        got = pairs.collect()
+        ids = {r["vec_a"] for r in got} | {r["vec_b"] for r in got}
+        assert (0, 97) in {(r["vec_a"], r["vec_b"]) for r in got}
+        assert 98 not in ids and 99 not in ids
+        assert all(r["cosine"] == r["cosine"] for r in got)  # no NaN

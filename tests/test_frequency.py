@@ -246,3 +246,28 @@ def test_grouped_probe_per_group_estimates(spark):
     plan = estimate_counts_grouped(probe, "k", "g", summary) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_grouped_probe_exact_above_double_precision(spark):
+    """Round-8 (r7 ADVICE #4): grouped CMS estimates ride a nullable
+    Int64 Arrow batch, not a float64-with-NaN round-trip — counts
+    above 2^53 must come back EXACT. Built by scaling a real
+    sketch's int64 cells past the double mantissa; the old DoubleType
+    path returned 2^54 for 2^54+1."""
+    from big_data_bowl___2023_spark.operators.frequency import (
+        estimate_counts_grouped,
+    )
+    w, d = cms_parameters(0.01, 0.01)
+    df = spark.createDataFrame([("x", "g1")], "k string, g string")
+    summary = cms_summary(df, "k", w, d, group_cols=["g"]) \
+        .withColumn("count",
+                    F.col("count") * F.lit((1 << 54)) + F.lit(1))
+    probe = spark.createDataFrame(
+        [("x", "g1"), ("x", "nosuchgroup"), (None, "g1")],
+        "k string, g string")
+    rows = {(r["k"], r["g"]): r["freq_estimate"]
+            for r in estimate_counts_grouped(
+                probe, "k", "g", summary).collect()}
+    assert rows[("x", "g1")] == (1 << 54) + 1       # exact, not 2^54
+    assert rows[("x", "nosuchgroup")] is None       # unsketched group
+    assert rows[(None, "g1")] is None               # NULL key

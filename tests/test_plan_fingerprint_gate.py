@@ -1,0 +1,90 @@
+"""The tree-wide plan-fingerprint gate (round-8 task 4): pure-logic
+tests of tools/verify_local.check_plan_fingerprints — regressions
+(more Exchanges, more BNL joins, a new cartesian) fail, improvements
+and unbaselined queries don't, and a sweep at a different sf never
+judges fingerprints recorded elsewhere. The committed
+PLAN_FINGERPRINTS.json itself must cover every registry query."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from tools import verify_local as VL
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+BASE = {"n_scans": 2, "scans_with_pushed_filters": 2,
+        "n_exchanges": 3, "n_broadcast_joins": 1,
+        "n_sortmerge_joins": 0, "n_bnl_joins": 0,
+        "has_cartesian": False}
+
+
+@pytest.fixture()
+def baseline(tmp_path, monkeypatch):
+    path = str(tmp_path / "PLAN_FINGERPRINTS.json")
+    with open(path, "w") as fh:
+        json.dump({"sf_dir": "/sf", "fingerprints": {"q": BASE}}, fh)
+    monkeypatch.setattr(VL, "FINGERPRINT_PATH", path)
+    return path
+
+
+def test_gate_passes_on_identical_and_improved(baseline, capsys):
+    assert VL.check_plan_fingerprints({"q": dict(BASE)}, "/sf",
+                                      False) == 0
+    better = dict(BASE, n_exchanges=1)
+    assert VL.check_plan_fingerprints({"q": better}, "/sf",
+                                      False) == 0
+    assert "improved" in capsys.readouterr().out
+
+
+@pytest.mark.parametrize("delta", [
+    {"n_exchanges": 4},
+    {"n_bnl_joins": 1},
+    {"has_cartesian": True},
+])
+def test_gate_fails_on_new_shuffle_bnl_cartesian(baseline, delta,
+                                                 capsys):
+    got = {"q": dict(BASE, **delta)}
+    assert VL.check_plan_fingerprints(got, "/sf", False) == 1
+    assert "PLAN-REGRESS q" in capsys.readouterr().out
+
+
+def test_gate_skips_other_sf_and_unbaselined(baseline, capsys):
+    worse = {"q": dict(BASE, has_cartesian=True)}
+    assert VL.check_plan_fingerprints(worse, "/other-sf", False) == 0
+    assert VL.check_plan_fingerprints(
+        {"new_q": dict(BASE, has_cartesian=True)}, "/sf", False) == 0
+    out = capsys.readouterr().out
+    assert "skipping" in out and "unbaselined" in out
+
+
+def test_gate_update_writes_file(tmp_path, monkeypatch):
+    path = str(tmp_path / "fp.json")
+    monkeypatch.setattr(VL, "FINGERPRINT_PATH", path)
+    assert VL.check_plan_fingerprints({"q": BASE}, "/sf", True) == 0
+    with open(path) as fh:
+        data = json.load(fh)
+    assert data == {"sf_dir": "/sf", "fingerprints": {"q": BASE}}
+
+
+def test_committed_fingerprints_cover_registry():
+    path = os.path.join(REPO, "PLAN_FINGERPRINTS.json")
+    assert os.path.exists(path), (
+        "PLAN_FINGERPRINTS.json missing: run "
+        "`python tools/verify_local.py <sf0.01> --update-plans`")
+    with open(path) as fh:
+        data = json.load(fh)
+    from big_data_bowl___2023_spark import registry
+    missing = set(registry.all_queries()) - set(data["fingerprints"])
+    assert not missing, f"unfingerprinted registry queries: {missing}"
+    # the two GEMM-blocked kernels join their BOUNDED per-block
+    # aggregates on blk_a <= blk_b — a deliberate nested-loop over
+    # n_blocks² tiny rows, not a corpus-scale NLJ (the gate still
+    # fails if the count ever grows)
+    bounded_bnl_ok = {"dedup_embedding_cosine", "sim_topk_cosine"}
+    for name, rep in data["fingerprints"].items():
+        assert not rep["has_cartesian"], name
+        assert rep["n_bnl_joins"] == 0 or name in bounded_bnl_ok, name

@@ -206,73 +206,10 @@ def test_incremental_semantic_pairs_cross_only_and_exact(spark, sf_dir):
     assert all(a >= 10_000_000 for a, _ in got)
 
 
-@pytest.mark.parametrize("mode,limit,expect_pin", [
-    (True, None, True),        # unconditional pin (bounded generators)
-    (False, None, False),      # AQE decides
-    ("auto", 2_000_000, True),   # counted small -> pinned
-    ("auto", 0, False),          # counted over limit -> AQE decides
-])
-def test_verify_exact_strategy_invariant(spark, sf_dir, mode, limit,
-                                         expect_pin):
-    """All broadcast strategies of _verify_exact produce identical
-    pairs, and the broadcast HINT is present exactly when the strategy
-    says so (the size-aware 'auto' mode buys the pin with a count)."""
-    from big_data_bowl___2023_spark.dedup.embedding import (
-        _gemm_candidates,
-        _normalized,
-        _verify_exact,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings").limit(300)
-    v = _normalized(emb, "embedding", "vec_id").localCheckpoint()
-    cand = _gemm_candidates(v, THRESH, 4)
-    kwargs = {} if limit is None else {"broadcast_limit": limit}
-    out = _verify_exact(v, cand, THRESH,
-                        broadcast_candidates=mode, **kwargs)
-    got = {(r.vec_a, r.vec_b, r.cosine) for r in out.collect()}
-    ref = {(r.vec_a, r.vec_b, r.cosine)
-           for r in _verify_exact(v, cand, THRESH,
-                                  broadcast_candidates=True).collect()}
-    assert got == ref and got
-    analyzed = out._jdf.queryExecution().analyzed().toString()
-    assert ("ResolvedHint" in analyzed) == expect_pin
-
-
-def test_semantic_verify_never_pins_raw_candidates(spark, sf_dir):
-    """The round-6 scale defect: semantic_dup_pairs used to force-
-    broadcast the RAW within-cluster pair set (~target_cluster/2 rows
-    per corpus vector — linear in n). The raw candidates must now flow
-    through the vectorized prefilter (AQE joins), and the only
-    permitted broadcast pin is over the checkpointed, counted
-    survivor set."""
-    from big_data_bowl___2023_spark.dedup.embedding import (
-        _normalized,
-        _np_prefilter,
-    )
-    from big_data_bowl___2023_spark.dedup.minhash import band_candidates
-    from big_data_bowl___2023_spark.dedup.semantic import kmeans_assign
-
-    emb = load_table(spark, sf_dir, "embeddings").limit(400)
-    df = semantic_dup_pairs(emb, THRESH, k=8, dim=64, n=400)
-    lines = (df._jdf.queryExecution().analyzed().toString()
-             .splitlines())
-    hints = [i for i, ln in enumerate(lines) if "ResolvedHint" in ln]
-    assert len(hints) <= 1
-    for i in hints:
-        # the hint's direct child must be the materialized (counted)
-        # survivor RDD, never the live candidate-join subtree
-        assert "LogicalRDD" in lines[i + 1], "\n".join(lines[i:i + 3])
-    # and the screening stage itself: raw candidates reach the einsum
-    # prefilter through plain AQE joins — MapInPandas present, zero
-    # broadcast hints anywhere in that plan
-    assigned = kmeans_assign(emb, k=8, dim=64)
-    cand = band_candidates(assigned.select("id", "cluster"), None,
-                           band_cols=("cluster",), id_col="id",
-                           out_cols=("vec_a", "vec_b"))
-    pre = _np_prefilter(assigned.select("id", "u"), cand, THRESH)
-    pre_plan = pre._jdf.queryExecution().analyzed().toString()
-    assert "MapInPandas" in pre_plan
-    assert "ResolvedHint" not in pre_plan
+# test_verify_exact_strategy_invariant and
+# test_semantic_verify_never_pins_raw_candidates moved to the
+# FAST tier (tests/test_plan_contracts_semantic.py, round 8) so
+# the default run guards the broadcast strategy.
 
 
 def test_semantic_pairs_partitioning_invariant(spark, sf_dir):

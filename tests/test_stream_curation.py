@@ -6,6 +6,7 @@ the full composition over the real documents table.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from big_data_bowl___2023_spark.dedup.decontaminate import decontaminate
@@ -388,3 +389,56 @@ def test_bloom_write_precedes_index_write(spark, tmp_path):
     bits_after = int(np.unpackbits(
         np.frombuffer(after, dtype=np.uint8)).sum())
     assert bits_after > bits_before
+
+
+def test_transient_bloom_read_failure_raises_not_bootstraps(
+        spark, tmp_path, monkeypatch):
+    """Round-8 ADVICE #1: a transient read failure on an ESTABLISHED
+    bloom dir must fail the batch (foreachBatch retries it), never be
+    treated as dir-absent — that path appended constructor-parameter
+    summaries into a dir built with different parameters, mixing the
+    dir forever. Injects a runtime fault on exactly the bloom-dir
+    read and asserts the batch raises, nothing was appended, and the
+    dir still holds one parameter set."""
+    import glob
+
+    from pyspark.sql.readwriter import DataFrameReader
+
+    from big_data_bowl___2023_spark.streaming import (
+        make_curation_ingest_batch_fn,
+    )
+
+    base = ("a perfectly ordinary paragraph with enough distinct "
+            "words to pass the quality gate and contribute value "
+            "to the corpus in every measurable way today")
+    out_dir = str(tmp_path / "docs")
+    idx_dir = str(tmp_path / "index")
+    bloom_dir = str(tmp_path / "bloom")
+    gated = make_curation_ingest_batch_fn(
+        out_dir, idx_dir, min_words=20, bloom_dir=bloom_dir,
+        bloom_expected_keys=1000)
+    gated(spark.createDataFrame(
+        [(1, "first " + base, "web")],
+        ["doc_id", "text", "source"]), 0)
+    files_before = sorted(glob.glob(f"{bloom_dir}/*.parquet"))
+    assert files_before
+
+    orig = DataFrameReader.parquet
+
+    def flaky(self, *paths, **kw):
+        if any(bloom_dir in str(p) for p in paths):
+            raise RuntimeError("injected transient storage failure")
+        return orig(self, *paths, **kw)
+
+    monkeypatch.setattr(DataFrameReader, "parquet", flaky)
+    with pytest.raises(RuntimeError, match="injected transient"):
+        gated(spark.createDataFrame(
+            [(2, "second " + base, "web")],
+            ["doc_id", "text", "source"]), 1)
+    monkeypatch.undo()
+
+    assert sorted(glob.glob(f"{bloom_dir}/*.parquet")) == files_before
+    spark.catalog.refreshByPath(bloom_dir)
+    params = spark.read.parquet(bloom_dir) \
+        .select("num_bits", "num_hashes").distinct().collect()
+    assert len(params) == 1           # no bootstrap append, no mix

@@ -18,6 +18,18 @@ to the committed ``BASELINE_anchors.json`` quiet-run anchors — a plan
 regression in the core paths is caught here, before the driver's
 bench sweep is the first to see it. Ratios ≲ 1.5x are noise on a
 shared VM; > 2x on a quiet machine means look at the plan.
+
+Plan-fingerprint gate (always on): every registry query's physical
+plan is summarized with ``plans.explain.plan_report`` and compared to
+the committed ``PLAN_FINGERPRINTS.json`` — a NEW Exchange, a new
+BroadcastNestedLoopJoin, or a new CartesianProduct in any query is a
+FAIL (the tree-wide version of the per-query plan pytests; it also
+catches job-shape drift like round 7's silent extra
+materialization). Shrinking counts only print a re-baseline hint.
+``--update-plans`` rewrites the fingerprint file from this run
+(commit it with the plan-changing code). The gate compares only when
+the sweep runs at the recorded sf_dir — plan shapes (broadcast
+thresholds, file splits) are sf-specific.
 """
 
 from __future__ import annotations
@@ -114,11 +126,69 @@ def bench_gate(spark, qs) -> None:
               f"= {med / a:.2f}x")
 
 
+FINGERPRINT_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "PLAN_FINGERPRINTS.json")
+
+
+def check_plan_fingerprints(got: dict, sf_dir: str,
+                            update: bool) -> int:
+    """Compare this sweep's plan_report summaries against the
+    committed baseline; returns the number of regressed queries.
+    More Exchanges / BNL joins, or a new cartesian = regression."""
+    import json
+
+    if update:
+        with open(FINGERPRINT_PATH, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "fingerprints": got},
+                      fh, indent=1, sort_keys=True)
+        print(f"plan-gate: wrote {len(got)} fingerprints "
+              f"to {FINGERPRINT_PATH}")
+        return 0
+    if not os.path.exists(FINGERPRINT_PATH):
+        print("plan-gate: no PLAN_FINGERPRINTS.json "
+              "(run --update-plans to create), skipping")
+        return 0
+    with open(FINGERPRINT_PATH) as fh:
+        base = json.load(fh)
+    if base.get("sf_dir") != sf_dir:
+        print(f"plan-gate: fingerprints recorded at "
+              f"{base.get('sf_dir')}, sweep ran {sf_dir}; skipping")
+        return 0
+    n_regress = n_better = n_new = 0
+    for name, rep in sorted(got.items()):
+        b = base["fingerprints"].get(name)
+        if b is None:
+            n_new += 1
+            continue
+        bad = []
+        if rep["n_exchanges"] > b["n_exchanges"]:
+            bad.append(f"exchanges {b['n_exchanges']}->"
+                       f"{rep['n_exchanges']}")
+        if rep["n_bnl_joins"] > b["n_bnl_joins"]:
+            bad.append(f"bnl_joins {b['n_bnl_joins']}->"
+                       f"{rep['n_bnl_joins']}")
+        if rep["has_cartesian"] and not b["has_cartesian"]:
+            bad.append("new CartesianProduct")
+        if bad:
+            n_regress += 1
+            print(f"PLAN-REGRESS {name}: {', '.join(bad)}")
+        elif (rep["n_exchanges"] < b["n_exchanges"]
+              or rep["n_bnl_joins"] < b["n_bnl_joins"]):
+            n_better += 1
+    note = f", {n_new} unbaselined" if n_new else ""
+    print(f"plan-gate: {len(got)} checked, {n_regress} regressed, "
+          f"{n_better} improved (re-baseline with --update-plans)"
+          f"{note}")
+    return n_regress
+
+
 def main() -> int:
-    args = [a for a in sys.argv[1:]
-            if a not in ("--extras", "--bench-gate")]
+    flags = ("--extras", "--bench-gate", "--update-plans")
+    args = [a for a in sys.argv[1:] if a not in flags]
     with_extras = "--extras" in sys.argv[1:]
     with_gate = "--bench-gate" in sys.argv[1:]
+    update_plans = "--update-plans" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     name_filter = args[1:]
 
@@ -140,11 +210,18 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    from big_data_bowl___2023_spark.plans.explain import plan_report
+
+    registry_names = set(registry.all_queries())
+    fingerprints: dict[str, dict] = {}
     n_pass = n_fail = n_rowsonly = 0
     for name, fn in sorted(qs.items()):
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            df = fn(spark, sf_dir)
+            if name in registry_names:
+                fingerprints[name] = plan_report(df)
+            sdf = df.toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
@@ -183,6 +260,12 @@ def main() -> int:
                 diffs = [(a, b) for a, b in zip(srows, orows) if a != b]
                 for a, b in diffs[:3]:
                     print(f"  spark : {a}\n  oracle: {b}")
+    if name_filter:
+        # partial sweeps never rewrite or judge the tree-wide baseline
+        print("plan-gate: filtered sweep, skipping")
+    elif fingerprints:
+        n_fail += check_plan_fingerprints(fingerprints, sf_dir,
+                                          update_plans)
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
     if with_gate:
         gate_qs = registry.all_queries()
