@@ -67,11 +67,14 @@ def _normalized(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     otherwise have to NaN-guard or crash on a None row. One
     documented behavior for all pair paths (round-7 ADVICE: the LSH/
     GEMM paths already excluded them; the exact path surfaced them
-    as NaN pairs via Spark's NaN-sorts-greatest comparison)."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        V.l2_normalize(V.as_double(F.col(vec_col))).alias("u")) \
-        .filter(F.col("u").isNotNull())
+    as NaN pairs via Spark's NaN-sorts-greatest comparison). The
+    drop is a pre-normalization row filter on the raw norm — NOT a
+    null-guard inside l2_normalize — so the hot transform stays a
+    single unguarded fold per row."""
+    v = V.as_double(F.col(vec_col))
+    return (df.filter(V.has_unit_normalizable(v))
+              .select(F.col(id_col).alias("id"),
+                      V.l2_normalize(v).alias("u")))
 
 
 def _verify_exact(v: DataFrame, cand: DataFrame,

@@ -63,12 +63,12 @@ def _argmin_code(sv, cents_m) -> F.Column:
 
 
 def _normalized(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
-    # degenerate (zero-norm/NaN) vectors normalize to NULL — drop
-    # them; see dedup.embedding._normalized for the rationale
-    return df.select(
-        F.col(id_col).alias("id"),
-        V.l2_normalize(V.as_double(F.col(vec_col))).alias("u")) \
-        .filter(F.col("u").isNotNull())
+    # degenerate (zero-norm/NaN) vectors are dropped BEFORE the
+    # normalize transform; see dedup.embedding._normalized
+    v = V.as_double(F.col(vec_col))
+    return (df.filter(V.has_unit_normalizable(v))
+              .select(F.col(id_col).alias("id"),
+                      V.l2_normalize(v).alias("u")))
 
 
 def train_pq(corpus: DataFrame, vec_col: str = "embedding",
