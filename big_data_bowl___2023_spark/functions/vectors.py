@@ -63,4 +63,7 @@ def has_unit_normalizable(vec: Column) -> Column:
     of pair/search paths instead of surfacing NaN similarities; see
     dedup.embedding._normalized for the engine-wide policy."""
     n = norm(vec)
-    return ~F.isnan(n) & (n > 0)
+    # finite too: an Inf component gives norm=Inf (not NaN, > 0), and
+    # Inf/Inf in the transform is NaN again — the exact leak the
+    # predicate exists to stop
+    return ~F.isnan(n) & (n > 0) & (n < F.lit(float("inf")))

@@ -313,13 +313,20 @@ def kmv_overlap_estimate(a: DataFrame, b: DataFrame, key_col: str,
             "%s key(s) carry two different kmv_hash values across "
             "the two artifacts — they were built with different "
             "seeds and cannot be compared", F.col("__badn"))))
-    jaccard = F.when(F.col("__badn") > 0, guard.cast("double")) \
-        .otherwise(F.col("__inter") / F.col("__n"))
+    # the guard wraps EVERY output column — a caller selecting only
+    # union_estimate must still hit it (column pruning would
+    # otherwise drop a jaccard-only guard and return a corrupt
+    # cardinality silently)
+    def checked(expr):
+        return F.when(F.col("__badn") > 0,
+                      guard.cast("double")).otherwise(expr)
+
+    jaccard = F.col("__inter") / F.col("__n")
     return agg.select(
         *gcols,
-        jaccard.alias("jaccard"),
-        (jaccard * union_est).alias("intersection_estimate"),
-        union_est.alias("union_estimate"))
+        checked(jaccard).alias("jaccard"),
+        checked(jaccard * union_est).alias("intersection_estimate"),
+        checked(union_est).alias("union_estimate"))
 
 
 def kmv_overlap_matrix(summary: DataFrame, key_col: str,

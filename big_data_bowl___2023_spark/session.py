@@ -14,6 +14,7 @@ the engine assumes local mode.
 from __future__ import annotations
 
 import contextlib
+import contextvars
 import os
 import tempfile
 
@@ -23,27 +24,37 @@ from pyspark.sql import DataFrame, SparkSession
 # Ambient default for pin(durable=None) call sites. Seeded from the
 # environment so a cluster deployment flips every pipeline to the
 # preemption-safe mode with one env var, no code change; tests and
-# entry points override it scoped via durable_pins().
-_DURABLE_PINS: list[bool] = [
-    os.environ.get("SPARK_GRAFT_DURABLE_PINS", "").lower()
-    in ("1", "true", "yes")]
+# entry points override it scoped via durable_pins(). A ContextVar,
+# not a module global: concurrent pipeline threads (foreachBatch
+# micro-batch workers, parallel CV fits) each see their own scope
+# instead of racing one set/restore — the same hazard the per-write
+# partitionOverwriteMode fix closes for writer confs.
+_DURABLE_PINS: contextvars.ContextVar[bool] = contextvars.ContextVar(
+    "spark_graft_durable_pins",
+    default=os.environ.get("SPARK_GRAFT_DURABLE_PINS", "").lower()
+    in ("1", "true", "yes"))
+
+
+def durable_pins_default() -> bool:
+    """The ambient pin durability mode for the current context."""
+    return _DURABLE_PINS.get()
 
 
 @contextlib.contextmanager
 def durable_pins(enabled: bool | None = True):
-    """Scope the default persistence mode of every pin() underneath.
+    """Scope the default persistence mode of every pin() underneath
+    (current thread/context only — see _DURABLE_PINS).
 
     ``None`` means "leave the ambient default alone" so entry points
     can expose a tri-state ``durable`` kwarg and forward it blindly."""
     if enabled is None:
         yield
         return
-    prev = _DURABLE_PINS[0]
-    _DURABLE_PINS[0] = bool(enabled)
+    token = _DURABLE_PINS.set(bool(enabled))
     try:
         yield
     finally:
-        _DURABLE_PINS[0] = prev
+        _DURABLE_PINS.reset(token)
 
 
 def pin(df: DataFrame, durable: bool | None = None,
@@ -82,12 +93,23 @@ def pin(df: DataFrame, durable: bool | None = None,
     Same DataFrame values in every mode — pytest pins the equivalence
     (tests/test_pin_durability.py)."""
     if durable is None:
-        durable = _DURABLE_PINS[0]
+        durable = _DURABLE_PINS.get()
     if not durable:
         return df.localCheckpoint()
     if truncate:
         sc = df.sparkSession.sparkContext
         if sc.getCheckpointDir() is None:
+            # auto-provision ONLY in local mode, where driver and
+            # executors share one filesystem. On a cluster a
+            # driver-local temp dir would scatter non-shared blocks
+            # across executor disks — the opposite of durable — so
+            # demand an explicit shared (HDFS/object-store) dir.
+            if not sc.master.startswith("local"):
+                raise RuntimeError(
+                    "durable pin(truncate=True) needs a SHARED "
+                    "checkpoint dir on a cluster: call "
+                    "spark.sparkContext.setCheckpointDir("
+                    "'hdfs://... or s3://...') before the pipeline")
             sc.setCheckpointDir(
                 tempfile.mkdtemp(prefix="spark_graft_ckpt_"))
         return df.checkpoint()
@@ -112,6 +134,12 @@ _DEFAULTS = {
     "spark.sql.shuffle.partitions": "32",
     # Deterministic timestamp behavior across engines (oracle = DuckDB).
     "spark.sql.session.timeZone": "UTC",
+    # Durable pins use reliable checkpoints; without this Spark NEVER
+    # deletes checkpoint files, so a long-running stream or iterative
+    # loop under durable mode leaks storage without bound. With it,
+    # the ContextCleaner removes a checkpoint once its RDD is GC'd on
+    # the driver (i.e. after the pipeline releases the DataFrame).
+    "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
     # Catalog tables (bucketed layouts) land outside the repo.
     "spark.sql.warehouse.dir": "/tmp/spark_graft_warehouse",
     "spark.ui.enabled": "false",

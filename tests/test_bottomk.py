@@ -356,6 +356,10 @@ def test_kmv_overlap_hash_check_is_lazy_single_job(spark):
     est = kmv_overlap_estimate(sa, sb, "k")     # no raise: lazy
     with pytest.raises(Exception, match="cannot be compared"):
         est.collect()
+    # the guard rides EVERY output column: pruning down to
+    # union_estimate alone must still trip it
+    with pytest.raises(Exception, match="cannot be compared"):
+        est.select("union_estimate").collect()
     # healthy artifacts still estimate exactly (below-k corpora)
     ok = kmv_overlap_estimate(sa, bottomk_summary(df, "k", 16),
                               "k").collect()[0]

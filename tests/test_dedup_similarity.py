@@ -173,6 +173,7 @@ def test_zero_norm_vectors_never_pair_and_never_crash(spark):
     rows.append((97, rows[0][1]))            # exact dup of id 0
     rows.append((98, [0.0] * 8))             # zero-norm
     rows.append((99, [0.0] * 8))             # zero-norm twin
+    rows.append((96, [float("inf")] + [0.0] * 7))  # Inf -> NaN on divide
     emb = spark.createDataFrame(
         rows, "vec_id long, embedding array<double>")
     for pairs in (
@@ -182,5 +183,5 @@ def test_zero_norm_vectors_never_pair_and_never_crash(spark):
         got = pairs.collect()
         ids = {r["vec_a"] for r in got} | {r["vec_b"] for r in got}
         assert (0, 97) in {(r["vec_a"], r["vec_b"]) for r in got}
-        assert 98 not in ids and 99 not in ids
+        assert not ids & {96, 98, 99}
         assert all(r["cosine"] == r["cosine"] for r in got)  # no NaN

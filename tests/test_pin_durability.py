@@ -64,13 +64,58 @@ def test_durable_pins_context_scopes_the_default(spark):
         inner = S.pin(df)
         assert inner.storageLevel.useDisk
         with S.durable_pins(False):
-            assert not S._DURABLE_PINS[0]
-        assert S._DURABLE_PINS[0]
+            assert not S.durable_pins_default()
+        assert S.durable_pins_default()
         # None = leave ambient mode alone (entry-point forwarding)
         with S.durable_pins(None):
-            assert S._DURABLE_PINS[0]
+            assert S.durable_pins_default()
         inner.unpersist()
-    assert not S._DURABLE_PINS[0]
+    assert not S.durable_pins_default()
+
+
+def test_durable_pins_scope_is_per_thread():
+    """The mode rides a ContextVar: a concurrent pipeline thread
+    (foreachBatch worker, parallel CV fit) must not see — or clobber
+    — another thread's durable scope (the global set/restore race the
+    per-write partitionOverwriteMode fix closes for writer confs)."""
+    import threading
+
+    seen = {}
+
+    def other_thread():
+        seen["other"] = S.durable_pins_default()
+        with S.durable_pins(True):
+            pass
+
+    with S.durable_pins(True):
+        t = threading.Thread(target=other_thread)
+        t.start()
+        t.join()
+        assert S.durable_pins_default()     # unclobbered by the thread
+    assert seen["other"] is False           # scope did not leak over
+
+
+def test_durable_truncate_refuses_clusterlike_master_without_dir():
+    """On a non-local master with no checkpoint dir, a durable
+    truncate pin must raise (a driver-local temp dir would scatter
+    non-shared blocks across executors — the opposite of durable)."""
+    class FakeSC:
+        master = "spark://cluster:7077"
+
+        def getCheckpointDir(self):
+            return None
+
+    class FakeSession:
+        sparkContext = FakeSC()
+
+    class FakeDF:
+        sparkSession = FakeSession()
+
+        def localCheckpoint(self):
+            return self
+
+    with pytest.raises(RuntimeError, match="SHARED checkpoint dir"):
+        S.pin(FakeDF(), durable=True, truncate=True)
 
 
 # -------------------------------------------------- value equivalence

@@ -219,8 +219,10 @@ def main() -> int:
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
-            if name in registry_names:
-                fingerprints[name] = plan_report(df)
+            # captured here (the plan), recorded below only once the
+            # query actually PASSES — a failing query's plan must
+            # never become (or be judged against) the baseline
+            rep = plan_report(df) if name in registry_names else None
             sdf = df.toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
@@ -230,6 +232,8 @@ def main() -> int:
             print(f"rows-only {name}: {len(sdf)} rows "
                   f"({time.time()-t0:.1f}s)")
             n_rowsonly += 1
+            if rep is not None:
+                fingerprints[name] = rep
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
@@ -243,6 +247,8 @@ def main() -> int:
         status = "pass" if ok else "FAIL"
         if ok:
             n_pass += 1
+            if rep is not None:
+                fingerprints[name] = rep
         else:
             n_fail += 1
         print(f"{status} {name}: spark({sn},{sh}) vs oracle({on},{oh}) "
