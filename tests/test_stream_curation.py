@@ -337,16 +337,16 @@ def test_bloom_dir_params_survive_index_read_failure(spark, tmp_path):
     assert params1 == params0         # dir params won; no mixing
 
 
-def test_bloom_write_precedes_index_write(spark, tmp_path):
+def test_bloom_write_precedes_index_write(spark, tmp_path, monkeypatch):
     """Append order is load-bearing: the filter write lands BEFORE
     the index write, so a crash between the two leaves the filter
     AHEAD of the index (harmless: "maybe" rows still hit the exact
     join) rather than behind it (silent permanent duplicate
-    admission). Simulated by making the INDEX append fail: the
-    filter dir must already contain the failed batch's bits."""
-    import pathlib
-    import shutil
-
+    admission). Simulated by injecting a failure into exactly the
+    INDEX append (round 8: the old simulation corrupted the index
+    dir on disk, which the now-strict history read correctly refuses
+    up-front — before any append): the filter dir must already
+    contain the failed batch's bits."""
     import numpy as np
     import pytest
 
@@ -372,15 +372,23 @@ def test_bloom_write_precedes_index_write(spark, tmp_path):
     bits_before = int(np.unpackbits(
         np.frombuffer(before, dtype=np.uint8)).sum())
 
-    # crash the INDEX append of batch 1 by replacing the index dir
-    # with a plain file — the parquet append raises AFTER the bloom
-    # append has run
-    shutil.rmtree(idx_dir)
-    pathlib.Path(idx_dir).write_text("not a directory")
-    with pytest.raises(Exception):
+    # crash exactly the INDEX append of batch 1 — the bloom append
+    # (which lands first by design) must already be durable
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    orig = DataFrameWriter.parquet
+
+    def crash_index(self, path, *a, **kw):
+        if idx_dir in str(path):
+            raise RuntimeError("injected index-append crash")
+        return orig(self, path, *a, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", crash_index)
+    with pytest.raises(RuntimeError, match="injected index-append"):
         gated(spark.createDataFrame(
             [(2, "second " + base, "web")],
             ["doc_id", "text", "source"]), 1)
+    monkeypatch.undo()
 
     # the filter is AHEAD: batch 1's fingerprint bits are already in
     # the dir (single-parameter, densifiable) despite the index crash
