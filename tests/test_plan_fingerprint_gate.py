@@ -67,7 +67,20 @@ def test_gate_update_writes_file(tmp_path, monkeypatch):
     assert VL.check_plan_fingerprints({"q": BASE}, "/sf", True) == 0
     with open(path) as fh:
         data = json.load(fh)
-    assert data == {"sf_dir": "/sf", "fingerprints": {"q": BASE}}
+    assert data == {"sf_dir": "/sf", "durable_pins": False,
+                    "fingerprints": {"q": BASE}}
+
+
+def test_gate_skips_cross_pin_mode(baseline, capsys):
+    """A durable-pin sweep keeps lineage localCheckpoint truncates,
+    so its plans legitimately carry more nodes — never judge them
+    against a default-mode baseline (or vice versa)."""
+    from big_data_bowl___2023_spark.session import durable_pins
+
+    worse = {"q": dict(BASE, n_exchanges=99, has_cartesian=True)}
+    with durable_pins(True):
+        assert VL.check_plan_fingerprints(worse, "/sf", False) == 0
+    assert "durable_pins" in capsys.readouterr().out
 
 
 def test_committed_fingerprints_cover_registry():

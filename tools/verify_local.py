@@ -135,12 +135,20 @@ def check_plan_fingerprints(got: dict, sf_dir: str,
                             update: bool) -> int:
     """Compare this sweep's plan_report summaries against the
     committed baseline; returns the number of regressed queries.
-    More Exchanges / BNL joins, or a new cartesian = regression."""
+    More Exchanges / BNL joins, or a new cartesian = regression.
+    Fingerprints are mode-specific: a durable-pin sweep keeps the
+    lineage that localCheckpoint truncates away, so its plans
+    legitimately show more nodes — compare only within the recorded
+    pin mode (like sf_dir)."""
     import json
 
+    from big_data_bowl___2023_spark.session import durable_pins_default
+
+    durable = durable_pins_default()
     if update:
         with open(FINGERPRINT_PATH, "w") as fh:
-            json.dump({"sf_dir": sf_dir, "fingerprints": got},
+            json.dump({"sf_dir": sf_dir, "durable_pins": durable,
+                       "fingerprints": got},
                       fh, indent=1, sort_keys=True)
         print(f"plan-gate: wrote {len(got)} fingerprints "
               f"to {FINGERPRINT_PATH}")
@@ -154,6 +162,11 @@ def check_plan_fingerprints(got: dict, sf_dir: str,
     if base.get("sf_dir") != sf_dir:
         print(f"plan-gate: fingerprints recorded at "
               f"{base.get('sf_dir')}, sweep ran {sf_dir}; skipping")
+        return 0
+    if base.get("durable_pins", False) != durable:
+        print(f"plan-gate: fingerprints recorded with "
+              f"durable_pins={base.get('durable_pins', False)}, "
+              f"sweep ran {durable}; skipping")
         return 0
     n_regress = n_better = n_new = 0
     for name, rep in sorted(got.items()):
