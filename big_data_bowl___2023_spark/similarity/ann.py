@@ -30,19 +30,73 @@ def _prep(df: DataFrame, vec_col: str, id_col: str, out_id: str):
                      V.as_double(F.col(vec_col)).alias(f"{out_id}_v"))
 
 
+def _score_pairs(joined: DataFrame, kernel: str) -> DataFrame:
+    """(query_id, neighbor_id, cosine): score every joined candidate
+    pair. ``kernel="sql"`` is the bit-pinned expression fold
+    (V.cosine — three interpreted zip_with/aggregate folds per pair:
+    dot + two norms); ``kernel="arrow"`` computes the whole Arrow
+    batch with numpy einsum + vector norms — the corpus-scale probe
+    path, same shape as the GEMM dedup prefilters (measured ~2x at
+    60k corpus x 16 queries warm on local[16]; the ratio is
+    transfer-bound here — both 64-dim vectors ride the Arrow batch
+    per pair — and grows with per-pair fold work, cf. the 19x
+    k-means assignment kernel). Zero-norm inputs
+    score 0.0 in both (the V.cosine convention). Values agree to the
+    6-dp rounding on real embeddings (pytest-pinned); the kernels may
+    differ only when the 7th decimal is exactly 5 (Spark rounds half
+    up, numpy half-even), so defaults stay "sql" for the hash-pinned
+    registry queries."""
+    if kernel == "sql":
+        cos = V.cosine(F.col("query_id_v"), F.col("neighbor_id_v"))
+        return joined.withColumn("cosine", F.round(cos, 6))                      .select("query_id", "neighbor_id", "cosine")
+    if kernel != "arrow":
+        raise ValueError(f"unknown score kernel {kernel!r}")
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([joined.schema["query_id"],
+                           joined.schema["neighbor_id"],
+                           T.StructField("cosine", T.DoubleType())])
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.asarray([np.asarray(x) for x in pdf["query_id_v"]],
+                           dtype=np.float64)
+            B = np.asarray([np.asarray(x) for x in pdf["neighbor_id_v"]],
+                           dtype=np.float64)
+            denom = (np.linalg.norm(A, axis=1)
+                     * np.linalg.norm(B, axis=1))
+            dots = np.einsum("ij,ij->i", A, B)
+            cos = np.divide(dots, denom,
+                            out=np.zeros_like(dots), where=denom > 0)
+            out = pdf[["query_id", "neighbor_id"]].copy()
+            out["cosine"] = np.round(cos, 6)
+            yield out
+
+    return joined.mapInPandas(score, schema)
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
                      vec_col: str = "embedding",
-                     id_col: str = "vec_id") -> DataFrame:
+                     id_col: str = "vec_id",
+                     score_kernel: str = "sql") -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, cosine, rank).
     The query side is broadcast (queries ≪ corpus); ranking is a
     window per query with id tie-break so results are total-ordered.
-    Self-matches (same id) are excluded."""
+    Self-matches (same id) are excluded. ``score_kernel="arrow"``
+    swaps the per-pair expression folds for numpy batch scoring (see
+    ``_score_pairs``) — the full-corpus-scan setting."""
     c = _prep(corpus, vec_col, id_col, "neighbor_id")
     q = _prep(queries, vec_col, id_col, "query_id")
-    cos = V.cosine(F.col("query_id_v"), F.col("neighbor_id_v"))
-    scored = (c.join(F.broadcast(q),
-                     F.col("query_id") != F.col("neighbor_id"))
-               .withColumn("cosine", F.round(cos, 6)))
+    scored = _score_pairs(
+        c.join(F.broadcast(q),
+               F.col("query_id") != F.col("neighbor_id")),
+        score_kernel)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -79,7 +133,8 @@ def _make_planes(dim: int, n_planes: int) -> list[list[float]]:
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
              vec_col: str = "embedding", id_col: str = "vec_id",
              dim: int = 64, n_planes: int = 3,
-             probe_adjacent: bool = True) -> DataFrame:
+             probe_adjacent: bool = True,
+             score_kernel: str = "sql") -> DataFrame:
     """IVF/LSH-bucketed approximate top-k: corpus partitioned into
     2^n_planes sign cells; each query probes its own cell plus — when
     ``probe_adjacent`` — every cell one bit flip away (n_planes + 1
@@ -109,10 +164,10 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
     q = q.select("query_id", "query_id_v",
                  F.explode(flips(F.col("cell"))).alias("cell")).distinct()
 
-    cos = V.cosine(F.col("query_id_v"), F.col("neighbor_id_v"))
-    scored = (c.join(F.broadcast(q), "cell")
-               .filter(F.col("query_id") != F.col("neighbor_id"))
-               .withColumn("cosine", F.round(cos, 6)))
+    scored = _score_pairs(
+        c.join(F.broadcast(q), "cell")
+         .filter(F.col("query_id") != F.col("neighbor_id")),
+        score_kernel)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -1,0 +1,61 @@
+"""The Arrow scoring kernel for ANN top-k (round 8): numpy batch
+cosine instead of three interpreted expression folds per candidate
+pair. Fast tier — pins kernel agreement and plan shape; defaults
+stay on the bit-pinned SQL fold for the hash-pinned registry
+queries."""
+
+from __future__ import annotations
+
+import pytest
+
+from big_data_bowl___2023_spark.similarity import (
+    brute_force_topk,
+    ivf_topk,
+)
+from big_data_bowl___2023_spark.sources.io import load_table
+
+
+def _rows(df):
+    return sorted((r["query_id"], r["neighbor_id"], r["cosine"],
+                   r["rank"]) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_arrow_scoring_matches_sql_brute_force(spark, emb):
+    queries = emb.limit(8)
+    sql = _rows(brute_force_topk(emb, queries, 5))
+    arrow = _rows(brute_force_topk(emb, queries, 5,
+                                   score_kernel="arrow"))
+    assert sql == arrow and len(sql) == 8 * 5
+
+
+def test_arrow_scoring_matches_sql_ivf(spark, emb):
+    queries = emb.limit(8)
+    sql = _rows(ivf_topk(emb, queries, 5, dim=64))
+    arrow = _rows(ivf_topk(emb, queries, 5, dim=64,
+                           score_kernel="arrow"))
+    assert sql == arrow and sql
+
+
+def test_arrow_scoring_zero_norm_convention(spark):
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.6, 0.8])]
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id = 1")
+    got = {r["neighbor_id"]: r["cosine"] for r in
+           brute_force_topk(emb, q, 2, score_kernel="arrow").collect()}
+    assert got[2] == 0.0          # zero-norm scores 0.0, like V.cosine
+    assert got[3] == 0.6
+
+
+def test_arrow_scoring_stage_is_pythonic_map(spark, emb):
+    plan = brute_force_topk(emb, emb.limit(2), 3,
+                            score_kernel="arrow") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    with pytest.raises(ValueError, match="unknown score kernel"):
+        brute_force_topk(emb, emb.limit(1), 1, score_kernel="np")
