@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .ngram import shingle_docs
+from ..functions import vectors as V
 
 DEFAULT_NGRAM = 8
 
@@ -159,8 +160,7 @@ def semantic_contamination_report(corpus_emb: DataFrame,
         for pdf in batches:
             if not len(pdf):
                 continue
-            A = np.asarray([np.asarray(x) for x in pdf["u"]],
-                           dtype=np.float64)
+            A = V.stack_batch(pdf["u"])
             S = np.round(A @ Bm.T, 6)
             ia, ib = np.nonzero(S >= threshold)
             yield pd.DataFrame({

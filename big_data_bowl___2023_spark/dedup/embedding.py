@@ -147,8 +147,8 @@ def _np_prefilter(v: DataFrame, cand: DataFrame,
         for pdf in batches:
             if not len(pdf):
                 continue
-            A = np.asarray([np.asarray(x) for x in pdf["ua"]])
-            B = np.asarray([np.asarray(x) for x in pdf["ub"]])
+            A = V.stack_batch(pdf["ua"])
+            B = V.stack_batch(pdf["ub"])
             sims = np.einsum("ij,ij->i", A, B)
             yield pdf.loc[sims >= cut, ["vec_a", "vec_b"]]
 
@@ -183,8 +183,8 @@ def _gemm_candidates(v: DataFrame, threshold: float,
             for _, row in pdf.iterrows():
                 ids_a = np.asarray(row["ids_a"])
                 ids_b = np.asarray(row["ids_b"])
-                A = np.asarray([np.asarray(x) for x in row["vecs_a"]])
-                B = np.asarray([np.asarray(x) for x in row["vecs_b"]])
+                A = V.stack_batch(row["vecs_a"])
+                B = V.stack_batch(row["vecs_b"])
                 sims = A @ B.T
                 ia, ib = np.nonzero(sims >= cut)
                 pa, pb = ids_a[ia], ids_b[ib]
@@ -300,7 +300,7 @@ def lsh_candidate_pairs(v: DataFrame, dim: int, n_tables: int,
         for pdf in batches:
             if not len(pdf):
                 continue
-            U = np.asarray([np.asarray(x) for x in pdf["u"]])
+            U = V.stack_batch(pdf["u"])
             bits = (U @ S.T) >= 0                      # (n, T*P)
             ids, ts, sigs = [], [], []
             for t in range(n_tables):

@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 from .clusters import connected_components
 from .embedding import _normalized, _np_prefilter, _verify_exact
 from .minhash import band_candidates
+from ..functions import vectors as V
 from ..session import pin
 
 
@@ -152,7 +153,7 @@ def _assign_arrow(v: DataFrame, cents: list) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            U = np.asarray([np.asarray(x) for x in pdf["u"]])
+            U = V.stack_batch(pdf["u"])
             # argmin_j |u-c_j|^2 == argmin_j (|c_j|^2/2 - u.c_j)
             scores = half_c2[None, :] - U @ C.T       # (n, k)
             out = pdf.copy()

@@ -67,3 +67,16 @@ def has_unit_normalizable(vec: Column) -> Column:
     # Inf/Inf in the transform is NaN again — the exact leak the
     # predicate exists to stop
     return ~F.isnan(n) & (n > 0) & (n < F.lit(float("inf")))
+
+
+def stack_batch(values) -> "numpy.ndarray":
+    """Stack an Arrow-batch column of array<double> rows into one
+    (n, dim) float64 matrix — THE conversion every numpy kernel
+    (GEMM prefilters, einsum screens, assignment/scoring kernels)
+    uses. One definition so a future change (dtype pin, ragged-row
+    guard) lands everywhere at once instead of drifting across
+    copy-pasted sites."""
+    import numpy as np
+
+    return np.asarray([np.asarray(x) for x in values],
+                      dtype=np.float64)

@@ -26,8 +26,18 @@ from ..session import pin
 
 
 def _prep(df: DataFrame, vec_col: str, id_col: str, out_id: str):
-    return df.select(F.col(id_col).alias(out_id),
-                     V.as_double(F.col(vec_col)).alias(f"{out_id}_v"))
+    # Corrupt vectors (NaN components / Inf norm) are dropped HERE,
+    # once per ROW: downstream they would score NaN under the SQL
+    # fold — and Spark sorts NaN GREATEST, so a single corrupt
+    # embedding would rank FIRST for every query (the round-7 bug
+    # class) — while the numpy kernels score them 0.0; filtering
+    # makes both kernels agree everywhere. Zero-norm vectors are
+    # KEPT and score 0.0 in both kernels (the V.cosine convention).
+    v = V.as_double(F.col(vec_col))
+    n = V.norm(v)
+    return (df.filter(~F.isnan(n) & (n < F.lit(float("inf"))))
+              .select(F.col(id_col).alias(out_id),
+                      v.alias(f"{out_id}_v")))
 
 
 def _score_pairs(joined: DataFrame, kernel: str) -> DataFrame:
@@ -65,10 +75,8 @@ def _score_pairs(joined: DataFrame, kernel: str) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            A = np.asarray([np.asarray(x) for x in pdf["query_id_v"]],
-                           dtype=np.float64)
-            B = np.asarray([np.asarray(x) for x in pdf["neighbor_id_v"]],
-                           dtype=np.float64)
+            A = V.stack_batch(pdf["query_id_v"])
+            B = V.stack_batch(pdf["neighbor_id_v"])
             denom = (np.linalg.norm(A, axis=1)
                      * np.linalg.norm(B, axis=1))
             dots = np.einsum("ij,ij->i", A, B)

@@ -1,9 +1,13 @@
 """The tree-wide plan-fingerprint gate (round-8 task 4): pure-logic
 tests of tools/verify_local.check_plan_fingerprints — regressions
-(more Exchanges, more BNL joins, a new cartesian) fail, improvements
-and unbaselined queries don't, and a sweep at a different sf never
-judges fingerprints recorded elsewhere. The committed
-PLAN_FINGERPRINTS.json itself must cover every registry query."""
+(more Exchanges, more BNL joins, a new cartesian) fail; improvements
+and unbaselined queries don't; fingerprints live in per-pin-mode
+slots (a durable-mode sweep keeps the lineage localCheckpoint
+truncates, so its plans legitimately differ — and a durable-mode
+re-baseline must never clobber the default-mode baseline); a sweep
+at a different sf never judges fingerprints recorded elsewhere. The
+committed PLAN_FINGERPRINTS.json itself must cover every registry
+query in default mode."""
 
 from __future__ import annotations
 
@@ -12,6 +16,7 @@ import os
 
 import pytest
 
+from big_data_bowl___2023_spark.session import durable_pins
 from tools import verify_local as VL
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -26,17 +31,19 @@ BASE = {"n_scans": 2, "scans_with_pushed_filters": 2,
 def baseline(tmp_path, monkeypatch):
     path = str(tmp_path / "PLAN_FINGERPRINTS.json")
     with open(path, "w") as fh:
-        json.dump({"sf_dir": "/sf", "fingerprints": {"q": BASE}}, fh)
+        json.dump({"sf_dir": "/sf",
+                   "modes": {"default": {"q": BASE}}}, fh)
     monkeypatch.setattr(VL, "FINGERPRINT_PATH", path)
     return path
 
 
 def test_gate_passes_on_identical_and_improved(baseline, capsys):
-    assert VL.check_plan_fingerprints({"q": dict(BASE)}, "/sf",
-                                      False) == 0
-    better = dict(BASE, n_exchanges=1)
-    assert VL.check_plan_fingerprints({"q": better}, "/sf",
-                                      False) == 0
+    with durable_pins(False):
+        assert VL.check_plan_fingerprints({"q": dict(BASE)}, "/sf",
+                                          False) == 0
+        better = dict(BASE, n_exchanges=1)
+        assert VL.check_plan_fingerprints({"q": better}, "/sf",
+                                          False) == 0
     assert "improved" in capsys.readouterr().out
 
 
@@ -48,39 +55,61 @@ def test_gate_passes_on_identical_and_improved(baseline, capsys):
 def test_gate_fails_on_new_shuffle_bnl_cartesian(baseline, delta,
                                                  capsys):
     got = {"q": dict(BASE, **delta)}
-    assert VL.check_plan_fingerprints(got, "/sf", False) == 1
+    with durable_pins(False):
+        assert VL.check_plan_fingerprints(got, "/sf", False) == 1
     assert "PLAN-REGRESS q" in capsys.readouterr().out
 
 
 def test_gate_skips_other_sf_and_unbaselined(baseline, capsys):
     worse = {"q": dict(BASE, has_cartesian=True)}
-    assert VL.check_plan_fingerprints(worse, "/other-sf", False) == 0
-    assert VL.check_plan_fingerprints(
-        {"new_q": dict(BASE, has_cartesian=True)}, "/sf", False) == 0
+    with durable_pins(False):
+        assert VL.check_plan_fingerprints(worse, "/other-sf",
+                                          False) == 0
+        assert VL.check_plan_fingerprints(
+            {"new_q": dict(BASE, has_cartesian=True)}, "/sf",
+            False) == 0
     out = capsys.readouterr().out
     assert "skipping" in out and "unbaselined" in out
 
 
-def test_gate_update_writes_file(tmp_path, monkeypatch):
-    path = str(tmp_path / "fp.json")
-    monkeypatch.setattr(VL, "FINGERPRINT_PATH", path)
-    assert VL.check_plan_fingerprints({"q": BASE}, "/sf", True) == 0
-    with open(path) as fh:
-        data = json.load(fh)
-    assert data == {"sf_dir": "/sf", "durable_pins": False,
-                    "fingerprints": {"q": BASE}}
-
-
-def test_gate_skips_cross_pin_mode(baseline, capsys):
-    """A durable-pin sweep keeps lineage localCheckpoint truncates,
-    so its plans legitimately carry more nodes — never judge them
-    against a default-mode baseline (or vice versa)."""
-    from big_data_bowl___2023_spark.session import durable_pins
-
+def test_gate_skips_unbaselined_pin_mode(baseline, capsys):
+    """A durable sweep with no durable slot committed prints a note
+    and never judges (or fails against) the default-mode plans."""
     worse = {"q": dict(BASE, n_exchanges=99, has_cartesian=True)}
     with durable_pins(True):
         assert VL.check_plan_fingerprints(worse, "/sf", False) == 0
-    assert "durable_pins" in capsys.readouterr().out
+    assert "no committed fingerprints for durable mode" \
+        in capsys.readouterr().out
+
+
+def test_gate_update_is_per_mode_slot(tmp_path, monkeypatch):
+    """--update-plans writes into the CURRENT mode's slot and leaves
+    the other mode's baseline intact — a durable re-baseline must
+    not disable the always-on default gate."""
+    path = str(tmp_path / "fp.json")
+    monkeypatch.setattr(VL, "FINGERPRINT_PATH", path)
+    with durable_pins(False):
+        assert VL.check_plan_fingerprints({"q": BASE}, "/sf",
+                                          True) == 0
+    durable_rep = dict(BASE, n_exchanges=9)
+    with durable_pins(True):
+        assert VL.check_plan_fingerprints({"q": durable_rep}, "/sf",
+                                          True) == 0
+    with open(path) as fh:
+        data = json.load(fh)
+    assert data == {"sf_dir": "/sf",
+                    "modes": {"default": {"q": BASE},
+                              "durable": {"q": durable_rep}}}
+    # and each mode still compares against ITS OWN slot
+    with durable_pins(False):
+        assert VL.check_plan_fingerprints({"q": BASE}, "/sf",
+                                          False) == 0
+    with durable_pins(True):
+        assert VL.check_plan_fingerprints({"q": durable_rep}, "/sf",
+                                          False) == 0
+        assert VL.check_plan_fingerprints(
+            {"q": dict(durable_rep, n_exchanges=10)}, "/sf",
+            False) == 1
 
 
 def test_committed_fingerprints_cover_registry():
@@ -91,13 +120,14 @@ def test_committed_fingerprints_cover_registry():
     with open(path) as fh:
         data = json.load(fh)
     from big_data_bowl___2023_spark import registry
-    missing = set(registry.all_queries()) - set(data["fingerprints"])
+    fps = data["modes"]["default"]
+    missing = set(registry.all_queries()) - set(fps)
     assert not missing, f"unfingerprinted registry queries: {missing}"
     # the two GEMM-blocked kernels join their BOUNDED per-block
     # aggregates on blk_a <= blk_b — a deliberate nested-loop over
     # n_blocks² tiny rows, not a corpus-scale NLJ (the gate still
     # fails if the count ever grows)
     bounded_bnl_ok = {"dedup_embedding_cosine", "sim_topk_cosine"}
-    for name, rep in data["fingerprints"].items():
+    for name, rep in fps.items():
         assert not rep["has_cartesian"], name
         assert rep["n_bnl_joins"] == 0 or name in bounded_bnl_ok, name

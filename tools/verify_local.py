@@ -144,14 +144,25 @@ def check_plan_fingerprints(got: dict, sf_dir: str,
 
     from big_data_bowl___2023_spark.session import durable_pins_default
 
-    durable = durable_pins_default()
+    mode = "durable" if durable_pins_default() else "default"
     if update:
+        # per-MODE slot inside one file: a durable-mode re-baseline
+        # must never clobber the default-mode baseline (or vice
+        # versa) — both sweeps stay gated
+        data = {"sf_dir": sf_dir, "modes": {}}
+        if os.path.exists(FINGERPRINT_PATH):
+            try:
+                with open(FINGERPRINT_PATH) as fh:
+                    prev = json.load(fh)
+                if prev.get("sf_dir") == sf_dir:
+                    data["modes"] = dict(prev.get("modes") or {})
+            except Exception:
+                pass
+        data["modes"][mode] = got
         with open(FINGERPRINT_PATH, "w") as fh:
-            json.dump({"sf_dir": sf_dir, "durable_pins": durable,
-                       "fingerprints": got},
-                      fh, indent=1, sort_keys=True)
+            json.dump(data, fh, indent=1, sort_keys=True)
         print(f"plan-gate: wrote {len(got)} fingerprints "
-              f"to {FINGERPRINT_PATH}")
+              f"({mode} mode) to {FINGERPRINT_PATH}")
         return 0
     if not os.path.exists(FINGERPRINT_PATH):
         print("plan-gate: no PLAN_FINGERPRINTS.json "
@@ -163,14 +174,14 @@ def check_plan_fingerprints(got: dict, sf_dir: str,
         print(f"plan-gate: fingerprints recorded at "
               f"{base.get('sf_dir')}, sweep ran {sf_dir}; skipping")
         return 0
-    if base.get("durable_pins", False) != durable:
-        print(f"plan-gate: fingerprints recorded with "
-              f"durable_pins={base.get('durable_pins', False)}, "
-              f"sweep ran {durable}; skipping")
+    base = (base.get("modes") or {}).get(mode)
+    if base is None:
+        print(f"plan-gate: no committed fingerprints for {mode} "
+              f"mode (run --update-plans in this mode), skipping")
         return 0
     n_regress = n_better = n_new = 0
     for name, rep in sorted(got.items()):
-        b = base["fingerprints"].get(name)
+        b = base.get(name)
         if b is None:
             n_new += 1
             continue
