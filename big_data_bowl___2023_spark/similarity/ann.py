@@ -26,18 +26,13 @@ from ..session import pin
 
 
 def _prep(df: DataFrame, vec_col: str, id_col: str, out_id: str):
-    # Corrupt vectors (NaN components / Inf norm) are dropped HERE,
-    # once per ROW: downstream they would score NaN under the SQL
-    # fold — and Spark sorts NaN GREATEST, so a single corrupt
-    # embedding would rank FIRST for every query (the round-7 bug
-    # class) — while the numpy kernels score them 0.0; filtering
-    # makes both kernels agree everywhere. Zero-norm vectors are
-    # KEPT and score 0.0 in both kernels (the V.cosine convention).
-    v = V.as_double(F.col(vec_col))
-    n = V.norm(v)
-    return (df.filter(~F.isnan(n) & (n < F.lit(float("inf"))))
-              .select(F.col(id_col).alias(out_id),
-                      v.alias(f"{out_id}_v")))
+    # No degenerate-row filter here: an interpreted norm-fold filter
+    # on the corpus side measured +23% on sim_topk (interleaved A/B
+    # at sf0.1) — the NaN hazard is closed at the SCORING expression
+    # instead (nanvl / isfinite → 0.0, zero extra folds; see
+    # _score_pairs).
+    return df.select(F.col(id_col).alias(out_id),
+                     V.as_double(F.col(vec_col)).alias(f"{out_id}_v"))
 
 
 def _score_pairs(joined: DataFrame, kernel: str) -> DataFrame:
@@ -50,15 +45,24 @@ def _score_pairs(joined: DataFrame, kernel: str) -> DataFrame:
     60k corpus x 16 queries warm on local[16]; the ratio is
     transfer-bound here — both 64-dim vectors ride the Arrow batch
     per pair — and grows with per-pair fold work, cf. the 19x
-    k-means assignment kernel). Zero-norm inputs
-    score 0.0 in both (the V.cosine convention). Values agree to the
-    6-dp rounding on real embeddings (pytest-pinned); the kernels may
-    differ only when the 7th decimal is exactly 5 (Spark rounds half
-    up, numpy half-even), so defaults stay "sql" for the hash-pinned
-    registry queries."""
+    k-means assignment kernel). DEGENERATE inputs score 0.0 in BOTH
+    kernels: zero-norm by the V.cosine convention, corrupt NaN/Inf
+    components via nanvl (SQL) / an isfinite mask (arrow) — without
+    the guard the SQL fold surfaces them as NaN, which Spark sorts
+    GREATEST, ranking one corrupt embedding FIRST for every query
+    (the round-7 bug class). nanvl references the cosine expression
+    once, so the guard costs no extra folds (a row-filter
+    alternative measured +23% on sim_topk, interleaved A/B). The
+    kernels agree on the pinned test corpora (pytest-asserted); AT
+    an exact 6-dp rounding boundary they can differ — Spark rounds
+    the exact binary double half-up via BigDecimal, np.round
+    scales-and-rints half-even — so defaults stay "sql" for the
+    hash-pinned registry queries."""
     if kernel == "sql":
         cos = V.cosine(F.col("query_id_v"), F.col("neighbor_id_v"))
-        return joined.withColumn("cosine", F.round(cos, 6))                      .select("query_id", "neighbor_id", "cosine")
+        return (joined.withColumn(
+                    "cosine", F.round(F.nanvl(cos, F.lit(0.0)), 6))
+                      .select("query_id", "neighbor_id", "cosine"))
     if kernel != "arrow":
         raise ValueError(f"unknown score kernel {kernel!r}")
     from collections.abc import Iterator
@@ -80,8 +84,11 @@ def _score_pairs(joined: DataFrame, kernel: str) -> DataFrame:
             denom = (np.linalg.norm(A, axis=1)
                      * np.linalg.norm(B, axis=1))
             dots = np.einsum("ij,ij->i", A, B)
-            cos = np.divide(dots, denom,
-                            out=np.zeros_like(dots), where=denom > 0)
+            with np.errstate(invalid="ignore", over="ignore"):
+                cos = np.divide(dots, denom,
+                                out=np.zeros_like(dots),
+                                where=denom > 0)
+            cos[~np.isfinite(cos)] = 0.0   # Inf/NaN components -> 0.0
             out = pdf[["query_id", "neighbor_id"]].copy()
             out["cosine"] = np.round(cos, 6)
             yield out
@@ -206,10 +213,13 @@ def mine_hard_negatives(corpus: DataFrame, k: int,
         corpus.select(F.col(id_col).alias("anchor_id"),
                       F.col(label_col).alias("anchor_label")),
         "anchor_id")
+    # nanvl: a corrupt NaN/Inf embedding must score 0.0, not NaN
+    # (NaN sorts greatest and would top every anchor's negatives)
     cos = V.cosine(F.col("anchor_id_v"), F.col("negative_id_v"))
     scored = (c.join(F.broadcast(q),
                      F.col("anchor_label") != F.col("neg_label"))
-              .withColumn("cosine", F.round(cos, 6)))
+              .withColumn("cosine",
+                          F.round(F.nanvl(cos, F.lit(0.0)), 6)))
     w = Window.partitionBy("anchor_id").orderBy(
         F.desc("cosine"), F.asc("negative_id"))
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -41,15 +41,24 @@ def test_arrow_scoring_matches_sql_ivf(spark, emb):
     assert sql == arrow and sql
 
 
-def test_arrow_scoring_zero_norm_convention(spark):
-    rows = [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.6, 0.8])]
+def test_degenerate_vectors_score_zero_in_both_kernels(spark):
+    """Zero-norm AND corrupt (NaN/Inf-component) vectors score 0.0
+    under BOTH kernels — without the nanvl/isfinite guards the SQL
+    fold surfaced corrupt rows as NaN, which Spark sorts GREATEST,
+    ranking them FIRST for every query (the round-7 bug class)."""
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.6, 0.8]),
+            (4, [float("nan"), 1.0]), (5, [float("inf"), 0.0])]
     emb = spark.createDataFrame(rows,
                                 "vec_id long, embedding array<double>")
     q = emb.filter("vec_id = 1")
-    got = {r["neighbor_id"]: r["cosine"] for r in
-           brute_force_topk(emb, q, 2, score_kernel="arrow").collect()}
-    assert got[2] == 0.0          # zero-norm scores 0.0, like V.cosine
-    assert got[3] == 0.6
+    for kernel in ("sql", "arrow"):
+        got = {r["neighbor_id"]: (r["cosine"], r["rank"]) for r in
+               brute_force_topk(emb, q, 4,
+                                score_kernel=kernel).collect()}
+        assert got[3][0] == 0.6 and got[3][1] == 1, kernel
+        assert got[2][0] == 0.0, kernel   # zero-norm
+        assert got[4][0] == 0.0, kernel   # NaN component
+        assert got[5][0] == 0.0, kernel   # Inf component
 
 
 def test_arrow_scoring_stage_is_pythonic_map(spark, emb):
