@@ -45,14 +45,9 @@ def _score_pairs(joined: DataFrame, kernel: str) -> DataFrame:
     60k corpus x 16 queries warm on local[16]; the ratio is
     transfer-bound here — both 64-dim vectors ride the Arrow batch
     per pair — and grows with per-pair fold work, cf. the 19x
-    k-means assignment kernel). DEGENERATE inputs score 0.0 in BOTH
-    kernels: zero-norm by the V.cosine convention, corrupt NaN/Inf
-    components via nanvl (SQL) / an isfinite mask (arrow) — without
-    the guard the SQL fold surfaces them as NaN, which Spark sorts
-    GREATEST, ranking one corrupt embedding FIRST for every query
-    (the round-7 bug class). nanvl references the cosine expression
-    once, so the guard costs no extra folds (a row-filter
-    alternative measured +23% on sim_topk, interleaved A/B). The
+    k-means assignment kernel). Both kernels apply _guarded_cosine's
+    degenerate-input policy (NaN -> 0.0, clamp to [-1, 1]; see its
+    docstring for the convention and its cost rationale). The
     kernels agree on the pinned test corpora (pytest-asserted); AT
     an exact 6-dp rounding boundary they can differ — Spark rounds
     the exact binary double half-up via BigDecimal, np.round

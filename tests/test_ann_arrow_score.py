@@ -68,3 +68,23 @@ def test_arrow_scoring_stage_is_pythonic_map(spark, emb):
     assert "MapInPandas" in plan
     with pytest.raises(ValueError, match="unknown score kernel"):
         brute_force_topk(emb, emb.limit(1), 1, score_kernel="np")
+
+
+def test_hard_negative_miner_guards_corrupt_vectors(spark):
+    """mine_hard_negatives shares _guarded_cosine: a corrupt NaN
+    embedding in a labeled corpus scores 0.0 and never tops an
+    anchor's negatives (unguarded it scored NaN, which Spark sorts
+    greatest — rank 1 for every anchor)."""
+    from big_data_bowl___2023_spark.similarity.ann import (
+        mine_hard_negatives,
+    )
+    rows = [(1, [1.0, 0.0], "a"), (2, [0.9, 0.1], "b"),
+            (3, [float("nan"), 1.0], "b")]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string")
+    got = {(r["anchor_id"], r["negative_id"]): (r["cosine"], r["rank"])
+           for r in mine_hard_negatives(corpus, 2).collect()}
+    # for anchor 1: the genuine close negative (2) ranks first; the
+    # corrupt row scores 0.0 and sits below it
+    assert got[(1, 2)][1] == 1
+    assert got[(1, 3)] == (0.0, 2)
