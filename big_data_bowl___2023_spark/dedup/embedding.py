@@ -80,12 +80,31 @@ def _normalized(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
 def _verify_exact(v: DataFrame, cand: DataFrame,
                   threshold: float,
                   broadcast_candidates: bool | str = "auto",
-                  broadcast_limit: int = 2_000_000) -> DataFrame:
-    """Exact fold-dot over candidate id pairs only.
+                  broadcast_limit: int = 2_000_000,
+                  kernel: str = "sql") -> DataFrame:
+    """Exact dot over candidate id pairs only.
 
-    The arithmetic (normalize once, left-fold zip product) mirrors the
-    DuckDB oracle exactly, so whatever candidate generator ran before
-    this, surviving pairs carry oracle-identical cosine values.
+    ``kernel`` picks the per-pair scoring implementation (the join
+    shape — candidate ids against the unit-vector table — is shared):
+
+    * ``"sql"`` (default) — the left-fold zip product. Its arithmetic
+      (normalize once, fold left-to-right) mirrors the DuckDB oracle
+      exactly, so surviving pairs carry oracle-identical, hash-pinned
+      cosine values. zip_with/aggregate are CodegenFallback: Spark
+      evaluates the fold INTERPRETED, one lambda step per element per
+      pair — fine for near-output-sized survivor sets, a constant-
+      factor tax when verification is the hot leg of a corpus run.
+    * ``"arrow"`` — one numpy einsum per Arrow batch over the joined
+      pairs (same shape as ``_np_prefilter`` / ann ``_score_pairs``).
+      The corpus-scale setting: per-pair cost is a few fused flops.
+      einsum's pairwise summation can differ from the sequential fold
+      in the last ulp, and np.round is half-even where Spark's round
+      is BigDecimal half-up — so a cosine landing EXACTLY on the
+      threshold or on a 6-dp .5 boundary can flip (see
+      tests/test_kernel_rounding_boundary.py for the constructed
+      case). Real-valued embeddings agree bit-for-bit on the pinned
+      test corpora (pytest-asserted); registry defaults stay "sql" so
+      every driver hash is byte-stable.
 
     ``broadcast_candidates`` picks the join strategy for the (narrow)
     candidate side against the (wide) vector table:
@@ -113,19 +132,37 @@ def _verify_exact(v: DataFrame, cand: DataFrame,
 
     ``broadcast_limit`` defaults to 2M id pairs ≈ 32 MB of packed
     rows — half the session's 64 MB autoBroadcastJoinThreshold."""
+    if kernel not in ("sql", "arrow"):
+        raise ValueError(f"unknown verify kernel {kernel!r}")
     ua = v.select(F.col("id").alias("vec_a"), F.col("u").alias("ua"))
     ub = v.select(F.col("id").alias("vec_b"), F.col("u").alias("ub"))
-    cos = V.dot(F.col("ua"), F.col("ub"))
     if broadcast_candidates == "auto":
         cand = pin(cand)
         broadcast_candidates = cand.count() <= broadcast_limit
     c = F.broadcast(cand) if broadcast_candidates else cand
-    return (ua.join(c, "vec_a")
-              .join(ub, "vec_b")
-              .withColumn("cosine", cos)
-              .filter(F.col("cosine") >= F.lit(threshold))
-              .select("vec_a", "vec_b",
-                      F.round("cosine", 6).alias("cosine")))
+    joined = ua.join(c, "vec_a").join(ub, "vec_b")
+    if kernel == "sql":
+        cos = V.dot(F.col("ua"), F.col("ub"))
+        return (joined
+                .withColumn("cosine", cos)
+                .filter(F.col("cosine") >= F.lit(threshold))
+                .select("vec_a", "vec_b",
+                        F.round("cosine", 6).alias("cosine")))
+    import numpy as np
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = V.stack_batch(pdf["ua"])
+            B = V.stack_batch(pdf["ub"])
+            dots = np.einsum("ij,ij->i", A, B)
+            keep = dots >= threshold
+            out = pdf.loc[keep, ["vec_a", "vec_b"]].copy()
+            out["cosine"] = np.round(dots[keep], 6)
+            yield out
+
+    return joined.mapInPandas(verify, _OUT_SCHEMA)
 
 
 def _np_prefilter(v: DataFrame, cand: DataFrame,
@@ -219,7 +256,8 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float,
                           vec_col: str = "embedding",
                           id_col: str = "vec_id",
                           n_blocks: int | None = None,
-                          target_block: int = 2000) -> DataFrame:
+                          target_block: int = 2000,
+                          verify_kernel: str = "sql") -> DataFrame:
     """EXACT (vec_a, vec_b, cosine) pairs ≥ threshold, a < b.
 
     Plan: block-GEMM prefilter → exact fold verification of survivors.
@@ -228,7 +266,10 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float,
     the round-1 nested-loop + per-pair interpreted fold (181 s at
     sf0.1) becomes block-pair GEMMs. ``n_blocks`` auto-scales with
     corpus count (``scaled_n_blocks``) so block rows stay ~target_block
-    vectors regardless of n; pass it explicitly only to pin a plan."""
+    vectors regardless of n; pass it explicitly only to pin a plan.
+    ``verify_kernel="arrow"`` swaps the per-survivor interpreted fold
+    for the einsum batch kernel (see ``_verify_exact``) — the
+    corpus-scale setting; the default stays the oracle-pinned fold."""
     v = pin(_normalized(df, vec_col, id_col))
     if n_blocks is None:
         n_blocks = scaled_n_blocks(v.count(), target_block)
@@ -240,7 +281,8 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float,
     # corpus (survivors ~O(n²) = output-sized) a forced broadcast
     # would OOM where the AQE shuffle join degrades gracefully.
     return _verify_exact(v, cand, threshold,
-                         broadcast_candidates=False)
+                         broadcast_candidates=False,
+                         kernel=verify_kernel)
 
 
 # ------------------------------------------------------------------ LSH
@@ -326,7 +368,8 @@ def cosine_near_dup_pairs_lsh(df: DataFrame, threshold: float,
                               n_tables: int = 16,
                               n_planes: int | None = None,
                               target_bucket: int = 32,
-                              max_bucket: int | None = None) -> DataFrame:
+                              max_bucket: int | None = None,
+                              verify_kernel: str = "sql") -> DataFrame:
     """Sub-quadratic near-dup pairs: hyperplane-LSH candidates →
     exact fold verification. Precision 1.0 (every emitted pair is
     exactly ≥ threshold); recall follows 1 − (1 − p^P)^T with
@@ -334,13 +377,16 @@ def cosine_near_dup_pairs_lsh(df: DataFrame, threshold: float,
     cheaper joins. The result is DETERMINISTIC (literal ±1 planes), so
     the driver oracle reproduces candidates and verification exactly.
     ``max_bucket`` arms the hot-bucket star guard for corpora with
-    mass-duplicate vectors (see ``lsh_candidate_pairs``)."""
+    mass-duplicate vectors (see ``lsh_candidate_pairs``).
+    ``verify_kernel="arrow"`` swaps the per-survivor interpreted fold
+    for the einsum batch kernel (see ``_verify_exact``) — the
+    corpus-scale setting; the default stays the oracle-pinned fold."""
     v = pin(_normalized(df, vec_col, id_col))
     if n_planes is None:
         n_planes = scaled_n_planes(v.count(), target_bucket)
     cand = lsh_candidate_pairs(v, dim, n_tables, n_planes, max_bucket)
     survivors = _np_prefilter(v, cand, threshold)
-    return _verify_exact(v, survivors, threshold)
+    return _verify_exact(v, survivors, threshold, kernel=verify_kernel)
 
 
 def cosine_pairs_allpairs_fold(df: DataFrame, threshold: float,

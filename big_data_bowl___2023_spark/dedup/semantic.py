@@ -25,9 +25,11 @@ the kernel level):
   (one einsum per Arrow batch over the raw within-cluster pairs, AQE
   joins) — the raw candidate volume is ~target_cluster/2 rows PER
   corpus vector, linear in n, so it must never be broadcast;
-* verification: the exact fold-dot kernel (``embedding._verify_exact``)
-  over the near-output-sized prefilter survivors — precision 1.0,
-  identical arithmetic to the exact near-dup paths;
+* verification: the exact kernel (``embedding._verify_exact``) over
+  the near-output-sized prefilter survivors — precision 1.0; the
+  default fold arithmetic is identical to the exact near-dup paths,
+  ``verify_kernel="arrow"`` is the einsum batch variant for corpus
+  runs;
 * keeper choice: ``clusters.connected_components`` + min-id
   canonicalization, identical to the MinHash dedup flow.
 
@@ -194,7 +196,8 @@ def semantic_dup_pairs(df: DataFrame, threshold: float,
                        target_cluster: int = 250,
                        dim: int | None = None,
                        n: int | None = None,
-                       assign_kernel: str = "sql") -> DataFrame:
+                       assign_kernel: str = "sql",
+                       verify_kernel: str = "sql") -> DataFrame:
     """(vec_a, vec_b, cosine) with cosine ≥ threshold, both members
     of the same k-means cluster. Precision 1.0 (every pair exactly
     verified); recall < 1 only through cluster-boundary splits — the
@@ -208,8 +211,11 @@ def semantic_dup_pairs(df: DataFrame, threshold: float,
     already knows them — the bench and pipeline paths always do.
     ``assign_kernel="arrow"`` swaps the per-vector argmin scan for
     the GEMM-per-Arrow-batch kernel (see ``assign_with_centroids``)
-    — the corpus-scale setting; the default stays the bit-pinned SQL
-    fold."""
+    and ``verify_kernel="arrow"`` swaps the per-survivor interpreted
+    verify fold for the einsum batch kernel
+    (``embedding._verify_exact``) — together the corpus-scale
+    setting; both default to the bit-pinned SQL folds so the driver
+    hashes stay byte-stable."""
     if k is None:
         if n is None:
             n = df.count()
@@ -234,7 +240,7 @@ def semantic_dup_pairs(df: DataFrame, threshold: float,
     # the near-output-sized survivors reach the exact verify, whose
     # "auto" mode buys its broadcast with an actual row count.
     survivors = _np_prefilter(v, cand, threshold)
-    return _verify_exact(v, survivors, threshold)
+    return _verify_exact(v, survivors, threshold, kernel=verify_kernel)
 
 
 def incremental_semantic_pairs(new_emb: DataFrame, corpus: DataFrame,
@@ -247,7 +253,9 @@ def incremental_semantic_pairs(new_emb: DataFrame, corpus: DataFrame,
                                dim: int | None = None,
                                n_corpus: int | None = None,
                                cents: list | None = None,
-                               max_cluster: int | None = None
+                               max_cluster: int | None = None,
+                               assign_kernel: str = "sql",
+                               verify_kernel: str = "sql"
                                ) -> DataFrame:
     """(vec_new, vec_corpus, cosine ≥ threshold): semantic near-dups
     between an ingest batch and the existing corpus WITHOUT re-pairing
@@ -279,7 +287,13 @@ def incremental_semantic_pairs(new_emb: DataFrame, corpus: DataFrame,
 
     Caller contract: new and corpus id spaces are disjoint (ingest
     ids are monotone in practice); a shared id would be dropped by
-    the inequality guard rather than verified."""
+    the inequality guard rather than verified.
+
+    ``assign_kernel``/``verify_kernel`` = "arrow" select the GEMM/
+    einsum batch kernels for the two per-row/per-pair vector stages
+    (see ``assign_with_centroids`` / ``embedding._verify_exact``) —
+    the corpus-scale setting for a large ingest batch; defaults stay
+    the bit-pinned SQL folds."""
     from ..similarity.pq import train_pq
 
     vc = _normalized(corpus, vec_col, id_col)
@@ -292,9 +306,9 @@ def incremental_semantic_pairs(new_emb: DataFrame, corpus: DataFrame,
             dim = len(vc.select("u").first().u)
         cents = train_pq(corpus, vec_col=vec_col, id_col=id_col,
                          dim=dim, m=1, k=k, n_iters=n_iters)[0]
-    ac = assign_with_centroids(vc, cents)
+    ac = assign_with_centroids(vc, cents, kernel=assign_kernel)
     an = assign_with_centroids(_normalized(new_emb, vec_col, id_col),
-                               cents)
+                               cents, kernel=assign_kernel)
     corpus_side = ac.select(F.col("id").alias("vec_b"), "cluster")
     if max_cluster is not None:
         from pyspark.sql import Window
@@ -313,7 +327,8 @@ def incremental_semantic_pairs(new_emb: DataFrame, corpus: DataFrame,
     # the (wide) vector payload.
     v_all = an.select("id", "u").unionByName(ac.select("id", "u"))
     return (_verify_exact(v_all, cand, threshold,
-                          broadcast_candidates=False)
+                          broadcast_candidates=False,
+                          kernel=verify_kernel)
             .select(F.col("vec_a").alias("vec_new"),
                     F.col("vec_b").alias("vec_corpus"), "cosine"))
 
@@ -324,13 +339,20 @@ def semantic_dedup(df: DataFrame, threshold: float,
                    id_col: str = "vec_id",
                    max_bucket: int | None = None,
                    dim: int | None = None,
-                   n: int | None = None) -> DataFrame:
+                   n: int | None = None,
+                   assign_kernel: str = "sql",
+                   verify_kernel: str = "sql") -> DataFrame:
     """The rows of ``df`` that survive semantic dedup: for every
     connected group of within-cluster near-duplicates, the min-id
-    member is kept; all other rows pass through untouched."""
+    member is kept; all other rows pass through untouched.
+    ``assign_kernel``/``verify_kernel`` = "arrow" are the corpus-scale
+    settings (forwarded to ``semantic_dup_pairs``); defaults stay the
+    bit-pinned SQL folds."""
     pairs = semantic_dup_pairs(df, threshold, k, n_iters,
                                vec_col, id_col, max_bucket,
-                               dim=dim, n=n)
+                               dim=dim, n=n,
+                               assign_kernel=assign_kernel,
+                               verify_kernel=verify_kernel)
     comp = connected_components(pairs, "vec_a", "vec_b")
     drop = (comp.filter(F.col("node") != F.col("component"))
             .select(F.col("node").alias(id_col)))

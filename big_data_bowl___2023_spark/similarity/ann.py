@@ -326,7 +326,9 @@ def build_contrastive_pairs(corpus: DataFrame, pos_threshold: float,
                             k_neg: int,
                             vec_col: str = "embedding",
                             id_col: str = "vec_id",
-                            neg_margin: int = 4) -> DataFrame:
+                            neg_margin: int = 4,
+                            verify_kernel: str = "sql",
+                            score_kernel: str = "sql") -> DataFrame:
     """Self-supervised contrastive training data from an UNLABELED
     embedding corpus: (anchor_id, positive_id, pos_cosine, negatives)
     — one row per near-duplicate pair (cosine ≥ ``pos_threshold``,
@@ -353,11 +355,17 @@ def build_contrastive_pairs(corpus: DataFrame, pos_threshold: float,
     has m−1 positives that outrank every true negative, so a FIXED
     margin would starve exactly the densest anchors of negatives —
     the degree-scaled fetch guarantees ≥ k_neg survivors per anchor
-    (when the corpus has that many non-positives at all)."""
+    (when the corpus has that many non-positives at all).
+
+    ``verify_kernel``/``score_kernel`` = "arrow" select the einsum
+    batch kernels for the positive-verify and negative-scoring legs
+    (see ``embedding._verify_exact`` / ``_score_pairs``) — the
+    corpus-scale settings; defaults stay the bit-pinned SQL folds."""
     from ..dedup.embedding import cosine_near_dup_pairs
 
     pos = cosine_near_dup_pairs(corpus, pos_threshold,
-                                vec_col=vec_col, id_col=id_col)
+                                vec_col=vec_col, id_col=id_col,
+                                verify_kernel=verify_kernel)
     pos = pin(pos)                # reused three times below
     # vec_a < vec_b by construction of the pair kernel → anchor=vec_a
     anchors = (pos.select(F.col("vec_a").alias(id_col)).distinct()
@@ -369,7 +377,8 @@ def build_contrastive_pairs(corpus: DataFrame, pos_threshold: float,
     max_degree = int(deg_row.m or 0)
     cand = brute_force_topk(corpus, anchors,
                             k_neg + max_degree + neg_margin,
-                            vec_col, id_col)
+                            vec_col, id_col,
+                            score_kernel=score_kernel)
     # drop candidates that are positives of this anchor (either
     # direction) — what remains is below the positive band
     pos_edges = (pos.select(F.col("vec_a").alias("query_id"),

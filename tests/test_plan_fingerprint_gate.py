@@ -112,6 +112,53 @@ def test_gate_update_is_per_mode_slot(tmp_path, monkeypatch):
             False) == 1
 
 
+def test_gate_update_merges_subset_sweeps(tmp_path, monkeypatch):
+    """A registry-only re-baseline must keep the bench-extra entries
+    (and vice versa); names that left the query universe entirely are
+    pruned. Round-9 task 7: the bench headliners are fingerprinted by
+    --extras sweeps, which don't run on every update."""
+    path = str(tmp_path / "fp.json")
+    monkeypatch.setattr(VL, "FINGERPRINT_PATH", path)
+    monkeypatch.setattr(VL, "_query_universe",
+                        lambda: {"q", "curation_e2e"})
+    bench_rep = dict(BASE, n_exchanges=7)
+    with durable_pins(False):
+        # full sweep with extras (+ one name later removed)
+        VL.check_plan_fingerprints(
+            {"q": BASE, "curation_e2e": bench_rep,
+             "retired_query": BASE}, "/sf", True)
+        # registry-only re-baseline: must not drop curation_e2e,
+        # must prune retired_query
+        VL.check_plan_fingerprints({"q": dict(BASE, n_exchanges=2)},
+                                   "/sf", True)
+    with open(path) as fh:
+        fps = json.load(fh)["modes"]["default"]
+    assert fps["curation_e2e"] == bench_rep
+    assert fps["q"]["n_exchanges"] == 2
+    assert "retired_query" not in fps
+    # and a bench-extra regression trips the gate like any other
+    with durable_pins(False):
+        assert VL.check_plan_fingerprints(
+            {"curation_e2e": dict(bench_rep, n_exchanges=8)},
+            "/sf", False) == 1
+
+
+def test_committed_fingerprints_cover_bench_extras():
+    """The committed baseline carries the bench-only headliner
+    compositions (curation_e2e, dedup_semantic_pairs, ...) so a plan
+    regression there fails the --extras sweep instead of waiting for
+    a bench-number diff."""
+    path = os.path.join(REPO, "PLAN_FINGERPRINTS.json")
+    with open(path) as fh:
+        fps = json.load(fh)["modes"]["default"]
+    import bench
+    missing = set(bench._extra_ops()) - set(fps)
+    assert not missing, (
+        f"unfingerprinted bench extras: {missing} — run "
+        "`python tools/verify_local.py <sf0.01> --extras "
+        "--update-plans`")
+
+
 def test_committed_fingerprints_cover_registry():
     path = os.path.join(REPO, "PLAN_FINGERPRINTS.json")
     assert os.path.exists(path), (

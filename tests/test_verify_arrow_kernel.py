@@ -1,0 +1,120 @@
+"""The Arrow/einsum exact-verify kernel (round 9): the corpus-scale
+alternative to the interpreted fold-dot in ``_verify_exact`` — the
+last per-pair interpreted fold on a hot default path (the round-8
+verdict's #1 task). Fast tier: these pin kernel identity (pair set
+AND 6-dp cosines) and plan shape, not recall."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_bowl___2023_spark.dedup.embedding import (
+    _normalized,
+    _np_prefilter,
+    _verify_exact,
+    cosine_near_dup_pairs,
+    cosine_near_dup_pairs_lsh,
+    lsh_candidate_pairs,
+    scaled_n_planes,
+)
+from big_data_bowl___2023_spark.dedup.semantic import (
+    incremental_semantic_pairs,
+    semantic_dup_pairs,
+)
+from big_data_bowl___2023_spark.plans.explain import plan_report
+from big_data_bowl___2023_spark.sources.io import load_table
+
+THRESH = 0.4
+
+
+def _pairs(df):
+    return {(r.vec_a, r.vec_b, r.cosine) for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = _normalized(emb, "embedding", "vec_id").localCheckpoint()
+    n = v.count()
+    cand = lsh_candidate_pairs(v, 64, 16, scaled_n_planes(n, 32))
+    surv = _np_prefilter(v, cand, THRESH).localCheckpoint()
+    assert surv.count() > 0
+    return emb, v, surv
+
+
+def test_arrow_verify_matches_sql_on_real_embeddings(corpus):
+    emb, v, surv = corpus
+    sql = _pairs(_verify_exact(v, surv, THRESH, kernel="sql"))
+    arrow = _pairs(_verify_exact(v, surv, THRESH, kernel="arrow"))
+    # identity includes the 6-dp cosine VALUES, not just the pair set:
+    # the einsum dot and the sequential fold agree bit-for-bit on the
+    # real test embeddings (the constructed divergence cases live in
+    # test_kernel_rounding_boundary.py)
+    assert sql == arrow and len(sql) > 0
+
+
+def test_arrow_verify_plan_shape(corpus):
+    """The kernel swap is a scoring change, not a plan change: same
+    join tree (no new Exchange / BNL / cartesian), scoring runs in a
+    MapInPandas stage."""
+    emb, v, surv = corpus
+    sql_rep = plan_report(_verify_exact(v, surv, THRESH, kernel="sql"))
+    arrow_df = _verify_exact(v, surv, THRESH, kernel="arrow")
+    arrow_rep = plan_report(arrow_df)
+    assert arrow_rep["n_exchanges"] <= sql_rep["n_exchanges"]
+    assert arrow_rep["n_bnl_joins"] <= sql_rep["n_bnl_joins"]
+    assert not arrow_rep["has_cartesian"]
+    plan = arrow_df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+
+
+def test_lsh_near_dup_identical_under_arrow_verify(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = _pairs(cosine_near_dup_pairs_lsh(emb, THRESH))
+    b = _pairs(cosine_near_dup_pairs_lsh(emb, THRESH,
+                                         verify_kernel="arrow"))
+    assert a == b and a
+
+
+def test_exact_near_dup_identical_under_arrow_verify(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = _pairs(cosine_near_dup_pairs(emb, THRESH))
+    b = _pairs(cosine_near_dup_pairs(emb, THRESH,
+                                     verify_kernel="arrow"))
+    assert a == b and a
+
+
+def test_semantic_pairs_identical_under_full_arrow(spark, sf_dir):
+    """The product corpus-scale setting: BOTH kernels arrow — same
+    centroids, same clusters, same verified pair set and cosines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = _pairs(semantic_dup_pairs(emb, THRESH, dim=64))
+    b = _pairs(semantic_dup_pairs(emb, THRESH, dim=64,
+                                  assign_kernel="arrow",
+                                  verify_kernel="arrow"))
+    assert a == b and a
+
+
+def test_incremental_semantic_identical_under_full_arrow(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    new = emb.filter(F.col("vec_id") % 5 == 0) \
+             .withColumn("vec_id", F.col("vec_id") + 10_000_000)
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+
+    def run(**kw):
+        return {(r.vec_new, r.vec_corpus, r.cosine) for r in
+                incremental_semantic_pairs(new, old, THRESH,
+                                           dim=64, **kw).collect()}
+
+    a = run()
+    b = run(assign_kernel="arrow", verify_kernel="arrow")
+    assert a == b and a
+
+
+def test_unknown_verify_kernel_rejected(spark):
+    v = spark.createDataFrame([(1, [1.0, 0.0])],
+                              "id long, u array<double>")
+    cand = spark.createDataFrame([(1, 1)], "vec_a long, vec_b long")
+    with pytest.raises(ValueError, match="unknown verify kernel"):
+        _verify_exact(v, cand, 0.5, kernel="numpy")

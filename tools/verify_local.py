@@ -131,6 +131,21 @@ FINGERPRINT_PATH = os.path.join(
     "PLAN_FINGERPRINTS.json")
 
 
+def _query_universe() -> set | None:
+    """Every name a fingerprint may legitimately carry: the 50
+    registry queries plus the bench-only extras. None when the bench
+    module can't load (the gate then keeps all previous entries
+    rather than silently pruning)."""
+    try:
+        import bench
+
+        from big_data_bowl___2023_spark import registry
+
+        return set(registry.all_queries()) | set(bench._extra_ops())
+    except Exception:
+        return None
+
+
 def check_plan_fingerprints(got: dict, sf_dir: str,
                             update: bool) -> int:
     """Compare this sweep's plan_report summaries against the
@@ -139,7 +154,12 @@ def check_plan_fingerprints(got: dict, sf_dir: str,
     Fingerprints are mode-specific: a durable-pin sweep keeps the
     lineage that localCheckpoint truncates away, so its plans
     legitimately show more nodes — compare only within the recorded
-    pin mode (like sf_dir)."""
+    pin mode (like sf_dir). Bench-only extras (bench._extra_ops) are
+    fingerprinted too when an ``--extras`` sweep runs them (round-9
+    task: the bench headliners used to be guarded only by per-module
+    pytests); a sweep without extras judges/updates only the names it
+    ran, so a registry-only re-baseline never drops the bench
+    entries."""
     import json
 
     from big_data_bowl___2023_spark.session import durable_pins_default
@@ -148,7 +168,10 @@ def check_plan_fingerprints(got: dict, sf_dir: str,
     if update:
         # per-MODE slot inside one file: a durable-mode re-baseline
         # must never clobber the default-mode baseline (or vice
-        # versa) — both sweeps stay gated
+        # versa) — both sweeps stay gated. Within the mode slot,
+        # names NOT run this sweep are kept (pruned only when they
+        # left the query universe entirely), so registry-only and
+        # extras sweeps can each re-baseline their own subset.
         data = {"sf_dir": sf_dir, "modes": {}}
         if os.path.exists(FINGERPRINT_PATH):
             try:
@@ -158,11 +181,16 @@ def check_plan_fingerprints(got: dict, sf_dir: str,
                     data["modes"] = dict(prev.get("modes") or {})
             except Exception:
                 pass
-        data["modes"][mode] = got
+        universe = _query_universe()
+        merged = {k: v for k, v in (data["modes"].get(mode) or {}).items()
+                  if universe is None or k in universe}
+        merged.update(got)
+        data["modes"][mode] = merged
         with open(FINGERPRINT_PATH, "w") as fh:
             json.dump(data, fh, indent=1, sort_keys=True)
         print(f"plan-gate: wrote {len(got)} fingerprints "
-              f"({mode} mode) to {FINGERPRINT_PATH}")
+              f"({len(merged)} total, {mode} mode) to "
+              f"{FINGERPRINT_PATH}")
         return 0
     if not os.path.exists(FINGERPRINT_PATH):
         print("plan-gate: no PLAN_FINGERPRINTS.json "
@@ -236,7 +264,6 @@ def main() -> int:
 
     from big_data_bowl___2023_spark.plans.explain import plan_report
 
-    registry_names = set(registry.all_queries())
     fingerprints: dict[str, dict] = {}
     n_pass = n_fail = n_rowsonly = 0
     for name, fn in sorted(qs.items()):
@@ -245,8 +272,11 @@ def main() -> int:
             df = fn(spark, sf_dir)
             # captured here (the plan), recorded below only once the
             # query actually PASSES — a failing query's plan must
-            # never become (or be judged against) the baseline
-            rep = plan_report(df) if name in registry_names else None
+            # never become (or be judged against) the baseline.
+            # Bench-only extras are fingerprinted too (their names
+            # are in qs only under --extras), so the bench headliner
+            # compositions are plan-gated, not just pytest-guarded.
+            rep = plan_report(df)
             sdf = df.toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
