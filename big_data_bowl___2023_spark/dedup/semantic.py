@@ -71,7 +71,11 @@ def kmeans_assign(df: DataFrame, k: int = 16, n_iters: int = 4,
     as single aggregation jobs over a capped training sample, exact-
     fixpoint early stop). ``n`` is the optional corpus-rowcount hint
     that lets training skip the sample stage when the corpus already
-    fits the cap (see train_pq).
+    fits the cap (see train_pq). ``assign_kernel="arrow"`` selects
+    the GEMM kernels for BOTH the Lloyd rounds and the final
+    assignment scan — at SemDeDup-sized k the interpreted fold
+    trainer dominates the whole operator, so the corpus-scale
+    setting must cover it.
     Assignment picks its physical shape by ``k``:
 
     * k ≤ ``codegen_max_k``: the literal-centroid argmin expression
@@ -88,8 +92,12 @@ def kmeans_assign(df: DataFrame, k: int = 16, n_iters: int = 4,
     v = _normalized(df, vec_col, id_col)
     if dim is None:   # one probe job; pass dim to skip it
         dim = len(v.select("u").first().u)
+    # assign_kernel covers the Lloyd rounds too: SemDeDup-sized k
+    # (n/target_cluster) makes the fold trainer the bottleneck long
+    # before the assignment scan — see train_pq's kernel note
     cents = train_pq(df, vec_col=vec_col, id_col=id_col, dim=dim,
-                     m=1, k=k, n_iters=n_iters, n=n)[0]
+                     m=1, k=k, n_iters=n_iters, n=n,
+                     assign_kernel=assign_kernel)[0]
     return assign_with_centroids(v, cents, codegen_max_k,
                                  kernel=assign_kernel)
 
@@ -305,7 +313,8 @@ def incremental_semantic_pairs(new_emb: DataFrame, corpus: DataFrame,
         if dim is None:
             dim = len(vc.select("u").first().u)
         cents = train_pq(corpus, vec_col=vec_col, id_col=id_col,
-                         dim=dim, m=1, k=k, n_iters=n_iters)[0]
+                         dim=dim, m=1, k=k, n_iters=n_iters,
+                         assign_kernel=assign_kernel)[0]
     ac = assign_with_centroids(vc, cents, kernel=assign_kernel)
     an = assign_with_centroids(_normalized(new_emb, vec_col, id_col),
                                cents, kernel=assign_kernel)

@@ -71,12 +71,55 @@ def _normalized(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
                       V.l2_normalize(v).alias("u")))
 
 
+def _lloyd_codes_arrow(sub_tbl: DataFrame, cents: list,
+                       sub: int) -> DataFrame:
+    """(id, mi, sv, code): one Lloyd assignment round as a numpy GEMM
+    per (Arrow batch, subspace) — ``argmin(|c|²/2 − sv·c)`` against
+    the broadcast m×k×sub centroid array instead of m·k interpreted
+    distance folds per row. Ties break to the lowest code (np.argmin
+    first minimum == array_position-of-min), matching the SQL
+    expression; distances round differently in the last ulp, so an
+    EXACTLY equidistant row could assign differently — real-valued
+    embeddings agree (pytest pins codebook identity), same contract
+    as every Arrow kernel in the family."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    C = np.asarray([[list(map(float, c)) for c in cb] for cb in cents],
+                   dtype=np.float64)             # (m, k, sub)
+    half_c2 = 0.5 * (C * C).sum(axis=2)          # (m, k)
+    out_schema = T.StructType(
+        list(sub_tbl.schema) + [T.StructField("code", T.IntegerType())])
+
+    def codes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            SV = V.stack_batch(pdf["sv"])        # (n, sub)
+            mi = pdf["mi"].to_numpy()
+            out_code = np.empty(len(pdf), dtype="int32")
+            for m_i in np.unique(mi):
+                mask = mi == m_i
+                scores = (half_c2[m_i][None, :]
+                          - SV[mask] @ C[m_i].T)  # (n_mi, k)
+                out_code[mask] = np.argmin(scores, axis=1)
+            out = pdf.copy()
+            out["code"] = out_code
+            yield out
+
+    return sub_tbl.mapInPandas(codes, out_schema)
+
+
 def train_pq(corpus: DataFrame, vec_col: str = "embedding",
              id_col: str = "vec_id", dim: int = 64,
              m: int = DEFAULT_M, k: int = DEFAULT_K,
              n_iters: int = 8,
              train_rows: int | None = 100_000,
-             n: int | None = None) -> list:
+             n: int | None = None,
+             assign_kernel: str = "sql") -> list:
     """m×k×(dim/m) codebooks as a nested Python list.
 
     Deterministic init (subvectors of the k corpus rows with smallest
@@ -103,7 +146,19 @@ def train_pq(corpus: DataFrame, vec_col: str = "embedding",
     because skipping the repartition reassociates the Lloyd averages
     — values agree to float-summation order (~1e-9), not bitwise, so
     paths whose oracles pin exact centroid arithmetic simply don't
-    pass the hint."""
+    pass the hint.
+
+    ``assign_kernel="arrow"`` runs each round's assignment through
+    :func:`_lloyd_codes_arrow` (one GEMM per Arrow batch per
+    subspace) instead of the m·k-literal interpreted distance folds.
+    The per-row SQL cost is k·dim interpreted lambda steps, so the
+    fold trainer is only viable for PQ-sized k (≤ a few hundred);
+    SemDeDup-sized codebooks (k = n/target_cluster, thousands at
+    corpus scale) need the GEMM rounds. The centroid UPDATE is the
+    same Spark aggregation either way — when assignments agree (real
+    embeddings; pytest pins codebook equality), the codebooks are
+    bit-identical. Default "sql" keeps every driver-hashed path on
+    the fold."""
     sub = dim // m
     v = _normalized(corpus, vec_col, id_col)
     if train_rows is not None and (n is None or n > train_rows):
@@ -125,16 +180,24 @@ def train_pq(corpus: DataFrame, vec_col: str = "embedding",
         .alias("mi", "sv"))
     sub_tbl = pin(sub_tbl)
 
+    if assign_kernel not in ("sql", "arrow"):
+        raise ValueError(f"unknown assignment kernel {assign_kernel!r}")
     for _ in range(n_iters):
-        # per-subspace argmin against the current centroids: pick the
-        # subspace's distance array with element_at on a nested literal
-        darr_by_m = F.array(*[
-            F.array(*[_sq_dist(F.col("sv"), _lit_vec(c))
-                      for c in cents[mi]])
-            for mi in range(m)])
-        darr = F.element_at(darr_by_m, F.col("mi") + 1)
-        code = (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
-        stats = (sub_tbl.withColumn("code", code)
+        if assign_kernel == "arrow":
+            coded = _lloyd_codes_arrow(sub_tbl, cents, sub)
+        else:
+            # per-subspace argmin against the current centroids: pick
+            # the subspace's distance array with element_at on a
+            # nested literal
+            darr_by_m = F.array(*[
+                F.array(*[_sq_dist(F.col("sv"), _lit_vec(c))
+                          for c in cents[mi]])
+                for mi in range(m)])
+            darr = F.element_at(darr_by_m, F.col("mi") + 1)
+            code = (F.array_position(darr, F.array_min(darr)) - 1) \
+                .cast("int")
+            coded = sub_tbl.withColumn("code", code)
+        stats = (coded
                  .groupBy("mi", "code")
                  .agg(F.array(*[F.avg(F.col("sv")[d]).alias(f"a{d}")
                                 for d in range(sub)]).alias("mean"),

@@ -30,6 +30,18 @@ local wall time, so the data term's slope is finally visible: the
 strongest 100x-readiness evidence available on one machine. The
 embedding legs are excluded from --product because 64x replication of
 the vector corpus measures the replica generator, not the engine.
+
+``--vector S1 S2 ...`` (e.g. ``--vector 16 64 256``) runs ONLY the
+embedding-family legs — semantic dedup pairs, LSH-verified near-dup,
+IVF top-k — with the Arrow kernels on (the corpus-scale setting those
+kwargs exist for). The replica generator objection above is handled
+the same way the product legs handle it: the replicated corpus is
+localCheckpoint-materialized BEFORE any timed leg, so generation cost
+is excluded and each leg reads a flat materialized table. Claims
+under test: LSH candidate volume per vector stays ~flat
+(``scaled_n_planes``), semantic candidate volume stays linear in n
+(``scaled_k`` holds cluster population ~constant), IVF probes a fixed
+cell fraction — so every wall grows ~linearly, never n².
 """
 
 from __future__ import annotations
@@ -239,6 +251,61 @@ def run_document_legs(docs_ml) -> dict:
     }
 
 
+def vector_legs(spark, emb0, scales) -> None:
+    """Embedding-family legs at the requested scales, Arrow kernels
+    on. Each scale point prints one JSON line: corpus size, LSH
+    candidate volume (the flat-per-vector claim), verified near-dup
+    pairs + wall, semantic pairs + wall (incl. the GEMM Lloyd
+    trainer), and IVF top-k wall for a fixed 64-query batch."""
+    from big_data_bowl___2023_spark.dedup.semantic import (
+        scaled_k,
+        semantic_dup_pairs,
+    )
+    from big_data_bowl___2023_spark.similarity.ann import ivf_topk
+
+    queries = emb0.limit(64).localCheckpoint()
+    for scale in scales:
+        emb = scaled(emb0, scale, replicate_embeddings).localCheckpoint()
+        n = emb.count()
+
+        v = _normalized(emb, "embedding", "vec_id").localCheckpoint()
+        planes = scaled_n_planes(n, 32)
+        t0 = time.time()
+        n_cand = lsh_candidate_pairs(v, 64, 16, planes).count()
+        t_cand = time.time() - t0
+
+        # threshold 0.8 = tail regime (see main()): TRUE pair volume
+        # of a self-similar corpus at bulk thresholds grows ~n² — an
+        # output property, not engine cost.
+        t0 = time.time()
+        n_lsh = dd.cosine_near_dup_pairs_lsh(
+            emb, 0.8, n_tables=16, max_bucket=100_000,
+            verify_kernel="arrow").count()
+        t_lsh = time.time() - t0
+
+        t0 = time.time()
+        n_sem = semantic_dup_pairs(
+            emb, 0.8, dim=64, n=n, max_bucket=100_000,
+            assign_kernel="arrow", verify_kernel="arrow").count()
+        t_sem = time.time() - t0
+
+        t0 = time.time()
+        n_ivf = ivf_topk(emb, queries, 10, n_planes=6,
+                         score_kernel="arrow").count()
+        t_ivf = time.time() - t0
+
+        print(json.dumps({
+            "scale": scale, "n_emb": n,
+            "n_planes": planes, "k_clusters": scaled_k(n),
+            "lsh_candidates": n_cand,
+            "cand_per_vec": round(n_cand / n, 2),
+            "lsh_candidates_sec": round(t_cand, 2),
+            "lsh_pairs": n_lsh, "lsh_sec": round(t_lsh, 2),
+            "semantic_pairs": n_sem, "semantic_sec": round(t_sem, 2),
+            "ivf_rows": n_ivf, "ivf_sec": round(t_ivf, 2),
+        }), flush=True)
+
+
 def product_legs(spark, docs0, scales) -> None:
     """Document-product legs only at the requested scales — the 64x
     evidence run (embedding legs excluded: see module docstring)."""
@@ -260,26 +327,36 @@ def main() -> None:
 
     argv = sys.argv[1:]
     want_product = "--product" in argv
+    want_vector = "--vector" in argv
+    if want_product and want_vector:
+        raise SystemExit("--product and --vector are exclusive modes")
     scales: list[int] = []
     paths: list[str] = []
     for a in argv:
-        if a == "--product":
+        if a in ("--product", "--vector"):
             continue
         if re.fullmatch(r"[0-9]+", a):      # positive ints only
             scales.append(int(a))
         elif a.startswith("-"):
-            raise SystemExit(f"unknown flag {a!r} (only --product)")
+            raise SystemExit(f"unknown flag {a!r} "
+                             "(only --product / --vector)")
         else:
             paths.append(a)
     if any(sc < 1 for sc in scales):
         raise SystemExit(f"scales must be >= 1, got {scales}")
     if len(paths) > 1:
         raise SystemExit(f"at most one sf_dir argument, got {paths}")
-    if scales and not want_product:
-        raise SystemExit("scale arguments require --product")
+    if scales and not (want_product or want_vector):
+        raise SystemExit("scale arguments require --product/--vector")
     product_scales = (scales or [16, 64]) if want_product else None
     sf_dir = paths[0] if paths else "/root/testdata/sf0.1"
     spark = get_spark("stress")
+    if want_vector:
+        emb0 = load_table(spark, sf_dir, "embeddings").cache()
+        emb0.count()
+        vector_legs(spark, emb0, scales or [16, 64, 256])
+        spark.stop()
+        return
     docs0 = load_table(spark, sf_dir, "documents").cache()
     docs0.count()
     if product_scales is not None:
