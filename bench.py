@@ -37,7 +37,8 @@ Calibration probe (round 9): a fixed-work pure-CPU Spark job
 (``_calibration_shots``) is timed in the same process, half before
 and half after the sweep, and emitted as ``calibration_s``; its ratio
 to the committed quiet calibration anchor
-(``BASELINE_anchors.json: calibration.anchor``) is
+(``BASELINE_anchors.json: calibration.anchors.<defaultParallelism>``
+— per-thread-count, the probe's quiet wall depends on it) is
 ``calibration_drift``, and the retry threshold scales by it — a
 uniformly-busier VM no longer trips per-query retries (or tempts a
 stale-anchor adjudication), while a single-query code regression

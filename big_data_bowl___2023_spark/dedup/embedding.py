@@ -166,19 +166,86 @@ def _verify_exact(v: DataFrame, cand: DataFrame,
 
 
 def _np_prefilter(v: DataFrame, cand: DataFrame,
-                  threshold: float) -> DataFrame:
-    """Vectorized candidate screening: join candidate id pairs to
-    their unit vectors and evaluate all dots per Arrow batch with one
-    einsum — keeps the interpreted fold off the (possibly large)
-    candidate set; only survivors reach the exact verify. Join
-    strategy is left to AQE: at small candidate volume it broadcasts,
-    at scale it shuffles on the id keys."""
+                  threshold: float,
+                  broadcast_vectors: bool = False) -> DataFrame:
+    """Vectorized candidate screening: evaluate every candidate
+    pair's dot per Arrow batch with one einsum — keeps the
+    interpreted fold off the (possibly large) candidate set; only
+    survivors reach the exact verify.
+
+    ``broadcast_vectors`` picks how each pair finds its two vectors:
+
+    * ``False`` (default) — join the id pairs to the vector table
+      (strategy left to AQE: at small candidate volume it
+      broadcasts, at scale it shuffles on the id keys). The join
+      OUTPUT carries both unit vectors per pair (~550 B at dim 64),
+      so with ~300 candidates per vector the shuffle streams ~150×
+      the corpus bytes — measured to overrun local spill space at
+      512k vectors × 150M candidates (the round-9 256× stress leg).
+    * ``True`` — gather the whole (id → unit vector) table into one
+      numpy matrix and broadcast it; the candidate stream then
+      carries ONLY id pairs (16 B each) and every task indexes its
+      pairs against the shared matrix. Cuts shuffle bytes ~30× at
+      dim 64. The caller buys the broadcast with a size bound: the
+      matrix is n×dim float64 (260 MB at 512k×64) and every Python
+      worker holds one copy — right whenever the vector table fits
+      worker memory (corpora to ~10M×64). Past that, stay on the
+      shuffle path (at 100 TB the candidates are cluster-keyed, so
+      AQE shuffles co-partitioned slices, not the full table).
+
+    Survivor pairs whose ids are not in ``v`` (impossible for
+    candidates generated FROM v; defensive for external candidate
+    sets) are dropped in both modes — the join does it implicitly,
+    the gather masks them out."""
     import numpy as np
+
+    cut = threshold - _PREFILTER_MARGIN
+
+    if broadcast_vectors:
+        rows_v = v.collect()
+        M = V.stack_batch([r.u for r in rows_v])
+        ids = np.fromiter((r.id for r in rows_v), dtype=np.int64,
+                          count=len(rows_v))
+        # id → row lookups must be vectorized C, not a Python dict:
+        # pandas .map(dict) measured ~45 s EXTRA at 47M candidate
+        # pairs (94M hash lookups) — searchsorted over the sorted id
+        # array does the same resolve in ~1 s
+        order = np.argsort(ids, kind="stable")
+        sorted_ids = ids[order]
+        bc = v.sparkSession.sparkContext.broadcast(
+            (sorted_ids, order, M))
+
+        def dots_gather(batches: Iterator[pd.DataFrame]
+                        ) -> Iterator[pd.DataFrame]:
+            sids, perm, mat = bc.value
+            hi = len(sids)
+            if hi == 0:          # empty corpus: no pair can resolve
+                return
+
+            def resolve(col):
+                raw = col.to_numpy(dtype=np.int64)
+                pos = np.searchsorted(sids, raw)
+                pos_c = np.minimum(pos, hi - 1)
+                ok = (pos < hi) & (sids[pos_c] == raw)
+                return perm[pos_c], ok
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ra, ka = resolve(pdf["vec_a"])
+                rb, kb = resolve(pdf["vec_b"])
+                known = ka & kb
+                if not known.all():
+                    pdf = pdf.loc[known]
+                    ra, rb = ra[known], rb[known]
+                sims = np.einsum("ij,ij->i", mat[ra], mat[rb])
+                yield pdf.loc[sims >= cut, ["vec_a", "vec_b"]]
+
+        return cand.mapInPandas(dots_gather, _PAIR_SCHEMA)
 
     ua = v.select(F.col("id").alias("vec_a"), F.col("u").alias("ua"))
     ub = v.select(F.col("id").alias("vec_b"), F.col("u").alias("ub"))
     rows = cand.join(ua, "vec_a").join(ub, "vec_b")
-    cut = threshold - _PREFILTER_MARGIN
 
     def dots(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -369,7 +436,9 @@ def cosine_near_dup_pairs_lsh(df: DataFrame, threshold: float,
                               n_planes: int | None = None,
                               target_bucket: int = 32,
                               max_bucket: int | None = None,
-                              verify_kernel: str = "sql") -> DataFrame:
+                              verify_kernel: str = "sql",
+                              prefilter_broadcast: bool = False
+                              ) -> DataFrame:
     """Sub-quadratic near-dup pairs: hyperplane-LSH candidates →
     exact fold verification. Precision 1.0 (every emitted pair is
     exactly ≥ threshold); recall follows 1 − (1 − p^P)^T with
@@ -379,13 +448,17 @@ def cosine_near_dup_pairs_lsh(df: DataFrame, threshold: float,
     ``max_bucket`` arms the hot-bucket star guard for corpora with
     mass-duplicate vectors (see ``lsh_candidate_pairs``).
     ``verify_kernel="arrow"`` swaps the per-survivor interpreted fold
-    for the einsum batch kernel (see ``_verify_exact``) — the
-    corpus-scale setting; the default stays the oracle-pinned fold."""
+    for the einsum batch kernel (see ``_verify_exact``) and
+    ``prefilter_broadcast=True`` gathers the unit vectors into one
+    broadcast matrix so the candidate screen shuffles only id pairs
+    (see ``_np_prefilter`` for the size bound) — together the
+    corpus-scale settings; defaults stay the oracle-pinned joins."""
     v = pin(_normalized(df, vec_col, id_col))
     if n_planes is None:
         n_planes = scaled_n_planes(v.count(), target_bucket)
     cand = lsh_candidate_pairs(v, dim, n_tables, n_planes, max_bucket)
-    survivors = _np_prefilter(v, cand, threshold)
+    survivors = _np_prefilter(v, cand, threshold,
+                              broadcast_vectors=prefilter_broadcast)
     return _verify_exact(v, survivors, threshold, kernel=verify_kernel)
 
 

@@ -205,7 +205,8 @@ def semantic_dup_pairs(df: DataFrame, threshold: float,
                        dim: int | None = None,
                        n: int | None = None,
                        assign_kernel: str = "sql",
-                       verify_kernel: str = "sql") -> DataFrame:
+                       verify_kernel: str = "sql",
+                       prefilter_broadcast: bool = False) -> DataFrame:
     """(vec_a, vec_b, cosine) with cosine ≥ threshold, both members
     of the same k-means cluster. Precision 1.0 (every pair exactly
     verified); recall < 1 only through cluster-boundary splits — the
@@ -247,7 +248,12 @@ def semantic_dup_pairs(df: DataFrame, threshold: float,
     # vectorized prefilter (AQE joins, einsum screening) first; only
     # the near-output-sized survivors reach the exact verify, whose
     # "auto" mode buys its broadcast with an actual row count.
-    survivors = _np_prefilter(v, cand, threshold)
+    # prefilter_broadcast=True swaps the pair-side vector joins for
+    # the gathered-matrix screen (id-pairs-only shuffle; see
+    # _np_prefilter's size bound) — the setting for corpora whose
+    # vector table fits worker memory.
+    survivors = _np_prefilter(v, cand, threshold,
+                              broadcast_vectors=prefilter_broadcast)
     return _verify_exact(v, survivors, threshold, kernel=verify_kernel)
 
 
@@ -263,7 +269,8 @@ def incremental_semantic_pairs(new_emb: DataFrame, corpus: DataFrame,
                                cents: list | None = None,
                                max_cluster: int | None = None,
                                assign_kernel: str = "sql",
-                               verify_kernel: str = "sql"
+                               verify_kernel: str = "sql",
+                               prefilter_broadcast: bool = False
                                ) -> DataFrame:
     """(vec_new, vec_corpus, cosine ≥ threshold): semantic near-dups
     between an ingest batch and the existing corpus WITHOUT re-pairing
@@ -299,9 +306,13 @@ def incremental_semantic_pairs(new_emb: DataFrame, corpus: DataFrame,
 
     ``assign_kernel``/``verify_kernel`` = "arrow" select the GEMM/
     einsum batch kernels for the two per-row/per-pair vector stages
-    (see ``assign_with_centroids`` / ``embedding._verify_exact``) —
-    the corpus-scale setting for a large ingest batch; defaults stay
-    the bit-pinned SQL folds."""
+    (see ``assign_with_centroids`` / ``embedding._verify_exact``) and
+    ``prefilter_broadcast=True`` routes the raw cluster-join
+    candidates through the gathered-matrix einsum screen FIRST
+    (``_np_prefilter``: id-pairs-only shuffle, near-output-sized
+    survivors reach the verify joins) — the corpus-scale settings
+    for a large ingest batch; defaults stay the bit-pinned SQL folds
+    and the direct verify the oracles pin."""
     from ..similarity.pq import train_pq
 
     vc = _normalized(corpus, vec_col, id_col)
@@ -335,6 +346,13 @@ def incremental_semantic_pairs(new_emb: DataFrame, corpus: DataFrame,
     # ids are disjoint by contract — plain union, no dedup shuffle of
     # the (wide) vector payload.
     v_all = an.select("id", "u").unionByName(ac.select("id", "u"))
+    if prefilter_broadcast:
+        # screen the (linear-in-batch but vector-heavy if joined)
+        # candidate volume against the gathered matrix before any
+        # verify join — the batch path's prefilter, opt-in here so
+        # the oracle-pinned default plan keeps its single join chain
+        cand = _np_prefilter(v_all, cand, threshold,
+                             broadcast_vectors=True)
     return (_verify_exact(v_all, cand, threshold,
                           broadcast_candidates=False,
                           kernel=verify_kernel)
@@ -350,18 +368,21 @@ def semantic_dedup(df: DataFrame, threshold: float,
                    dim: int | None = None,
                    n: int | None = None,
                    assign_kernel: str = "sql",
-                   verify_kernel: str = "sql") -> DataFrame:
+                   verify_kernel: str = "sql",
+                   prefilter_broadcast: bool = False) -> DataFrame:
     """The rows of ``df`` that survive semantic dedup: for every
     connected group of within-cluster near-duplicates, the min-id
     member is kept; all other rows pass through untouched.
-    ``assign_kernel``/``verify_kernel`` = "arrow" are the corpus-scale
-    settings (forwarded to ``semantic_dup_pairs``); defaults stay the
-    bit-pinned SQL folds."""
+    ``assign_kernel``/``verify_kernel`` = "arrow" and
+    ``prefilter_broadcast=True`` are the corpus-scale settings
+    (forwarded to ``semantic_dup_pairs``); defaults stay the
+    bit-pinned SQL folds and AQE joins."""
     pairs = semantic_dup_pairs(df, threshold, k, n_iters,
                                vec_col, id_col, max_bucket,
                                dim=dim, n=n,
                                assign_kernel=assign_kernel,
-                               verify_kernel=verify_kernel)
+                               verify_kernel=verify_kernel,
+                               prefilter_broadcast=prefilter_broadcast)
     comp = connected_components(pairs, "vec_a", "vec_b")
     drop = (comp.filter(F.col("node") != F.col("component"))
             .select(F.col("node").alias(id_col)))

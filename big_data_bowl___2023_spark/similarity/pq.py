@@ -71,8 +71,7 @@ def _normalized(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
                       V.l2_normalize(v).alias("u")))
 
 
-def _lloyd_codes_arrow(sub_tbl: DataFrame, cents: list,
-                       sub: int) -> DataFrame:
+def _lloyd_codes_arrow(sub_tbl: DataFrame, cents: list) -> DataFrame:
     """(id, mi, sv, code): one Lloyd assignment round as a numpy GEMM
     per (Arrow batch, subspace) — ``argmin(|c|²/2 − sv·c)`` against
     the broadcast m×k×sub centroid array instead of m·k interpreted
@@ -159,6 +158,11 @@ def train_pq(corpus: DataFrame, vec_col: str = "embedding",
     embeddings; pytest pins codebook equality), the codebooks are
     bit-identical. Default "sql" keeps every driver-hashed path on
     the fold."""
+    if assign_kernel not in ("sql", "arrow"):
+        # validate BEFORE the sample sort / seed collect / pin jobs —
+        # a typo'd kernel must fail instantly, not after minutes of
+        # cluster work (same entry-point contract as _verify_exact)
+        raise ValueError(f"unknown assignment kernel {assign_kernel!r}")
     sub = dim // m
     v = _normalized(corpus, vec_col, id_col)
     if train_rows is not None and (n is None or n > train_rows):
@@ -180,11 +184,9 @@ def train_pq(corpus: DataFrame, vec_col: str = "embedding",
         .alias("mi", "sv"))
     sub_tbl = pin(sub_tbl)
 
-    if assign_kernel not in ("sql", "arrow"):
-        raise ValueError(f"unknown assignment kernel {assign_kernel!r}")
     for _ in range(n_iters):
         if assign_kernel == "arrow":
-            coded = _lloyd_codes_arrow(sub_tbl, cents, sub)
+            coded = _lloyd_codes_arrow(sub_tbl, cents)
         else:
             # per-subspace argmin against the current centroids: pick
             # the subspace's distance array with element_at on a

@@ -109,7 +109,71 @@ def test_incremental_semantic_identical_under_full_arrow(spark, sf_dir):
 
     a = run()
     b = run(assign_kernel="arrow", verify_kernel="arrow")
+    c = run(assign_kernel="arrow", verify_kernel="arrow",
+            prefilter_broadcast=True)
+    assert a == b == c and a
+
+
+def test_prefilter_broadcast_matches_join_mode(corpus):
+    """The gathered-matrix candidate screen (id-pairs-only shuffle)
+    returns exactly the join-mode survivor set — the round-9 fix for
+    the per-pair vector payload that overran spill space at the 256×
+    stress scale."""
+    emb, v, _ = corpus
+    n = v.count()
+    cand = lsh_candidate_pairs(v, 64, 16, scaled_n_planes(n, 32))
+    join_mode = {(r.vec_a, r.vec_b) for r in
+                 _np_prefilter(v, cand, THRESH).collect()}
+    gather = {(r.vec_a, r.vec_b) for r in
+              _np_prefilter(v, cand, THRESH,
+                            broadcast_vectors=True).collect()}
+    assert join_mode == gather and join_mode
+
+
+def test_prefilter_broadcast_drops_unknown_ids(spark):
+    v = spark.createDataFrame([(1, [1.0, 0.0]), (2, [1.0, 0.0])],
+                              "id long, u array<double>")
+    cand = spark.createDataFrame([(1, 2), (1, 99)],
+                                 "vec_a long, vec_b long")
+    got = {(r.vec_a, r.vec_b) for r in
+           _np_prefilter(v, cand, 0.5,
+                         broadcast_vectors=True).collect()}
+    assert got == {(1, 2)}       # the unknown-id pair is dropped
+
+
+def test_lsh_identical_under_prefilter_broadcast(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = _pairs(cosine_near_dup_pairs_lsh(emb, THRESH))
+    b = _pairs(cosine_near_dup_pairs_lsh(emb, THRESH,
+                                         prefilter_broadcast=True,
+                                         verify_kernel="arrow"))
     assert a == b and a
+
+
+def test_semantic_identical_under_prefilter_broadcast(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = _pairs(semantic_dup_pairs(emb, THRESH, dim=64))
+    b = _pairs(semantic_dup_pairs(emb, THRESH, dim=64,
+                                  assign_kernel="arrow",
+                                  verify_kernel="arrow",
+                                  prefilter_broadcast=True))
+    assert a == b and a
+
+
+def test_prefilter_broadcast_plan_has_no_vector_join(corpus):
+    """The gather mode's candidate screen must add a pure map stage
+    over the id pairs — no join of its own (hence no per-pair vector
+    payload in any exchange). Candidates come from a plain table so
+    the assertion sees only the prefilter's contribution (the LSH
+    generator legitimately contains its band self-join)."""
+    emb, v, _ = corpus
+    spark = emb.sparkSession
+    cand = spark.createDataFrame([(1, 2), (3, 4)],
+                                 "vec_a long, vec_b long")
+    plan = _np_prefilter(v, cand, THRESH, broadcast_vectors=True) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "Join" not in plan and "Exchange" not in plan
 
 
 def test_unknown_verify_kernel_rejected(spark):

@@ -251,7 +251,7 @@ def run_document_legs(docs_ml) -> dict:
     }
 
 
-def vector_legs(spark, emb0, scales) -> None:
+def vector_legs(emb0, scales) -> None:
     """Embedding-family legs at the requested scales, Arrow kernels
     on. Each scale point prints one JSON line: corpus size, LSH
     candidate volume (the flat-per-vector claim), verified near-dup
@@ -277,16 +277,21 @@ def vector_legs(spark, emb0, scales) -> None:
         # threshold 0.8 = tail regime (see main()): TRUE pair volume
         # of a self-similar corpus at bulk thresholds grows ~n² — an
         # output property, not engine cost.
+        # prefilter_broadcast: the shuffle-join screen streams two
+        # unit vectors per candidate pair (~550 B × ~300 cand/vec) —
+        # it overran local spill space at 512k vectors; the gathered
+        # matrix (260 MB there) keeps the candidate shuffle id-only
         t0 = time.time()
         n_lsh = dd.cosine_near_dup_pairs_lsh(
             emb, 0.8, n_tables=16, max_bucket=100_000,
-            verify_kernel="arrow").count()
+            verify_kernel="arrow", prefilter_broadcast=True).count()
         t_lsh = time.time() - t0
 
         t0 = time.time()
         n_sem = semantic_dup_pairs(
             emb, 0.8, dim=64, n=n, max_bucket=100_000,
-            assign_kernel="arrow", verify_kernel="arrow").count()
+            assign_kernel="arrow", verify_kernel="arrow",
+            prefilter_broadcast=True).count()
         t_sem = time.time() - t0
 
         t0 = time.time()
@@ -354,7 +359,7 @@ def main() -> None:
     if want_vector:
         emb0 = load_table(spark, sf_dir, "embeddings").cache()
         emb0.count()
-        vector_legs(spark, emb0, scales or [16, 64, 256])
+        vector_legs(emb0, scales or [16, 64, 256])
         spark.stop()
         return
     docs0 = load_table(spark, sf_dir, "documents").cache()

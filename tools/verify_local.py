@@ -286,8 +286,7 @@ def main() -> int:
             print(f"rows-only {name}: {len(sdf)} rows "
                   f"({time.time()-t0:.1f}s)")
             n_rowsonly += 1
-            if rep is not None:
-                fingerprints[name] = rep
+            fingerprints[name] = rep
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
@@ -301,8 +300,7 @@ def main() -> int:
         status = "pass" if ok else "FAIL"
         if ok:
             n_pass += 1
-            if rep is not None:
-                fingerprints[name] = rep
+            fingerprints[name] = rep
         else:
             n_fail += 1
         print(f"{status} {name}: spark({sn},{sh}) vs oracle({on},{oh}) "
