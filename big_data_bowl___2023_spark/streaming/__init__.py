@@ -27,6 +27,10 @@ from .quantiles import (
     windowed_quantile_digests,
     windows_as_quantile_summary,
 )
+from .semantic_stream import (
+    make_semantic_ingest_batch_fn,
+    pairs_with_centroids,
+)
 from .joins import foreach_batch_upsert, interval_join
 from .trending import latest_summaries, streaming_heavy_hitters
 from .events import (
@@ -45,6 +49,7 @@ __all__ = ["benchmark_shingle_set", "curate_document_stream",
            "hopping_counts", "incremental_dedup",
            "incremental_dedup_watermarked", "incremental_minhash_pairs",
            "make_curation_ingest_batch_fn",
+           "make_semantic_ingest_batch_fn", "pairs_with_centroids",
            "read_document_stream", "read_event_stream",
            "run_available_now", "session_windows", "stream_decontaminate",
            "streaming_heavy_hitters", "latest_summaries",

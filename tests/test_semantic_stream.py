@@ -1,0 +1,168 @@
+"""The streaming SemDeDup face (round 9, E102): a foreachBatch loop
+that semantically dedups embedding micro-batches under a FROZEN
+codebook artifact — within each batch and against the accumulated
+corpus — with durable-artifact state (corpus dir + codebook file),
+replay idempotency, and the same keeper rule as batch semantic_dedup.
+Processor invoked directly (the foreachBatch contract) plus one real
+availableNow stream run."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_bowl___2023_spark.dedup.embedding import _normalized
+from big_data_bowl___2023_spark.dedup.semantic import semantic_dedup
+from big_data_bowl___2023_spark.similarity.pq import load_codebooks
+from big_data_bowl___2023_spark.sources.io import load_table
+from big_data_bowl___2023_spark.streaming.semantic_stream import (
+    make_semantic_ingest_batch_fn,
+    pairs_with_centroids,
+)
+
+THRESH = 0.4
+
+
+def _batches(spark, sf_dir, n=3):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return [emb.filter(F.col("vec_id") % n == i).cache()
+            for i in range(n)]
+
+
+def test_pairs_with_centroids_matches_semantic_dup_pairs(spark, sf_dir):
+    """With the codebook trained the same way, the frozen-centroid
+    pair kernel IS semantic_dup_pairs minus training."""
+    from big_data_bowl___2023_spark.dedup.semantic import (
+        scaled_k,
+        semantic_dup_pairs,
+    )
+    from big_data_bowl___2023_spark.similarity.pq import train_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    cents = train_pq(emb, dim=64, m=1, k=scaled_k(n), n_iters=4)[0]
+    a = {(r.vec_a, r.vec_b, r.cosine) for r in
+         semantic_dup_pairs(emb, THRESH, dim=64).collect()}
+    b = {(r.vec_a, r.vec_b, r.cosine) for r in
+         pairs_with_centroids(emb, cents, THRESH).collect()}
+    assert a == b and a
+
+
+def test_semantic_ingest_loop_three_batches(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "corpus")
+    cb = str(tmp_path / "codebook.json")
+    process = make_semantic_ingest_batch_fn(out, cb, THRESH, dim=64)
+    batches = _batches(spark, sf_dir)
+    for i, b in enumerate(batches):
+        process(b, i)
+
+    corpus = spark.read.parquet(out)
+    n_corpus = corpus.count()
+    n_input = sum(b.count() for b in batches)
+    assert 0 < n_corpus < n_input        # something survived, something deduped
+
+    # the SemDeDup invariant under the frozen codebook: NO surviving
+    # within-cluster pair remains at/above threshold
+    cents = load_codebooks(spark, cb)[0]
+    leftover = pairs_with_centroids(corpus, cents, THRESH).count()
+    assert leftover == 0
+
+    # every dropped id has a witness: a surviving (or earlier-batch)
+    # same-cluster member at/above threshold — checked via the full
+    # input's frozen-codebook pair graph
+    emb = load_table(spark, sf_dir, "embeddings")
+    all_pairs = pairs_with_centroids(emb, cents, THRESH).collect()
+    witnesses = {}
+    for r in all_pairs:
+        witnesses.setdefault(r.vec_a, set()).add(r.vec_b)
+        witnesses.setdefault(r.vec_b, set()).add(r.vec_a)
+    kept = {r.vec_id for r in corpus.select("vec_id").collect()}
+    dropped = ({r.vec_id for r in emb.select("vec_id").collect()}
+               - kept)
+    assert dropped
+    for d in dropped:
+        assert witnesses.get(d), f"dropped {d} with no near-dup witness"
+
+
+def test_semantic_ingest_replay_is_idempotent(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "corpus")
+    cb = str(tmp_path / "codebook.json")
+    process = make_semantic_ingest_batch_fn(out, cb, THRESH, dim=64)
+    b0, b1, _ = _batches(spark, sf_dir)
+    process(b0, 0)
+    process(b1, 1)
+    before = {r.vec_id for r in
+              spark.read.parquet(out).select("vec_id").collect()}
+    process(b1, 2)                       # replayed batch
+    after = {r.vec_id for r in
+             spark.read.parquet(out).select("vec_id").collect()}
+    assert before == after
+
+
+def test_semantic_ingest_bootstrap_matches_batch_dedup(spark, sf_dir,
+                                                       tmp_path):
+    """Batch 1 alone == batch semantic_dedup of the same data (same
+    training knobs, same keeper rule)."""
+    out = str(tmp_path / "corpus")
+    cb = str(tmp_path / "codebook.json")
+    b0 = _batches(spark, sf_dir)[0]
+    make_semantic_ingest_batch_fn(out, cb, THRESH, dim=64)(b0, 0)
+    got = {r.vec_id for r in
+           spark.read.parquet(out).select("vec_id").collect()}
+    want = {r.vec_id for r in
+            semantic_dedup(b0, THRESH, dim=64)
+            .select("vec_id").collect()}
+    assert got == want and got
+
+
+def test_semantic_ingest_kernels_agree(spark, sf_dir, tmp_path):
+    """The corpus-scale kernel settings produce the identical corpus
+    (arrow assign/verify + gathered prefilter vs the SQL defaults)."""
+    outs = []
+    for tag, kw in (("sql", {}),
+                    ("arrow", dict(assign_kernel="arrow",
+                                   verify_kernel="arrow",
+                                   prefilter_broadcast=True))):
+        out = str(tmp_path / f"corpus_{tag}")
+        cb = str(tmp_path / f"cb_{tag}.json")
+        process = make_semantic_ingest_batch_fn(out, cb, THRESH,
+                                                dim=64, **kw)
+        for i, b in enumerate(_batches(spark, sf_dir)):
+            process(b, i)
+        outs.append({r.vec_id for r in
+                     spark.read.parquet(out).select("vec_id").collect()})
+    assert outs[0] == outs[1] and outs[0]
+
+
+@pytest.mark.slow
+def test_semantic_ingest_real_stream(spark, sf_dir, tmp_path):
+    """End-to-end through a genuine file-source stream: stage the
+    batches as parquet files in a monitored dir, run availableNow →
+    foreachBatch, and require the same invariants as the direct-call
+    loop (non-empty corpus, zero leftover within-cluster pairs)."""
+    src = str(tmp_path / "incoming")
+    out = str(tmp_path / "corpus")
+    cb = str(tmp_path / "codebook.json")
+    batches = _batches(spark, sf_dir)
+    schema = batches[0].schema
+    # flat part-files in ONE monitored dir (the file source lists
+    # leaf files; nested per-batch dirs would be invisible to it)
+    for b in batches:
+        b.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src))
+    q = (stream.writeStream
+         .foreachBatch(make_semantic_ingest_batch_fn(out, cb, THRESH,
+                                                     dim=64))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(300)
+    assert q.exception() is None, q.exception()
+
+    corpus = spark.read.parquet(out)
+    assert corpus.count() > 0
+    cents = load_codebooks(spark, cb)[0]
+    assert pairs_with_centroids(corpus, cents, THRESH).count() == 0

@@ -101,6 +101,30 @@ def test_ann_hard_negatives_recall_vs_exact(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_ann_miner_identical_under_score_gather(spark, sf_dir):
+    """score_gather swaps the per-pair vector joins for the gathered
+    broadcast-matrix einsum (id-pairs-only shuffle, the E101
+    contract) — same candidates, same cosines, same ranking. Also
+    asserts the scoring stage adds no vector join of its own."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(200).cache()
+    K = 5
+
+    def rows(**kw):
+        return {(r.anchor_id, r.negative_id, r.cosine, r.rank)
+                for r in mine_hard_negatives_ann(
+                    emb, K, n_tables=16, **kw).collect()}
+
+    a = rows()
+    b = rows(score_gather=True)
+    assert a == b and a
+    plan = (mine_hard_negatives_ann(emb, K, n_tables=4,
+                                    score_gather=True)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "MapInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_build_contrastive_pairs(spark):
     """Planted geometry: two near-dup clusters (positives), a
     mid-similarity neighbor (the hard negative), an orthogonal vector
