@@ -28,7 +28,9 @@ from .winnow import (
     winnow_fingerprints,
 )
 from .semantic import (
+    keep_min_per_component,
     kmeans_assign,
+    pairs_with_centroids,
     semantic_dedup,
     semantic_dup_pairs,
 )
@@ -71,7 +73,8 @@ __all__ = [
     "cosine_near_dup_pairs_lsh",
     "cosine_pairs_allpairs_fold",
     "fingerprint_overlap_pairs", "kgram_hashes", "winnow_fingerprints",
-    "kmeans_assign", "semantic_dedup", "semantic_dup_pairs",
+    "keep_min_per_component", "kmeans_assign", "pairs_with_centroids",
+    "semantic_dedup", "semantic_dup_pairs",
     "remove_repeated_lines", "repeated_line_stats", "split_lines",
     "canonical_docs", "connected_components", "resolve_clusters",
     "source_overlap_matrix",

@@ -167,7 +167,8 @@ def _verify_exact(v: DataFrame, cand: DataFrame,
 
 def _np_prefilter(v: DataFrame, cand: DataFrame,
                   threshold: float,
-                  broadcast_vectors: bool = False) -> DataFrame:
+                  broadcast_vectors: bool = False,
+                  broadcast_handle: list | None = None) -> DataFrame:
     """Vectorized candidate screening: evaluate every candidate
     pair's dot per Arrow batch with one einsum — keeps the
     interpreted fold off the (possibly large) candidate set; only
@@ -196,44 +197,34 @@ def _np_prefilter(v: DataFrame, cand: DataFrame,
     Survivor pairs whose ids are not in ``v`` (impossible for
     candidates generated FROM v; defensive for external candidate
     sets) are dropped in both modes — the join does it implicitly,
-    the gather masks them out."""
+    the gather masks them out.
+
+    ``broadcast_handle``: a caller-owned list the gather broadcast is
+    appended to, so loops (the streaming ingest) can unpersist it
+    eagerly after the batch's actions instead of leaving O(corpus)
+    broadcast blocks to GC — the streaming/curation.py convention."""
     import numpy as np
 
     cut = threshold - _PREFILTER_MARGIN
 
     if broadcast_vectors:
-        rows_v = v.collect()
-        M = V.stack_batch([r.u for r in rows_v])
-        ids = np.fromiter((r.id for r in rows_v), dtype=np.int64,
-                          count=len(rows_v))
-        # id → row lookups must be vectorized C, not a Python dict:
-        # pandas .map(dict) measured ~45 s EXTRA at 47M candidate
-        # pairs (94M hash lookups) — searchsorted over the sorted id
-        # array does the same resolve in ~1 s
-        order = np.argsort(ids, kind="stable")
-        sorted_ids = ids[order]
         bc = v.sparkSession.sparkContext.broadcast(
-            (sorted_ids, order, M))
+            V.gather_unit_matrix(v))
+        if broadcast_handle is not None:
+            broadcast_handle.append(bc)
 
         def dots_gather(batches: Iterator[pd.DataFrame]
                         ) -> Iterator[pd.DataFrame]:
             sids, perm, mat = bc.value
-            hi = len(sids)
-            if hi == 0:          # empty corpus: no pair can resolve
+            if len(sids) == 0:   # empty corpus: no pair can resolve
                 return
-
-            def resolve(col):
-                raw = col.to_numpy(dtype=np.int64)
-                pos = np.searchsorted(sids, raw)
-                pos_c = np.minimum(pos, hi - 1)
-                ok = (pos < hi) & (sids[pos_c] == raw)
-                return perm[pos_c], ok
-
             for pdf in batches:
                 if not len(pdf):
                     continue
-                ra, ka = resolve(pdf["vec_a"])
-                rb, kb = resolve(pdf["vec_b"])
+                ra, ka = V.resolve_gathered_ids(sids, perm,
+                                                pdf["vec_a"])
+                rb, kb = V.resolve_gathered_ids(sids, perm,
+                                                pdf["vec_b"])
                 known = ka & kb
                 if not known.all():
                     pdf = pdf.loc[known]

@@ -225,10 +225,15 @@ def semantic_dup_pairs(df: DataFrame, threshold: float,
     (``embedding._verify_exact``) — together the corpus-scale
     setting; both default to the bit-pinned SQL folds so the driver
     hashes stay byte-stable."""
+    from ..similarity.pq import train_pq
+
     if k is None:
         if n is None:
             n = df.count()
         k = scaled_k(n, target_cluster)
+    if dim is None:   # one probe job; pass dim to skip it
+        dim = len(_normalized(df, vec_col, id_col)
+                  .select("u").first().u)
     # NOTE: the corpus-count hint is deliberately NOT forwarded to
     # train_pq here: skipping the cap's TakeOrdered+repartition makes
     # centroid float sums depend on the input's physical partitioning,
@@ -236,25 +241,67 @@ def semantic_dup_pairs(df: DataFrame, threshold: float,
     # property its sibling ops test). Callers that accept layout-
     # dependent (still deterministic-per-layout) centroids can call
     # kmeans_assign(..., n=...) themselves.
-    assigned = pin(kmeans_assign(df, k, n_iters, vec_col, id_col, dim,
-                                 assign_kernel=assign_kernel))
+    cents = train_pq(df, vec_col=vec_col, id_col=id_col, dim=dim,
+                     m=1, k=k, n_iters=n_iters,
+                     assign_kernel=assign_kernel)[0]
+    return pairs_with_centroids(df, cents, threshold, vec_col, id_col,
+                                max_bucket=max_bucket,
+                                assign_kernel=assign_kernel,
+                                verify_kernel=verify_kernel,
+                                prefilter_broadcast=prefilter_broadcast)
+
+
+def pairs_with_centroids(df: DataFrame, cents: list, threshold: float,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id",
+                         max_bucket: int | None = None,
+                         assign_kernel: str = "sql",
+                         verify_kernel: str = "sql",
+                         prefilter_broadcast: bool = False,
+                         broadcast_handle: list | None = None
+                         ) -> DataFrame:
+    """(vec_a, vec_b, cosine ≥ threshold), both in the same cluster
+    of a PRE-TRAINED codebook — ``semantic_dup_pairs`` minus the
+    Lloyd training (and exactly what that operator now composes over
+    its freshly-trained centroids, so there is ONE candidate→
+    prefilter→verify chain to maintain). Direct callers are the
+    frozen-boundary paths: the streaming ingest loop and incremental
+    re-checks against a codebook artifact.
+
+    The raw within-cluster pair set is ~cluster/2 rows per corpus
+    vector — LINEAR in n, so it flows through the vectorized
+    prefilter first (AQE joins, einsum screening; hot-bucket star
+    guard via ``max_bucket``); only the near-output-sized survivors
+    reach the exact verify, whose "auto" mode buys its broadcast
+    with an actual row count. ``prefilter_broadcast=True`` swaps the
+    pair-side vector joins for the gathered-matrix screen
+    (id-pairs-only shuffle; see ``_np_prefilter``'s size bound), and
+    ``broadcast_handle`` forwards to it so loops can free the
+    gather broadcast eagerly."""
+    v = pin(assign_with_centroids(
+        _normalized(df, vec_col, id_col), cents,
+        kernel=assign_kernel))
     cand = band_candidates(
-        assigned.select("id", "cluster"), max_bucket,
+        v.select("id", "cluster"), max_bucket,
         band_cols=("cluster",), id_col="id",
         out_cols=("vec_a", "vec_b"))
-    v = assigned.select("id", "u")
-    # The raw within-cluster pair set is ~target_cluster/2 rows per
-    # corpus vector — LINEAR in n, so it must flow through the
-    # vectorized prefilter (AQE joins, einsum screening) first; only
-    # the near-output-sized survivors reach the exact verify, whose
-    # "auto" mode buys its broadcast with an actual row count.
-    # prefilter_broadcast=True swaps the pair-side vector joins for
-    # the gathered-matrix screen (id-pairs-only shuffle; see
-    # _np_prefilter's size bound) — the setting for corpora whose
-    # vector table fits worker memory.
-    survivors = _np_prefilter(v, cand, threshold,
-                              broadcast_vectors=prefilter_broadcast)
-    return _verify_exact(v, survivors, threshold, kernel=verify_kernel)
+    u = v.select("id", "u")
+    survivors = _np_prefilter(u, cand, threshold,
+                              broadcast_vectors=prefilter_broadcast,
+                              broadcast_handle=broadcast_handle)
+    return _verify_exact(u, survivors, threshold, kernel=verify_kernel)
+
+
+def keep_min_per_component(df: DataFrame, pairs: DataFrame,
+                           id_col: str) -> DataFrame:
+    """The shared keeper rule: connected near-dup groups collapse to
+    their min-id member; everything unpaired passes through. One
+    definition for batch ``semantic_dedup`` and the streaming ingest
+    loop, so the keeper semantics cannot drift."""
+    comp = connected_components(pairs, "vec_a", "vec_b")
+    drop = (comp.filter(F.col("node") != F.col("component"))
+            .select(F.col("node").alias(id_col)))
+    return df.join(drop, id_col, "left_anti")
 
 
 def incremental_semantic_pairs(new_emb: DataFrame, corpus: DataFrame,
@@ -270,7 +317,8 @@ def incremental_semantic_pairs(new_emb: DataFrame, corpus: DataFrame,
                                max_cluster: int | None = None,
                                assign_kernel: str = "sql",
                                verify_kernel: str = "sql",
-                               prefilter_broadcast: bool = False
+                               prefilter_broadcast: bool = False,
+                               broadcast_handle: list | None = None
                                ) -> DataFrame:
     """(vec_new, vec_corpus, cosine ≥ threshold): semantic near-dups
     between an ingest batch and the existing corpus WITHOUT re-pairing
@@ -352,7 +400,8 @@ def incremental_semantic_pairs(new_emb: DataFrame, corpus: DataFrame,
         # verify join — the batch path's prefilter, opt-in here so
         # the oracle-pinned default plan keeps its single join chain
         cand = _np_prefilter(v_all, cand, threshold,
-                             broadcast_vectors=True)
+                             broadcast_vectors=True,
+                             broadcast_handle=broadcast_handle)
     return (_verify_exact(v_all, cand, threshold,
                           broadcast_candidates=False,
                           kernel=verify_kernel)
@@ -383,7 +432,4 @@ def semantic_dedup(df: DataFrame, threshold: float,
                                assign_kernel=assign_kernel,
                                verify_kernel=verify_kernel,
                                prefilter_broadcast=prefilter_broadcast)
-    comp = connected_components(pairs, "vec_a", "vec_b")
-    drop = (comp.filter(F.col("node") != F.col("component"))
-            .select(F.col("node").alias(id_col)))
-    return df.join(drop, id_col, "left_anti")
+    return keep_min_per_component(df, pairs, id_col)

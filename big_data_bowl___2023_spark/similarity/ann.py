@@ -308,47 +308,41 @@ def mine_hard_negatives_ann(corpus: DataFrame, k: int,
 
 
 def _score_id_pairs_gather(v: DataFrame, pairs: DataFrame,
-                           a_col: str, b_col: str) -> DataFrame:
+                           a_col: str, b_col: str,
+                           broadcast_handle: list | None = None
+                           ) -> DataFrame:
     """(a, b, cosine) for id pairs over PRE-NORMALIZED unit vectors,
     scored against the gathered broadcast matrix — one einsum per
     Arrow batch, the pair stream carries ids only (E101's shuffle
     contract, applied to scoring instead of threshold screening).
-    Pairs with ids missing from ``v`` are dropped, matching what the
-    join-mode scoring does implicitly."""
+    Gather/resolve machinery is the shared functions.vectors pair
+    (``gather_unit_matrix``/``resolve_gathered_ids``) so the kernels
+    cannot drift from the prefilter's. Pairs with ids missing from
+    ``v`` are dropped, matching what the join-mode scoring does
+    implicitly."""
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    rows_v = v.collect()
-    M = V.stack_batch([r.u for r in rows_v])
-    ids = np.fromiter((r.id for r in rows_v), dtype=np.int64,
-                      count=len(rows_v))
-    order = np.argsort(ids, kind="stable")
-    bc = v.sparkSession.sparkContext.broadcast((ids[order], order, M))
+    bc = v.sparkSession.sparkContext.broadcast(
+        V.gather_unit_matrix(v))
+    if broadcast_handle is not None:
+        broadcast_handle.append(bc)
 
     schema = T.StructType([pairs.schema[a_col], pairs.schema[b_col],
                            T.StructField("cosine", T.DoubleType())])
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sids, perm, mat = bc.value
-        hi = len(sids)
-        if hi == 0:
+        if len(sids) == 0:
             return
-
-        def resolve(col):
-            raw = col.to_numpy(dtype=np.int64)
-            pos = np.searchsorted(sids, raw)
-            pos_c = np.minimum(pos, hi - 1)
-            ok = (pos < hi) & (sids[pos_c] == raw)
-            return perm[pos_c], ok
-
         for pdf in batches:
             if not len(pdf):
                 continue
-            ra, ka = resolve(pdf[a_col])
-            rb, kb = resolve(pdf[b_col])
+            ra, ka = V.resolve_gathered_ids(sids, perm, pdf[a_col])
+            rb, kb = V.resolve_gathered_ids(sids, perm, pdf[b_col])
             known = ka & kb
             if not known.all():
                 pdf = pdf.loc[known]

@@ -14,19 +14,24 @@ freezes the cluster boundaries once and admits greedily:
   it map-side (broadcast k×dim matrix), so cluster boundaries never
   move between batches;
 * WITHIN a batch: pairs under the frozen codebook
-  (:func:`pairs_with_centroids` — the semantic_dup_pairs kernel
-  chain with pre-trained centroids), connected components, keep the
-  min-id member per near-dup group;
+  (``dedup.semantic.pairs_with_centroids`` — the ONE candidate→
+  prefilter→verify chain, shared with the batch operator), connected
+  components, keep the min-id member per near-dup group (the shared
+  ``keep_min_per_component`` rule);
 * AGAINST history: ``incremental_semantic_pairs(cents=...)`` — ONE
   new×corpus equi-join on the frozen cluster id; a batch row
   matching any corpus row ≥ threshold is rejected. The corpus is
   never re-paired against itself;
-* STATE lives in durable artifacts (the corpus parquet dir + the
-  codebook file), not stream state — restarts, redeploys, and
-  checkpoint loss cannot lose membership, exactly like the curation
-  loop's fingerprint index. Replayed batches are idempotent: rows
-  whose ``vec_id`` is already in the corpus are dropped by an exact
-  id anti-join before any pairing.
+* STATE lives in durable artifacts (the corpus dir, the codebook
+  file, and the dropped-ids dir), not stream state — restarts,
+  redeploys, and checkpoint loss cannot lose membership, exactly
+  like the curation loop's fingerprint index. Replayed batches are
+  idempotent BOTH ways: previously-kept ids are excluded by the
+  corpus anti-join, previously-DROPPED ids by the dropped-ids index
+  — without the latter, a redelivered batch would re-adjudicate a
+  dropped row against a corpus that lacks its within-batch witness
+  (keep A of the chain A~B~C, replay, C's witness B is gone → C
+  slips in). The dropped index closes exactly that hole.
 
 Accepted recall trade (documented, inherent to frozen boundaries):
 a near-dup pair straddling a frozen cluster boundary is not seen —
@@ -42,62 +47,24 @@ extensions, E102); the reference has no streaming surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..dedup.clusters import connected_components
-from ..dedup.embedding import _normalized, _np_prefilter, _verify_exact
-from ..dedup.minhash import band_candidates
 from ..dedup.semantic import (
-    assign_with_centroids,
     incremental_semantic_pairs,
+    keep_min_per_component,
+    pairs_with_centroids,
     scaled_k,
 )
 from ..session import pin
+from .curation import _read_parquet_if_present
 
-
-def pairs_with_centroids(df: DataFrame, cents: list, threshold: float,
-                         vec_col: str = "embedding",
-                         id_col: str = "vec_id",
-                         max_bucket: int | None = None,
-                         assign_kernel: str = "sql",
-                         verify_kernel: str = "sql",
-                         prefilter_broadcast: bool = False) -> DataFrame:
-    """(vec_a, vec_b, cosine ≥ threshold), both in the same cluster
-    of a PRE-TRAINED codebook — ``semantic_dup_pairs`` minus the
-    Lloyd training, for callers whose cluster boundaries are a frozen
-    artifact (the streaming loop; incremental re-checks). Same
-    kernel-chain and guards as the batch operator: cluster-keyed band
-    candidates (hot-bucket star guard via ``max_bucket``), vectorized
-    einsum prefilter, exact verify on survivors."""
-    v = pin(assign_with_centroids(
-        _normalized(df, vec_col, id_col), cents, kernel=assign_kernel))
-    cand = band_candidates(
-        v.select("id", "cluster"), max_bucket,
-        band_cols=("cluster",), id_col="id",
-        out_cols=("vec_a", "vec_b"))
-    u = v.select("id", "u")
-    survivors = _np_prefilter(u, cand, threshold,
-                              broadcast_vectors=prefilter_broadcast)
-    return _verify_exact(u, survivors, threshold, kernel=verify_kernel)
-
-
-def _read_parquet_if_present(spark: SparkSession,
-                             path: str) -> DataFrame | None:
-    """The corpus dir is dir-absent exactly once (bootstrap); any
-    OTHER read failure must re-raise — a transient error treated as
-    'no corpus' would re-bootstrap and admit every duplicate (the
-    round-8 bloom-dir lesson, applied here from the start)."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(jpath):
-        return None
-    return spark.read.parquet(path)
+__all__ = ["make_semantic_ingest_batch_fn", "pairs_with_centroids"]
 
 
 def make_semantic_ingest_batch_fn(out_dir: str, codebook_path: str,
                                   threshold: float,
+                                  dropped_dir: str | None = None,
                                   vec_col: str = "embedding",
                                   id_col: str = "vec_id",
                                   dim: int = 64,
@@ -111,75 +78,118 @@ def make_semantic_ingest_batch_fn(out_dir: str, codebook_path: str,
     """The continuous-ingestion LOOP for an embedding corpus: a
     ``foreachBatch`` function that semantically dedups each
     micro-batch — within itself AND against the accumulated corpus —
-    under a FROZEN codebook, then appends the survivors to
-    ``out_dir``. The first batch bootstraps: it is deduped against
-    itself (training its own codebook at ``scaled_k`` of the batch),
-    the codebook is saved to ``codebook_path``, and its survivors
-    seed the corpus. Returns the function for
+    under a FROZEN codebook, appends survivors to ``out_dir`` and
+    dropped ids to ``dropped_dir`` (default ``out_dir + "_dropped"``;
+    the replay index that makes redelivered batches fully
+    idempotent). The first non-empty batch bootstraps: it is deduped
+    against itself (training its own codebook at ``scaled_k`` of the
+    batch), the codebook is saved to ``codebook_path``, and its
+    survivors seed the corpus. Empty batches are no-ops — in
+    particular an empty FIRST batch must not train (and freeze) a
+    zero-centroid codebook. Returns the function for
     ``stream.writeStream.foreachBatch(...)`` — also directly callable
     with (batch_df, batch_id) for batch backfills.
 
+    Write ordering is load-bearing, like the curation loop's
+    bloom-before-index rule: codebook before corpus at bootstrap (a
+    crash between leaves a codebook with no corpus — harmless,
+    re-bootstrap overwrites — never a corpus whose boundaries would
+    silently retrain), and dropped-ids before corpus on every batch
+    (a crash between leaves dropped ids recorded with no survivors —
+    the replay then re-admits the SAME survivor set, deterministic —
+    never survivors without their dropped witnesses, which would
+    re-adjudicate the remainder against a witness-less corpus).
+
     Kernel kwargs (``assign_kernel``/``verify_kernel``/
     ``prefilter_broadcast``) forward to every pairing stage — the
-    corpus-scale settings; ``max_cluster`` is the mass-duplicate
-    guard on the corpus side of the cross join (see
-    ``incremental_semantic_pairs``)."""
+    corpus-scale settings; under ``prefilter_broadcast`` the
+    per-batch gather broadcasts are freed eagerly after the writes
+    (a stream processes thousands of batches). ``max_cluster`` is
+    the mass-duplicate guard on the corpus side of the cross join
+    (see ``incremental_semantic_pairs``)."""
     from ..similarity.pq import load_codebooks, save_codebooks, train_pq
+
+    if dropped_dir is None:
+        dropped_dir = out_dir.rstrip("/") + "_dropped"
+
+    def _ingest(survivors: DataFrame, dropped_src: DataFrame) -> None:
+        """Shared tail: dropped ids FIRST, then survivors (see the
+        ordering note above)."""
+        (dropped_src.select(id_col).distinct()
+         .write.mode("append").parquet(dropped_dir))
+        survivors.write.mode("append").parquet(out_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         corpus = _read_parquet_if_present(spark, out_dir)
+        bcs: list = []
+        try:
+            if corpus is None:
+                batch_df = pin(batch_df)
+                n = batch_df.count()
+                if n == 0:
+                    # an empty bootstrap must NOT freeze an empty
+                    # codebook (every later real batch would assign
+                    # against zero centroids forever)
+                    return
+                cents = train_pq(batch_df, vec_col=vec_col,
+                                 id_col=id_col, dim=dim, m=1,
+                                 k=scaled_k(n, target_cluster),
+                                 n_iters=n_iters,
+                                 assign_kernel=assign_kernel)[0]
+                save_codebooks(spark, [cents], codebook_path)
+                survivors = pin(_drop_within_batch(batch_df, cents,
+                                                   bcs))
+                _ingest(survivors,
+                        batch_df.join(survivors.select(id_col),
+                                      id_col, "left_anti"))
+                return
 
-        if corpus is None:
-            # bootstrap: train THE codebook on the first batch and
-            # resolve its internal near-dups under it. Codebook goes
-            # to disk FIRST: a crash between the two writes then
-            # leaves a codebook with no corpus (harmless — the next
-            # attempt re-bootstraps and overwrites it), never a
-            # corpus with no codebook (which would retrain on batch
-            # 2 and silently move every frozen boundary).
-            n = batch_df.count()
-            cents = train_pq(batch_df, vec_col=vec_col, id_col=id_col,
-                             dim=dim, m=1,
-                             k=scaled_k(n, target_cluster),
-                             n_iters=n_iters,
-                             assign_kernel=assign_kernel)[0]
-            save_codebooks(spark, [cents], codebook_path)
-            survivors = _drop_within_batch(batch_df, cents)
-            survivors.write.mode("append").parquet(out_dir)
-            return
+            cents = load_codebooks(spark, codebook_path)[0]
+            # replay idempotency, both directions: kept ids via the
+            # corpus, dropped ids via the dropped index (and together
+            # they enforce incremental_semantic_pairs' disjoint-id
+            # precondition)
+            fresh = batch_df.join(corpus.select(id_col), id_col,
+                                  "left_anti")
+            dropped_idx = _read_parquet_if_present(spark, dropped_dir)
+            if dropped_idx is not None:
+                fresh = fresh.join(dropped_idx.select(id_col),
+                                   id_col, "left_anti")
+            fresh = pin(fresh)
+            cross = incremental_semantic_pairs(
+                fresh, corpus, threshold, vec_col=vec_col,
+                id_col=id_col, dim=dim, cents=cents,
+                max_cluster=max_cluster,
+                assign_kernel=assign_kernel,
+                verify_kernel=verify_kernel,
+                prefilter_broadcast=prefilter_broadcast,
+                broadcast_handle=bcs)
+            rejected = cross.select(
+                F.col("vec_new").alias(id_col)).distinct()
+            novel = fresh.join(rejected, id_col, "left_anti")
+            survivors = pin(_drop_within_batch(novel, cents, bcs))
+            _ingest(survivors,
+                    fresh.join(survivors.select(id_col), id_col,
+                               "left_anti"))
+        finally:
+            # per-batch gather broadcasts are O(corpus) bytes — free
+            # them eagerly, not at GC's leisure (curation.py:254's
+            # convention)
+            for bc in bcs:
+                bc.unpersist(blocking=False)
 
-        cents = load_codebooks(spark, codebook_path)[0]
-        # replay idempotency: an already-ingested id is dropped
-        # exactly (same contract as the curation loop's fingerprint
-        # index), which also enforces incremental_semantic_pairs'
-        # disjoint-id precondition
-        fresh = pin(batch_df.join(
-            corpus.select(id_col), id_col, "left_anti"))
-        cross = incremental_semantic_pairs(
-            fresh, corpus, threshold, vec_col=vec_col, id_col=id_col,
-            dim=dim, cents=cents, max_cluster=max_cluster,
-            assign_kernel=assign_kernel, verify_kernel=verify_kernel,
-            prefilter_broadcast=prefilter_broadcast)
-        rejected = cross.select(
-            F.col("vec_new").alias(id_col)).distinct()
-        novel = fresh.join(rejected, id_col, "left_anti")
-        survivors = _drop_within_batch(novel, cents)
-        survivors.write.mode("append").parquet(out_dir)
-
-    def _drop_within_batch(df: DataFrame, cents: list) -> DataFrame:
+    def _drop_within_batch(df: DataFrame, cents: list,
+                           bcs: list) -> DataFrame:
         """Resolve near-dups INSIDE one batch under the frozen
-        codebook: pairs → connected components → keep each group's
-        min-id member (identical keeper rule to batch
-        ``semantic_dedup``)."""
+        codebook — the shared pair chain + keeper rule from
+        dedup/semantic.py."""
         pairs = pairs_with_centroids(
             df, cents, threshold, vec_col, id_col,
             max_bucket=max_bucket, assign_kernel=assign_kernel,
             verify_kernel=verify_kernel,
-            prefilter_broadcast=prefilter_broadcast)
-        comp = connected_components(pairs, "vec_a", "vec_b")
-        drop = (comp.filter(F.col("node") != F.col("component"))
-                .select(F.col("node").alias(id_col)))
-        return df.join(drop, id_col, "left_anti")
+            prefilter_broadcast=prefilter_broadcast,
+            broadcast_handle=bcs)
+        return keep_min_per_component(df, pairs, id_col)
 
     return process

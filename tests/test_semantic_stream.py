@@ -134,6 +134,63 @@ def test_semantic_ingest_kernels_agree(spark, sf_dir, tmp_path):
     assert outs[0] == outs[1] and outs[0]
 
 
+def _angle_vec(deg):
+    import math
+    r = math.radians(deg)
+    return [math.cos(r), math.sin(r)]
+
+
+def test_semantic_ingest_replay_chain_stays_dropped(spark, tmp_path):
+    """The dropped-ids index makes redelivery idempotent for
+    transitive chains: keep A of A~B~C (B, C dropped), replay the
+    batch — without the index, C's witness B is gone from every
+    surface and C would slip in; with it, the replay is a no-op."""
+    out = str(tmp_path / "corpus")
+    cb = str(tmp_path / "cb.json")
+    t = 0.75
+    b0 = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [-1.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    # all three land in the [1,0] cluster, none within threshold of
+    # the corpus points; cos(A,B)=cos40≈.766, cos(B,C)=cos5≈.996,
+    # cos(A,C)=cos45≈.707 < t — the A~B~C chain with no A~C edge
+    b1 = spark.createDataFrame(
+        [(10, _angle_vec(44)), (11, _angle_vec(84)),
+         (12, _angle_vec(89))],
+        "vec_id long, embedding array<double>")
+    process = make_semantic_ingest_batch_fn(out, cb, t, dim=2)
+    process(b0, 0)
+    process(b1, 1)
+    kept = {r.vec_id for r in
+            spark.read.parquet(out).select("vec_id").collect()}
+    assert kept == {1, 2, 10}            # A kept, B and C dropped
+    process(b1, 2)                       # redelivery
+    kept_after = {r.vec_id for r in
+                  spark.read.parquet(out).select("vec_id").collect()}
+    assert kept_after == {1, 2, 10}      # C must NOT slip in
+    dropped = {r.vec_id for r in spark.read.parquet(
+        out + "_dropped").select("vec_id").collect()}
+    assert dropped == {11, 12}
+
+
+def test_semantic_ingest_empty_bootstrap_is_noop(spark, sf_dir,
+                                                 tmp_path):
+    """An empty first micro-batch must not freeze a zero-centroid
+    codebook — the loop stays un-bootstrapped until real data."""
+    out = str(tmp_path / "corpus")
+    cb = str(tmp_path / "cb.json")
+    process = make_semantic_ingest_batch_fn(out, cb, THRESH, dim=64)
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>")
+    process(empty, 0)
+    import os
+    assert not os.path.exists(out) and not os.path.exists(cb)
+    b0 = _batches(spark, sf_dir)[0]
+    process(b0, 1)                       # real bootstrap still works
+    assert spark.read.parquet(out).count() > 0
+    assert load_codebooks(spark, cb)[0]
+
+
 @pytest.mark.slow
 def test_semantic_ingest_real_stream(spark, sf_dir, tmp_path):
     """End-to-end through a genuine file-source stream: stage the
