@@ -59,7 +59,78 @@ from ..dedup.semantic import (
 from ..session import pin
 from .curation import _read_parquet_if_present
 
-__all__ = ["make_semantic_ingest_batch_fn", "pairs_with_centroids"]
+__all__ = ["compact_semantic_corpus", "make_semantic_ingest_batch_fn",
+           "pairs_with_centroids"]
+
+
+def compact_semantic_corpus(spark, out_dir: str, codebook_path: str,
+                            threshold: float,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id",
+                            dim: int = 64, n_iters: int = 4,
+                            target_cluster: int = 250,
+                            max_bucket: int | None = None,
+                            assign_kernel: str = "sql",
+                            verify_kernel: str = "sql",
+                            prefilter_broadcast: bool = False) -> dict:
+    """The periodic bronze→silver pass the ingest loop's recall trade
+    defers to: re-run FULL batch semantic dedup over the accumulated
+    corpus (fresh ``scaled_k`` codebook, so boundary-straddling
+    near-dups the frozen clusters could not see are finally paired),
+    rewrite the corpus, refresh the codebook artifact, and reset the
+    dropped-ids index to exactly the ids the compaction dropped.
+
+    Run it with the stream STOPPED (or against a snapshot copy): it
+    rewrites the same dirs the loop appends to. Write order mirrors
+    the loop's crash story — compacted corpus to a temp dir first,
+    then codebook, dropped index, and the corpus swap last, so an
+    interrupted compaction leaves the old corpus readable (the temp
+    dir is simply re-created next attempt).
+
+    Returns ``{"before": n, "after": n, "dropped": n}`` — the audit
+    record. Kernel kwargs are the corpus-scale settings, exactly as
+    on the loop."""
+    from ..similarity.pq import save_codebooks, train_pq
+
+    corpus = _read_parquet_if_present(spark, out_dir)
+    if corpus is None:
+        return {"before": 0, "after": 0, "dropped": 0}
+    corpus = pin(corpus)
+    n = corpus.count()
+    cents = train_pq(corpus, vec_col=vec_col, id_col=id_col, dim=dim,
+                     m=1, k=scaled_k(n, target_cluster),
+                     n_iters=n_iters,
+                     assign_kernel=assign_kernel)[0]
+    bcs: list = []
+    try:
+        pairs = pairs_with_centroids(
+            corpus, cents, threshold, vec_col, id_col,
+            max_bucket=max_bucket, assign_kernel=assign_kernel,
+            verify_kernel=verify_kernel,
+            prefilter_broadcast=prefilter_broadcast,
+            broadcast_handle=bcs)
+        kept = pin(keep_min_per_component(corpus, pairs, id_col))
+        n_kept = kept.count()
+
+        tmp = out_dir.rstrip("/") + "_compacting"
+        kept.write.mode("overwrite").parquet(tmp)
+        save_codebooks(spark, [cents], codebook_path)
+        (corpus.join(kept.select(id_col), id_col, "left_anti")
+         .select(id_col).write.mode("overwrite")
+         .parquet(out_dir.rstrip("/") + "_dropped"))
+        # the swap: rewrite the corpus dir from the committed temp
+        # copy (two renames would be atomic-er on HDFS; overwrite
+        # from the durable temp keeps the recovery story simple and
+        # object-store-safe — a crash here re-runs compaction over
+        # whichever corpus state exists, always valid input). NOTE
+        # successive passes are monotone, not a one-step fixpoint:
+        # each retrain can expose pairs the previous boundaries hid
+        # and drop a few more
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(out_dir)
+    finally:
+        for bc in bcs:
+            bc.unpersist(blocking=False)
+    return {"before": n, "after": n_kept, "dropped": n - n_kept}
 
 
 def make_semantic_ingest_batch_fn(out_dir: str, codebook_path: str,

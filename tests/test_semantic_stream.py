@@ -16,6 +16,7 @@ from big_data_bowl___2023_spark.dedup.semantic import semantic_dedup
 from big_data_bowl___2023_spark.similarity.pq import load_codebooks
 from big_data_bowl___2023_spark.sources.io import load_table
 from big_data_bowl___2023_spark.streaming.semantic_stream import (
+    compact_semantic_corpus,
     make_semantic_ingest_batch_fn,
     pairs_with_centroids,
 )
@@ -189,6 +190,59 @@ def test_semantic_ingest_empty_bootstrap_is_noop(spark, sf_dir,
     process(b0, 1)                       # real bootstrap still works
     assert spark.read.parquet(out).count() > 0
     assert load_codebooks(spark, cb)[0]
+
+
+def test_compaction_recovers_cross_boundary_dups(spark, sf_dir,
+                                                 tmp_path):
+    """The bronze→silver pass: after the ingest loop, compaction
+    retrains and re-dedups the whole corpus — its output equals the
+    batch semantic_dedup of the accumulated corpus (same knobs), the
+    dropped index is reset to the compaction's drops, and a second
+    compaction is a no-op (idempotent)."""
+    out = str(tmp_path / "corpus")
+    cb = str(tmp_path / "cb.json")
+    process = make_semantic_ingest_batch_fn(out, cb, THRESH, dim=64)
+    for i, b in enumerate(_batches(spark, sf_dir)):
+        process(b, i)
+    # snapshot BEFORE compacting: the overwrite of out invalidates
+    # any cached plan reading that path, so post-compaction reads of
+    # `accumulated` would silently see the NEW dir
+    acc_rows = spark.read.parquet(out).collect()
+    acc_ids = {r.vec_id for r in acc_rows}
+    accumulated = spark.createDataFrame(
+        acc_rows, spark.read.parquet(out).schema).cache()
+
+    stats = compact_semantic_corpus(spark, out, cb, THRESH, dim=64)
+    assert stats["before"] == len(acc_ids)
+    assert stats["after"] == stats["before"] - stats["dropped"]
+
+    got = {r.vec_id for r in
+           spark.read.parquet(out).select("vec_id").collect()}
+    want = {r.vec_id for r in
+            semantic_dedup(accumulated, THRESH, dim=64)
+            .select("vec_id").collect()}
+    assert got == want and got
+    dropped = {r.vec_id for r in spark.read.parquet(
+        out + "_dropped").select("vec_id").collect()}
+    assert dropped == acc_ids - got
+    # fresh codebook invariant: zero leftover within-cluster pairs
+    cents = load_codebooks(spark, cb)[0]
+    assert pairs_with_centroids(
+        spark.read.parquet(out), cents, THRESH).count() == 0
+    # re-running is safe and monotone: the next pass starts from the
+    # previous output; it MAY drop more (its retrained codebook can
+    # expose pairs the previous boundaries hid) but never grows
+    again = compact_semantic_corpus(spark, out, cb, THRESH, dim=64)
+    assert again["before"] == stats["after"]
+    assert 0 <= again["dropped"] <= again["before"]
+    assert again["after"] == again["before"] - again["dropped"]
+
+
+def test_compaction_on_absent_corpus_is_noop(spark, tmp_path):
+    stats = compact_semantic_corpus(
+        spark, str(tmp_path / "nope"), str(tmp_path / "cb.json"),
+        THRESH, dim=64)
+    assert stats == {"before": 0, "after": 0, "dropped": 0}
 
 
 @pytest.mark.slow
