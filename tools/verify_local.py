@@ -99,12 +99,27 @@ def bench_gate(spark, qs) -> None:
         return
     try:
         with open(path) as fh:
-            anchors = json.load(fh)["anchors"]
+            anchors_payload = json.load(fh)
+        anchors = anchors_payload["anchors"]
     except Exception as e:    # noqa: BLE001 — corrupt file, not a fail
         print(f"bench-gate: unreadable anchors file ({e}), skipping")
         return
     print(f"\nbench-gate ({BENCH_GATE_SF_DIR}, median-of-3 vs "
           f"quiet anchors):")
+    # calibration first: a drifted probe means the ratios below are
+    # ambient load, not plan regressions (bench.py's r9 mechanism)
+    try:
+        import bench
+
+        shots = bench._calibration_shots(spark, 3)
+        cal = statistics.median(shots)
+        a = anchors_payload.get("calibration", {}).get(
+            "anchors", {}).get(
+                str(spark.sparkContext.defaultParallelism))
+        drift = f" = {cal / a:.2f}x quiet" if a else ""
+        print(f"  calibration: {cal:.2f}s{drift}")
+    except Exception as e:    # noqa: BLE001 — advisory only
+        print(f"  calibration: unavailable ({e})")
     for name in GATE_QUERIES:
         if name not in qs or name not in anchors:
             continue
