@@ -1,0 +1,168 @@
+"""Scalar (int8) embedding quantization — the STORAGE/IO compression
+artifact for a corpus-scale embedding table, complementing product
+quantization (similarity/pq.py):
+
+* PQ compresses for SEARCH (m codes per vector, ADC table lookups,
+  ~32× but lossy enough to need a re-rank stage);
+* scalar quantization compresses for STORAGE AND TRANSFER: one int8
+  per dimension against per-dimension [lo, hi] ranges — 4× smaller
+  than float32 on disk (8× vs the double arrays the testdata
+  carries), with a HARD per-dimension error bound of
+  (hi − lo) / 255 / 2, so dequantized vectors are drop-in inputs for
+  any screening stage while exact stages re-fetch raw vectors for
+  survivors only.
+
+The ranges are a tiny mergeable artifact (2·dim doubles): computed
+in ONE aggregation pass, persisted beside the codes table, merged
+across ingest batches by element-wise min/max (``merge_ranges``) —
+the same append-only artifact discipline as the sketch families.
+Out-of-range values in LATER batches (a batch quantized against
+yesterday's ranges) saturate to the range edge — lossy but bounded,
+and the merged artifact tells the reader which batches predate which
+ranges.
+
+Spark mapping: everything is expressions (codegen scan for the
+ranges aggregate; the encode/decode transforms are higher-order
+functions — interpreted, but these are ONE-TIME storage passes per
+batch, not per-pair inner loops, the same cost class as
+``l2_normalize``). Search composes as quantized screen → exact
+re-rank, mirroring ``pq_topk_rerank``.
+
+Reference scope note: north-star extension (SURVEY.md §2 extensions,
+E103); the reference has no vector surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vectors as V
+
+_LEVELS = 255            # int8 code points used: −127 … +127 around 0
+
+
+def embedding_ranges(df: DataFrame, vec_col: str = "embedding",
+                     dim: int = 64) -> list:
+    """Per-dimension [lo, hi] as a plain Python list of (lo, hi)
+    pairs — ONE aggregation job (2·dim codegen min/max columns), a
+    KB-scale artifact the encoder broadcasts as literals. NaN/Inf
+    components are excluded from the ranges (nanvl-guarded), so a
+    corrupt row cannot blow a dimension's range to ±Inf and zero out
+    every real value's resolution."""
+    v = V.as_double(F.col(vec_col))
+    aggs = []
+    for d in range(dim):
+        x = F.element_at(v, d + 1)
+        x = F.when(x.isNotNull() & ~F.isnan(x)
+                   & (F.abs(x) < F.lit(float("inf"))), x)
+        aggs.append(F.min(x).alias(f"lo{d}"))
+        aggs.append(F.max(x).alias(f"hi{d}"))
+    row = df.agg(*aggs).first()
+    return [(float(row[f"lo{d}"]), float(row[f"hi{d}"]))
+            for d in range(dim)]
+
+
+def merge_ranges(a: list, b: list) -> list:
+    """Element-wise min/max union of two range artifacts — the
+    associative, idempotent merge law every mergeable artifact in
+    the engine obeys; ranges from disjoint ingest batches combine to
+    exactly the whole-corpus ranges."""
+    if len(a) != len(b):
+        raise ValueError(f"range dims differ: {len(a)} vs {len(b)}")
+    return [(min(la, lb), max(ha, hb))
+            for (la, ha), (lb, hb) in zip(a, b)]
+
+
+def _spans(ranges: list) -> tuple:
+    los = [lo for lo, _ in ranges]
+    spans = [(hi - lo) if hi > lo else 1.0 for lo, hi in ranges]
+    return los, spans
+
+
+def quantize_embeddings(df: DataFrame, ranges: list,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """(id, codes array<tinyint>): each dimension mapped affinely
+    from its [lo, hi] onto −127…+127 with round-half-up, values
+    outside the range SATURATED to the edges (later-batch drift is
+    bounded, never wrapped). A degenerate dimension (hi == lo)
+    encodes to −127 everywhere and decodes back to lo exactly.
+    NaN components encode to NULL elements (they carry no range
+    information); the search paths never see them — the engine-wide
+    degenerate-vector policy drops those rows before pairing."""
+    los, spans = _spans(ranges)
+    lo_arr = F.array(*[F.lit(float(x)) for x in los])
+    sp_arr = F.array(*[F.lit(float(x)) for x in spans])
+    v = V.as_double(F.col(vec_col))
+    code = F.transform(
+        v, lambda x, i: F.least(
+            F.lit(127), F.greatest(
+                F.lit(-127),
+                F.round((x - F.element_at(lo_arr, i + 1))
+                        / F.element_at(sp_arr, i + 1)
+                        * F.lit(float(_LEVELS - 1))
+                        - F.lit(127.0), 0))).cast("byte"))
+    return df.select(F.col(id_col).alias("id"), code.alias("codes"))
+
+
+def dequantize(codes_col, ranges: list):
+    """Column expression: codes array<tinyint> → array<double>
+    midpoint reconstruction. |x − dequant(quant(x))| ≤ span/254/2
+    per dimension for in-range x (the bound the tests pin)."""
+    los, spans = _spans(ranges)
+    lo_arr = F.array(*[F.lit(float(x)) for x in los])
+    sp_arr = F.array(*[F.lit(float(x)) for x in spans])
+    return F.transform(
+        codes_col,
+        lambda c, i: (c.cast("double") + F.lit(127.0))
+        / F.lit(float(_LEVELS - 1))
+        * F.element_at(sp_arr, i + 1)
+        + F.element_at(lo_arr, i + 1))
+
+
+def quantized_topk_rerank(codes: DataFrame, corpus: DataFrame,
+                          queries: DataFrame, ranges: list, k: int,
+                          shortlist: int | None = None,
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id") -> DataFrame:
+    """Quantized screen → EXACT cosine re-rank, the scalar-quant
+    sibling of ``pq_topk_rerank``: (query_id, neighbor_id, cosine,
+    rank). The corpus-wide pass reads ONLY the int8 codes table
+    (¼ the float32 bytes), scores dequantized cosine against the
+    broadcast queries, and keeps ``shortlist`` (default 5k)
+    candidates per query; raw vectors are fetched for those few rows
+    only and re-scored exactly — output cosines are bit-identical to
+    the exact kernel, recall is the screen's (near-1 at int8
+    resolution, pinned by pytest on the test corpus)."""
+    if shortlist is None:
+        shortlist = 5 * k
+    dq = codes.select(F.col("id").alias("neighbor_id"),
+                      dequantize(F.col("codes"), ranges).alias("nv"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       V.as_double(F.col(vec_col)).alias("qv"))
+    approx = F.nanvl(V.cosine(F.col("qv"), F.col("nv")), F.lit(0.0))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx"), F.asc("neighbor_id"))
+    cand = (dq.join(F.broadcast(q),
+                    F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("approx", approx)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= shortlist)
+            .select("query_id", "neighbor_id"))
+
+    from .pq import _normalized
+
+    c = _normalized(corpus, vec_col, id_col).select(
+        F.col("id").alias("neighbor_id"), F.col("u").alias("un"))
+    qn = _normalized(queries, vec_col, id_col).select(
+        F.col("id").alias("query_id"), F.col("u").alias("uq"))
+    cos = V.dot(F.col("uq"), F.col("un"))
+    scored = (c.join(F.broadcast(cand), "neighbor_id")
+              .join(F.broadcast(qn), "query_id")
+              .withColumn("cosine", F.round(cos, 6)))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))

@@ -1,0 +1,104 @@
+"""Scalar (int8) embedding quantization artifacts (round 9, E103):
+per-dimension ranges as a mergeable artifact, saturating encode with
+a hard reconstruction bound, and the quantized-screen → exact-rerank
+search composition."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_bowl___2023_spark.similarity.ann import brute_force_topk
+from big_data_bowl___2023_spark.similarity.quantize import (
+    dequantize,
+    embedding_ranges,
+    merge_ranges,
+    quantize_embeddings,
+    quantized_topk_rerank,
+)
+from big_data_bowl___2023_spark.sources.io import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def ranges(emb):
+    return embedding_ranges(emb, dim=64)
+
+
+def test_ranges_match_numpy(emb, ranges):
+    M = np.array([list(r.embedding) for r in emb.collect()],
+                 dtype=np.float64)
+    for d, (lo, hi) in enumerate(ranges):
+        assert lo == pytest.approx(M[:, d].min(), abs=1e-6)
+        assert hi == pytest.approx(M[:, d].max(), abs=1e-6)
+
+
+def test_merge_ranges_laws(ranges):
+    n = len(ranges)
+    a = ranges[: n // 2] + [(lo - 1, hi) for lo, hi in ranges[n // 2:]]
+    b = ranges[: n // 2] + [(lo, hi + 1) for lo, hi in ranges[n // 2:]]
+    m = merge_ranges(a, b)
+    assert m == merge_ranges(b, a)            # commutative
+    assert merge_ranges(m, m) == m            # idempotent
+    for (lo, hi), (la, ha), (lb, hb) in zip(m, a, b):
+        assert lo == min(la, lb) and hi == max(ha, hb)
+    with pytest.raises(ValueError, match="dims differ"):
+        merge_ranges(a, a[:-1])
+
+
+def test_disjoint_batch_ranges_merge_to_whole(emb):
+    a = embedding_ranges(emb.filter(F.col("vec_id") % 2 == 0), dim=64)
+    b = embedding_ranges(emb.filter(F.col("vec_id") % 2 == 1), dim=64)
+    whole = embedding_ranges(emb, dim=64)
+    assert merge_ranges(a, b) == whole
+
+
+def test_roundtrip_error_bound(emb, ranges):
+    """|x − dequant(quant(x))| ≤ span/254/2 per dimension, the hard
+    bound the artifact promises; codes are genuine tinyints."""
+    codes = quantize_embeddings(emb, ranges)
+    assert dict(codes.dtypes)["codes"] == "array<tinyint>"
+    back = codes.select("id", dequantize(F.col("codes"),
+                                         ranges).alias("dq"))
+    joined = (emb.select(F.col("vec_id").alias("id"), "embedding")
+              .join(back, "id").collect())
+    spans = [(hi - lo) if hi > lo else 1.0 for lo, hi in ranges]
+    for r in joined:
+        for d, (x, y) in enumerate(zip(r.embedding, r.dq)):
+            assert abs(float(x) - y) <= spans[d] / 254 / 2 + 1e-12, (
+                r.id, d)
+
+
+def test_saturation_and_degenerate_dim(spark):
+    df = spark.createDataFrame(
+        [(1, [5.0, 3.0]), (2, [-5.0, 3.0])],
+        "vec_id long, embedding array<double>")
+    ranges = [(-1.0, 1.0), (3.0, 3.0)]     # dim0 out-of-range both ways
+    rows = {r.id: list(r.codes) for r in
+            quantize_embeddings(df, ranges).collect()}
+    assert rows[1][0] == 127 and rows[2][0] == -127   # saturated
+    assert rows[1][1] == -127                          # degenerate dim
+    back = (quantize_embeddings(df, ranges)
+            .select(dequantize(F.col("codes"), ranges).alias("dq"))
+            .collect())
+    assert all(abs(r.dq[1] - 3.0) < 1e-12 for r in back)  # exact lo
+
+
+def test_quantized_rerank_matches_exact_topk(emb, ranges):
+    """End-to-end: int8 screen + exact re-rank reproduces the exact
+    brute-force top-k on the test corpus — same neighbors, same
+    bit-exact cosines (the re-rank IS the exact kernel; the screen
+    only has to not lose a true neighbor at int8 resolution)."""
+    queries = emb.limit(8)
+    codes = quantize_embeddings(emb, ranges).cache()
+    got = {(r.query_id, r.neighbor_id, r.cosine, r.rank) for r in
+           quantized_topk_rerank(codes, emb, queries, ranges,
+                                 k=5).collect()}
+    want = {(r.query_id, r.neighbor_id, r.cosine, r.rank) for r in
+            brute_force_topk(emb, queries, 5).collect()}
+    assert got == want and got
