@@ -318,6 +318,19 @@ def pq_topk_rerank(codes: DataFrame, corpus: DataFrame,
         shortlist = 5 * k
     cand = pq_topk(codes, queries, cents, shortlist,
                    vec_col, id_col, dim).select("query_id", "neighbor_id")
+    return exact_rerank(cand, corpus, queries, k, vec_col, id_col)
+
+
+def exact_rerank(cand: DataFrame, corpus: DataFrame,
+                 queries: DataFrame, k: int,
+                 vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """The shared +R stage: given (query_id, neighbor_id) shortlist
+    candidates from ANY screen (ADC, int8 dequant, LSH), fetch full
+    vectors for those few rows only (candidate-side broadcast joins)
+    and re-score with the exact fold cosine — one definition of the
+    tie-break/rounding/broadcast contract for every compressed-scan
+    search path (pq_topk_rerank, quantize.quantized_topk_rerank)."""
     c = _normalized(corpus, vec_col, id_col).select(
         F.col("id").alias("neighbor_id"), F.col("u").alias("un"))
     q = _normalized(queries, vec_col, id_col).select(

@@ -8,9 +8,9 @@ quantization (similarity/pq.py):
   per dimension against per-dimension [lo, hi] ranges — 4× smaller
   than float32 on disk (8× vs the double arrays the testdata
   carries), with a HARD per-dimension error bound of
-  (hi − lo) / 255 / 2, so dequantized vectors are drop-in inputs for
-  any screening stage while exact stages re-fetch raw vectors for
-  survivors only.
+  (hi − lo) / 254 / 2 (255 code points span 254 intervals), so
+  dequantized vectors are drop-in inputs for any screening stage
+  while exact stages re-fetch raw vectors for survivors only.
 
 The ranges are a tiny mergeable artifact (2·dim doubles): computed
 in ONE aggregation pass, persisted beside the codes table, merged
@@ -59,8 +59,19 @@ def embedding_ranges(df: DataFrame, vec_col: str = "embedding",
         aggs.append(F.min(x).alias(f"lo{d}"))
         aggs.append(F.max(x).alias(f"hi{d}"))
     row = df.agg(*aggs).first()
-    return [(float(row[f"lo{d}"]), float(row[f"hi{d}"]))
-            for d in range(dim)]
+    out = []
+    for d in range(dim):
+        lo, hi = row[f"lo{d}"], row[f"hi{d}"]
+        if lo is None or hi is None:
+            # an empty batch, or a dimension with zero finite values
+            # — there is no range to learn; fail with the dimension
+            # named instead of an opaque float(None) downstream
+            raise ValueError(
+                f"dimension {d} has no finite values "
+                "(empty batch or fully corrupt column) — no range "
+                "artifact can be built from it")
+        out.append((float(lo), float(hi)))
+    return out
 
 
 def merge_ranges(a: list, b: list) -> list:
@@ -88,21 +99,37 @@ def quantize_embeddings(df: DataFrame, ranges: list,
     outside the range SATURATED to the edges (later-batch drift is
     bounded, never wrapped). A degenerate dimension (hi == lo)
     encodes to −127 everywhere and decodes back to lo exactly.
-    NaN components encode to NULL elements (they carry no range
-    information); the search paths never see them — the engine-wide
-    degenerate-vector policy drops those rows before pairing."""
+    NaN/Inf components encode to NULL elements (corruption, not
+    range drift — saturating them would launder a corrupt row into
+    a legitimate-looking extreme); a NULL element makes the row's
+    dequantized cosine fall to ``V.cosine``'s 0.0 degenerate score,
+    so corrupt rows rank LAST in the quantized screen, matching the
+    engine-wide degenerate-vector policy."""
     los, spans = _spans(ranges)
     lo_arr = F.array(*[F.lit(float(x)) for x in los])
     sp_arr = F.array(*[F.lit(float(x)) for x in spans])
     v = V.as_double(F.col(vec_col))
-    code = F.transform(
-        v, lambda x, i: F.least(
+
+    def enc(x, i):
+        sat = F.least(
             F.lit(127), F.greatest(
                 F.lit(-127),
                 F.round((x - F.element_at(lo_arr, i + 1))
                         / F.element_at(sp_arr, i + 1)
                         * F.lit(float(_LEVELS - 1))
-                        - F.lit(127.0), 0))).cast("byte"))
+                        - F.lit(127.0), 0)))
+        # NaN must become NULL explicitly: Spark's least/greatest sort
+        # NaN GREATEST, so the saturation alone would silently encode
+        # a corrupt component as 127 — a legitimate-looking max-range
+        # value that then outranks real neighbors in the screen
+        # (Inf too: the ranges exclude it, so it is corruption, not
+        # range drift — saturating it to the edge would also launder
+        # a corrupt row into a legitimate extreme value)
+        return F.when(x.isNull() | F.isnan(x)
+                      | (F.abs(x) >= F.lit(float("inf"))),
+                      F.lit(None)).otherwise(sat).cast("byte")
+
+    code = F.transform(v, enc)
     return df.select(F.col(id_col).alias("id"), code.alias("codes"))
 
 
@@ -151,18 +178,6 @@ def quantized_topk_rerank(codes: DataFrame, corpus: DataFrame,
             .filter(F.col("__rn") <= shortlist)
             .select("query_id", "neighbor_id"))
 
-    from .pq import _normalized
+    from .pq import exact_rerank
 
-    c = _normalized(corpus, vec_col, id_col).select(
-        F.col("id").alias("neighbor_id"), F.col("u").alias("un"))
-    qn = _normalized(queries, vec_col, id_col).select(
-        F.col("id").alias("query_id"), F.col("u").alias("uq"))
-    cos = V.dot(F.col("uq"), F.col("un"))
-    scored = (c.join(F.broadcast(cand), "neighbor_id")
-              .join(F.broadcast(qn), "query_id")
-              .withColumn("cosine", F.round(cos, 6)))
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w2))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "cosine", "rank"))
+    return exact_rerank(cand, corpus, queries, k, vec_col, id_col)

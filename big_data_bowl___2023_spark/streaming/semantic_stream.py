@@ -77,8 +77,9 @@ def compact_semantic_corpus(spark, out_dir: str, codebook_path: str,
     defers to: re-run FULL batch semantic dedup over the accumulated
     corpus (fresh ``scaled_k`` codebook, so boundary-straddling
     near-dups the frozen clusters could not see are finally paired),
-    rewrite the corpus, refresh the codebook artifact, and reset the
-    dropped-ids index to exactly the ids the compaction dropped.
+    rewrite the corpus, refresh the codebook artifact, and extend the
+    dropped-ids index with the compaction's drops (UNION with the
+    ingest-time drops, which must survive — see the in-code note).
 
     Run it with the stream STOPPED (or against a snapshot copy): it
     rewrites the same dirs the loop appends to. Write order mirrors
@@ -97,6 +98,11 @@ def compact_semantic_corpus(spark, out_dir: str, codebook_path: str,
         return {"before": 0, "after": 0, "dropped": 0}
     corpus = pin(corpus)
     n = corpus.count()
+    # n is NOT passed as train_pq's rowcount hint on purpose: the
+    # hint skips the cap's TakeOrdered+repartition and makes centroid
+    # sums layout-dependent — this pass must train exactly like batch
+    # semantic_dedup (partitioning-invariant), the equivalence the
+    # compaction test pins
     cents = train_pq(corpus, vec_col=vec_col, id_col=id_col, dim=dim,
                      m=1, k=scaled_k(n, target_cluster),
                      n_iters=n_iters,
@@ -115,9 +121,24 @@ def compact_semantic_corpus(spark, out_dir: str, codebook_path: str,
         tmp = out_dir.rstrip("/") + "_compacting"
         kept.write.mode("overwrite").parquet(tmp)
         save_codebooks(spark, [cents], codebook_path)
-        (corpus.join(kept.select(id_col), id_col, "left_anti")
-         .select(id_col).write.mode("overwrite")
-         .parquet(out_dir.rstrip("/") + "_dropped"))
+        # the new dropped index is a UNION of the old one with the
+        # compaction's drops — ids dropped during INGEST were never
+        # in the corpus, so (corpus − kept) alone would forget them
+        # and a later redelivery of their batch would re-adjudicate
+        # them against a corpus missing their witnesses (the exact
+        # hole the index closes). An ingest-dropped id can never
+        # legitimately rejoin, so the union is strictly safe. The
+        # old index must be MATERIALIZED (pin) before the overwrite
+        # of its own directory.
+        dropped_dir = out_dir.rstrip("/") + "_dropped"
+        new_drops = corpus.join(kept.select(id_col), id_col,
+                                "left_anti").select(id_col)
+        old_idx = _read_parquet_if_present(spark, dropped_dir)
+        if old_idx is not None:
+            new_drops = pin(
+                new_drops.unionByName(old_idx.select(id_col))
+                .distinct())
+        new_drops.write.mode("overwrite").parquet(dropped_dir)
         # the swap: rewrite the corpus dir from the committed temp
         # copy (two renames would be atomic-er on HDFS; overwrite
         # from the durable temp keeps the recovery story simple and
@@ -127,6 +148,12 @@ def compact_semantic_corpus(spark, out_dir: str, codebook_path: str,
         # each retrain can expose pairs the previous boundaries hid
         # and drop a few more
         spark.read.parquet(tmp).write.mode("overwrite").parquet(out_dir)
+        # the swap has committed: drop the temp copy so a corpus-
+        # sized duplicate doesn't sit on disk until the next pass
+        jvm = spark._jvm
+        jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+        jtmp.getFileSystem(spark._jsc.hadoopConfiguration()) \
+            .delete(jtmp, True)
     finally:
         for bc in bcs:
             bc.unpersist(blocking=False)

@@ -89,6 +89,45 @@ def test_saturation_and_degenerate_dim(spark):
     assert all(abs(r.dq[1] - 3.0) < 1e-12 for r in back)  # exact lo
 
 
+def test_nan_inf_components_encode_to_null(spark):
+    """Spark's least/greatest sort NaN GREATEST, so without the
+    explicit guard a corrupt component would saturate to code 127 —
+    a legitimate-looking max-range value that outranks real
+    neighbors. The contract: NaN/Inf → NULL element, and the row's
+    dequantized cosine falls to the 0.0 degenerate score."""
+    df = spark.createDataFrame(
+        [(1, [float("nan"), 0.5]), (2, [float("inf"), 0.5]),
+         (3, [0.5, 0.5])],
+        "vec_id long, embedding array<double>")
+    ranges = [(-1.0, 1.0), (-1.0, 1.0)]
+    rows = {r.id: list(r.codes) for r in
+            quantize_embeddings(df, ranges).collect()}
+    assert rows[1][0] is None and rows[2][0] is None
+    assert rows[3][0] is not None
+    # corrupt rows score 0.0 (rank last), never as extreme vectors
+    from big_data_bowl___2023_spark.functions import vectors as V
+    dq = (quantize_embeddings(df, ranges)
+          .select("id", dequantize(F.col("codes"), ranges).alias("v")))
+    scored = dq.select(
+        "id", F.round(V.cosine(F.col("v"),
+                               F.array(F.lit(1.0), F.lit(1.0))), 6)
+        .alias("c")).collect()
+    by_id = {r.id: r.c for r in scored}
+    assert by_id[1] == 0.0 and by_id[2] == 0.0 and by_id[3] > 0.9
+
+
+def test_ranges_refuse_corrupt_dimension(spark):
+    df = spark.createDataFrame(
+        [(1, [float("nan"), 0.5]), (2, [float("inf"), 0.7])],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="dimension 0 has no finite"):
+        embedding_ranges(df, dim=2)
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="no finite values"):
+        embedding_ranges(empty, dim=2)
+
+
 def test_quantized_rerank_matches_exact_topk(emb, ranges):
     """End-to-end: int8 screen + exact re-rank reproduces the exact
     brute-force top-k on the test corpus — same neighbors, same

@@ -222,9 +222,18 @@ def test_compaction_recovers_cross_boundary_dups(spark, sf_dir,
             semantic_dedup(accumulated, THRESH, dim=64)
             .select("vec_id").collect()}
     assert got == want and got
+    # the dropped index is the UNION of ingest-time and compaction
+    # drops = every id ever ingested minus the kept set (ingest drops
+    # must survive compaction or a later redelivery re-adjudicates
+    # them against a corpus missing their witnesses)
+    all_ids = {r.vec_id for b in _batches(spark, sf_dir)
+               for r in b.select("vec_id").collect()}
     dropped = {r.vec_id for r in spark.read.parquet(
         out + "_dropped").select("vec_id").collect()}
-    assert dropped == acc_ids - got
+    assert dropped == all_ids - got
+    # the temp copy is removed once the swap commits
+    import os
+    assert not os.path.exists(out + "_compacting")
     # fresh codebook invariant: zero leftover within-cluster pairs
     cents = load_codebooks(spark, cb)[0]
     assert pairs_with_centroids(
@@ -236,6 +245,37 @@ def test_compaction_recovers_cross_boundary_dups(spark, sf_dir,
     assert again["before"] == stats["after"]
     assert 0 <= again["dropped"] <= again["before"]
     assert again["after"] == again["before"] - again["dropped"]
+
+
+def test_redelivery_after_compaction_stays_dropped(spark, tmp_path):
+    """The review scenario the union fix closes: ingest drops B and C
+    of the chain A~B~C, compaction retrains (possibly moving A across
+    a boundary from C), then the batch is REDELIVERED — without the
+    surviving ingest-drop records, C would be re-adjudicated against
+    a corpus missing its witness B."""
+    out = str(tmp_path / "corpus")
+    cb = str(tmp_path / "cb.json")
+    t = 0.75
+    b0 = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [-1.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    b1 = spark.createDataFrame(
+        [(10, _angle_vec(44)), (11, _angle_vec(84)),
+         (12, _angle_vec(89))],
+        "vec_id long, embedding array<double>")
+    process = make_semantic_ingest_batch_fn(out, cb, t, dim=2)
+    process(b0, 0)
+    process(b1, 1)
+    compact_semantic_corpus(spark, out, cb, t, dim=2)
+    kept = {r.vec_id for r in
+            spark.read.parquet(out).select("vec_id").collect()}
+    process(b1, 2)                       # redelivery post-compaction
+    kept_after = {r.vec_id for r in
+                  spark.read.parquet(out).select("vec_id").collect()}
+    assert kept_after == kept
+    dropped = {r.vec_id for r in spark.read.parquet(
+        out + "_dropped").select("vec_id").collect()}
+    assert {11, 12} <= dropped           # ingest drops survived
 
 
 def test_compaction_on_absent_corpus_is_noop(spark, tmp_path):
