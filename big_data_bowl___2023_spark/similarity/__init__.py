@@ -5,7 +5,13 @@ from .ann import (
     mine_hard_negatives,
     mine_hard_negatives_ann,
 )
-from .pq import encode_pq, pq_topk, pq_topk_rerank, train_pq
+from .pq import (
+    encode_pq,
+    exact_rerank,
+    pq_topk,
+    pq_topk_rerank,
+    train_pq,
+)
 from .quantize import (
     dequantize,
     embedding_ranges,
@@ -17,7 +23,8 @@ from .retrieval import bm25_scores, bm25_topk, term_postings
 
 __all__ = ["brute_force_topk", "brp_lsh_topk", "ivf_topk",
            "mine_hard_negatives", "mine_hard_negatives_ann",
-           "encode_pq", "pq_topk", "pq_topk_rerank", "train_pq",
+           "encode_pq", "exact_rerank", "pq_topk", "pq_topk_rerank",
+           "train_pq",
            "dequantize", "embedding_ranges", "merge_ranges",
            "quantize_embeddings", "quantized_topk_rerank",
            "bm25_scores", "bm25_topk", "term_postings"]
