@@ -1,4 +1,5 @@
 from . import (
+    bpe,
     gopher,
     json_ops,
     lm_score,
@@ -9,5 +10,5 @@ from . import (
     vocab,
 )
 
-__all__ = ["gopher", "json_ops", "lm_score", "redact", "scalar",
-           "text", "vectors", "vocab"]
+__all__ = ["bpe", "gopher", "json_ops", "lm_score", "redact",
+           "scalar", "text", "vectors", "vocab"]

@@ -1,0 +1,234 @@
+"""Learned subword tokenization — byte-pair-encoding training + apply.
+
+Sennrich, Haddow & Birch, "Neural Machine Translation of Rare Words
+with Subword Units" (ACL 2016). The reference repo stops at whitespace
+tokens (see ``text.tokenize``); a training-data pipeline needs the
+learned-subword layer on top — token budgets, packing and vocab
+coverage are all defined in subword units.
+
+Scale shape (the split every production tokenizer trainer uses —
+the corpus-sized work is counting, the merge loop is not):
+
+* ``word_frequencies`` is the ONLY corpus-sized pass: one grouped
+  count over the exploded normalized tokens (one shuffle, carrying
+  (word, count) — never document text).
+* ``train_bpe`` runs over the word-TYPE table, which is bounded by
+  ``max_types`` (kept by mass, deterministic tiebreak) — types grow
+  ~O(sqrt(corpus)) (Heaps' law), and the cap makes the driver-side
+  step O(max_types · word_len) regardless of corpus size. The merge
+  loop itself maintains incremental pair counts with a pair→words
+  index, so each merge touches only the words containing it.
+* The learned merge table is a KB-sized DataFrame artifact
+  (rank, left, right, merged) — parquet round-trippable, mergeable
+  into any session.
+* ``apply_bpe`` is map-side only: the ranks dict rides the UDF
+  closure (broadcast by Spark), encoding is an Arrow-batched
+  pandas UDF with a per-batch word memo (Zipf: a batch of documents
+  repeats few distinct words), and the plan adds zero Exchange.
+
+End-of-word convention: each word's symbol sequence is its characters
+followed by a final ``</w>`` marker symbol, so subwords are
+position-aware (``"t" + "he</w>"`` vs ``"the" + "re</w>"``) and
+decoding is ``concat → replace("</w>", " ")``.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .text import normalize, tokenize
+
+END = "</w>"
+
+MERGE_SCHEMA = T.StructType([
+    T.StructField("rank", T.LongType(), False),
+    T.StructField("left", T.StringType(), False),
+    T.StructField("right", T.StringType(), False),
+    T.StructField("merged", T.StringType(), False),
+])
+
+
+def _norm_tokens(text_col: str) -> F.Column:
+    return F.filter(tokenize(normalize(F.col(text_col))),
+                    lambda t: t != "")
+
+
+def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n): corpus word-type frequency table over the canonical
+    normalized tokens (``text.normalize`` + whitespace split — the
+    same convention ``vocab.build_vocab`` counts). The one
+    corpus-sized pass of BPE training; everything downstream is
+    bounded by the type count."""
+    return (df.select(F.explode(_norm_tokens(text_col)).alias("word"))
+              .groupBy("word").agg(F.count(F.lit(1)).alias("n")))
+
+
+def _merge_word(sym: tuple[str, ...], left: str,
+                right: str) -> tuple[str, ...]:
+    """Replace every (left, right) adjacency left-to-right. The
+    overlapping-run convention (('a','a','a') with pair (a,a) →
+    ('aa','a')) follows from the scan order — both trainer and
+    encoder use this one function, so they can never disagree."""
+    out: list[str] = []
+    i, n, merged = 0, len(sym), left + right
+    while i < n:
+        if i < n - 1 and sym[i] == left and sym[i + 1] == right:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return tuple(out)
+
+
+def _train_merges(types: list[tuple[str, int]], num_merges: int,
+                  min_pair_count: int) -> list[tuple[int, str, str, str]]:
+    """Incremental BPE over the (word, freq) type table: pair counts
+    plus a pair→word-index map, so each merge re-scans only the words
+    that contain the merged pair. Deterministic: ties break on the
+    pair itself (count desc, (left, right) asc)."""
+    words = [tuple(w) + (END,) for w, _ in types]
+    freqs = [n for _, n in types]
+    pair_counts: dict[tuple[str, str], int] = defaultdict(int)
+    pair_words: dict[tuple[str, str], set[int]] = defaultdict(set)
+
+    def _index(i: int, sign: int) -> None:
+        w, n = words[i], freqs[i] * sign
+        for p in zip(w, w[1:]):
+            pair_counts[p] += n
+            if sign > 0:
+                pair_words[p].add(i)
+            else:
+                if pair_counts[p] <= 0:
+                    del pair_counts[p]
+                pair_words[p].discard(i)
+
+    for i in range(len(words)):
+        _index(i, 1)
+
+    merges: list[tuple[int, str, str, str]] = []
+    for rank in range(num_merges):
+        if not pair_counts:
+            break
+        (left, right), count = min(pair_counts.items(),
+                                   key=lambda kv: (-kv[1], kv[0]))
+        if count < min_pair_count:
+            break
+        merges.append((rank, left, right, left + right))
+        for i in sorted(pair_words[(left, right)]):
+            _index(i, -1)
+            words[i] = _merge_word(words[i], left, right)
+            _index(i, 1)
+    return merges
+
+
+def train_bpe(word_freqs: DataFrame, num_merges: int = 200,
+              min_pair_count: int = 2,
+              max_types: int = 1_000_000) -> DataFrame:
+    """Learn the merge table from a ``word_frequencies`` output →
+    (rank, left, right, merged), rank 0 first. Stops early when no
+    pair reaches ``min_pair_count``.
+
+    ``max_types`` caps the driver-side type table: kept by
+    (n desc, word asc), so the dropped tail is the lowest-mass types
+    — at web-corpus scale the top 1M types carry >99.9% of token
+    mass, and rare-type tails are exactly what BPE's character
+    fallback is for. The collect is (word, count) only."""
+    spark = word_freqs.sparkSession
+    rows = (word_freqs.orderBy(F.desc("n"), F.asc("word"))
+                      .limit(max_types).collect())
+    types = [(r["word"], int(r["n"])) for r in rows]
+    # collect() order is plan-dependent on ties; re-sort so training
+    # sees one canonical order regardless of partitioning.
+    types.sort(key=lambda t: (-t[1], t[0]))
+    merges = _train_merges(types, num_merges, min_pair_count)
+    return spark.createDataFrame(merges, MERGE_SCHEMA)
+
+
+def bpe_merges_from_corpus(df: DataFrame, text_col: str = "text",
+                           num_merges: int = 200,
+                           min_pair_count: int = 2,
+                           max_types: int = 1_000_000) -> DataFrame:
+    """Convenience: ``word_frequencies`` → ``train_bpe``."""
+    return train_bpe(word_frequencies(df, text_col), num_merges,
+                     min_pair_count, max_types)
+
+
+def _collect_ranks(merges: DataFrame) -> dict[tuple[str, str], int]:
+    return {(r["left"], r["right"]): int(r["rank"])
+            for r in merges.select("rank", "left", "right").collect()}
+
+
+def _encode_word(word: str,
+                 ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy lowest-rank-first application — equivalent to replaying
+    the merge list in rank order (each step applies the earliest
+    learned merge still present), so training words reproduce their
+    training-time segmentation."""
+    sym: tuple[str, ...] = tuple(word) + (END,)
+    while len(sym) > 1:
+        best = min(set(zip(sym, sym[1:])),
+                   key=lambda p: ranks.get(p, math.inf))
+        if best not in ranks:
+            break
+        sym = _merge_word(sym, best[0], best[1])
+    return list(sym)
+
+
+def apply_bpe(df: DataFrame, merges: DataFrame, text_col: str = "text",
+              out_col: str = "bpe_tokens") -> DataFrame:
+    """Add ``out_col``: array<string> of learned subword tokens for
+    the normalized text. Map-side only — the merge table collapses to
+    a ranks dict in the UDF closure (it is a bounded KB artifact) and
+    encoding batches through Arrow with a per-batch word memo. NULL
+    text stays NULL; empty text → empty array. Characters unseen in
+    training fall through as single-character symbols (BPE's
+    open-vocabulary property)."""
+    ranks = _collect_ranks(merges)
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def encode(tok_batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        memo: dict[str, list[str]] = {}
+
+        def enc_doc(tokens):
+            if tokens is None:
+                return None
+            out: list[str] = []
+            for w in tokens:
+                got = memo.get(w)
+                if got is None:
+                    got = memo[w] = _encode_word(w, ranks)
+                out.extend(got)
+            return out
+
+        for toks in tok_batches:
+            yield toks.map(enc_doc)
+
+    return df.withColumn(out_col, encode(_norm_tokens(text_col)))
+
+
+def bpe_token_counts(df: DataFrame, merges: DataFrame,
+                     text_col: str = "text") -> DataFrame:
+    """(token, n): corpus subword frequency table under the learned
+    merges — the vocabulary-with-frequencies surface (every emitted
+    symbol, merged or single-character fallback, with its corpus
+    count). One encode scan + one grouped count."""
+    encoded = apply_bpe(df, merges, text_col, "__bpe")
+    return (encoded.select(F.explode("__bpe").alias("token"))
+                   .groupBy("token").agg(F.count(F.lit(1)).alias("n")))
+
+
+def bpe_decode(tokens_col: F.Column) -> F.Column:
+    """Inverse of ``apply_bpe`` as a column expression: concatenate
+    subwords and turn each end-of-word marker back into a space →
+    the normalized text, exactly. (Checked as a round-trip contract
+    in the tests — BPE is lossless on its normalized input.)"""
+    joined = F.array_join(tokens_col, "")
+    return F.trim(F.regexp_replace(joined, F.lit(END), F.lit(" ")))
