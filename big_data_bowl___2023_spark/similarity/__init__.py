@@ -5,6 +5,12 @@ from .ann import (
     mine_hard_negatives,
     mine_hard_negatives_ann,
 )
+from .fusion import hybrid_topk, rrf_fuse
+from .projection import (
+    project_embeddings,
+    projected_topk_rerank,
+    projection_matrix,
+)
 from .pq import (
     encode_pq,
     exact_rerank,
@@ -23,6 +29,9 @@ from .retrieval import bm25_scores, bm25_topk, term_postings
 
 __all__ = ["brute_force_topk", "brp_lsh_topk", "ivf_topk",
            "mine_hard_negatives", "mine_hard_negatives_ann",
+           "hybrid_topk", "rrf_fuse",
+           "project_embeddings", "projected_topk_rerank",
+           "projection_matrix",
            "encode_pq", "exact_rerank", "pq_topk", "pq_topk_rerank",
            "train_pq",
            "dequantize", "embedding_ranges", "merge_ranges",
