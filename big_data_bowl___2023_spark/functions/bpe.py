@@ -27,9 +27,14 @@ the corpus-sized work is counting, the merge loop is not):
   repeats few distinct words), and the plan adds zero Exchange.
 
 End-of-word convention: each word's symbol sequence is its characters
-followed by a final ``</w>`` marker symbol, so subwords are
-position-aware (``"t" + "he</w>"`` vs ``"the" + "re</w>"``) and
-decoding is ``concat → replace("</w>", " ")``.
+followed by a final end-of-word marker symbol, so subwords are
+position-aware ("t"+"he·" vs "the"+"re·"). The marker is a single
+SPACE — the one character a normalized word can never contain
+(``normalize`` collapses whitespace and words are split on it), so
+the round trip is collision-proof by construction: a text-derived
+marker like the classic ``"</w>"`` would mis-decode any corpus that
+contains that literal substring, while ``concat → trim`` over
+space-marked tokens is exactly the normalized text, always.
 """
 
 from __future__ import annotations
@@ -43,9 +48,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .text import normalize, tokenize
+from .text import norm_tokens
 
-END = "</w>"
+END = " "
 
 MERGE_SCHEMA = T.StructType([
     T.StructField("rank", T.LongType(), False),
@@ -55,18 +60,15 @@ MERGE_SCHEMA = T.StructType([
 ])
 
 
-def _norm_tokens(text_col: str) -> F.Column:
-    return F.filter(tokenize(normalize(F.col(text_col))),
-                    lambda t: t != "")
-
-
 def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, n): corpus word-type frequency table over the canonical
-    normalized tokens (``text.normalize`` + whitespace split — the
-    same convention ``vocab.build_vocab`` counts). The one
+    normalized words (``text.norm_tokens`` — the same definition the
+    BM25 postings tokenize through; note ``vocab.build_vocab`` counts
+    RAW whitespace tokens, without normalization). The one
     corpus-sized pass of BPE training; everything downstream is
     bounded by the type count."""
-    return (df.select(F.explode(_norm_tokens(text_col)).alias("word"))
+    return (df.select(F.explode(norm_tokens(F.col(text_col)))
+                       .alias("word"))
               .groupBy("word").agg(F.count(F.lit(1)).alias("n")))
 
 
@@ -187,7 +189,10 @@ def apply_bpe(df: DataFrame, merges: DataFrame, text_col: str = "text",
     """Add ``out_col``: array<string> of learned subword tokens for
     the normalized text. Map-side only — the merge table collapses to
     a ranks dict in the UDF closure (it is a bounded KB artifact) and
-    encoding batches through Arrow with a per-batch word memo. NULL
+    encoding batches through Arrow with a per-partition word memo
+    (Zipf: the same words recur, so most lookups hit; the memo is
+    CAPPED so a pathological high-type-cardinality partition degrades
+    to recomputation instead of unbounded executor memory). NULL
     text stays NULL; empty text → empty array. Characters unseen in
     training fall through as single-character symbols (BPE's
     open-vocabulary property)."""
@@ -196,6 +201,7 @@ def apply_bpe(df: DataFrame, merges: DataFrame, text_col: str = "text",
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def encode(tok_batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         memo: dict[str, list[str]] = {}
+        MEMO_CAP = 500_000
 
         def enc_doc(tokens):
             if tokens is None:
@@ -204,14 +210,17 @@ def apply_bpe(df: DataFrame, merges: DataFrame, text_col: str = "text",
             for w in tokens:
                 got = memo.get(w)
                 if got is None:
-                    got = memo[w] = _encode_word(w, ranks)
+                    got = _encode_word(w, ranks)
+                    if len(memo) < MEMO_CAP:
+                        memo[w] = got
                 out.extend(got)
             return out
 
         for toks in tok_batches:
             yield toks.map(enc_doc)
 
-    return df.withColumn(out_col, encode(_norm_tokens(text_col)))
+    return df.withColumn(out_col,
+                         encode(norm_tokens(F.col(text_col))))
 
 
 def bpe_token_counts(df: DataFrame, merges: DataFrame,
@@ -227,8 +236,9 @@ def bpe_token_counts(df: DataFrame, merges: DataFrame,
 
 def bpe_decode(tokens_col: F.Column) -> F.Column:
     """Inverse of ``apply_bpe`` as a column expression: concatenate
-    subwords and turn each end-of-word marker back into a space →
-    the normalized text, exactly. (Checked as a round-trip contract
-    in the tests — BPE is lossless on its normalized input.)"""
-    joined = F.array_join(tokens_col, "")
-    return F.trim(F.regexp_replace(joined, F.lit(END), F.lit(" ")))
+    subwords — each word's last token carries the space end-marker,
+    so the concatenation IS the normalized text plus one trailing
+    space, trimmed off. Lossless for ANY corpus content (the marker
+    cannot occur inside a word; checked as a round-trip contract in
+    the tests, including text containing the literal "</w>")."""
+    return F.trim(F.array_join(tokens_col, ""))

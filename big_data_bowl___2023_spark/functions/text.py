@@ -34,6 +34,14 @@ def normalize(text: Column) -> Column:
     return F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
 
 
+def norm_tokens(text: Column) -> Column:
+    """Non-empty normalized words: ``normalize`` → whitespace split →
+    drop empties. THE canonical word convention — BM25's postings,
+    BPE's type table and the retrieval query side all tokenize
+    through this one definition, so the surfaces can never drift."""
+    return F.filter(tokenize(normalize(text)), lambda t: t != "")
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text.
     md5 (not xxhash64) so external oracles/engines reproduce it."""

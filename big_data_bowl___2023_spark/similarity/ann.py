@@ -94,19 +94,24 @@ def _score_pairs(joined: DataFrame, kernel: str) -> DataFrame:
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
                      vec_col: str = "embedding",
                      id_col: str = "vec_id",
-                     score_kernel: str = "sql") -> DataFrame:
+                     score_kernel: str = "sql",
+                     exclude_self: bool = True) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, cosine, rank).
     The query side is broadcast (queries ≪ corpus); ranking is a
     window per query with id tie-break so results are total-ordered.
-    Self-matches (same id) are excluded. ``score_kernel="arrow"``
-    swaps the per-pair expression folds for numpy batch scoring (see
+    ``exclude_self`` (default) drops same-id matches — the
+    search-within-one-table convention; pass False when queries and
+    corpus are SEPARATE id namespaces (e.g. the hybrid-retrieval
+    dense leg), where an accidental numeric collision must not
+    silently drop a neighbor. ``score_kernel="arrow"`` swaps the
+    per-pair expression folds for numpy batch scoring (see
     ``_score_pairs``) — the full-corpus-scan setting."""
     c = _prep(corpus, vec_col, id_col, "neighbor_id")
     q = _prep(queries, vec_col, id_col, "query_id")
-    scored = _score_pairs(
-        c.join(F.broadcast(q),
-               F.col("query_id") != F.col("neighbor_id")),
-        score_kernel)
+    joined = (c.join(F.broadcast(q),
+                     F.col("query_id") != F.col("neighbor_id"))
+              if exclude_self else c.crossJoin(F.broadcast(q)))
+    scored = _score_pairs(joined, score_kernel)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -144,7 +149,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
              vec_col: str = "embedding", id_col: str = "vec_id",
              dim: int = 64, n_planes: int = 3,
              probe_adjacent: bool = True,
-             score_kernel: str = "sql") -> DataFrame:
+             score_kernel: str = "sql",
+             exclude_self: bool = True) -> DataFrame:
     """IVF/LSH-bucketed approximate top-k: corpus partitioned into
     2^n_planes sign cells; each query probes its own cell plus — when
     ``probe_adjacent`` — every cell one bit flip away (n_planes + 1
@@ -174,10 +180,11 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
     q = q.select("query_id", "query_id_v",
                  F.explode(flips(F.col("cell"))).alias("cell")).distinct()
 
-    scored = _score_pairs(
-        c.join(F.broadcast(q), "cell")
-         .filter(F.col("query_id") != F.col("neighbor_id")),
-        score_kernel)
+    probed = c.join(F.broadcast(q), "cell")
+    if exclude_self:
+        probed = probed.filter(
+            F.col("query_id") != F.col("neighbor_id"))
+    scored = _score_pairs(probed, score_kernel)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -94,14 +94,23 @@ def hybrid_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
     corpus_v = docs.select(F.col(id_col), F.col(vec_col))
     queries_v = q.select(F.col("query_id").alias(id_col),
                          F.col(vec_col))
+    # query ids and doc ids are SEPARATE namespaces here: an
+    # accidental id collision must not trigger the retrievers'
+    # self-match exclusion and silently drop a neighbor.
     if dense == "brute":
+        if dense_kwargs:
+            raise TypeError(
+                f"dense='brute' takes no extra kwargs, got "
+                f"{sorted(dense_kwargs)}")
         dense_hits = brute_force_topk(corpus_v, queries_v, fk,
                                       vec_col=vec_col, id_col=id_col,
-                                      score_kernel=score_kernel)
+                                      score_kernel=score_kernel,
+                                      exclude_self=False)
     elif dense == "ivf":
         dense_hits = ivf_topk(corpus_v, queries_v, fk,
                               vec_col=vec_col, id_col=id_col,
                               score_kernel=score_kernel,
+                              exclude_self=False,
                               **dense_kwargs)
     else:
         raise ValueError(f"unknown dense retriever {dense!r}")

@@ -62,9 +62,18 @@ def project_embeddings(df: DataFrame, out_dim: int, seed: int = 7,
                 F.zip_with(F.col(vec_col).cast("array<double>"), col_j,
                            lambda a, b: a * b),
                 F.lit(0.0), lambda acc, x: acc + x))
+        # a wrong-length vector must ERROR (matching the arrow
+        # kernel), not fold against zip_with's NULL padding into an
+        # all-NULL projection that poisons downstream cosines
         return df.withColumn(
-            out_col, F.when(F.col(vec_col).isNotNull(),
-                            F.array(*cols)))
+            out_col,
+            F.when(F.col(vec_col).isNull(),
+                   F.lit(None).cast("array<double>"))
+             .when(F.size(F.col(vec_col)) != F.lit(dim),
+                   F.raise_error(F.concat(
+                       F.lit(f"projection expects dim={dim}, got "),
+                       F.size(F.col(vec_col)).cast("string"))))
+             .otherwise(F.array(*cols)))
     if kernel != "arrow":
         raise ValueError(f"unknown projection kernel {kernel!r}")
 
@@ -74,6 +83,11 @@ def project_embeddings(df: DataFrame, out_dim: int, seed: int = 7,
             arrs = vecs.tolist()
             present = [a for a in arrs if a is not None]
             if present:
+                bad = {len(a) for a in present} - {dim}
+                if bad:
+                    raise ValueError(
+                        f"projection expects dim={dim}, got "
+                        f"length(s) {sorted(bad)}")
                 P = np.stack([np.asarray(a, dtype=np.float64)
                               for a in present]) @ R
                 rows = iter(P)
@@ -100,7 +114,11 @@ def projected_topk_rerank(corpus: DataFrame, queries: DataFrame,
     ``shortlist`` (default 5k) only, through the shared
     ``exact_rerank`` stage — the same screen→rerank contract as
     ``pq_topk_rerank`` and ``quantized_topk_rerank``, with the
-    screen's recall controlled by (out_dim, shortlist)."""
+    screen's recall controlled by (out_dim, shortlist).
+    ``kernel="arrow"`` selects the numpy path for BOTH the
+    projection GEMM and the screen's pair scoring — the corpus-scale
+    setting; the exact rerank always stays on the shared fold
+    contract."""
     if shortlist is None:
         shortlist = 5 * k
     pc = project_embeddings(corpus, out_dim, seed, vec_col,
@@ -111,5 +129,6 @@ def projected_topk_rerank(corpus: DataFrame, queries: DataFrame,
         pc.select(F.col(id_col), F.col("projected")),
         pq_.select(F.col(id_col), F.col("projected")),
         shortlist, vec_col="projected", id_col=id_col,
+        score_kernel=kernel if kernel == "arrow" else "sql",
     ).select("query_id", "neighbor_id")
     return exact_rerank(cand, corpus, queries, k, vec_col, id_col)

@@ -29,10 +29,9 @@ def term_postings(docs: DataFrame, text_col: str = "text",
     tfidf). One explode + two grouped passes; corpus-level scalars
     (N, avgdl) ride along via a broadcast 1-row join instead of a
     driver collect."""
-    toks = (docs.select(F.col(id_col).alias("doc_id"),
-                        F.explode(Tx.tokenize(Tx.normalize(F.col(text_col))))
-                         .alias("term"))
-                .filter(F.col("term") != ""))
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       F.explode(Tx.norm_tokens(F.col(text_col)))
+                        .alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -60,10 +59,8 @@ def bm25_scores(docs: DataFrame, queries: DataFrame, k1: float = 1.2,
     if min_idf > 0.0:
         post = post.filter(F.col("idf") >= F.lit(min_idf))
     qterms = (queries.select(F.col(query_id_col).alias("query_id"),
-                             F.explode(Tx.tokenize(
-                                 Tx.normalize(F.col(query_text_col))))
-                              .alias("term"))
-                     .filter(F.col("term") != "")
+                             F.explode(Tx.norm_tokens(
+                                 F.col(query_text_col))).alias("term"))
                      .distinct())
     contrib = (F.col("idf") * F.col("tf") * F.lit(k1 + 1.0)
                / (F.col("tf")

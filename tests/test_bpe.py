@@ -163,6 +163,23 @@ def test_unseen_characters_fall_through_as_chars(spark):
     assert got["b"] == ["q", "z", "x", bpe.END]
 
 
+def test_roundtrip_survives_literal_end_marker_text(spark):
+    """The end-of-word marker is a SPACE — impossible inside a
+    normalized word — so text containing the classic '</w>' marker
+    literally still round-trips exactly."""
+    df = spark.createDataFrame(
+        [("a", "a</w>b c</w> </w>d"), ("b", "plain words here")],
+        ["doc_id", "text"])
+    merges = bpe.bpe_merges_from_corpus(df, num_merges=30,
+                                        min_pair_count=1)
+    got = {r["doc_id"]: r["decoded"] for r in
+           bpe.apply_bpe(df, merges)
+              .select("doc_id", bpe.bpe_decode(F.col("bpe_tokens"))
+                      .alias("decoded")).collect()}
+    assert got["a"] == "a</w>b c</w> </w>d"
+    assert got["b"] == "plain words here"
+
+
 def test_null_and_empty_text(spark):
     df = spark.createDataFrame(
         [("a", None), ("b", ""), ("c", "   ")],

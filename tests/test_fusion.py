@@ -148,6 +148,28 @@ def test_input_validation(spark):
         rrf_fuse([df, df], weights=[1.0])
 
 
+def test_brute_leg_rejects_stray_kwargs(spark, hybrid_docs, queries):
+    with pytest.raises(TypeError, match="n_planes"):
+        hybrid_topk(hybrid_docs, queries, k=3, n_planes=4)
+
+
+def test_query_id_colliding_with_doc_id_keeps_the_doc(spark):
+    """Query and doc ids are separate namespaces: a query whose id
+    numerically equals a doc id must still retrieve that doc (the
+    retrievers' self-match exclusion is disabled on the dense leg)."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma", [1.0, 0.0, 0.0, 0.0]),
+         (2, "delta epsilon zeta", [0.0, 1.0, 0.0, 0.0]),
+         (3, "eta theta iota", [0.0, 0.0, 1.0, 0.0])],
+        "doc_id long, text string, embedding array<double>")
+    q = spark.createDataFrame(
+        [(2, "delta epsilon zeta", [0.0, 1.0, 0.0, 0.0])],
+        "query_id long, query_text string, embedding array<double>")
+    got = hybrid_topk(docs, q, k=3)
+    top1 = [r for r in got.collect() if r["rank"] == 1]
+    assert len(top1) == 1 and top1[0]["doc_id"] == 2
+
+
 def test_hybrid_topk_equals_manual_composition(
         spark, hybrid_docs, queries):
     got = hybrid_topk(hybrid_docs, queries, k=5, fetch_k=12,

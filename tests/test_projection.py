@@ -62,6 +62,14 @@ def test_null_vector_projects_to_null(spark):
         assert got[1] is not None and len(got[1]) == 8
 
 
+def test_wrong_length_vector_errors_in_both_kernels(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0] * 32)], "vec_id long, embedding array<double>")
+    for kernel in ("sql", "arrow"):
+        with pytest.raises(Exception, match="dim=64|USER_RAISED"):
+            project_embeddings(df, 8, kernel=kernel).collect()
+
+
 def test_jl_distance_preservation(spark, vecs):
     """Pairwise L2 distances survive a 64→32 projection within a
     modest distortion on real embeddings (JL with ε ~ sqrt(ln n / d'))
