@@ -72,6 +72,65 @@ def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
               .groupBy("word").agg(F.count(F.lit(1)).alias("n")))
 
 
+def merge_word_frequencies(*freq_tables: DataFrame) -> DataFrame:
+    """Merge law for the word-frequency artifact: counts are
+    additive, so per-ingest-batch (word, n) tables union+sum to
+    EXACTLY the whole-corpus table — which makes tokenizer training
+    incremental: accumulate a frequency artifact per batch, merge,
+    and `train_bpe` the merged table; the result is bit-identical to
+    training on the concatenated corpus (training is a deterministic
+    function of the type table). Same artifact pattern as the sketch
+    families, but exact — word counts need no approximation."""
+    if not freq_tables:
+        raise ValueError("merge_word_frequencies needs ≥1 table")
+    out = freq_tables[0]
+    for t in freq_tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("word").agg(F.sum("n").alias("n"))
+
+
+def token_drift(ref_counts: DataFrame, cur_counts: DataFrame,
+                max_categories: int = 200) -> dict:
+    """PSI between two token count tables (e.g. `bpe_token_counts`
+    of a reference snapshot vs a new ingest batch) — tokenizer-drift
+    monitoring: a rising PSI means the learned vocabulary no longer
+    fits the incoming text (new domain, new language, format shift)
+    and the merge table is due an incremental retrain.
+
+    Same conventions as `operators.drift.psi_report_categorical`
+    (reference's top ``max_categories`` tokens by (n desc, token
+    asc) are the bins, everything else folds into __other__, 1e-6
+    share smoothing, 6-dp round), but computed from the ALREADY
+    AGGREGATED count tables — vocab-sized inputs, so this is two
+    tiny collects and driver arithmetic, no corpus scan. Returns
+    ``{"psi": float, "n_ref": int, "n_cur": int,
+    "n_categories_used": int}``."""
+    import math
+
+    eps = 1e-6
+    top = [r["token"] for r in
+           ref_counts.orderBy(F.desc("n"), F.asc("token"))
+                     .limit(max_categories).collect()]
+    keep = set(top)
+
+    def shares(df: DataFrame) -> dict[str, int]:
+        out: dict[str, int] = {}
+        for r in df.collect():
+            b = r["token"] if r["token"] in keep else "__other__"
+            out[b] = out.get(b, 0) + int(r["n"])
+        return out
+
+    cr, cc = shares(ref_counts), shares(cur_counts)
+    nr, nc = sum(cr.values()), sum(cc.values())
+    psi = 0.0
+    for b in set(cr) | set(cc):
+        p = max(cr.get(b, 0) / max(nr, 1), eps)
+        q = max(cc.get(b, 0) / max(nc, 1), eps)
+        psi += (q - p) * math.log(q / p)
+    return {"psi": round(psi, 6), "n_ref": nr, "n_cur": nc,
+            "n_categories_used": len(set(cr) | set(cc))}
+
+
 def _merge_word(sym: tuple[str, ...], left: str,
                 right: str) -> tuple[str, ...]:
     """Replace every (left, right) adjacency left-to-right. The
