@@ -382,3 +382,43 @@ def frequency_report(df: DataFrame, key_col: str, probe: DataFrame,
     w, d = cms_parameters(epsilon, delta)
     return estimate_counts(probe, probe_key,
                            cms_summary(df, key_col, w, d))
+
+
+def cms_join_size(a: DataFrame, b: DataFrame) -> dict:
+    """Equi-join OUTPUT-SIZE estimate from two count-min artifacts —
+    the pre-shuffle query-planning probe: at 100 TB, knowing whether
+    ``A ⋈ B`` produces 10⁶ or 10¹² rows BEFORE paying for the
+    shuffle decides broadcast-vs-sortmerge, skew salting, or
+    refusing the query — and the sketches already exist per ingest
+    batch in the artifact store.
+
+    Cormode & Muthukrishnan (J.Alg 2005, §4.2): each depth row's
+    inner product Σ_w cmsA[d][w]·cmsB[d][w] equals the true join
+    size Σ_k f_A(k)·f_B(k) PLUS non-negative collision cross-terms,
+    so ``min`` over rows is a ONE-SIDED (never-under) estimate with
+    expected excess ≤ (e/width)·n_a·n_b — the returned
+    ``error_bound``. Driver arithmetic over two dense d×w matrices;
+    no data is scanned.
+
+    Both artifacts must share (width, depth) AND have sketched keys
+    of the same TYPE (the hash family is fixed module-wide, but
+    xxhash64 of e.g. int 5 and string "5" differ — exactly like the
+    join itself, which also requires comparable key types)."""
+    A, pa = cms_matrix(a)
+    B, pb = cms_matrix(b)
+    if (pa.width, pa.depth) != (pb.width, pb.depth):
+        raise ValueError(
+            f"cms_join_size: parameter mismatch "
+            f"{(pa.width, pa.depth)} vs {(pb.width, pb.depth)} — "
+            f"sketches are only inner-product-compatible at "
+            f"identical (width, depth)")
+    # float64 accumulation: two billion-count cells would overflow
+    # the int64 product long before the true join size does
+    per_row = (A.astype(np.float64) * B.astype(np.float64)).sum(axis=1)
+    n_a = int(A.sum(axis=1).max())
+    n_b = int(B.sum(axis=1).max())
+    bound = math.e / pa.width * n_a * n_b
+    return {"join_size_estimate": int(per_row.min()),
+            "n_rows_a": n_a, "n_rows_b": n_b,
+            "error_bound": round(float(bound), 3),
+            "width": pa.width, "depth": pa.depth}
