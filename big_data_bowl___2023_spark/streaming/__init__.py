@@ -27,6 +27,12 @@ from .quantiles import (
     windowed_quantile_digests,
     windows_as_quantile_summary,
 )
+from .scd_stream import (
+    committed_snapshot_ids,
+    make_scd2_batch_fn,
+    quarantine_log,
+    scd2_dim,
+)
 from .semantic_stream import (
     make_semantic_ingest_batch_fn,
     pairs_with_centroids,
@@ -49,6 +55,8 @@ __all__ = ["benchmark_shingle_set", "curate_document_stream",
            "hopping_counts", "incremental_dedup",
            "incremental_dedup_watermarked", "incremental_minhash_pairs",
            "make_curation_ingest_batch_fn",
+           "make_scd2_batch_fn", "committed_snapshot_ids",
+           "quarantine_log", "scd2_dim",
            "make_semantic_ingest_batch_fn", "pairs_with_centroids",
            "read_document_stream", "read_event_stream",
            "run_available_now", "session_windows", "stream_decontaminate",
