@@ -101,26 +101,30 @@ def token_drift(ref_counts: DataFrame, cur_counts: DataFrame,
     (reference's top ``max_categories`` tokens by (n desc, token
     asc) are the bins, everything else folds into __other__, 1e-6
     share smoothing, 6-dp round), but computed from the ALREADY
-    AGGREGATED count tables — vocab-sized inputs, so this is two
-    tiny collects and driver arithmetic, no corpus scan. Returns
+    AGGREGATED count tables — vocab-sized inputs, so this is ONE
+    tiny collect per table and driver arithmetic, no corpus scan
+    (the reference top-K bins derive from the same collected list,
+    sorted driver-side — not a second Spark job). Returns
     ``{"psi": float, "n_ref": int, "n_cur": int,
     "n_categories_used": int}``."""
     import math
 
     eps = 1e-6
-    top = [r["token"] for r in
-           ref_counts.orderBy(F.desc("n"), F.asc("token"))
-                     .limit(max_categories).collect()]
-    keep = set(top)
+    ref_rows = [(r["token"], int(r["n"]))
+                for r in ref_counts.collect()]
+    cur_rows = [(r["token"], int(r["n"]))
+                for r in cur_counts.collect()]
+    ranked = sorted(ref_rows, key=lambda kv: (-kv[1], kv[0]))
+    keep = {t for t, _ in ranked[:max_categories]}
 
-    def shares(df: DataFrame) -> dict[str, int]:
+    def shares(rows: list[tuple[str, int]]) -> dict[str, int]:
         out: dict[str, int] = {}
-        for r in df.collect():
-            b = r["token"] if r["token"] in keep else "__other__"
-            out[b] = out.get(b, 0) + int(r["n"])
+        for t, n in rows:
+            b = t if t in keep else "__other__"
+            out[b] = out.get(b, 0) + n
         return out
 
-    cr, cc = shares(ref_counts), shares(cur_counts)
+    cr, cc = shares(ref_rows), shares(cur_rows)
     nr, nc = sum(cr.values()), sum(cc.values())
     psi = 0.0
     for b in set(cr) | set(cc):

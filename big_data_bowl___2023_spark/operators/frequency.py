@@ -42,6 +42,16 @@ Spark shape — the same discipline as dedup/bloom.py:
 NULL keys are EXCLUDED on build (COUNT(key) semantics) and probe
 NULL (SQL-unknown), mirroring the Bloom module.
 
+The artifact also records the sketched key's Spark type
+(``key_type``, `simpleString()` form): xxhash64 of int 5 and string
+"5" differ, so probing or inner-producting sketches built over
+differently-typed keys is silently meaningless — exactly like an
+equi-join over incomparable key types. Probe/join entry points
+REFUSE a known mismatch; artifacts without the column (pre-round-9
+parquet, the streaming faces' pruned emissions) skip the check —
+the guard never claims more than the artifact records. ``key_type``
+is therefore a reserved column name for ``group_cols``.
+
 Reference scope note: north-star extension (SURVEY.md §2 extensions);
 the reference has no frequency-sketch surface.
 """
@@ -114,7 +124,9 @@ def cms_summary(df: DataFrame, key_col: str, width: int, depth: int,
     partial agg). The ungrouped artifact carries an anchor cell so it
     is self-describing even for empty input; a GROUP appears only
     when it has non-NULL-key rows (groups of an empty input are
-    unknowable)."""
+    unknowable). A trailing ``key_type`` literal records the key's
+    Spark type so probes/joins can refuse cross-type use (module
+    docstring)."""
     if width <= 0 or depth <= 0:
         raise ValueError(f"width and depth must be positive, got "
                          f"({width}, {depth})")
@@ -122,6 +134,11 @@ def cms_summary(df: DataFrame, key_col: str, width: int, depth: int,
         raise ValueError(f"width*depth {width * depth} exceeds the "
                          f"dense broadcast guard {MAX_CELLS}")
     gcols = list(group_cols)
+    if "key_type" in gcols:
+        raise ValueError("cms_summary: 'key_type' is reserved for "
+                         "the artifact's own key-type record — "
+                         "rename the group column")
+    key_type = df.schema[key_col].dataType.simpleString()
     cols = [*gcols, "__h1", "__h2"] \
         + ([weight_col] if weight_col else [])
     hashed = _hash_cols(df, key_col) \
@@ -211,7 +228,8 @@ def cms_summary(df: DataFrame, key_col: str, width: int, depth: int,
             .groupBy(*gcols, "row_idx", "col_idx", "width", "depth")
             .agg(F.sum("count").alias("count"))
             .select(*gcols, "row_idx", "col_idx", "count", "width",
-                    "depth"))
+                    "depth")
+            .withColumn("key_type", F.lit(key_type)))
 
 
 def merge_cms(*summaries: DataFrame) -> DataFrame:
@@ -222,22 +240,24 @@ def merge_cms(*summaries: DataFrame) -> DataFrame:
     from ._fold import fold_union
 
     out = fold_union(summaries, "merge_cms")
-    return (out.groupBy("row_idx", "col_idx", "width", "depth")
+    # key_type rides the groupBy when present (all-typed artifacts):
+    # same-typed inputs collapse as before; differently-typed inputs
+    # yield >1 key_type and every downstream densify/probe refuses.
+    # Mixed typed/untyped inputs fail fold_union's strict unionByName.
+    kt = ["key_type"] if "key_type" in out.columns else []
+    return (out.groupBy("row_idx", "col_idx", "width", "depth", *kt)
                .agg(F.sum("count").alias("count"))
                .select("row_idx", "col_idx", "count", "width",
-                       "depth"))
+                       "depth", *kt))
 
 
-def cms_matrix(summary: DataFrame) -> tuple[np.ndarray, CmsParams]:
-    """Materialize the dense d×w counter matrix of a (possibly
-    merged, possibly append-only-unioned) artifact. Duplicate cells
-    SUM (counters add), so a parquet dir of per-batch summaries reads
-    back as the merged sketch. Bounded by MAX_CELLS; raises on
-    mixed parameters, and on a GROUPED artifact (densifying one
-    would silently sum unrelated groups' counters — filter to one
-    group, or drop the group axis deliberately, first)."""
+def _collect_cells(summary: DataFrame
+                   ) -> tuple[np.ndarray, CmsParams, str | None]:
+    """One collect shared by every densifying consumer: the dense
+    matrix, the (width, depth) params, and the recorded key type
+    (None when the artifact predates the ``key_type`` column)."""
     extra = set(summary.columns) - {"row_idx", "col_idx", "count",
-                                    "width", "depth"}
+                                    "width", "depth", "key_type"}
     if extra:
         raise ValueError(
             f"grouped cms artifact (extra columns {sorted(extra)}): "
@@ -248,6 +268,15 @@ def cms_matrix(summary: DataFrame) -> tuple[np.ndarray, CmsParams]:
         raise ValueError("empty cms artifact: cms_summary always "
                          "emits an anchor cell, so this input is not "
                          "a cms_summary output")
+    key_type = None
+    if "key_type" in summary.columns:
+        kts = {r["key_type"] for r in rows}
+        if len(kts) > 1:
+            raise ValueError(
+                f"cms artifact mixes key types {sorted(map(str, kts))}"
+                f" — sketches hash the key's physical type, so cells "
+                f"built over different types are incommensurable")
+        key_type = next(iter(kts))
     params = {(r["width"], r["depth"]) for r in rows}
     if len(params) > 1:
         raise ValueError(f"cms artifact mixes parameters {params}; "
@@ -260,7 +289,32 @@ def cms_matrix(summary: DataFrame) -> tuple[np.ndarray, CmsParams]:
     cells = np.zeros((depth, width), dtype=np.int64)
     for r in rows:
         cells[r["row_idx"], r["col_idx"]] += r["count"]
-    return cells, CmsParams(int(width), int(depth))
+    return cells, CmsParams(int(width), int(depth)), key_type
+
+
+def _refuse_key_type(artifact_kt: str | None, probe_kt: str,
+                     what: str) -> None:
+    """xxhash64(int 5) != xxhash64('5'): a cross-type probe returns
+    collision noise, not an estimate — refuse when the artifact
+    recorded its type; pre-key_type artifacts probe unchecked."""
+    if artifact_kt is not None and artifact_kt != probe_kt:
+        raise ValueError(
+            f"{what}: sketch was built over {artifact_kt} keys but "
+            f"the probe key is {probe_kt} — cast to a common type "
+            f"BEFORE sketching/probing (like the join itself)")
+
+
+def cms_matrix(summary: DataFrame) -> tuple[np.ndarray, CmsParams]:
+    """Materialize the dense d×w counter matrix of a (possibly
+    merged, possibly append-only-unioned) artifact. Duplicate cells
+    SUM (counters add), so a parquet dir of per-batch summaries reads
+    back as the merged sketch. Bounded by MAX_CELLS; raises on
+    mixed parameters, on mixed key types, and on a GROUPED artifact
+    (densifying one would silently sum unrelated groups' counters —
+    filter to one group, or drop the group axis deliberately,
+    first)."""
+    cells, params, _ = _collect_cells(summary)
+    return cells, params
 
 
 def estimate_counts(df: DataFrame, key_col: str, summary: DataFrame,
@@ -274,8 +328,11 @@ def estimate_counts(df: DataFrame, key_col: str, summary: DataFrame,
     broadcast dense matrix — zero shuffle, zero join. Long-running
     per-micro-batch callers: pass ``broadcast_handle`` and unpersist
     the appended Broadcast after the batch's actions (the dedup/bloom
-    probe documents the leak mode)."""
-    cells, (width, depth) = cms_matrix(summary)
+    probe documents the leak mode). Refuses a probe key whose type
+    differs from the artifact's recorded ``key_type``."""
+    cells, (width, depth), akt = _collect_cells(summary)
+    _refuse_key_type(akt, df.schema[key_col].dataType.simpleString(),
+                     "estimate_counts")
     bc = df.sparkSession.sparkContext.broadcast(cells)
     if broadcast_handle is not None:
         broadcast_handle.append(bc)
@@ -316,6 +373,16 @@ def estimate_counts_grouped(df: DataFrame, key_col: str,
     rows = summary.collect()
     if not rows:
         raise ValueError("empty grouped cms artifact")
+    if "key_type" in summary.columns:
+        kts = {r["key_type"] for r in rows}
+        if len(kts) > 1:
+            raise ValueError(
+                f"grouped cms artifact mixes key types "
+                f"{sorted(map(str, kts))}")
+        _refuse_key_type(
+            next(iter(kts)),
+            df.schema[key_col].dataType.simpleString(),
+            "estimate_counts_grouped")
     params = {(r["width"], r["depth"]) for r in rows}
     if len(params) > 1:
         raise ValueError(f"cms artifact mixes parameters {params}")
@@ -403,9 +470,18 @@ def cms_join_size(a: DataFrame, b: DataFrame) -> dict:
     Both artifacts must share (width, depth) AND have sketched keys
     of the same TYPE (the hash family is fixed module-wide, but
     xxhash64 of e.g. int 5 and string "5" differ — exactly like the
-    join itself, which also requires comparable key types)."""
-    A, pa = cms_matrix(a)
-    B, pb = cms_matrix(b)
+    join itself, which also requires comparable key types). The
+    type check is enforced from the artifacts' recorded ``key_type``
+    when both carry it; an artifact predating the column (or pruned
+    of it by the streaming faces) is trusted on the caller's word."""
+    A, pa, ka = _collect_cells(a)
+    B, pb, kb = _collect_cells(b)
+    if ka is not None and kb is not None and ka != kb:
+        raise ValueError(
+            f"cms_join_size: key-type mismatch — sketch A was built "
+            f"over {ka} keys, sketch B over {kb}; their hash spaces "
+            f"are unrelated, so the inner product estimates nothing. "
+            f"Cast to a common key type before sketching")
     if (pa.width, pa.depth) != (pb.width, pb.depth):
         raise ValueError(
             f"cms_join_size: parameter mismatch "

@@ -28,7 +28,7 @@ extensions); the reference has no dimension-versioning surface.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Callable, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -138,7 +138,8 @@ def scd2_apply(dim: DataFrame, updates: DataFrame,
 def scd2_apply_with_quarantine(
         dim: DataFrame, updates: DataFrame, key_cols: Sequence[str],
         ts_col: str = "effective_ts",
-        compare_cols: Sequence[str] | None = None
+        compare_cols: Sequence[str] | None = None,
+        pin: Callable[[DataFrame], DataFrame] | None = None
         ) -> tuple[DataFrame, DataFrame]:
     """(new_dim, quarantined): :func:`scd2_apply` plus the inadmissible
     updates it dropped, in the update batch's own schema (keys +
@@ -150,7 +151,14 @@ def scd2_apply_with_quarantine(
     Duplicate-(key, ts) rows removed by the deterministic dedupe are
     NOT quarantined (they are redundant, not late). The quarantine
     rides the same keys-join the admission filter already performs,
-    so exposing it adds no extra shuffle."""
+    so exposing it adds no extra shuffle.
+
+    Both returned frames branch from the same dedupe+join lineage;
+    a caller that ACTIONS both (e.g. the streaming loop writing
+    quarantine and snapshot per micro-batch) would compute that
+    shared prefix twice. ``pin`` (typically :func:`session.pin`)
+    materializes the shared joined frame once so each action pays
+    only its own suffix. Default None: pure lazy plan, unchanged."""
     keys = list(key_cols)
     attrs = [c for c in updates.columns
              if c not in keys and c != ts_col]
@@ -166,6 +174,8 @@ def scd2_apply_with_quarantine(
                            F.struct(*[F.col(c) for c in cmp_cols])
                            .alias("__cur_attrs"))
     joined = updates.join(open_meta, keys, "left")
+    if pin is not None:
+        joined = pin(joined)
     # NULL-timestamp updates are malformed CDC rows: inadmissible for
     # ANY key (a version can't open at an unknown time). The leading
     # isNotNull also keeps `admissible` two-valued, so the ~admissible

@@ -75,9 +75,9 @@ def windowed_cms_sketches(stream: DataFrame, key_col: str,
                           group_cols: Sequence[str] = (),
                           watermark: str | None = None) -> DataFrame:
     """(window_start, group_cols..., row_idx, col_idx, count, width,
-    depth, emit_seq): the non-zero cells of each (tumbling window,
-    group)'s count-min sketch, re-emitted per micro-batch that
-    touches the window. On a BATCH DataFrame the same rows come from
+    depth, emit_seq, key_type): the non-zero cells of each (tumbling
+    window, group)'s count-min sketch, re-emitted per micro-batch
+    that touches the window. On a BATCH DataFrame the same rows come from
     the batch operator grouped by window (emit_seq 1) — the
     stream/batch parity the tests pin."""
     if width * depth > MAX_CELLS:
@@ -88,6 +88,10 @@ def windowed_cms_sketches(stream: DataFrame, key_col: str,
     gcols = list(group_cols)
     win_start = F.window(ts_col, window)["start"].alias(
         "window_start")
+    # the key's Spark type is known at plan time; emissions carry it
+    # like the batch artifact so downstream probes can refuse a
+    # cross-type use (operators.frequency module docstring)
+    key_type = stream.schema[key_col].dataType.simpleString()
     src = stream
     if watermark is not None and stream.isStreaming:
         src = src.withWatermark(ts_col, watermark)
@@ -110,7 +114,10 @@ def windowed_cms_sketches(stream: DataFrame, key_col: str,
         plain = stream.select(win_start, *gcols, key_col)
         return cms_summary(plain, key_col, width, depth,
                            group_cols=["window_start", *gcols]) \
-            .withColumn("emit_seq", F.lit(1).cast("long"))
+            .withColumn("emit_seq", F.lit(1).cast("long")) \
+            .select("window_start", *gcols, "row_idx", "col_idx",
+                    "count", "width", "depth", "emit_seq",
+                    "key_type")
 
     key_fields = [T.StructField("window_start", T.TimestampType())] \
         + [src.schema[c] for c in gcols]
@@ -155,7 +162,8 @@ def windowed_cms_sketches(stream: DataFrame, key_col: str,
     return (src.groupBy("window_start", *gcols)
             .applyInPandasWithState(update, out_schema,
                                     _STATE_SCHEMA, "update",
-                                    GroupStateTimeout.NoTimeout))
+                                    GroupStateTimeout.NoTimeout)
+            .withColumn("key_type", F.lit(key_type)))
 
 
 def latest_window_sketches(emissions: DataFrame,
@@ -184,12 +192,16 @@ def windows_as_cms_summary(latest: DataFrame,
     from ..operators.frequency import merge_cms
 
     gcols = list(group_cols)
+    # key_type rides along when the emissions carry it (archives
+    # written before the column existed stay legacy-untyped)
+    kt = ["key_type"] if "key_type" in latest.columns else []
     pruned = latest.select(*gcols, "row_idx", "col_idx", "count",
-                           "width", "depth")
+                           "width", "depth", *kt)
     if not gcols:
         return merge_cms(pruned)
     return (pruned
-            .groupBy(*gcols, "row_idx", "col_idx", "width", "depth")
+            .groupBy(*gcols, "row_idx", "col_idx", "width", "depth",
+                     *kt)
             .agg(F.sum("count").alias("count"))
             .select(*gcols, "row_idx", "col_idx", "count", "width",
-                    "depth"))
+                    "depth", *kt))

@@ -271,3 +271,58 @@ def test_grouped_probe_exact_above_double_precision(spark):
     assert rows[("x", "g1")] == (1 << 54) + 1       # exact, not 2^54
     assert rows[("x", "nosuchgroup")] is None       # unsketched group
     assert rows[(None, "g1")] is None               # NULL key
+
+
+def test_key_type_recorded_and_probe_refusal(spark):
+    """The artifact records the sketched key's Spark type; a probe
+    with a differently-typed key is collision noise, not an
+    estimate, and must refuse (estimate_counts, grouped probe, and
+    the densify path on a mixed-type artifact)."""
+    from big_data_bowl___2023_spark.operators.frequency import (
+        estimate_counts_grouped,
+    )
+
+    ints = spark.createDataFrame(
+        [(5, "g1"), (6, "g1")], "k long, g string")
+    strs = spark.createDataFrame(
+        [("5", "g1"), ("6", "g1")], "k string, g string")
+    summ = cms_summary(ints, "k", 256, 3)
+    assert [r["key_type"] for r in
+            summ.select("key_type").distinct().collect()] == ["bigint"]
+    with pytest.raises(ValueError, match="built over bigint"):
+        estimate_counts(strs, "k", summ)
+    gsumm = cms_summary(ints, "k", 256, 3, group_cols=["g"])
+    with pytest.raises(ValueError, match="built over bigint"):
+        estimate_counts_grouped(strs, "k", "g", gsumm)
+    # same-typed probes pass and stay sound
+    got = {r["k"]: r["freq_estimate"]
+           for r in estimate_counts(ints, "k", summ).collect()}
+    assert got[5] >= 1 and got[6] >= 1
+    # a mixed-type union (append-only dir of incompatible batches)
+    # refuses at densify time — merge_cms keeps the types separate
+    mixed = merge_cms(summ, cms_summary(strs, "k", 256, 3))
+    with pytest.raises(ValueError, match="mixes key types"):
+        cms_matrix(mixed)
+    # legacy artifacts (column dropped) probe unchecked
+    legacy = summ.drop("key_type")
+    got = {r["k"]: r["freq_estimate"]
+           for r in estimate_counts(ints, "k", legacy).collect()}
+    assert got[5] >= 1
+    # 'key_type' is reserved for the artifact's own record
+    with pytest.raises(ValueError, match="reserved"):
+        cms_summary(ints.withColumnRenamed("g", "key_type"),
+                    "k", 256, 3, group_cols=["key_type"])
+
+
+def test_key_type_survives_merge_and_parquet(spark, tmp_path):
+    a = spark.createDataFrame([("x",), ("y",)], "k string")
+    b = spark.createDataFrame([("x",), ("z",)], "k string")
+    merged = merge_cms(cms_summary(a, "k", 256, 3),
+                       cms_summary(b, "k", 256, 3))
+    path = str(tmp_path / "cms")
+    merged.write.parquet(path)
+    back = spark.read.parquet(path)
+    assert [r["key_type"] for r in
+            back.select("key_type").distinct().collect()] == ["string"]
+    cells, params = cms_matrix(back)
+    assert (cells.sum(axis=1) == 4).all()

@@ -84,3 +84,20 @@ def test_parameter_mismatch_refused(spark):
     with pytest.raises(ValueError, match="parameter mismatch"):
         cms_join_size(cms_summary(a, "k", 1024, 5),
                       cms_summary(a, "k", 2048, 5))
+
+
+def test_key_type_mismatch_refused(spark):
+    """xxhash64(int 5) != xxhash64('5'): sketches over differently-
+    typed keys share no hash space, so the inner product would be a
+    silent massive UNDER-estimate from a function documented as
+    never-under. The artifact records its key type; refuse."""
+    ints = spark.createDataFrame([(5,), (6,)], "k long")
+    strs = spark.createDataFrame([("5",), ("6",)], "k string")
+    with pytest.raises(ValueError, match="key-type mismatch"):
+        cms_join_size(cms_summary(ints, "k", W, D),
+                      cms_summary(strs, "k", W, D))
+    # a legacy artifact (pre-key_type parquet) recorded no type to
+    # check: the caller is trusted, exactly as documented
+    legacy = cms_summary(ints, "k", W, D).drop("key_type")
+    got = cms_join_size(legacy, cms_summary(ints, "k", W, D))
+    assert got["join_size_estimate"] == 2

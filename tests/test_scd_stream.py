@@ -139,6 +139,74 @@ def test_batch_grain_time_travel_and_empty_batches(spark, tmp_path):
     assert quarantine_log(spark, str(tmp_path / "nope")) is None
 
 
+def test_bootstrap_null_ts_rows_are_quarantined(spark, tmp_path):
+    """scd2_init has no admissibility join, so the loop must split
+    malformed NULL-ts rows out BEFORE bootstrap — the module contract
+    is that NULL-ts rows ALWAYS stay quarantined, batch 0 included."""
+    b0 = [("a", "x", 1, 10), ("bad", "m", 1, None)]
+    dim_dir, q_dir, fn = _run(spark, tmp_path, [b0])
+    dim = scd2_dim(spark, dim_dir)
+    assert [r["entity"] for r in dim.collect()] == ["a"]
+    qlog = quarantine_log(spark, q_dir)
+    assert [(r["entity"], int(r["batch"])) for r in qlog.collect()] \
+        == [("bad", 0)]
+    # the malformed row arriving later is quarantined identically
+    fn(_batch(spark, [("bad", "m", 1, None)]), 1)
+    q1 = [r["entity"] for r in quarantine_log(spark, q_dir).collect()
+          if int(r["batch"]) == 1]
+    assert q1 == ["bad"]
+
+
+def test_all_null_bootstrap_does_not_freeze(spark, tmp_path):
+    """A first batch of ONLY malformed rows must not commit an empty
+    dimension: the next valid batch still bootstraps via scd2_init."""
+    dim_dir, q_dir, fn = _run(
+        spark, tmp_path, [[("bad", "m", 1, None)]])
+    assert scd2_dim(spark, dim_dir) is None
+    assert committed_snapshot_ids(spark, dim_dir) == []
+    fn(_batch(spark, B0), 1)
+    assert _collect(scd2_dim(spark, dim_dir)) == _collect(
+        scd2_init(_batch(spark, B0), KEYS, TS))
+
+
+def test_committed_batch_replay_is_noop(spark, tmp_path):
+    """Crash AFTER the snapshot committed but BEFORE the stream
+    checkpoint: the replay must SKIP, never delete-and-rewrite a
+    committed snapshot under a concurrent reader. Replaying with
+    DIFFERENT data proves the skip (a recompute would change it)."""
+    dim_dir, q_dir, fn = _run(spark, tmp_path, [B0, B1])
+    before = _collect(scd2_dim(spark, dim_dir))
+    fn(_batch(spark, [("a", "IMPOSTER", 7, 99)]), 1)
+    assert _collect(scd2_dim(spark, dim_dir)) == before
+    assert committed_snapshot_ids(spark, dim_dir) == [0, 1]
+
+
+def test_quarantine_log_is_success_gated(spark, tmp_path):
+    """A torn quarantine dir (crash mid-write, no _SUCCESS) must be
+    invisible to quarantine_log — same reader contract as the
+    snapshots."""
+    dim_dir, q_dir, fn = _run(spark, tmp_path, [B0, B1, B2])
+    torn = os.path.join(q_dir, "batch=3")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-00000.parquet"), "w") as f:
+        f.write("not parquet")
+    qlog = quarantine_log(spark, q_dir)
+    assert [(r["entity"], int(r["batch"])) for r in qlog.collect()] \
+        == [("c", 2)]
+
+
+def test_stray_nonnumeric_batch_dir_is_ignored(spark, tmp_path):
+    """A tooling leftover like batch=2__tmp (even with _SUCCESS) must
+    not take down every reader or the processor itself."""
+    dim_dir, q_dir, fn = _run(spark, tmp_path, [B0, B1])
+    stray = os.path.join(dim_dir, "batch=1__tmp")
+    os.makedirs(stray)
+    open(os.path.join(stray, "_SUCCESS"), "w").close()
+    assert committed_snapshot_ids(spark, dim_dir) == [0, 1]
+    fn(_batch(spark, B2), 2)   # processor lists too — must not raise
+    assert committed_snapshot_ids(spark, dim_dir) == [0, 1, 2]
+
+
 def test_real_stream_availablenow(spark, tmp_path):
     """End-to-end through a real file stream: rows land as CDC files,
     availableNow drains them through the loop, the final dim matches
