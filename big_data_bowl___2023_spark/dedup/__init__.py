@@ -39,6 +39,11 @@ from .lines import (
     repeated_line_stats,
     split_lines,
 )
+from .substrings import (
+    repeated_substring_spans,
+    repeated_substring_stats,
+    scrub_repeated_substrings,
+)
 from .clusters import (
     canonical_docs,
     connected_components,
@@ -76,6 +81,8 @@ __all__ = [
     "keep_min_per_component", "kmeans_assign", "pairs_with_centroids",
     "semantic_dedup", "semantic_dup_pairs",
     "remove_repeated_lines", "repeated_line_stats", "split_lines",
+    "repeated_substring_spans", "repeated_substring_stats",
+    "scrub_repeated_substrings",
     "canonical_docs", "connected_components", "resolve_clusters",
     "source_overlap_matrix",
     "bloom_bytes", "bloom_exact_anti_join", "bloom_parameters",

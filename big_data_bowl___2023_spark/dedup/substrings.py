@@ -1,0 +1,195 @@
+"""Corpus-wide exact repeated-substring removal (ExactSubstr pass).
+
+Lee et al., "Deduplicating Training Data Makes Language Models
+Better" (ACL 2022) showed that removing VERBATIM repeated substrings
+— not just near-duplicate documents — measurably improves LMs; their
+ExactSubstr tool does it with a single-machine suffix array over the
+whole corpus, which caps out long before 100 TB. This module is the
+distributed re-expression: the observation that makes it shuffle-
+friendly is that *every duplicated token run of length ≥ L is
+exactly a union of duplicated L-token grams*, so position-level
+L-gram hashing — one narrow (hash, doc, pos) row per token position,
+never the text — finds precisely the spans a suffix array would,
+with plain relational operators.
+
+Semantics (token grain, whitespace tokens — the `winnow` module's
+convention): hash every L-gram at every position; a gram occurring
+more than ``max_occurrences`` times corpus-wide is duplicated; its
+globally-first occurrence (min (doc_id, pos) — deterministic under
+any partitioning) is the KEPT canonical, every other occurrence
+becomes a removal interval [pos, pos+L); per document the intervals
+merge (gaps-and-islands) and the covered tokens are dropped. Because
+every gram of a duplicated run shares the same minimal document, the
+canonical copy of each run survives INTACT while every other copy is
+removed whole — one surviving copy per duplicated substring, the
+ExactSubstr contract. Within-document repeats keep the earliest
+occurrence. One pass is exact for the ORIGINAL corpus's duplicated
+runs; removal seams can create new token adjacencies, so a paranoid
+caller iterates scrub→stats to a fixpoint (seam duplicates are rare
+and bounded by the span count — same residual Lee et al. accept).
+
+Scale shape (100 TB): gram hashing is map-side (one higher-order
+``transform`` over the token array + one ``posexplode``); the corpus
+then appears in the shuffles ONLY as 24-byte (hash, doc, pos) rows —
+never text. Shuffle 1: ``groupBy(gram_hash)`` with min-struct and
+count aggregates (both map-side combinable, so a boilerplate gram in
+10⁶ documents partially aggregates before the exchange — no hot-key
+window). Shuffle 2: occurrences join the duplicated-hash subset
+(usually tiny; AQE handles residual skew). Shuffle 3: interval merge
+keyed by doc. The final text rewrite joins span ARRAYS (KB-scale)
+back to the corpus — broadcast when a count says they fit, so
+documents are rewritten in place without ever shuffling text.
+
+Gram identity is ``xxhash64`` of the gram string: at 2⁶⁴, colliding
+two of n distinct grams needs n ≈ 10⁹·⁶ before p > 1e-3 — and a
+collision only ever OVER-removes one span (safe direction for a
+scrubber). The pytest oracle replays the spec in pure python on gram
+STRINGS, so a collision would be caught, not mirrored.
+
+Reference scope note: north-star extension (SURVEY.md §2 extensions,
+inventory E110); the reference (R scripts, NFL tracking) has no
+corpus operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# spans-per-doc rowcount below which the rewrite join broadcasts —
+# the "broadcast bought with a count" pattern (dedup/embedding.py)
+_BROADCAST_SPAN_DOCS = 2_000_000
+
+
+def _gram_occurrences(docs: DataFrame, min_tokens: int,
+                      id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, pos, gram_hash): every L-gram at every 1-based token
+    position — map-side only (transform + posexplode), text reduced
+    to a 64-bit hash before anything shuffles."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1),
+                   F.size(F.col("__toks")) - F.lit(min_tokens - 1)),
+        lambda i: F.xxhash64(
+            F.array_join(F.slice(F.col("__toks"), i, min_tokens),
+                         " ")))
+    return (docs
+            .filter(F.size(toks) >= min_tokens)
+            .withColumn("__toks", toks)
+            .select(F.col(id_col).alias("doc_id"),
+                    F.posexplode(grams).alias("pos0", "gram_hash"))
+            .select("doc_id", (F.col("pos0") + 1).alias("pos"),
+                    "gram_hash"))
+
+
+def repeated_substring_stats(docs: DataFrame, min_tokens: int = 50,
+                             max_occurrences: int = 1,
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """(gram_hash, n_occurrences, n_docs, first_doc, first_pos) for
+    every duplicated L-gram — the audit report that sizes a scrub
+    before the destructive pass. One partial-aggregated shuffle; no
+    text leaves its document (fetch sample text by slicing the doc at
+    (first_doc, first_pos) downstream, map-side)."""
+    if min_tokens < 2:
+        raise ValueError(f"min_tokens must be >= 2, got {min_tokens}")
+    occ = _gram_occurrences(docs, min_tokens, id_col, text_col)
+    first = F.struct(F.col("doc_id").alias("d"),
+                     F.col("pos").alias("p"))
+    return (occ
+            .groupBy("gram_hash")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                 F.countDistinct("doc_id").alias("n_docs"),
+                 F.min(first).alias("__first"))
+            .filter(F.col("n_occurrences") > max_occurrences)
+            .select("gram_hash", "n_occurrences", "n_docs",
+                    F.col("__first.d").alias("first_doc"),
+                    F.col("__first.p").alias("first_pos")))
+
+
+def repeated_substring_spans(docs: DataFrame, min_tokens: int = 50,
+                             max_occurrences: int = 1,
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """(doc_id, tok_start, tok_end): merged token intervals (1-based
+    start, exclusive end) covering every non-canonical occurrence of
+    every duplicated L-gram — what :func:`scrub_repeated_substrings`
+    removes. The canonical (globally-first) occurrence contributes no
+    interval, so each duplicated run's first copy survives whole.
+
+    Interval merge is gaps-and-islands per document: removal grams
+    sort by pos, a gram opens a new island iff it starts past the
+    running max end of everything before it — one doc-keyed window
+    over interval rows only (duplicated grams, not the corpus)."""
+    rep = repeated_substring_stats(docs, min_tokens, max_occurrences,
+                                   id_col, text_col)
+    occ = _gram_occurrences(docs, min_tokens, id_col, text_col)
+    removals = (occ
+                .join(rep.select("gram_hash", "first_doc",
+                                 "first_pos"), "gram_hash")
+                .filter(~((F.col("doc_id") == F.col("first_doc"))
+                          & (F.col("pos") == F.col("first_pos"))))
+                .select("doc_id", "pos",
+                        (F.col("pos") + min_tokens).alias("end")))
+    w = Window.partitionBy("doc_id").orderBy("pos", "end")
+    prev_max = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (removals
+               .withColumn("__new", F.when(
+                   prev_max.isNull()
+                   | (F.col("pos") > prev_max), 1).otherwise(0))
+               .withColumn("__island", F.sum("__new").over(
+                   w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (islands
+            .groupBy("doc_id", "__island")
+            .agg(F.min("pos").alias("tok_start"),
+                 F.max("end").alias("tok_end"))
+            .select("doc_id", "tok_start", "tok_end"))
+
+
+def scrub_repeated_substrings(docs: DataFrame, min_tokens: int = 50,
+                              max_occurrences: int = 1,
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> DataFrame:
+    """Rewrite ``text_col`` with every non-canonical duplicated
+    substring removed; all other columns pass through unchanged.
+    Documents with no removal span keep their ORIGINAL text byte-for-
+    byte; affected documents are re-serialized from their surviving
+    tokens with single spaces (the operator is token-grain — original
+    inter-token whitespace inside a rewritten document is not
+    preserved, same contract as the winnow/packing family). A fully-
+    covered document comes back with empty text (dropping it is the
+    quality gate's call, as in `remove_repeated_lines`).
+
+    The span arrays are corpus-tiny; a count decides whether they
+    broadcast (`_BROADCAST_SPAN_DOCS`) so the rewrite never shuffles
+    document text — above the cap it falls back to a plain join and
+    lets AQE plan it."""
+    spans = repeated_substring_spans(docs, min_tokens,
+                                     max_occurrences, id_col,
+                                     text_col)
+    per_doc = (spans.groupBy("doc_id")
+               .agg(F.collect_list(
+                   F.struct(F.col("tok_start").alias("s"),
+                            F.col("tok_end").alias("e")))
+                   .alias("__spans")))
+    n_affected = per_doc.count()
+    if n_affected == 0:
+        return docs
+    rhs = (F.broadcast(per_doc)
+           if n_affected <= _BROADCAST_SPAN_DOCS else per_doc)
+    joined = docs.join(
+        rhs.withColumnRenamed("doc_id", "__span_doc"),
+        F.col(id_col) == F.col("__span_doc"), "left")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.col("__spans"),
+            lambda sp: (i + 1 >= sp.s) & (i + 1 < sp.e)))
+    rewritten = F.when(F.col("__span_doc").isNull(),
+                       F.col(text_col)) \
+                 .otherwise(F.array_join(kept, " "))
+    return (joined
+            .withColumn(text_col, rewritten)
+            .drop("__span_doc", "__spans"))

@@ -1,0 +1,224 @@
+"""Exact repeated-substring removal (dedup/substrings.py).
+
+Contracts under test:
+* spec identity — spans and scrubbed text equal a pure-python replay
+  of the documented semantics (gram STRINGS, not hashes, so a hash
+  collision would surface as a mismatch);
+* keeper property — each duplicated run's globally-first copy
+  survives byte-for-byte; every other copy is removed whole;
+* below-threshold runs untouched; unaffected docs keep ORIGINAL
+  text exactly (odd whitespace included);
+* within-doc repeats keep the earliest occurrence;
+* interval merge on overlapping/adjacent removal grams;
+* scrub of a clean corpus is a no-op (same object, zero jobs wasted);
+* plan shape — text never enters an exchange before the final
+  rewrite join, and the rewrite broadcasts the span side.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_bowl___2023_spark.dedup.substrings import (
+    repeated_substring_spans,
+    repeated_substring_stats,
+    scrub_repeated_substrings,
+)
+
+
+# ---------------------------------------------------------------- oracle
+
+def _oracle(rows: list[tuple[str, str]], L: int,
+            max_occurrences: int = 1):
+    """Pure-python replay of the module spec on gram strings.
+    Returns (spans: {(doc, start, end)}, scrubbed: {doc: text})."""
+    toks = {d: t.strip().split() for d, t in rows}
+    occ: dict[tuple, list] = {}
+    for d, t in sorted(toks.items()):
+        for p in range(len(t) - L + 1):
+            occ.setdefault(tuple(t[p:p + L]), []).append((d, p + 1))
+    removals: dict[str, list] = {}
+    for gram, where in occ.items():
+        if len(where) <= max_occurrences:
+            continue
+        keep = min(where)
+        for d, p in where:
+            if (d, p) != keep:
+                removals.setdefault(d, []).append((p, p + L))
+    spans = set()
+    for d, ivs in removals.items():
+        ivs.sort()
+        cur_s, cur_e = ivs[0]
+        merged = []
+        for s, e in ivs[1:]:
+            if s > cur_e:
+                merged.append((cur_s, cur_e))
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        merged.append((cur_s, cur_e))
+        for s, e in merged:
+            spans.add((d, s, e))
+    scrubbed = {}
+    for d, t in toks.items():
+        cover = [False] * (len(t) + 1)
+        for dd, s, e in spans:
+            if dd == d:
+                for i in range(s, min(e, len(t) + 1)):
+                    cover[i] = True
+        kept = [tok for i, tok in enumerate(t, start=1)
+                if not cover[i]]
+        scrubbed[d] = (" ".join(kept)
+                       if d in {x[0] for x in spans}
+                       else dict(rows)[d])
+    return spans, scrubbed
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def _spans_set(df):
+    return {(r["doc_id"], r["tok_start"], r["tok_end"])
+            for r in df.collect()}
+
+
+def _texts(df):
+    return {r["doc_id"]: r["text"] for r in df.collect()}
+
+
+def _check(spark, rows, L, max_occurrences=1):
+    docs = _docs(spark, rows)
+    exp_spans, exp_text = _oracle(rows, L, max_occurrences)
+    got_spans = _spans_set(repeated_substring_spans(
+        docs, L, max_occurrences))
+    assert got_spans == exp_spans
+    got_text = _texts(scrub_repeated_substrings(
+        docs, L, max_occurrences))
+    assert got_text == exp_text
+    return got_spans, got_text
+
+
+# ----------------------------------------------------------------- tests
+
+SHARED = "the quick brown fox jumps over the lazy dog tonight"
+
+
+def test_cross_doc_passage_matches_oracle(spark):
+    rows = [
+        ("a", f"alpha opening words {SHARED} alpha closing words"),
+        ("b", f"beta starts here {SHARED} and beta ends here"),
+        ("c", "gamma has entirely original content throughout it"),
+    ]
+    spans, text = _check(spark, rows, L=5)
+    # keeper: doc a (globally first) keeps the passage verbatim
+    assert SHARED in text["a"]
+    assert SHARED not in text["b"]
+    assert spans and all(d == "b" for d, _, _ in spans)
+    # unaffected docs keep original text exactly
+    assert text["c"] == rows[2][1]
+
+
+def test_within_doc_repeat_keeps_earliest(spark):
+    body = "x1 x2 x3 x4 x5"
+    rows = [("solo", f"{body} middle filler words {body}")]
+    spans, text = _check(spark, rows, L=5)
+    assert text["solo"].startswith(body)
+    assert text["solo"].count(body) == 1
+
+
+def test_below_threshold_is_untouched(spark):
+    rows = [
+        ("a", "one two three four unique tail here"),
+        ("b", "one two three four different ending words"),
+    ]
+    # shared run is 4 tokens < L=5: nothing to scrub
+    docs = _docs(spark, rows)
+    assert _spans_set(repeated_substring_spans(docs, 5)) == set()
+    out = scrub_repeated_substrings(docs, 5)
+    assert _texts(out) == dict(rows)
+    _check(spark, rows, L=4)   # at L=4 the run IS scrubbed from b
+
+
+def test_overlapping_runs_merge_intervals(spark):
+    # b repeats a's passage twice back-to-back: removal grams overlap
+    # and must merge into one-or-two clean intervals, never leave a
+    # partial copy behind
+    rows = [
+        ("a", f"{SHARED} plus some original a text"),
+        ("b", f"{SHARED} {SHARED} and b's own suffix"),
+    ]
+    spans, text = _check(spark, rows, L=5)
+    assert SHARED not in text["b"]
+    assert SHARED in text["a"]
+
+
+def test_tie_and_whitespace_preservation(spark):
+    rows = [
+        ("z_unaffected", "  spaced\tout   original\n text kept  "),
+        ("a", f"{SHARED} one"),
+        ("b", f"{SHARED} two"),
+    ]
+    _, text = _check(spark, rows, L=5)
+    # untouched doc keeps its exact original whitespace
+    assert text["z_unaffected"] == rows[0][1]
+
+
+def test_short_and_empty_docs_pass_through(spark):
+    rows = [("e", ""), ("s", "two words"),
+            ("a", f"{SHARED} x"), ("b", f"{SHARED} y")]
+    _check(spark, rows, L=5)
+
+
+def test_clean_corpus_is_noop_same_frame(spark):
+    docs = _docs(spark, [("a", "all fresh words"),
+                         ("b", "nothing shared at all")])
+    out = scrub_repeated_substrings(docs, 3)
+    assert out is docs          # zero-span fast path returns input
+
+
+def test_stats_report_counts_and_first_locus(spark):
+    rows = [("a", f"{SHARED}"), ("b", f"{SHARED}"), ("c", f"{SHARED}")]
+    stats = repeated_substring_stats(_docs(spark, rows), 5)
+    got = stats.collect()
+    n_grams = len(SHARED.split()) - 5 + 1
+    assert len(got) == n_grams
+    assert all(r["n_occurrences"] == 3 and r["n_docs"] == 3
+               and r["first_doc"] == "a" for r in got)
+
+
+def test_min_tokens_validation(spark):
+    with pytest.raises(ValueError, match="min_tokens"):
+        repeated_substring_stats(_docs(spark, [("a", "x y")]), 1)
+
+
+def test_rescrub_converges_on_fixture(spark):
+    """One pass removes every originally-duplicated run here; the
+    stats of the scrubbed corpus are empty (no seam duplicates in
+    this fixture), so scrub∘scrub == scrub."""
+    rows = [
+        ("a", f"lead in {SHARED} tail a"),
+        ("b", f"{SHARED} tail b"),
+        ("c", f"other copy {SHARED}"),
+    ]
+    once = scrub_repeated_substrings(_docs(spark, rows), 5)
+    assert repeated_substring_stats(once, 5).count() == 0
+
+
+def test_plan_text_free_shuffles_and_broadcast_rewrite(spark):
+    from big_data_bowl___2023_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    rows = [("a", f"{SHARED} one"), ("b", f"{SHARED} two")]
+    docs = _docs(spark, rows)
+    spans = repeated_substring_spans(docs, 5)
+    plan = formatted_plan(spans)
+    # the span pipeline's exchanges carry (hash, doc, pos) — the text
+    # column must be pruned out before every shuffle
+    for frag in plan.split("Exchange")[1:]:
+        node = frag.split("\n\n")[0]    # this Exchange node only
+        assert "text#" not in node, node
+    out = scrub_repeated_substrings(docs, 5)
+    assert "BroadcastHashJoin" in formatted_plan(out)
