@@ -145,6 +145,22 @@ def _make_planes(dim: int, n_planes: int) -> list[list[float]]:
     return planes
 
 
+def _probe_cells(cell, n_planes: int, probe_adjacent: bool):
+    """Array of cells a query probes: its own cell plus — when
+    ``probe_adjacent`` — every cell one bit flip away. Shared by the
+    on-the-fly `ivf_topk` and the persistent `similarity.index`
+    search so both probe identically (bit-parity tested)."""
+    cells = [cell]
+    for j in range(n_planes):
+        flipped = F.concat(
+            F.substring(cell, 1, j),
+            F.when(F.substring(cell, j + 1, 1) == "1",
+                   "0").otherwise("1"),
+            F.substring(cell, j + 2, n_planes - j - 1))
+        cells.append(flipped)
+    return F.array(*cells) if probe_adjacent else F.array(cell)
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
              vec_col: str = "embedding", id_col: str = "vec_id",
              dim: int = 64, n_planes: int = 3,
@@ -167,18 +183,10 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
         "cell", _cell_key(F.col("query_id_v"), planes))
 
     # Multi-probe: expand each query to its cell + single-bit flips.
-    def flips(cell):
-        cells = [cell]
-        for j in range(n_planes):
-            flipped = F.concat(
-                F.substring(cell, 1, j),
-                F.when(F.substring(cell, j + 1, 1) == "1", "0").otherwise("1"),
-                F.substring(cell, j + 2, n_planes - j - 1))
-            cells.append(flipped)
-        return F.array(*cells) if probe_adjacent else F.array(cell)
-
     q = q.select("query_id", "query_id_v",
-                 F.explode(flips(F.col("cell"))).alias("cell")).distinct()
+                 F.explode(_probe_cells(F.col("cell"), n_planes,
+                                        probe_adjacent))
+                  .alias("cell")).distinct()
 
     probed = c.join(F.broadcast(q), "cell")
     if exclude_self:

@@ -1,0 +1,131 @@
+"""Persistent ANN index: cell-partitioned parquet + pruned search.
+
+`ann.ivf_topk` assigns the corpus to coarse hyperplane-sign cells ON
+EVERY CALL — the right shape for one-shot batch search, but at 100 TB
+a served index cannot re-scan and re-hash the corpus per query batch.
+This module makes the cell assignment DURABLE: the corpus is written
+once as parquet **partitioned by cell**, so a search's probed cells
+become partition directories and Spark's partition pruning skips
+every other file at plan time. With 2^n_planes cells and multi-probe
+reading n_planes+1 of them, a search scans ~(n_planes+1)/2^n_planes
+of the corpus bytes — the same sub-linear fraction `ivf_topk`
+touches, but enforced by the LAYOUT (zero scan of unprobed cells,
+verifiable in the plan's PartitionFilters) instead of by a filter
+over a full scan.
+
+The index is self-describing: `_index_meta` (one-row parquet beside
+the cells) records dim and n_planes, so `append_to_index` re-derives
+the exact deterministic planes (`ann._make_planes` — no RNG state to
+persist) and new batches land in the same cell directories via
+append-mode partitioned writes. Search is BIT-IDENTICAL to
+`ivf_topk` over the same rows (same `_prep` normalization, same
+`_probe_cells` expansion, same `_score_pairs` kernels, same ranking
+— pytest-pinned), so the index inherits the ANN family's recall
+story and degenerate-vector policy unchanged.
+
+Scale/consistency notes: the probed-cell `isin` list collects the
+DISTINCT probed cells — bounded by 2^n_planes regardless of query
+count, never by the query set. An append adds files inside existing
+cell directories; readers that listed files before the append simply
+miss the new rows (parquet append visibility — the io.py compaction
+caveat), and ids are the caller's contract as everywhere in the
+dedup/ANN family. Vectors are stored post-`as_double`, so a search
+never re-casts the corpus.
+
+Reference scope note: north-star extension (SURVEY.md §2 extensions,
+inventory E111); the reference has no vector-search surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import vectors as V
+from .ann import _cell_key, _make_planes, _prep, _probe_cells, _score_pairs
+
+_META = "_index_meta"
+_CELLS = "cells"
+
+
+def _assign(df: DataFrame, vec_col: str, id_col: str,
+            dim: int, n_planes: int) -> DataFrame:
+    planes = _make_planes(dim, n_planes)
+    return (df.select(F.col(id_col).alias("neighbor_id"),
+                      V.as_double(F.col(vec_col)).alias("vec"))
+              .withColumn("cell", _cell_key(F.col("vec"), planes)))
+
+
+def build_ann_index(corpus: DataFrame, index_dir: str,
+                    dim: int = 64, n_planes: int = 3,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> None:
+    """Write ``index_dir``: cell-partitioned corpus vectors + a
+    one-row meta parquet. Overwrites an existing index whole (a
+    rebuild, not a merge — incremental ingest is `append_to_index`)."""
+    spark = corpus.sparkSession
+    (_assign(corpus, vec_col, id_col, dim, n_planes)
+     .write.mode("overwrite").partitionBy("cell")
+     .parquet(f"{index_dir}/{_CELLS}"))
+    (spark.createDataFrame([(int(dim), int(n_planes))],
+                           "dim int, n_planes int")
+     .write.mode("overwrite").parquet(f"{index_dir}/{_META}"))
+
+
+def _read_meta(spark: SparkSession, index_dir: str) -> tuple[int, int]:
+    row = spark.read.parquet(f"{index_dir}/{_META}").collect()
+    if len(row) != 1:
+        raise ValueError(f"corrupt index meta at {index_dir}: "
+                         f"{len(row)} rows, expected 1")
+    return int(row[0]["dim"]), int(row[0]["n_planes"])
+
+
+def append_to_index(batch: DataFrame, index_dir: str,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> None:
+    """Assign a new batch with the index's OWN recorded planes (meta
+    dim/n_planes — deterministic, so old and new rows agree on every
+    cell boundary) and append into the existing cell directories."""
+    dim, n_planes = _read_meta(batch.sparkSession, index_dir)
+    (_assign(batch, vec_col, id_col, dim, n_planes)
+     .write.mode("append").partitionBy("cell")
+     .parquet(f"{index_dir}/{_CELLS}"))
+
+
+def ann_index_search(spark: SparkSession, index_dir: str,
+                     queries: DataFrame, k: int,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id",
+                     probe_adjacent: bool = True,
+                     score_kernel: str = "sql",
+                     exclude_self: bool = True) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rank): `ivf_topk` semantics
+    against the stored index. The probed cells are collected as a
+    DISTINCT set (≤ 2^n_planes strings) and pushed as a partition
+    filter, so the scan enumerates only the probed directories —
+    `plans.explain.assert_partition_pruned`-checkable."""
+    dim, n_planes = _read_meta(spark, index_dir)
+    planes = _make_planes(dim, n_planes)
+    q = _prep(queries, vec_col, id_col, "query_id").withColumn(
+        "cell", _cell_key(F.col("query_id_v"), planes))
+    q = q.select("query_id", "query_id_v",
+                 F.explode(_probe_cells(F.col("cell"), n_planes,
+                                        probe_adjacent))
+                  .alias("cell")).distinct()
+    probed = [r["cell"] for r in q.select("cell").distinct().collect()]
+    if not probed:
+        raise ValueError("ann_index_search: empty query set")
+    corpus = (spark.read.parquet(f"{index_dir}/{_CELLS}")
+              .filter(F.col("cell").isin(probed))
+              .select("neighbor_id",
+                      F.col("vec").alias("neighbor_id_v"), "cell"))
+    pairs = corpus.join(F.broadcast(q), "cell")
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = _score_pairs(pairs, score_kernel)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "neighbor_id", "cosine", "rank")
+                  .dropDuplicates(["query_id", "neighbor_id"]))

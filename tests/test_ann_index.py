@@ -1,0 +1,94 @@
+"""Persistent ANN index (similarity/index.py).
+
+Contracts under test:
+* search over the stored index is BIT-IDENTICAL to `ivf_topk` over
+  the same rows (same prep/probe/score/rank machinery);
+* append_to_index lands new rows in the same cell boundaries — the
+  incremental index equals a from-scratch rebuild exactly;
+* the probed cells reach the scan as PartitionFilters (the layout,
+  not a post-scan filter, does the pruning) and the kept fraction is
+  sub-linear;
+* meta round trip, corrupt meta refusal, empty-query refusal.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_bowl___2023_spark.plans.explain import (
+    assert_partition_pruned,
+    formatted_plan,
+)
+from big_data_bowl___2023_spark.similarity import (
+    ann_index_search,
+    append_to_index,
+    build_ann_index,
+    ivf_topk,
+)
+from big_data_bowl___2023_spark.sources.io import load_table
+
+
+def _topk_rows(df):
+    return sorted((r["query_id"], r["neighbor_id"], r["cosine"],
+                   r["rank"]) for r in df.collect())
+
+
+def test_index_search_bit_identical_to_ivf(spark, sf_dir, tmp_path):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    idx = str(tmp_path / "idx")
+    build_ann_index(emb, idx)
+    got = ann_index_search(spark, idx, queries, 5)
+    ref = ivf_topk(emb, queries, 5)
+    assert _topk_rows(got) == _topk_rows(ref)
+    # kernel parity holds against the stored layout too
+    got_a = ann_index_search(spark, idx, queries, 5,
+                             score_kernel="arrow")
+    assert _topk_rows(got_a) == _topk_rows(ref)
+
+
+def test_append_equals_rebuild(spark, sf_dir, tmp_path):
+    emb = load_table(spark, sf_dir, "embeddings")
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.filter(F.col("vec_id") % 2 == 1)
+    queries = emb.filter(F.col("vec_id") < 10)
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    build_ann_index(b1, inc)
+    append_to_index(b2, inc)
+    build_ann_index(emb, full)
+    assert _topk_rows(ann_index_search(spark, inc, queries, 5)) \
+        == _topk_rows(ann_index_search(spark, full, queries, 5))
+
+
+def test_search_scan_is_partition_pruned(spark, sf_dir, tmp_path):
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "idx")
+    build_ann_index(emb, idx)
+    one_query = emb.filter(F.col("vec_id") == 0)
+    out = ann_index_search(spark, idx, one_query, 5)
+    assert_partition_pruned(out, "cell#")
+    # one query multi-probes n_planes+1 = 4 of 8 cells: the static
+    # IN-list in the partition filter must name exactly those 4
+    plan = formatted_plan(out)
+    pf = [line for line in plan.splitlines()
+          if "PartitionFilters" in line][0]
+    import re
+    in_list = re.search(r"cell#\d+ IN \(([^)]*)\)", pf)
+    assert in_list, pf
+    assert len(in_list.group(1).split(",")) == 4, pf
+
+
+def test_meta_and_refusals(spark, sf_dir, tmp_path):
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "idx")
+    build_ann_index(emb, idx, dim=64, n_planes=3)
+    meta = spark.read.parquet(f"{idx}/_index_meta").collect()
+    assert [(r["dim"], r["n_planes"]) for r in meta] == [(64, 3)]
+    with pytest.raises(ValueError, match="empty query set"):
+        ann_index_search(spark, idx, emb.filter(F.lit(False)), 5)
+    # corrupt meta (two rows) refuses rather than guessing planes
+    spark.createDataFrame([(64, 3), (64, 4)], "dim int, n_planes int") \
+        .write.mode("overwrite").parquet(f"{idx}/_index_meta")
+    with pytest.raises(ValueError, match="corrupt index meta"):
+        ann_index_search(spark, idx, emb.limit(1), 5)
