@@ -14,19 +14,31 @@ with plain relational operators.
 
 Semantics (token grain, whitespace tokens — the `winnow` module's
 convention): hash every L-gram at every position; a gram occurring
-more than ``max_occurrences`` times corpus-wide is duplicated; its
-globally-first occurrence (min (doc_id, pos) — deterministic under
-any partitioning) is the KEPT canonical, every other occurrence
-becomes a removal interval [pos, pos+L); per document the intervals
-merge (gaps-and-islands) and the covered tokens are dropped. Because
-every gram of a duplicated run shares the same minimal document, the
-canonical copy of each run survives INTACT while every other copy is
-removed whole — one surviving copy per duplicated substring, the
-ExactSubstr contract. Within-document repeats keep the earliest
-occurrence. One pass is exact for the ORIGINAL corpus's duplicated
-runs; removal seams can create new token adjacencies, so a paranoid
-caller iterates scrub→stats to a fixpoint (seam duplicates are rare
-and bounded by the span count — same residual Lee et al. accept).
+more than ``max_occurrences`` times corpus-wide is duplicated. Two
+removal policies, as in `lines.remove_repeated_lines`:
+
+* ``keep="none"`` — every occurrence of every duplicated gram is
+  removed (what Lee et al.'s released suffix-array tool does): after
+  one pass, NO originally-duplicated L-gram survives anywhere.
+* ``keep="first"`` (default) — each duplicated gram's globally-first
+  occurrence (min (doc_id, pos) — deterministic under any
+  partitioning) is the KEPT canonical; every other occurrence is a
+  removal interval [pos, pos+L), MINUS any overlap with the same
+  document's own kept-canonical coverage (a relational sweep-line
+  subtraction — without it, a removal interval from one gram could
+  tear another gram's kept canonical when partially-overlapping runs
+  pick canonicals in different documents). Guarantee: every
+  duplicated L-gram's canonical occurrence survives INTACT; a run
+  shared wholesale between documents therefore keeps its first copy
+  whole (all its grams' canonicals coincide), while runs that only
+  partially overlap across different document pairs survive as
+  gram-grain canonicals that may be spread over several documents.
+
+Within-document repeats keep the earliest occurrence. One pass is
+exact for the ORIGINAL corpus's duplicated runs; removal seams can
+create new token adjacencies, so a paranoid caller iterates
+scrub→stats to a fixpoint (seam duplicates are rare and bounded by
+the span count — same residual Lee et al. accept).
 
 Scale shape (100 TB): gram hashing is map-side (one higher-order
 ``transform`` over the token array + one ``posexplode``); the corpus
@@ -107,34 +119,16 @@ def repeated_substring_stats(docs: DataFrame, min_tokens: int = 50,
                     F.col("__first.p").alias("first_pos")))
 
 
-def repeated_substring_spans(docs: DataFrame, min_tokens: int = 50,
-                             max_occurrences: int = 1,
-                             id_col: str = "doc_id",
-                             text_col: str = "text") -> DataFrame:
-    """(doc_id, tok_start, tok_end): merged token intervals (1-based
-    start, exclusive end) covering every non-canonical occurrence of
-    every duplicated L-gram — what :func:`scrub_repeated_substrings`
-    removes. The canonical (globally-first) occurrence contributes no
-    interval, so each duplicated run's first copy survives whole.
-
-    Interval merge is gaps-and-islands per document: removal grams
-    sort by pos, a gram opens a new island iff it starts past the
-    running max end of everything before it — one doc-keyed window
-    over interval rows only (duplicated grams, not the corpus)."""
-    rep = repeated_substring_stats(docs, min_tokens, max_occurrences,
-                                   id_col, text_col)
-    occ = _gram_occurrences(docs, min_tokens, id_col, text_col)
-    removals = (occ
-                .join(rep.select("gram_hash", "first_doc",
-                                 "first_pos"), "gram_hash")
-                .filter(~((F.col("doc_id") == F.col("first_doc"))
-                          & (F.col("pos") == F.col("first_pos"))))
-                .select("doc_id", "pos",
-                        (F.col("pos") + min_tokens).alias("end")))
+def _merge_islands(intervals: DataFrame) -> DataFrame:
+    """(doc_id, pos, end) → (doc_id, tok_start, tok_end): classic
+    gaps-and-islands — an interval opens a new island iff it starts
+    past the running max end of everything before it. One doc-keyed
+    window over interval rows only (duplicated grams/segments, not
+    the corpus)."""
     w = Window.partitionBy("doc_id").orderBy("pos", "end")
     prev_max = F.max("end").over(
         w.rowsBetween(Window.unboundedPreceding, -1))
-    islands = (removals
+    islands = (intervals
                .withColumn("__new", F.when(
                    prev_max.isNull()
                    | (F.col("pos") > prev_max), 1).otherwise(0))
@@ -147,12 +141,77 @@ def repeated_substring_spans(docs: DataFrame, min_tokens: int = 50,
             .select("doc_id", "tok_start", "tok_end"))
 
 
+def _subtract_keeps(removals: DataFrame,
+                    keeps: DataFrame) -> DataFrame:
+    """Relational sweep-line: (doc_id, pos, end) removal intervals
+    minus kept-canonical intervals, as flat segments. Boundary events
+    (+1/−1 per interval edge) accumulate per doc; the span between
+    consecutive boundaries is removed iff removal coverage > 0 and
+    keep coverage == 0 there. Windows ride interval-boundary rows
+    only — never corpus rows."""
+    ev = (removals.select("doc_id", F.col("pos").alias("b"),
+                          F.lit(1).alias("dr"), F.lit(0).alias("dk"))
+          .unionByName(removals.select(
+              "doc_id", F.col("end").alias("b"),
+              F.lit(-1).alias("dr"), F.lit(0).alias("dk")))
+          .unionByName(keeps.select(
+              "doc_id", F.col("pos").alias("b"),
+              F.lit(0).alias("dr"), F.lit(1).alias("dk")))
+          .unionByName(keeps.select(
+              "doc_id", F.col("end").alias("b"),
+              F.lit(0).alias("dr"), F.lit(-1).alias("dk"))))
+    ev = (ev.groupBy("doc_id", "b")
+            .agg(F.sum("dr").alias("dr"), F.sum("dk").alias("dk")))
+    w = Window.partitionBy("doc_id").orderBy("b")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    segs = (ev
+            .withColumn("__r", F.sum("dr").over(run))
+            .withColumn("__k", F.sum("dk").over(run))
+            .withColumn("__next", F.lead("b").over(w)))
+    return (segs
+            .filter((F.col("__r") > 0) & (F.col("__k") == 0)
+                    & F.col("__next").isNotNull())
+            .select("doc_id", F.col("b").alias("pos"),
+                    F.col("__next").alias("end")))
+
+
+def repeated_substring_spans(docs: DataFrame, min_tokens: int = 50,
+                             max_occurrences: int = 1,
+                             keep: str = "first",
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """(doc_id, tok_start, tok_end): merged token intervals (1-based
+    start, exclusive end) that :func:`scrub_repeated_substrings`
+    removes. ``keep="none"`` covers EVERY occurrence of every
+    duplicated L-gram; ``keep="first"`` covers the non-canonical
+    occurrences minus each document's own kept-canonical coverage
+    (module docstring — the subtraction is what makes the canonical
+    survive intact)."""
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    rep = repeated_substring_stats(docs, min_tokens, max_occurrences,
+                                   id_col, text_col)
+    occ = _gram_occurrences(docs, min_tokens, id_col, text_col)
+    dup = occ.join(rep.select("gram_hash", "first_doc", "first_pos"),
+                   "gram_hash")
+    iv = lambda df: df.select(  # noqa: E731
+        "doc_id", "pos", (F.col("pos") + min_tokens).alias("end"))
+    if keep == "none":
+        return _merge_islands(iv(dup))
+    is_canon = ((F.col("doc_id") == F.col("first_doc"))
+                & (F.col("pos") == F.col("first_pos")))
+    removals = iv(dup.filter(~is_canon))
+    keeps = iv(dup.filter(is_canon))
+    return _merge_islands(_subtract_keeps(removals, keeps))
+
+
 def scrub_repeated_substrings(docs: DataFrame, min_tokens: int = 50,
                               max_occurrences: int = 1,
+                              keep: str = "first",
                               id_col: str = "doc_id",
                               text_col: str = "text") -> DataFrame:
-    """Rewrite ``text_col`` with every non-canonical duplicated
-    substring removed; all other columns pass through unchanged.
+    """Rewrite ``text_col`` with duplicated substrings removed under
+    the ``keep`` policy; all other columns pass through unchanged.
     Documents with no removal span keep their ORIGINAL text byte-for-
     byte; affected documents are re-serialized from their surviving
     tokens with single spaces (the operator is token-grain — original
@@ -165,14 +224,21 @@ def scrub_repeated_substrings(docs: DataFrame, min_tokens: int = 50,
     broadcast (`_BROADCAST_SPAN_DOCS`) so the rewrite never shuffles
     document text — above the cap it falls back to a plain join and
     lets AQE plan it."""
+    from ..session import pin
+
     spans = repeated_substring_spans(docs, min_tokens,
-                                     max_occurrences, id_col,
+                                     max_occurrences, keep, id_col,
                                      text_col)
     per_doc = (spans.groupBy("doc_id")
                .agg(F.collect_list(
                    F.struct(F.col("tok_start").alias("s"),
                             F.col("tok_end").alias("e")))
                    .alias("__spans")))
+    # pin before the sizing count, or the whole multi-shuffle span
+    # pipeline would run twice — once for the count, once for the
+    # rewrite join (the counted-broadcast precedent in
+    # dedup/embedding.py pins for exactly this reason)
+    per_doc = pin(per_doc)
     n_affected = per_doc.count()
     if n_affected == 0:
         return docs

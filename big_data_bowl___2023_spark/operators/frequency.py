@@ -270,13 +270,16 @@ def _collect_cells(summary: DataFrame
                          "a cms_summary output")
     key_type = None
     if "key_type" in summary.columns:
-        kts = {r["key_type"] for r in rows}
+        # NULL = a pre-key_type batch file in an append-only dir
+        # (schema-on-read null-fills it): unknown, not a distinct
+        # type — only CONFLICTING recorded types are incommensurable
+        kts = {r["key_type"] for r in rows} - {None}
         if len(kts) > 1:
             raise ValueError(
-                f"cms artifact mixes key types {sorted(map(str, kts))}"
-                f" — sketches hash the key's physical type, so cells "
+                f"cms artifact mixes key types {sorted(kts)} — "
+                f"sketches hash the key's physical type, so cells "
                 f"built over different types are incommensurable")
-        key_type = next(iter(kts))
+        key_type = next(iter(kts)) if kts else None
     params = {(r["width"], r["depth"]) for r in rows}
     if len(params) > 1:
         raise ValueError(f"cms artifact mixes parameters {params}; "
@@ -374,15 +377,15 @@ def estimate_counts_grouped(df: DataFrame, key_col: str,
     if not rows:
         raise ValueError("empty grouped cms artifact")
     if "key_type" in summary.columns:
-        kts = {r["key_type"] for r in rows}
+        kts = {r["key_type"] for r in rows} - {None}
         if len(kts) > 1:
             raise ValueError(
-                f"grouped cms artifact mixes key types "
-                f"{sorted(map(str, kts))}")
-        _refuse_key_type(
-            next(iter(kts)),
-            df.schema[key_col].dataType.simpleString(),
-            "estimate_counts_grouped")
+                f"grouped cms artifact mixes key types {sorted(kts)}")
+        if kts:
+            _refuse_key_type(
+                next(iter(kts)),
+                df.schema[key_col].dataType.simpleString(),
+                "estimate_counts_grouped")
     params = {(r["width"], r["depth"]) for r in rows}
     if len(params) > 1:
         raise ValueError(f"cms artifact mixes parameters {params}")

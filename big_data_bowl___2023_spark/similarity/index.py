@@ -51,9 +51,21 @@ _CELLS = "cells"
 def _assign(df: DataFrame, vec_col: str, id_col: str,
             dim: int, n_planes: int) -> DataFrame:
     planes = _make_planes(dim, n_planes)
+    cell = _cell_key(F.col("vec"), planes)
+    # a wrong-dimension vector would zip_with-pad into NULL
+    # projections and land silently in the zero-suffix cells — fail
+    # the write instead (raise_error rides the cell expression, so
+    # the guard costs no extra scan)
+    guarded = F.when(
+        F.size(F.col("vec")) != dim,
+        F.raise_error(F.concat(
+            F.lit(f"index expects {dim}-dim vectors, got "),
+            F.size(F.col("vec")).cast("string"),
+            F.lit(" for id "),
+            F.col("neighbor_id").cast("string")))).otherwise(cell)
     return (df.select(F.col(id_col).alias("neighbor_id"),
                       V.as_double(F.col(vec_col)).alias("vec"))
-              .withColumn("cell", _cell_key(F.col("vec"), planes)))
+              .withColumn("cell", guarded))
 
 
 def build_ann_index(corpus: DataFrame, index_dir: str,

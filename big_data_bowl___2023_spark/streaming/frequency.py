@@ -86,6 +86,13 @@ def windowed_cms_sketches(stream: DataFrame, key_col: str,
                          f"as stream state — size it DOWN for "
                          f"streaming")
     gcols = list(group_cols)
+    if "key_type" in gcols:
+        # enforce the batch module's reserved name HERE too: on the
+        # streaming path the trailing withColumn would silently
+        # overwrite the group column and merge unrelated groups
+        raise ValueError("windowed_cms_sketches: 'key_type' is "
+                         "reserved for the artifact's own key-type "
+                         "record — rename the group column")
     win_start = F.window(ts_col, window)["start"].alias(
         "window_start")
     # the key's Spark type is known at plan time; emissions carry it

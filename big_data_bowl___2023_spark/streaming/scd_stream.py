@@ -168,7 +168,21 @@ def make_scd2_batch_fn(dim_dir: str, quarantine_dir: str,
         if not batch_df.take(1):
             return
         spark = batch_df.sparkSession
-        if _is_committed(spark, dim_dir, batch_id):
+        committed = committed_snapshot_ids(spark, dim_dir)
+        if committed and batch_id < committed[-1]:
+            # foreachBatch is sequential, so a GENUINE recovery
+            # replay is always of the latest committed batch. An id
+            # below it means the checkpoint was deleted/replaced
+            # while dim_dir kept its history — silently skipping
+            # would discard every new batch forever; refuse loudly
+            raise ValueError(
+                f"scd2 stream batch_id {batch_id} is behind the "
+                f"latest committed snapshot {committed[-1]} in "
+                f"{dim_dir} — the stream checkpoint was reset "
+                f"against an existing dimension. Point the loop at "
+                f"a fresh dim_dir/quarantine_dir or restore the "
+                f"checkpoint")
+        if committed and batch_id == committed[-1]:
             # recovery replay after the snapshot committed but before
             # the stream checkpoint did: outputs already on disk are
             # what this replay would recompute (quarantine commits

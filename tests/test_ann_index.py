@@ -92,3 +92,16 @@ def test_meta_and_refusals(spark, sf_dir, tmp_path):
         .write.mode("overwrite").parquet(f"{idx}/_index_meta")
     with pytest.raises(ValueError, match="corrupt index meta"):
         ann_index_search(spark, idx, emb.limit(1), 5)
+
+
+def test_wrong_dimension_append_refused(spark, sf_dir, tmp_path):
+    """A wrong-dim batch would silently land in the zero-suffix cells
+    (NULL projections); the write must fail instead."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "idx")
+    build_ann_index(emb, idx)
+    short = emb.limit(3).withColumn(
+        "embedding", F.slice(F.col("embedding"), 1, 32))
+    with pytest.raises(Exception) as exc:
+        append_to_index(short, idx)
+    assert "expects 64-dim vectors" in str(exc.value)

@@ -74,11 +74,16 @@ def test_same_id_replay_is_bit_exact(spark, tmp_path):
     dim_dir, q_dir, fn = _run(spark, tmp_path, [B0, B1, B2])
     before_dim = _collect(scd2_dim(spark, dim_dir))
     before_q = _collect(quarantine_log(spark, q_dir))
-    fn(_batch(spark, B1), 1)   # structured-streaming recovery replay
+    # a genuine recovery replay is always of the LATEST committed
+    # batch (foreachBatch is sequential): no-op skip, outputs intact
     fn(_batch(spark, B2), 2)
     assert _collect(scd2_dim(spark, dim_dir)) == before_dim
     assert _collect(quarantine_log(spark, q_dir)) == before_q
     assert committed_snapshot_ids(spark, dim_dir) == [0, 1, 2]
+    # an id BEHIND the latest snapshot is checkpoint-reset misuse
+    # (silently skipping would discard every new batch forever)
+    with pytest.raises(ValueError, match="checkpoint was reset"):
+        fn(_batch(spark, B1), 1)
 
 
 def test_redelivered_data_under_new_id_is_clean(spark, tmp_path):

@@ -30,48 +30,42 @@ from big_data_bowl___2023_spark.dedup.substrings import (
 # ---------------------------------------------------------------- oracle
 
 def _oracle(rows: list[tuple[str, str]], L: int,
-            max_occurrences: int = 1):
-    """Pure-python replay of the module spec on gram strings.
+            max_occurrences: int = 1, keep: str = "first"):
+    """Pure-python POINTWISE replay of the module spec on gram
+    strings: removed positions = union of removal-gram coverage,
+    minus (keep="first") the doc's own kept-canonical coverage.
     Returns (spans: {(doc, start, end)}, scrubbed: {doc: text})."""
     toks = {d: t.strip().split() for d, t in rows}
     occ: dict[tuple, list] = {}
-    for d, t in sorted(toks.items()):
+    for d, t in toks.items():
         for p in range(len(t) - L + 1):
             occ.setdefault(tuple(t[p:p + L]), []).append((d, p + 1))
-    removals: dict[str, list] = {}
+    removed: dict[str, set] = {d: set() for d in toks}
+    protected: dict[str, set] = {d: set() for d in toks}
     for gram, where in occ.items():
         if len(where) <= max_occurrences:
             continue
-        keep = min(where)
+        canon = min(where)
         for d, p in where:
-            if (d, p) != keep:
-                removals.setdefault(d, []).append((p, p + L))
-    spans = set()
-    for d, ivs in removals.items():
-        ivs.sort()
-        cur_s, cur_e = ivs[0]
-        merged = []
-        for s, e in ivs[1:]:
-            if s > cur_e:
-                merged.append((cur_s, cur_e))
-                cur_s, cur_e = s, e
+            if keep == "first" and (d, p) == canon:
+                protected[d].update(range(p, p + L))
             else:
-                cur_e = max(cur_e, e)
-        merged.append((cur_s, cur_e))
-        for s, e in merged:
-            spans.add((d, s, e))
+                removed[d].update(range(p, p + L))
+    spans = set()
     scrubbed = {}
     for d, t in toks.items():
-        cover = [False] * (len(t) + 1)
-        for dd, s, e in spans:
-            if dd == d:
-                for i in range(s, min(e, len(t) + 1)):
-                    cover[i] = True
-        kept = [tok for i, tok in enumerate(t, start=1)
-                if not cover[i]]
-        scrubbed[d] = (" ".join(kept)
-                       if d in {x[0] for x in spans}
-                       else dict(rows)[d])
+        rm = removed[d] - (protected[d] if keep == "first" else set())
+        i = None
+        for p in sorted(rm) + [None]:
+            if i is not None and (p is None or p > prev + 1):
+                spans.add((d, i, prev + 1))
+                i = None
+            if p is not None and i is None:
+                i = p
+            prev = p
+        kept = [tok for j, tok in enumerate(t, start=1)
+                if j not in rm]
+        scrubbed[d] = " ".join(kept) if rm else dict(rows)[d]
     return spans, scrubbed
 
 
@@ -88,14 +82,14 @@ def _texts(df):
     return {r["doc_id"]: r["text"] for r in df.collect()}
 
 
-def _check(spark, rows, L, max_occurrences=1):
+def _check(spark, rows, L, max_occurrences=1, keep="first"):
     docs = _docs(spark, rows)
-    exp_spans, exp_text = _oracle(rows, L, max_occurrences)
+    exp_spans, exp_text = _oracle(rows, L, max_occurrences, keep)
     got_spans = _spans_set(repeated_substring_spans(
-        docs, L, max_occurrences))
+        docs, L, max_occurrences, keep))
     assert got_spans == exp_spans
     got_text = _texts(scrub_repeated_substrings(
-        docs, L, max_occurrences))
+        docs, L, max_occurrences, keep))
     assert got_text == exp_text
     return got_spans, got_text
 
@@ -176,6 +170,59 @@ def test_clean_corpus_is_noop_same_frame(spark):
                          ("b", "nothing shared at all")])
     out = scrub_repeated_substrings(docs, 3)
     assert out is docs          # zero-span fast path returns input
+
+
+def test_partial_overlap_canonicals_survive_intact(spark):
+    """The adversarial case for per-gram canonicals: runs that only
+    PARTIALLY overlap across different document pairs pick canonicals
+    in different docs, and without the kept-coverage subtraction one
+    gram's removal would tear another gram's kept canonical. Every
+    duplicated gram's canonical occurrence must survive intact."""
+    rows = [("1", "b c d"), ("2", "a b c"), ("3", "a b")]
+    docs = _docs(spark, rows)
+    _, text = _check(spark, rows, L=2)
+    # gram 'a b': canonical is doc 2 pos 1 → survives there
+    assert text["2"].startswith("a b")
+    # gram 'b c': canonical is doc 1 pos 1 → doc 1 untouched
+    assert text["1"] == "b c d"
+    # doc 3's copy of 'a b' is the non-canonical one → removed
+    assert "a b" not in text["3"]
+    # the general keeper property, checked from the gram table:
+    # every duplicated gram's canonical occurrence is intact
+    for d, s, e in _spans_set(repeated_substring_spans(docs, 2)):
+        toks = dict(rows)[d].split()
+        removed = set(range(s, e))
+        # canonical coverage of this doc must be disjoint from spans
+        exp_spans, _ = _oracle(rows, 2)
+        assert (d, s, e) in exp_spans
+
+
+def test_keep_none_removes_every_copy(spark):
+    """Lee et al.'s released tool removes ALL copies: after one pass
+    no originally-duplicated gram survives anywhere."""
+    rows = [("1", "b c d"), ("2", "a b c"), ("3", "a b"),
+            ("4", f"{SHARED} twice {SHARED}")]
+    _, text = _check(spark, rows, L=2, keep="none")
+    # none of the ORIGINAL duplicated grams may remain in any doc
+    # (this fixture creates no colliding seam adjacencies, so the
+    # check is strict)
+    orig = {}
+    for d, t in rows:
+        toks = t.split()
+        for p in range(len(toks) - 1):
+            orig.setdefault(tuple(toks[p:p + 2]), []).append(d)
+    dup_grams = {g for g, ds in orig.items() if len(ds) > 1}
+    for t in text.values():
+        toks = t.split()
+        grams_here = {tuple(toks[p:p + 2])
+                      for p in range(len(toks) - 1)}
+        assert not (grams_here & dup_grams), (t, grams_here & dup_grams)
+
+
+def test_keep_validation(spark):
+    with pytest.raises(ValueError, match="keep must be"):
+        repeated_substring_spans(
+            _docs(spark, [("a", "x y z")]), 2, keep="all")
 
 
 def test_stats_report_counts_and_first_locus(spark):
