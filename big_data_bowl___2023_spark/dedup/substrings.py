@@ -192,7 +192,15 @@ def repeated_substring_spans(docs: DataFrame, min_tokens: int = 50,
     rep = repeated_substring_stats(docs, min_tokens, max_occurrences,
                                    id_col, text_col)
     occ = _gram_occurrences(docs, min_tokens, id_col, text_col)
-    dup = occ.join(rep.select("gram_hash", "first_doc", "first_pos"),
+    # shuffle_hash, never broadcast: the duplicated-gram table is
+    # proportional to the corpus's duplicated MASS (boilerplate-heavy
+    # corpora make it millions of rows), and AQE's measured-size
+    # broadcast of it OOM'd the 64x stress leg building a
+    # LongToUnsafeRowMap over the full-range xxhash64 keys. The
+    # shuffled-hash build is per-partition rep/32 and skew-safe (a
+    # hot gram is ONE build row; its many probe rows stream past)
+    dup = occ.join(rep.select("gram_hash", "first_doc", "first_pos")
+                      .hint("shuffle_hash"),
                    "gram_hash")
     iv = lambda df: df.select(  # noqa: E731
         "doc_id", "pos", (F.col("pos") + min_tokens).alias("end"))

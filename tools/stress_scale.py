@@ -323,6 +323,42 @@ def product_legs(spark, docs0, scales) -> None:
               flush=True)
 
 
+def substring_legs(spark, docs0, scales) -> None:
+    """ExactSubstr doubling evidence (E110): the derived corpus gives
+    every doc the planted corpus-wide boilerplate line — at scale S
+    that is ONE gram family with 5000·S occurrences, the hottest
+    possible key — plus organic within-replica repeats. Wall should
+    track token count (map-side gram hashing + partial-aggregated
+    min/count — no per-hash window), and the removal interval volume
+    should track n_docs (each doc loses its boiler copy except the
+    canonical's)."""
+    from big_data_bowl___2023_spark.dedup.substrings import (
+        repeated_substring_spans,
+        scrub_repeated_substrings,
+    )
+
+    for scale in scales:
+        docs = scaled(docs0, scale, replicate_documents) \
+            .localCheckpoint()
+        n_docs = docs.count()
+        corpus = derive_multiline(docs)
+        t0 = time.time()
+        n_spans = repeated_substring_spans(corpus, 8).count()
+        t_spans = time.time() - t0
+        t0 = time.time()
+        out = scrub_repeated_substrings(corpus, 8)
+        n_tokens_out = out.select(
+            F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+             .alias("t")).collect()[0]["t"]
+        t_scrub = time.time() - t0
+        print(json.dumps({
+            "scale": scale, "n_docs": n_docs,
+            "substr_spans": n_spans,
+            "substr_spans_sec": round(t_spans, 2),
+            "tokens_out": int(n_tokens_out),
+            "substr_scrub_sec": round(t_scrub, 2)}), flush=True)
+
+
 def main() -> None:
     # position-independent parsing: integer args are --product scales,
     # the (single) non-integer non-flag arg is sf_dir — so
@@ -333,26 +369,29 @@ def main() -> None:
     argv = sys.argv[1:]
     want_product = "--product" in argv
     want_vector = "--vector" in argv
-    if want_product and want_vector:
-        raise SystemExit("--product and --vector are exclusive modes")
+    want_substr = "--substr" in argv
+    if sum([want_product, want_vector, want_substr]) > 1:
+        raise SystemExit("--product/--vector/--substr are exclusive "
+                         "modes")
     scales: list[int] = []
     paths: list[str] = []
     for a in argv:
-        if a in ("--product", "--vector"):
+        if a in ("--product", "--vector", "--substr"):
             continue
         if re.fullmatch(r"[0-9]+", a):      # positive ints only
             scales.append(int(a))
         elif a.startswith("-"):
-            raise SystemExit(f"unknown flag {a!r} "
-                             "(only --product / --vector)")
+            raise SystemExit(f"unknown flag {a!r} (only "
+                             "--product / --vector / --substr)")
         else:
             paths.append(a)
     if any(sc < 1 for sc in scales):
         raise SystemExit(f"scales must be >= 1, got {scales}")
     if len(paths) > 1:
         raise SystemExit(f"at most one sf_dir argument, got {paths}")
-    if scales and not (want_product or want_vector):
-        raise SystemExit("scale arguments require --product/--vector")
+    if scales and not (want_product or want_vector or want_substr):
+        raise SystemExit(
+            "scale arguments require --product/--vector/--substr")
     product_scales = (scales or [16, 64]) if want_product else None
     sf_dir = paths[0] if paths else "/root/testdata/sf0.1"
     spark = get_spark("stress")
@@ -364,6 +403,10 @@ def main() -> None:
         return
     docs0 = load_table(spark, sf_dir, "documents").cache()
     docs0.count()
+    if want_substr:
+        substring_legs(spark, docs0, scales or [16, 64])
+        spark.stop()
+        return
     if product_scales is not None:
         product_legs(spark, docs0, product_scales)
         spark.stop()
