@@ -40,8 +40,10 @@ from .lines import (
     split_lines,
 )
 from .substrings import (
+    benchmark_overlap_spans,
     repeated_substring_spans,
     repeated_substring_stats,
+    scrub_benchmark_overlap,
     scrub_repeated_substrings,
 )
 from .clusters import (
@@ -81,7 +83,8 @@ __all__ = [
     "keep_min_per_component", "kmeans_assign", "pairs_with_centroids",
     "semantic_dedup", "semantic_dup_pairs",
     "remove_repeated_lines", "repeated_line_stats", "split_lines",
-    "repeated_substring_spans", "repeated_substring_stats",
+    "benchmark_overlap_spans", "repeated_substring_spans",
+    "repeated_substring_stats", "scrub_benchmark_overlap",
     "scrub_repeated_substrings",
     "canonical_docs", "connected_components", "resolve_clusters",
     "source_overlap_matrix",

@@ -40,6 +40,11 @@ create new token adjacencies, so a paranoid caller iterates
 scrub→stats to a fixpoint (seam duplicates are rare and bounded by
 the span count — same residual Lee et al. accept).
 
+The same machinery also does SPAN-GRAIN DECONTAMINATION
+(`scrub_benchmark_overlap`): cut every train occurrence of any
+benchmark L-gram while keeping the rest of the document — the
+surgical complement to `dedup.decontaminate`'s whole-document drop.
+
 Scale shape (100 TB): gram hashing is map-side (one higher-order
 ``transform`` over the token array + one ``posexplode``); the corpus
 then appears in the shuffles ONLY as 24-byte (hash, doc, pos) rows —
@@ -232,11 +237,20 @@ def scrub_repeated_substrings(docs: DataFrame, min_tokens: int = 50,
     broadcast (`_BROADCAST_SPAN_DOCS`) so the rewrite never shuffles
     document text — above the cap it falls back to a plain join and
     lets AQE plan it."""
-    from ..session import pin
-
     spans = repeated_substring_spans(docs, min_tokens,
                                      max_occurrences, keep, id_col,
                                      text_col)
+    return _rewrite_with_spans(docs, spans, id_col, text_col)
+
+
+def _rewrite_with_spans(docs: DataFrame, spans: DataFrame,
+                        id_col: str, text_col: str) -> DataFrame:
+    """Drop the tokens covered by (doc_id, tok_start, tok_end)
+    intervals from each document's text; docs with no span keep
+    their original text byte-for-byte. Shared by the repeated-
+    substring scrub and the benchmark-overlap scrub."""
+    from ..session import pin
+
     per_doc = (spans.groupBy("doc_id")
                .agg(F.collect_list(
                    F.struct(F.col("tok_start").alias("s"),
@@ -267,3 +281,58 @@ def scrub_repeated_substrings(docs: DataFrame, min_tokens: int = 50,
     return (joined
             .withColumn(text_col, rewritten)
             .drop("__span_doc", "__spans"))
+
+
+def benchmark_overlap_spans(train: DataFrame, benchmark: DataFrame,
+                            min_tokens: int = 8,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            bench_id_col: str = "doc_id",
+                            bench_text_col: str = "text"
+                            ) -> DataFrame:
+    """(doc_id, tok_start, tok_end): merged token intervals of every
+    TRAIN occurrence of any benchmark L-gram — the span-grain
+    decontamination complement to `dedup.decontaminate` (which drops
+    whole documents): here only the leaked benchmark text itself is
+    cut, the rest of the document survives. PaLM/FLAN-style surgical
+    decontamination.
+
+    Scale shape: benchmark gram hashes are DISTINCT-deduped and
+    usually eval-set-tiny — broadcast when a count (on a pinned
+    frame) says they fit, shuffled-hash otherwise; the train corpus
+    rides the join as (hash, doc, pos) rows only."""
+    if min_tokens < 2:
+        raise ValueError(f"min_tokens must be >= 2, got {min_tokens}")
+    from ..session import pin
+
+    bench = (_gram_occurrences(benchmark, min_tokens, bench_id_col,
+                               bench_text_col)
+             .select("gram_hash").distinct())
+    bench = pin(bench)
+    n_grams = bench.count()
+    occ = _gram_occurrences(train, min_tokens, id_col, text_col)
+    rhs = (F.broadcast(bench) if n_grams <= _BROADCAST_SPAN_DOCS
+           else bench.hint("shuffle_hash"))
+    hits = occ.join(rhs, "gram_hash")
+    return _merge_islands(hits.select(
+        "doc_id", "pos", (F.col("pos") + min_tokens).alias("end")))
+
+
+def scrub_benchmark_overlap(train: DataFrame, benchmark: DataFrame,
+                            min_tokens: int = 8,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            bench_id_col: str = "doc_id",
+                            bench_text_col: str = "text"
+                            ) -> DataFrame:
+    """Rewrite train ``text_col`` with every benchmark-overlapping
+    span removed (same rewrite contract as
+    `scrub_repeated_substrings`: unaffected docs byte-identical,
+    affected docs re-serialized whitespace-normalized, fully-covered
+    docs come back empty — dropping them is the quality gate's
+    call). After one pass no L-gram of the ORIGINAL train text that
+    appears anywhere in the benchmark survives."""
+    spans = benchmark_overlap_spans(train, benchmark, min_tokens,
+                                    id_col, text_col, bench_id_col,
+                                    bench_text_col)
+    return _rewrite_with_spans(train, spans, id_col, text_col)

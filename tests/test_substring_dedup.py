@@ -269,3 +269,84 @@ def test_plan_text_free_shuffles_and_broadcast_rewrite(spark):
         assert "text#" not in node, node
     out = scrub_repeated_substrings(docs, 5)
     assert "BroadcastHashJoin" in formatted_plan(out)
+
+
+# --------------------------------------------- benchmark-overlap scrub
+
+def _bench_oracle(train_rows, bench_rows, L):
+    """Pointwise replay: remove every train position covered by an
+    L-gram that appears anywhere in the benchmark."""
+    bench_grams = set()
+    for _, t in bench_rows:
+        toks = t.strip().split()
+        for p in range(len(toks) - L + 1):
+            bench_grams.add(tuple(toks[p:p + L]))
+    scrubbed, spans = {}, set()
+    for d, t in train_rows:
+        toks = t.strip().split()
+        rm = set()
+        for p in range(len(toks) - L + 1):
+            if tuple(toks[p:p + L]) in bench_grams:
+                rm.update(range(p + 1, p + 1 + L))
+        i = None
+        for p in sorted(rm) + [None]:
+            if i is not None and (p is None or p > prev + 1):
+                spans.add((d, i, prev + 1))
+                i = None
+            if p is not None and i is None:
+                i = p
+            prev = p
+        kept = [tok for j, tok in enumerate(toks, start=1)
+                if j not in rm]
+        scrubbed[d] = " ".join(kept) if rm else t
+    return spans, scrubbed
+
+
+def test_benchmark_scrub_matches_oracle(spark):
+    from big_data_bowl___2023_spark.dedup.substrings import (
+        benchmark_overlap_spans,
+        scrub_benchmark_overlap,
+    )
+
+    bench_rows = [("q1", f"{SHARED}"),
+                  ("q2", "what is the capital of freedonia tell me")]
+    train_rows = [
+        ("t1", f"intro text {SHARED} outro text words here"),
+        ("t2", "clean document with no leaked content at all"),
+        ("t3", f"{SHARED}"),                       # fully leaked
+        ("t4", "someone asked what is the capital of freedonia "
+               "tell me and the answer follows"),
+    ]
+    train = _docs(spark, train_rows)
+    bench = _docs(spark, bench_rows)
+    exp_spans, exp_text = _bench_oracle(train_rows, bench_rows, 5)
+    got_spans = _spans_set(benchmark_overlap_spans(train, bench, 5))
+    assert got_spans == exp_spans
+    got_text = _texts(scrub_benchmark_overlap(train, bench, 5))
+    assert got_text == exp_text
+    # semantics spot checks: surgical cut, not doc drop
+    assert got_text["t1"] == "intro text outro text words here"
+    assert got_text["t2"] == train_rows[1][1]       # byte-identical
+    assert got_text["t3"] == ""                     # fully leaked
+    assert SHARED not in got_text["t1"]
+    # no original benchmark gram survives anywhere in train
+    bench_grams = {tuple(SHARED.split()[p:p + 5])
+                   for p in range(len(SHARED.split()) - 4)}
+    for t in got_text.values():
+        toks = t.split()
+        assert not ({tuple(toks[p:p + 5])
+                     for p in range(len(toks) - 4)} & bench_grams)
+
+
+def test_benchmark_scrub_broadcasts_small_bench(spark):
+    from big_data_bowl___2023_spark.dedup.substrings import (
+        scrub_benchmark_overlap,
+    )
+    from big_data_bowl___2023_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    train = _docs(spark, [("t", f"{SHARED} tail")])
+    bench = _docs(spark, [("q", SHARED)])
+    out = scrub_benchmark_overlap(train, bench, 5)
+    assert "BroadcastHashJoin" in formatted_plan(out)
