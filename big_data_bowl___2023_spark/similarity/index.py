@@ -135,9 +135,17 @@ def ann_index_search(spark: SparkSession, index_dir: str,
     if exclude_self:
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
     scored = _score_pairs(pairs, score_kernel)
+    # dedupe BEFORE ranking: an at-least-once streaming append can
+    # leave bit-identical duplicate index rows, and row_number would
+    # hand one neighbor two ranks — evicting a distinct neighbor
+    # from the top-k and shifting every rank below it. Duplicates
+    # are exact copies (same id → same vector → same cosine), so
+    # keeping any one is exact; on a duplicate-free index this is a
+    # no-op and results stay bit-identical to `ivf_topk`.
+    scored = scored.dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k)
-                  .select("query_id", "neighbor_id", "cosine", "rank")
-                  .dropDuplicates(["query_id", "neighbor_id"]))
+                  .select("query_id", "neighbor_id", "cosine",
+                          "rank"))

@@ -404,7 +404,8 @@ def read_snapshot(spark: SparkSession, table_dir: str,
 
 def compact_parquet(spark: SparkSession, path: str,
                     target_file_mb: int = 128,
-                    sort_within_by: list[str] | None = None) -> dict:
+                    sort_within_by: list[str] | None = None,
+                    dedupe_by: list[str] | None = None) -> dict:
     """Rewrite a parquet directory into ~``target_file_mb`` files —
     the small-files maintenance pass every long-running ingest needs
     (each file costs a task, an open, and a footer read; a directory
@@ -415,6 +416,10 @@ def compact_parquet(spark: SparkSession, path: str,
     compression ratio is accounted for. ``sort_within_by`` optionally
     re-sorts rows inside each output file to restore min/max
     statistics locality lost across many small appends.
+    ``dedupe_by`` drops duplicate rows by the given key columns while
+    rewriting — the reclaim pass for at-least-once appenders (e.g.
+    the streaming ANN index ingest, whose crash replays double-append
+    rows that are result-identical but cost scan bytes).
 
     All listing and renaming goes through the Hadoop FileSystem API,
     so the same code runs against local FS, HDFS, or any object store
@@ -452,6 +457,8 @@ def compact_parquet(spark: SparkSession, path: str,
     n_out = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
 
     df = spark.read.parquet(path)
+    if dedupe_by:
+        df = df.dropDuplicates(list(dedupe_by))
     out = df.repartition(int(n_out))
     if sort_within_by:
         out = out.sortWithinPartitions(*sort_within_by)

@@ -27,6 +27,7 @@ from .quantiles import (
     windowed_quantile_digests,
     windows_as_quantile_summary,
 )
+from .ann_index_stream import compact_index, make_ann_index_batch_fn
 from .scd_stream import (
     committed_snapshot_ids,
     make_scd2_batch_fn,
@@ -67,4 +68,5 @@ __all__ = ["benchmark_shingle_set", "curate_document_stream",
            "latest_window_sketches", "windowed_cms_sketches",
            "windows_as_cms_summary",
            "latest_window_samples", "windowed_samples",
-           "windows_as_sample"]
+           "windows_as_sample",
+           "compact_index", "make_ann_index_batch_fn"]
