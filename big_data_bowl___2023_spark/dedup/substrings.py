@@ -77,6 +77,14 @@ from pyspark.sql import functions as F
 # the "broadcast bought with a count" pattern (dedup/embedding.py)
 _BROADCAST_SPAN_DOCS = 2_000_000
 
+# distinct gram-hash rowcount below which the benchmark side of the
+# decontamination join broadcasts. Deliberately MUCH smaller than
+# _BROADCAST_SPAN_DOCS: a broadcast of single-long-column xxhash64
+# keys builds a LongHashedRelation over full-range longs — the exact
+# shape that OOM'd the 64x stress leg (BASELINE.md E110) — so only a
+# genuinely eval-set-sized table earns it
+_BROADCAST_GRAM_HASHES = 250_000
+
 
 def _gram_occurrences(docs: DataFrame, min_tokens: int,
                       id_col: str, text_col: str) -> DataFrame:
@@ -311,7 +319,7 @@ def benchmark_overlap_spans(train: DataFrame, benchmark: DataFrame,
     bench = pin(bench)
     n_grams = bench.count()
     occ = _gram_occurrences(train, min_tokens, id_col, text_col)
-    rhs = (F.broadcast(bench) if n_grams <= _BROADCAST_SPAN_DOCS
+    rhs = (F.broadcast(bench) if n_grams <= _BROADCAST_GRAM_HASHES
            else bench.hint("shuffle_hash"))
     hits = occ.join(rhs, "gram_hash")
     return _merge_islands(hits.select(

@@ -454,11 +454,19 @@ def compact_parquet(spark: SparkSession, path: str,
 
     before = _list_parquet(root)
     total_bytes = sum(st.getLen() for st in before)
-    n_out = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
-
+    out_bytes = total_bytes
     df = spark.read.parquet(path)
     if dedupe_by:
+        # size the output from the SURVIVOR volume, not the raw
+        # bytes: after a full replay half the rows are duplicates and
+        # pre-dedupe sizing would emit twice the files at half the
+        # target size — recreating the small-files pathology this
+        # pass exists to fix. Both counts are parquet-footer-cheap.
+        total_rows = df.count()
         df = df.dropDuplicates(list(dedupe_by))
+        if total_rows > 0:
+            out_bytes = int(total_bytes * df.count() / total_rows)
+    n_out = max(1, -(-out_bytes // (target_file_mb * 1024 * 1024)))
     out = df.repartition(int(n_out))
     if sort_within_by:
         out = out.sortWithinPartitions(*sort_within_by)

@@ -59,8 +59,14 @@ def make_ann_index_batch_fn(index_dir: str, dim: int = 64,
             return
         spark = batch_df.sparkSession
         jvm = spark._jvm
+        # gate on the meta DIRECTORY, not its _SUCCESS marker: with
+        # success markers disabled (a common object-store committer
+        # setting) a marker gate would see "no index" forever and
+        # every batch would REBUILD with overwrite — silent loss of
+        # all prior vectors. A directory that exists but is torn
+        # fails safe instead: append_to_index's _read_meta raises.
         meta_path = jvm.org.apache.hadoop.fs.Path(
-            f"{index_dir}/{_META}/_SUCCESS")
+            f"{index_dir}/{_META}")
         fs = meta_path.getFileSystem(
             spark._jsc.hadoopConfiguration())
         if fs.exists(meta_path):
@@ -72,6 +78,29 @@ def make_ann_index_batch_fn(index_dir: str, dim: int = 64,
     return process
 
 
+def _recover_cell_swaps(jvm, fs, root) -> None:
+    """Heal a prior compaction killed mid-swap. `compact_parquet`'s
+    in-process rollback never runs on a hard crash (SIGKILL between
+    its two renames), which would leave ``cell=X`` MISSING with the
+    data stranded at ``cell=X__compact_old`` — a pruned search would
+    then silently lose that cell's vectors. Restore the backup when
+    the live dir is gone; delete it when the live dir exists (io.py's
+    stale-backup rule: live data at the path makes any backup a prior
+    run's undeleted copy); always delete staging leftovers."""
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.endswith("__compact_tmp"):
+            fs.delete(st.getPath(), True)
+        elif name.endswith("__compact_old"):
+            live = jvm.org.apache.hadoop.fs.Path(
+                root, name[:-len("__compact_old")])
+            if fs.exists(live):
+                fs.delete(st.getPath(), True)
+            elif not fs.rename(st.getPath(), live):
+                raise IOError(
+                    f"failed to restore stranded cell backup {name}")
+
+
 def compact_index(spark: SparkSession, index_dir: str,
                   target_file_mb: int = 128,
                   dedupe: bool = False) -> dict:
@@ -81,17 +110,24 @@ def compact_index(spark: SparkSession, index_dir: str,
     exact). Returns aggregate {"cells", "files_before",
     "files_after", "bytes"}. Per-cell stop-the-world (the
     `compact_parquet` swap caveat); with ≤ 2^n_planes cells the
-    driver loop is bounded by construction."""
+    driver loop is bounded by construction. Starts by healing any
+    crash-stranded swap from a previous run (`_recover_cell_swaps`)
+    — searches between a crash and the next compaction do tolerate
+    the strays (phantom ``cell=X__compact_old`` partition values
+    never match a probed bitstring) but would MISS a cell whose live
+    dir vanished mid-swap, so run compaction promptly after a crash."""
     jvm = spark._jvm
     root = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{_CELLS}")
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(root):
         raise ValueError(f"no index cells at {index_dir}")
+    _recover_cell_swaps(jvm, fs, root)
     totals = {"cells": 0, "files_before": 0, "files_after": 0,
               "bytes": 0}
     for st in fs.listStatus(root):
         name = st.getPath().getName()
-        if not (st.isDirectory() and name.startswith("cell=")):
+        if not (st.isDirectory() and name.startswith("cell=")
+                and "__compact" not in name):
             continue
         rep = compact_parquet(
             spark, st.getPath().toString(), target_file_mb,

@@ -103,3 +103,30 @@ def test_real_stream_availablenow(spark, sf_dir, tmp_path):
     build_ann_index(emb, ref)
     queries = emb.filter(F.col("vec_id") < 5)
     assert _topk(spark, idx, queries) == _topk(spark, ref, queries)
+
+
+def test_crash_stranded_swap_is_healed(spark, sf_dir, tmp_path):
+    """A compaction killed between its two renames leaves cell=X
+    MISSING with the data at cell=X__compact_old — a pruned search
+    would silently lose that cell. compact_index must restore it
+    (and clear staging leftovers / stale backups) before compacting."""
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    idx = str(tmp_path / "idx")
+    build_ann_index(emb, idx)
+    before = _topk(spark, idx, queries)
+    cells = f"{idx}/cells"
+    victim = next(d for d in os.listdir(cells)
+                  if d.startswith("cell="))
+    # simulate the mid-swap crash: live dir renamed away, tmp left
+    os.rename(f"{cells}/{victim}", f"{cells}/{victim}__compact_old")
+    os.makedirs(f"{cells}/{victim}__compact_tmp")
+    rep = compact_index(spark, idx)
+    assert rep["cells"] >= 1
+    assert os.path.isdir(f"{cells}/{victim}")
+    assert not os.path.exists(f"{cells}/{victim}__compact_old")
+    assert not os.path.exists(f"{cells}/{victim}__compact_tmp")
+    spark.catalog.refreshByPath(cells)
+    assert _topk(spark, idx, queries) == before
