@@ -441,3 +441,64 @@ def load_drift_artifacts(spark, path: str) -> tuple[dict, dict]:
         stream.close()
     payload = json.loads(bytes(data).decode("utf-8"))
     return payload["edges"], payload["bins"]
+
+
+def embedding_psi_report(reference: DataFrame, current: DataFrame,
+                         vec_col: str = "embedding", dim: int = 64,
+                         n_proj: int = 8, seed: int = 7,
+                         n_buckets: int = 10, kernel: str = "sql",
+                         exact_edges: bool | None = None
+                         ) -> DataFrame:
+    """(projection, psi, n_buckets_used): PSI per seeded JL
+    projection of an EMBEDDING column — drift monitoring for vector
+    pipelines (encoder swap, upstream preprocessing change, corpus
+    composition shift), where per-coordinate PSI over 64-4096 raw
+    dims is noise and a single scalar is blind.
+
+    Composition, not new machinery: `similarity.projection`'s
+    deterministic Rademacher matrix (pure derived state — the same
+    seed reproduces the same projections on any engine) maps each
+    vector to ``n_proj`` scalars map-side; `psi_report` then scores
+    each projection's 1-D marginal against the reference's quantile
+    bins. A mean or covariance shift in the embedding distribution
+    moves some projection's marginal with high probability; this is
+    a SCREEN, not a certificate — a shift engineered to preserve all
+    ``n_proj`` sampled marginals passes it (raise ``n_proj`` or vary
+    ``seed`` across runs to shrink that escape hatch). NULL vectors
+    land in PSI's NULL bucket (nullability drift IS drift); a
+    wrong-length vector errors (the projection kernels' shared
+    guard)."""
+    from ..similarity.projection import project_embeddings
+
+    names = [f"proj_{j}" for j in range(n_proj)]
+
+    def marginals(df: DataFrame) -> DataFrame:
+        p = project_embeddings(df.select(vec_col), n_proj, seed,
+                               vec_col, "__p", dim, kernel)
+        return p.select(*[F.col("__p")[j].alias(n)
+                          for j, n in enumerate(names)])
+
+    rep = psi_report(marginals(reference), marginals(current),
+                     names, n_buckets, exact_edges)
+    return rep.withColumnRenamed("column", "projection")
+
+
+def embedding_drift(reference: DataFrame, current: DataFrame,
+                    vec_col: str = "embedding", dim: int = 64,
+                    n_proj: int = 8, seed: int = 7,
+                    threshold: float = 0.25,
+                    n_buckets: int = 10, kernel: str = "sql",
+                    exact_edges: bool | None = None) -> dict:
+    """Scalar verdict over :func:`embedding_psi_report`:
+    {"max_psi", "mean_psi", "n_projections", "drifted":
+    [projections ≥ threshold]} — the alert-feed face (the report has
+    ``n_proj`` rows, so the collect is bounded by construction)."""
+    rows = embedding_psi_report(reference, current, vec_col, dim,
+                                n_proj, seed, n_buckets, kernel,
+                                exact_edges).collect()
+    psis = [r["psi"] for r in rows]
+    return {"max_psi": round(max(psis), 6),
+            "mean_psi": round(sum(psis) / len(psis), 6),
+            "n_projections": len(psis),
+            "drifted": sorted(r["projection"] for r in rows
+                              if r["psi"] >= threshold)}
