@@ -401,7 +401,18 @@ def lsh_candidate_pairs(v: DataFrame, dim: int, n_tables: int,
             if not len(pdf):
                 continue
             U = V.stack_batch(pdf["u"])
-            bits = (U @ S.T) >= 0                      # (n, T*P)
+            # `>= -1e-9`, not `>= 0`: a projection that is EXACTLY
+            # zero in real arithmetic comes back as ±~1e-17 noise
+            # whose sign depends on BLAS summation order — which
+            # varies with the Arrow batch shape, i.e. with
+            # parallelism. A strict zero threshold then splits
+            # bit-identical vectors across buckets on 16/32-thread
+            # runs (caught by test_embedding_lsh_star_guard). The
+            # tolerance absorbs reorder noise so tied projections
+            # land on '1' deterministically; true projections inside
+            # (-1e-9, 0) are measure-zero for real embeddings and
+            # only move CANDIDATES — verification stays exact.
+            bits = (U @ S.T) >= -1e-9                  # (n, T*P)
             ids, ts, sigs = [], [], []
             for t in range(n_tables):
                 block = bits[:, t * n_planes:(t + 1) * n_planes]

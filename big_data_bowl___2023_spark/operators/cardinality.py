@@ -4,10 +4,19 @@ The cardinality complement of the Misra-Gries frequency artifacts
 (``operators.heavy``): "how many distinct URLs / fingerprints / users
 per source" over a growing corpus, without ever rescanning old
 batches. ``COUNT(DISTINCT key)`` at 100 TB shuffles every distinct
-key; an HLL sketch is a bounded (~KB) binary summary whose union is
-lossless with respect to the estimate — so each ingest batch persists
-one tiny sketch row per group, and corpus-wide distinct counts come
-from unioning artifacts, never from the raw data.
+key; an HLL sketch is a bounded (~KB) binary summary whose union
+covers exactly the union of the sketched SETS — so each ingest batch
+persists one tiny sketch row per group, and corpus-wide distinct
+counts come from unioning artifacts, never from the raw data.
+
+Estimator caveat (DataSketches): a directly built sketch is scored
+with the order-sensitive HIP estimator, a unioned one with the
+composite estimator — so merge-then-estimate and
+estimate-the-whole-corpus agree within the error band, NOT
+bit-for-bit (and the direct path's estimate itself shifts slightly
+with the partial-aggregation tree shape, i.e. with parallelism).
+Both stay inside the ~1.04/sqrt(2^lgConfigK) envelope; treat any
+exact-equality expectation across build paths as a bug.
 
 Spark shape: the Apache DataSketches HLL aggregates that ship with
 Spark (``hll_sketch_agg`` / ``hll_union_agg`` /

@@ -45,9 +45,14 @@ def test_grouped_estimates_match_exact_per_group(spark, sf_dir):
 
 
 def test_merge_equals_whole_corpus(spark):
-    """Per-batch sketches merged == one sketch over the union — the
+    """Per-batch sketches merged ≈ one sketch over the union — the
     growing-corpus contract. Overlapping keys across batches must not
-    double-count."""
+    double-count. NOT exact equality: DataSketches scores a directly
+    built sketch with the order-sensitive HIP estimator but a unioned
+    sketch with the composite estimator, so the two paths differ
+    within the error band — and the direct path's estimate shifts
+    with the partial-aggregation tree shape (an `est == whole` assert
+    here passed at 8 local threads and failed at 16/32)."""
     b1 = spark.createDataFrame(
         [(i, "s") for i in range(3000)], ["k", "g"])
     b2 = spark.createDataFrame(
@@ -58,8 +63,8 @@ def test_merge_equals_whole_corpus(spark):
     est = cardinality_estimate(merged).first().distinct_estimate
     whole = distinct_count_report(
         b1.unionByName(b2), "k", ["g"]).first().distinct_estimate
-    assert est == whole            # identical sketch contents
-    assert _close(est, 6000)
+    assert abs(est - whole) <= 0.02 * 6000   # same data, both paths
+    assert _close(est, 6000) and _close(whole, 6000)
 
 
 def test_merge_associativity_and_order_independence(spark):
