@@ -45,6 +45,7 @@ from .substrings import (
     repeated_substring_stats,
     scrub_benchmark_overlap,
     scrub_repeated_substrings,
+    scrub_to_fixpoint,
 )
 from .clusters import (
     canonical_docs,
@@ -85,7 +86,7 @@ __all__ = [
     "remove_repeated_lines", "repeated_line_stats", "split_lines",
     "benchmark_overlap_spans", "repeated_substring_spans",
     "repeated_substring_stats", "scrub_benchmark_overlap",
-    "scrub_repeated_substrings",
+    "scrub_repeated_substrings", "scrub_to_fixpoint",
     "canonical_docs", "connected_components", "resolve_clusters",
     "source_overlap_matrix",
     "bloom_bytes", "bloom_exact_anti_join", "bloom_parameters",

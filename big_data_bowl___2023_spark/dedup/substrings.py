@@ -344,3 +344,36 @@ def scrub_benchmark_overlap(train: DataFrame, benchmark: DataFrame,
                                     id_col, text_col, bench_id_col,
                                     bench_text_col)
     return _rewrite_with_spans(train, spans, id_col, text_col)
+
+
+def scrub_to_fixpoint(docs: DataFrame, min_tokens: int = 50,
+                      max_occurrences: int = 1, keep: str = "first",
+                      max_rounds: int = 5,
+                      id_col: str = "doc_id",
+                      text_col: str = "text"
+                      ) -> tuple[DataFrame, int]:
+    """(scrubbed, rounds_run): iterate :func:`scrub_repeated_substrings`
+    until a pass finds nothing to remove — the paranoid closure over
+    removal seams (dropping a span joins its neighbors into NEW token
+    adjacencies, which can themselves duplicate; one extra round
+    almost always drains them, the docstring's documented residual).
+    Each round's output is pinned (`session.pin` — durable-aware), so
+    the iterative lineage stays flat instead of stacking one full
+    span pipeline per round. Returns after the first round that
+    removes nothing, or after ``max_rounds`` (the pathological-corpus
+    bound: rounds strictly shrink total token count, so termination
+    is guaranteed anyway, but a runaway cap beats a proof when a job
+    bills by the hour)."""
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    from ..session import pin
+
+    out = docs
+    for rounds in range(1, max_rounds + 1):
+        nxt = scrub_repeated_substrings(out, min_tokens,
+                                        max_occurrences, keep,
+                                        id_col, text_col)
+        if nxt is out:              # zero-span fast path: converged
+            return out, rounds
+        out = pin(nxt)
+    return out, max_rounds

@@ -25,11 +25,17 @@ from .quantize import (
     quantize_embeddings,
     quantized_topk_rerank,
 )
-from .index import ann_index_search, append_to_index, build_ann_index
+from .index import (
+    ann_index_search,
+    ann_index_search_quantized,
+    append_to_index,
+    build_ann_index,
+)
 from .retrieval import bm25_scores, bm25_topk, term_postings
 
 __all__ = ["brute_force_topk", "brp_lsh_topk", "ivf_topk",
-           "ann_index_search", "append_to_index", "build_ann_index",
+           "ann_index_search", "ann_index_search_quantized",
+           "append_to_index", "build_ann_index",
            "mine_hard_negatives", "mine_hard_negatives_ann",
            "hybrid_topk", "rrf_fuse",
            "project_embeddings", "projected_topk_rerank",

@@ -46,6 +46,7 @@ from .ann import _cell_key, _make_planes, _prep, _probe_cells, _score_pairs
 
 _META = "_index_meta"
 _CELLS = "cells"
+_RANGES = "_index_ranges"
 
 
 def _assign(df: DataFrame, vec_col: str, id_col: str,
@@ -71,13 +72,34 @@ def _assign(df: DataFrame, vec_col: str, id_col: str,
 def build_ann_index(corpus: DataFrame, index_dir: str,
                     dim: int = 64, n_planes: int = 3,
                     vec_col: str = "embedding",
-                    id_col: str = "vec_id") -> None:
+                    id_col: str = "vec_id",
+                    quantize: bool = False) -> None:
     """Write ``index_dir``: cell-partitioned corpus vectors + a
     one-row meta parquet. Overwrites an existing index whole (a
-    rebuild, not a merge — incremental ingest is `append_to_index`)."""
+    rebuild, not a merge — incremental ingest is `append_to_index`).
+
+    ``quantize=True`` additionally stores an int8 ``codes`` column
+    per row and the per-dimension ranges artifact
+    (`similarity.quantize`), enabling
+    :func:`ann_index_search_quantized` — the screen then scans ¼ the
+    vector bytes via column pruning. Ranges are FROZEN at build time:
+    appended batches encode against them (out-of-range later-batch
+    values saturate to the edges — bounded, per the quantize module's
+    later-batch contract)."""
+    from .quantize import embedding_ranges, encode_codes
+
     spark = corpus.sparkSession
-    (_assign(corpus, vec_col, id_col, dim, n_planes)
-     .write.mode("overwrite").partitionBy("cell")
+    assigned = _assign(corpus, vec_col, id_col, dim, n_planes)
+    if quantize:
+        ranges = embedding_ranges(corpus, vec_col, dim)
+        (spark.createDataFrame(
+            [(i, float(lo), float(hi))
+             for i, (lo, hi) in enumerate(ranges)],
+            "i int, lo double, hi double")
+         .write.mode("overwrite").parquet(f"{index_dir}/{_RANGES}"))
+        assigned = assigned.withColumn(
+            "codes", encode_codes(F.col("vec"), ranges))
+    (assigned.write.mode("overwrite").partitionBy("cell")
      .parquet(f"{index_dir}/{_CELLS}"))
     (spark.createDataFrame([(int(dim), int(n_planes))],
                            "dim int, n_planes int")
@@ -92,15 +114,37 @@ def _read_meta(spark: SparkSession, index_dir: str) -> tuple[int, int]:
     return int(row[0]["dim"]), int(row[0]["n_planes"])
 
 
+def _read_ranges(spark: SparkSession, index_dir: str) -> list | None:
+    """The frozen quantization ranges, or None for a float-only
+    index. Hadoop-FS existence check so object stores work the same
+    as local FS."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{_RANGES}")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return None
+    rows = spark.read.parquet(f"{index_dir}/{_RANGES}").collect()
+    return [(r["lo"], r["hi"])
+            for r in sorted(rows, key=lambda r: r["i"])]
+
+
 def append_to_index(batch: DataFrame, index_dir: str,
                     vec_col: str = "embedding",
                     id_col: str = "vec_id") -> None:
     """Assign a new batch with the index's OWN recorded planes (meta
     dim/n_planes — deterministic, so old and new rows agree on every
-    cell boundary) and append into the existing cell directories."""
-    dim, n_planes = _read_meta(batch.sparkSession, index_dir)
-    (_assign(batch, vec_col, id_col, dim, n_planes)
-     .write.mode("append").partitionBy("cell")
+    cell boundary) and append into the existing cell directories. A
+    quantized index encodes the batch against its FROZEN ranges."""
+    from .quantize import encode_codes
+
+    spark = batch.sparkSession
+    dim, n_planes = _read_meta(spark, index_dir)
+    assigned = _assign(batch, vec_col, id_col, dim, n_planes)
+    ranges = _read_ranges(spark, index_dir)
+    if ranges is not None:
+        assigned = assigned.withColumn(
+            "codes", encode_codes(F.col("vec"), ranges))
+    (assigned.write.mode("append").partitionBy("cell")
      .parquet(f"{index_dir}/{_CELLS}"))
 
 
@@ -149,3 +193,70 @@ def ann_index_search(spark: SparkSession, index_dir: str,
                   .filter(F.col("rank") <= k)
                   .select("query_id", "neighbor_id", "cosine",
                           "rank"))
+
+
+def ann_index_search_quantized(spark: SparkSession, index_dir: str,
+                               queries: DataFrame, k: int,
+                               shortlist: int | None = None,
+                               vec_col: str = "embedding",
+                               id_col: str = "vec_id",
+                               probe_adjacent: bool = True,
+                               exclude_self: bool = True
+                               ) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rank): two partition-pruned
+    scans instead of one full-precision scan — the int8 screen reads
+    ONLY (neighbor_id, codes) from the probed cells (¼ the vector
+    bytes; the float ``vec`` column is pruned out of the scan's
+    ReadSchema), keeps ``shortlist`` (default 5·k) candidates per
+    query by dequantized cosine, then `pq.exact_rerank` re-scores the
+    few survivors against a second pruned scan of (neighbor_id, vec).
+    Output cosines are therefore bit-identical to the exact kernel;
+    recall is the int8 screen's (near-1 at scalar-quant resolution).
+    Requires a ``quantize=True`` index; refuses otherwise. Duplicate
+    rows from at-least-once streamed appends are deduped before BOTH
+    ranking windows (same contract as `ann_index_search`)."""
+    from .pq import exact_rerank
+    from .quantize import dequantize
+
+    ranges = _read_ranges(spark, index_dir)
+    if ranges is None:
+        raise ValueError(
+            f"{index_dir} is not a quantized index — build with "
+            f"build_ann_index(..., quantize=True)")
+    if shortlist is None:
+        shortlist = 5 * k
+    dim, n_planes = _read_meta(spark, index_dir)
+    planes = _make_planes(dim, n_planes)
+    q = _prep(queries, vec_col, id_col, "query_id").withColumn(
+        "cell", _cell_key(F.col("query_id_v"), planes))
+    q = q.select("query_id", "query_id_v",
+                 F.explode(_probe_cells(F.col("cell"), n_planes,
+                                        probe_adjacent))
+                  .alias("cell")).distinct()
+    probed = [r["cell"] for r in q.select("cell").distinct().collect()]
+    if not probed:
+        raise ValueError("ann_index_search_quantized: empty query set")
+    screen = (spark.read.parquet(f"{index_dir}/{_CELLS}")
+              .filter(F.col("cell").isin(probed))
+              .select("neighbor_id", "codes", "cell"))
+    pairs = screen.join(F.broadcast(q), "cell")
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    approx = F.nanvl(
+        V.cosine(F.col("query_id_v"),
+                 dequantize(F.col("codes"), ranges)), F.lit(0.0))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx"), F.asc("neighbor_id"))
+    cand = (pairs.withColumn("approx", approx)
+            .select("query_id", "neighbor_id", "approx")
+            .dropDuplicates(["query_id", "neighbor_id"])
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= shortlist)
+            .select("query_id", "neighbor_id"))
+    rerank_corpus = (spark.read.parquet(f"{index_dir}/{_CELLS}")
+                     .filter(F.col("cell").isin(probed))
+                     .select(F.col("neighbor_id").alias(id_col),
+                             F.col("vec").alias(vec_col))
+                     .dropDuplicates([id_col]))
+    return exact_rerank(cand, rerank_corpus, queries, k,
+                        vec_col, id_col)

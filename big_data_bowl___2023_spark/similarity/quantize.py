@@ -105,10 +105,18 @@ def quantize_embeddings(df: DataFrame, ranges: list,
     dequantized cosine fall to ``V.cosine``'s 0.0 degenerate score,
     so corrupt rows rank LAST in the quantized screen, matching the
     engine-wide degenerate-vector policy."""
+    code = encode_codes(V.as_double(F.col(vec_col)), ranges)
+    return df.select(F.col(id_col).alias("id"), code.alias("codes"))
+
+
+def encode_codes(vec, ranges: list):
+    """Column expression: array<double> → array<tinyint> under the
+    affine per-dimension map (the body of :func:`quantize_embeddings`,
+    exposed so composite layouts — e.g. the quantized ANN index —
+    can encode alongside their own columns)."""
     los, spans = _spans(ranges)
     lo_arr = F.array(*[F.lit(float(x)) for x in los])
     sp_arr = F.array(*[F.lit(float(x)) for x in spans])
-    v = V.as_double(F.col(vec_col))
 
     def enc(x, i):
         sat = F.least(
@@ -129,8 +137,7 @@ def quantize_embeddings(df: DataFrame, ranges: list,
                       | (F.abs(x) >= F.lit(float("inf"))),
                       F.lit(None)).otherwise(sat).cast("byte")
 
-    code = F.transform(v, enc)
-    return df.select(F.col(id_col).alias("id"), code.alias("codes"))
+    return F.transform(vec, enc)
 
 
 def dequantize(codes_col, ranges: list):

@@ -105,3 +105,73 @@ def test_wrong_dimension_append_refused(spark, sf_dir, tmp_path):
     with pytest.raises(Exception) as exc:
         append_to_index(short, idx)
     assert "expects 64-dim vectors" in str(exc.value)
+
+
+def test_quantized_search_matches_exact_and_prunes_columns(
+        spark, sf_dir, tmp_path):
+    """The int8 screen + exact rerank must return the exact search's
+    top-k with bit-identical cosines, while the screen scan's
+    ReadSchema carries codes but NOT the float vec column (the 4x
+    byte cut is the point), and both scans stay partition-pruned."""
+    from big_data_bowl___2023_spark.plans.explain import (
+        assert_partition_pruned,
+        formatted_plan,
+    )
+    from big_data_bowl___2023_spark.similarity import (
+        ann_index_search_quantized,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    idx = str(tmp_path / "qidx")
+    build_ann_index(emb, idx, quantize=True)
+    got = ann_index_search_quantized(spark, idx, queries, 5)
+    ref = ann_index_search(spark, idx, queries, 5)
+    assert _topk_rows(got) == _topk_rows(ref)
+    assert_partition_pruned(got, "cell#")
+    plan = formatted_plan(got)
+    # the screen scan reads codes without vec; the rerank scan reads
+    # vec without codes — assert per-scan ReadSchema shapes
+    schemas = [line for line in plan.splitlines()
+               if "ReadSchema" in line and "neighbor_id" in line]
+    assert any("codes" in s and "vec:" not in s for s in schemas), \
+        schemas
+    assert any("vec:" in s and "codes" not in s for s in schemas), \
+        schemas
+
+
+def test_quantized_append_uses_frozen_ranges(spark, sf_dir,
+                                             tmp_path):
+    from big_data_bowl___2023_spark.similarity import (
+        ann_index_search_quantized,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    idx = str(tmp_path / "qidx")
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.filter(F.col("vec_id") % 2 == 1)
+    build_ann_index(b1, idx, quantize=True)
+    ranges_before = spark.read.parquet(f"{idx}/_index_ranges") \
+        .collect()
+    append_to_index(b2, idx)
+    # ranges are frozen: the append must not rewrite them
+    assert spark.read.parquet(f"{idx}/_index_ranges").collect() \
+        == ranges_before
+    # appended rows carry codes and the search sees the whole corpus
+    got = ann_index_search_quantized(spark, idx, queries, 5)
+    ref = ann_index_search(spark, idx, queries, 5)
+    assert _topk_rows(got) == _topk_rows(ref)
+
+
+def test_quantized_search_refuses_float_index(spark, sf_dir,
+                                              tmp_path):
+    from big_data_bowl___2023_spark.similarity import (
+        ann_index_search_quantized,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "fidx")
+    build_ann_index(emb, idx)
+    with pytest.raises(ValueError, match="not a quantized index"):
+        ann_index_search_quantized(spark, idx, emb.limit(1), 5)

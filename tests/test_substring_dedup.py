@@ -350,3 +350,29 @@ def test_benchmark_scrub_broadcasts_small_bench(spark):
     bench = _docs(spark, [("q", SHARED)])
     out = scrub_benchmark_overlap(train, bench, 5)
     assert "BroadcastHashJoin" in formatted_plan(out)
+
+
+def test_scrub_to_fixpoint_drains_seam_duplicates(spark):
+    """Removing a span joins its neighbors into a NEW adjacency;
+    construct one that duplicates an existing gram so a second round
+    is genuinely needed, then assert the loop drains it."""
+    from big_data_bowl___2023_spark.dedup.substrings import (
+        scrub_to_fixpoint,
+    )
+
+    # round 1: SHARED is duplicated between x and z → removed from x
+    # (z is canonical by id order: 'a...' < 'x'), creating the seam
+    # "u v" in x — which duplicates doc y's gram → round 2 removes it
+    rows = [
+        ("a_canon", SHARED),
+        ("x", f"u {SHARED} v tail"),
+        ("y", "u v w"),
+    ]
+    docs = _docs(spark, rows)
+    once = scrub_repeated_substrings(docs, 5)
+    assert repeated_substring_stats(once, 2).count() > 0  # seam dup
+    out, rounds = scrub_to_fixpoint(docs, 2, max_rounds=5)
+    assert rounds >= 2
+    assert repeated_substring_stats(out, 2).count() == 0
+    with pytest.raises(ValueError, match="max_rounds"):
+        scrub_to_fixpoint(docs, 2, max_rounds=0)
