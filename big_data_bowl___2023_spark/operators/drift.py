@@ -478,7 +478,14 @@ def embedding_psi_report(reference: DataFrame, current: DataFrame,
         return p.select(*[F.col("__p")[j].alias(n)
                           for j, n in enumerate(names)])
 
-    rep = psi_report(marginals(reference), marginals(current),
+    # psi_report actions the reference up to three times (size
+    # resolve, edge pass, share pass) and the current twice — pin the
+    # projected marginals so the JL folds run once per side (the
+    # engine's fan-out discipline)
+    from ..session import pin
+
+    rep = psi_report(pin(marginals(reference)),
+                     pin(marginals(current)),
                      names, n_buckets, exact_edges)
     return rep.withColumnRenamed("column", "projection")
 

@@ -90,17 +90,31 @@ def build_ann_index(corpus: DataFrame, index_dir: str,
 
     spark = corpus.sparkSession
     assigned = _assign(corpus, vec_col, id_col, dim, n_planes)
+    ranges = None
     if quantize:
         ranges = embedding_ranges(corpus, vec_col, dim)
+        assigned = assigned.withColumn(
+            "codes", encode_codes(F.col("vec"), ranges))
+    (assigned.write.mode("overwrite").partitionBy("cell")
+     .parquet(f"{index_dir}/{_CELLS}"))
+    # ranges AFTER cells (a build that dies mid-cells-write must not
+    # leave a fresh ranges artifact beside stale data), and a float
+    # rebuild DELETES a predecessor's ranges — otherwise the index
+    # would still identify as quantized, appends would encode codes
+    # against stale ranges into a codes-less layout, and the
+    # quantized search's refusal gate would pass and then break
+    if ranges is not None:
         (spark.createDataFrame(
             [(i, float(lo), float(hi))
              for i, (lo, hi) in enumerate(ranges)],
             "i int, lo double, hi double")
          .write.mode("overwrite").parquet(f"{index_dir}/{_RANGES}"))
-        assigned = assigned.withColumn(
-            "codes", encode_codes(F.col("vec"), ranges))
-    (assigned.write.mode("overwrite").partitionBy("cell")
-     .parquet(f"{index_dir}/{_CELLS}"))
+    else:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(
+            f"{index_dir}/{_RANGES}")
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jpath, True)
     (spark.createDataFrame([(int(dim), int(n_planes))],
                            "dim int, n_planes int")
      .write.mode("overwrite").parquet(f"{index_dir}/{_META}"))
@@ -148,6 +162,26 @@ def append_to_index(batch: DataFrame, index_dir: str,
      .parquet(f"{index_dir}/{_CELLS}"))
 
 
+def _probed_queries(spark: SparkSession, index_dir: str,
+                    queries: DataFrame, vec_col: str, id_col: str,
+                    probe_adjacent: bool, what: str):
+    """(q, probed): queries exploded to their multi-probe cells, and
+    the DISTINCT probed-cell list (≤ 2^n_planes strings regardless of
+    query count) — the shared front half of every index search."""
+    dim, n_planes = _read_meta(spark, index_dir)
+    planes = _make_planes(dim, n_planes)
+    q = _prep(queries, vec_col, id_col, "query_id").withColumn(
+        "cell", _cell_key(F.col("query_id_v"), planes))
+    q = q.select("query_id", "query_id_v",
+                 F.explode(_probe_cells(F.col("cell"), n_planes,
+                                        probe_adjacent))
+                  .alias("cell")).distinct()
+    probed = [r["cell"] for r in q.select("cell").distinct().collect()]
+    if not probed:
+        raise ValueError(f"{what}: empty query set")
+    return q, probed
+
+
 def ann_index_search(spark: SparkSession, index_dir: str,
                      queries: DataFrame, k: int,
                      vec_col: str = "embedding",
@@ -160,17 +194,9 @@ def ann_index_search(spark: SparkSession, index_dir: str,
     DISTINCT set (≤ 2^n_planes strings) and pushed as a partition
     filter, so the scan enumerates only the probed directories —
     `plans.explain.assert_partition_pruned`-checkable."""
-    dim, n_planes = _read_meta(spark, index_dir)
-    planes = _make_planes(dim, n_planes)
-    q = _prep(queries, vec_col, id_col, "query_id").withColumn(
-        "cell", _cell_key(F.col("query_id_v"), planes))
-    q = q.select("query_id", "query_id_v",
-                 F.explode(_probe_cells(F.col("cell"), n_planes,
-                                        probe_adjacent))
-                  .alias("cell")).distinct()
-    probed = [r["cell"] for r in q.select("cell").distinct().collect()]
-    if not probed:
-        raise ValueError("ann_index_search: empty query set")
+    q, probed = _probed_queries(spark, index_dir, queries, vec_col,
+                                id_col, probe_adjacent,
+                                "ann_index_search")
     corpus = (spark.read.parquet(f"{index_dir}/{_CELLS}")
               .filter(F.col("cell").isin(probed))
               .select("neighbor_id",
@@ -195,6 +221,36 @@ def ann_index_search(spark: SparkSession, index_dir: str,
                           "rank"))
 
 
+def _quantized_shortlist(spark: SparkSession, index_dir: str,
+                         q: DataFrame, probed: list, ranges: list,
+                         shortlist: int,
+                         exclude_self: bool) -> DataFrame:
+    """(query_id, neighbor_id): the int8 screen — a pruned scan of
+    ONLY (neighbor_id, codes), dequantized cosine vs the broadcast
+    queries, duplicate pairs dropped, top ``shortlist`` per query.
+    Unpinned — the search pins it; tests assert the codes-without-vec
+    ReadSchema here."""
+    from .quantize import dequantize
+
+    screen = (spark.read.parquet(f"{index_dir}/{_CELLS}")
+              .filter(F.col("cell").isin(probed))
+              .select("neighbor_id", "codes", "cell"))
+    pairs = screen.join(F.broadcast(q), "cell")
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    approx = F.nanvl(
+        V.cosine(F.col("query_id_v"),
+                 dequantize(F.col("codes"), ranges)), F.lit(0.0))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx"), F.asc("neighbor_id"))
+    return (pairs.withColumn("approx", approx)
+            .select("query_id", "neighbor_id", "approx")
+            .dropDuplicates(["query_id", "neighbor_id"])
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= shortlist)
+            .select("query_id", "neighbor_id"))
+
+
 def ann_index_search_quantized(spark: SparkSession, index_dir: str,
                                queries: DataFrame, k: int,
                                shortlist: int | None = None,
@@ -213,10 +269,17 @@ def ann_index_search_quantized(spark: SparkSession, index_dir: str,
     Output cosines are therefore bit-identical to the exact kernel;
     recall is the int8 screen's (near-1 at scalar-quant resolution).
     Requires a ``quantize=True`` index; refuses otherwise. Duplicate
-    rows from at-least-once streamed appends are deduped before BOTH
-    ranking windows (same contract as `ann_index_search`)."""
+    rows from at-least-once streamed appends are deduped before the
+    screen's ranking window and (shortlist-sized, post-semi-join)
+    before the rerank.
+
+    Contract divergence from `ann_index_search`, shared with the
+    whole `exact_rerank` family (pq_topk_rerank,
+    quantized_topk_rerank): DEGENERATE vectors (NULL / zero-norm /
+    non-finite) are FILTERED by the rerank's normalization — a
+    degenerate query returns zero rows here, where the one-scan
+    search returns its k neighbors at cosine 0.0."""
     from .pq import exact_rerank
-    from .quantize import dequantize
 
     ranges = _read_ranges(spark, index_dir)
     if ranges is None:
@@ -225,38 +288,33 @@ def ann_index_search_quantized(spark: SparkSession, index_dir: str,
             f"build_ann_index(..., quantize=True)")
     if shortlist is None:
         shortlist = 5 * k
-    dim, n_planes = _read_meta(spark, index_dir)
-    planes = _make_planes(dim, n_planes)
-    q = _prep(queries, vec_col, id_col, "query_id").withColumn(
-        "cell", _cell_key(F.col("query_id_v"), planes))
-    q = q.select("query_id", "query_id_v",
-                 F.explode(_probe_cells(F.col("cell"), n_planes,
-                                        probe_adjacent))
-                  .alias("cell")).distinct()
-    probed = [r["cell"] for r in q.select("cell").distinct().collect()]
-    if not probed:
-        raise ValueError("ann_index_search_quantized: empty query set")
-    screen = (spark.read.parquet(f"{index_dir}/{_CELLS}")
-              .filter(F.col("cell").isin(probed))
-              .select("neighbor_id", "codes", "cell"))
-    pairs = screen.join(F.broadcast(q), "cell")
-    if exclude_self:
-        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
-    approx = F.nanvl(
-        V.cosine(F.col("query_id_v"),
-                 dequantize(F.col("codes"), ranges)), F.lit(0.0))
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("approx"), F.asc("neighbor_id"))
-    cand = (pairs.withColumn("approx", approx)
-            .select("query_id", "neighbor_id", "approx")
-            .dropDuplicates(["query_id", "neighbor_id"])
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= shortlist)
-            .select("query_id", "neighbor_id"))
+    q, probed = _probed_queries(spark, index_dir, queries, vec_col,
+                                id_col, probe_adjacent,
+                                "ann_index_search_quantized")
+    cand = _quantized_shortlist(spark, index_dir, q, probed, ranges,
+                                shortlist, exclude_self)
+    # the shortlist feeds TWO consumers (the semi-join below and
+    # exact_rerank's broadcast): pin it so the whole screen scan +
+    # window runs once (the engine's fan-out discipline). The pin
+    # also hides the screen from the final plan — the codes-only
+    # ReadSchema plan assert therefore runs on _quantized_shortlist
+    # itself (tests/test_ann_index.py).
+    from ..session import pin
+
+    cand = pin(cand)
+    # restrict the float scan to the shortlist BEFORE deduping: the
+    # broadcast semi-join keeps the rerank corpus shortlist-sized, so
+    # the duplicate guard shuffles a few hundred rows, never the
+    # probed cells' full float vectors (which would forfeit the
+    # screen's byte saving)
     rerank_corpus = (spark.read.parquet(f"{index_dir}/{_CELLS}")
                      .filter(F.col("cell").isin(probed))
                      .select(F.col("neighbor_id").alias(id_col),
                              F.col("vec").alias(vec_col))
+                     .join(F.broadcast(
+                         cand.select(F.col("neighbor_id")
+                                     .alias(id_col)).distinct()),
+                         id_col, "semi")
                      .dropDuplicates([id_col]))
     return exact_rerank(cand, rerank_corpus, queries, k,
                         vec_col, id_col)

@@ -461,9 +461,13 @@ def compact_parquet(spark: SparkSession, path: str,
         # bytes: after a full replay half the rows are duplicates and
         # pre-dedupe sizing would emit twice the files at half the
         # target size — recreating the small-files pathology this
-        # pass exists to fix. Both counts are parquet-footer-cheap.
+        # pass exists to fix. The pre-dedupe count is parquet-footer
+        # metadata; the deduped frame is PINNED so its shuffle runs
+        # once for the sizing count and the rewrite reuses it.
+        from ..session import pin
+
         total_rows = df.count()
-        df = df.dropDuplicates(list(dedupe_by))
+        df = pin(df.dropDuplicates(list(dedupe_by)))
         if total_rows > 0:
             out_bytes = int(total_bytes * df.count() / total_rows)
     n_out = max(1, -(-out_bytes // (target_file_mb * 1024 * 1024)))

@@ -129,15 +129,32 @@ def test_quantized_search_matches_exact_and_prunes_columns(
     ref = ann_index_search(spark, idx, queries, 5)
     assert _topk_rows(got) == _topk_rows(ref)
     assert_partition_pruned(got, "cell#")
+    # the rerank side of the final plan reads vec without codes (the
+    # screen is pinned out of it — assert its plan separately below)
     plan = formatted_plan(got)
-    # the screen scan reads codes without vec; the rerank scan reads
-    # vec without codes — assert per-scan ReadSchema shapes
     schemas = [line for line in plan.splitlines()
                if "ReadSchema" in line and "neighbor_id" in line]
-    assert any("codes" in s and "vec:" not in s for s in schemas), \
-        schemas
     assert any("vec:" in s and "codes" not in s for s in schemas), \
         schemas
+    # the screen itself reads codes WITHOUT the float vec column —
+    # the 4x byte cut — asserted on the unpinned shortlist builder
+    # the search executes
+    from big_data_bowl___2023_spark.similarity.index import (
+        _probed_queries,
+        _quantized_shortlist,
+        _read_ranges,
+    )
+
+    q, probed = _probed_queries(spark, idx, queries, "embedding",
+                                "vec_id", True, "t")
+    screen_plan = formatted_plan(_quantized_shortlist(
+        spark, idx, q, probed, _read_ranges(spark, idx), 25, True))
+    screen_schemas = [line for line in screen_plan.splitlines()
+                      if "ReadSchema" in line
+                      and "neighbor_id" in line]
+    assert screen_schemas and all(
+        "codes" in s and "vec:" not in s for s in screen_schemas), \
+        screen_schemas
 
 
 def test_quantized_append_uses_frozen_ranges(spark, sf_dir,
