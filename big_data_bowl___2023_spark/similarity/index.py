@@ -223,28 +223,92 @@ def ann_index_search(spark: SparkSession, index_dir: str,
 
 def _quantized_shortlist(spark: SparkSession, index_dir: str,
                          q: DataFrame, probed: list, ranges: list,
-                         shortlist: int,
-                         exclude_self: bool) -> DataFrame:
+                         shortlist: int, exclude_self: bool,
+                         kernel: str = "arrow") -> DataFrame:
     """(query_id, neighbor_id): the int8 screen — a pruned scan of
     ONLY (neighbor_id, codes), dequantized cosine vs the broadcast
     queries, duplicate pairs dropped, top ``shortlist`` per query.
     Unpinned — the search pins it; tests assert the codes-without-vec
-    ReadSchema here."""
-    from .quantize import dequantize
+    ReadSchema here.
 
+    ``kernel="arrow"`` (default — the per-PAIR fold is the hot loop)
+    dequantizes and scores whole Arrow batches with numpy; the
+    ``"sql"`` fold (`V.cosine` over `dequantize`) is interpreted
+    CodegenFallback per pair and measured 2.5x SUPERLINEAR on the
+    64x index stress leg. Kernel choice only reorders the shortlist
+    at 6-dp rounding margins; the exact rerank re-scores survivors
+    either way (pytest pins top-k identity under both)."""
     screen = (spark.read.parquet(f"{index_dir}/{_CELLS}")
               .filter(F.col("cell").isin(probed))
               .select("neighbor_id", "codes", "cell"))
     pairs = screen.join(F.broadcast(q), "cell")
     if exclude_self:
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
-    approx = F.nanvl(
-        V.cosine(F.col("query_id_v"),
-                 dequantize(F.col("codes"), ranges)), F.lit(0.0))
+    if kernel == "sql":
+        from .quantize import dequantize
+
+        approx = F.nanvl(
+            V.cosine(F.col("query_id_v"),
+                     dequantize(F.col("codes"), ranges)), F.lit(0.0))
+        scored = (pairs.withColumn("approx", approx)
+                  .select("query_id", "neighbor_id", "approx"))
+    elif kernel == "arrow":
+        from collections.abc import Iterator
+
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        from .quantize import _spans
+
+        los_l, spans_l = _spans(ranges)   # shared degenerate-dim rule
+        los = np.array(los_l, dtype=np.float64)
+        spans = np.array(spans_l, dtype=np.float64)
+        schema = T.StructType([pairs.schema["query_id"],
+                               pairs.schema["neighbor_id"],
+                               T.StructField("approx",
+                                             T.DoubleType())])
+
+        def stack_codes(series: pd.Series) -> np.ndarray:
+            # fast path: the shared stack_batch (plain asarray rows).
+            # It raises on NULL code elements (corrupt encodes) —
+            # only THOSE batches pay the pandas None→NaN conversion,
+            # whose list-of-lists constructor measured 83 s vs ~6 s
+            # at 4M pairs when used unconditionally. NaN falls
+            # through the finite guard to 0.0 — the family's
+            # degenerate policy, same as _score_pairs.
+            try:
+                return V.stack_batch(series)
+            except (TypeError, ValueError):
+                return pd.DataFrame(series.tolist()) \
+                    .to_numpy(dtype=np.float64)
+
+        def score(batches: Iterator[pd.DataFrame]
+                  ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                C = stack_codes(pdf["codes"])
+                Fm = (C + 127.0) / 254.0 * spans + los
+                Q = V.stack_batch(pdf["query_id_v"])
+                denom = (np.linalg.norm(Q, axis=1)
+                         * np.linalg.norm(Fm, axis=1))
+                dots = np.einsum("ij,ij->i", Q, Fm)
+                with np.errstate(invalid="ignore", over="ignore"):
+                    cos = np.divide(dots, denom,
+                                    out=np.zeros_like(dots),
+                                    where=denom > 0)
+                cos[~np.isfinite(cos)] = 0.0
+                out = pdf[["query_id", "neighbor_id"]].copy()
+                out["approx"] = np.round(cos, 6)
+                yield out
+
+        scored = pairs.mapInPandas(score, schema)
+    else:
+        raise ValueError(f"unknown screen kernel {kernel!r}")
     w = Window.partitionBy("query_id").orderBy(
         F.desc("approx"), F.asc("neighbor_id"))
-    return (pairs.withColumn("approx", approx)
-            .select("query_id", "neighbor_id", "approx")
+    return (scored
             .dropDuplicates(["query_id", "neighbor_id"])
             .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= shortlist)
@@ -257,7 +321,8 @@ def ann_index_search_quantized(spark: SparkSession, index_dir: str,
                                vec_col: str = "embedding",
                                id_col: str = "vec_id",
                                probe_adjacent: bool = True,
-                               exclude_self: bool = True
+                               exclude_self: bool = True,
+                               screen_kernel: str = "arrow"
                                ) -> DataFrame:
     """(query_id, neighbor_id, cosine, rank): two partition-pruned
     scans instead of one full-precision scan — the int8 screen reads
@@ -292,7 +357,8 @@ def ann_index_search_quantized(spark: SparkSession, index_dir: str,
                                 id_col, probe_adjacent,
                                 "ann_index_search_quantized")
     cand = _quantized_shortlist(spark, index_dir, q, probed, ranges,
-                                shortlist, exclude_self)
+                                shortlist, exclude_self,
+                                screen_kernel)
     # the shortlist feeds TWO consumers (the semi-join below and
     # exact_rerank's broadcast): pin it so the whole screen scan +
     # window runs once (the engine's fan-out discipline). The pin

@@ -128,6 +128,10 @@ def test_quantized_search_matches_exact_and_prunes_columns(
     got = ann_index_search_quantized(spark, idx, queries, 5)
     ref = ann_index_search(spark, idx, queries, 5)
     assert _topk_rows(got) == _topk_rows(ref)
+    # both screen kernels shortlist into the same exact top-k
+    got_sql = ann_index_search_quantized(spark, idx, queries, 5,
+                                         screen_kernel="sql")
+    assert _topk_rows(got_sql) == _topk_rows(ref)
     assert_partition_pruned(got, "cell#")
     # the rerank side of the final plan reads vec without codes (the
     # screen is pinned out of it — assert its plan separately below)

@@ -311,6 +311,66 @@ def vector_legs(emb0, scales) -> None:
         }), flush=True)
 
 
+def index_legs(spark, emb0, scales) -> None:
+    """Persistent-ANN-index legs (E111/E115): at each scale, build a
+    float index and a quantized index over the replicated corpus,
+    then time a fixed 64-query batch through (a) on-the-fly
+    `ivf_topk`, (b) `ann_index_search` (pruned scan of the stored
+    layout), (c) `ann_index_search_quantized` (int8 screen + exact
+    rerank). Claims under test: build wall ~linear in n; search walls
+    track the PROBED fraction (flat-ish cell fan-in per query), not
+    n, and never re-hash the corpus like (a) must."""
+    import shutil
+    import tempfile
+
+    from big_data_bowl___2023_spark.similarity import (
+        ann_index_search,
+        ann_index_search_quantized,
+        build_ann_index,
+        ivf_topk,
+    )
+
+    queries = emb0.limit(64).localCheckpoint()
+    for scale in scales:
+        emb = scaled(emb0, scale, replicate_embeddings) \
+            .localCheckpoint()
+        n = emb.count()
+        work = tempfile.mkdtemp(prefix="annidx_")
+        try:
+            t0 = time.time()
+            n_fly = ivf_topk(emb, queries, 10,
+                             score_kernel="arrow").count()
+            t_fly = time.time() - t0
+
+            t0 = time.time()
+            build_ann_index(emb, f"{work}/f")
+            t_build = time.time() - t0
+            t0 = time.time()
+            n_idx = ann_index_search(spark, f"{work}/f", queries, 10,
+                                     score_kernel="arrow").count()
+            t_idx = time.time() - t0
+
+            t0 = time.time()
+            build_ann_index(emb, f"{work}/q", quantize=True)
+            t_qbuild = time.time() - t0
+            t0 = time.time()
+            n_q = ann_index_search_quantized(
+                spark, f"{work}/q", queries, 10).count()
+            t_q = time.time() - t0
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+        print(json.dumps({
+            "scale": scale, "n_emb": n,
+            "ivf_fly_rows": n_fly, "ivf_fly_sec": round(t_fly, 2),
+            "index_build_sec": round(t_build, 2),
+            "index_search_rows": n_idx,
+            "index_search_sec": round(t_idx, 2),
+            "qindex_build_sec": round(t_qbuild, 2),
+            "qindex_search_rows": n_q,
+            "qindex_search_sec": round(t_q, 2),
+        }), flush=True)
+
+
 def product_legs(spark, docs0, scales) -> None:
     """Document-product legs only at the requested scales — the 64x
     evidence run (embedding legs excluded: see module docstring)."""
@@ -370,28 +430,32 @@ def main() -> None:
     want_product = "--product" in argv
     want_vector = "--vector" in argv
     want_substr = "--substr" in argv
-    if sum([want_product, want_vector, want_substr]) > 1:
-        raise SystemExit("--product/--vector/--substr are exclusive "
-                         "modes")
+    want_index = "--index" in argv
+    if sum([want_product, want_vector, want_substr,
+            want_index]) > 1:
+        raise SystemExit("--product/--vector/--substr/--index are "
+                         "exclusive modes")
     scales: list[int] = []
     paths: list[str] = []
     for a in argv:
-        if a in ("--product", "--vector", "--substr"):
+        if a in ("--product", "--vector", "--substr", "--index"):
             continue
         if re.fullmatch(r"[0-9]+", a):      # positive ints only
             scales.append(int(a))
         elif a.startswith("-"):
-            raise SystemExit(f"unknown flag {a!r} (only "
-                             "--product / --vector / --substr)")
+            raise SystemExit(
+                f"unknown flag {a!r} (only --product / --vector "
+                "/ --substr / --index)")
         else:
             paths.append(a)
     if any(sc < 1 for sc in scales):
         raise SystemExit(f"scales must be >= 1, got {scales}")
     if len(paths) > 1:
         raise SystemExit(f"at most one sf_dir argument, got {paths}")
-    if scales and not (want_product or want_vector or want_substr):
-        raise SystemExit(
-            "scale arguments require --product/--vector/--substr")
+    if scales and not (want_product or want_vector or want_substr
+                       or want_index):
+        raise SystemExit("scale arguments require "
+                         "--product/--vector/--substr/--index")
     product_scales = (scales or [16, 64]) if want_product else None
     sf_dir = paths[0] if paths else "/root/testdata/sf0.1"
     spark = get_spark("stress")
@@ -399,6 +463,12 @@ def main() -> None:
         emb0 = load_table(spark, sf_dir, "embeddings").cache()
         emb0.count()
         vector_legs(emb0, scales or [16, 64, 256])
+        spark.stop()
+        return
+    if want_index:
+        emb0 = load_table(spark, sf_dir, "embeddings").cache()
+        emb0.count()
+        index_legs(spark, emb0, scales or [16, 64])
         spark.stop()
         return
     docs0 = load_table(spark, sf_dir, "documents").cache()
