@@ -96,6 +96,16 @@ def gather_unit_matrix(v, id_col: str = "id", vec_col: str = "u"):
 
     pdf = v.select(id_col, vec_col).toPandas()
     M = stack_batch(pdf[vec_col])
+    # ids resolve through int64 searchsorted downstream: a string id
+    # would crash here opaquely, and a non-integer numeric would
+    # silently TRUNCATE (1.2 and 1.7 collide → wrong vectors). The
+    # rest of the family treats id type as the caller's contract, so
+    # fail loudly instead of miscomputing.
+    if pdf[id_col].dtype.kind not in "iu":
+        raise TypeError(
+            f"gather-based kernels need integer ids; {id_col!r} has "
+            f"dtype {pdf[id_col].dtype} — cast ids to long or use the "
+            f"join-mode path (prefilter_broadcast=False)")
     ids = pdf[id_col].to_numpy(dtype="int64")
     order = np.argsort(ids, kind="stable")
     return ids[order], order, M

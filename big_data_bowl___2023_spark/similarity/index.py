@@ -56,8 +56,17 @@ def _assign(df: DataFrame, vec_col: str, id_col: str,
     # a wrong-dimension vector would zip_with-pad into NULL
     # projections and land silently in the zero-suffix cells — fail
     # the write instead (raise_error rides the cell expression, so
-    # the guard costs no extra scan)
+    # the guard costs no extra scan). NULL vectors need their own
+    # branch: size(NULL) is NULL, so the != dim condition is never
+    # true and the row would be stored with a sign-default cell and a
+    # NULL vec that crashes the Arrow score kernels mid-search.
     guarded = F.when(
+        F.col("vec").isNull(),
+        F.raise_error(F.concat(
+            F.lit("index refuses NULL vectors (id "),
+            F.col("neighbor_id").cast("string"),
+            F.lit("): filter degenerates before the write")))
+    ).when(
         F.size(F.col("vec")) != dim,
         F.raise_error(F.concat(
             F.lit(f"index expects {dim}-dim vectors, got "),

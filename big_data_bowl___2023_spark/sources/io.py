@@ -456,6 +456,7 @@ def compact_parquet(spark: SparkSession, path: str,
     total_bytes = sum(st.getLen() for st in before)
     out_bytes = total_bytes
     df = spark.read.parquet(path)
+    pinned = None
     if dedupe_by:
         # size the output from the SURVIVOR volume, not the raw
         # bytes: after a full replay half the rows are duplicates and
@@ -467,7 +468,7 @@ def compact_parquet(spark: SparkSession, path: str,
         from ..session import pin
 
         total_rows = df.count()
-        df = pin(df.dropDuplicates(list(dedupe_by)))
+        df = pinned = pin(df.dropDuplicates(list(dedupe_by)))
         if total_rows > 0:
             out_bytes = int(total_bytes * df.count() / total_rows)
     n_out = max(1, -(-out_bytes // (target_file_mb * 1024 * 1024)))
@@ -487,25 +488,35 @@ def compact_parquet(spark: SparkSession, path: str,
     # corrupt both the swap and the rollback.
     fs.delete(backup, True)
     try:
-        out.write.mode("overwrite").parquet(tmp.toString())
-    except Exception:
-        fs.delete(tmp, True)    # no partial staging left behind
-        raise
+        try:
+            out.write.mode("overwrite").parquet(tmp.toString())
+        except Exception:
+            fs.delete(tmp, True)    # no partial staging left behind
+            raise
 
-    swapped_out = False
-    try:
-        if not fs.rename(root, backup):
-            raise IOError(f"rename {root} -> {backup} failed")
-        swapped_out = True
-        if not fs.rename(tmp, root):
-            raise IOError(f"rename {tmp} -> {root} failed")
-    except Exception:
-        # Restore the original directory before surfacing the error —
-        # a failed compaction must leave the dataset readable.
-        if swapped_out and not fs.exists(root):
-            fs.rename(backup, root)
-        fs.delete(tmp, True)
-        raise
+        swapped_out = False
+        try:
+            if not fs.rename(root, backup):
+                raise IOError(f"rename {root} -> {backup} failed")
+            swapped_out = True
+            if not fs.rename(tmp, root):
+                raise IOError(f"rename {tmp} -> {root} failed")
+        except Exception:
+            # Restore the original directory before surfacing the
+            # error — a failed compaction must leave the dataset
+            # readable.
+            if swapped_out and not fs.exists(root):
+                fs.rename(backup, root)
+            fs.delete(tmp, True)
+            raise
+    finally:
+        # Free the sizing pin once the rewrite no longer needs it:
+        # callers like compact_index invoke this once PER cell
+        # directory, and in durable-pins mode each leaked
+        # persist(DISK_ONLY) frame would otherwise sit on disk until
+        # GC. No-op for the localCheckpoint flavor.
+        if pinned is not None:
+            pinned.unpersist(blocking=False)
     fs.delete(backup, True)
     spark.catalog.refreshByPath(path)
 

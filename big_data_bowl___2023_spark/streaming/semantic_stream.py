@@ -128,8 +128,13 @@ def compact_semantic_corpus(spark, out_dir: str, codebook_path: str,
         # them against a corpus missing their witnesses (the exact
         # hole the index closes). An ingest-dropped id can never
         # legitimately rejoin, so the union is strictly safe. The
-        # old index must be MATERIALIZED (pin) before the overwrite
-        # of its own directory.
+        # old index must be MATERIALIZED before the overwrite of its
+        # own directory — with truncate=True (the read-modify-write
+        # convention of streaming/curation.py and the io.py merge):
+        # in durable-pins mode a plain pin() is a lazy
+        # persist(DISK_ONLY) with lineage intact, so the overwrite
+        # would either refuse ("cannot overwrite a path that is also
+        # being read from") or recompute from files being deleted.
         dropped_dir = out_dir.rstrip("/") + "_dropped"
         new_drops = corpus.join(kept.select(id_col), id_col,
                                 "left_anti").select(id_col)
@@ -137,7 +142,7 @@ def compact_semantic_corpus(spark, out_dir: str, codebook_path: str,
         if old_idx is not None:
             new_drops = pin(
                 new_drops.unionByName(old_idx.select(id_col))
-                .distinct())
+                .distinct(), truncate=True)
         new_drops.write.mode("overwrite").parquet(dropped_dir)
         # the swap: rewrite the corpus dir from the committed temp
         # copy (two renames would be atomic-er on HDFS; overwrite

@@ -196,3 +196,21 @@ def test_quantized_search_refuses_float_index(spark, sf_dir,
     build_ann_index(emb, idx)
     with pytest.raises(ValueError, match="not a quantized index"):
         ann_index_search_quantized(spark, idx, emb.limit(1), 5)
+
+
+def test_null_vector_write_refused(spark, tmp_path):
+    """ADVICE r9: size(NULL) is NULL, so the wrong-dimension guard's
+    when() never fires for a NULL vector — without its own isNull
+    branch the row lands with a sign-default cell and a NULL vec that
+    crashes the Arrow score kernel mid-search. The write must fail
+    loudly instead."""
+    bad = spark.createDataFrame(
+        [(1, [0.1] * 64), (2, None)],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="NULL vectors"):
+        build_ann_index(bad, str(tmp_path / "nullidx"))
+    with pytest.raises(Exception, match="NULL vectors"):
+        ok = bad.filter(F.col("embedding").isNotNull())
+        idx = str(tmp_path / "appidx")
+        build_ann_index(ok, idx)
+        append_to_index(bad, idx)

@@ -317,3 +317,42 @@ def test_semantic_ingest_real_stream(spark, sf_dir, tmp_path):
     assert corpus.count() > 0
     cents = load_codebooks(spark, cb)[0]
     assert pairs_with_centroids(corpus, cents, THRESH).count() == 0
+
+
+def test_compaction_under_durable_pins(spark, tmp_path):
+    """ADVICE r9 (medium): the dropped-index rewrite reads and
+    overwrites the SAME directory. In durable-pins mode a plain pin()
+    is a lazy persist(DISK_ONLY) with lineage intact, so whether the
+    overwrite survives depends on AQE happening to materialize the
+    union's shuffle stage before the dir deletion (a probe without
+    the shuffle fails FILE_NOT_EXIST outright), and a lost block
+    would recompute from deleted files. The fix pins with
+    truncate=True (reliable checkpoint, lineage severed); this runs
+    the redelivery scenario e2e inside a durable_pins scope —
+    previously untested — and requires the default-mode invariants."""
+    from big_data_bowl___2023_spark import session as S
+
+    out = str(tmp_path / "corpus")
+    cb = str(tmp_path / "cb.json")
+    t = 0.75
+    b0 = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [-1.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    b1 = spark.createDataFrame(
+        [(10, _angle_vec(44)), (11, _angle_vec(84)),
+         (12, _angle_vec(89))],
+        "vec_id long, embedding array<double>")
+    with S.durable_pins(True):
+        process = make_semantic_ingest_batch_fn(out, cb, t, dim=2)
+        process(b0, 0)
+        process(b1, 1)
+        compact_semantic_corpus(spark, out, cb, t, dim=2)
+        kept = {r.vec_id for r in
+                spark.read.parquet(out).select("vec_id").collect()}
+        process(b1, 2)               # redelivery post-compaction
+    kept_after = {r.vec_id for r in
+                  spark.read.parquet(out).select("vec_id").collect()}
+    assert kept_after == kept
+    dropped = {r.vec_id for r in spark.read.parquet(
+        out + "_dropped").select("vec_id").collect()}
+    assert {11, 12} <= dropped       # ingest drops survived the pass

@@ -182,3 +182,30 @@ def test_unknown_verify_kernel_rejected(spark):
     cand = spark.createDataFrame([(1, 1)], "vec_a long, vec_b long")
     with pytest.raises(ValueError, match="unknown verify kernel"):
         _verify_exact(v, cand, 0.5, kernel="numpy")
+
+
+def test_gather_rejects_non_integer_ids(spark):
+    """ADVICE r9: the gather kernels resolve ids through int64
+    searchsorted — string ids crashed opaquely and float ids silently
+    truncated (1.2 and 1.7 collide → wrong vectors). The guard turns
+    both into a loud TypeError naming the contract."""
+    from big_data_bowl___2023_spark.functions.vectors import (
+        gather_unit_matrix,
+    )
+
+    strs = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])],
+        "id string, u array<double>")
+    with pytest.raises(TypeError, match="integer ids"):
+        gather_unit_matrix(strs)
+    floats = spark.createDataFrame(
+        [(1.2, [1.0, 0.0]), (1.7, [0.0, 1.0])],
+        "id double, u array<double>")
+    with pytest.raises(TypeError, match="integer ids"):
+        gather_unit_matrix(floats)
+    # the contract path still works: int ids gather fine
+    ints = spark.createDataFrame(
+        [(2, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "id long, u array<double>")
+    ids, perm, M = gather_unit_matrix(ints)
+    assert list(ids) == [1, 2] and M.shape == (2, 2)
