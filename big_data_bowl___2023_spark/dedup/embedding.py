@@ -46,6 +46,13 @@ from ..session import pin
 # exact fold makes the final ≥-threshold decision.
 _PREFILTER_MARGIN = 1e-9
 
+# The gather screen's size cutover: below this many corpus vectors the
+# candidate prefilter broadcasts the gathered (n × dim) unit matrix
+# and shuffles 16 B id pairs; above it, the id-keyed join path. 10M
+# rows × dim 64 × 8 B ≈ 5 GB per Python worker — the documented
+# worker-memory bound from the round-9 256× stress leg (BASELINE.md).
+GATHER_CEILING_ROWS = 10_000_000
+
 _PAIR_SCHEMA = T.StructType([
     T.StructField("vec_a", T.LongType()),
     T.StructField("vec_b", T.LongType()),
@@ -167,8 +174,11 @@ def _verify_exact(v: DataFrame, cand: DataFrame,
 
 def _np_prefilter(v: DataFrame, cand: DataFrame,
                   threshold: float,
-                  broadcast_vectors: bool = False,
-                  broadcast_handle: list | None = None) -> DataFrame:
+                  broadcast_vectors: bool | str = False,
+                  broadcast_handle: list | None = None,
+                  n_vectors: int | None = None,
+                  gather_ceiling: int = GATHER_CEILING_ROWS
+                  ) -> DataFrame:
     """Vectorized candidate screening: evaluate every candidate
     pair's dot per Arrow batch with one einsum — keeps the
     interpreted fold off the (possibly large) candidate set; only
@@ -176,7 +186,7 @@ def _np_prefilter(v: DataFrame, cand: DataFrame,
 
     ``broadcast_vectors`` picks how each pair finds its two vectors:
 
-    * ``False`` (default) — join the id pairs to the vector table
+    * ``False`` — join the id pairs to the vector table
       (strategy left to AQE: at small candidate volume it
       broadcasts, at scale it shuffles on the id keys). The join
       OUTPUT carries both unit vectors per pair (~550 B at dim 64),
@@ -193,6 +203,21 @@ def _np_prefilter(v: DataFrame, cand: DataFrame,
       worker memory (corpora to ~10M×64). Past that, stay on the
       shuffle path (at 100 TB the candidates are cluster-keyed, so
       AQE shuffles co-partitioned slices, not the full table).
+    * ``"auto"`` (the entry-point default since round 10) — buy the
+      gather with an actual row count, the way ``_verify_exact``'s
+      ``broadcast_candidates="auto"`` buys its broadcast: gather when
+      the vector table is ≤ ``gather_ceiling`` rows (the documented
+      ~10M×64 worker-memory bound; size it down for wider vectors),
+      else fall back to the id-keyed join. Ids outside int64 (the
+      gather kernel's resolve contract) also fall back to the join,
+      which treats id type as the caller's problem. ``n_vectors``
+      skips the deciding count when the caller already knows it —
+      otherwise one count job runs here (cheap for the pinned tables
+      every batch entry point passes). Mode choice never changes the
+      survivor set (same einsum, same margin — pytest-pinned); it
+      only picks which 256×-stress-survivor plan executes, so the
+      known-fatal vector-pair shuffle is unreachable by default below
+      the ceiling.
 
     Survivor pairs whose ids are not in ``v`` (impossible for
     candidates generated FROM v; defensive for external candidate
@@ -206,6 +231,16 @@ def _np_prefilter(v: DataFrame, cand: DataFrame,
     import numpy as np
 
     cut = threshold - _PREFILTER_MARGIN
+
+    if broadcast_vectors == "auto":
+        if not isinstance(v.schema["id"].dataType,
+                          (T.LongType, T.IntegerType, T.ShortType,
+                           T.ByteType)):
+            broadcast_vectors = False
+        else:
+            if n_vectors is None:
+                n_vectors = v.count()
+            broadcast_vectors = n_vectors <= gather_ceiling
 
     if broadcast_vectors:
         bc = v.sparkSession.sparkContext.broadcast(
@@ -439,7 +474,7 @@ def cosine_near_dup_pairs_lsh(df: DataFrame, threshold: float,
                               target_bucket: int = 32,
                               max_bucket: int | None = None,
                               verify_kernel: str = "sql",
-                              prefilter_broadcast: bool = False
+                              prefilter_broadcast: bool | str = "auto"
                               ) -> DataFrame:
     """Sub-quadratic near-dup pairs: hyperplane-LSH candidates →
     exact fold verification. Precision 1.0 (every emitted pair is
@@ -450,17 +485,23 @@ def cosine_near_dup_pairs_lsh(df: DataFrame, threshold: float,
     ``max_bucket`` arms the hot-bucket star guard for corpora with
     mass-duplicate vectors (see ``lsh_candidate_pairs``).
     ``verify_kernel="arrow"`` swaps the per-survivor interpreted fold
-    for the einsum batch kernel (see ``_verify_exact``) and
-    ``prefilter_broadcast=True`` gathers the unit vectors into one
-    broadcast matrix so the candidate screen shuffles only id pairs
-    (see ``_np_prefilter`` for the size bound) — together the
-    corpus-scale settings; defaults stay the oracle-pinned joins."""
+    for the einsum batch kernel (see ``_verify_exact``).
+    ``prefilter_broadcast`` picks the candidate screen's vector
+    access — ``"auto"`` (default) gathers the unit vectors into one
+    broadcast matrix whenever a corpus count proves it fits worker
+    memory, so the screen shuffles only 16 B id pairs; past the
+    ceiling (or for non-integer ids) it falls back to the id-keyed
+    join (see ``_np_prefilter`` — mode choice never changes the
+    survivor set). ``True``/``False`` force a mode."""
     v = pin(_normalized(df, vec_col, id_col))
+    n = None
     if n_planes is None:
-        n_planes = scaled_n_planes(v.count(), target_bucket)
+        n = v.count()
+        n_planes = scaled_n_planes(n, target_bucket)
     cand = lsh_candidate_pairs(v, dim, n_tables, n_planes, max_bucket)
     survivors = _np_prefilter(v, cand, threshold,
-                              broadcast_vectors=prefilter_broadcast)
+                              broadcast_vectors=prefilter_broadcast,
+                              n_vectors=n)
     return _verify_exact(v, survivors, threshold, kernel=verify_kernel)
 
 

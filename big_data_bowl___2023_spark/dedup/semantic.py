@@ -206,7 +206,8 @@ def semantic_dup_pairs(df: DataFrame, threshold: float,
                        n: int | None = None,
                        assign_kernel: str = "sql",
                        verify_kernel: str = "sql",
-                       prefilter_broadcast: bool = False) -> DataFrame:
+                       prefilter_broadcast: bool | str = "auto"
+                       ) -> DataFrame:
     """(vec_a, vec_b, cosine) with cosine ≥ threshold, both members
     of the same k-means cluster. Precision 1.0 (every pair exactly
     verified); recall < 1 only through cluster-boundary splits — the
@@ -224,7 +225,10 @@ def semantic_dup_pairs(df: DataFrame, threshold: float,
     verify fold for the einsum batch kernel
     (``embedding._verify_exact``) — together the corpus-scale
     setting; both default to the bit-pinned SQL folds so the driver
-    hashes stay byte-stable."""
+    hashes stay byte-stable. ``prefilter_broadcast="auto"``
+    (default) picks the candidate screen's scale-safe mode by a
+    counted corpus size (``embedding._np_prefilter``) — the mode
+    choice never changes the emitted pairs."""
     from ..similarity.pq import train_pq
 
     if k is None:
@@ -248,7 +252,8 @@ def semantic_dup_pairs(df: DataFrame, threshold: float,
                                 max_bucket=max_bucket,
                                 assign_kernel=assign_kernel,
                                 verify_kernel=verify_kernel,
-                                prefilter_broadcast=prefilter_broadcast)
+                                prefilter_broadcast=prefilter_broadcast,
+                                n=n)
 
 
 def pairs_with_centroids(df: DataFrame, cents: list, threshold: float,
@@ -257,9 +262,9 @@ def pairs_with_centroids(df: DataFrame, cents: list, threshold: float,
                          max_bucket: int | None = None,
                          assign_kernel: str = "sql",
                          verify_kernel: str = "sql",
-                         prefilter_broadcast: bool = False,
-                         broadcast_handle: list | None = None
-                         ) -> DataFrame:
+                         prefilter_broadcast: bool | str = "auto",
+                         broadcast_handle: list | None = None,
+                         n: int | None = None) -> DataFrame:
     """(vec_a, vec_b, cosine ≥ threshold), both in the same cluster
     of a PRE-TRAINED codebook — ``semantic_dup_pairs`` minus the
     Lloyd training (and exactly what that operator now composes over
@@ -273,11 +278,14 @@ def pairs_with_centroids(df: DataFrame, cents: list, threshold: float,
     prefilter first (AQE joins, einsum screening; hot-bucket star
     guard via ``max_bucket``); only the near-output-sized survivors
     reach the exact verify, whose "auto" mode buys its broadcast
-    with an actual row count. ``prefilter_broadcast=True`` swaps the
-    pair-side vector joins for the gathered-matrix screen
-    (id-pairs-only shuffle; see ``_np_prefilter``'s size bound), and
-    ``broadcast_handle`` forwards to it so loops can free the
-    gather broadcast eagerly."""
+    with an actual row count. ``prefilter_broadcast`` picks the
+    screen's vector access — ``"auto"`` (default) gathers the unit
+    matrix when a corpus count proves it worker-memory-sized
+    (id-pairs-only shuffle; see ``_np_prefilter``), else the AQE
+    join; ``True``/``False`` force a mode. ``n`` is the optional
+    corpus-count hint that skips the deciding count (cheap here
+    anyway — the assigned table is pinned). ``broadcast_handle``
+    forwards to the gather so loops can free its broadcast eagerly."""
     v = pin(assign_with_centroids(
         _normalized(df, vec_col, id_col), cents,
         kernel=assign_kernel))
@@ -288,7 +296,8 @@ def pairs_with_centroids(df: DataFrame, cents: list, threshold: float,
     u = v.select("id", "u")
     survivors = _np_prefilter(u, cand, threshold,
                               broadcast_vectors=prefilter_broadcast,
-                              broadcast_handle=broadcast_handle)
+                              broadcast_handle=broadcast_handle,
+                              n_vectors=n)
     return _verify_exact(u, survivors, threshold, kernel=verify_kernel)
 
 
@@ -317,7 +326,7 @@ def incremental_semantic_pairs(new_emb: DataFrame, corpus: DataFrame,
                                max_cluster: int | None = None,
                                assign_kernel: str = "sql",
                                verify_kernel: str = "sql",
-                               prefilter_broadcast: bool = False,
+                               prefilter_broadcast: bool | str = "auto",
                                broadcast_handle: list | None = None
                                ) -> DataFrame:
     """(vec_new, vec_corpus, cosine ≥ threshold): semantic near-dups
@@ -354,13 +363,19 @@ def incremental_semantic_pairs(new_emb: DataFrame, corpus: DataFrame,
 
     ``assign_kernel``/``verify_kernel`` = "arrow" select the GEMM/
     einsum batch kernels for the two per-row/per-pair vector stages
-    (see ``assign_with_centroids`` / ``embedding._verify_exact``) and
-    ``prefilter_broadcast=True`` routes the raw cluster-join
-    candidates through the gathered-matrix einsum screen FIRST
-    (``_np_prefilter``: id-pairs-only shuffle, near-output-sized
-    survivors reach the verify joins) — the corpus-scale settings
-    for a large ingest batch; defaults stay the bit-pinned SQL folds
-    and the direct verify the oracles pin."""
+    (see ``assign_with_centroids`` / ``embedding._verify_exact``).
+    ``prefilter_broadcast`` routes the raw cluster-join candidates
+    through the einsum screen FIRST (``_np_prefilter``:
+    near-output-sized survivors reach the verify joins): ``"auto"``
+    (default) screens via the gathered matrix when a counted corpus
+    size proves it worker-memory-sized (id-pairs-only shuffle) and
+    via the AQE join past the ceiling — the deciding count is the
+    raw corpus parquet count (footer metadata, no scan) plus one
+    batch count unless ``n_corpus`` already carries it; ``True``
+    forces the gather; ``False`` skips the screen entirely (the
+    single-join-chain plan the oracles pinned through round 9).
+    Screen and mode never change the emitted pairs — the margin
+    screen only removes pairs the verify would reject."""
     from ..similarity.pq import train_pq
 
     vc = _normalized(corpus, vec_col, id_col)
@@ -394,14 +409,21 @@ def incremental_semantic_pairs(new_emb: DataFrame, corpus: DataFrame,
     # ids are disjoint by contract — plain union, no dedup shuffle of
     # the (wide) vector payload.
     v_all = an.select("id", "u").unionByName(ac.select("id", "u"))
-    if prefilter_broadcast:
+    if prefilter_broadcast:          # "auto" or True; False = no screen
         # screen the (linear-in-batch but vector-heavy if joined)
-        # candidate volume against the gathered matrix before any
-        # verify join — the batch path's prefilter, opt-in here so
-        # the oracle-pinned default plan keeps its single join chain
+        # candidate volume before any verify join — the batch path's
+        # prefilter. "auto" buys its gather with counts that avoid
+        # re-running the assignment lineage: the RAW corpus count
+        # (parquet footer metadata in the streaming loop) plus one
+        # count of the (pinned there) batch side.
+        n_hint = None
+        if prefilter_broadcast == "auto":
+            nc = n_corpus if n_corpus is not None else corpus.count()
+            n_hint = nc + new_emb.count()
         cand = _np_prefilter(v_all, cand, threshold,
-                             broadcast_vectors=True,
-                             broadcast_handle=broadcast_handle)
+                             broadcast_vectors=prefilter_broadcast,
+                             broadcast_handle=broadcast_handle,
+                             n_vectors=n_hint)
     return (_verify_exact(v_all, cand, threshold,
                           broadcast_candidates=False,
                           kernel=verify_kernel)
@@ -418,14 +440,17 @@ def semantic_dedup(df: DataFrame, threshold: float,
                    n: int | None = None,
                    assign_kernel: str = "sql",
                    verify_kernel: str = "sql",
-                   prefilter_broadcast: bool = False) -> DataFrame:
+                   prefilter_broadcast: bool | str = "auto"
+                   ) -> DataFrame:
     """The rows of ``df`` that survive semantic dedup: for every
     connected group of within-cluster near-duplicates, the min-id
     member is kept; all other rows pass through untouched.
-    ``assign_kernel``/``verify_kernel`` = "arrow" and
-    ``prefilter_broadcast=True`` are the corpus-scale settings
-    (forwarded to ``semantic_dup_pairs``); defaults stay the
-    bit-pinned SQL folds and AQE joins."""
+    ``assign_kernel``/``verify_kernel`` = "arrow" are the
+    corpus-scale kernel settings (forwarded to
+    ``semantic_dup_pairs``); value defaults stay the bit-pinned SQL
+    folds. ``prefilter_broadcast="auto"`` (default) picks the
+    scale-safe candidate screen by a counted corpus size — see
+    ``embedding._np_prefilter``; mode never changes the kept rows."""
     pairs = semantic_dup_pairs(df, threshold, k, n_iters,
                                vec_col, id_col, max_bucket,
                                dim=dim, n=n,

@@ -72,7 +72,7 @@ def compact_semantic_corpus(spark, out_dir: str, codebook_path: str,
                             max_bucket: int | None = None,
                             assign_kernel: str = "sql",
                             verify_kernel: str = "sql",
-                            prefilter_broadcast: bool = False) -> dict:
+                            prefilter_broadcast: bool | str = "auto") -> dict:
     """The periodic bronze→silver pass the ingest loop's recall trade
     defers to: re-run FULL batch semantic dedup over the accumulated
     corpus (fresh ``scaled_k`` codebook, so boundary-straddling
@@ -177,7 +177,7 @@ def make_semantic_ingest_batch_fn(out_dir: str, codebook_path: str,
                                   max_cluster: int | None = None,
                                   assign_kernel: str = "sql",
                                   verify_kernel: str = "sql",
-                                  prefilter_broadcast: bool = False):
+                                  prefilter_broadcast: bool | str = "auto"):
     """The continuous-ingestion LOOP for an embedding corpus: a
     ``foreachBatch`` function that semantically dedups each
     micro-batch — within itself AND against the accumulated corpus —

@@ -209,3 +209,63 @@ def test_gather_rejects_non_integer_ids(spark):
         "id long, u array<double>")
     ids, perm, M = gather_unit_matrix(ints)
     assert list(ids) == [1, 2] and M.shape == (2, 2)
+
+
+def test_prefilter_auto_picks_mode_by_counted_size(corpus):
+    """Round-10 (#1): the candidate screen's "auto" default buys the
+    gather with a counted corpus size — gather (no join of its own)
+    below the ceiling, the id-keyed join past it — and the survivor
+    set is identical either way. Plain candidate tables so the plan
+    assertions see only the prefilter's contribution."""
+    emb, v, _ = corpus
+    spark = emb.sparkSession
+    n = v.count()
+    plain = spark.createDataFrame([(1, 2), (3, 4)],
+                                  "vec_a long, vec_b long")
+    below = _np_prefilter(v, plain, THRESH, broadcast_vectors="auto")
+    p_below = below._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in p_below and "Join" not in p_below
+    above = _np_prefilter(v, plain, THRESH, broadcast_vectors="auto",
+                          gather_ceiling=n - 1)
+    p_above = above._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in p_above
+    # survivor-set identity across the auto cutover, on real
+    # LSH candidates
+    cand = lsh_candidate_pairs(v, 64, 16, scaled_n_planes(n, 32))
+    want = {(r.vec_a, r.vec_b) for r in
+            _np_prefilter(v, cand, THRESH).collect()}
+    got_g = {(r.vec_a, r.vec_b) for r in
+             _np_prefilter(v, cand, THRESH, broadcast_vectors="auto",
+                           n_vectors=n).collect()}
+    got_j = {(r.vec_a, r.vec_b) for r in
+             _np_prefilter(v, cand, THRESH, broadcast_vectors="auto",
+                           gather_ceiling=n - 1).collect()}
+    assert got_g == want and got_j == want and want
+
+
+def test_prefilter_auto_falls_back_for_non_integer_ids(spark):
+    """"auto" must not route non-int64 ids into the gather kernel
+    (whose searchsorted resolve is int64-only): the fallback is the
+    join screen, which keeps id type the caller's contract."""
+    v = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])],
+        "id string, u array<double>")
+    cand = spark.createDataFrame([("a", "b")],
+                                 "vec_a string, vec_b string")
+    plan = _np_prefilter(v, cand, 0.5, broadcast_vectors="auto") \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" in plan
+
+
+def test_lsh_auto_default_equals_forced_modes(spark, sf_dir):
+    """The entry-point default is now "auto": its pairs equal both
+    forced modes (and the default plan is the gather screen at this
+    corpus size — the 256×-fatal join screen is unreachable by
+    default below the ceiling)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    auto = _pairs(cosine_near_dup_pairs_lsh(emb, THRESH))
+    join = _pairs(cosine_near_dup_pairs_lsh(emb, THRESH,
+                                            prefilter_broadcast=False))
+    gather = _pairs(cosine_near_dup_pairs_lsh(emb, THRESH,
+                                              prefilter_broadcast=True))
+    assert auto == join == gather and auto
