@@ -24,12 +24,15 @@ from .quantize import (
     merge_ranges,
     quantize_embeddings,
     quantized_topk_rerank,
+    saturation_report,
 )
 from .index import (
+    SATURATION_REBUILD_THRESHOLD,
     ann_index_search,
     ann_index_search_quantized,
     append_to_index,
     build_ann_index,
+    saturation_history,
 )
 from .retrieval import bm25_scores, bm25_topk, term_postings
 
@@ -44,4 +47,6 @@ __all__ = ["brute_force_topk", "brp_lsh_topk", "ivf_topk",
            "train_pq",
            "dequantize", "embedding_ranges", "merge_ranges",
            "quantize_embeddings", "quantized_topk_rerank",
+           "saturation_report", "saturation_history",
+           "SATURATION_REBUILD_THRESHOLD",
            "bm25_scores", "bm25_topk", "term_postings"]

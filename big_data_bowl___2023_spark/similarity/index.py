@@ -47,6 +47,19 @@ from .ann import _cell_key, _make_planes, _prep, _probe_cells, _score_pairs
 _META = "_index_meta"
 _CELLS = "cells"
 _RANGES = "_index_ranges"
+_SATURATION = "_index_saturation"
+
+# Rebuild rule for quantized indexes: appended batches encode against
+# the BUILD-TIME frozen ranges, so a drifting embedding distribution
+# saturates ever more values to the range edges — bounded per value
+# (the quantize module's contract) but a silent recall erosion in
+# aggregate. `append_to_index` measures every appended batch; once a
+# batch clips more than this fraction of its (row, dim) slots, stop
+# appending and rebuild with fresh ranges (`build_ann_index` over the
+# accumulated corpus), cross-checking `embedding_psi_report` (E114)
+# for which dimensions moved. 1% of values ≈ the point where int8
+# screen ordering starts losing true neighbors at the margins.
+SATURATION_REBUILD_THRESHOLD = 0.01
 
 
 def _assign(df: DataFrame, vec_col: str, id_col: str,
@@ -124,6 +137,13 @@ def build_ann_index(corpus: DataFrame, index_dir: str,
             f"{index_dir}/{_RANGES}")
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
         fs.delete(jpath, True)
+    # a rebuild re-learns ranges, so the predecessor's saturation
+    # history (measurements AGAINST the old ranges) must not survive
+    # to be trended alongside the new ones
+    jvm = spark._jvm
+    jsat = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{_SATURATION}")
+    jsat.getFileSystem(spark._jsc.hadoopConfiguration()) \
+        .delete(jsat, True)
     (spark.createDataFrame([(int(dim), int(n_planes))],
                            "dim int, n_planes int")
      .write.mode("overwrite").parquet(f"{index_dir}/{_META}"))
@@ -153,22 +173,78 @@ def _read_ranges(spark: SparkSession, index_dir: str) -> list | None:
 
 def append_to_index(batch: DataFrame, index_dir: str,
                     vec_col: str = "embedding",
-                    id_col: str = "vec_id") -> None:
+                    id_col: str = "vec_id",
+                    monitor_saturation: bool = True) -> dict | None:
     """Assign a new batch with the index's OWN recorded planes (meta
     dim/n_planes — deterministic, so old and new rows agree on every
     cell boundary) and append into the existing cell directories. A
-    quantized index encodes the batch against its FROZEN ranges."""
-    from .quantize import encode_codes
+    quantized index encodes the batch against its FROZEN ranges.
+
+    For a quantized index this also MEASURES what the frozen ranges
+    clip (`quantize.saturation_report`, one extra batch-sized agg
+    pass — skippable with ``monitor_saturation=False``), appends the
+    numbers to the ``_index_saturation`` history parquet beside the
+    cells (query it with :func:`saturation_history`), warns once the
+    batch crosses `SATURATION_REBUILD_THRESHOLD`, and returns the
+    report. Float indexes return None. The report is written BEFORE
+    the cell append, so an at-least-once replay re-measures the same
+    batch — duplicate history rows are as harmless as the duplicate
+    cell rows the search already dedupes."""
+    from .quantize import encode_codes, saturation_report
 
     spark = batch.sparkSession
     dim, n_planes = _read_meta(spark, index_dir)
     assigned = _assign(batch, vec_col, id_col, dim, n_planes)
     ranges = _read_ranges(spark, index_dir)
+    report = None
+    if ranges is not None and monitor_saturation:
+        report = saturation_report(batch, ranges, vec_col)
+        (spark.createDataFrame(
+            [(int(report["rows"]), int(report["rows_clipped"]),
+              float(report["row_fraction"]),
+              int(report["clipped_values"]),
+              float(report["value_fraction"]),
+              int(report["worst_dim"]),
+              float(report["worst_dim_fraction"]),
+              [int(c) for c in report["per_dim"]])],
+            "rows long, rows_clipped long, row_fraction double, "
+            "clipped_values long, value_fraction double, "
+            "worst_dim int, worst_dim_fraction double, "
+            "per_dim array<long>")
+         .coalesce(1).write.mode("append")
+         .parquet(f"{index_dir}/{_SATURATION}"))
+        if report["value_fraction"] > SATURATION_REBUILD_THRESHOLD:
+            import warnings
+
+            warnings.warn(
+                f"quantized index {index_dir}: appended batch "
+                f"saturates {report['value_fraction']:.2%} of values "
+                f"(> {SATURATION_REBUILD_THRESHOLD:.0%} rebuild "
+                f"threshold; worst dim {report['worst_dim']} clips "
+                f"{report['worst_dim_fraction']:.2%} of rows) — "
+                f"screen recall is degrading; rebuild with fresh "
+                f"ranges (see SATURATION_REBUILD_THRESHOLD)",
+                stacklevel=2)
     if ranges is not None:
         assigned = assigned.withColumn(
             "codes", encode_codes(F.col("vec"), ranges))
     (assigned.write.mode("append").partitionBy("cell")
      .parquet(f"{index_dir}/{_CELLS}"))
+    return report
+
+
+def saturation_history(spark: SparkSession, index_dir: str
+                       ) -> DataFrame | None:
+    """The per-append saturation log of a quantized index (one row
+    per monitored append, schema per `append_to_index`), or None when
+    no appends have been monitored yet — the operational surface an
+    operator trends to schedule a rebuild before recall erodes."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{_SATURATION}")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return None
+    return spark.read.parquet(f"{index_dir}/{_SATURATION}")
 
 
 def _probed_queries(spark: SparkSession, index_dir: str,

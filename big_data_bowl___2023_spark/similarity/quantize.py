@@ -91,6 +91,65 @@ def _spans(ranges: list) -> tuple:
     return los, spans
 
 
+def saturation_report(df: DataFrame, ranges: list,
+                      vec_col: str = "embedding") -> dict:
+    """How much of ``df`` the frozen ``ranges`` would CLIP: encoding a
+    later batch against build-time ranges saturates out-of-range
+    values to the edges — bounded but lossy, and without a measurement
+    a drifting embedding distribution erodes screen recall with no
+    signal (the round-9 verdict's #2). ONE aggregation pass (dim clip
+    counters + a per-row any-clip flag ride the same codegen agg):
+
+    * ``rows`` / ``rows_clipped`` / ``row_fraction`` — rows with ≥ 1
+      saturating dimension;
+    * ``clipped_values`` / ``value_fraction`` — clipped values over
+      all finite (row, dimension) slots;
+    * ``per_dim`` — clip count per dimension; ``worst_dim`` /
+      ``worst_dim_fraction`` — the dimension drifting hardest (the
+      first thing to inspect before a rebuild).
+
+    NaN/Inf components are corruption, not drift (the encoder NULLs
+    them), so they count in neither numerator nor denominator. An
+    empty batch reports zeros. Compose with the rebuild rule: when
+    ``value_fraction`` exceeds the documented threshold
+    (`index.SATURATION_REBUILD_THRESHOLD`), re-learn ranges on the
+    accumulated corpus and rebuild — and cross-check distributional
+    movement with ``operators.drift.embedding_psi_report`` (E114),
+    which sees shifts long before they saturate."""
+    dim = len(ranges)
+    v = V.as_double(F.col(vec_col))
+    clips = []
+    for d, (lo, hi) in enumerate(ranges):
+        x = F.element_at(v, d + 1)
+        finite = (x.isNotNull() & ~F.isnan(x)
+                  & (F.abs(x) < F.lit(float("inf"))))
+        clips.append(finite & ((x < F.lit(float(lo)))
+                               | (x > F.lit(float(hi)))))
+    any_clip = clips[0]
+    for c in clips[1:]:
+        any_clip = any_clip | c
+    aggs = [F.count(F.lit(1)).alias("__n"),
+            F.sum(any_clip.cast("long")).alias("__rows_clipped")]
+    aggs += [F.sum(c.cast("long")).alias(f"__c{d}")
+             for d, c in enumerate(clips)]
+    row = df.agg(*aggs).first()
+    n = int(row["__n"])
+    per_dim = [int(row[f"__c{d}"] or 0) for d in range(dim)]
+    rows_clipped = int(row["__rows_clipped"] or 0)
+    clipped = sum(per_dim)
+    worst = max(range(dim), key=lambda d: per_dim[d]) if n else 0
+    return {
+        "rows": n,
+        "rows_clipped": rows_clipped,
+        "row_fraction": rows_clipped / n if n else 0.0,
+        "clipped_values": clipped,
+        "value_fraction": clipped / (n * dim) if n else 0.0,
+        "per_dim": per_dim,
+        "worst_dim": worst,
+        "worst_dim_fraction": per_dim[worst] / n if n else 0.0,
+    }
+
+
 def quantize_embeddings(df: DataFrame, ranges: list,
                         vec_col: str = "embedding",
                         id_col: str = "vec_id") -> DataFrame:

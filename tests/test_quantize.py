@@ -141,3 +141,111 @@ def test_quantized_rerank_matches_exact_topk(emb, ranges):
     want = {(r.query_id, r.neighbor_id, r.cosine, r.rank) for r in
             brute_force_topk(emb, queries, 5).collect()}
     assert got == want and got
+
+
+def test_saturation_report_in_range_batch_is_zero(spark, emb, ranges):
+    """A batch drawn from the distribution the ranges were learned on
+    clips nothing."""
+    from big_data_bowl___2023_spark.similarity.quantize import (
+        saturation_report,
+    )
+
+    rep = saturation_report(emb.limit(50), ranges)
+    assert rep["rows"] == 50
+    assert rep["clipped_values"] == 0 and rep["rows_clipped"] == 0
+    assert rep["value_fraction"] == 0.0 and rep["row_fraction"] == 0.0
+
+
+def test_saturation_report_measures_drift(spark, ranges):
+    """A drifted batch (dim 0 pushed past the learned hi, dim 1 past
+    lo) is measured exactly: per-dim counts, worst dim, fractions.
+    NaN components count in neither numerator nor denominator
+    (corruption, not drift)."""
+    from big_data_bowl___2023_spark.similarity.quantize import (
+        saturation_report,
+    )
+
+    lo0, hi0 = ranges[0]
+    lo1, hi1 = ranges[1]
+    base = [0.0] * 64
+    rows = []
+    for i in range(8):          # 8 rows clip dim 0 high
+        v = list(base)
+        v[0] = hi0 + 1.0
+        rows.append((i, v))
+    for i in range(8, 12):      # 4 rows clip dim 1 low
+        v = list(base)
+        v[1] = lo1 - 1.0
+        rows.append((i, v))
+    v = list(base)
+    v[2] = float("nan")         # 1 corrupt row, clips nothing
+    rows.append((12, v))
+    rows.append((13, list(base)))   # 1 clean in-range row
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<double>")
+    rep = saturation_report(df, ranges)
+    assert rep["rows"] == 14
+    assert rep["per_dim"][0] == 8 and rep["per_dim"][1] == 4
+    assert sum(rep["per_dim"]) == 12 == rep["clipped_values"]
+    assert rep["rows_clipped"] == 12
+    assert rep["worst_dim"] == 0
+    assert rep["worst_dim_fraction"] == pytest.approx(8 / 14)
+    assert rep["value_fraction"] == pytest.approx(12 / (14 * 64))
+
+
+def test_append_monitors_saturation_and_history(spark, emb, tmp_path):
+    """VERDICT r9 #2: a quantized-index append measures what the
+    frozen ranges clip, logs it to the _index_saturation history,
+    warns past the rebuild threshold, and a rebuild clears the
+    (old-ranges) history. Float indexes return None and log nothing."""
+    import warnings
+
+    from big_data_bowl___2023_spark.similarity import (
+        append_to_index,
+        build_ann_index,
+        saturation_history,
+    )
+
+    idx = str(tmp_path / "qidx")
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    build_ann_index(b1, idx, quantize=True)
+    assert saturation_history(spark, idx) is None
+
+    # in-range append: report ~0, one history row, no warning
+    b2 = emb.filter(F.col("vec_id") % 2 == 1)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        rep = append_to_index(b2, idx)
+    assert rep is not None and rep["value_fraction"] < 0.01
+    hist = saturation_history(spark, idx)
+    assert hist.count() == 1
+
+    # drifted append: all of dim 0 pushed far past hi → warning +
+    # measured fraction ≈ 1/64
+    drifted = b2.limit(20).withColumn(
+        "embedding",
+        F.transform(F.col("embedding"),
+                    lambda x, i: F.when(i == 0, F.lit(1e6))
+                    .otherwise(x)))
+    with pytest.warns(UserWarning, match="saturates"):
+        rep2 = append_to_index(drifted, idx)
+    assert rep2["per_dim"][0] == 20
+    # ≥ 1/64: every row clips the injected dim; the odd-id half can
+    # also clip a few dims naturally against even-half-learned ranges
+    assert rep2["value_fraction"] >= 1 / 64
+    assert rep2["worst_dim"] == 0 and rep2["worst_dim_fraction"] == 1.0
+    assert saturation_history(spark, idx).count() == 2
+
+    # monitoring is skippable; nothing logged
+    append_to_index(b2.limit(5), idx, monitor_saturation=False)
+    assert saturation_history(spark, idx).count() == 2
+
+    # a rebuild re-learns ranges → the old history must not survive
+    build_ann_index(emb, idx, quantize=True)
+    assert saturation_history(spark, idx) is None
+
+    # float index: no report, no history
+    fidx = str(tmp_path / "fidx")
+    build_ann_index(b1, fidx)
+    assert append_to_index(b2, fidx) is None
+    assert saturation_history(spark, fidx) is None
