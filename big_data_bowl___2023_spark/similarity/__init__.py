@@ -27,11 +27,13 @@ from .quantize import (
     saturation_report,
 )
 from .index import (
+    CELL_SKEW_WARN_RATIO,
     SATURATION_REBUILD_THRESHOLD,
     ann_index_search,
     ann_index_search_quantized,
     append_to_index,
     build_ann_index,
+    index_cell_stats,
     saturation_history,
 )
 from .retrieval import bm25_scores, bm25_topk, term_postings
@@ -49,4 +51,5 @@ __all__ = ["brute_force_topk", "brp_lsh_topk", "ivf_topk",
            "quantize_embeddings", "quantized_topk_rerank",
            "saturation_report", "saturation_history",
            "SATURATION_REBUILD_THRESHOLD",
+           "index_cell_stats", "CELL_SKEW_WARN_RATIO",
            "bm25_scores", "bm25_topk", "term_postings"]

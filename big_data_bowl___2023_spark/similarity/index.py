@@ -49,6 +49,20 @@ _CELLS = "cells"
 _RANGES = "_index_ranges"
 _SATURATION = "_index_saturation"
 
+# Cell-occupancy skew guard: hyperplane sign cells assume roughly
+# isotropic embeddings; a real (anisotropic) corpus can pile into a
+# few cells, and every search probing a hot cell then scans a large
+# corpus fraction no matter how well the layout prunes. Builds warn
+# when the hottest cell holds more than this multiple of the uniform
+# share (1/2^n_planes) — the same top_share-vs-uniform decision rule
+# as `operators.skew` (E35). The rebuild path for a skewed corpus is
+# MORE planes: `build_ann_index(..., n_planes=n+1)` — the planes are
+# seedless-deterministic Walsh rows (`ann._make_planes`), so each
+# added plane deterministically splits every existing cell in two,
+# halving the expected mass of the hot cell (and the probed fraction
+# (n_planes+1)/2^n_planes falls as well).
+CELL_SKEW_WARN_RATIO = 8.0
+
 # Rebuild rule for quantized indexes: appended batches encode against
 # the BUILD-TIME frozen ranges, so a drifting embedding distribution
 # saturates ever more values to the range edges — bounded per value
@@ -95,7 +109,8 @@ def build_ann_index(corpus: DataFrame, index_dir: str,
                     dim: int = 64, n_planes: int = 3,
                     vec_col: str = "embedding",
                     id_col: str = "vec_id",
-                    quantize: bool = False) -> None:
+                    quantize: bool = False,
+                    warn_skew: bool = True) -> None:
     """Write ``index_dir``: cell-partitioned corpus vectors + a
     one-row meta parquet. Overwrites an existing index whole (a
     rebuild, not a merge — incremental ingest is `append_to_index`).
@@ -107,7 +122,13 @@ def build_ann_index(corpus: DataFrame, index_dir: str,
     vector bytes via column pruning. Ranges are FROZEN at build time:
     appended batches encode against them (out-of-range later-batch
     values saturate to the edges — bounded, per the quantize module's
-    later-batch contract)."""
+    later-batch contract).
+
+    ``warn_skew`` (default) runs :func:`index_cell_stats` after the
+    write (footer-only, no vector bytes) and warns when the hottest
+    cell exceeds `CELL_SKEW_WARN_RATIO` × the uniform share — the
+    anisotropic-corpus failure mode an operator must know at build
+    time, not at the first slow search."""
     from .quantize import embedding_ranges, encode_codes
 
     spark = corpus.sparkSession
@@ -147,6 +168,20 @@ def build_ann_index(corpus: DataFrame, index_dir: str,
     (spark.createDataFrame([(int(dim), int(n_planes))],
                            "dim int, n_planes int")
      .write.mode("overwrite").parquet(f"{index_dir}/{_META}"))
+    if warn_skew:
+        stats = index_cell_stats(spark, index_dir)
+        if stats["skew_ratio"] > CELL_SKEW_WARN_RATIO:
+            import warnings
+
+            warnings.warn(
+                f"ANN index {index_dir}: hottest cell holds "
+                f"{stats['top_share']:.1%} of the corpus "
+                f"({stats['skew_ratio']:.1f}× the uniform "
+                f"1/{2 ** n_planes} share; a search probing it scans "
+                f"up to {stats['worst_probe_share']:.1%}) — the "
+                f"corpus is anisotropic for these planes; rebuild "
+                f"with a larger n_planes (see CELL_SKEW_WARN_RATIO)",
+                stacklevel=2)
 
 
 def _read_meta(spark: SparkSession, index_dir: str) -> tuple[int, int]:
@@ -245,6 +280,54 @@ def saturation_history(spark: SparkSession, index_dir: str
     if not fs.exists(jpath):
         return None
     return spark.read.parquet(f"{index_dir}/{_SATURATION}")
+
+
+def index_cell_stats(spark: SparkSession, index_dir: str) -> dict:
+    """Per-cell occupancy of the persistent index — the first thing
+    an operator asks of a 100 TB deployment, answered WITHOUT
+    scanning vector bytes: the count groups on the partition column
+    alone, so the parquet scan reads footers/row-group counts, never
+    a data page (zero columns in ReadSchema).
+
+    Returns (all bounded by 2^n_planes):
+
+    * ``n_rows`` / ``n_cells`` / ``expected_cells`` /
+      ``empty_cells`` — occupancy overview (empty cells cost nothing;
+      they simply have no directory);
+    * ``per_cell`` — [(cell, rows, share)] sorted hottest-first;
+    * ``top_share`` / ``mean_share`` / ``skew_ratio`` — the hottest
+      cell's corpus share vs the uniform 1/2^n_planes, the
+      `operators.skew` decision number (``skew_ratio`` > 1 is
+      expected on real data; > `CELL_SKEW_WARN_RATIO` means searches
+      probing that cell degrade toward a full scan);
+    * ``worst_probe_share`` — the corpus fraction an adjacent-probe
+      search can touch in the worst case: the sum of the heaviest
+      n_planes+1 cell shares (a probe set is the query's cell plus
+      its n_planes one-bit neighbors; this bounds ANY probe set from
+      above). Compare with the isotropic ideal
+      (n_planes+1)/2^n_planes."""
+    dim, n_planes = _read_meta(spark, index_dir)
+    rows = (spark.read.parquet(f"{index_dir}/{_CELLS}")
+            .groupBy("cell").count().collect())
+    per_cell = sorted(((r["cell"], int(r["count"])) for r in rows),
+                      key=lambda t: (-t[1], t[0]))
+    n_rows = sum(c for _, c in per_cell)
+    expected = 2 ** n_planes
+    shares = [(cell, c, c / n_rows if n_rows else 0.0)
+              for cell, c in per_cell]
+    top_share = shares[0][2] if shares else 0.0
+    probe = min(n_planes + 1, len(shares))
+    return {
+        "n_rows": n_rows,
+        "n_cells": len(shares),
+        "expected_cells": expected,
+        "empty_cells": expected - len(shares),
+        "per_cell": shares,
+        "top_share": top_share,
+        "mean_share": 1.0 / expected,
+        "skew_ratio": top_share * expected,
+        "worst_probe_share": sum(s for _, _, s in shares[:probe]),
+    }
 
 
 def _probed_queries(spark: SparkSession, index_dir: str,

@@ -214,3 +214,53 @@ def test_null_vector_write_refused(spark, tmp_path):
         idx = str(tmp_path / "appidx")
         build_ann_index(ok, idx)
         append_to_index(bad, idx)
+
+
+def test_index_cell_stats_on_real_corpus(spark, sf_dir, tmp_path):
+    """VERDICT r9 #3: occupancy stats from the partition listing +
+    parquet footers — shares sum to 1, hottest-first order, the
+    worst-probe bound covers the top cell, and the counting scan
+    reads ZERO data columns (footer row counts only)."""
+    from big_data_bowl___2023_spark.similarity import index_cell_stats
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "sidx")
+    build_ann_index(emb, idx)
+    s = index_cell_stats(spark, idx)
+    assert s["n_rows"] == emb.count()
+    assert s["n_cells"] + s["empty_cells"] == s["expected_cells"] == 8
+    shares = [sh for _, _, sh in s["per_cell"]]
+    assert sum(shares) == pytest.approx(1.0)
+    assert shares == sorted(shares, reverse=True)
+    assert s["top_share"] == shares[0]
+    assert s["skew_ratio"] == pytest.approx(s["top_share"] * 8)
+    assert s["worst_probe_share"] >= s["top_share"]
+    assert s["worst_probe_share"] <= 1.0 + 1e-9
+    # the stats scan must not touch vector bytes: grouping on the
+    # partition column alone leaves an empty ReadSchema
+    plan = formatted_plan(
+        spark.read.parquet(f"{idx}/cells").groupBy("cell").count())
+    assert "ReadSchema: struct<>" in plan
+
+
+def test_build_warns_on_skewed_corpus(spark, tmp_path):
+    """A corpus collapsing into one hyperplane cell (every vector the
+    same direction) must warn at BUILD time with the re-plane
+    guidance — not degrade silently at the first search. warn_skew
+    =False keeps quiet for callers that already know."""
+    import warnings
+
+    from big_data_bowl___2023_spark.similarity import index_cell_stats
+
+    rows = [(i, [1.0 + 0.001 * i] + [0.0] * 63) for i in range(200)]
+    skewed = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "skidx")
+    with pytest.warns(UserWarning, match="anisotropic"):
+        build_ann_index(skewed, idx, n_planes=4)
+    s = index_cell_stats(spark, idx)
+    assert s["skew_ratio"] > 8.0 and s["top_share"] == 1.0
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)
+        build_ann_index(skewed, str(tmp_path / "skidx2"), n_planes=4,
+                        warn_skew=False)
