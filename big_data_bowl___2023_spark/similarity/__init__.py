@@ -34,6 +34,7 @@ from .index import (
     append_to_index,
     build_ann_index,
     index_cell_stats,
+    index_versions,
     saturation_history,
 )
 from .retrieval import bm25_scores, bm25_topk, term_postings
@@ -52,4 +53,5 @@ __all__ = ["brute_force_topk", "brp_lsh_topk", "ivf_topk",
            "saturation_report", "saturation_history",
            "SATURATION_REBUILD_THRESHOLD",
            "index_cell_stats", "CELL_SKEW_WARN_RATIO",
+           "index_versions",
            "bm25_scores", "bm25_topk", "term_postings"]

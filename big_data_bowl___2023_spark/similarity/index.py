@@ -25,12 +25,31 @@ story and degenerate-vector policy unchanged.
 
 Scale/consistency notes: the probed-cell `isin` list collects the
 DISTINCT probed cells — bounded by 2^n_planes regardless of query
-count, never by the query set. An append adds files inside existing
-cell directories; readers that listed files before the append simply
-miss the new rows (parquet append visibility — the io.py compaction
-caveat), and ids are the caller's contract as everywhere in the
-dedup/ANN family. Vectors are stored post-`as_double`, so a search
-never re-casts the corpus.
+count, never by the query set. Ids are the caller's contract as
+everywhere in the dedup/ANN family, and vectors are stored
+post-`as_double`, so a search never re-casts the corpus.
+
+Concurrency contract (round 10, composing E70's ``v=N`` publishing):
+the cell layout lives under ``cells/v=N`` and every search PINS one
+version at plan time (latest by default, ``version=`` to time-travel),
+so concurrent maintenance can never tear a scan:
+
+* an APPEND only adds files inside the current version's cell
+  directories — a reader that listed before the append misses the
+  new rows (ordinary parquet append visibility), it never reads a
+  half-deleted directory;
+* a COMPACTION publishes the rewritten layout as ``v=N+1`` (staged
+  under a name the ``v=`` lister ignores, made visible by one
+  rename), so in-flight scans of ``v=N`` keep their files and new
+  searches pick up ``N+1``; superseded versions are reclaimed by
+  ``vacuum_index`` AFTER in-flight readers drain — vacuum, not
+  compaction, is the only operation that deletes data a reader could
+  hold;
+* appends and compactions must still be serialized WITH EACH OTHER
+  (an append into ``v=N`` racing a compaction's read of it would be
+  missing from ``v=N+1``) — one maintenance scheduler owns writes,
+  exactly as before; the contract change is that SEARCHES need no
+  coordination at all.
 
 Reference scope note: north-star extension (SURVEY.md §2 extensions,
 inventory E111); the reference has no vector-search surface.
@@ -48,6 +67,32 @@ _META = "_index_meta"
 _CELLS = "cells"
 _RANGES = "_index_ranges"
 _SATURATION = "_index_saturation"
+
+
+def index_versions(spark: SparkSession, index_dir: str) -> list[int]:
+    """Published cell-layout versions (``cells/v=N`` children),
+    oldest first — the E70 snapshot listing applied to the index."""
+    from ..sources.io import snapshot_versions
+
+    return snapshot_versions(spark, f"{index_dir}/{_CELLS}")
+
+
+def _cells_path(spark: SparkSession, index_dir: str,
+                version: int | None, what: str) -> str:
+    """Resolve (and pin) ONE version's cell directory. Latest when
+    ``version`` is None; a named version must exist (vacuumed or
+    never-published versions refuse loudly instead of scanning an
+    empty path to zero rows)."""
+    versions = index_versions(spark, index_dir)
+    if not versions:
+        raise ValueError(f"{what}: no published cell versions under "
+                         f"{index_dir}")
+    v = versions[-1] if version is None else int(version)
+    if v not in versions:
+        raise ValueError(f"{what}: version {v} not in {versions} "
+                         f"under {index_dir} (vacuumed, or never "
+                         f"published)")
+    return f"{index_dir}/{_CELLS}/v={v}"
 
 # Cell-occupancy skew guard: hyperplane sign cells assume roughly
 # isotropic embeddings; a real (anisotropic) corpus can pile into a
@@ -138,8 +183,15 @@ def build_ann_index(corpus: DataFrame, index_dir: str,
         ranges = embedding_ranges(corpus, vec_col, dim)
         assigned = assigned.withColumn(
             "codes", encode_codes(F.col("vec"), ranges))
+    # a rebuild resets the version history: delete the whole cells
+    # root (overwrite mode would only clear v=1, leaving stale later
+    # versions as "latest"), then publish the fresh layout as v=1
+    jvm = spark._jvm
+    jcells = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{_CELLS}")
+    jcells.getFileSystem(spark._jsc.hadoopConfiguration()) \
+        .delete(jcells, True)
     (assigned.write.mode("overwrite").partitionBy("cell")
-     .parquet(f"{index_dir}/{_CELLS}"))
+     .parquet(f"{index_dir}/{_CELLS}/v=1"))
     # ranges AFTER cells (a build that dies mid-cells-write must not
     # leave a fresh ranges artifact beside stale data), and a float
     # rebuild DELETES a predecessor's ranges — otherwise the index
@@ -212,8 +264,11 @@ def append_to_index(batch: DataFrame, index_dir: str,
                     monitor_saturation: bool = True) -> dict | None:
     """Assign a new batch with the index's OWN recorded planes (meta
     dim/n_planes — deterministic, so old and new rows agree on every
-    cell boundary) and append into the existing cell directories. A
-    quantized index encodes the batch against its FROZEN ranges.
+    cell boundary) and append into the CURRENT version's cell
+    directories (appends add files, never touch existing ones — safe
+    under concurrent searches; serialize appends against
+    `compact_index` per the module contract). A quantized index
+    encodes the batch against its FROZEN ranges.
 
     For a quantized index this also MEASURES what the frozen ranges
     clip (`quantize.saturation_report`, one extra batch-sized agg
@@ -229,6 +284,7 @@ def append_to_index(batch: DataFrame, index_dir: str,
 
     spark = batch.sparkSession
     dim, n_planes = _read_meta(spark, index_dir)
+    cells = _cells_path(spark, index_dir, None, "append_to_index")
     assigned = _assign(batch, vec_col, id_col, dim, n_planes)
     ranges = _read_ranges(spark, index_dir)
     report = None
@@ -264,7 +320,7 @@ def append_to_index(batch: DataFrame, index_dir: str,
         assigned = assigned.withColumn(
             "codes", encode_codes(F.col("vec"), ranges))
     (assigned.write.mode("append").partitionBy("cell")
-     .parquet(f"{index_dir}/{_CELLS}"))
+     .parquet(cells))
     return report
 
 
@@ -282,7 +338,8 @@ def saturation_history(spark: SparkSession, index_dir: str
     return spark.read.parquet(f"{index_dir}/{_SATURATION}")
 
 
-def index_cell_stats(spark: SparkSession, index_dir: str) -> dict:
+def index_cell_stats(spark: SparkSession, index_dir: str,
+                     version: int | None = None) -> dict:
     """Per-cell occupancy of the persistent index — the first thing
     an operator asks of a 100 TB deployment, answered WITHOUT
     scanning vector bytes: the count groups on the partition column
@@ -305,9 +362,13 @@ def index_cell_stats(spark: SparkSession, index_dir: str) -> dict:
       n_planes+1 cell shares (a probe set is the query's cell plus
       its n_planes one-bit neighbors; this bounds ANY probe set from
       above). Compare with the isotropic ideal
-      (n_planes+1)/2^n_planes."""
+      (n_planes+1)/2^n_planes.
+
+    ``version`` pins a published layout (latest by default); the
+    returned dict carries it as ``version``."""
     dim, n_planes = _read_meta(spark, index_dir)
-    rows = (spark.read.parquet(f"{index_dir}/{_CELLS}")
+    cells = _cells_path(spark, index_dir, version, "index_cell_stats")
+    rows = (spark.read.parquet(cells)
             .groupBy("cell").count().collect())
     per_cell = sorted(((r["cell"], int(r["count"])) for r in rows),
                       key=lambda t: (-t[1], t[0]))
@@ -318,6 +379,7 @@ def index_cell_stats(spark: SparkSession, index_dir: str) -> dict:
     top_share = shares[0][2] if shares else 0.0
     probe = min(n_planes + 1, len(shares))
     return {
+        "version": int(cells.rsplit("v=", 1)[1]),
         "n_rows": n_rows,
         "n_cells": len(shares),
         "expected_cells": expected,
@@ -356,16 +418,21 @@ def ann_index_search(spark: SparkSession, index_dir: str,
                      id_col: str = "vec_id",
                      probe_adjacent: bool = True,
                      score_kernel: str = "sql",
-                     exclude_self: bool = True) -> DataFrame:
+                     exclude_self: bool = True,
+                     version: int | None = None) -> DataFrame:
     """(query_id, neighbor_id, cosine, rank): `ivf_topk` semantics
     against the stored index. The probed cells are collected as a
     DISTINCT set (≤ 2^n_planes strings) and pushed as a partition
     filter, so the scan enumerates only the probed directories —
-    `plans.explain.assert_partition_pruned`-checkable."""
+    `plans.explain.assert_partition_pruned`-checkable. The scan PINS
+    one published cell-layout version (latest at plan time, or
+    ``version=`` to time-travel) — see the module's concurrency
+    contract."""
+    cells = _cells_path(spark, index_dir, version, "ann_index_search")
     q, probed = _probed_queries(spark, index_dir, queries, vec_col,
                                 id_col, probe_adjacent,
                                 "ann_index_search")
-    corpus = (spark.read.parquet(f"{index_dir}/{_CELLS}")
+    corpus = (spark.read.parquet(cells)
               .filter(F.col("cell").isin(probed))
               .select("neighbor_id",
                       F.col("vec").alias("neighbor_id_v"), "cell"))
@@ -389,7 +456,7 @@ def ann_index_search(spark: SparkSession, index_dir: str,
                           "rank"))
 
 
-def _quantized_shortlist(spark: SparkSession, index_dir: str,
+def _quantized_shortlist(spark: SparkSession, cells: str,
                          q: DataFrame, probed: list, ranges: list,
                          shortlist: int, exclude_self: bool,
                          kernel: str = "arrow") -> DataFrame:
@@ -406,7 +473,7 @@ def _quantized_shortlist(spark: SparkSession, index_dir: str,
     64x index stress leg. Kernel choice only reorders the shortlist
     at 6-dp rounding margins; the exact rerank re-scores survivors
     either way (pytest pins top-k identity under both)."""
-    screen = (spark.read.parquet(f"{index_dir}/{_CELLS}")
+    screen = (spark.read.parquet(cells)
               .filter(F.col("cell").isin(probed))
               .select("neighbor_id", "codes", "cell"))
     pairs = screen.join(F.broadcast(q), "cell")
@@ -490,7 +557,8 @@ def ann_index_search_quantized(spark: SparkSession, index_dir: str,
                                id_col: str = "vec_id",
                                probe_adjacent: bool = True,
                                exclude_self: bool = True,
-                               screen_kernel: str = "arrow"
+                               screen_kernel: str = "arrow",
+                               version: int | None = None
                                ) -> DataFrame:
     """(query_id, neighbor_id, cosine, rank): two partition-pruned
     scans instead of one full-precision scan — the int8 screen reads
@@ -511,7 +579,12 @@ def ann_index_search_quantized(spark: SparkSession, index_dir: str,
     quantized_topk_rerank): DEGENERATE vectors (NULL / zero-norm /
     non-finite) are FILTERED by the rerank's normalization — a
     degenerate query returns zero rows here, where the one-scan
-    search returns its k neighbors at cosine 0.0."""
+    search returns its k neighbors at cosine 0.0.
+
+    Both scans (screen and rerank) PIN the same published cell-layout
+    version, resolved ONCE here — a compaction publishing between the
+    two scans can no longer hand them different generations of the
+    corpus."""
     from .pq import exact_rerank
 
     ranges = _read_ranges(spark, index_dir)
@@ -521,10 +594,12 @@ def ann_index_search_quantized(spark: SparkSession, index_dir: str,
             f"build_ann_index(..., quantize=True)")
     if shortlist is None:
         shortlist = 5 * k
+    cells = _cells_path(spark, index_dir, version,
+                        "ann_index_search_quantized")
     q, probed = _probed_queries(spark, index_dir, queries, vec_col,
                                 id_col, probe_adjacent,
                                 "ann_index_search_quantized")
-    cand = _quantized_shortlist(spark, index_dir, q, probed, ranges,
+    cand = _quantized_shortlist(spark, cells, q, probed, ranges,
                                 shortlist, exclude_self,
                                 screen_kernel)
     # the shortlist feeds TWO consumers (the semi-join below and
@@ -541,7 +616,7 @@ def ann_index_search_quantized(spark: SparkSession, index_dir: str,
     # the duplicate guard shuffles a few hundred rows, never the
     # probed cells' full float vectors (which would forfeit the
     # screen's byte saving)
-    rerank_corpus = (spark.read.parquet(f"{index_dir}/{_CELLS}")
+    rerank_corpus = (spark.read.parquet(cells)
                      .filter(F.col("cell").isin(probed))
                      .select(F.col("neighbor_id").alias(id_col),
                              F.col("vec").alias(vec_col))

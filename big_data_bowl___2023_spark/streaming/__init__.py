@@ -27,7 +27,11 @@ from .quantiles import (
     windowed_quantile_digests,
     windows_as_quantile_summary,
 )
-from .ann_index_stream import compact_index, make_ann_index_batch_fn
+from .ann_index_stream import (
+    compact_index,
+    make_ann_index_batch_fn,
+    vacuum_index,
+)
 from .scd_stream import (
     committed_snapshot_ids,
     make_scd2_batch_fn,
@@ -69,4 +73,5 @@ __all__ = ["benchmark_shingle_set", "curate_document_stream",
            "windows_as_cms_summary",
            "latest_window_samples", "windowed_samples",
            "windows_as_sample",
-           "compact_index", "make_ann_index_batch_fn"]
+           "compact_index", "make_ann_index_batch_fn",
+           "vacuum_index"]

@@ -22,10 +22,17 @@ state would be WRONG, not merely redundant). The reclaim pass is
 pathology: thousands of per-batch small files inside each cell
 directory.
 
-Compaction is per-cell `sources.io.compact_parquet` (tmp + backup
-swap, stop-the-world per directory — schedule between searches), so
-the ≤ 2^n_planes cell directories are each rewritten to
-``target_file_mb`` files, optionally deduping replayed ids.
+Compaction PUBLISHES (round 10): the rewritten layout is staged
+under a name the version lister ignores, then made visible as
+``cells/v=N+1`` by one rename — in-flight searches keep their pinned
+``v=N`` files, new searches pick up N+1, and a crash mid-stage
+leaves only an invisible temp dir (healed at the next compaction).
+Searches therefore need NO scheduling around compaction at all; the
+remaining rule is that appends and compactions serialize with each
+other (one maintenance writer — an append into v=N racing the
+compaction's read of it would be missing from v=N+1). Superseded
+versions are reclaimed by :func:`vacuum_index` once in-flight
+readers have drained.
 
 Reference scope note: north-star extension (SURVEY.md §2 extensions,
 inventory E113); the reference has no vector or streaming surface.
@@ -37,8 +44,14 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..similarity.index import _CELLS, _META, append_to_index, build_ann_index
-from ..sources.io import compact_parquet
+from ..similarity.index import (
+    _CELLS,
+    _META,
+    _cells_path,
+    append_to_index,
+    build_ann_index,
+    index_versions,
+)
 
 
 def make_ann_index_batch_fn(index_dir: str, dim: int = 64,
@@ -78,62 +91,122 @@ def make_ann_index_batch_fn(index_dir: str, dim: int = 64,
     return process
 
 
-def _recover_cell_swaps(jvm, fs, root) -> None:
-    """Heal a prior compaction killed mid-swap. `compact_parquet`'s
-    in-process rollback never runs on a hard crash (SIGKILL between
-    its two renames), which would leave ``cell=X`` MISSING with the
-    data stranded at ``cell=X__compact_old`` — a pruned search would
-    then silently lose that cell's vectors. Restore the backup when
-    the live dir is gone; delete it when the live dir exists (io.py's
-    stale-backup rule: live data at the path makes any backup a prior
-    run's undeleted copy); always delete staging leftovers."""
-    for st in fs.listStatus(root):
+def _list_parquet_stats(fs, root):
+    """(n_files, n_bytes) of every .parquet under ``root``."""
+    n, b = 0, 0
+    it = fs.listFiles(root, True)
+    while it.hasNext():
+        st = it.next()
+        if st.getPath().getName().endswith(".parquet"):
+            n += 1
+            b += st.getLen()
+    return n, b
+
+
+def _clean_stale_tmps(fs, jvm, cells_root) -> None:
+    """Delete staging leftovers of compactions that died mid-write.
+    Staged dirs never match the ``v=`` pattern, so they were always
+    INVISIBLE to readers and version listing — this is pure disk
+    reclamation, never recovery."""
+    for st in fs.listStatus(cells_root):
         name = st.getPath().getName()
-        if name.endswith("__compact_tmp"):
+        if name.startswith("__publish_tmp"):
             fs.delete(st.getPath(), True)
-        elif name.endswith("__compact_old"):
-            live = jvm.org.apache.hadoop.fs.Path(
-                root, name[:-len("__compact_old")])
-            if fs.exists(live):
-                fs.delete(st.getPath(), True)
-            elif not fs.rename(st.getPath(), live):
-                raise IOError(
-                    f"failed to restore stranded cell backup {name}")
 
 
 def compact_index(spark: SparkSession, index_dir: str,
                   target_file_mb: int = 128,
                   dedupe: bool = False) -> dict:
-    """Rewrite every cell directory to ~``target_file_mb`` files;
-    ``dedupe=True`` also drops duplicate ids left by at-least-once
-    replays (replayed rows are bit-identical, so keeping any one is
-    exact). Returns aggregate {"cells", "files_before",
-    "files_after", "bytes"}. Per-cell stop-the-world (the
-    `compact_parquet` swap caveat); with ≤ 2^n_planes cells the
-    driver loop is bounded by construction. Starts by healing any
-    crash-stranded swap from a previous run (`_recover_cell_swaps`)
-    — searches between a crash and the next compaction do tolerate
-    the strays (phantom ``cell=X__compact_old`` partition values
-    never match a probed bitstring) but would MISS a cell whose live
-    dir vanished mid-swap, so run compaction promptly after a crash."""
+    """Publish a compacted ``cells/v=N+1`` from the current version:
+    the rewrite lands in ~``target_file_mb`` files per cell
+    (``maxRecordsPerFile`` sized from the live version's byte/row
+    ratio) and ``dedupe=True`` also drops duplicate ids left by
+    at-least-once replays (replayed rows are bit-identical, so
+    keeping any one is exact). The staged write is invisible to
+    version listing until ONE rename flips it live, so concurrent
+    searches are never torn: pinned scans keep v=N, new scans see
+    N+1. Serialize with appends (module contract); reclaim
+    superseded versions with :func:`vacuum_index` after readers
+    drain. A compaction that crashed mid-stage leaves only an
+    invisible temp dir, deleted on the next run.
+
+    Returns {"cells", "files_before", "files_after", "bytes",
+    "version"} — `version` is the newly published N+1."""
+    from ..session import pin
+
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{_CELLS}")
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root) or not index_versions(spark, index_dir):
+        raise ValueError(f"no index cells at {index_dir}")
+    _clean_stale_tmps(fs, jvm, root)
+    live = _cells_path(spark, index_dir, None, "compact_index")
+    v_new = int(live.rsplit("v=", 1)[1]) + 1
+    live_path = jvm.org.apache.hadoop.fs.Path(live)
+    files_before, total_bytes = _list_parquet_stats(fs, live_path)
+
+    df = spark.read.parquet(live)
+    pinned = None
+    try:
+        total_rows = df.count()
+        if dedupe:
+            # a vector's cell is a pure function of the vector, so a
+            # global id-dedupe equals the per-cell one; pin so the
+            # sizing count and the rewrite share one shuffle
+            df = pinned = pin(df.dropDuplicates(["neighbor_id"]))
+            out_rows = df.count()
+        else:
+            out_rows = total_rows
+        per_file = max(
+            1, int(total_rows * target_file_mb * 1024 * 1024
+                   / max(1, total_bytes)))
+        tmp = f"{index_dir}/{_CELLS}/__publish_tmp_v{v_new}"
+        try:
+            (df.repartition("cell")
+               .write.mode("overwrite").partitionBy("cell")
+               .option("maxRecordsPerFile", per_file)
+               .parquet(tmp))
+        except Exception:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+            raise
+        final = jvm.org.apache.hadoop.fs.Path(
+            f"{index_dir}/{_CELLS}/v={v_new}")
+        if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), final):
+            fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+            raise IOError(f"publish rename to {final} failed")
+    finally:
+        if pinned is not None:
+            pinned.unpersist(blocking=False)
+    files_after, _ = _list_parquet_stats(fs, final)
+    n_cells = sum(1 for st in fs.listStatus(final)
+                  if st.isDirectory()
+                  and st.getPath().getName().startswith("cell="))
+    spark.catalog.refreshByPath(f"{index_dir}/{_CELLS}")
+    return {"cells": n_cells, "files_before": files_before,
+            "files_after": files_after, "bytes": total_bytes,
+            "rows": out_rows, "version": v_new}
+
+
+def vacuum_index(spark: SparkSession, index_dir: str,
+                 keep: int = 1) -> dict:
+    """Delete all but the newest ``keep`` published cell versions
+    (plus any stale staging dirs). This is the ONLY operation that
+    removes data a pinned reader could still hold — run it after
+    in-flight searches of superseded versions have drained (the
+    drain window is deployment policy, exactly like any
+    snapshot-isolation vacuum). Returns {"kept", "deleted"}."""
+    if keep < 1:
+        raise ValueError("vacuum must keep at least the live version")
     jvm = spark._jvm
     root = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{_CELLS}")
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(root):
         raise ValueError(f"no index cells at {index_dir}")
-    _recover_cell_swaps(jvm, fs, root)
-    totals = {"cells": 0, "files_before": 0, "files_after": 0,
-              "bytes": 0}
-    for st in fs.listStatus(root):
-        name = st.getPath().getName()
-        if not (st.isDirectory() and name.startswith("cell=")
-                and "__compact" not in name):
-            continue
-        rep = compact_parquet(
-            spark, st.getPath().toString(), target_file_mb,
-            dedupe_by=["neighbor_id"] if dedupe else None)
-        totals["cells"] += 1
-        totals["files_before"] += rep["files_before"]
-        totals["files_after"] += rep["files_after"]
-        totals["bytes"] += rep["bytes"]
-    return totals
+    _clean_stale_tmps(fs, jvm, root)
+    versions = index_versions(spark, index_dir)
+    drop = versions[:-keep] if len(versions) > keep else []
+    for v in drop:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(
+            f"{index_dir}/{_CELLS}/v={v}"), True)
+    return {"kept": versions[-keep:] if versions else [],
+            "deleted": drop}

@@ -239,7 +239,8 @@ def test_index_cell_stats_on_real_corpus(spark, sf_dir, tmp_path):
     # the stats scan must not touch vector bytes: grouping on the
     # partition column alone leaves an empty ReadSchema
     plan = formatted_plan(
-        spark.read.parquet(f"{idx}/cells").groupBy("cell").count())
+        spark.read.parquet(f"{idx}/cells/v=1")
+        .groupBy("cell").count())
     assert "ReadSchema: struct<>" in plan
 
 

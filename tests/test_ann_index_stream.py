@@ -77,10 +77,11 @@ def test_replay_is_result_exact_and_compaction_reclaims(
     before = _topk(spark, idx, queries)
     fn(b2, 1)                       # crash-replay double-append
     assert _topk(spark, idx, queries) == before
-    n_rows_dup = spark.read.parquet(f"{idx}/cells").count()
+    n_rows_dup = spark.read.parquet(f"{idx}/cells/v=1").count()
     rep = compact_index(spark, idx, dedupe=True)
     assert rep["cells"] >= 1 and rep["files_after"] <= rep["files_before"]
-    n_rows = spark.read.parquet(f"{idx}/cells").count()
+    assert rep["version"] == 2
+    n_rows = spark.read.parquet(f"{idx}/cells/v=2").count()
     assert n_rows == emb.count() < n_rows_dup
     assert _topk(spark, idx, queries) == before
     with pytest.raises(ValueError, match="no index cells"):
@@ -105,12 +106,16 @@ def test_real_stream_availablenow(spark, sf_dir, tmp_path):
     assert _topk(spark, idx, queries) == _topk(spark, ref, queries)
 
 
-def test_crash_stranded_swap_is_healed(spark, sf_dir, tmp_path):
-    """A compaction killed between its two renames leaves cell=X
-    MISSING with the data at cell=X__compact_old — a pruned search
-    would silently lose that cell. compact_index must restore it
-    (and clear staging leftovers / stale backups) before compacting."""
+def test_crashed_publish_is_invisible_and_cleaned(spark, sf_dir,
+                                                  tmp_path):
+    """A compaction killed mid-stage leaves only a ``__publish_tmp``
+    dir the ``v=`` lister ignores: searches and version listing are
+    untouched (no recovery needed — the round-9 swap-healing machinery
+    is obsolete by construction), and the next compaction deletes the
+    leftover before publishing."""
     import os
+
+    from big_data_bowl___2023_spark.similarity import index_versions
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
@@ -118,15 +123,107 @@ def test_crash_stranded_swap_is_healed(spark, sf_dir, tmp_path):
     build_ann_index(emb, idx)
     before = _topk(spark, idx, queries)
     cells = f"{idx}/cells"
-    victim = next(d for d in os.listdir(cells)
-                  if d.startswith("cell="))
-    # simulate the mid-swap crash: live dir renamed away, tmp left
-    os.rename(f"{cells}/{victim}", f"{cells}/{victim}__compact_old")
-    os.makedirs(f"{cells}/{victim}__compact_tmp")
+    # simulate the mid-stage crash: a partial staged dir
+    os.makedirs(f"{cells}/__publish_tmp_v2/cell=000")
+    with open(f"{cells}/__publish_tmp_v2/cell=000/junk.parquet",
+              "w") as fh:
+        fh.write("torn")
+    assert index_versions(spark, idx) == [1]        # invisible
+    assert _topk(spark, idx, queries) == before     # searches fine
     rep = compact_index(spark, idx)
-    assert rep["cells"] >= 1
-    assert os.path.isdir(f"{cells}/{victim}")
-    assert not os.path.exists(f"{cells}/{victim}__compact_old")
-    assert not os.path.exists(f"{cells}/{victim}__compact_tmp")
-    spark.catalog.refreshByPath(cells)
+    assert rep["version"] == 2
+    assert not os.path.exists(f"{cells}/__publish_tmp_v2")
     assert _topk(spark, idx, queries) == before
+
+
+def test_search_pins_version_across_maintenance(spark, sf_dir,
+                                                tmp_path):
+    """VERDICT r9 #4 — the concurrency contract: a search plan built
+    before maintenance keeps its pinned version's files through a
+    concurrent append AND a compaction publish; new searches see the
+    new state; explicit version= time-travels; vacuum (and only
+    vacuum) retires the superseded version, after which pinning it
+    refuses loudly."""
+    from big_data_bowl___2023_spark.similarity import (
+        append_to_index,
+        index_versions,
+    )
+    from big_data_bowl___2023_spark.streaming.ann_index_stream import (
+        vacuum_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "idx")
+    build_ann_index(b1, idx)
+    want_v1 = _topk(spark, idx, queries)
+
+    # the "in-flight" search: plan (and its file listing) built now
+    inflight = ann_index_search(spark, idx, queries, 5)
+
+    # concurrent maintenance: an append lands in the current version
+    # (new files only — the in-flight listing doesn't include them),
+    # then a compaction publishes v=2
+    append_to_index(b2, idx)
+    rep = compact_index(spark, idx)
+    assert rep["version"] == 2 and index_versions(spark, idx) == [1, 2]
+
+    got_inflight = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in inflight.collect())
+    assert got_inflight == want_v1          # never torn, never mixed
+
+    # a NEW search sees the full appended corpus (v=2)
+    ref = str(tmp_path / "ref")
+    build_ann_index(emb, ref)
+    assert _topk(spark, idx, queries) == _topk(spark, ref, queries)
+    # time travel: v=1 pins the pre-append state... but note the
+    # append went INTO v=1, so v=1 now holds the full corpus too and
+    # the compacted v=2 must equal it
+    assert sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in ann_index_search(spark, idx, queries, 5,
+                                  version=1).collect()) \
+        == _topk(spark, idx, queries)
+
+    # vacuum retires v=1; pinning it now refuses
+    vac = vacuum_index(spark, idx, keep=1)
+    assert vac == {"kept": [2], "deleted": [1]}
+    with pytest.raises(ValueError, match="version 1 not in"):
+        ann_index_search(spark, idx, queries, 5, version=1)
+    assert _topk(spark, idx, queries) == _topk(spark, ref, queries)
+
+    # a rebuild resets the version history to [1]
+    build_ann_index(emb, idx)
+    assert index_versions(spark, idx) == [1]
+
+
+def test_quantized_search_pins_one_version(spark, sf_dir, tmp_path):
+    """The quantized search's two scans (int8 screen + float rerank)
+    resolve ONE version up front — results across a version boundary
+    stay internally consistent, and both search families agree on
+    every published version."""
+    from big_data_bowl___2023_spark.similarity import (
+        ann_index_search_quantized,
+        append_to_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    idx = str(tmp_path / "qidx")
+    build_ann_index(emb.filter(F.col("vec_id") % 2 == 0), idx,
+                    quantize=True)
+    append_to_index(emb.filter(F.col("vec_id") % 2 == 1), idx)
+    compact_index(spark, idx, dedupe=True)
+    for v in (1, 2):
+        got = sorted(
+            (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+            for r in ann_index_search_quantized(
+                spark, idx, queries, 5, version=v).collect())
+        ref = sorted(
+            (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+            for r in ann_index_search(spark, idx, queries, 5,
+                                      version=v).collect())
+        assert got == ref and got
