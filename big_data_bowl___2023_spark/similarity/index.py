@@ -576,10 +576,15 @@ def ann_index_search_quantized(spark: SparkSession, index_dir: str,
 
     Contract divergence from `ann_index_search`, shared with the
     whole `exact_rerank` family (pq_topk_rerank,
-    quantized_topk_rerank): DEGENERATE vectors (NULL / zero-norm /
+    quantized_topk_rerank): DEGENERATE vectors (zero-norm /
     non-finite) are FILTERED by the rerank's normalization — a
     degenerate query returns zero rows here, where the one-scan
-    search returns its k neighbors at cosine 0.0.
+    search returns its k neighbors at cosine 0.0. The two behaviors
+    are THE pinned cross-family contract: every search entry point is
+    enumerated with its family in
+    tests/test_degenerate_contract.py, so a new surface must join
+    one side knowingly. (NULL vectors are a separate write-time
+    refusal in `_assign`.)
 
     Both scans (screen and rerank) PIN the same published cell-layout
     version, resolved ONCE here — a compaction publishing between the
