@@ -83,7 +83,22 @@ def hybrid_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
     combines them. ``dense="ivf"`` swaps the exact dense leg for the
     bucketed ANN probe (the corpus-scale path; extra kwargs pass
     through), ``score_kernel="arrow"`` selects the numpy scoring
-    kernel inside the dense leg."""
+    kernel inside the dense leg.
+
+    ``dense="index"`` is the SERVING shape (E105 composed with
+    E111/E115): the dense leg runs against a persistent cell-
+    partitioned index (``index_dir=`` required; ``version=``/
+    ``probe_adjacent=`` pass through) instead of re-scanning and
+    re-hashing ``docs``' vectors per call — bit-identical ranks to
+    ``dense="ivf"`` over the same rows, but the corpus-sized work
+    happened once at build time and each call scans only the probed
+    partitions. ``dense="index_quantized"`` additionally screens on
+    the index's int8 codes tier before the exact rerank (a
+    ``quantize=True`` index; inherits that family's degenerate-query
+    FILTER behavior where the other legs rank at 0.0 — see
+    tests/test_degenerate_contract.py). The embeddings stored in the
+    index must be the same rows ``docs`` carries — the index IS the
+    dense corpus; ``docs`` feeds only the BM25 leg."""
     fk = fetch_k if fetch_k is not None else 2 * k
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(query_text_col).alias("query_text"),
@@ -112,6 +127,26 @@ def hybrid_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
                               score_kernel=score_kernel,
                               exclude_self=False,
                               **dense_kwargs)
+    elif dense in ("index", "index_quantized"):
+        from .index import ann_index_search, ann_index_search_quantized
+
+        index_dir = dense_kwargs.pop("index_dir", None)
+        if index_dir is None:
+            raise ValueError(
+                f"dense={dense!r} needs index_dir= (a persistent "
+                f"index built over the docs' embeddings)")
+        spark = docs.sparkSession
+        if dense == "index":
+            dense_hits = ann_index_search(
+                spark, index_dir, queries_v, fk,
+                vec_col=vec_col, id_col=id_col,
+                score_kernel=score_kernel,
+                exclude_self=False, **dense_kwargs)
+        else:
+            dense_hits = ann_index_search_quantized(
+                spark, index_dir, queries_v, fk,
+                vec_col=vec_col, id_col=id_col,
+                exclude_self=False, **dense_kwargs)
     else:
         raise ValueError(f"unknown dense retriever {dense!r}")
     return rrf_fuse(

@@ -215,3 +215,36 @@ def test_hybrid_ivf_leg_and_no_cartesian(spark, hybrid_docs, queries):
         {r["query_id"] for r in queries.collect()}
     with pytest.raises(ValueError):
         hybrid_topk(hybrid_docs, queries, k=2, dense="nope")
+
+
+def test_index_backed_dense_leg_matches_ivf(spark, hybrid_docs,
+                                            queries, tmp_path):
+    """VERDICT r9 #6 — the serving shape: the dense leg against the
+    persistent index (float and quantized tiers) fuses identically to
+    the on-the-fly ivf leg over the same rows (ann_index_search is
+    bit-identical to ivf_topk; the quantized tier's exact rerank
+    restores the same cosines, hence the same ranks)."""
+    from big_data_bowl___2023_spark.similarity import build_ann_index
+
+    idx = str(tmp_path / "hidx")
+    build_ann_index(hybrid_docs.select("doc_id", "embedding"), idx,
+                    id_col="doc_id", quantize=True)
+    want = sorted(
+        (r["query_id"], r["doc_id"], r["rrf_score"], r["rank"])
+        for r in hybrid_topk(hybrid_docs, queries, k=5,
+                             dense="ivf").collect())
+    got_f = sorted(
+        (r["query_id"], r["doc_id"], r["rrf_score"], r["rank"])
+        for r in hybrid_topk(hybrid_docs, queries, k=5,
+                             dense="index", index_dir=idx).collect())
+    got_q = sorted(
+        (r["query_id"], r["doc_id"], r["rrf_score"], r["rank"])
+        for r in hybrid_topk(hybrid_docs, queries, k=5,
+                             dense="index_quantized",
+                             index_dir=idx).collect())
+    assert got_f == want and got_q == want and want
+
+
+def test_index_leg_requires_index_dir(spark, hybrid_docs, queries):
+    with pytest.raises(ValueError, match="index_dir"):
+        hybrid_topk(hybrid_docs, queries, k=3, dense="index")
