@@ -419,6 +419,69 @@ def substring_legs(spark, docs0, scales) -> None:
             "substr_scrub_sec": round(t_scrub, 2)}), flush=True)
 
 
+def bpe_legs(spark, docs0, scales) -> None:
+    """BPE scaling evidence (E104, VERDICT r9 #7). Claims under test:
+    the word-TYPE counting pass is the only corpus-sized stage (wall
+    ~linear in tokens); training is corpus-size-INDEPENDENT once the
+    ``max_types`` cap bites (the driver merge loop sees at most
+    max_types rows — the leg uses a deliberately small cap so the
+    replicated vocabulary, which grows ×scale because replicas suffix
+    every token, exceeds it at the upper scales and the cap-hit case
+    is what gets measured); apply is one map-side Arrow pass whose
+    per-partition word memo (MEMO_CAP=500k, falls back to
+    recomputation when full) keeps executor memory bounded even when
+    distinct types ≫ the memo — wall must stay ~linear, not blow up,
+    past the cap."""
+    from big_data_bowl___2023_spark.functions.bpe import (
+        apply_bpe,
+        train_bpe,
+        word_frequencies,
+    )
+
+    max_types = 200_000
+    for scale in scales:
+        docs = scaled(docs0, scale, replicate_documents) \
+            .localCheckpoint()
+        # the synthetic testdata vocabulary is ~31 words — far too
+        # small for any cap to bite even at 64×. Suffix every token
+        # with its doc id (deterministic), making distinct types ≈
+        # vocab × n_docs (~155k per 1×): the max_types cap starts
+        # biting at 4× and the 500k apply memo overflows from 4× up —
+        # the worst case for BOTH driver collect and executor memo,
+        # which is exactly what the leg must bound.
+        docs = docs.select(
+            "doc_id",
+            F.concat_ws(" ", F.transform(
+                F.split(F.trim("text"), r"\s+"),
+                lambda w: F.concat(w, F.lit("_"),
+                                   F.col("doc_id").cast("string"))))
+            .alias("text")).localCheckpoint()
+        n_docs = docs.count()
+        t0 = time.time()
+        wf = word_frequencies(docs).localCheckpoint()
+        n_types = wf.count()
+        t_wf = time.time() - t0
+        t0 = time.time()
+        merges = train_bpe(wf, num_merges=60, max_types=max_types)
+        n_merges = merges.count()
+        t_train = time.time() - t0
+        t0 = time.time()
+        n_tokens = apply_bpe(docs, merges).select(
+            F.sum(F.size("bpe_tokens")).alias("t")).collect()[0]["t"]
+        t_apply = time.time() - t0
+        print(json.dumps({
+            "scale": scale, "n_docs": n_docs,
+            "distinct_types": n_types,
+            "types_capped": n_types > max_types,
+            "max_types": max_types,
+            "memo_cap_exceeded": n_types > 500_000,
+            "word_freq_sec": round(t_wf, 2),
+            "n_merges": n_merges,
+            "train_sec": round(t_train, 2),
+            "tokens_out": int(n_tokens),
+            "apply_sec": round(t_apply, 2)}), flush=True)
+
+
 def main() -> None:
     # position-independent parsing: integer args are --product scales,
     # the (single) non-integer non-flag arg is sf_dir — so
@@ -431,21 +494,23 @@ def main() -> None:
     want_vector = "--vector" in argv
     want_substr = "--substr" in argv
     want_index = "--index" in argv
+    want_bpe = "--bpe" in argv
     if sum([want_product, want_vector, want_substr,
-            want_index]) > 1:
-        raise SystemExit("--product/--vector/--substr/--index are "
-                         "exclusive modes")
+            want_index, want_bpe]) > 1:
+        raise SystemExit("--product/--vector/--substr/--index/--bpe "
+                         "are exclusive modes")
     scales: list[int] = []
     paths: list[str] = []
     for a in argv:
-        if a in ("--product", "--vector", "--substr", "--index"):
+        if a in ("--product", "--vector", "--substr", "--index",
+                 "--bpe"):
             continue
         if re.fullmatch(r"[0-9]+", a):      # positive ints only
             scales.append(int(a))
         elif a.startswith("-"):
             raise SystemExit(
                 f"unknown flag {a!r} (only --product / --vector "
-                "/ --substr / --index)")
+                "/ --substr / --index / --bpe)")
         else:
             paths.append(a)
     if any(sc < 1 for sc in scales):
@@ -453,9 +518,9 @@ def main() -> None:
     if len(paths) > 1:
         raise SystemExit(f"at most one sf_dir argument, got {paths}")
     if scales and not (want_product or want_vector or want_substr
-                       or want_index):
+                       or want_index or want_bpe):
         raise SystemExit("scale arguments require "
-                         "--product/--vector/--substr/--index")
+                         "--product/--vector/--substr/--index/--bpe")
     product_scales = (scales or [16, 64]) if want_product else None
     sf_dir = paths[0] if paths else "/root/testdata/sf0.1"
     spark = get_spark("stress")
@@ -475,6 +540,10 @@ def main() -> None:
     docs0.count()
     if want_substr:
         substring_legs(spark, docs0, scales or [16, 64])
+        spark.stop()
+        return
+    if want_bpe:
+        bpe_legs(spark, docs0, scales or [4, 16, 64])
         spark.stop()
         return
     if product_scales is not None:
