@@ -60,6 +60,14 @@ MERGE_SCHEMA = T.StructType([
 ])
 
 
+# Per-TASK encode memo bound: one dict per partition; once full,
+# unseen words fall back to recomputation (bounded memory, never
+# unbounded growth). Module-level so the stress harness measures
+# against the SAME number it asserts about (review r10 finding: a
+# closure-local copy let the two drift).
+MEMO_CAP = 500_000
+
+
 def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, n): corpus word-type frequency table over the canonical
     normalized words (``text.norm_tokens`` — the same definition the
@@ -264,7 +272,6 @@ def apply_bpe(df: DataFrame, merges: DataFrame, text_col: str = "text",
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def encode(tok_batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         memo: dict[str, list[str]] = {}
-        MEMO_CAP = 500_000
 
         def enc_doc(tokens):
             if tokens is None:

@@ -425,14 +425,29 @@ def bpe_legs(spark, docs0, scales) -> None:
     ~linear in tokens); training is corpus-size-INDEPENDENT once the
     ``max_types`` cap bites (the driver merge loop sees at most
     max_types rows — the leg uses a deliberately small cap so the
-    replicated vocabulary, which grows ×scale because replicas suffix
-    every token, exceeds it at the upper scales and the cap-hit case
-    is what gets measured); apply is one map-side Arrow pass whose
-    per-partition word memo (MEMO_CAP=500k, falls back to
-    recomputation when full) keeps executor memory bounded even when
-    distinct types ≫ the memo — wall must stay ~linear, not blow up,
-    past the cap."""
+    synthetic vocabulary exceeds it inside the sweep); apply is one
+    map-side Arrow pass whose per-TASK word memo (`bpe.MEMO_CAP`,
+    falls back to recomputation when full) keeps executor memory
+    bounded — wall must stay ~linear, not blow up, past the cap.
+
+    Corpus: replicas are id-offset copies of the base docs (NO
+    per-replica token suffix — the doc-id suffix below already makes
+    replicas distinct, and offset ids are all 8 digits so word length
+    does not grow with scale, a confound the first cut of this leg
+    had), then every token is suffixed with its doc id — the testdata
+    vocabulary is ~31 words, far too small for any cap to bite raw.
+    Distinct types ≈ 31 × n_docs. The memo is PER TASK, so the
+    number that decides overflow is the max per-PARTITION distinct
+    word count, which this leg MEASURES (approx_count_distinct by
+    spark_partition_id — a review finding: the first cut compared
+    the GLOBAL type count against the per-task cap and claimed a
+    fallback that never ran). The corpus is repartition(16)-ed
+    (a real shuffle — coalesce cannot SPLIT the base table's few
+    parent partitions, so per-partition cardinality would stay flat
+    at ~one replica's vocabulary) so per-partition cardinality grows
+    with scale: ≈ 31·n_docs/16, crossing MEMO_CAP=500k at 64×."""
     from big_data_bowl___2023_spark.functions.bpe import (
+        MEMO_CAP,
         apply_bpe,
         train_bpe,
         word_frequencies,
@@ -440,23 +455,27 @@ def bpe_legs(spark, docs0, scales) -> None:
 
     max_types = 200_000
     for scale in scales:
-        docs = scaled(docs0, scale, replicate_documents) \
-            .localCheckpoint()
-        # the synthetic testdata vocabulary is ~31 words — far too
-        # small for any cap to bite even at 64×. Suffix every token
-        # with its doc id (deterministic), making distinct types ≈
-        # vocab × n_docs (~155k per 1×): the max_types cap starts
-        # biting at 4× and the 500k apply memo overflows from 4× up —
-        # the worst case for BOTH driver collect and executor memo,
-        # which is exactly what the leg must bound.
+        reps = [docs0.select(
+                    (F.col("doc_id") + 10_000_000 * (r + 1))
+                    .alias("doc_id"), "text")
+                for r in range(scale)]
+        docs = reps[0]
+        for rdf in reps[1:]:
+            docs = docs.unionByName(rdf)
         docs = docs.select(
             "doc_id",
             F.concat_ws(" ", F.transform(
                 F.split(F.trim("text"), r"\s+"),
                 lambda w: F.concat(w, F.lit("_"),
                                    F.col("doc_id").cast("string"))))
-            .alias("text")).localCheckpoint()
+            .alias("text")).repartition(16).localCheckpoint()
         n_docs = docs.count()
+        max_part_types = (docs.select(
+            F.spark_partition_id().alias("p"),
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+            .groupBy("p")
+            .agg(F.approx_count_distinct("w").alias("d"))
+            .agg(F.max("d").alias("m")).collect()[0]["m"])
         t0 = time.time()
         wf = word_frequencies(docs).localCheckpoint()
         n_types = wf.count()
@@ -474,7 +493,8 @@ def bpe_legs(spark, docs0, scales) -> None:
             "distinct_types": n_types,
             "types_capped": n_types > max_types,
             "max_types": max_types,
-            "memo_cap_exceeded": n_types > 500_000,
+            "max_partition_types": int(max_part_types),
+            "memo_cap_exceeded": int(max_part_types) > MEMO_CAP,
             "word_freq_sec": round(t_wf, 2),
             "n_merges": n_merges,
             "train_sec": round(t_train, 2),
@@ -543,7 +563,7 @@ def main() -> None:
         spark.stop()
         return
     if want_bpe:
-        bpe_legs(spark, docs0, scales or [4, 16, 64])
+        bpe_legs(spark, docs0, scales or [1, 4, 16, 64])
         spark.stop()
         return
     if product_scales is not None:
