@@ -143,9 +143,18 @@ def hybrid_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
                 score_kernel=score_kernel,
                 exclude_self=False, **dense_kwargs)
         else:
+            # score_kernel forwards as the int8 screen's kernel —
+            # dropping it silently would betray the documented knob
+            # (at a 6-dp rounding boundary the arrow screen's
+            # shortlist membership can differ from the sql fold's).
+            # An explicit screen_kernel kwarg still wins; note the
+            # hybrid default is therefore "sql" here, matching the
+            # other dense legs — pass "arrow" at corpus scale.
+            screen = dense_kwargs.pop("screen_kernel", score_kernel)
             dense_hits = ann_index_search_quantized(
                 spark, index_dir, queries_v, fk,
                 vec_col=vec_col, id_col=id_col,
+                screen_kernel=screen,
                 exclude_self=False, **dense_kwargs)
     else:
         raise ValueError(f"unknown dense retriever {dense!r}")

@@ -45,11 +45,28 @@ so concurrent maintenance can never tear a scan:
   ``vacuum_index`` AFTER in-flight readers drain — vacuum, not
   compaction, is the only operation that deletes data a reader could
   hold;
-* appends and compactions must still be serialized WITH EACH OTHER
-  (an append into ``v=N`` racing a compaction's read of it would be
-  missing from ``v=N+1``) — one maintenance scheduler owns writes,
-  exactly as before; the contract change is that SEARCHES need no
-  coordination at all.
+* appends, compactions AND vacuums must still be serialized WITH
+  EACH OTHER (an append into ``v=N`` racing a compaction's read of
+  it would be missing from ``v=N+1``; a vacuum's stale-tmp sweep
+  would delete a staging compaction's temp dir) — one maintenance
+  scheduler owns writes, exactly as before; the contract change is
+  that SEARCHES need no coordination with maintenance at all.
+
+The contract covers MAINTENANCE of a live index. `build_ann_index`
+is PROVISIONING, not maintenance: a rebuild replaces the whole index
+— geometry (n_planes), quantization ranges and the version history
+may all change, and the shared meta/ranges artifacts cannot describe
+two geometries at once — so rebuilding a SERVING index_dir in place
+requires draining its readers first. The zero-coordination
+deployment path for a live rebuild is the standard one: build into a
+fresh index_dir and flip the serving pointer (versioning WITHIN one
+geometry is what the v=N machinery provides; versioning ACROSS
+geometries is a pointer flip between index_dirs).
+
+Upgrade note: a round-9 (unversioned) layout reads and appends as
+implicit version 0; the first `compact_index` migrates it to
+``v=1`` (healing the old compactor's crash strays first) and
+`vacuum_index` then retires the loose legacy dirs.
 
 Reference scope note: north-star extension (SURVEY.md §2 extensions,
 inventory E111); the reference has no vector-search surface.
@@ -77,21 +94,50 @@ def index_versions(spark: SparkSession, index_dir: str) -> list[int]:
     return snapshot_versions(spark, f"{index_dir}/{_CELLS}")
 
 
+def _has_legacy_cells(spark: SparkSession, index_dir: str) -> bool:
+    """True when ``cells/`` holds round-9-layout cell directories
+    directly (no ``v=N`` level) — readable as implicit version 0
+    until a compaction migrates them to ``v=1``."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{_CELLS}")
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return False
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if (st.isDirectory() and name.startswith("cell=")
+                and "__compact" not in name):
+            return True
+    return False
+
+
 def _cells_path(spark: SparkSession, index_dir: str,
                 version: int | None, what: str) -> str:
     """Resolve (and pin) ONE version's cell directory. Latest when
     ``version`` is None; a named version must exist (vacuumed or
     never-published versions refuse loudly instead of scanning an
-    empty path to zero rows)."""
+    empty path to zero rows).
+
+    Upgrade path: a round-9 index (cell dirs directly under
+    ``cells/``, no ``v=`` level) reads and appends as implicit
+    VERSION 0 — pinnable as ``version=0`` — until the first
+    `compact_index` migrates it to a published ``v=1``; after that,
+    the loose legacy dirs are retired by `vacuum_index`."""
     versions = index_versions(spark, index_dir)
     if not versions:
+        if _has_legacy_cells(spark, index_dir) \
+                and version in (None, 0):
+            return f"{index_dir}/{_CELLS}"
+        if version not in (None, 0):
+            raise ValueError(f"{what}: version {version} not "
+                             f"published under {index_dir}")
         raise ValueError(f"{what}: no published cell versions under "
                          f"{index_dir}")
     v = versions[-1] if version is None else int(version)
     if v not in versions:
         raise ValueError(f"{what}: version {v} not in {versions} "
-                         f"under {index_dir} (vacuumed, or never "
-                         f"published)")
+                         f"under {index_dir} (vacuumed, migrated "
+                         f"legacy, or never published)")
     return f"{index_dir}/{_CELLS}/v={v}"
 
 # Cell-occupancy skew guard: hyperplane sign cells assume roughly
@@ -158,7 +204,11 @@ def build_ann_index(corpus: DataFrame, index_dir: str,
                     warn_skew: bool = True) -> None:
     """Write ``index_dir``: cell-partitioned corpus vectors + a
     one-row meta parquet. Overwrites an existing index whole (a
-    rebuild, not a merge — incremental ingest is `append_to_index`).
+    rebuild, not a merge — incremental ingest is `append_to_index`),
+    DELETING the prior version history: this is provisioning, outside
+    the search/maintenance concurrency contract (see the module
+    docstring) — rebuild a serving index into a FRESH index_dir and
+    flip the pointer, or drain readers first.
 
     ``quantize=True`` additionally stores an int8 ``codes`` column
     per row and the per-dimension ranges artifact
@@ -276,8 +326,11 @@ def append_to_index(batch: DataFrame, index_dir: str,
     numbers to the ``_index_saturation`` history parquet beside the
     cells (query it with :func:`saturation_history`), warns once the
     batch crosses `SATURATION_REBUILD_THRESHOLD`, and returns the
-    report. Float indexes return None. The report is written BEFORE
-    the cell append, so an at-least-once replay re-measures the same
+    report. Float indexes return None. The history row is written
+    AFTER the cell append commits, so a FAILED append (NULL vector,
+    wrong dimension, any job failure) can never log a phantom
+    measurement for data that isn't in the index (review r10
+    finding); an at-least-once replay still re-measures the same
     batch — duplicate history rows are as harmless as the duplicate
     cell rows the search already dedupes."""
     from .quantize import encode_codes, saturation_report
@@ -290,16 +343,24 @@ def append_to_index(batch: DataFrame, index_dir: str,
     report = None
     if ranges is not None and monitor_saturation:
         report = saturation_report(batch, ranges, vec_col)
+    if ranges is not None:
+        assigned = assigned.withColumn(
+            "codes", encode_codes(F.col("vec"), ranges))
+    (assigned.write.mode("append").partitionBy("cell")
+     .parquet(cells))
+    if report is not None:
         (spark.createDataFrame(
             [(int(report["rows"]), int(report["rows_clipped"]),
               float(report["row_fraction"]),
               int(report["clipped_values"]),
+              int(report["finite_values"]),
               float(report["value_fraction"]),
               int(report["worst_dim"]),
               float(report["worst_dim_fraction"]),
               [int(c) for c in report["per_dim"]])],
             "rows long, rows_clipped long, row_fraction double, "
-            "clipped_values long, value_fraction double, "
+            "clipped_values long, finite_values long, "
+            "value_fraction double, "
             "worst_dim int, worst_dim_fraction double, "
             "per_dim array<long>")
          .coalesce(1).write.mode("append")
@@ -309,18 +370,14 @@ def append_to_index(batch: DataFrame, index_dir: str,
 
             warnings.warn(
                 f"quantized index {index_dir}: appended batch "
-                f"saturates {report['value_fraction']:.2%} of values "
+                f"saturates {report['value_fraction']:.2%} of its "
+                f"finite values "
                 f"(> {SATURATION_REBUILD_THRESHOLD:.0%} rebuild "
                 f"threshold; worst dim {report['worst_dim']} clips "
                 f"{report['worst_dim_fraction']:.2%} of rows) — "
                 f"screen recall is degrading; rebuild with fresh "
                 f"ranges (see SATURATION_REBUILD_THRESHOLD)",
                 stacklevel=2)
-    if ranges is not None:
-        assigned = assigned.withColumn(
-            "codes", encode_codes(F.col("vec"), ranges))
-    (assigned.write.mode("append").partitionBy("cell")
-     .parquet(cells))
     return report
 
 
@@ -378,8 +435,9 @@ def index_cell_stats(spark: SparkSession, index_dir: str,
               for cell, c in per_cell]
     top_share = shares[0][2] if shares else 0.0
     probe = min(n_planes + 1, len(shares))
+    tail = cells.rsplit("/", 1)[1]
     return {
-        "version": int(cells.rsplit("v=", 1)[1]),
+        "version": int(tail[2:]) if tail.startswith("v=") else 0,
         "n_rows": n_rows,
         "n_cells": len(shares),
         "expected_cells": expected,

@@ -103,26 +103,39 @@ def saturation_report(df: DataFrame, ranges: list,
     * ``rows`` / ``rows_clipped`` / ``row_fraction`` — rows with ≥ 1
       saturating dimension;
     * ``clipped_values`` / ``value_fraction`` — clipped values over
-      all finite (row, dimension) slots;
+      the FINITE (row, dimension) slots (``finite_values`` — the
+      population the encode can actually saturate);
     * ``per_dim`` — clip count per dimension; ``worst_dim`` /
       ``worst_dim_fraction`` — the dimension drifting hardest (the
-      first thing to inspect before a rebuild).
+      first thing to inspect before a rebuild), its fraction over
+      that dimension's finite count.
 
     NaN/Inf components are corruption, not drift (the encoder NULLs
-    them), so they count in neither numerator nor denominator. An
-    empty batch reports zeros. Compose with the rebuild rule: when
-    ``value_fraction`` exceeds the documented threshold
+    them), so they count in neither numerator nor denominator —
+    literally: every fraction's denominator is a finite-slot count,
+    so a heavily corrupt batch cannot DILUTE the clipping signal of
+    its healthy values (review r10 finding: an n·dim denominator
+    understated drift in proportion to corruption). Missing slots
+    (short or NULL vectors — which `_assign` refuses at write time)
+    read as NULL, not an ANSI index error, and are likewise excluded.
+    An empty batch reports zeros. Compose with the rebuild rule:
+    when ``value_fraction`` exceeds the documented threshold
     (`index.SATURATION_REBUILD_THRESHOLD`), re-learn ranges on the
     accumulated corpus and rebuild — and cross-check distributional
     movement with ``operators.drift.embedding_psi_report`` (E114),
     which sees shifts long before they saturate."""
     dim = len(ranges)
     v = V.as_double(F.col(vec_col))
-    clips = []
+    clips, finites = [], []
     for d, (lo, hi) in enumerate(ranges):
-        x = F.element_at(v, d + 1)
+        # F.get (0-based) returns NULL past the end where the ANSI
+        # session's element_at raises — a short vector must surface
+        # as _assign's engineered wrong-dimension error at the write,
+        # not as an opaque agg crash in the monitoring pass
+        x = F.get(v, d)
         finite = (x.isNotNull() & ~F.isnan(x)
                   & (F.abs(x) < F.lit(float("inf"))))
+        finites.append(finite)
         clips.append(finite & ((x < F.lit(float(lo)))
                                | (x > F.lit(float(hi)))))
     any_clip = clips[0]
@@ -132,21 +145,28 @@ def saturation_report(df: DataFrame, ranges: list,
             F.sum(any_clip.cast("long")).alias("__rows_clipped")]
     aggs += [F.sum(c.cast("long")).alias(f"__c{d}")
              for d, c in enumerate(clips)]
+    aggs += [F.sum(fin.cast("long")).alias(f"__f{d}")
+             for d, fin in enumerate(finites)]
     row = df.agg(*aggs).first()
     n = int(row["__n"])
     per_dim = [int(row[f"__c{d}"] or 0) for d in range(dim)]
+    fin_dim = [int(row[f"__f{d}"] or 0) for d in range(dim)]
     rows_clipped = int(row["__rows_clipped"] or 0)
     clipped = sum(per_dim)
+    finite_total = sum(fin_dim)
     worst = max(range(dim), key=lambda d: per_dim[d]) if n else 0
     return {
         "rows": n,
         "rows_clipped": rows_clipped,
         "row_fraction": rows_clipped / n if n else 0.0,
         "clipped_values": clipped,
-        "value_fraction": clipped / (n * dim) if n else 0.0,
+        "finite_values": finite_total,
+        "value_fraction": (clipped / finite_total
+                           if finite_total else 0.0),
         "per_dim": per_dim,
         "worst_dim": worst,
-        "worst_dim_fraction": per_dim[worst] / n if n else 0.0,
+        "worst_dim_fraction": (per_dim[worst] / fin_dim[worst]
+                               if fin_dim[worst] else 0.0),
     }
 
 

@@ -43,11 +43,13 @@ from __future__ import annotations
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..similarity.index import (
     _CELLS,
     _META,
     _cells_path,
+    _read_meta,
     append_to_index,
     build_ann_index,
     index_versions,
@@ -114,6 +116,29 @@ def _clean_stale_tmps(fs, jvm, cells_root) -> None:
             fs.delete(st.getPath(), True)
 
 
+def _heal_legacy_swaps(jvm, fs, root) -> None:
+    """Round-9 upgrade healer: the old per-cell swap compactor could
+    die between its two renames, leaving ``cell=X`` MISSING with the
+    data stranded at ``cell=X__compact_old``. Before a legacy layout
+    is read for migration, restore any such backup whose live dir is
+    gone, drop backups whose live dir exists (the stale-backup rule),
+    and clear old staging dirs — otherwise the stray partition
+    values would ride the migration read into ``v=1`` as phantom
+    cells."""
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.endswith("__compact_tmp"):
+            fs.delete(st.getPath(), True)
+        elif name.endswith("__compact_old"):
+            live = jvm.org.apache.hadoop.fs.Path(
+                root, name[:-len("__compact_old")])
+            if fs.exists(live):
+                fs.delete(st.getPath(), True)
+            elif not fs.rename(st.getPath(), live):
+                raise IOError(
+                    f"failed to restore stranded cell backup {name}")
+
+
 def compact_index(spark: SparkSession, index_dir: str,
                   target_file_mb: int = 128,
                   dedupe: bool = False) -> dict:
@@ -130,22 +155,44 @@ def compact_index(spark: SparkSession, index_dir: str,
     drain. A compaction that crashed mid-stage leaves only an
     invisible temp dir, deleted on the next run.
 
+    Compacting a ROUND-9 (unversioned) index IS the upgrade path: the
+    legacy cell dirs read as implicit version 0 (after healing any
+    old-compactor crash strays, which would otherwise ride the read
+    into the new version as phantom cells), the rewrite publishes
+    ``v=1``, and `vacuum_index` later retires the loose legacy dirs.
+
     Returns {"cells", "files_before", "files_after", "bytes",
     "version"} — `version` is the newly published N+1."""
+    from ..similarity.index import _has_legacy_cells
     from ..session import pin
 
     jvm = spark._jvm
     root = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{_CELLS}")
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(root) or not index_versions(spark, index_dir):
+    if not fs.exists(root) or not (
+            index_versions(spark, index_dir)
+            or _has_legacy_cells(spark, index_dir)):
         raise ValueError(f"no index cells at {index_dir}")
     _clean_stale_tmps(fs, jvm, root)
+    if not index_versions(spark, index_dir):
+        _heal_legacy_swaps(jvm, fs, root)
     live = _cells_path(spark, index_dir, None, "compact_index")
-    v_new = int(live.rsplit("v=", 1)[1]) + 1
+    tail = live.rsplit("/", 1)[1]
+    v_new = (int(tail[2:]) + 1) if tail.startswith("v=") else 1
     live_path = jvm.org.apache.hadoop.fs.Path(live)
     files_before, total_bytes = _list_parquet_stats(fs, live_path)
 
     df = spark.read.parquet(live)
+    # Partition-value type inference parses the all-digit cell
+    # bitstrings as INTEGERS, dropping leading zeros — a naive
+    # rewrite would publish cell=0 where _assign writes cell=000,
+    # forking the physical naming inside one version (review r10
+    # finding; searches only survived via implicit string→int
+    # coercion). Bits are 0/1 only, so lpad to the meta's plane
+    # count restores the exact original directory names.
+    _, n_planes = _read_meta(spark, index_dir)
+    df = df.withColumn(
+        "cell", F.lpad(F.col("cell").cast("string"), n_planes, "0"))
     pinned = None
     try:
         total_rows = df.count()
@@ -190,11 +237,18 @@ def compact_index(spark: SparkSession, index_dir: str,
 def vacuum_index(spark: SparkSession, index_dir: str,
                  keep: int = 1) -> dict:
     """Delete all but the newest ``keep`` published cell versions
-    (plus any stale staging dirs). This is the ONLY operation that
-    removes data a pinned reader could still hold — run it after
-    in-flight searches of superseded versions have drained (the
-    drain window is deployment policy, exactly like any
-    snapshot-isolation vacuum). Returns {"kept", "deleted"}."""
+    (plus stale staging dirs, plus — once at least one version is
+    published — the loose round-9 legacy cell dirs a migration
+    superseded). This is the ONLY operation that removes data a
+    pinned reader could still hold — run it after in-flight searches
+    of superseded versions have drained (the drain window is
+    deployment policy, exactly like any snapshot-isolation vacuum).
+    Vacuum is a MAINTENANCE WRITER like append/compact: serialize it
+    with them (its stale-tmp sweep would delete a concurrently
+    STAGING compaction's temp dir — review r10 finding; the
+    one-maintenance-writer rule was always the contract, vacuum is
+    not exempt). Returns {"kept", "deleted"}; legacy dirs are
+    reported as version 0."""
     if keep < 1:
         raise ValueError("vacuum must keep at least the live version")
     jvm = spark._jvm
@@ -204,9 +258,20 @@ def vacuum_index(spark: SparkSession, index_dir: str,
         raise ValueError(f"no index cells at {index_dir}")
     _clean_stale_tmps(fs, jvm, root)
     versions = index_versions(spark, index_dir)
-    drop = versions[:-keep] if len(versions) > keep else []
+    drop = list(versions[:-keep]) if len(versions) > keep else []
     for v in drop:
         fs.delete(jvm.org.apache.hadoop.fs.Path(
             f"{index_dir}/{_CELLS}/v={v}"), True)
+    if versions:
+        # migrated legacy dirs (implicit version 0) are superseded by
+        # ANY published version
+        dropped_legacy = False
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if st.isDirectory() and (name.startswith("cell=")):
+                fs.delete(st.getPath(), True)
+                dropped_legacy = True
+        if dropped_legacy:
+            drop = [0] + drop
     return {"kept": versions[-keep:] if versions else [],
             "deleted": drop}

@@ -189,8 +189,13 @@ def test_saturation_report_measures_drift(spark, ranges):
     assert sum(rep["per_dim"]) == 12 == rep["clipped_values"]
     assert rep["rows_clipped"] == 12
     assert rep["worst_dim"] == 0
+    # denominators are FINITE-slot counts (review r10: an n·dim
+    # denominator diluted the clip signal by the corruption rate):
+    # 14·64 slots minus the one NaN slot = 895 finite values; dim 0
+    # is finite in all 14 rows
+    assert rep["finite_values"] == 14 * 64 - 1
     assert rep["worst_dim_fraction"] == pytest.approx(8 / 14)
-    assert rep["value_fraction"] == pytest.approx(12 / (14 * 64))
+    assert rep["value_fraction"] == pytest.approx(12 / 895)
 
 
 def test_append_monitors_saturation_and_history(spark, emb, tmp_path):
