@@ -181,6 +181,118 @@ def curate_and_export(docs: DataFrame, out_dir: str,
     return stats
 
 
+def curation_audit(docs: DataFrame, min_words: int = 50,
+                   **kwargs) -> DataFrame:
+    """Per-DOCUMENT curation lineage: (doc_id, source, stage, reason,
+    detail) — for every input document, either the FIRST stage that
+    dropped it (with a human-debuggable reason) or ``stage="kept"``.
+    The per-stage COUNTS `curate_and_export` emits say how many died
+    where; this answers the question an operator actually asks when a
+    slice of a 100 TB corpus vanishes: WHICH documents, and WHY.
+
+    Built from the same lazy chain as :func:`curation_frame` (every
+    keyword forwards): each doc-grain stage boundary is captured via
+    the existing ``stage_hook``, drops are id-only anti-joins between
+    consecutive boundaries, and reasons are enriched where the stage
+    has per-document structure to expose —
+
+    * the Gopher gate names the FIRST FAILING RULE (`gopher.flags`,
+      evaluated only over the dropped subset);
+    * exact dedup names the kept twin (``detail`` = the canonical
+      doc_id sharing the fingerprint);
+    * every other stage tags its cause label (near_duplicate,
+      verbatim_overlap, benchmark_contaminated, not_selected_dsir,
+      source_quota, emptied_by_line_scrub, quality_model).
+
+    Cost: like ``lazy_stats=False`` audits, each stage boundary
+    evaluates its pipeline prefix once (the frames are lazy and
+    share no materialization), and every join here carries ids only
+    — document text is touched just twice (the gopher re-flag and
+    the fingerprint join, both restricted to dropped/duplicated
+    docs). At full corpus scale run the audit on a sampled slice
+    (``docs.sample(...)``) or behind the same scheduler slot as the
+    stats run."""
+    from ..dedup.exact import fingerprint_docs
+    from ..functions.gopher import flags as gopher_flags_fn
+
+    captured: list[tuple[str, DataFrame]] = []
+
+    def capture(key, frame):
+        captured.append((key, frame))
+        return None
+
+    curation_frame(docs, stage_hook=capture, min_words=min_words,
+                   **kwargs)
+
+    reasons = {
+        "after_quality": "gopher",           # enriched below
+        "after_model_quality": "quality_model",
+        "after_line_dedup": "emptied_by_line_scrub",
+        "after_exact_dedup": "exact_duplicate",
+        "after_near_dedup": "near_duplicate",
+        "after_overlap_dedup": "verbatim_overlap",
+        "after_decontamination": "benchmark_contaminated",
+        "after_dsir_selection": "not_selected_dsir",
+        "after_source_cap": "source_quota",
+    }
+    prev = docs.select("doc_id", "source")
+    parts: list[DataFrame] = []
+    for key, frame in captured:
+        if key not in reasons:
+            continue                     # input / chunk-grain stages
+        cur = frame.select("doc_id")
+        dropped = (prev.join(cur, "doc_id", "left_anti")
+                   .withColumn("stage", F.lit(key))
+                   .withColumn("reason", F.lit(reasons[key]))
+                   .withColumn("detail",
+                               F.lit(None).cast("string")))
+        if key == "after_quality":
+            # name the first failing rule: re-flag ONLY the dropped
+            # docs (map-side over a drop-sized join back to text)
+            txt = dropped.join(docs.select("doc_id", "text"),
+                               "doc_id")
+            rule_flags = gopher_flags_fn(F.col("text"),
+                                         min_words=min_words)
+            first_fail = F.coalesce(
+                *[F.when(~passes, F.lit(name))
+                  for name, passes in rule_flags.items()],
+                F.lit("null_text"))
+            dropped = txt.select(
+                "doc_id", "source", "stage",
+                first_fail.alias("reason"),
+                F.lit(None).cast("string").alias("detail"))
+        elif key == "after_exact_dedup":
+            # name the kept twin: fingerprints of the dropped docs
+            # joined to the canonical (min-id) doc per fingerprint —
+            # exact_dedup's own keeper rule. Best-effort hint: it
+            # fingerprints the RAW text, so a collision CREATED by an
+            # upstream rewrite (redaction, line scrub) has no raw
+            # twin — detail stays NULL there instead of naming the
+            # doc itself; stage and reason are exact regardless.
+            fp = fingerprint_docs(docs).select("doc_id",
+                                               "fingerprint")
+            canon = (fp.groupBy("fingerprint")
+                     .agg(F.min("doc_id").alias("__kept")))
+            dropped = (dropped.drop("detail")
+                       .join(fp, "doc_id")
+                       .join(canon, "fingerprint")
+                       .select("doc_id", "source", "stage", "reason",
+                               F.when(F.col("__kept")
+                                      != F.col("doc_id"),
+                                      F.col("__kept").cast("string"))
+                               .alias("detail")))
+        parts.append(dropped)
+        prev = prev.join(cur, "doc_id", "semi")
+
+    kept = (prev.withColumn("stage", F.lit("kept"))
+            .withColumn("reason", F.lit("kept"))
+            .withColumn("detail", F.lit(None).cast("string")))
+    out = kept
+    for p in parts:
+        out = out.unionByName(p)
+    return out.select("doc_id", "source", "stage", "reason", "detail")
+
+
 def curation_report(docs: DataFrame) -> DataFrame:
     """Pre-flight per-source health: doc counts, Gopher pass rate,
     token volume — the numbers that decide thresholds BEFORE running

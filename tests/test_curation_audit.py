@@ -1,0 +1,112 @@
+"""Per-document curation drop lineage (E116,
+pipelines/curation.py::curation_audit): every input doc gets the
+FIRST stage that dropped it plus a debuggable reason, survivors get
+stage='kept', and the audit reconciles exactly with the per-stage
+counts curate_and_export already emits."""
+
+from __future__ import annotations
+
+import pytest
+
+from big_data_bowl___2023_spark.pipelines.curation import (
+    curation_audit,
+    curation_frame,
+)
+
+
+def _mk_docs(spark):
+    base = ("the quick brown fox jumps over the lazy dog while "
+            "seven wizards brew strong coffee near the old stone "
+            "bridge during a calm autumn morning with gentle wind "
+            "and falling golden leaves everywhere around town")
+    rows = [
+        (1, "a", base),                                # kept
+        (2, "a", "too short"),                         # gopher words
+        (3, "a", base),                                # exact dup of 1
+        (4, "a", " ".join(base.split()[:-3])),         # near dup of 1
+        (5, "a", "completely different benchmark sentence about "
+                 "ancient maritime navigation charts and celestial "
+                 "measurements used by early explorers crossing "
+                 "vast unknown oceans guided only by stars and "
+                 "seasonal winds toward distant legendary shores "
+                 "filled with spices silver and untold stories"),
+        (6, "b", "mountain villages celebrate the harvest festival "
+                 "with music dancing painted lanterns and long "
+                 "tables of warm bread honey roasted vegetables "
+                 "shared between neighbors until the late evening "
+                 "fires burn low across quiet terraced fields"),
+        (7, "b", "engineers tested the new irrigation channel over "
+                 "several weeks measuring flow pressure sediment "
+                 "and seasonal variation before approving wider "
+                 "deployment across the southern farming district "
+                 "where drought had limited planting for years"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, text string")
+
+
+@pytest.fixture(scope="module")
+def audit_world(spark):
+    docs = _mk_docs(spark)
+    benchmark = (docs.filter("doc_id = 5")
+                 .selectExpr("doc_id as bench_id", "text"))
+    kwargs = dict(benchmark=benchmark, min_words=5,
+                  jaccard_threshold=0.3, max_docs_per_source=1,
+                  seq_len=16, shard_budget=64)
+    audit = {r["doc_id"]: (r["stage"], r["reason"], r["detail"])
+             for r in curation_audit(docs, **kwargs).collect()}
+    counts: dict = {}
+
+    def tally(key, frame):
+        counts[key] = frame.count()
+        return counts[key]
+
+    curation_frame(docs, stage_hook=tally, **kwargs)
+    return docs, audit, counts
+
+
+def test_every_doc_gets_exactly_one_verdict(spark, audit_world):
+    docs, audit, _ = audit_world
+    assert sorted(audit) == [1, 2, 3, 4, 5, 6, 7]
+
+
+def test_stages_and_reasons(spark, audit_world):
+    _, audit, _ = audit_world
+    assert audit[1] == ("kept", "kept", None)
+    # gopher gate names the first failing rule
+    assert audit[2] == ("after_quality", "pass_word_count", None)
+    # exact duplicate names its kept twin
+    assert audit[3] == ("after_exact_dedup", "exact_duplicate", "1")
+    assert audit[4][:2] == ("after_near_dedup", "near_duplicate")
+    assert audit[5][:2] == ("after_decontamination",
+                            "benchmark_contaminated")
+    # source b has two survivors and quota 1: exactly one kept,
+    # one source_quota
+    b = sorted([audit[6], audit[7]])
+    assert [x[0] for x in b] == sorted(["kept", "after_source_cap"])
+
+
+def test_audit_reconciles_with_stage_counts(spark, audit_world):
+    """The audit's per-stage drop counts must equal the deltas of the
+    counts curate_and_export emits — same chain, two views."""
+    _, audit, counts = audit_world
+    drops: dict = {}
+    for stage, _, _ in audit.values():
+        drops[stage] = drops.get(stage, 0) + 1
+    order = ["input", "after_quality", "after_exact_dedup",
+             "after_near_dedup", "after_decontamination",
+             "after_source_cap"]
+    for prev, cur in zip(order, order[1:]):
+        assert drops.get(cur, 0) == counts[prev] - counts[cur], cur
+    assert drops.get("kept", 0) == counts["after_source_cap"]
+
+
+def test_audit_ids_only_no_text_in_wide_joins(spark, audit_world):
+    """Schema contract: (doc_id, source, stage, reason, detail)."""
+    docs, _, _ = audit_world
+    benchmark = (docs.filter("doc_id = 5")
+                 .selectExpr("doc_id as bench_id", "text"))
+    out = curation_audit(docs, benchmark=benchmark, min_words=5,
+                         seq_len=16, shard_budget=64)
+    assert [f.name for f in out.schema] == [
+        "doc_id", "source", "stage", "reason", "detail"]
