@@ -6,6 +6,9 @@ from .dedup_stream import (
     read_document_stream,
 )
 from .curation import (
+    apply_snapshot_diff,
+    compact_curated,
+    read_curated,
     benchmark_shingle_set,
     curate_document_stream,
     make_curation_ingest_batch_fn,
@@ -60,6 +63,7 @@ __all__ = ["benchmark_shingle_set", "curate_document_stream",
            "hopping_counts", "incremental_dedup",
            "incremental_dedup_watermarked", "incremental_minhash_pairs",
            "make_curation_ingest_batch_fn",
+           "apply_snapshot_diff", "compact_curated", "read_curated",
            "make_scd2_batch_fn", "committed_snapshot_ids",
            "quarantine_log", "scd2_dim",
            "make_semantic_ingest_batch_fn", "pairs_with_centroids",

@@ -318,3 +318,160 @@ def curate_document_stream(stream_docs: DataFrame,
         else:
             out = out.join(history, "fingerprint", "left_anti")
     return out
+
+
+# ------------------------------------------------------------------
+# Snapshot-diff-driven incremental reprocessing (E117, round 10):
+# reconcile the ingest loop's curated state with a NEW corpus
+# snapshot by processing only what changed. Composes io.corpus_diff /
+# publish_snapshot with the loop above; the tombstone design keeps
+# corpus rewrites out of the hot path (append-only tombstone index +
+# map-side fingerprint anti-join view; `compact_curated` applies them
+# physically on the maintenance schedule).
+
+
+def _tombstone_dir(out_dir: str) -> str:
+    return out_dir.rstrip("/") + "_tombstones"
+
+
+def read_curated(spark, out_dir: str) -> DataFrame:
+    """The LIVE curated corpus: the loop's appended output minus the
+    tombstoned rows. Tombstones are (doc_id, fingerprint-of-stored-
+    text) pairs, so the anti-join hides exactly the superseded
+    VERSION of a document — a re-curated replacement under the same
+    id (different stored text → different fingerprint) stays
+    visible. The fingerprint is computed map-side at read (one
+    codegen md5 over the stored text — no corpus rewrite, no
+    shuffle; tombstones are diff-sized and broadcast), matching the
+    physical-rewrite semantics `compact_curated` applies later."""
+    from ..dedup.exact import fingerprint_docs
+
+    corpus = spark.read.parquet(out_dir)
+    tombs = _read_parquet_if_present(spark, _tombstone_dir(out_dir))
+    if tombs is None:
+        return corpus
+    return (fingerprint_docs(corpus)
+            .join(F.broadcast(tombs.select("doc_id", "fingerprint")
+                              .distinct()),
+                  ["doc_id", "fingerprint"], "left_anti")
+            .drop("fingerprint"))
+
+
+def compact_curated(spark, out_dir: str) -> dict:
+    """Apply the tombstones PHYSICALLY: rewrite the corpus dir to the
+    `read_curated` view and clear the tombstone index — the
+    bronze-layer maintenance pass that keeps the map-side anti-join's
+    broadcast small. Write order is crash-safe: the surviving rows
+    commit to a temp dir first (a crash mid-pass leaves both corpus
+    and tombstones intact, rerun-safe), the corpus dir is rewritten
+    from it, and the tombstone dir is cleared LAST (a crash before
+    the clear leaves tombstones referencing rows already gone — the
+    anti-join is then a no-op, never wrong). Returns
+    {"rows_before", "rows_after", "tombstones_cleared"}."""
+    tomb_dir = _tombstone_dir(out_dir)
+    tombs = _read_parquet_if_present(spark, tomb_dir)
+    before = spark.read.parquet(out_dir).count()
+    if tombs is None:
+        return {"rows_before": before, "rows_after": before,
+                "tombstones_cleared": 0}
+    n_tombs = tombs.count()
+    view = read_curated(spark, out_dir)
+    tmp = out_dir.rstrip("/") + "_compacting"
+    view.write.mode("overwrite").parquet(tmp)
+    after = spark.read.parquet(tmp).count()
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(out_dir)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    for path in (tmp, tomb_dir):
+        jp = jvm.org.apache.hadoop.fs.Path(path)
+        jp.getFileSystem(conf).delete(jp, True)
+    spark.catalog.refreshByPath(out_dir)
+    return {"rows_before": before, "rows_after": after,
+            "tombstones_cleared": n_tombs}
+
+
+def apply_snapshot_diff(spark, old_docs: DataFrame,
+                        new_docs: DataFrame, out_dir: str,
+                        index_dir: str, batch_id: int = 0,
+                        text_col: str = "text",
+                        id_col: str = "doc_id",
+                        **loop_kwargs) -> dict:
+    """Reconcile the curated state with a NEW snapshot by processing
+    ONLY the diff — the incremental-reprocessing composition a 100 TB
+    corpus needs (a full re-run per snapshot is the thing this module
+    exists to avoid):
+
+    * ``removed`` and effectively-``modified`` docs are TOMBSTONED —
+      (doc_id, fingerprint of the stored/redacted old text) rows
+      appended to the tombstone index `read_curated` anti-joins;
+    * ``added`` and effectively-modified docs flow through the SAME
+      ingest batch fn as streamed arrivals (every gate + the
+      cross-corpus dedup index), appended under ``batch_id``;
+    * a ``modified`` doc whose rewrite disappears under redaction
+      (same stored text) is a NO-OP for the curated corpus — it is
+      neither tombstoned nor reprocessed, which also makes the whole
+      operation IDEMPOTENT: re-applying the same diff re-appends
+      duplicate tombstone rows (harmless — the anti-join is a set
+      membership) and the re-processed delta dies against the
+      fingerprint index it populated the first time.
+
+    Sticky-dedup semantics, documented not hidden: the fingerprint
+    index is append-only, so content that EVER entered the corpus is
+    never re-admitted (a removed doc's text re-added under a new id
+    is dropped as a duplicate; a modified doc whose new text
+    duplicates another living doc keeps only that other doc). For
+    takedown workflows that is the desired memory; for amnesty,
+    rebuild the index from `read_curated` during a maintenance
+    window.
+
+    Write order is load-bearing: tombstones append BEFORE the delta
+    processes, so a crash between the two leaves old versions hidden
+    with the replacements missing — the rerun re-processes them —
+    never a window where both versions are visible. Returns counts:
+    {"added", "removed", "modified", "modified_noop", "tombstoned",
+    "delta_docs"}."""
+    from ..dedup.exact import corpus_diff, fingerprint_docs
+
+    diff = pin(corpus_diff(old_docs, new_docs, text_col, id_col),
+               truncate=True)
+    counts = {r["change"]: r["n"]
+              for r in diff.groupBy("change")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    gone = diff.filter(F.col("change").isin("removed", "modified")) \
+               .select(id_col)
+    mod = diff.filter(F.col("change") == "modified").select(id_col)
+
+    def _red_fp(docs, ids):
+        return (fingerprint_docs(
+            redact_documents(docs.join(ids, id_col, "semi")),
+            text_col, id_col)
+            .select(id_col, "fingerprint"))
+
+    old_fp = _red_fp(old_docs, gone)
+    new_fp = (_red_fp(new_docs, mod)
+              .withColumnRenamed("fingerprint", "__nfp"))
+    # redaction-invisible modifications: stored text unchanged
+    noop = (old_fp.join(new_fp, id_col)
+            .filter(F.col("fingerprint") == F.col("__nfp"))
+            .select(id_col))
+    noop = pin(noop, truncate=True)     # feeds tombstones AND delta
+    n_noop = noop.count()
+    tombstones = old_fp.join(noop, id_col, "left_anti")
+    tombstones = pin(tombstones, truncate=True)
+    n_tomb = tombstones.count()
+    tombstones.write.mode("append").parquet(_tombstone_dir(out_dir))
+
+    delta_ids = (diff.filter(F.col("change") == "added")
+                 .select(id_col)
+                 .unionByName(mod.join(noop, id_col, "left_anti")))
+    delta = new_docs.join(delta_ids, id_col, "semi")
+    n_delta = delta.count()
+    process = make_curation_ingest_batch_fn(out_dir, index_dir,
+                                            **loop_kwargs)
+    process(delta, batch_id)
+    return {"added": counts.get("added", 0),
+            "removed": counts.get("removed", 0),
+            "modified": counts.get("modified", 0),
+            "modified_noop": n_noop,
+            "tombstoned": n_tomb,
+            "delta_docs": n_delta}
