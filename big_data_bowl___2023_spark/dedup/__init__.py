@@ -11,6 +11,8 @@ frequency caps, block joins) rather than materializing O(n²).
 from .exact import corpus_diff, exact_dedup, fingerprint_docs
 from .ngram import duplication_profile, jaccard_pairs, shingle_docs
 from .minhash import (
+    lsh_candidate_probability,
+    tune_lsh_params,
     band_candidates,
     minhash_band_pairs,
     minhash_signatures,
@@ -76,6 +78,7 @@ __all__ = [
     "duplication_profile", "jaccard_pairs", "shingle_docs",
     "band_candidates",
     "minhash_band_pairs", "minhash_signatures", "mllib_minhash_pairs",
+    "lsh_candidate_probability", "tune_lsh_params",
     "simhash_docs",
     "cosine_near_dup_pairs",
     "cosine_near_dup_pairs_lsh",

@@ -187,3 +187,75 @@ def mllib_minhash_pairs(df: DataFrame, threshold: float,
             .select(F.col("datasetA.doc_id").alias("doc_a"),
                     F.col("datasetB.doc_id").alias("doc_b"),
                     F.round(1.0 - F.col("jaccard_dist"), 6).alias("jaccard")))
+
+
+def lsh_candidate_probability(s: float, bands: int,
+                              rows: int) -> float:
+    """P(pair becomes a candidate | true Jaccard = s) under b bands
+    of r rows: 1 − (1 − s^r)^b — the banding S-curve (Leskovec,
+    Rajaraman & Ullman, "Mining of Massive Datasets" ch. 3). Driver
+    arithmetic; the knob truth every tuning decision reads."""
+    return 1.0 - (1.0 - s ** rows) ** bands
+
+
+def tune_lsh_params(threshold: float, max_perms: int = 256,
+                    fp_weight: float = 1.0,
+                    fn_weight: float = 1.0,
+                    steps: int = 1000) -> dict:
+    """Choose (bands, rows_per_band) for a target Jaccard
+    ``threshold`` — the knob an operator otherwise eyeballs from the
+    S-curve. Pure driver arithmetic (no Spark job): search every
+    (b, r) with b·r ≤ ``max_perms`` and minimize the weighted
+    probability mass on the wrong side of the threshold,
+
+        fp_weight · ∫₀^t P(s) ds  +  fn_weight · ∫ₜ¹ (1 − P(s)) ds
+
+    (midpoint rule, ``steps`` intervals — the MMDS/datasketch
+    criterion; false positives only cost verify work since every
+    candidate is exactly verified, false negatives cost RECALL, so
+    raise ``fn_weight`` when recall matters more than compute). Ties
+    break toward fewer permutations (cheaper signatures), then more
+    bands. The result plugs straight into ``minhash_band_pairs``:
+    ``num_perms = bands · rows`` by construction, so the band split
+    is always exact.
+
+    Returns {"bands", "rows_per_band", "num_perms", "fp_mass",
+    "fn_mass", "error", "recall_at_threshold", "s50"} — ``s50`` is
+    the curve's midpoint (1/b)^(1/r), which lands near ``threshold``
+    for a well-tuned pair."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got "
+                         f"{threshold}")
+    if max_perms < 2:
+        raise ValueError("max_perms must be ≥ 2")
+    best = None
+    for rows in range(1, max_perms + 1):
+        for bands in range(1, max_perms // rows + 1):
+            fp = fn = 0.0
+            # FP mass over [0, t]
+            w = threshold / steps
+            for i in range(steps):
+                s = (i + 0.5) * w
+                fp += lsh_candidate_probability(s, bands, rows) * w
+            # FN mass over [t, 1]
+            w = (1.0 - threshold) / steps
+            for i in range(steps):
+                s = threshold + (i + 0.5) * w
+                fn += (1.0 - lsh_candidate_probability(
+                    s, bands, rows)) * w
+            err = fp_weight * fp + fn_weight * fn
+            key = (err, bands * rows, -bands)
+            if best is None or key < best[0]:
+                best = (key, bands, rows, fp, fn)
+    _, bands, rows, fp, fn = best
+    return {
+        "bands": bands,
+        "rows_per_band": rows,
+        "num_perms": bands * rows,
+        "fp_mass": round(fp, 6),
+        "fn_mass": round(fn, 6),
+        "error": round(fp_weight * fp + fn_weight * fn, 6),
+        "recall_at_threshold": round(
+            lsh_candidate_probability(threshold, bands, rows), 6),
+        "s50": round((1.0 / bands) ** (1.0 / rows), 6),
+    }
