@@ -228,21 +228,32 @@ def tune_lsh_params(threshold: float, max_perms: int = 256,
                          f"{threshold}")
     if max_perms < 2:
         raise ValueError("max_perms must be ≥ 2")
+    if steps < 1:
+        raise ValueError(f"steps must be ≥ 1, got {steps}")
+    if fp_weight < 0 or fn_weight < 0 or fp_weight + fn_weight == 0:
+        raise ValueError("weights must be non-negative and not both "
+                         "zero (a zero objective makes every curve "
+                         "'optimal')")
+    w_lo = threshold / steps
+    w_hi = (1.0 - threshold) / steps
+    s_lo = [(i + 0.5) * w_lo for i in range(steps)]
+    s_hi = [threshold + (i + 0.5) * w_hi for i in range(steps)]
     best = None
     for rows in range(1, max_perms + 1):
+        # per-rows power grids once; the bands loop then updates
+        # (1 − s^r)^b multiplicatively — the naive per-(b, r) curve
+        # evaluation redid identical pows max_perms/r times over
+        q_lo = [1.0 - s ** rows for s in s_lo]
+        q_hi = [1.0 - s ** rows for s in s_hi]
+        pow_lo = [1.0] * steps
+        pow_hi = [1.0] * steps
         for bands in range(1, max_perms // rows + 1):
             fp = fn = 0.0
-            # FP mass over [0, t]
-            w = threshold / steps
             for i in range(steps):
-                s = (i + 0.5) * w
-                fp += lsh_candidate_probability(s, bands, rows) * w
-            # FN mass over [t, 1]
-            w = (1.0 - threshold) / steps
-            for i in range(steps):
-                s = threshold + (i + 0.5) * w
-                fn += (1.0 - lsh_candidate_probability(
-                    s, bands, rows)) * w
+                pow_lo[i] *= q_lo[i]
+                fp += (1.0 - pow_lo[i]) * w_lo
+                pow_hi[i] *= q_hi[i]
+                fn += pow_hi[i] * w_hi
             err = fp_weight * fp + fn_weight * fn
             key = (err, bands * rows, -bands)
             if best is None or key < best[0]:

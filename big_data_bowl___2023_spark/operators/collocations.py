@@ -19,9 +19,12 @@ Spark shape (two grouped counts, nothing else):
 * the scoring join brings the two VOCAB-sized count tables together
   (the unigram side is broadcast when a count proves it small; the
   corpus-sized token rows never ride a second shuffle);
-* totals (Σ bigrams, Σ unigrams) ride the same aggregations as
-  ``sum(...) over ()`` window folds on the already-aggregated tables
-  — no extra corpus pass.
+* totals (Σ bigrams, Σ unigrams) are one-row aggregates of the
+  already-aggregated count tables, attached via broadcast cross
+  joins — computed BEFORE the ``min_count`` cut so rare pairs keep
+  their probability mass, and deliberately NOT window folds (a
+  ``partitionBy()`` window would funnel the whole pair table through
+  one task; the test suite plan-asserts no Window).
 
 Tokens are ``text.norm_tokens`` — the same canonical word convention
 BM25, BPE and the vocab ops use. Document boundaries are respected:

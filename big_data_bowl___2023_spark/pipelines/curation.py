@@ -198,11 +198,17 @@ def curation_audit(docs: DataFrame, min_words: int = 50,
 
     * the Gopher gate names the FIRST FAILING RULE (`gopher.flags`,
       evaluated only over the dropped subset);
-    * exact dedup names the kept twin (``detail`` = the canonical
-      doc_id sharing the fingerprint);
+    * exact dedup names the kept twin (``detail`` = the min-id
+      SURVIVOR sharing the raw fingerprint; NULL when the collision
+      was created by an upstream rewrite, so detail never names a
+      doc absent from the corpus);
+    * the line scrub never drops rows — it EMPTIES fully-boilerplate
+      docs, whose husks would die later at exact dedup — so emptied
+      docs are attributed here (``emptied_by_line_scrub``), where
+      the cause is, not where the husk happens to fall;
     * every other stage tags its cause label (near_duplicate,
       verbatim_overlap, benchmark_contaminated, not_selected_dsir,
-      source_quota, emptied_by_line_scrub, quality_model).
+      source_quota, quality_model).
 
     Cost: like ``lazy_stats=False`` audits, each stage boundary
     evaluates its pipeline prefix once (the frames are lazy and
@@ -240,6 +246,23 @@ def curation_audit(docs: DataFrame, min_words: int = 50,
     for key, frame in captured:
         if key not in reasons:
             continue                     # input / chunk-grain stages
+        if key == "after_line_dedup":
+            # the scrub never DROPS a doc — it empties the ones whose
+            # every line was boilerplate, and the husks die later at
+            # exact dedup (all empty texts share one fingerprint).
+            # Attribute them HERE, where the cause is (review r10
+            # finding: the anti-join at this boundary is always empty
+            # and the husks were mislabeled exact_duplicate).
+            emptied = (frame.filter(F.trim(F.col("text")) == "")
+                       .select("doc_id"))
+            parts.append(prev.join(emptied, "doc_id", "semi")
+                         .withColumn("stage", F.lit(key))
+                         .withColumn("reason",
+                                     F.lit(reasons[key]))
+                         .withColumn("detail",
+                                     F.lit(None).cast("string")))
+            prev = prev.join(emptied, "doc_id", "left_anti")
+            continue
         cur = frame.select("doc_id")
         dropped = (prev.join(cur, "doc_id", "left_anti")
                    .withColumn("stage", F.lit(key))
@@ -262,24 +285,25 @@ def curation_audit(docs: DataFrame, min_words: int = 50,
                 first_fail.alias("reason"),
                 F.lit(None).cast("string").alias("detail"))
         elif key == "after_exact_dedup":
-            # name the kept twin: fingerprints of the dropped docs
-            # joined to the canonical (min-id) doc per fingerprint —
-            # exact_dedup's own keeper rule. Best-effort hint: it
-            # fingerprints the RAW text, so a collision CREATED by an
-            # upstream rewrite (redaction, line scrub) has no raw
-            # twin — detail stays NULL there instead of naming the
-            # doc itself; stage and reason are exact regardless.
+            # name the kept twin: the dropped doc's RAW fingerprint
+            # joined to the min-id doc sharing it AMONG THE STAGE'S
+            # SURVIVORS — so detail can only ever name a doc that is
+            # actually in the corpus (review r10: an unrestricted
+            # min-per-raw-fingerprint could name a fellow DROPPED doc
+            # when the pipeline deduped on rewritten text). A
+            # collision CREATED by an upstream rewrite (redaction,
+            # line scrub) has no surviving raw twin — detail stays
+            # NULL there; stage and reason are exact regardless.
             fp = fingerprint_docs(docs).select("doc_id",
                                                "fingerprint")
-            canon = (fp.groupBy("fingerprint")
+            canon = (fp.join(cur, "doc_id", "semi")
+                     .groupBy("fingerprint")
                      .agg(F.min("doc_id").alias("__kept")))
             dropped = (dropped.drop("detail")
                        .join(fp, "doc_id")
-                       .join(canon, "fingerprint")
+                       .join(canon, "fingerprint", "left")
                        .select("doc_id", "source", "stage", "reason",
-                               F.when(F.col("__kept")
-                                      != F.col("doc_id"),
-                                      F.col("__kept").cast("string"))
+                               F.col("__kept").cast("string")
                                .alias("detail")))
         parts.append(dropped)
         prev = prev.join(cur, "doc_id", "semi")

@@ -361,13 +361,16 @@ def compact_curated(spark, out_dir: str) -> dict:
     """Apply the tombstones PHYSICALLY: rewrite the corpus dir to the
     `read_curated` view and clear the tombstone index — the
     bronze-layer maintenance pass that keeps the map-side anti-join's
-    broadcast small. Write order is crash-safe: the surviving rows
-    commit to a temp dir first (a crash mid-pass leaves both corpus
-    and tombstones intact, rerun-safe), the corpus dir is rewritten
-    from it, and the tombstone dir is cleared LAST (a crash before
-    the clear leaves tombstones referencing rows already gone — the
-    anti-join is then a no-op, never wrong). Returns
-    {"rows_before", "rows_after", "tombstones_cleared"}."""
+    broadcast small. Crash-safe at every boundary: the surviving rows
+    COMMIT to a temp dir first, the live dir is swapped in by two
+    renames with rollback (an in-place overwrite would delete the
+    corpus before the new files commit — review r10 finding; a crash
+    there loses the dataset), and the tombstone dir is cleared LAST
+    (a crash before the clear leaves tombstones referencing rows
+    already gone — the anti-join is then a no-op, never wrong).
+    Stop-the-world per directory like every swap compactor here —
+    schedule when no reader is mid-scan. Returns {"rows_before",
+    "rows_after", "tombstones_cleared"}."""
     tomb_dir = _tombstone_dir(out_dir)
     tombs = _read_parquet_if_present(spark, tomb_dir)
     before = spark.read.parquet(out_dir).count()
@@ -376,15 +379,40 @@ def compact_curated(spark, out_dir: str) -> dict:
                 "tombstones_cleared": 0}
     n_tombs = tombs.count()
     view = read_curated(spark, out_dir)
-    tmp = out_dir.rstrip("/") + "_compacting"
-    view.write.mode("overwrite").parquet(tmp)
-    after = spark.read.parquet(tmp).count()
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(out_dir)
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
-    for path in (tmp, tomb_dir):
-        jp = jvm.org.apache.hadoop.fs.Path(path)
-        jp.getFileSystem(conf).delete(jp, True)
+
+    def _jp(p):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    root = _jp(out_dir.rstrip("/"))
+    fs = root.getFileSystem(conf)
+    tmp = _jp(out_dir.rstrip("/") + "_compacting")
+    backup = _jp(out_dir.rstrip("/") + "_compact_old")
+    fs.delete(tmp, True)
+    # a leftover backup means a prior crash AFTER its swap committed
+    # (the dataset read above succeeded, so live data is at out_dir)
+    fs.delete(backup, True)
+    try:
+        view.write.mode("overwrite").parquet(tmp.toString())
+    except Exception:
+        fs.delete(tmp, True)
+        raise
+    after = spark.read.parquet(tmp.toString()).count()
+    swapped_out = False
+    try:
+        if not fs.rename(root, backup):
+            raise IOError(f"rename {root} -> {backup} failed")
+        swapped_out = True
+        if not fs.rename(tmp, root):
+            raise IOError(f"rename {tmp} -> {root} failed")
+    except Exception:
+        if swapped_out and not fs.exists(root):
+            fs.rename(backup, root)
+        fs.delete(tmp, True)
+        raise
+    fs.delete(backup, True)
+    fs.delete(_jp(tomb_dir), True)
     spark.catalog.refreshByPath(out_dir)
     return {"rows_before": before, "rows_after": after,
             "tombstones_cleared": n_tombs}
@@ -393,17 +421,21 @@ def compact_curated(spark, out_dir: str) -> dict:
 def apply_snapshot_diff(spark, old_docs: DataFrame,
                         new_docs: DataFrame, out_dir: str,
                         index_dir: str, batch_id: int = 0,
-                        text_col: str = "text",
-                        id_col: str = "doc_id",
                         **loop_kwargs) -> dict:
     """Reconcile the curated state with a NEW snapshot by processing
     ONLY the diff — the incremental-reprocessing composition a 100 TB
     corpus needs (a full re-run per snapshot is the thing this module
-    exists to avoid):
+    exists to avoid). Columns follow the streaming-curation family's
+    contract: ``doc_id`` ids, ``text`` content (the ingest loop, the
+    tombstone view and the fingerprint index all share it — a
+    configurable column here would silently break against them,
+    review r10 finding).
 
     * ``removed`` and effectively-``modified`` docs are TOMBSTONED —
       (doc_id, fingerprint of the stored/redacted old text) rows
-      appended to the tombstone index `read_curated` anti-joins;
+      appended to the tombstone index `read_curated` anti-joins
+      (nothing is appended — and no tombstone dir is created — when
+      the diff produces none);
     * ``added`` and effectively-modified docs flow through the SAME
       ingest batch fn as streamed arrivals (every gate + the
       cross-corpus dedup index), appended under ``batch_id``;
@@ -413,58 +445,93 @@ def apply_snapshot_diff(spark, old_docs: DataFrame,
       operation IDEMPOTENT: re-applying the same diff re-appends
       duplicate tombstone rows (harmless — the anti-join is a set
       membership) and the re-processed delta dies against the
-      fingerprint index it populated the first time.
+      fingerprint index it populated the first time;
+    * a doc REVERTING to a version of itself is RESTORED, not
+      re-admitted: when a delta doc's incoming (doc_id, stored-text
+      fingerprint) matches one of its own tombstones, that tombstone
+      is deleted (read-modify-write under a truncating pin) and the
+      original stored row becomes visible again — without this the
+      revert would vanish entirely (old row tombstoned, replacement
+      killed by the sticky fingerprint index; review r10 finding).
+      The restore needs the superseded row to still exist
+      physically: after `compact_curated` has applied the tombstone,
+      a revert is re-admission of historical content and the sticky
+      index blocks it — the amnesty path below applies.
 
     Sticky-dedup semantics, documented not hidden: the fingerprint
     index is append-only, so content that EVER entered the corpus is
-    never re-admitted (a removed doc's text re-added under a new id
-    is dropped as a duplicate; a modified doc whose new text
-    duplicates another living doc keeps only that other doc). For
-    takedown workflows that is the desired memory; for amnesty,
-    rebuild the index from `read_curated` during a maintenance
-    window.
+    never re-admitted under a NEW identity (a removed doc's text
+    re-added under a new id is dropped as a duplicate; a modified doc
+    whose new text duplicates another living doc keeps only that
+    other doc). For takedown workflows that is the desired memory;
+    for amnesty, rebuild the index from `read_curated` during a
+    maintenance window.
 
     Write order is load-bearing: tombstones append BEFORE the delta
     processes, so a crash between the two leaves old versions hidden
     with the replacements missing — the rerun re-processes them —
     never a window where both versions are visible. Returns counts:
-    {"added", "removed", "modified", "modified_noop", "tombstoned",
-    "delta_docs"}."""
+    {"added", "removed", "modified", "modified_noop", "restored",
+    "tombstoned", "delta_docs"}."""
     from ..dedup.exact import corpus_diff, fingerprint_docs
 
-    diff = pin(corpus_diff(old_docs, new_docs, text_col, id_col),
-               truncate=True)
+    diff = pin(corpus_diff(old_docs, new_docs), truncate=True)
     counts = {r["change"]: r["n"]
               for r in diff.groupBy("change")
               .agg(F.count(F.lit(1)).alias("n")).collect()}
     gone = diff.filter(F.col("change").isin("removed", "modified")) \
-               .select(id_col)
-    mod = diff.filter(F.col("change") == "modified").select(id_col)
+               .select("doc_id")
+    mod = diff.filter(F.col("change") == "modified").select("doc_id")
+    incoming = (diff.filter(F.col("change").isin("added", "modified"))
+                .select("doc_id"))
 
     def _red_fp(docs, ids):
         return (fingerprint_docs(
-            redact_documents(docs.join(ids, id_col, "semi")),
-            text_col, id_col)
-            .select(id_col, "fingerprint"))
+            redact_documents(docs.join(ids, "doc_id", "semi")))
+            .select("doc_id", "fingerprint"))
 
     old_fp = _red_fp(old_docs, gone)
-    new_fp = (_red_fp(new_docs, mod)
-              .withColumnRenamed("fingerprint", "__nfp"))
+    inc_fp = pin(_red_fp(new_docs, incoming), truncate=True)
     # redaction-invisible modifications: stored text unchanged
-    noop = (old_fp.join(new_fp, id_col)
+    noop = (old_fp.join(inc_fp.withColumnRenamed("fingerprint",
+                                                 "__nfp"), "doc_id")
             .filter(F.col("fingerprint") == F.col("__nfp"))
-            .select(id_col))
+            .select("doc_id"))
     noop = pin(noop, truncate=True)     # feeds tombstones AND delta
     n_noop = noop.count()
-    tombstones = old_fp.join(noop, id_col, "left_anti")
-    tombstones = pin(tombstones, truncate=True)
+    tombstones = pin(old_fp.join(noop, "doc_id", "left_anti"),
+                     truncate=True)
     n_tomb = tombstones.count()
-    tombstones.write.mode("append").parquet(_tombstone_dir(out_dir))
 
-    delta_ids = (diff.filter(F.col("change") == "added")
-                 .select(id_col)
-                 .unionByName(mod.join(noop, id_col, "left_anti")))
-    delta = new_docs.join(delta_ids, id_col, "semi")
+    tomb_dir = _tombstone_dir(out_dir)
+    existing = _read_parquet_if_present(spark, tomb_dir)
+    # restores: incoming versions matching one of their OWN
+    # tombstones — the doc is reverting; un-hide the original row
+    # instead of losing it to the sticky index
+    pool = tombstones if existing is None else \
+        tombstones.unionByName(
+            existing.select("doc_id", "fingerprint")).distinct()
+    restored = pin(pool.join(inc_fp, ["doc_id", "fingerprint"],
+                             "semi"), truncate=True)
+    n_restored = restored.count()
+    remaining = pool.join(restored, ["doc_id", "fingerprint"],
+                          "left_anti")
+    if n_restored > 0:
+        # read-modify-write of the (diff-sized) tombstone dir: the
+        # truncating pin severs lineage from the files being replaced
+        pin(remaining, truncate=True).write.mode("overwrite") \
+            .parquet(tomb_dir)
+    elif n_tomb > 0:
+        tombstones.write.mode("append").parquet(tomb_dir)
+    # else: nothing to hide — never create an empty tombstone dir
+    # (its mere existence flips read_curated onto the fingerprint
+    # path and makes the next compaction a full rewrite for nothing)
+
+    delta_ids = (incoming
+                 .join(noop, "doc_id", "left_anti")
+                 .join(restored.select("doc_id"), "doc_id",
+                       "left_anti"))
+    delta = new_docs.join(delta_ids, "doc_id", "semi")
     n_delta = delta.count()
     process = make_curation_ingest_batch_fn(out_dir, index_dir,
                                             **loop_kwargs)
@@ -473,5 +540,6 @@ def apply_snapshot_diff(spark, old_docs: DataFrame,
             "removed": counts.get("removed", 0),
             "modified": counts.get("modified", 0),
             "modified_noop": n_noop,
+            "restored": n_restored,
             "tombstoned": n_tomb,
             "delta_docs": n_delta}

@@ -110,3 +110,54 @@ def test_audit_ids_only_no_text_in_wide_joins(spark, audit_world):
                          seq_len=16, shard_budget=64)
     assert [f.name for f in out.schema] == [
         "doc_id", "source", "stage", "reason", "detail"]
+
+
+def test_line_scrub_emptied_docs_attributed_to_the_scrub(spark):
+    """Review r10 finding: remove_repeated_lines EMPTIES
+    fully-boilerplate docs instead of dropping them, and the husks
+    died later at exact dedup under the wrong label. The audit must
+    attribute them to the scrub — all of them, including the min-id
+    husk the old anti-join logic reported 'kept'."""
+    boiler = "this exact boilerplate line repeats in every document"
+    rows = [(i, "a", boiler) for i in range(1, 5)]       # all-boiler
+    rows.append((9, "a", boiler + "\n" + " ".join(
+        f"unique{j} real content words here" for j in range(12))))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string")
+    audit = {r["doc_id"]: (r["stage"], r["reason"])
+             for r in curation_audit(docs, min_words=5,
+                                     line_dedup_min_chars=10,
+                                     seq_len=16,
+                                     shard_budget=64).collect()}
+    # keep='first': doc 1 retains the globally-first occurrence of
+    # the line and stays a real document; docs 2-4 are emptied
+    assert audit[1][0] == "kept"
+    for i in range(2, 5):
+        assert audit[i] == ("after_line_dedup",
+                            "emptied_by_line_scrub"), audit[i]
+    assert audit[9][0] == "kept"
+
+
+def test_exact_dup_detail_never_names_a_dropped_doc(spark):
+    """Review r10 finding: when the pipeline dedups on REWRITTEN
+    (redacted) text, the raw-fingerprint twin can itself be dropped.
+    The audit's detail joins against the stage's SURVIVORS only —
+    a rewrite-created collision yields NULL, never a phantom id."""
+    base = " ".join(f"word{j} steady filler content" for j in range(12))
+    rows = [
+        (2, "a", base + " call 555-123-9999 now"),       # redacts ==
+        (5, "a", base + " call 555-777-1234 now"),       # redacts ==
+        (7, "a", base + " call 555-777-1234 now"),       # raw == 5
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string")
+    audit = {r["doc_id"]: (r["stage"], r["reason"], r["detail"])
+             for r in curation_audit(docs, min_words=5, seq_len=16,
+                                     shard_budget=64).collect()}
+    assert audit[2][0] == "kept"         # min id per redacted group
+    assert audit[5][:2] == ("after_exact_dedup", "exact_duplicate")
+    assert audit[7][:2] == ("after_exact_dedup", "exact_duplicate")
+    # doc 5's raw twin among SURVIVORS does not exist (its raw group
+    # {5,7} was wholly dropped; the kept doc 2 differs raw) → NULL;
+    # same for 7 — never the phantom '5'
+    assert audit[5][2] is None and audit[7][2] is None

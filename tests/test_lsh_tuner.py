@@ -76,3 +76,12 @@ def test_tuned_params_plug_into_band_pairs(spark):
                  bands=p["bands"]).collect()}
     assert (1, 2) in pairs
     assert all(a != 3 and b != 3 for a, b in pairs)
+
+
+def test_tuner_validates_steps_and_weights():
+    with pytest.raises(ValueError, match="steps"):
+        tune_lsh_params(0.5, steps=0)
+    with pytest.raises(ValueError, match="weights"):
+        tune_lsh_params(0.5, fp_weight=-1.0)
+    with pytest.raises(ValueError, match="weights"):
+        tune_lsh_params(0.5, fp_weight=0.0, fn_weight=0.0)

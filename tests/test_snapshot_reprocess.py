@@ -116,3 +116,61 @@ def test_sticky_dedup_blocks_readmitted_content(world, spark):
     assert stats["added"] == 1
     ids = {r.doc_id for r in read_curated(spark, out).collect()}
     assert 99 not in ids and 3 not in ids
+
+
+def test_revert_to_previous_version_is_restored(world, spark):
+    """Review r10 finding: without the restore path, a doc reverting
+    to its own previous content vanished (old row tombstoned, the
+    replacement killed by the sticky fingerprint index). A revert now
+    deletes the matching tombstone and the ORIGINAL stored row
+    becomes visible again."""
+    spark, old, out, idx = world
+    orig = {r.doc_id: r.text for r in
+            read_curated(spark, out).collect()}
+
+    # snapshot 2: doc 2 modified to B
+    new_b = old.withColumn(
+        "text", F.when(F.col("doc_id") == 2,
+                       F.concat(F.col("text"),
+                                F.lit(" version b entirely new "
+                                      "trailing material words")))
+        .otherwise(F.col("text")))
+    s1 = apply_snapshot_diff(spark, old, new_b, out, idx,
+                             batch_id=1, min_words=10)
+    assert s1["tombstoned"] == 1 and s1["restored"] == 0
+    mid = {r.doc_id: r.text for r in
+           read_curated(spark, out).collect()}
+    assert "version b" in mid[2]
+
+    # snapshot 3: doc 2 reverts to A — restored, not lost
+    s2 = apply_snapshot_diff(spark, new_b, old, out, idx,
+                             batch_id=2, min_words=10)
+    assert s2["restored"] == 1
+    assert s2["delta_docs"] == 0        # nothing re-processed
+    final = {r.doc_id: r.text for r in
+             read_curated(spark, out).collect()}
+    assert final == orig                # the original row is back
+
+    # and the B tombstone still hides the B row
+    assert s2["tombstoned"] == 1
+    # idempotency of the revert
+    s3 = apply_snapshot_diff(spark, new_b, old, out, idx,
+                             batch_id=3, min_words=10)
+    assert {r.doc_id: r.text for r in
+            read_curated(spark, out).collect()} == orig
+
+
+def test_add_only_diff_creates_no_tombstone_dir(world, spark):
+    """An add-only diff must not create an empty tombstone dir (its
+    mere existence flips read_curated onto the fingerprint path and
+    makes the next compaction a full rewrite for nothing)."""
+    import os
+
+    spark, old, out, idx = world
+    new = old.unionByName(spark.createDataFrame(
+        [_doc(50, 60)], "doc_id long, source string, text string"))
+    stats = apply_snapshot_diff(spark, old, new, out, idx,
+                                batch_id=1, min_words=10)
+    assert stats["added"] == 1 and stats["tombstoned"] == 0
+    assert not os.path.exists(out + "_tombstones")
+    assert 50 in {r.doc_id for r in read_curated(spark, out).collect()}
