@@ -173,8 +173,13 @@ def test_committed_fingerprints_cover_registry():
     # the two GEMM-blocked kernels join their BOUNDED per-block
     # aggregates on blk_a <= blk_b — a deliberate nested-loop over
     # n_blocks² tiny rows, not a corpus-scale NLJ (the gate still
-    # fails if the count ever grows)
-    bounded_bnl_ok = {"dedup_embedding_cosine", "sim_topk_cosine"}
+    # fails if the count ever grows); hybrid_index_topk inherits
+    # bm25_topk's two ONE-ROW corpus-scalar attaches (avgdl/N
+    # broadcast cross joins compile to BNLJ Inner BuildRight with a
+    # single-row build side — the standard scalar-attach shape, cost
+    # bounded by construction)
+    bounded_bnl_ok = {"dedup_embedding_cosine", "sim_topk_cosine",
+                      "hybrid_index_topk"}
     for name, rep in fps.items():
         assert not rep["has_cartesian"], name
         assert rep["n_bnl_joins"] == 0 or name in bounded_bnl_ok, name
