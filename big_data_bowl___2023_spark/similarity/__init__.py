@@ -33,6 +33,8 @@ from .index import (
     ann_index_search_quantized,
     append_to_index,
     build_ann_index,
+    clear_index_deletes,
+    delete_from_index,
     index_cell_stats,
     index_versions,
     saturation_history,
@@ -53,5 +55,6 @@ __all__ = ["brute_force_topk", "brp_lsh_topk", "ivf_topk",
            "saturation_report", "saturation_history",
            "SATURATION_REBUILD_THRESHOLD",
            "index_cell_stats", "CELL_SKEW_WARN_RATIO",
+           "delete_from_index", "clear_index_deletes",
            "index_versions",
            "bm25_scores", "bm25_topk", "term_postings"]

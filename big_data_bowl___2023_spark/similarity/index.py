@@ -68,6 +68,25 @@ implicit version 0; the first `compact_index` migrates it to
 ``v=1`` (healing the old compactor's crash strays first) and
 `vacuum_index` then retires the loose legacy dirs.
 
+Deletes (round 10, E120 — the takedown path a served vector index
+needs): `delete_from_index` appends id markers to an
+``_index_deletes`` parquet beside the cells; EVERY search anti-joins
+the markers (takedown lists are small by nature — a broadcast
+anti-join, zero cost when no markers exist), so a delete is
+effective immediately, in every pinned version, without touching a
+single cell file. `append_to_index` UN-deletes the ids it carries
+(re-adding an id is the intent to serve it again — the restore rule
+the curated-corpus tombstones also follow); `compact_index` applies
+markers physically (the published version simply lacks the rows) but
+leaves the marker dir as compliance memory, since older pinned
+versions still need it; `clear_index_deletes` is the explicit GC,
+legal only once every retained version postdates the markers (run it
+after compact + vacuum — clearing earlier would resurrect deleted
+rows in a pre-delete version). Deletes are MAINTENANCE WRITES: the
+one-maintenance-writer rule covers them (a delete racing a streaming
+append's crash-replay could be undone by the replayed batch's
+restore — issue deletes when the stream is caught up).
+
 Reference scope note: north-star extension (SURVEY.md §2 extensions,
 inventory E111); the reference has no vector-search surface.
 """
@@ -84,6 +103,7 @@ _META = "_index_meta"
 _CELLS = "cells"
 _RANGES = "_index_ranges"
 _SATURATION = "_index_saturation"
+_DELETES = "_index_deletes"
 
 
 def index_versions(spark: SparkSession, index_dir: str) -> list[int]:
@@ -262,11 +282,14 @@ def build_ann_index(corpus: DataFrame, index_dir: str,
         fs.delete(jpath, True)
     # a rebuild re-learns ranges, so the predecessor's saturation
     # history (measurements AGAINST the old ranges) must not survive
-    # to be trended alongside the new ones
+    # to be trended alongside the new ones — and its delete markers
+    # describe rows the fresh corpus may legitimately re-include
+    # (the corpus passed to a rebuild IS the serving intent)
     jvm = spark._jvm
-    jsat = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{_SATURATION}")
-    jsat.getFileSystem(spark._jsc.hadoopConfiguration()) \
-        .delete(jsat, True)
+    for artifact in (_SATURATION, _DELETES):
+        jp = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{artifact}")
+        jp.getFileSystem(spark._jsc.hadoopConfiguration()) \
+            .delete(jp, True)
     (spark.createDataFrame([(int(dim), int(n_planes))],
                            "dim int, n_planes int")
      .write.mode("overwrite").parquet(f"{index_dir}/{_META}"))
@@ -348,6 +371,30 @@ def append_to_index(batch: DataFrame, index_dir: str,
             "codes", encode_codes(F.col("vec"), ranges))
     (assigned.write.mode("append").partitionBy("cell")
      .parquet(cells))
+    # restore-on-append: re-adding an id is the intent to serve it
+    # again — drop any delete marker the batch's ids match (the
+    # curated-corpus tombstone-restore rule). Read-modify-write of
+    # the (takedown-sized) marker dir under a truncating pin.
+    dels = _read_deletes(spark, index_dir)
+    if dels is not None:
+        batch_ids = batch.select(
+            F.col(id_col).alias("neighbor_id")).distinct()
+        hit = dels.join(batch_ids, "neighbor_id", "semi")
+        if hit.take(1):
+            from ..session import pin
+
+            remaining = pin(
+                dels.join(batch_ids, "neighbor_id", "left_anti"),
+                truncate=True)
+            if remaining.take(1):
+                remaining.write.mode("overwrite").parquet(
+                    f"{index_dir}/{_DELETES}")
+            else:
+                jvm = spark._jvm
+                jd = jvm.org.apache.hadoop.fs.Path(
+                    f"{index_dir}/{_DELETES}")
+                jd.getFileSystem(
+                    spark._jsc.hadoopConfiguration()).delete(jd, True)
     if report is not None:
         (spark.createDataFrame(
             [(int(report["rows"]), int(report["rows_clipped"]),
@@ -436,8 +483,13 @@ def index_cell_stats(spark: SparkSession, index_dir: str,
     top_share = shares[0][2] if shares else 0.0
     probe = min(n_planes + 1, len(shares))
     tail = cells.rsplit("/", 1)[1]
+    dels = _read_deletes(spark, index_dir)
     return {
         "version": int(tail[2:]) if tail.startswith("v=") else 0,
+        # stats are PHYSICAL occupancy; pending deletes are hidden
+        # from searches but still cost scan bytes until a compaction
+        # applies them
+        "pending_deletes": dels.count() if dels is not None else 0,
         "n_rows": n_rows,
         "n_cells": len(shares),
         "expected_cells": expected,
@@ -470,6 +522,67 @@ def _probed_queries(spark: SparkSession, index_dir: str,
     return q, probed
 
 
+def _read_deletes(spark: SparkSession,
+                  index_dir: str) -> DataFrame | None:
+    """The delete-marker ids, or None when none have been issued.
+    Hadoop-FS existence check like `_read_ranges`."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{_DELETES}")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return None
+    return spark.read.parquet(f"{index_dir}/{_DELETES}")
+
+
+def _minus_deletes(spark: SparkSession, index_dir: str,
+                   corpus: DataFrame) -> DataFrame:
+    """Anti-join the delete markers out of an index scan — broadcast
+    (takedown-list-sized), a no-op plan when no markers exist."""
+    dels = _read_deletes(spark, index_dir)
+    if dels is None:
+        return corpus
+    return corpus.join(
+        F.broadcast(dels.select("neighbor_id").distinct()),
+        "neighbor_id", "left_anti")
+
+
+def delete_from_index(spark: SparkSession, index_dir: str,
+                      ids) -> dict:
+    """Issue takedown markers: ``ids`` (a DataFrame whose first
+    column is the id, or a plain Python list) stop appearing in ANY
+    search — every pinned version, effective immediately — without
+    touching a cell file. Physical removal happens at the next
+    `compact_index`; marker GC is `clear_index_deletes` (see the
+    module contract for the ordering rules). A maintenance WRITE:
+    serialize with appends/compactions/vacuums. Returns
+    {"deleted": n}."""
+    if isinstance(ids, DataFrame):
+        dels = ids.select(F.col(ids.columns[0]).alias("neighbor_id"))
+    else:
+        dels = spark.createDataFrame(
+            [(int(i),) for i in ids], "neighbor_id long")
+    dels = dels.distinct()
+    n = dels.count()
+    if n:
+        dels.write.mode("append").parquet(f"{index_dir}/{_DELETES}")
+    return {"deleted": n}
+
+
+def clear_index_deletes(spark: SparkSession, index_dir: str) -> dict:
+    """Drop the delete-marker dir — the explicit GC. ONLY legal once
+    every retained version was published AFTER the markers (compact
+    applied them physically and vacuum retired the pre-delete
+    versions); clearing earlier resurrects deleted rows in any older
+    pinned version. Returns {"cleared": n}."""
+    dels = _read_deletes(spark, index_dir)
+    n = dels.count() if dels is not None else 0
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{_DELETES}")
+    jpath.getFileSystem(spark._jsc.hadoopConfiguration()) \
+        .delete(jpath, True)
+    return {"cleared": n}
+
+
 def ann_index_search(spark: SparkSession, index_dir: str,
                      queries: DataFrame, k: int,
                      vec_col: str = "embedding",
@@ -490,10 +603,12 @@ def ann_index_search(spark: SparkSession, index_dir: str,
     q, probed = _probed_queries(spark, index_dir, queries, vec_col,
                                 id_col, probe_adjacent,
                                 "ann_index_search")
-    corpus = (spark.read.parquet(cells)
-              .filter(F.col("cell").isin(probed))
-              .select("neighbor_id",
-                      F.col("vec").alias("neighbor_id_v"), "cell"))
+    corpus = _minus_deletes(
+        spark, index_dir,
+        spark.read.parquet(cells)
+        .filter(F.col("cell").isin(probed))
+        .select("neighbor_id",
+                F.col("vec").alias("neighbor_id_v"), "cell"))
     pairs = corpus.join(F.broadcast(q), "cell")
     if exclude_self:
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
@@ -514,7 +629,8 @@ def ann_index_search(spark: SparkSession, index_dir: str,
                           "rank"))
 
 
-def _quantized_shortlist(spark: SparkSession, cells: str,
+def _quantized_shortlist(spark: SparkSession, index_dir: str,
+                         cells: str,
                          q: DataFrame, probed: list, ranges: list,
                          shortlist: int, exclude_self: bool,
                          kernel: str = "arrow") -> DataFrame:
@@ -531,9 +647,11 @@ def _quantized_shortlist(spark: SparkSession, cells: str,
     64x index stress leg. Kernel choice only reorders the shortlist
     at 6-dp rounding margins; the exact rerank re-scores survivors
     either way (pytest pins top-k identity under both)."""
-    screen = (spark.read.parquet(cells)
-              .filter(F.col("cell").isin(probed))
-              .select("neighbor_id", "codes", "cell"))
+    screen = _minus_deletes(
+        spark, index_dir,
+        spark.read.parquet(cells)
+        .filter(F.col("cell").isin(probed))
+        .select("neighbor_id", "codes", "cell"))
     pairs = screen.join(F.broadcast(q), "cell")
     if exclude_self:
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
@@ -662,8 +780,8 @@ def ann_index_search_quantized(spark: SparkSession, index_dir: str,
     q, probed = _probed_queries(spark, index_dir, queries, vec_col,
                                 id_col, probe_adjacent,
                                 "ann_index_search_quantized")
-    cand = _quantized_shortlist(spark, cells, q, probed, ranges,
-                                shortlist, exclude_self,
+    cand = _quantized_shortlist(spark, index_dir, cells, q, probed,
+                                ranges, shortlist, exclude_self,
                                 screen_kernel)
     # the shortlist feeds TWO consumers (the semi-join below and
     # exact_rerank's broadcast): pin it so the whole screen scan +

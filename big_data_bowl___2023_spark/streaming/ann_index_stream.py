@@ -49,6 +49,7 @@ from ..similarity.index import (
     _CELLS,
     _META,
     _cells_path,
+    _minus_deletes,
     _read_meta,
     append_to_index,
     build_ann_index,
@@ -193,6 +194,11 @@ def compact_index(spark: SparkSession, index_dir: str,
     _, n_planes = _read_meta(spark, index_dir)
     df = df.withColumn(
         "cell", F.lpad(F.col("cell").cast("string"), n_planes, "0"))
+    # apply delete markers PHYSICALLY: the published version simply
+    # lacks the rows. The marker dir stays — older pinned versions
+    # still need it; clear_index_deletes is the explicit GC once
+    # vacuum has retired them (module contract).
+    df = _minus_deletes(spark, index_dir, df)
     pinned = None
     try:
         total_rows = df.count()

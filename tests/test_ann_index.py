@@ -152,7 +152,8 @@ def test_quantized_search_matches_exact_and_prunes_columns(
     q, probed = _probed_queries(spark, idx, queries, "embedding",
                                 "vec_id", True, "t")
     screen_plan = formatted_plan(_quantized_shortlist(
-        spark, idx, q, probed, _read_ranges(spark, idx), 25, True))
+        spark, idx, f"{idx}/cells/v=1", q, probed,
+        _read_ranges(spark, idx), 25, True))
     screen_schemas = [line for line in screen_plan.splitlines()
                       if "ReadSchema" in line
                       and "neighbor_id" in line]

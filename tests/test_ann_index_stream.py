@@ -327,3 +327,93 @@ def test_compaction_preserves_cell_directory_names(spark, sf_dir,
     ref = str(tmp_path / "ref")
     build_ann_index(emb, ref)
     assert _topk(spark, idx, queries) == _topk(spark, ref, queries)
+
+
+def test_delete_lifecycle(spark, sf_dir, tmp_path):
+    """E120 — the takedown path: delete markers hide ids from every
+    search family immediately (both tiers, every pinned version),
+    compaction applies them physically while keeping the markers for
+    older pinned versions, restore-on-append un-deletes re-added
+    ids, rebuilds reset markers, and clear_index_deletes is the
+    explicit GC."""
+    import os
+
+    from big_data_bowl___2023_spark.similarity import (
+        ann_index_search_quantized,
+        append_to_index,
+        clear_index_deletes,
+        delete_from_index,
+        index_cell_stats,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    idx = str(tmp_path / "idx")
+    build_ann_index(emb, idx, quantize=True)
+    base = _topk(spark, idx, queries)
+    victims = {nid for _, nid, _, _ in base[:6]}
+    assert victims
+
+    rep = delete_from_index(spark, idx, sorted(victims))
+    assert rep["deleted"] == len(victims)
+    assert index_cell_stats(spark, idx)["pending_deletes"] \
+        == len(victims)
+    # both search families exclude the ids immediately; ranks
+    # re-close over the survivors and results match a physical
+    # rebuild without the victims
+    ref = str(tmp_path / "ref")
+    build_ann_index(emb.filter(~F.col("vec_id").isin(victims)), ref,
+                    quantize=True)
+    assert _topk(spark, idx, queries) == _topk(spark, ref, queries)
+    got_q = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in ann_index_search_quantized(
+            spark, idx, queries, 5).collect())
+    ref_q = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in ann_index_search_quantized(
+            spark, ref, queries, 5).collect())
+    assert got_q == ref_q
+
+    # compaction applies physically; markers stay (older versions)
+    crep = compact_index(spark, idx)
+    rows_v2 = spark.read.parquet(f"{idx}/cells/v=2").count()
+    assert rows_v2 == emb.count() - len(victims)
+    assert os.path.exists(f"{idx}/_index_deletes")
+    assert _topk(spark, idx, queries) == _topk(spark, ref, queries)
+
+    # explicit GC after vacuum (all retained versions postdate the
+    # markers)
+    from big_data_bowl___2023_spark.streaming.ann_index_stream import (
+        vacuum_index,
+    )
+    vacuum_index(spark, idx)
+    assert clear_index_deletes(spark, idx)["cleared"] == len(victims)
+    assert not os.path.exists(f"{idx}/_index_deletes")
+    assert _topk(spark, idx, queries) == _topk(spark, ref, queries)
+
+    # restore-on-append: re-adding a deleted id serves it again
+    idx2 = str(tmp_path / "idx2")
+    build_ann_index(emb, idx2)
+    want = _topk(spark, idx2, queries)
+    one = sorted(victims)[0]
+    delete_from_index(spark, idx2, [one])
+    assert all(nid != one for _, nid, _, _ in
+               _topk(spark, idx2, queries))
+    append_to_index(emb.filter(F.col("vec_id") == one), idx2)
+    assert not os.path.exists(f"{idx2}/_index_deletes")
+    # the re-added row duplicates the original; search dedupes —
+    # results return to the pre-delete state
+    assert _topk(spark, idx2, queries) == want
+
+    # a rebuild resets markers (the corpus passed IS the intent)
+    delete_from_index(spark, idx2, [one])
+    build_ann_index(emb, idx2)
+    assert not os.path.exists(f"{idx2}/_index_deletes")
+    assert _topk(spark, idx2, queries) == want
+
+    # empty delete list: no dir created
+    idx3 = str(tmp_path / "idx3")
+    build_ann_index(emb.limit(50), idx3)
+    assert delete_from_index(spark, idx3, [])["deleted"] == 0
+    assert not os.path.exists(f"{idx3}/_index_deletes")
