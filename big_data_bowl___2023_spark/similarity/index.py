@@ -188,7 +188,8 @@ SATURATION_REBUILD_THRESHOLD = 0.01
 
 
 def _assign(df: DataFrame, vec_col: str, id_col: str,
-            dim: int, n_planes: int) -> DataFrame:
+            dim: int, n_planes: int,
+            keep_cols: tuple = ()) -> DataFrame:
     planes = _make_planes(dim, n_planes)
     cell = _cell_key(F.col("vec"), planes)
     # a wrong-dimension vector would zip_with-pad into NULL
@@ -212,7 +213,8 @@ def _assign(df: DataFrame, vec_col: str, id_col: str,
             F.lit(" for id "),
             F.col("neighbor_id").cast("string")))).otherwise(cell)
     return (df.select(F.col(id_col).alias("neighbor_id"),
-                      V.as_double(F.col(vec_col)).alias("vec"))
+                      V.as_double(F.col(vec_col)).alias("vec"),
+                      *[F.col(c) for c in keep_cols])
               .withColumn("cell", guarded))
 
 
@@ -221,7 +223,8 @@ def build_ann_index(corpus: DataFrame, index_dir: str,
                     vec_col: str = "embedding",
                     id_col: str = "vec_id",
                     quantize: bool = False,
-                    warn_skew: bool = True) -> None:
+                    warn_skew: bool = True,
+                    keep_cols: tuple = ()) -> None:
     """Write ``index_dir``: cell-partitioned corpus vectors + a
     one-row meta parquet. Overwrites an existing index whole (a
     rebuild, not a merge — incremental ingest is `append_to_index`),
@@ -243,11 +246,19 @@ def build_ann_index(corpus: DataFrame, index_dir: str,
     write (footer-only, no vector bytes) and warns when the hottest
     cell exceeds `CELL_SKEW_WARN_RATIO` × the uniform share — the
     anisotropic-corpus failure mode an operator must know at build
-    time, not at the first slow search."""
+    time, not at the first slow search.
+
+    ``keep_cols``: metadata columns stored alongside each vector for
+    FILTERED search (`ann_index_search(..., where=...)`) — e.g.
+    label, source, language. The stored schema is self-describing:
+    appends derive the kept columns from it (a batch missing one
+    refuses by name), and a search's predicate over them reaches the
+    parquet scan as a pushed filter on top of the partition pruning."""
     from .quantize import embedding_ranges, encode_codes
 
     spark = corpus.sparkSession
-    assigned = _assign(corpus, vec_col, id_col, dim, n_planes)
+    assigned = _assign(corpus, vec_col, id_col, dim, n_planes,
+                       tuple(keep_cols))
     ranges = None
     if quantize:
         ranges = embedding_ranges(corpus, vec_col, dim)
@@ -361,7 +372,21 @@ def append_to_index(batch: DataFrame, index_dir: str,
     spark = batch.sparkSession
     dim, n_planes = _read_meta(spark, index_dir)
     cells = _cells_path(spark, index_dir, None, "append_to_index")
-    assigned = _assign(batch, vec_col, id_col, dim, n_planes)
+    # the stored schema is self-describing: kept metadata columns
+    # (filtered-search surface) are whatever the layout carries
+    # beyond the core four — a batch missing one refuses by name
+    # instead of appending NULL-metadata rows a `where` filter would
+    # silently exclude
+    stored = set(spark.read.parquet(cells).schema.names)
+    kept = tuple(sorted(stored - {"neighbor_id", "vec", "codes",
+                                  "cell"}))
+    missing = [c for c in kept if c not in batch.columns]
+    if missing:
+        raise ValueError(
+            f"append_to_index: the index stores metadata columns "
+            f"{sorted(kept)} (keep_cols at build) but the batch "
+            f"lacks {missing}")
+    assigned = _assign(batch, vec_col, id_col, dim, n_planes, kept)
     ranges = _read_ranges(spark, index_dir)
     report = None
     if ranges is not None and monitor_saturation:
@@ -590,7 +615,8 @@ def ann_index_search(spark: SparkSession, index_dir: str,
                      probe_adjacent: bool = True,
                      score_kernel: str = "sql",
                      exclude_self: bool = True,
-                     version: int | None = None) -> DataFrame:
+                     version: int | None = None,
+                     where=None) -> DataFrame:
     """(query_id, neighbor_id, cosine, rank): `ivf_topk` semantics
     against the stored index. The probed cells are collected as a
     DISTINCT set (≤ 2^n_planes strings) and pushed as a partition
@@ -598,17 +624,26 @@ def ann_index_search(spark: SparkSession, index_dir: str,
     `plans.explain.assert_partition_pruned`-checkable. The scan PINS
     one published cell-layout version (latest at plan time, or
     ``version=`` to time-travel) — see the module's concurrency
-    contract."""
+    contract.
+
+    ``where`` (a Column or SQL string over the build's ``keep_cols``
+    metadata) makes this a FILTERED vector search: the predicate
+    applies to the pruned scan — reaching the parquet reader as a
+    pushed filter for simple comparisons — and ranks re-close over
+    the qualifying corpus, identical to searching an index built from
+    only the qualifying rows (pytest-pinned)."""
     cells = _cells_path(spark, index_dir, version, "ann_index_search")
     q, probed = _probed_queries(spark, index_dir, queries, vec_col,
                                 id_col, probe_adjacent,
                                 "ann_index_search")
+    scan = (spark.read.parquet(cells)
+            .filter(F.col("cell").isin(probed)))
+    if where is not None:
+        scan = scan.filter(where)
     corpus = _minus_deletes(
         spark, index_dir,
-        spark.read.parquet(cells)
-        .filter(F.col("cell").isin(probed))
-        .select("neighbor_id",
-                F.col("vec").alias("neighbor_id_v"), "cell"))
+        scan.select("neighbor_id",
+                    F.col("vec").alias("neighbor_id_v"), "cell"))
     pairs = corpus.join(F.broadcast(q), "cell")
     if exclude_self:
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
@@ -633,7 +668,8 @@ def _quantized_shortlist(spark: SparkSession, index_dir: str,
                          cells: str,
                          q: DataFrame, probed: list, ranges: list,
                          shortlist: int, exclude_self: bool,
-                         kernel: str = "arrow") -> DataFrame:
+                         kernel: str = "arrow",
+                         where=None) -> DataFrame:
     """(query_id, neighbor_id): the int8 screen — a pruned scan of
     ONLY (neighbor_id, codes), dequantized cosine vs the broadcast
     queries, duplicate pairs dropped, top ``shortlist`` per query.
@@ -647,11 +683,13 @@ def _quantized_shortlist(spark: SparkSession, index_dir: str,
     64x index stress leg. Kernel choice only reorders the shortlist
     at 6-dp rounding margins; the exact rerank re-scores survivors
     either way (pytest pins top-k identity under both)."""
+    scan = (spark.read.parquet(cells)
+            .filter(F.col("cell").isin(probed)))
+    if where is not None:
+        scan = scan.filter(where)
     screen = _minus_deletes(
         spark, index_dir,
-        spark.read.parquet(cells)
-        .filter(F.col("cell").isin(probed))
-        .select("neighbor_id", "codes", "cell"))
+        scan.select("neighbor_id", "codes", "cell"))
     pairs = screen.join(F.broadcast(q), "cell")
     if exclude_self:
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
@@ -734,8 +772,8 @@ def ann_index_search_quantized(spark: SparkSession, index_dir: str,
                                probe_adjacent: bool = True,
                                exclude_self: bool = True,
                                screen_kernel: str = "arrow",
-                               version: int | None = None
-                               ) -> DataFrame:
+                               version: int | None = None,
+                               where=None) -> DataFrame:
     """(query_id, neighbor_id, cosine, rank): two partition-pruned
     scans instead of one full-precision scan — the int8 screen reads
     ONLY (neighbor_id, codes) from the probed cells (¼ the vector
@@ -780,9 +818,12 @@ def ann_index_search_quantized(spark: SparkSession, index_dir: str,
     q, probed = _probed_queries(spark, index_dir, queries, vec_col,
                                 id_col, probe_adjacent,
                                 "ann_index_search_quantized")
+    # `where` filters the SCREEN only; the rerank corpus derives from
+    # the screened shortlist via the semi-join below, so it is
+    # transitively filtered without re-stating the predicate
     cand = _quantized_shortlist(spark, index_dir, cells, q, probed,
                                 ranges, shortlist, exclude_self,
-                                screen_kernel)
+                                screen_kernel, where)
     # the shortlist feeds TWO consumers (the semi-join below and
     # exact_rerank's broadcast): pin it so the whole screen scan +
     # window runs once (the engine's fan-out discipline). The pin

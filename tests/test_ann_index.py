@@ -266,3 +266,62 @@ def test_build_warns_on_skewed_corpus(spark, tmp_path):
         warnings.simplefilter("error", UserWarning)
         build_ann_index(skewed, str(tmp_path / "skidx2"), n_planes=4,
                         warn_skew=False)
+
+
+def test_filtered_search_matches_filtered_rebuild(spark, sf_dir,
+                                                  tmp_path):
+    """E121 — metadata-filtered vector search: a `where` predicate
+    over the build's keep_cols restricts BOTH search tiers to the
+    qualifying corpus, bit-identically to an index built from only
+    those rows, and the predicate reaches the parquet scan as a
+    pushed filter on top of the partition pruning."""
+    from big_data_bowl___2023_spark.similarity import (
+        ann_index_search_quantized,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    idx = str(tmp_path / "fidx")
+    build_ann_index(emb, idx, quantize=True, keep_cols=("label",))
+    ref = str(tmp_path / "ref")
+    build_ann_index(emb.filter(F.col("label") < 5), ref,
+                    quantize=True)
+
+    got = ann_index_search(spark, idx, queries, 5, where="label < 5")
+    assert _topk_rows(got) == _topk_rows(
+        ann_index_search(spark, ref, queries, 5))
+    got_q = ann_index_search_quantized(spark, idx, queries, 5,
+                                       where="label < 5")
+    assert _topk_rows(got_q) == _topk_rows(
+        ann_index_search_quantized(spark, ref, queries, 5))
+    # no predicate → full corpus, unchanged behavior
+    plain = str(tmp_path / "plain")
+    build_ann_index(emb, plain, quantize=True)
+    assert _topk_rows(ann_index_search(spark, idx, queries, 5)) \
+        == _topk_rows(ann_index_search(spark, plain, queries, 5))
+    # pushed to the reader: the scan carries the label predicate
+    plan = formatted_plan(got)
+    pushed = [line for line in plan.splitlines()
+              if "PushedFilters" in line and "label" in line]
+    assert pushed
+
+
+def test_append_validates_kept_metadata(spark, sf_dir, tmp_path):
+    """Appends derive keep_cols from the stored schema: a batch
+    missing one refuses BY NAME (NULL-metadata rows would be silently
+    invisible to every filtered search); a conforming batch lands and
+    is immediately filterable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "midx")
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.filter(F.col("vec_id") % 2 == 1)
+    build_ann_index(b1, idx, keep_cols=("label",))
+    with pytest.raises(ValueError, match="label"):
+        append_to_index(b2.drop("label"), idx)
+    append_to_index(b2, idx)
+    queries = emb.filter(F.col("vec_id") < 10)
+    ref = str(tmp_path / "mref")
+    build_ann_index(emb.filter(F.col("label") == 3), ref)
+    assert _topk_rows(ann_index_search(spark, idx, queries, 5,
+                                       where=F.col("label") == 3)) \
+        == _topk_rows(ann_index_search(spark, ref, queries, 5))
