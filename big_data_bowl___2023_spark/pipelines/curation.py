@@ -253,8 +253,12 @@ def curation_audit(docs: DataFrame, min_words: int = 50,
             # Attribute them HERE, where the cause is (review r10
             # finding: the anti-join at this boundary is always empty
             # and the husks were mislabeled exact_duplicate).
-            emptied = (frame.filter(F.trim(F.col("text")) == "")
-                       .select("doc_id"))
+            # "empty" must mean what the FINGERPRINT means by it: a
+            # husk reduced to whitespace/newlines only (trim strips
+            # spaces, not \n — review r10) normalizes to zero tokens
+            emptied = (frame.filter(
+                F.size(Tx.norm_tokens(F.col("text"))) == 0)
+                .select("doc_id"))
             parts.append(prev.join(emptied, "doc_id", "semi")
                          .withColumn("stage", F.lit(key))
                          .withColumn("reason",

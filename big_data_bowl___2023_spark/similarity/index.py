@@ -296,11 +296,13 @@ def build_ann_index(corpus: DataFrame, index_dir: str,
     # to be trended alongside the new ones — and its delete markers
     # describe rows the fresh corpus may legitimately re-include
     # (the corpus passed to a rebuild IS the serving intent)
+    from ..sources.io import drop_state_dir
+
     jvm = spark._jvm
-    for artifact in (_SATURATION, _DELETES):
-        jp = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{artifact}")
-        jp.getFileSystem(spark._jsc.hadoopConfiguration()) \
-            .delete(jp, True)
+    jsat = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{_SATURATION}")
+    jsat.getFileSystem(spark._jsc.hadoopConfiguration()) \
+        .delete(jsat, True)
+    drop_state_dir(spark, f"{index_dir}/{_DELETES}")
     (spark.createDataFrame([(int(dim), int(n_planes))],
                            "dim int, n_planes int")
      .write.mode("overwrite").parquet(f"{index_dir}/{_META}"))
@@ -398,28 +400,25 @@ def append_to_index(batch: DataFrame, index_dir: str,
      .parquet(cells))
     # restore-on-append: re-adding an id is the intent to serve it
     # again — drop any delete marker the batch's ids match (the
-    # curated-corpus tombstone-restore rule). Read-modify-write of
-    # the (takedown-sized) marker dir under a truncating pin.
+    # curated-corpus tombstone-restore rule). The rewrite goes
+    # through `io.replace_state_dir` (staged + swap): an in-place
+    # overwrite would lose EVERY marker — including takedowns for
+    # unrelated ids — on a mid-write crash (review r10).
     dels = _read_deletes(spark, index_dir)
     if dels is not None:
+        from ..sources.io import drop_state_dir, replace_state_dir
+
         batch_ids = batch.select(
             F.col(id_col).alias("neighbor_id")).distinct()
         hit = dels.join(batch_ids, "neighbor_id", "semi")
         if hit.take(1):
-            from ..session import pin
-
-            remaining = pin(
-                dels.join(batch_ids, "neighbor_id", "left_anti"),
-                truncate=True)
+            remaining = dels.join(batch_ids, "neighbor_id",
+                                  "left_anti")
             if remaining.take(1):
-                remaining.write.mode("overwrite").parquet(
-                    f"{index_dir}/{_DELETES}")
+                replace_state_dir(remaining,
+                                  f"{index_dir}/{_DELETES}")
             else:
-                jvm = spark._jvm
-                jd = jvm.org.apache.hadoop.fs.Path(
-                    f"{index_dir}/{_DELETES}")
-                jd.getFileSystem(
-                    spark._jsc.hadoopConfiguration()).delete(jd, True)
+                drop_state_dir(spark, f"{index_dir}/{_DELETES}")
     if report is not None:
         (spark.createDataFrame(
             [(int(report["rows"]), int(report["rows_clipped"]),
@@ -513,8 +512,10 @@ def index_cell_stats(spark: SparkSession, index_dir: str,
         "version": int(tail[2:]) if tail.startswith("v=") else 0,
         # stats are PHYSICAL occupancy; pending deletes are hidden
         # from searches but still cost scan bytes until a compaction
-        # applies them
-        "pending_deletes": dels.count() if dels is not None else 0,
+        # applies them (distinct ids — re-issued markers don't
+        # inflate the number)
+        "pending_deletes": (dels.select("neighbor_id").distinct()
+                            .count() if dels is not None else 0),
         "n_rows": n_rows,
         "n_cells": len(shares),
         "expected_cells": expected,
@@ -549,26 +550,36 @@ def _probed_queries(spark: SparkSession, index_dir: str,
 
 def _read_deletes(spark: SparkSession,
                   index_dir: str) -> DataFrame | None:
-    """The delete-marker ids, or None when none have been issued.
-    Hadoop-FS existence check like `_read_ranges`."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{_DELETES}")
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(jpath):
-        return None
-    return spark.read.parquet(f"{index_dir}/{_DELETES}")
+    """The delete-marker ids, or None when none have been issued —
+    via `io.read_state_dir`, so a restore-on-append crash mid-swap
+    falls back to the parked previous markers (one step stale =
+    previously-hidden ids stay hidden; markers never vanish)."""
+    from ..sources.io import read_state_dir
+
+    return read_state_dir(spark, f"{index_dir}/{_DELETES}")
 
 
 def _minus_deletes(spark: SparkSession, index_dir: str,
                    corpus: DataFrame) -> DataFrame:
-    """Anti-join the delete markers out of an index scan — broadcast
-    (takedown-list-sized), a no-op plan when no markers exist."""
+    """Anti-join the delete markers out of an index scan. The marker
+    ids are COLLECTED at plan time into a local relation (bounded —
+    takedown lists are small by nature), so the search plan carries
+    VALUES, never references to the marker files: a concurrent
+    restore-on-append rewriting or deleting the marker dir cannot
+    fail an in-flight search (review r10 — a file-backed anti-join
+    broke the 'searches need no coordination' contract), and every
+    search sees one consistent marker snapshot. No-op when no
+    markers exist."""
     dels = _read_deletes(spark, index_dir)
     if dels is None:
         return corpus
-    return corpus.join(
-        F.broadcast(dels.select("neighbor_id").distinct()),
-        "neighbor_id", "left_anti")
+    rows = dels.select("neighbor_id").distinct().collect()
+    if not rows:
+        return corpus
+    local = spark.createDataFrame(rows, dels.select("neighbor_id")
+                                  .schema)
+    return corpus.join(F.broadcast(local), "neighbor_id",
+                       "left_anti")
 
 
 def delete_from_index(spark: SparkSession, index_dir: str,
@@ -580,12 +591,24 @@ def delete_from_index(spark: SparkSession, index_dir: str,
     `compact_index`; marker GC is `clear_index_deletes` (see the
     module contract for the ordering rules). A maintenance WRITE:
     serialize with appends/compactions/vacuums. Returns
-    {"deleted": n}."""
+    {"deleted": n} — distinct NEW-call ids; re-issuing a marker is a
+    harmless set-membership no-op.
+
+    Markers are stored AS THE INDEX'S id type (read from the cell
+    schema), whatever branch supplied them — mixed-type appends into
+    one marker dir would brick every later search's read."""
+    if not isinstance(ids, DataFrame) and not ids:
+        return {"deleted": 0}
+    cells = _cells_path(spark, index_dir, None, "delete_from_index")
+    id_type = spark.read.parquet(cells).schema["neighbor_id"].dataType
     if isinstance(ids, DataFrame):
-        dels = ids.select(F.col(ids.columns[0]).alias("neighbor_id"))
+        dels = ids.select(F.col(ids.columns[0]).cast(id_type)
+                          .alias("neighbor_id"))
     else:
         dels = spark.createDataFrame(
-            [(int(i),) for i in ids], "neighbor_id long")
+            [(i,) for i in ids], ["neighbor_id"]) \
+            .select(F.col("neighbor_id").cast(id_type)
+                    .alias("neighbor_id"))
     dels = dels.distinct()
     n = dels.count()
     if n:
@@ -599,12 +622,12 @@ def clear_index_deletes(spark: SparkSession, index_dir: str) -> dict:
     applied them physically and vacuum retired the pre-delete
     versions); clearing earlier resurrects deleted rows in any older
     pinned version. Returns {"cleared": n}."""
+    from ..sources.io import drop_state_dir
+
     dels = _read_deletes(spark, index_dir)
-    n = dels.count() if dels is not None else 0
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{_DELETES}")
-    jpath.getFileSystem(spark._jsc.hadoopConfiguration()) \
-        .delete(jpath, True)
+    n = (dels.select("neighbor_id").distinct().count()
+         if dels is not None else 0)
+    drop_state_dir(spark, f"{index_dir}/{_DELETES}")
     return {"cleared": n}
 
 

@@ -523,3 +523,83 @@ def compact_parquet(spark: SparkSession, path: str,
     after = len(_list_parquet(root))
     return {"files_before": len(before), "files_after": after,
             "bytes": total_bytes}
+
+
+def replace_state_dir(df: DataFrame, path: str) -> None:
+    """Replace a SMALL state-carrying parquet dir (delete markers,
+    tombstone indexes) with ``df``'s rows, crash-safely: the new rows
+    COMMIT to a ``__new`` staging dir first, then two renames swap it
+    live with the old state parked at ``__bak`` until the swap
+    completes. An in-place ``mode("overwrite")`` deletes the old
+    files before the new ones commit — a crash there LOSES the state
+    (review r10: compliance markers vanishing is strictly worse than
+    any staleness). Worst crash window here leaves the PRE-replace
+    state at ``__bak``, which :func:`read_state_dir` falls back to —
+    state can regress one step (conservative: previously-hidden rows
+    stay hidden), never vanish. A prior crash is healed at entry.
+    Safe to call with a ``df`` whose lineage READS ``path``: the
+    write targets the staging dir, and the renames move files without
+    recomputation."""
+    spark = df.sparkSession
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def _jp(p):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    live = _jp(path.rstrip("/"))
+    tmp = _jp(path.rstrip("/") + "__new")
+    bak = _jp(path.rstrip("/") + "__bak")
+    fs = live.getFileSystem(conf)
+    if not fs.exists(live) and fs.exists(bak):
+        fs.rename(bak, live)                 # heal a prior mid-swap
+    fs.delete(tmp, True)
+    try:
+        df.write.mode("overwrite").parquet(tmp.toString())
+    except Exception:
+        fs.delete(tmp, True)
+        raise
+    fs.delete(bak, True)
+    swapped = False
+    try:
+        if fs.exists(live):
+            if not fs.rename(live, bak):
+                raise IOError(f"rename {live} -> {bak} failed")
+            swapped = True
+        if not fs.rename(tmp, live):
+            raise IOError(f"rename {tmp} -> {live} failed")
+    except Exception:
+        if swapped and not fs.exists(live):
+            fs.rename(bak, live)
+        fs.delete(tmp, True)
+        raise
+    fs.delete(bak, True)
+    spark.catalog.refreshByPath(path)
+
+
+def read_state_dir(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a `replace_state_dir`-managed dir: the live dir, else the
+    ``__bak`` parked by a mid-swap crash (one step stale —
+    conservative for hide-lists), else None."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    live = jvm.org.apache.hadoop.fs.Path(path.rstrip("/"))
+    fs = live.getFileSystem(conf)
+    if fs.exists(live):
+        return spark.read.parquet(path)
+    bak = path.rstrip("/") + "__bak"
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(bak)):
+        return spark.read.parquet(bak)
+    return None
+
+
+def drop_state_dir(spark: SparkSession, path: str) -> None:
+    """Delete a `replace_state_dir`-managed dir AND its crash
+    leftovers (``__bak`` / ``__new``) — a GC that leaves a stale
+    backup behind would resurrect the state at the next read."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    for p in (path.rstrip("/"), path.rstrip("/") + "__bak",
+              path.rstrip("/") + "__new"):
+        jp = jvm.org.apache.hadoop.fs.Path(p)
+        jp.getFileSystem(conf).delete(jp, True)

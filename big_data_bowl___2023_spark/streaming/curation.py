@@ -345,9 +345,10 @@ def read_curated(spark, out_dir: str) -> DataFrame:
     shuffle; tombstones are diff-sized and broadcast), matching the
     physical-rewrite semantics `compact_curated` applies later."""
     from ..dedup.exact import fingerprint_docs
+    from ..sources.io import read_state_dir
 
     corpus = spark.read.parquet(out_dir)
-    tombs = _read_parquet_if_present(spark, _tombstone_dir(out_dir))
+    tombs = read_state_dir(spark, _tombstone_dir(out_dir))
     if tombs is None:
         return corpus
     return (fingerprint_docs(corpus)
@@ -371,14 +372,8 @@ def compact_curated(spark, out_dir: str) -> dict:
     Stop-the-world per directory like every swap compactor here —
     schedule when no reader is mid-scan. Returns {"rows_before",
     "rows_after", "tombstones_cleared"}."""
-    tomb_dir = _tombstone_dir(out_dir)
-    tombs = _read_parquet_if_present(spark, tomb_dir)
-    before = spark.read.parquet(out_dir).count()
-    if tombs is None:
-        return {"rows_before": before, "rows_after": before,
-                "tombstones_cleared": 0}
-    n_tombs = tombs.count()
-    view = read_curated(spark, out_dir)
+    from ..sources.io import drop_state_dir, read_state_dir
+
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
 
@@ -387,6 +382,23 @@ def compact_curated(spark, out_dir: str) -> dict:
 
     root = _jp(out_dir.rstrip("/"))
     fs = root.getFileSystem(conf)
+    # heal a prior hard kill between the two renames: live dir gone,
+    # data parked at _compact_old — restore it BEFORE the read, or
+    # the rerun could never reach any recovery code (review r10)
+    old_bak = _jp(out_dir.rstrip("/") + "_compact_old")
+    if not fs.exists(root) and fs.exists(old_bak):
+        if not fs.rename(old_bak, root):
+            raise IOError(
+                f"failed to restore crashed compaction backup "
+                f"{old_bak}")
+    tomb_dir = _tombstone_dir(out_dir)
+    tombs = read_state_dir(spark, tomb_dir)
+    before = spark.read.parquet(out_dir).count()
+    if tombs is None:
+        return {"rows_before": before, "rows_after": before,
+                "tombstones_cleared": 0}
+    n_tombs = tombs.count()
+    view = read_curated(spark, out_dir)
     tmp = _jp(out_dir.rstrip("/") + "_compacting")
     backup = _jp(out_dir.rstrip("/") + "_compact_old")
     fs.delete(tmp, True)
@@ -412,7 +424,7 @@ def compact_curated(spark, out_dir: str) -> dict:
         fs.delete(tmp, True)
         raise
     fs.delete(backup, True)
-    fs.delete(_jp(tomb_dir), True)
+    drop_state_dir(spark, tomb_dir)
     spark.catalog.refreshByPath(out_dir)
     return {"rows_before": before, "rows_after": after,
             "tombstones_cleared": n_tombs}
@@ -503,8 +515,14 @@ def apply_snapshot_diff(spark, old_docs: DataFrame,
                      truncate=True)
     n_tomb = tombstones.count()
 
+    from ..sources.io import (
+        drop_state_dir,
+        read_state_dir,
+        replace_state_dir,
+    )
+
     tomb_dir = _tombstone_dir(out_dir)
-    existing = _read_parquet_if_present(spark, tomb_dir)
+    existing = read_state_dir(spark, tomb_dir)
     # restores: incoming versions matching one of their OWN
     # tombstones — the doc is reverting; un-hide the original row
     # instead of losing it to the sticky index
@@ -517,10 +535,17 @@ def apply_snapshot_diff(spark, old_docs: DataFrame,
     remaining = pool.join(restored, ["doc_id", "fingerprint"],
                           "left_anti")
     if n_restored > 0:
-        # read-modify-write of the (diff-sized) tombstone dir: the
-        # truncating pin severs lineage from the files being replaced
-        pin(remaining, truncate=True).write.mode("overwrite") \
-            .parquet(tomb_dir)
+        # the rewrite goes through io.replace_state_dir (staged +
+        # swap with a parked backup): an in-place overwrite would
+        # lose EVERY accumulated tombstone — including unrelated
+        # takedowns — on a mid-write crash (review r10). A fully
+        # restored pool DELETES the dir rather than writing a
+        # zero-row one (whose mere existence flips read_curated onto
+        # the fingerprint path forever).
+        if remaining.take(1):
+            replace_state_dir(remaining, tomb_dir)
+        else:
+            drop_state_dir(spark, tomb_dir)
     elif n_tomb > 0:
         tombstones.write.mode("append").parquet(tomb_dir)
     # else: nothing to hide — never create an empty tombstone dir
