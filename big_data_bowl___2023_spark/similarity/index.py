@@ -186,6 +186,17 @@ CELL_SKEW_WARN_RATIO = 8.0
 # screen ordering starts losing true neighbors at the margins.
 SATURATION_REBUILD_THRESHOLD = 0.01
 
+# Growth bound for the takedown path (verdict r10): below this many
+# DISTINCT pending delete markers a search plans them as a collected
+# VALUES list (tear-proof, zero marker-file references); past it the
+# collect would be the repo's one unbounded-by-construction driver
+# hazard, so `_minus_deletes` switches to an eager-localCheckpoint
+# broadcast anti-join (same snapshot isolation, rows never transit
+# the driver), `delete_from_index` warns, and `index_cell_stats`
+# flags `compact_recommended`. 64k ids × ~16 B ≈ 1 MB of plan
+# literals — the most a search plan should ever carry.
+DELETE_MARKER_VALUES_CAP = 65536
+
 
 def _assign(df: DataFrame, vec_col: str, id_col: str,
             dim: int, n_planes: int,
@@ -508,14 +519,19 @@ def index_cell_stats(spark: SparkSession, index_dir: str,
     probe = min(n_planes + 1, len(shares))
     tail = cells.rsplit("/", 1)[1]
     dels = _read_deletes(spark, index_dir)
+    pending = (dels.select("neighbor_id").distinct().count()
+               if dels is not None else 0)
     return {
         "version": int(tail[2:]) if tail.startswith("v=") else 0,
         # stats are PHYSICAL occupancy; pending deletes are hidden
         # from searches but still cost scan bytes until a compaction
         # applies them (distinct ids — re-issued markers don't
         # inflate the number)
-        "pending_deletes": (dels.select("neighbor_id").distinct()
-                            .count() if dels is not None else 0),
+        "pending_deletes": pending,
+        # the operator nudge (verdict r10): past the cap every
+        # search pays the checkpoint-broadcast marker path —
+        # compact_index applies the markers physically and resets it
+        "compact_recommended": pending > DELETE_MARKER_VALUES_CAP,
         "n_rows": n_rows,
         "n_cells": len(shares),
         "expected_cells": expected,
@@ -561,25 +577,50 @@ def _read_deletes(spark: SparkSession,
 
 def _minus_deletes(spark: SparkSession, index_dir: str,
                    corpus: DataFrame) -> DataFrame:
-    """Anti-join the delete markers out of an index scan. The marker
-    ids are COLLECTED at plan time into a local relation (bounded —
-    takedown lists are small by nature), so the search plan carries
-    VALUES, never references to the marker files: a concurrent
+    """Anti-join the delete markers out of an index scan. Below
+    `DELETE_MARKER_VALUES_CAP` distinct ids the markers are COLLECTED
+    at plan time into a driver-local relation (parallelized rows), so
+    the search plan carries literal values, never references to the
+    marker files: a concurrent
     restore-on-append rewriting or deleting the marker dir cannot
     fail an in-flight search (review r10 — a file-backed anti-join
     broke the 'searches need no coordination' contract), and every
-    search sees one consistent marker snapshot. No-op when no
-    markers exist."""
+    search sees one consistent marker snapshot. PAST the cap (a
+    compliance sweep that out-ran compaction) the collect would make
+    every search plan a multi-MB literal list and a driver hazard
+    (verdict r10 — the repo's only unbounded-by-construction
+    collect), so the ids switch to an EAGER `localCheckpoint`
+    broadcast anti-join instead: the checkpoint materializes one
+    marker snapshot into block storage at plan time — the plan still
+    carries zero marker-file references, the rows never transit the
+    driver, and survivors are identical (same distinct-id left_anti;
+    mode choice + identity pytest-pinned). No-op when no markers
+    exist."""
+    global _last_marker_mode
     dels = _read_deletes(spark, index_dir)
     if dels is None:
+        _last_marker_mode = "none"
         return corpus
-    rows = dels.select("neighbor_id").distinct().collect()
+    ids = dels.select("neighbor_id").distinct()
+    # one job either way: fetch cap+1 — a full result means "over"
+    rows = ids.limit(DELETE_MARKER_VALUES_CAP + 1).collect()
     if not rows:
+        _last_marker_mode = "none"
         return corpus
-    local = spark.createDataFrame(rows, dels.select("neighbor_id")
-                                  .schema)
+    if len(rows) <= DELETE_MARKER_VALUES_CAP:
+        _last_marker_mode = "values"
+        local = spark.createDataFrame(rows, ids.schema)
+    else:
+        _last_marker_mode = "checkpoint"
+        local = ids.localCheckpoint(eager=True)
     return corpus.join(F.broadcast(local), "neighbor_id",
                        "left_anti")
+
+
+# observability breadcrumb: which marker path the LAST _minus_deletes
+# call took ("none" / "values" / "checkpoint") — read by the mode-
+# choice pytest; never consulted by engine code
+_last_marker_mode = "none"
 
 
 def delete_from_index(spark: SparkSession, index_dir: str,
@@ -596,23 +637,60 @@ def delete_from_index(spark: SparkSession, index_dir: str,
 
     Markers are stored AS THE INDEX'S id type (read from the cell
     schema), whatever branch supplied them — mixed-type appends into
-    one marker dir would brick every later search's read."""
+    one marker dir would brick every later search's read. An id that
+    CANNOT be cast to that type raises (ADVICE r10: the cast turned
+    it into a NULL marker that no anti-join ever matches — a takedown
+    that silently did not take down, while still being counted); NULL
+    input ids are dropped and not counted. When the pending-marker
+    set crosses `DELETE_MARKER_VALUES_CAP` this warns to run
+    `compact_index` (which applies markers physically)."""
     if not isinstance(ids, DataFrame) and not ids:
         return {"deleted": 0}
     cells = _cells_path(spark, index_dir, None, "delete_from_index")
     id_type = spark.read.parquet(cells).schema["neighbor_id"].dataType
     if isinstance(ids, DataFrame):
-        dels = ids.select(F.col(ids.columns[0]).cast(id_type)
-                          .alias("neighbor_id"))
+        raw = ids.select(F.col(ids.columns[0]).alias("__raw"))
     else:
-        dels = spark.createDataFrame(
-            [(i,) for i in ids], ["neighbor_id"]) \
-            .select(F.col("neighbor_id").cast(id_type)
-                    .alias("neighbor_id"))
-    dels = dels.distinct()
+        raw = spark.createDataFrame([(i,) for i in ids], ["__raw"])
+    # try_cast, not cast: ANSI mode would abort the job mid-task on
+    # the first malformed id; try_cast lets the check below name ALL
+    # the offenders in one error (and non-ANSI cast's silent NULL is
+    # exactly the silent-no-op this guards against)
+    cast = raw.select("__raw", F.col("__raw").try_cast(id_type)
+                      .alias("neighbor_id"))
+    bad = [r["__raw"] for r in
+           cast.filter(F.col("__raw").isNotNull()
+                       & F.col("neighbor_id").isNull())
+           .select("__raw").distinct().limit(10).collect()]
+    if bad:
+        raise TypeError(
+            f"delete_from_index: ids {bad} cannot be cast to the "
+            f"index id type {id_type.simpleString()} — the takedown "
+            f"would silently not take down those rows")
+    dels = (cast.select("neighbor_id")
+            .filter(F.col("neighbor_id").isNotNull()).distinct())
     n = dels.count()
     if n:
+        from ..sources.io import heal_state_dir
+
+        # ADVICE r10: appending after an unhealed mid-swap crash
+        # creates a fresh live dir that shadows the parked __bak,
+        # silently resurrecting every pre-crash marker
+        heal_state_dir(spark, f"{index_dir}/{_DELETES}")
         dels.write.mode("append").parquet(f"{index_dir}/{_DELETES}")
+        pending = (_read_deletes(spark, index_dir)
+                   .select("neighbor_id").distinct().count())
+        if pending > DELETE_MARKER_VALUES_CAP:
+            import warnings
+
+            warnings.warn(
+                f"ANN index {index_dir}: {pending} pending delete "
+                f"markers exceed DELETE_MARKER_VALUES_CAP="
+                f"{DELETE_MARKER_VALUES_CAP} — searches have "
+                f"switched to the checkpoint-broadcast marker path; "
+                f"run compact_index to apply the markers physically "
+                f"(then vacuum_index + clear_index_deletes per the "
+                f"GC ordering rules)", stacklevel=2)
     return {"deleted": n}
 
 

@@ -536,10 +536,15 @@ def replace_state_dir(df: DataFrame, path: str) -> None:
     any staleness). Worst crash window here leaves the PRE-replace
     state at ``__bak``, which :func:`read_state_dir` falls back to —
     state can regress one step (conservative: previously-hidden rows
-    stay hidden), never vanish. A prior crash is healed at entry.
-    Safe to call with a ``df`` whose lineage READS ``path``: the
-    write targets the staging dir, and the renames move files without
-    recomputation."""
+    stay hidden), never vanish. A prior crash is healed AFTER the
+    staged write, not before: callers build ``df`` from
+    :func:`read_state_dir`, whose post-crash fallback reads ``__bak``
+    — healing first would rename the very files the write is about to
+    recompute from (ADVICE r10: the documented crash-recovery path
+    failed with FileNotFoundException on its first exercise). Safe to
+    call with a ``df`` whose lineage READS ``path`` (live or
+    ``__bak``): the write targets the staging dir, and the renames
+    move files without recomputation."""
     spark = df.sparkSession
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
@@ -551,14 +556,18 @@ def replace_state_dir(df: DataFrame, path: str) -> None:
     tmp = _jp(path.rstrip("/") + "__new")
     bak = _jp(path.rstrip("/") + "__bak")
     fs = live.getFileSystem(conf)
-    if not fs.exists(live) and fs.exists(bak):
-        fs.rename(bak, live)                 # heal a prior mid-swap
     fs.delete(tmp, True)
     try:
+        # Materialize FIRST: if a prior replace crashed mid-swap the
+        # state lives only at __bak and df's lineage points there —
+        # this write is the last moment those files are guaranteed
+        # to exist under that name.
         df.write.mode("overwrite").parquet(tmp.toString())
     except Exception:
         fs.delete(tmp, True)
         raise
+    if not fs.exists(live) and fs.exists(bak):
+        fs.rename(bak, live)                 # heal a prior mid-swap
     fs.delete(bak, True)
     swapped = False
     try:
@@ -575,6 +584,31 @@ def replace_state_dir(df: DataFrame, path: str) -> None:
         raise
     fs.delete(bak, True)
     spark.catalog.refreshByPath(path)
+
+
+def heal_state_dir(spark: SparkSession, path: str) -> bool:
+    """Heal a crash-parked `replace_state_dir` swap: when the live
+    dir is ABSENT and the pre-crash state sits at ``__bak``, rename
+    it back live. MUST be called before any ``mode("append")`` write
+    into a state dir (ADVICE r10: an append after an unhealed crash
+    creates a fresh live dir holding only the new rows, and
+    :func:`read_state_dir` — which prefers live — then permanently
+    ignores the parked markers, silently resurrecting every
+    pre-crash takedown/tombstone). Reads stay write-free: the heal
+    belongs to WRITERS, which the maintenance lease already
+    serializes. Returns True when a heal happened."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    live = jvm.org.apache.hadoop.fs.Path(path.rstrip("/"))
+    bak = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__bak")
+    fs = live.getFileSystem(conf)
+    if not fs.exists(live) and fs.exists(bak):
+        if not fs.rename(bak, live):
+            raise IOError(f"heal_state_dir: rename {bak} -> {live} "
+                          f"failed")
+        spark.catalog.refreshByPath(path)
+        return True
+    return False
 
 
 def read_state_dir(spark: SparkSession, path: str) -> DataFrame | None:

@@ -517,11 +517,18 @@ def apply_snapshot_diff(spark, old_docs: DataFrame,
 
     from ..sources.io import (
         drop_state_dir,
+        heal_state_dir,
         read_state_dir,
         replace_state_dir,
     )
 
     tomb_dir = _tombstone_dir(out_dir)
+    # ADVICE r10: heal a crash-parked swap BEFORE reading — the
+    # append branch below would otherwise create a fresh live dir
+    # that shadows the parked __bak, silently resurrecting every
+    # pre-crash tombstone. apply_snapshot_diff is a maintenance
+    # WRITER (serialized by contract), so the heal is its to do.
+    heal_state_dir(spark, tomb_dir)
     existing = read_state_dir(spark, tomb_dir)
     # restores: incoming versions matching one of their OWN
     # tombstones — the doc is reverting; un-hide the original row

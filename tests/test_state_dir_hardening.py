@@ -1,0 +1,207 @@
+"""State-dir crash hardening (ADVICE r10 + verdict r10 #1).
+
+Contracts under test:
+* an append-mode write into a `replace_state_dir`-managed dir HEALS
+  a crash-parked ``__bak`` first — new markers/tombstones join the
+  pre-crash state instead of shadowing it (ADVICE r10 medium: the
+  shadow silently resurrected every pre-crash takedown);
+* `replace_state_dir` called with a DataFrame whose lineage reads
+  the ``__bak`` fallback (the documented post-crash recovery path)
+  succeeds — the staged write materializes BEFORE the entry heal
+  renames the files away (ADVICE r10 low);
+* `delete_from_index` raises on ids the index id type cannot
+  represent instead of writing NULL markers that never match
+  (ADVICE r10 low), and drops NULL inputs uncounted;
+* past `DELETE_MARKER_VALUES_CAP` distinct markers, searches switch
+  from the plan-time VALUES list to the eager-localCheckpoint
+  broadcast anti-join with IDENTICAL survivors, `delete_from_index`
+  warns, and `index_cell_stats` flags ``compact_recommended``
+  (verdict r10 #1 — bounding the one unbounded driver collect).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import big_data_bowl___2023_spark.similarity.index as index_mod
+from big_data_bowl___2023_spark.similarity import (
+    ann_index_search,
+    append_to_index,
+    build_ann_index,
+    delete_from_index,
+    index_cell_stats,
+)
+from big_data_bowl___2023_spark.sources.io import (
+    heal_state_dir,
+    load_table,
+    read_state_dir,
+    replace_state_dir,
+)
+
+
+def _topk(spark, idx, queries, k=5):
+    return sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in ann_index_search(spark, idx, queries, k).collect())
+
+
+def _park(path):
+    """Simulate a replace_state_dir crash between its two renames:
+    the live dir vanishes mid-swap and the state survives only at
+    ``__bak``."""
+    os.rename(path, path + "__bak")
+
+
+def test_delete_append_heals_parked_markers(spark, sf_dir, tmp_path):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    idx = str(tmp_path / "idx")
+    build_ann_index(emb, idx)
+    base = _topk(spark, idx, queries)
+    first = base[0][1]
+    second = next(nid for _, nid, _, _ in base if nid != first)
+
+    delete_from_index(spark, idx, [first])
+    _park(f"{idx}/_index_deletes")
+    # pre-fix: this append created a fresh live dir holding only
+    # `second`, and read_state_dir's live preference resurrected
+    # `first` forever
+    delete_from_index(spark, idx, [second])
+    assert not os.path.exists(f"{idx}/_index_deletes__bak")
+    survivors = {nid for _, nid, _, _ in _topk(spark, idx, queries)}
+    assert first not in survivors and second not in survivors
+
+
+def test_snapshot_diff_append_heals_parked_tombstones(spark,
+                                                      tmp_path):
+    from big_data_bowl___2023_spark.streaming import (
+        apply_snapshot_diff,
+        make_curation_ingest_batch_fn,
+        read_curated,
+    )
+
+    def _doc(i, tag):
+        return (i, "src", " ".join(
+            f"w{i}{tag}token{j} common filler text segment"
+            for j in range(13)))
+
+    out = str(tmp_path / "curated")
+    fp_idx = str(tmp_path / "fp_idx")
+    old = spark.createDataFrame(
+        [_doc(1, "a"), _doc(2, "a"), _doc(3, "a")],
+        "doc_id long, source string, text string")
+    make_curation_ingest_batch_fn(out, fp_idx, min_words=10)(old, 0)
+
+    # snapshot 2 removes doc 1 -> tombstone
+    snap2 = spark.createDataFrame(
+        [_doc(2, "a"), _doc(3, "a")],
+        "doc_id long, source string, text string")
+    apply_snapshot_diff(spark, old, snap2, out, fp_idx, batch_id=1,
+                        min_words=10)
+    assert {r.doc_id for r in read_curated(spark, out).collect()} \
+        == {2, 3}
+
+    _park(out + "_tombstones")
+    # snapshot 3 removes doc 2 -> a tombstone APPEND; pre-fix it
+    # shadowed the parked __bak and doc 1 came back from the dead
+    snap3 = spark.createDataFrame(
+        [_doc(3, "a")], "doc_id long, source string, text string")
+    apply_snapshot_diff(spark, snap2, snap3, out, fp_idx, batch_id=2,
+                        min_words=10)
+    assert not os.path.exists(out + "_tombstones__bak")
+    assert {r.doc_id for r in read_curated(spark, out).collect()} \
+        == {3}
+
+
+def test_replace_state_dir_from_bak_fallback_lineage(spark,
+                                                     tmp_path):
+    state = str(tmp_path / "state")
+    replace_state_dir(
+        spark.createDataFrame([(i,) for i in range(6)], ["id"]),
+        state)
+    _park(state)
+    # the documented recovery path: read falls back to __bak, the
+    # caller rewrites through replace_state_dir with that lineage
+    kept = read_state_dir(spark, state).filter(F.col("id") < 3)
+    replace_state_dir(kept, state)          # pre-fix: FileNotFound
+    assert not os.path.exists(state + "__bak")
+    assert sorted(r["id"] for r in
+                  read_state_dir(spark, state).collect()) == [0, 1, 2]
+
+
+def test_restore_on_append_after_marker_crash(spark, sf_dir,
+                                              tmp_path):
+    """append_to_index's restore path, exercised with the marker
+    state crash-parked at __bak: the rewrite must succeed and keep
+    the unrelated marker."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    idx = str(tmp_path / "idx")
+    build_ann_index(emb, idx)
+    base = _topk(spark, idx, queries)
+    first = base[0][1]
+    second = next(nid for _, nid, _, _ in base if nid != first)
+    delete_from_index(spark, idx, [first, second])
+    _park(f"{idx}/_index_deletes")
+
+    append_to_index(emb.filter(F.col("vec_id") == first), idx)
+    survivors = {nid for _, nid, _, _ in _topk(spark, idx, queries)}
+    assert first in survivors          # restored by the re-add
+    assert second not in survivors     # unrelated marker survived
+
+
+def test_heal_state_dir_noop_cases(spark, tmp_path):
+    state = str(tmp_path / "state")
+    assert heal_state_dir(spark, state) is False     # nothing there
+    replace_state_dir(
+        spark.createDataFrame([(1,)], ["id"]), state)
+    assert heal_state_dir(spark, state) is False     # live healthy
+    _park(state)
+    assert heal_state_dir(spark, state) is True
+    assert read_state_dir(spark, state).count() == 1
+
+
+def test_uncastable_takedown_id_raises(spark, sf_dir, tmp_path):
+    emb = load_table(spark, sf_dir, "embeddings")   # long vec_id
+    idx = str(tmp_path / "idx")
+    build_ann_index(emb.limit(50), idx)
+    with pytest.raises(TypeError, match="cannot be cast"):
+        delete_from_index(spark, idx, ["not-a-number"])
+    # nothing written by the failed call
+    assert not os.path.exists(f"{idx}/_index_deletes")
+    # NULL inputs are dropped, not counted, and castable ids pass
+    rep = delete_from_index(spark, idx, [None, 1, 2])
+    assert rep["deleted"] == 2
+
+
+def test_marker_cap_switches_mode_identically(spark, sf_dir,
+                                              tmp_path, monkeypatch):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    idx = str(tmp_path / "idx")
+    build_ann_index(emb, idx)
+    victims = sorted({nid for _, nid, _, _ in
+                      _topk(spark, idx, queries, k=8)})[:6]
+    assert len(victims) == 6
+
+    # below the cap: the collected-values marker path
+    delete_from_index(spark, idx, victims)
+    want = _topk(spark, idx, queries)
+    assert index_mod._last_marker_mode == "values"
+
+    # past the (shrunken) cap: checkpoint-broadcast mode, identical
+    # survivors, warning on delete, compact_recommended in stats
+    monkeypatch.setattr(index_mod, "DELETE_MARKER_VALUES_CAP", 3)
+    big = ann_index_search(spark, idx, queries, 5)
+    assert index_mod._last_marker_mode == "checkpoint"
+    got = sorted((r["query_id"], r["neighbor_id"], r["cosine"],
+                  r["rank"]) for r in big.collect())
+    assert got == want
+    stats = index_cell_stats(spark, idx)
+    assert stats["pending_deletes"] == len(victims)
+    assert stats["compact_recommended"] is True
+    with pytest.warns(UserWarning, match="DELETE_MARKER_VALUES_CAP"):
+        delete_from_index(spark, idx, [victims[0]])
