@@ -45,12 +45,16 @@ so concurrent maintenance can never tear a scan:
   ``vacuum_index`` AFTER in-flight readers drain — vacuum, not
   compaction, is the only operation that deletes data a reader could
   hold;
-* appends, compactions AND vacuums must still be serialized WITH
-  EACH OTHER (an append into ``v=N`` racing a compaction's read of
-  it would be missing from ``v=N+1``; a vacuum's stale-tmp sweep
-  would delete a staging compaction's temp dir) — one maintenance
-  scheduler owns writes, exactly as before; the contract change is
-  that SEARCHES need no coordination with maintenance at all.
+* appends, compactions, vacuums, deletes and marker GC must still be
+  serialized WITH EACH OTHER (an append into ``v=N`` racing a
+  compaction's read of it would be missing from ``v=N+1``; a
+  vacuum's stale-tmp sweep would delete a staging compaction's temp
+  dir) — since round 11 this is a MECHANISM, not a convention: every
+  maintenance entry point holds the writer lease
+  (`sources.lease.writer_lease` on ``index_dir``; loud
+  `WriterLeaseConflict` on overlap, TTL-based stale-lease takeover
+  after a crash, re-entrant for composed maintenance). SEARCHES need
+  no coordination with maintenance at all and never touch the lease.
 
 The contract covers MAINTENANCE of a live index. `build_ann_index`
 is PROVISIONING, not maintenance: a rebuild replaces the whole index
@@ -236,7 +240,10 @@ def build_ann_index(corpus: DataFrame, index_dir: str,
                     quantize: bool = False,
                     warn_skew: bool = True,
                     keep_cols: tuple = ()) -> None:
-    """Write ``index_dir``: cell-partitioned corpus vectors + a
+    """Serialized by the writer lease (`sources.lease` — loud
+    `WriterLeaseConflict` when another maintenance writer is live).
+
+    Write ``index_dir``: cell-partitioned corpus vectors + a
     one-row meta parquet. Overwrites an existing index whole (a
     rebuild, not a merge — incremental ingest is `append_to_index`),
     DELETING the prior version history: this is provisioning, outside
@@ -265,6 +272,18 @@ def build_ann_index(corpus: DataFrame, index_dir: str,
     appends derive the kept columns from it (a batch missing one
     refuses by name), and a search's predicate over them reaches the
     parquet scan as a pushed filter on top of the partition pruning."""
+    from ..sources.lease import writer_lease
+
+    with writer_lease(corpus.sparkSession, index_dir,
+                      "build_ann_index"):
+        return _build_ann_index_unlocked(
+            corpus, index_dir, dim, n_planes, vec_col, id_col,
+            quantize, warn_skew, keep_cols)
+
+
+def _build_ann_index_unlocked(corpus, index_dir, dim, n_planes,
+                              vec_col, id_col, quantize, warn_skew,
+                              keep_cols):
     from .quantize import embedding_ranges, encode_codes
 
     spark = corpus.sparkSession
@@ -379,7 +398,19 @@ def append_to_index(batch: DataFrame, index_dir: str,
     measurement for data that isn't in the index (review r10
     finding); an at-least-once replay still re-measures the same
     batch — duplicate history rows are as harmless as the duplicate
-    cell rows the search already dedupes."""
+    cell rows the search already dedupes.
+
+    Serialized by the writer lease (`sources.lease`)."""
+    from ..sources.lease import writer_lease
+
+    with writer_lease(batch.sparkSession, index_dir,
+                      "append_to_index"):
+        return _append_to_index_unlocked(batch, index_dir, vec_col,
+                                         id_col, monitor_saturation)
+
+
+def _append_to_index_unlocked(batch, index_dir, vec_col, id_col,
+                              monitor_saturation):
     from .quantize import encode_codes, saturation_report
 
     spark = batch.sparkSession
@@ -643,9 +674,17 @@ def delete_from_index(spark: SparkSession, index_dir: str,
     that silently did not take down, while still being counted); NULL
     input ids are dropped and not counted. When the pending-marker
     set crosses `DELETE_MARKER_VALUES_CAP` this warns to run
-    `compact_index` (which applies markers physically)."""
+    `compact_index` (which applies markers physically). Serialized
+    by the writer lease (`sources.lease`)."""
     if not isinstance(ids, DataFrame) and not ids:
         return {"deleted": 0}
+    from ..sources.lease import writer_lease
+
+    with writer_lease(spark, index_dir, "delete_from_index"):
+        return _delete_from_index_unlocked(spark, index_dir, ids)
+
+
+def _delete_from_index_unlocked(spark, index_dir, ids):
     cells = _cells_path(spark, index_dir, None, "delete_from_index")
     id_type = spark.read.parquet(cells).schema["neighbor_id"].dataType
     if isinstance(ids, DataFrame):
@@ -699,14 +738,17 @@ def clear_index_deletes(spark: SparkSession, index_dir: str) -> dict:
     every retained version was published AFTER the markers (compact
     applied them physically and vacuum retired the pre-delete
     versions); clearing earlier resurrects deleted rows in any older
-    pinned version. Returns {"cleared": n}."""
+    pinned version. Returns {"cleared": n}. Serialized by the writer
+    lease (`sources.lease`)."""
     from ..sources.io import drop_state_dir
+    from ..sources.lease import writer_lease
 
-    dels = _read_deletes(spark, index_dir)
-    n = (dels.select("neighbor_id").distinct().count()
-         if dels is not None else 0)
-    drop_state_dir(spark, f"{index_dir}/{_DELETES}")
-    return {"cleared": n}
+    with writer_lease(spark, index_dir, "clear_index_deletes"):
+        dels = _read_deletes(spark, index_dir)
+        n = (dels.select("neighbor_id").distinct().count()
+             if dels is not None else 0)
+        drop_state_dir(spark, f"{index_dir}/{_DELETES}")
+        return {"cleared": n}
 
 
 def ann_index_search(spark: SparkSession, index_dir: str,

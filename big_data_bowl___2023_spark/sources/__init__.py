@@ -1,4 +1,14 @@
 from .io import load_table, read_csv_glob, write_parquet
+from .lease import (
+    WriterLeaseConflict,
+    acquire_writer_lease,
+    break_writer_lease,
+    release_writer_lease,
+    writer_lease,
+)
 from . import schemas
 
-__all__ = ["load_table", "read_csv_glob", "write_parquet", "schemas"]
+__all__ = ["load_table", "read_csv_glob", "write_parquet", "schemas",
+           "writer_lease", "acquire_writer_lease",
+           "release_writer_lease", "break_writer_lease",
+           "WriterLeaseConflict"]

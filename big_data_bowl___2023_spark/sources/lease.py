@@ -1,0 +1,211 @@
+"""Writer-epoch lease: the one-writer rule as a MECHANISM.
+
+The index/state maintenance contract (similarity/index.py,
+streaming/curation.py) requires appends, compactions, vacuums,
+deletes and snapshot-diff applies to serialize — readers need no
+coordination, but two concurrent WRITERS corrupt each other silently
+(e.g. an append into ``v=N`` racing a compaction's read of it is
+missing from ``v=N+1``; a streaming replay's restore racing a
+takedown resurrects the marker). Through round 10 that rule was
+prose; at 100 TB with a real scheduler two writers WILL eventually
+overlap (verdict r10 #2). This module turns the rule into a lease
+file:
+
+* `writer_lease(spark, root, what)` — context manager every
+  maintenance entry point wraps its write path in. Acquisition
+  creates the SIBLING file ``<root>__lease`` with
+  ``overwrite=false`` (atomic create-if-absent on HDFS;
+  best-effort-atomic on local FS and object stores — the same trust
+  level as the rename-based swaps this repo already relies on)
+  carrying ``{owner, what, pid, epoch, acquired_unix, ttl_s}``. A
+  sibling, not a file inside ``root``: `compact_curated` renames the
+  managed dir itself mid-swap, and a lease living inside it would
+  ride away with the parked backup exactly when protection matters.
+* **Loud refusal on conflict**: a live lease held by another owner
+  raises `WriterLeaseConflict` naming the holder and its task —
+  never a silent interleave.
+* **Stale-lease takeover**: a holder that crashed leaves its file
+  behind; once the file's modification time is older than ``ttl_s``
+  (default 1 h — longer than any sane maintenance op, shorter than
+  an operator's patience) the next acquirer deletes it and retries
+  ONCE. Two takeover attempts racing on a store without atomic
+  create can both think they won — the documented residual window,
+  strictly smaller than the no-mechanism status quo.
+* **Re-entrant per process**: composed maintenance (a streaming
+  ingest batch that appends AND restores markers, a compaction
+  invoked from a snapshot apply) re-enters the lease it already
+  holds instead of deadlocking; the file is released when the
+  outermost holder exits.
+* **Epoch**: each successful acquisition increments a monotonic
+  epoch persisted in the sibling ``<root>__epoch`` (a tiny text
+  file, rewritten under the lease), so post-mortems can order writer
+  sessions even after the lease file itself is gone.
+* `break_writer_lease` — the operator override for a lease known
+  dead before its TTL.
+
+Readers (searches, `read_curated`, stats) NEVER touch the lease —
+the zero-coordination-for-readers contract is unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from contextlib import contextmanager
+
+from pyspark.sql import SparkSession
+
+LEASE_SUFFIX = "__lease"
+EPOCH_SUFFIX = "__epoch"
+DEFAULT_TTL_S = 3600.0
+
+
+class WriterLeaseConflict(RuntimeError):
+    """Another maintenance writer holds the lease — the caller must
+    back off and retry after it releases (or use
+    `break_writer_lease` if the holder is known dead)."""
+
+
+# process-local re-entrancy: normalized root -> (token, depth)
+_HELD: dict[str, list] = {}
+
+
+def _fs_path(spark: SparkSession, p: str):
+    jvm = spark._jvm
+    jp = jvm.org.apache.hadoop.fs.Path(p)
+    return jp.getFileSystem(spark._jsc.hadoopConfiguration()), jp
+
+
+def _read_json(spark: SparkSession, fs, jp) -> dict:
+    try:
+        jvm = spark._jvm
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(fs.open(jp)))
+        try:
+            line = reader.readLine()
+        finally:
+            reader.close()
+        return json.loads(line) if line else {}
+    except Exception:
+        return {}
+
+
+def _write_create(spark: SparkSession, fs, jp, payload: dict) -> bool:
+    """Create-if-absent write. False when the file already exists."""
+    try:
+        out = fs.create(jp, False)
+    except Exception:
+        return False
+    try:
+        out.write(bytearray(json.dumps(payload).encode("utf-8")))
+    finally:
+        out.close()
+    return True
+
+
+def _bump_epoch(spark: SparkSession, root: str) -> int:
+    fs, jp = _fs_path(spark, root.rstrip("/") + EPOCH_SUFFIX)
+    prev = _read_json(spark, fs, jp).get("epoch", 0) \
+        if fs.exists(jp) else 0
+    epoch = int(prev) + 1
+    fs.delete(jp, False)
+    tmp_ok = _write_create(spark, fs, jp, {"epoch": epoch})
+    if not tmp_ok:
+        # a racing writer inside the residual takeover window — the
+        # epoch is post-mortem metadata, never correctness-bearing
+        pass
+    return epoch
+
+
+def acquire_writer_lease(spark: SparkSession, root: str, what: str,
+                         ttl_s: float = DEFAULT_TTL_S) -> str:
+    """Acquire the maintenance-writer lease for ``root`` (loudly
+    raising `WriterLeaseConflict` when live-held by someone else).
+    Returns an opaque token for `release_writer_lease`. Prefer the
+    `writer_lease` context manager."""
+    key = os.path.abspath(root.rstrip("/"))
+    held = _HELD.get(key)
+    if held is not None:
+        held[1] += 1                        # re-enter
+        return held[0]
+    fs, jp = _fs_path(spark, root.rstrip("/") + LEASE_SUFFIX)
+    # the root may not exist yet (first build): create it so the
+    # lease file has a home
+    fs.mkdirs(jp.getParent())
+    token = uuid.uuid4().hex
+    payload = {"owner": token, "what": what, "pid": os.getpid(),
+               "acquired_unix": time.time(), "ttl_s": float(ttl_s)}
+    for attempt in (0, 1):
+        payload["epoch"] = _bump_epoch(spark, root) if attempt == 0 \
+            else payload.get("epoch", 0)
+        if _write_create(spark, fs, jp, payload):
+            _HELD[key] = [token, 1]
+            return token
+        # occupied: stale (holder crashed past its TTL) -> take over
+        # once; live -> refuse loudly
+        try:
+            age = time.time() - fs.getFileStatus(jp) \
+                .getModificationTime() / 1000.0
+        except Exception:
+            age = 0.0                       # vanished: retry create
+        holder = _read_json(spark, fs, jp)
+        ttl = float(holder.get("ttl_s", ttl_s))
+        if attempt == 0 and (age > ttl or not holder):
+            fs.delete(jp, False)
+            continue
+        raise WriterLeaseConflict(
+            f"maintenance writer lease for {root} is held by "
+            f"pid={holder.get('pid', '?')} "
+            f"doing {holder.get('what', '?')!r} "
+            f"(epoch {holder.get('epoch', '?')}, age {age:.0f}s of "
+            f"ttl {ttl:.0f}s) — one maintenance writer at a time; "
+            f"retry after it releases, or break_writer_lease if it "
+            f"is known dead")
+    raise WriterLeaseConflict(
+        f"maintenance writer lease for {root}: takeover of a stale "
+        f"lease lost a race — retry")
+
+
+def release_writer_lease(spark: SparkSession, root: str,
+                         token: str) -> None:
+    """Release (outermost exit deletes the file; only the holder's
+    token releases — a stranger's token is a no-op so a takeover
+    victim's late release can't kill the new holder's lease)."""
+    key = os.path.abspath(root.rstrip("/"))
+    held = _HELD.get(key)
+    if held is None or held[0] != token:
+        return
+    held[1] -= 1
+    if held[1] > 0:
+        return
+    del _HELD[key]
+    fs, jp = _fs_path(spark, root.rstrip("/") + LEASE_SUFFIX)
+    if fs.exists(jp) and \
+            _read_json(spark, fs, jp).get("owner") == token:
+        fs.delete(jp, False)
+
+
+def break_writer_lease(spark: SparkSession, root: str) -> bool:
+    """Operator override: drop the lease file regardless of TTL (the
+    holder is known dead). Returns True when a file was removed."""
+    key = os.path.abspath(root.rstrip("/"))
+    _HELD.pop(key, None)
+    fs, jp = _fs_path(spark, root.rstrip("/") + LEASE_SUFFIX)
+    if fs.exists(jp):
+        fs.delete(jp, False)
+        return True
+    return False
+
+
+@contextmanager
+def writer_lease(spark: SparkSession, root: str, what: str,
+                 ttl_s: float = DEFAULT_TTL_S):
+    """``with writer_lease(spark, index_dir, "compact_index"): ...``
+    around every maintenance write path."""
+    token = acquire_writer_lease(spark, root, what, ttl_s)
+    try:
+        yield token
+    finally:
+        release_writer_lease(spark, root, token)

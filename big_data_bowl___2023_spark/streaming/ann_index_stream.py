@@ -163,7 +163,17 @@ def compact_index(spark: SparkSession, index_dir: str,
     ``v=1``, and `vacuum_index` later retires the loose legacy dirs.
 
     Returns {"cells", "files_before", "files_after", "bytes",
-    "version"} — `version` is the newly published N+1."""
+    "version"} — `version` is the newly published N+1. Serialized by
+    the writer lease (`sources.lease`)."""
+    from ..sources.lease import writer_lease
+
+    with writer_lease(spark, index_dir, "compact_index"):
+        return _compact_index_unlocked(spark, index_dir,
+                                       target_file_mb, dedupe)
+
+
+def _compact_index_unlocked(spark, index_dir, target_file_mb,
+                            dedupe):
     from ..similarity.index import _has_legacy_cells
     from ..session import pin
 
@@ -254,7 +264,15 @@ def vacuum_index(spark: SparkSession, index_dir: str,
     STAGING compaction's temp dir — review r10 finding; the
     one-maintenance-writer rule was always the contract, vacuum is
     not exempt). Returns {"kept", "deleted"}; legacy dirs are
-    reported as version 0."""
+    reported as version 0. Serialized by the writer lease
+    (`sources.lease`)."""
+    from ..sources.lease import writer_lease
+
+    with writer_lease(spark, index_dir, "vacuum_index"):
+        return _vacuum_index_unlocked(spark, index_dir, keep)
+
+
+def _vacuum_index_unlocked(spark, index_dir, keep):
     if keep < 1:
         raise ValueError("vacuum must keep at least the live version")
     jvm = spark._jvm

@@ -195,6 +195,19 @@ def make_curation_ingest_batch_fn(out_dir: str, index_dir: str,
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # one maintenance writer per curated corpus: the batch holds
+        # the out_dir lease (which by convention covers the paired
+        # fingerprint index + bloom dirs — they always travel
+        # together) so a racing snapshot-diff apply or compaction
+        # fails loudly instead of interleaving (verdict r10 #2)
+        from ..sources.lease import writer_lease
+
+        with writer_lease(spark, out_dir,
+                          f"curation_ingest_batch_{batch_id}"):
+            return _process_locked(batch_df, batch_id)
+
+    def _process_locked(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
         # dir-absent → bootstrap; any OTHER read failure raises (a
         # transient error treated as 'no history' would silently
         # admit every duplicate in this batch)
@@ -371,7 +384,15 @@ def compact_curated(spark, out_dir: str) -> dict:
     already gone — the anti-join is then a no-op, never wrong).
     Stop-the-world per directory like every swap compactor here —
     schedule when no reader is mid-scan. Returns {"rows_before",
-    "rows_after", "tombstones_cleared"}."""
+    "rows_after", "tombstones_cleared"}. Serialized by the writer
+    lease (`sources.lease`)."""
+    from ..sources.lease import writer_lease
+
+    with writer_lease(spark, out_dir, "compact_curated"):
+        return _compact_curated_unlocked(spark, out_dir)
+
+
+def _compact_curated_unlocked(spark, out_dir):
     from ..sources.io import drop_state_dir, read_state_dir
 
     jvm = spark._jvm
@@ -484,7 +505,20 @@ def apply_snapshot_diff(spark, old_docs: DataFrame,
     with the replacements missing — the rerun re-processes them —
     never a window where both versions are visible. Returns counts:
     {"added", "removed", "modified", "modified_noop", "restored",
-    "tombstoned", "delta_docs"}."""
+    "tombstoned", "delta_docs"}. Serialized by the writer lease
+    (`sources.lease`) on ``out_dir`` — the delta's ingest batches
+    re-enter it."""
+    from ..sources.lease import writer_lease
+
+    with writer_lease(spark, out_dir, "apply_snapshot_diff"):
+        return _apply_snapshot_diff_unlocked(
+            spark, old_docs, new_docs, out_dir, index_dir, batch_id,
+            **loop_kwargs)
+
+
+def _apply_snapshot_diff_unlocked(spark, old_docs, new_docs, out_dir,
+                                  index_dir, batch_id,
+                                  **loop_kwargs):
     from ..dedup.exact import corpus_diff, fingerprint_docs
 
     diff = pin(corpus_diff(old_docs, new_docs), truncate=True)

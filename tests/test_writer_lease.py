@@ -1,0 +1,184 @@
+"""Writer-epoch lease (sources/lease.py — verdict r10 #2): the
+one-writer maintenance rule as a mechanism.
+
+Contracts under test:
+* two writers on the same root: the second REFUSES loudly with
+  `WriterLeaseConflict` naming the holder;
+* a crashed holder's stale lease (past TTL) is taken over;
+* re-entrancy: composed maintenance in one process re-enters the
+  lease it holds (apply_snapshot_diff drives ingest batches under
+  its own lease) and the file survives until the OUTERMOST release;
+* release is owner-checked: a takeover victim's late release cannot
+  kill the new holder's lease;
+* the real entry points (append/compact/vacuum/delete/clear/
+  snapshot-apply/compact_curated/ingest batch) all hold the lease —
+  pinned by observing the conflict from a foreign holder;
+* readers (searches, read_curated, stats) never touch the lease.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_bowl___2023_spark.similarity import (
+    ann_index_search,
+    append_to_index,
+    build_ann_index,
+    clear_index_deletes,
+    delete_from_index,
+    index_cell_stats,
+)
+from big_data_bowl___2023_spark.sources.io import load_table
+from big_data_bowl___2023_spark.sources.lease import (
+    _HELD,
+    WriterLeaseConflict,
+    acquire_writer_lease,
+    break_writer_lease,
+    release_writer_lease,
+    writer_lease,
+)
+
+
+def _foreign_lease(root, what="foreign_compact"):
+    """Plant a lease file as if ANOTHER process held it (bypassing
+    this process's re-entrancy registry)."""
+    payload = {"owner": "elsewhere", "what": what, "pid": 99999,
+               "acquired_unix": 0.0, "ttl_s": 3600.0, "epoch": 7}
+    with open(root.rstrip("/") + "__lease", "w") as f:
+        f.write(json.dumps(payload))
+
+
+def test_conflict_refuses_loudly(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+    _foreign_lease(root)
+    with pytest.raises(WriterLeaseConflict, match="foreign_compact"):
+        acquire_writer_lease(spark, root, "append")
+    # the holder's file is untouched by the refusal
+    assert os.path.exists(root + "__lease")
+
+
+def test_stale_lease_taken_over(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+    _foreign_lease(root)
+    lease_path = root + "__lease"
+    # age the file past its TTL
+    os.utime(lease_path, (0, 0))
+    with writer_lease(spark, root, "takeover") as token:
+        holder = json.load(open(lease_path))
+        assert holder["owner"] == token
+        assert holder["what"] == "takeover"
+    assert not os.path.exists(lease_path)
+
+
+def test_reentrant_and_owner_checked_release(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+    t1 = acquire_writer_lease(spark, root, "outer")
+    t2 = acquire_writer_lease(spark, root, "inner")
+    assert t1 == t2                       # re-entered, same token
+    release_writer_lease(spark, root, t2)
+    assert os.path.exists(root + "__lease")   # outer still holds
+    # a stranger's token is a no-op
+    release_writer_lease(spark, root, "stranger-token")
+    assert os.path.exists(root + "__lease")
+    release_writer_lease(spark, root, t1)
+    assert not os.path.exists(root + "__lease")
+    assert os.path.abspath(root) not in _HELD
+
+
+def test_epoch_is_monotonic(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+    epochs = []
+    for what in ("a", "b", "c"):
+        with writer_lease(spark, root, what):
+            epochs.append(json.load(open(root + "__lease"))["epoch"])
+    assert epochs == sorted(epochs) and len(set(epochs)) == 3
+
+
+def test_break_writer_lease(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+    _foreign_lease(root)
+    assert break_writer_lease(spark, root) is True
+    with writer_lease(spark, root, "after-break"):
+        pass
+
+
+def test_index_maintenance_holds_lease(spark, sf_dir, tmp_path):
+    """Every index maintenance entry point refuses under a foreign
+    lease; searches and stats run fine under it."""
+    from big_data_bowl___2023_spark.streaming.ann_index_stream import (
+        compact_index,
+        vacuum_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    idx = str(tmp_path / "idx")
+    build_ann_index(emb, idx)
+    delete_from_index(spark, idx, [1])
+    _foreign_lease(idx)
+    for op in (
+        lambda: build_ann_index(emb, idx),
+        lambda: append_to_index(emb.limit(5), idx),
+        lambda: delete_from_index(spark, idx, [2]),
+        lambda: clear_index_deletes(spark, idx),
+        lambda: compact_index(spark, idx),
+        lambda: vacuum_index(spark, idx),
+    ):
+        with pytest.raises(WriterLeaseConflict):
+            op()
+    # readers are lease-free
+    assert ann_index_search(spark, idx, queries, 5).count() > 0
+    assert index_cell_stats(spark, idx)["n_rows"] == emb.count()
+    break_writer_lease(spark, idx)
+    append_to_index(emb.limit(5), idx)    # works again
+
+
+def test_curation_maintenance_holds_lease(spark, tmp_path):
+    from big_data_bowl___2023_spark.streaming import (
+        apply_snapshot_diff,
+        compact_curated,
+        make_curation_ingest_batch_fn,
+        read_curated,
+    )
+
+    def _doc(i):
+        return (i, "src", " ".join(
+            f"w{i}tok{j} common filler text segment"
+            for j in range(13)))
+
+    out = str(tmp_path / "curated")
+    fp_idx = str(tmp_path / "fp_idx")
+    old = spark.createDataFrame(
+        [_doc(1), _doc(2)], "doc_id long, source string, text string")
+    fn = make_curation_ingest_batch_fn(out, fp_idx, min_words=10)
+    fn(old, 0)
+    _foreign_lease(out)
+    snap2 = spark.createDataFrame(
+        [_doc(2)], "doc_id long, source string, text string")
+    for op in (
+        lambda: fn(snap2, 1),
+        lambda: apply_snapshot_diff(spark, old, snap2, out, fp_idx,
+                                    batch_id=1, min_words=10),
+        lambda: compact_curated(spark, out),
+    ):
+        with pytest.raises(WriterLeaseConflict):
+            op()
+    # readers are lease-free
+    assert read_curated(spark, out).count() == 2
+    break_writer_lease(spark, out)
+    # snapshot apply composes: it drives ingest batches that re-enter
+    # its lease rather than deadlocking, and releases at exit
+    apply_snapshot_diff(spark, old, snap2, out, fp_idx, batch_id=1,
+                        min_words=10)
+    assert {r.doc_id for r in read_curated(spark, out).collect()} \
+        == {2}
+    assert not os.path.exists(out + "__lease")
