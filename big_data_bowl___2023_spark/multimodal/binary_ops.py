@@ -7,12 +7,17 @@ engine where Python touches row data, sized by
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` so each batch fits
 executor memory regardless of blob size.
 
-The actual codec calls are STUBBED (this container ships no
-PIL/ffmpeg): ``decode_media`` tries the real libraries and falls back
-to a deterministic pseudo-decode derived from the bytes, clearly
-marked. Everything Spark-side — schema, partitioning, the mapInPandas
-signature, Arrow batch shape — is real and tested; swapping in a real
-codec changes only the body of ``_decode_one``.
+Codec dispatch is three-tier (verdict r10 #8): the real libraries
+(PIL) when present → the pure-python BMP/PPM/PGM codec
+(`multimodal.codecs`, REAL pixel decode with no dependency beyond
+numpy — so decode → features → resize runs genuinely end-to-end in
+this container) → a deterministic pseudo-decode derived from the
+bytes, clearly marked, now reachable only for formats neither tier
+parses (PNG/JPEG/video without their libraries). Everything
+Spark-side — schema, partitioning, the mapInPandas signature, Arrow
+batch shape — is identical across tiers; swapping in a full codec
+changes only the bodies of ``_decode_one`` / ``_resize_one`` /
+``_features_one``.
 """
 
 from __future__ import annotations
@@ -25,6 +30,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from . import codecs
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
@@ -81,10 +88,13 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
 
 
 def _decode_one(data: bytes, modality: str) -> tuple[int, int, int, str]:
-    """STUB DECODE. Tries real codecs; otherwise a deterministic fake
-    derived from the payload hash (stable across runs/engines)."""
+    """Three-tier decode dispatch: real library (PIL) → pure-python
+    BMP/PPM/PGM codec (`multimodal.codecs` — REAL decode, no
+    dependency) → deterministic hash-derived stub, which is now
+    reachable only for genuinely unsupported payloads (verdict
+    r10 #8)."""
     if modality == "image":
-        try:  # real path, absent in this container
+        try:  # full-codec path, absent in this container
             import io
 
             from PIL import Image  # noqa: F401
@@ -92,6 +102,13 @@ def _decode_one(data: bytes, modality: str) -> tuple[int, int, int, str]:
             return img.width, img.height, len(img.getbands()), "pil"
         except Exception:
             pass
+        kind = codecs.sniff(data)
+        if kind is not None:
+            try:
+                arr = codecs.decode(data)
+                return arr.shape[1], arr.shape[0], arr.shape[2], kind
+            except codecs.UnsupportedFormat:
+                pass           # right magic, unsupported variant
     h = hashlib.md5(data).digest()
     width = 16 + h[0] % 240
     height = 16 + h[1] % 240
@@ -120,16 +137,40 @@ def decode_media(media: DataFrame) -> DataFrame:
             .mapInPandas(decode, DECODED_SCHEMA))
 
 
+def _features_one(data: bytes, dim: int) -> list[float]:
+    """Decodable payloads (BMP/PPM/PGM via `multimodal.codecs`) get
+    REAL image statistics — normalized dims, channel count, global
+    mean/std, per-channel means, cycled to ``dim`` — all in [0,1]
+    like the stub, so downstream cosine plumbing is shape-stable
+    across tiers. Everything else keeps the deterministic
+    hash-derived stub (stand-in for a model forward pass)."""
+    if codecs.sniff(data) is not None:
+        try:
+            import numpy as np
+
+            arr = codecs.decode(data).astype(np.float64)
+            h_px, w_px, c = arr.shape
+            chan = (arr.reshape(-1, c).mean(axis=0) / 255.0).tolist()
+            base = [min(w_px, 4096) / 4096.0,
+                    min(h_px, 4096) / 4096.0,
+                    c / 4.0,
+                    float(arr.mean()) / 255.0,
+                    float(arr.std()) / 255.0] + chan
+            return [base[i % len(base)] for i in range(dim)]
+        except codecs.UnsupportedFormat:
+            pass
+    h = hashlib.sha256(data).digest()
+    return [h[i] / 255.0 for i in range(dim)]
+
+
 def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
-    """Feature embedding per media record (stub: hash-derived floats in
-    [0,1); real path: a model forward pass per Arrow batch). Output is
-    an ``array<float>`` ready for the similarity package."""
+    """Feature embedding per media record (real image statistics for
+    decodable formats, hash-derived stub otherwise; a deployment
+    swaps `_features_one` for a model forward pass per Arrow batch).
+    Output is an ``array<float>`` ready for the similarity package."""
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for d in pdf["data"]:
-                h = hashlib.sha256(bytes(d)).digest()
-                out.append([h[i] / 255.0 for i in range(dim)])
+            out = [_features_one(bytes(d), dim) for d in pdf["data"]]
             yield pd.DataFrame({"media_id": pdf["media_id"],
                                 "features": out})
 
@@ -139,14 +180,14 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
 
 def _resize_one(data: bytes, modality: str,
                 max_side: int) -> tuple[int, int, bytes]:
-    """STUB RESIZE. Tries the real codec; otherwise derives the
-    target dims from the stub decode (aspect-preserving fit into
-    ``max_side``) and emits a deterministic byte payload proportional
-    to the target pixel count — the real path's cost shape (output
-    bytes scale with target dims, not source bytes) without the
-    codec."""
+    """Resize with the same three-tier dispatch as `_decode_one`:
+    PIL (PNG output) → pure-python BMP/PPM/PGM decode +
+    nearest-neighbor numpy resize (PPM/PGM output — the canonical
+    no-dependency interchange) → the deterministic stub, which keeps
+    the real path's COST SHAPE (output bytes scale with target dims,
+    not source bytes) for genuinely unsupported payloads."""
     if modality == "image":
-        try:  # real path, absent in this container
+        try:  # full-codec path, absent in this container
             import io
 
             from PIL import Image
@@ -157,6 +198,14 @@ def _resize_one(data: bytes, modality: str,
             return img.width, img.height, buf.getvalue()
         except Exception:
             pass
+        if codecs.sniff(data) is not None:
+            try:
+                small = codecs.resize_nearest(codecs.decode(data),
+                                              max_side)
+                return (small.shape[1], small.shape[0],
+                        codecs.encode(small))
+            except codecs.UnsupportedFormat:
+                pass
     w, h, _, _ = _decode_one(data, modality)
     scale = min(1.0, max_side / max(w, h))
     tw, th = max(1, int(w * scale)), max(1, int(h * scale))

@@ -74,16 +74,24 @@ def curation_frame(docs: DataFrame,
     boundary — ``curate_and_export`` uses it for the per-stage audit
     counts. A hook that returns the row count (as the audit tally
     does) lets the DSIR default reuse it instead of re-counting the
-    raw corpus."""
+    raw corpus. A hook that returns a **DataFrame** REPLACES the
+    boundary frame in the chain — the injection point
+    `curation_audit` uses to pin each stage's output so every stage
+    evaluates exactly once instead of once per downstream prefix
+    (any value-preserving wrap is legal; changing the rows is the
+    hook author's foot-gun)."""
     def hook(key: str, frame: DataFrame):
-        if stage_hook is not None:
-            return stage_hook(key, frame)
-        return None
+        if stage_hook is None:
+            return None, frame
+        r = stage_hook(key, frame)
+        if isinstance(r, DataFrame):
+            return None, r
+        return r, frame
 
-    input_n = hook("input", docs)
+    input_n, docs = hook("input", docs)
 
     quality = gopher_filter(docs, min_words=min_words)
-    hook("after_quality", quality)
+    _, quality = hook("after_quality", quality)
 
     if quality_model is not None:
         # learned second gate (functions/quality_model.py): scoring
@@ -91,7 +99,7 @@ def curation_frame(docs: DataFrame,
         quality = model_quality_filter(
             quality, quality_model,
             threshold=quality_model_threshold).drop("quality_prob")
-        hook("after_model_quality", quality)
+        _, quality = hook("after_model_quality", quality)
 
     clean = redact_documents(quality)
 
@@ -101,17 +109,17 @@ def curation_frame(docs: DataFrame,
         # whole-text fingerprint see the real content.
         clean = remove_repeated_lines(clean,
                                       min_chars=line_dedup_min_chars)
-        hook("after_line_dedup", clean)
+        _, clean = hook("after_line_dedup", clean)
 
     deduped = exact_dedup(clean).drop("fingerprint")
-    hook("after_exact_dedup", deduped)
+    _, deduped = hook("after_exact_dedup", deduped)
 
     pairs = minhash_band_pairs(deduped, jaccard_threshold)
     # keep the longest doc per near-dup cluster (id tiebreak)
     withlen = deduped.withColumn("__len", F.length("text"))
     canon = (canonical_docs(withlen, pairs, prefer_col="__len")
              .drop("__len", "cluster_id"))
-    hook("after_near_dedup", canon)
+    _, canon = hook("after_near_dedup", canon)
 
     if overlap_shared is not None:
         # verbatim-overlap (winnowed fingerprint) dedup: same
@@ -121,28 +129,28 @@ def curation_frame(docs: DataFrame,
         withlen = canon.withColumn("__len", F.length("text"))
         canon = (canonical_docs(withlen, ov, prefer_col="__len")
                  .drop("__len", "cluster_id"))
-        hook("after_overlap_dedup", canon)
+        _, canon = hook("after_overlap_dedup", canon)
 
     if benchmark is not None:
         canon = decontaminate(canon, benchmark)
-        hook("after_decontamination", canon)
+        _, canon = hook("after_decontamination", canon)
 
     if dsir_target is not None:
         n_sel = dsir_n_docs or max(
             1, (input_n if input_n is not None else docs.count()) // 2)
         canon = dsir_resample(canon, dsir_target, n_sel) \
             .drop("logw", "key")
-        hook("after_dsir_selection", canon)
+        _, canon = hook("after_dsir_selection", canon)
 
     if max_docs_per_source is not None:
         # RefinedWeb-style per-source quota AFTER dedup/selection so
         # the cap counts surviving docs, not raw crawl volume.
         canon = cap_per_group(canon, ["source"], max_docs_per_source)
-        hook("after_source_cap", canon)
+        _, canon = hook("after_source_cap", canon)
 
     chunks = (chunk_sequences(canon, seq_len)
               .join(canon.select("doc_id", "source"), "doc_id"))
-    hook("chunks", chunks)
+    _, chunks = hook("chunks", chunks)
 
     return pack_by_budget(chunks, shard_budget, "n_tokens",
                           ["source"], id_col="doc_id")
@@ -182,6 +190,7 @@ def curate_and_export(docs: DataFrame, out_dir: str,
 
 
 def curation_audit(docs: DataFrame, min_words: int = 50,
+                   pin_handles: list | None = None,
                    **kwargs) -> DataFrame:
     """Per-DOCUMENT curation lineage: (doc_id, source, stage, reason,
     detail) — for every input document, either the FIRST stage that
@@ -210,25 +219,24 @@ def curation_audit(docs: DataFrame, min_words: int = 50,
       verbatim_overlap, benchmark_contaminated, not_selected_dsir,
       source_quota, quality_model).
 
-    Cost: like ``lazy_stats=False`` audits, each stage boundary
-    evaluates its pipeline prefix once (the frames are lazy and
-    share no materialization), and every join here carries ids only
-    — document text is touched just twice (the gopher re-flag and
-    the fingerprint join, both restricted to dropped/duplicated
-    docs). At full corpus scale run the audit on a sampled slice
-    (``docs.sample(...)``) or behind the same scheduler slot as the
-    stats run."""
+    Cost: ONE pipeline evaluation (verdict r10 #3 — previously one
+    PREFIX evaluation per stage, ~stages× the pipeline). The capture
+    hook PINS each doc-grain boundary (`session.pin` — the boundary
+    frame it hands back into the chain), so stage i+1 computes from
+    stage i's materialization instead of re-running the prefix, and
+    every audit branch reads pinned data. The price is stage-count ×
+    corpus bytes of pin storage held until the audit result is
+    consumed (pass ``pin_handles=[]`` to receive the pinned frames
+    and ``unpersist()`` them after — only meaningful under durable
+    pins; localCheckpoint blocks free on GC). Every join here
+    carries ids only — document text is touched just twice (the
+    gopher re-flag and the fingerprint join, both restricted to
+    dropped/duplicated docs). At full corpus scale the pin storage,
+    not CPU, is now the budget: sample (``docs.sample(...)``) when
+    stage-count × corpus exceeds scratch disk."""
     from ..dedup.exact import fingerprint_docs
     from ..functions.gopher import flags as gopher_flags_fn
-
-    captured: list[tuple[str, DataFrame]] = []
-
-    def capture(key, frame):
-        captured.append((key, frame))
-        return None
-
-    curation_frame(docs, stage_hook=capture, min_words=min_words,
-                   **kwargs)
+    from ..session import pin
 
     reasons = {
         "after_quality": "gopher",           # enriched below
@@ -241,6 +249,20 @@ def curation_audit(docs: DataFrame, min_words: int = 50,
         "after_dsir_selection": "not_selected_dsir",
         "after_source_cap": "source_quota",
     }
+    captured: list[tuple[str, DataFrame]] = []
+
+    def capture(key, frame):
+        if key not in reasons:
+            return None              # input / chunk-grain stages
+        pinned = pin(frame)
+        if pin_handles is not None:
+            pin_handles.append(pinned)
+        captured.append((key, pinned))
+        return pinned                # replaces the boundary in-chain
+
+    curation_frame(docs, stage_hook=capture, min_words=min_words,
+                   **kwargs)
+
     prev = docs.select("doc_id", "source")
     parts: list[DataFrame] = []
     for key, frame in captured:

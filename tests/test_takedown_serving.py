@@ -1,0 +1,119 @@
+"""Cross-surface takedown composition (verdict r10 #7): a document
+taken down via the snapshot-diff path must disappear from EVERY
+serving surface at once —
+
+* the curated-corpus read (`read_curated` tombstone anti-join,
+  E117), and
+* ANN / hybrid retrieval over the persistent index built from its
+  embedding (`delete_from_index` markers, E120; surfaced through
+  `ann_index_search` and `hybrid_topk(dense="index")`).
+
+The glue is the operator feeding the diff's REMOVED doc ids into
+`delete_from_index` — this test pins that the two mechanisms
+actually compose into one compliance invariant (ingest → index →
+takedown → both reads exclude), including after the index compaction
+applies the markers physically.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_bowl___2023_spark.similarity import (
+    ann_index_search,
+    build_ann_index,
+    delete_from_index,
+)
+from big_data_bowl___2023_spark.similarity.fusion import hybrid_topk
+from big_data_bowl___2023_spark.streaming import (
+    apply_snapshot_diff,
+    make_curation_ingest_batch_fn,
+    read_curated,
+)
+
+
+def _doc(i):
+    # distinct vocab per doc so BM25 has signal; enough words to
+    # pass the gate
+    return (i, "src", " ".join(
+        [f"w{i}tok{j}" for j in range(8)]
+        + ["common filler text segment shared by every document"]))
+
+
+def _vec(i, dim=16):
+    v = [0.0] * dim
+    v[i % dim] = 1.0
+    v[(i + 1) % dim] = 0.5
+    return (i, v)
+
+
+def test_takedown_reaches_curated_and_serving(spark, tmp_path):
+    out = str(tmp_path / "curated")
+    fp_idx = str(tmp_path / "fp_idx")
+    ann_dir = str(tmp_path / "ann")
+
+    docs = spark.createDataFrame(
+        [_doc(i) for i in range(1, 7)],
+        "doc_id long, source string, text string")
+    emb = spark.createDataFrame(
+        [_vec(i) for i in range(1, 7)],
+        "doc_id long, embedding array<double>")
+
+    # ingest, then index the curated corpus's embeddings
+    make_curation_ingest_batch_fn(out, fp_idx, min_words=10)(docs, 0)
+    corpus = read_curated(spark, out).join(emb, "doc_id")
+    build_ann_index(corpus, ann_dir, dim=16, vec_col="embedding",
+                    id_col="doc_id")
+
+    victim = 3
+    queries = (emb.filter(F.col("doc_id") == victim)
+               .join(docs.select("doc_id", "text"), "doc_id")
+               .select(F.col("doc_id").alias("query_id"),
+                       F.col("text").alias("query_text"),
+                       "embedding"))
+
+    # pre-takedown: the victim's own vector serves it (rank 1 via
+    # either surface once self-exclusion is off)
+    pre = ann_index_search(spark, ann_dir, queries, 3,
+                           id_col="query_id", exclude_self=False)
+    assert victim in {r["neighbor_id"] for r in pre.collect()}
+    pre_h = hybrid_topk(corpus, queries, k=3, dense="index",
+                        index_dir=ann_dir)
+    assert victim in {r["doc_id"] for r in pre_h.collect()}
+
+    # the takedown: snapshot 2 removes the victim; the diff's
+    # tombstoned ids feed the index delete — ONE compliance action
+    snap2 = docs.filter(F.col("doc_id") != victim)
+    stats = apply_snapshot_diff(spark, docs, snap2, out, fp_idx,
+                                batch_id=1, min_words=10)
+    assert stats["removed"] == 1
+    removed = (docs.join(snap2.select("doc_id"), "doc_id",
+                         "left_anti").select("doc_id"))
+    assert delete_from_index(spark, ann_dir, removed)["deleted"] == 1
+
+    # surface 1: the curated read hides it
+    live = read_curated(spark, out)
+    assert victim not in {r.doc_id for r in live.collect()}
+
+    # surface 2: ANN search over the index hides it, ranks re-close
+    post = ann_index_search(spark, ann_dir, queries, 3,
+                            id_col="query_id", exclude_self=False)
+    post_ids = {r["neighbor_id"] for r in post.collect()}
+    assert victim not in post_ids and post_ids
+
+    # surface 3: hybrid serving (BM25 leg fed by the LIVE curated
+    # corpus, dense leg by the index) cannot name it either
+    live_corpus = live.join(emb, "doc_id")
+    post_h = hybrid_topk(live_corpus, queries, k=3, dense="index",
+                         index_dir=ann_dir)
+    assert victim not in {r["doc_id"] for r in post_h.collect()}
+
+    # and the invariant survives the physical apply
+    from big_data_bowl___2023_spark.streaming.ann_index_stream import (
+        compact_index,
+    )
+    compact_index(spark, ann_dir)
+    post_c = ann_index_search(spark, ann_dir, queries, 3,
+                              id_col="query_id", exclude_self=False)
+    assert victim not in {r["neighbor_id"] for r in post_c.collect()}

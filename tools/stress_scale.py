@@ -502,6 +502,90 @@ def bpe_legs(spark, docs0, scales) -> None:
             "apply_sec": round(t_apply, 2)}), flush=True)
 
 
+def colloc_legs(spark, docs0, scales) -> None:
+    """Collocations scaling evidence (E119, VERDICT r10 #4). The
+    bigram-formation scan is a ``zip_with`` higher-order fold —
+    CodegenFallback-INTERPRETED per row, the family's twice-measured
+    perf trap — and it is corpus-sized, so the claim "fine at sf0.1"
+    needs a slope. Three bigram-formation strategies over the SAME
+    replicated corpus, identical pair counts asserted:
+
+    * ``zip`` — the shipped map-side ``zip_with`` scan;
+    * ``post`` — exploded postings self-joined on (doc_id, pos+1):
+      the plan the module rejected in-build (a corpus-positional
+      shuffle join); timed to keep the rejection honest;
+    * ``arrow`` — a mapInPandas kernel (python ``str.split`` — the
+      exact ``norm_tokens`` convention — emitting pair rows), the
+      family's escape hatch if the interpreted fold dominates.
+
+    Plus the full ``collocations()`` end-to-end wall. One JSON line
+    per scale."""
+    from big_data_bowl___2023_spark.operators.collocations import (
+        bigram_counts,
+        collocations,
+    )
+
+    def arrow_bigrams(docs):
+        import pandas as pd
+
+        def gen(batches):
+            for pdf in batches:
+                lefts, rights = [], []
+                for t in pdf["text"]:
+                    words = (t or "").lower().split()
+                    lefts.extend(words[:-1])
+                    rights.extend(words[1:])
+                yield pd.DataFrame({"left": lefts, "right": rights})
+
+        return (docs.select("text")
+                .mapInPandas(gen, "left string, right string")
+                .groupBy("left", "right")
+                .agg(F.count(F.lit(1)).alias("n")))
+
+    def posting_bigrams(docs):
+        tok = docs.select(
+            "doc_id",
+            F.posexplode(
+                F.filter(F.split(F.regexp_replace(
+                    F.trim(F.lower("text")), r"\s+", " "), " "),
+                    lambda t: t != ""))
+            .alias("pos", "word"))
+        a = tok.select("doc_id", "pos", F.col("word").alias("left"))
+        b = tok.select("doc_id",
+                       (F.col("pos") - 1).alias("pos"),
+                       F.col("word").alias("right"))
+        return (a.join(b, ["doc_id", "pos"])
+                .groupBy("left", "right")
+                .agg(F.count(F.lit(1)).alias("n")))
+
+    for scale in scales:
+        docs = scaled(docs0, scale, replicate_documents) \
+            .localCheckpoint()
+        n_docs = docs.count()
+        t0 = time.time()
+        n_zip = bigram_counts(docs).count()
+        t_zip = time.time() - t0
+        t0 = time.time()
+        n_arrow = arrow_bigrams(docs).count()
+        t_arrow = time.time() - t0
+        t0 = time.time()
+        n_post = posting_bigrams(docs).count()
+        t_post = time.time() - t0
+        assert n_zip == n_arrow == n_post, \
+            (n_zip, n_arrow, n_post)
+        t0 = time.time()
+        n_coll = collocations(docs, min_count=5, metric="npmi").count()
+        t_full = time.time() - t0
+        print(json.dumps({
+            "scale": scale, "n_docs": n_docs,
+            "distinct_bigrams": n_zip,
+            "bigram_zipwith_sec": round(t_zip, 2),
+            "bigram_arrow_sec": round(t_arrow, 2),
+            "bigram_postings_sec": round(t_post, 2),
+            "collocations_rows": n_coll,
+            "collocations_sec": round(t_full, 2)}), flush=True)
+
+
 def main() -> None:
     # position-independent parsing: integer args are --product scales,
     # the (single) non-integer non-flag arg is sf_dir — so
@@ -515,22 +599,23 @@ def main() -> None:
     want_substr = "--substr" in argv
     want_index = "--index" in argv
     want_bpe = "--bpe" in argv
+    want_colloc = "--colloc" in argv
     if sum([want_product, want_vector, want_substr,
-            want_index, want_bpe]) > 1:
-        raise SystemExit("--product/--vector/--substr/--index/--bpe "
-                         "are exclusive modes")
+            want_index, want_bpe, want_colloc]) > 1:
+        raise SystemExit("--product/--vector/--substr/--index/--bpe"
+                         "/--colloc are exclusive modes")
     scales: list[int] = []
     paths: list[str] = []
     for a in argv:
         if a in ("--product", "--vector", "--substr", "--index",
-                 "--bpe"):
+                 "--bpe", "--colloc"):
             continue
         if re.fullmatch(r"[0-9]+", a):      # positive ints only
             scales.append(int(a))
         elif a.startswith("-"):
             raise SystemExit(
                 f"unknown flag {a!r} (only --product / --vector "
-                "/ --substr / --index / --bpe)")
+                "/ --substr / --index / --bpe / --colloc)")
         else:
             paths.append(a)
     if any(sc < 1 for sc in scales):
@@ -538,9 +623,9 @@ def main() -> None:
     if len(paths) > 1:
         raise SystemExit(f"at most one sf_dir argument, got {paths}")
     if scales and not (want_product or want_vector or want_substr
-                       or want_index or want_bpe):
-        raise SystemExit("scale arguments require "
-                         "--product/--vector/--substr/--index/--bpe")
+                       or want_index or want_bpe or want_colloc):
+        raise SystemExit("scale arguments require --product/--vector"
+                         "/--substr/--index/--bpe/--colloc")
     product_scales = (scales or [16, 64]) if want_product else None
     sf_dir = paths[0] if paths else "/root/testdata/sf0.1"
     spark = get_spark("stress")
@@ -564,6 +649,10 @@ def main() -> None:
         return
     if want_bpe:
         bpe_legs(spark, docs0, scales or [1, 4, 16, 64])
+        spark.stop()
+        return
+    if want_colloc:
+        colloc_legs(spark, docs0, scales or [4, 16, 64])
         spark.stop()
         return
     if product_scales is not None:
