@@ -371,6 +371,120 @@ def index_legs(spark, emb0, scales) -> None:
         }), flush=True)
 
 
+def hybrid_legs(spark, docs0, emb0, scales) -> None:
+    """Hybrid-serving legs (VERDICT r10 #5): the bench's
+    `hybrid_index_topk` extra runs the FLOAT tier at a 2k-vector
+    corpus where the quantized tier's second scan is pure overhead —
+    this leg gives the SERVING shape (warm `hybrid_topk` over a
+    persistent index) a scale number for both tiers, so the
+    int8-screen payoff claim rests on measurements, not the 64×
+    pure-index leg alone.
+
+    Corpus: embeddings joined to documents on id (text for the BM25
+    leg, vector for the dense leg), replicated with BOTH the
+    vector perturbation and the token re-suffixing, then
+    localCheckpoint'd; a fixed 16-query batch. Per scale × tier:
+    cold shot (first call pays planning + index meta reads) then
+    median of 3 warm shots — the serving number. The pure dense legs
+    (`ann_index_search[_quantized]`, same queries) are timed too:
+    the tier crossover lives in the dense leg; the BM25 leg is
+    tier-independent corpus-sized work that dilutes it."""
+    import shutil
+    import statistics
+    import tempfile
+
+    from big_data_bowl___2023_spark.similarity import (
+        ann_index_search,
+        ann_index_search_quantized,
+        build_ann_index,
+    )
+    from big_data_bowl___2023_spark.similarity.fusion import (
+        hybrid_topk,
+    )
+
+    base = (emb0.join(
+        docs0.select(F.col("doc_id").alias("vec_id"), "text"),
+        "vec_id"))
+
+    def repl(b, r):
+        out = replicate_embeddings(b, r)
+        if r == 0:
+            return out
+        return out.withColumn(
+            "text",
+            F.array_join(
+                F.transform(F.split(F.col("text"), " "),
+                            lambda w: F.concat(w, F.lit(f"_{r}"))),
+                " "))
+
+    for scale in scales:
+        corpus = scaled(base, scale, repl) \
+            .withColumnRenamed("vec_id", "doc_id").localCheckpoint()
+        n = corpus.count()
+        queries = (corpus.limit(16)
+                   .select(F.col("doc_id").alias("query_id"),
+                           F.col("text").alias("query_text"),
+                           "embedding").localCheckpoint())
+        work = tempfile.mkdtemp(prefix="hybidx_")
+        rec = {"scale": scale, "n_corpus": n}
+        try:
+            build_ann_index(corpus, f"{work}/f", id_col="doc_id")
+            build_ann_index(corpus, f"{work}/q", id_col="doc_id",
+                            quantize=True)
+            # every arm on the Arrow kernels — the corpus-scale
+            # setting the kwargs exist for (the first cut of this leg
+            # left hybrid's screen on its sql default and measured
+            # the interpreted fold, not the tier: hybrid_quant read
+            # 15.3 s at 64× of which ~5 s was the sql screen)
+            for tier, dense, idx in (("float", "index", "f"),
+                                     ("quant", "index_quantized",
+                                      "q")):
+                if tier == "float":
+                    def search(q):
+                        return ann_index_search(
+                            spark, f"{work}/f", q, 10,
+                            id_col="query_id",
+                            score_kernel="arrow")
+                else:
+                    def search(q):
+                        return ann_index_search_quantized(
+                            spark, f"{work}/q", q, 10,
+                            id_col="query_id",
+                            screen_kernel="arrow")
+                t0 = time.time()
+                search(queries).count()
+                rec[f"dense_{tier}_cold_sec"] = round(
+                    time.time() - t0, 2)
+                warm = []
+                for _ in range(3):
+                    t0 = time.time()
+                    search(queries).count()
+                    warm.append(time.time() - t0)
+                rec[f"dense_{tier}_warm_sec"] = round(
+                    statistics.median(warm), 2)
+
+                def hyb():
+                    return hybrid_topk(
+                        corpus, queries, k=10, dense=dense,
+                        index_dir=f"{work}/{idx}",
+                        score_kernel="arrow").count()
+
+                t0 = time.time()
+                hyb()
+                rec[f"hybrid_{tier}_cold_sec"] = round(
+                    time.time() - t0, 2)
+                warm = []
+                for _ in range(3):
+                    t0 = time.time()
+                    hyb()
+                    warm.append(time.time() - t0)
+                rec[f"hybrid_{tier}_warm_sec"] = round(
+                    statistics.median(warm), 2)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+        print(json.dumps(rec), flush=True)
+
+
 def product_legs(spark, docs0, scales) -> None:
     """Document-product legs only at the requested scales — the 64x
     evidence run (embedding legs excluded: see module docstring)."""
@@ -600,22 +714,23 @@ def main() -> None:
     want_index = "--index" in argv
     want_bpe = "--bpe" in argv
     want_colloc = "--colloc" in argv
-    if sum([want_product, want_vector, want_substr,
-            want_index, want_bpe, want_colloc]) > 1:
+    want_hybrid = "--hybrid" in argv
+    if sum([want_product, want_vector, want_substr, want_index,
+            want_bpe, want_colloc, want_hybrid]) > 1:
         raise SystemExit("--product/--vector/--substr/--index/--bpe"
-                         "/--colloc are exclusive modes")
+                         "/--colloc/--hybrid are exclusive modes")
     scales: list[int] = []
     paths: list[str] = []
     for a in argv:
         if a in ("--product", "--vector", "--substr", "--index",
-                 "--bpe", "--colloc"):
+                 "--bpe", "--colloc", "--hybrid"):
             continue
         if re.fullmatch(r"[0-9]+", a):      # positive ints only
             scales.append(int(a))
         elif a.startswith("-"):
             raise SystemExit(
                 f"unknown flag {a!r} (only --product / --vector "
-                "/ --substr / --index / --bpe / --colloc)")
+                "/ --substr / --index / --bpe / --colloc / --hybrid)")
         else:
             paths.append(a)
     if any(sc < 1 for sc in scales):
@@ -623,9 +738,10 @@ def main() -> None:
     if len(paths) > 1:
         raise SystemExit(f"at most one sf_dir argument, got {paths}")
     if scales and not (want_product or want_vector or want_substr
-                       or want_index or want_bpe or want_colloc):
+                       or want_index or want_bpe or want_colloc
+                       or want_hybrid):
         raise SystemExit("scale arguments require --product/--vector"
-                         "/--substr/--index/--bpe/--colloc")
+                         "/--substr/--index/--bpe/--colloc/--hybrid")
     product_scales = (scales or [16, 64]) if want_product else None
     sf_dir = paths[0] if paths else "/root/testdata/sf0.1"
     spark = get_spark("stress")
@@ -653,6 +769,12 @@ def main() -> None:
         return
     if want_colloc:
         colloc_legs(spark, docs0, scales or [4, 16, 64])
+        spark.stop()
+        return
+    if want_hybrid:
+        emb0 = load_table(spark, sf_dir, "embeddings").cache()
+        emb0.count()
+        hybrid_legs(spark, docs0, emb0, scales or [4, 64])
         spark.stop()
         return
     if product_scales is not None:
