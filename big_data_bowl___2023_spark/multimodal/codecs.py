@@ -59,6 +59,13 @@ def _decode_bmp(data: bytes) -> np.ndarray:
         return int.from_bytes(data[off:off + 2], "little")
 
     pix_off = _i32(10)
+    if pix_off < 54 or pix_off > len(data):
+        # a negative/absurd offset would otherwise make the
+        # truncation guard below pass vacuously and np.frombuffer
+        # raise a plain ValueError that escapes the dispatch's
+        # UnsupportedFormat fallback (review r11)
+        raise UnsupportedFormat(f"implausible BMP pixel offset "
+                                f"{pix_off}")
     header_size = _i32(14)
     if header_size < 40:
         raise UnsupportedFormat("pre-BITMAPINFOHEADER BMP")
@@ -132,14 +139,24 @@ def _decode_netpbm(data: bytes, magic: bytes,
 
 def decode(data: bytes) -> np.ndarray:
     """(height, width, channels) uint8 pixels, RGB order for color.
-    Raises `UnsupportedFormat` for anything this module can't parse."""
+    Raises `UnsupportedFormat` for ANYTHING this module can't parse —
+    guaranteed by the blanket re-wrap below, not just the explicit
+    checks: one corrupt blob in a 100 TB media scan must fall to the
+    caller's stub tier, never escape as a bare ValueError that kills
+    the whole mapInPandas job (review r11)."""
     kind = sniff(data)
-    if kind == "bmp":
-        return _decode_bmp(data)
-    if kind == "ppm":
-        return _decode_netpbm(data, b"P6", 3)
-    if kind == "pgm":
-        return _decode_netpbm(data, b"P5", 1)
+    try:
+        if kind == "bmp":
+            return _decode_bmp(data)
+        if kind == "ppm":
+            return _decode_netpbm(data, b"P6", 3)
+        if kind == "pgm":
+            return _decode_netpbm(data, b"P5", 1)
+    except UnsupportedFormat:
+        raise
+    except Exception as exc:
+        raise UnsupportedFormat(
+            f"malformed {kind} payload: {exc}") from exc
     raise UnsupportedFormat("unrecognized payload magic")
 
 

@@ -436,10 +436,14 @@ def curation_sequences(docs: DataFrame, seq_len: int = 2048,
     captured: dict = {}
 
     def capture(key, frame):
-        captured[key] = frame
-        if stage_hook is not None:
-            return stage_hook(key, frame)
-        return None
+        r = stage_hook(key, frame) if stage_hook is not None else None
+        # when the user hook exercises the DataFrame-replacement
+        # protocol (e.g. a pin-injecting audit hook), the chain runs
+        # on the replacement — record THAT frame, or the manifest
+        # below would silently re-evaluate the unpinned original
+        # (review r11 finding)
+        captured[key] = r if isinstance(r, DataFrame) else frame
+        return r
 
     curation_frame(docs, stage_hook=capture, **kwargs)
     # the last doc-grain stage that ran is the curated corpus

@@ -620,32 +620,45 @@ def _minus_deletes(spark: SparkSession, index_dir: str,
     compliance sweep that out-ran compaction) the collect would make
     every search plan a multi-MB literal list and a driver hazard
     (verdict r10 — the repo's only unbounded-by-construction
-    collect), so the ids switch to an EAGER `localCheckpoint`
-    broadcast anti-join instead: the checkpoint materializes one
-    marker snapshot into block storage at plan time — the plan still
-    carries zero marker-file references, the rows never transit the
-    driver, and survivors are identical (same distinct-id left_anti;
-    mode choice + identity pytest-pinned). No-op when no markers
-    exist."""
+    collect), so the ids switch to an EAGER `localCheckpoint` that
+    materializes one marker snapshot into executor block storage at
+    plan time, anti-joined with a pinned ``shuffle_hash`` (NOT
+    broadcast — a broadcast build side is collected to the driver,
+    which would quietly reintroduce the O(markers) driver cost the
+    cap exists to remove; review r11). Either mode's plan carries
+    zero marker-file references, and survivors are identical (same
+    distinct-id left_anti; mode choice + identity pytest-pinned).
+    The marker READS themselves (the deciding collect / the
+    checkpoint job) retry once: a concurrent restore-on-append swap
+    renaming the dir between our existence check and the read is a
+    tiny but real window (review r11), and one re-resolve lands on
+    the post-swap state. No-op when no markers exist."""
     global _last_marker_mode
-    dels = _read_deletes(spark, index_dir)
-    if dels is None:
-        _last_marker_mode = "none"
-        return corpus
-    ids = dels.select("neighbor_id").distinct()
-    # one job either way: fetch cap+1 — a full result means "over"
-    rows = ids.limit(DELETE_MARKER_VALUES_CAP + 1).collect()
-    if not rows:
-        _last_marker_mode = "none"
-        return corpus
-    if len(rows) <= DELETE_MARKER_VALUES_CAP:
-        _last_marker_mode = "values"
-        local = spark.createDataFrame(rows, ids.schema)
-    else:
-        _last_marker_mode = "checkpoint"
-        local = ids.localCheckpoint(eager=True)
-    return corpus.join(F.broadcast(local), "neighbor_id",
-                       "left_anti")
+    for attempt in (0, 1):
+        try:
+            dels = _read_deletes(spark, index_dir)
+            if dels is None:
+                _last_marker_mode = "none"
+                return corpus
+            ids = dels.select("neighbor_id").distinct()
+            # one job in the common path: fetch cap+1 — a full
+            # result means "over"
+            rows = ids.limit(DELETE_MARKER_VALUES_CAP + 1).collect()
+            if not rows:
+                _last_marker_mode = "none"
+                return corpus
+            if len(rows) <= DELETE_MARKER_VALUES_CAP:
+                _last_marker_mode = "values"
+                local = spark.createDataFrame(rows, ids.schema)
+                return corpus.join(F.broadcast(local),
+                                   "neighbor_id", "left_anti")
+            _last_marker_mode = "checkpoint"
+            snap = ids.localCheckpoint(eager=True)
+            return corpus.join(snap.hint("shuffle_hash"),
+                               "neighbor_id", "left_anti")
+        except Exception:
+            if attempt:
+                raise
 
 
 # observability breadcrumb: which marker path the LAST _minus_deletes

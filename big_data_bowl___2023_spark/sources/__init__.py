@@ -4,6 +4,7 @@ from .lease import (
     acquire_writer_lease,
     break_writer_lease,
     release_writer_lease,
+    renew_writer_lease,
     writer_lease,
 )
 from . import schemas
@@ -11,4 +12,5 @@ from . import schemas
 __all__ = ["load_table", "read_csv_glob", "write_parquet", "schemas",
            "writer_lease", "acquire_writer_lease",
            "release_writer_lease", "break_writer_lease",
+           "renew_writer_lease",
            "WriterLeaseConflict"]

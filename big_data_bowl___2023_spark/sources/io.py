@@ -567,7 +567,14 @@ def replace_state_dir(df: DataFrame, path: str) -> None:
         fs.delete(tmp, True)
         raise
     if not fs.exists(live) and fs.exists(bak):
-        fs.rename(bak, live)                 # heal a prior mid-swap
+        # heal a prior mid-swap; the rename result MUST be checked
+        # before the unconditional backup delete below — a failed
+        # heal followed by delete(bak) would destroy the only
+        # surviving copy of the state (review r11)
+        if not fs.rename(bak, live):
+            fs.delete(tmp, True)
+            raise IOError(f"replace_state_dir: heal rename "
+                          f"{bak} -> {live} failed")
     fs.delete(bak, True)
     swapped = False
     try:

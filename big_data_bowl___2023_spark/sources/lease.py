@@ -31,11 +31,18 @@ file:
   ONCE. Two takeover attempts racing on a store without atomic
   create can both think they won — the documented residual window,
   strictly smaller than the no-mechanism status quo.
-* **Re-entrant per process**: composed maintenance (a streaming
-  ingest batch that appends AND restores markers, a compaction
-  invoked from a snapshot apply) re-enters the lease it already
-  holds instead of deadlocking; the file is released when the
-  outermost holder exits.
+* **Re-entrant per THREAD** (not per process — review r11): composed
+  same-thread maintenance (a snapshot apply driving ingest batches)
+  re-enters the lease it already holds instead of deadlocking, and
+  the file is released when the outermost holder exits; a DIFFERENT
+  driver thread (a second streaming query's foreachBatch, a
+  scheduler thread compacting mid-ingest) conflicts loudly like any
+  foreign writer.
+* **Renewal**: `renew_writer_lease` is the holder's heartbeat —
+  staleness is judged by the lease file's mtime, so an operation
+  that may outlive its TTL refreshes between phases (or acquires
+  with an op-sized ``ttl_s``); a False return means the lease was
+  taken over and the holder must abort its remaining writes.
 * **Epoch**: each successful acquisition increments a monotonic
   epoch persisted in the sibling ``<root>__epoch`` (a tiny text
   file, rewritten under the lease), so post-mortems can order writer
@@ -51,6 +58,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 import uuid
 from contextlib import contextmanager
@@ -68,8 +76,19 @@ class WriterLeaseConflict(RuntimeError):
     `break_writer_lease` if the holder is known dead)."""
 
 
-# process-local re-entrancy: normalized root -> (token, depth)
-_HELD: dict[str, list] = {}
+# re-entrancy registry: (thread id, normalized root) -> [token, depth].
+# Keyed per THREAD, not per process (review r11): two driver threads
+# — e.g. two structured-streaming foreachBatch workers, or a
+# scheduler thread compacting while an ingest batch writes — must
+# CONFLICT, not silently share a lease; the legitimate composition
+# (apply_snapshot_diff driving ingest batches) is same-thread. The
+# lock covers the registry's check-then-act.
+_HELD: dict[tuple[int, str], list] = {}
+_HELD_LOCK = threading.Lock()
+
+
+def _held_key(root: str) -> tuple[int, str]:
+    return (threading.get_ident(), os.path.abspath(root.rstrip("/")))
 
 
 def _fs_path(spark: SparkSession, p: str):
@@ -125,11 +144,12 @@ def acquire_writer_lease(spark: SparkSession, root: str, what: str,
     raising `WriterLeaseConflict` when live-held by someone else).
     Returns an opaque token for `release_writer_lease`. Prefer the
     `writer_lease` context manager."""
-    key = os.path.abspath(root.rstrip("/"))
-    held = _HELD.get(key)
-    if held is not None:
-        held[1] += 1                        # re-enter
-        return held[0]
+    key = _held_key(root)
+    with _HELD_LOCK:
+        held = _HELD.get(key)
+        if held is not None:
+            held[1] += 1                    # same-thread re-enter
+            return held[0]
     fs, jp = _fs_path(spark, root.rstrip("/") + LEASE_SUFFIX)
     # the root may not exist yet (first build): create it so the
     # lease file has a home
@@ -141,18 +161,26 @@ def acquire_writer_lease(spark: SparkSession, root: str, what: str,
         payload["epoch"] = _bump_epoch(spark, root) if attempt == 0 \
             else payload.get("epoch", 0)
         if _write_create(spark, fs, jp, payload):
-            _HELD[key] = [token, 1]
+            with _HELD_LOCK:
+                _HELD[key] = [token, 1]
             return token
         # occupied: stale (holder crashed past its TTL) -> take over
-        # once; live -> refuse loudly
+        # once; live -> refuse loudly. Staleness is decided by AGE
+        # ALONE: an unreadable/empty payload does NOT make a fresh
+        # lease stealable (review r11 — the create-to-write window
+        # of a racing acquirer reads as an empty file; treating that
+        # as stale stole live leases at age ≈ 0). A vanished file
+        # (getFileStatus throws) means the holder released between
+        # our create and stat — retry the create.
+        vanished = False
         try:
             age = time.time() - fs.getFileStatus(jp) \
                 .getModificationTime() / 1000.0
         except Exception:
-            age = 0.0                       # vanished: retry create
+            vanished, age = True, 0.0
         holder = _read_json(spark, fs, jp)
         ttl = float(holder.get("ttl_s", ttl_s))
-        if attempt == 0 and (age > ttl or not holder):
+        if attempt == 0 and (age > ttl or vanished):
             fs.delete(jp, False)
             continue
         raise WriterLeaseConflict(
@@ -173,25 +201,56 @@ def release_writer_lease(spark: SparkSession, root: str,
     """Release (outermost exit deletes the file; only the holder's
     token releases — a stranger's token is a no-op so a takeover
     victim's late release can't kill the new holder's lease)."""
-    key = os.path.abspath(root.rstrip("/"))
-    held = _HELD.get(key)
-    if held is None or held[0] != token:
-        return
-    held[1] -= 1
-    if held[1] > 0:
-        return
-    del _HELD[key]
+    key = _held_key(root)
+    with _HELD_LOCK:
+        held = _HELD.get(key)
+        if held is None or held[0] != token:
+            return
+        held[1] -= 1
+        if held[1] > 0:
+            return
+        del _HELD[key]
     fs, jp = _fs_path(spark, root.rstrip("/") + LEASE_SUFFIX)
     if fs.exists(jp) and \
             _read_json(spark, fs, jp).get("owner") == token:
         fs.delete(jp, False)
 
 
+def renew_writer_lease(spark: SparkSession, root: str,
+                       token: str) -> bool:
+    """Refresh the lease's modification time (rewrite the payload) —
+    the HOLDER'S heartbeat for operations that may outlive the TTL
+    (review r11: without renewal, a 75-minute compaction over a huge
+    index silently loses its lease to a TTL takeover at minute 61
+    and two writers run live). Long-running schedulers call this
+    between phases, or pass an op-sized ``ttl_s`` at acquisition.
+    Returns False — renewing nothing — when the caller no longer
+    holds the lease (it was taken over, or the token is stale): the
+    holder should then ABORT its remaining writes rather than race
+    the new owner."""
+    key = _held_key(root)
+    with _HELD_LOCK:
+        held = _HELD.get(key)
+        if held is None or held[0] != token:
+            return False
+    fs, jp = _fs_path(spark, root.rstrip("/") + LEASE_SUFFIX)
+    if not fs.exists(jp):
+        return False
+    payload = _read_json(spark, fs, jp)
+    if payload.get("owner") != token:
+        return False
+    payload["renewed_unix"] = time.time()
+    fs.delete(jp, False)
+    return _write_create(spark, fs, jp, payload)
+
+
 def break_writer_lease(spark: SparkSession, root: str) -> bool:
     """Operator override: drop the lease file regardless of TTL (the
     holder is known dead). Returns True when a file was removed."""
-    key = os.path.abspath(root.rstrip("/"))
-    _HELD.pop(key, None)
+    absroot = os.path.abspath(root.rstrip("/"))
+    with _HELD_LOCK:
+        for k in [k for k in _HELD if k[1] == absroot]:
+            del _HELD[k]
     fs, jp = _fs_path(spark, root.rstrip("/") + LEASE_SUFFIX)
     if fs.exists(jp):
         fs.delete(jp, False)

@@ -208,6 +208,16 @@ def make_curation_ingest_batch_fn(out_dir: str, index_dir: str,
 
     def _process_locked(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # heal a compaction that died between its two renames BEFORE
+        # any append: with the corpus parked at _compact_old and
+        # out_dir absent, a blind append would recreate a fresh
+        # out_dir holding only this batch — and the NEXT compaction,
+        # seeing out_dir exist, would conclude its backup is
+        # post-swap residue and delete the only copy of the
+        # pre-crash corpus (review r11 finding — the same
+        # append-after-unhealed-crash bug heal_state_dir fixes for
+        # __bak-managed dirs, on the other swap scheme)
+        _heal_compact_swap(spark, out_dir)
         # dir-absent → bootstrap; any OTHER read failure raises (a
         # transient error treated as 'no history' would silently
         # admit every duplicate in this batch)
@@ -347,6 +357,30 @@ def _tombstone_dir(out_dir: str) -> str:
     return out_dir.rstrip("/") + "_tombstones"
 
 
+def _heal_compact_swap(spark, out_dir: str) -> bool:
+    """Heal a `compact_curated` that died between its two renames:
+    live corpus gone, data parked at ``_compact_old`` — rename it
+    back. Every WRITER that touches ``out_dir`` must call this
+    before writing (the ingest loop, snapshot applies via the loop,
+    and compaction itself): an append into the absent live dir would
+    shadow the parked corpus, and the next compaction would then
+    mistake the backup for post-swap residue and delete it. Returns
+    True when a heal happened."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(out_dir.rstrip("/"))
+    bak = jvm.org.apache.hadoop.fs.Path(
+        out_dir.rstrip("/") + "_compact_old")
+    fs = root.getFileSystem(conf)
+    if not fs.exists(root) and fs.exists(bak):
+        if not fs.rename(bak, root):
+            raise IOError(f"failed to restore crashed compaction "
+                          f"backup {bak}")
+        spark.catalog.refreshByPath(out_dir)
+        return True
+    return False
+
+
 def read_curated(spark, out_dir: str) -> DataFrame:
     """The LIVE curated corpus: the loop's appended output minus the
     tombstoned rows. Tombstones are (doc_id, fingerprint-of-stored-
@@ -403,15 +437,10 @@ def _compact_curated_unlocked(spark, out_dir):
 
     root = _jp(out_dir.rstrip("/"))
     fs = root.getFileSystem(conf)
-    # heal a prior hard kill between the two renames: live dir gone,
-    # data parked at _compact_old — restore it BEFORE the read, or
-    # the rerun could never reach any recovery code (review r10)
-    old_bak = _jp(out_dir.rstrip("/") + "_compact_old")
-    if not fs.exists(root) and fs.exists(old_bak):
-        if not fs.rename(old_bak, root):
-            raise IOError(
-                f"failed to restore crashed compaction backup "
-                f"{old_bak}")
+    # heal a prior hard kill between the two renames BEFORE the read,
+    # or the rerun could never reach any recovery code (review r10;
+    # shared helper since r11 — the ingest loop must heal too)
+    _heal_compact_swap(spark, out_dir)
     tomb_dir = _tombstone_dir(out_dir)
     tombs = read_state_dir(spark, tomb_dir)
     before = spark.read.parquet(out_dir).count()

@@ -136,3 +136,29 @@ def test_spark_passes_use_real_tier(spark):
     assert feats[1][3] == pytest.approx(float(img_a.mean()) / 255.0,
                                         rel=1e-6)
     assert all(0.0 <= v <= 1.0 for v in feats[3])   # stub stays [0,1]
+
+
+def test_malformed_magic_payloads_fall_to_stub(spark):
+    """Review r11: a payload with a codec's magic but garbage inside
+    (e.g. a negative pixel offset) must raise UnsupportedFormat —
+    never a bare ValueError that would kill the whole mapInPandas
+    job instead of falling to the stub tier."""
+    img = _grad(4, 4)
+    evil = bytearray(codecs.make_bmp(img))
+    evil[10:14] = (-100).to_bytes(4, "little", signed=True)
+    with pytest.raises(codecs.UnsupportedFormat):
+        codecs.decode(bytes(evil))
+    # truncated netpbm with a plausible header
+    with pytest.raises(codecs.UnsupportedFormat):
+        codecs.decode(b"P6\n100 100\n255\nxx")
+    # and through Spark: the whole batch survives, evil rows stub
+    rows = [(1, "image", bytearray(codecs.make_bmp(img)), "t", 0),
+            (2, "image", bytes(evil), "t", 0)]
+    media = spark.createDataFrame(
+        rows, "media_id long, modality string, data binary, "
+              "source string, n_bytes long")
+    dec = {r["media_id"]: r["decoder"]
+           for r in decode_media(media).collect()}
+    assert dec == {1: "bmp", 2: "stub"}
+    assert resize_media(media, max_side=8).count() == 2
+    assert extract_features(media).count() == 2

@@ -269,3 +269,36 @@ def test_curation_sequences_manifest(spark):
     key = lambda r: (r.source, r.seq_id)
     assert (sorted([(key(r), r.n_docs, r.n_tokens) for r in man])
             == sorted([(key(r), r.n_docs, r.n_tokens) for r in direct]))
+
+
+def test_curation_sequences_with_pinning_hook(spark):
+    """Review r11: a user stage_hook exercising the DataFrame-
+    replacement protocol (the pin-injection curation_audit uses)
+    must leave curation_sequences' manifest identical — the capture
+    must record the hook's REPLACEMENT frame, not the stale
+    pre-replacement one, or the manifest re-evaluates the unpinned
+    chain."""
+    from big_data_bowl___2023_spark.pipelines.curation import (
+        curation_sequences,
+    )
+    from big_data_bowl___2023_spark.session import pin
+
+    docs, bench = _fixture(spark)
+    plain = sorted(
+        tuple(r) for r in curation_sequences(
+            docs, seq_len=32, sep_tokens=1, benchmark=bench,
+            min_words=20).collect())
+
+    pinned_frames = []
+
+    def pinning_hook(key, frame):
+        p = pin(frame)
+        pinned_frames.append(p)
+        return p
+
+    got = sorted(
+        tuple(r) for r in curation_sequences(
+            docs, seq_len=32, sep_tokens=1, benchmark=bench,
+            min_words=20, stage_hook=pinning_hook).collect())
+    assert pinned_frames                      # the hook really ran
+    assert got == plain

@@ -14,9 +14,13 @@ Contracts under test:
   (ADVICE r10 low), and drops NULL inputs uncounted;
 * past `DELETE_MARKER_VALUES_CAP` distinct markers, searches switch
   from the plan-time VALUES list to the eager-localCheckpoint
-  broadcast anti-join with IDENTICAL survivors, `delete_from_index`
-  warns, and `index_cell_stats` flags ``compact_recommended``
-  (verdict r10 #1 — bounding the one unbounded driver collect).
+  shuffle-hash anti-join with IDENTICAL survivors,
+  `delete_from_index` warns, and `index_cell_stats` flags
+  ``compact_recommended`` (verdict r10 #1 — bounding the one
+  unbounded driver collect);
+* review-r11 regressions: ingest batches heal a crashed curated
+  compaction swap before appending, and marker reads retry once
+  across a concurrent swap window.
 """
 
 from __future__ import annotations
@@ -205,3 +209,70 @@ def test_marker_cap_switches_mode_identically(spark, sf_dir,
     assert stats["compact_recommended"] is True
     with pytest.warns(UserWarning, match="DELETE_MARKER_VALUES_CAP"):
         delete_from_index(spark, idx, [victims[0]])
+
+
+def test_ingest_append_heals_crashed_compaction_swap(spark,
+                                                     tmp_path):
+    """Review r11: a compact_curated that died between its two
+    renames parks the corpus at _compact_old; the next ingest batch
+    must restore it before appending — a blind append would recreate
+    a fresh out_dir and the NEXT compaction would delete the backup
+    as post-swap residue, losing the pre-crash corpus."""
+    from big_data_bowl___2023_spark.streaming import (
+        compact_curated,
+        make_curation_ingest_batch_fn,
+        read_curated,
+    )
+
+    def _doc(i):
+        return (i, "src", " ".join(
+            f"w{i}tok{j} common filler text segment"
+            for j in range(13)))
+
+    out = str(tmp_path / "curated")
+    fp_idx = str(tmp_path / "fp_idx")
+    fn = make_curation_ingest_batch_fn(out, fp_idx, min_words=10)
+    fn(spark.createDataFrame([_doc(1), _doc(2)],
+                             "doc_id long, source string, "
+                             "text string"), 0)
+    # simulate the mid-swap crash: live gone, corpus parked
+    os.rename(out, out + "_compact_old")
+
+    fn(spark.createDataFrame([_doc(3)],
+                             "doc_id long, source string, "
+                             "text string"), 1)
+    assert not os.path.exists(out + "_compact_old")
+    assert {r.doc_id for r in read_curated(spark, out).collect()} \
+        == {1, 2, 3}
+    # and the next compaction is safe (nothing left to misread)
+    rep = compact_curated(spark, out)
+    assert rep["rows_before"] == 3
+
+
+def test_marker_read_survives_concurrent_swap_window(spark, sf_dir,
+                                                     tmp_path,
+                                                     monkeypatch):
+    """Review r11: the marker read retries once, so a search planned
+    exactly inside a restore-on-append swap window (live renamed
+    away, first read fails) still resolves instead of crashing."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    idx = str(tmp_path / "idx")
+    build_ann_index(emb.limit(100), idx)
+    delete_from_index(spark, idx, [1, 2])
+
+    real = index_mod._read_deletes
+    calls = {"n": 0}
+
+    def flaky(spark_, index_dir):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated mid-swap FileNotFound")
+        return real(spark_, index_dir)
+
+    monkeypatch.setattr(index_mod, "_read_deletes", flaky)
+    got = ann_index_search(spark, idx, queries, 3,
+                           id_col="vec_id", exclude_self=False)
+    ids = {r["neighbor_id"] for r in got.collect()}
+    assert calls["n"] == 2
+    assert 1 not in ids and 2 not in ids

@@ -39,6 +39,7 @@ from big_data_bowl___2023_spark.sources.lease import (
     acquire_writer_lease,
     break_writer_lease,
     release_writer_lease,
+    renew_writer_lease,
     writer_lease,
 )
 
@@ -182,3 +183,71 @@ def test_curation_maintenance_holds_lease(spark, tmp_path):
     assert {r.doc_id for r in read_curated(spark, out).collect()} \
         == {2}
     assert not os.path.exists(out + "__lease")
+
+
+def test_second_thread_conflicts_not_reenters(spark, tmp_path):
+    """Review r11: re-entrancy is per THREAD — a different driver
+    thread (a second streaming query, a scheduler compaction) must
+    conflict, never silently share the lease."""
+    import threading
+
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+    result = {}
+
+    def other_thread():
+        try:
+            acquire_writer_lease(spark, root, "thread-b")
+            result["outcome"] = "acquired"
+        except WriterLeaseConflict:
+            result["outcome"] = "conflict"
+
+    with writer_lease(spark, root, "thread-a"):
+        t = threading.Thread(target=other_thread)
+        t.start()
+        t.join()
+    assert result["outcome"] == "conflict"
+    # after release, another thread acquires fine
+    result.clear()
+    t = threading.Thread(target=other_thread)
+    t.start()
+    t.join()
+    assert result["outcome"] == "acquired"
+    break_writer_lease(spark, root)
+
+
+def test_fresh_unreadable_lease_not_stolen(spark, tmp_path):
+    """Review r11: a lease whose payload is empty/unreadable (a
+    racing acquirer mid create-to-write) is NOT stealable while its
+    mtime is fresh — staleness is age alone."""
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+    open(root + "__lease", "w").close()       # fresh, empty payload
+    with pytest.raises(WriterLeaseConflict):
+        acquire_writer_lease(spark, root, "thief")
+    # once aged past the TTL it is ordinary stale takeover
+    os.utime(root + "__lease", (0, 0))
+    with writer_lease(spark, root, "after-ttl"):
+        pass
+
+
+def test_renew_refreshes_and_detects_takeover(spark, tmp_path):
+    """Review r11: renew_writer_lease is the long-op heartbeat — it
+    refreshes the file mtime under the holder's token, and returns
+    False after a takeover so the old holder aborts instead of
+    racing the new owner."""
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+    token = acquire_writer_lease(spark, root, "long-compaction")
+    os.utime(root + "__lease", (0, 0))        # about to look stale
+    assert renew_writer_lease(spark, root, token) is True
+    assert os.path.getmtime(root + "__lease") > 0   # mtime refreshed
+    holder = json.load(open(root + "__lease"))
+    assert holder["owner"] == token and "renewed_unix" in holder
+
+    # simulate a takeover: someone replaced the lease file
+    _foreign_lease(root)
+    assert renew_writer_lease(spark, root, token) is False
+    release_writer_lease(spark, root, token)  # owner-checked no-op
+    assert json.load(open(root + "__lease"))["owner"] == "elsewhere"
+    break_writer_lease(spark, root)
