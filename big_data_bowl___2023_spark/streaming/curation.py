@@ -483,6 +483,7 @@ def _compact_curated_unlocked(spark, out_dir):
 def apply_snapshot_diff(spark, old_docs: DataFrame,
                         new_docs: DataFrame, out_dir: str,
                         index_dir: str, batch_id: int = 0,
+                        ann_index_dirs: tuple = (),
                         **loop_kwargs) -> dict:
     """Reconcile the curated state with a NEW snapshot by processing
     ONLY the diff — the incremental-reprocessing composition a 100 TB
@@ -532,21 +533,32 @@ def apply_snapshot_diff(spark, old_docs: DataFrame,
     Write order is load-bearing: tombstones append BEFORE the delta
     processes, so a crash between the two leaves old versions hidden
     with the replacements missing — the rerun re-processes them —
-    never a window where both versions are visible. Returns counts:
-    {"added", "removed", "modified", "modified_noop", "restored",
-    "tombstoned", "delta_docs"}. Serialized by the writer lease
+    never a window where both versions are visible.
+
+    ``ann_index_dirs`` (r11) closes the compliance loop in ONE call:
+    each listed persistent ANN/hybrid index receives
+    `delete_from_index` markers for the diff's REMOVED doc ids —
+    ordered with the tombstones, before the delta — so a taken-down
+    document stops being served by the curated read AND by vector/
+    hybrid retrieval in the same maintenance action (the cross-
+    surface invariant tests/test_takedown_serving.py pins). Re-added
+    docs restore through `append_to_index`'s marker-drop when their
+    embeddings are re-indexed. Returns counts: {"added", "removed",
+    "modified", "modified_noop", "restored", "tombstoned",
+    "delta_docs", "index_deleted"}. Serialized by the writer lease
     (`sources.lease`) on ``out_dir`` — the delta's ingest batches
-    re-enter it."""
+    re-enter it; each ANN index takes its own lease."""
     from ..sources.lease import writer_lease
 
     with writer_lease(spark, out_dir, "apply_snapshot_diff"):
         return _apply_snapshot_diff_unlocked(
             spark, old_docs, new_docs, out_dir, index_dir, batch_id,
-            **loop_kwargs)
+            ann_index_dirs=ann_index_dirs, **loop_kwargs)
 
 
 def _apply_snapshot_diff_unlocked(spark, old_docs, new_docs, out_dir,
                                   index_dir, batch_id,
+                                  ann_index_dirs=(),
                                   **loop_kwargs):
     from ..dedup.exact import corpus_diff, fingerprint_docs
 
@@ -622,6 +634,25 @@ def _apply_snapshot_diff_unlocked(spark, old_docs, new_docs, out_dir,
     # (its mere existence flips read_curated onto the fingerprint
     # path and makes the next compaction a full rewrite for nothing)
 
+    # cross-surface takedown propagation (r11 — the compliance loop
+    # closed in one call): REMOVED docs also stop being served by
+    # every listed ANN/hybrid index built over their embeddings.
+    # Ordered with the tombstone write, BEFORE the delta processes —
+    # hide everywhere first, then admit replacements; a crash
+    # in between re-deletes idempotently on the diff's re-apply
+    # (markers are set-membership). Each index takes its own writer
+    # lease (distinct root — no deadlock with the out_dir lease this
+    # function already holds).
+    index_deleted = {}
+    if ann_index_dirs:
+        from ..similarity.index import delete_from_index
+
+        removed_ids = (diff.filter(F.col("change") == "removed")
+                       .select("doc_id"))
+        for idx_dir in ann_index_dirs:
+            index_deleted[idx_dir] = delete_from_index(
+                spark, idx_dir, removed_ids)["deleted"]
+
     delta_ids = (incoming
                  .join(noop, "doc_id", "left_anti")
                  .join(restored.select("doc_id"), "doc_id",
@@ -637,4 +668,5 @@ def _apply_snapshot_diff_unlocked(spark, old_docs, new_docs, out_dir,
             "modified_noop": n_noop,
             "restored": n_restored,
             "tombstoned": n_tomb,
-            "delta_docs": n_delta}
+            "delta_docs": n_delta,
+            "index_deleted": index_deleted}

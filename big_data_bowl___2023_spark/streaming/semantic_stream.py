@@ -224,6 +224,18 @@ def make_semantic_ingest_batch_fn(out_dir: str, codebook_path: str,
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # one maintenance writer per semantic corpus (r11 — the same
+        # lease every index/curation writer holds): the out_dir lease
+        # covers the paired codebook + dropped-ids artifacts, which
+        # always travel together
+        from ..sources.lease import writer_lease
+
+        with writer_lease(spark, out_dir,
+                          f"semantic_ingest_batch_{batch_id}"):
+            return _process_locked(batch_df, batch_id)
+
+    def _process_locked(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
         corpus = _read_parquet_if_present(spark, out_dir)
         bcs: list = []
         try:

@@ -8,11 +8,12 @@ serving surface at once —
   embedding (`delete_from_index` markers, E120; surfaced through
   `ann_index_search` and `hybrid_topk(dense="index")`).
 
-The glue is the operator feeding the diff's REMOVED doc ids into
-`delete_from_index` — this test pins that the two mechanisms
-actually compose into one compliance invariant (ingest → index →
-takedown → both reads exclude), including after the index compaction
-applies the markers physically.
+The glue is `apply_snapshot_diff(..., ann_index_dirs=(...,))` —
+the diff's REMOVED doc ids feed `delete_from_index` inside the same
+maintenance action — and this test pins that the mechanisms compose
+into one compliance invariant (ingest → index → takedown → every
+read excludes), including after the index compaction applies the
+markers physically.
 """
 
 from __future__ import annotations
@@ -23,7 +24,6 @@ from pyspark.sql import functions as F
 from big_data_bowl___2023_spark.similarity import (
     ann_index_search,
     build_ann_index,
-    delete_from_index,
 )
 from big_data_bowl___2023_spark.similarity.fusion import hybrid_topk
 from big_data_bowl___2023_spark.streaming import (
@@ -82,15 +82,14 @@ def test_takedown_reaches_curated_and_serving(spark, tmp_path):
                         index_dir=ann_dir)
     assert victim in {r["doc_id"] for r in pre_h.collect()}
 
-    # the takedown: snapshot 2 removes the victim; the diff's
-    # tombstoned ids feed the index delete — ONE compliance action
+    # the takedown: snapshot 2 removes the victim — ONE call
+    # propagates it to the curated view AND the listed ANN index
     snap2 = docs.filter(F.col("doc_id") != victim)
     stats = apply_snapshot_diff(spark, docs, snap2, out, fp_idx,
-                                batch_id=1, min_words=10)
+                                batch_id=1, min_words=10,
+                                ann_index_dirs=(ann_dir,))
     assert stats["removed"] == 1
-    removed = (docs.join(snap2.select("doc_id"), "doc_id",
-                         "left_anti").select("doc_id"))
-    assert delete_from_index(spark, ann_dir, removed)["deleted"] == 1
+    assert stats["index_deleted"] == {ann_dir: 1}
 
     # surface 1: the curated read hides it
     live = read_curated(spark, out)
