@@ -1,3 +1,4 @@
+from . import codecs
 from .binary_ops import (
     MEDIA_SCHEMA,
     decode_media,
@@ -7,5 +8,6 @@ from .binary_ops import (
     resize_media,
 )
 
-__all__ = ["MEDIA_SCHEMA", "decode_media", "extract_features",
-           "frame_sample", "media_from_documents", "resize_media"]
+__all__ = ["MEDIA_SCHEMA", "codecs", "decode_media",
+           "extract_features", "frame_sample",
+           "media_from_documents", "resize_media"]

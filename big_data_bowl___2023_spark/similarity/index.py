@@ -653,7 +653,15 @@ def _minus_deletes(spark: SparkSession, index_dir: str,
                 return corpus.join(F.broadcast(local),
                                    "neighbor_id", "left_anti")
             _last_marker_mode = "checkpoint"
-            snap = ids.localCheckpoint(eager=True)
+            # session.pin, not a direct localCheckpoint (the
+            # source-hygiene rule): truncate=True so BOTH durability
+            # modes materialize an eager, lineage-truncated snapshot
+            # — a durable persist(DISK_ONLY) would keep marker-FILE
+            # lineage that an executor loss recomputes from files a
+            # concurrent rewrite may have swapped away
+            from ..session import pin
+
+            snap = pin(ids, truncate=True)
             return corpus.join(snap.hint("shuffle_hash"),
                                "neighbor_id", "left_anti")
         except Exception:

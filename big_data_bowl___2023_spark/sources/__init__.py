@@ -6,11 +6,12 @@ from .lease import (
     release_writer_lease,
     renew_writer_lease,
     writer_lease,
+    writer_lease_status,
 )
 from . import schemas
 
 __all__ = ["load_table", "read_csv_glob", "write_parquet", "schemas",
            "writer_lease", "acquire_writer_lease",
            "release_writer_lease", "break_writer_lease",
-           "renew_writer_lease",
+           "renew_writer_lease", "writer_lease_status",
            "WriterLeaseConflict"]

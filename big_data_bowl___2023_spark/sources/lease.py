@@ -258,6 +258,38 @@ def break_writer_lease(spark: SparkSession, root: str) -> bool:
     return False
 
 
+def writer_lease_status(spark: SparkSession, root: str) -> dict:
+    """Read-only operator view of a root's maintenance-lease state —
+    the dashboard call beside `index_cell_stats`: ``{"held": bool,
+    "stale": bool, "age_s", "owner", "what", "pid", "epoch",
+    "ttl_s"}``. ``epoch`` reads the persistent counter even when no
+    lease is live (how many writer sessions this root has ever had).
+    Never writes — safe from any reader at any time."""
+    fs, jp = _fs_path(spark, root.rstrip("/") + LEASE_SUFFIX)
+    _, ep = _fs_path(spark, root.rstrip("/") + EPOCH_SUFFIX)
+    epoch = _read_json(spark, fs, ep).get("epoch") \
+        if fs.exists(ep) else None
+    if not fs.exists(jp):
+        return {"held": False, "stale": False, "age_s": None,
+                "owner": None, "what": None, "pid": None,
+                "epoch": epoch, "ttl_s": None}
+    holder = _read_json(spark, fs, jp)
+    try:
+        age = time.time() - fs.getFileStatus(jp) \
+            .getModificationTime() / 1000.0
+    except Exception:
+        age = None
+    ttl = float(holder.get("ttl_s", DEFAULT_TTL_S))
+    return {"held": True,
+            "stale": age is not None and age > ttl,
+            "age_s": None if age is None else round(age, 1),
+            "owner": holder.get("owner"),
+            "what": holder.get("what"),
+            "pid": holder.get("pid"),
+            "epoch": holder.get("epoch", epoch),
+            "ttl_s": ttl}
+
+
 @contextmanager
 def writer_lease(spark: SparkSession, root: str, what: str,
                  ttl_s: float = DEFAULT_TTL_S):

@@ -251,3 +251,29 @@ def test_renew_refreshes_and_detects_takeover(spark, tmp_path):
     release_writer_lease(spark, root, token)  # owner-checked no-op
     assert json.load(open(root + "__lease"))["owner"] == "elsewhere"
     break_writer_lease(spark, root)
+
+
+def test_writer_lease_status_readonly_view(spark, tmp_path):
+    from big_data_bowl___2023_spark.sources.lease import (
+        writer_lease_status,
+    )
+
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+    st = writer_lease_status(spark, root)
+    assert st == {"held": False, "stale": False, "age_s": None,
+                  "owner": None, "what": None, "pid": None,
+                  "epoch": None, "ttl_s": None}
+    with writer_lease(spark, root, "compact") as token:
+        st = writer_lease_status(spark, root)
+        assert st["held"] is True and st["stale"] is False
+        assert st["owner"] == token and st["what"] == "compact"
+        assert st["epoch"] == 1 and st["age_s"] is not None
+        # status is read-only: the lease file is untouched
+        assert json.load(open(root + "__lease"))["owner"] == token
+    st = writer_lease_status(spark, root)
+    assert st["held"] is False and st["epoch"] == 1   # epoch persists
+    _foreign_lease(root)
+    os.utime(root + "__lease", (0, 0))
+    assert writer_lease_status(spark, root)["stale"] is True
+    break_writer_lease(spark, root)
