@@ -35,6 +35,7 @@ from .index import (
     build_ann_index,
     clear_index_deletes,
     delete_from_index,
+    undelete_from_index,
     index_cell_stats,
     index_versions,
     saturation_history,
@@ -55,6 +56,7 @@ __all__ = ["brute_force_topk", "brp_lsh_topk", "ivf_topk",
            "saturation_report", "saturation_history",
            "SATURATION_REBUILD_THRESHOLD",
            "index_cell_stats", "CELL_SKEW_WARN_RATIO",
-           "delete_from_index", "clear_index_deletes",
+           "delete_from_index", "undelete_from_index",
+           "clear_index_deletes",
            "index_versions",
            "bm25_scores", "bm25_topk", "term_postings"]

@@ -442,25 +442,11 @@ def _append_to_index_unlocked(batch, index_dir, vec_col, id_col,
      .parquet(cells))
     # restore-on-append: re-adding an id is the intent to serve it
     # again — drop any delete marker the batch's ids match (the
-    # curated-corpus tombstone-restore rule). The rewrite goes
-    # through `io.replace_state_dir` (staged + swap): an in-place
-    # overwrite would lose EVERY marker — including takedowns for
-    # unrelated ids — on a mid-write crash (review r10).
-    dels = _read_deletes(spark, index_dir)
-    if dels is not None:
-        from ..sources.io import drop_state_dir, replace_state_dir
-
-        batch_ids = batch.select(
-            F.col(id_col).alias("neighbor_id")).distinct()
-        hit = dels.join(batch_ids, "neighbor_id", "semi")
-        if hit.take(1):
-            remaining = dels.join(batch_ids, "neighbor_id",
-                                  "left_anti")
-            if remaining.take(1):
-                replace_state_dir(remaining,
-                                  f"{index_dir}/{_DELETES}")
-            else:
-                drop_state_dir(spark, f"{index_dir}/{_DELETES}")
+    # curated-corpus tombstone-restore rule), via the shared
+    # `_undelete_unlocked` (this writer already holds the lease).
+    _undelete_unlocked(spark, index_dir,
+                       batch.select(F.col(id_col)
+                                    .alias("neighbor_id")))
     if report is not None:
         (spark.createDataFrame(
             [(int(report["rows"]), int(report["rows_clipped"]),
@@ -664,8 +650,20 @@ def _minus_deletes(spark: SparkSession, index_dir: str,
             snap = pin(ids, truncate=True)
             return corpus.join(snap.hint("shuffle_hash"),
                                "neighbor_id", "left_anti")
-        except Exception:
-            if attempt:
+        except Exception as exc:
+            # retry ONLY what the swap window actually produces —
+            # vanished files/paths between the existence check and
+            # the read job. A deterministic fault (corrupt footer,
+            # schema error) must surface first-error, once, not run
+            # the doomed jobs twice with the cause swallowed
+            # (review r11).
+            msg = str(exc)
+            transient = any(tag in msg for tag in
+                            ("FileNotFound",     # Java + Python
+                             "PATH_NOT_FOUND",
+                             "does not exist",
+                             "FILE_NOT_EXIST"))
+            if attempt or not transient:
                 raise
 
 
@@ -752,6 +750,63 @@ def _delete_from_index_unlocked(spark, index_dir, ids):
                 f"(then vacuum_index + clear_index_deletes per the "
                 f"GC ordering rules)", stacklevel=2)
     return {"deleted": n}
+
+
+def _undelete_unlocked(spark: SparkSession, index_dir: str,
+                       ids: DataFrame) -> int:
+    """Drop the delete markers matching ``ids`` (first column, cast
+    to the stored id type — an uncastable id simply matches nothing;
+    un-hiding is the safe direction for a silent no-op, unlike
+    `delete_from_index`'s loud refusal). The rewrite goes through
+    `io.replace_state_dir` (staged + swap): an in-place overwrite
+    would lose EVERY marker — including takedowns for unrelated ids
+    — on a mid-write crash (review r10). Caller holds the writer
+    lease. Returns the number of distinct markers dropped."""
+    dels = _read_deletes(spark, index_dir)
+    if dels is None:
+        return 0
+    from ..sources.io import drop_state_dir, replace_state_dir
+
+    id_type = dels.schema["neighbor_id"].dataType
+    keys = (ids.select(F.col(ids.columns[0]).try_cast(id_type)
+                       .alias("neighbor_id"))
+            .filter(F.col("neighbor_id").isNotNull()).distinct())
+    hit = (dels.join(keys, "neighbor_id", "semi")
+           .select("neighbor_id").distinct())
+    n = hit.count()
+    if n == 0:
+        return 0
+    remaining = dels.join(keys, "neighbor_id", "left_anti")
+    if remaining.take(1):
+        replace_state_dir(remaining, f"{index_dir}/{_DELETES}")
+    else:
+        drop_state_dir(spark, f"{index_dir}/{_DELETES}")
+    return n
+
+
+def undelete_from_index(spark: SparkSession, index_dir: str,
+                        ids) -> dict:
+    """The explicit un-takedown: drop delete markers for ``ids`` (a
+    DataFrame whose first column is the id, or a plain list) so the
+    still-physically-present rows serve again — the restore
+    direction of the compliance loop. `append_to_index` does this
+    implicitly for re-added rows; this entry point covers restores
+    where the row never left the cells (e.g. a snapshot-diff REVERT,
+    whose doc is restored in the curated view without re-ingestion —
+    review r11: without it, a reverted doc reappeared in
+    `read_curated` but stayed excluded from vector serving forever).
+    A maintenance WRITE under the writer lease. Returns
+    {"restored": n} — distinct markers dropped."""
+    if not isinstance(ids, DataFrame):
+        if not ids:
+            return {"restored": 0}
+        ids = spark.createDataFrame([(i,) for i in ids],
+                                    ["neighbor_id"])
+    from ..sources.lease import writer_lease
+
+    with writer_lease(spark, index_dir, "undelete_from_index"):
+        return {"restored": _undelete_unlocked(spark, index_dir,
+                                               ids)}
 
 
 def clear_index_deletes(spark: SparkSession, index_dir: str) -> dict:

@@ -240,8 +240,21 @@ def renew_writer_lease(spark: SparkSession, root: str,
     if payload.get("owner") != token:
         return False
     payload["renewed_unix"] = time.time()
-    fs.delete(jp, False)
-    return _write_create(spark, fs, jp, payload)
+    # rewrite IN PLACE (overwrite=true), never delete-then-create: a
+    # delete would expose an absent lease for a moment, letting a
+    # concurrent acquirer take over a healthy heartbeating holder
+    # (review r11). A reader catching the truncate-to-write window
+    # sees an empty-but-fresh payload, which acquisition treats as
+    # held.
+    try:
+        out = fs.create(jp, True)
+        try:
+            out.write(bytearray(json.dumps(payload).encode("utf-8")))
+        finally:
+            out.close()
+        return True
+    except Exception:
+        return False
 
 
 def break_writer_lease(spark: SparkSession, root: str) -> bool:
@@ -279,6 +292,13 @@ def writer_lease_status(spark: SparkSession, root: str) -> dict:
             .getModificationTime() / 1000.0
     except Exception:
         age = None
+    if not holder and age is None:
+        # TOCTOU: the holder released between our exists() and the
+        # reads — report released, not a phantom owner-less hold
+        # (review r11)
+        return {"held": False, "stale": False, "age_s": None,
+                "owner": None, "what": None, "pid": None,
+                "epoch": epoch, "ttl_s": None}
     ttl = float(holder.get("ttl_s", DEFAULT_TTL_S))
     return {"held": True,
             "stale": age is not None and age > ttl,

@@ -537,17 +537,22 @@ def apply_snapshot_diff(spark, old_docs: DataFrame,
 
     ``ann_index_dirs`` (r11) closes the compliance loop in ONE call:
     each listed persistent ANN/hybrid index receives
-    `delete_from_index` markers for the diff's REMOVED doc ids —
-    ordered with the tombstones, before the delta — so a taken-down
-    document stops being served by the curated read AND by vector/
-    hybrid retrieval in the same maintenance action (the cross-
-    surface invariant tests/test_takedown_serving.py pins). Re-added
-    docs restore through `append_to_index`'s marker-drop when their
-    embeddings are re-indexed. Returns counts: {"added", "removed",
-    "modified", "modified_noop", "restored", "tombstoned",
-    "delta_docs", "index_deleted"}. Serialized by the writer lease
-    (`sources.lease`) on ``out_dir`` — the delta's ingest batches
-    re-enter it; each ANN index takes its own lease."""
+    `delete_from_index` markers for every doc whose SERVED old
+    content is going away — removed AND genuinely-modified docs (the
+    indexed embeddings describe the superseded text; redaction-noop
+    modifications keep serving) — ordered with the tombstones,
+    before the delta, so a taken-down document stops being served by
+    the curated read AND by vector/hybrid retrieval in the same
+    maintenance action (the cross-surface invariant
+    tests/test_takedown_serving.py pins). REVERTING docs get their
+    markers dropped via `undelete_from_index` (their curated restore
+    never re-ingests, so append-side restore-on-append can't fire);
+    re-indexed modified docs restore through `append_to_index` as
+    usual. Returns counts: {"added", "removed", "modified",
+    "modified_noop", "restored", "tombstoned", "delta_docs",
+    "index_deleted", "index_restored"}. Serialized by the writer
+    lease (`sources.lease`) on ``out_dir`` — the delta's ingest
+    batches re-enter it; each ANN index takes its own lease."""
     from ..sources.lease import writer_lease
 
     with writer_lease(spark, out_dir, "apply_snapshot_diff"):
@@ -635,23 +640,42 @@ def _apply_snapshot_diff_unlocked(spark, old_docs, new_docs, out_dir,
     # path and makes the next compaction a full rewrite for nothing)
 
     # cross-surface takedown propagation (r11 — the compliance loop
-    # closed in one call): REMOVED docs also stop being served by
-    # every listed ANN/hybrid index built over their embeddings.
-    # Ordered with the tombstone write, BEFORE the delta processes —
-    # hide everywhere first, then admit replacements; a crash
-    # in between re-deletes idempotently on the diff's re-apply
-    # (markers are set-membership). Each index takes its own writer
-    # lease (distinct root — no deadlock with the out_dir lease this
+    # closed in one call): docs whose SERVED old content is going
+    # away — removed docs AND genuinely-modified docs (their indexed
+    # embeddings describe the superseded, possibly-violating text;
+    # review r11) — also stop being served by every listed ANN/
+    # hybrid index. Redaction-noop modifications keep serving (the
+    # stored text is unchanged), and REVERTING docs get their
+    # markers DROPPED instead (review r11: a restore un-hides the
+    # curated row without re-ingestion, so append_to_index's
+    # restore-on-append never fires — without the explicit undelete
+    # the doc reappeared in `read_curated` but stayed excluded from
+    # vector serving forever). A re-indexed modified doc restores
+    # via append_to_index as before. Ordered with the tombstone
+    # write, BEFORE the delta processes — hide everywhere first,
+    # then admit replacements; a crash in between re-deletes
+    # idempotently on the diff's re-apply (markers are
+    # set-membership). Each index takes its own writer lease
+    # (distinct root — no deadlock with the out_dir lease this
     # function already holds).
     index_deleted = {}
+    index_restored = {}
     if ann_index_dirs:
-        from ..similarity.index import delete_from_index
+        from ..similarity.index import (
+            delete_from_index,
+            undelete_from_index,
+        )
 
-        removed_ids = (diff.filter(F.col("change") == "removed")
-                       .select("doc_id"))
+        gone_served = (gone
+                       .join(noop, "doc_id", "left_anti")
+                       .join(restored.select("doc_id"), "doc_id",
+                             "left_anti"))
         for idx_dir in ann_index_dirs:
             index_deleted[idx_dir] = delete_from_index(
-                spark, idx_dir, removed_ids)["deleted"]
+                spark, idx_dir, gone_served)["deleted"]
+            index_restored[idx_dir] = undelete_from_index(
+                spark, idx_dir,
+                restored.select("doc_id"))["restored"]
 
     delta_ids = (incoming
                  .join(noop, "doc_id", "left_anti")
@@ -669,4 +693,5 @@ def _apply_snapshot_diff_unlocked(spark, old_docs, new_docs, out_dir,
             "restored": n_restored,
             "tombstoned": n_tomb,
             "delta_docs": n_delta,
-            "index_deleted": index_deleted}
+            "index_deleted": index_deleted,
+            "index_restored": index_restored}

@@ -116,3 +116,63 @@ def test_takedown_reaches_curated_and_serving(spark, tmp_path):
     post_c = ann_index_search(spark, ann_dir, queries, 3,
                               id_col="query_id", exclude_self=False)
     assert victim not in {r["neighbor_id"] for r in post_c.collect()}
+
+
+def test_modified_and_reverted_docs_propagate(spark, tmp_path):
+    """Review r11: (a) a MODIFIED doc's old-content embedding stops
+    being served (the index describes superseded text); a
+    redaction-noop modification keeps serving; (b) a doc REVERTING
+    to old content is restored in vector serving too — its curated
+    restore never re-ingests, so only the explicit undelete path
+    can drop the marker."""
+    out = str(tmp_path / "curated")
+    fp_idx = str(tmp_path / "fp_idx")
+    ann_dir = str(tmp_path / "ann")
+
+    docs = spark.createDataFrame(
+        [_doc(i) for i in range(1, 5)],
+        "doc_id long, source string, text string")
+    emb = spark.createDataFrame(
+        [_vec(i) for i in range(1, 5)],
+        "doc_id long, embedding array<double>")
+    make_curation_ingest_batch_fn(out, fp_idx, min_words=10)(docs, 0)
+    corpus = read_curated(spark, out).join(emb, "doc_id")
+    build_ann_index(corpus, ann_dir, dim=16, vec_col="embedding",
+                    id_col="doc_id")
+
+    def _served():
+        q = (emb.select(F.col("doc_id").alias("query_id"),
+                        "embedding"))
+        return {r["neighbor_id"] for r in ann_index_search(
+            spark, ann_dir, q, 4, id_col="query_id",
+            exclude_self=False).collect()}
+
+    assert _served() == {1, 2, 3, 4}
+
+    # snapshot 2: doc 2 genuinely modified; doc 3 removed
+    snap2 = spark.createDataFrame(
+        [_doc(1),
+         (2, "src", _doc(2)[2] + " a genuinely new trailing "
+          "sentence with plenty of extra words"),
+         _doc(4)],
+        "doc_id long, source string, text string")
+    stats = apply_snapshot_diff(spark, docs, snap2, out, fp_idx,
+                                batch_id=1, min_words=10,
+                                ann_index_dirs=(ann_dir,))
+    # removed 3 + modified 2 both leave vector serving
+    assert stats["index_deleted"] == {ann_dir: 2}
+    assert _served() == {1, 4}
+
+    # snapshot 3: doc 2 REVERTS to its original text — curated
+    # restore + marker drop, served again without re-ingestion
+    snap3 = spark.createDataFrame(
+        [_doc(1), _doc(2), _doc(4)],
+        "doc_id long, source string, text string")
+    stats = apply_snapshot_diff(spark, snap2, snap3, out, fp_idx,
+                                batch_id=2, min_words=10,
+                                ann_index_dirs=(ann_dir,))
+    assert stats["restored"] == 1
+    assert stats["index_restored"] == {ann_dir: 1}
+    assert stats["index_deleted"] == {ann_dir: 0}
+    assert 2 in {r.doc_id for r in read_curated(spark, out).collect()}
+    assert _served() == {1, 2, 4}
