@@ -167,13 +167,14 @@ def compact_index(spark: SparkSession, index_dir: str,
     the writer lease (`sources.lease`)."""
     from ..sources.lease import writer_lease
 
-    with writer_lease(spark, index_dir, "compact_index"):
+    with writer_lease(spark, index_dir, "compact_index") as token:
         return _compact_index_unlocked(spark, index_dir,
-                                       target_file_mb, dedupe)
+                                       target_file_mb, dedupe,
+                                       lease_token=token)
 
 
 def _compact_index_unlocked(spark, index_dir, target_file_mb,
-                            dedupe):
+                            dedupe, lease_token=None):
     from ..similarity.index import _has_legacy_cells
     from ..session import pin
 
@@ -232,6 +233,27 @@ def _compact_index_unlocked(spark, index_dir, target_file_mb,
         except Exception:
             fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
             raise
+        # renew-or-abort at the COMMIT point: a compaction over a
+        # huge index can outlive the lease TTL mid-rewrite; if the
+        # lease was taken over, publishing v_new would race the new
+        # writer (exactly the dual-writer hazard the lease exists
+        # for) — discard the staged dir and fail loudly instead
+        # (review r11: the heartbeat must be wired into the op that
+        # needs it, not just offered as API).
+        if lease_token is not None:
+            from ..sources.lease import (
+                WriterLeaseConflict,
+                renew_writer_lease,
+            )
+
+            if not renew_writer_lease(spark, index_dir, lease_token):
+                fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+                raise WriterLeaseConflict(
+                    f"compact_index {index_dir}: the writer lease "
+                    f"was lost during the rewrite (taken over past "
+                    f"its TTL) — aborting before publish; the "
+                    f"staged version was discarded. Re-run with an "
+                    f"op-sized ttl_s or a renewing scheduler.")
         final = jvm.org.apache.hadoop.fs.Path(
             f"{index_dir}/{_CELLS}/v={v_new}")
         if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), final):

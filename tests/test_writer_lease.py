@@ -277,3 +277,36 @@ def test_writer_lease_status_readonly_view(spark, tmp_path):
     os.utime(root + "__lease", (0, 0))
     assert writer_lease_status(spark, root)["stale"] is True
     break_writer_lease(spark, root)
+
+
+def test_compaction_aborts_on_lost_lease(spark, sf_dir, tmp_path,
+                                         monkeypatch):
+    """Review r11: compact_index renews at its commit point — when
+    the lease was taken over mid-rewrite, it discards the staged
+    version and refuses to publish instead of racing the new
+    writer."""
+    import big_data_bowl___2023_spark.streaming.ann_index_stream \
+        as stream_mod
+    from big_data_bowl___2023_spark.sources import lease as lease_mod
+    from big_data_bowl___2023_spark.streaming.ann_index_stream import (
+        compact_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "idx")
+    build_ann_index(emb.limit(100), idx)
+
+    monkeypatch.setattr(lease_mod, "renew_writer_lease",
+                        lambda *a, **k: False)
+    with pytest.raises(WriterLeaseConflict, match="aborting before "
+                                                  "publish"):
+        compact_index(spark, idx)
+    # nothing published, no staged residue
+    from big_data_bowl___2023_spark.similarity import index_versions
+    assert index_versions(spark, idx) == [1]
+    assert not [p for p in os.listdir(f"{idx}/cells")
+                if p.startswith("__publish_tmp")]
+    assert not os.path.exists(idx + "__lease")   # released on exit
+    # with a healthy lease the same compaction publishes v=2
+    monkeypatch.undo()
+    assert compact_index(spark, idx)["version"] == 2
