@@ -773,9 +773,14 @@ def _undelete_unlocked(spark: SparkSession, index_dir: str,
             .filter(F.col("neighbor_id").isNotNull()).distinct())
     hit = (dels.join(keys, "neighbor_id", "semi")
            .select("neighbor_id").distinct())
-    n = hit.count()
-    if n == 0:
+    # gate with take(1): the common case on the per-batch append
+    # path is "no marker matches", and a full count there is pure
+    # overhead (review r11 — the pre-refactor code short-circuited
+    # the same way); the count runs only on the rare matched path,
+    # where a rewrite follows anyway
+    if not hit.take(1):
         return 0
+    n = hit.count()
     remaining = dels.join(keys, "neighbor_id", "left_anti")
     if remaining.take(1):
         replace_state_dir(remaining, f"{index_dir}/{_DELETES}")

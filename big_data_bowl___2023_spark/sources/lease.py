@@ -111,10 +111,14 @@ def _read_json(spark: SparkSession, fs, jp) -> dict:
         return {}
 
 
-def _write_create(spark: SparkSession, fs, jp, payload: dict) -> bool:
-    """Create-if-absent write. False when the file already exists."""
+def _write_create(spark: SparkSession, fs, jp, payload: dict,
+                  overwrite: bool = False) -> bool:
+    """Write the payload: create-if-absent by default (False when the
+    file already exists), in-place rewrite with ``overwrite=True``
+    (the renew path — one writer body for both, so a future
+    flush/encoding fix can't silently miss one copy)."""
     try:
-        out = fs.create(jp, False)
+        out = fs.create(jp, overwrite)
     except Exception:
         return False
     try:
@@ -239,22 +243,31 @@ def renew_writer_lease(spark: SparkSession, root: str,
     payload = _read_json(spark, fs, jp)
     if payload.get("owner") != token:
         return False
-    payload["renewed_unix"] = time.time()
+    # refuse to renew a lease ALREADY past its TTL: a taker only
+    # acts past the TTL, so renewing before it rules out writing
+    # over a mid-takeover lease (review r11 — the owner-check-then-
+    # overwrite would otherwise clobber the new holder's file and
+    # return True to the dead one). The residual window is the
+    # instant the age CROSSES the TTL between this check and the
+    # write — renew with margin (the compact gate renews at its
+    # commit point, minutes before any sane TTL elapses from the
+    # last heartbeat), same trust level as the acquire-side takeover
+    # race already documented.
+    try:
+        age = time.time() - fs.getFileStatus(jp) \
+            .getModificationTime() / 1000.0
+    except Exception:
+        return False
+    if age > float(payload.get("ttl_s", DEFAULT_TTL_S)):
+        return False
     # rewrite IN PLACE (overwrite=true), never delete-then-create: a
     # delete would expose an absent lease for a moment, letting a
     # concurrent acquirer take over a healthy heartbeating holder
     # (review r11). A reader catching the truncate-to-write window
     # sees an empty-but-fresh payload, which acquisition treats as
     # held.
-    try:
-        out = fs.create(jp, True)
-        try:
-            out.write(bytearray(json.dumps(payload).encode("utf-8")))
-        finally:
-            out.close()
-        return True
-    except Exception:
-        return False
+    payload["renewed_unix"] = time.time()
+    return _write_create(spark, fs, jp, payload, overwrite=True)
 
 
 def break_writer_lease(spark: SparkSession, root: str) -> bool:
@@ -292,10 +305,12 @@ def writer_lease_status(spark: SparkSession, root: str) -> dict:
             .getModificationTime() / 1000.0
     except Exception:
         age = None
-    if not holder and age is None:
-        # TOCTOU: the holder released between our exists() and the
-        # reads — report released, not a phantom owner-less hold
-        # (review r11)
+    if age is None:
+        # TOCTOU: the file vanished between our exists() and the
+        # stat — whether the payload read raced ahead of the release
+        # or not, a lease we cannot stat no longer protects anything;
+        # report released, not a phantom hold (review r11 ×2: both
+        # orderings of the release-vs-read race land here)
         return {"held": False, "stale": False, "age_s": None,
                 "owner": None, "what": None, "pid": None,
                 "epoch": epoch, "ttl_s": None}

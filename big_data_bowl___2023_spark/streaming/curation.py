@@ -584,6 +584,28 @@ def _apply_snapshot_diff_unlocked(spark, old_docs, new_docs, out_dir,
 
     old_fp = _red_fp(old_docs, gone)
     inc_fp = pin(_red_fp(new_docs, incoming), truncate=True)
+    # ALREADY-CURRENT incoming docs: their exact (redacted) content
+    # is what the curated corpus VISIBLY serves for that id right
+    # now — computed from durable state (the pre-apply read_curated
+    # view), not from this apply's own diff mechanics, so it holds
+    # on RE-APPLIES too (review r11: the tombstone-pool `restored`
+    # set is consumed by the first application — a re-applied revert
+    # diff classified the doc 'modified', re-issued its index delete
+    # marker, and nothing could ever drop it again; this also
+    # covers re-applying after a modified doc was re-indexed, which
+    # would otherwise re-hide the fresh embedding). These docs need
+    # no serving change except to ENSURE they serve. Computed ONLY
+    # when index propagation is on (its one consumer), but HERE —
+    # before the tombstone rewrite mutates the visible state.
+    already_current = None
+    if ann_index_dirs:
+        stored_fp = (fingerprint_docs(
+            read_curated(spark, out_dir)
+            .join(incoming, "doc_id", "semi"))
+            .select("doc_id", "fingerprint"))
+        already_current = pin(
+            inc_fp.join(stored_fp, ["doc_id", "fingerprint"], "semi")
+            .select("doc_id"), truncate=True)
     # redaction-invisible modifications: stored text unchanged
     noop = (old_fp.join(inc_fp.withColumnRenamed("fingerprint",
                                                  "__nfp"), "doc_id")
@@ -666,16 +688,28 @@ def _apply_snapshot_diff_unlocked(spark, old_docs, new_docs, out_dir,
             undelete_from_index,
         )
 
-        gone_served = (gone
-                       .join(noop, "doc_id", "left_anti")
-                       .join(restored.select("doc_id"), "doc_id",
-                             "left_anti"))
+        gone_served = pin(
+            gone
+            .join(noop, "doc_id", "left_anti")
+            .join(restored.select("doc_id"), "doc_id", "left_anti")
+            .join(already_current, "doc_id", "left_anti"),
+            truncate=True)
+        serving_restores = pin(
+            restored.select("doc_id")
+            .unionByName(already_current).distinct(), truncate=True)
+        # skip the per-index lease/cast/count machinery entirely on
+        # the common nothing-to-do sides (review r11: a routine
+        # added-docs-only diff paid two lease cycles and several
+        # zero-row jobs per index)
+        any_deletes = bool(gone_served.take(1))
+        any_restores = bool(serving_restores.take(1))
         for idx_dir in ann_index_dirs:
             index_deleted[idx_dir] = delete_from_index(
-                spark, idx_dir, gone_served)["deleted"]
+                spark, idx_dir, gone_served)["deleted"] \
+                if any_deletes else 0
             index_restored[idx_dir] = undelete_from_index(
-                spark, idx_dir,
-                restored.select("doc_id"))["restored"]
+                spark, idx_dir, serving_restores)["restored"] \
+                if any_restores else 0
 
     delta_ids = (incoming
                  .join(noop, "doc_id", "left_anti")

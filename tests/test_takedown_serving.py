@@ -176,3 +176,52 @@ def test_modified_and_reverted_docs_propagate(spark, tmp_path):
     assert stats["index_deleted"] == {ann_dir: 0}
     assert 2 in {r.doc_id for r in read_curated(spark, out).collect()}
     assert _served() == {1, 2, 4}
+
+
+def test_reapplying_a_revert_diff_is_idempotent(spark, tmp_path):
+    """Review r11 (second pass): the tombstone-pool `restored` set is
+    consumed by the first application of a revert diff — a RE-APPLY
+    (the documented crash-recovery procedure) classified the doc
+    'modified', re-issued its index marker, and nothing could drop
+    it again. The already-current rule decides from durable state,
+    so every re-apply converges to the same serving set."""
+    out = str(tmp_path / "curated")
+    fp_idx = str(tmp_path / "fp_idx")
+    ann_dir = str(tmp_path / "ann")
+    docs = spark.createDataFrame(
+        [_doc(i) for i in range(1, 4)],
+        "doc_id long, source string, text string")
+    emb = spark.createDataFrame(
+        [_vec(i) for i in range(1, 4)],
+        "doc_id long, embedding array<double>")
+    make_curation_ingest_batch_fn(out, fp_idx, min_words=10)(docs, 0)
+    build_ann_index(read_curated(spark, out).join(emb, "doc_id"),
+                    ann_dir, dim=16, vec_col="embedding",
+                    id_col="doc_id")
+
+    def _served():
+        q = emb.select(F.col("doc_id").alias("query_id"),
+                       "embedding")
+        return {r["neighbor_id"] for r in ann_index_search(
+            spark, ann_dir, q, 3, id_col="query_id",
+            exclude_self=False).collect()}
+
+    snap2 = spark.createDataFrame(
+        [_doc(1),
+         (2, "src", _doc(2)[2] + " a genuinely new trailing "
+          "sentence with plenty of extra words"),
+         _doc(3)],
+        "doc_id long, source string, text string")
+    apply_snapshot_diff(spark, docs, snap2, out, fp_idx, batch_id=1,
+                        min_words=10, ann_index_dirs=(ann_dir,))
+    assert _served() == {1, 3}
+
+    # the revert, applied THREE times (first + two recovery re-runs)
+    for b in (2, 3, 4):
+        stats = apply_snapshot_diff(spark, snap2, docs, out, fp_idx,
+                                    batch_id=b, min_words=10,
+                                    ann_index_dirs=(ann_dir,))
+        assert _served() == {1, 2, 3}, f"re-apply {b} broke serving"
+        assert stats["index_deleted"] == {ann_dir: 0}
+    assert {r.doc_id for r in read_curated(spark, out).collect()} \
+        == {1, 2, 3}

@@ -236,14 +236,24 @@ def test_renew_refreshes_and_detects_takeover(spark, tmp_path):
     refreshes the file mtime under the holder's token, and returns
     False after a takeover so the old holder aborts instead of
     racing the new owner."""
+    import time as _t
+
     root = str(tmp_path / "idx")
     os.makedirs(root)
     token = acquire_writer_lease(spark, root, "long-compaction")
-    os.utime(root + "__lease", (0, 0))        # about to look stale
+    # age it WITHIN the TTL (an on-time heartbeat refreshes)
+    aged = _t.time() - 100
+    os.utime(root + "__lease", (aged, aged))
     assert renew_writer_lease(spark, root, token) is True
-    assert os.path.getmtime(root + "__lease") > 0   # mtime refreshed
+    assert os.path.getmtime(root + "__lease") > aged + 50
     holder = json.load(open(root + "__lease"))
     assert holder["owner"] == token and "renewed_unix" in holder
+    # a lease ALREADY past its TTL refuses to renew — a taker may be
+    # mid-takeover; the holder must abort (review r11)
+    os.utime(root + "__lease", (0, 0))
+    assert renew_writer_lease(spark, root, token) is False
+    release_writer_lease(spark, root, token)
+    token = acquire_writer_lease(spark, root, "again")
 
     # simulate a takeover: someone replaced the lease file
     _foreign_lease(root)
