@@ -116,16 +116,29 @@ def _write_create(spark: SparkSession, fs, jp, payload: dict,
     """Write the payload: create-if-absent by default (False when the
     file already exists), in-place rewrite with ``overwrite=True``
     (the renew path — one writer body for both, so a future
-    flush/encoding fix can't silently miss one copy)."""
+    flush/encoding fix can't silently miss one copy). A WRITE/CLOSE
+    failure also returns False (callers are coded to the
+    False-means-abort contract — review r11: an escaping IOException
+    bypassed compact_index's staged-dir cleanup); on the create path
+    the just-created empty file is removed so it can't strand a
+    phantom lease until the TTL."""
     try:
         out = fs.create(jp, overwrite)
     except Exception:
         return False
     try:
-        out.write(bytearray(json.dumps(payload).encode("utf-8")))
-    finally:
-        out.close()
-    return True
+        try:
+            out.write(bytearray(json.dumps(payload).encode("utf-8")))
+        finally:
+            out.close()
+        return True
+    except Exception:
+        if not overwrite:
+            try:
+                fs.delete(jp, False)
+            except Exception:
+                pass
+        return False
 
 
 def _bump_epoch(spark: SparkSession, root: str) -> int:
@@ -227,15 +240,19 @@ def renew_writer_lease(spark: SparkSession, root: str,
     (review r11: without renewal, a 75-minute compaction over a huge
     index silently loses its lease to a TTL takeover at minute 61
     and two writers run live). Long-running schedulers call this
-    between phases, or pass an op-sized ``ttl_s`` at acquisition.
-    Returns False — renewing nothing — when the caller no longer
-    holds the lease (it was taken over, or the token is stale): the
-    holder should then ABORT its remaining writes rather than race
-    the new owner."""
-    key = _held_key(root)
+    between phases, pass ``heartbeat_s`` to `writer_lease` (a
+    background renewer thread), or pass an op-sized ``ttl_s`` at
+    acquisition. Returns False — renewing nothing — when the caller
+    no longer holds the lease (it was taken over, the token is
+    stale, or the lease already aged past its TTL): the holder must
+    then ABORT its remaining writes rather than race the new owner.
+    Registry membership is checked per ROOT, not per thread — the
+    heartbeat thread renews on the acquiring thread's behalf; the
+    file-owner check below is the real guard."""
+    absroot = os.path.abspath(root.rstrip("/"))
     with _HELD_LOCK:
-        held = _HELD.get(key)
-        if held is None or held[0] != token:
+        if not any(k[1] == absroot and v[0] == token
+                   for k, v in _HELD.items()):
             return False
     fs, jp = _fs_path(spark, root.rstrip("/") + LEASE_SUFFIX)
     if not fs.exists(jp):
@@ -306,14 +323,16 @@ def writer_lease_status(spark: SparkSession, root: str) -> dict:
     except Exception:
         age = None
     if age is None:
-        # TOCTOU: the file vanished between our exists() and the
-        # stat — whether the payload read raced ahead of the release
-        # or not, a lease we cannot stat no longer protects anything;
-        # report released, not a phantom hold (review r11 ×2: both
-        # orderings of the release-vs-read race land here)
-        return {"held": False, "stale": False, "age_s": None,
-                "owner": None, "what": None, "pid": None,
-                "epoch": epoch, "ttl_s": None}
+        # stat failed: either the holder released between our reads
+        # (file gone — report released, review r11 ×2) or a
+        # transient stat blip on a live lease (file still there —
+        # report HELD with unknown age rather than inviting an
+        # operator to break a healthy holder's lease, review r11
+        # third pass). One re-check of existence separates the two.
+        if not holder or not fs.exists(jp):
+            return {"held": False, "stale": False, "age_s": None,
+                    "owner": None, "what": None, "pid": None,
+                    "epoch": epoch, "ttl_s": None}
     ttl = float(holder.get("ttl_s", DEFAULT_TTL_S))
     return {"held": True,
             "stale": age is not None and age > ttl,
@@ -327,11 +346,38 @@ def writer_lease_status(spark: SparkSession, root: str) -> dict:
 
 @contextmanager
 def writer_lease(spark: SparkSession, root: str, what: str,
-                 ttl_s: float = DEFAULT_TTL_S):
+                 ttl_s: float = DEFAULT_TTL_S,
+                 heartbeat_s: float | None = None):
     """``with writer_lease(spark, index_dir, "compact_index"): ...``
-    around every maintenance write path."""
+    around every maintenance write path.
+
+    ``heartbeat_s`` starts a daemon thread renewing the lease on
+    that period for as long as the context is held — the fix for
+    operations whose WORK outlives the TTL (review r11 third pass: a
+    rewrite longer than the TTL with only a commit-point renew
+    failed deterministically even with zero contention, because
+    acquisition was the last mtime refresh). Pick ttl_s/3 or
+    smaller; renew failures inside the thread are swallowed (the
+    commit-point renew-or-abort is the correctness gate — the
+    heartbeat only keeps a healthy lease fresh)."""
     token = acquire_writer_lease(spark, root, what, ttl_s)
+    stop = None
+    if heartbeat_s:
+        stop = threading.Event()
+
+        def _beat():
+            while not stop.wait(heartbeat_s):
+                try:
+                    renew_writer_lease(spark, root, token)
+                except Exception:
+                    pass
+
+        threading.Thread(target=_beat, daemon=True,
+                         name=f"writer-lease-heartbeat-{what}") \
+            .start()
     try:
         yield token
     finally:
+        if stop is not None:
+            stop.set()
         release_writer_lease(spark, root, token)

@@ -593,15 +593,28 @@ def _apply_snapshot_diff_unlocked(spark, old_docs, new_docs, out_dir,
     # diff classified the doc 'modified', re-issued its index delete
     # marker, and nothing could ever drop it again; this also
     # covers re-applying after a modified doc was re-indexed, which
-    # would otherwise re-hide the fresh embedding). These docs need
-    # no serving change except to ENSURE they serve. Computed ONLY
-    # when index propagation is on (its one consumer), but HERE —
-    # before the tombstone rewrite mutates the visible state.
+    # would otherwise re-hide the fresh embedding). These docs are a
+    # NO-TOUCH set for the index propagation: never re-DELETED — the
+    # first application already made the serving decision — and
+    # never UN-deleted either (review r11 third pass: "curated
+    # serves this content" does not imply "the index embeds this
+    # content" — a re-applied forward-modify diff would otherwise
+    # drop the marker while the index still holds the superseded
+    # embedding; only the tombstone-pool `restored` set, whose rows
+    # provably predate the diff, un-deletes). Only MODIFIED docs can
+    # be already-current (added docs have no serving history in
+    # `gone`; added-reverts restore via the tombstone pool), so the
+    # probe is skipped on add/remove-only diffs and on a
+    # not-yet-bootstrapped out_dir — and the mod-id side broadcasts,
+    # so the curated store is read once map-side, never shuffled by
+    # text bytes. Computed HERE — before the tombstone rewrite
+    # mutates the visible state.
     already_current = None
-    if ann_index_dirs:
+    if ann_index_dirs and counts.get("modified", 0) > 0 \
+            and _read_parquet_if_present(spark, out_dir) is not None:
         stored_fp = (fingerprint_docs(
             read_curated(spark, out_dir)
-            .join(incoming, "doc_id", "semi"))
+            .join(F.broadcast(mod), "doc_id", "semi"))
             .select("doc_id", "fingerprint"))
         already_current = pin(
             inc_fp.join(stored_fp, ["doc_id", "fingerprint"], "semi")
@@ -643,6 +656,70 @@ def _apply_snapshot_diff_unlocked(spark, old_docs, new_docs, out_dir,
     n_restored = restored.count()
     remaining = pool.join(restored, ["doc_id", "fingerprint"],
                           "left_anti")
+
+    # cross-surface takedown propagation (r11 — the compliance loop
+    # closed in one call): docs whose SERVED old content is going
+    # away — removed docs AND genuinely-modified docs (their indexed
+    # embeddings describe the superseded, possibly-violating text;
+    # review r11) — also stop being served by every listed ANN/
+    # hybrid index. Redaction-noop modifications keep serving (the
+    # stored text is unchanged), already-current docs are NO-TOUCH
+    # (see above), and REVERTING docs get their markers DROPPED
+    # (review r11: a restore un-hides the curated row without
+    # re-ingestion, so append_to_index's restore-on-append never
+    # fires — without the explicit undelete the doc reappeared in
+    # `read_curated` but stayed excluded from vector serving
+    # forever). A re-indexed modified doc restores via
+    # append_to_index as before.
+    #
+    # ORDER: the index ops run BEFORE the tombstone-pool rewrite
+    # (review r11 third pass) — the rewrite CONSUMES the restore
+    # evidence, so a crash between them would leave a marker no
+    # re-apply could ever drop (pool rewritten → restored=∅ →
+    # no-touch). This way a crash after the undelete re-derives the
+    # same `restored` set from the still-unrewritten pool and
+    # converges; the in-between state (index serves a doc the
+    # curated view still hides) lasts one recovery re-apply and errs
+    # only on a doc being RESTORED anyway. Deletes stay ahead of
+    # everything that un-hides — hide everywhere first, then admit
+    # replacements; re-deletes are idempotent set-membership. Each
+    # index takes its own writer lease (distinct root — no deadlock
+    # with the out_dir lease this function already holds).
+    index_deleted = {}
+    index_restored = {}
+    if ann_index_dirs:
+        from ..similarity.index import (
+            delete_from_index,
+            undelete_from_index,
+        )
+
+        gone_served = (gone
+                       .join(noop, "doc_id", "left_anti")
+                       .join(restored.select("doc_id"), "doc_id",
+                             "left_anti"))
+        if already_current is not None:
+            gone_served = gone_served.join(already_current, "doc_id",
+                                           "left_anti")
+        gone_served = pin(gone_served, truncate=True)
+        # un-delete ONLY tombstone-pool restores: their visible rows
+        # provably predate the diff, so the indexed embeddings match
+        # the served content; already_current is no-touch (above)
+        serving_restores = pin(restored.select("doc_id"),
+                               truncate=True)
+        # skip the per-index lease/cast/count machinery entirely on
+        # the common nothing-to-do sides (review r11: a routine
+        # added-docs-only diff paid two lease cycles and several
+        # zero-row jobs per index)
+        any_deletes = bool(gone_served.take(1))
+        any_restores = bool(serving_restores.take(1))
+        for idx_dir in ann_index_dirs:
+            index_deleted[idx_dir] = delete_from_index(
+                spark, idx_dir, gone_served)["deleted"] \
+                if any_deletes else 0
+            index_restored[idx_dir] = undelete_from_index(
+                spark, idx_dir, serving_restores)["restored"] \
+                if any_restores else 0
+
     if n_restored > 0:
         # the rewrite goes through io.replace_state_dir (staged +
         # swap with a parked backup): an in-place overwrite would
@@ -660,56 +737,6 @@ def _apply_snapshot_diff_unlocked(spark, old_docs, new_docs, out_dir,
     # else: nothing to hide — never create an empty tombstone dir
     # (its mere existence flips read_curated onto the fingerprint
     # path and makes the next compaction a full rewrite for nothing)
-
-    # cross-surface takedown propagation (r11 — the compliance loop
-    # closed in one call): docs whose SERVED old content is going
-    # away — removed docs AND genuinely-modified docs (their indexed
-    # embeddings describe the superseded, possibly-violating text;
-    # review r11) — also stop being served by every listed ANN/
-    # hybrid index. Redaction-noop modifications keep serving (the
-    # stored text is unchanged), and REVERTING docs get their
-    # markers DROPPED instead (review r11: a restore un-hides the
-    # curated row without re-ingestion, so append_to_index's
-    # restore-on-append never fires — without the explicit undelete
-    # the doc reappeared in `read_curated` but stayed excluded from
-    # vector serving forever). A re-indexed modified doc restores
-    # via append_to_index as before. Ordered with the tombstone
-    # write, BEFORE the delta processes — hide everywhere first,
-    # then admit replacements; a crash in between re-deletes
-    # idempotently on the diff's re-apply (markers are
-    # set-membership). Each index takes its own writer lease
-    # (distinct root — no deadlock with the out_dir lease this
-    # function already holds).
-    index_deleted = {}
-    index_restored = {}
-    if ann_index_dirs:
-        from ..similarity.index import (
-            delete_from_index,
-            undelete_from_index,
-        )
-
-        gone_served = pin(
-            gone
-            .join(noop, "doc_id", "left_anti")
-            .join(restored.select("doc_id"), "doc_id", "left_anti")
-            .join(already_current, "doc_id", "left_anti"),
-            truncate=True)
-        serving_restores = pin(
-            restored.select("doc_id")
-            .unionByName(already_current).distinct(), truncate=True)
-        # skip the per-index lease/cast/count machinery entirely on
-        # the common nothing-to-do sides (review r11: a routine
-        # added-docs-only diff paid two lease cycles and several
-        # zero-row jobs per index)
-        any_deletes = bool(gone_served.take(1))
-        any_restores = bool(serving_restores.take(1))
-        for idx_dir in ann_index_dirs:
-            index_deleted[idx_dir] = delete_from_index(
-                spark, idx_dir, gone_served)["deleted"] \
-                if any_deletes else 0
-            index_restored[idx_dir] = undelete_from_index(
-                spark, idx_dir, serving_restores)["restored"] \
-                if any_restores else 0
 
     delta_ids = (incoming
                  .join(noop, "doc_id", "left_anti")

@@ -320,3 +320,28 @@ def test_compaction_aborts_on_lost_lease(spark, sf_dir, tmp_path,
     # with a healthy lease the same compaction publishes v=2
     monkeypatch.undo()
     assert compact_index(spark, idx)["version"] == 2
+
+
+def test_heartbeat_keeps_lease_fresh(spark, tmp_path):
+    """Review r11 (third pass): the background heartbeat renews the
+    lease while the context is held — an op longer than the TTL no
+    longer fails its commit-point renew just because acquisition was
+    the last mtime refresh."""
+    import time as _t
+
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+    lease_path = root + "__lease"
+    with writer_lease(spark, root, "long-op", ttl_s=3600.0,
+                      heartbeat_s=0.5) as token:
+        # age the file as if acquisition were long past; the next
+        # beat must refresh it
+        aged = _t.time() - 1000
+        os.utime(lease_path, (aged, aged))
+        deadline = _t.time() + 10
+        while os.path.getmtime(lease_path) < aged + 500:
+            assert _t.time() < deadline, "heartbeat never renewed"
+            _t.sleep(0.2)
+        assert json.load(open(lease_path))["owner"] == token
+        assert renew_writer_lease(spark, root, token) is True
+    assert not os.path.exists(lease_path)
