@@ -272,13 +272,10 @@ def build_ann_index(corpus: DataFrame, index_dir: str,
     appends derive the kept columns from it (a batch missing one
     refuses by name), and a search's predicate over them reaches the
     parquet scan as a pushed filter on top of the partition pruning."""
-    from ..sources.lease import DEFAULT_TTL_S, writer_lease
+    from ..sources.lease import writer_lease
 
-    # heartbeat: a build over a huge corpus can outlive the TTL, and
-    # acquisition must not be the last mtime refresh (review r11)
     with writer_lease(corpus.sparkSession, index_dir,
-                      "build_ann_index",
-                      heartbeat_s=DEFAULT_TTL_S / 6):
+                      "build_ann_index"):
         return _build_ann_index_unlocked(
             corpus, index_dir, dim, n_planes, vec_col, id_col,
             quantize, warn_skew, keep_cols)

@@ -228,9 +228,17 @@ def release_writer_lease(spark: SparkSession, root: str,
             return
         del _HELD[key]
     fs, jp = _fs_path(spark, root.rstrip("/") + LEASE_SUFFIX)
-    if fs.exists(jp) and \
-            _read_json(spark, fs, jp).get("owner") == token:
-        fs.delete(jp, False)
+    if fs.exists(jp):
+        owner = _read_json(spark, fs, jp).get("owner")
+        # owner == token: the normal release. owner is None: a
+        # failed in-place renew truncated OUR lease to an empty
+        # payload (the registry proved this thread's token held it)
+        # — delete it too, or one transient write error would lock
+        # the root behind an unowned empty-but-fresh file until its
+        # TTL (review r11 fourth pass). A FOREIGN owner is never
+        # touched.
+        if owner == token or owner is None:
+            fs.delete(jp, False)
 
 
 def renew_writer_lease(spark: SparkSession, root: str,
@@ -351,17 +359,25 @@ def writer_lease(spark: SparkSession, root: str, what: str,
     """``with writer_lease(spark, index_dir, "compact_index"): ...``
     around every maintenance write path.
 
-    ``heartbeat_s`` starts a daemon thread renewing the lease on
-    that period for as long as the context is held — the fix for
-    operations whose WORK outlives the TTL (review r11 third pass: a
-    rewrite longer than the TTL with only a commit-point renew
-    failed deterministically even with zero contention, because
-    acquisition was the last mtime refresh). Pick ttl_s/3 or
-    smaller; renew failures inside the thread are swallowed (the
-    commit-point renew-or-abort is the correctness gate — the
-    heartbeat only keeps a healthy lease fresh)."""
+    A daemon thread renews the lease every ``heartbeat_s`` seconds
+    (default ``ttl_s / 6``; pass ``0`` to disable) for as long as
+    the context is held — the fix for operations whose WORK outlives
+    the TTL (review r11: a rewrite longer than the TTL with only a
+    commit-point renew failed deterministically even with zero
+    contention, because acquisition was the last mtime refresh; and
+    the heartbeat belongs HERE, not opted into per call site, or the
+    un-wired long writers — snapshot applies, curated compactions —
+    stay exposed to the very hazard it fixes). Renew failures inside
+    the thread are swallowed (a commit-point renew-or-abort, where
+    present, is the correctness gate — the heartbeat only keeps a
+    healthy lease fresh). The thread is JOINED before release: an
+    in-flight renew racing the release could otherwise recreate the
+    just-deleted lease file with a dead token and strand the root
+    until its TTL (review r11 fourth pass)."""
     token = acquire_writer_lease(spark, root, what, ttl_s)
-    stop = None
+    if heartbeat_s is None:
+        heartbeat_s = ttl_s / 6
+    stop = beat_thread = None
     if heartbeat_s:
         stop = threading.Event()
 
@@ -372,12 +388,14 @@ def writer_lease(spark: SparkSession, root: str, what: str,
                 except Exception:
                     pass
 
-        threading.Thread(target=_beat, daemon=True,
-                         name=f"writer-lease-heartbeat-{what}") \
-            .start()
+        beat_thread = threading.Thread(
+            target=_beat, daemon=True,
+            name=f"writer-lease-heartbeat-{what}")
+        beat_thread.start()
     try:
         yield token
     finally:
         if stop is not None:
             stop.set()
+            beat_thread.join(timeout=60.0)
         release_writer_lease(spark, root, token)

@@ -167,14 +167,10 @@ def compact_index(spark: SparkSession, index_dir: str,
     the writer lease (`sources.lease`)."""
     from ..sources.lease import writer_lease
 
-    from ..sources.lease import DEFAULT_TTL_S
-
-    # heartbeat at TTL/6: the rewrite can outlive the TTL on a huge
-    # index, and without a mid-op renew the commit-point gate below
-    # would fail deterministically even with zero contention (review
-    # r11 — acquisition must not be the last mtime refresh)
-    with writer_lease(spark, index_dir, "compact_index",
-                      heartbeat_s=DEFAULT_TTL_S / 6) as token:
+    # the lease heartbeats by default (ttl/6), so the rewrite can
+    # outlive the TTL; the commit-point gate below still detects a
+    # genuine takeover
+    with writer_lease(spark, index_dir, "compact_index") as token:
         return _compact_index_unlocked(spark, index_dir,
                                        target_file_mb, dedupe,
                                        lease_token=token)

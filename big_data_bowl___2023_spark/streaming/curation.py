@@ -612,10 +612,18 @@ def _apply_snapshot_diff_unlocked(spark, old_docs, new_docs, out_dir,
     already_current = None
     if ann_index_dirs and counts.get("modified", 0) > 0 \
             and _read_parquet_if_present(spark, out_dir) is not None:
-        stored_fp = (fingerprint_docs(
-            read_curated(spark, out_dir)
-            .join(F.broadcast(mod), "doc_id", "semi"))
-            .select("doc_id", "fingerprint"))
+        # broadcast the mod-id side only while the already-known
+        # count proves it driver-safe (review r11 fourth pass: a
+        # forced broadcast of an unbounded modified set OOMs the
+        # driver at diff scale); past the bound the semi join
+        # shuffles — and the fingerprint is computed MAP-SIDE before
+        # the join so the shuffle carries (doc_id, fp), never text
+        # bytes
+        mod_side = F.broadcast(mod) \
+            if counts["modified"] <= 5_000_000 else mod
+        stored_fp = (fingerprint_docs(read_curated(spark, out_dir))
+                     .select("doc_id", "fingerprint")
+                     .join(mod_side, "doc_id", "semi"))
         already_current = pin(
             inc_fp.join(stored_fp, ["doc_id", "fingerprint"], "semi")
             .select("doc_id"), truncate=True)

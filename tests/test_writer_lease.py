@@ -46,11 +46,21 @@ from big_data_bowl___2023_spark.sources.lease import (
 
 def _foreign_lease(root, what="foreign_compact"):
     """Plant a lease file as if ANOTHER process held it (bypassing
-    this process's re-entrancy registry)."""
+    this process's re-entrancy registry). Drops any stale Hadoop
+    LocalFileSystem ``.crc`` sidecar a prior fs.create left behind —
+    writing through plain Python would otherwise leave a checksum
+    mismatch that makes the engine's read return {} (a pure
+    test-harness artifact: real foreign writers go through the same
+    Hadoop FS and keep the CRC in step)."""
     payload = {"owner": "elsewhere", "what": what, "pid": 99999,
                "acquired_unix": 0.0, "ttl_s": 3600.0, "epoch": 7}
-    with open(root.rstrip("/") + "__lease", "w") as f:
+    path = root.rstrip("/") + "__lease"
+    with open(path, "w") as f:
         f.write(json.dumps(payload))
+    crc = os.path.join(os.path.dirname(path),
+                       "." + os.path.basename(path) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
 
 
 def test_conflict_refuses_loudly(spark, tmp_path):
@@ -323,25 +333,33 @@ def test_compaction_aborts_on_lost_lease(spark, sf_dir, tmp_path,
 
 
 def test_heartbeat_keeps_lease_fresh(spark, tmp_path):
-    """Review r11 (third pass): the background heartbeat renews the
-    lease while the context is held — an op longer than the TTL no
-    longer fails its commit-point renew just because acquisition was
-    the last mtime refresh."""
+    """Review r11 (third pass): the background heartbeat (on by
+    default at ttl/6; explicit here for speed) renews the lease
+    while the context is held — an op longer than the TTL no longer
+    fails its commit-point renew just because acquisition was the
+    last mtime refresh. Only STAT calls race the in-place rewrite
+    (review r11 fourth pass: payload reads inside the loop flaked on
+    the truncate-to-write window), and the post-exit absence also
+    pins that the beat thread is JOINED before release — an
+    in-flight renew after release would resurrect the file."""
     import time as _t
 
     root = str(tmp_path / "idx")
     os.makedirs(root)
     lease_path = root + "__lease"
     with writer_lease(spark, root, "long-op", ttl_s=3600.0,
-                      heartbeat_s=0.5) as token:
-        # age the file as if acquisition were long past; the next
-        # beat must refresh it
+                      heartbeat_s=0.5):
+        # age the file as if acquisition were long past; a beat must
+        # refresh it (stat-only polling — no payload reads mid-beat)
         aged = _t.time() - 1000
         os.utime(lease_path, (aged, aged))
-        deadline = _t.time() + 10
-        while os.path.getmtime(lease_path) < aged + 500:
+        deadline = _t.time() + 15
+        while True:
+            try:
+                if os.path.getmtime(lease_path) > aged + 500:
+                    break
+            except OSError:
+                pass
             assert _t.time() < deadline, "heartbeat never renewed"
             _t.sleep(0.2)
-        assert json.load(open(lease_path))["owner"] == token
-        assert renew_writer_lease(spark, root, token) is True
     assert not os.path.exists(lease_path)
