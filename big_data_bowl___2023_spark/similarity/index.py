@@ -294,6 +294,12 @@ def _build_ann_index_unlocked(corpus, index_dir, dim, n_planes,
         ranges = embedding_ranges(corpus, vec_col, dim)
         assigned = assigned.withColumn(
             "codes", encode_codes(F.col("vec"), ranges))
+    # commit gate at the FIRST destructive step (verdict r11 #1): a
+    # rebuild deletes the predecessor's whole version history, so a
+    # dethroned provisioner must abort here, before anything burns
+    from ..sources.lease import commit_gate
+
+    commit_gate(spark, index_dir, "build_ann_index publish")
     # a rebuild resets the version history: delete the whole cells
     # root (overwrite mode would only clear v=1, leaving stale later
     # versions as "latest"), then publish the fresh layout as v=1
@@ -438,6 +444,12 @@ def _append_to_index_unlocked(batch, index_dir, vec_col, id_col,
     if ranges is not None:
         assigned = assigned.withColumn(
             "codes", encode_codes(F.col("vec"), ranges))
+    # renew-or-abort immediately before the durable append (verdict
+    # r11 #1): a >TTL stall between acquisition and here must not
+    # let this batch land beside a new writer's files
+    from ..sources.lease import commit_gate
+
+    commit_gate(spark, index_dir, "append_to_index publish")
     (assigned.write.mode("append").partitionBy("cell")
      .parquet(cells))
     # restore-on-append: re-adding an id is the intent to serve it
@@ -730,7 +742,11 @@ def _delete_from_index_unlocked(spark, index_dir, ids):
     n = dels.count()
     if n:
         from ..sources.io import heal_state_dir
+        from ..sources.lease import commit_gate
 
+        # renew-or-abort before the marker append + heal (verdict
+        # r11 #1 — the heal is itself a writer action)
+        commit_gate(spark, index_dir, "delete_from_index publish")
         # ADVICE r10: appending after an unhealed mid-swap crash
         # creates a fresh live dir that shadows the parked __bak,
         # silently resurrecting every pre-crash marker
@@ -782,6 +798,10 @@ def _undelete_unlocked(spark: SparkSession, index_dir: str,
         return 0
     n = hit.count()
     remaining = dels.join(keys, "neighbor_id", "left_anti")
+    # renew-or-abort before the marker-pool rewrite (verdict r11 #1)
+    from ..sources.lease import commit_gate
+
+    commit_gate(spark, index_dir, "undelete_from_index publish")
     if remaining.take(1):
         replace_state_dir(remaining, f"{index_dir}/{_DELETES}")
     else:
@@ -822,12 +842,14 @@ def clear_index_deletes(spark: SparkSession, index_dir: str) -> dict:
     pinned version. Returns {"cleared": n}. Serialized by the writer
     lease (`sources.lease`)."""
     from ..sources.io import drop_state_dir
-    from ..sources.lease import writer_lease
+    from ..sources.lease import commit_gate, writer_lease
 
     with writer_lease(spark, index_dir, "clear_index_deletes"):
         dels = _read_deletes(spark, index_dir)
         n = (dels.select("neighbor_id").distinct().count()
              if dels is not None else 0)
+        # renew-or-abort before the destructive GC (verdict r11 #1)
+        commit_gate(spark, index_dir, "clear_index_deletes publish")
         drop_state_dir(spark, f"{index_dir}/{_DELETES}")
         return {"cleared": n}
 

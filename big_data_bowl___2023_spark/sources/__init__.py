@@ -3,6 +3,8 @@ from .lease import (
     WriterLeaseConflict,
     acquire_writer_lease,
     break_writer_lease,
+    commit_gate,
+    held_lease_token,
     release_writer_lease,
     renew_writer_lease,
     writer_lease,
@@ -14,4 +16,5 @@ __all__ = ["load_table", "read_csv_glob", "write_parquet", "schemas",
            "writer_lease", "acquire_writer_lease",
            "release_writer_lease", "break_writer_lease",
            "renew_writer_lease", "writer_lease_status",
+           "commit_gate", "held_lease_token",
            "WriterLeaseConflict"]

@@ -28,9 +28,20 @@ file:
   behind; once the file's modification time is older than ``ttl_s``
   (default 1 h — longer than any sane maintenance op, shorter than
   an operator's patience) the next acquirer deletes it and retries
-  ONCE. Two takeover attempts racing on a store without atomic
-  create can both think they won — the documented residual window,
-  strictly smaller than the no-mechanism status quo.
+  ONCE. On stores without atomic create the race is then settled by
+  READ-BACK VERIFICATION (round 12): every successful create reads
+  the file back (after a jittered pause on the takeover path) and
+  proceeds only when the payload's token is its own — the loser
+  refuses loudly without touching the winner's file. The residual
+  window is a racer whose write lands after our read-back — far
+  smaller than trusting the create alone.
+* `commit_gate(spark, root, what)` — renew-or-abort called by every
+  maintenance writer immediately before each publish rename /
+  state-dir swap / durable append (round 12, generalizing
+  `compact_index`'s round-11 gate): a >TTL driver stall lets a taker
+  in while the zombie's commit is still scheduled, and the heartbeat
+  swallows renew failures by design, so the gate is the correctness
+  check at the moment that matters.
 * **Re-entrant per THREAD** (not per process — review r11): composed
   same-thread maintenance (a snapshot apply driving ingest batches)
   re-enters the lease it already holds instead of deadlocking, and
@@ -58,6 +69,7 @@ from __future__ import annotations
 
 import json
 import os
+import random
 import threading
 import time
 import uuid
@@ -68,6 +80,14 @@ from pyspark.sql import SparkSession
 LEASE_SUFFIX = "__lease"
 EPOCH_SUFFIX = "__epoch"
 DEFAULT_TTL_S = 3600.0
+# Jittered pause before the read-back verification on the TAKEOVER
+# acquisition path (verdict r11 #2): two takeover attempts racing in
+# the stale window on a store without atomic create-if-absent can
+# both believe their create won; the file's FINAL content names the
+# actual winner, and the jitter gives a same-instant racer's write
+# time to land before we read. Uncontended first acquisitions skip
+# the pause (the hot ingest-loop path) but still read back.
+ACQUIRE_VERIFY_PAUSE_S = 0.05
 
 
 class WriterLeaseConflict(RuntimeError):
@@ -178,6 +198,35 @@ def acquire_writer_lease(spark: SparkSession, root: str, what: str,
         payload["epoch"] = _bump_epoch(spark, root) if attempt == 0 \
             else payload.get("epoch", 0)
         if _write_create(spark, fs, jp, payload):
+            # Read-back verification (verdict r11 #2):
+            # ``create(overwrite=false)`` is atomic on HDFS but
+            # best-effort on local FS and S3-like stores — a racing
+            # acquirer's create can silently overwrite ours. The
+            # file's final content names the real winner, so verify
+            # the token before treating the lease as held; on the
+            # TAKEOVER path (attempt 1 — the documented racing-stale-
+            # window) pause jittered first so a same-instant racer's
+            # write lands before we read. A mismatch means we LOST:
+            # refuse loudly and leave the file alone (it is the
+            # winner's). A transient unreadable read retries once —
+            # if still not provably ours, refusing is the safe side
+            # (worst case the root waits out one TTL; two live
+            # writers never run).
+            if attempt == 1:
+                time.sleep(ACQUIRE_VERIFY_PAUSE_S
+                           * (1.0 + random.random()))
+            readback = _read_json(spark, fs, jp)
+            if readback.get("owner") != token:
+                readback = _read_json(spark, fs, jp)
+            if readback.get("owner") != token:
+                raise WriterLeaseConflict(
+                    f"maintenance writer lease for {root}: the "
+                    f"create appeared to succeed but the read-back "
+                    f"shows owner="
+                    f"{readback.get('owner', '<unreadable>')!r} — "
+                    f"lost a create race on a store without atomic "
+                    f"create-if-absent (or a transient read fault); "
+                    f"retry after the holder releases")
             with _HELD_LOCK:
                 _HELD[key] = [token, 1]
             return token
@@ -187,14 +236,28 @@ def acquire_writer_lease(spark: SparkSession, root: str, what: str,
         # lease stealable (review r11 — the create-to-write window
         # of a racing acquirer reads as an empty file; treating that
         # as stale stole live leases at age ≈ 0). A vanished file
-        # (getFileStatus throws) means the holder released between
-        # our create and stat — retry the create.
+        # (getFileStatus throws FileNotFound) means the holder
+        # released between our create and stat — retry the create.
+        # A stat failure is AMBIGUOUS though: it can also be a
+        # transient RPC blip against a LIVE foreign holder's lease,
+        # and treating that as vanished would delete-and-steal the
+        # live lease on attempt 0 (ADVICE r11 — the exact hazard the
+        # lease exists to prevent). Re-check existence: only a
+        # genuinely-gone file counts as vanished; an
+        # exists-but-unstat-able lease refuses loudly instead.
         vanished = False
+        age = 0.0
         try:
             age = time.time() - fs.getFileStatus(jp) \
                 .getModificationTime() / 1000.0
         except Exception:
-            vanished, age = True, 0.0
+            vanished = not fs.exists(jp)
+            if not vanished:
+                raise WriterLeaseConflict(
+                    f"maintenance writer lease for {root} exists but "
+                    f"its status could not be read (transient FS "
+                    f"error) — refusing rather than risk stealing a "
+                    f"live holder's lease; retry")
         holder = _read_json(spark, fs, jp)
         ttl = float(holder.get("ttl_s", ttl_s))
         if attempt == 0 and (age > ttl or vanished):
@@ -230,15 +293,31 @@ def release_writer_lease(spark: SparkSession, root: str,
     fs, jp = _fs_path(spark, root.rstrip("/") + LEASE_SUFFIX)
     if fs.exists(jp):
         owner = _read_json(spark, fs, jp).get("owner")
-        # owner == token: the normal release. owner is None: a
-        # failed in-place renew truncated OUR lease to an empty
-        # payload (the registry proved this thread's token held it)
-        # — delete it too, or one transient write error would lock
-        # the root behind an unowned empty-but-fresh file until its
-        # TTL (review r11 fourth pass). A FOREIGN owner is never
-        # touched.
-        if owner == token or owner is None:
+        # owner == token: the normal release. owner is None is
+        # AMBIGUOUS (ADVICE r11): it can mean a failed in-place renew
+        # truncated OUR lease to an empty payload (the registry
+        # proved this thread's token held it — delete it, or one
+        # transient write error would lock the root behind an
+        # unowned empty-but-fresh file until its TTL, review r11
+        # fourth pass), but `_read_json` also returns {} on ANY read
+        # failure — after a TTL takeover, a transient read error on
+        # the NEW holder's live payload must not let the dead token
+        # delete it. Disambiguate by LENGTH: only a provably
+        # zero-length file is the truncation case; a non-empty
+        # payload gets one re-read, and if it still isn't provably
+        # ours the file is left alone (a foreign holder's TTL, not
+        # our delete, reclaims it).
+        if owner == token:
             fs.delete(jp, False)
+        elif owner is None:
+            try:
+                empty = fs.getFileStatus(jp).getLen() == 0
+            except Exception:
+                return          # can't prove anything — leave it
+            if empty:
+                fs.delete(jp, False)
+            elif _read_json(spark, fs, jp).get("owner") == token:
+                fs.delete(jp, False)
 
 
 def renew_writer_lease(spark: SparkSession, root: str,
@@ -293,6 +372,49 @@ def renew_writer_lease(spark: SparkSession, root: str,
     # held.
     payload["renewed_unix"] = time.time()
     return _write_create(spark, fs, jp, payload, overwrite=True)
+
+
+def held_lease_token(root: str) -> str | None:
+    """The lease token the CURRENT THREAD holds for ``root`` (via
+    `acquire_writer_lease` / `writer_lease`), or None. Registry-only —
+    never touches the filesystem; `commit_gate` is the call that
+    verifies the file still agrees."""
+    with _HELD_LOCK:
+        held = _HELD.get(_held_key(root))
+        return held[0] if held else None
+
+
+def commit_gate(spark: SparkSession, root: str,
+                what: str = "commit") -> None:
+    """Renew-or-abort at a PUBLISH point — the shared fencing helper
+    (verdict r11 #1, generalizing `compact_index`'s round-11 gate to
+    every leased writer). The heartbeat keeps a HEALTHY lease fresh,
+    but a driver stall or FS outage longer than the TTL lets a taker
+    acquire while the dethroned writer's already-scheduled commit
+    still lands — and beat-thread renew failures are swallowed by
+    design, so this gate is the ONLY correctness check. Every
+    maintenance writer calls it immediately before each publish
+    rename / `replace_state_dir` swap / marker or data append inside
+    its leased scope: raises `WriterLeaseConflict` (state untouched —
+    the caller aborts before writing) when the calling thread holds
+    no lease for ``root``, the lease file was taken over or broken,
+    or it already aged past its TTL; returns None when the renew
+    lands, which also refreshes the mtime for the next phase.
+
+    Residual window, documented: the renew-to-write instant (the same
+    trust level as `renew_writer_lease`'s own TTL-crossing note) —
+    the gate shrinks the zombie-commit window from "whole op past the
+    last heartbeat" to microseconds; it cannot make a non-atomic
+    store transactional."""
+    token = held_lease_token(root)
+    if token is None or not renew_writer_lease(spark, root, token):
+        raise WriterLeaseConflict(
+            f"{what} on {root}: the writer lease was lost before the "
+            f"commit point (taken over past its TTL, broken by an "
+            f"operator, or never held) — aborting before publish; "
+            f"no state was written at this commit point. Re-run "
+            f"under a live lease (op-sized ttl_s or the default "
+            f"heartbeat).")
 
 
 def break_writer_lease(spark: SparkSession, root: str) -> bool:

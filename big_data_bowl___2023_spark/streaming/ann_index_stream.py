@@ -170,14 +170,13 @@ def compact_index(spark: SparkSession, index_dir: str,
     # the lease heartbeats by default (ttl/6), so the rewrite can
     # outlive the TTL; the commit-point gate below still detects a
     # genuine takeover
-    with writer_lease(spark, index_dir, "compact_index") as token:
+    with writer_lease(spark, index_dir, "compact_index"):
         return _compact_index_unlocked(spark, index_dir,
-                                       target_file_mb, dedupe,
-                                       lease_token=token)
+                                       target_file_mb, dedupe)
 
 
 def _compact_index_unlocked(spark, index_dir, target_file_mb,
-                            dedupe, lease_token=None):
+                            dedupe):
     from ..similarity.index import _has_legacy_cells
     from ..session import pin
 
@@ -188,6 +187,12 @@ def _compact_index_unlocked(spark, index_dir, target_file_mb,
             index_versions(spark, index_dir)
             or _has_legacy_cells(spark, index_dir)):
         raise ValueError(f"no index cells at {index_dir}")
+    # gate the early destructive sweep too (round 12): a zombie
+    # compactor's stale-tmp clean would delete the NEW holder's
+    # in-progress staging dir
+    from ..sources.lease import commit_gate
+
+    commit_gate(spark, index_dir, "compact_index stale-tmp sweep")
     _clean_stale_tmps(fs, jvm, root)
     if not index_versions(spark, index_dir):
         _heal_legacy_swaps(jvm, fs, root)
@@ -241,22 +246,15 @@ def _compact_index_unlocked(spark, index_dir, target_file_mb,
         # lease was taken over, publishing v_new would race the new
         # writer (exactly the dual-writer hazard the lease exists
         # for) — discard the staged dir and fail loudly instead
-        # (review r11: the heartbeat must be wired into the op that
-        # needs it, not just offered as API).
-        if lease_token is not None:
-            from ..sources.lease import (
-                WriterLeaseConflict,
-                renew_writer_lease,
-            )
+        # (review r11; the round-12 `commit_gate` is this pattern
+        # extracted for every leased writer).
+        from ..sources.lease import WriterLeaseConflict, commit_gate
 
-            if not renew_writer_lease(spark, index_dir, lease_token):
-                fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
-                raise WriterLeaseConflict(
-                    f"compact_index {index_dir}: the writer lease "
-                    f"was lost during the rewrite (taken over past "
-                    f"its TTL) — aborting before publish; the "
-                    f"staged version was discarded. Re-run with an "
-                    f"op-sized ttl_s or a renewing scheduler.")
+        try:
+            commit_gate(spark, index_dir, "compact_index publish")
+        except WriterLeaseConflict:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+            raise
         final = jvm.org.apache.hadoop.fs.Path(
             f"{index_dir}/{_CELLS}/v={v_new}")
         if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), final):
@@ -305,6 +303,12 @@ def _vacuum_index_unlocked(spark, index_dir, keep):
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(root):
         raise ValueError(f"no index cells at {index_dir}")
+    # renew-or-abort before the first delete (verdict r11 #1): the
+    # stale-tmp sweep is itself destructive — a dethroned vacuum
+    # would delete the NEW writer's staging compaction dir
+    from ..sources.lease import commit_gate
+
+    commit_gate(spark, index_dir, "vacuum_index publish")
     _clean_stale_tmps(fs, jvm, root)
     versions = index_versions(spark, index_dir)
     drop = list(versions[:-keep]) if len(versions) > keep else []

@@ -254,6 +254,13 @@ def make_curation_ingest_batch_fn(out_dir: str, index_dir: str,
                 history_bloom=history_bloom,
                 broadcast_handle=probe_bcs)
             curated = pin(curated, truncate=True)
+            # renew-or-abort immediately before the batch's first
+            # durable write (verdict r11 #1): a batch stalled past
+            # the TTL must not append beside a new writer
+            from ..sources.lease import commit_gate
+
+            commit_gate(spark, out_dir,
+                        f"curation_ingest_batch_{batch_id} publish")
             curated.drop("fingerprint").write.mode("append") \
                 .parquet(out_dir)
             # the dedup key is already attached (post-redaction text
@@ -461,6 +468,16 @@ def _compact_curated_unlocked(spark, out_dir):
         fs.delete(tmp, True)
         raise
     after = spark.read.parquet(tmp.toString()).count()
+    # renew-or-abort at the swap (verdict r11 #1): the rewrite above
+    # can outlive the TTL; a dethroned compactor must discard its
+    # staged dir, never rename the new holder's live corpus away
+    from ..sources.lease import WriterLeaseConflict, commit_gate
+
+    try:
+        commit_gate(spark, out_dir, "compact_curated publish")
+    except WriterLeaseConflict:
+        fs.delete(tmp, True)
+        raise
     swapped_out = False
     try:
         if not fs.rename(root, backup):
@@ -646,6 +663,14 @@ def _apply_snapshot_diff_unlocked(spark, old_docs, new_docs, out_dir,
     )
 
     tomb_dir = _tombstone_dir(out_dir)
+    # renew-or-abort before the first writer action (verdict r11
+    # #1): everything from the heal onward mutates durable state —
+    # a dethroned apply must abort here, before the tombstone pool
+    # or any listed index is touched (the per-index deletes gate
+    # again under their own leases)
+    from ..sources.lease import commit_gate
+
+    commit_gate(spark, out_dir, "apply_snapshot_diff publish")
     # ADVICE r10: heal a crash-parked swap BEFORE reading — the
     # append branch below would otherwise create a fresh live dir
     # that shadows the parked __bak, silently resurrecting every
@@ -728,6 +753,10 @@ def _apply_snapshot_diff_unlocked(spark, old_docs, new_docs, out_dir,
                 spark, idx_dir, serving_restores)["restored"] \
                 if any_restores else 0
 
+    # re-gate before the pool rewrite: the per-index lease cycles
+    # above can be long, and this swap is the one that consumes the
+    # restore evidence (crash-ordering note below)
+    commit_gate(spark, out_dir, "apply_snapshot_diff pool rewrite")
     if n_restored > 0:
         # the rewrite goes through io.replace_state_dir (staged +
         # swap with a parked backup): an in-place overwrite would

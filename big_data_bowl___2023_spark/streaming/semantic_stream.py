@@ -90,7 +90,23 @@ def compact_semantic_corpus(spark, out_dir: str, codebook_path: str,
 
     Returns ``{"before": n, "after": n, "dropped": n}`` — the audit
     record. Kernel kwargs are the corpus-scale settings, exactly as
-    on the loop."""
+    on the loop. Serialized by the writer lease (round 12 — "run
+    with the stream stopped" is deployment policy; the lease is the
+    mechanism that makes an overlap loud instead of corrupting)."""
+    from ..sources.lease import writer_lease
+
+    with writer_lease(spark, out_dir, "compact_semantic_corpus"):
+        return _compact_semantic_unlocked(
+            spark, out_dir, codebook_path, threshold, vec_col,
+            id_col, dim, n_iters, target_cluster, max_bucket,
+            assign_kernel, verify_kernel, prefilter_broadcast)
+
+
+def _compact_semantic_unlocked(spark, out_dir, codebook_path,
+                               threshold, vec_col, id_col, dim,
+                               n_iters, target_cluster, max_bucket,
+                               assign_kernel, verify_kernel,
+                               prefilter_broadcast):
     from ..similarity.pq import save_codebooks, train_pq
 
     corpus = _read_parquet_if_present(spark, out_dir)
@@ -120,6 +136,23 @@ def compact_semantic_corpus(spark, out_dir: str, codebook_path: str,
 
         tmp = out_dir.rstrip("/") + "_compacting"
         kept.write.mode("overwrite").parquet(tmp)
+        # renew-or-abort before the first LIVE mutation (verdict r11
+        # #1): everything up to here staged to the temp dir; from the
+        # codebook refresh on, a dethroned compactor would overwrite
+        # the new writer's artifacts. On abort the staged dir is
+        # discarded — leaving it would park a corpus-sized duplicate
+        # AND the next (legitimate) pass would overwrite it anyway.
+        from ..sources.lease import WriterLeaseConflict, commit_gate
+
+        try:
+            commit_gate(spark, out_dir,
+                        "compact_semantic_corpus publish")
+        except WriterLeaseConflict:
+            jvm = spark._jvm
+            jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+            jtmp.getFileSystem(spark._jsc.hadoopConfiguration()) \
+                .delete(jtmp, True)
+            raise
         save_codebooks(spark, [cents], codebook_path)
         # the new dropped index is a UNION of the old one with the
         # compaction's drops — ids dropped during INGEST were never
@@ -217,7 +250,12 @@ def make_semantic_ingest_batch_fn(out_dir: str, codebook_path: str,
 
     def _ingest(survivors: DataFrame, dropped_src: DataFrame) -> None:
         """Shared tail: dropped ids FIRST, then survivors (see the
-        ordering note above)."""
+        ordering note above). Renew-or-abort immediately before the
+        durable appends (verdict r11 #1)."""
+        from ..sources.lease import commit_gate
+
+        commit_gate(survivors.sparkSession, out_dir,
+                    "semantic_ingest publish")
         (dropped_src.select(id_col).distinct()
          .write.mode("append").parquet(dropped_dir))
         survivors.write.mode("append").parquet(out_dir)
@@ -252,6 +290,13 @@ def make_semantic_ingest_batch_fn(out_dir: str, codebook_path: str,
                                  k=scaled_k(n, target_cluster),
                                  n_iters=n_iters,
                                  assign_kernel=assign_kernel)[0]
+                # gate the codebook freeze too (verdict r11 #1): a
+                # dethroned bootstrap must not clobber the codebook
+                # a new writer just trained
+                from ..sources.lease import commit_gate
+
+                commit_gate(spark, out_dir,
+                            "semantic_ingest codebook publish")
                 save_codebooks(spark, [cents], codebook_path)
                 survivors = pin(_drop_within_batch(batch_df, cents,
                                                    bcs))
