@@ -97,6 +97,9 @@ inventory E111); the reference has no vector-search surface.
 
 from __future__ import annotations
 
+import os
+import threading
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -604,6 +607,75 @@ def _read_deletes(spark: SparkSession,
     return read_state_dir(spark, f"{index_dir}/{_DELETES}")
 
 
+def _is_transient_missing_path(exc: Exception) -> bool:
+    """True only for the faults a concurrent marker-dir swap actually
+    produces — a path that vanished between our existence check and
+    the read. Classified by EXCEPTION CLASS, not message substrings
+    (ADVICE r11: free-text matching is brittle across Spark versions/
+    locales and can misfire on deterministic errors): plan-time reads
+    surface as `AnalysisException` with error condition
+    ``PATH_NOT_FOUND``; runtime jobs surface as a Py4J error whose
+    java cause chain contains ``java.io.FileNotFoundException``
+    (both probed against this Spark build in tests)."""
+    if isinstance(exc, FileNotFoundError):
+        return True
+    try:
+        from pyspark.errors import AnalysisException
+
+        if isinstance(exc, AnalysisException):
+            get = getattr(exc, "getCondition", None) \
+                or getattr(exc, "getErrorClass", None)
+            return bool(get) and get() == "PATH_NOT_FOUND"
+    except ImportError:
+        pass
+    je = getattr(exc, "java_exception", None)
+    for _ in range(8):                    # bounded cause-chain walk
+        if je is None:
+            return False
+        try:
+            if "FileNotFoundException" in je.getClass().getName():
+                return True
+            je = je.getCause()
+        except Exception:
+            return False
+    return False
+
+
+# One marker snapshot per (index_dir, marker-dir state) — ADVICE r11:
+# the over-cap path pinned a fresh localCheckpoint on EVERY search and
+# the blocks were freed only at driver GC, so a high-QPS serving loop
+# steadily accumulated executor storage. The cache keys on a cheap
+# filesystem signature of the resolved marker dir (path + mtime +
+# file count + byte length — one listing RPC per search) and reuses
+# the snapshot until a maintenance write changes it. Superseded
+# snapshots are NOT explicitly unpersisted: an earlier search's
+# still-lazy plan may reference the truncated-lineage blocks (an
+# unpersist would make that plan unrecomputable); dropping our cache
+# reference lets the ContextCleaner free the blocks as soon as the
+# last referencing plan is GC'd — bounded by live plans instead of by
+# search count.
+_MARKER_SNAP_CACHE: dict[str, tuple[tuple, DataFrame]] = {}
+_MARKER_SNAP_LOCK = threading.Lock()
+
+
+def _marker_state_sig(spark: SparkSession,
+                      index_dir: str) -> tuple | None:
+    """Filesystem signature of the marker state `read_state_dir`
+    would resolve (live dir, else the crash-parked ``__bak``), or
+    None when absent."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    base = f"{index_dir}/{_DELETES}"
+    for p in (base, base + "__bak"):
+        jp = jvm.org.apache.hadoop.fs.Path(p)
+        fs = jp.getFileSystem(conf)
+        if fs.exists(jp):
+            summ = fs.getContentSummary(jp)
+            return (p, fs.getFileStatus(jp).getModificationTime(),
+                    summ.getFileCount(), summ.getLength())
+    return None
+
+
 def _minus_deletes(spark: SparkSession, index_dir: str,
                    corpus: DataFrame) -> DataFrame:
     """Anti-join the delete markers out of an index scan. Below
@@ -634,6 +706,12 @@ def _minus_deletes(spark: SparkSession, index_dir: str,
     global _last_marker_mode
     for attempt in (0, 1):
         try:
+            # signature FIRST, data after: a swap landing between the
+            # two maps the OLD signature to post-swap data — the next
+            # search then misses the cache and refreshes, which is
+            # the safe direction (never a fresh signature pinning
+            # pre-swap markers)
+            sig = _marker_state_sig(spark, index_dir)
             dels = _read_deletes(spark, index_dir)
             if dels is None:
                 _last_marker_mode = "none"
@@ -651,31 +729,36 @@ def _minus_deletes(spark: SparkSession, index_dir: str,
                 return corpus.join(F.broadcast(local),
                                    "neighbor_id", "left_anti")
             _last_marker_mode = "checkpoint"
-            # session.pin, not a direct localCheckpoint (the
-            # source-hygiene rule): truncate=True so BOTH durability
-            # modes materialize an eager, lineage-truncated snapshot
-            # — a durable persist(DISK_ONLY) would keep marker-FILE
-            # lineage that an executor loss recomputes from files a
-            # concurrent rewrite may have swapped away
-            from ..session import pin
+            key = os.path.abspath(index_dir.rstrip("/"))
+            with _MARKER_SNAP_LOCK:
+                cached = _MARKER_SNAP_CACHE.get(key)
+            if cached is not None and cached[0] == sig:
+                snap = cached[1]
+            else:
+                # session.pin, not a direct localCheckpoint (the
+                # source-hygiene rule): truncate=True so BOTH
+                # durability modes materialize an eager, lineage-
+                # truncated snapshot — a durable persist(DISK_ONLY)
+                # would keep marker-FILE lineage that an executor
+                # loss recomputes from files a concurrent rewrite
+                # may have swapped away
+                from ..session import pin
 
-            snap = pin(ids, truncate=True)
+                snap = pin(ids, truncate=True)
+                with _MARKER_SNAP_LOCK:
+                    _MARKER_SNAP_CACHE[key] = (sig, snap)
             return corpus.join(snap.hint("shuffle_hash"),
                                "neighbor_id", "left_anti")
         except Exception as exc:
             # retry ONLY what the swap window actually produces —
             # vanished files/paths between the existence check and
-            # the read job. A deterministic fault (corrupt footer,
-            # schema error) must surface first-error, once, not run
-            # the doomed jobs twice with the cause swallowed
+            # the read job, classified by exception class
+            # (`_is_transient_missing_path`; ADVICE r11 — substring
+            # matching was brittle). A deterministic fault (corrupt
+            # footer, schema error) must surface first-error, once,
+            # not run the doomed jobs twice with the cause swallowed
             # (review r11).
-            msg = str(exc)
-            transient = any(tag in msg for tag in
-                            ("FileNotFound",     # Java + Python
-                             "PATH_NOT_FOUND",
-                             "does not exist",
-                             "FILE_NOT_EXIST"))
-            if attempt or not transient:
+            if attempt or not _is_transient_missing_path(exc):
                 raise
 
 

@@ -267,7 +267,10 @@ def test_marker_read_survives_concurrent_swap_window(spark, sf_dir,
     def flaky(spark_, index_dir):
         calls["n"] += 1
         if calls["n"] == 1:
-            raise RuntimeError("simulated mid-swap FileNotFound")
+            # a REAL missing-path class, not a message that merely
+            # mentions one — ADVICE r11 moved the retry classifier
+            # from substring matching to exception classes
+            raise FileNotFoundError("simulated mid-swap vanish")
         return real(spark_, index_dir)
 
     monkeypatch.setattr(index_mod, "_read_deletes", flaky)
@@ -276,3 +279,81 @@ def test_marker_read_survives_concurrent_swap_window(spark, sf_dir,
     ids = {r["neighbor_id"] for r in got.collect()}
     assert calls["n"] == 2
     assert 1 not in ids and 2 not in ids
+
+
+def test_transient_classifier_on_real_exception_classes(spark,
+                                                        tmp_path):
+    """ADVICE r11: the swap-window retry classifies by exception
+    CLASS. Probed against this Spark build: a plan-time read of a
+    missing path is AnalysisException(PATH_NOT_FOUND); a path
+    vanishing between plan and execute surfaces as a Py4J error whose
+    java cause chain carries java.io.FileNotFoundException. A
+    deterministic fault whose MESSAGE merely mentions the words must
+    NOT retry."""
+    import shutil
+
+    missing = str(tmp_path / "never_there")
+    with pytest.raises(Exception) as plan_exc:
+        spark.read.parquet(missing)
+    assert index_mod._is_transient_missing_path(plan_exc.value)
+
+    d = str(tmp_path / "vanishing")
+    spark.range(10).write.parquet(d)
+    df = spark.read.parquet(d)
+    df.count()
+    shutil.rmtree(d)
+    spark.catalog.refreshByPath(d)
+    with pytest.raises(Exception) as run_exc:
+        df.collect()
+    assert index_mod._is_transient_missing_path(run_exc.value)
+
+    assert not index_mod._is_transient_missing_path(
+        RuntimeError("corrupt footer... FileNotFound PATH_NOT_FOUND "
+                     "does not exist"))
+    assert index_mod._is_transient_missing_path(
+        FileNotFoundError("genuinely gone"))
+
+
+def test_overcap_marker_snapshot_cached_per_state(spark, sf_dir,
+                                                  tmp_path,
+                                                  monkeypatch):
+    """ADVICE r11: past the cap, `_minus_deletes` pins ONE marker
+    snapshot per marker-dir STATE and reuses it across searches — a
+    high-QPS serving loop no longer accumulates one localCheckpoint
+    per search. A maintenance write (new marker) changes the dir
+    signature and refreshes the snapshot; survivors track it."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    idx = str(tmp_path / "idx")
+    build_ann_index(emb.limit(200), idx)
+    victims = sorted({r["neighbor_id"] for r in
+                      ann_index_search(spark, idx, queries, 8,
+                                       exclude_self=False)
+                      .collect()})[:6]
+    delete_from_index(spark, idx, victims)
+    monkeypatch.setattr(index_mod, "DELETE_MARKER_VALUES_CAP", 3)
+    key = os.path.abspath(idx)
+    index_mod._MARKER_SNAP_CACHE.pop(key, None)
+
+    ann_index_search(spark, idx, queries, 5).collect()
+    assert index_mod._last_marker_mode == "checkpoint"
+    sig1, snap1 = index_mod._MARKER_SNAP_CACHE[key]
+    ann_index_search(spark, idx, queries, 5).collect()
+    sig2, snap2 = index_mod._MARKER_SNAP_CACHE[key]
+    assert sig2 == sig1 and snap2 is snap1      # reused, not re-pinned
+
+    # a new marker changes the state: snapshot refreshes and the
+    # freshly-hidden id disappears from the results
+    extra = next(r["neighbor_id"] for r in
+                 ann_index_search(spark, idx, queries, 5,
+                                  exclude_self=False).collect())
+    delete_from_index(spark, idx, [extra])
+    got = {r["neighbor_id"] for r in
+           ann_index_search(spark, idx, queries, 5,
+                            exclude_self=False).collect()}
+    sig3, snap3 = index_mod._MARKER_SNAP_CACHE[key]
+    assert sig3 != sig1 and snap3 is not snap1
+    assert extra not in got
+    for v in victims:
+        assert v not in got
+    index_mod._MARKER_SNAP_CACHE.pop(key, None)
