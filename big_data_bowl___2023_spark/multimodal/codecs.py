@@ -12,22 +12,30 @@ environment for:
   top-down row orders, 4-byte row padding, BGR(A) channel order
   (public format: Windows BITMAPFILEHEADER/BITMAPINFOHEADER layout);
 * **PPM (P6)** / **PGM (P5)** — binary netpbm with ``maxval ≤ 255``,
-  ``#`` comments in the header (public format: netpbm spec).
+  ``#`` comments in the header (public format: netpbm spec);
+* **PNG** — non-interlaced 8-bit gray / gray+alpha / RGB / RGBA
+  (color types 0/4/2/6), all five scanline filters, multi-IDAT,
+  CRC-verified chunks (public format: RFC 2083 / W3C PNG spec;
+  DEFLATE via stdlib ``zlib``). Palette (type 3), 16-bit, <8-bit
+  and Adam7-interlaced PNGs raise `UnsupportedFormat`.
 
-Anything else (PNG, JPEG, 16-bit netpbm, RLE BMP, …) raises
+Anything else (JPEG, 16-bit netpbm, RLE BMP, …) raises
 `UnsupportedFormat`, and `binary_ops` falls back to its documented
 deterministic stub — the stub is now reachable ONLY for genuinely
 unsupported payloads.
 
 Decoded pixels are ``numpy uint8 (height, width, channels)``;
-`encode` writes P6 (3-channel) or P5 (1-channel) — the canonical
-interchange output for the resize pass (the PIL path emits PNG).
+`encode` writes P6 (3-channel), P5 (1-channel), or PNG (2/4-channel
+alpha shapes netpbm can't carry) — the interchange outputs for the
+resize pass (the PIL path emits PNG).
 `resize_nearest` is aspect-preserving nearest-neighbor via numpy
 index gather — no per-pixel Python loop, so the Arrow-batch cost
 stays vectorized like the rest of the mapInPandas family.
 """
 
 from __future__ import annotations
+
+import zlib
 
 import numpy as np
 
@@ -37,14 +45,20 @@ class UnsupportedFormat(ValueError):
     back to their stub/real-library path."""
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
 def sniff(data: bytes) -> str | None:
-    """"bmp" / "ppm" / "pgm" when the magic matches, else None."""
+    """"bmp" / "ppm" / "pgm" / "png" when the magic matches, else
+    None."""
     if len(data) >= 2 and data[:2] == b"BM":
         return "bmp"
     if len(data) >= 2 and data[:2] == b"P6":
         return "ppm"
     if len(data) >= 2 and data[:2] == b"P5":
         return "pgm"
+    if len(data) >= 8 and data[:8] == _PNG_SIG:
+        return "png"
     return None
 
 
@@ -137,6 +151,171 @@ def _decode_netpbm(data: bytes, magic: bytes,
             .reshape(height, width, channels))
 
 
+# PNG color type -> samples per pixel (8-bit depth only; palette
+# type 3 is deliberately unsupported — it needs PLTE indirection and
+# is rare for the raster payloads this path meets)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunks(data: bytes):
+    """Yield (type, payload) for each chunk, CRC-verified.  A bad
+    length/CRC raises UnsupportedFormat — one corrupt chunk must not
+    surface as an IndexError from the slicing below."""
+    pos = 8
+    while pos < len(data):
+        if pos + 8 > len(data):
+            raise UnsupportedFormat("truncated PNG chunk header")
+        length = int.from_bytes(data[pos:pos + 4], "big")
+        ctype = data[pos + 4:pos + 8]
+        end = pos + 8 + length
+        if length > len(data) or end + 4 > len(data):
+            raise UnsupportedFormat("truncated PNG chunk body")
+        payload = data[pos + 8:end]
+        crc = int.from_bytes(data[end:end + 4], "big")
+        if zlib.crc32(ctype + payload) & 0xFFFFFFFF != crc:
+            raise UnsupportedFormat(
+                f"PNG chunk {ctype!r} CRC mismatch")
+        yield ctype, payload
+        if ctype == b"IEND":
+            return
+        pos = end + 4
+    raise UnsupportedFormat("PNG stream ended without IEND")
+
+
+def _png_unfilter(raw: bytes, width: int, height: int,
+                  bpp: int) -> np.ndarray:
+    """Reverse the five PNG scanline filters (None/Sub/Up/Average/
+    Paeth).  Sub and Up are numpy-vectorized (cumsum over pixel
+    lanes / uint8 wraparound add); Average and Paeth carry a true
+    sequential dependency on the left neighbor, so those rows run a
+    per-byte loop — correctness-first, and this pure-python tier is
+    the no-PIL fallback, not the production decode path."""
+    stride = width * bpp
+    if len(raw) != (stride + 1) * height:
+        raise UnsupportedFormat("PNG pixel data length mismatch")
+    flat = np.frombuffer(raw, dtype=np.uint8) \
+        .reshape(height, stride + 1)
+    out = np.zeros((height, stride), dtype=np.uint8)
+    for y in range(height):
+        f = int(flat[y, 0])
+        row = flat[y, 1:]
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if f == 0:
+            out[y] = row
+        elif f == 1:
+            # recon[x] = raw[x] + recon[x-bpp]: per-lane prefix sum
+            # mod 256 (uint8 addition is already mod-256)
+            lanes = row.reshape(width, bpp).astype(np.uint64)
+            out[y] = (np.cumsum(lanes, axis=0) % 256) \
+                .astype(np.uint8).reshape(stride)
+        elif f == 2:
+            out[y] = row + prev          # uint8 wraparound == mod 256
+        elif f == 3:
+            r = out[y]
+            for x in range(stride):
+                a = int(r[x - bpp]) if x >= bpp else 0
+                r[x] = (int(row[x]) + ((a + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:
+            r = out[y]
+            for x in range(stride):
+                a = int(r[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(out[y - 1, x - bpp]) if (x >= bpp and y) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+                r[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise UnsupportedFormat(f"PNG filter type {f}")
+    return out.reshape(height, width, bpp)
+
+
+def _decode_png(data: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit gray/gray+alpha/RGB/RGBA PNG (RFC 2083).
+    Output keeps the source channel count — the feature/resize passes
+    already handle 1-4 channels."""
+    chunks = _png_chunks(data)
+    ctype, ihdr = next(chunks)
+    if ctype != b"IHDR" or len(ihdr) != 13:
+        raise UnsupportedFormat("PNG missing leading IHDR")
+    width = int.from_bytes(ihdr[0:4], "big")
+    height = int.from_bytes(ihdr[4:8], "big")
+    depth, color, comp, filt, interlace = ihdr[8:13]
+    if depth != 8:
+        raise UnsupportedFormat(f"{depth}-bit PNG")
+    if color not in _PNG_CHANNELS:
+        raise UnsupportedFormat(f"PNG color type {color}"
+                                + (" (palette)" if color == 3 else ""))
+    if comp != 0 or filt != 0:
+        raise UnsupportedFormat("nonstandard PNG compression/filter")
+    if interlace != 0:
+        raise UnsupportedFormat("Adam7-interlaced PNG")
+    if width <= 0 or height <= 0:
+        raise UnsupportedFormat("degenerate PNG dimensions")
+    idat = b"".join(payload for t, payload in chunks if t == b"IDAT")
+    if not idat:
+        raise UnsupportedFormat("PNG without IDAT")
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as exc:
+        raise UnsupportedFormat(f"corrupt PNG DEFLATE stream: "
+                                f"{exc}") from exc
+    return _png_unfilter(raw, width, height, _PNG_CHANNELS[color])
+
+
+def make_png(arr: np.ndarray, filter_type: int = 4) -> bytes:
+    """Encode a (h, w, 1|2|3|4) uint8 array as a non-interlaced 8-bit
+    PNG, filtering every scanline with `filter_type` (0-4) — the
+    test-side generator that exercises each unfilter branch without
+    shipping binary fixtures."""
+    if arr.ndim != 3 or arr.shape[2] not in (1, 2, 3, 4):
+        raise ValueError(f"expected (h, w, 1|2|3|4), got {arr.shape}")
+    if filter_type not in range(5):
+        raise ValueError(f"PNG filter type {filter_type}")
+    h, w, ch = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    up = np.concatenate(
+        [np.zeros((1, w, ch), dtype=np.uint8), arr[:-1]],
+        axis=0).astype(np.int64)
+    cur = arr.astype(np.int64)
+    left = np.concatenate(
+        [np.zeros((h, 1, ch), dtype=np.uint8), arr[:, :-1]],
+        axis=1).astype(np.int64)
+    ul = np.zeros_like(cur)
+    ul[1:, 1:] = arr[:-1, :-1]
+    if filter_type == 0:
+        filtered = cur
+    elif filter_type == 1:
+        filtered = cur - left
+    elif filter_type == 2:
+        filtered = cur - up
+    elif filter_type == 3:
+        filtered = cur - ((left + up) >> 1)
+    else:
+        p = left + up - ul
+        pa, pb, pc = (np.abs(p - left), np.abs(p - up),
+                      np.abs(p - ul))
+        pred = np.where((pa <= pb) & (pa <= pc), left,
+                        np.where(pb <= pc, up, ul))
+        filtered = cur - pred
+    body = (filtered % 256).astype(np.uint8).reshape(h, w * ch)
+    scan = np.concatenate(
+        [np.full((h, 1), filter_type, dtype=np.uint8), body], axis=1)
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (len(payload).to_bytes(4, "big") + ctype + payload
+                + (zlib.crc32(ctype + payload)
+                   & 0xFFFFFFFF).to_bytes(4, "big"))
+
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, color, 0, 0, 0]))
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(scan.tobytes()))
+            + chunk(b"IEND", b""))
+
+
 def decode(data: bytes) -> np.ndarray:
     """(height, width, channels) uint8 pixels, RGB order for color.
     Raises `UnsupportedFormat` for ANYTHING this module can't parse —
@@ -152,6 +331,8 @@ def decode(data: bytes) -> np.ndarray:
             return _decode_netpbm(data, b"P6", 3)
         if kind == "pgm":
             return _decode_netpbm(data, b"P5", 1)
+        if kind == "png":
+            return _decode_png(data)
     except UnsupportedFormat:
         raise
     except Exception as exc:
@@ -161,9 +342,14 @@ def decode(data: bytes) -> np.ndarray:
 
 
 def encode(arr: np.ndarray) -> bytes:
-    """P6 for 3-channel, P5 for 1-channel uint8 arrays."""
-    if arr.ndim != 3 or arr.shape[2] not in (1, 3):
-        raise ValueError(f"expected (h, w, 1|3), got {arr.shape}")
+    """P6 for 3-channel, P5 for 1-channel uint8 arrays; PNG for the
+    alpha-bearing 2/4-channel shapes netpbm can't carry (a decoded
+    RGBA PNG round-tripping through the resize pass must not raise a
+    bare ValueError inside mapInPandas)."""
+    if arr.ndim != 3 or arr.shape[2] not in (1, 2, 3, 4):
+        raise ValueError(f"expected (h, w, 1|2|3|4), got {arr.shape}")
+    if arr.shape[2] in (2, 4):
+        return make_png(arr)
     magic = b"P6" if arr.shape[2] == 3 else b"P5"
     header = b"%s\n%d %d\n255\n" % (magic, arr.shape[1], arr.shape[0])
     return header + np.ascontiguousarray(arr, dtype=np.uint8).tobytes()

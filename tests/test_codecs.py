@@ -162,3 +162,158 @@ def test_malformed_magic_payloads_fall_to_stub(spark):
     assert dec == {1: "bmp", 2: "stub"}
     assert resize_media(media, max_side=8).count() == 2
     assert extract_features(media).count() == 2
+
+
+# ---------------------------------------------------------------- PNG
+
+def _rgba(h, w):
+    img = _grad(h, w)
+    a = ((np.arange(h * w, dtype=np.uint64) * 37) % 256) \
+        .astype(np.uint8).reshape(h, w, 1)
+    return np.concatenate([img, a], axis=2)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_round_trip_all_filters(filter_type):
+    """Verdict r11 #3: each of the five scanline filters unfilters to
+    exact pixels, for gray / gray+alpha / RGB / RGBA."""
+    for img in (_grad(11, 9), _grad(11, 9)[:, :, :1],
+                _rgba(7, 13), _rgba(7, 13)[:, :, :2]):
+        data = codecs.make_png(img, filter_type=filter_type)
+        assert codecs.sniff(data) == "png"
+        np.testing.assert_array_equal(codecs.decode(data), img)
+
+
+def test_png_mixed_filters_and_multi_idat():
+    """Real encoders pick a filter per row and may split IDAT; the
+    decoder must handle both."""
+    img = _grad(5, 6)
+    import zlib
+    rows = []
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        one = codecs.make_png(img[y:y + 1], filter_type=f)
+        # pull the filtered scanline back out of the 1-row image
+        start = one.index(b"IDAT") + 4
+        length = int.from_bytes(one[start - 8:start - 4], "big")
+        rows.append(zlib.decompress(one[start:start + length]))
+    # rows 1..4's left/up predictors referenced zeros in the 1-row
+    # images; rebuild filters against the true neighbors instead
+    full = codecs.make_png(img, filter_type=0)
+    raw = bytearray(zlib.decompress(
+        full[full.index(b"IDAT") + 4:][:int.from_bytes(
+            full[full.index(b"IDAT") - 4:full.index(b"IDAT")],
+            "big")]))
+    stride = 6 * 3 + 1
+    # hand-filter: row0 Sub, row1 Up, row2 Average, row3 Paeth, row4 None
+    recon = np.frombuffer(bytes(raw), dtype=np.uint8) \
+        .reshape(5, stride)[:, 1:].astype(np.int64)
+    filt = np.zeros_like(recon)
+    bpp = 3
+    for y, f in enumerate([1, 2, 3, 4, 0]):
+        for x in range(recon.shape[1]):
+            a = recon[y, x - bpp] if x >= bpp else 0
+            b = recon[y - 1, x] if y else 0
+            c = recon[y - 1, x - bpp] if (y and x >= bpp) else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+            filt[y, x] = (recon[y, x] - pred) % 256
+        raw[y * stride] = f
+        raw[y * stride + 1:(y + 1) * stride] = \
+            filt[y].astype(np.uint8).tobytes()
+    comp = zlib.compress(bytes(raw))
+    half = len(comp) // 2
+
+    def chunk(ctype, payload):
+        return (len(payload).to_bytes(4, "big") + ctype + payload
+                + (zlib.crc32(ctype + payload)
+                   & 0xFFFFFFFF).to_bytes(4, "big"))
+
+    ihdr = ((6).to_bytes(4, "big") + (5).to_bytes(4, "big")
+            + bytes([8, 2, 0, 0, 0]))
+    data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", comp[:half])
+            + chunk(b"IDAT", comp[half:])        # split IDAT stream
+            + chunk(b"IEND", b""))
+    np.testing.assert_array_equal(codecs.decode(data), img)
+
+
+def test_png_unsupported_variants_refuse():
+    img = _grad(4, 4)
+    good = bytearray(codecs.make_png(img))
+
+    def patched(off, val):
+        out = bytearray(good)
+        ihdr_at = out.index(b"IHDR") + 4
+        out[ihdr_at + off] = val
+        # recompute IHDR CRC so the variant check (not CRC) fires
+        import zlib
+        payload = bytes(out[ihdr_at - 4:ihdr_at + 13])
+        out[ihdr_at + 13:ihdr_at + 17] = (
+            zlib.crc32(payload) & 0xFFFFFFFF).to_bytes(4, "big")
+        return bytes(out)
+
+    with pytest.raises(codecs.UnsupportedFormat, match="16-bit"):
+        codecs.decode(patched(8, 16))
+    with pytest.raises(codecs.UnsupportedFormat, match="palette"):
+        codecs.decode(patched(9, 3))
+    with pytest.raises(codecs.UnsupportedFormat, match="interlaced"):
+        codecs.decode(patched(12, 1))
+    # flipped payload byte -> CRC mismatch, loud but typed
+    evil = bytearray(good)
+    evil[evil.index(b"IDAT") + 6] ^= 0xFF
+    with pytest.raises(codecs.UnsupportedFormat, match="CRC"):
+        codecs.decode(bytes(evil))
+    # corrupt DEFLATE with a fixed-up CRC
+    evil = bytearray(good)
+    at = evil.index(b"IDAT")
+    length = int.from_bytes(evil[at - 4:at], "big")
+    evil[at + 4:at + 4 + length] = b"\x00" * length
+    import zlib
+    evil[at + 4 + length:at + 8 + length] = (
+        zlib.crc32(bytes(evil[at:at + 4 + length]))
+        & 0xFFFFFFFF).to_bytes(4, "big")
+    with pytest.raises(codecs.UnsupportedFormat, match="DEFLATE"):
+        codecs.decode(bytes(evil))
+    with pytest.raises(codecs.UnsupportedFormat, match="IEND"):
+        codecs.decode(good[:-12])             # IEND sheared off
+
+
+def test_png_through_spark_passes(spark):
+    """PNG rides the same real-tier dispatch as BMP/netpbm — including
+    an RGBA resize, whose output re-encodes as PNG (netpbm can't
+    carry alpha)."""
+    rgb = _grad(40, 24)
+    rgba = _rgba(32, 20)
+    rows = [(1, "image", bytearray(codecs.make_png(rgb)), "t", 0),
+            (2, "image", bytearray(codecs.make_png(rgba)), "t", 0)]
+    media = spark.createDataFrame(
+        rows, "media_id long, modality string, data binary, "
+              "source string, n_bytes long")
+    dec = {r["media_id"]: r for r in decode_media(media).collect()}
+    assert (dec[1]["width"], dec[1]["height"], dec[1]["n_channels"],
+            dec[1]["decoder"]) == (24, 40, 3, "png")
+    assert (dec[2]["n_channels"], dec[2]["decoder"]) == (4, "png")
+    rez = {r["media_id"]: r
+           for r in resize_media(media, max_side=16).collect()}
+    np.testing.assert_array_equal(
+        codecs.decode(bytes(rez[1]["data"])),
+        codecs.resize_nearest(rgb, 16))
+    got = codecs.decode(bytes(rez[2]["data"]))
+    assert got.shape[2] == 4                  # alpha survived
+    np.testing.assert_array_equal(got, codecs.resize_nearest(rgba, 16))
+    feats = {r["media_id"]: r["features"]
+             for r in extract_features(media).collect()}
+    assert feats[1][3] == pytest.approx(float(rgb.mean()) / 255.0,
+                                        rel=1e-6)
+    assert feats[2][2] == pytest.approx(4 / 4)
