@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import vectors as V
-from ..session import pin
+from ..session import pin, resolve_kernel
 
 # GEMM-prefilter margin: numpy dot and the oracle's sequential fold
 # differ by O(1e-15); candidates are kept at threshold − margin and the
@@ -88,7 +88,7 @@ def _verify_exact(v: DataFrame, cand: DataFrame,
                   threshold: float,
                   broadcast_candidates: bool | str = "auto",
                   broadcast_limit: int = 2_000_000,
-                  kernel: str = "sql") -> DataFrame:
+                  kernel: str | None = None) -> DataFrame:
     """Exact dot over candidate id pairs only.
 
     ``kernel`` picks the per-pair scoring implementation (the join
@@ -139,8 +139,7 @@ def _verify_exact(v: DataFrame, cand: DataFrame,
 
     ``broadcast_limit`` defaults to 2M id pairs ≈ 32 MB of packed
     rows — half the session's 64 MB autoBroadcastJoinThreshold."""
-    if kernel not in ("sql", "arrow"):
-        raise ValueError(f"unknown verify kernel {kernel!r}")
+    kernel = resolve_kernel(kernel, "verify")
     ua = v.select(F.col("id").alias("vec_a"), F.col("u").alias("ua"))
     ub = v.select(F.col("id").alias("vec_b"), F.col("u").alias("ub"))
     if broadcast_candidates == "auto":
@@ -350,7 +349,7 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float,
                           id_col: str = "vec_id",
                           n_blocks: int | None = None,
                           target_block: int = 2000,
-                          verify_kernel: str = "sql") -> DataFrame:
+                          verify_kernel: str | None = None) -> DataFrame:
     """EXACT (vec_a, vec_b, cosine) pairs ≥ threshold, a < b.
 
     Plan: block-GEMM prefilter → exact fold verification of survivors.
@@ -473,7 +472,7 @@ def cosine_near_dup_pairs_lsh(df: DataFrame, threshold: float,
                               n_planes: int | None = None,
                               target_bucket: int = 32,
                               max_bucket: int | None = None,
-                              verify_kernel: str = "sql",
+                              verify_kernel: str | None = None,
                               prefilter_broadcast: bool | str = "auto"
                               ) -> DataFrame:
     """Sub-quadratic near-dup pairs: hyperplane-LSH candidates →

@@ -46,7 +46,7 @@ from .clusters import connected_components
 from .embedding import _normalized, _np_prefilter, _verify_exact
 from .minhash import band_candidates
 from ..functions import vectors as V
-from ..session import pin
+from ..session import pin, resolve_kernel
 
 
 def scaled_k(n: int, target_cluster: int = 250) -> int:
@@ -64,7 +64,7 @@ def kmeans_assign(df: DataFrame, k: int = 16, n_iters: int = 4,
                   dim: int | None = None,
                   codegen_max_k: int = 64,
                   n: int | None = None,
-                  assign_kernel: str = "sql") -> DataFrame:
+                  assign_kernel: str | None = None) -> DataFrame:
     """(id, u, cluster): full-vector k-means assignment.
 
     Training is ``train_pq(m=1)`` (deterministic seeds, Lloyd rounds
@@ -104,7 +104,7 @@ def kmeans_assign(df: DataFrame, k: int = 16, n_iters: int = 4,
 
 def assign_with_centroids(v: DataFrame, cents: list,
                           codegen_max_k: int = 64,
-                          kernel: str = "sql") -> DataFrame:
+                          kernel: str | None = None) -> DataFrame:
     """(id, u, cluster) for PRE-TRAINED centroids — the assignment
     half of kmeans_assign, reusable when the codebook is an artifact
     (incremental ingest assigns new batches against the corpus's
@@ -132,6 +132,7 @@ def assign_with_centroids(v: DataFrame, cents: list,
       real-valued embeddings the paths agree exactly (pytest pins
       agreement on the test corpora); defaults stay "sql" so every
       hash-pinned output is byte-stable."""
+    kernel = resolve_kernel(kernel, "assignment")
     if kernel == "arrow":
         return _assign_arrow(v, cents)
     if kernel != "sql":
@@ -204,8 +205,8 @@ def semantic_dup_pairs(df: DataFrame, threshold: float,
                        target_cluster: int = 250,
                        dim: int | None = None,
                        n: int | None = None,
-                       assign_kernel: str = "sql",
-                       verify_kernel: str = "sql",
+                       assign_kernel: str | None = None,
+                       verify_kernel: str | None = None,
                        prefilter_broadcast: bool | str = "auto"
                        ) -> DataFrame:
     """(vec_a, vec_b, cosine) with cosine ≥ threshold, both members
@@ -260,8 +261,8 @@ def pairs_with_centroids(df: DataFrame, cents: list, threshold: float,
                          vec_col: str = "embedding",
                          id_col: str = "vec_id",
                          max_bucket: int | None = None,
-                         assign_kernel: str = "sql",
-                         verify_kernel: str = "sql",
+                         assign_kernel: str | None = None,
+                         verify_kernel: str | None = None,
                          prefilter_broadcast: bool | str = "auto",
                          broadcast_handle: list | None = None,
                          n: int | None = None) -> DataFrame:
@@ -324,8 +325,8 @@ def incremental_semantic_pairs(new_emb: DataFrame, corpus: DataFrame,
                                n_corpus: int | None = None,
                                cents: list | None = None,
                                max_cluster: int | None = None,
-                               assign_kernel: str = "sql",
-                               verify_kernel: str = "sql",
+                               assign_kernel: str | None = None,
+                               verify_kernel: str | None = None,
                                prefilter_broadcast: bool | str = "auto",
                                broadcast_handle: list | None = None
                                ) -> DataFrame:
@@ -438,8 +439,8 @@ def semantic_dedup(df: DataFrame, threshold: float,
                    max_bucket: int | None = None,
                    dim: int | None = None,
                    n: int | None = None,
-                   assign_kernel: str = "sql",
-                   verify_kernel: str = "sql",
+                   assign_kernel: str | None = None,
+                   verify_kernel: str | None = None,
                    prefilter_broadcast: bool | str = "auto"
                    ) -> DataFrame:
     """The rows of ``df`` that survive semantic dedup: for every

@@ -446,7 +446,7 @@ def load_drift_artifacts(spark, path: str) -> tuple[dict, dict]:
 def embedding_psi_report(reference: DataFrame, current: DataFrame,
                          vec_col: str = "embedding", dim: int = 64,
                          n_proj: int = 8, seed: int = 7,
-                         n_buckets: int = 10, kernel: str = "sql",
+                         n_buckets: int = 10, kernel: str | None = None,
                          exact_edges: bool | None = None
                          ) -> DataFrame:
     """(projection, psi, n_buckets_used): PSI per seeded JL
@@ -494,7 +494,7 @@ def embedding_drift(reference: DataFrame, current: DataFrame,
                     vec_col: str = "embedding", dim: int = 64,
                     n_proj: int = 8, seed: int = 7,
                     threshold: float = 0.25,
-                    n_buckets: int = 10, kernel: str = "sql",
+                    n_buckets: int = 10, kernel: str | None = None,
                     exact_edges: bool | None = None) -> dict:
     """Scalar verdict over :func:`embedding_psi_report`:
     {"max_psi", "mean_psi", "n_projections", "drifted":

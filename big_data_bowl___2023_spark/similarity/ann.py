@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import vectors as V
-from ..session import pin
+from ..session import pin, resolve_kernel
 
 
 def _prep(df: DataFrame, vec_col: str, id_col: str, out_id: str):
@@ -35,7 +35,8 @@ def _prep(df: DataFrame, vec_col: str, id_col: str, out_id: str):
                      V.as_double(F.col(vec_col)).alias(f"{out_id}_v"))
 
 
-def _score_pairs(joined: DataFrame, kernel: str) -> DataFrame:
+def _score_pairs(joined: DataFrame,
+                 kernel: str | None) -> DataFrame:
     """(query_id, neighbor_id, cosine): score every joined candidate
     pair. ``kernel="sql"`` is the bit-pinned expression fold
     (V.cosine — three interpreted zip_with/aggregate folds per pair:
@@ -53,6 +54,7 @@ def _score_pairs(joined: DataFrame, kernel: str) -> DataFrame:
     the exact binary double half-up via BigDecimal, np.round
     scales-and-rints half-even — so defaults stay "sql" for the
     hash-pinned registry queries."""
+    kernel = resolve_kernel(kernel, "score")
     if kernel == "sql":
         cos = V.cosine(F.col("query_id_v"), F.col("neighbor_id_v"))
         return (joined.withColumn(
@@ -94,7 +96,7 @@ def _score_pairs(joined: DataFrame, kernel: str) -> DataFrame:
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
                      vec_col: str = "embedding",
                      id_col: str = "vec_id",
-                     score_kernel: str = "sql",
+                     score_kernel: str | None = None,
                      exclude_self: bool = True) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, cosine, rank).
     The query side is broadcast (queries ≪ corpus); ranking is a
@@ -165,7 +167,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
              vec_col: str = "embedding", id_col: str = "vec_id",
              dim: int = 64, n_planes: int = 3,
              probe_adjacent: bool = True,
-             score_kernel: str = "sql",
+             score_kernel: str | None = None,
              exclude_self: bool = True) -> DataFrame:
     """IVF/LSH-bucketed approximate top-k: corpus partitioned into
     2^n_planes sign cells; each query probes its own cell plus — when
@@ -408,8 +410,8 @@ def build_contrastive_pairs(corpus: DataFrame, pos_threshold: float,
                             vec_col: str = "embedding",
                             id_col: str = "vec_id",
                             neg_margin: int = 4,
-                            verify_kernel: str = "sql",
-                            score_kernel: str = "sql") -> DataFrame:
+                            verify_kernel: str | None = None,
+                            score_kernel: str | None = None) -> DataFrame:
     """Self-supervised contrastive training data from an UNLABELED
     embedding corpus: (anchor_id, positive_id, pos_cosine, negatives)
     — one row per near-duplicate pair (cosine ≥ ``pos_threshold``,

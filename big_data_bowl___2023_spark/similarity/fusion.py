@@ -23,6 +23,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import resolve_kernel
 from .ann import brute_force_topk, ivf_topk
 from .retrieval import bm25_topk
 
@@ -68,7 +69,7 @@ def rrf_fuse(rankings: Sequence[DataFrame], k: int = 10, c: float = 60.0,
 def hybrid_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
                 *, fetch_k: int | None = None, c: float = 60.0,
                 weights: Sequence[float] = (1.0, 1.0),
-                dense: str = "brute", score_kernel: str = "sql",
+                dense: str = "brute", score_kernel: str | None = None,
                 text_col: str = "text", vec_col: str = "embedding",
                 id_col: str = "doc_id", query_id_col: str = "query_id",
                 query_text_col: str = "query_text",
@@ -99,6 +100,7 @@ def hybrid_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
     tests/test_degenerate_contract.py). The embeddings stored in the
     index must be the same rows ``docs`` carries — the index IS the
     dense corpus; ``docs`` feeds only the BM25 leg."""
+    score_kernel = resolve_kernel(score_kernel)
     fk = fetch_k if fetch_k is not None else 2 * k
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(query_text_col).alias("query_text"),

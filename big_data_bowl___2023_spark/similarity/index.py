@@ -942,7 +942,7 @@ def ann_index_search(spark: SparkSession, index_dir: str,
                      vec_col: str = "embedding",
                      id_col: str = "vec_id",
                      probe_adjacent: bool = True,
-                     score_kernel: str = "sql",
+                     score_kernel: str | None = None,
                      exclude_self: bool = True,
                      version: int | None = None,
                      where=None) -> DataFrame:

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import vectors as V
-from ..session import pin
+from ..session import pin, resolve_kernel
 
 DEFAULT_M = 8
 DEFAULT_K = 16
@@ -118,7 +118,7 @@ def train_pq(corpus: DataFrame, vec_col: str = "embedding",
              n_iters: int = 8,
              train_rows: int | None = 100_000,
              n: int | None = None,
-             assign_kernel: str = "sql") -> list:
+             assign_kernel: str | None = None) -> list:
     """m×k×(dim/m) codebooks as a nested Python list.
 
     Deterministic init (subvectors of the k corpus rows with smallest
@@ -158,6 +158,7 @@ def train_pq(corpus: DataFrame, vec_col: str = "embedding",
     embeddings; pytest pins codebook equality), the codebooks are
     bit-identical. Default "sql" keeps every driver-hashed path on
     the fold."""
+    assign_kernel = resolve_kernel(assign_kernel, "assignment")
     if assign_kernel not in ("sql", "arrow"):
         # validate BEFORE the sample sort / seed collect / pin jobs —
         # a typo'd kernel must fail instantly, not after minutes of

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..session import resolve_kernel
 from .ann import brute_force_topk
 from .pq import exact_rerank
 
@@ -47,12 +48,13 @@ def project_embeddings(df: DataFrame, out_dim: int, seed: int = 7,
                        vec_col: str = "embedding",
                        out_col: str = "projected",
                        dim: int = 64,
-                       kernel: str = "sql") -> DataFrame:
+                       kernel: str | None = None) -> DataFrame:
     """Add ``out_col``: the JL projection of ``vec_col``. Map-side
     only in both kernels — ``"sql"`` is out_dim zip_with/aggregate
     folds (bit-pinned, interpreted), ``"arrow"`` is one numpy GEMM
     per Arrow batch (the corpus-scale setting, same convention as
     the other kernel pairs). NULL vectors stay NULL."""
+    kernel = resolve_kernel(kernel)
     R = projection_matrix(dim, out_dim, seed)
     if kernel == "sql":
         cols = []
@@ -105,7 +107,7 @@ def projected_topk_rerank(corpus: DataFrame, queries: DataFrame,
                           shortlist: int | None = None,
                           vec_col: str = "embedding",
                           id_col: str = "vec_id", dim: int = 64,
-                          kernel: str = "sql") -> DataFrame:
+                          kernel: str | None = None) -> DataFrame:
     """JL shortlist → exact cosine re-rank:
     (query_id, neighbor_id, cosine, rank).
 
@@ -119,6 +121,7 @@ def projected_topk_rerank(corpus: DataFrame, queries: DataFrame,
     projection GEMM and the screen's pair scoring — the corpus-scale
     setting; the exact rerank always stays on the shared fold
     contract."""
+    kernel = resolve_kernel(kernel)
     if shortlist is None:
         shortlist = 5 * k
     pc = project_embeddings(corpus, out_dim, seed, vec_col,
@@ -129,6 +132,6 @@ def projected_topk_rerank(corpus: DataFrame, queries: DataFrame,
         pc.select(F.col(id_col), F.col("projected")),
         pq_.select(F.col(id_col), F.col("projected")),
         shortlist, vec_col="projected", id_col=id_col,
-        score_kernel=kernel if kernel == "arrow" else "sql",
+        score_kernel=kernel,
     ).select("query_id", "neighbor_id")
     return exact_rerank(cand, corpus, queries, k, vec_col, id_col)

@@ -70,8 +70,8 @@ def compact_semantic_corpus(spark, out_dir: str, codebook_path: str,
                             dim: int = 64, n_iters: int = 4,
                             target_cluster: int = 250,
                             max_bucket: int | None = None,
-                            assign_kernel: str = "sql",
-                            verify_kernel: str = "sql",
+                            assign_kernel: str | None = None,
+                            verify_kernel: str | None = None,
                             prefilter_broadcast: bool | str = "auto") -> dict:
     """The periodic bronze→silver pass the ingest loop's recall trade
     defers to: re-run FULL batch semantic dedup over the accumulated
@@ -208,8 +208,8 @@ def make_semantic_ingest_batch_fn(out_dir: str, codebook_path: str,
                                   target_cluster: int = 250,
                                   max_bucket: int | None = None,
                                   max_cluster: int | None = None,
-                                  assign_kernel: str = "sql",
-                                  verify_kernel: str = "sql",
+                                  assign_kernel: str | None = None,
+                                  verify_kernel: str | None = None,
                                   prefilter_broadcast: bool | str = "auto"):
     """The continuous-ingestion LOOP for an embedding corpus: a
     ``foreachBatch`` function that semantically dedups each
