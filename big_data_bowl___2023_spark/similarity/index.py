@@ -99,6 +99,7 @@ from __future__ import annotations
 
 import os
 import threading
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -657,6 +658,69 @@ def _is_transient_missing_path(exc: Exception) -> bool:
 _MARKER_SNAP_CACHE: dict[str, tuple[tuple, DataFrame]] = {}
 _MARKER_SNAP_LOCK = threading.Lock()
 
+# Below this many probed-cell FLOAT vector bytes the int8 screen's
+# second scan costs more than its ¾-byte saving and the float tier is
+# the faster serve — measured, not assumed: at 128k vectors × 64 d
+# (≈ 64 MiB probed) the quantized tier had NOT crossed over (warm
+# 10.57 s vs 8.13 s hybrid, BASELINE.md round-11 `--hybrid 4 64`
+# table). The documented payoff regime is byte-bound scans — probed
+# bytes ≳ 1M vectors × 256 dims × 8 B ≈ 2 GiB, or object-store scan
+# bandwidth. The band between the 64 MiB measurement and this 2 GiB
+# regime bound is unmeasured locally; the constant sits at the regime
+# bound so the warning never fires where the tier plausibly pays.
+QUANTIZED_PAYOFF_BYTES = 2 * 1024 ** 3
+
+# cells path -> {cell: rows} from a footer-only count (zero columns
+# in ReadSchema), computed once per published layout per process —
+# the path embeds v=N so a compaction naturally re-keys; same-version
+# appends can stale it, which only skews an advisory warning.
+_CELL_ROWS_CACHE: dict[str, dict[str, int]] = {}
+_CELL_ROWS_LOCK = threading.Lock()
+
+
+def _probed_float_bytes(spark: SparkSession, cells: str,
+                        probed: list, dim: int) -> int:
+    """Estimated float vector bytes a search will scan: probed-cell
+    rows × dim × 8. Advisory only (feeds the payoff warning below)."""
+    with _CELL_ROWS_LOCK:
+        per_cell = _CELL_ROWS_CACHE.get(cells)
+    if per_cell is None:
+        # partition-type inference reads the fixed-width bit-string
+        # cell keys ("010") back as base-10 ints (10); normalize both
+        # sides through int so the lookup matches either reading —
+        # fixed width makes the base-10 image injective
+        per_cell = {str(int(str(r["cell"]))): int(r["count"]) for r in
+                    spark.read.parquet(cells)
+                    .groupBy("cell").count().collect()}
+        with _CELL_ROWS_LOCK:
+            _CELL_ROWS_CACHE[cells] = per_cell
+    return sum(per_cell.get(str(int(str(c))), 0)
+               for c in probed) * dim * 8
+
+
+def _warn_below_quantized_payoff(spark: SparkSession, cells: str,
+                                 probed: list, dim: int) -> None:
+    """Verdict r11 #7: nothing in the API steered a caller away from
+    paying the int8 screen below its payoff regime. Advisory only —
+    never raises, never blocks (an estimate must not take down
+    serving)."""
+    try:
+        est = _probed_float_bytes(spark, cells, probed, dim)
+    except Exception:
+        return
+    if est >= QUANTIZED_PAYOFF_BYTES:
+        return
+    warnings.warn(
+        f"ann_index_search_quantized: this search probes ≈"
+        f"{est / 2**20:.1f} MiB of float vectors — below the "
+        f"quantized tier's measured payoff regime "
+        f"(QUANTIZED_PAYOFF_BYTES = {QUANTIZED_PAYOFF_BYTES / 2**30:.0f}"
+        f" GiB; at 128k×64d the int8 screen's second scan cost more "
+        f"than its byte saving, BASELINE.md hybrid legs). "
+        f"ann_index_search (float tier) is likely faster here; the "
+        f"quantized tier pays off on byte-bound scans "
+        f"(≳1M vectors × ≳256 dims, or object-store bandwidth).")
+
 
 def _marker_state_sig(spark: SparkSession,
                       index_dir: str) -> tuple | None:
@@ -1147,6 +1211,8 @@ def ann_index_search_quantized(spark: SparkSession, index_dir: str,
     q, probed = _probed_queries(spark, index_dir, queries, vec_col,
                                 id_col, probe_adjacent,
                                 "ann_index_search_quantized")
+    dim, _n_planes = _read_meta(spark, index_dir)
+    _warn_below_quantized_payoff(spark, cells, probed, dim)
     # `where` filters the SCREEN only; the rerank corpus derives from
     # the screened shortlist via the semi-join below, so it is
     # transitively filtered without re-stating the predicate

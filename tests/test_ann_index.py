@@ -325,3 +325,43 @@ def test_append_validates_kept_metadata(spark, sf_dir, tmp_path):
     assert _topk_rows(ann_index_search(spark, idx, queries, 5,
                                        where=F.col("label") == 3)) \
         == _topk_rows(ann_index_search(spark, ref, queries, 5))
+
+
+def test_quantized_payoff_warning(spark, sf_dir, tmp_path,
+                                  monkeypatch):
+    """Verdict r11 #7: at toy scale (probed float bytes far below
+    QUANTIZED_PAYOFF_BYTES) the quantized entry warns that the float
+    tier is likely faster, citing the measured crossover record; with
+    the threshold lowered beneath the probed bytes the warning stays
+    quiet. Advisory only: results are unaffected either way."""
+    import warnings as w
+
+    from big_data_bowl___2023_spark.similarity import (
+        ann_index_search_quantized,
+        index as index_mod,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    idx = str(tmp_path / "qidx_warn")
+    build_ann_index(emb, idx, quantize=True)
+
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        got = ann_index_search_quantized(spark, idx, queries, 3)
+        n = got.count()
+    msgs = [str(r.message) for r in rec
+            if "payoff" in str(r.message)]
+    assert msgs, "expected the below-payoff advisory at toy scale"
+    assert "ann_index_search (float tier)" in msgs[0]
+    assert "BASELINE.md" in msgs[0]
+    assert n > 0                       # advisory never blocks serving
+
+    # past the threshold: no advisory (same search, threshold lowered
+    # beneath the probed bytes — the cheap way to cross the regime
+    # boundary in a test)
+    monkeypatch.setattr(index_mod, "QUANTIZED_PAYOFF_BYTES", 1)
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        ann_index_search_quantized(spark, idx, queries, 3).count()
+    assert not [r for r in rec if "payoff" in str(r.message)]
