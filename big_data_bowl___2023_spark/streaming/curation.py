@@ -134,6 +134,101 @@ def stream_decontaminate(docs: DataFrame, bench_shingles: list[str],
         F.coalesce(n_shared < min_overlap, F.lit(True)))
 
 
+def _stream_batch_audit(batch_df: DataFrame,
+                        captured: list[tuple[str, DataFrame]],
+                        min_words: int) -> DataFrame:
+    """(doc_id, source, stage, reason, detail) for ONE micro-batch:
+    each input doc's FIRST dropping stage, or ``stage="kept"`` — the
+    streaming face of :func:`pipelines.curation.curation_audit`
+    (verdict r11 #8: at 100 TB curation runs AS the streaming loop,
+    and "why did doc X vanish" must be answerable there too). Same
+    audit mechanics over the ``curate_document_stream`` boundaries:
+    drops are id-only anti-joins between consecutive pinned
+    boundaries, the Gopher gate names its first failing rule
+    (re-flagged over the drop-sized subset only), the within-batch
+    exact dedup names the kept twin sharing the post-redaction
+    fingerprint, and against-history drops are
+    ``history_duplicate``."""
+    from ..functions import text as Tx
+    from ..functions.gopher import flags as gopher_flags_fn
+
+    reasons = {
+        "after_gopher": "gopher",            # enriched below
+        "after_model_quality": "quality_model",
+        "after_decontamination": "benchmark_contaminated",
+        "after_stream_dedup": "exact_duplicate",
+        "after_history_dedup": "history_duplicate",
+    }
+    prev = batch_df.select("doc_id", "source")
+    parts: list[DataFrame] = []
+    for key, frame in captured:
+        if key not in reasons:
+            continue                         # stream_input boundary
+        cur = frame.select("doc_id")
+        dropped = (prev.join(cur, "doc_id", "left_anti")
+                   .withColumn("stage", F.lit(key))
+                   .withColumn("reason", F.lit(reasons[key]))
+                   .withColumn("detail",
+                               F.lit(None).cast("string")))
+        if key == "after_gopher":
+            txt = dropped.join(batch_df.select("doc_id", "text"),
+                               "doc_id")
+            rule_flags = gopher_flags_fn(F.col("text"),
+                                         min_words=min_words)
+            first_fail = F.coalesce(
+                *[F.when(~passes, F.lit(name))
+                  for name, passes in rule_flags.items()],
+                F.lit("null_text"))
+            dropped = txt.select(
+                "doc_id", "source", "stage",
+                first_fail.alias("reason"),
+                F.lit(None).cast("string").alias("detail"))
+        elif key == "after_stream_dedup":
+            # name the kept twin: survivors carry the fingerprint the
+            # dedup keyed on (post-redaction text); recompute it for
+            # the drop-sized subset only. history drops at the NEXT
+            # boundary share this fingerprint space, so the twin here
+            # is always a doc the batch actually kept at this stage.
+            twins = (frame.select(
+                F.col("fingerprint"),
+                F.col("doc_id").cast("string").alias("detail")))
+            dropped_fp = (dropped.drop("detail")
+                          .join(captured_text(captured, batch_df),
+                                "doc_id")
+                          .withColumn("fingerprint",
+                                      Tx.fingerprint(F.col("text"))))
+            dropped = (dropped_fp
+                       .join(twins, "fingerprint", "left")
+                       .select("doc_id", "source", "stage",
+                               "reason", "detail"))
+        parts.append(dropped)
+        prev = prev.join(cur, "doc_id", "semi")
+    kept = (prev.withColumn("stage", F.lit("kept"))
+            .withColumn("reason", F.lit("kept"))
+            .withColumn("detail", F.lit(None).cast("string")))
+    out = kept
+    for p in parts:
+        out = out.unionByName(p)
+    return out.select("doc_id", "source", "stage", "reason",
+                      "detail")
+
+
+def captured_text(captured: list[tuple[str, DataFrame]],
+                  batch_df: DataFrame) -> DataFrame:
+    """(doc_id, text) as the within-batch dedup SAW it: the latest
+    captured boundary before the dedup stage (``after_redaction`` or
+    ``after_decontamination``) carries the post-redaction text the
+    fingerprint keyed on; raw ``batch_df`` text would mis-fingerprint
+    any doc the redaction rewrote."""
+    best = None
+    for key, frame in captured:
+        if key == "after_stream_dedup":
+            break
+        best = frame
+    src = best if best is not None else batch_df
+    return src.select("doc_id", "text")
+
+
 def make_curation_ingest_batch_fn(out_dir: str, index_dir: str,
                                   benchmark: DataFrame | None = None,
                                   quality_model=None,
@@ -145,7 +240,8 @@ def make_curation_ingest_batch_fn(out_dir: str, index_dir: str,
                                   bench_id_col: str = "bench_id",
                                   bloom_dir: str | None = None,
                                   bloom_expected_keys: int = 1_000_000,
-                                  bloom_fpr: float = 0.01):
+                                  bloom_fpr: float = 0.01,
+                                  audit_dir: str | None = None):
     """The continuous-ingestion LOOP: a ``foreachBatch`` function that
     curates each micro-batch against the CURRENT membership index,
     appends the survivors to ``out_dir``, and appends their
@@ -173,7 +269,25 @@ def make_curation_ingest_batch_fn(out_dir: str, index_dir: str,
     one batch (an overfull filter degrades to more "maybe" rows, i.e.
     gradually back to plain anti-join cost, never to wrong answers).
     A pre-existing index without a filter is bootstrapped by one full
-    index scan on the first gated batch."""
+    index scan on the first gated batch.
+
+    ``audit_dir`` (optional, verdict r11 #8) makes every micro-batch
+    also emit its per-doc first-dropping-stage lineage — the
+    :func:`_stream_batch_audit` frame — under
+    ``audit_dir/batch=N`` (a partition-style layout: reading the
+    root yields the whole history with ``batch`` as a column). Each
+    batch OVERWRITES its own subdir, so a foreachBatch replay never
+    duplicates lineage rows. Replay content tracks the DURABLE
+    state, like every other artifact this loop writes: a crash
+    before the fingerprint-index append replays to identical
+    lineage; a replay after it reads the batch's own survivors as
+    ``history_duplicate`` — true at read time (their content is
+    already served; the corpus append drops them the same way), so
+    the audit never claims a doc was kept twice. The audit rides
+    the single-pass
+    ``stage_hook`` protocol (each boundary pinned once; the chain
+    still evaluates once), so the per-batch overhead is the pins +
+    drop-sized enrichment joins, not extra pipeline evaluations."""
     def _read_bloom_dir(spark):
         """(artifact df | None, dir params | None). Params come from
         the DIR whenever it exists — never from the constructor args
@@ -242,6 +356,18 @@ def make_curation_ingest_batch_fn(out_dir: str, index_dir: str,
             if history is None:
                 history_bloom = None    # nothing to gate against
         probe_bcs: list = []
+        captured: list[tuple[str, DataFrame]] = []
+
+        def capture(key: str, frame: DataFrame) -> DataFrame:
+            # pin each boundary so the audit's anti-joins read a
+            # materialization instead of re-running the chain prefix
+            # (the curation_audit single-pass protocol). Blocks free
+            # when the batch function's references drop — same
+            # GC-release rationale as the marker snapshot cache.
+            pinned = pin(frame)
+            captured.append((key, pinned))
+            return pinned
+
         try:
             curated = curate_document_stream(
                 batch_df, history=history, benchmark=benchmark,
@@ -252,7 +378,8 @@ def make_curation_ingest_batch_fn(out_dir: str, index_dir: str,
                 bench_text_col=bench_text_col,
                 bench_id_col=bench_id_col,
                 history_bloom=history_bloom,
-                broadcast_handle=probe_bcs)
+                broadcast_handle=probe_bcs,
+                stage_hook=capture if audit_dir is not None else None)
             curated = pin(curated, truncate=True)
             # renew-or-abort immediately before the batch's first
             # durable write (verdict r11 #1): a batch stalled past
@@ -277,6 +404,13 @@ def make_curation_ingest_batch_fn(out_dir: str, index_dir: str,
                 bloom_summary(new_fps, "fingerprint", *bloom_params) \
                     .write.mode("append").parquet(bloom_dir)
             new_fps.write.mode("append").parquet(index_dir)
+            if audit_dir is not None:
+                # per-batch OVERWRITE into batch=N: a replayed batch
+                # rewrites identical lineage (idempotent); distinct
+                # batches never touch each other's subdirs
+                _stream_batch_audit(batch_df, captured, min_words) \
+                    .write.mode("overwrite") \
+                    .parquet(f"{audit_dir}/batch={batch_id}")
         finally:
             # per-batch probe broadcasts (MB-scale dense filters)
             # are freed eagerly, not left to driver GC — a stream
@@ -300,8 +434,8 @@ def curate_document_stream(stream_docs: DataFrame,
                            bench_text_col: str = "text",
                            bench_id_col: str = "bench_id",
                            history_bloom: DataFrame | None = None,
-                           broadcast_handle: list | None = None
-                           ) -> DataFrame:
+                           broadcast_handle: list | None = None,
+                           stage_hook=None) -> DataFrame:
     """The stream-safe curation stages composed over a document
     stream (or a batch frame — every stage is trigger-agnostic):
 
@@ -324,22 +458,44 @@ def curate_document_stream(stream_docs: DataFrame,
     fingerprint in ``history`` — a stale filter breaks the
     no-false-negative premise) upgrades the against-history anti join
     to the Bloom-gated exact form: identical answer, join shuffle
-    bounded by the "maybe" rows."""
-    out = gopher_filter(stream_docs, min_words=min_words)
+    bounded by the "maybe" rows.
+
+    ``stage_hook(key, frame)`` — the same DataFrame-return protocol
+    as :func:`pipelines.curation.curation_frame` (verdict r11 #8):
+    called at every doc-grain stage boundary; a returned DataFrame
+    REPLACES the boundary in-chain (so an audit capture can pin each
+    boundary and the chain evaluates once). Hooks that pin are for
+    BATCH frames (foreachBatch / backfills) — a hook on a genuine
+    readStream frame must stay lazy."""
+    def hook(key: str, frame: DataFrame) -> DataFrame:
+        if stage_hook is None:
+            return frame
+        r = stage_hook(key, frame)
+        return r if r is not None else frame
+
+    out = hook("stream_input", stream_docs)
+    out = hook("after_gopher",
+               gopher_filter(out, min_words=min_words))
     if quality_model is not None:
-        out = model_quality_filter(
+        out = hook("after_model_quality", model_quality_filter(
             out, quality_model,
-            threshold=quality_model_threshold).drop("quality_prob")
-    out = redact_documents(out)
+            threshold=quality_model_threshold).drop("quality_prob"))
+    # rewrites text, never drops — the boundary exists so an audit
+    # hook can capture the POST-redaction text the dedup fingerprint
+    # keys on (no reason label; it can never be a dropping stage)
+    out = hook("after_redaction", redact_documents(out))
     if benchmark is not None:
         shingles = benchmark_shingle_set(
             benchmark, decontaminate_n, bench_text_col, bench_id_col)
-        out = stream_decontaminate(out, shingles, decontaminate_n,
-                                   min_overlap)
+        out = hook("after_decontamination",
+                   stream_decontaminate(out, shingles,
+                                        decontaminate_n, min_overlap))
     if ts_col is not None and dedup_delay is not None:
-        out = incremental_dedup_watermarked(out, ts_col, dedup_delay)
+        out = hook("after_stream_dedup",
+                   incremental_dedup_watermarked(out, ts_col,
+                                                 dedup_delay))
     else:
-        out = incremental_dedup(out)
+        out = hook("after_stream_dedup", incremental_dedup(out))
     if history is not None:
         if history_bloom is not None:
             out = bloom_exact_anti_join(out, "fingerprint", history,
@@ -347,6 +503,7 @@ def curate_document_stream(stream_docs: DataFrame,
                                         broadcast_handle)
         else:
             out = out.join(history, "fingerprint", "left_anti")
+        out = hook("after_history_dedup", out)
     return out
 
 

@@ -450,3 +450,89 @@ def test_transient_bloom_read_failure_raises_not_bootstraps(
     params = spark.read.parquet(bloom_dir) \
         .select("num_bits", "num_hashes").distinct().collect()
     assert len(params) == 1           # no bootstrap append, no mix
+
+
+def test_ingest_loop_audit_lineage(spark, tmp_path):
+    """Verdict r11 #8 e2e: with ``audit_dir=`` the ingest loop emits
+    per-doc first-dropping-stage lineage per micro-batch — gopher
+    drops name their first failing rule, within-batch exact dups name
+    the kept twin, cross-batch dups read ``history_duplicate``,
+    contaminated docs read ``benchmark_contaminated``, survivors read
+    ``kept`` — and a foreachBatch REPLAY overwrites its own batch=N
+    subdir with identical lineage instead of duplicating it."""
+    from big_data_bowl___2023_spark.streaming import (
+        make_curation_ingest_batch_fn,
+    )
+
+    base = ("a perfectly ordinary paragraph with enough distinct "
+            "words to pass the quality gate and contribute value "
+            "to the corpus in every measurable way today")
+    out_dir = str(tmp_path / "docs")
+    idx_dir = str(tmp_path / "index")
+    audit_dir = str(tmp_path / "audit")
+    bench = spark.createDataFrame(
+        [(100, "the secret benchmark passage lives here precisely")],
+        ["bench_id", "text"])
+    process = make_curation_ingest_batch_fn(
+        out_dir, idx_dir, benchmark=bench, decontaminate_n=N,
+        min_words=20, audit_dir=audit_dir)
+
+    b0 = spark.createDataFrame(
+        [(1, "first " + base, "web"),
+         (2, "second " + base, "web"),
+         (3, "too short", "web"),                     # gopher drop
+         (4, "first " + base, "web"),                 # dup of 1
+         (5, base + " the secret benchmark passage lives here "
+          "precisely", "web")],                       # contaminated
+        ["doc_id", "text", "source"])
+    process(b0, 0)
+
+    a0 = {r["doc_id"]: r for r in
+          spark.read.parquet(f"{audit_dir}/batch=0").collect()}
+    assert len(a0) == 5                 # every input doc accounted
+    assert a0[1]["stage"] == "kept" and a0[2]["stage"] == "kept"
+    assert a0[3]["stage"] == "after_gopher"
+    assert a0[3]["reason"] == "pass_word_count"  # first failing rule
+    assert a0[5]["reason"] == "benchmark_contaminated"
+    # within-batch exact dup: one of {1,4} kept, the other names it
+    dups = [d for d in (1, 4) if a0[d]["stage"] == "after_stream_dedup"]
+    assert len(dups) == 1
+    kept_twin = ({1, 4} - set(dups)).pop()
+    assert a0[dups[0]]["reason"] == "exact_duplicate"
+    assert a0[dups[0]]["detail"] == str(kept_twin)
+
+    b1 = spark.createDataFrame(
+        [(6, "second " + base, "web"),                # history dup
+         (7, "third " + base, "web")],                # novel
+        ["doc_id", "text", "source"])
+    process(b1, 1)
+    a1 = {r["doc_id"]: r for r in
+          spark.read.parquet(f"{audit_dir}/batch=1").collect()}
+    assert a1[6]["stage"] == "after_history_dedup"
+    assert a1[6]["reason"] == "history_duplicate"
+    assert a1[7]["stage"] == "kept"
+
+    # the root reads as one partitioned history with batch a column
+    spark.catalog.refreshByPath(audit_dir)
+    root = spark.read.parquet(audit_dir)
+    assert set(root.columns) >= {"doc_id", "stage", "reason",
+                                 "detail", "batch"}
+    assert root.count() == 7
+
+    # REPLAY batch 1 (the foreachBatch crash-recovery contract):
+    # batch=1 is OVERWRITTEN — never appended — so no doc ever gets
+    # two lineage rows; content tracks durable state (the completed
+    # first run indexed doc 7's fingerprint, so the replay reads it
+    # history_duplicate — already served, same as the corpus append)
+    process(b1, 1)
+    spark.catalog.refreshByPath(audit_dir)
+    replay = {r["doc_id"]: r for r in
+              spark.read.parquet(f"{audit_dir}/batch=1").collect()}
+    assert len(replay) == 2               # one row per doc, no dups
+    assert replay[6]["reason"] == "history_duplicate"
+    assert replay[7]["reason"] == "history_duplicate"
+    assert spark.read.parquet(audit_dir).count() == 7
+    spark.catalog.refreshByPath(out_dir)
+    # corpus unchanged by the replay (no duplicate appends):
+    # one of {1,4}, plus 2 and 7
+    assert spark.read.parquet(out_dir).count() == 3
