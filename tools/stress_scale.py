@@ -371,6 +371,89 @@ def index_legs(spark, emb0, scales) -> None:
         }), flush=True)
 
 
+def marker_legs(spark, emb0, scales) -> None:
+    """Over-cap delete-marker path (verdict r11 #6): the >64k-marker
+    checkpoint+shuffle_hash search path has correctness tests but no
+    scale record. At each scale: build a float index, time a 64-query
+    search (a) with no markers, (b) with 1k markers (VALUES mode),
+    (c) with 110k markers — cold (first search builds the pinned
+    snapshot) and warm (the per-layout snapshot cache reuses it) —
+    then time `compact_index` applying the markers physically and a
+    post-compaction search. Claims under test: the cap's mode switch
+    is the right default (VALUES stays ~free; the over-cap path pays
+    once per marker-dir state, not per search) and compaction returns
+    search to the no-marker floor."""
+    import shutil
+    import tempfile
+    import warnings
+
+    from big_data_bowl___2023_spark.similarity import (
+        ann_index_search,
+        build_ann_index,
+        delete_from_index,
+    )
+    from big_data_bowl___2023_spark.similarity import index as im
+    from big_data_bowl___2023_spark.streaming.ann_index_stream import (
+        compact_index,
+    )
+
+    queries = emb0.limit(64).localCheckpoint()
+
+    def timed_search(work):
+        t0 = time.time()
+        n = ann_index_search(spark, f"{work}/f", queries, 10,
+                             score_kernel="arrow").count()
+        return time.time() - t0, n
+
+    for scale in scales:
+        emb = scaled(emb0, scale, replicate_embeddings) \
+            .localCheckpoint()
+        n = emb.count()
+        all_ids = emb.select("vec_id").distinct().localCheckpoint()
+        work = tempfile.mkdtemp(prefix="annmark_")
+        try:
+            build_ann_index(emb, f"{work}/f")
+            t_none, rows_none = timed_search(work)
+
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")  # over-cap advisory
+                delete_from_index(spark, f"{work}/f",
+                                  all_ids.limit(1_000))
+                t_values, _ = timed_search(work)
+                mode_values = im._last_marker_mode
+
+                n_over = min(110_000, max(n - 1_000,
+                                          im.DELETE_MARKER_VALUES_CAP
+                                          + 1_000))
+                delete_from_index(spark, f"{work}/f",
+                                  all_ids.limit(n_over))
+                t_over_cold, rows_over = timed_search(work)
+                mode_over = im._last_marker_mode
+                t_over_warm, _ = timed_search(work)
+
+                t0 = time.time()
+                compact_index(spark, f"{work}/f")
+                t_compact = time.time() - t0
+            t_after, rows_after = timed_search(work)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+        print(json.dumps({
+            "scale": scale, "n_emb": n, "cap":
+                im.DELETE_MARKER_VALUES_CAP,
+            "search_rows": rows_none,
+            "no_marker_sec": round(t_none, 2),
+            "values_mode": mode_values,
+            "values_1k_sec": round(t_values, 2),
+            "n_markers": n_over, "over_mode": mode_over,
+            "over_cold_sec": round(t_over_cold, 2),
+            "over_warm_sec": round(t_over_warm, 2),
+            "over_rows": rows_over,
+            "compact_apply_sec": round(t_compact, 2),
+            "post_compact_sec": round(t_after, 2),
+            "post_compact_rows": rows_after,
+        }), flush=True)
+
+
 def hybrid_legs(spark, docs0, emb0, scales) -> None:
     """Hybrid-serving legs (VERDICT r10 #5): the bench's
     `hybrid_index_topk` extra runs the FLOAT tier at a 2k-vector
@@ -715,22 +798,26 @@ def main() -> None:
     want_bpe = "--bpe" in argv
     want_colloc = "--colloc" in argv
     want_hybrid = "--hybrid" in argv
+    want_markers = "--markers" in argv
     if sum([want_product, want_vector, want_substr, want_index,
-            want_bpe, want_colloc, want_hybrid]) > 1:
+            want_bpe, want_colloc, want_hybrid,
+            want_markers]) > 1:
         raise SystemExit("--product/--vector/--substr/--index/--bpe"
-                         "/--colloc/--hybrid are exclusive modes")
+                         "/--colloc/--hybrid/--markers are "
+                         "exclusive modes")
     scales: list[int] = []
     paths: list[str] = []
     for a in argv:
         if a in ("--product", "--vector", "--substr", "--index",
-                 "--bpe", "--colloc", "--hybrid"):
+                 "--bpe", "--colloc", "--hybrid", "--markers"):
             continue
         if re.fullmatch(r"[0-9]+", a):      # positive ints only
             scales.append(int(a))
         elif a.startswith("-"):
             raise SystemExit(
                 f"unknown flag {a!r} (only --product / --vector "
-                "/ --substr / --index / --bpe / --colloc / --hybrid)")
+                "/ --substr / --index / --bpe / --colloc / --hybrid"
+                " / --markers)")
         else:
             paths.append(a)
     if any(sc < 1 for sc in scales):
@@ -739,9 +826,10 @@ def main() -> None:
         raise SystemExit(f"at most one sf_dir argument, got {paths}")
     if scales and not (want_product or want_vector or want_substr
                        or want_index or want_bpe or want_colloc
-                       or want_hybrid):
+                       or want_hybrid or want_markers):
         raise SystemExit("scale arguments require --product/--vector"
-                         "/--substr/--index/--bpe/--colloc/--hybrid")
+                         "/--substr/--index/--bpe/--colloc/--hybrid"
+                         "/--markers")
     product_scales = (scales or [16, 64]) if want_product else None
     sf_dir = paths[0] if paths else "/root/testdata/sf0.1"
     spark = get_spark("stress")
@@ -755,6 +843,12 @@ def main() -> None:
         emb0 = load_table(spark, sf_dir, "embeddings").cache()
         emb0.count()
         index_legs(spark, emb0, scales or [16, 64])
+        spark.stop()
+        return
+    if want_markers:
+        emb0 = load_table(spark, sf_dir, "embeddings").cache()
+        emb0.count()
+        marker_legs(spark, emb0, scales or [64])
         spark.stop()
         return
     docs0 = load_table(spark, sf_dir, "documents").cache()
