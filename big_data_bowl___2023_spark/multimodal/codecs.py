@@ -13,11 +13,12 @@ environment for:
   (public format: Windows BITMAPFILEHEADER/BITMAPINFOHEADER layout);
 * **PPM (P6)** / **PGM (P5)** — binary netpbm with ``maxval ≤ 255``,
   ``#`` comments in the header (public format: netpbm spec);
-* **PNG** — non-interlaced 8-bit gray / gray+alpha / RGB / RGBA
-  (color types 0/4/2/6), all five scanline filters, multi-IDAT,
-  CRC-verified chunks (public format: RFC 2083 / W3C PNG spec;
-  DEFLATE via stdlib ``zlib``). Palette (type 3), 16-bit, <8-bit
-  and Adam7-interlaced PNGs raise `UnsupportedFormat`.
+* **PNG** — non-interlaced 8-bit gray / gray+alpha / RGB / RGBA /
+  palette (color types 0/4/2/6/3; palette expands through PLTE to
+  RGB, tRNS dropped like BMP's padding alpha), all five scanline
+  filters, multi-IDAT, CRC-verified chunks (public format: RFC
+  2083 / W3C PNG spec; DEFLATE via stdlib ``zlib``). 16-bit,
+  <8-bit and Adam7-interlaced PNGs raise `UnsupportedFormat`.
 
 Anything else (JPEG, 16-bit netpbm, RLE BMP, …) raises
 `UnsupportedFormat`, and `binary_ops` falls back to its documented
@@ -151,10 +152,9 @@ def _decode_netpbm(data: bytes, magic: bytes,
             .reshape(height, width, channels))
 
 
-# PNG color type -> samples per pixel (8-bit depth only; palette
-# type 3 is deliberately unsupported — it needs PLTE indirection and
-# is rare for the raster payloads this path meets)
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# PNG color type -> samples per pixel (8-bit depth only); palette
+# type 3 stores one index byte per pixel and expands through PLTE
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def _png_chunks(data: bytes):
@@ -245,23 +245,39 @@ def _decode_png(data: bytes) -> np.ndarray:
     if depth != 8:
         raise UnsupportedFormat(f"{depth}-bit PNG")
     if color not in _PNG_CHANNELS:
-        raise UnsupportedFormat(f"PNG color type {color}"
-                                + (" (palette)" if color == 3 else ""))
+        raise UnsupportedFormat(f"PNG color type {color}")
     if comp != 0 or filt != 0:
         raise UnsupportedFormat("nonstandard PNG compression/filter")
     if interlace != 0:
         raise UnsupportedFormat("Adam7-interlaced PNG")
     if width <= 0 or height <= 0:
         raise UnsupportedFormat("degenerate PNG dimensions")
-    idat = b"".join(payload for t, payload in chunks if t == b"IDAT")
-    if not idat:
+    idat_parts, plte = [], None
+    for t, payload in chunks:
+        if t == b"IDAT":
+            idat_parts.append(payload)
+        elif t == b"PLTE":
+            plte = payload
+    if not idat_parts:
         raise UnsupportedFormat("PNG without IDAT")
     try:
-        raw = zlib.decompress(idat)
+        raw = zlib.decompress(b"".join(idat_parts))
     except zlib.error as exc:
         raise UnsupportedFormat(f"corrupt PNG DEFLATE stream: "
                                 f"{exc}") from exc
-    return _png_unfilter(raw, width, height, _PNG_CHANNELS[color])
+    out = _png_unfilter(raw, width, height, _PNG_CHANNELS[color])
+    if color != 3:
+        return out
+    # palette expansion: index bytes -> PLTE RGB triples (tRNS alpha
+    # is dropped, like the BMP decoder's padding alpha plane)
+    if plte is None or len(plte) % 3 or not 3 <= len(plte) <= 768:
+        raise UnsupportedFormat("palette PNG with missing/malformed "
+                                "PLTE")
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    idxs = out.reshape(height, width)
+    if int(idxs.max(initial=0)) >= pal.shape[0]:
+        raise UnsupportedFormat("palette index out of PLTE range")
+    return pal[idxs]
 
 
 def make_png(arr: np.ndarray, filter_type: int = 4) -> bytes:

@@ -265,8 +265,8 @@ def test_png_unsupported_variants_refuse():
 
     with pytest.raises(codecs.UnsupportedFormat, match="16-bit"):
         codecs.decode(patched(8, 16))
-    with pytest.raises(codecs.UnsupportedFormat, match="palette"):
-        codecs.decode(patched(9, 3))
+    with pytest.raises(codecs.UnsupportedFormat, match="color type 5"):
+        codecs.decode(patched(9, 5))
     with pytest.raises(codecs.UnsupportedFormat, match="interlaced"):
         codecs.decode(patched(12, 1))
     # flipped payload byte -> CRC mismatch, loud but typed
@@ -317,3 +317,40 @@ def test_png_through_spark_passes(spark):
     assert feats[1][3] == pytest.approx(float(rgb.mean()) / 255.0,
                                         rel=1e-6)
     assert feats[2][2] == pytest.approx(4 / 4)
+
+
+def test_png_palette_decode():
+    """Color type 3: index bytes expand through PLTE to RGB; missing
+    or overflowed palettes refuse as UnsupportedFormat."""
+    import zlib
+
+    def chunk(ctype, payload):
+        return (len(payload).to_bytes(4, "big") + ctype + payload
+                + (zlib.crc32(ctype + payload)
+                   & 0xFFFFFFFF).to_bytes(4, "big"))
+
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255],
+                    [7, 7, 7]], dtype=np.uint8)
+    idx = np.array([[0, 1, 2], [3, 2, 1]], dtype=np.uint8)
+    scan = np.concatenate(
+        [np.zeros((2, 1), dtype=np.uint8), idx], axis=1)  # filter 0
+    ihdr = ((3).to_bytes(4, "big") + (2).to_bytes(4, "big")
+            + bytes([8, 3, 0, 0, 0]))
+
+    def build(plte):
+        body = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            body += chunk(b"PLTE", plte)
+        return (body
+                + chunk(b"IDAT", zlib.compress(scan.tobytes()))
+                + chunk(b"IEND", b""))
+
+    got = codecs.decode(build(pal.tobytes()))
+    np.testing.assert_array_equal(got, pal[idx])
+    assert got.shape == (2, 3, 3)
+    with pytest.raises(codecs.UnsupportedFormat, match="PLTE"):
+        codecs.decode(build(None))                    # no palette
+    with pytest.raises(codecs.UnsupportedFormat, match="PLTE"):
+        codecs.decode(build(pal.tobytes()[:-1]))      # len % 3 != 0
+    with pytest.raises(codecs.UnsupportedFormat, match="out of"):
+        codecs.decode(build(pal.tobytes()[:9]))       # index 3 > max
