@@ -149,9 +149,11 @@ def hybrid_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
             # dropping it silently would betray the documented knob
             # (at a 6-dp rounding boundary the arrow screen's
             # shortlist membership can differ from the sql fold's).
-            # An explicit screen_kernel kwarg still wins; note the
-            # hybrid default is therefore "sql" here, matching the
-            # other dense legs — pass "arrow" at corpus scale.
+            # An explicit screen_kernel kwarg still wins; otherwise
+            # the screen follows the resolved score_kernel (the
+            # ambient session default unless passed), so every hybrid
+            # leg runs the same kernel family — flip them all with
+            # SPARK_GRAFT_KERNEL=arrow at corpus scale.
             screen = dense_kwargs.pop("screen_kernel", score_kernel)
             dense_hits = ann_index_search_quantized(
                 spark, index_dir, queries_v, fk,

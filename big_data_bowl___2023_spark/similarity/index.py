@@ -1211,8 +1211,9 @@ def ann_index_search_quantized(spark: SparkSession, index_dir: str,
     q, probed = _probed_queries(spark, index_dir, queries, vec_col,
                                 id_col, probe_adjacent,
                                 "ann_index_search_quantized")
-    dim, _n_planes = _read_meta(spark, index_dir)
-    _warn_below_quantized_payoff(spark, cells, probed, dim)
+    # one quantization range per dimension, so len(ranges) == dim —
+    # no extra meta read on the serving path
+    _warn_below_quantized_payoff(spark, cells, probed, len(ranges))
     # `where` filters the SCREEN only; the rerank corpus derives from
     # the screened shortlist via the semi-join below, so it is
     # transitively filtered without re-stating the predicate
