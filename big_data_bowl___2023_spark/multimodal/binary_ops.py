@@ -109,6 +109,16 @@ def _decode_one(data: bytes, modality: str) -> tuple[int, int, int, str]:
                 return arr.shape[1], arr.shape[0], arr.shape[2], kind
             except codecs.UnsupportedFormat:
                 pass           # right magic, unsupported variant
+    if modality == "audio" and codecs.sniff(data) == "wav":
+        try:
+            # dims repurposed for audio: width = frame count (capped
+            # at int32 — DECODED_SCHEMA carries IntegerType),
+            # height = sample rate
+            samples, rate = codecs.decode_wav(data)
+            return (min(samples.shape[0], 2**31 - 1), rate,
+                    samples.shape[1], "wav")
+        except codecs.UnsupportedFormat:
+            pass               # non-PCM/truncated variant → stub
     h = hashlib.md5(data).digest()
     width = 16 + h[0] % 240
     height = 16 + h[1] % 240
@@ -144,6 +154,28 @@ def _features_one(data: bytes, dim: int) -> list[float]:
     like the stub, so downstream cosine plumbing is shape-stable
     across tiers. Everything else keeps the deterministic
     hash-derived stub (stand-in for a model forward pass)."""
+    if codecs.sniff(data) == "wav":
+        try:
+            import numpy as np
+
+            s, rate = codecs.decode_wav(data)
+            # real waveform statistics, all in [0, 1] like the image
+            # tier: normalized duration/rate/channels, RMS energy,
+            # zero-crossing rate, per-channel mean magnitudes
+            dur = s.shape[0] / rate
+            rms = float(np.sqrt((s ** 2).mean()))
+            zcr = (float((np.diff(np.signbit(s[:, 0])
+                                  .astype(np.int8)) != 0).mean())
+                   if s.shape[0] > 1 else 0.0)
+            chan = [float(np.abs(s[:, c]).mean())
+                    for c in range(s.shape[1])]
+            base = [min(dur, 3600.0) / 3600.0,
+                    min(rate, 192_000) / 192_000.0,
+                    min(s.shape[1], 8) / 8.0,
+                    min(rms, 1.0), zcr] + chan
+            return [base[i % len(base)] for i in range(dim)]
+        except codecs.UnsupportedFormat:
+            pass
     if codecs.sniff(data) is not None:
         try:
             import numpy as np

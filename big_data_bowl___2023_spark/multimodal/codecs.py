@@ -18,7 +18,10 @@ environment for:
   RGB, tRNS dropped like BMP's padding alpha), all five scanline
   filters, multi-IDAT, CRC-verified chunks (public format: RFC
   2083 / W3C PNG spec; DEFLATE via stdlib ``zlib``). 16-bit,
-  <8-bit and Adam7-interlaced PNGs raise `UnsupportedFormat`.
+  <8-bit and Adam7-interlaced PNGs raise `UnsupportedFormat`;
+* **WAV (PCM)** via `decode_wav` — 8/16-bit RIFF/WAVE to
+  float64 [-1, 1] ``(n_frames, channels)`` + sample rate (the audio
+  analogue of the image decoders; non-PCM/24-bit variants refuse).
 
 Anything else (JPEG, 16-bit netpbm, RLE BMP, …) raises
 `UnsupportedFormat`, and `binary_ops` falls back to its documented
@@ -60,6 +63,9 @@ def sniff(data: bytes) -> str | None:
         return "pgm"
     if len(data) >= 8 and data[:8] == _PNG_SIG:
         return "png"
+    if (len(data) >= 12 and data[:4] == b"RIFF"
+            and data[8:12] == b"WAVE"):
+        return "wav"
     return None
 
 
@@ -332,6 +338,80 @@ def make_png(arr: np.ndarray, filter_type: int = 4) -> bytes:
             + chunk(b"IEND", b""))
 
 
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """(samples, sample_rate) for PCM WAV (RIFF/WAVE): 8-bit unsigned
+    or 16-bit signed little-endian, any channel count. Samples come
+    back as float64 in [-1, 1], shape (n_frames, channels) — the
+    audio analogue of the image decoders' uint8 HWC contract.
+    Compressed/float/24-bit WAVs raise `UnsupportedFormat` (public
+    format: RIFF WAVE / WAVEFORMAT layout)."""
+    if sniff(data) != "wav":
+        raise UnsupportedFormat("not a RIFF/WAVE payload")
+    pos, fmt, frames = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        size = int.from_bytes(data[pos + 4:pos + 8], "little")
+        body = data[pos + 8:pos + 8 + size]
+        if len(body) < size:
+            raise UnsupportedFormat("truncated WAV chunk")
+        if cid == b"fmt ":
+            if size < 16:
+                raise UnsupportedFormat("short WAV fmt chunk")
+            fmt = (int.from_bytes(body[0:2], "little"),   # format
+                   int.from_bytes(body[2:4], "little"),   # channels
+                   int.from_bytes(body[4:8], "little"),   # rate
+                   int.from_bytes(body[14:16], "little"))  # bits
+        elif cid == b"data":
+            frames = body
+        pos += 8 + size + (size & 1)        # chunks pad to even
+    if fmt is None or frames is None:
+        raise UnsupportedFormat("WAV missing fmt/data chunk")
+    audio_format, channels, rate, bits = fmt
+    if audio_format != 1:
+        raise UnsupportedFormat(f"non-PCM WAV (format {audio_format})")
+    if bits not in (8, 16):
+        raise UnsupportedFormat(f"{bits}-bit WAV")
+    if channels < 1 or rate < 1:
+        raise UnsupportedFormat("degenerate WAV fmt")
+    width = bits // 8
+    n = len(frames) // (width * channels)
+    if n == 0:
+        raise UnsupportedFormat("empty WAV data chunk")
+    count = n * channels
+    if bits == 16:
+        raw = np.frombuffer(frames, dtype="<i2", count=count)
+        samples = raw.astype(np.float64) / 32768.0
+    else:
+        raw = np.frombuffer(frames, dtype=np.uint8, count=count)
+        samples = (raw.astype(np.float64) - 128.0) / 128.0
+    return samples.reshape(n, channels), rate
+
+
+def make_wav(samples: np.ndarray, rate: int,
+             bits: int = 16) -> bytes:
+    """Encode (n_frames, channels) float in [-1, 1] as PCM WAV — the
+    test-side generator for `decode_wav`."""
+    if samples.ndim != 2 or bits not in (8, 16):
+        raise ValueError(f"expected (n, ch) and 8|16 bits, got "
+                         f"{samples.shape}, {bits}")
+    n, ch = samples.shape
+    clipped = np.clip(samples, -1.0, 1.0)
+    if bits == 16:
+        frames = (clipped * 32767.0).round().astype("<i2").tobytes()
+    else:
+        frames = ((clipped * 127.0).round() + 128) \
+            .astype(np.uint8).tobytes()
+    width = bits // 8
+    fmt = ((1).to_bytes(2, "little") + ch.to_bytes(2, "little")
+           + rate.to_bytes(4, "little")
+           + (rate * ch * width).to_bytes(4, "little")
+           + (ch * width).to_bytes(2, "little")
+           + bits.to_bytes(2, "little"))
+    body = (b"WAVEfmt " + (16).to_bytes(4, "little") + fmt
+            + b"data" + len(frames).to_bytes(4, "little") + frames)
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
 def decode(data: bytes) -> np.ndarray:
     """(height, width, channels) uint8 pixels, RGB order for color.
     Raises `UnsupportedFormat` for ANYTHING this module can't parse —
@@ -349,6 +429,9 @@ def decode(data: bytes) -> np.ndarray:
             return _decode_netpbm(data, b"P5", 1)
         if kind == "png":
             return _decode_png(data)
+        if kind == "wav":
+            raise UnsupportedFormat(
+                "WAV is an audio payload — use decode_wav")
     except UnsupportedFormat:
         raise
     except Exception as exc:

@@ -354,3 +354,76 @@ def test_png_palette_decode():
         codecs.decode(build(pal.tobytes()[:-1]))      # len % 3 != 0
     with pytest.raises(codecs.UnsupportedFormat, match="out of"):
         codecs.decode(build(pal.tobytes()[:9]))       # index 3 > max
+
+
+# ---------------------------------------------------------------- WAV
+
+def _tone(n=800, rate=8000, ch=2):
+    t = np.arange(n) / rate
+    left = np.sin(2 * np.pi * 440 * t)
+    right = 0.25 * np.sin(2 * np.pi * 220 * t)
+    return np.stack([left, right], axis=1)[:, :ch], rate
+
+
+def test_wav_round_trip_16_and_8_bit():
+    s, rate = _tone()
+    for bits, tol in ((16, 1 / 32767), (8, 1 / 127)):
+        data = codecs.make_wav(s, rate, bits=bits)
+        assert codecs.sniff(data) == "wav"
+        got, got_rate = codecs.decode_wav(data)
+        assert got_rate == rate and got.shape == s.shape
+        assert float(np.abs(got - s).max()) <= 2 * tol
+    mono = codecs.make_wav(s[:, :1], rate)
+    got, _ = codecs.decode_wav(mono)
+    assert got.shape == (800, 1)
+
+
+def test_wav_unsupported_variants_refuse():
+    s, rate = _tone(64)
+    good = bytearray(codecs.make_wav(s, rate))
+    fmt_at = bytes(good).index(b"fmt ") + 8
+    nonpcm = bytearray(good)
+    nonpcm[fmt_at:fmt_at + 2] = (3).to_bytes(2, "little")  # IEEE float
+    with pytest.raises(codecs.UnsupportedFormat, match="non-PCM"):
+        codecs.decode_wav(bytes(nonpcm))
+    deep = bytearray(good)
+    deep[fmt_at + 14:fmt_at + 16] = (24).to_bytes(2, "little")
+    with pytest.raises(codecs.UnsupportedFormat, match="24-bit"):
+        codecs.decode_wav(bytes(deep))
+    with pytest.raises(codecs.UnsupportedFormat, match="truncated"):
+        codecs.decode_wav(bytes(good[:60]))   # cut mid-data-chunk
+    with pytest.raises(codecs.UnsupportedFormat, match="missing"):
+        codecs.decode_wav(bytes(good[:40]))   # data header sheared
+    with pytest.raises(codecs.UnsupportedFormat, match="not a RIFF"):
+        codecs.decode_wav(b"RIFFxxxxJUNK")
+    # image decode() refuses WAV with a pointer at decode_wav
+    with pytest.raises(codecs.UnsupportedFormat, match="decode_wav"):
+        codecs.decode(bytes(good))
+
+
+def test_wav_through_spark_passes(spark):
+    """Audio modality rides the real tier: decode reports
+    (frames, rate, channels) and features carry true waveform
+    statistics; a non-PCM payload falls to the stub."""
+    s, rate = _tone()
+    good = codecs.make_wav(s, rate)
+    nonpcm = bytearray(good)
+    at = good.index(b"fmt ") + 8
+    nonpcm[at:at + 2] = (3).to_bytes(2, "little")
+    rows = [(1, "audio", bytearray(good), "t", 0),
+            (2, "audio", bytes(nonpcm), "t", 0)]
+    media = spark.createDataFrame(
+        rows, "media_id long, modality string, data binary, "
+              "source string, n_bytes long")
+    dec = {r["media_id"]: r for r in decode_media(media).collect()}
+    assert (dec[1]["width"], dec[1]["height"], dec[1]["n_channels"],
+            dec[1]["decoder"]) == (800, rate, 2, "wav")
+    assert dec[2]["decoder"] == "stub"
+    feats = {r["media_id"]: r["features"]
+             for r in extract_features(media).collect()}
+    assert feats[1][0] == pytest.approx((800 / rate) / 3600.0)
+    assert feats[1][1] == pytest.approx(rate / 192_000)
+    rms = float(np.sqrt((s ** 2).mean()))
+    assert feats[1][3] == pytest.approx(rms, rel=1e-3)
+    assert all(0.0 <= v <= 1.0 for v in feats[1])
+    assert all(0.0 <= v <= 1.0 for v in feats[2])   # stub tier
