@@ -119,6 +119,14 @@ def _decode_one(data: bytes, modality: str) -> tuple[int, int, int, str]:
                     samples.shape[1], "wav")
         except codecs.UnsupportedFormat:
             pass               # non-PCM/truncated variant → stub
+    if modality == "video" and codecs.sniff(data) == "y4m":
+        try:
+            # n_channels repurposed for video: the frame count
+            _, meta = codecs.decode_y4m(data, [])
+            return (meta["width"], meta["height"],
+                    min(meta["n_frames"], 2**31 - 1), "y4m")
+        except codecs.UnsupportedFormat:
+            pass               # malformed stream → stub
     h = hashlib.md5(data).digest()
     width = 16 + h[0] % 240
     height = 16 + h[1] % 240
@@ -173,6 +181,22 @@ def _features_one(data: bytes, dim: int) -> list[float]:
                     min(rate, 192_000) / 192_000.0,
                     min(s.shape[1], 8) / 8.0,
                     min(rms, 1.0), zcr] + chan
+            return [base[i % len(base)] for i in range(dim)]
+        except codecs.UnsupportedFormat:
+            pass
+    if codecs.sniff(data) == "y4m":
+        try:
+            import numpy as np
+
+            picks = _sample_indices(codecs.y4m_frame_count(data), 4)
+            lumas, meta = codecs.decode_y4m(data, picks)
+            luma = np.stack(lumas).astype(np.float64)
+            base = [min(meta["width"], 4096) / 4096.0,
+                    min(meta["height"], 4096) / 4096.0,
+                    min(meta["n_frames"], 86_400) / 86_400.0,
+                    float(luma.mean()) / 255.0,
+                    float(luma.std()) / 255.0] + \
+                [float(f.mean()) / 255.0 for f in luma]
             return [base[i % len(base)] for i in range(dim)]
         except codecs.UnsupportedFormat:
             pass
@@ -270,17 +294,46 @@ def resize_media(media: DataFrame, max_side: int = 32) -> DataFrame:
             .mapInPandas(resize, RESIZED_SCHEMA))
 
 
+def _sample_indices(n_frames: int, max_frames: int) -> list[int]:
+    """Up to ``max_frames`` evenly-strided frame indices across the
+    stream — deterministic keyframe stand-in (first and last frames
+    always included when max_frames ≥ 2)."""
+    if n_frames <= max_frames:
+        return list(range(n_frames))
+    if max_frames == 1:
+        return [0]
+    step = (n_frames - 1) / (max_frames - 1)
+    return sorted({round(i * step) for i in range(max_frames)})
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 64,
                  max_frames: int = 4) -> DataFrame:
-    """Frame sampling for video-like payloads: emit up to
-    ``max_frames`` fixed-stride byte windows per record (stub for
-    keyframe extraction). Demonstrates the 1→N mapInPandas shape —
-    output rows exceed input rows, which no scalar UDF can express."""
+    """Frame sampling for video-like payloads — REAL for Y4M streams
+    (`codecs.decode_y4m`): up to ``max_frames`` evenly-strided luma
+    frames per record, each re-encoded as P5/PGM bytes (composing
+    with the image codec family, so a sampled frame feeds straight
+    back into decode/features/resize), ``frame_index`` = the true
+    source frame number. Everything else keeps the fixed-stride
+    byte-window stub, which preserves the real path's 1→N
+    mapInPandas shape — output rows exceed input rows, which no
+    scalar UDF can express."""
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for mid, d in zip(pdf["media_id"], pdf["data"]):
                 raw = bytes(d)
+                if codecs.sniff(raw) == "y4m":
+                    try:
+                        picks = _sample_indices(
+                            codecs.y4m_frame_count(raw), max_frames)
+                        lumas, _meta = codecs.decode_y4m(raw, picks)
+                        for i, arr in zip(picks, lumas):
+                            ids.append(mid)
+                            idxs.append(i)
+                            frames.append(codecs.encode(arr))
+                        continue
+                    except codecs.UnsupportedFormat:
+                        pass       # malformed stream → stub windows
                 for i in range(min(max_frames,
                                    max(len(raw) // every_n_bytes, 1))):
                     ids.append(mid)

@@ -21,7 +21,11 @@ environment for:
   <8-bit and Adam7-interlaced PNGs raise `UnsupportedFormat`;
 * **WAV (PCM)** via `decode_wav` — 8/16-bit RIFF/WAVE to
   float64 [-1, 1] ``(n_frames, channels)`` + sample rate (the audio
-  analogue of the image decoders; non-PCM/24-bit variants refuse).
+  analogue of the image decoders; non-PCM/24-bit variants refuse);
+* **Y4M (YUV4MPEG2)** via `decode_y4m` — per-frame luma planes as
+  uint8 ``(h, w, 1)`` with subset selection that never materializes
+  unpicked frames (C420*/C444/Cmono, non-interlaced); the video
+  tier behind the real `frame_sample`.
 
 Anything else (JPEG, 16-bit netpbm, RLE BMP, …) raises
 `UnsupportedFormat`, and `binary_ops` falls back to its documented
@@ -66,6 +70,8 @@ def sniff(data: bytes) -> str | None:
     if (len(data) >= 12 and data[:4] == b"RIFF"
             and data[8:12] == b"WAVE"):
         return "wav"
+    if len(data) >= 10 and data[:9] == b"YUV4MPEG2":
+        return "y4m"
     return None
 
 
@@ -412,6 +418,115 @@ def make_wav(samples: np.ndarray, rate: int,
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
+# Y4M chroma tag -> bytes per frame as a multiple of (w*h) numerator/
+# denominator: 4:2:0 = 1.5x, 4:4:4 = 3x, mono = 1x (Y plane only)
+_Y4M_FRAME_SIZE = {"420": (3, 2), "444": (3, 1), "mono": (1, 1)}
+
+
+def y4m_frame_count(data: bytes) -> int:
+    """Frame count via the real parse walk with nothing materialized
+    (``decode_y4m(data, [])`` skips every frame body) — counting
+    b"FRAME" substrings would miscount, since luma bytes can contain
+    the marker."""
+    _, meta = decode_y4m(data, [])
+    return meta["n_frames"]
+
+
+def decode_y4m(data: bytes,
+               frame_indices=None) -> tuple[list[np.ndarray], dict]:
+    """(frames, meta) for a YUV4MPEG2 stream: each frame is its Y
+    (luma) plane as uint8 ``(h, w, 1)`` — the grayscale view, which
+    is what the feature/thumbnail passes consume; chroma planes are
+    parsed past, not returned. ``frame_indices`` (sorted ints)
+    selects a subset without materializing the rest; None = all.
+    ``meta`` = {"width", "height", "n_frames", "chroma"}.
+    Supports C420*/C444/Cmono, non-interlaced (public format: the
+    yuv4mpeg stream layout). Anything else raises
+    `UnsupportedFormat`."""
+    if sniff(data) != "y4m":
+        raise UnsupportedFormat("not a YUV4MPEG2 payload")
+    nl = data.find(b"\n")
+    if nl < 0:
+        raise UnsupportedFormat("unterminated Y4M stream header")
+    width = height = None
+    chroma = "420"
+    for tok in data[9:nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        try:
+            if tag == b"W":
+                width = int(val)
+            elif tag == b"H":
+                height = int(val)
+            elif tag == b"C":
+                v = val.decode("ascii", "replace")
+                if v.startswith("420"):
+                    chroma = "420"
+                elif v == "444":
+                    chroma = "444"
+                elif v == "mono":
+                    chroma = "mono"
+                else:
+                    raise UnsupportedFormat(f"Y4M chroma {v}")
+            elif tag == b"I" and val not in (b"p", b"?"):
+                raise UnsupportedFormat("interlaced Y4M")
+        except UnsupportedFormat:
+            raise              # a subclass of ValueError — keep typed
+        except ValueError as exc:
+            raise UnsupportedFormat(
+                f"malformed Y4M header token {tok!r}") from exc
+    if not width or not height or width < 0 or height < 0:
+        raise UnsupportedFormat("Y4M header missing W/H")
+    if chroma == "420" and (width % 2 or height % 2):
+        raise UnsupportedFormat("odd dimensions with 4:2:0 chroma")
+    num, den = _Y4M_FRAME_SIZE[chroma]
+    fsize = width * height * num // den
+    ysize = width * height
+    wanted = None if frame_indices is None else set(frame_indices)
+    frames: list[np.ndarray] = []
+    pos, idx = nl + 1, 0
+    while pos < len(data):
+        if data[pos:pos + 5] != b"FRAME":
+            raise UnsupportedFormat(f"Y4M frame {idx}: bad marker")
+        fnl = data.find(b"\n", pos)
+        if fnl < 0:
+            raise UnsupportedFormat("unterminated Y4M frame header")
+        body = fnl + 1
+        if len(data) < body + fsize:
+            raise UnsupportedFormat(f"truncated Y4M frame {idx}")
+        if wanted is None or idx in wanted:
+            frames.append(np.frombuffer(
+                data, dtype=np.uint8, count=ysize, offset=body)
+                .reshape(height, width, 1).copy())
+        pos = body + fsize
+        idx += 1
+    if idx == 0:
+        raise UnsupportedFormat("Y4M stream with no frames")
+    return frames, {"width": width, "height": height,
+                    "n_frames": idx, "chroma": chroma}
+
+
+def make_y4m(frames: np.ndarray, chroma: str = "420") -> bytes:
+    """Encode (n, h, w) or (n, h, w, 1) uint8 luma frames as a Y4M
+    stream (neutral 128 chroma planes for 420/444) — the test-side
+    generator for `decode_y4m`."""
+    if frames.ndim == 4:
+        frames = frames[:, :, :, 0]
+    if frames.ndim != 3 or chroma not in _Y4M_FRAME_SIZE:
+        raise ValueError(f"expected (n, h, w[, 1]) and chroma in "
+                         f"{sorted(_Y4M_FRAME_SIZE)}")
+    n, h, w = frames.shape
+    num, den = _Y4M_FRAME_SIZE[chroma]
+    pad = w * h * num // den - w * h
+    header = b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C%s\n" \
+        % (w, h, chroma.encode())
+    out = [header]
+    for f in np.ascontiguousarray(frames, dtype=np.uint8):
+        out.append(b"FRAME\n" + f.tobytes() + b"\x80" * pad)
+    return b"".join(out)
+
+
 def decode(data: bytes) -> np.ndarray:
     """(height, width, channels) uint8 pixels, RGB order for color.
     Raises `UnsupportedFormat` for ANYTHING this module can't parse —
@@ -432,6 +547,9 @@ def decode(data: bytes) -> np.ndarray:
         if kind == "wav":
             raise UnsupportedFormat(
                 "WAV is an audio payload — use decode_wav")
+        if kind == "y4m":
+            raise UnsupportedFormat(
+                "Y4M is a video payload — use decode_y4m")
     except UnsupportedFormat:
         raise
     except Exception as exc:

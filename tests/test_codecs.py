@@ -427,3 +427,96 @@ def test_wav_through_spark_passes(spark):
     assert feats[1][3] == pytest.approx(rms, rel=1e-3)
     assert all(0.0 <= v <= 1.0 for v in feats[1])
     assert all(0.0 <= v <= 1.0 for v in feats[2])   # stub tier
+
+
+# ---------------------------------------------------------------- Y4M
+
+def _clip(n=10, h=6, w=8):
+    return (np.arange(n * h * w, dtype=np.uint64) * 31 % 251) \
+        .astype(np.uint8).reshape(n, h, w)
+
+
+def test_y4m_round_trip_and_subset():
+    clip = _clip()
+    for chroma in ("420", "444", "mono"):
+        data = codecs.make_y4m(clip, chroma=chroma)
+        assert codecs.sniff(data) == "y4m"
+        frames, meta = codecs.decode_y4m(data)
+        assert (meta["width"], meta["height"],
+                meta["n_frames"], meta["chroma"]) == (8, 6, 10, chroma)
+        assert len(frames) == 10
+        np.testing.assert_array_equal(
+            np.stack(frames)[:, :, :, 0], clip)
+    # subset selection materializes only the picks
+    frames, meta = codecs.decode_y4m(codecs.make_y4m(clip), [0, 9])
+    assert len(frames) == 2 and meta["n_frames"] == 10
+    np.testing.assert_array_equal(frames[1][:, :, 0], clip[9])
+    assert codecs.y4m_frame_count(codecs.make_y4m(clip)) == 10
+
+
+def test_y4m_frame_count_ignores_marker_bytes_in_luma():
+    """Luma bytes spelling b'FRAME' must not inflate the count — the
+    count walks the parse, it doesn't grep."""
+    clip = _clip(3)
+    flat = clip.copy()
+    flat.reshape(3, -1)[:, :5] = np.frombuffer(b"FRAME", np.uint8)
+    data = codecs.make_y4m(flat)
+    assert codecs.y4m_frame_count(data) == 3
+    frames, _ = codecs.decode_y4m(data)
+    np.testing.assert_array_equal(np.stack(frames)[:, :, :, 0], flat)
+
+
+def test_y4m_unsupported_variants_refuse():
+    clip = _clip(2)
+    good = codecs.make_y4m(clip)
+    with pytest.raises(codecs.UnsupportedFormat, match="chroma"):
+        codecs.decode_y4m(good.replace(b"C420", b"C422", 1))
+    with pytest.raises(codecs.UnsupportedFormat, match="interlaced"):
+        codecs.decode_y4m(good.replace(b"Ip", b"It", 1))
+    with pytest.raises(codecs.UnsupportedFormat, match="truncated"):
+        codecs.decode_y4m(good[:-10])
+    with pytest.raises(codecs.UnsupportedFormat, match="W/H"):
+        codecs.decode_y4m(b"YUV4MPEG2 H6\nFRAME\n")
+    with pytest.raises(codecs.UnsupportedFormat, match="decode_y4m"):
+        codecs.decode(good)   # image decode() points at the video API
+
+
+def test_y4m_through_spark_passes(spark):
+    """Video modality is REAL for Y4M: decode reports (w, h,
+    n_frames), frame_sample emits true strided luma frames as PGM
+    (round-tripping through the image codec), features carry real
+    luma statistics; non-Y4M video payloads keep the byte-window
+    stub."""
+    from big_data_bowl___2023_spark.multimodal.binary_ops import (
+        frame_sample,
+    )
+
+    clip = _clip(9)
+    rows = [(1, "video", bytearray(codecs.make_y4m(clip)), "t", 0),
+            (2, "video", bytearray(b"mpegish opaque payload bytes"),
+             "t", 0)]
+    media = spark.createDataFrame(
+        rows, "media_id long, modality string, data binary, "
+              "source string, n_bytes long")
+    dec = {r["media_id"]: r for r in decode_media(media).collect()}
+    assert (dec[1]["width"], dec[1]["height"], dec[1]["n_channels"],
+            dec[1]["decoder"]) == (8, 6, 9, "y4m")
+    assert dec[2]["decoder"] == "stub"
+
+    got = {}
+    for r in frame_sample(media, max_frames=4).collect():
+        got.setdefault(r["media_id"], []).append(
+            (r["frame_index"], bytes(r["frame_bytes"])))
+    idxs = sorted(i for i, _ in got[1])
+    assert idxs[0] == 0 and idxs[-1] == 8 and len(idxs) == 4
+    for i, raw in got[1]:
+        np.testing.assert_array_equal(
+            codecs.decode(raw)[:, :, 0], clip[i])   # PGM round-trip
+    assert len(got[2]) >= 1                          # stub windows
+
+    feats = {r["media_id"]: r["features"]
+             for r in extract_features(media).collect()}
+    picks = np.stack([clip[i] for i in idxs]).astype(np.float64)
+    assert feats[1][3] == pytest.approx(picks.mean() / 255.0,
+                                        rel=1e-6)
+    assert all(0.0 <= v <= 1.0 for v in feats[1])
