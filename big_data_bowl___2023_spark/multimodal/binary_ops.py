@@ -262,6 +262,16 @@ def _resize_one(data: bytes, modality: str,
                         codecs.encode(small))
             except codecs.UnsupportedFormat:
                 pass
+    if modality == "video" and codecs.sniff(data) == "y4m":
+        try:
+            # poster-frame semantics: the thumbnail of a video is
+            # its first luma frame, resized and carried as PGM
+            lumas, _meta = codecs.decode_y4m(data, [0])
+            small = codecs.resize_nearest(lumas[0], max_side)
+            return (small.shape[1], small.shape[0],
+                    codecs.encode(small))
+        except codecs.UnsupportedFormat:
+            pass
     w, h, _, _ = _decode_one(data, modality)
     scale = min(1.0, max_side / max(w, h))
     tw, th = max(1, int(w * scale)), max(1, int(h * scale))

@@ -520,3 +520,9 @@ def test_y4m_through_spark_passes(spark):
     assert feats[1][3] == pytest.approx(picks.mean() / 255.0,
                                         rel=1e-6)
     assert all(0.0 <= v <= 1.0 for v in feats[1])
+
+    rez = {r["media_id"]: r
+           for r in resize_media(media, max_side=4).collect()}
+    poster = codecs.decode(bytes(rez[1]["data"]))   # PGM round-trip
+    np.testing.assert_array_equal(
+        poster, codecs.resize_nearest(clip[0][:, :, None], 4))

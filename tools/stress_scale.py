@@ -371,6 +371,77 @@ def index_legs(spark, emb0, scales) -> None:
         }), flush=True)
 
 
+def media_legs(spark, docs0, scales) -> None:
+    """Multimodal-pass legs (E9+): at each scale, derive the media
+    table from the replicated documents (text bytes as payloads —
+    the stub tier, which is the WORST case for the Arrow boundary:
+    every payload byte rides the transfer, nothing short-circuits),
+    plus a fixed slice of real BMP/WAV/Y4M payloads so the real
+    codec tiers are timed in the same sweep. Claims under test: all
+    four passes are map-side (no shuffle — wall ~linear in rows),
+    and the Arrow batch transfer, not decode arithmetic, dominates."""
+    import numpy as np
+
+    from big_data_bowl___2023_spark.multimodal import codecs
+    from big_data_bowl___2023_spark.multimodal.binary_ops import (
+        decode_media,
+        extract_features,
+        frame_sample,
+        media_from_documents,
+        resize_media,
+    )
+
+    img = np.arange(64 * 48 * 3, dtype=np.uint64).astype(np.uint8) \
+        .reshape(48, 64, 3)
+    clip = (np.arange(8 * 24 * 32, dtype=np.uint64) % 251) \
+        .astype(np.uint8).reshape(8, 24, 32)
+    t = np.arange(8000) / 8000.0
+    tone = np.stack([np.sin(2 * np.pi * 440 * t)], axis=1)
+    real_rows = [(10_000_000 + i, mod, bytearray(payload), "real", 0)
+                 for i, (mod, payload) in enumerate(
+                     [("image", codecs.make_bmp(img)),
+                      ("image", codecs.make_png(img)),
+                      ("audio", codecs.make_wav(tone, 8000)),
+                      ("video", codecs.make_y4m(clip))] * 64)]
+    real = spark.createDataFrame(
+        real_rows, "media_id long, modality string, data binary, "
+                   "source string, n_bytes long")
+
+    for scale in scales:
+        docs = scaled(docs0, scale, replicate_documents) \
+            .localCheckpoint()
+        media = media_from_documents(docs).unionByName(real) \
+            .localCheckpoint()
+        n = media.count()
+
+        t0 = time.time()
+        dec = decode_media(media)
+        by_decoder = {r["decoder"]: r["count"] for r in
+                      dec.groupBy("decoder").count().collect()}
+        t_dec = time.time() - t0
+
+        t0 = time.time()
+        n_feat = extract_features(media).count()
+        t_feat = time.time() - t0
+
+        t0 = time.time()
+        n_rez = resize_media(media, max_side=32).count()
+        t_rez = time.time() - t0
+
+        t0 = time.time()
+        n_frames = frame_sample(media, max_frames=4).count()
+        t_frames = time.time() - t0
+
+        print(json.dumps({
+            "scale": scale, "n_media": n,
+            "decode_sec": round(t_dec, 2), "by_decoder": by_decoder,
+            "features_sec": round(t_feat, 2), "n_features": n_feat,
+            "resize_sec": round(t_rez, 2), "n_resized": n_rez,
+            "frame_sample_sec": round(t_frames, 2),
+            "n_frames": n_frames,
+        }), flush=True)
+
+
 def marker_legs(spark, emb0, scales) -> None:
     """Over-cap delete-marker path (verdict r11 #6): the >64k-marker
     checkpoint+shuffle_hash search path has correctness tests but no
@@ -799,17 +870,19 @@ def main() -> None:
     want_colloc = "--colloc" in argv
     want_hybrid = "--hybrid" in argv
     want_markers = "--markers" in argv
+    want_media = "--media" in argv
     if sum([want_product, want_vector, want_substr, want_index,
             want_bpe, want_colloc, want_hybrid,
-            want_markers]) > 1:
+            want_markers, want_media]) > 1:
         raise SystemExit("--product/--vector/--substr/--index/--bpe"
-                         "/--colloc/--hybrid/--markers are "
+                         "/--colloc/--hybrid/--markers/--media are "
                          "exclusive modes")
     scales: list[int] = []
     paths: list[str] = []
     for a in argv:
         if a in ("--product", "--vector", "--substr", "--index",
-                 "--bpe", "--colloc", "--hybrid", "--markers"):
+                 "--bpe", "--colloc", "--hybrid", "--markers",
+                 "--media"):
             continue
         if re.fullmatch(r"[0-9]+", a):      # positive ints only
             scales.append(int(a))
@@ -817,7 +890,7 @@ def main() -> None:
             raise SystemExit(
                 f"unknown flag {a!r} (only --product / --vector "
                 "/ --substr / --index / --bpe / --colloc / --hybrid"
-                " / --markers)")
+                " / --markers / --media)")
         else:
             paths.append(a)
     if any(sc < 1 for sc in scales):
@@ -826,10 +899,11 @@ def main() -> None:
         raise SystemExit(f"at most one sf_dir argument, got {paths}")
     if scales and not (want_product or want_vector or want_substr
                        or want_index or want_bpe or want_colloc
-                       or want_hybrid or want_markers):
+                       or want_hybrid or want_markers
+                       or want_media):
         raise SystemExit("scale arguments require --product/--vector"
                          "/--substr/--index/--bpe/--colloc/--hybrid"
-                         "/--markers")
+                         "/--markers/--media")
     product_scales = (scales or [16, 64]) if want_product else None
     sf_dir = paths[0] if paths else "/root/testdata/sf0.1"
     spark = get_spark("stress")
@@ -849,6 +923,12 @@ def main() -> None:
         emb0 = load_table(spark, sf_dir, "embeddings").cache()
         emb0.count()
         marker_legs(spark, emb0, scales or [64])
+        spark.stop()
+        return
+    if want_media:
+        docs0 = load_table(spark, sf_dir, "documents").cache()
+        docs0.count()
+        media_legs(spark, docs0, scales or [4, 16])
         spark.stop()
         return
     docs0 = load_table(spark, sf_dir, "documents").cache()
