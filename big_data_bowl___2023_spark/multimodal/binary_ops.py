@@ -115,7 +115,11 @@ def _decode_one(data: bytes, modality: str) -> tuple[int, int, int, str]:
             # at int32 — DECODED_SCHEMA carries IntegerType),
             # height = sample rate
             samples, rate = codecs.decode_wav(data)
-            return (min(samples.shape[0], 2**31 - 1), rate,
+            # rate capped too: the 4-byte field can carry ~4.3e9,
+            # which would overflow the IntegerType column and fail
+            # the whole pass instead of degrading (review r12)
+            return (min(samples.shape[0], 2**31 - 1),
+                    min(rate, 2**31 - 1),
                     samples.shape[1], "wav")
         except codecs.UnsupportedFormat:
             pass               # non-PCM/truncated variant → stub
@@ -188,8 +192,7 @@ def _features_one(data: bytes, dim: int) -> list[float]:
         try:
             import numpy as np
 
-            picks = _sample_indices(codecs.y4m_frame_count(data), 4)
-            lumas, meta = codecs.decode_y4m(data, picks)
+            _picks, lumas, meta = codecs.sample_y4m(data, 4)
             luma = np.stack(lumas).astype(np.float64)
             base = [min(meta["width"], 4096) / 4096.0,
                     min(meta["height"], 4096) / 4096.0,
@@ -304,18 +307,6 @@ def resize_media(media: DataFrame, max_side: int = 32) -> DataFrame:
             .mapInPandas(resize, RESIZED_SCHEMA))
 
 
-def _sample_indices(n_frames: int, max_frames: int) -> list[int]:
-    """Up to ``max_frames`` evenly-strided frame indices across the
-    stream — deterministic keyframe stand-in (first and last frames
-    always included when max_frames ≥ 2)."""
-    if n_frames <= max_frames:
-        return list(range(n_frames))
-    if max_frames == 1:
-        return [0]
-    step = (n_frames - 1) / (max_frames - 1)
-    return sorted({round(i * step) for i in range(max_frames)})
-
-
 def frame_sample(media: DataFrame, every_n_bytes: int = 64,
                  max_frames: int = 4) -> DataFrame:
     """Frame sampling for video-like payloads — REAL for Y4M streams
@@ -334,9 +325,8 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64,
                 raw = bytes(d)
                 if codecs.sniff(raw) == "y4m":
                     try:
-                        picks = _sample_indices(
-                            codecs.y4m_frame_count(raw), max_frames)
-                        lumas, _meta = codecs.decode_y4m(raw, picks)
+                        picks, lumas, _meta = codecs.sample_y4m(
+                            raw, max_frames)
                         for i, arr in zip(picks, lumas):
                             ids.append(mid)
                             idxs.append(i)

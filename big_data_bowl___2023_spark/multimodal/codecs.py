@@ -425,11 +425,34 @@ _Y4M_FRAME_SIZE = {"420": (3, 2), "444": (3, 1), "mono": (1, 1)}
 
 def y4m_frame_count(data: bytes) -> int:
     """Frame count via the real parse walk with nothing materialized
-    (``decode_y4m(data, [])`` skips every frame body) — counting
-    b"FRAME" substrings would miscount, since luma bytes can contain
-    the marker."""
-    _, meta = decode_y4m(data, [])
-    return meta["n_frames"]
+    — counting b"FRAME" substrings would miscount, since luma bytes
+    can contain the marker."""
+    offsets, _meta = _y4m_layout(data)
+    return len(offsets)
+
+
+def sample_y4m(data: bytes, max_frames: int
+               ) -> tuple[list[int], list[np.ndarray], dict]:
+    """(indices, frames, meta): up to ``max_frames`` evenly-strided
+    luma frames in ONE parse walk (first and last always included
+    when max_frames ≥ 2) — the keyframe stand-in `frame_sample`
+    rides; a count-then-decode pair would walk the stream twice
+    (review r12)."""
+    offsets, meta = _y4m_layout(data)
+    n = len(offsets)
+    if n <= max_frames:
+        picks = list(range(n))
+    elif max_frames == 1:
+        picks = [0]
+    else:
+        step = (n - 1) / (max_frames - 1)
+        picks = sorted({round(i * step) for i in range(max_frames)})
+    ysize = meta["width"] * meta["height"]
+    frames = [np.frombuffer(data, dtype=np.uint8, count=ysize,
+                            offset=offsets[i])
+              .reshape(meta["height"], meta["width"], 1).copy()
+              for i in picks]
+    return picks, frames, meta
 
 
 def decode_y4m(data: bytes,
@@ -437,12 +460,26 @@ def decode_y4m(data: bytes,
     """(frames, meta) for a YUV4MPEG2 stream: each frame is its Y
     (luma) plane as uint8 ``(h, w, 1)`` — the grayscale view, which
     is what the feature/thumbnail passes consume; chroma planes are
-    parsed past, not returned. ``frame_indices`` (sorted ints)
-    selects a subset without materializing the rest; None = all.
-    ``meta`` = {"width", "height", "n_frames", "chroma"}.
-    Supports C420*/C444/Cmono, non-interlaced (public format: the
-    yuv4mpeg stream layout). Anything else raises
-    `UnsupportedFormat`."""
+    parsed past, not returned. ``frame_indices`` (ints) selects a
+    subset without materializing the rest; None = all. ``meta`` =
+    {"width", "height", "n_frames", "chroma"}. Supports
+    C420*/C444/Cmono, non-interlaced (public format: the yuv4mpeg
+    stream layout). Anything else raises `UnsupportedFormat`."""
+    offsets, meta = _y4m_layout(data)
+    picks = (range(len(offsets)) if frame_indices is None
+             else frame_indices)
+    ysize = meta["width"] * meta["height"]
+    frames = [np.frombuffer(data, dtype=np.uint8, count=ysize,
+                            offset=offsets[i])
+              .reshape(meta["height"], meta["width"], 1).copy()
+              for i in picks if 0 <= i < len(offsets)]
+    return frames, meta
+
+
+def _y4m_layout(data: bytes) -> tuple[list[int], dict]:
+    """One parse walk: (luma-plane byte offsets per frame, meta) —
+    nothing materialized. The shared front half of count / sample /
+    decode."""
     if sniff(data) != "y4m":
         raise UnsupportedFormat("not a YUV4MPEG2 payload")
     nl = data.find(b"\n")
@@ -482,29 +519,25 @@ def decode_y4m(data: bytes,
         raise UnsupportedFormat("odd dimensions with 4:2:0 chroma")
     num, den = _Y4M_FRAME_SIZE[chroma]
     fsize = width * height * num // den
-    ysize = width * height
-    wanted = None if frame_indices is None else set(frame_indices)
-    frames: list[np.ndarray] = []
-    pos, idx = nl + 1, 0
+    offsets: list[int] = []
+    pos = nl + 1
     while pos < len(data):
         if data[pos:pos + 5] != b"FRAME":
-            raise UnsupportedFormat(f"Y4M frame {idx}: bad marker")
+            raise UnsupportedFormat(
+                f"Y4M frame {len(offsets)}: bad marker")
         fnl = data.find(b"\n", pos)
         if fnl < 0:
             raise UnsupportedFormat("unterminated Y4M frame header")
         body = fnl + 1
         if len(data) < body + fsize:
-            raise UnsupportedFormat(f"truncated Y4M frame {idx}")
-        if wanted is None or idx in wanted:
-            frames.append(np.frombuffer(
-                data, dtype=np.uint8, count=ysize, offset=body)
-                .reshape(height, width, 1).copy())
+            raise UnsupportedFormat(
+                f"truncated Y4M frame {len(offsets)}")
+        offsets.append(body)
         pos = body + fsize
-        idx += 1
-    if idx == 0:
+    if not offsets:
         raise UnsupportedFormat("Y4M stream with no frames")
-    return frames, {"width": width, "height": height,
-                    "n_frames": idx, "chroma": chroma}
+    return offsets, {"width": width, "height": height,
+                     "n_frames": len(offsets), "chroma": chroma}
 
 
 def make_y4m(frames: np.ndarray, chroma: str = "420") -> bytes:
@@ -566,7 +599,12 @@ def encode(arr: np.ndarray) -> bytes:
     if arr.ndim != 3 or arr.shape[2] not in (1, 2, 3, 4):
         raise ValueError(f"expected (h, w, 1|2|3|4), got {arr.shape}")
     if arr.shape[2] in (2, 4):
-        return make_png(arr)
+        # Up-filtered, not Paeth: this module's own unfilter runs
+        # Average/Paeth per-byte in Python, so a Paeth-encoded
+        # thumbnail would put every downstream re-decode on the
+        # slowest branch (review r12); filter 2 is vectorized on
+        # both sides and compresses inter-row redundancy well
+        return make_png(arr, filter_type=2)
     magic = b"P6" if arr.shape[2] == 3 else b"P5"
     header = b"%s\n%d %d\n255\n" % (magic, arr.shape[1], arr.shape[0])
     return header + np.ascontiguousarray(arr, dtype=np.uint8).tobytes()

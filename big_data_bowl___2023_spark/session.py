@@ -52,10 +52,23 @@ def durable_pins_default() -> bool:
 # hash-checked surface never floats with the environment. Same
 # ContextVar idiom as _DURABLE_PINS for the same reason: concurrent
 # pipeline threads scope their own default.
+def _kernel_from_env() -> str:
+    """Seed the ambient kernel from SPARK_GRAFT_KERNEL. A typo'd
+    value raises at import instead of silently running the
+    interpreted SQL fold — the exact regression the env var exists
+    to prevent (the repo's loud-typo rule for kernel knobs)."""
+    raw = os.environ.get("SPARK_GRAFT_KERNEL", "").strip().lower()
+    if raw in ("", "sql"):
+        return "sql"
+    if raw == "arrow":
+        return "arrow"
+    raise ValueError(
+        f"SPARK_GRAFT_KERNEL={os.environ['SPARK_GRAFT_KERNEL']!r} is "
+        f"not a kernel — expected 'sql' or 'arrow'")
+
+
 _KERNEL: contextvars.ContextVar[str] = contextvars.ContextVar(
-    "spark_graft_kernel",
-    default=("arrow" if os.environ.get(
-        "SPARK_GRAFT_KERNEL", "").lower() == "arrow" else "sql"))
+    "spark_graft_kernel", default=_kernel_from_env())
 
 
 def kernel_default() -> str:

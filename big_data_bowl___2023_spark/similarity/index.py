@@ -313,6 +313,13 @@ def _build_ann_index_unlocked(corpus, index_dir, dim, n_planes,
         .delete(jcells, True)
     (assigned.write.mode("overwrite").partitionBy("cell")
      .parquet(f"{index_dir}/{_CELLS}/v=1"))
+    # re-gate AFTER the cells write — the longest phase in the
+    # engine at scale (review r12): a provisioner stalled past the
+    # TTL mid-write must not go on to overwrite a successor's
+    # ranges/meta and drop its delete markers, the same late-write
+    # fence _apply_snapshot_diff_unlocked carries for its pool
+    # rewrite
+    commit_gate(spark, index_dir, "build_ann_index artifacts")
     # ranges AFTER cells (a build that dies mid-cells-write must not
     # leave a fresh ranges artifact beside stale data), and a float
     # rebuild DELETES a predecessor's ranges — otherwise the index
@@ -655,7 +662,7 @@ def _is_transient_missing_path(exc: Exception) -> bool:
 # reference lets the ContextCleaner free the blocks as soon as the
 # last referencing plan is GC'd — bounded by live plans instead of by
 # search count.
-_MARKER_SNAP_CACHE: dict[str, tuple[tuple, DataFrame]] = {}
+_MARKER_SNAP_CACHE: dict[tuple, tuple[tuple, DataFrame]] = {}
 _MARKER_SNAP_LOCK = threading.Lock()
 
 # Below this many probed-cell FLOAT vector bytes the int8 screen's
@@ -793,7 +800,14 @@ def _minus_deletes(spark: SparkSession, index_dir: str,
                 return corpus.join(F.broadcast(local),
                                    "neighbor_id", "left_anti")
             _last_marker_mode = "checkpoint"
-            key = os.path.abspath(index_dir.rstrip("/"))
+            # keyed by application id as well as path: a pinned
+            # snapshot's blocks die with their SparkContext, so a
+            # cache hit from a PREVIOUS session would join against a
+            # stopped context and fail every over-cap search until
+            # process restart (review r12 — crash recovery and test
+            # harnesses restart sessions in-process routinely)
+            key = (spark.sparkContext.applicationId,
+                   os.path.abspath(index_dir.rstrip("/")))
             with _MARKER_SNAP_LOCK:
                 cached = _MARKER_SNAP_CACHE.get(key)
             if cached is not None and cached[0] == sig:

@@ -89,6 +89,12 @@ DEFAULT_TTL_S = 3600.0
 # the pause (the hot ingest-loop path) but still read back.
 ACQUIRE_VERIFY_PAUSE_S = 0.05
 
+# How long release waits before deleting a zero-length lease on the
+# owner=None path: long enough for a live holder's in-place renew
+# (truncate -> write, milliseconds) to complete, so only genuinely
+# orphaned truncations get deleted (review r12).
+RELEASE_EMPTY_GRACE_S = 0.25
+
 
 class WriterLeaseConflict(RuntimeError):
     """Another maintenance writer holds the lease — the caller must
@@ -251,7 +257,14 @@ def acquire_writer_lease(spark: SparkSession, root: str, what: str,
             age = time.time() - fs.getFileStatus(jp) \
                 .getModificationTime() / 1000.0
         except Exception:
-            vanished = not fs.exists(jp)
+            # the existence re-check can hit the same transient FS
+            # fault that broke getFileStatus — callers are coded to
+            # catch WriterLeaseConflict for backoff-and-retry, so
+            # never let a raw Py4J error escape here (review r12)
+            try:
+                vanished = not fs.exists(jp)
+            except Exception:
+                vanished = False
             if not vanished:
                 raise WriterLeaseConflict(
                     f"maintenance writer lease for {root} exists but "
@@ -315,8 +328,22 @@ def release_writer_lease(spark: SparkSession, root: str,
             except Exception:
                 return          # can't prove anything — leave it
             if empty:
-                fs.delete(jp, False)
-            elif _read_json(spark, fs, jp).get("owner") == token:
+                # zero-length is STILL ambiguous for an instant: a
+                # live foreign holder's in-place renew truncates the
+                # file before rewriting it (review r12 — a dead
+                # token's release landing in that window would kill
+                # the live lease). The window is milliseconds; wait
+                # it out and only delete a file that STAYS empty —
+                # that one is a genuinely orphaned truncation (our
+                # failed renew, or a renew that died mid-write).
+                time.sleep(RELEASE_EMPTY_GRACE_S)
+                try:
+                    if fs.getFileStatus(jp).getLen() == 0:
+                        fs.delete(jp, False)
+                        return
+                except Exception:
+                    return      # vanished/unreadable — leave it
+            if _read_json(spark, fs, jp).get("owner") == token:
                 fs.delete(jp, False)
 
 

@@ -347,7 +347,17 @@ def make_curation_ingest_batch_fn(out_dir: str, index_dir: str,
                 # full index once, so the no-false-negative premise
                 # holds from the first gated batch. bloom_params
                 # stays the tuple just written — no second parameter
-                # inference to drift from the write
+                # inference to drift from the write. Gate first
+                # (review r12): this is a durable append inside the
+                # leased scope — a zombie batch appending summaries
+                # built with its OWN constructor parameters into a
+                # successor's rebuilt dir would make every later
+                # batch's _read_bloom_dir raise "mixes filter
+                # parameters"
+                from ..sources.lease import commit_gate
+
+                commit_gate(spark, out_dir,
+                            "curation ingest bloom bootstrap")
                 bloom_summary(history, "fingerprint",
                               *bloom_params) \
                     .write.mode("append").parquet(bloom_dir)
@@ -364,6 +374,11 @@ def make_curation_ingest_batch_fn(out_dir: str, index_dir: str,
             # (the curation_audit single-pass protocol). Blocks free
             # when the batch function's references drop — same
             # GC-release rationale as the marker snapshot cache.
+            # stream_input is skipped: the audit reads the input ids
+            # from batch_df directly, so pinning it would localCheck-
+            # point the whole raw batch for nothing (review r12).
+            if key == "stream_input":
+                return frame
             pinned = pin(frame)
             captured.append((key, pinned))
             return pinned

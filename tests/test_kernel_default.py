@@ -72,6 +72,15 @@ def test_env_var_seeds_fresh_process():
                  "PYTHONPATH": "."},
             cwd="/root/repo")
         assert out.stdout.strip() == want, (env_val, out.stdout)
+    # a typo'd env value fails at import — never a silent SQL fold
+    # (the regression the env var exists to prevent)
+    bad = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        env={"PATH": "/usr/bin:/bin", "SPARK_GRAFT_KERNEL": "arow",
+             "PYTHONPATH": "."},
+        cwd="/root/repo")
+    assert bad.returncode != 0
+    assert "SPARK_GRAFT_KERNEL" in bad.stderr
 
 
 def test_ambient_flip_routes_to_arrow_and_is_identity(spark, sf_dir):

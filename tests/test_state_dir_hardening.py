@@ -332,7 +332,9 @@ def test_overcap_marker_snapshot_cached_per_state(spark, sf_dir,
                       .collect()})[:6]
     delete_from_index(spark, idx, victims)
     monkeypatch.setattr(index_mod, "DELETE_MARKER_VALUES_CAP", 3)
-    key = os.path.abspath(idx)
+    # keyed by (applicationId, path) since review r12 — a pinned
+    # snapshot must not outlive its SparkContext
+    key = (spark.sparkContext.applicationId, os.path.abspath(idx))
     index_mod._MARKER_SNAP_CACHE.pop(key, None)
 
     ann_index_search(spark, idx, queries, 5).collect()
