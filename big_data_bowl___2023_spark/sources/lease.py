@@ -201,8 +201,15 @@ def acquire_writer_lease(spark: SparkSession, root: str, what: str,
     payload = {"owner": token, "what": what, "pid": os.getpid(),
                "acquired_unix": time.time(), "ttl_s": float(ttl_s)}
     for attempt in (0, 1):
-        payload["epoch"] = _bump_epoch(spark, root) if attempt == 0 \
-            else payload.get("epoch", 0)
+        if attempt == 0:
+            # the epoch is post-mortem metadata, never correctness-
+            # bearing — an FS blip on ITS file must not abort (or
+            # un-type) the acquisition (review r12: the exists check
+            # inside the bump escaped as a raw Py4J error)
+            try:
+                payload["epoch"] = _bump_epoch(spark, root)
+            except Exception:
+                payload["epoch"] = -1       # marks an unbumped epoch
         if _write_create(spark, fs, jp, payload):
             # Read-back verification (verdict r11 #2):
             # ``create(overwrite=false)`` is atomic on HDFS but

@@ -236,6 +236,86 @@ def test_release_deletes_own_truncated_lease(spark, tmp_path):
     assert not os.path.exists(root + "__lease")
 
 
+def test_release_waits_out_live_renew_truncate_window(spark, tmp_path,
+                                                      monkeypatch):
+    """Review r12: a zero-length lease can be a LIVE foreign holder's
+    in-place renew caught between truncate and write. Release waits
+    RELEASE_EMPTY_GRACE_S and re-checks — a file that fills back in
+    during the grace (the renew completing) must survive; deleting it
+    would let a third writer acquire beside the live one."""
+    import threading
+    import time as _time
+
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+    token = acquire_writer_lease(spark, root, "victim")
+    # simulate the takeover THEN the new holder's renew mid-truncate:
+    # the file is zero-length at the instant the dead token releases
+    open(root + "__lease", "w").close()
+    crc = str(tmp_path / ".idx__lease.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    monkeypatch.setattr(lease_mod, "RELEASE_EMPTY_GRACE_S", 0.5)
+
+    def finish_renew():
+        _time.sleep(0.15)                # inside the grace window
+        with open(root + "__lease", "w") as fh:
+            json.dump({"owner": "foreign-taker", "what": "renewing",
+                       "ttl_s": 3600.0}, fh)
+        if os.path.exists(crc):
+            os.remove(crc)
+
+    t = threading.Thread(target=finish_renew)
+    t.start()
+    release_writer_lease(spark, root, token)
+    t.join()
+    # the live holder's completed renew survived the dead release
+    assert json.load(open(root + "__lease"))["owner"] == "foreign-taker"
+    break_writer_lease(spark, root)
+
+
+def test_acquire_stat_and_exists_both_failing_is_typed(spark, tmp_path,
+                                                       monkeypatch):
+    """Review r12: when the FS blip breaks getFileStatus AND the
+    existence re-check, acquire must still surface the documented
+    WriterLeaseConflict (callers backoff-and-retry on it), never a
+    raw Py4J error."""
+    import pytest as _pytest
+
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+    # a FOREIGN holder's live lease (not this thread's — a same-
+    # thread acquire would just re-enter without touching the FS)
+    _plant_foreign(spark, root)
+    real_fs_path = lease_mod._fs_path
+
+    class _BrokenFs:
+        def __init__(self, fs):
+            self._fs = fs
+
+        def create(self, jp, overwrite=False):
+            raise RuntimeError("simulated create conflict")
+
+        def getFileStatus(self, jp):
+            raise RuntimeError("simulated stat blip")
+
+        def exists(self, jp):
+            raise RuntimeError("simulated exists blip")
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    def broken(spark_, p):
+        fs, jp = real_fs_path(spark_, p)
+        return _BrokenFs(fs), jp
+
+    monkeypatch.setattr(lease_mod, "_fs_path", broken)
+    with _pytest.raises(lease_mod.WriterLeaseConflict):
+        acquire_writer_lease(spark, root, "rival")
+    monkeypatch.undo()
+    break_writer_lease(spark, root)
+
+
 # ------------------------------------------------- per writer family
 
 
