@@ -4,10 +4,12 @@ from .binary_ops import (
     decode_media,
     extract_features,
     frame_sample,
+    media_from_binary_files,
     media_from_documents,
     resize_media,
 )
 
 __all__ = ["MEDIA_SCHEMA", "codecs", "decode_media",
            "extract_features", "frame_sample",
+           "media_from_binary_files",
            "media_from_documents", "resize_media"]

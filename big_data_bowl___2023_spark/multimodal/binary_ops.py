@@ -87,6 +87,56 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
          .cast("bigint").alias("n_bytes"))
 
 
+def media_from_binary_files(files: DataFrame) -> DataFrame:
+    """Bridge from `sources.io.read_binary_files` (the ``binaryFile``
+    source: path / modificationTime / length / content) to
+    MEDIA_SCHEMA — the missing middle of the 100 TB ingestion chain
+    *bucket → binaryFile → media table → decode/features/resize*.
+
+    Modality is inferred from MAGIC BYTES with pure column
+    expressions (``substring`` works on BinaryType), so the pass
+    stays inside whole-stage codegen — no Python touches the blobs
+    until a decode pass asks for them: BMP/netpbm/PNG/JPEG/GIF →
+    image, RIFF/WAVE → audio, YUV4MPEG2 → video; anything else
+    falls back to the filename extension, then to "image" (the
+    dominant payload class — an unsupported image payload degrades
+    to the stub tier downstream, which is the same place an
+    "unknown" modality would land). ``media_id`` is the xxhash64 of
+    the file path — deterministic across re-lists, collision odds
+    negligible at any real corpus size."""
+    def _pfx(n: int):
+        return F.expr(f"substring(content, 1, {n})")
+
+    def _is(prefix: bytes):
+        return _pfx(len(prefix)) == F.lit(bytearray(prefix))
+
+    magic_image = (_is(b"BM") | _is(b"P5") | _is(b"P6")
+                   | _is(b"\x89PNG\r\n\x1a\n")
+                   | _is(b"\xff\xd8") | _is(b"GIF8"))
+    magic_audio = (_is(b"RIFF")
+                   & (F.expr("substring(content, 9, 4)")
+                      == F.lit(bytearray(b"WAVE"))))
+    magic_video = _is(b"YUV4MPEG2")
+    ext = F.lower(F.element_at(F.split(F.col("path"), "\\."), -1))
+    by_ext = (F.when(ext.isin("bmp", "ppm", "pgm", "png", "jpg",
+                              "jpeg", "gif", "webp", "tif", "tiff"),
+                     "image")
+              .when(ext.isin("wav", "mp3", "flac", "ogg", "m4a"),
+                    "audio")
+              .when(ext.isin("y4m", "mp4", "mkv", "webm", "avi",
+                             "mov"), "video"))
+    modality = (F.when(magic_video, "video")
+                .when(magic_audio, "audio")
+                .when(magic_image, "image")
+                .otherwise(F.coalesce(by_ext, F.lit("image"))))
+    return files.select(
+        F.xxhash64("path").alias("media_id"),
+        modality.alias("modality"),
+        F.col("content").alias("data"),
+        F.col("path").alias("source"),
+        F.col("length").cast("bigint").alias("n_bytes"))
+
+
 def _decode_one(data: bytes, modality: str) -> tuple[int, int, int, str]:
     """Three-tier decode dispatch: real library (PIL) → pure-python
     BMP/PPM/PGM codec (`multimodal.codecs` — REAL decode, no

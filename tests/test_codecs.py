@@ -526,3 +526,48 @@ def test_y4m_through_spark_passes(spark):
     poster = codecs.decode(bytes(rez[1]["data"]))   # PGM round-trip
     np.testing.assert_array_equal(
         poster, codecs.resize_nearest(clip[0][:, :, None], 4))
+
+
+def test_media_from_binary_files_bridge(spark, tmp_path):
+    """The bucket -> binaryFile -> media bridge: modality inferred
+    from magic bytes JVM-side (no Python UDF in the plan), falling
+    back to extension, then "image"; the resulting table feeds
+    decode_media's real tiers directly."""
+    from big_data_bowl___2023_spark.multimodal.binary_ops import (
+        media_from_binary_files,
+    )
+    from big_data_bowl___2023_spark.sources.io import (
+        read_binary_files,
+    )
+
+    img = _grad(6, 8)
+    s, rate = _tone(64)
+    clip = _clip(3)
+    assets = tmp_path / "assets"
+    assets.mkdir()
+    (assets / "a.bmp").write_bytes(codecs.make_bmp(img))
+    (assets / "b.dat").write_bytes(codecs.make_wav(s, rate))  # magic
+    (assets / "c.y4m").write_bytes(codecs.make_y4m(clip))
+    (assets / "d.mp3").write_bytes(b"\x00opaque-not-a-real-mp3")
+    (assets / "e.bin").write_bytes(b"no magic and no known ext")
+
+    media = media_from_binary_files(
+        read_binary_files(spark, str(assets)))
+    plan = media._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "MapInPandas" not in plan
+    rows = {r["source"].rsplit("/", 1)[-1]: r for r in media.collect()}
+    assert rows["a.bmp"]["modality"] == "image"
+    assert rows["b.dat"]["modality"] == "audio"    # magic beats ext
+    assert rows["c.y4m"]["modality"] == "video"
+    assert rows["d.mp3"]["modality"] == "audio"    # ext fallback
+    assert rows["e.bin"]["modality"] == "image"    # final fallback
+    assert len({r["media_id"] for r in rows.values()}) == 5
+    assert all(r["n_bytes"] > 0 for r in rows.values())
+
+    dec = {r["media_id"]: r for r in decode_media(media).collect()}
+    by_name = {n: dec[rows[n]["media_id"]]["decoder"] for n in rows}
+    assert by_name["a.bmp"] == "bmp"
+    assert by_name["b.dat"] == "wav"
+    assert by_name["c.y4m"] == "y4m"
+    assert by_name["d.mp3"] == "stub"
+    assert by_name["e.bin"] == "stub"
