@@ -153,7 +153,15 @@ def _decode_one(data: bytes, modality: str) -> tuple[int, int, int, str]:
         except Exception:
             pass
         kind = codecs.sniff(data)
-        if kind is not None:
+        if kind in ("jpeg", "gif"):
+            try:
+                # metadata-grade: true dims from the header walk,
+                # no pixel decode (features/resize stay stub-tier)
+                w, h, c = codecs.image_dims(data)
+                return w, h, c, f"{kind}-dims"
+            except codecs.UnsupportedFormat:
+                pass
+        elif kind is not None:
             try:
                 arr = codecs.decode(data)
                 return arr.shape[1], arr.shape[0], arr.shape[2], kind

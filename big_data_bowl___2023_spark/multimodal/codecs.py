@@ -25,7 +25,12 @@ environment for:
 * **Y4M (YUV4MPEG2)** via `decode_y4m` — per-frame luma planes as
   uint8 ``(h, w, 1)`` with subset selection that never materializes
   unpicked frames (C420*/C444/Cmono, non-interlaced); the video
-  tier behind the real `frame_sample`.
+  tier behind the real `frame_sample`;
+* **JPEG / GIF** via `image_dims` — METADATA-GRADE: true
+  (width, height, channels) from the header (SOF marker walk /
+  logical-screen descriptor) without pixel decode, so `decode_media`
+  reports real dimensions for the most common bucket formats while
+  features/resize honestly fall to the stub tier.
 
 Anything else (JPEG, 16-bit netpbm, RLE BMP, …) raises
 `UnsupportedFormat`, and `binary_ops` falls back to its documented
@@ -72,6 +77,11 @@ def sniff(data: bytes) -> str | None:
         return "wav"
     if len(data) >= 10 and data[:9] == b"YUV4MPEG2":
         return "y4m"
+    if len(data) >= 3 and data[:2] == b"\xff\xd8" \
+            and data[2:3] == b"\xff":
+        return "jpeg"
+    if len(data) >= 10 and data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -560,6 +570,57 @@ def make_y4m(frames: np.ndarray, chroma: str = "420") -> bytes:
     return b"".join(out)
 
 
+# JPEG markers that carry frame dimensions (SOF0-15 minus the
+# non-frame DHT/JPG/DAC at C4/C8/CC) — public format: ITU T.81 B.2.2
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def image_dims(data: bytes) -> tuple[int, int, int]:
+    """(width, height, channels) WITHOUT pixel decode, for formats
+    whose headers carry dimensions but whose pixel codecs this
+    module doesn't implement — JPEG (marker walk to any SOF) and GIF
+    (logical-screen descriptor). Metadata-grade support: the decode
+    pass can report true dimensions for the most common real-world
+    payloads while features/resize honestly fall to their stub tier.
+    Raises `UnsupportedFormat` for anything else (including formats
+    `decode` handles fully — use `decode` there)."""
+    kind = sniff(data)
+    if kind == "gif":
+        return (int.from_bytes(data[6:8], "little"),
+                int.from_bytes(data[8:10], "little"), 3)
+    if kind != "jpeg":
+        raise UnsupportedFormat(f"no header-dims parser for {kind}")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise UnsupportedFormat("JPEG marker sync lost")
+        marker = data[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            pos += 2                     # standalone markers
+            continue
+        if marker == 0xD9:
+            break                        # EOI before any SOF
+        seg = int.from_bytes(data[pos + 2:pos + 4], "big")
+        if seg < 2 or pos + 2 + seg > len(data):
+            raise UnsupportedFormat("truncated JPEG segment")
+        if marker in _JPEG_SOF:
+            if seg < 8:
+                raise UnsupportedFormat("short JPEG SOF segment")
+            height = int.from_bytes(data[pos + 5:pos + 7], "big")
+            width = int.from_bytes(data[pos + 7:pos + 9], "big")
+            channels = data[pos + 9]
+            if width < 1 or height < 1 or channels < 1:
+                raise UnsupportedFormat("degenerate JPEG SOF dims")
+            return width, height, channels
+        if marker == 0xDA:
+            # start-of-scan: entropy-coded data follows; a SOF must
+            # have appeared before it in a well-formed stream
+            break
+        pos += 2 + seg
+    raise UnsupportedFormat("JPEG without a SOF frame header")
+
+
 def decode(data: bytes) -> np.ndarray:
     """(height, width, channels) uint8 pixels, RGB order for color.
     Raises `UnsupportedFormat` for ANYTHING this module can't parse —
@@ -583,6 +644,10 @@ def decode(data: bytes) -> np.ndarray:
         if kind == "y4m":
             raise UnsupportedFormat(
                 "Y4M is a video payload — use decode_y4m")
+        if kind in ("jpeg", "gif"):
+            raise UnsupportedFormat(
+                f"{kind} pixel decode unsupported — header dims via "
+                f"image_dims")
     except UnsupportedFormat:
         raise
     except Exception as exc:

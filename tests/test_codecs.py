@@ -571,3 +571,62 @@ def test_media_from_binary_files_bridge(spark, tmp_path):
     assert by_name["c.y4m"] == "y4m"
     assert by_name["d.mp3"] == "stub"
     assert by_name["e.bin"] == "stub"
+
+
+# ------------------------------------------------- JPEG/GIF dims
+
+def _jpeg(w, h, ch=3, progressive=False):
+    """Minimal well-formed JPEG prefix: SOI, APP0, (DHT,) SOF, EOI —
+    enough structure for the marker walk; no entropy data."""
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) \
+            + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([ch]) + bytes([1, 0x11, 0]) * ch
+    return (b"\xff\xd8"
+            + seg(0xE0, b"JFIF\x00" + b"\x00" * 8)
+            + seg(0xC4, b"\x00" * 16)           # DHT: not a SOF
+            + seg(0xC2 if progressive else 0xC0, sof)
+            + b"\xff\xd9")
+
+
+def test_jpeg_gif_header_dims():
+    assert codecs.sniff(_jpeg(640, 480)) == "jpeg"
+    assert codecs.image_dims(_jpeg(640, 480)) == (640, 480, 3)
+    assert codecs.image_dims(_jpeg(31, 17, ch=1,
+                                   progressive=True)) == (31, 17, 1)
+    gif = b"GIF89a" + (320).to_bytes(2, "little") \
+        + (200).to_bytes(2, "little") + b"\x00\x00\x00"
+    assert codecs.sniff(gif) == "gif"
+    assert codecs.image_dims(gif) == (320, 200, 3)
+    # refusals stay typed
+    with pytest.raises(codecs.UnsupportedFormat, match="SOF"):
+        codecs.image_dims(b"\xff\xd8\xff\xd9")  # SOI+EOI, no frame
+    with pytest.raises(codecs.UnsupportedFormat, match="truncated"):
+        codecs.image_dims(_jpeg(640, 480)[:10])
+    with pytest.raises(codecs.UnsupportedFormat, match="image_dims"):
+        codecs.decode(_jpeg(2, 2))              # typed pointer
+    with pytest.raises(codecs.UnsupportedFormat):
+        codecs.image_dims(codecs.make_bmp(_grad(2, 2)))
+
+
+def test_jpeg_gif_through_decode_media(spark):
+    """decode_media reports TRUE dims for JPEG/GIF (metadata-grade,
+    decoder '<kind>-dims'); features/resize stay stub-tier for them
+    — honest partial support, never a crash."""
+    rows = [(1, "image", bytearray(_jpeg(640, 480)), "t", 0),
+            (2, "image", bytearray(
+                b"GIF87a" + (320).to_bytes(2, "little")
+                + (200).to_bytes(2, "little") + b"\x00\x00\x00"),
+             "t", 0)]
+    media = spark.createDataFrame(
+        rows, "media_id long, modality string, data binary, "
+              "source string, n_bytes long")
+    dec = {r["media_id"]: r for r in decode_media(media).collect()}
+    assert (dec[1]["width"], dec[1]["height"], dec[1]["n_channels"],
+            dec[1]["decoder"]) == (640, 480, 3, "jpeg-dims")
+    assert (dec[2]["width"], dec[2]["height"],
+            dec[2]["decoder"]) == (320, 200, "gif-dims")
+    assert extract_features(media).count() == 2     # stub, no crash
+    assert resize_media(media, max_side=8).count() == 2
