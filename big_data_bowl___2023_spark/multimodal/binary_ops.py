@@ -113,6 +113,9 @@ def media_from_binary_files(files: DataFrame) -> DataFrame:
     magic_image = (_is(b"BM") | _is(b"P5") | _is(b"P6")
                    | _is(b"\x89PNG\r\n\x1a\n")
                    | _is(b"\xff\xd8") | _is(b"GIF8"))
+    magic_image = magic_image | (
+        _is(b"RIFF") & (F.expr("substring(content, 9, 4)")
+                        == F.lit(bytearray(b"WEBP"))))
     magic_audio = (_is(b"RIFF")
                    & (F.expr("substring(content, 9, 4)")
                       == F.lit(bytearray(b"WAVE"))))
@@ -153,7 +156,7 @@ def _decode_one(data: bytes, modality: str) -> tuple[int, int, int, str]:
         except Exception:
             pass
         kind = codecs.sniff(data)
-        if kind in ("jpeg", "gif"):
+        if kind in ("jpeg", "gif", "webp"):
             try:
                 # metadata-grade: true dims from the header walk,
                 # no pixel decode (features/resize stay stub-tier)

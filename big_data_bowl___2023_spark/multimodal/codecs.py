@@ -26,13 +26,14 @@ environment for:
   uint8 ``(h, w, 1)`` with subset selection that never materializes
   unpicked frames (C420*/C444/Cmono, non-interlaced); the video
   tier behind the real `frame_sample`;
-* **JPEG / GIF** via `image_dims` — METADATA-GRADE: true
+* **JPEG / GIF / WebP** via `image_dims` — METADATA-GRADE: true
   (width, height, channels) from the header (SOF marker walk /
-  logical-screen descriptor) without pixel decode, so `decode_media`
+  logical-screen descriptor / VP8·VP8L·VP8X headers) without
+  pixel decode, so `decode_media`
   reports real dimensions for the most common bucket formats while
   features/resize honestly fall to the stub tier.
 
-Anything else (JPEG, 16-bit netpbm, RLE BMP, …) raises
+Anything else (16-bit netpbm, RLE BMP, animated WebP, …) raises
 `UnsupportedFormat`, and `binary_ops` falls back to its documented
 deterministic stub — the stub is now reachable ONLY for genuinely
 unsupported payloads.
@@ -62,8 +63,8 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def sniff(data: bytes) -> str | None:
-    """"bmp" / "ppm" / "pgm" / "png" when the magic matches, else
-    None."""
+    """The recognized format tag ("bmp"/"ppm"/"pgm"/"png"/"wav"/
+    "y4m"/"jpeg"/"gif"/"webp") when the magic matches, else None."""
     if len(data) >= 2 and data[:2] == b"BM":
         return "bmp"
     if len(data) >= 2 and data[:2] == b"P6":
@@ -82,6 +83,9 @@ def sniff(data: bytes) -> str | None:
         return "jpeg"
     if len(data) >= 10 and data[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if (len(data) >= 16 and data[:4] == b"RIFF"
+            and data[8:12] == b"WEBP"):
+        return "webp"
     return None
 
 
@@ -576,6 +580,39 @@ _JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
              0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
 
 
+def _webp_dims(data: bytes) -> tuple[int, int, int]:
+    """WebP dims from the first chunk (public format: the WebP
+    container + VP8/VP8L bitstream headers): ``VP8 `` (lossy) keys
+    on the 3-byte start code then 14-bit LE dims; ``VP8L``
+    (lossless) packs width-1/height-1 as 14-bit fields after the
+    0x2F signature; ``VP8X`` (extended) carries the canvas as
+    24-bit LE minus-one fields."""
+    fourcc = data[12:16]
+    if fourcc == b"VP8X":
+        if len(data) < 30:
+            raise UnsupportedFormat("truncated VP8X header")
+        w = int.from_bytes(data[24:27], "little") + 1
+        h = int.from_bytes(data[27:30], "little") + 1
+        # alpha flag (bit 4 of the feature byte) decides channels
+        return w, h, 4 if data[20] & 0x10 else 3
+    if fourcc == b"VP8L":
+        if len(data) < 25 or data[20] != 0x2F:
+            raise UnsupportedFormat("malformed VP8L signature")
+        bits = int.from_bytes(data[21:25], "little")
+        w = (bits & 0x3FFF) + 1
+        h = ((bits >> 14) & 0x3FFF) + 1
+        return w, h, 4 if (bits >> 28) & 1 else 3
+    if fourcc == b"VP8 ":
+        if len(data) < 30 or data[23:26] != b"\x9d\x01\x2a":
+            raise UnsupportedFormat("malformed VP8 key-frame header")
+        w = int.from_bytes(data[26:28], "little") & 0x3FFF
+        h = int.from_bytes(data[28:30], "little") & 0x3FFF
+        if w < 1 or h < 1:
+            raise UnsupportedFormat("degenerate VP8 dims")
+        return w, h, 3
+    raise UnsupportedFormat(f"WebP chunk {fourcc!r}")
+
+
 def image_dims(data: bytes) -> tuple[int, int, int]:
     """(width, height, channels) WITHOUT pixel decode, for formats
     whose headers carry dimensions but whose pixel codecs this
@@ -589,6 +626,8 @@ def image_dims(data: bytes) -> tuple[int, int, int]:
     if kind == "gif":
         return (int.from_bytes(data[6:8], "little"),
                 int.from_bytes(data[8:10], "little"), 3)
+    if kind == "webp":
+        return _webp_dims(data)
     if kind != "jpeg":
         raise UnsupportedFormat(f"no header-dims parser for {kind}")
     pos = 2
@@ -644,7 +683,7 @@ def decode(data: bytes) -> np.ndarray:
         if kind == "y4m":
             raise UnsupportedFormat(
                 "Y4M is a video payload — use decode_y4m")
-        if kind in ("jpeg", "gif"):
+        if kind in ("jpeg", "gif", "webp"):
             raise UnsupportedFormat(
                 f"{kind} pixel decode unsupported — header dims via "
                 f"image_dims")

@@ -630,3 +630,39 @@ def test_jpeg_gif_through_decode_media(spark):
             dec[2]["decoder"]) == (320, 200, "gif-dims")
     assert extract_features(media).count() == 2     # stub, no crash
     assert resize_media(media, max_side=8).count() == 2
+
+
+def test_webp_header_dims():
+    """All three WebP container variants yield exact dims."""
+    def riff(fourcc, body):
+        chunk = fourcc + len(body).to_bytes(4, "little") + body
+        return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") \
+            + b"WEBP" + chunk
+
+    # lossy VP8 : 3-byte frame tag, start code, 14-bit LE dims
+    vp8 = riff(b"VP8 ", b"\x00\x00\x00" + b"\x9d\x01\x2a"
+               + (640).to_bytes(2, "little")
+               + (360).to_bytes(2, "little") + b"\x00" * 8)
+    assert codecs.sniff(vp8) == "webp"
+    assert codecs.image_dims(vp8) == (640, 360, 3)
+    # lossless VP8L: 0x2F then packed 14-bit w-1 / h-1 (+alpha bit)
+    bits = (99 | (49 << 14) | (1 << 28))
+    vp8l = riff(b"VP8L", b"\x2f" + bits.to_bytes(4, "little")
+                + b"\x00" * 8)
+    assert codecs.image_dims(vp8l) == (100, 50, 4)
+    # extended VP8X: feature byte + 24-bit LE canvas minus one
+    vp8x = riff(b"VP8X", bytes([0x10, 0, 0, 0])
+                + (319).to_bytes(3, "little")
+                + (199).to_bytes(3, "little"))
+    assert codecs.image_dims(vp8x) == (320, 200, 4)
+    vp8x_noalpha = riff(b"VP8X", bytes([0x00, 0, 0, 0])
+                        + (319).to_bytes(3, "little")
+                        + (199).to_bytes(3, "little"))
+    assert codecs.image_dims(vp8x_noalpha) == (320, 200, 3)
+    # refusals stay typed
+    with pytest.raises(codecs.UnsupportedFormat, match="start? code|key-frame"):
+        codecs.image_dims(riff(b"VP8 ", b"\x00" * 16))
+    with pytest.raises(codecs.UnsupportedFormat, match="chunk"):
+        codecs.image_dims(riff(b"ANIM", b"\x00" * 16))
+    with pytest.raises(codecs.UnsupportedFormat, match="image_dims"):
+        codecs.decode(vp8)
