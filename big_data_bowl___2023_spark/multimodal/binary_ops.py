@@ -35,7 +35,7 @@ from . import codecs
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
-    T.StructField("modality", T.StringType()),      # image|audio|video
+    T.StructField("modality", T.StringType()),  # image|audio|video|unknown
     T.StructField("data", T.BinaryType()),
     T.StructField("source", T.StringType()),
     T.StructField("n_bytes", T.LongType()),
@@ -98,12 +98,13 @@ def media_from_binary_files(files: DataFrame) -> DataFrame:
     stays inside whole-stage codegen — no Python touches the blobs
     until a decode pass asks for them: BMP/netpbm/PNG/JPEG/GIF →
     image, RIFF/WAVE → audio, YUV4MPEG2 → video; anything else
-    falls back to the filename extension, then to "image" (the
-    dominant payload class — an unsupported image payload degrades
-    to the stub tier downstream, which is the same place an
-    "unknown" modality would land). ``media_id`` is the xxhash64 of
-    the file path — deterministic across re-lists, collision odds
-    negligible at any real corpus size."""
+    falls back to the filename extension, then to ``"unknown"`` —
+    a PDF or tarball in the bucket must NOT surface as
+    ``modality='image'`` with plausible stub feature rows in a
+    corpus profile (verdict r12 #3); it lands in the attributed
+    ``unknown-stub`` decode tier instead. ``media_id`` is the
+    xxhash64 of the file path — deterministic across re-lists,
+    collision odds negligible at any real corpus size."""
     def _pfx(n: int):
         return F.expr(f"substring(content, 1, {n})")
 
@@ -131,7 +132,7 @@ def media_from_binary_files(files: DataFrame) -> DataFrame:
     modality = (F.when(magic_video, "video")
                 .when(magic_audio, "audio")
                 .when(magic_image, "image")
-                .otherwise(F.coalesce(by_ext, F.lit("image"))))
+                .otherwise(F.coalesce(by_ext, F.lit("unknown"))))
     return files.select(
         F.xxhash64("path").alias("media_id"),
         modality.alias("modality"),
@@ -196,6 +197,11 @@ def _decode_one(data: bytes, modality: str) -> tuple[int, int, int, str]:
     width = 16 + h[0] % 240
     height = 16 + h[1] % 240
     channels = 1 + h[2] % 3
+    # attribute the tier honestly: a payload the bridge could not
+    # classify is "unknown-stub", not a fake image decode — corpus
+    # profiles group by this column (verdict r12 #3)
+    if modality not in ("image", "audio", "video"):
+        return width, height, channels, "unknown-stub"
     return width, height, channels, "stub"
 
 

@@ -182,6 +182,11 @@ def _decode_netpbm(data: bytes, magic: bytes,
 # type 3 stores one index byte per pixel and expands through PLTE
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+# hard ceiling on a single PNG's unfiltered pixel-buffer bytes —
+# payloads are untrusted; anything claiming more is rejected before
+# the inflate rather than materialized in executor memory
+PNG_MAX_DECODED_BYTES = 1 << 28          # 256 MiB ≈ 8k×8k RGBA
+
 
 def _png_chunks(data: bytes):
     """Yield (type, payload) for each chunk, CRC-verified.  A bad
@@ -286,11 +291,26 @@ def _decode_png(data: bytes) -> np.ndarray:
             plte = payload
     if not idat_parts:
         raise UnsupportedFormat("PNG without IDAT")
+    # Bound the inflate by the size the IHDR promises BEFORE
+    # decompressing: a crafted PNG claiming huge dims over a tiny
+    # compressed-zeros stream must not balloon executor memory
+    # inside a 100 TB untrusted-corpus decode pass (ADVICE r12).
+    # expected = (stride + filter byte) * height, capped.
+    bpp = _PNG_CHANNELS[color]
+    expected = (width * bpp + 1) * height
+    if expected > PNG_MAX_DECODED_BYTES:
+        raise UnsupportedFormat(
+            f"PNG decoded size {expected} exceeds cap "
+            f"{PNG_MAX_DECODED_BYTES}")
     try:
-        raw = zlib.decompress(b"".join(idat_parts))
+        dec = zlib.decompressobj()
+        raw = dec.decompress(b"".join(idat_parts), expected + 1)
     except zlib.error as exc:
         raise UnsupportedFormat(f"corrupt PNG DEFLATE stream: "
                                 f"{exc}") from exc
+    if len(raw) > expected or dec.unconsumed_tail:
+        raise UnsupportedFormat(
+            "PNG DEFLATE stream larger than IHDR dimensions allow")
     out = _png_unfilter(raw, width, height, _PNG_CHANNELS[color])
     if color != 3:
         return out
@@ -634,6 +654,11 @@ def image_dims(data: bytes) -> tuple[int, int, int]:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise UnsupportedFormat("JPEG marker sync lost")
+        # ITU T.81 B.1.1.2 allows any number of 0xFF fill bytes
+        # before the marker byte — skip them or a legal JPEG falls
+        # to the stub tier (ADVICE r12)
+        while pos + 4 <= len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
             pos += 2                     # standalone markers

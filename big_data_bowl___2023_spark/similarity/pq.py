@@ -158,12 +158,10 @@ def train_pq(corpus: DataFrame, vec_col: str = "embedding",
     embeddings; pytest pins codebook equality), the codebooks are
     bit-identical. Default "sql" keeps every driver-hashed path on
     the fold."""
+    # resolve_kernel validates and raises on typos BEFORE the sample
+    # sort / seed collect / pin jobs — a bad kernel fails instantly,
+    # not after minutes of cluster work
     assign_kernel = resolve_kernel(assign_kernel, "assignment")
-    if assign_kernel not in ("sql", "arrow"):
-        # validate BEFORE the sample sort / seed collect / pin jobs —
-        # a typo'd kernel must fail instantly, not after minutes of
-        # cluster work (same entry-point contract as _verify_exact)
-        raise ValueError(f"unknown assignment kernel {assign_kernel!r}")
     sub = dim // m
     v = _normalized(corpus, vec_col, id_col)
     if train_rows is not None and (n is None or n > train_rows):

@@ -531,8 +531,9 @@ def test_y4m_through_spark_passes(spark):
 def test_media_from_binary_files_bridge(spark, tmp_path):
     """The bucket -> binaryFile -> media bridge: modality inferred
     from magic bytes JVM-side (no Python UDF in the plan), falling
-    back to extension, then "image"; the resulting table feeds
-    decode_media's real tiers directly."""
+    back to extension, then "unknown" (a PDF must not profile as an
+    image); the resulting table feeds decode_media's real tiers
+    directly."""
     from big_data_bowl___2023_spark.multimodal.binary_ops import (
         media_from_binary_files,
     )
@@ -560,7 +561,7 @@ def test_media_from_binary_files_bridge(spark, tmp_path):
     assert rows["b.dat"]["modality"] == "audio"    # magic beats ext
     assert rows["c.y4m"]["modality"] == "video"
     assert rows["d.mp3"]["modality"] == "audio"    # ext fallback
-    assert rows["e.bin"]["modality"] == "image"    # final fallback
+    assert rows["e.bin"]["modality"] == "unknown"  # final fallback
     assert len({r["media_id"] for r in rows.values()}) == 5
     assert all(r["n_bytes"] > 0 for r in rows.values())
 
@@ -570,7 +571,7 @@ def test_media_from_binary_files_bridge(spark, tmp_path):
     assert by_name["b.dat"] == "wav"
     assert by_name["c.y4m"] == "y4m"
     assert by_name["d.mp3"] == "stub"
-    assert by_name["e.bin"] == "stub"
+    assert by_name["e.bin"] == "unknown-stub"
 
 
 # ------------------------------------------------- JPEG/GIF dims
@@ -609,6 +610,52 @@ def test_jpeg_gif_header_dims():
         codecs.decode(_jpeg(2, 2))              # typed pointer
     with pytest.raises(codecs.UnsupportedFormat):
         codecs.image_dims(codecs.make_bmp(_grad(2, 2)))
+
+
+def test_jpeg_fill_bytes_before_marker():
+    """ITU T.81 B.1.1.2: any number of 0xFF fill bytes may pad before
+    a marker byte — the walk must skip them, not lose sync."""
+    j = _jpeg(640, 480)
+    # splice fill bytes before the SOF marker (FF C0 -> FF FF FF C0)
+    sof_at = j.index(b"\xff\xc0")
+    padded = j[:sof_at] + b"\xff\xff" + j[sof_at:]
+    assert codecs.image_dims(padded) == (640, 480, 3)
+    # and before an earlier segment too
+    app0_at = j.index(b"\xff\xe0")
+    padded2 = j[:app0_at] + b"\xff" * 5 + j[app0_at:]
+    assert codecs.image_dims(padded2) == (640, 480, 3)
+
+
+def test_png_decompression_bomb_rejected():
+    """A PNG whose IHDR claims huge dims over a small compressed
+    stream must be rejected BEFORE inflating (memory-exhaustion DoS
+    guard for untrusted corpora), and an IDAT that inflates past the
+    IHDR-implied size must be refused too."""
+    good = codecs.make_png(_grad(4, 4))
+    # patch IHDR dims to 20000x20000 (RGBA would be ~1.6 GB) and
+    # re-CRC the chunk: must refuse before any inflate
+    w = (20000).to_bytes(4, "big")
+    ihdr = w + w + good[24:29]
+    import zlib as _z
+    crc = (_z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF).to_bytes(4, "big")
+    bomb = good[:16] + ihdr + crc + good[33:]
+    with pytest.raises(codecs.UnsupportedFormat, match="cap"):
+        codecs.decode(bomb)
+    # oversized stream under honest dims: inflate stops at the bound
+    arr = _grad(2, 2)
+    png = codecs.make_png(arr, filter_type=0)
+    # rebuild with an IDAT holding 10 rows' worth of scanlines
+    scan = (b"\x00" + bytes(2 * 3)) * 10
+    idat = _z.compress(scan)
+
+    def chunk(ctype, payload):
+        return (len(payload).to_bytes(4, "big") + ctype + payload
+                + (_z.crc32(ctype + payload)
+                   & 0xFFFFFFFF).to_bytes(4, "big"))
+
+    fat = png[:33] + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    with pytest.raises(codecs.UnsupportedFormat, match="larger"):
+        codecs.decode(fat)
 
 
 def test_jpeg_gif_through_decode_media(spark):
