@@ -157,20 +157,22 @@ def _decode_one(data: bytes, modality: str) -> tuple[int, int, int, str]:
         except Exception:
             pass
         kind = codecs.sniff(data)
-        if kind in ("jpeg", "gif", "webp"):
+        if kind is not None and kind not in ("gif", "webp"):
             try:
-                # metadata-grade: true dims from the header walk,
-                # no pixel decode (features/resize stay stub-tier)
-                w, h, c = codecs.image_dims(data)
-                return w, h, c, f"{kind}-dims"
-            except codecs.UnsupportedFormat:
-                pass
-        elif kind is not None:
-            try:
+                # full pixel decode (BMP/netpbm/PNG/baseline JPEG)
                 arr = codecs.decode(data)
                 return arr.shape[1], arr.shape[0], arr.shape[2], kind
             except codecs.UnsupportedFormat:
                 pass           # right magic, unsupported variant
+        if kind in ("jpeg", "gif", "webp"):
+            try:
+                # metadata-grade: true dims from the header walk, no
+                # pixel decode (progressive JPEG, GIF, WebP —
+                # features/resize stay stub-tier there)
+                w, h, c = codecs.image_dims(data)
+                return w, h, c, f"{kind}-dims"
+            except codecs.UnsupportedFormat:
+                pass
     if modality == "audio" and codecs.sniff(data) == "wav":
         try:
             # dims repurposed for audio: width = frame count (capped

@@ -26,12 +26,16 @@ environment for:
   uint8 ``(h, w, 1)`` with subset selection that never materializes
   unpicked frames (C420*/C444/Cmono, non-interlaced); the video
   tier behind the real `frame_sample`;
-* **JPEG / GIF / WebP** via `image_dims` — METADATA-GRADE: true
-  (width, height, channels) from the header (SOF marker walk /
-  logical-screen descriptor / VP8·VP8L·VP8X headers) without
-  pixel decode, so `decode_media`
-  reports real dimensions for the most common bucket formats while
-  features/resize honestly fall to the stub tier.
+* **JPEG** — FULL baseline/extended-sequential pixel decode
+  (`multimodal.jpeg`: huffman entropy decode, dequant, vectorized
+  IDCT, chroma upsample, YCbCr→RGB — public format: ITU-T T.81 /
+  JFIF), any sampling factors, restart intervals; progressive/
+  arithmetic/12-bit/CMYK streams fall to the metadata tier below;
+* **progressive JPEG / GIF / WebP** via `image_dims` —
+  METADATA-GRADE: true (width, height, channels) from the header
+  (SOF marker walk / logical-screen descriptor / VP8·VP8L·VP8X
+  headers) without pixel decode, so `decode_media` reports real
+  dimensions while features/resize honestly fall to the stub tier.
 
 Anything else (16-bit netpbm, RLE BMP, animated WebP, …) raises
 `UnsupportedFormat`, and `binary_ops` falls back to its documented
@@ -708,7 +712,15 @@ def decode(data: bytes) -> np.ndarray:
         if kind == "y4m":
             raise UnsupportedFormat(
                 "Y4M is a video payload — use decode_y4m")
-        if kind in ("jpeg", "gif", "webp"):
+        if kind == "jpeg":
+            # baseline/extended-sequential huffman JPEG: full pixel
+            # decode (multimodal.jpeg); progressive and friends
+            # raise UnsupportedFormat and the caller's metadata tier
+            # (image_dims) takes over. Lazy import: jpeg.py imports
+            # UnsupportedFormat from this module.
+            from . import jpeg as _jpeg
+            return _jpeg.decode_jpeg(data)
+        if kind in ("gif", "webp"):
             raise UnsupportedFormat(
                 f"{kind} pixel decode unsupported — header dims via "
                 f"image_dims")

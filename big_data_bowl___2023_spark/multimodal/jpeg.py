@@ -1,0 +1,646 @@
+"""Pure-python baseline JPEG codec (public format: ITU-T T.81 /
+JFIF; huffman tables and quantization examples from T.81 Annex K).
+
+Closes the last real media-tier gap (verdict r12 #2): JPEG is the
+dominant real-world image format, and until this module its
+features/resize ran stub arithmetic behind metadata-grade dims.
+
+`decode_jpeg` handles **baseline sequential DCT** — SOF0 and the
+huffman-coded extended-sequential SOF1 — 8-bit precision, grayscale
+or 3-component YCbCr with any sampling factors (4:4:4 / 4:2:2 /
+4:2:0 / asymmetric), multi-table DQT/DHT segments, restart
+intervals, 0xFF byte stuffing and fill bytes. Progressive (SOF2),
+lossless/hierarchical/arithmetic SOFs, 12-bit, multi-scan
+sequential, CMYK, and Adobe-RGB streams raise `UnsupportedFormat`,
+so `binary_ops._decode_one` falls to the metadata tier
+(`codecs.image_dims`, decoder attribution ``jpeg-dims``) exactly as
+before — the tier contract narrows, it never lies.
+
+The entropy decode is a per-block Python loop (huffman is inherently
+sequential — same correctness-first stance as the PNG Paeth rows);
+everything after it is numpy-vectorized over ALL blocks at once:
+dequantization, de-zigzag, the 8x8 IDCT as two matrix multiplies via
+`einsum`, plane assembly, index-gather chroma upsampling, and the
+YCbCr→RGB convert. This tier is the no-PIL fallback inside an
+Arrow-batched `mapInPandas` pass, not a production image pipeline.
+
+`make_jpeg` is the test-side generator (the `make_png` pattern — no
+binary fixtures in the repo): a baseline SOF0 encoder with the Annex
+K huffman tables and a choice of quantization (all-ones for
+near-lossless round trips that pin decoder correctness tightly;
+Annex K tables for realistic lossy streams), optional 4:2:0 chroma
+subsampling and restart intervals. Encoder and decoder share no
+transform code (FDCT vs IDCT, bit writer vs bit reader), so a round
+trip genuinely cross-checks both directions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .codecs import UnsupportedFormat
+
+# zigzag scan: sequence index i -> position in the natural-order
+# flattened 8x8 block (T.81 Figure A.6)
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63], dtype=np.int64)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II matrix C: FDCT is C @ f @ C.T, IDCT is
+    C.T @ F @ C (T.81 A.3.3)."""
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    c = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    c[0] *= 1 / np.sqrt(2)
+    return c
+
+
+_DCT = _dct_matrix()
+
+# T.81 Annex K.1/K.2 example quantization tables (natural order)
+ANNEX_K_LUMA_QUANT = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int64)
+
+ANNEX_K_CHROMA_QUANT = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int64)
+
+# T.81 Annex K.3 example huffman tables: (BITS counts for code
+# lengths 1..16, HUFFVAL symbol list)
+_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+            list(range(12)))
+_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+              list(range(12)))
+_AC_LUMA = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA])
+_AC_CHROMA = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA])
+
+
+def _build_decode_table(bits, vals):
+    """Canonical huffman (T.81 C.2): {(length, code): symbol}."""
+    if sum(bits) != len(vals):
+        raise UnsupportedFormat("JPEG huffman BITS/HUFFVAL mismatch")
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        if code > (1 << length):
+            raise UnsupportedFormat("overfull JPEG huffman table")
+        code <<= 1
+    return table
+
+
+def _build_encode_table(bits, vals):
+    """{symbol: (code, length)} — the encoder-side view."""
+    dec = _build_decode_table(bits, vals)
+    return {sym: (code, length) for (length, code), sym in dec.items()}
+
+
+class _BitReader:
+    """MSB-first reader over the entropy-coded segment: 0xFF00
+    unstuffing; any other marker terminates the readable stream
+    (restart markers are consumed explicitly via `restart`)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.cur = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            d = self.data
+            if self.pos >= len(d):
+                raise UnsupportedFormat("truncated JPEG entropy data")
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+                if nxt != 0x00:
+                    raise UnsupportedFormat(
+                        "JPEG entropy data ran into a marker")
+                self.pos += 2          # stuffed 0xFF00 -> literal FF
+            else:
+                self.pos += 1
+            self.cur = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.cur >> self.nbits) & 1
+
+    def receive_extend(self, n: int) -> int:
+        """Read an n-bit magnitude and sign-extend it (T.81 F.2.2.1:
+        values with a 0 high bit encode negatives)."""
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        if n and v < (1 << (n - 1)):
+            v -= (1 << n) - 1
+        return v
+
+    def decode_symbol(self, table) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise UnsupportedFormat("invalid JPEG huffman code")
+
+    def restart(self) -> None:
+        """Byte-align and consume the expected RSTn marker (T.81
+        F.2.1.3.1); fill 0xFFs before it are legal."""
+        self.nbits = 0
+        d, p = self.data, self.pos
+        if p + 1 >= len(d) or d[p] != 0xFF:
+            raise UnsupportedFormat("missing JPEG restart marker")
+        while p + 1 < len(d) and d[p + 1] == 0xFF:
+            p += 1
+        if not 0xD0 <= d[p + 1] <= 0xD7:
+            raise UnsupportedFormat("missing JPEG restart marker")
+        self.pos = p + 2
+
+
+def _decode_block(reader, dc_table, ac_table, pred):
+    """One 8x8 block of zigzag-order coefficients (T.81 F.2.2)."""
+    coef = np.zeros(64, dtype=np.int32)
+    s = reader.decode_symbol(dc_table)
+    pred += reader.receive_extend(s) if s else 0
+    coef[0] = pred
+    k = 1
+    while k < 64:
+        rs = reader.decode_symbol(ac_table)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r != 15:
+                break                  # EOB
+            k += 16                    # ZRL: sixteen zeros
+            continue
+        k += r
+        if k > 63:
+            raise UnsupportedFormat("JPEG AC run past block end")
+        coef[k] = reader.receive_extend(s)
+        k += 1
+    return coef, pred
+
+
+_SOF_UNSUPPORTED = {
+    0xC2: "progressive JPEG",
+    0xC3: "lossless JPEG",
+    0xC5: "differential sequential JPEG",
+    0xC6: "differential progressive JPEG",
+    0xC7: "differential lossless JPEG",
+    0xC9: "arithmetic-coded JPEG",
+    0xCA: "arithmetic progressive JPEG",
+    0xCB: "arithmetic lossless JPEG",
+    0xCD: "differential arithmetic JPEG",
+    0xCE: "differential arithmetic progressive JPEG",
+    0xCF: "differential arithmetic lossless JPEG",
+}
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """(height, width, channels) uint8 — grayscale (1) or RGB (3) —
+    for baseline/extended-sequential huffman JPEG. Anything outside
+    that envelope raises `UnsupportedFormat` (the caller's
+    metadata/stub tiers take over)."""
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise UnsupportedFormat("not a JPEG stream")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    scan = None
+    entropy_pos = None
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise UnsupportedFormat("JPEG marker sync lost")
+        while pos + 4 <= len(data) and data[pos + 1] == 0xFF:
+            pos += 1                   # fill bytes (T.81 B.1.1.2)
+        marker = data[pos + 1]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+            pos += 2                   # standalone markers
+            continue
+        seg = int.from_bytes(data[pos + 2:pos + 4], "big")
+        if seg < 2 or pos + 2 + seg > len(data):
+            raise UnsupportedFormat("truncated JPEG segment")
+        body = data[pos + 4:pos + 2 + seg]
+        if marker == 0xDB:             # DQT, possibly several tables
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if pq not in (0, 1):
+                    raise UnsupportedFormat("bad DQT precision")
+                n = 64 * (pq + 1)
+                if i + n > len(body):
+                    raise UnsupportedFormat("truncated DQT table")
+                if pq:
+                    tbl = np.frombuffer(body[i:i + n],
+                                        dtype=">u2").astype(np.int64)
+                else:
+                    tbl = np.frombuffer(body[i:i + n],
+                                        dtype=np.uint8).astype(np.int64)
+                qt[tq] = tbl           # zigzag order, as stored
+                i += n
+        elif marker == 0xC4:           # DHT, possibly several tables
+            i = 0
+            while i < len(body):
+                if i + 17 > len(body):
+                    raise UnsupportedFormat("truncated DHT header")
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1:i + 17])
+                n = sum(bits)
+                if i + 17 + n > len(body):
+                    raise UnsupportedFormat("truncated DHT values")
+                vals = list(body[i + 17:i + 17 + n])
+                huff[(tc, th)] = _build_decode_table(bits, vals)
+                i += 17 + n
+        elif marker in (0xC0, 0xC1):   # baseline / extended seq.
+            if len(body) < 6:
+                raise UnsupportedFormat("short JPEG SOF segment")
+            if body[0] != 8:
+                raise UnsupportedFormat(f"{body[0]}-bit JPEG")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            if h < 1:
+                raise UnsupportedFormat("JPEG with DNL-deferred height")
+            if w < 1:
+                raise UnsupportedFormat("degenerate JPEG width")
+            if nc not in (1, 3):
+                raise UnsupportedFormat(f"{nc}-component JPEG")
+            if len(body) < 6 + 3 * nc:
+                raise UnsupportedFormat("short JPEG SOF segment")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
+                hi, vi = hv >> 4, hv & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise UnsupportedFormat("bad JPEG sampling factor")
+                comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in _SOF_UNSUPPORTED:
+            raise UnsupportedFormat(_SOF_UNSUPPORTED[marker])
+        elif marker == 0xDD:           # DRI
+            if len(body) < 2:
+                raise UnsupportedFormat("short JPEG DRI segment")
+            restart_interval = int.from_bytes(body[:2], "big")
+        elif marker == 0xEE:           # APP14: Adobe transform flag
+            if body[:5] == b"Adobe" and len(body) >= 12 \
+                    and body[11] == 0:
+                raise UnsupportedFormat("Adobe RGB-transform JPEG")
+        elif marker == 0xDA:           # SOS — entropy data follows
+            if len(body) < 1:
+                raise UnsupportedFormat("short JPEG SOS segment")
+            ns = body[0]
+            if len(body) < 1 + 2 * ns + 3:
+                raise UnsupportedFormat("short JPEG SOS segment")
+            scan = [(body[1 + 2 * i], body[2 + 2 * i] >> 4,
+                     body[2 + 2 * i] & 0x0F) for i in range(ns)]
+            entropy_pos = pos + 2 + seg
+            break
+        pos += 2 + seg
+    if frame is None or scan is None:
+        raise UnsupportedFormat("JPEG without SOF+SOS")
+    comps = frame["comps"]
+    if len(scan) != len(comps):
+        raise UnsupportedFormat("multi-scan sequential JPEG")
+    by_id = {c["id"]: c for c in comps}
+    for cs, td, ta in scan:
+        if cs not in by_id:
+            raise UnsupportedFormat("JPEG SOS references unknown "
+                                    "component")
+        by_id[cs]["dc"] = td
+        by_id[cs]["ac"] = ta
+    if len(comps) == 1:
+        # single-component scan: MCU is one data unit; sampling
+        # factors do not apply (T.81 A.2.2)
+        comps[0]["h"] = comps[0]["v"] = 1
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        c["bw"] = mcux * c["h"]
+        c["bh"] = mcuy * c["v"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
+        if c["tq"] not in qt:
+            raise UnsupportedFormat("JPEG SOF references missing "
+                                    "quant table")
+        if (0, c["dc"]) not in huff or (1, c["ac"]) not in huff:
+            raise UnsupportedFormat("JPEG SOS references missing "
+                                    "huffman table")
+    reader = _BitReader(data, entropy_pos)
+    preds = [0] * len(comps)
+    mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu and \
+                    mcu % restart_interval == 0:
+                reader.restart()
+                preds = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                dc_t = huff[(0, c["dc"])]
+                ac_t = huff[(1, c["ac"])]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        block, preds[ci] = _decode_block(
+                            reader, dc_t, ac_t, preds[ci])
+                        row = my * c["v"] + by
+                        col = mx * c["h"] + bx
+                        c["coef"][row * c["bw"] + col] = block
+            mcu += 1
+    planes = []
+    for c in comps:
+        # dequant in zigzag order (DQT stores zigzag), then
+        # de-zigzag, then one vectorized IDCT over every block
+        deq = c["coef"].astype(np.int64) * qt[c["tq"]][None, :]
+        nat = np.zeros_like(deq)
+        nat[:, _ZIGZAG] = deq
+        blocks = nat.reshape(-1, 8, 8).astype(np.float64)
+        spatial = np.einsum("ux,nuv,vy->nxy", _DCT, blocks, _DCT)
+        spatial = np.clip(np.round(spatial) + 128, 0, 255)
+        plane = (spatial.reshape(c["bh"], c["bw"], 8, 8)
+                 .transpose(0, 2, 1, 3)
+                 .reshape(c["bh"] * 8, c["bw"] * 8))
+        # index-gather upsample to full frame dims (handles 4:2:0 /
+        # 4:2:2 / asymmetric ratios and the edge crop in one step)
+        yy = (np.arange(h) * c["v"]) // vmax
+        xx = (np.arange(w) * c["h"]) // hmax
+        planes.append(plane[yy][:, xx])
+    if len(planes) == 1:
+        return planes[0].astype(np.uint8)[..., None]
+    y, cb, cr = (p.astype(np.float64) for p in planes)
+    r = y + 1.402 * (cr - 128)
+    g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+    b = y + 1.772 * (cb - 128)
+    return (np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255)
+            .astype(np.uint8))
+
+
+class _BitWriter:
+    """MSB-first writer with 0xFF byte stuffing (encoder side)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        """Pad the final partial byte with 1-bits (T.81 F.1.2.3)."""
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, appended bits) for a DC diff / AC coefficient
+    (T.81 F.1.2.1: negatives store their one's complement)."""
+    s = int(v).bit_length() if v >= 0 else int(-v).bit_length()
+    bits = v if v >= 0 else v + (1 << s) - 1
+    return s, bits
+
+
+def _encode_block(writer, zig, pred, dc_codes, ac_codes) -> int:
+    s, bits = _magnitude(int(zig[0]) - pred)
+    code, ln = dc_codes[s]
+    writer.write(code, ln)
+    writer.write(bits, s)
+    run = 0
+    for k in range(1, 64):
+        v = int(zig[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]      # ZRL
+            writer.write(code, ln)
+            run -= 16
+        s, bits = _magnitude(v)
+        code, ln = ac_codes[(run << 4) | s]
+        writer.write(code, ln)
+        writer.write(bits, s)
+        run = 0
+    if run:
+        code, ln = ac_codes[0x00]          # EOB
+        writer.write(code, ln)
+    return int(zig[0])
+
+
+def _plane_to_zigzag(plane: np.ndarray, quant: np.ndarray) -> np.ndarray:
+    """(bh, bw, 64) zigzag-order quantized coefficients for one
+    edge-replicated plane — FDCT vectorized over all blocks."""
+    h, w = plane.shape
+    bh, bw = -(-h // 8), -(-w // 8)
+    padded = np.pad(plane.astype(np.float64) - 128,
+                    ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+    blocks = (padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+              .reshape(-1, 8, 8))
+    f = np.einsum("ux,nxy,vy->nuv", _DCT, blocks, _DCT)
+    q = np.round(f.reshape(-1, 64) / quant[None, :]).astype(np.int32)
+    return q[:, _ZIGZAG].reshape(bh, bw, 64)
+
+
+def make_jpeg(arr: np.ndarray, quant: str | int | None = None,
+              subsample: bool = False,
+              restart_interval: int = 0) -> bytes:
+    """Encode a (h, w, 1|3) uint8 array as baseline SOF0 JFIF.
+
+    ``quant=None`` → all-ones tables (near-lossless: only DCT
+    rounding survives — the tight decoder-parity fixture);
+    ``quant="annex-k"`` → the T.81 example tables (realistic lossy);
+    an int 1-255 → a flat table of that step. ``subsample=True``
+    emits 4:2:0 chroma (2x2 box-averaged). ``restart_interval=N``
+    inserts RSTn markers every N MCUs."""
+    if arr.ndim != 3 or arr.shape[2] not in (1, 3):
+        raise ValueError(f"expected (h, w, 1|3), got {arr.shape}")
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    gray = arr.shape[2] == 1
+    if quant is None:
+        ql = qc = np.ones(64, dtype=np.int64)
+    elif quant == "annex-k":
+        ql, qc = ANNEX_K_LUMA_QUANT, ANNEX_K_CHROMA_QUANT
+    elif isinstance(quant, int) and 1 <= quant <= 255:
+        ql = qc = np.full(64, quant, dtype=np.int64)
+    else:
+        raise ValueError(f"quant must be None, 'annex-k' or 1-255, "
+                         f"got {quant!r}")
+    if gray:
+        planes = [arr[:, :, 0].astype(np.float64)]
+        samp = [(1, 1)]
+        quants = [ql]
+    else:
+        rgb = arr.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample:
+            # pad to even dims, then 2x2 box average
+            ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+            def _down(p):
+                p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+                return (p.reshape(ph // 2, 2, pw // 2, 2)
+                        .mean(axis=(1, 3)))
+            planes = [y, _down(cb), _down(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        quants = [ql, qc, qc]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    zigs = []
+    for p, (hi, vi), q in zip(planes, samp, quants):
+        # pad the plane so its block grid covers the MCU grid
+        need_h, need_w = mcuy * vi * 8, mcux * hi * 8
+        ph, pw = p.shape
+        p = np.pad(p, ((0, need_h - ph), (0, need_w - pw)),
+                   mode="edge")
+        zigs.append(_plane_to_zigzag(p, q))
+    dc_l = _build_encode_table(*_DC_LUMA)
+    ac_l = _build_encode_table(*_AC_LUMA)
+    dc_c = _build_encode_table(*_DC_CHROMA)
+    ac_c = _build_encode_table(*_AC_CHROMA)
+    codes = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (len(planes) - 1)
+    writer = _BitWriter()
+    preds = [0] * len(planes)
+    mcu = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu and \
+                    mcu % restart_interval == 0:
+                writer.flush()
+                writer.buf += bytes([0xFF, 0xD0 + rst % 8])
+                rst += 1
+                preds = [0] * len(planes)
+            for ci, ((hi, vi), (dct, act)) in enumerate(
+                    zip(samp, codes)):
+                for by in range(vi):
+                    for bx in range(hi):
+                        preds[ci] = _encode_block(
+                            writer, zigs[ci][my * vi + by,
+                                             mx * hi + bx],
+                            preds[ci], dct, act)
+            mcu += 1
+    writer.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) \
+            + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    def dqt(tq: int, q: np.ndarray) -> bytes:
+        return seg(0xDB, bytes([tq])
+                   + bytes(int(v) for v in q[_ZIGZAG]))
+
+    def dht(tc: int, th: int, spec) -> bytes:
+        bits, vals = spec
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits)
+                   + bytes(vals))
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00"
+               + (1).to_bytes(2, "big") * 2 + b"\x00\x00")
+    out += dqt(0, ql)
+    if not gray:
+        out += dqt(1, qc)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([len(planes)])
+    for ci, (hi, vi) in enumerate(samp):
+        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
+    out += seg(0xC0, sof)
+    out += dht(0, 0, _DC_LUMA) + dht(1, 0, _AC_LUMA)
+    if not gray:
+        out += dht(0, 1, _DC_CHROMA) + dht(1, 1, _AC_CHROMA)
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
+    sos = bytes([len(planes)])
+    for ci in range(len(planes)):
+        t = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += writer.buf
+    out += b"\xff\xd9"
+    return bytes(out)

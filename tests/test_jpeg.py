@@ -1,0 +1,195 @@
+"""Baseline JPEG codec (multimodal/jpeg.py — verdict r12 #2).
+
+Contracts under test:
+* encoder→decoder round trips pin BOTH transform directions (they
+  share no code: FDCT vs IDCT, bit writer vs bit reader, separate
+  zigzag mappings) — with all-ones quant tables the pipeline is
+  near-lossless, so parity bounds are tight (±1 for grayscale —
+  FDCT coefficient rounding; ±3 for color where YCbCr round-trips);
+* every structural feature decodes: non-multiple-of-8 dims, 4:2:0
+  subsampling, restart intervals, Annex K lossy tables, byte
+  stuffing (0xFF00), fill bytes;
+* everything outside the baseline envelope refuses with
+  `UnsupportedFormat` (progressive, 12-bit, CMYK, Adobe-RGB,
+  truncated streams) — falling to the metadata tier, never
+  mis-decoding;
+* the Spark passes attribute the tier honestly: baseline JPEG →
+  decoder "jpeg" with REAL features/resize; progressive → the
+  "jpeg-dims" metadata tier.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from big_data_bowl___2023_spark.multimodal import codecs, jpeg
+from big_data_bowl___2023_spark.multimodal.binary_ops import (
+    decode_media,
+    extract_features,
+    resize_media,
+)
+
+
+def _smooth(h, w):
+    """Smooth (h, w, 3) gradient — JPEG-friendly content."""
+    y = np.add.outer(np.arange(h), np.arange(w)) * 2 % 256
+    return np.stack([y, 255 - y, np.full((h, w), 96)],
+                    axis=2).astype(np.uint8)
+
+
+def test_flat_block_exact():
+    flat = np.full((8, 8, 1), 128, dtype=np.uint8)
+    out = jpeg.decode_jpeg(jpeg.make_jpeg(flat))
+    assert np.array_equal(out, flat)
+    # non-mid flat value too (exercises DC magnitude categories)
+    flat2 = np.full((8, 8, 1), 3, dtype=np.uint8)
+    assert np.array_equal(jpeg.decode_jpeg(jpeg.make_jpeg(flat2)),
+                          flat2)
+
+
+def test_gray_round_trip_exact_nonmultiple_dims():
+    g = (np.add.outer(np.arange(17) * 3, np.arange(24) * 2)
+         % 256).astype(np.uint8)[..., None]
+    out = jpeg.decode_jpeg(jpeg.make_jpeg(g))
+    assert out.shape == (17, 24, 1)
+    # all-ones quant: only FDCT coefficient rounding survives (±1)
+    assert np.abs(out.astype(int) - g.astype(int)).max() <= 1
+
+
+def test_rgb_444_round_trip_tight():
+    rng = np.random.default_rng(7)
+    c = rng.integers(0, 256, (20, 13, 3), dtype=np.uint8)
+    out = jpeg.decode_jpeg(jpeg.make_jpeg(c))
+    assert out.shape == c.shape
+    # YCbCr→RGB round-trip rounding only (worst case ±3 even for
+    # noise input)
+    assert np.abs(out.astype(int) - c.astype(int)).max() <= 3
+
+
+def test_rgb_420_subsampled_round_trip():
+    # chroma-flat content: 2x2 box downsample is lossless there, so
+    # the bound stays tight even at 4:2:0
+    flat = np.zeros((19, 22, 3), dtype=np.uint8)
+    flat[..., 0] = (np.add.outer(np.arange(19) * 5,
+                                 np.arange(22) * 3) % 256)
+    flat[..., 1] = 80
+    flat[..., 2] = 160
+    data = jpeg.make_jpeg(flat, subsample=True)
+    out = jpeg.decode_jpeg(data)
+    assert out.shape == flat.shape
+    assert np.abs(out.astype(int) - flat.astype(int)).max() <= 4
+    # the stream really is 4:2:0: SOF lists Y at 2x2
+    sof_at = data.index(b"\xff\xc0")
+    assert data[sof_at + 11] == 0x22        # comp 1 h<<4|v
+
+
+def test_restart_intervals_decode():
+    g = (np.add.outer(np.arange(33) * 7, np.arange(26) * 5)
+         % 256).astype(np.uint8)[..., None]
+    data = jpeg.make_jpeg(g, restart_interval=2)
+    assert b"\xff\xd0" in data              # RST0 present
+    out = jpeg.decode_jpeg(data)
+    assert np.abs(out.astype(int) - g.astype(int)).max() <= 1
+    # color + subsample + restart together
+    c = _smooth(21, 18)
+    data = jpeg.make_jpeg(c, subsample=True, restart_interval=1)
+    out = jpeg.decode_jpeg(data)
+    assert np.abs(out.astype(int) - c.astype(int)).max() <= 4
+
+
+def test_annex_k_lossy_round_trip():
+    c = _smooth(32, 32)
+    out = jpeg.decode_jpeg(jpeg.make_jpeg(c, quant="annex-k"))
+    assert out.shape == c.shape
+    # lossy but recognizable on smooth content
+    assert np.abs(out.astype(int) - c.astype(int)).mean() < 12
+    # scalar flat quant too
+    out = jpeg.decode_jpeg(jpeg.make_jpeg(c, quant=4))
+    assert np.abs(out.astype(int) - c.astype(int)).mean() < 6
+
+
+def test_byte_stuffing_round_trip():
+    # content chosen to force 0xFF bytes into the entropy stream
+    # across many seeds — the writer must stuff, the reader unstuff
+    rng = np.random.default_rng(1234)
+    for _ in range(4):
+        g = rng.integers(0, 256, (24, 24, 1), dtype=np.uint8)
+        data = jpeg.make_jpeg(g)
+        out = jpeg.decode_jpeg(data)
+        assert np.abs(out.astype(int) - g.astype(int)).max() <= 1
+
+
+def test_unsupported_variants_refuse():
+    c = _smooth(16, 16)
+    data = jpeg.make_jpeg(c)
+    # progressive: patch SOF0 -> SOF2
+    sof_at = data.index(b"\xff\xc0")
+    prog = data[:sof_at + 1] + b"\xc2" + data[sof_at + 2:]
+    with pytest.raises(codecs.UnsupportedFormat, match="progressive"):
+        jpeg.decode_jpeg(prog)
+    # ...but the metadata tier still reads its dims
+    assert codecs.image_dims(prog) == (16, 16, 3)
+    # 12-bit: patch the SOF precision byte
+    deep = data[:sof_at + 4] + b"\x0c" + data[sof_at + 5:]
+    with pytest.raises(codecs.UnsupportedFormat, match="12-bit"):
+        jpeg.decode_jpeg(deep)
+    # truncated entropy stream
+    with pytest.raises(codecs.UnsupportedFormat):
+        jpeg.decode_jpeg(data[:len(data) - len(data) // 3])
+    # not a JPEG at all
+    with pytest.raises(codecs.UnsupportedFormat):
+        jpeg.decode_jpeg(b"\x00\x01\x02\x03")
+
+
+def test_adobe_rgb_transform_refuses():
+    c = _smooth(8, 8)
+    data = jpeg.make_jpeg(c)
+    # splice an APP14 Adobe segment with transform=0 (RGB) after SOI
+    app14 = (b"\xff\xee" + (14).to_bytes(2, "big")
+             + b"Adobe" + bytes([0, 100, 0, 0, 0, 0, 0]))
+    patched = data[:2] + app14 + data[2:]
+    with pytest.raises(codecs.UnsupportedFormat, match="Adobe"):
+        jpeg.decode_jpeg(patched)
+
+
+def test_decode_dispatch_and_fill_bytes():
+    c = _smooth(12, 10)
+    data = jpeg.make_jpeg(c)
+    # codecs.decode routes jpeg to the full decoder now
+    out = codecs.decode(data)
+    assert out.shape == (12, 10, 3)
+    # fill bytes before SOF survive the full decoder's walk too
+    sof_at = data.index(b"\xff\xc0")
+    padded = data[:sof_at] + b"\xff\xff" + data[sof_at:]
+    assert np.array_equal(codecs.decode(padded), out)
+
+
+def test_baseline_jpeg_through_spark_passes(spark):
+    """decode_media attributes tier "jpeg" with TRUE dims for
+    baseline streams; features/resize run the REAL tier (image
+    statistics, not hash stubs); progressive stays "jpeg-dims"."""
+    base = _smooth(24, 15)
+    data = jpeg.make_jpeg(base)
+    sof_at = data.index(b"\xff\xc0")
+    prog = data[:sof_at + 1] + b"\xc2" + data[sof_at + 2:]
+    rows = [(1, "image", bytearray(data), "t", len(data)),
+            (2, "image", bytearray(prog), "t", len(prog))]
+    media = spark.createDataFrame(
+        rows, "media_id long, modality string, data binary, "
+              "source string, n_bytes long")
+    dec = {r["media_id"]: r for r in decode_media(media).collect()}
+    assert (dec[1]["width"], dec[1]["height"], dec[1]["n_channels"],
+            dec[1]["decoder"]) == (15, 24, 3, "jpeg")
+    assert (dec[2]["width"], dec[2]["height"],
+            dec[2]["decoder"]) == (15, 24, "jpeg-dims")
+    # features: the real tier's leading entries are normalized dims
+    feats = {r["media_id"]: r["features"]
+             for r in extract_features(media).collect()}
+    assert feats[1][0] == pytest.approx(15 / 4096)
+    assert feats[1][1] == pytest.approx(24 / 4096)
+    # resize: real decode -> nearest resize -> netpbm bytes
+    rs = {r["media_id"]: r
+          for r in resize_media(media, max_side=8).collect()}
+    assert (rs[1]["width"], rs[1]["height"]) == (5, 8)
+    assert bytes(rs[1]["data"])[:2] == b"P6"
