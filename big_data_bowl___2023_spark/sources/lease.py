@@ -469,9 +469,14 @@ def writer_lease_status(spark: SparkSession, root: str) -> dict:
     """Read-only operator view of a root's maintenance-lease state —
     the dashboard call beside `index_cell_stats`: ``{"held": bool,
     "stale": bool, "age_s", "owner", "what", "pid", "epoch",
-    "ttl_s"}``. ``epoch`` reads the persistent counter even when no
-    lease is live (how many writer sessions this root has ever had).
-    Never writes — safe from any reader at any time."""
+    "epoch_unverified", "ttl_s"}``. ``epoch`` reads the persistent
+    counter even when no lease is live (how many writer sessions
+    this root has ever had). ``epoch_unverified`` is True when the
+    live holder acquired through an epoch-counter FS blip (its
+    stamped epoch is the typed -1 degradation) — an operator
+    auditing a takeover trail must know the number is
+    post-mortem-unreliable (verdict r12 #5). Never writes — safe
+    from any reader at any time."""
     fs, jp = _fs_path(spark, root.rstrip("/") + LEASE_SUFFIX)
     _, ep = _fs_path(spark, root.rstrip("/") + EPOCH_SUFFIX)
     epoch = _read_json(spark, fs, ep).get("epoch") \
@@ -479,7 +484,8 @@ def writer_lease_status(spark: SparkSession, root: str) -> dict:
     if not fs.exists(jp):
         return {"held": False, "stale": False, "age_s": None,
                 "owner": None, "what": None, "pid": None,
-                "epoch": epoch, "ttl_s": None}
+                "epoch": epoch, "epoch_unverified": False,
+                "ttl_s": None}
     holder = _read_json(spark, fs, jp)
     try:
         age = time.time() - fs.getFileStatus(jp) \
@@ -496,7 +502,8 @@ def writer_lease_status(spark: SparkSession, root: str) -> dict:
         if not holder or not fs.exists(jp):
             return {"held": False, "stale": False, "age_s": None,
                     "owner": None, "what": None, "pid": None,
-                    "epoch": epoch, "ttl_s": None}
+                    "epoch": epoch, "epoch_unverified": False,
+                    "ttl_s": None}
     ttl = float(holder.get("ttl_s", DEFAULT_TTL_S))
     return {"held": True,
             "stale": age is not None and age > ttl,
@@ -505,6 +512,7 @@ def writer_lease_status(spark: SparkSession, root: str) -> dict:
             "what": holder.get("what"),
             "pid": holder.get("pid"),
             "epoch": holder.get("epoch", epoch),
+            "epoch_unverified": holder.get("epoch") == -1,
             "ttl_s": ttl}
 
 

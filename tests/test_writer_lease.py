@@ -283,12 +283,14 @@ def test_writer_lease_status_readonly_view(spark, tmp_path):
     st = writer_lease_status(spark, root)
     assert st == {"held": False, "stale": False, "age_s": None,
                   "owner": None, "what": None, "pid": None,
-                  "epoch": None, "ttl_s": None}
+                  "epoch": None, "epoch_unverified": False,
+                  "ttl_s": None}
     with writer_lease(spark, root, "compact") as token:
         st = writer_lease_status(spark, root)
         assert st["held"] is True and st["stale"] is False
         assert st["owner"] == token and st["what"] == "compact"
         assert st["epoch"] == 1 and st["age_s"] is not None
+        assert st["epoch_unverified"] is False
         # status is read-only: the lease file is untouched
         assert json.load(open(root + "__lease"))["owner"] == token
     st = writer_lease_status(spark, root)
@@ -297,6 +299,34 @@ def test_writer_lease_status_readonly_view(spark, tmp_path):
     os.utime(root + "__lease", (0, 0))
     assert writer_lease_status(spark, root)["stale"] is True
     break_writer_lease(spark, root)
+
+
+def test_status_flags_unverified_epoch(spark, tmp_path,
+                                       monkeypatch):
+    """A holder that acquired through an epoch-counter FS blip
+    carries the typed epoch=-1 — status must surface it as
+    ``epoch_unverified: True`` so a takeover audit knows the trail
+    is unreliable there (verdict r12 #5)."""
+    from big_data_bowl___2023_spark.sources import lease as lease_mod
+    from big_data_bowl___2023_spark.sources.lease import (
+        writer_lease_status,
+    )
+
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+
+    def _blip(*a, **k):
+        raise RuntimeError("simulated epoch FS blip")
+
+    monkeypatch.setattr(lease_mod, "_bump_epoch", _blip)
+    with writer_lease(spark, root, "compact"):
+        st = writer_lease_status(spark, root)
+        assert st["held"] is True
+        assert st["epoch"] == -1
+        assert st["epoch_unverified"] is True
+    # released: the flag clears with the holder
+    assert writer_lease_status(spark, root)["epoch_unverified"] \
+        is False
 
 
 def test_compaction_aborts_on_lost_lease(spark, sf_dir, tmp_path,
