@@ -370,7 +370,9 @@ def _build_ann_index_unlocked(corpus, index_dir, dim, n_planes,
 
 
 def _read_meta(spark: SparkSession, index_dir: str) -> tuple[int, int]:
-    row = spark.read.parquet(f"{index_dir}/{_META}").collect()
+    from ..sources.io import read_hidden_parquet
+
+    row = read_hidden_parquet(spark, f"{index_dir}/{_META}").collect()
     if len(row) != 1:
         raise ValueError(f"corrupt index meta at {index_dir}: "
                          f"{len(row)} rows, expected 1")
@@ -386,7 +388,10 @@ def _read_ranges(spark: SparkSession, index_dir: str) -> list | None:
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(jpath):
         return None
-    rows = spark.read.parquet(f"{index_dir}/{_RANGES}").collect()
+    from ..sources.io import read_hidden_parquet
+
+    rows = read_hidden_parquet(spark,
+                               f"{index_dir}/{_RANGES}").collect()
     return [(r["lo"], r["hi"])
             for r in sorted(rows, key=lambda r: r["i"])]
 
@@ -514,7 +519,9 @@ def saturation_history(spark: SparkSession, index_dir: str
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(jpath):
         return None
-    return spark.read.parquet(f"{index_dir}/{_SATURATION}")
+    from ..sources.io import read_hidden_parquet
+
+    return read_hidden_parquet(spark, f"{index_dir}/{_SATURATION}")
 
 
 def index_cell_stats(spark: SparkSession, index_dir: str,
