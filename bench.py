@@ -253,6 +253,49 @@ def _extra_ops():
         return might_contain(fps, "fp",
                              bloom_summary(fps, "fp", *params))
 
+    def _stream_ingest(spark, sf_dir, audit: bool):
+        import tempfile
+
+        from big_data_bowl___2023_spark.streaming.curation import (
+            make_curation_ingest_batch_fn,
+            read_curated,
+        )
+        base = tempfile.mkdtemp(prefix="bench_stream_ingest_")
+        docs = (load_table(spark, sf_dir, "documents")
+                .select("doc_id",
+                        F.regexp_replace("text", " merge ", "\n")
+                         .alias("text"), "source"))
+        benchmark = (docs.filter(F.col("doc_id") % 97 == 0)
+                     .select(F.col("doc_id").alias("bench_id"),
+                             "text"))
+        fn = make_curation_ingest_batch_fn(
+            f"{base}/curated", f"{base}/fps", benchmark=benchmark,
+            min_words=20,
+            audit_dir=f"{base}/audit" if audit else None)
+        n_batches = 4
+        for b in range(n_batches):
+            fn(docs.filter(F.col("doc_id") % n_batches == b), b)
+        return read_curated(spark, f"{base}/curated")
+
+    def stream_ingest(spark, sf_dir):
+        """The continuous-ingestion LOOP as a bench number (verdict
+        r12 #4): the corpus in 4 micro-batches through
+        make_curation_ingest_batch_fn against a fresh durable
+        fingerprint index — bootstrap plus three against-history
+        batches, with the writer lease, commit gates, curated/index
+        appends and refreshes all inside the measured window (at
+        100 TB curation runs AS this loop, not as one lazy chain).
+        Eager by design; the returned frame re-reads the curated
+        corpus (the rows-only check)."""
+        return _stream_ingest(spark, sf_dir, audit=False)
+
+    def stream_ingest_audit(spark, sf_dir):
+        """The same 4-batch loop with ``audit_dir=`` lineage ON —
+        the delta vs ``stream_curation_ingest`` IS the per-batch
+        audit-lineage overhead (verdict r12 #4 asked for its cost
+        at the feature you'd enable at 100 TB)."""
+        return _stream_ingest(spark, sf_dir, audit=True)
+
     return {"dedup_winnow_overlap": winnow,
             "bloom_probe_corpus": bloom_probe,
             "dedup_semantic_pairs": semdedup,
@@ -262,6 +305,8 @@ def _extra_ops():
             "heavy_hitters_lines": heavy_lines,
             "seq_assembly": seq_assembly,
             "corpus_profile": profile,
+            "stream_curation_ingest": stream_ingest,
+            "stream_curation_ingest_audit": stream_ingest_audit,
             "hybrid_index_topk": hybrid_index}
 
 
@@ -387,6 +432,21 @@ def main() -> None:
         with open(anchors_path) as fh:
             payload = json.load(fh)
         anchors = payload.get("anchors", {})
+        # Per-PARALLELISM per-query anchors (verdict r12 #1): the
+        # driver sweeps at local[32] while the historical anchor set
+        # was recorded at local[16] quiet probes, and the
+        # calibration drift corrects only the probe — so cross-
+        # parallelism sweeps carried a structural offset (three
+        # rounds of 1.16-1.17x driver readings vs <=1.005x same-tree
+        # builder sweeps). When an anchor set keyed by this run's
+        # defaultParallelism exists, every per-query number — retry
+        # thresholds and ratio_norm — compares against the matching
+        # floor; the flat set stays as the fallback for unseen
+        # parallelisms.
+        keyed = payload.get("anchors_by_parallelism", {}).get(
+            str(spark.sparkContext.defaultParallelism))
+        if keyed:
+            anchors = {**anchors, **keyed}
         # the fixed-work probe's quiet wall depends on thread count
         # (32 local threads on this VM are SLOWER than 16 — measured
         # 0.54 vs 0.39 s — so one number can't serve both), hence

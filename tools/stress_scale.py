@@ -442,6 +442,110 @@ def media_legs(spark, docs0, scales) -> None:
         }), flush=True)
 
 
+def media_mix_legs(spark, scales) -> None:
+    """Mixed-payload attribution legs (verdict r12 #6): a GENERATED
+    corpus with known per-tier proportions — baseline JPEG,
+    progressive JPEG, PNG, BMP, GIF, WAV, Y4M and unclassifiable
+    junk — pushed through the binaryFile bridge (magic-byte modality
+    inference) and all four media passes. The correctness claim of
+    the media family is the attribution contract: WHICH tier
+    actually ran. Each leg asserts the decode pass's decoder
+    histogram matches the generation mix EXACTLY at that scale
+    (r12 asserted it only at a fixed 256-record slice) while timing
+    the passes. All payloads are served under a neutral ``.bin``
+    name so the magic bytes, not extensions, carry classification;
+    the junk rows prove the unknown path (bridge → modality
+    'unknown' → 'unknown-stub', never a fake image profile)."""
+    import numpy as np
+
+    from big_data_bowl___2023_spark.multimodal import codecs, jpeg
+    from big_data_bowl___2023_spark.multimodal.binary_ops import (
+        decode_media,
+        extract_features,
+        frame_sample,
+        media_from_binary_files,
+        resize_media,
+    )
+
+    # payloads sized so the pure-python JPEG/PNG tier (the decode
+    # floor) keeps the 64x leg in minutes, not hours: the leg's
+    # claims are attribution exactness + ~linear walls, not absolute
+    # decode throughput (the --media legs time bigger payloads)
+    img = (np.arange(16 * 24 * 3, dtype=np.uint64) % 256) \
+        .astype(np.uint8).reshape(16, 24, 3)
+    clip = (np.arange(4 * 16 * 16, dtype=np.uint64) % 251) \
+        .astype(np.uint8).reshape(4, 16, 16)
+    t = np.arange(2000) / 2000.0
+    tone = np.stack([np.sin(2 * np.pi * 440 * t)], axis=1)
+    base_jpeg = jpeg.make_jpeg(img)
+    sof_at = base_jpeg.index(b"\xff\xc0")
+    prog_jpeg = base_jpeg[:sof_at + 1] + b"\xc2" \
+        + base_jpeg[sof_at + 2:]
+    gif = (b"GIF89a" + (24).to_bytes(2, "little")
+           + (16).to_bytes(2, "little") + b"\x00\x00\x00")
+    junk = b"\x00PDF-ish junk the bridge cannot classify" * 16
+    # per-16 template mix -> expected decoder attribution
+    templates = (
+        [("png", codecs.make_png(img))] * 3
+        + [("bmp", codecs.make_bmp(img))] * 2
+        + [("jpeg", base_jpeg)] * 3
+        + [("jpeg-dims", prog_jpeg)] * 2
+        + [("gif-dims", gif)] * 1
+        + [("wav", codecs.make_wav(tone, 8000))] * 2
+        + [("y4m", codecs.make_y4m(clip))] * 2
+        + [("unknown-stub", junk)] * 1)
+    per_16 = {}
+    for tier, _ in templates:
+        per_16[tier] = per_16.get(tier, 0) + 1
+
+    for scale in scales:
+        rows = [(f"/bucket/{i}-{r}.bin", 0, len(payload),
+                 bytearray(payload))
+                for i, (_tier, payload) in enumerate(templates)
+                for r in range(64 * scale)]
+        files = spark.createDataFrame(
+            rows, "path string, modificationTime long, "
+                  "length long, content binary") \
+            .repartition(spark.sparkContext.defaultParallelism)
+        media = media_from_binary_files(files).localCheckpoint()
+        n = media.count()
+        by_modality = {r["modality"]: r["count"] for r in
+                       media.groupBy("modality").count().collect()}
+
+        t0 = time.time()
+        by_decoder = {r["decoder"]: r["count"] for r in
+                      decode_media(media)
+                      .groupBy("decoder").count().collect()}
+        t_dec = time.time() - t0
+        expected = {tier: cnt * 64 * scale
+                    for tier, cnt in per_16.items()}
+        if by_decoder != expected:
+            raise SystemExit(
+                f"attribution mismatch at scale {scale}: "
+                f"{by_decoder} != {expected}")
+
+        t0 = time.time()
+        n_feat = extract_features(media).count()
+        t_feat = time.time() - t0
+        t0 = time.time()
+        n_rez = resize_media(media, max_side=32).count()
+        t_rez = time.time() - t0
+        t0 = time.time()
+        n_frames = frame_sample(media, max_frames=4).count()
+        t_frames = time.time() - t0
+
+        print(json.dumps({
+            "scale": scale, "n_media": n,
+            "by_modality": by_modality,
+            "attribution_exact": True, "by_decoder": by_decoder,
+            "decode_sec": round(t_dec, 2),
+            "features_sec": round(t_feat, 2), "n_features": n_feat,
+            "resize_sec": round(t_rez, 2), "n_resized": n_rez,
+            "frame_sample_sec": round(t_frames, 2),
+            "n_frames": n_frames,
+        }), flush=True)
+
+
 def marker_legs(spark, emb0, scales) -> None:
     """Over-cap delete-marker path (verdict r11 #6): the >64k-marker
     checkpoint+shuffle_hash search path has correctness tests but no
@@ -871,18 +975,19 @@ def main() -> None:
     want_hybrid = "--hybrid" in argv
     want_markers = "--markers" in argv
     want_media = "--media" in argv
+    want_media_mix = "--media-mix" in argv
     if sum([want_product, want_vector, want_substr, want_index,
             want_bpe, want_colloc, want_hybrid,
-            want_markers, want_media]) > 1:
+            want_markers, want_media, want_media_mix]) > 1:
         raise SystemExit("--product/--vector/--substr/--index/--bpe"
-                         "/--colloc/--hybrid/--markers/--media are "
-                         "exclusive modes")
+                         "/--colloc/--hybrid/--markers/--media"
+                         "/--media-mix are exclusive modes")
     scales: list[int] = []
     paths: list[str] = []
     for a in argv:
         if a in ("--product", "--vector", "--substr", "--index",
                  "--bpe", "--colloc", "--hybrid", "--markers",
-                 "--media"):
+                 "--media", "--media-mix"):
             continue
         if re.fullmatch(r"[0-9]+", a):      # positive ints only
             scales.append(int(a))
@@ -900,10 +1005,10 @@ def main() -> None:
     if scales and not (want_product or want_vector or want_substr
                        or want_index or want_bpe or want_colloc
                        or want_hybrid or want_markers
-                       or want_media):
+                       or want_media or want_media_mix):
         raise SystemExit("scale arguments require --product/--vector"
                          "/--substr/--index/--bpe/--colloc/--hybrid"
-                         "/--markers/--media")
+                         "/--markers/--media/--media-mix")
     product_scales = (scales or [16, 64]) if want_product else None
     sf_dir = paths[0] if paths else "/root/testdata/sf0.1"
     spark = get_spark("stress")
@@ -929,6 +1034,10 @@ def main() -> None:
         docs0 = load_table(spark, sf_dir, "documents").cache()
         docs0.count()
         media_legs(spark, docs0, scales or [4, 16])
+        spark.stop()
+        return
+    if want_media_mix:
+        media_mix_legs(spark, scales or [4, 64])
         spark.stop()
         return
     docs0 = load_table(spark, sf_dir, "documents").cache()

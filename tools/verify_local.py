@@ -333,9 +333,17 @@ def main() -> int:
                 diffs = [(a, b) for a, b in zip(srows, orows) if a != b]
                 for a, b in diffs[:3]:
                     print(f"  spark : {a}\n  oracle: {b}")
-    if name_filter:
-        # partial sweeps never rewrite or judge the tree-wide baseline
+    if name_filter and not update_plans:
+        # partial sweeps never judge the tree-wide baseline
         print("plan-gate: filtered sweep, skipping")
+    elif name_filter and update_plans:
+        # ...but with an explicit --update-plans they may RE-BASELINE
+        # their own subset: check_plan_fingerprints merges per name,
+        # keeping every name not run this sweep (the documented
+        # subset-re-baseline semantics — how a NEW bench extra gets
+        # its first fingerprint without a full-sweep rewrite)
+        if fingerprints:
+            check_plan_fingerprints(fingerprints, sf_dir, True)
     elif fingerprints:
         n_fail += check_plan_fingerprints(fingerprints, sf_dir,
                                           update_plans)
