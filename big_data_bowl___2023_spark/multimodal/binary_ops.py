@@ -157,18 +157,34 @@ def _decode_one(data: bytes, modality: str) -> tuple[int, int, int, str]:
         except Exception:
             pass
         kind = codecs.sniff(data)
-        if kind is not None and kind not in ("gif", "webp"):
+        if kind == "jpeg":
             try:
-                # full pixel decode (BMP/netpbm/PNG/baseline JPEG)
+                # dims come from the SOF header either way; the tier
+                # label is a header-only classification (like the
+                # PIL tier, whose Image.open reads no pixels):
+                # "jpeg" = inside decode_jpeg's baseline envelope —
+                # features/resize will run the REAL decode there —
+                # else the metadata tier. Paying a full pure-python
+                # pixel decode here just to report 4 scalars was a
+                # review r13 finding.
+                w, h, c = codecs.image_dims(data)
+                from . import jpeg as _jpeg
+                tier = "jpeg" if _jpeg.is_baseline(data) \
+                    else "jpeg-dims"
+                return w, h, c, tier
+            except codecs.UnsupportedFormat:
+                pass
+        elif kind is not None and kind not in ("gif", "webp"):
+            try:
+                # full pixel decode (BMP/netpbm/PNG)
                 arr = codecs.decode(data)
                 return arr.shape[1], arr.shape[0], arr.shape[2], kind
             except codecs.UnsupportedFormat:
                 pass           # right magic, unsupported variant
-        if kind in ("jpeg", "gif", "webp"):
+        if kind in ("gif", "webp"):
             try:
                 # metadata-grade: true dims from the header walk, no
-                # pixel decode (progressive JPEG, GIF, WebP —
-                # features/resize stay stub-tier there)
+                # pixel decode (features/resize stay stub-tier)
                 w, h, c = codecs.image_dims(data)
                 return w, h, c, f"{kind}-dims"
             except codecs.UnsupportedFormat:

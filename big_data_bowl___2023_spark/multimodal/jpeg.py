@@ -65,6 +65,11 @@ def _dct_matrix() -> np.ndarray:
 
 _DCT = _dct_matrix()
 
+# hard ceiling on a single JPEG's padded coefficient samples —
+# payloads are untrusted; ~8 MP of 4:4:4 color fits, a crafted
+# 65k x 65k SOF is rejected before any allocation or entropy work
+JPEG_MAX_COEF_SAMPLES = 1 << 25
+
 # T.81 Annex K.1/K.2 example quantization tables (natural order)
 ANNEX_K_LUMA_QUANT = np.array([
     16, 11, 10, 16, 24, 40, 51, 61,
@@ -388,6 +393,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     for c in comps:
         c["bw"] = mcux * c["h"]
         c["bh"] = mcuy * c["v"]
+    # Bound allocations by what the SOF promises BEFORE any zeros/
+    # entropy work — the same untrusted-corpus decompression-bomb
+    # guard as the PNG inflate cap: a crafted 65500x65500 SOF would
+    # otherwise allocate tens of GiB of coefficient arrays and spin
+    # the per-MCU Python loop for hours on one blob (review r13).
+    # The cap is on padded coefficient SAMPLES; the peak buffer is
+    # the float64 IDCT input at 8 bytes/sample (<=256 MiB here).
+    total_samples = sum(c["bh"] * c["bw"] * 64 for c in comps)
+    if total_samples > JPEG_MAX_COEF_SAMPLES:
+        raise UnsupportedFormat(
+            f"JPEG decoded size {total_samples} coefficient samples "
+            f"exceeds cap {JPEG_MAX_COEF_SAMPLES}")
+    for c in comps:
         c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
         if c["tq"] not in qt:
             raise UnsupportedFormat("JPEG SOF references missing "
@@ -441,6 +459,66 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     b = y + 1.772 * (cb - 128)
     return (np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255)
             .astype(np.uint8))
+
+
+def is_baseline(data: bytes) -> bool:
+    """Header-only classification: True when this stream is inside
+    `decode_jpeg`'s envelope (huffman baseline/extended-sequential
+    SOF0/SOF1, 8-bit, 1- or 3-component, not Adobe-RGB, dims under
+    the decode cap) — WITHOUT touching the entropy data. The dims
+    pass (`binary_ops._decode_one`) uses this to attribute the
+    ``jpeg`` tier at header-walk cost instead of paying a full
+    pure-python pixel decode just to report 4 scalars (review r13);
+    like the PIL tier, whose `Image.open` also reads only the
+    header. A stream whose ENTROPY data later proves corrupt still
+    falls to the stub tier in the pixel passes (features/resize) —
+    this is a format classification, not a decode guarantee."""
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        return False
+    pos = 2
+    sof_ok = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            return False
+        while pos + 4 <= len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        marker = data[pos + 1]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+            pos += 2
+            continue
+        seg = int.from_bytes(data[pos + 2:pos + 4], "big")
+        if seg < 2 or pos + 2 + seg > len(data):
+            return False
+        body = data[pos + 4:pos + 2 + seg]
+        if marker in (0xC0, 0xC1):
+            if len(body) < 6 or body[0] != 8:
+                return False
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            if nc not in (1, 3) or h < 1 or w < 1:
+                return False
+            if len(body) < 6 + 3 * nc:
+                return False
+            hvb = [body[7 + 3 * i] for i in range(nc)]
+            hs = [b >> 4 for b in hvb]
+            vs = [b & 0x0F for b in hvb]
+            if not all(1 <= x <= 4 for x in hs + vs):
+                return False
+            mcux = -(-w // (8 * max(hs)))
+            mcuy = -(-h // (8 * max(vs)))
+            samples = sum(mcux * hi * mcuy * vi * 64
+                          for hi, vi in zip(hs, vs))
+            sof_ok = samples <= JPEG_MAX_COEF_SAMPLES
+        elif marker in _SOF_UNSUPPORTED or marker == 0xCC:
+            return False
+        elif marker == 0xEE and body[:5] == b"Adobe" \
+                and len(body) >= 12 and body[11] == 0:
+            return False                 # Adobe RGB transform
+        elif marker == 0xDA:
+            return bool(sof_ok)
+        pos += 2 + seg
+    return False
 
 
 class _BitWriter:

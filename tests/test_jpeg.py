@@ -142,6 +142,50 @@ def test_unsupported_variants_refuse():
         jpeg.decode_jpeg(b"\x00\x01\x02\x03")
 
 
+def test_jpeg_decompression_bomb_rejected():
+    """A crafted SOF claiming huge dims must be rejected BEFORE any
+    coefficient-array allocation or entropy work (the JPEG analogue
+    of the PNG inflate cap — review r13): a 65500x65500 3-component
+    claim would otherwise allocate tens of GiB and spin the per-MCU
+    loop for hours on one untrusted blob."""
+    data = jpeg.make_jpeg(_smooth(8, 8))
+    sof_at = data.index(b"\xff\xc0")
+    # SOF payload: len(2) precision(1) h(2) w(2) — patch h and w
+    big = (65500).to_bytes(2, "big")
+    bomb = data[:sof_at + 5] + big + big + data[sof_at + 9:]
+    with pytest.raises(codecs.UnsupportedFormat, match="cap"):
+        jpeg.decode_jpeg(bomb)
+    # ...and the header classifier refuses it too, so decode_media
+    # attributes the metadata tier, not a decode that would die
+    assert jpeg.is_baseline(bomb) is False
+    assert jpeg.is_baseline(data) is True
+
+
+def test_is_baseline_header_classifier():
+    """is_baseline mirrors decode_jpeg's envelope from the header
+    alone — no entropy read (it backs the decode_media tier label
+    at header-walk cost)."""
+    base = jpeg.make_jpeg(_smooth(16, 16))
+    assert jpeg.is_baseline(base) is True
+    gray = jpeg.make_jpeg(_smooth(16, 16)[:, :, :1])
+    assert jpeg.is_baseline(gray) is True
+    sub = jpeg.make_jpeg(_smooth(16, 16), subsample=True,
+                         restart_interval=1)
+    assert jpeg.is_baseline(sub) is True
+    sof_at = base.index(b"\xff\xc0")
+    prog = base[:sof_at + 1] + b"\xc2" + base[sof_at + 2:]
+    assert jpeg.is_baseline(prog) is False
+    deep = base[:sof_at + 4] + b"\x0c" + base[sof_at + 5:]
+    assert jpeg.is_baseline(deep) is False
+    app14 = (b"\xff\xee" + (14).to_bytes(2, "big")
+             + b"Adobe" + bytes([0, 100, 0, 0, 0, 0, 0]))
+    assert jpeg.is_baseline(base[:2] + app14 + base[2:]) is False
+    # header-only fixture without a scan refuses; junk refuses
+    assert jpeg.is_baseline(base[:sof_at]) is False
+    assert jpeg.is_baseline(b"\xff\xd8\xff\xd9") is False
+    assert jpeg.is_baseline(b"not a jpeg") is False
+
+
 def test_adobe_rgb_transform_refuses():
     c = _smooth(8, 8)
     data = jpeg.make_jpeg(c)

@@ -341,8 +341,25 @@ def main() -> int:
         # their own subset: check_plan_fingerprints merges per name,
         # keeping every name not run this sweep (the documented
         # subset-re-baseline semantics — how a NEW bench extra gets
-        # its first fingerprint without a full-sweep rewrite)
-        if fingerprints:
+        # its first fingerprint without a full-sweep rewrite).
+        # ONLY at the recorded sf_dir: the updater resets the whole
+        # file on an sf_dir change (correct for a full re-baseline),
+        # which from a filtered sweep would wipe every other
+        # committed fingerprint (review r13).
+        import json
+
+        recorded_sf = None
+        if os.path.exists(FINGERPRINT_PATH):
+            try:
+                with open(FINGERPRINT_PATH) as fh:
+                    recorded_sf = json.load(fh).get("sf_dir")
+            except Exception:
+                pass
+        if recorded_sf is not None and recorded_sf != sf_dir:
+            print(f"plan-gate: baseline recorded at {recorded_sf}, "
+                  f"filtered sweep ran {sf_dir} — refusing a "
+                  f"subset rewrite that would wipe it; skipping")
+        elif fingerprints:
             check_plan_fingerprints(fingerprints, sf_dir, True)
     elif fingerprints:
         n_fail += check_plan_fingerprints(fingerprints, sf_dir,
