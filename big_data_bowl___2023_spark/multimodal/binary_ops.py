@@ -174,14 +174,27 @@ def _decode_one(data: bytes, modality: str) -> tuple[int, int, int, str]:
                 return w, h, c, tier
             except codecs.UnsupportedFormat:
                 pass
-        elif kind is not None and kind not in ("gif", "webp"):
+        elif kind == "gif":
+            try:
+                # dims from the logical-screen descriptor; the tier
+                # label is a structure-only classification ("gif" =
+                # a complete frame exists, so features/resize run
+                # the real LZW decode) — same header-cost stance as
+                # the JPEG branch
+                w, h, c = codecs.image_dims(data)
+                from . import gif as _gif
+                tier = "gif" if _gif.has_frame(data) else "gif-dims"
+                return w, h, c, tier
+            except codecs.UnsupportedFormat:
+                pass
+        elif kind is not None and kind != "webp":
             try:
                 # full pixel decode (BMP/netpbm/PNG)
                 arr = codecs.decode(data)
                 return arr.shape[1], arr.shape[0], arr.shape[2], kind
             except codecs.UnsupportedFormat:
                 pass           # right magic, unsupported variant
-        if kind in ("gif", "webp"):
+        if kind == "webp":
             try:
                 # metadata-grade: true dims from the header walk, no
                 # pixel decode (features/resize stay stub-tier)

@@ -720,10 +720,17 @@ def decode(data: bytes) -> np.ndarray:
             # UnsupportedFormat from this module.
             from . import jpeg as _jpeg
             return _jpeg.decode_jpeg(data)
-        if kind in ("gif", "webp"):
+        if kind == "gif":
+            # first-frame pixel decode (multimodal.gif: LZW, color
+            # tables, interlace, transparency-to-background); broken
+            # streams raise UnsupportedFormat and the metadata tier
+            # takes over
+            from . import gif as _gif
+            return _gif.decode_gif(data)
+        if kind == "webp":
             raise UnsupportedFormat(
-                f"{kind} pixel decode unsupported — header dims via "
-                f"image_dims")
+                "webp pixel decode unsupported — header dims via "
+                "image_dims")
     except UnsupportedFormat:
         raise
     except Exception as exc:
