@@ -162,14 +162,15 @@ def _decode_one(data: bytes, modality: str) -> tuple[int, int, int, str]:
                 # dims come from the SOF header either way; the tier
                 # label is a header-only classification (like the
                 # PIL tier, whose Image.open reads no pixels):
-                # "jpeg" = inside decode_jpeg's baseline envelope —
+                # "jpeg" = inside decode_jpeg's envelope (baseline,
+                # extended-sequential OR progressive) —
                 # features/resize will run the REAL decode there —
-                # else the metadata tier. Paying a full pure-python
-                # pixel decode here just to report 4 scalars was a
-                # review r13 finding.
+                # else the metadata tier (arithmetic/12-bit/CMYK).
+                # Paying a full pure-python pixel decode here just
+                # to report 4 scalars was a review r13 finding.
                 w, h, c = codecs.image_dims(data)
                 from . import jpeg as _jpeg
-                tier = "jpeg" if _jpeg.is_baseline(data) \
+                tier = "jpeg" if _jpeg.is_decodable(data) \
                     else "jpeg-dims"
                 return w, h, c, tier
             except codecs.UnsupportedFormat:

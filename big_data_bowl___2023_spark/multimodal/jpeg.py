@@ -6,11 +6,14 @@ dominant real-world image format, and until this module its
 features/resize ran stub arithmetic behind metadata-grade dims.
 
 `decode_jpeg` handles **baseline sequential DCT** — SOF0 and the
-huffman-coded extended-sequential SOF1 — 8-bit precision, grayscale
-or 3-component YCbCr with any sampling factors (4:4:4 / 4:2:2 /
-4:2:0 / asymmetric), multi-table DQT/DHT segments, restart
-intervals, 0xFF byte stuffing and fill bytes. Progressive (SOF2),
-lossless/hierarchical/arithmetic SOFs, 12-bit, multi-scan
+huffman-coded extended-sequential SOF1 — AND **progressive DCT**
+(SOF2, T.81 Annex G: spectral selection + successive approximation,
+interleaved/non-interleaved DC first and refinement scans, AC first
+and refinement with EOB-run coding, tables redefinable between
+scans) — 8-bit precision, grayscale or 3-component YCbCr with any
+sampling factors (4:4:4 / 4:2:2 / 4:2:0 / asymmetric), multi-table
+DQT/DHT segments, restart intervals, 0xFF byte stuffing and fill
+bytes. Lossless/hierarchical/arithmetic SOFs, 12-bit, multi-scan
 sequential, CMYK, and Adobe-RGB streams raise `UnsupportedFormat`,
 so `binary_ops._decode_one` falls to the metadata tier
 (`codecs.image_dims`, decoder attribution ``jpeg-dims``) exactly as
@@ -29,9 +32,11 @@ binary fixtures in the repo): a baseline SOF0 encoder with the Annex
 K huffman tables and a choice of quantization (all-ones for
 near-lossless round trips that pin decoder correctness tightly;
 Annex K tables for realistic lossy streams), optional 4:2:0 chroma
-subsampling and restart intervals. Encoder and decoder share no
-transform code (FDCT vs IDCT, bit writer vs bit reader), so a round
-trip genuinely cross-checks both directions.
+subsampling, restart intervals, and ``progressive=True`` (a
+DC-first/DC-refine/AC-first/AC-refine scan script with per-block
+EOB flushing). Encoder and decoder share no transform code (FDCT vs
+IDCT, bit writer vs bit reader), so a round trip genuinely
+cross-checks both directions.
 """
 
 from __future__ import annotations
@@ -195,6 +200,13 @@ class _BitReader:
         self.nbits -= 1
         return (self.cur >> self.nbits) & 1
 
+    def receive(self, n: int) -> int:
+        """n raw magnitude bits, MSB first (no sign extension)."""
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
     def receive_extend(self, n: int) -> int:
         """Read an n-bit magnitude and sign-extend it (T.81 F.2.2.1:
         values with a 0 high bit encode negatives)."""
@@ -266,10 +278,142 @@ _SOF_UNSUPPORTED = {
 }
 
 
+def _parse_dqt(body: bytes, qt: dict) -> None:
+    i = 0
+    while i < len(body):
+        pq, tq = body[i] >> 4, body[i] & 0x0F
+        i += 1
+        if pq not in (0, 1):
+            raise UnsupportedFormat("bad DQT precision")
+        n = 64 * (pq + 1)
+        if i + n > len(body):
+            raise UnsupportedFormat("truncated DQT table")
+        if pq:
+            tbl = np.frombuffer(body[i:i + n],
+                                dtype=">u2").astype(np.int64)
+        else:
+            tbl = np.frombuffer(body[i:i + n],
+                                dtype=np.uint8).astype(np.int64)
+        qt[tq] = tbl                   # zigzag order, as stored
+        i += n
+
+
+def _parse_dht(body: bytes, huff: dict) -> None:
+    i = 0
+    while i < len(body):
+        if i + 17 > len(body):
+            raise UnsupportedFormat("truncated DHT header")
+        tc, th = body[i] >> 4, body[i] & 0x0F
+        bits = list(body[i + 1:i + 17])
+        n = sum(bits)
+        if i + 17 + n > len(body):
+            raise UnsupportedFormat("truncated DHT values")
+        vals = list(body[i + 17:i + 17 + n])
+        huff[(tc, th)] = _build_decode_table(bits, vals)
+        i += 17 + n
+
+
+def _parse_sof(body: bytes) -> dict:
+    if len(body) < 6:
+        raise UnsupportedFormat("short JPEG SOF segment")
+    if body[0] != 8:
+        raise UnsupportedFormat(f"{body[0]}-bit JPEG")
+    h = int.from_bytes(body[1:3], "big")
+    w = int.from_bytes(body[3:5], "big")
+    nc = body[5]
+    if h < 1:
+        raise UnsupportedFormat("JPEG with DNL-deferred height")
+    if w < 1:
+        raise UnsupportedFormat("degenerate JPEG width")
+    if nc not in (1, 3):
+        raise UnsupportedFormat(f"{nc}-component JPEG")
+    if len(body) < 6 + 3 * nc:
+        raise UnsupportedFormat("short JPEG SOF segment")
+    comps = []
+    for ci in range(nc):
+        cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
+        hi, vi = hv >> 4, hv & 0x0F
+        if not (1 <= hi <= 4 and 1 <= vi <= 4):
+            raise UnsupportedFormat("bad JPEG sampling factor")
+        comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
+    if nc == 1:
+        # single-component frame: MCU is one data unit; sampling
+        # factors do not apply (T.81 A.2.2)
+        comps[0]["h"] = comps[0]["v"] = 1
+    return {"w": w, "h": h, "comps": comps}
+
+
+def _setup_grids(frame: dict) -> tuple[int, int, int, int]:
+    """Attach padded block grids + zeroed coefficient arrays to the
+    frame's components, bomb-guarded; returns (hmax, vmax, mcux,
+    mcuy)."""
+    comps = frame["comps"]
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        c["bw"] = mcux * c["h"]
+        c["bh"] = mcuy * c["v"]
+    # Bound allocations by what the SOF promises BEFORE any zeros/
+    # entropy work — the same untrusted-corpus decompression-bomb
+    # guard as the PNG inflate cap: a crafted 65500x65500 SOF would
+    # otherwise allocate tens of GiB of coefficient arrays and spin
+    # the per-MCU Python loop for hours on one blob (review r13).
+    # The cap is on padded coefficient SAMPLES; the peak buffer is
+    # the float64 IDCT input at 8 bytes/sample (<=256 MiB here).
+    total_samples = sum(c["bh"] * c["bw"] * 64 for c in comps)
+    if total_samples > JPEG_MAX_COEF_SAMPLES:
+        raise UnsupportedFormat(
+            f"JPEG decoded size {total_samples} coefficient samples "
+            f"exceeds cap {JPEG_MAX_COEF_SAMPLES}")
+    for c in comps:
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
+    return hmax, vmax, mcux, mcuy
+
+
+def _reconstruct(frame: dict, qt: dict, hmax: int,
+                 vmax: int) -> np.ndarray:
+    """Dequant + de-zigzag + vectorized IDCT + upsample + color
+    convert — shared by the sequential and progressive paths."""
+    w, h = frame["w"], frame["h"]
+    planes = []
+    for c in frame["comps"]:
+        if c["tq"] not in qt:
+            raise UnsupportedFormat("JPEG SOF references missing "
+                                    "quant table")
+        # dequant in zigzag order (DQT stores zigzag), then
+        # de-zigzag, then one vectorized IDCT over every block
+        deq = c["coef"].astype(np.int64) * qt[c["tq"]][None, :]
+        nat = np.zeros_like(deq)
+        nat[:, _ZIGZAG] = deq
+        blocks = nat.reshape(-1, 8, 8).astype(np.float64)
+        spatial = np.einsum("ux,nuv,vy->nxy", _DCT, blocks, _DCT)
+        spatial = np.clip(np.round(spatial) + 128, 0, 255)
+        plane = (spatial.reshape(c["bh"], c["bw"], 8, 8)
+                 .transpose(0, 2, 1, 3)
+                 .reshape(c["bh"] * 8, c["bw"] * 8))
+        # index-gather upsample to full frame dims (handles 4:2:0 /
+        # 4:2:2 / asymmetric ratios and the edge crop in one step)
+        yy = (np.arange(h) * c["v"]) // vmax
+        xx = (np.arange(w) * c["h"]) // hmax
+        planes.append(plane[yy][:, xx])
+    if len(planes) == 1:
+        return planes[0].astype(np.uint8)[..., None]
+    y, cb, cr = (p.astype(np.float64) for p in planes)
+    r = y + 1.402 * (cr - 128)
+    g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+    b = y + 1.772 * (cb - 128)
+    return (np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255)
+            .astype(np.uint8))
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
     """(height, width, channels) uint8 — grayscale (1) or RGB (3) —
-    for baseline/extended-sequential huffman JPEG. Anything outside
-    that envelope raises `UnsupportedFormat` (the caller's
+    for huffman-coded baseline, extended-sequential AND progressive
+    (spectral selection + successive approximation) JPEG. Anything
+    outside that envelope raises `UnsupportedFormat` (the caller's
     metadata/stub tiers take over)."""
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         raise UnsupportedFormat("not a JPEG stream")
@@ -294,60 +438,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             raise UnsupportedFormat("truncated JPEG segment")
         body = data[pos + 4:pos + 2 + seg]
         if marker == 0xDB:             # DQT, possibly several tables
-            i = 0
-            while i < len(body):
-                pq, tq = body[i] >> 4, body[i] & 0x0F
-                i += 1
-                if pq not in (0, 1):
-                    raise UnsupportedFormat("bad DQT precision")
-                n = 64 * (pq + 1)
-                if i + n > len(body):
-                    raise UnsupportedFormat("truncated DQT table")
-                if pq:
-                    tbl = np.frombuffer(body[i:i + n],
-                                        dtype=">u2").astype(np.int64)
-                else:
-                    tbl = np.frombuffer(body[i:i + n],
-                                        dtype=np.uint8).astype(np.int64)
-                qt[tq] = tbl           # zigzag order, as stored
-                i += n
+            _parse_dqt(body, qt)
         elif marker == 0xC4:           # DHT, possibly several tables
-            i = 0
-            while i < len(body):
-                if i + 17 > len(body):
-                    raise UnsupportedFormat("truncated DHT header")
-                tc, th = body[i] >> 4, body[i] & 0x0F
-                bits = list(body[i + 1:i + 17])
-                n = sum(bits)
-                if i + 17 + n > len(body):
-                    raise UnsupportedFormat("truncated DHT values")
-                vals = list(body[i + 17:i + 17 + n])
-                huff[(tc, th)] = _build_decode_table(bits, vals)
-                i += 17 + n
+            _parse_dht(body, huff)
         elif marker in (0xC0, 0xC1):   # baseline / extended seq.
-            if len(body) < 6:
-                raise UnsupportedFormat("short JPEG SOF segment")
-            if body[0] != 8:
-                raise UnsupportedFormat(f"{body[0]}-bit JPEG")
-            h = int.from_bytes(body[1:3], "big")
-            w = int.from_bytes(body[3:5], "big")
-            nc = body[5]
-            if h < 1:
-                raise UnsupportedFormat("JPEG with DNL-deferred height")
-            if w < 1:
-                raise UnsupportedFormat("degenerate JPEG width")
-            if nc not in (1, 3):
-                raise UnsupportedFormat(f"{nc}-component JPEG")
-            if len(body) < 6 + 3 * nc:
-                raise UnsupportedFormat("short JPEG SOF segment")
-            comps = []
-            for ci in range(nc):
-                cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
-                hi, vi = hv >> 4, hv & 0x0F
-                if not (1 <= hi <= 4 and 1 <= vi <= 4):
-                    raise UnsupportedFormat("bad JPEG sampling factor")
-                comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
+            frame = _parse_sof(body)
+        elif marker == 0xC2:           # progressive: its own path
+            return _decode_progressive(data)
         elif marker in _SOF_UNSUPPORTED:
             raise UnsupportedFormat(_SOF_UNSUPPORTED[marker])
         elif marker == 0xDD:           # DRI
@@ -381,32 +478,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                                     "component")
         by_id[cs]["dc"] = td
         by_id[cs]["ac"] = ta
-    if len(comps) == 1:
-        # single-component scan: MCU is one data unit; sampling
-        # factors do not apply (T.81 A.2.2)
-        comps[0]["h"] = comps[0]["v"] = 1
-    w, h = frame["w"], frame["h"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
+    hmax, vmax, mcux, mcuy = _setup_grids(frame)
     for c in comps:
-        c["bw"] = mcux * c["h"]
-        c["bh"] = mcuy * c["v"]
-    # Bound allocations by what the SOF promises BEFORE any zeros/
-    # entropy work — the same untrusted-corpus decompression-bomb
-    # guard as the PNG inflate cap: a crafted 65500x65500 SOF would
-    # otherwise allocate tens of GiB of coefficient arrays and spin
-    # the per-MCU Python loop for hours on one blob (review r13).
-    # The cap is on padded coefficient SAMPLES; the peak buffer is
-    # the float64 IDCT input at 8 bytes/sample (<=256 MiB here).
-    total_samples = sum(c["bh"] * c["bw"] * 64 for c in comps)
-    if total_samples > JPEG_MAX_COEF_SAMPLES:
-        raise UnsupportedFormat(
-            f"JPEG decoded size {total_samples} coefficient samples "
-            f"exceeds cap {JPEG_MAX_COEF_SAMPLES}")
-    for c in comps:
-        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
         if c["tq"] not in qt:
             raise UnsupportedFormat("JPEG SOF references missing "
                                     "quant table")
@@ -433,46 +506,292 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         col = mx * c["h"] + bx
                         c["coef"][row * c["bw"] + col] = block
             mcu += 1
-    planes = []
-    for c in comps:
-        # dequant in zigzag order (DQT stores zigzag), then
-        # de-zigzag, then one vectorized IDCT over every block
-        deq = c["coef"].astype(np.int64) * qt[c["tq"]][None, :]
-        nat = np.zeros_like(deq)
-        nat[:, _ZIGZAG] = deq
-        blocks = nat.reshape(-1, 8, 8).astype(np.float64)
-        spatial = np.einsum("ux,nuv,vy->nxy", _DCT, blocks, _DCT)
-        spatial = np.clip(np.round(spatial) + 128, 0, 255)
-        plane = (spatial.reshape(c["bh"], c["bw"], 8, 8)
-                 .transpose(0, 2, 1, 3)
-                 .reshape(c["bh"] * 8, c["bw"] * 8))
-        # index-gather upsample to full frame dims (handles 4:2:0 /
-        # 4:2:2 / asymmetric ratios and the edge crop in one step)
-        yy = (np.arange(h) * c["v"]) // vmax
-        xx = (np.arange(w) * c["h"]) // hmax
-        planes.append(plane[yy][:, xx])
-    if len(planes) == 1:
-        return planes[0].astype(np.uint8)[..., None]
-    y, cb, cr = (p.astype(np.float64) for p in planes)
-    r = y + 1.402 * (cr - 128)
-    g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
-    b = y + 1.772 * (cb - 128)
-    return (np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255)
-            .astype(np.uint8))
+    return _reconstruct(frame, qt, hmax, vmax)
+
+
+def _ac_first_block(reader, ac_table, coef, ss, se, al, eobrun):
+    """One block of an AC first scan (T.81 G.1.2.2): run/size codes
+    with EOB-run coding, values scaled by 2^Al."""
+    if eobrun > 0:
+        return eobrun - 1              # whole band is zero here
+    k = ss
+    while k <= se:
+        rs = reader.decode_symbol(ac_table)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.receive(r)
+                return eobrun - 1      # this block is one of them
+            k += 16                    # ZRL
+            continue
+        k += r
+        if k > se:
+            raise UnsupportedFormat("JPEG AC run past band end")
+        coef[k] = reader.receive_extend(s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(reader, ac_table, coef, ss, se, al, eobrun):
+    """One block of an AC refinement scan (T.81 G.1.2.3): correction
+    bits for history-nonzero coefficients, newly-visible ±1·2^Al
+    placements, EOB runs carrying trailing corrections."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_symbol(ac_table)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s:
+                if s != 1:
+                    raise UnsupportedFormat(
+                        "JPEG refinement magnitude > 1")
+                newval = p1 if reader.read_bit() else m1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.receive(r)
+                break                  # trailing corrections below
+            # advance over r zero-history positions, reading a
+            # correction bit at each nonzero-history one passed
+            while k <= se:
+                if coef[k] != 0:
+                    if reader.read_bit() and not (coef[k] & p1):
+                        coef[k] += p1 if coef[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                coef[k] = newval
+            k += 1
+    if eobrun > 0:
+        # inside an EOB run: every nonzero-history coefficient from
+        # k to the band end still carries a correction bit
+        while k <= se:
+            if coef[k] != 0:
+                if reader.read_bit() and not (coef[k] & p1):
+                    coef[k] += p1 if coef[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive(data: bytes) -> np.ndarray:
+    """Progressive huffman JPEG (SOF2, T.81 Annex G): coefficients
+    accumulate across scans — interleaved/non-interleaved DC first +
+    refinement, per-component AC first + refinement with EOB-run
+    coding — then one shared reconstruction. Tables may be redefined
+    between scans; restart intervals reset predictors AND the EOB
+    run."""
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    grids = None
+    restart_interval = 0
+    n_scans = 0
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise UnsupportedFormat("JPEG marker sync lost")
+        while pos + 4 <= len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        marker = data[pos + 1]
+        if marker == 0xD9:             # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            pos += 2
+            continue
+        seg = int.from_bytes(data[pos + 2:pos + 4], "big")
+        if seg < 2 or pos + 2 + seg > len(data):
+            raise UnsupportedFormat("truncated JPEG segment")
+        body = data[pos + 4:pos + 2 + seg]
+        if marker == 0xDB:
+            _parse_dqt(body, qt)
+        elif marker == 0xC4:
+            _parse_dht(body, huff)
+        elif marker == 0xC2:
+            if frame is not None:
+                raise UnsupportedFormat("multiple JPEG frames")
+            frame = _parse_sof(body)
+            grids = _setup_grids(frame)
+        elif marker in (0xC0, 0xC1) or marker in _SOF_UNSUPPORTED:
+            raise UnsupportedFormat("mixed JPEG frame types")
+        elif marker == 0xDD:
+            if len(body) < 2:
+                raise UnsupportedFormat("short JPEG DRI segment")
+            restart_interval = int.from_bytes(body[:2], "big")
+        elif marker == 0xEE:
+            if body[:5] == b"Adobe" and len(body) >= 12 \
+                    and body[11] == 0:
+                raise UnsupportedFormat("Adobe RGB-transform JPEG")
+        elif marker == 0xDA:
+            if frame is None:
+                raise UnsupportedFormat("JPEG scan before SOF")
+            pos = _progressive_scan(data, pos + 2 + seg, body,
+                                    frame, huff, restart_interval)
+            n_scans += 1
+            continue
+        pos += 2 + seg
+    if frame is None or n_scans == 0:
+        raise UnsupportedFormat("JPEG without SOF+SOS")
+    hmax, vmax, _, _ = grids
+    return _reconstruct(frame, qt, hmax, vmax)
+
+
+def _progressive_scan(data: bytes, entropy_pos: int, body: bytes,
+                      frame: dict, huff: dict,
+                      restart_interval: int) -> int:
+    """Decode one progressive scan's entropy data; returns the
+    position of the next marker."""
+    if len(body) < 1:
+        raise UnsupportedFormat("short JPEG SOS segment")
+    ns = body[0]
+    if len(body) < 1 + 2 * ns + 3:
+        raise UnsupportedFormat("short JPEG SOS segment")
+    ss = body[1 + 2 * ns]
+    se = body[2 + 2 * ns]
+    ahal = body[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0x0F
+    if not (0 <= ss <= se <= 63) or al > 13 or ah > 14:
+        raise UnsupportedFormat("bad JPEG progressive scan header")
+    if ah and ah != al + 1:
+        raise UnsupportedFormat("non-unit successive approximation")
+    by_id = {c["id"]: c for c in frame["comps"]}
+    scan_comps = []
+    for i in range(ns):
+        cs, tt = body[1 + 2 * i], body[2 + 2 * i]
+        if cs not in by_id:
+            raise UnsupportedFormat("JPEG SOS references unknown "
+                                    "component")
+        c = by_id[cs]
+        c["dc"], c["ac"] = tt >> 4, tt & 0x0F
+        scan_comps.append(c)
+    dc_scan = ss == 0
+    if dc_scan and se != 0:
+        raise UnsupportedFormat("progressive scan mixes DC and AC")
+    if not dc_scan and ns != 1:
+        raise UnsupportedFormat("interleaved progressive AC scan")
+    reader = _BitReader(data, entropy_pos)
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    w, h = frame["w"], frame["h"]
+
+    def tables(c, tc):
+        t = huff.get((tc, c["dc"] if tc == 0 else c["ac"]))
+        if t is None and not (dc_scan and ah):
+            raise UnsupportedFormat("JPEG SOS references missing "
+                                    "huffman table")
+        return t
+
+    preds = [0] * len(scan_comps)
+    eobrun = 0
+    if dc_scan and ns > 1:
+        # interleaved DC scan: baseline MCU geometry
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        mcu = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu and \
+                        mcu % restart_interval == 0:
+                    reader.restart()
+                    preds = [0] * len(scan_comps)
+                for ci, c in enumerate(scan_comps):
+                    dc_t = tables(c, 0)
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            row = my * c["v"] + by
+                            col = mx * c["h"] + bx
+                            blk = c["coef"][row * c["bw"] + col]
+                            preds[ci] = _dc_progressive(
+                                reader, dc_t, blk, ah, al,
+                                preds[ci])
+                mcu += 1
+    else:
+        # non-interleaved scan: the component's TRUE block grid
+        # (T.81 A.2.2), row-indexed into its padded coef array
+        c = scan_comps[0]
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        nbx = -(-cw // 8)
+        nby = -(-ch // 8)
+        dc_t = tables(c, 0) if dc_scan else None
+        ac_t = tables(c, 1) if not dc_scan else None
+        n_block = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                if restart_interval and n_block and \
+                        n_block % restart_interval == 0:
+                    reader.restart()
+                    preds = [0] * len(scan_comps)
+                    eobrun = 0
+                blk = c["coef"][by * c["bw"] + bx]
+                if dc_scan:
+                    preds[0] = _dc_progressive(
+                        reader, dc_t, blk, ah, al, preds[0])
+                elif ah == 0:
+                    eobrun = _ac_first_block(
+                        reader, ac_t, blk, ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine_block(
+                        reader, ac_t, blk, ss, se, al, eobrun)
+                n_block += 1
+    # advance to the next marker (skipping stuffed bytes and any
+    # stray restart markers after the last MCU)
+    pos = reader.pos
+    while pos + 1 < len(data):
+        if data[pos] == 0xFF and data[pos + 1] != 0x00:
+            if 0xD0 <= data[pos + 1] <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    raise UnsupportedFormat("JPEG stream ended inside a scan")
+
+
+def _dc_progressive(reader, dc_table, blk, ah, al, pred):
+    """DC coefficient for one block: first scan (Ah=0) diff-codes
+    the point-transformed value; refinement appends one bit."""
+    if ah == 0:
+        s = reader.decode_symbol(dc_table)
+        pred += reader.receive_extend(s) if s else 0
+        blk[0] = pred << al
+    else:
+        if reader.read_bit():
+            blk[0] |= 1 << al
+    return pred
 
 
 def is_baseline(data: bytes) -> bool:
+    """Header-only: True for the huffman baseline/extended-sequential
+    (SOF0/SOF1) subset of `is_decodable` — kept for callers that
+    care about the single-scan envelope specifically."""
+    return _sof_envelope(data, (0xC0, 0xC1))
+
+
+def is_decodable(data: bytes) -> bool:
     """Header-only classification: True when this stream is inside
-    `decode_jpeg`'s envelope (huffman baseline/extended-sequential
-    SOF0/SOF1, 8-bit, 1- or 3-component, not Adobe-RGB, dims under
-    the decode cap) — WITHOUT touching the entropy data. The dims
-    pass (`binary_ops._decode_one`) uses this to attribute the
-    ``jpeg`` tier at header-walk cost instead of paying a full
-    pure-python pixel decode just to report 4 scalars (review r13);
-    like the PIL tier, whose `Image.open` also reads only the
-    header. A stream whose ENTROPY data later proves corrupt still
-    falls to the stub tier in the pixel passes (features/resize) —
-    this is a format classification, not a decode guarantee."""
+    `decode_jpeg`'s envelope (huffman baseline, extended-sequential
+    OR progressive — SOF0/SOF1/SOF2 — 8-bit, 1- or 3-component, not
+    Adobe-RGB, dims under the decode cap) WITHOUT touching the
+    entropy data. The dims pass (`binary_ops._decode_one`) uses this
+    to attribute the ``jpeg`` tier at header-walk cost instead of
+    paying a full pure-python pixel decode just to report 4 scalars
+    (review r13); like the PIL tier, whose `Image.open` also reads
+    only the header. A stream whose ENTROPY data later proves
+    corrupt still falls to the stub tier in the pixel passes
+    (features/resize) — this is a format classification, not a
+    decode guarantee."""
+    return _sof_envelope(data, (0xC0, 0xC1, 0xC2))
+
+
+def _sof_envelope(data: bytes, sof_markers: tuple) -> bool:
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         return False
     pos = 2
@@ -490,7 +809,7 @@ def is_baseline(data: bytes) -> bool:
         if seg < 2 or pos + 2 + seg > len(data):
             return False
         body = data[pos + 4:pos + 2 + seg]
-        if marker in (0xC0, 0xC1):
+        if marker in sof_markers:
             if len(body) < 6 or body[0] != 8:
                 return False
             h = int.from_bytes(body[1:3], "big")
@@ -510,7 +829,10 @@ def is_baseline(data: bytes) -> bool:
             samples = sum(mcux * hi * mcuy * vi * 64
                           for hi, vi in zip(hs, vs))
             sof_ok = samples <= JPEG_MAX_COEF_SAMPLES
-        elif marker in _SOF_UNSUPPORTED or marker == 0xCC:
+        elif marker == 0xC2 or marker in _SOF_UNSUPPORTED \
+                or marker == 0xCC:
+            # a SOF type outside this call's envelope (0xC2 reaches
+            # here only when sof_markers excludes it)
             return False
         elif marker == 0xEE and body[:5] == b"Adobe" \
                 and len(body) >= 12 and body[11] == 0:
@@ -596,17 +918,29 @@ def _plane_to_zigzag(plane: np.ndarray, quant: np.ndarray) -> np.ndarray:
     return q[:, _ZIGZAG].reshape(bh, bw, 64)
 
 
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform: divide by 2^Al truncating toward zero
+    (T.81 G.1.2.1 — NOT an arithmetic shift, which floors)."""
+    return (abs(v) >> al) if v >= 0 else -(abs(v) >> al)
+
+
 def make_jpeg(arr: np.ndarray, quant: str | int | None = None,
               subsample: bool = False,
-              restart_interval: int = 0) -> bytes:
-    """Encode a (h, w, 1|3) uint8 array as baseline SOF0 JFIF.
+              restart_interval: int = 0,
+              progressive: bool = False) -> bytes:
+    """Encode a (h, w, 1|3) uint8 array as JFIF — baseline SOF0, or
+    with ``progressive=True`` a progressive SOF2 stream (DC first at
+    Al=1 → DC refinement → per-component AC first at Al=1 → AC
+    refinement, exercising spectral selection, successive
+    approximation, EOB runs and correction bits).
 
     ``quant=None`` → all-ones tables (near-lossless: only DCT
     rounding survives — the tight decoder-parity fixture);
     ``quant="annex-k"`` → the T.81 example tables (realistic lossy);
     an int 1-255 → a flat table of that step. ``subsample=True``
     emits 4:2:0 chroma (2x2 box-averaged). ``restart_interval=N``
-    inserts RSTn markers every N MCUs."""
+    inserts RSTn markers every N MCUs (baseline) / N scan units
+    (progressive)."""
     if arr.ndim != 3 or arr.shape[2] not in (1, 3):
         raise ValueError(f"expected (h, w, 1|3), got {arr.shape}")
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
@@ -661,28 +995,36 @@ def make_jpeg(arr: np.ndarray, quant: str | int | None = None,
     dc_c = _build_encode_table(*_DC_CHROMA)
     ac_c = _build_encode_table(*_AC_CHROMA)
     codes = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (len(planes) - 1)
-    writer = _BitWriter()
-    preds = [0] * len(planes)
-    mcu = 0
-    rst = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu and \
-                    mcu % restart_interval == 0:
-                writer.flush()
-                writer.buf += bytes([0xFF, 0xD0 + rst % 8])
-                rst += 1
-                preds = [0] * len(planes)
-            for ci, ((hi, vi), (dct, act)) in enumerate(
-                    zip(samp, codes)):
-                for by in range(vi):
-                    for bx in range(hi):
-                        preds[ci] = _encode_block(
-                            writer, zigs[ci][my * vi + by,
-                                             mx * hi + bx],
-                            preds[ci], dct, act)
-            mcu += 1
-    writer.flush()
+
+    def maybe_restart(writer, n, state) -> None:
+        if restart_interval and n and n % restart_interval == 0:
+            writer.flush()
+            writer.buf += bytes([0xFF, 0xD0 + state["rst"] % 8])
+            state["rst"] += 1
+            state["preds"] = [0] * len(planes)
+
+    if not progressive:
+        writer = _BitWriter()
+        st = {"rst": 0, "preds": [0] * len(planes)}
+        mcu = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart(writer, mcu, st)
+                for ci, ((hi, vi), (dct, act)) in enumerate(
+                        zip(samp, codes)):
+                    for by in range(vi):
+                        for bx in range(hi):
+                            st["preds"][ci] = _encode_block(
+                                writer, zigs[ci][my * vi + by,
+                                                 mx * hi + bx],
+                                st["preds"][ci], dct, act)
+                mcu += 1
+        writer.flush()
+        scans = None
+    else:
+        scans = _progressive_scans(zigs, samp, codes, w, h,
+                                   hmax, vmax, mcux, mcuy,
+                                   maybe_restart, len(planes))
 
     def seg(marker: int, payload: bytes) -> bytes:
         return bytes([0xFF, marker]) \
@@ -707,18 +1049,168 @@ def make_jpeg(arr: np.ndarray, quant: str | int | None = None,
         + bytes([len(planes)])
     for ci, (hi, vi) in enumerate(samp):
         sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
-    out += seg(0xC0, sof)
+    out += seg(0xC2 if progressive else 0xC0, sof)
     out += dht(0, 0, _DC_LUMA) + dht(1, 0, _AC_LUMA)
     if not gray:
         out += dht(0, 1, _DC_CHROMA) + dht(1, 1, _AC_CHROMA)
     if restart_interval:
         out += seg(0xDD, restart_interval.to_bytes(2, "big"))
-    sos = bytes([len(planes)])
-    for ci in range(len(planes)):
-        t = 0 if ci == 0 else 1
-        sos += bytes([ci + 1, (t << 4) | t])
-    sos += bytes([0, 63, 0])
-    out += seg(0xDA, sos)
-    out += writer.buf
+    if not progressive:
+        sos = bytes([len(planes)])
+        for ci in range(len(planes)):
+            t = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (t << 4) | t])
+        sos += bytes([0, 63, 0])
+        out += seg(0xDA, sos)
+        out += writer.buf
+    else:
+        for sos_payload, entropy in scans:
+            out += seg(0xDA, sos_payload)
+            out += entropy
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def _progressive_scans(zigs, samp, codes, w, h, hmax, vmax,
+                       mcux, mcuy, maybe_restart, n_planes):
+    """Build the progressive scan list: [(sos_payload, entropy)].
+    Script: interleaved DC first (Al=1) → interleaved DC refinement
+    → per-component AC first 1-63 (Al=1) → per-component AC
+    refinement (Ah=1 → Al=0). EOB runs are flushed per block (legal,
+    slightly less compact than cross-block buffering — this is the
+    test-side generator, not a production encoder)."""
+    def sos_payload(comp_ids, ss, se, ah, al):
+        p = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            t = 0 if ci == 0 else 1
+            p += bytes([ci + 1, (t << 4) | t])
+        return p + bytes([ss, se, (ah << 4) | al])
+
+    all_ids = list(range(n_planes))
+    scans = []
+
+    # --- interleaved DC first scan (Al = 1) ---
+    wr = _BitWriter()
+    st = {"rst": 0, "preds": [0] * n_planes}
+    mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            maybe_restart(wr, mcu, st)
+            for ci, (hi, vi) in enumerate(samp):
+                dct = codes[ci][0]
+                for by in range(vi):
+                    for bx in range(hi):
+                        v = int(zigs[ci][my * vi + by,
+                                         mx * hi + bx][0])
+                        sv = v >> 1            # DC point transform
+                        s, bits = _magnitude(sv - st["preds"][ci])
+                        code, ln = dct[s]
+                        wr.write(code, ln)
+                        wr.write(bits, s)
+                        st["preds"][ci] = sv
+            mcu += 1
+    wr.flush()
+    scans.append((sos_payload(all_ids, 0, 0, 0, 1), bytes(wr.buf)))
+
+    # --- interleaved DC refinement (Ah=1 -> Al=0): one raw bit ---
+    wr = _BitWriter()
+    st = {"rst": 0, "preds": [0] * n_planes}
+    mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            maybe_restart(wr, mcu, st)
+            for ci, (hi, vi) in enumerate(samp):
+                for by in range(vi):
+                    for bx in range(hi):
+                        v = int(zigs[ci][my * vi + by,
+                                         mx * hi + bx][0])
+                        wr.write(v & 1, 1)
+            mcu += 1
+    wr.flush()
+    scans.append((sos_payload(all_ids, 0, 0, 1, 0), bytes(wr.buf)))
+
+    # --- per-component AC scans over the TRUE block grid ---
+    for ci, (hi, vi) in enumerate(samp):
+        act = codes[ci][1]
+        cw = -(-w * hi // hmax)
+        ch = -(-h * vi // vmax)
+        nbx, nby = -(-cw // 8), -(-ch // 8)
+
+        # AC first, band 1-63, Al = 1
+        wr = _BitWriter()
+        st = {"rst": 0, "preds": [0] * n_planes}
+        nb = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                maybe_restart(wr, nb, st)
+                z = zigs[ci][by, bx]
+                r = 0
+                for k in range(1, 64):
+                    t = _pt_ac(int(z[k]), 1)
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        code, ln = act[0xF0]
+                        wr.write(code, ln)
+                        r -= 16
+                    s, bits = _magnitude(t)
+                    code, ln = act[(r << 4) | s]
+                    wr.write(code, ln)
+                    wr.write(bits, s)
+                    r = 0
+                if r:
+                    code, ln = act[0x00]   # EOB, run of 1
+                    wr.write(code, ln)
+                nb += 1
+        wr.flush()
+        scans.append((sos_payload([ci], 1, 63, 0, 1),
+                      bytes(wr.buf)))
+
+        # AC refinement, band 1-63, Ah=1 -> Al=0
+        wr = _BitWriter()
+        st = {"rst": 0, "preds": [0] * n_planes}
+        nb = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                maybe_restart(wr, nb, st)
+                z = zigs[ci][by, bx]
+                absv = [abs(int(z[k])) for k in range(64)]
+                eob = 0
+                for k in range(1, 64):
+                    if absv[k] == 1:
+                        eob = k            # last newly-visible coef
+                r = 0
+                buffered: list[int] = []
+                for k in range(1, 64):
+                    t = absv[k]
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and k <= eob:
+                        code, ln = act[0xF0]
+                        wr.write(code, ln)
+                        r -= 16
+                        for b in buffered:
+                            wr.write(b, 1)
+                        buffered = []
+                    if t > 1:              # history: correction bit
+                        buffered.append(t & 1)
+                        continue
+                    code, ln = act[(r << 4) | 1]
+                    wr.write(code, ln)
+                    wr.write(1 if int(z[k]) > 0 else 0, 1)
+                    for b in buffered:
+                        wr.write(b, 1)
+                    buffered = []
+                    r = 0
+                if r > 0 or buffered:
+                    code, ln = act[0x00]   # EOB carrying trailing
+                    wr.write(code, ln)     # corrections
+                    for b in buffered:
+                        wr.write(b, 1)
+                nb += 1
+        wr.flush()
+        scans.append((sos_payload([ci], 1, 63, 1, 0),
+                      bytes(wr.buf)))
+    return scans

@@ -9,13 +9,16 @@ Contracts under test:
 * every structural feature decodes: non-multiple-of-8 dims, 4:2:0
   subsampling, restart intervals, Annex K lossy tables, byte
   stuffing (0xFF00), fill bytes;
-* everything outside the baseline envelope refuses with
-  `UnsupportedFormat` (progressive, 12-bit, CMYK, Adobe-RGB,
+* progressive (SOF2) streams decode too — DC first + refinement,
+  AC first + refinement with EOB runs, bit-identical to the
+  baseline decode of the same quantized coefficients;
+* everything outside the huffman envelope refuses with
+  `UnsupportedFormat` (arithmetic, 12-bit, CMYK, Adobe-RGB,
   truncated streams) — falling to the metadata tier, never
   mis-decoding;
-* the Spark passes attribute the tier honestly: baseline JPEG →
-  decoder "jpeg" with REAL features/resize; progressive → the
-  "jpeg-dims" metadata tier.
+* the Spark passes attribute the tier honestly: baseline AND
+  progressive JPEG → decoder "jpeg" with REAL features/resize;
+  arithmetic → the "jpeg-dims" metadata tier.
 """
 
 from __future__ import annotations
@@ -123,13 +126,19 @@ def test_byte_stuffing_round_trip():
 def test_unsupported_variants_refuse():
     c = _smooth(16, 16)
     data = jpeg.make_jpeg(c)
-    # progressive: patch SOF0 -> SOF2
     sof_at = data.index(b"\xff\xc0")
-    prog = data[:sof_at + 1] + b"\xc2" + data[sof_at + 2:]
-    with pytest.raises(codecs.UnsupportedFormat, match="progressive"):
-        jpeg.decode_jpeg(prog)
+    # arithmetic-coded: outside the huffman envelope
+    arith = data[:sof_at + 1] + b"\xc9" + data[sof_at + 2:]
+    with pytest.raises(codecs.UnsupportedFormat, match="arithmetic"):
+        jpeg.decode_jpeg(arith)
     # ...but the metadata tier still reads its dims
-    assert codecs.image_dims(prog) == (16, 16, 3)
+    assert codecs.image_dims(arith) == (16, 16, 3)
+    # a fake-progressive stream (SOF2 over a BASELINE scan header,
+    # Ss=0/Se=63) refuses typed instead of mis-decoding
+    fake_prog = data[:sof_at + 1] + b"\xc2" + data[sof_at + 2:]
+    with pytest.raises(codecs.UnsupportedFormat,
+                       match="mixes DC and AC"):
+        jpeg.decode_jpeg(fake_prog)
     # 12-bit: patch the SOF precision byte
     deep = data[:sof_at + 4] + b"\x0c" + data[sof_at + 5:]
     with pytest.raises(codecs.UnsupportedFormat, match="12-bit"):
@@ -175,6 +184,9 @@ def test_is_baseline_header_classifier():
     sof_at = base.index(b"\xff\xc0")
     prog = base[:sof_at + 1] + b"\xc2" + base[sof_at + 2:]
     assert jpeg.is_baseline(prog) is False
+    assert jpeg.is_decodable(prog) is True   # SOF2 decodes now
+    arith = base[:sof_at + 1] + b"\xc9" + base[sof_at + 2:]
+    assert jpeg.is_decodable(arith) is False
     deep = base[:sof_at + 4] + b"\x0c" + base[sof_at + 5:]
     assert jpeg.is_baseline(deep) is False
     app14 = (b"\xff\xee" + (14).to_bytes(2, "big")
@@ -211,12 +223,13 @@ def test_decode_dispatch_and_fill_bytes():
 
 def test_baseline_jpeg_through_spark_passes(spark):
     """decode_media attributes tier "jpeg" with TRUE dims for
-    baseline streams; features/resize run the REAL tier (image
-    statistics, not hash stubs); progressive stays "jpeg-dims"."""
+    baseline AND progressive streams; features/resize run the REAL
+    tier (image statistics, not hash stubs); arithmetic-coded
+    streams stay "jpeg-dims"."""
     base = _smooth(24, 15)
     data = jpeg.make_jpeg(base)
     sof_at = data.index(b"\xff\xc0")
-    prog = data[:sof_at + 1] + b"\xc2" + data[sof_at + 2:]
+    prog = data[:sof_at + 1] + b"\xc9" + data[sof_at + 2:]
     rows = [(1, "image", bytearray(data), "t", len(data)),
             (2, "image", bytearray(prog), "t", len(prog))]
     media = spark.createDataFrame(
@@ -237,3 +250,61 @@ def test_baseline_jpeg_through_spark_passes(spark):
           for r in resize_media(media, max_side=8).collect()}
     assert (rs[1]["width"], rs[1]["height"]) == (5, 8)
     assert bytes(rs[1]["data"])[:2] == b"P6"
+
+
+def test_progressive_round_trips():
+    """Progressive (SOF2) decode: DC first + refinement, AC first +
+    refinement with EOB runs — same near-lossless bounds as the
+    baseline path, and bit-identical output to the baseline decode
+    of the same quantized coefficients."""
+    g = (np.add.outer(np.arange(17) * 3, np.arange(24) * 2)
+         % 256).astype(np.uint8)[..., None]
+    pd_ = jpeg.make_jpeg(g, progressive=True)
+    assert b"\xff\xc2" in pd_
+    assert np.abs(jpeg.decode_jpeg(pd_).astype(int)
+                  - g.astype(int)).max() <= 1
+    rng = np.random.default_rng(7)
+    c = rng.integers(0, 256, (20, 13, 3), dtype=np.uint8)
+    out = jpeg.decode_jpeg(jpeg.make_jpeg(c, progressive=True))
+    assert np.abs(out.astype(int) - c.astype(int)).max() <= 3
+    # progressive == baseline for identical coefficients
+    assert np.array_equal(
+        out, jpeg.decode_jpeg(jpeg.make_jpeg(c)))
+    # 4:2:0 + restart intervals through the progressive path
+    flat = np.zeros((19, 22, 3), dtype=np.uint8)
+    flat[..., 0] = (np.add.outer(np.arange(19) * 5,
+                                 np.arange(22) * 3) % 256)
+    flat[..., 1] = 80
+    flat[..., 2] = 160
+    out = jpeg.decode_jpeg(
+        jpeg.make_jpeg(flat, subsample=True, progressive=True))
+    assert np.abs(out.astype(int) - flat.astype(int)).max() <= 4
+    out = jpeg.decode_jpeg(
+        jpeg.make_jpeg(g, progressive=True, restart_interval=2))
+    assert np.abs(out.astype(int) - g.astype(int)).max() <= 1
+    # lossy progressive (annex-k) stays sane on smooth content
+    sm = _smooth(32, 32)
+    out = jpeg.decode_jpeg(
+        jpeg.make_jpeg(sm, quant="annex-k", progressive=True))
+    assert np.abs(out.astype(int) - sm.astype(int)).mean() < 12
+
+
+def test_progressive_through_spark_passes(spark):
+    """A REAL progressive stream attributes tier "jpeg" with true
+    dims and real features (the is_decodable envelope covers
+    SOF2)."""
+    from big_data_bowl___2023_spark.multimodal.binary_ops import (
+        decode_media as _dm,
+        extract_features as _ef,
+    )
+    base = _smooth(24, 15)
+    data = jpeg.make_jpeg(base, progressive=True)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(data), "t", len(data))],
+        "media_id long, modality string, data binary, "
+        "source string, n_bytes long")
+    row = _dm(media).collect()[0]
+    assert (row["width"], row["height"], row["n_channels"],
+            row["decoder"]) == (15, 24, 3, "jpeg")
+    feats = _ef(media).collect()[0]["features"]
+    assert feats[0] == pytest.approx(15 / 4096)

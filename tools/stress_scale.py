@@ -478,21 +478,28 @@ def media_mix_legs(spark, scales) -> None:
     t = np.arange(2000) / 2000.0
     tone = np.stack([np.sin(2 * np.pi * 440 * t)], axis=1)
     base_jpeg = jpeg.make_jpeg(img)
+    prog_jpeg = jpeg.make_jpeg(img, progressive=True)
     sof_at = base_jpeg.index(b"\xff\xc0")
-    prog_jpeg = base_jpeg[:sof_at + 1] + b"\xc2" \
-        + base_jpeg[sof_at + 2:]
-    gif = (b"GIF89a" + (24).to_bytes(2, "little")
-           + (16).to_bytes(2, "little") + b"\x00\x00\x00")
+    arith_jpeg = base_jpeg[:sof_at + 1] + b"\xc9" \
+        + base_jpeg[sof_at + 2:]             # arithmetic: dims tier
+    from big_data_bowl___2023_spark.multimodal import gif as gifmod
+    real_gif = gifmod.make_gif((img // 32) * 32)   # <=256 colors
+    gif_hdr = (b"GIF89a" + (24).to_bytes(2, "little")
+               + (16).to_bytes(2, "little") + b"\x00\x00\x00")
     junk = b"\x00PDF-ish junk the bridge cannot classify" * 16
-    # per-16 template mix -> expected decoder attribution
+    # per-16 template mix -> expected decoder attribution (baseline
+    # AND progressive JPEG decode for real now; arithmetic and
+    # frame-less GIF represent the metadata tiers)
     templates = (
-        [("png", codecs.make_png(img))] * 3
+        [("png", codecs.make_png(img))] * 2
         + [("bmp", codecs.make_bmp(img))] * 2
-        + [("jpeg", base_jpeg)] * 3
-        + [("jpeg-dims", prog_jpeg)] * 2
-        + [("gif-dims", gif)] * 1
+        + [("jpeg", base_jpeg)] * 2
+        + [("jpeg", prog_jpeg)] * 2
+        + [("jpeg-dims", arith_jpeg)] * 1
+        + [("gif", real_gif)] * 2
+        + [("gif-dims", gif_hdr)] * 1
         + [("wav", codecs.make_wav(tone, 8000))] * 2
-        + [("y4m", codecs.make_y4m(clip))] * 2
+        + [("y4m", codecs.make_y4m(clip))] * 1
         + [("unknown-stub", junk)] * 1)
     per_16 = {}
     for tier, _ in templates:
