@@ -53,6 +53,23 @@ def _color_table(data: bytes, pos: int, flag_byte: int
             .reshape(n, 3)), end
 
 
+def _skip_sub_blocks(data: bytes, pos: int) -> int:
+    """Advance past a sub-block chain WITHOUT materializing it —
+    the structure-only walk `has_frame` runs per record in the dims
+    pass (review r13b: joining a multi-MB first-frame payload just
+    to validate chain lengths doubled the pass's memory traffic)."""
+    while True:
+        if pos >= len(data):
+            raise UnsupportedFormat("truncated GIF sub-block chain")
+        n = data[pos]
+        pos += 1
+        if n == 0:
+            return pos
+        if pos + n > len(data):
+            raise UnsupportedFormat("truncated GIF sub-block")
+        pos += n
+
+
 def _sub_blocks(data: bytes, pos: int) -> tuple[bytes, int]:
     """Reassemble a sub-block chain into one bytes payload."""
     parts = []
@@ -174,8 +191,12 @@ def decode_gif(data: bytes) -> np.ndarray:
             label = data[pos]
             pos += 1
             body, pos = _sub_blocks(data, pos)
-            if label == 0xF9 and len(body) >= 4 and body[0] & 1:
-                transparent = body[3]        # GCE transparency index
+            if label == 0xF9:
+                # a GCE governs only the next rendering block
+                # (GIF89a 23c) — a later GCE with the flag clear
+                # must RESET a stale index (review r13b)
+                transparent = body[3] \
+                    if len(body) >= 4 and body[0] & 1 else None
             continue
         if block != 0x2C:
             raise UnsupportedFormat(
@@ -244,7 +265,7 @@ def has_frame(data: bytes) -> bool:
                 return False
             if block == 0x21:
                 pos += 1                     # label byte
-                _, pos = _sub_blocks(data, pos)
+                pos = _skip_sub_blocks(data, pos)
                 continue
             if block != 0x2C:
                 return False
@@ -263,7 +284,10 @@ def has_frame(data: bytes) -> bool:
                 return False                 # no palette anywhere
             if pos >= len(data):
                 return False
-            _, pos = _sub_blocks(data, pos + 1)
+            if not 2 <= data[pos] <= 11:
+                return False   # decode_gif refuses this min-code,
+                               # so the tier label must too (r13b)
+            _skip_sub_blocks(data, pos + 1)
             return True
         return False
     except UnsupportedFormat:

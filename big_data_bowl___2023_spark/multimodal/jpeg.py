@@ -244,6 +244,11 @@ def _decode_block(reader, dc_table, ac_table, pred):
     """One 8x8 block of zigzag-order coefficients (T.81 F.2.2)."""
     coef = np.zeros(64, dtype=np.int32)
     s = reader.decode_symbol(dc_table)
+    if s > 11:
+        # T.81 F.1.2.1.2: DC size categories are 0-11 for 8-bit —
+        # a crafted DHT symbol would otherwise build a huge int and
+        # overflow the int32 coef store untyped (review r13b)
+        raise UnsupportedFormat(f"JPEG DC size category {s}")
     pred += reader.receive_extend(s) if s else 0
     coef[0] = pred
     k = 1
@@ -654,6 +659,8 @@ def _progressive_scan(data: bytes, entropy_pos: int, body: bytes,
     ns = body[0]
     if len(body) < 1 + 2 * ns + 3:
         raise UnsupportedFormat("short JPEG SOS segment")
+    if not 1 <= ns <= 4:
+        raise UnsupportedFormat(f"{ns}-component JPEG scan")
     ss = body[1 + 2 * ns]
     se = body[2 + 2 * ns]
     ahal = body[3 + 2 * ns]
@@ -760,8 +767,14 @@ def _dc_progressive(reader, dc_table, blk, ah, al, pred):
     the point-transformed value; refinement appends one bit."""
     if ah == 0:
         s = reader.decode_symbol(dc_table)
+        if s > 11:
+            raise UnsupportedFormat(f"JPEG DC size category {s}")
         pred += reader.receive_extend(s) if s else 0
-        blk[0] = pred << al
+        val = pred << al
+        if not -(1 << 30) <= val <= (1 << 30):
+            # corrupt predictor walk: keep the int32 store typed
+            raise UnsupportedFormat("JPEG DC predictor out of range")
+        blk[0] = val
     else:
         if reader.read_bit():
             blk[0] |= 1 << al

@@ -161,3 +161,37 @@ def test_gif_through_spark_passes(spark):
           for r in resize_media(media, max_side=8).collect()}
     assert (rs[1]["width"], rs[1]["height"]) == (5, 8)
     assert bytes(rs[1]["data"])[:2] == b"P6"
+
+
+def test_gce_resets_between_extensions():
+    """A GCE governs only the next rendering block (GIF89a 23c): a
+    later GCE with the transparency flag CLEAR must reset a stale
+    index (review r13b)."""
+    gct = bytes([0, 0, 255, 255, 0, 0])
+    idx = np.array([[0, 1], [1, 0]], dtype=np.uint8)
+    payload = gif._lzw_encode(idx.reshape(-1), 2)
+    stream = (b"GIF89a" + (2).to_bytes(2, "little")
+              + (2).to_bytes(2, "little")
+              + bytes([0x80, 0, 0]) + gct
+              + b"\x21\xf9\x04\x01\x00\x00\x01\x00"  # flag=1
+              + b"\x21\xf9\x04\x00\x00\x00\x01\x00"  # flag=0
+              + b"\x2c" + bytes(4)
+              + (2).to_bytes(2, "little") + (2).to_bytes(2, "little")
+              + b"\x00" + bytes([2])
+              + bytes([len(payload)]) + payload + b"\x00\x3b")
+    out = gif.decode_gif(stream)
+    assert out[0, 1].tolist() == [255, 0, 0]    # painted, not bg
+
+
+def test_has_frame_rejects_bad_min_code():
+    """has_frame's envelope must match decode_gif's: an intact frame
+    whose LZW min-code byte is invalid (decode refuses it) must not
+    be attributed the real tier (review r13b)."""
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    data = gif.make_gif(img)
+    mc_at = data.index(b"\x2c") + 10
+    bad = bytearray(data)
+    bad[mc_at] = 0
+    assert gif.has_frame(bytes(bad)) is False
+    with pytest.raises(codecs.UnsupportedFormat):
+        gif.decode_gif(bytes(bad))

@@ -308,3 +308,36 @@ def test_progressive_through_spark_passes(spark):
             row["decoder"]) == (15, 24, 3, "jpeg")
     feats = _ef(media).collect()[0]["features"]
     assert feats[0] == pytest.approx(15 / 4096)
+
+
+def test_crafted_scan_headers_refuse_typed():
+    """Corrupt scan structures raise UnsupportedFormat, never an
+    untyped IndexError/OverflowError (review r13b): a 0-component
+    progressive scan, and a DHT whose symbol claims a 120-bit DC
+    magnitude (T.81 caps DC size categories at 11)."""
+    c = _smooth(8, 8)
+    pdata = jpeg.make_jpeg(c, progressive=True)
+    sos_at = pdata.index(b"\xff\xda")
+    seg_len = int.from_bytes(pdata[sos_at + 2:sos_at + 4], "big")
+    ns0 = pdata[:sos_at + 2] + (6).to_bytes(2, "big") \
+        + bytes([0, 0, 0, 0]) + pdata[sos_at + 2 + seg_len:]
+    with pytest.raises(codecs.UnsupportedFormat, match="0-component"):
+        jpeg.decode_jpeg(ns0)
+    # baseline stream whose DC DHT maps a 1-bit code to symbol 120:
+    # decode must refuse the size category, not overflow int32
+    bits = [1] + [0] * 15
+    dht = (b"\xff\xc4" + (2 + 17 + 1).to_bytes(2, "big")
+           + bytes([0x00]) + bytes(bits) + bytes([120]))
+    base = jpeg.make_jpeg(c)
+    # replace the luma DC DHT (first 0xFFC4 segment)
+    at = base.index(b"\xff\xc4")
+    seg_len = int.from_bytes(base[at + 2:at + 4], "big")
+    bad = base[:at] + dht + base[at + 2 + seg_len:]
+    # force all-zero entropy so the first DC decode deterministically
+    # hits the 1-bit code mapped to symbol 120
+    sos_at = bad.index(b"\xff\xda")
+    seg_len = int.from_bytes(bad[sos_at + 2:sos_at + 4], "big")
+    bad = bad[:sos_at + 2 + seg_len] + b"\x00" * 24 + b"\xff\xd9"
+    with pytest.raises(codecs.UnsupportedFormat,
+                       match="size category"):
+        jpeg.decode_jpeg(bad)
