@@ -17,8 +17,10 @@ environment for:
   palette (color types 0/4/2/6/3; palette expands through PLTE to
   RGB, tRNS dropped like BMP's padding alpha), all five scanline
   filters, multi-IDAT, CRC-verified chunks (public format: RFC
-  2083 / W3C PNG spec; DEFLATE via stdlib ``zlib``). 16-bit,
-  <8-bit and Adam7-interlaced PNGs raise `UnsupportedFormat`;
+  2083 / W3C PNG spec; DEFLATE via stdlib ``zlib``), sequential OR
+  Adam7-interlaced (seven independently-filtered sub-images
+  scattered by the pass grid). 16-bit and <8-bit PNGs raise
+  `UnsupportedFormat`;
 * **WAV (PCM)** via `decode_wav` — 8/16-bit RIFF/WAVE to
   float64 [-1, 1] ``(n_frames, channels)`` + sample rate (the audio
   analogue of the image decoders; non-PCM/24-bit variants refuse);
@@ -26,16 +28,21 @@ environment for:
   uint8 ``(h, w, 1)`` with subset selection that never materializes
   unpicked frames (C420*/C444/Cmono, non-interlaced); the video
   tier behind the real `frame_sample`;
-* **JPEG** — FULL baseline/extended-sequential pixel decode
-  (`multimodal.jpeg`: huffman entropy decode, dequant, vectorized
-  IDCT, chroma upsample, YCbCr→RGB — public format: ITU-T T.81 /
-  JFIF), any sampling factors, restart intervals; progressive/
-  arithmetic/12-bit/CMYK streams fall to the metadata tier below;
-* **progressive JPEG / GIF / WebP** via `image_dims` —
-  METADATA-GRADE: true (width, height, channels) from the header
-  (SOF marker walk / logical-screen descriptor / VP8·VP8L·VP8X
-  headers) without pixel decode, so `decode_media` reports real
-  dimensions while features/resize honestly fall to the stub tier.
+* **JPEG** — FULL pixel decode for baseline, extended-sequential
+  AND progressive huffman streams (`multimodal.jpeg`: entropy
+  decode incl. Annex G spectral selection / successive
+  approximation, dequant, vectorized IDCT, chroma upsample,
+  YCbCr→RGB — public format: ITU-T T.81 / JFIF), any sampling
+  factors, restart intervals; arithmetic/12-bit/CMYK streams fall
+  to the metadata tier below;
+* **GIF** — FULL first-frame pixel decode (`multimodal.gif`: LZW,
+  color tables, interlace, canvas composition with GCE
+  transparency); frame-less streams fall to the metadata tier;
+* **arithmetic JPEG / WebP** via `image_dims` — METADATA-GRADE:
+  true (width, height, channels) from the header (SOF marker walk /
+  logical-screen descriptor / VP8·VP8L·VP8X headers) without pixel
+  decode, so `decode_media` reports real dimensions while
+  features/resize honestly fall to the stub tier.
 
 Anything else (16-bit netpbm, RLE BMP, animated WebP, …) raises
 `UnsupportedFormat`, and `binary_ops` falls back to its documented
@@ -186,6 +193,21 @@ def _decode_netpbm(data: bytes, magic: bytes,
 # type 3 stores one index byte per pixel and expands through PLTE
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+# Adam7 pass origins/strides: (x0, xs, y0, ys) per pass (PNG spec
+# §8.2) — shared by the decoder's scatter and make_png's gather
+_ADAM7 = ((0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+          (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2))
+
+
+def _adam7_passes(width: int, height: int):
+    """Yield (x0, xs, y0, ys, pw, ph) for each NON-EMPTY pass."""
+    for x0, xs, y0, ys in _ADAM7:
+        pw = max(0, -(-(width - x0) // xs))
+        ph = max(0, -(-(height - y0) // ys))
+        if pw and ph:
+            yield x0, xs, y0, ys, pw, ph
+
+
 # hard ceiling on a single PNG's unfiltered pixel-buffer bytes —
 # payloads are untrusted; anything claiming more is rejected before
 # the inflate rather than materialized in executor memory
@@ -283,8 +305,8 @@ def _decode_png(data: bytes) -> np.ndarray:
         raise UnsupportedFormat(f"PNG color type {color}")
     if comp != 0 or filt != 0:
         raise UnsupportedFormat("nonstandard PNG compression/filter")
-    if interlace != 0:
-        raise UnsupportedFormat("Adam7-interlaced PNG")
+    if interlace not in (0, 1):
+        raise UnsupportedFormat(f"PNG interlace method {interlace}")
     if width <= 0 or height <= 0:
         raise UnsupportedFormat("degenerate PNG dimensions")
     idat_parts, plte = [], None
@@ -301,7 +323,12 @@ def _decode_png(data: bytes) -> np.ndarray:
     # inside a 100 TB untrusted-corpus decode pass (ADVICE r12).
     # expected = (stride + filter byte) * height, capped.
     bpp = _PNG_CHANNELS[color]
-    expected = (width * bpp + 1) * height
+    if interlace:
+        # Adam7: seven independently-filtered sub-images
+        expected = sum((pw * bpp + 1) * ph
+                       for *_, pw, ph in _adam7_passes(width, height))
+    else:
+        expected = (width * bpp + 1) * height
     if expected > PNG_MAX_DECODED_BYTES:
         raise UnsupportedFormat(
             f"PNG decoded size {expected} exceeds cap "
@@ -315,7 +342,18 @@ def _decode_png(data: bytes) -> np.ndarray:
     if len(raw) > expected or dec.unconsumed_tail:
         raise UnsupportedFormat(
             "PNG DEFLATE stream larger than IHDR dimensions allow")
-    out = _png_unfilter(raw, width, height, _PNG_CHANNELS[color])
+    if interlace:
+        out = np.zeros((height, width, bpp), dtype=np.uint8)
+        off = 0
+        for x0, xs, y0, ys, pw, ph in _adam7_passes(width, height):
+            n = (pw * bpp + 1) * ph
+            out[y0::ys, x0::xs] = _png_unfilter(
+                raw[off:off + n], pw, ph, bpp)
+            off += n
+        if off != len(raw):
+            raise UnsupportedFormat("PNG pixel data length mismatch")
+    else:
+        out = _png_unfilter(raw, width, height, bpp)
     if color != 3:
         return out
     # palette expansion: index bytes -> PLTE RGB triples (tRNS alpha
@@ -330,11 +368,13 @@ def _decode_png(data: bytes) -> np.ndarray:
     return pal[idxs]
 
 
-def make_png(arr: np.ndarray, filter_type: int = 4) -> bytes:
-    """Encode a (h, w, 1|2|3|4) uint8 array as a non-interlaced 8-bit
-    PNG, filtering every scanline with `filter_type` (0-4) — the
-    test-side generator that exercises each unfilter branch without
-    shipping binary fixtures."""
+def make_png(arr: np.ndarray, filter_type: int = 4,
+             interlace: bool = False) -> bytes:
+    """Encode a (h, w, 1|2|3|4) uint8 array as an 8-bit PNG —
+    sequential, or Adam7-interlaced with ``interlace=True`` —
+    filtering every scanline with `filter_type` (0-4): the test-side
+    generator that exercises each unfilter branch and the interlace
+    scatter without shipping binary fixtures."""
     if arr.ndim != 3 or arr.shape[2] not in (1, 2, 3, 4):
         raise ValueError(f"expected (h, w, 1|2|3|4), got {arr.shape}")
     if filter_type not in range(5):
@@ -342,6 +382,31 @@ def make_png(arr: np.ndarray, filter_type: int = 4) -> bytes:
     h, w, ch = arr.shape
     color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if interlace:
+        scan = b"".join(
+            _png_filter_pass(arr[y0::ys, x0::xs], filter_type)
+            for x0, xs, y0, ys, _, _ in _adam7_passes(w, h))
+    else:
+        scan = _png_filter_pass(arr, filter_type)
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (len(payload).to_bytes(4, "big") + ctype + payload
+                + (zlib.crc32(ctype + payload)
+                   & 0xFFFFFFFF).to_bytes(4, "big"))
+
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, color, 0, 0, 1 if interlace else 0]))
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(scan))
+            + chunk(b"IEND", b""))
+
+
+def _png_filter_pass(arr: np.ndarray, filter_type: int) -> bytes:
+    """Filter one (sub-)image's scanlines with `filter_type` —
+    shared by the sequential and Adam7 encoder paths (each Adam7
+    pass filters independently, PNG spec §8.2)."""
+    h, w, ch = arr.shape
+    arr = np.ascontiguousarray(arr)
     up = np.concatenate(
         [np.zeros((1, w, ch), dtype=np.uint8), arr[:-1]],
         axis=0).astype(np.int64)
@@ -369,17 +434,7 @@ def make_png(arr: np.ndarray, filter_type: int = 4) -> bytes:
     body = (filtered % 256).astype(np.uint8).reshape(h, w * ch)
     scan = np.concatenate(
         [np.full((h, 1), filter_type, dtype=np.uint8), body], axis=1)
-
-    def chunk(ctype: bytes, payload: bytes) -> bytes:
-        return (len(payload).to_bytes(4, "big") + ctype + payload
-                + (zlib.crc32(ctype + payload)
-                   & 0xFFFFFFFF).to_bytes(4, "big"))
-
-    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
-            + bytes([8, color, 0, 0, 0]))
-    return (_PNG_SIG + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", zlib.compress(scan.tobytes()))
-            + chunk(b"IEND", b""))
+    return scan.tobytes()
 
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:

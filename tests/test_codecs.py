@@ -184,6 +184,23 @@ def test_png_round_trip_all_filters(filter_type):
         np.testing.assert_array_equal(codecs.decode(data), img)
 
 
+def test_png_adam7_round_trip():
+    """Adam7-interlaced PNGs decode exactly: seven independently
+    filtered sub-images scattered by the pass grid — every filter
+    type, channel count, and degenerate shapes where some passes
+    are empty."""
+    rng = np.random.default_rng(5)
+    for shape in [(17, 24, 3), (8, 8, 1), (21, 13, 4), (1, 1, 3),
+                  (7, 3, 2), (2, 40, 3)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        for ft in range(5):
+            data = codecs.make_png(img, filter_type=ft,
+                                   interlace=True)
+            assert data[28] == 1             # IHDR interlace byte
+            assert np.array_equal(codecs.decode(data), img), \
+                (shape, ft)
+
+
 def test_png_mixed_filters_and_multi_idat():
     """Real encoders pick a filter per row and may split IDAT; the
     decoder must handle both."""
@@ -267,8 +284,9 @@ def test_png_unsupported_variants_refuse():
         codecs.decode(patched(8, 16))
     with pytest.raises(codecs.UnsupportedFormat, match="color type 5"):
         codecs.decode(patched(9, 5))
-    with pytest.raises(codecs.UnsupportedFormat, match="interlaced"):
-        codecs.decode(patched(12, 1))
+    with pytest.raises(codecs.UnsupportedFormat,
+                       match="interlace method"):
+        codecs.decode(patched(12, 2))   # Adam7 (=1) decodes now
     # flipped payload byte -> CRC mismatch, loud but typed
     evil = bytearray(good)
     evil[evil.index(b"IDAT") + 6] ^= 0xFF
