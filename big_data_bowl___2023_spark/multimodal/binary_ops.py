@@ -406,6 +406,37 @@ def resize_media(media: DataFrame, max_side: int = 32) -> DataFrame:
             .mapInPandas(resize, RESIZED_SCHEMA))
 
 
+def media_near_dup_pairs(media: DataFrame, threshold: float = 0.98,
+                         dim: int = FEATURE_DIM,
+                         use_lsh: bool = False) -> DataFrame:
+    """(media_id_a, media_id_b, cosine) pairs of near-duplicate media
+    records — the image analogue of the text corpus's embedding
+    dedup, composing the two families this engine already has: one
+    Arrow `extract_features` pass (real image/audio/video statistics
+    for decodable payloads; a model forward pass in deployment) feeds
+    `dedup.embedding`'s exact block-GEMM pipeline (``use_lsh=True``
+    switches to the hyperplane-bucketed sub-quadratic variant for
+    corpus scale). Shuffles carry only (media_id, dim-float vector) —
+    the blobs never leave their partitions; dedup over 100 TB of
+    media moves kilobytes per record."""
+    from ..dedup.embedding import (
+        cosine_near_dup_pairs,
+        cosine_near_dup_pairs_lsh,
+    )
+
+    feats = extract_features(media, dim=dim)
+    if use_lsh:
+        pairs = cosine_near_dup_pairs_lsh(
+            feats, threshold, vec_col="features",
+            id_col="media_id", dim=dim)
+    else:
+        pairs = cosine_near_dup_pairs(
+            feats, threshold, vec_col="features", id_col="media_id")
+    return pairs.select(F.col("vec_a").alias("media_id_a"),
+                        F.col("vec_b").alias("media_id_b"),
+                        "cosine")
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 64,
                  max_frames: int = 4) -> DataFrame:
     """Frame sampling for video-like payloads — REAL for Y4M streams

@@ -180,6 +180,31 @@ def read_binary_files(spark: SparkSession, pattern: str,
     return r.load(pattern)
 
 
+def read_binary_files_stream(spark: SparkSession, pattern: str,
+                             glob_filter: str | None = None,
+                             max_files_per_trigger: int | None = None
+                             ) -> DataFrame:
+    """Streaming twin of :func:`read_binary_files`: a Structured
+    Streaming ``binaryFile`` source over a landing bucket — new
+    assets become micro-batch rows with the same (path,
+    modificationTime, length, content) schema, so
+    ``media_from_binary_files`` and the decode/features/resize
+    passes compose unchanged inside ``foreachBatch``. The
+    continuous-ingestion shape for media at 100 TB: the object
+    store is the queue, file granularity is the unit of progress,
+    and ``maxFilesPerTrigger`` bounds per-batch memory (blobs ride
+    whole)."""
+    r = spark.readStream.format("binaryFile") \
+        .schema("path string, modificationTime timestamp, "
+                "length long, content binary")
+    if glob_filter:
+        r = r.option("pathGlobFilter", glob_filter)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger",
+                     str(int(max_files_per_trigger)))
+    return r.load(pattern)
+
+
 def _file_digests(df: DataFrame) -> dict:
     """Per-file {rows, xor64} over every data column: one scan,
     bit_xor of row hashes (order-insensitive, overflow-free — a sum

@@ -733,3 +733,80 @@ def test_webp_header_dims():
         codecs.image_dims(riff(b"ANIM", b"\x00" * 16))
     with pytest.raises(codecs.UnsupportedFormat, match="image_dims"):
         codecs.decode(vp8)
+
+
+def test_media_near_dup_pairs(spark):
+    """Image near-dup over media payloads: one features pass feeding
+    the embedding-dedup GEMM pipeline — exact duplicates land at
+    cosine 1.0, a near-variant above the threshold, an unrelated
+    image below it; the LSH variant agrees on the planted pair."""
+    from big_data_bowl___2023_spark.multimodal.binary_ops import (
+        media_near_dup_pairs,
+    )
+
+    base = _grad(24, 18)
+    near = base.copy()
+    near[0, 0] = [255, 255, 255]            # one-pixel variant
+    other = 255 - base                      # different statistics
+    rows = [(1, "image", bytearray(codecs.make_bmp(base)), "t", 0),
+            (2, "image", bytearray(codecs.make_png(base)), "t", 0),
+            (3, "image", bytearray(codecs.make_bmp(near)), "t", 0),
+            (4, "image", bytearray(codecs.make_bmp(other)), "t", 0)]
+    media = spark.createDataFrame(
+        rows, "media_id long, modality string, data binary, "
+              "source string, n_bytes long")
+    pairs = {(r["media_id_a"], r["media_id_b"]): r["cosine"]
+             for r in media_near_dup_pairs(media, 0.999).collect()}
+    # identical pixels through two containers: exact feature match
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and (2, 3) in pairs   # near-variant
+    assert not any(4 in p for p in pairs)        # unrelated below
+    lsh = {(r["media_id_a"], r["media_id_b"])
+           for r in media_near_dup_pairs(media, 0.999,
+                                         use_lsh=True).collect()}
+    assert (1, 2) in lsh                    # LSH recalls the twin
+
+
+def test_streaming_media_ingest(spark, tmp_path):
+    """The continuous media-ingestion shape: a streaming binaryFile
+    source over a landing dir -> the magic-byte bridge -> the real
+    decode pass inside foreachBatch, appended durably. New files
+    arriving between triggers land in later batches with correct
+    tier attribution."""
+    from big_data_bowl___2023_spark.multimodal.binary_ops import (
+        media_from_binary_files,
+    )
+    from big_data_bowl___2023_spark.sources.io import (
+        read_binary_files_stream,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = str(tmp_path / "decoded")
+    (landing / "a.bin").write_bytes(codecs.make_bmp(_grad(6, 8)))
+    (landing / "b.bin").write_bytes(b"junk with no magic at all")
+
+    stream = read_binary_files_stream(spark, str(landing),
+                                      glob_filter="*.bin")
+    assert stream.isStreaming
+
+    def sink(batch_df, batch_id):
+        decode_media(media_from_binary_files(batch_df)) \
+            .write.mode("append").parquet(out)
+
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(processingTime="1 second")
+         .start())
+    try:
+        q.processAllAvailable()
+        (landing / "c.bin").write_bytes(
+            codecs.make_png(_grad(4, 4)))   # late arrival
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark.catalog.refreshByPath(out)
+    rows = spark.read.parquet(out).collect()
+    tiers = sorted(r["decoder"] for r in rows)
+    assert tiers == ["bmp", "png", "unknown-stub"]
+    assert {r["modality"] for r in rows} == {"image", "unknown"}
