@@ -21,12 +21,14 @@ environment for:
   Adam7-interlaced (seven independently-filtered sub-images
   scattered by the pass grid). 16-bit and <8-bit PNGs raise
   `UnsupportedFormat`;
-* **WAV (PCM)** via `decode_wav` — 8/16-bit RIFF/WAVE to
-  float64 [-1, 1] ``(n_frames, channels)`` + sample rate (the audio
-  analogue of the image decoders; non-PCM/24-bit variants refuse);
+* **WAV** via `decode_wav` — 8/16/24/32-bit PCM and 32/64-bit
+  IEEE-float RIFF/WAVE to float64 [-1, 1] ``(n_frames, channels)``
+  + sample rate (the audio analogue of the image decoders;
+  compressed formats refuse);
 * **Y4M (YUV4MPEG2)** via `decode_y4m` — per-frame luma planes as
   uint8 ``(h, w, 1)`` with subset selection that never materializes
-  unpicked frames (C420*/C444/Cmono, non-interlaced); the video
+  unpicked frames (C420*/C422/C411/C444/Cmono, non-interlaced);
+  the video
   tier behind the real `frame_sample`;
 * **JPEG** — FULL pixel decode for baseline, extended-sequential
   AND progressive huffman streams (`multimodal.jpeg`: entropy
@@ -239,15 +241,18 @@ def _png_chunks(data: bytes):
     raise UnsupportedFormat("PNG stream ended without IEND")
 
 
-def _png_unfilter(raw: bytes, width: int, height: int,
+def _png_unfilter(raw: bytes, stride: int, height: int,
                   bpp: int) -> np.ndarray:
     """Reverse the five PNG scanline filters (None/Sub/Up/Average/
-    Paeth).  Sub and Up are numpy-vectorized (cumsum over pixel
-    lanes / uint8 wraparound add); Average and Paeth carry a true
-    sequential dependency on the left neighbor, so those rows run a
-    per-byte loop — correctness-first, and this pure-python tier is
-    the no-PIL fallback, not the production decode path."""
-    stride = width * bpp
+    Paeth) over ``stride``-byte scanlines with a ``bpp``-byte filter
+    distance (= bytes per pixel, floored to 1 for sub-byte depths —
+    PNG filters operate on PACKED bytes). Sub and Up are
+    numpy-vectorized (cumsum over pixel lanes / uint8 wraparound
+    add); Average and Paeth carry a true sequential dependency on
+    the left neighbor, so those rows run a per-byte loop —
+    correctness-first, and this pure-python tier is the no-PIL
+    fallback, not the production decode path. Returns (height,
+    stride) unfiltered bytes."""
     if len(raw) != (stride + 1) * height:
         raise UnsupportedFormat("PNG pixel data length mismatch")
     flat = np.frombuffer(raw, dtype=np.uint8) \
@@ -261,10 +266,15 @@ def _png_unfilter(raw: bytes, width: int, height: int,
             out[y] = row
         elif f == 1:
             # recon[x] = raw[x] + recon[x-bpp]: per-lane prefix sum
-            # mod 256 (uint8 addition is already mod-256)
-            lanes = row.reshape(width, bpp).astype(np.uint64)
+            # mod 256 (uint8 addition is already mod-256); pad the
+            # row up to a lane multiple (sub-byte depths can leave
+            # a partial trailing lane)
+            n_lanes = -(-stride // bpp)
+            padded = np.zeros(n_lanes * bpp, dtype=np.uint8)
+            padded[:stride] = row
+            lanes = padded.reshape(n_lanes, bpp).astype(np.uint64)
             out[y] = (np.cumsum(lanes, axis=0) % 256) \
-                .astype(np.uint8).reshape(stride)
+                .astype(np.uint8).reshape(-1)[:stride]
         elif f == 2:
             out[y] = row + prev          # uint8 wraparound == mod 256
         elif f == 3:
@@ -285,7 +295,7 @@ def _png_unfilter(raw: bytes, width: int, height: int,
                 r[x] = (int(row[x]) + pred) & 0xFF
         else:
             raise UnsupportedFormat(f"PNG filter type {f}")
-    return out.reshape(height, width, bpp)
+    return out
 
 
 def _decode_png(data: bytes) -> np.ndarray:
@@ -299,10 +309,13 @@ def _decode_png(data: bytes) -> np.ndarray:
     width = int.from_bytes(ihdr[0:4], "big")
     height = int.from_bytes(ihdr[4:8], "big")
     depth, color, comp, filt, interlace = ihdr[8:13]
-    if depth != 8:
-        raise UnsupportedFormat(f"{depth}-bit PNG")
     if color not in _PNG_CHANNELS:
         raise UnsupportedFormat(f"PNG color type {color}")
+    legal = {0: (1, 2, 4, 8, 16), 3: (1, 2, 4, 8)} \
+        .get(color, (8, 16))
+    if depth not in legal:
+        raise UnsupportedFormat(
+            f"{depth}-bit PNG with color type {color}")
     if comp != 0 or filt != 0:
         raise UnsupportedFormat("nonstandard PNG compression/filter")
     if interlace not in (0, 1):
@@ -322,13 +335,18 @@ def _decode_png(data: bytes) -> np.ndarray:
     # compressed-zeros stream must not balloon executor memory
     # inside a 100 TB untrusted-corpus decode pass (ADVICE r12).
     # expected = (stride + filter byte) * height, capped.
-    bpp = _PNG_CHANNELS[color]
+    ch = _PNG_CHANNELS[color]
+    bpp = max(1, ch * depth // 8)      # the filters' byte distance
+
+    def _stride(w: int) -> int:
+        return -(-w * ch * depth // 8)  # packed scanline bytes
+
     if interlace:
         # Adam7: seven independently-filtered sub-images
-        expected = sum((pw * bpp + 1) * ph
+        expected = sum((_stride(pw) + 1) * ph
                        for *_, pw, ph in _adam7_passes(width, height))
     else:
-        expected = (width * bpp + 1) * height
+        expected = (_stride(width) + 1) * height
     if expected > PNG_MAX_DECODED_BYTES:
         raise UnsupportedFormat(
             f"PNG decoded size {expected} exceeds cap "
@@ -342,18 +360,43 @@ def _decode_png(data: bytes) -> np.ndarray:
     if len(raw) > expected or dec.unconsumed_tail:
         raise UnsupportedFormat(
             "PNG DEFLATE stream larger than IHDR dimensions allow")
+    def _rows_to_samples(rows: np.ndarray, w: int) -> np.ndarray:
+        """(h, stride) packed bytes -> (h, w, ch) samples (uint8;
+        16-bit truncates to the high byte — the 8-bit passes
+        downstream can't carry more)."""
+        hh = rows.shape[0]
+        if depth == 8:
+            return rows[:, :w * ch].reshape(hh, w, ch)
+        if depth == 16:
+            return rows[:, :w * ch * 2].reshape(
+                hh, w, ch, 2)[..., 0]      # big-endian high byte
+        # sub-byte: unpack MSB-first, regroup depth-sized fields
+        bits = np.unpackbits(rows, axis=1)
+        vals = bits[:, :w * depth].reshape(hh, w, depth)
+        weights = (1 << np.arange(depth - 1, -1, -1)) \
+            .astype(np.uint8)
+        return (vals * weights).sum(axis=2, dtype=np.uint16) \
+            .astype(np.uint8)[..., None]
+
     if interlace:
-        out = np.zeros((height, width, bpp), dtype=np.uint8)
+        out = np.zeros((height, width, ch), dtype=np.uint8)
         off = 0
         for x0, xs, y0, ys, pw, ph in _adam7_passes(width, height):
-            n = (pw * bpp + 1) * ph
-            out[y0::ys, x0::xs] = _png_unfilter(
-                raw[off:off + n], pw, ph, bpp)
+            n = (_stride(pw) + 1) * ph
+            rows = _png_unfilter(raw[off:off + n], _stride(pw),
+                                 ph, bpp)
+            out[y0::ys, x0::xs] = _rows_to_samples(rows, pw)
             off += n
         if off != len(raw):
             raise UnsupportedFormat("PNG pixel data length mismatch")
     else:
-        out = _png_unfilter(raw, width, height, bpp)
+        rows = _png_unfilter(raw, _stride(width), height, bpp)
+        out = _rows_to_samples(rows, width)
+    if color == 0 and depth < 8:
+        # gray sub-byte samples scale to full range (0..2^d-1 ->
+        # 0..255, PNG spec 11.2.2 sample depth scaling)
+        out = (out.astype(np.uint16) * 255
+               // ((1 << depth) - 1)).astype(np.uint8)
     if color != 3:
         return out
     # palette expansion: index bytes -> PLTE RGB triples (tRNS alpha
@@ -438,12 +481,13 @@ def _png_filter_pass(arr: np.ndarray, filter_type: int) -> bytes:
 
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
-    """(samples, sample_rate) for PCM WAV (RIFF/WAVE): 8-bit unsigned
-    or 16-bit signed little-endian, any channel count. Samples come
-    back as float64 in [-1, 1], shape (n_frames, channels) — the
-    audio analogue of the image decoders' uint8 HWC contract.
-    Compressed/float/24-bit WAVs raise `UnsupportedFormat` (public
-    format: RIFF WAVE / WAVEFORMAT layout)."""
+    """(samples, sample_rate) for RIFF/WAVE audio: 8-bit unsigned,
+    16/24/32-bit signed little-endian PCM, or 32/64-bit IEEE float
+    (format 3, clamped to spec range), any channel count. Samples
+    come back as float64 in [-1, 1], shape (n_frames, channels) —
+    the audio analogue of the image decoders' uint8 HWC contract.
+    Compressed formats raise `UnsupportedFormat` (public format:
+    RIFF WAVE / WAVEFORMAT layout)."""
     if sniff(data) != "wav":
         raise UnsupportedFormat("not a RIFF/WAVE payload")
     pos, fmt, frames = 12, None, None
@@ -466,10 +510,14 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or frames is None:
         raise UnsupportedFormat("WAV missing fmt/data chunk")
     audio_format, channels, rate, bits = fmt
-    if audio_format != 1:
+    if audio_format == 1:
+        if bits not in (8, 16, 24, 32):
+            raise UnsupportedFormat(f"{bits}-bit PCM WAV")
+    elif audio_format == 3:                 # IEEE float
+        if bits not in (32, 64):
+            raise UnsupportedFormat(f"{bits}-bit float WAV")
+    else:
         raise UnsupportedFormat(f"non-PCM WAV (format {audio_format})")
-    if bits not in (8, 16):
-        raise UnsupportedFormat(f"{bits}-bit WAV")
     if channels < 1 or rate < 1:
         raise UnsupportedFormat("degenerate WAV fmt")
     width = bits // 8
@@ -477,7 +525,21 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if n == 0:
         raise UnsupportedFormat("empty WAV data chunk")
     count = n * channels
-    if bits == 16:
+    if audio_format == 3:
+        raw = np.frombuffer(frames, dtype="<f4" if bits == 32
+                            else "<f8", count=count)
+        # spec range is [-1, 1]; clamp rather than trust
+        samples = np.clip(raw.astype(np.float64), -1.0, 1.0)
+    elif bits == 32:
+        raw = np.frombuffer(frames, dtype="<i4", count=count)
+        samples = raw.astype(np.float64) / 2147483648.0
+    elif bits == 24:
+        # no 3-byte dtype: recombine little-endian signed 24-bit
+        b = np.frombuffer(frames, dtype=np.uint8,
+                          count=count * 3).reshape(count, 3)             .astype(np.int32)
+        v = (b[:, 0] << 8) | (b[:, 1] << 16) | (b[:, 2] << 24)
+        samples = (v >> 8).astype(np.float64) / 8388608.0
+    elif bits == 16:
         raw = np.frombuffer(frames, dtype="<i2", count=count)
         samples = raw.astype(np.float64) / 32768.0
     else:
@@ -512,8 +574,11 @@ def make_wav(samples: np.ndarray, rate: int,
 
 
 # Y4M chroma tag -> bytes per frame as a multiple of (w*h) numerator/
-# denominator: 4:2:0 = 1.5x, 4:4:4 = 3x, mono = 1x (Y plane only)
-_Y4M_FRAME_SIZE = {"420": (3, 2), "444": (3, 1), "mono": (1, 1)}
+# denominator: 4:2:0 = 1.5x, 4:2:2 = 2x, 4:1:1 = 1.5x, 4:4:4 = 3x,
+# mono = 1x (Y plane only — the luma extraction is chroma-agnostic,
+# it just needs the right frame stride)
+_Y4M_FRAME_SIZE = {"420": (3, 2), "422": (2, 1), "411": (3, 2),
+                   "444": (3, 1), "mono": (1, 1)}
 
 
 def y4m_frame_count(data: bytes) -> int:
@@ -556,7 +621,7 @@ def decode_y4m(data: bytes,
     parsed past, not returned. ``frame_indices`` (ints) selects a
     subset without materializing the rest; None = all. ``meta`` =
     {"width", "height", "n_frames", "chroma"}. Supports
-    C420*/C444/Cmono, non-interlaced (public format: the yuv4mpeg
+    C420*/C422/C411/C444/Cmono, non-interlaced (public format: the yuv4mpeg
     stream layout). Anything else raises `UnsupportedFormat`."""
     offsets, meta = _y4m_layout(data)
     picks = (range(len(offsets)) if frame_indices is None
@@ -593,6 +658,10 @@ def _y4m_layout(data: bytes) -> tuple[list[int], dict]:
                 v = val.decode("ascii", "replace")
                 if v.startswith("420"):
                     chroma = "420"
+                elif v == "422":
+                    chroma = "422"
+                elif v == "411":
+                    chroma = "411"
                 elif v == "444":
                     chroma = "444"
                 elif v == "mono":
@@ -610,6 +679,11 @@ def _y4m_layout(data: bytes) -> tuple[list[int], dict]:
         raise UnsupportedFormat("Y4M header missing W/H")
     if chroma == "420" and (width % 2 or height % 2):
         raise UnsupportedFormat("odd dimensions with 4:2:0 chroma")
+    if chroma == "422" and width % 2:
+        raise UnsupportedFormat("odd width with 4:2:2 chroma")
+    if chroma == "411" and width % 4:
+        raise UnsupportedFormat("width not a multiple of 4 with "
+                                "4:1:1 chroma")
     num, den = _Y4M_FRAME_SIZE[chroma]
     fsize = width * height * num // den
     offsets: list[int] = []

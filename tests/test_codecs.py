@@ -265,6 +265,68 @@ def test_png_mixed_filters_and_multi_idat():
     np.testing.assert_array_equal(codecs.decode(data), img)
 
 
+def _png_stream(ihdr_fields, scan_bytes):
+    """Assemble a minimal PNG from raw IHDR fields + scanline
+    bytes."""
+    import zlib as _z
+
+    def chunk(ctype, payload):
+        return (len(payload).to_bytes(4, "big") + ctype + payload
+                + (_z.crc32(ctype + payload)
+                   & 0xFFFFFFFF).to_bytes(4, "big"))
+
+    w, h, depth, color = ihdr_fields
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([depth, color, 0, 0, 0]))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _z.compress(scan_bytes))
+            + chunk(b"IEND", b""))
+
+
+def test_png_sub_byte_and_16_bit_depths():
+    """1/2/4-bit gray and palette PNGs decode (MSB-first bit
+    unpacking, spec 11.2.2 sample scaling for gray); 16-bit
+    truncates to the high byte — the downstream passes are 8-bit."""
+    # 1-bit gray, 10 px wide (stride 2 bytes): pattern 1010...
+    scan = b"".join(b"\x00" + bytes([0b10101010, 0b10000000])
+                    for _ in range(3))
+    out = codecs.decode(_png_stream((10, 3, 1, 0), scan))
+    assert out.shape == (3, 10, 1)
+    assert out[0, :, 0].tolist() == [255, 0] * 5
+    # 2-bit gray: values 0..3 scale to 0/85/170/255
+    scan = b"\x00" + bytes([0b00011011])     # 0,1,2,3
+    out = codecs.decode(_png_stream((4, 1, 2, 0), scan))
+    assert out[0, :, 0].tolist() == [0, 85, 170, 255]
+    # 4-bit palette through PLTE
+    import zlib as _z
+
+    def chunk(ctype, payload):
+        return (len(payload).to_bytes(4, "big") + ctype + payload
+                + (_z.crc32(ctype + payload)
+                   & 0xFFFFFFFF).to_bytes(4, "big"))
+
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    ihdr = ((3).to_bytes(4, "big") + (1).to_bytes(4, "big")
+            + bytes([4, 3, 0, 0, 0]))
+    scan = b"\x00" + bytes([0x01, 0x20])     # indices 0,1,2
+    data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"PLTE", plte)
+            + chunk(b"IDAT", _z.compress(scan))
+            + chunk(b"IEND", b""))
+    out = codecs.decode(data)
+    assert out[0].tolist() == [[255, 0, 0], [0, 255, 0],
+                               [0, 0, 255]]
+    # 16-bit RGB: high bytes survive
+    px = bytes([0x12, 0xFF, 0x34, 0x00, 0x56, 0xAB]) * 2
+    scan = b"\x00" + px
+    out = codecs.decode(_png_stream((2, 1, 16, 2), scan))
+    assert out[0, 0].tolist() == [0x12, 0x34, 0x56]
+    # 16-bit gray+alpha too
+    scan = b"\x00" + bytes([0x99, 0x00, 0x77, 0xFF])
+    out = codecs.decode(_png_stream((1, 1, 16, 4), scan))
+    assert out[0, 0].tolist() == [0x99, 0x77]
+
+
 def test_png_unsupported_variants_refuse():
     img = _grad(4, 4)
     good = bytearray(codecs.make_png(img))
@@ -280,8 +342,10 @@ def test_png_unsupported_variants_refuse():
             zlib.crc32(payload) & 0xFFFFFFFF).to_bytes(4, "big")
         return bytes(out)
 
-    with pytest.raises(codecs.UnsupportedFormat, match="16-bit"):
-        codecs.decode(patched(8, 16))
+    with pytest.raises(codecs.UnsupportedFormat, match="7-bit"):
+        codecs.decode(patched(8, 7))    # depth 7 is legal for none
+    with pytest.raises(codecs.UnsupportedFormat, match="4-bit"):
+        codecs.decode(patched(8, 4))    # ...and 4 not for RGB
     with pytest.raises(codecs.UnsupportedFormat, match="color type 5"):
         codecs.decode(patched(9, 5))
     with pytest.raises(codecs.UnsupportedFormat,
@@ -401,12 +465,12 @@ def test_wav_unsupported_variants_refuse():
     good = bytearray(codecs.make_wav(s, rate))
     fmt_at = bytes(good).index(b"fmt ") + 8
     nonpcm = bytearray(good)
-    nonpcm[fmt_at:fmt_at + 2] = (3).to_bytes(2, "little")  # IEEE float
+    nonpcm[fmt_at:fmt_at + 2] = (2).to_bytes(2, "little")  # ADPCM
     with pytest.raises(codecs.UnsupportedFormat, match="non-PCM"):
         codecs.decode_wav(bytes(nonpcm))
     deep = bytearray(good)
-    deep[fmt_at + 14:fmt_at + 16] = (24).to_bytes(2, "little")
-    with pytest.raises(codecs.UnsupportedFormat, match="24-bit"):
+    deep[fmt_at + 14:fmt_at + 16] = (20).to_bytes(2, "little")
+    with pytest.raises(codecs.UnsupportedFormat, match="20-bit"):
         codecs.decode_wav(bytes(deep))
     with pytest.raises(codecs.UnsupportedFormat, match="truncated"):
         codecs.decode_wav(bytes(good[:60]))   # cut mid-data-chunk
@@ -488,7 +552,10 @@ def test_y4m_unsupported_variants_refuse():
     clip = _clip(2)
     good = codecs.make_y4m(clip)
     with pytest.raises(codecs.UnsupportedFormat, match="chroma"):
-        codecs.decode_y4m(good.replace(b"C420", b"C422", 1))
+        codecs.decode_y4m(good.replace(b"C420", b"C410", 1))
+    # a KNOWN tag over wrong-sized frames refuses on size, not magic
+    with pytest.raises(codecs.UnsupportedFormat):
+        codecs.decode_y4m(good.replace(b"C420", b"C444", 1))
     with pytest.raises(codecs.UnsupportedFormat, match="interlaced"):
         codecs.decode_y4m(good.replace(b"Ip", b"It", 1))
     with pytest.raises(codecs.UnsupportedFormat, match="truncated"):
@@ -810,3 +877,69 @@ def test_streaming_media_ingest(spark, tmp_path):
     tiers = sorted(r["decoder"] for r in rows)
     assert tiers == ["bmp", "png", "unknown-stub"]
     assert {r["modality"] for r in rows} == {"image", "unknown"}
+
+
+def test_wav_24_32_and_float_formats():
+    """24/32-bit PCM and 32/64-bit IEEE-float WAVs decode to the
+    same float64 [-1, 1] contract; compressed formats still
+    refuse."""
+    t = np.arange(64) / 64.0
+    tone = np.stack([np.sin(2 * np.pi * 4 * t),
+                     np.cos(2 * np.pi * 4 * t)], axis=1)
+
+    def wav(fmt, bits, payload):
+        body = (b"fmt " + (16).to_bytes(4, "little")
+                + fmt.to_bytes(2, "little")
+                + (2).to_bytes(2, "little")
+                + (8000).to_bytes(4, "little")
+                + (8000 * 2 * bits // 8).to_bytes(4, "little")
+                + (2 * bits // 8).to_bytes(2, "little")
+                + bits.to_bytes(2, "little"))
+        data = b"data" + len(payload).to_bytes(4, "little") + payload
+        riff = b"WAVE" + body + data
+        return b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+    v = np.round(tone * 8388607).astype(np.int64).reshape(-1)
+    b = np.zeros((v.size, 3), np.uint8)
+    u = (v & 0xFFFFFF).astype(np.int64)
+    b[:, 0], b[:, 1], b[:, 2] = (u & 0xFF, (u >> 8) & 0xFF,
+                                 (u >> 16) & 0xFF)
+    s24, rate = codecs.decode_wav(wav(1, 24, b.tobytes()))
+    assert rate == 8000 and s24.shape == (64, 2)
+    assert np.abs(s24 - tone).max() < 1e-6
+    i32 = np.round(tone * 2147483647).astype("<i4")
+    s32, _ = codecs.decode_wav(wav(1, 32, i32.reshape(-1).tobytes()))
+    assert np.abs(s32 - tone).max() < 1e-6
+    f32 = tone.astype("<f4").reshape(-1).tobytes()
+    sf, _ = codecs.decode_wav(wav(3, 32, f32))
+    assert np.abs(sf - tone).max() < 1e-6
+    f64 = tone.astype("<f8").reshape(-1).tobytes()
+    sd, _ = codecs.decode_wav(wav(3, 64, f64))
+    assert np.abs(sd - tone).max() < 1e-12
+    # out-of-range float input clamps to the contract
+    hot = (tone * 3).astype("<f4").reshape(-1).tobytes()
+    sh, _ = codecs.decode_wav(wav(3, 32, hot))
+    assert sh.max() <= 1.0 and sh.min() >= -1.0
+    with pytest.raises(codecs.UnsupportedFormat, match="format 2"):
+        codecs.decode_wav(wav(2, 16, b"\x00" * 64))
+    with pytest.raises(codecs.UnsupportedFormat, match="float"):
+        codecs.decode_wav(wav(3, 16, b"\x00" * 64))
+
+
+def test_y4m_422_and_411_frame_strides():
+    """C422/C411 streams decode — the luma extraction is
+    chroma-agnostic once the frame stride is right; odd-width 4:2:2
+    refuses."""
+    clip = (np.arange(2 * 8 * 12, dtype=np.uint64) % 251) \
+        .astype(np.uint8).reshape(2, 8, 12)
+    h, w = 8, 12
+    for tag, cw in (("422", w // 2), ("411", w // 4)):
+        out = bytearray(f"YUV4MPEG2 W{w} H{h} C{tag} Ip\n".encode())
+        for f in range(2):
+            out += b"FRAME\n" + clip[f].tobytes() + bytes(cw * h) * 2
+        lumas, meta = codecs.decode_y4m(bytes(out), [0, 1])
+        assert meta["chroma"] == tag and meta["n_frames"] == 2
+        assert np.array_equal(lumas[1][:, :, 0], clip[1])
+    with pytest.raises(codecs.UnsupportedFormat, match="odd width"):
+        codecs.decode_y4m(b"YUV4MPEG2 W11 H8 C422\nFRAME\n"
+                          + bytes(11 * 8 * 2), [0])
