@@ -534,11 +534,14 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         raw = np.frombuffer(frames, dtype="<i4", count=count)
         samples = raw.astype(np.float64) / 2147483648.0
     elif bits == 24:
-        # no 3-byte dtype: recombine little-endian signed 24-bit
+        # no 3-byte dtype: recombine little-endian signed 24-bit.
+        # assemble in uint32 (left-shifting into the sign bit of a
+        # signed int is platform/numpy-version dependent), then
+        # .view(int32) >> 8 for well-defined sign extension
         b = np.frombuffer(frames, dtype=np.uint8,
-                          count=count * 3).reshape(count, 3)             .astype(np.int32)
+                          count=count * 3).reshape(count, 3)             .astype(np.uint32)
         v = (b[:, 0] << 8) | (b[:, 1] << 16) | (b[:, 2] << 24)
-        samples = (v >> 8).astype(np.float64) / 8388608.0
+        samples = (v.view(np.int32) >> 8).astype(np.float64)             / 8388608.0
     elif bits == 16:
         raw = np.frombuffer(frames, dtype="<i2", count=count)
         samples = raw.astype(np.float64) / 32768.0

@@ -75,6 +75,14 @@ _DCT = _dct_matrix()
 # 65k x 65k SOF is rejected before any allocation or entropy work
 JPEG_MAX_COEF_SAMPLES = 1 << 25
 
+# hard ceiling on progressive SOS scans per frame. The sample cap
+# bounds per-scan memory/work, but each extra scan is a fresh pass
+# over every block — a crafted stream appending hundreds of 17-byte
+# AC-refinement scans is a CPU amplification bomb (libjpeg-turbo
+# caps scans similarly). A legitimate encoder emits well under
+# 10 scans per component x SA level; 64 per component is generous.
+JPEG_MAX_SCANS_PER_COMPONENT = 64
+
 # T.81 Annex K.1/K.2 example quantization tables (natural order)
 ANNEX_K_LUMA_QUANT = np.array([
     16, 11, 10, 16, 24, 40, 51, 61,
@@ -638,6 +646,16 @@ def _decode_progressive(data: bytes) -> np.ndarray:
         elif marker == 0xDA:
             if frame is None:
                 raise UnsupportedFormat("JPEG scan before SOF")
+            max_scans = (len(frame["comps"])
+                         * JPEG_MAX_SCANS_PER_COMPONENT)
+            if n_scans >= max_scans:
+                # CPU-bomb guard: each scan is a full pass over every
+                # block, so scan count — not just per-scan size — must
+                # be bounded against crafted streams (checked BEFORE
+                # decoding the excess scan)
+                raise UnsupportedFormat(
+                    f"progressive JPEG with more than {max_scans} "
+                    "scans")
             pos = _progressive_scan(data, pos + 2 + seg, body,
                                     frame, huff, restart_interval)
             n_scans += 1
@@ -809,6 +827,8 @@ def _sof_envelope(data: bytes, sof_markers: tuple) -> bool:
         return False
     pos = 2
     sof_ok = None
+    sof_marker = None
+    sof_nc = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             return False
@@ -842,6 +862,8 @@ def _sof_envelope(data: bytes, sof_markers: tuple) -> bool:
             samples = sum(mcux * hi * mcuy * vi * 64
                           for hi, vi in zip(hs, vs))
             sof_ok = samples <= JPEG_MAX_COEF_SAMPLES
+            sof_marker = marker
+            sof_nc = nc
         elif marker == 0xC2 or marker in _SOF_UNSUPPORTED \
                 or marker == 0xCC:
             # a SOF type outside this call's envelope (0xC2 reaches
@@ -851,6 +873,14 @@ def _sof_envelope(data: bytes, sof_markers: tuple) -> bool:
                 and len(body) >= 12 and body[11] == 0:
             return False                 # Adobe RGB transform
         elif marker == 0xDA:
+            if sof_marker in (0xC0, 0xC1) and len(body) >= 1 \
+                    and body[0] < sof_nc:
+                # multi-scan SEQUENTIAL stream (one scan per
+                # component): decode_jpeg refuses it, so the envelope
+                # must too — otherwise the dims pass labels the blob
+                # 'jpeg' (promising pixel decode) while the pixel
+                # passes fall to the stub tier
+                return False
             return bool(sof_ok)
         pos += 2 + seg
     return False

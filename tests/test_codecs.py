@@ -907,6 +907,14 @@ def test_wav_24_32_and_float_formats():
     s24, rate = codecs.decode_wav(wav(1, 24, b.tobytes()))
     assert rate == 8000 and s24.shape == (64, 2)
     assert np.abs(s24 - tone).max() < 1e-6
+    # sign-extension edge cases at full scale: 0x800000 = -8388608,
+    # 0x7FFFFF = +8388607, 0xFFFFFF = -1 (well-defined uint32
+    # assembly + int32 view, not signed-shift wraparound)
+    edges = bytes([0x00, 0x00, 0x80, 0xFF, 0xFF, 0x7F,
+                   0xFF, 0xFF, 0xFF, 0x01, 0x00, 0x00])
+    se, _ = codecs.decode_wav(wav(1, 24, edges))
+    assert se.reshape(-1).tolist() == pytest.approx(
+        [-1.0, 8388607 / 8388608.0, -1 / 8388608.0, 1 / 8388608.0])
     i32 = np.round(tone * 2147483647).astype("<i4")
     s32, _ = codecs.decode_wav(wav(1, 32, i32.reshape(-1).tobytes()))
     assert np.abs(s32 - tone).max() < 1e-6

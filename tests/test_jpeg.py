@@ -341,3 +341,58 @@ def test_crafted_scan_headers_refuse_typed():
     with pytest.raises(codecs.UnsupportedFormat,
                        match="size category"):
         jpeg.decode_jpeg(bad)
+
+
+def test_progressive_scan_count_bomb_rejected():
+    """A crafted progressive stream with hundreds of appended scans
+    is a CPU amplification bomb (each scan is a full pass over every
+    block, regardless of scan size): the decoder must refuse typed
+    at the scan-count cap BEFORE decoding the excess scan, so the
+    blob falls to the metadata/stub tier instead of stalling a
+    mapInPandas pass."""
+    import time
+
+    g = _smooth(16, 16)[:, :, :1]           # gray: 1 comp, cap = 64
+    data = jpeg.make_jpeg(g, progressive=True)
+    assert data.endswith(b"\xff\xd9")
+    first_sos = data.index(b"\xff\xda")
+    second_sos = data.index(b"\xff\xda", first_sos + 2)
+    # the DC-first scan is history-free: replaying it is structurally
+    # valid entropy data every time, so the cap — not a truncation
+    # error — is what must fire
+    scan1 = data[first_sos:second_sos]
+    bomb = (data[:second_sos] + scan1 * 200 + data[second_sos:])
+    t0 = time.monotonic()
+    with pytest.raises(codecs.UnsupportedFormat,
+                       match="more than 64 scans"):
+        jpeg.decode_jpeg(bomb)
+    assert time.monotonic() - t0 < 5.0
+    # a legitimate scan count still decodes, and a short replay
+    # chain under the cap does not trip the guard
+    ok = data[:second_sos] + scan1 * 3 + data[second_sos:]
+    assert jpeg.decode_jpeg(ok).shape == (16, 16, 1)
+
+
+def test_multi_scan_sequential_envelope_matches_decoder():
+    """Sequential SOF0 with one scan per component (emitted by some
+    encoders): decode_jpeg refuses it, so is_decodable must return
+    False too — otherwise the dims pass attributes tier 'jpeg'
+    (promising pixel decode) while features/resize fall to the stub
+    tier. Header-level check: the envelope never reads entropy."""
+    base = jpeg.make_jpeg(_smooth(16, 16))   # 3-comp interleaved
+    sos_at = base.index(b"\xff\xda")
+    seg_len = int.from_bytes(base[sos_at + 2:sos_at + 4], "big")
+    body = base[sos_at + 4:sos_at + 2 + seg_len]
+    ns = body[0]
+    assert ns == 3
+    # patch the SOS header to claim a single-component first scan
+    new_body = bytes([1]) + body[1:3] + body[1 + 2 * ns:]
+    patched = (base[:sos_at + 2]
+               + (2 + len(new_body)).to_bytes(2, "big") + new_body
+               + base[sos_at + 2 + seg_len:])
+    assert jpeg.is_decodable(patched) is False
+    with pytest.raises(codecs.UnsupportedFormat, match="multi-scan"):
+        jpeg.decode_jpeg(patched)
+    # the untouched interleaved stream keeps its label
+    assert jpeg.is_decodable(base) is True
+    assert jpeg.is_baseline(base) is True
