@@ -395,6 +395,20 @@ def make_tables(dim: int, n_tables: int,
             for t in range(n_tables)]
 
 
+def mean_unit_vector(v: DataFrame, dim: int) -> "list[float]":
+    """Corpus mean of the unit vectors — ONE aggregate (map-side
+    partial), dim floats to the driver (bounded at any corpus size).
+    Used to center sign-of-projection bucketing: [0,1]-bounded
+    statistic features (media `extract_features`) are positive-
+    orthant, so every vector sits near the all-ones direction and
+    uncentered hyperplane signatures collapse into a few hot sign
+    patterns — the star guard bounds the pair blowup but recall vs
+    the exact kernel quietly drops. Centering restores the spread."""
+    row = v.agg(*[F.avg(F.col("u")[i]).alias(f"m{i}")
+                  for i in range(dim)]).collect()[0]
+    return [float(row[i] or 0.0) for i in range(dim)]
+
+
 def scaled_n_planes(n: int, target_bucket: int = 32) -> int:
     """Bits per signature so expected bucket width ≈ target_bucket:
     P = ceil(log2(n / target)). Bucket width — hence candidate volume
@@ -405,7 +419,8 @@ def scaled_n_planes(n: int, target_bucket: int = 32) -> int:
 
 def lsh_candidate_pairs(v: DataFrame, dim: int, n_tables: int,
                         n_planes: int,
-                        max_bucket: int | None = None) -> DataFrame:
+                        max_bucket: int | None = None,
+                        center: bool = False) -> DataFrame:
     """Distinct id pairs colliding in ≥ 1 signature table.
 
     Signatures for all tables are computed in ONE Arrow pass (a
@@ -417,12 +432,25 @@ def lsh_candidate_pairs(v: DataFrame, dim: int, n_tables: int,
     a degenerate corpus (many identical vectors) still collapses into
     one (table, sig) bucket no plane count can split — ``max_bucket``
     arms the hot-bucket star guard (dedup.minhash.band_candidates):
-    oversize buckets emit O(m) hub pairs instead of O(m²)."""
+    oversize buckets emit O(m) hub pairs instead of O(m²).
+
+    ``center=True`` subtracts the corpus-mean projection from every
+    plane (sign((u − μ)·s) = sign(u·s − μ·s), applied as a per-plane
+    offset — the vectors themselves are never rewritten and the
+    downstream exact verification is untouched). Required for
+    positive-orthant corpora (e.g. [0,1] media statistic features),
+    where uncentered signatures degenerate toward a handful of hot
+    sign patterns; a no-op-cost choice for zero-mean embeddings.
+    Costs one extra aggregate job (dim floats to the driver)."""
     import numpy as np
 
     planes = make_tables(dim, n_tables, n_planes)
     S = np.asarray(planes, dtype=np.float64).reshape(
         n_tables * n_planes, dim)
+    off = np.zeros(n_tables * n_planes, dtype=np.float64)
+    if center:
+        mu = np.asarray(mean_unit_vector(v, dim), dtype=np.float64)
+        off = S @ mu                               # (T*P,)
 
     sig_schema = T.StructType([
         T.StructField("id", T.LongType()),
@@ -446,7 +474,7 @@ def lsh_candidate_pairs(v: DataFrame, dim: int, n_tables: int,
             # land on '1' deterministically; true projections inside
             # (-1e-9, 0) are measure-zero for real embeddings and
             # only move CANDIDATES — verification stays exact.
-            bits = (U @ S.T) >= -1e-9                  # (n, T*P)
+            bits = (U @ S.T - off) >= -1e-9            # (n, T*P)
             ids, ts, sigs = [], [], []
             for t in range(n_tables):
                 block = bits[:, t * n_planes:(t + 1) * n_planes]
@@ -473,8 +501,8 @@ def cosine_near_dup_pairs_lsh(df: DataFrame, threshold: float,
                               target_bucket: int = 32,
                               max_bucket: int | None = None,
                               verify_kernel: str | None = None,
-                              prefilter_broadcast: bool | str = "auto"
-                              ) -> DataFrame:
+                              prefilter_broadcast: bool | str = "auto",
+                              center: bool = False) -> DataFrame:
     """Sub-quadratic near-dup pairs: hyperplane-LSH candidates →
     exact fold verification. Precision 1.0 (every emitted pair is
     exactly ≥ threshold); recall follows 1 − (1 − p^P)^T with
@@ -491,13 +519,19 @@ def cosine_near_dup_pairs_lsh(df: DataFrame, threshold: float,
     memory, so the screen shuffles only 16 B id pairs; past the
     ceiling (or for non-integer ids) it falls back to the id-keyed
     join (see ``_np_prefilter`` — mode choice never changes the
-    survivor set). ``True``/``False`` force a mode."""
+    survivor set). ``True``/``False`` force a mode. ``center=True``
+    mean-centers the signature projections (see
+    ``lsh_candidate_pairs``) — REQUIRED for positive-orthant vectors
+    such as media statistic features; precision stays 1.0 either way
+    (verification is exact on the original space), only candidate
+    recall changes."""
     v = pin(_normalized(df, vec_col, id_col))
     n = None
     if n_planes is None:
         n = v.count()
         n_planes = scaled_n_planes(n, target_bucket)
-    cand = lsh_candidate_pairs(v, dim, n_tables, n_planes, max_bucket)
+    cand = lsh_candidate_pairs(v, dim, n_tables, n_planes, max_bucket,
+                               center=center)
     survivors = _np_prefilter(v, cand, threshold,
                               broadcast_vectors=prefilter_broadcast,
                               n_vectors=n)

@@ -418,7 +418,16 @@ def media_near_dup_pairs(media: DataFrame, threshold: float = 0.98,
     switches to the hyperplane-bucketed sub-quadratic variant for
     corpus scale). Shuffles carry only (media_id, dim-float vector) —
     the blobs never leave their partitions; dedup over 100 TB of
-    media moves kilobytes per record."""
+    media moves kilobytes per record.
+
+    The LSH leg runs MEAN-CENTERED (``center=True``): statistic
+    features live in [0,1] (positive orthant), where uncentered
+    sign-of-projection bucketing degenerates — every vector sits near
+    the all-ones direction, so most planes put the whole corpus on
+    one side and candidates collapse into a few hot buckets (bounded
+    by the star guard, but recall vs the exact kernel quietly drops).
+    Centering is one aggregate + a per-plane offset; precision stays
+    1.0 (verification is exact cosine on the original vectors)."""
     from ..dedup.embedding import (
         cosine_near_dup_pairs,
         cosine_near_dup_pairs_lsh,
@@ -428,7 +437,7 @@ def media_near_dup_pairs(media: DataFrame, threshold: float = 0.98,
     if use_lsh:
         pairs = cosine_near_dup_pairs_lsh(
             feats, threshold, vec_col="features",
-            id_col="media_id", dim=dim)
+            id_col="media_id", dim=dim, center=True)
     else:
         pairs = cosine_near_dup_pairs(
             feats, threshold, vec_col="features", id_col="media_id")
