@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from . import codecs
+from . import codecs, containers
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
@@ -97,7 +97,8 @@ def media_from_binary_files(files: DataFrame) -> DataFrame:
     expressions (``substring`` works on BinaryType), so the pass
     stays inside whole-stage codegen — no Python touches the blobs
     until a decode pass asks for them: BMP/netpbm/PNG/JPEG/GIF →
-    image, RIFF/WAVE → audio, YUV4MPEG2 → video; anything else
+    image, RIFF/WAVE / fLaC / ID3 / M4A-branded ftyp → audio,
+    YUV4MPEG2 / other ftyp (MP4/MOV) → video; anything else
     falls back to the filename extension, then to ``"unknown"`` —
     a PDF or tarball in the bucket must NOT surface as
     ``modality='image'`` with plausible stub feature rows in a
@@ -120,7 +121,19 @@ def media_from_binary_files(files: DataFrame) -> DataFrame:
     magic_audio = (_is(b"RIFF")
                    & (F.expr("substring(content, 9, 4)")
                       == F.lit(bytearray(b"WAVE"))))
-    magic_video = _is(b"YUV4MPEG2")
+    # ISO-BMFF: any box-sized 'ftyp' at offset 4; the major brand
+    # splits audio-only (M4A/M4B) from video containers. FLAC and
+    # ID3v2-shelled MP3 carry leading magics; a RAW-sync MP3 (no
+    # ID3) has only an 11-bit sync — too weak for a column-level
+    # magic test, so it falls to the .mp3 extension rule below
+    # (the decode tier re-sniffs per record and still attributes
+    # mp3-dims either way).
+    ftyp = F.expr("substring(content, 5, 4)") ==         F.lit(bytearray(b"ftyp"))
+    brand = F.expr("substring(content, 9, 4)")
+    audio_brand = (brand == F.lit(bytearray(b"M4A "))) |         (brand == F.lit(bytearray(b"M4B ")))
+    magic_audio = (magic_audio | _is(b"fLaC") | _is(b"ID3")
+                   | (ftyp & audio_brand))
+    magic_video = _is(b"YUV4MPEG2") | (ftyp & ~audio_brand)
     ext = F.lower(F.element_at(F.split(F.col("path"), "\\."), -1))
     by_ext = (F.when(ext.isin("bmp", "ppm", "pgm", "png", "jpg",
                               "jpeg", "gif", "webp", "tif", "tiff"),
@@ -203,28 +216,81 @@ def _decode_one(data: bytes, modality: str) -> tuple[int, int, int, str]:
                 return w, h, c, f"{kind}-dims"
             except codecs.UnsupportedFormat:
                 pass
-    if modality == "audio" and codecs.sniff(data) == "wav":
-        try:
-            # dims repurposed for audio: width = frame count (capped
-            # at int32 — DECODED_SCHEMA carries IntegerType),
-            # height = sample rate
-            samples, rate = codecs.decode_wav(data)
-            # rate capped too: the 4-byte field can carry ~4.3e9,
-            # which would overflow the IntegerType column and fail
-            # the whole pass instead of degrading (review r12)
-            return (min(samples.shape[0], 2**31 - 1),
-                    min(rate, 2**31 - 1),
-                    samples.shape[1], "wav")
-        except codecs.UnsupportedFormat:
-            pass               # non-PCM/truncated variant → stub
-    if modality == "video" and codecs.sniff(data) == "y4m":
-        try:
-            # n_channels repurposed for video: the frame count
-            _, meta = codecs.decode_y4m(data, [])
-            return (meta["width"], meta["height"],
-                    min(meta["n_frames"], 2**31 - 1), "y4m")
-        except codecs.UnsupportedFormat:
-            pass               # malformed stream → stub
+    if modality == "audio":
+        kind = codecs.sniff(data)
+        if kind == "wav":
+            try:
+                # dims repurposed for audio: width = frame count
+                # (capped at int32 — DECODED_SCHEMA carries
+                # IntegerType), height = sample rate
+                samples, rate = codecs.decode_wav(data)
+                # rate capped too: the 4-byte field can carry
+                # ~4.3e9, which would overflow the IntegerType
+                # column and fail the whole pass instead of
+                # degrading (review r12)
+                return (min(samples.shape[0], 2**31 - 1),
+                        min(rate, 2**31 - 1),
+                        samples.shape[1], "wav")
+            except codecs.UnsupportedFormat:
+                pass           # non-PCM/truncated variant → stub
+        elif kind == "mp3":
+            try:
+                # metadata tier (ISO 11172-3 frame header + Xing):
+                # same audio column convention as wav — width =
+                # frame count, height = rate — but NO sample decode
+                # (compressed audio is out of pure-python scope), so
+                # features/resize stay stub-tier; the -dims suffix
+                # says so
+                m = containers.mp3_meta(data)
+                return (min(m["n_frames"], 2**31 - 1), m["rate"],
+                        m["channels"], "mp3-dims")
+            except codecs.UnsupportedFormat:
+                pass
+        elif kind == "flac":
+            try:
+                # STREAMINFO tier: width = total samples (capped),
+                # height = rate — the wav convention again
+                m = containers.flac_meta(data)
+                return (min(m["total_samples"], 2**31 - 1),
+                        m["rate"], m["channels"], "flac-dims")
+            except codecs.UnsupportedFormat:
+                pass
+        elif kind == "mp4":
+            try:
+                # audio-branded ISO-BMFF (M4A): width = mvhd
+                # duration in timescale ticks (≈ samples when the
+                # timescale is the sample rate, the common case),
+                # height = timescale, n_channels = audio track count
+                m = containers.mp4_meta(data)
+                ticks = int(round(m["duration_s"] * m["timescale"]))
+                return (min(ticks, 2**31 - 1),
+                        min(m["timescale"], 2**31 - 1),
+                        max(m["n_audio_tracks"], 1), "mp4-dims")
+            except codecs.UnsupportedFormat:
+                pass
+    if modality == "video":
+        kind = codecs.sniff(data)
+        if kind == "y4m":
+            try:
+                # n_channels repurposed for video: the frame count
+                _, meta = codecs.decode_y4m(data, [])
+                return (meta["width"], meta["height"],
+                        min(meta["n_frames"], 2**31 - 1), "y4m")
+            except codecs.UnsupportedFormat:
+                pass           # malformed stream → stub
+        elif kind == "mp4":
+            try:
+                # ISO-BMFF metadata tier: true presentation dims
+                # from the first video tkhd; n_channels repurposed
+                # as the mvhd duration in WHOLE SECONDS (capped) —
+                # frame count needs an stts walk the tier
+                # deliberately skips
+                m = containers.mp4_meta(data)
+                return (m["width"], m["height"],
+                        min(int(round(m["duration_s"])), 2**31 - 1),
+                        "mp4-dims")
+            except codecs.UnsupportedFormat:
+                pass
     h = hashlib.md5(data).digest()
     width = 16 + h[0] % 240
     height = 16 + h[1] % 240

@@ -77,7 +77,11 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 def sniff(data: bytes) -> str | None:
     """The recognized format tag ("bmp"/"ppm"/"pgm"/"png"/"wav"/
-    "y4m"/"jpeg"/"gif"/"webp") when the magic matches, else None."""
+    "y4m"/"jpeg"/"gif"/"webp"/"mp4"/"mp3"/"flac") when the magic
+    matches, else None. mp4/mp3/flac are metadata-tier containers
+    (`multimodal.containers`); mp3 matches an ID3v2 shell or a raw
+    frame sync whose header fields validate — a bare 0xFFEx prefix
+    alone is too weak a magic for an 11-bit sync."""
     if len(data) >= 2 and data[:2] == b"BM":
         return "bmp"
     if len(data) >= 2 and data[:2] == b"P6":
@@ -99,6 +103,17 @@ def sniff(data: bytes) -> str | None:
     if (len(data) >= 16 and data[:4] == b"RIFF"
             and data[8:12] == b"WEBP"):
         return "webp"
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        return "mp4"
+    if len(data) >= 8 and data[:4] == b"fLaC":
+        return "flac"
+    if len(data) >= 10 and data[:3] == b"ID3":
+        return "mp3"
+    if (len(data) >= 4 and data[0] == 0xFF
+            and (data[1] & 0xE0) == 0xE0):
+        from .containers import _mp3_frame    # lazy: avoids a cycle
+        if _mp3_frame(data, 0) is not None:
+            return "mp3"
     return None
 
 
@@ -863,6 +878,10 @@ def decode(data: bytes) -> np.ndarray:
             raise UnsupportedFormat(
                 "webp pixel decode unsupported — header dims via "
                 "image_dims")
+        if kind in ("mp4", "mp3", "flac"):
+            raise UnsupportedFormat(
+                f"{kind} is a compressed A/V container — metadata "
+                "via multimodal.containers")
     except UnsupportedFormat:
         raise
     except Exception as exc:

@@ -1,0 +1,404 @@
+"""Metadata walkers for the dominant real-world A/V container
+families: ISO-BMFF (MP4/MOV/M4A), MPEG audio (MP3), and FLAC.
+
+These are METADATA tiers in the `image_dims` pattern: duration,
+track dimensions, sample rate, and channel counts come from a
+bounded header walk — pixel/sample decode of compressed A/V (H.264,
+AAC, MP3 audio, FLAC subframes) is deliberately out of pure-python
+scope. Before this module a web-crawl bucket's biggest media classes
+landed `modality='unknown'` → `unknown-stub`, leaving corpus
+profiles and data cards blind to them (round-13 verdict #2); now
+they attribute as `mp4-dims`/`mp3-dims`/`flac-dims` with real
+header facts.
+
+Every walker treats the payload as UNTRUSTED: box/block/frame walks
+are visit-capped and length-validated, and every failure raises the
+typed `UnsupportedFormat` so a crafted blob falls to the stub tier
+instead of escaping into a 100 TB mapInPandas pass (the same
+contract the image codec family carries, fuzz-armored in
+tests/test_codec_fuzz.py).
+
+Public specs: ISO/IEC 14496-12 (box structure, mvhd/tkhd/hdlr),
+ISO/IEC 11172-3 §2.4.1 + 13818-3 (MPEG audio frame headers; the
+Xing/Info VBR tag is the de-facto public layout), and the xiph.org
+FLAC format document (METADATA_BLOCK_STREAMINFO).
+
+Reference parity: the R reference (`/root/reference`, six .R files)
+has no media path at all — this extends the engine's training-data
+surface (SURVEY §2 extension family), not the §2 core."""
+
+from __future__ import annotations
+
+from .codecs import UnsupportedFormat
+
+# bomb guards: a crafted stream must not amplify a small payload
+# into unbounded walk work
+MP4_MAX_BOXES = 4096          # total boxes visited per stream
+MP4_MAX_DEPTH = 8             # container nesting
+MP3_SYNC_SCAN = 1 << 16       # bytes searched for the first frame
+MP3_MAX_FRAMES_SCANNED = 64   # frames stepped for the CBR check
+FLAC_MAX_BLOCKS = 128         # metadata blocks before the refusal
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl",
+                   b"edts", b"udta", b"mvex"}
+
+
+# ------------------------------------------------------------ ISO-BMFF
+
+def _u32(b: bytes, off: int) -> int:
+    return int.from_bytes(b[off:off + 4], "big")
+
+
+def _u64(b: bytes, off: int) -> int:
+    return int.from_bytes(b[off:off + 8], "big")
+
+
+def _walk_boxes(data: bytes, start: int, end: int, depth: int,
+                state: dict, meta: dict,
+                track: dict | None) -> None:
+    """Depth-first over [start, end): fills meta from mvhd, per-track
+    dims/handler from tkhd/hdlr. Visit- and depth-capped."""
+    pos = start
+    while pos + 8 <= end:
+        state["boxes"] += 1
+        if state["boxes"] > MP4_MAX_BOXES:
+            raise UnsupportedFormat(
+                f"ISO-BMFF stream with more than {MP4_MAX_BOXES} "
+                "boxes")
+        size = _u32(data, pos)
+        btype = data[pos + 4:pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise UnsupportedFormat("truncated ISO-BMFF largesize")
+            size = _u64(data, pos + 8)
+            hdr = 16
+        elif size == 0:
+            size = end - pos               # box extends to EOF
+        if size < hdr or pos + size > end:
+            raise UnsupportedFormat("ISO-BMFF box overruns its parent")
+        body, bend = pos + hdr, pos + size
+        if btype in _MP4_CONTAINERS:
+            if depth >= MP4_MAX_DEPTH:
+                raise UnsupportedFormat("ISO-BMFF nesting too deep")
+            child = {"handler": None, "width": 0, "height": 0} \
+                if btype == b"trak" else track
+            _walk_boxes(data, body, bend, depth + 1, state, meta,
+                        child)
+            if btype == b"trak":
+                meta["n_tracks"] += 1
+                if child["handler"] == b"vide":
+                    meta["n_video_tracks"] += 1
+                    if meta["width"] == 0 and child["width"] > 0:
+                        meta["width"] = child["width"]
+                        meta["height"] = child["height"]
+                elif child["handler"] == b"soun":
+                    meta["n_audio_tracks"] += 1
+        elif btype == b"mvhd":
+            if bend - body < 24:
+                raise UnsupportedFormat("short mvhd box")
+            ver = data[body]
+            if ver == 1:
+                if bend - body < 32:
+                    raise UnsupportedFormat("short v1 mvhd box")
+                ts, dur = _u32(data, body + 20), _u64(data, body + 24)
+            else:
+                ts, dur = _u32(data, body + 12), _u32(data, body + 16)
+            meta["timescale"] = ts
+            meta["duration_s"] = (dur / ts) if ts > 0 else 0.0
+        elif btype == b"tkhd" and track is not None:
+            ver = data[body] if bend > body else 0
+            woff = body + (88 if ver == 1 else 76)
+            if woff + 8 <= bend:
+                # 16.16 fixed-point presentation dims
+                track["width"] = _u32(data, woff) >> 16
+                track["height"] = _u32(data, woff + 4) >> 16
+        elif btype == b"hdlr" and track is not None:
+            if bend - body >= 12:
+                track["handler"] = data[body + 8:body + 12]
+        pos = bend
+
+
+def mp4_meta(data: bytes) -> dict:
+    """Header metadata for an ISO-BMFF (MP4/MOV/M4A) stream:
+    ``brand``, ``timescale``, ``duration_s`` (from ``moov/mvhd``),
+    first video track's presentation ``width``/``height`` (from
+    ``tkhd``, 16.16 fixed → int; 0×0 when no video track), and
+    ``n_tracks``/``n_video_tracks``/``n_audio_tracks`` (handler
+    types from ``mdia/hdlr``). Raises `UnsupportedFormat` on
+    anything malformed, truncated, or over the walk caps."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise UnsupportedFormat("not an ISO-BMFF stream")
+    meta = {"brand": data[8:12].decode("latin-1").strip(),
+            "timescale": 0, "duration_s": 0.0, "width": 0,
+            "height": 0, "n_tracks": 0, "n_video_tracks": 0,
+            "n_audio_tracks": 0}
+    try:
+        _walk_boxes(data, 0, len(data), 0, {"boxes": 0}, meta, None)
+    except UnsupportedFormat:
+        raise
+    except Exception as exc:               # one contract, no escapes
+        raise UnsupportedFormat(
+            f"malformed ISO-BMFF stream: {exc}") from exc
+    if meta["timescale"] == 0:
+        raise UnsupportedFormat("ISO-BMFF stream without moov/mvhd")
+    return meta
+
+
+# ----------------------------------------------------------- MPEG audio
+
+# bitrate tables (kbps), header index 1..14 (11172-3 §2.4.2.3 /
+# 13818-3); key = (version_group, layer): version_group 1 = MPEG-1,
+# 2 = MPEG-2/2.5 (which share tables)
+_MP3_BITRATES = {
+    (1, 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352,
+             384, 416, 448),
+    (1, 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+             320, 384),
+    (1, 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+             256, 320),
+    (2, 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192,
+             224, 256),
+    (2, 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+             160),
+}
+_MP3_BITRATES[(2, 3)] = _MP3_BITRATES[(2, 2)]
+
+_MP3_RATES = {3: (44100, 48000, 32000),      # version bits 11 = MPEG-1
+              2: (22050, 24000, 16000),      # 10 = MPEG-2
+              0: (11025, 12000, 8000)}       # 00 = MPEG-2.5
+
+
+def _mp3_frame(data: bytes, off: int) -> dict | None:
+    """Parse the 4-byte MPEG audio frame header at ``off``; None when
+    the bytes are not a valid fixed-rate header (free-format and
+    reserved fields refuse — they carry no parseable duration)."""
+    if off + 4 > len(data):
+        return None
+    h = int.from_bytes(data[off:off + 4], "big")
+    if (h >> 21) & 0x7FF != 0x7FF:
+        return None
+    ver_bits = (h >> 19) & 3
+    layer_bits = (h >> 17) & 3
+    br_idx = (h >> 12) & 0xF
+    sr_idx = (h >> 10) & 3
+    if ver_bits == 1 or layer_bits == 0 or br_idx in (0, 15) \
+            or sr_idx == 3:
+        return None
+    layer = 4 - layer_bits                 # bits 01→III, 10→II, 11→I
+    vgroup = 1 if ver_bits == 3 else 2
+    rate = _MP3_RATES[ver_bits][sr_idx]
+    bitrate = _MP3_BITRATES[(vgroup, layer)][br_idx - 1] * 1000
+    pad = (h >> 9) & 1
+    mono = ((h >> 6) & 3) == 3
+    crc = ((h >> 16) & 1) == 0             # protection bit 0 = CRC
+    if layer == 1:
+        spf = 384
+        frame_size = (12 * bitrate // rate + pad) * 4
+    else:
+        spf = 1152 if (layer == 2 or vgroup == 1) else 576
+        frame_size = spf // 8 * bitrate // rate + pad
+    return {"rate": rate, "bitrate": bitrate, "channels":
+            1 if mono else 2, "spf": spf, "frame_size": frame_size,
+            "layer": layer, "vgroup": vgroup, "crc": crc}
+
+
+def mp3_meta(data: bytes) -> dict:
+    """Header metadata for an MPEG audio (MP3) stream: ``rate``,
+    ``channels``, ``n_frames``, ``duration_s``, ``vbr``. Skips an
+    ID3v2 tag (syncsafe size), scans a bounded window for the first
+    valid frame header, then reads the Xing/Info VBR tag (exact
+    frame count) or falls back to the CBR estimate
+    (payload_bytes · 8 / bitrate). Raises `UnsupportedFormat` when
+    no valid frame appears in the scan window."""
+    try:
+        start = 0
+        if data[:3] == b"ID3" and len(data) >= 10:
+            # syncsafe 28-bit size, 4 × 7 bits (ID3v2 §3.1)
+            size = ((data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14
+                    | (data[8] & 0x7F) << 7 | (data[9] & 0x7F))
+            start = 10 + size
+        limit = min(len(data), start + MP3_SYNC_SCAN)
+        frame = None
+        pos = start
+        while pos + 4 <= limit:
+            frame = _mp3_frame(data, pos)
+            if frame is not None:
+                break
+            pos += 1
+        if frame is None:
+            raise UnsupportedFormat(
+                "no MPEG audio frame in the scan window")
+        # Xing/Info tag sits after the side info of the first frame
+        side = (32 if frame["channels"] == 2 else 17) \
+            if frame["vgroup"] == 1 \
+            else (17 if frame["channels"] == 2 else 9)
+        tag_at = pos + 4 + (2 if frame["crc"] else 0) + side
+        n_frames, vbr = 0, False
+        if data[tag_at:tag_at + 4] in (b"Xing", b"Info") \
+                and tag_at + 12 <= len(data):
+            flags = _u32(data, tag_at + 4)
+            if flags & 1:
+                n_frames = _u32(data, tag_at + 8)
+                vbr = data[tag_at:tag_at + 4] == b"Xing"
+        if n_frames > 0:
+            duration = n_frames * frame["spf"] / frame["rate"]
+        else:
+            audio_bytes = len(data) - pos
+            duration = audio_bytes * 8 / frame["bitrate"]
+            n_frames = audio_bytes // max(frame["frame_size"], 1)
+        return {"rate": frame["rate"], "channels": frame["channels"],
+                "n_frames": int(n_frames),
+                "duration_s": float(duration), "vbr": vbr}
+    except UnsupportedFormat:
+        raise
+    except Exception as exc:
+        raise UnsupportedFormat(
+            f"malformed MPEG audio stream: {exc}") from exc
+
+
+# ---------------------------------------------------------------- FLAC
+
+def flac_meta(data: bytes) -> dict:
+    """STREAMINFO metadata for a FLAC stream: ``rate``, ``channels``,
+    ``bits_per_sample``, ``total_samples``, ``duration_s``. The spec
+    mandates STREAMINFO as the first metadata block; block walk is
+    capped. Raises `UnsupportedFormat` on anything malformed."""
+    try:
+        if data[:4] != b"fLaC" or len(data) < 8:
+            raise UnsupportedFormat("not a FLAC stream")
+        pos, blocks = 4, 0
+        info = None
+        while pos + 4 <= len(data):
+            blocks += 1
+            if blocks > FLAC_MAX_BLOCKS:
+                raise UnsupportedFormat(
+                    f"FLAC stream with more than {FLAC_MAX_BLOCKS} "
+                    "metadata blocks")
+            hdr = data[pos]
+            btype, last = hdr & 0x7F, bool(hdr & 0x80)
+            length = int.from_bytes(data[pos + 1:pos + 4], "big")
+            body = data[pos + 4:pos + 4 + length]
+            if len(body) < length:
+                raise UnsupportedFormat("truncated FLAC block")
+            if blocks == 1:
+                if btype != 0 or length < 34:
+                    raise UnsupportedFormat(
+                        "FLAC without leading STREAMINFO")
+                info = body
+            pos += 4 + length
+            if last:
+                break
+        if info is None:
+            raise UnsupportedFormat("FLAC without metadata blocks")
+        rate = (info[10] << 12) | (info[11] << 4) | (info[12] >> 4)
+        channels = ((info[12] >> 1) & 0x7) + 1
+        bps = (((info[12] & 1) << 4) | (info[13] >> 4)) + 1
+        total = ((info[13] & 0x0F) << 32) \
+            | int.from_bytes(info[14:18], "big")
+        if rate == 0:
+            raise UnsupportedFormat("FLAC STREAMINFO with zero rate")
+        return {"rate": rate, "channels": channels,
+                "bits_per_sample": bps, "total_samples": total,
+                "duration_s": total / rate}
+    except UnsupportedFormat:
+        raise
+    except Exception as exc:
+        raise UnsupportedFormat(
+            f"malformed FLAC stream: {exc}") from exc
+
+
+# ------------------------------------------------- test-side encoders
+# (no binary fixtures in the repo — same stance as make_png/make_jpeg)
+
+def make_mp4(duration_s: float = 10.0, timescale: int = 1000,
+             width: int = 0, height: int = 0,
+             audio: bool = False, brand: bytes = b"isom") -> bytes:
+    """Minimal valid ISO-BMFF stream: ftyp + moov(mvhd [+ trak(tkhd,
+    mdia(hdlr))] per requested track). ``width>0`` adds a video
+    track; ``audio=True`` adds an audio track."""
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return (8 + len(payload)).to_bytes(4, "big") + btype + payload
+
+    def full(btype: bytes, payload: bytes) -> bytes:
+        return box(btype, b"\x00\x00\x00\x00" + payload)
+
+    dur = int(round(duration_s * timescale))
+    mvhd = full(b"mvhd", (0).to_bytes(4, "big") * 2
+                + timescale.to_bytes(4, "big")
+                + dur.to_bytes(4, "big")
+                + (0x00010000).to_bytes(4, "big")      # rate 1.0
+                + (0x0100).to_bytes(2, "big")          # volume 1.0
+                + b"\x00" * 10 + _unity_matrix()
+                + b"\x00" * 24 + (99).to_bytes(4, "big"))
+
+    def trak(handler: bytes, w: int, h: int) -> bytes:
+        tkhd = full(b"tkhd", (0).to_bytes(4, "big") * 2
+                    + (1).to_bytes(4, "big") + b"\x00" * 4
+                    + dur.to_bytes(4, "big") + b"\x00" * 8
+                    + b"\x00" * 8 + _unity_matrix()
+                    + (w << 16).to_bytes(4, "big")
+                    + (h << 16).to_bytes(4, "big"))
+        hdlr = full(b"hdlr", b"\x00" * 4 + handler + b"\x00" * 13)
+        return box(b"trak", tkhd + box(b"mdia", hdlr))
+
+    traks = b""
+    if width > 0:
+        traks += trak(b"vide", width, height)
+    if audio:
+        traks += trak(b"soun", 0, 0)
+    ftyp = box(b"ftyp", brand + (0).to_bytes(4, "big") + b"isom")
+    return ftyp + box(b"moov", mvhd + traks)
+
+
+def _unity_matrix() -> bytes:
+    m = [0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000]
+    return b"".join(x.to_bytes(4, "big") for x in m)
+
+
+def make_mp3(n_frames: int = 8, xing: bool = True,
+             id3_bytes: int = 0, mono: bool = False) -> bytes:
+    """Minimal MPEG-1 Layer III stream at 44.1 kHz / 128 kbps:
+    optional ID3v2 shell, first frame carrying a Xing tag (exact
+    frame count) when ``xing``, then zero-payload frames."""
+    hdr = bytes([0xFF, 0xFB,
+                 0x90,                       # 128 kbps, 44100, no pad
+                 0xC0 if mono else 0x40])
+    frame_size = 1152 // 8 * 128000 // 44100    # 417 bytes
+    frame = bytearray(hdr + b"\x00" * (frame_size - 4))
+    out = bytearray()
+    if id3_bytes > 0:
+        size = id3_bytes
+        out += (b"ID3\x04\x00\x00"
+                + bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                         (size >> 7) & 0x7F, size & 0x7F])
+                + b"\x00" * size)
+    if xing:
+        first = bytearray(frame)
+        side = 17 if mono else 32
+        at = 4 + side
+        first[at:at + 4] = b"Xing"
+        first[at + 4:at + 8] = (1).to_bytes(4, "big")
+        first[at + 8:at + 12] = n_frames.to_bytes(4, "big")
+        out += first
+        out += frame * max(0, n_frames - 1)
+    else:
+        out += frame * n_frames
+    return bytes(out)
+
+
+def make_flac(total_samples: int = 441000, rate: int = 44100,
+              channels: int = 2, bps: int = 16) -> bytes:
+    """fLaC magic + a single (last) STREAMINFO block — no audio
+    frames, which is all the metadata walker reads."""
+    info = bytearray(34)
+    info[0:2] = (4096).to_bytes(2, "big")
+    info[2:4] = (4096).to_bytes(2, "big")
+    info[10] = (rate >> 12) & 0xFF
+    info[11] = (rate >> 4) & 0xFF
+    info[12] = ((rate & 0xF) << 4) | ((channels - 1) << 1) \
+        | ((bps - 1) >> 4)
+    info[13] = (((bps - 1) & 0xF) << 4) | ((total_samples >> 32) & 0xF)
+    info[14:18] = (total_samples & 0xFFFFFFFF).to_bytes(4, "big")
+    return (b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big")
+            + bytes(info))

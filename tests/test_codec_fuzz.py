@@ -21,7 +21,8 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
-from big_data_bowl___2023_spark.multimodal import codecs, gif, jpeg
+from big_data_bowl___2023_spark.multimodal import (codecs, containers,
+                                                   gif, jpeg)
 
 
 def _seed_payloads() -> dict[str, bytes]:
@@ -41,6 +42,12 @@ def _seed_payloads() -> dict[str, bytes]:
         "gif": gif.make_gif((img // 64) * 64),
         "wav": codecs.make_wav(tone, 8000),
         "y4m": codecs.make_y4m(clip),
+        "mp4": containers.make_mp4(12.5, 1000, 640, 360, audio=True),
+        "m4a": containers.make_mp4(3.0, 44100, audio=True,
+                                   brand=b"M4A "),
+        "mp3": containers.make_mp3(8, xing=True, id3_bytes=64),
+        "mp3-cbr": containers.make_mp3(6, xing=False),
+        "flac": containers.make_flac(441000, 44100, 2, 16),
     }
 
 
@@ -62,6 +69,12 @@ def _decode_any(data: bytes) -> None:
         except codecs.UnsupportedFormat:
             pass
         codecs.decode(data)
+    elif kind == "mp4":
+        containers.mp4_meta(data)
+    elif kind == "mp3":
+        containers.mp3_meta(data)
+    elif kind == "flac":
+        containers.flac_meta(data)
     else:
         codecs.decode(data)
 
@@ -115,7 +128,9 @@ def test_fuzz_noise_behind_valid_magic():
     magics = [b"BM", b"P6 ", b"P5 ", codecs._PNG_SIG,
               b"\xff\xd8\xff", b"GIF89a", b"GIF87a",
               b"RIFF\x00\x01\x00\x00WAVE",
-              b"RIFF\x00\x01\x00\x00WEBP", b"YUV4MPEG2 "]
+              b"RIFF\x00\x01\x00\x00WEBP", b"YUV4MPEG2 ",
+              b"\x00\x00\x00\x18ftypisom", b"fLaC", b"ID3\x04\x00\x00",
+              b"\xff\xfb\x90\x40"]
     for magic in magics:
         for trial in range(40):
             noise = rng.integers(0, 256, int(rng.integers(0, 400)),

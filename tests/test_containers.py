@@ -1,0 +1,212 @@
+"""MP4/MOV (ISO-BMFF), MP3, and FLAC metadata tiers.
+
+Round-13 verdict #2: these are the dominant real-world A/V container
+families and previously landed `unknown` → `unknown-stub`, leaving
+corpus profiles blind to a web-crawl bucket's biggest media classes.
+The walkers are header-only (`image_dims` pattern): duration, track
+dims, rate, channels — compressed A/V sample decode stays refused.
+
+Streams are built by the in-repo encoders (no binary fixtures) plus
+hand-crafted byte-literals for the variants the encoders don't emit
+(v1 boxes, largesize, crafted bombs)."""
+
+from __future__ import annotations
+
+import pytest
+
+from big_data_bowl___2023_spark.multimodal import codecs, containers
+from big_data_bowl___2023_spark.multimodal.binary_ops import (
+    _decode_one,
+    decode_media,
+)
+
+
+# ------------------------------------------------------------ ISO-BMFF
+
+def test_mp4_meta_video_round_trip():
+    data = containers.make_mp4(12.5, 1000, 640, 360, audio=True)
+    assert codecs.sniff(data) == "mp4"
+    m = containers.mp4_meta(data)
+    assert m["brand"] == "isom"
+    assert m["timescale"] == 1000
+    assert m["duration_s"] == pytest.approx(12.5)
+    assert (m["width"], m["height"]) == (640, 360)
+    assert m["n_video_tracks"] == 1 and m["n_audio_tracks"] == 1
+    assert m["n_tracks"] == 2
+
+
+def test_mp4_meta_audio_only_m4a():
+    data = containers.make_mp4(3.0, 44100, audio=True, brand=b"M4A ")
+    m = containers.mp4_meta(data)
+    assert m["brand"] == "M4A"
+    assert m["n_video_tracks"] == 0 and m["n_audio_tracks"] == 1
+    assert m["width"] == 0 and m["height"] == 0
+    assert m["duration_s"] == pytest.approx(3.0)
+
+
+def test_mp4_meta_v1_and_largesize():
+    """Version-1 mvhd (64-bit duration) and a largesize (size==1)
+    box header — hand-crafted, the encoder emits neither."""
+    ts, dur = 90000, 90000 * 7
+    mvhd_body = (b"\x01\x00\x00\x00" + b"\x00" * 16
+                 + ts.to_bytes(4, "big") + dur.to_bytes(8, "big")
+                 + b"\x00" * 80)
+    mvhd = (8 + len(mvhd_body)).to_bytes(4, "big") + b"mvhd" \
+        + mvhd_body
+    # moov wrapped in a largesize header: size field 1 + 8-byte size
+    moov = (1).to_bytes(4, "big") + b"moov" \
+        + (16 + len(mvhd)).to_bytes(8, "big") + mvhd
+    ftyp = (16).to_bytes(4, "big") + b"ftyp" + b"isom" + b"\x00" * 4
+    m = containers.mp4_meta(ftyp + moov)
+    assert m["timescale"] == ts
+    assert m["duration_s"] == pytest.approx(7.0)
+
+
+def test_mp4_crafted_streams_refuse_typed():
+    good = containers.make_mp4(1.0, 1000, 64, 64)
+    # box claiming to overrun its parent
+    bad = bytearray(good)
+    at = good.index(b"moov") - 4
+    bad[at:at + 4] = (len(good) * 2).to_bytes(4, "big")
+    with pytest.raises(codecs.UnsupportedFormat, match="overruns"):
+        containers.mp4_meta(bytes(bad))
+    # no moov/mvhd at all
+    ftyp = (16).to_bytes(4, "big") + b"ftyp" + b"isom" + b"\x00" * 4
+    with pytest.raises(codecs.UnsupportedFormat, match="mvhd"):
+        containers.mp4_meta(ftyp)
+    # box-count bomb: thousands of tiny free boxes
+    free = (8).to_bytes(4, "big") + b"free"
+    with pytest.raises(codecs.UnsupportedFormat, match="boxes"):
+        containers.mp4_meta(ftyp + free * (containers.MP4_MAX_BOXES
+                                           + 8))
+    # nesting bomb: trak-in-trak past the depth cap
+    inner = b""
+    for _ in range(containers.MP4_MAX_DEPTH + 2):
+        inner = (8 + len(inner)).to_bytes(4, "big") + b"trak" + inner
+    mvhd = containers.make_mp4(1.0, 1000)[16:]   # reuse moov(mvhd)
+    deep = (8 + len(inner)).to_bytes(4, "big") + b"moov" + inner
+    with pytest.raises(codecs.UnsupportedFormat, match="deep"):
+        containers.mp4_meta(ftyp + deep)
+    assert containers.mp4_meta(good)["width"] == 64   # still clean
+
+
+# ----------------------------------------------------------- MPEG audio
+
+def test_mp3_meta_xing_and_id3():
+    data = containers.make_mp3(8, xing=True, id3_bytes=64)
+    assert codecs.sniff(data) == "mp3"
+    m = containers.mp3_meta(data)
+    assert m["rate"] == 44100 and m["channels"] == 2
+    assert m["n_frames"] == 8 and m["vbr"] is True
+    assert m["duration_s"] == pytest.approx(8 * 1152 / 44100)
+
+
+def test_mp3_meta_cbr_estimate_and_mono():
+    data = containers.make_mp3(6, xing=False)
+    assert codecs.sniff(data) == "mp3"        # raw sync, no ID3
+    m = containers.mp3_meta(data)
+    assert m["vbr"] is False
+    assert m["n_frames"] == 6                 # bytes / frame_size
+    assert m["duration_s"] == pytest.approx(len(data) * 8 / 128000)
+    mono = containers.make_mp3(4, xing=True, mono=True)
+    mm = containers.mp3_meta(mono)
+    assert mm["channels"] == 1 and mm["n_frames"] == 4
+
+
+def test_mp3_crafted_streams_refuse_typed():
+    # ID3 shell with no audio frames in the scan window
+    shell = b"ID3\x04\x00\x00\x00\x00\x00\x00" + b"\x00" * 256
+    with pytest.raises(codecs.UnsupportedFormat, match="frame"):
+        containers.mp3_meta(shell)
+    # free-format (bitrate index 0) refuses rather than guessing
+    free = bytes([0xFF, 0xFB, 0x00, 0x40]) + b"\x00" * 64
+    assert containers._mp3_frame(free, 0) is None
+    assert codecs.sniff(free) is None
+    with pytest.raises(codecs.UnsupportedFormat):
+        containers.mp3_meta(free)
+
+
+# ---------------------------------------------------------------- FLAC
+
+def test_flac_meta_round_trip():
+    data = containers.make_flac(441000, 44100, 2, 16)
+    assert codecs.sniff(data) == "flac"
+    m = containers.flac_meta(data)
+    assert m["rate"] == 44100 and m["channels"] == 2
+    assert m["bits_per_sample"] == 16
+    assert m["total_samples"] == 441000
+    assert m["duration_s"] == pytest.approx(10.0)
+    # the 36-bit total-samples field (> 2^32)
+    big = containers.make_flac((1 << 35) + 7, 96000, 8, 24)
+    mb = containers.flac_meta(big)
+    assert mb["total_samples"] == (1 << 35) + 7
+    assert mb["channels"] == 8 and mb["bits_per_sample"] == 24
+
+
+def test_flac_crafted_streams_refuse_typed():
+    good = containers.make_flac()
+    with pytest.raises(codecs.UnsupportedFormat, match="STREAMINFO"):
+        # first block is not STREAMINFO
+        containers.flac_meta(b"fLaC" + bytes([0x84])
+                             + (34).to_bytes(3, "big") + b"\x00" * 34)
+    with pytest.raises(codecs.UnsupportedFormat, match="truncated"):
+        containers.flac_meta(good[:20])
+    with pytest.raises(codecs.UnsupportedFormat, match="zero rate"):
+        containers.flac_meta(containers.make_flac(0, 0, 1, 16))
+    # block-count bomb: never-last tiny blocks
+    bomb = bytearray(good[:4])
+    block = bytes([0x02]) + (0).to_bytes(3, "big")   # non-last, empty
+    head = bytes([0x00]) + (34).to_bytes(3, "big") + good[8:42]
+    bomb += bytes([head[0] & 0x7F]) + head[1:]        # non-last info
+    bomb += block * (containers.FLAC_MAX_BLOCKS + 8)
+    with pytest.raises(codecs.UnsupportedFormat, match="blocks"):
+        containers.flac_meta(bytes(bomb))
+
+
+# ----------------------------------------------- decode-tier plumbing
+
+def test_decode_one_container_tiers():
+    """Tier attribution follows the wav/y4m column conventions:
+    audio → (frames, rate, channels), video → (w, h, seconds)."""
+    mp4 = containers.make_mp4(12.8, 1000, 640, 360)
+    assert _decode_one(mp4, "video") == (640, 360, 13, "mp4-dims")
+    m4a = containers.make_mp4(3.0, 44100, audio=True, brand=b"M4A ")
+    assert _decode_one(m4a, "audio") == (3 * 44100, 44100, 1,
+                                         "mp4-dims")
+    mp3 = containers.make_mp3(8, xing=True)
+    assert _decode_one(mp3, "audio") == (8, 44100, 2, "mp3-dims")
+    flac = containers.make_flac(441000, 44100, 2, 16)
+    assert _decode_one(flac, "audio") == (441000, 44100, 2,
+                                          "flac-dims")
+    # a crafted container still falls to the honest stub tier
+    w, h, c, tier = _decode_one(b"fLaC" + b"\x00" * 8, "audio")
+    assert tier == "stub"
+
+
+def test_container_tiers_through_spark(spark):
+    """End-to-end: neutral `.bin` names, modality from magic bytes
+    in the bridge, tier attribution in the decode pass."""
+    from big_data_bowl___2023_spark.multimodal.binary_ops import (
+        media_from_binary_files,
+    )
+    payloads = {
+        "a.bin": containers.make_mp4(5.0, 600, 320, 240),
+        "b.bin": containers.make_mp4(2.0, 8000, audio=True,
+                                     brand=b"M4A "),
+        "c.bin": containers.make_flac(80000, 8000, 1, 16),
+        "d.bin": containers.make_mp3(4, xing=True, id3_bytes=32),
+        "e.mp3": containers.make_mp3(3, xing=False),   # raw sync →
+        # extension rule (11-bit sync is too weak for a magic test)
+    }
+    files = spark.createDataFrame(
+        [(k, bytearray(v), len(v)) for k, v in payloads.items()],
+        "path string, content binary, length long")
+    media = media_from_binary_files(files)
+    mods = {r["source"]: r["modality"] for r in media.collect()}
+    assert mods == {"a.bin": "video", "b.bin": "audio",
+                    "c.bin": "audio", "d.bin": "audio",
+                    "e.mp3": "audio"}
+    dec = {r["modality"] + ":" + r["decoder"]
+           for r in decode_media(media).collect()}
+    assert dec == {"video:mp4-dims", "audio:mp4-dims",
+                   "audio:flac-dims", "audio:mp3-dims"}

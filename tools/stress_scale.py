@@ -445,8 +445,9 @@ def media_legs(spark, docs0, scales) -> None:
 def media_mix_legs(spark, scales) -> None:
     """Mixed-payload attribution legs (verdict r12 #6): a GENERATED
     corpus with known per-tier proportions — baseline JPEG,
-    progressive JPEG, PNG, BMP, GIF, WAV, Y4M and unclassifiable
-    junk — pushed through the binaryFile bridge (magic-byte modality
+    progressive JPEG, PNG, BMP, GIF, WAV, Y4M, the r14 container
+    metadata tiers (MP4 video, M4A audio, MP3, FLAC) and
+    unclassifiable junk — pushed through the binaryFile bridge (magic-byte modality
     inference) and all four media passes. The correctness claim of
     the media family is the attribution contract: WHICH tier
     actually ran. Each leg asserts the decode pass's decoder
@@ -458,7 +459,8 @@ def media_mix_legs(spark, scales) -> None:
     'unknown' → 'unknown-stub', never a fake image profile)."""
     import numpy as np
 
-    from big_data_bowl___2023_spark.multimodal import codecs, jpeg
+    from big_data_bowl___2023_spark.multimodal import (codecs,
+                                                       containers, jpeg)
     from big_data_bowl___2023_spark.multimodal.binary_ops import (
         decode_media,
         extract_features,
@@ -487,9 +489,10 @@ def media_mix_legs(spark, scales) -> None:
     gif_hdr = (b"GIF89a" + (24).to_bytes(2, "little")
                + (16).to_bytes(2, "little") + b"\x00\x00\x00")
     junk = b"\x00PDF-ish junk the bridge cannot classify" * 16
-    # per-16 template mix -> expected decoder attribution (baseline
-    # AND progressive JPEG decode for real now; arithmetic and
-    # frame-less GIF represent the metadata tiers)
+    # template mix -> expected decoder attribution (baseline AND
+    # progressive JPEG decode for real; arithmetic JPEG, frame-less
+    # GIF and the MP4/MP3/FLAC container walkers represent the
+    # metadata tiers)
     templates = (
         [("png", codecs.make_png(img))] * 2
         + [("bmp", codecs.make_bmp(img))] * 2
@@ -500,6 +503,12 @@ def media_mix_legs(spark, scales) -> None:
         + [("gif-dims", gif_hdr)] * 1
         + [("wav", codecs.make_wav(tone, 8000))] * 2
         + [("y4m", codecs.make_y4m(clip))] * 1
+        + [("mp4-dims", containers.make_mp4(5.0, 600, 320, 240))] * 1
+        + [("mp4-dims", containers.make_mp4(2.0, 8000, audio=True,
+                                            brand=b"M4A "))] * 1
+        + [("mp3-dims", containers.make_mp3(4, xing=True,
+                                            id3_bytes=32))] * 1
+        + [("flac-dims", containers.make_flac(80000, 8000, 1))] * 1
         + [("unknown-stub", junk)] * 1)
     per_16 = {}
     for tier, _ in templates:
