@@ -27,6 +27,19 @@ dequantization, de-zigzag, the 8x8 IDCT as two matrix multiplies via
 YCbCr→RGB convert. This tier is the no-PIL fallback inside an
 Arrow-batched `mapInPandas` pass, not a production image pipeline.
 
+MEASURED throughput floor (round 14, `tools/stress_scale.py
+--codec-floor`, single core, Annex-K textured 0.4/0.8 MP images):
+baseline ≈ 0.20–0.23 MB/s of compressed payload (≈ 0.5 Mpix/s,
+≈ 17–19 GB/day/core); progressive ≈ 0.07 MB/s (≈ 0.14 Mpix/s,
+≈ 6 GB/day/core). Deployment rule derived from the floor: when a
+corpus's JPEG decode budget exceeds roughly **17 GB/day per
+allocated core for baseline (6 GB/day for progressive-heavy
+corpora)**, REQUIRE PIL/libjpeg-turbo on the executors (binary_ops
+tries PIL first; turbo decodes 2–3 orders of magnitude faster) —
+below it, the pure-python tier keeps a PIL-less cluster correct at
+tolerable cost. Full table incl. PNG/GIF floors in BASELINE.md
+round-14 section.
+
 `make_jpeg` is the test-side generator (the `make_png` pattern — no
 binary fixtures in the repo): a baseline SOF0 encoder with the Annex
 K huffman tables and a choice of quantization (all-ones for

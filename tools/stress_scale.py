@@ -442,6 +442,147 @@ def media_legs(spark, docs0, scales) -> None:
         }), flush=True)
 
 
+def codec_floor_legs() -> None:
+    """Pure-python codec throughput floor (verdict r13 #6): decode
+    MB/s (compressed payload bytes) and Mpix/s for baseline JPEG,
+    progressive JPEG, PNG, and GIF at realistic payload sizes —
+    single-core direct calls, no Spark, because the number wanted is
+    the per-core floor that sizes a PIL-less cluster. PIL itself is
+    absent in this container (binary_ops tries it first in
+    deployment), so the record is the fallback tier's floor and the
+    'require PIL/turbojpeg beyond X' threshold derives from it:
+    GB/day/core = MB/s × 86400 / 1024."""
+    import numpy as np
+
+    from big_data_bowl___2023_spark.multimodal import codecs, gif, jpeg
+
+    def textured(h, w):
+        """Gradient + deterministic texture: compresses like a real
+        photo (pure noise defeats JPEG entirely; flat fields are
+        unrealistically cheap for GIF LZW)."""
+        y = np.arange(h).reshape(h, 1)
+        x = np.arange(w).reshape(1, w)
+        base = (y * 3 + x * 2) % 256
+        tex = ((y * 7919 + x * 104729) % 31)
+        rgb = np.stack([(base + tex) % 256,
+                        (base + 2 * tex + 85) % 256,
+                        (base + 3 * tex + 170) % 256], axis=2)
+        return rgb.astype(np.uint8)
+
+    shapes = [("0.4MP", 512, 768), ("0.8MP", 768, 1024)]
+    for label, h, w in shapes:
+        img = textured(h, w)
+        mpix = h * w / 1e6
+        cases = [
+            ("jpeg-baseline", jpeg.make_jpeg(img, quant="annex-k"),
+             jpeg.decode_jpeg),
+            ("jpeg-progressive",
+             jpeg.make_jpeg(img, quant="annex-k", progressive=True),
+             jpeg.decode_jpeg),
+            ("png", codecs.make_png(img), codecs.decode),
+            ("gif", gif.make_gif((img // 32) * 32), gif.decode_gif),
+        ]
+        for name, payload, decode_fn in cases:
+            decode_fn(payload)                  # warm (numpy caches)
+            reps, t0 = 0, time.time()
+            while reps < 3 and time.time() - t0 < 60:
+                decode_fn(payload)
+                reps += 1
+            wall = (time.time() - t0) / reps
+            mb = len(payload) / (1 << 20)
+            print(json.dumps({
+                "codec": name, "image": label,
+                "payload_mb": round(mb, 2),
+                "decode_sec": round(wall, 2),
+                "payload_mb_s": round(mb / wall, 3),
+                "mpix_s": round(mpix / wall, 3),
+                "gb_day_core": round(mb / wall * 86400 / 1024, 1),
+            }), flush=True)
+
+
+def stream_ingest_legs(spark, docs0, scales) -> None:
+    """Streaming curation-ingest scale legs (verdict r13 #3): the
+    real ``make_curation_ingest_batch_fn`` loop — lease, commit
+    gates, Bloom-gated against-history anti-join, curated/index
+    appends — run at growing corpus scales with a FIXED batch count
+    (4), i.e. growing batch size, which is how a 100 TB backfill
+    actually shapes its micro-batches. Per scale and per mode
+    (audit lineage off/on) the leg records wall PER BATCH, then
+    measures the state tree: curated bytes, fingerprint-index bytes,
+    audit-lineage bytes, and the number BASELINE.md says is the one
+    to watch at 100 TB — ``lineage_amplification`` = audit bytes /
+    curated bytes. Claims under test: per-batch wall grows ~linearly
+    with batch size (no against-history blowup as the index grows),
+    and the amplification ratio is a stable constant, so the audit
+    feature's storage cost at 100 TB is curated-size × ratio, not a
+    surprise."""
+    import os
+    import shutil
+    import tempfile
+
+    from big_data_bowl___2023_spark.streaming.curation import (
+        make_curation_ingest_batch_fn,
+        read_curated,
+    )
+
+    def tree_bytes(path: str) -> int:
+        total = 0
+        for root, _dirs, names in os.walk(path):
+            for nm in names:
+                try:
+                    total += os.path.getsize(os.path.join(root, nm))
+                except OSError:
+                    pass
+        return total
+
+    n_batches = 4
+    for scale in scales:
+        docs = (scaled(docs0, scale, replicate_documents)
+                .withColumn("text",
+                            F.regexp_replace("text",
+                                             " merge(_\\d+)? ", "\n"))
+                .select("doc_id", "text", "source")
+                .localCheckpoint())
+        n_docs = docs.count()
+        benchmark = (docs.filter(F.col("doc_id") % 97 == 0)
+                     .select(F.col("doc_id").alias("bench_id"),
+                             "text").localCheckpoint())
+        out = {"scale": scale, "n_docs": n_docs,
+               "n_batches": n_batches}
+        for mode in ("plain", "audit"):
+            base = tempfile.mkdtemp(
+                prefix=f"stress_ingest_{mode}_{scale}_")
+            try:
+                fn = make_curation_ingest_batch_fn(
+                    f"{base}/curated", f"{base}/fps",
+                    benchmark=benchmark, min_words=20,
+                    audit_dir=(f"{base}/audit" if mode == "audit"
+                               else None))
+                batch_secs = []
+                for b in range(n_batches):
+                    t0 = time.time()
+                    fn(docs.filter(F.col("doc_id") % n_batches == b),
+                       b)
+                    batch_secs.append(round(time.time() - t0, 2))
+                n_curated = read_curated(
+                    spark, f"{base}/curated").count()
+                curated_b = tree_bytes(f"{base}/curated")
+                index_b = tree_bytes(f"{base}/fps")
+                out[f"batch_secs_{mode}"] = batch_secs
+                if mode == "plain":
+                    out["n_curated"] = n_curated
+                    out["curated_bytes"] = curated_b
+                    out["index_bytes"] = index_b
+                else:
+                    audit_b = tree_bytes(f"{base}/audit")
+                    out["audit_bytes"] = audit_b
+                    out["lineage_amplification"] = round(
+                        audit_b / max(curated_b, 1), 3)
+            finally:
+                shutil.rmtree(base, ignore_errors=True)
+        print(json.dumps(out), flush=True)
+
+
 def media_mix_legs(spark, scales) -> None:
     """Mixed-payload attribution legs (verdict r12 #6): a GENERATED
     corpus with known per-tier proportions — baseline JPEG,
@@ -992,18 +1133,27 @@ def main() -> None:
     want_markers = "--markers" in argv
     want_media = "--media" in argv
     want_media_mix = "--media-mix" in argv
+    want_stream_ingest = "--stream-ingest" in argv
+    want_codec_floor = "--codec-floor" in argv
+    if want_codec_floor:
+        # Spark-free: the per-core decode floor — a JVM would only
+        # add noise to a single-thread number
+        codec_floor_legs()
+        return
     if sum([want_product, want_vector, want_substr, want_index,
             want_bpe, want_colloc, want_hybrid,
-            want_markers, want_media, want_media_mix]) > 1:
+            want_markers, want_media, want_media_mix,
+            want_stream_ingest]) > 1:
         raise SystemExit("--product/--vector/--substr/--index/--bpe"
                          "/--colloc/--hybrid/--markers/--media"
-                         "/--media-mix are exclusive modes")
+                         "/--media-mix/--stream-ingest are exclusive "
+                         "modes")
     scales: list[int] = []
     paths: list[str] = []
     for a in argv:
         if a in ("--product", "--vector", "--substr", "--index",
                  "--bpe", "--colloc", "--hybrid", "--markers",
-                 "--media", "--media-mix"):
+                 "--media", "--media-mix", "--stream-ingest"):
             continue
         if re.fullmatch(r"[0-9]+", a):      # positive ints only
             scales.append(int(a))
@@ -1011,7 +1161,8 @@ def main() -> None:
             raise SystemExit(
                 f"unknown flag {a!r} (only --product / --vector "
                 "/ --substr / --index / --bpe / --colloc / --hybrid"
-                " / --markers / --media)")
+                " / --markers / --media / --media-mix "
+                "/ --stream-ingest)")
         else:
             paths.append(a)
     if any(sc < 1 for sc in scales):
@@ -1021,10 +1172,12 @@ def main() -> None:
     if scales and not (want_product or want_vector or want_substr
                        or want_index or want_bpe or want_colloc
                        or want_hybrid or want_markers
-                       or want_media or want_media_mix):
+                       or want_media or want_media_mix
+                       or want_stream_ingest):
         raise SystemExit("scale arguments require --product/--vector"
                          "/--substr/--index/--bpe/--colloc/--hybrid"
-                         "/--markers/--media/--media-mix")
+                         "/--markers/--media/--media-mix"
+                         "/--stream-ingest")
     product_scales = (scales or [16, 64]) if want_product else None
     sf_dir = paths[0] if paths else "/root/testdata/sf0.1"
     spark = get_spark("stress")
@@ -1054,6 +1207,12 @@ def main() -> None:
         return
     if want_media_mix:
         media_mix_legs(spark, scales or [4, 64])
+        spark.stop()
+        return
+    if want_stream_ingest:
+        docs0 = load_table(spark, sf_dir, "documents").cache()
+        docs0.count()
+        stream_ingest_legs(spark, docs0, scales or [1, 4, 16])
         spark.stop()
         return
     docs0 = load_table(spark, sf_dir, "documents").cache()
