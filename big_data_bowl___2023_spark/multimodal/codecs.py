@@ -293,21 +293,31 @@ def _png_unfilter(raw: bytes, stride: int, height: int,
         elif f == 2:
             out[y] = row + prev          # uint8 wraparound == mod 256
         elif f == 3:
-            r = out[y]
+            # plain-list scalar loop, not numpy indexing: per-byte
+            # numpy scalar reads are ~10x slower than list ops, and
+            # this loop dominated the measured PNG decode floor
+            # (BASELINE.md r14 --codec-floor: 0.35 Mpix/s)
+            rr, pv, acc = row.tolist(), prev.tolist(), []
+            ap = acc.append
             for x in range(stride):
-                a = int(r[x - bpp]) if x >= bpp else 0
-                r[x] = (int(row[x]) + ((a + int(prev[x])) >> 1)) & 0xFF
+                a = acc[x - bpp] if x >= bpp else 0
+                ap((rr[x] + ((a + pv[x]) >> 1)) & 0xFF)
+            out[y] = acc
         elif f == 4:
-            r = out[y]
+            # c = recon[y-1, x-bpp] == pv[x-bpp]; pv is all zeros on
+            # the first row, so the y==0 case needs no special branch
+            rr, pv, acc = row.tolist(), prev.tolist(), []
+            ap = acc.append
             for x in range(stride):
-                a = int(r[x - bpp]) if x >= bpp else 0
-                b = int(prev[x])
-                c = int(out[y - 1, x - bpp]) if (x >= bpp and y) else 0
+                a = acc[x - bpp] if x >= bpp else 0
+                b = pv[x]
+                c = pv[x - bpp] if x >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else \
                     (b if pb <= pc else c)
-                r[x] = (int(row[x]) + pred) & 0xFF
+                ap((rr[x] + pred) & 0xFF)
+            out[y] = acc
         else:
             raise UnsupportedFormat(f"PNG filter type {f}")
     return out

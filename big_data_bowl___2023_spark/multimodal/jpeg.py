@@ -28,17 +28,18 @@ YCbCr→RGB convert. This tier is the no-PIL fallback inside an
 Arrow-batched `mapInPandas` pass, not a production image pipeline.
 
 MEASURED throughput floor (round 14, `tools/stress_scale.py
---codec-floor`, single core, Annex-K textured 0.4/0.8 MP images):
-baseline ≈ 0.20–0.23 MB/s of compressed payload (≈ 0.5 Mpix/s,
-≈ 17–19 GB/day/core); progressive ≈ 0.07 MB/s (≈ 0.14 Mpix/s,
-≈ 6 GB/day/core). Deployment rule derived from the floor: when a
-corpus's JPEG decode budget exceeds roughly **17 GB/day per
-allocated core for baseline (6 GB/day for progressive-heavy
-corpora)**, REQUIRE PIL/libjpeg-turbo on the executors (binary_ops
-tries PIL first; turbo decodes 2–3 orders of magnitude faster) —
-below it, the pure-python tier keeps a PIL-less cluster correct at
-tolerable cost. Full table incl. PNG/GIF floors in BASELINE.md
-round-14 section.
+--codec-floor`, single core, Annex-K textured 0.4/0.8 MP images,
+after the LUT-huffman + list-coefficient optimization): baseline
+≈ 0.26–0.32 MB/s of compressed payload (≈ 0.6–0.74 Mpix/s,
+≈ 22–27 GB/day/core); progressive ≈ 0.26–0.33 MB/s (≈ 0.52–0.65
+Mpix/s — near baseline parity, ≈ 22–28 GB/day/core). Deployment
+rule derived from the floor: when a corpus's JPEG decode budget
+exceeds roughly **22 GB/day per allocated core**, REQUIRE
+PIL/libjpeg-turbo on the executors (binary_ops tries PIL first;
+turbo decodes 2–3 orders of magnitude faster) — below it, the
+pure-python tier keeps a PIL-less cluster correct at tolerable
+cost. Full table incl. PNG/GIF floors in BASELINE.md round-14
+section.
 
 `make_jpeg` is the test-side generator (the `make_png` pattern — no
 binary fixtures in the repo): a baseline SOF0 encoder with the Annex
@@ -169,88 +170,155 @@ _AC_CHROMA = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119], [
     0xF9, 0xFA])
 
 
+class _HuffTable:
+    """Canonical huffman table (T.81 C.2) with a 16-bit prefix LUT:
+    ``lut[p]`` for every 16-bit left-aligned prefix ``p`` packs
+    ``symbol << 5 | code_length`` (−1 = invalid prefix), so
+    `decode_symbol` is one list index instead of a bit-at-a-time
+    dict walk — the profiled hot spot of the pure-python tier
+    (decode_symbol + read_bit were 80 % of a baseline decode).
+    ``map`` keeps the {(length, code): symbol} view for the
+    encoder."""
+
+    __slots__ = ("map", "lut")
+
+    def __init__(self, bits, vals):
+        if sum(bits) != len(vals):
+            raise UnsupportedFormat(
+                "JPEG huffman BITS/HUFFVAL mismatch")
+        table, code, k = {}, 0, 0
+        lut = [-1] * (1 << 16)
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                table[(length, code)] = vals[k]
+                start = code << (16 - length)
+                span = 1 << (16 - length)
+                lut[start:start + span] = \
+                    [int(vals[k]) << 5 | length] * span
+                k += 1
+                code += 1
+            if code > (1 << length):
+                raise UnsupportedFormat("overfull JPEG huffman table")
+            code <<= 1
+        self.map = table
+        self.lut = lut
+
+
 def _build_decode_table(bits, vals):
-    """Canonical huffman (T.81 C.2): {(length, code): symbol}."""
-    if sum(bits) != len(vals):
-        raise UnsupportedFormat("JPEG huffman BITS/HUFFVAL mismatch")
-    table, code, k = {}, 0, 0
-    for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            table[(length, code)] = vals[k]
-            k += 1
-            code += 1
-        if code > (1 << length):
-            raise UnsupportedFormat("overfull JPEG huffman table")
-        code <<= 1
-    return table
+    """Canonical huffman decode table (see `_HuffTable`)."""
+    return _HuffTable(bits, vals)
 
 
 def _build_encode_table(bits, vals):
     """{symbol: (code, length)} — the encoder-side view."""
     dec = _build_decode_table(bits, vals)
-    return {sym: (code, length) for (length, code), sym in dec.items()}
+    return {sym: (code, length)
+            for (length, code), sym in dec.map.items()}
 
 
 class _BitReader:
     """MSB-first reader over the entropy-coded segment: 0xFF00
     unstuffing; any other marker terminates the readable stream
-    (restart markers are consumed explicitly via `restart`)."""
+    (restart markers are consumed explicitly via `restart`).
+
+    Buffered: `_fill` pulls whole bytes into an int accumulator
+    (``acc`` holds the low ``n`` bits still unconsumed), so
+    magnitude bits come out in one mask-and-shift and huffman
+    symbols in one LUT index. The buffer NEVER crosses a marker —
+    `_fill` stops at any 0xFF + non-zero byte and records why the
+    stream ended, so consuming past the end raises the same typed
+    errors as the old bit-at-a-time reader."""
+
+    __slots__ = ("data", "pos", "acc", "n", "end")
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
         self.pos = pos
-        self.cur = 0
-        self.nbits = 0
+        self.acc = 0
+        self.n = 0
+        self.end = None
+
+    def _fill(self) -> None:
+        d, p, acc, n = self.data, self.pos, self.acc, self.n
+        ln = len(d)
+        while n <= 48:
+            if p >= ln:
+                self.end = "truncated JPEG entropy data"
+                break
+            b = d[p]
+            if b == 0xFF:
+                nxt = d[p + 1] if p + 1 < ln else None
+                if nxt != 0x00:
+                    self.end = "JPEG entropy data ran into a marker"
+                    break
+                p += 2             # stuffed 0xFF00 -> literal FF
+            else:
+                p += 1
+            acc = (acc << 8) | b
+            n += 8
+        self.pos = p
+        self.acc = acc & ((1 << n) - 1)   # keep acc word-sized
+        self.n = n
 
     def read_bit(self) -> int:
-        if self.nbits == 0:
-            d = self.data
-            if self.pos >= len(d):
-                raise UnsupportedFormat("truncated JPEG entropy data")
-            b = d[self.pos]
-            if b == 0xFF:
-                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
-                if nxt != 0x00:
-                    raise UnsupportedFormat(
-                        "JPEG entropy data ran into a marker")
-                self.pos += 2          # stuffed 0xFF00 -> literal FF
-            else:
-                self.pos += 1
-            self.cur = b
-            self.nbits = 8
-        self.nbits -= 1
-        return (self.cur >> self.nbits) & 1
+        if self.n == 0:
+            self._fill()
+            if self.n == 0:
+                raise UnsupportedFormat(self.end)
+        self.n -= 1
+        return (self.acc >> self.n) & 1
 
     def receive(self, n: int) -> int:
         """n raw magnitude bits, MSB first (no sign extension)."""
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        if self.n < n:
+            self._fill()
+            if self.n < n:
+                raise UnsupportedFormat(self.end)
+        self.n -= n
+        return (self.acc >> self.n) & ((1 << n) - 1)
 
     def receive_extend(self, n: int) -> int:
         """Read an n-bit magnitude and sign-extend it (T.81 F.2.2.1:
         values with a 0 high bit encode negatives)."""
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        v = self.receive(n)
         if n and v < (1 << (n - 1)):
             v -= (1 << n) - 1
         return v
 
     def decode_symbol(self, table) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.read_bit()
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise UnsupportedFormat("invalid JPEG huffman code")
+        avail = self.n
+        if avail < 16:
+            self._fill()
+            avail = self.n
+        if avail >= 16:
+            idx = (self.acc >> (avail - 16)) & 0xFFFF
+        elif avail:
+            # stream end inside the last code: pad the PEEK only —
+            # a code fitting the remaining bits still decodes; one
+            # needing more raises the recorded end reason below
+            idx = (self.acc << (16 - avail)) & 0xFFFF
+        else:
+            raise UnsupportedFormat(self.end)
+        packed = table.lut[idx]
+        if packed < 0:
+            raise UnsupportedFormat("invalid JPEG huffman code")
+        length = packed & 31
+        if length > avail:
+            raise UnsupportedFormat(self.end)
+        self.n = avail - length
+        return packed >> 5
 
     def restart(self) -> None:
         """Byte-align and consume the expected RSTn marker (T.81
         F.2.1.3.1); fill 0xFFs before it are legal."""
-        self.nbits = 0
+        if self.n >= 8:
+            # full unconsumed data bytes before the boundary mean the
+            # entropy decode and the restart grid disagree — the old
+            # reader's position would sit on a data byte here
+            raise UnsupportedFormat("missing JPEG restart marker")
+        self.n = 0
         d, p = self.data, self.pos
         if p + 1 >= len(d) or d[p] != 0xFF:
             raise UnsupportedFormat("missing JPEG restart marker")
@@ -262,8 +330,10 @@ class _BitReader:
 
 
 def _decode_block(reader, dc_table, ac_table, pred):
-    """One 8x8 block of zigzag-order coefficients (T.81 F.2.2)."""
-    coef = np.zeros(64, dtype=np.int32)
+    """One 8x8 block of zigzag-order coefficients (T.81 F.2.2) as a
+    plain 64-list (scalar writes; see the coef-store comment in
+    `_setup_grids`)."""
+    coef = [0] * 64
     s = reader.decode_symbol(dc_table)
     if s > 11:
         # T.81 F.1.2.1.2: DC size categories are 0-11 for 8-bit —
@@ -395,7 +465,12 @@ def _setup_grids(frame: dict) -> tuple[int, int, int, int]:
             f"JPEG decoded size {total_samples} coefficient samples "
             f"exceeds cap {JPEG_MAX_COEF_SAMPLES}")
     for c in comps:
-        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
+        # plain Python lists, not numpy rows: the entropy loops do
+        # per-position scalar reads/writes (coef[k] != 0, += p1),
+        # where numpy scalar access is ~10x a list op and dominated
+        # the profiled progressive decode; _reconstruct converts to
+        # one ndarray after entropy decode
+        c["coef"] = [[0] * 64 for _ in range(c["bh"] * c["bw"])]
     return hmax, vmax, mcux, mcuy
 
 
@@ -411,7 +486,8 @@ def _reconstruct(frame: dict, qt: dict, hmax: int,
                                     "quant table")
         # dequant in zigzag order (DQT stores zigzag), then
         # de-zigzag, then one vectorized IDCT over every block
-        deq = c["coef"].astype(np.int64) * qt[c["tq"]][None, :]
+        deq = np.asarray(c["coef"], dtype=np.int64) \
+            * qt[c["tq"]][None, :]
         nat = np.zeros_like(deq)
         nat[:, _ZIGZAG] = deq
         blocks = nat.reshape(-1, 8, 8).astype(np.float64)
