@@ -178,30 +178,42 @@ class _HuffTable:
     dict walk — the profiled hot spot of the pure-python tier
     (decode_symbol + read_bit were 80 % of a baseline decode).
     ``map`` keeps the {(length, code): symbol} view for the
-    encoder."""
+    encoder.
 
-    __slots__ = ("map", "lut")
+    The LUT builds LAZILY on first decode use: a 65k-entry list per
+    table is cheap once (~2 ms) but a crafted stream could stuff
+    thousands of DHT segments — eager builds would be a fresh CPU
+    amplification vector, while lazy builds are bounded by the
+    tables a capped scan actually consumes."""
+
+    __slots__ = ("map", "_lut")
 
     def __init__(self, bits, vals):
         if sum(bits) != len(vals):
             raise UnsupportedFormat(
                 "JPEG huffman BITS/HUFFVAL mismatch")
         table, code, k = {}, 0, 0
-        lut = [-1] * (1 << 16)
         for length in range(1, 17):
             for _ in range(bits[length - 1]):
                 table[(length, code)] = vals[k]
-                start = code << (16 - length)
-                span = 1 << (16 - length)
-                lut[start:start + span] = \
-                    [int(vals[k]) << 5 | length] * span
                 k += 1
                 code += 1
             if code > (1 << length):
                 raise UnsupportedFormat("overfull JPEG huffman table")
             code <<= 1
         self.map = table
-        self.lut = lut
+        self._lut = None
+
+    @property
+    def lut(self):
+        if self._lut is None:
+            lut = [-1] * (1 << 16)
+            for (length, code), sym in self.map.items():
+                start = code << (16 - length)
+                span = 1 << (16 - length)
+                lut[start:start + span] = [int(sym) << 5 | length] * span
+            self._lut = lut
+        return self._lut
 
 
 def _build_decode_table(bits, vals):
@@ -301,7 +313,10 @@ class _BitReader:
             idx = (self.acc << (16 - avail)) & 0xFFFF
         else:
             raise UnsupportedFormat(self.end)
-        packed = table.lut[idx]
+        lut = table._lut
+        if lut is None:
+            lut = table.lut            # one-time lazy build
+        packed = lut[idx]
         if packed < 0:
             raise UnsupportedFormat("invalid JPEG huffman code")
         length = packed & 31
