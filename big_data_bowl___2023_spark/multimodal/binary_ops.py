@@ -282,13 +282,13 @@ def _decode_one(data: bytes, modality: str) -> tuple[int, int, int, str]:
             try:
                 # ISO-BMFF metadata tier: true presentation dims
                 # from the first video tkhd; n_channels repurposed
-                # as the mvhd duration in WHOLE SECONDS (capped) —
-                # frame count needs an stts walk the tier
-                # deliberately skips
+                # as the stts frame count (the y4m convention) when
+                # the moov carries one, else the mvhd duration in
+                # WHOLE SECONDS (capped)
                 m = containers.mp4_meta(data)
+                frames = m["n_frames"] or int(round(m["duration_s"]))
                 return (m["width"], m["height"],
-                        min(int(round(m["duration_s"])), 2**31 - 1),
-                        "mp4-dims")
+                        min(frames, 2**31 - 1), "mp4-dims")
             except codecs.UnsupportedFormat:
                 pass
     h = hashlib.md5(data).digest()

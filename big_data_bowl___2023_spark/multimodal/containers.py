@@ -81,7 +81,8 @@ def _walk_boxes(data: bytes, start: int, end: int, depth: int,
         if btype in _MP4_CONTAINERS:
             if depth >= MP4_MAX_DEPTH:
                 raise UnsupportedFormat("ISO-BMFF nesting too deep")
-            child = {"handler": None, "width": 0, "height": 0} \
+            child = {"handler": None, "width": 0, "height": 0,
+                     "n_samples": 0, "codec": None} \
                 if btype == b"trak" else track
             _walk_boxes(data, body, bend, depth + 1, state, meta,
                         child)
@@ -89,11 +90,15 @@ def _walk_boxes(data: bytes, start: int, end: int, depth: int,
                 meta["n_tracks"] += 1
                 if child["handler"] == b"vide":
                     meta["n_video_tracks"] += 1
-                    if meta["width"] == 0 and child["width"] > 0:
+                    if meta["n_video_tracks"] == 1:
                         meta["width"] = child["width"]
                         meta["height"] = child["height"]
+                        meta["n_frames"] = child["n_samples"]
+                        meta["video_codec"] = child["codec"]
                 elif child["handler"] == b"soun":
                     meta["n_audio_tracks"] += 1
+                    if meta["n_audio_tracks"] == 1:
+                        meta["audio_codec"] = child["codec"]
         elif btype == b"mvhd":
             if bend - body < 24:
                 raise UnsupportedFormat("short mvhd box")
@@ -116,6 +121,24 @@ def _walk_boxes(data: bytes, start: int, end: int, depth: int,
         elif btype == b"hdlr" and track is not None:
             if bend - body >= 12:
                 track["handler"] = data[body + 8:body + 12]
+        elif btype == b"stts" and track is not None:
+            # time-to-sample: Σ sample_count over entries = the
+            # track's true sample/frame count (entry walk capped by
+            # the declared box length, already validated above)
+            if bend - body >= 8:
+                n_entries = _u32(data, body + 4)
+                total, p2 = 0, body + 8
+                for _ in range(min(n_entries,
+                                   (bend - p2) // 8)):
+                    total += _u32(data, p2)
+                    p2 += 8
+                track["n_samples"] = total
+        elif btype == b"stsd" and track is not None:
+            # sample description: the first entry's fourcc is the
+            # track's codec (avc1/hev1/mp4a/...)
+            if bend - body >= 16:
+                track["codec"] = data[body + 12:body + 16] \
+                    .decode("latin-1").strip("\x00 ")
         pos = bend
 
 
@@ -123,16 +146,21 @@ def mp4_meta(data: bytes) -> dict:
     """Header metadata for an ISO-BMFF (MP4/MOV/M4A) stream:
     ``brand``, ``timescale``, ``duration_s`` (from ``moov/mvhd``),
     first video track's presentation ``width``/``height`` (from
-    ``tkhd``, 16.16 fixed → int; 0×0 when no video track), and
-    ``n_tracks``/``n_video_tracks``/``n_audio_tracks`` (handler
-    types from ``mdia/hdlr``). Raises `UnsupportedFormat` on
-    anything malformed, truncated, or over the walk caps."""
+    ``tkhd``, 16.16 fixed → int; 0×0 when no video track),
+    ``n_frames`` (the first video track's ``stts`` sample total —
+    the TRUE frame count, 0 when the box is absent),
+    ``video_codec``/``audio_codec`` (first ``stsd`` entry fourcc,
+    e.g. avc1/hev1/mp4a), and ``n_tracks``/``n_video_tracks``/
+    ``n_audio_tracks`` (handler types from ``mdia/hdlr``). Raises
+    `UnsupportedFormat` on anything malformed, truncated, or over
+    the walk caps."""
     if len(data) < 12 or data[4:8] != b"ftyp":
         raise UnsupportedFormat("not an ISO-BMFF stream")
     meta = {"brand": data[8:12].decode("latin-1").strip(),
             "timescale": 0, "duration_s": 0.0, "width": 0,
             "height": 0, "n_tracks": 0, "n_video_tracks": 0,
-            "n_audio_tracks": 0}
+            "n_audio_tracks": 0, "n_frames": 0,
+            "video_codec": None, "audio_codec": None}
     try:
         _walk_boxes(data, 0, len(data), 0, {"boxes": 0}, meta, None)
     except UnsupportedFormat:
@@ -313,10 +341,13 @@ def flac_meta(data: bytes) -> dict:
 
 def make_mp4(duration_s: float = 10.0, timescale: int = 1000,
              width: int = 0, height: int = 0,
-             audio: bool = False, brand: bytes = b"isom") -> bytes:
+             audio: bool = False, brand: bytes = b"isom",
+             n_frames: int = 0, video_codec: bytes | None = None,
+             audio_codec: bytes | None = None) -> bytes:
     """Minimal valid ISO-BMFF stream: ftyp + moov(mvhd [+ trak(tkhd,
-    mdia(hdlr))] per requested track). ``width>0`` adds a video
-    track; ``audio=True`` adds an audio track."""
+    mdia(hdlr [+ minf(stbl(stts, stsd))]))] per requested track).
+    ``width>0`` adds a video track; ``audio=True`` adds an audio
+    track; ``n_frames``/``*_codec`` emit stts/stsd boxes."""
     def box(btype: bytes, payload: bytes) -> bytes:
         return (8 + len(payload)).to_bytes(4, "big") + btype + payload
 
@@ -332,7 +363,8 @@ def make_mp4(duration_s: float = 10.0, timescale: int = 1000,
                 + b"\x00" * 10 + _unity_matrix()
                 + b"\x00" * 24 + (99).to_bytes(4, "big"))
 
-    def trak(handler: bytes, w: int, h: int) -> bytes:
+    def trak(handler: bytes, w: int, h: int, frames: int,
+             codec: bytes | None) -> bytes:
         tkhd = full(b"tkhd", (0).to_bytes(4, "big") * 2
                     + (1).to_bytes(4, "big") + b"\x00" * 4
                     + dur.to_bytes(4, "big") + b"\x00" * 8
@@ -340,13 +372,24 @@ def make_mp4(duration_s: float = 10.0, timescale: int = 1000,
                     + (w << 16).to_bytes(4, "big")
                     + (h << 16).to_bytes(4, "big"))
         hdlr = full(b"hdlr", b"\x00" * 4 + handler + b"\x00" * 13)
-        return box(b"trak", tkhd + box(b"mdia", hdlr))
+        stbl = b""
+        if frames > 0:
+            stbl += full(b"stts", (1).to_bytes(4, "big")
+                         + frames.to_bytes(4, "big")
+                         + (1).to_bytes(4, "big"))
+        if codec:
+            entry = (16).to_bytes(4, "big") + codec + b"\x00" * 8
+            stbl += full(b"stsd", (1).to_bytes(4, "big") + entry)
+        mdia = hdlr
+        if stbl:
+            mdia += box(b"minf", box(b"stbl", stbl))
+        return box(b"trak", tkhd + box(b"mdia", mdia))
 
     traks = b""
     if width > 0:
-        traks += trak(b"vide", width, height)
+        traks += trak(b"vide", width, height, n_frames, video_codec)
     if audio:
-        traks += trak(b"soun", 0, 0)
+        traks += trak(b"soun", 0, 0, 0, audio_codec)
     ftyp = box(b"ftyp", brand + (0).to_bytes(4, "big") + b"isom")
     return ftyp + box(b"moov", mvhd + traks)
 

@@ -44,6 +44,24 @@ def test_mp4_meta_audio_only_m4a():
     assert m["duration_s"] == pytest.approx(3.0)
 
 
+def test_mp4_meta_stts_frame_count_and_codecs():
+    """stts gives the TRUE video frame count (the y4m convention for
+    the decode tier) and stsd the codec fourcc per track."""
+    data = containers.make_mp4(10.0, 30, 640, 360, audio=True,
+                               n_frames=300, video_codec=b"avc1",
+                               audio_codec=b"mp4a")
+    m = containers.mp4_meta(data)
+    assert m["n_frames"] == 300
+    assert m["video_codec"] == "avc1"
+    assert m["audio_codec"] == "mp4a"
+    # decode tier prefers the real frame count over whole seconds
+    assert _decode_one(data, "video") == (640, 360, 300, "mp4-dims")
+    # without stts the tier falls back to whole-second duration
+    plain = containers.make_mp4(10.0, 30, 640, 360)
+    assert containers.mp4_meta(plain)["n_frames"] == 0
+    assert _decode_one(plain, "video") == (640, 360, 10, "mp4-dims")
+
+
 def test_mp4_meta_v1_and_largesize():
     """Version-1 mvhd (64-bit duration) and a largesize (size==1)
     box header — hand-crafted, the encoder emits neither."""
