@@ -441,6 +441,11 @@ def _resize_one(data: bytes, modality: str,
         except codecs.UnsupportedFormat:
             pass
     w, h, _, _ = _decode_one(data, modality)
+    # metadata tiers can legitimately report 0x0 (e.g. an audio-only
+    # or dims-less ISO-BMFF classified video): floor at 1 or the
+    # stub fallback divides by zero and the untyped error kills the
+    # whole mapInPandas pass (review r14)
+    w, h = max(w, 1), max(h, 1)
     scale = min(1.0, max_side / max(w, h))
     tw, th = max(1, int(w * scale)), max(1, int(h * scale))
     seed = hashlib.md5(data).digest()

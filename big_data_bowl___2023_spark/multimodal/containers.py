@@ -36,7 +36,6 @@ from .codecs import UnsupportedFormat
 MP4_MAX_BOXES = 4096          # total boxes visited per stream
 MP4_MAX_DEPTH = 8             # container nesting
 MP3_SYNC_SCAN = 1 << 16       # bytes searched for the first frame
-MP3_MAX_FRAMES_SCANNED = 64   # frames stepped for the CBR check
 FLAC_MAX_BLOCKS = 128         # metadata blocks before the refusal
 
 _MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl",
@@ -119,7 +118,11 @@ def _walk_boxes(data: bytes, start: int, end: int, depth: int,
                 track["width"] = _u32(data, woff) >> 16
                 track["height"] = _u32(data, woff + 4) >> 16
         elif btype == b"hdlr" and track is not None:
-            if bend - body >= 12:
+            # only the media handler counts: QuickTime-style MOVs
+            # carry a SECOND data-handler hdlr inside minf ('url '/
+            # 'alis' at the same offset) which must not clobber the
+            # mdia-level 'vide'/'soun' classification (review r14)
+            if bend - body >= 12 and track["handler"] is None:
                 track["handler"] = data[body + 8:body + 12]
         elif btype == b"stts" and track is not None:
             # time-to-sample: Σ sample_count over entries = the
@@ -343,11 +346,14 @@ def make_mp4(duration_s: float = 10.0, timescale: int = 1000,
              width: int = 0, height: int = 0,
              audio: bool = False, brand: bytes = b"isom",
              n_frames: int = 0, video_codec: bytes | None = None,
-             audio_codec: bytes | None = None) -> bytes:
+             audio_codec: bytes | None = None,
+             qt_data_handler: bool = False) -> bytes:
     """Minimal valid ISO-BMFF stream: ftyp + moov(mvhd [+ trak(tkhd,
     mdia(hdlr [+ minf(stbl(stts, stsd))]))] per requested track).
     ``width>0`` adds a video track; ``audio=True`` adds an audio
-    track; ``n_frames``/``*_codec`` emit stts/stsd boxes."""
+    track; ``n_frames``/``*_codec`` emit stts/stsd boxes;
+    ``qt_data_handler`` adds the QuickTime-style second hdlr
+    (dhlr/'url ') inside minf that real .mov muxers write."""
     def box(btype: bytes, payload: bytes) -> bytes:
         return (8 + len(payload)).to_bytes(4, "big") + btype + payload
 
@@ -373,6 +379,10 @@ def make_mp4(duration_s: float = 10.0, timescale: int = 1000,
                     + (h << 16).to_bytes(4, "big"))
         hdlr = full(b"hdlr", b"\x00" * 4 + handler + b"\x00" * 13)
         stbl = b""
+        minf_extra = b""
+        if qt_data_handler:
+            minf_extra = full(b"hdlr", b"dhlr" + b"url "
+                              + b"\x00" * 13)
         if frames > 0:
             stbl += full(b"stts", (1).to_bytes(4, "big")
                          + frames.to_bytes(4, "big")
@@ -381,8 +391,8 @@ def make_mp4(duration_s: float = 10.0, timescale: int = 1000,
             entry = (16).to_bytes(4, "big") + codec + b"\x00" * 8
             stbl += full(b"stsd", (1).to_bytes(4, "big") + entry)
         mdia = hdlr
-        if stbl:
-            mdia += box(b"minf", box(b"stbl", stbl))
+        if stbl or minf_extra:
+            mdia += box(b"minf", minf_extra + box(b"stbl", stbl))
         return box(b"trak", tkhd + box(b"mdia", mdia))
 
     traks = b""

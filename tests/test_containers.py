@@ -62,6 +62,45 @@ def test_mp4_meta_stts_frame_count_and_codecs():
     assert _decode_one(plain, "video") == (640, 360, 10, "mp4-dims")
 
 
+def test_mp4_qt_data_handler_does_not_clobber(review_r14=True):
+    """QuickTime-style .mov streams carry a SECOND hdlr (dhlr/'url ')
+    inside minf; it must not overwrite the mdia-level 'vide'
+    classification (review r14: the track silently vanished from the
+    metadata, and the 0x0 dims then crashed the resize stub)."""
+    data = containers.make_mp4(4.0, 600, 320, 240, brand=b"qt  ",
+                               n_frames=120, video_codec=b"avc1",
+                               qt_data_handler=True)
+    m = containers.mp4_meta(data)
+    assert m["n_video_tracks"] == 1
+    assert (m["width"], m["height"]) == (320, 240)
+    assert m["n_frames"] == 120
+
+
+def test_dimsless_video_mp4_survives_resize(spark):
+    """An audio-only/dims-less ISO-BMFF whose brand is not M4A/M4B
+    classifies as video; its 0x0 metadata dims must not escape as a
+    ZeroDivisionError from the resize stub (review r14 — the
+    one-corrupt-blob contract applies to legitimate-but-dimsless
+    payloads too)."""
+    from big_data_bowl___2023_spark.multimodal.binary_ops import (
+        _resize_one,
+        media_from_binary_files,
+        resize_media,
+    )
+    data = containers.make_mp4(5.0, 44100, audio=True,
+                               brand=b"isom")
+    assert _decode_one(data, "video")[3] == "mp4-dims"
+    w, h, payload = _resize_one(data, "video", 32)
+    assert w >= 1 and h >= 1 and len(payload) == w * h
+    files = spark.createDataFrame(
+        [("x.bin", bytearray(data), len(data))],
+        "path string, content binary, length long")
+    media = media_from_binary_files(files)
+    assert media.collect()[0]["modality"] == "video"
+    row = resize_media(media, max_side=32).collect()[0]
+    assert row["width"] >= 1 and row["height"] >= 1
+
+
 def test_mp4_meta_v1_and_largesize():
     """Version-1 mvhd (64-bit duration) and a largesize (size==1)
     box header — hand-crafted, the encoder emits neither."""
