@@ -1,4 +1,4 @@
-from . import codecs
+from . import codecs, containers
 from .binary_ops import (
     MEDIA_SCHEMA,
     decode_media,
@@ -9,7 +9,8 @@ from .binary_ops import (
     resize_media,
 )
 
-__all__ = ["MEDIA_SCHEMA", "codecs", "decode_media",
+__all__ = ["MEDIA_SCHEMA", "codecs", "containers",
+           "decode_media",
            "extract_features", "frame_sample",
            "media_from_binary_files",
            "media_from_documents", "resize_media"]
