@@ -95,6 +95,11 @@ JPEG_MAX_COEF_SAMPLES = 1 << 25
 # AC-refinement scans is a CPU amplification bomb (libjpeg-turbo
 # caps scans similarly). A legitimate encoder emits well under
 # 10 scans per component x SA level; 64 per component is generous.
+# Measured residual bound (r14, post cap + entropy optimization): a
+# 4 Mpix DC-scan replay bomb refuses in 5 s vs 2.5 s legit decode —
+# worst crafted amplification is ~cap x one-scan cost, i.e. bounded
+# minutes at the 33M-sample ceiling, not the unbounded >345 s/100
+# tiny scans the r13 review measured.
 JPEG_MAX_SCANS_PER_COMPONENT = 64
 
 # T.81 Annex K.1/K.2 example quantization tables (natural order)
