@@ -96,9 +96,10 @@ def media_from_binary_files(files: DataFrame) -> DataFrame:
     Modality is inferred from MAGIC BYTES with pure column
     expressions (``substring`` works on BinaryType), so the pass
     stays inside whole-stage codegen — no Python touches the blobs
-    until a decode pass asks for them: BMP/netpbm/PNG/JPEG/GIF →
-    image, RIFF/WAVE / fLaC / ID3 / M4A-branded ftyp → audio,
-    YUV4MPEG2 / other ftyp (MP4/MOV) → video; anything else
+    until a decode pass asks for them: BMP/netpbm/PNG/JPEG/GIF/
+    TIFF / HEIF-or-AVIF-branded ftyp → image, RIFF/WAVE / fLaC /
+    ID3 / OggS / M4A-branded ftyp → audio, YUV4MPEG2 / RIFF AVI /
+    other ftyp (MP4/MOV) → video; anything else
     falls back to the filename extension, then to ``"unknown"`` —
     a PDF or tarball in the bucket must NOT surface as
     ``modality='image'`` with plausible stub feature rows in a
@@ -114,7 +115,8 @@ def media_from_binary_files(files: DataFrame) -> DataFrame:
 
     magic_image = (_is(b"BM") | _is(b"P5") | _is(b"P6")
                    | _is(b"\x89PNG\r\n\x1a\n")
-                   | _is(b"\xff\xd8") | _is(b"GIF8"))
+                   | _is(b"\xff\xd8") | _is(b"GIF8")
+                   | _is(b"II*\x00") | _is(b"MM\x00*"))
     magic_image = magic_image | (
         _is(b"RIFF") & (F.expr("substring(content, 9, 4)")
                         == F.lit(bytearray(b"WEBP"))))
@@ -131,14 +133,24 @@ def media_from_binary_files(files: DataFrame) -> DataFrame:
     ftyp = F.expr("substring(content, 5, 4)") ==         F.lit(bytearray(b"ftyp"))
     brand = F.expr("substring(content, 9, 4)")
     audio_brand = (brand == F.lit(bytearray(b"M4A "))) |         (brand == F.lit(bytearray(b"M4B ")))
+    image_brand = F.lit(False)
+    for b in containers.HEIF_BRANDS + containers.AVIF_BRANDS:
+        image_brand = image_brand | (brand == F.lit(bytearray(b)))
+    magic_image = magic_image | (ftyp & image_brand)
     magic_audio = (magic_audio | _is(b"fLaC") | _is(b"ID3")
-                   | (ftyp & audio_brand))
-    magic_video = _is(b"YUV4MPEG2") | (ftyp & ~audio_brand)
+                   | _is(b"OggS") | (ftyp & audio_brand))
+    magic_video = (_is(b"YUV4MPEG2")
+                   | (_is(b"RIFF")
+                      & (F.expr("substring(content, 9, 4)")
+                         == F.lit(bytearray(b"AVI "))))
+                   | (ftyp & ~audio_brand & ~image_brand))
     ext = F.lower(F.element_at(F.split(F.col("path"), "\\."), -1))
     by_ext = (F.when(ext.isin("bmp", "ppm", "pgm", "png", "jpg",
-                              "jpeg", "gif", "webp", "tif", "tiff"),
+                              "jpeg", "gif", "webp", "tif", "tiff",
+                              "heic", "heif", "avif"),
                      "image")
-              .when(ext.isin("wav", "mp3", "flac", "ogg", "m4a"),
+              .when(ext.isin("wav", "mp3", "flac", "ogg", "opus",
+                             "m4a"),
                     "audio")
               .when(ext.isin("y4m", "mp4", "mkv", "webm", "avi",
                              "mov"), "video"))
@@ -201,6 +213,27 @@ def _decode_one(data: bytes, modality: str) -> tuple[int, int, int, str]:
                 return w, h, c, tier
             except codecs.UnsupportedFormat:
                 pass
+        elif kind == "tiff":
+            try:
+                # first-IFD dims tier: TIFF pixel decode (dozens of
+                # compression schemes) is out of pure-python scope
+                w, h, c = codecs.image_dims(data)
+                return w, h, c, "tiff-dims"
+            except codecs.UnsupportedFormat:
+                pass
+        elif kind == "mp4":
+            try:
+                # HEIF/AVIF: ISO-BMFF images — true dims from the
+                # meta/iprp/ipco/ispe box, pixel decode (HEVC/AV1)
+                # refused, the -dims tier contract
+                m = containers.mp4_meta(data)
+                if m["ispe_width"] > 0:
+                    tier = "avif-dims" if m["brand"].startswith("av") \
+                        else "heif-dims"
+                    return (m["ispe_width"], m["ispe_height"], 3,
+                            tier)
+            except codecs.UnsupportedFormat:
+                pass
         elif kind is not None and kind != "webp":
             try:
                 # full pixel decode (BMP/netpbm/PNG)
@@ -255,6 +288,16 @@ def _decode_one(data: bytes, modality: str) -> tuple[int, int, int, str]:
                         m["rate"], m["channels"], "flac-dims")
             except codecs.UnsupportedFormat:
                 pass
+        elif kind == "ogg":
+            try:
+                # Ogg Vorbis/Opus (RFC 3533): width = last-page
+                # granule (samples in the codec timebase, capped),
+                # height = rate — the wav convention
+                m = containers.ogg_meta(data)
+                return (min(m["total_samples"], 2**31 - 1),
+                        m["rate"], m["channels"], "ogg-dims")
+            except codecs.UnsupportedFormat:
+                pass
         elif kind == "mp4":
             try:
                 # audio-branded ISO-BMFF (M4A): width = mvhd
@@ -278,6 +321,15 @@ def _decode_one(data: bytes, modality: str) -> tuple[int, int, int, str]:
                         min(meta["n_frames"], 2**31 - 1), "y4m")
             except codecs.UnsupportedFormat:
                 pass           # malformed stream → stub
+        elif kind == "avi":
+            try:
+                # RIFF AVI avih tier: the y4m/mp4 video convention
+                # (w, h, frame count)
+                m = containers.avi_meta(data)
+                return (m["width"], m["height"],
+                        min(m["n_frames"], 2**31 - 1), "avi-dims")
+            except codecs.UnsupportedFormat:
+                pass
         elif kind == "mp4":
             try:
                 # ISO-BMFF metadata tier: true presentation dims

@@ -77,9 +77,10 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 def sniff(data: bytes) -> str | None:
     """The recognized format tag ("bmp"/"ppm"/"pgm"/"png"/"wav"/
-    "y4m"/"jpeg"/"gif"/"webp"/"mp4"/"mp3"/"flac") when the magic
-    matches, else None. mp4/mp3/flac are metadata-tier containers
-    (`multimodal.containers`); mp3 matches an ID3v2 shell or a raw
+    "y4m"/"jpeg"/"gif"/"webp"/"tiff"/"mp4"/"mp3"/"flac"/"ogg"/
+    "avi") when the magic matches, else None. mp4/mp3/flac/ogg/avi
+    are metadata-tier containers (`multimodal.containers`), tiff is
+    a dims tier (`image_dims`); mp3 matches an ID3v2 shell or a raw
     frame sync whose header fields validate — a bare 0xFFEx prefix
     alone is too weak a magic for an 11-bit sync."""
     if len(data) >= 2 and data[:2] == b"BM":
@@ -103,6 +104,13 @@ def sniff(data: bytes) -> str | None:
     if (len(data) >= 16 and data[:4] == b"RIFF"
             and data[8:12] == b"WEBP"):
         return "webp"
+    if len(data) >= 8 and data[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
+    if (len(data) >= 12 and data[:4] == b"RIFF"
+            and data[8:12] == b"AVI "):
+        return "avi"
+    if len(data) >= 28 and data[:4] == b"OggS":
+        return "ogg"
     if len(data) >= 12 and data[4:8] == b"ftyp":
         return "mp4"
     if len(data) >= 8 and data[:4] == b"fLaC":
@@ -794,14 +802,57 @@ def _webp_dims(data: bytes) -> tuple[int, int, int]:
     raise UnsupportedFormat(f"WebP chunk {fourcc!r}")
 
 
+TIFF_MAX_IFD_ENTRIES = 512     # first-IFD entry cap (bomb guard)
+
+
+def _tiff_dims(data: bytes) -> tuple[int, int, int]:
+    """TIFF 6.0 first-IFD dims: ImageWidth (tag 256), ImageLength
+    (257), SamplesPerPixel (277); both byte orders; inline SHORT/
+    LONG values only (offset-stored scalars are exotic for these
+    tags — such files fall through typed). Per the spec, a SHORT
+    value sits LEFT-JUSTIFIED in the 4-byte value field in either
+    byte order."""
+    bo = "little" if data[:2] == b"II" else "big"
+
+    def u(off: int, n: int) -> int:
+        b = data[off:off + n]
+        if len(b) < n:
+            raise UnsupportedFormat("truncated TIFF header")
+        return int.from_bytes(b, bo)
+
+    ifd = u(4, 4)
+    n = u(ifd, 2)
+    if n > TIFF_MAX_IFD_ENTRIES:
+        raise UnsupportedFormat(
+            f"TIFF first IFD with more than {TIFF_MAX_IFD_ENTRIES} "
+            "entries")
+    w = h = 0
+    spp = 1
+    for i in range(n):
+        e = ifd + 2 + 12 * i
+        tag, typ, cnt = u(e, 2), u(e + 2, 2), u(e + 4, 4)
+        if tag in (256, 257, 277) and cnt == 1 and typ in (3, 4):
+            val = u(e + 8, 2 if typ == 3 else 4)
+            if tag == 256:
+                w = val
+            elif tag == 257:
+                h = val
+            else:
+                spp = val
+    if w < 1 or h < 1:
+        raise UnsupportedFormat("TIFF first IFD without image dims")
+    return w, h, max(spp, 1)
+
+
 def image_dims(data: bytes) -> tuple[int, int, int]:
     """(width, height, channels) WITHOUT pixel decode, for formats
     whose headers carry dimensions but whose pixel codecs this
-    module doesn't implement — JPEG (marker walk to any SOF) and GIF
-    (logical-screen descriptor). Metadata-grade support: the decode
-    pass can report true dimensions for the most common real-world
-    payloads while features/resize honestly fall to their stub tier.
-    Raises `UnsupportedFormat` for anything else (including formats
+    module doesn't implement — JPEG (marker walk to any SOF), GIF
+    (logical-screen descriptor), WebP, and TIFF (first-IFD walk).
+    Metadata-grade support: the decode pass can report true
+    dimensions for the most common real-world payloads while
+    features/resize honestly fall to their stub tier. Raises
+    `UnsupportedFormat` for anything else (including formats
     `decode` handles fully — use `decode` there)."""
     kind = sniff(data)
     if kind == "gif":
@@ -809,6 +860,8 @@ def image_dims(data: bytes) -> tuple[int, int, int]:
                 int.from_bytes(data[8:10], "little"), 3)
     if kind == "webp":
         return _webp_dims(data)
+    if kind == "tiff":
+        return _tiff_dims(data)
     if kind != "jpeg":
         raise UnsupportedFormat(f"no header-dims parser for {kind}")
     pos = 2
@@ -888,10 +941,14 @@ def decode(data: bytes) -> np.ndarray:
             raise UnsupportedFormat(
                 "webp pixel decode unsupported — header dims via "
                 "image_dims")
-        if kind in ("mp4", "mp3", "flac"):
+        if kind in ("mp4", "mp3", "flac", "ogg", "avi"):
             raise UnsupportedFormat(
                 f"{kind} is a compressed A/V container — metadata "
                 "via multimodal.containers")
+        if kind == "tiff":
+            raise UnsupportedFormat(
+                "tiff pixel decode unsupported — header dims via "
+                "image_dims")
     except UnsupportedFormat:
         raise
     except Exception as exc:

@@ -1,5 +1,6 @@
 """Metadata walkers for the dominant real-world A/V container
-families: ISO-BMFF (MP4/MOV/M4A), MPEG audio (MP3), and FLAC.
+families: ISO-BMFF (MP4/MOV/M4A + the HEIF/AVIF image flavor), MPEG
+audio (MP3), FLAC, Ogg (Vorbis/Opus), and RIFF AVI.
 
 These are METADATA tiers in the `image_dims` pattern: duration,
 track dimensions, sample rate, and channel counts come from a
@@ -37,9 +38,17 @@ MP4_MAX_BOXES = 4096          # total boxes visited per stream
 MP4_MAX_DEPTH = 8             # container nesting
 MP3_SYNC_SCAN = 1 << 16       # bytes searched for the first frame
 FLAC_MAX_BLOCKS = 128         # metadata blocks before the refusal
+OGG_TAIL_SCAN = 1 << 16       # bytes scanned back for the last page
+AVI_MAX_CHUNKS = 4096         # RIFF chunks visited per stream
 
 _MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl",
-                   b"edts", b"udta", b"mvex"}
+                   b"edts", b"udta", b"mvex", b"iprp", b"ipco"}
+
+# ISO-BMFF major brands that are IMAGES (HEIF/AVIF), not video —
+# the bridge classifies on these, and the decode tier reads dims
+# from the meta/iprp/ipco/ispe box instead of moov
+HEIF_BRANDS = (b"heic", b"heix", b"mif1", b"msf1")
+AVIF_BRANDS = (b"avif", b"avis")
 
 
 # ------------------------------------------------------------ ISO-BMFF
@@ -136,6 +145,20 @@ def _walk_boxes(data: bytes, start: int, end: int, depth: int,
                     total += _u32(data, p2)
                     p2 += 8
                 track["n_samples"] = total
+        elif btype == b"meta":
+            # FULLBOX container (HEIF/AVIF metadata root): 4 bytes
+            # of version/flags precede the children
+            if depth >= MP4_MAX_DEPTH:
+                raise UnsupportedFormat("ISO-BMFF nesting too deep")
+            if bend - body >= 4:
+                _walk_boxes(data, body + 4, bend, depth + 1, state,
+                            meta, track)
+        elif btype == b"ispe":
+            # image spatial extents (HEIF/AVIF): first one wins (the
+            # primary item precedes thumbnails in practice)
+            if bend - body >= 12 and meta.get("ispe_width", 0) == 0:
+                meta["ispe_width"] = _u32(data, body + 4)
+                meta["ispe_height"] = _u32(data, body + 8)
         elif btype == b"stsd" and track is not None:
             # sample description: the first entry's fourcc is the
             # track's codec (avc1/hev1/mp4a/...)
@@ -163,7 +186,8 @@ def mp4_meta(data: bytes) -> dict:
             "timescale": 0, "duration_s": 0.0, "width": 0,
             "height": 0, "n_tracks": 0, "n_video_tracks": 0,
             "n_audio_tracks": 0, "n_frames": 0,
-            "video_codec": None, "audio_codec": None}
+            "video_codec": None, "audio_codec": None,
+            "ispe_width": 0, "ispe_height": 0}
     try:
         _walk_boxes(data, 0, len(data), 0, {"boxes": 0}, meta, None)
     except UnsupportedFormat:
@@ -171,8 +195,11 @@ def mp4_meta(data: bytes) -> dict:
     except Exception as exc:               # one contract, no escapes
         raise UnsupportedFormat(
             f"malformed ISO-BMFF stream: {exc}") from exc
-    if meta["timescale"] == 0:
-        raise UnsupportedFormat("ISO-BMFF stream without moov/mvhd")
+    if meta["timescale"] == 0 and meta["ispe_width"] == 0:
+        # HEIF/AVIF images legitimately carry no moov — the ispe
+        # dims stand in; anything with neither is malformed
+        raise UnsupportedFormat(
+            "ISO-BMFF stream without moov/mvhd or meta/ispe")
     return meta
 
 
@@ -455,3 +482,185 @@ def make_flac(total_samples: int = 441000, rate: int = 44100,
     info[14:18] = (total_samples & 0xFFFFFFFF).to_bytes(4, "big")
     return (b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big")
             + bytes(info))
+
+
+# ----------------------------------------------------------------- Ogg
+
+def ogg_meta(data: bytes) -> dict:
+    """Ogg (RFC 3533) metadata: ``codec`` ("vorbis"/"opus"),
+    ``rate``, ``channels`` from the first page's identification
+    packet, plus ``total_samples`` (the LAST page's granule
+    position, in the codec's granule timebase — PCM samples for
+    Vorbis, 48 kHz ticks for Opus) and ``duration_s``. The tail
+    scan for the last page is bounded (``OGG_TAIL_SCAN``); CRCs are
+    not validated (metadata tier, not playback). Other codecs
+    (Theora, FLAC-in-Ogg, Speex) refuse typed."""
+    try:
+        if data[:4] != b"OggS" or len(data) < 28 or data[4] != 0:
+            raise UnsupportedFormat("not an Ogg page stream")
+        nsegs = data[26]
+        payload_at = 27 + nsegs
+        first_len = sum(data[27:payload_at])
+        pkt = data[payload_at:payload_at + first_len]
+        if pkt[:7] == b"\x01vorbis" and len(pkt) >= 16:
+            codec = "vorbis"
+            channels = pkt[11]
+            rate = int.from_bytes(pkt[12:16], "little")
+            timebase = rate
+        elif pkt[:8] == b"OpusHead" and len(pkt) >= 16:
+            codec = "opus"
+            channels = pkt[9]
+            rate = int.from_bytes(pkt[12:16], "little")
+            timebase = 48000               # Opus granules are 48 kHz
+        else:
+            raise UnsupportedFormat("Ogg stream with an unrecognized "
+                                    "codec id packet")
+        if rate == 0 or channels == 0:
+            raise UnsupportedFormat("degenerate Ogg id header")
+        # last granule: walk back over OggS captures in the tail
+        # window until one carries a valid version byte and a
+        # non -1 granule
+        total = 0
+        at = len(data)
+        floor_at = max(0, len(data) - OGG_TAIL_SCAN)
+        while True:
+            at = data.rfind(b"OggS", floor_at, at)
+            if at < 0:
+                break
+            if at + 14 <= len(data) and data[at + 4] == 0:
+                g = int.from_bytes(data[at + 6:at + 14], "little")
+                if g != (1 << 64) - 1:     # -1 = no packet ends here
+                    total = g
+                    break
+            if at == 0:
+                break
+        return {"codec": codec, "rate": rate, "channels": channels,
+                "total_samples": total,
+                "duration_s": total / timebase}
+    except UnsupportedFormat:
+        raise
+    except Exception as exc:
+        raise UnsupportedFormat(
+            f"malformed Ogg stream: {exc}") from exc
+
+
+def _ogg_page(htype: int, granule: int, seq: int,
+              payload: bytes) -> bytes:
+    """One Ogg page with zeroed CRC (the walker doesn't validate) —
+    payload must fit 255 lacing segments."""
+    nsegs = len(payload) // 255 + 1
+    lacing = bytes([255] * (nsegs - 1) + [len(payload) % 255])
+    return (b"OggS" + bytes([0, htype])
+            + granule.to_bytes(8, "little")
+            + (7).to_bytes(4, "little") + seq.to_bytes(4, "little")
+            + b"\x00" * 4 + bytes([nsegs]) + lacing + payload)
+
+
+def make_ogg(codec: str = "vorbis", rate: int = 44100,
+             channels: int = 2, total_samples: int = 441000) -> bytes:
+    """Minimal Ogg stream: BOS page with the id packet + EOS page
+    carrying the final granule position."""
+    if codec == "vorbis":
+        pkt = (b"\x01vorbis" + (0).to_bytes(4, "little")
+               + bytes([channels]) + rate.to_bytes(4, "little")
+               + b"\x00" * 12 + bytes([0xB8]) + bytes([0x01]))
+    elif codec == "opus":
+        pkt = (b"OpusHead" + bytes([1, channels])
+               + (312).to_bytes(2, "little")
+               + rate.to_bytes(4, "little") + b"\x00" * 2
+               + bytes([0]))
+    else:
+        raise ValueError(f"unknown test codec {codec!r}")
+    return (_ogg_page(0x02, 0, 0, pkt)
+            + _ogg_page(0x04, total_samples, 1, b"\x00" * 16))
+
+
+# ----------------------------------------------------------------- AVI
+
+def avi_meta(data: bytes) -> dict:
+    """RIFF AVI metadata from the ``hdrl``/``avih`` main header:
+    ``width``, ``height``, ``n_frames``, ``us_per_frame``,
+    ``duration_s``, ``n_streams``. Chunk walk is count-capped and
+    length-validated; video/audio payload decode is out of scope
+    (the ``-dims`` tier contract)."""
+    try:
+        if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+            raise UnsupportedFormat("not a RIFF AVI stream")
+
+        def find_avih(start: int, end: int, chunks: list) -> int:
+            pos = start
+            while pos + 8 <= end:
+                chunks[0] += 1
+                if chunks[0] > AVI_MAX_CHUNKS:
+                    raise UnsupportedFormat(
+                        f"AVI with more than {AVI_MAX_CHUNKS} chunks")
+                fourcc = data[pos:pos + 4]
+                size = int.from_bytes(data[pos + 4:pos + 8],
+                                      "little")
+                body = pos + 8
+                if body + size > end:
+                    raise UnsupportedFormat(
+                        "AVI chunk overruns its parent")
+                if fourcc == b"LIST":
+                    at = find_avih(body + 4, body + size, chunks)
+                    if at >= 0:
+                        return at
+                elif fourcc == b"avih":
+                    return body
+                pos = body + size + (size & 1)   # word alignment
+            return -1
+
+        at = find_avih(12, min(len(data),
+                               12 + int.from_bytes(data[4:8],
+                                                   "little")),
+                       [0])
+        if at < 0 or at + 40 > len(data):
+            raise UnsupportedFormat("AVI without an avih header")
+
+        def u(off):
+            return int.from_bytes(data[at + off:at + off + 4],
+                                  "little")
+
+        uspf, frames, streams = u(0), u(16), u(24)
+        width, height = u(32), u(36)
+        return {"width": width, "height": height,
+                "n_frames": frames, "us_per_frame": uspf,
+                "n_streams": streams,
+                "duration_s": frames * uspf / 1e6}
+    except UnsupportedFormat:
+        raise
+    except Exception as exc:
+        raise UnsupportedFormat(
+            f"malformed AVI stream: {exc}") from exc
+
+
+def make_avi(width: int = 320, height: int = 240,
+             n_frames: int = 100, fps: int = 25,
+             n_streams: int = 1) -> bytes:
+    """Minimal RIFF AVI: LIST hdrl with one avih chunk."""
+    avih = bytearray(56)
+    avih[0:4] = (10 ** 6 // fps).to_bytes(4, "little")
+    avih[16:20] = n_frames.to_bytes(4, "little")
+    avih[24:28] = n_streams.to_bytes(4, "little")
+    avih[32:36] = width.to_bytes(4, "little")
+    avih[36:40] = height.to_bytes(4, "little")
+    hdrl = b"hdrl" + b"avih" + (56).to_bytes(4, "little") + avih
+    lst = b"LIST" + len(hdrl).to_bytes(4, "little") + hdrl
+    riff = b"AVI " + lst
+    return b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+
+def make_heif(width: int = 1024, height: int = 768,
+              brand: bytes = b"heic") -> bytes:
+    """Minimal HEIF/AVIF shell: ftyp + meta(iprp(ipco(ispe))) — all
+    the metadata walker reads; no coded image payload."""
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return (8 + len(payload)).to_bytes(4, "big") + btype + payload
+
+    ispe = box(b"ispe", b"\x00" * 4
+               + width.to_bytes(4, "big")
+               + height.to_bytes(4, "big"))
+    meta = box(b"meta", b"\x00" * 4
+               + box(b"iprp", box(b"ipco", ispe)))
+    ftyp = box(b"ftyp", brand + (0).to_bytes(4, "big") + b"mif1")
+    return ftyp + meta

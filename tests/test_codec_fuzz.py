@@ -48,6 +48,15 @@ def _seed_payloads() -> dict[str, bytes]:
         "mp3": containers.make_mp3(8, xing=True, id3_bytes=64),
         "mp3-cbr": containers.make_mp3(6, xing=False),
         "flac": containers.make_flac(441000, 44100, 2, 16),
+        "ogg-vorbis": containers.make_ogg("vorbis", 44100, 2),
+        "ogg-opus": containers.make_ogg("opus", 48000, 1, 96000),
+        "avi": containers.make_avi(320, 240, 100),
+        "heif": containers.make_heif(640, 480),
+        "avif": containers.make_heif(64, 64, brand=b"avif"),
+        "tiff": (b"II*\x00\x08\x00\x00\x00\x02\x00"
+                 + b"\x00\x01\x03\x00\x01\x00\x00\x00\x40\x00\x00\x00"
+                 + b"\x01\x01\x03\x00\x01\x00\x00\x00\x30\x00\x00\x00"
+                 + b"\x00\x00\x00\x00"),
     }
 
 
@@ -75,6 +84,15 @@ def _decode_any(data: bytes) -> None:
         containers.mp3_meta(data)
     elif kind == "flac":
         containers.flac_meta(data)
+    elif kind == "ogg":
+        containers.ogg_meta(data)
+    elif kind == "avi":
+        containers.avi_meta(data)
+    elif kind == "tiff":
+        # metadata-only tier: decode() refuses tiff BY CONTRACT even
+        # on valid streams, so the sanity pass exercises the dims
+        # walk (typed-catch for mutants)
+        codecs.image_dims(data)
     else:
         codecs.decode(data)
 
@@ -130,7 +148,10 @@ def test_fuzz_noise_behind_valid_magic():
               b"RIFF\x00\x01\x00\x00WAVE",
               b"RIFF\x00\x01\x00\x00WEBP", b"YUV4MPEG2 ",
               b"\x00\x00\x00\x18ftypisom", b"fLaC", b"ID3\x04\x00\x00",
-              b"\xff\xfb\x90\x40"]
+              b"\xff\xfb\x90\x40", b"OggS\x00\x02",
+              b"RIFF\x00\x01\x00\x00AVI ", b"II*\x00", b"MM\x00*",
+              b"\x00\x00\x00\x18ftypheic",
+              b"\x00\x00\x00\x18ftypavif"]
     for magic in magics:
         for trial in range(40):
             noise = rng.integers(0, 256, int(rng.integers(0, 400)),

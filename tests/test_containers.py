@@ -267,3 +267,118 @@ def test_container_tiers_through_spark(spark):
            for r in decode_media(media).collect()}
     assert dec == {"video:mp4-dims", "audio:mp4-dims",
                    "audio:flac-dims", "audio:mp3-dims"}
+
+
+# -------------------------------------------- second wave (r14 late)
+
+def test_tiff_dims_both_byte_orders():
+    def make_tiff(bo, w, h, spp):
+        import struct
+        e = "<" if bo == "II" else ">"
+        hdr = (b"II*\x00" if bo == "II" else b"MM\x00*") \
+            + struct.pack(e + "I", 8)
+        entries = [(256, 3, 1, w), (257, 4, 1, h), (277, 3, 1, spp)]
+        ifd = struct.pack(e + "H", len(entries))
+        for tag, typ, cnt, val in entries:
+            if typ == 3:      # SHORT sits left-justified in either order
+                vf = struct.pack(e + "H", val) + b"\x00\x00"
+            else:
+                vf = struct.pack(e + "I", val)
+            ifd += struct.pack(e + "HHI", tag, typ, cnt) + vf
+        return hdr + ifd + struct.pack(e + "I", 0)
+
+    for bo in ("II", "MM"):
+        data = make_tiff(bo, 640, 480, 3)
+        assert codecs.sniff(data) == "tiff"
+        assert codecs.image_dims(data) == (640, 480, 3)
+        assert _decode_one(data, "image") == (640, 480, 3,
+                                              "tiff-dims")
+    # dims-less and bomb IFDs refuse typed
+    import pytest as _pt
+    with _pt.raises(codecs.UnsupportedFormat, match="without"):
+        codecs.image_dims(b"II*\x00\x08\x00\x00\x00\x00\x00")
+    bomb = b"II*\x00\x08\x00\x00\x00" + (60000).to_bytes(2, "little")
+    with _pt.raises(codecs.UnsupportedFormat, match="entries"):
+        codecs.image_dims(bomb)
+
+
+def test_ogg_meta_vorbis_and_opus():
+    v = containers.make_ogg("vorbis", 44100, 2, 441000)
+    assert codecs.sniff(v) == "ogg"
+    m = containers.ogg_meta(v)
+    assert (m["codec"], m["rate"], m["channels"]) == ("vorbis",
+                                                      44100, 2)
+    assert m["total_samples"] == 441000
+    assert m["duration_s"] == 10.0
+    o = containers.ogg_meta(containers.make_ogg("opus", 48000, 1,
+                                                480000))
+    # Opus granules tick at 48 kHz regardless of input rate
+    assert o["codec"] == "opus" and o["duration_s"] == 10.0
+    # unknown codec id packet refuses typed
+    import pytest as _pt
+    theora = containers._ogg_page(0x02, 0, 0, b"\x80theora" + b"x" * 9)
+    with _pt.raises(codecs.UnsupportedFormat, match="codec"):
+        containers.ogg_meta(theora)
+
+
+def test_avi_meta_round_trip():
+    data = containers.make_avi(320, 240, 250, fps=25, n_streams=2)
+    assert codecs.sniff(data) == "avi"
+    m = containers.avi_meta(data)
+    assert (m["width"], m["height"], m["n_frames"]) == (320, 240,
+                                                        250)
+    assert m["n_streams"] == 2
+    assert m["duration_s"] == 10.0
+    assert _decode_one(data, "video") == (320, 240, 250, "avi-dims")
+    import pytest as _pt
+    with _pt.raises(codecs.UnsupportedFormat, match="avih"):
+        containers.avi_meta(b"RIFF\x04\x00\x00\x00AVI ")
+
+
+def test_heif_avif_dims():
+    h = containers.make_heif(1024, 768, brand=b"heic")
+    m = containers.mp4_meta(h)
+    assert (m["ispe_width"], m["ispe_height"]) == (1024, 768)
+    assert _decode_one(h, "image") == (1024, 768, 3, "heif-dims")
+    a = containers.make_heif(512, 512, brand=b"avif")
+    assert _decode_one(a, "image") == (512, 512, 3, "avif-dims")
+
+
+def test_second_wave_through_spark(spark):
+    """Neutral .bin names: magic-byte modality for TIFF/Ogg/AVI/
+    HEIF/AVIF, tier attribution in the decode pass."""
+    from big_data_bowl___2023_spark.multimodal.binary_ops import (
+        media_from_binary_files,
+    )
+    import struct
+    tiff = (b"II*\x00" + struct.pack("<I", 8)
+            + struct.pack("<H", 2)
+            + struct.pack("<HHI", 256, 3, 1) + struct.pack("<H", 99)
+            + b"\x00\x00"
+            + struct.pack("<HHI", 257, 3, 1) + struct.pack("<H", 77)
+            + b"\x00\x00" + struct.pack("<I", 0))
+    payloads = {
+        "a.bin": tiff,
+        "b.bin": containers.make_ogg("opus", 48000, 2, 96000),
+        "c.bin": containers.make_avi(160, 120, 50),
+        "d.bin": containers.make_heif(64, 48, brand=b"heic"),
+        "e.bin": containers.make_heif(32, 32, brand=b"avif"),
+    }
+    files = spark.createDataFrame(
+        [(k, bytearray(v), len(v)) for k, v in payloads.items()],
+        "path string, content binary, length long")
+    media = media_from_binary_files(files)
+    mods = {r["source"]: r["modality"] for r in media.collect()}
+    assert mods == {"a.bin": "image", "b.bin": "audio",
+                    "c.bin": "video", "d.bin": "image",
+                    "e.bin": "image"}
+    dec = {r["source"]: (r["width"], r["height"], r["n_channels"],
+                         r["decoder"])
+           for r in decode_media(media)
+           .join(media.select("media_id", "source"), "media_id")
+           .collect()}
+    assert dec["a.bin"] == (99, 77, 1, "tiff-dims")
+    assert dec["b.bin"] == (96000, 48000, 2, "ogg-dims")
+    assert dec["c.bin"] == (160, 120, 50, "avi-dims")
+    assert dec["d.bin"] == (64, 48, 3, "heif-dims")
+    assert dec["e.bin"] == (32, 32, 3, "avif-dims")

@@ -650,6 +650,16 @@ def media_mix_legs(spark, scales) -> None:
         + [("mp3-dims", containers.make_mp3(4, xing=True,
                                             id3_bytes=32))] * 1
         + [("flac-dims", containers.make_flac(80000, 8000, 1))] * 1
+        + [("ogg-dims", containers.make_ogg("opus", 48000, 1,
+                                            48000))] * 1
+        + [("avi-dims", containers.make_avi(160, 120, 50))] * 1
+        + [("heif-dims", containers.make_heif(64, 48))] * 1
+        + [("avif-dims", containers.make_heif(32, 32,
+                                              brand=b"avif"))] * 1
+        + [("tiff-dims", b"II*\x00\x08\x00\x00\x00\x02\x00"
+            + b"\x00\x01\x03\x00\x01\x00\x00\x00\x40\x00\x00\x00"
+            + b"\x01\x01\x03\x00\x01\x00\x00\x00\x30\x00\x00\x00"
+            + b"\x00\x00\x00\x00")] * 1
         + [("unknown-stub", junk)] * 1)
     per_16 = {}
     for tier, _ in templates:
