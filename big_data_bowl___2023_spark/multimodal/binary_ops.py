@@ -143,6 +143,7 @@ def media_from_binary_files(files: DataFrame) -> DataFrame:
                    | (_is(b"RIFF")
                       & (F.expr("substring(content, 9, 4)")
                          == F.lit(bytearray(b"AVI "))))
+                   | _is(b"\x1aE\xdf\xa3")
                    | (ftyp & ~audio_brand & ~image_brand))
     ext = F.lower(F.element_at(F.split(F.col("path"), "\\."), -1))
     by_ext = (F.when(ext.isin("bmp", "ppm", "pgm", "png", "jpg",
@@ -321,6 +322,18 @@ def _decode_one(data: bytes, modality: str) -> tuple[int, int, int, str]:
                         min(meta["n_frames"], 2**31 - 1), "y4m")
             except codecs.UnsupportedFormat:
                 pass           # malformed stream → stub
+        elif kind == "mkv":
+            try:
+                # Matroska/WebM EBML tier: first video track dims +
+                # whole-second duration (block decode out of scope);
+                # an EBML magic always classifies video — audio-only
+                # webm attributes 0x0 dims honestly
+                m = containers.mkv_meta(data)
+                return (m["width"], m["height"],
+                        min(int(round(m["duration_s"])), 2**31 - 1),
+                        "mkv-dims")
+            except codecs.UnsupportedFormat:
+                pass
         elif kind == "avi":
             try:
                 # RIFF AVI avih tier: the y4m/mp4 video convention

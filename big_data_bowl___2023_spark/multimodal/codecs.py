@@ -78,8 +78,8 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 def sniff(data: bytes) -> str | None:
     """The recognized format tag ("bmp"/"ppm"/"pgm"/"png"/"wav"/
     "y4m"/"jpeg"/"gif"/"webp"/"tiff"/"mp4"/"mp3"/"flac"/"ogg"/
-    "avi") when the magic matches, else None. mp4/mp3/flac/ogg/avi
-    are metadata-tier containers (`multimodal.containers`), tiff is
+    "avi"/"mkv") when the magic matches, else None.
+    mp4/mp3/flac/ogg/avi/mkv are metadata-tier containers (`multimodal.containers`), tiff is
     a dims tier (`image_dims`); mp3 matches an ID3v2 shell or a raw
     frame sync whose header fields validate — a bare 0xFFEx prefix
     alone is too weak a magic for an 11-bit sync."""
@@ -111,6 +111,8 @@ def sniff(data: bytes) -> str | None:
         return "avi"
     if len(data) >= 28 and data[:4] == b"OggS":
         return "ogg"
+    if len(data) >= 8 and data[:4] == b"\x1aE\xdf\xa3":
+        return "mkv"
     if len(data) >= 12 and data[4:8] == b"ftyp":
         return "mp4"
     if len(data) >= 8 and data[:4] == b"fLaC":
@@ -941,7 +943,7 @@ def decode(data: bytes) -> np.ndarray:
             raise UnsupportedFormat(
                 "webp pixel decode unsupported — header dims via "
                 "image_dims")
-        if kind in ("mp4", "mp3", "flac", "ogg", "avi"):
+        if kind in ("mp4", "mp3", "flac", "ogg", "avi", "mkv"):
             raise UnsupportedFormat(
                 f"{kind} is a compressed A/V container — metadata "
                 "via multimodal.containers")

@@ -664,3 +664,174 @@ def make_heif(width: int = 1024, height: int = 768,
                + box(b"iprp", box(b"ipco", ispe)))
     ftyp = box(b"ftyp", brand + (0).to_bytes(4, "big") + b"mif1")
     return ftyp + meta
+
+
+# ------------------------------------------------------- EBML (MKV/WebM)
+
+EBML_MAX_ELEMENTS = 4096      # elements visited per stream
+EBML_MAX_DEPTH = 8
+
+_EBML_MAGIC = b"\x1aE\xdf\xa3"
+# master elements the walker descends into (IDs include their
+# class-marker bits, as stored)
+_EBML_MASTERS = {0x1A45DFA3, 0x18538067, 0x1549A966, 0x1654AE6B,
+                 0xAE, 0xE0, 0xE1}
+
+
+def _ebml_vint(data: bytes, pos: int,
+               keep_marker: bool) -> tuple[int, int, bool]:
+    """(value, length, is_unknown): EBML variable-length integer.
+    IDs keep their marker bits (matching the spec's ID notation);
+    sizes strip them; all-ones value bits mean 'unknown size'."""
+    if pos >= len(data):
+        raise UnsupportedFormat("truncated EBML element")
+    first = data[pos]
+    for ln in range(1, 9):
+        if first & (0x100 >> ln):
+            if pos + ln > len(data):
+                raise UnsupportedFormat("truncated EBML varint")
+            raw = int.from_bytes(data[pos:pos + ln], "big")
+            if keep_marker:
+                return raw, ln, False
+            val = raw & ((1 << (7 * ln)) - 1)
+            return val, ln, val == (1 << (7 * ln)) - 1
+    raise UnsupportedFormat("invalid EBML varint lead byte")
+
+
+def _ebml_walk(data: bytes, start: int, end: int, depth: int,
+               state: dict, meta: dict, track: dict | None) -> None:
+    pos = start
+    while pos < end:
+        state["n"] += 1
+        if state["n"] > EBML_MAX_ELEMENTS:
+            raise UnsupportedFormat(
+                f"EBML stream with more than {EBML_MAX_ELEMENTS} "
+                "elements")
+        eid, idln, _ = _ebml_vint(data, pos, keep_marker=True)
+        size, szln, unknown = _ebml_vint(data, pos + idln,
+                                         keep_marker=False)
+        body = pos + idln + szln
+        bend = end if unknown else body + size
+        if bend > end:
+            raise UnsupportedFormat("EBML element overruns its parent")
+        if eid in _EBML_MASTERS:
+            if depth >= EBML_MAX_DEPTH:
+                raise UnsupportedFormat("EBML nesting too deep")
+            child = {"type": 0, "codec": None, "width": 0,
+                     "height": 0, "rate": 0.0, "channels": 0} \
+                if eid == 0xAE else track
+            _ebml_walk(data, body, bend, depth + 1, state, meta,
+                       child)
+            if eid == 0xAE:
+                if child["type"] == 1:
+                    meta["n_video_tracks"] += 1
+                    if meta["n_video_tracks"] == 1:
+                        meta["width"] = child["width"]
+                        meta["height"] = child["height"]
+                        meta["video_codec"] = child["codec"]
+                elif child["type"] == 2:
+                    meta["n_audio_tracks"] += 1
+                    if meta["n_audio_tracks"] == 1:
+                        meta["audio_codec"] = child["codec"]
+                        meta["rate"] = child["rate"]
+                        meta["channels"] = child["channels"]
+        else:
+            raw = data[body:bend]
+            if eid == 0x4282:                       # DocType
+                meta["doctype"] = raw.decode("latin-1").rstrip("\x00")
+            elif eid == 0x2AD7B1:                   # TimestampScale
+                meta["timescale_ns"] = int.from_bytes(raw, "big")
+            elif eid == 0x4489:                     # Duration (float)
+                import struct
+                if len(raw) == 4:
+                    meta["_dur"] = struct.unpack(">f", raw)[0]
+                elif len(raw) == 8:
+                    meta["_dur"] = struct.unpack(">d", raw)[0]
+            elif track is not None:
+                if eid == 0x83:                     # TrackType
+                    track["type"] = int.from_bytes(raw, "big")
+                elif eid == 0x86:                   # CodecID
+                    track["codec"] = raw.decode("latin-1") \
+                        .rstrip("\x00")
+                elif eid == 0xB0:
+                    track["width"] = int.from_bytes(raw, "big")
+                elif eid == 0xBA:
+                    track["height"] = int.from_bytes(raw, "big")
+                elif eid == 0xB5:                   # SamplingFrequency
+                    import struct
+                    if len(raw) == 4:
+                        track["rate"] = struct.unpack(">f", raw)[0]
+                    elif len(raw) == 8:
+                        track["rate"] = struct.unpack(">d", raw)[0]
+                elif eid == 0x9F:
+                    track["channels"] = int.from_bytes(raw, "big")
+        pos = bend
+
+
+def mkv_meta(data: bytes) -> dict:
+    """Matroska/WebM metadata (public EBML + Matroska element specs):
+    ``doctype``, ``duration_s`` (Info Duration × TimestampScale),
+    first video track's ``width``/``height``/``video_codec``, first
+    audio track's ``rate``/``channels``/``audio_codec``, and track
+    counts. Element walk is count- and depth-capped; coded block
+    payload decode is out of scope (the ``-dims`` tier contract)."""
+    try:
+        if data[:4] != _EBML_MAGIC:
+            raise UnsupportedFormat("not an EBML stream")
+        meta = {"doctype": "", "timescale_ns": 1_000_000, "_dur": 0.0,
+                "width": 0, "height": 0, "n_video_tracks": 0,
+                "n_audio_tracks": 0, "video_codec": None,
+                "audio_codec": None, "rate": 0.0, "channels": 0}
+        _ebml_walk(data, 0, len(data), 0, {"n": 0}, meta, None)
+        if not meta["doctype"]:
+            raise UnsupportedFormat("EBML stream without a DocType")
+        meta["duration_s"] = (meta.pop("_dur")
+                              * meta["timescale_ns"] / 1e9)
+        return meta
+    except UnsupportedFormat:
+        raise
+    except Exception as exc:
+        raise UnsupportedFormat(
+            f"malformed EBML stream: {exc}") from exc
+
+
+def _eb(eid: int, payload: bytes) -> bytes:
+    """Encode one EBML element (test-side): stored-form id + minimal
+    size varint + payload."""
+    idb = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    for ln in range(1, 9):
+        if len(payload) < (1 << (7 * ln)) - 1:
+            size = (1 << (7 * ln)) | len(payload)
+            return idb + size.to_bytes(ln, "big") + payload
+    raise ValueError("payload too large")
+
+
+def make_mkv(doctype: str = "matroska", width: int = 0,
+             height: int = 0, duration_s: float = 0.0,
+             video_codec: str = "V_VP9",
+             audio_rate: float = 0.0, audio_channels: int = 0,
+             audio_codec: str = "A_OPUS") -> bytes:
+    """Minimal Matroska/WebM stream: EBML(DocType) +
+    Segment(Info(TimestampScale, Duration), Tracks(...))."""
+    import struct
+    header = _eb(0x1A45DFA3, _eb(0x4282, doctype.encode()))
+    scale = 1_000_000
+    info = _eb(0x1549A966,
+               _eb(0x2AD7B1, scale.to_bytes(3, "big"))
+               + _eb(0x4489, struct.pack(
+                   ">d", duration_s * 1e9 / scale)))
+    tracks = b""
+    if width > 0:
+        tracks += _eb(0xAE, _eb(0x83, b"\x01")
+                      + _eb(0x86, video_codec.encode())
+                      + _eb(0xE0, _eb(0xB0, width.to_bytes(2, "big"))
+                            + _eb(0xBA, height.to_bytes(2, "big"))))
+    if audio_rate > 0:
+        tracks += _eb(0xAE, _eb(0x83, b"\x02")
+                      + _eb(0x86, audio_codec.encode())
+                      + _eb(0xE1,
+                            _eb(0xB5, struct.pack(">f", audio_rate))
+                            + _eb(0x9F,
+                                  bytes([audio_channels]))))
+    seg = _eb(0x18538067, info + _eb(0x1654AE6B, tracks))
+    return header + seg

@@ -53,6 +53,10 @@ def _seed_payloads() -> dict[str, bytes]:
         "avi": containers.make_avi(320, 240, 100),
         "heif": containers.make_heif(640, 480),
         "avif": containers.make_heif(64, 64, brand=b"avif"),
+        "mkv": containers.make_mkv("matroska", 320, 240, 5.0),
+        "webm": containers.make_mkv("webm", duration_s=2.0,
+                                    audio_rate=48000.0,
+                                    audio_channels=2),
         "tiff": (b"II*\x00\x08\x00\x00\x00\x02\x00"
                  + b"\x00\x01\x03\x00\x01\x00\x00\x00\x40\x00\x00\x00"
                  + b"\x01\x01\x03\x00\x01\x00\x00\x00\x30\x00\x00\x00"
@@ -88,6 +92,8 @@ def _decode_any(data: bytes) -> None:
         containers.ogg_meta(data)
     elif kind == "avi":
         containers.avi_meta(data)
+    elif kind == "mkv":
+        containers.mkv_meta(data)
     elif kind == "tiff":
         # metadata-only tier: decode() refuses tiff BY CONTRACT even
         # on valid streams, so the sanity pass exercises the dims
@@ -151,7 +157,7 @@ def test_fuzz_noise_behind_valid_magic():
               b"\xff\xfb\x90\x40", b"OggS\x00\x02",
               b"RIFF\x00\x01\x00\x00AVI ", b"II*\x00", b"MM\x00*",
               b"\x00\x00\x00\x18ftypheic",
-              b"\x00\x00\x00\x18ftypavif"]
+              b"\x00\x00\x00\x18ftypavif", b"\x1aE\xdf\xa3"]
     for magic in magics:
         for trial in range(40):
             noise = rng.integers(0, 256, int(rng.integers(0, 400)),

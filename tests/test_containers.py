@@ -382,3 +382,47 @@ def test_second_wave_through_spark(spark):
     assert dec["c.bin"] == (160, 120, 50, "avi-dims")
     assert dec["d.bin"] == (64, 48, 3, "heif-dims")
     assert dec["e.bin"] == (32, 32, 3, "avif-dims")
+
+
+def test_mkv_webm_meta_round_trip():
+    d = containers.make_mkv("webm", 1920, 1080, 12.5,
+                            video_codec="V_VP9",
+                            audio_rate=48000.0, audio_channels=2,
+                            audio_codec="A_OPUS")
+    assert codecs.sniff(d) == "mkv"
+    m = containers.mkv_meta(d)
+    assert m["doctype"] == "webm"
+    assert (m["width"], m["height"]) == (1920, 1080)
+    assert m["video_codec"] == "V_VP9"
+    assert m["audio_codec"] == "A_OPUS"
+    assert (m["rate"], m["channels"]) == (48000.0, 2)
+    assert m["duration_s"] == pytest.approx(12.5)
+    # 12.5 s → 12 whole seconds (round-half-even, the mp4 fallback
+    # convention)
+    assert _decode_one(d, "video") == (1920, 1080, 12, "mkv-dims")
+    # audio-only webm: honest 0x0 dims, still typed-clean
+    a = containers.make_mkv("webm", duration_s=3.0,
+                            audio_rate=44100.0, audio_channels=1)
+    am = containers.mkv_meta(a)
+    assert am["n_video_tracks"] == 0 and am["n_audio_tracks"] == 1
+    assert _decode_one(a, "video") == (0, 0, 3, "mkv-dims")
+
+
+def test_mkv_crafted_streams_refuse_typed():
+    good = containers.make_mkv("matroska", 64, 48, 1.0)
+    # element overrunning its parent
+    with pytest.raises(codecs.UnsupportedFormat):
+        containers.mkv_meta(good[:20])
+    # no DocType
+    with pytest.raises(codecs.UnsupportedFormat, match="DocType"):
+        containers.mkv_meta(containers._eb(0x1A45DFA3, b""))
+    # element-count bomb: thousands of tiny void elements
+    void = containers._eb(0xEC, b"")
+    bomb = (containers._eb(0x1A45DFA3,
+                           containers._eb(0x4282, b"matroska"))
+            + containers._eb(0x18538067,
+                             void * (containers.EBML_MAX_ELEMENTS
+                                     + 8)))
+    with pytest.raises(codecs.UnsupportedFormat, match="elements"):
+        containers.mkv_meta(bomb)
+    assert containers.mkv_meta(good)["width"] == 64

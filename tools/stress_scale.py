@@ -660,6 +660,8 @@ def media_mix_legs(spark, scales) -> None:
             + b"\x00\x01\x03\x00\x01\x00\x00\x00\x40\x00\x00\x00"
             + b"\x01\x01\x03\x00\x01\x00\x00\x00\x30\x00\x00\x00"
             + b"\x00\x00\x00\x00")] * 1
+        + [("mkv-dims", containers.make_mkv("webm", 320, 240,
+                                            4.0))] * 1
         + [("unknown-stub", junk)] * 1)
     per_16 = {}
     for tier, _ in templates:
