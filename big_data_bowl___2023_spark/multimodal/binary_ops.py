@@ -356,6 +356,39 @@ def _decode_one(data: bytes, modality: str) -> tuple[int, int, int, str]:
                         min(frames, 2**31 - 1), "mp4-dims")
             except codecs.UnsupportedFormat:
                 pass
+    # document / archive attribution, regardless of the CLAIMED
+    # modality (mislabeled extensions are the norm in crawl
+    # buckets): a PDF named .jpg must profile as pdf-meta, not as a
+    # plausible image stub. Column conventions: pdf (pages_est,
+    # version major*10+minor, 1); zip/tar (member count, 0, 1);
+    # gzip (uncompressed size mod 2^31, 0, 1).
+    kind = codecs.sniff(data)
+    if kind == "pdf":
+        try:
+            m = containers.pdf_meta(data)
+            vmaj, vmin = m["version"].split(".")
+            return (min(m["pages_est"], 2**31 - 1),
+                    int(vmaj) * 10 + int(vmin), 1, "pdf-meta")
+        except (codecs.UnsupportedFormat, ValueError):
+            pass
+    elif kind == "zip":
+        try:
+            m = containers.zip_meta(data)
+            return m["n_members"], 0, 1, "zip-meta"
+        except codecs.UnsupportedFormat:
+            pass
+    elif kind == "gzip":
+        try:
+            m = containers.gzip_meta(data)
+            return min(m["isize"], 2**31 - 1), 0, 1, "gzip-meta"
+        except codecs.UnsupportedFormat:
+            pass
+    elif kind == "tar":
+        try:
+            m = containers.tar_meta(data)
+            return m["n_members"], 0, 1, "tar-meta"
+        except codecs.UnsupportedFormat:
+            pass
     h = hashlib.md5(data).digest()
     width = 16 + h[0] % 240
     height = 16 + h[1] % 240

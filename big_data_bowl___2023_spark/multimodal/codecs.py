@@ -113,6 +113,16 @@ def sniff(data: bytes) -> str | None:
         return "ogg"
     if len(data) >= 8 and data[:4] == b"\x1aE\xdf\xa3":
         return "mkv"
+    if len(data) >= 8 and data[:5] == b"%PDF-":
+        return "pdf"
+    if len(data) >= 22 and data[:4] in (b"PK\x03\x04", b"PK\x05\x06"):
+        return "zip"
+    if len(data) >= 18 and data[:2] == b"\x1f\x8b":
+        return "gzip"
+    if len(data) >= 512 and data[257:262] == b"ustar":
+        from .containers import tar_header_ok    # lazy: avoids cycle
+        if tar_header_ok(data):
+            return "tar"
     if len(data) >= 12 and data[4:8] == b"ftyp":
         return "mp4"
     if len(data) >= 8 and data[:4] == b"fLaC":

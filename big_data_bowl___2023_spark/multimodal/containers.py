@@ -835,3 +835,135 @@ def make_mkv(doctype: str = "matroska", width: int = 0,
                                   bytes([audio_channels]))))
     seg = _eb(0x18538067, info + _eb(0x1654AE6B, tracks))
     return header + seg
+
+
+# ------------------------------------------- documents & archives
+
+TAR_MAX_MEMBERS = 4096        # member headers walked per archive
+
+
+def pdf_meta(data: bytes) -> dict:
+    """PDF header metadata: ``version`` ("1.7"...) and ``pages_est``
+    — a whole-payload count of `/Type/Page` object markers (both
+    spacings, `/Pages` nodes excluded). A heuristic, not an xref
+    parse: object streams (compressed page trees) undercount, which
+    is documented and acceptable for data-card attribution — the
+    point is that a crawl bucket's dominant DOCUMENT class stops
+    reporting `unknown`."""
+    try:
+        if data[:5] != b"%PDF-":
+            raise UnsupportedFormat("not a PDF payload")
+        version = data[5:8].decode("latin-1")
+        if len(version) != 3 or version[1] != "." \
+                or not (version[0].isdigit()
+                        and version[2].isdigit()):
+            raise UnsupportedFormat("malformed PDF version header")
+        pages = 0
+        for pat in (b"/Type /Page", b"/Type/Page"):
+            at = -1
+            while True:
+                at = data.find(pat, at + 1)
+                if at < 0:
+                    break
+                nxt = data[at + len(pat):at + len(pat) + 1]
+                if nxt != b"s":            # exclude /Type /Pages
+                    pages += 1
+        return {"version": version, "pages_est": pages}
+    except UnsupportedFormat:
+        raise
+    except Exception as exc:
+        raise UnsupportedFormat(f"malformed PDF payload: {exc}") \
+            from exc
+
+
+def zip_meta(data: bytes) -> dict:
+    """ZIP end-of-central-directory metadata: ``n_members``,
+    ``central_dir_bytes``. EOCD is searched from the tail (the spec
+    allows a trailing comment ≤ 64 KiB)."""
+    try:
+        floor_at = max(0, len(data) - (1 << 16) - 22)
+        at = data.rfind(b"PK\x05\x06", floor_at)
+        if at < 0 or at + 22 > len(data):
+            raise UnsupportedFormat("ZIP without an EOCD record")
+        n = int.from_bytes(data[at + 10:at + 12], "little")
+        cd = int.from_bytes(data[at + 12:at + 16], "little")
+        return {"n_members": n, "central_dir_bytes": cd}
+    except UnsupportedFormat:
+        raise
+    except Exception as exc:
+        raise UnsupportedFormat(f"malformed ZIP payload: {exc}") \
+            from exc
+
+
+def gzip_meta(data: bytes) -> dict:
+    """gzip (RFC 1952) metadata: ``method``, ``mtime``, ``name``
+    (FNAME field when present), ``isize`` (uncompressed size mod
+    2³², from the trailer)."""
+    try:
+        if data[:2] != b"\x1f\x8b" or len(data) < 18:
+            raise UnsupportedFormat("not a gzip payload")
+        method, flags = data[2], data[3]
+        mtime = int.from_bytes(data[4:8], "little")
+        pos = 10
+        if flags & 0x04:                   # FEXTRA
+            xlen = int.from_bytes(data[pos:pos + 2], "little")
+            pos += 2 + xlen
+        name = None
+        if flags & 0x08:                   # FNAME, zero-terminated
+            end = data.index(b"\x00", pos)
+            name = data[pos:end].decode("latin-1")
+            pos = end + 1
+        isize = int.from_bytes(data[-4:], "little")
+        return {"method": method, "mtime": mtime, "name": name,
+                "isize": isize}
+    except UnsupportedFormat:
+        raise
+    except Exception as exc:
+        raise UnsupportedFormat(f"malformed gzip payload: {exc}") \
+            from exc
+
+
+def tar_header_ok(data: bytes) -> bool:
+    """Validate the FIRST ustar header's checksum (sum of the 512
+    header bytes with the checksum field read as spaces) — the
+    discriminator that keeps `sniff` from classifying arbitrary text
+    that happens to contain 'ustar' at offset 257 as an archive (a
+    false positive would silently change the oracle-checked decode
+    attribution of a text corpus)."""
+    if len(data) < 512 or data[257:262] != b"ustar":
+        return False
+    block = data[:512]
+    try:
+        want = int(block[148:156].split(b"\x00")[0].strip() or b"-1",
+                   8)
+    except ValueError:
+        return False
+    got = sum(block) - sum(block[148:156]) + 8 * ord(" ")
+    return got == want
+
+
+def tar_meta(data: bytes) -> dict:
+    """POSIX ustar metadata: ``n_members``, ``total_bytes`` (sum of
+    member sizes). 512-byte header walk, member-count capped."""
+    try:
+        if not tar_header_ok(data):
+            raise UnsupportedFormat("not a ustar archive")
+        pos, members, total = 0, 0, 0
+        while pos + 512 <= len(data):
+            block = data[pos:pos + 512]
+            if block == b"\x00" * 512:     # end-of-archive marker
+                break
+            members += 1
+            if members > TAR_MAX_MEMBERS:
+                raise UnsupportedFormat(
+                    f"tar with more than {TAR_MAX_MEMBERS} members")
+            size_f = block[124:136].split(b"\x00")[0].strip() or b"0"
+            size = int(size_f, 8)
+            total += size
+            pos += 512 + ((size + 511) // 512) * 512
+        return {"n_members": members, "total_bytes": total}
+    except UnsupportedFormat:
+        raise
+    except Exception as exc:
+        raise UnsupportedFormat(f"malformed tar archive: {exc}") \
+            from exc

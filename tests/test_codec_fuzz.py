@@ -25,6 +25,28 @@ from big_data_bowl___2023_spark.multimodal import (codecs, containers,
                                                    gif, jpeg)
 
 
+def _doc_archive_seeds() -> dict[str, bytes]:
+    import gzip as _gzip
+    import io
+    import tarfile
+    import zipfile
+    zbuf = io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w") as z:
+        z.writestr("a.txt", "hello fuzz")
+    tbuf = io.BytesIO()
+    with tarfile.open(fileobj=tbuf, mode="w") as t:
+        ti = tarfile.TarInfo("a")
+        ti.size = 64
+        t.addfile(ti, io.BytesIO(b"y" * 64))
+    return {
+        "pdf": (b"%PDF-1.4\n1 0 obj << /Type /Page >>\nendobj\n"
+                b"trailer\n%%EOF"),
+        "zip": zbuf.getvalue(),
+        "gzip": _gzip.compress(b"payload " * 64),
+        "tar": tbuf.getvalue(),
+    }
+
+
 def _seed_payloads() -> dict[str, bytes]:
     img = (np.arange(12 * 16 * 3, dtype=np.uint64) % 256) \
         .astype(np.uint8).reshape(12, 16, 3)
@@ -54,6 +76,7 @@ def _seed_payloads() -> dict[str, bytes]:
         "heif": containers.make_heif(640, 480),
         "avif": containers.make_heif(64, 64, brand=b"avif"),
         "mkv": containers.make_mkv("matroska", 320, 240, 5.0),
+        **_doc_archive_seeds(),
         "webm": containers.make_mkv("webm", duration_s=2.0,
                                     audio_rate=48000.0,
                                     audio_channels=2),
@@ -94,6 +117,14 @@ def _decode_any(data: bytes) -> None:
         containers.avi_meta(data)
     elif kind == "mkv":
         containers.mkv_meta(data)
+    elif kind == "pdf":
+        containers.pdf_meta(data)
+    elif kind == "zip":
+        containers.zip_meta(data)
+    elif kind == "gzip":
+        containers.gzip_meta(data)
+    elif kind == "tar":
+        containers.tar_meta(data)
     elif kind == "tiff":
         # metadata-only tier: decode() refuses tiff BY CONTRACT even
         # on valid streams, so the sanity pass exercises the dims
@@ -157,7 +188,8 @@ def test_fuzz_noise_behind_valid_magic():
               b"\xff\xfb\x90\x40", b"OggS\x00\x02",
               b"RIFF\x00\x01\x00\x00AVI ", b"II*\x00", b"MM\x00*",
               b"\x00\x00\x00\x18ftypheic",
-              b"\x00\x00\x00\x18ftypavif", b"\x1aE\xdf\xa3"]
+              b"\x00\x00\x00\x18ftypavif", b"\x1aE\xdf\xa3",
+              b"%PDF-1.5\n", b"PK\x03\x04", b"\x1f\x8b\x08\x00"]
     for magic in magics:
         for trial in range(40):
             noise = rng.integers(0, 256, int(rng.integers(0, 400)),

@@ -426,3 +426,83 @@ def test_mkv_crafted_streams_refuse_typed():
     with pytest.raises(codecs.UnsupportedFormat, match="elements"):
         containers.mkv_meta(bomb)
     assert containers.mkv_meta(good)["width"] == 64
+
+
+# --------------------------------------------- documents & archives
+
+def test_pdf_zip_gzip_tar_meta():
+    """Walkers validated against stdlib-BUILT payloads (zipfile/
+    gzip/tarfile as independent reference encoders)."""
+    import gzip as _gzip
+    import io
+    import tarfile
+    import zipfile
+
+    pdf = (b"%PDF-1.7\n1 0 obj << /Type /Catalog >>\n"
+           b"2 0 obj << /Type /Pages /Kids [3 0 R 4 0 R] >>\n"
+           b"3 0 obj << /Type /Page >>\n"
+           b"4 0 obj << /Type/Page >>\ntrailer\n%%EOF")
+    assert codecs.sniff(pdf) == "pdf"
+    m = containers.pdf_meta(pdf)
+    assert m["version"] == "1.7" and m["pages_est"] == 2
+    assert _decode_one(pdf, "unknown") == (2, 17, 1, "pdf-meta")
+    # a PDF under a lying image extension still attributes pdf-meta
+    assert _decode_one(pdf, "image") == (2, 17, 1, "pdf-meta")
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("a.txt", "hello")
+        z.writestr("b/c.txt", "world")
+    zdata = buf.getvalue()
+    assert codecs.sniff(zdata) == "zip"
+    assert containers.zip_meta(zdata)["n_members"] == 2
+    assert _decode_one(zdata, "unknown") == (2, 0, 1, "zip-meta")
+
+    gz = _gzip.compress(b"x" * 1000)
+    assert codecs.sniff(gz) == "gzip"
+    gm = containers.gzip_meta(gz)
+    assert gm["isize"] == 1000 and gm["method"] == 8
+    assert _decode_one(gz, "unknown") == (1000, 0, 1, "gzip-meta")
+
+    tbuf = io.BytesIO()
+    with tarfile.open(fileobj=tbuf, mode="w") as t:
+        for nm in ("a", "b", "c"):
+            ti = tarfile.TarInfo(nm)
+            ti.size = 100
+            t.addfile(ti, io.BytesIO(b"y" * 100))
+    tar = tbuf.getvalue()
+    assert codecs.sniff(tar) == "tar"
+    tm = containers.tar_meta(tar)
+    assert tm["n_members"] == 3 and tm["total_bytes"] == 300
+    assert _decode_one(tar, "unknown") == (3, 0, 1, "tar-meta")
+
+
+def test_tar_sniff_requires_valid_checksum():
+    """Arbitrary text with 'ustar' at offset 257 must NOT classify
+    as an archive — a false positive would silently change the
+    oracle-checked decode attribution of a text corpus. The header
+    checksum is the discriminator."""
+    fake = b"x" * 257 + b"ustar" + b"x" * 300
+    assert codecs.sniff(fake) is None
+    assert containers.tar_header_ok(fake) is False
+    w, h, c, tier = _decode_one(fake, "unknown")
+    assert tier == "unknown-stub"
+
+
+def test_document_archive_refusals_typed():
+    with pytest.raises(codecs.UnsupportedFormat, match="version"):
+        containers.pdf_meta(b"%PDF-x.y junk")
+    with pytest.raises(codecs.UnsupportedFormat, match="EOCD"):
+        containers.zip_meta(b"PK\x03\x04" + b"\x00" * 64)
+    with pytest.raises(codecs.UnsupportedFormat):
+        containers.gzip_meta(b"\x1f\x8b")
+    # member-count bomb: valid first header, looping tiny members
+    import io
+    import tarfile
+    tbuf = io.BytesIO()
+    with tarfile.open(fileobj=tbuf, mode="w") as t:
+        for i in range(containers.TAR_MAX_MEMBERS + 8):
+            ti = tarfile.TarInfo(f"m{i}")
+            t.addfile(ti, io.BytesIO(b""))
+    with pytest.raises(codecs.UnsupportedFormat, match="members"):
+        containers.tar_meta(tbuf.getvalue())

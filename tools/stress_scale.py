@@ -662,6 +662,8 @@ def media_mix_legs(spark, scales) -> None:
             + b"\x00\x00\x00\x00")] * 1
         + [("mkv-dims", containers.make_mkv("webm", 320, 240,
                                             4.0))] * 1
+        + [("pdf-meta", b"%PDF-1.6\n1 0 obj << /Type /Page >>\n"
+            b"2 0 obj << /Type/Page >>\ntrailer %%EOF")] * 1
         + [("unknown-stub", junk)] * 1)
     per_16 = {}
     for tier, _ in templates:
