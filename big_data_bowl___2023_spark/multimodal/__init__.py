@@ -6,6 +6,7 @@ from .binary_ops import (
     frame_sample,
     media_from_binary_files,
     media_from_documents,
+    media_profile,
     resize_media,
 )
 
@@ -13,4 +14,5 @@ __all__ = ["MEDIA_SCHEMA", "codecs", "containers",
            "decode_media",
            "extract_features", "frame_sample",
            "media_from_binary_files",
-           "media_from_documents", "resize_media"]
+           "media_from_documents", "media_profile",
+           "resize_media"]

@@ -506,3 +506,35 @@ def test_document_archive_refusals_typed():
             t.addfile(ti, io.BytesIO(b""))
     with pytest.raises(codecs.UnsupportedFormat, match="members"):
         containers.tar_meta(tbuf.getvalue())
+
+
+def test_media_profile_data_card(spark):
+    """media_profile: one row per (modality, tier) with exact counts
+    and byte totals — cross-checked against a hand rollup."""
+    from big_data_bowl___2023_spark.multimodal.binary_ops import (
+        media_from_binary_files,
+        media_profile,
+    )
+    payloads = {
+        "a.bin": containers.make_mp4(5.0, 600, 320, 240),
+        "b.bin": containers.make_mp4(6.0, 600, 640, 480),
+        "c.bin": containers.make_flac(80000, 8000, 1),
+        "d.bin": (b"%PDF-1.6\n1 0 obj << /Type /Page >>\n"
+                  b"trailer %%EOF"),
+        "e.bin": b"\x00unclassifiable junk bytes" * 4,
+    }
+    files = spark.createDataFrame(
+        [(k, bytearray(v), len(v)) for k, v in payloads.items()],
+        "path string, content binary, length long")
+    prof = {(r["modality"], r["decoder"]):
+            (r["n_media"], r["total_bytes"])
+            for r in media_profile(
+                media_from_binary_files(files)).collect()}
+    mp4_bytes = len(payloads["a.bin"]) + len(payloads["b.bin"])
+    assert prof[("video", "mp4-dims")] == (2, mp4_bytes)
+    assert prof[("audio", "flac-dims")] == (1, len(payloads["c.bin"]))
+    assert prof[("unknown", "pdf-meta")] == (1,
+                                             len(payloads["d.bin"]))
+    assert prof[("unknown", "unknown-stub")] == (
+        1, len(payloads["e.bin"]))
+    assert len(prof) == 4
