@@ -173,6 +173,11 @@ def _decode_one(data: bytes, modality: str) -> tuple[int, int, int, str]:
     dependency) → deterministic hash-derived stub, which is now
     reachable only for genuinely unsupported payloads (verdict
     r10 #8)."""
+    # ONE sniff per record: every modality branch and the document/
+    # archive fallthrough key on the same magic classification, and
+    # the tar branch checksums 512 bytes — recomputing it per branch
+    # doubled hot-path work for every stubbed record (review r14b)
+    kind = codecs.sniff(data)
     if modality == "image":
         try:  # full-codec path, absent in this container
             import io
@@ -182,7 +187,6 @@ def _decode_one(data: bytes, modality: str) -> tuple[int, int, int, str]:
             return img.width, img.height, len(img.getbands()), "pil"
         except Exception:
             pass
-        kind = codecs.sniff(data)
         if kind == "jpeg":
             try:
                 # dims come from the SOF header either way; the tier
@@ -231,7 +235,8 @@ def _decode_one(data: bytes, modality: str) -> tuple[int, int, int, str]:
                 if m["ispe_width"] > 0:
                     tier = "avif-dims" if m["brand"].startswith("av") \
                         else "heif-dims"
-                    return (m["ispe_width"], m["ispe_height"], 3,
+                    return (min(m["ispe_width"], 2**31 - 1),
+                            min(m["ispe_height"], 2**31 - 1), 3,
                             tier)
             except codecs.UnsupportedFormat:
                 pass
@@ -251,7 +256,6 @@ def _decode_one(data: bytes, modality: str) -> tuple[int, int, int, str]:
             except codecs.UnsupportedFormat:
                 pass
     if modality == "audio":
-        kind = codecs.sniff(data)
         if kind == "wav":
             try:
                 # dims repurposed for audio: width = frame count
@@ -296,7 +300,8 @@ def _decode_one(data: bytes, modality: str) -> tuple[int, int, int, str]:
                 # height = rate — the wav convention
                 m = containers.ogg_meta(data)
                 return (min(m["total_samples"], 2**31 - 1),
-                        m["rate"], m["channels"], "ogg-dims")
+                        min(m["rate"], 2**31 - 1),
+                        min(m["channels"], 2**31 - 1), "ogg-dims")
             except codecs.UnsupportedFormat:
                 pass
         elif kind == "mp4":
@@ -313,7 +318,6 @@ def _decode_one(data: bytes, modality: str) -> tuple[int, int, int, str]:
             except codecs.UnsupportedFormat:
                 pass
     if modality == "video":
-        kind = codecs.sniff(data)
         if kind == "y4m":
             try:
                 # n_channels repurposed for video: the frame count
@@ -329,7 +333,8 @@ def _decode_one(data: bytes, modality: str) -> tuple[int, int, int, str]:
                 # an EBML magic always classifies video — audio-only
                 # webm attributes 0x0 dims honestly
                 m = containers.mkv_meta(data)
-                return (m["width"], m["height"],
+                return (min(m["width"], 2**31 - 1),
+                        min(m["height"], 2**31 - 1),
                         min(int(round(m["duration_s"])), 2**31 - 1),
                         "mkv-dims")
             except codecs.UnsupportedFormat:
@@ -339,7 +344,8 @@ def _decode_one(data: bytes, modality: str) -> tuple[int, int, int, str]:
                 # RIFF AVI avih tier: the y4m/mp4 video convention
                 # (w, h, frame count)
                 m = containers.avi_meta(data)
-                return (m["width"], m["height"],
+                return (min(m["width"], 2**31 - 1),
+                        min(m["height"], 2**31 - 1),
                         min(m["n_frames"], 2**31 - 1), "avi-dims")
             except codecs.UnsupportedFormat:
                 pass
@@ -352,7 +358,8 @@ def _decode_one(data: bytes, modality: str) -> tuple[int, int, int, str]:
                 # WHOLE SECONDS (capped)
                 m = containers.mp4_meta(data)
                 frames = m["n_frames"] or int(round(m["duration_s"]))
-                return (m["width"], m["height"],
+                return (min(m["width"], 2**31 - 1),
+                        min(m["height"], 2**31 - 1),
                         min(frames, 2**31 - 1), "mp4-dims")
             except codecs.UnsupportedFormat:
                 pass
@@ -362,7 +369,6 @@ def _decode_one(data: bytes, modality: str) -> tuple[int, int, int, str]:
     # plausible image stub. Column conventions: pdf (pages_est,
     # version major*10+minor, 1); zip/tar (member count, 0, 1);
     # gzip (uncompressed size mod 2^31, 0, 1).
-    kind = codecs.sniff(data)
     if kind == "pdf":
         try:
             m = containers.pdf_meta(data)

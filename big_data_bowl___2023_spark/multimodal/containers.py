@@ -146,13 +146,17 @@ def _walk_boxes(data: bytes, start: int, end: int, depth: int,
                     p2 += 8
                 track["n_samples"] = total
         elif btype == b"meta":
-            # FULLBOX container (HEIF/AVIF metadata root): 4 bytes
-            # of version/flags precede the children
+            # ISO 14496-12 meta is a FULLBOX (4 version/flags bytes
+            # before children) but CLASSIC QuickTime meta atoms are
+            # plain containers — the standard disambiguation (ffmpeg
+            # does the same) peeks for a child type right at body:
+            # a QT meta's first child is 'hdlr' with no offset
             if depth >= MP4_MAX_DEPTH:
                 raise UnsupportedFormat("ISO-BMFF nesting too deep")
-            if bend - body >= 4:
-                _walk_boxes(data, body + 4, bend, depth + 1, state,
-                            meta, track)
+            off = 0 if data[body + 4:body + 8] == b"hdlr" else 4
+            if bend - body >= off:
+                _walk_boxes(data, body + off, bend, depth + 1,
+                            state, meta, track)
         elif btype == b"ispe":
             # image spatial extents (HEIF/AVIF): first one wins (the
             # primary item precedes thumbnails in practice)
@@ -587,7 +591,10 @@ def avi_meta(data: bytes) -> dict:
         if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
             raise UnsupportedFormat("not a RIFF AVI stream")
 
-        def find_avih(start: int, end: int, chunks: list) -> int:
+        def find_avih(start: int, end: int, chunks: list,
+                      depth: int) -> int:
+            if depth > 8:                # sibling walkers' cap
+                raise UnsupportedFormat("AVI LIST nesting too deep")
             pos = start
             while pos + 8 <= end:
                 chunks[0] += 1
@@ -602,7 +609,8 @@ def avi_meta(data: bytes) -> dict:
                     raise UnsupportedFormat(
                         "AVI chunk overruns its parent")
                 if fourcc == b"LIST":
-                    at = find_avih(body + 4, body + size, chunks)
+                    at = find_avih(body + 4, body + size, chunks,
+                                   depth + 1)
                     if at >= 0:
                         return at
                 elif fourcc == b"avih":
@@ -610,10 +618,12 @@ def avi_meta(data: bytes) -> dict:
                 pos = body + size + (size & 1)   # word alignment
             return -1
 
+        # the RIFF size field counts from offset 8 (it INCLUDES the
+        # 'AVI ' form type), so declared content ends at 8 + size
         at = find_avih(12, min(len(data),
-                               12 + int.from_bytes(data[4:8],
-                                                   "little")),
-                       [0])
+                               8 + int.from_bytes(data[4:8],
+                                                  "little")),
+                       [0], 0)
         if at < 0 or at + 40 > len(data):
             raise UnsupportedFormat("AVI without an avih header")
 
@@ -740,7 +750,7 @@ def _ebml_walk(data: bytes, start: int, end: int, depth: int,
             if eid == 0x4282:                       # DocType
                 meta["doctype"] = raw.decode("latin-1").rstrip("\x00")
             elif eid == 0x2AD7B1:                   # TimestampScale
-                meta["timescale_ns"] = int.from_bytes(raw, "big")
+                meta["timescale_ns"] = int.from_bytes(raw[:8], "big")
             elif eid == 0x4489:                     # Duration (float)
                 import struct
                 if len(raw) == 4:
@@ -754,9 +764,9 @@ def _ebml_walk(data: bytes, start: int, end: int, depth: int,
                     track["codec"] = raw.decode("latin-1") \
                         .rstrip("\x00")
                 elif eid == 0xB0:
-                    track["width"] = int.from_bytes(raw, "big")
+                    track["width"] = int.from_bytes(raw[:8], "big")
                 elif eid == 0xBA:
-                    track["height"] = int.from_bytes(raw, "big")
+                    track["height"] = int.from_bytes(raw[:8], "big")
                 elif eid == 0xB5:                   # SamplingFrequency
                     import struct
                     if len(raw) == 4:
@@ -785,8 +795,13 @@ def mkv_meta(data: bytes) -> dict:
         _ebml_walk(data, 0, len(data), 0, {"n": 0}, meta, None)
         if not meta["doctype"]:
             raise UnsupportedFormat("EBML stream without a DocType")
-        meta["duration_s"] = (meta.pop("_dur")
-                              * meta["timescale_ns"] / 1e9)
+        import math
+        dur = meta.pop("_dur") * meta["timescale_ns"] / 1e9
+        # a crafted Duration float of inf/NaN (or negative) must
+        # not escape as OverflowError/ValueError from a downstream
+        # int(round(...)) — degrade to 0, keep the dims (review r14b)
+        meta["duration_s"] = dur if (math.isfinite(dur)
+                                     and dur >= 0) else 0.0
         return meta
     except UnsupportedFormat:
         raise

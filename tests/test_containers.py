@@ -538,3 +538,89 @@ def test_media_profile_data_card(spark):
     assert prof[("unknown", "unknown-stub")] == (
         1, len(payloads["e.bin"]))
     assert len(prof) == 4
+
+
+def test_review_r14b_crafted_values_stay_bounded():
+    """Second review pass: crafted numeric fields must neither
+    escape as untyped errors nor overflow the int32 decode columns."""
+    import struct
+
+    # MKV Duration = +inf / NaN / negative → duration degrades to 0,
+    # dims survive, nothing untyped escapes int(round(...))
+    for bits in (struct.pack(">d", float("inf")),
+                 struct.pack(">d", float("nan")),
+                 struct.pack(">d", -5.0)):
+        d = containers.make_mkv("webm", 320, 240, 1.0)
+        at = d.index(b"\x44\x89")             # Duration element id
+        bad = d[:at + 3] + bits + d[at + 11:]
+        m = containers.mkv_meta(bad)
+        assert m["duration_s"] == 0.0
+        assert _decode_one(bad, "video") == (320, 240, 0, "mkv-dims")
+
+    # MKV 5-byte PixelWidth (~2^38) → capped at int32 max (built
+    # with consistent parent sizes via the element encoder)
+    eb = containers._eb
+    trk = eb(0xAE, eb(0x83, b"\x01")
+             + eb(0xE0, eb(0xB0, (1 << 38).to_bytes(5, "big"))
+                  + eb(0xBA, (4).to_bytes(2, "big"))))
+    huge = (eb(0x1A45DFA3, eb(0x4282, b"webm"))
+            + eb(0x18538067, eb(0x1654AE6B, trk)))
+    assert containers.mkv_meta(huge)["width"] == 1 << 38
+    w = _decode_one(huge, "video")[0]
+    assert w == 2**31 - 1
+
+    # Ogg rate bytes FF FF FF FF → capped
+    o = containers.make_ogg("vorbis", 44100, 2, 1000)
+    at = o.index((44100).to_bytes(4, "little"))
+    bad = o[:at] + b"\xff\xff\xff\xff" + o[at + 4:]
+    assert _decode_one(bad, "audio")[1] == 2**31 - 1
+
+    # AVI width u32 >= 2^31 → capped
+    a = bytearray(containers.make_avi(320, 240, 10))
+    at = bytes(a).index(b"avih") + 8 + 32
+    a[at:at + 4] = (0xFFFFFFFF).to_bytes(4, "little")
+    assert _decode_one(bytes(a), "video")[0] == 2**31 - 1
+
+    # HEIF ispe dims >= 2^31 → capped
+    h = bytearray(containers.make_heif(64, 48))
+    at = bytes(h).index(b"ispe") + 8
+    h[at:at + 4] = (0xF0000000).to_bytes(4, "big")
+    assert _decode_one(bytes(h), "image")[0] == 2**31 - 1
+
+
+def test_qt_meta_atom_without_fullbox_offset():
+    """Classic QuickTime meta atoms carry NO version/flags — the
+    walker must not misparse them (previously the first child's
+    size was read 4 bytes in, refusing the whole stream and
+    dropping it from mp4-dims to the stub tier, review r14b)."""
+    def box(t, payload):
+        return (8 + len(payload)).to_bytes(4, "big") + t + payload
+
+    good = containers.make_mp4(4.0, 600, 320, 240)
+    # QT-style meta: first child directly at body (an hdlr atom)
+    qt_meta = box(b"meta", box(b"hdlr", b"\x00" * 24))
+    patched = good + qt_meta[:0]              # sanity: untouched ok
+    m = containers.mp4_meta(patched)
+    assert m["width"] == 320
+    # splice the QT meta INSIDE moov (after mvhd)
+    moov_at = good.index(b"moov") - 4
+    moov_size = int.from_bytes(good[moov_at:moov_at + 4], "big")
+    inner_end = moov_at + moov_size
+    spliced = (good[:moov_at]
+               + (moov_size + len(qt_meta)).to_bytes(4, "big")
+               + good[moov_at + 4:inner_end] + qt_meta
+               + good[inner_end:])
+    m = containers.mp4_meta(spliced)
+    assert m["width"] == 320 and m["timescale"] == 600
+
+
+def test_avi_riff_boundary_is_8_plus_size():
+    """The RIFF size field counts from offset 8 (includes 'AVI '):
+    an avih whose bytes sit past the declared payload end must
+    refuse, not read trailing garbage (review r14b)."""
+    good = containers.make_avi(320, 240, 10)
+    # shrink the declared RIFF size so the LIST now overruns it
+    bad = bytearray(good)
+    bad[4:8] = (12).to_bytes(4, "little")
+    with pytest.raises(codecs.UnsupportedFormat):
+        containers.avi_meta(bytes(bad))
