@@ -72,3 +72,96 @@ def test_flac_meta_round_trip_property(total, rate, channels, bps):
     assert m["bits_per_sample"] == bps
     assert m["duration_s"] == total / rate
     assert codecs.sniff(data) == "flac"
+
+
+@given(codec=st.sampled_from(["vorbis", "opus"]),
+       rate=st.integers(8000, 192000), channels=st.integers(1, 8),
+       total=st.integers(0, 2**40))
+@settings(max_examples=40, deadline=None)
+def test_ogg_meta_round_trip_property(codec, rate, channels, total):
+    data = containers.make_ogg(codec, rate, channels, total)
+    m = containers.ogg_meta(data)
+    assert m["codec"] == codec
+    assert m["rate"] == rate and m["channels"] == channels
+    assert m["total_samples"] == total
+    timebase = rate if codec == "vorbis" else 48000
+    assert m["duration_s"] == total / timebase
+    assert codecs.sniff(data) == "ogg"
+
+
+@given(w=st.integers(1, 65535), h=st.integers(1, 65535),
+       frames=st.integers(0, 2**31 - 1), fps=st.integers(1, 240),
+       streams=st.integers(1, 8))
+@settings(max_examples=40, deadline=None)
+def test_avi_meta_round_trip_property(w, h, frames, fps, streams):
+    data = containers.make_avi(w, h, frames, fps, streams)
+    m = containers.avi_meta(data)
+    assert (m["width"], m["height"]) == (w, h)
+    assert m["n_frames"] == frames and m["n_streams"] == streams
+    assert m["us_per_frame"] == 10 ** 6 // fps
+    assert codecs.sniff(data) == "avi"
+
+
+@given(doctype=st.sampled_from(["matroska", "webm"]),
+       w=st.integers(0, 65535), h=st.integers(0, 65535),
+       dur=st.floats(0, 1e6, allow_nan=False),
+       arate=st.floats(0, 384000, allow_nan=False),
+       ach=st.integers(0, 255))
+@settings(max_examples=40, deadline=None)
+def test_mkv_meta_round_trip_property(doctype, w, h, dur, arate,
+                                      ach):
+    data = containers.make_mkv(doctype, w, h, dur,
+                               audio_rate=arate,
+                               audio_channels=ach)
+    m = containers.mkv_meta(data)
+    assert m["doctype"] == doctype
+    if w > 0:
+        assert (m["width"], m["height"]) == (w, h)
+        assert m["n_video_tracks"] == 1
+    if arate > 0:
+        assert m["n_audio_tracks"] == 1
+        assert m["channels"] == ach
+        # SamplingFrequency travels as float32
+        assert abs(m["rate"] - arate) <= max(1e-3, arate * 1e-6)
+    # Duration travels as float64 in timescale-ns units
+    assert abs(m["duration_s"] - dur) < max(1e-6, dur * 1e-9)
+    assert codecs.sniff(data) == "mkv"
+
+
+@given(w=st.integers(1, 2**32 - 1), h=st.integers(1, 2**32 - 1),
+       brand=st.sampled_from([b"heic", b"heix", b"mif1", b"avif",
+                              b"avis"]))
+@settings(max_examples=40, deadline=None)
+def test_heif_dims_round_trip_property(w, h, brand):
+    data = containers.make_heif(w, h, brand=brand)
+    m = containers.mp4_meta(data)
+    assert (m["ispe_width"], m["ispe_height"]) == (w, h)
+    assert m["brand"] == brand.decode().strip()
+
+
+@given(members=st.lists(st.integers(0, 4096), min_size=0,
+                        max_size=24))
+@settings(max_examples=25, deadline=None)
+def test_zip_tar_member_counts_property(members):
+    import io
+    import tarfile
+    import zipfile
+    zbuf = io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w") as z:
+        for i, size in enumerate(members):
+            z.writestr(f"m{i}", "x" * size)
+    assert containers.zip_meta(zbuf.getvalue())["n_members"] \
+        == len(members)
+    if not members:
+        # an EMPTY tar is two zero blocks with no ustar header —
+        # tar_meta correctly refuses it (nothing to validate)
+        return
+    tbuf = io.BytesIO()
+    with tarfile.open(fileobj=tbuf, mode="w") as t:
+        for i, size in enumerate(members):
+            ti = tarfile.TarInfo(f"m{i}")
+            ti.size = size
+            t.addfile(ti, io.BytesIO(b"y" * size))
+    tm = containers.tar_meta(tbuf.getvalue())
+    assert tm["n_members"] == len(members)
+    assert tm["total_bytes"] == sum(members)
