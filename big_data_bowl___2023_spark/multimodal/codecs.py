@@ -78,11 +78,15 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 def sniff(data: bytes) -> str | None:
     """The recognized format tag ("bmp"/"ppm"/"pgm"/"png"/"wav"/
     "y4m"/"jpeg"/"gif"/"webp"/"tiff"/"mp4"/"mp3"/"flac"/"ogg"/
-    "avi"/"mkv") when the magic matches, else None.
-    mp4/mp3/flac/ogg/avi/mkv are metadata-tier containers (`multimodal.containers`), tiff is
-    a dims tier (`image_dims`); mp3 matches an ID3v2 shell or a raw
-    frame sync whose header fields validate — a bare 0xFFEx prefix
-    alone is too weak a magic for an 11-bit sync."""
+    "avi"/"mkv"/"pdf"/"zip"/"gzip"/"tar") when the magic matches,
+    else None. mp4/mp3/flac/ogg/avi/mkv are A/V metadata-tier
+    containers and pdf/zip/gzip/tar document/archive attribution
+    tiers (`multimodal.containers`); tiff is a dims tier
+    (`image_dims`). Two magics are deliberately stricter than a
+    prefix compare: mp3 matches an ID3v2 shell or a raw frame sync
+    whose header fields validate (a bare 0xFFEx prefix is too weak
+    for an 11-bit sync), and tar validates the first header's
+    CHECKSUM (text with 'ustar' at offset 257 must not classify)."""
     if len(data) >= 2 and data[:2] == b"BM":
         return "bmp"
     if len(data) >= 2 and data[:2] == b"P6":
