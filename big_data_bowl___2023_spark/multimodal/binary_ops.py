@@ -106,7 +106,14 @@ def media_from_binary_files(files: DataFrame) -> DataFrame:
     corpus profile (verdict r12 #3); it lands in the attributed
     ``unknown-stub`` decode tier instead. ``media_id`` is the
     xxhash64 of the file path — deterministic across re-lists,
-    collision odds negligible at any real corpus size."""
+    collision odds negligible at any real corpus size.
+
+    ISO-BMFF tradeoff (documented per ADVICE r14): this column-level
+    pass reads only the MAJOR brand, so an audio-only MP4 branded
+    'isom'/'mp42' or a HEIF with an unlisted brand first classifies
+    as video; the decode tier re-classifies from the parsed
+    moov/meta facts (`_mp4_tier`), so the attributed dims/tier are
+    correct even when this first-pass modality guess is not."""
     def _pfx(n: int):
         return F.expr(f"substring(content, 1, {n})")
 
@@ -165,6 +172,47 @@ def media_from_binary_files(files: DataFrame) -> DataFrame:
         F.col("content").alias("data"),
         F.col("path").alias("source"),
         F.col("length").cast("bigint").alias("n_bytes"))
+
+
+def _mp4_tier(data: bytes) -> tuple[int, int, int, str] | None:
+    """Facts-based ISO-BMFF tier dispatch (ADVICE r14): the bridge's
+    column-level modality guess reads only the MAJOR brand, so an
+    audio-only MP4 with a common video brand ('isom', 'mp42',
+    'M4P ') or a HEIF whose major brand is outside the known list
+    ('heis', ...) lands here tagged video. The decode tier
+    re-classifies from the parsed moov/meta facts — ispe dims with
+    no video track → HEIF/AVIF image convention, a video track (or
+    a trackless moov) → video convention (w, h, frames), otherwise
+    → audio convention (ticks, timescale, n_audio_tracks) — instead
+    of trusting the claim and attributing 0×0 video dims. Returns
+    None on a malformed stream (caller falls to the stub tier)."""
+    try:
+        m = containers.mp4_meta(data)
+    except codecs.UnsupportedFormat:
+        return None
+    if m["ispe_width"] > 0 and m["n_video_tracks"] == 0:
+        # HEIF/AVIF: ISO-BMFF images — true dims from the
+        # meta/iprp/ipco/ispe box, pixel decode (HEVC/AV1)
+        # refused, the -dims tier contract
+        tier = "avif-dims" if m["brand"].startswith("av") \
+            else "heif-dims"
+        return (min(m["ispe_width"], 2**31 - 1),
+                min(m["ispe_height"], 2**31 - 1), 3, tier)
+    if m["n_video_tracks"] > 0 or m["n_audio_tracks"] == 0:
+        # video convention: true presentation dims from the first
+        # video tkhd; n_channels repurposed as the stts frame count
+        # when the moov carries one, else mvhd WHOLE SECONDS
+        frames = m["n_frames"] or int(round(m["duration_s"]))
+        return (min(m["width"], 2**31 - 1),
+                min(m["height"], 2**31 - 1),
+                min(frames, 2**31 - 1), "mp4-dims")
+    # audio-only (M4A or mislabeled brand): width = mvhd duration in
+    # timescale ticks (≈ samples when the timescale is the sample
+    # rate, the common case), height = timescale
+    ticks = int(round(m["duration_s"] * m["timescale"]))
+    return (min(ticks, 2**31 - 1),
+            min(m["timescale"], 2**31 - 1),
+            max(m["n_audio_tracks"], 1), "mp4-dims")
 
 
 def _decode_one(data: bytes, modality: str) -> tuple[int, int, int, str]:
@@ -226,21 +274,7 @@ def _decode_one(data: bytes, modality: str) -> tuple[int, int, int, str]:
                 return w, h, c, "tiff-dims"
             except codecs.UnsupportedFormat:
                 pass
-        elif kind == "mp4":
-            try:
-                # HEIF/AVIF: ISO-BMFF images — true dims from the
-                # meta/iprp/ipco/ispe box, pixel decode (HEVC/AV1)
-                # refused, the -dims tier contract
-                m = containers.mp4_meta(data)
-                if m["ispe_width"] > 0:
-                    tier = "avif-dims" if m["brand"].startswith("av") \
-                        else "heif-dims"
-                    return (min(m["ispe_width"], 2**31 - 1),
-                            min(m["ispe_height"], 2**31 - 1), 3,
-                            tier)
-            except codecs.UnsupportedFormat:
-                pass
-        elif kind is not None and kind != "webp":
+        elif kind is not None and kind not in ("webp", "mp4"):
             try:
                 # full pixel decode (BMP/netpbm/PNG)
                 arr = codecs.decode(data)
@@ -255,6 +289,13 @@ def _decode_one(data: bytes, modality: str) -> tuple[int, int, int, str]:
                 return w, h, c, f"{kind}-dims"
             except codecs.UnsupportedFormat:
                 pass
+    if kind == "mp4":
+        # ISO-BMFF dispatches on the parsed facts regardless of the
+        # CLAIMED modality — see _mp4_tier (ADVICE r14). After the
+        # PIL attempt so a real codec library still wins for images.
+        tier = _mp4_tier(data)
+        if tier is not None:
+            return tier
     if modality == "audio":
         if kind == "wav":
             try:
@@ -304,19 +345,6 @@ def _decode_one(data: bytes, modality: str) -> tuple[int, int, int, str]:
                         min(m["channels"], 2**31 - 1), "ogg-dims")
             except codecs.UnsupportedFormat:
                 pass
-        elif kind == "mp4":
-            try:
-                # audio-branded ISO-BMFF (M4A): width = mvhd
-                # duration in timescale ticks (≈ samples when the
-                # timescale is the sample rate, the common case),
-                # height = timescale, n_channels = audio track count
-                m = containers.mp4_meta(data)
-                ticks = int(round(m["duration_s"] * m["timescale"]))
-                return (min(ticks, 2**31 - 1),
-                        min(m["timescale"], 2**31 - 1),
-                        max(m["n_audio_tracks"], 1), "mp4-dims")
-            except codecs.UnsupportedFormat:
-                pass
     if modality == "video":
         if kind == "y4m":
             try:
@@ -349,20 +377,6 @@ def _decode_one(data: bytes, modality: str) -> tuple[int, int, int, str]:
                         min(m["n_frames"], 2**31 - 1), "avi-dims")
             except codecs.UnsupportedFormat:
                 pass
-        elif kind == "mp4":
-            try:
-                # ISO-BMFF metadata tier: true presentation dims
-                # from the first video tkhd; n_channels repurposed
-                # as the stts frame count (the y4m convention) when
-                # the moov carries one, else the mvhd duration in
-                # WHOLE SECONDS (capped)
-                m = containers.mp4_meta(data)
-                frames = m["n_frames"] or int(round(m["duration_s"]))
-                return (min(m["width"], 2**31 - 1),
-                        min(m["height"], 2**31 - 1),
-                        min(frames, 2**31 - 1), "mp4-dims")
-            except codecs.UnsupportedFormat:
-                pass
     # document / archive attribution, regardless of the CLAIMED
     # modality (mislabeled extensions are the norm in crawl
     # buckets): a PDF named .jpg must profile as pdf-meta, not as a
@@ -380,7 +394,9 @@ def _decode_one(data: bytes, modality: str) -> tuple[int, int, int, str]:
     elif kind == "zip":
         try:
             m = containers.zip_meta(data)
-            return m["n_members"], 0, 1, "zip-meta"
+            # ZIP64 member counts are 64-bit — cap for the int32
+            # DECODED_SCHEMA column instead of failing the pass
+            return min(m["n_members"], 2**31 - 1), 0, 1, "zip-meta"
         except codecs.UnsupportedFormat:
             pass
     elif kind == "gzip":

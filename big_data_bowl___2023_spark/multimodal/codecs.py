@@ -132,6 +132,12 @@ def sniff(data: bytes) -> str | None:
     if len(data) >= 8 and data[:4] == b"fLaC":
         return "flac"
     if len(data) >= 10 and data[:3] == b"ID3":
+        # ID3v2 is a tag shell, not a codec: a tagged FLAC must
+        # dispatch to the FLAC walker, not lock onto a spurious
+        # MPEG sync inside FLAC frames (ADVICE r14)
+        from .containers import _id3v2_end    # lazy: avoids a cycle
+        if data[_id3v2_end(data):][:4] == b"fLaC":
+            return "flac"
         return "mp3"
     if (len(data) >= 4 and data[0] == 0xFF
             and (data[1] & 0xE0) == 0xE0):

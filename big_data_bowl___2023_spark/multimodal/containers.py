@@ -265,6 +265,18 @@ def _mp3_frame(data: bytes, off: int) -> dict | None:
             "layer": layer, "vgroup": vgroup, "crc": crc}
 
 
+def _id3v2_end(data: bytes) -> int:
+    """Byte offset just past a leading ID3v2 shell (syncsafe 28-bit
+    size, 4 × 7 bits — ID3v2 §3.1), or 0 when the payload carries no
+    tag. Shared by `mp3_meta`, `flac_meta` and `codecs.sniff` so an
+    ID3-shelled FLAC dispatches to the FLAC walker instead of
+    locking onto a spurious MPEG sync inside the FLAC frames."""
+    if data[:3] != b"ID3" or len(data) < 10:
+        return 0
+    return 10 + ((data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14
+                 | (data[8] & 0x7F) << 7 | (data[9] & 0x7F))
+
+
 def mp3_meta(data: bytes) -> dict:
     """Header metadata for an MPEG audio (MP3) stream: ``rate``,
     ``channels``, ``n_frames``, ``duration_s``, ``vbr``. Skips an
@@ -272,19 +284,35 @@ def mp3_meta(data: bytes) -> dict:
     valid frame header, then reads the Xing/Info VBR tag (exact
     frame count) or falls back to the CBR estimate
     (payload_bytes · 8 / bitrate). Raises `UnsupportedFormat` when
-    no valid frame appears in the scan window."""
+    no valid frame appears in the scan window.
+
+    A lone 4-byte header validating mid-scan has a ~1.8e-4
+    false-positive rate per offset — over a 64 KiB byte-by-byte
+    window junk almost surely "syncs" (ADVICE r14). So a candidate
+    only counts when the header at ``pos + frame_size`` ALSO parses
+    with matching version/layer/rate (2-consecutive-frame
+    validation, as real demuxers do); a stream that ends inside the
+    first frame is accepted as a single truncated frame, since no
+    second header exists to disprove it."""
     try:
-        start = 0
-        if data[:3] == b"ID3" and len(data) >= 10:
-            # syncsafe 28-bit size, 4 × 7 bits (ID3v2 §3.1)
-            size = ((data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14
-                    | (data[8] & 0x7F) << 7 | (data[9] & 0x7F))
-            start = 10 + size
+        start = _id3v2_end(data)
+        if data[start:start + 4] == b"fLaC":
+            raise UnsupportedFormat(
+                "ID3-shelled FLAC — not MPEG audio")
         limit = min(len(data), start + MP3_SYNC_SCAN)
         frame = None
         pos = start
         while pos + 4 <= limit:
             frame = _mp3_frame(data, pos)
+            if frame is not None:
+                nxt = pos + frame["frame_size"]
+                if nxt + 4 <= len(data):
+                    peer = _mp3_frame(data, nxt)
+                    if (peer is None
+                            or peer["vgroup"] != frame["vgroup"]
+                            or peer["layer"] != frame["layer"]
+                            or peer["rate"] != frame["rate"]):
+                        frame = None       # spurious sync — keep going
             if frame is not None:
                 break
             pos += 1
@@ -325,8 +353,13 @@ def flac_meta(data: bytes) -> dict:
     """STREAMINFO metadata for a FLAC stream: ``rate``, ``channels``,
     ``bits_per_sample``, ``total_samples``, ``duration_s``. The spec
     mandates STREAMINFO as the first metadata block; block walk is
-    capped. Raises `UnsupportedFormat` on anything malformed."""
+    capped. A leading ID3v2 shell (common in tagged rips, tolerated
+    by real decoders) is skipped. Raises `UnsupportedFormat` on
+    anything malformed."""
     try:
+        shell = _id3v2_end(data)
+        if shell:
+            data = data[shell:]
         if data[:4] != b"fLaC" or len(data) < 8:
             raise UnsupportedFormat("not a FLAC stream")
         pos, blocks = 4, 0
@@ -874,6 +907,10 @@ def pdf_meta(data: bytes) -> dict:
                         and version[2].isdigit()):
             raise UnsupportedFormat("malformed PDF version header")
         pages = 0
+        # a page token must END at a PDF delimiter (ISO 32000-1
+        # §7.2.2: whitespace or ()<>[]{}/%) — excluding only a
+        # trailing 's' counted '/Type /PageLabel' and any other
+        # '/Type /Page<suffix>' name as a page (ADVICE r14)
         for pat in (b"/Type /Page", b"/Type/Page"):
             at = -1
             while True:
@@ -881,7 +918,9 @@ def pdf_meta(data: bytes) -> dict:
                 if at < 0:
                     break
                 nxt = data[at + len(pat):at + len(pat) + 1]
-                if nxt != b"s":            # exclude /Type /Pages
+                if nxt in (b"", b"\x00", b"\t", b"\n", b"\f", b"\r",
+                           b" ", b"(", b")", b"<", b">", b"[", b"]",
+                           b"{", b"}", b"/", b"%"):
                     pages += 1
         return {"version": version, "pages_est": pages}
     except UnsupportedFormat:
@@ -894,7 +933,12 @@ def pdf_meta(data: bytes) -> dict:
 def zip_meta(data: bytes) -> dict:
     """ZIP end-of-central-directory metadata: ``n_members``,
     ``central_dir_bytes``. EOCD is searched from the tail (the spec
-    allows a trailing comment ≤ 64 KiB)."""
+    allows a trailing comment ≤ 64 KiB). When the 16/32-bit fields
+    carry the ZIP64 sentinels (0xFFFF / 0xFFFFFFFF — APPNOTE §4.4.1.4),
+    the real values are read from the ZIP64 EOCD record via the
+    locator that immediately precedes the EOCD; a sentinel with no
+    reachable ZIP64 record refuses typed rather than reporting
+    exactly 65535 members as if it were data (ADVICE r14)."""
     try:
         floor_at = max(0, len(data) - (1 << 16) - 22)
         at = data.rfind(b"PK\x05\x06", floor_at)
@@ -902,6 +946,20 @@ def zip_meta(data: bytes) -> dict:
             raise UnsupportedFormat("ZIP without an EOCD record")
         n = int.from_bytes(data[at + 10:at + 12], "little")
         cd = int.from_bytes(data[at + 12:at + 16], "little")
+        if n == 0xFFFF or cd == 0xFFFFFFFF:
+            loc_at = at - 20               # fixed-size ZIP64 locator
+            if loc_at < 0 or data[loc_at:loc_at + 4] != b"PK\x06\x07":
+                raise UnsupportedFormat(
+                    "ZIP64 sentinel without an EOCD locator")
+            z64 = int.from_bytes(data[loc_at + 8:loc_at + 16],
+                                 "little")
+            if z64 + 56 > len(data) \
+                    or data[z64:z64 + 4] != b"PK\x06\x06":
+                raise UnsupportedFormat(
+                    "ZIP64 EOCD record out of reach")
+            # APPNOTE §4.3.14: total entries at +32, cd size at +40
+            n = int.from_bytes(data[z64 + 32:z64 + 40], "little")
+            cd = int.from_bytes(data[z64 + 40:z64 + 48], "little")
         return {"n_members": n, "central_dir_bytes": cd}
     except UnsupportedFormat:
         raise

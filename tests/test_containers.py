@@ -624,3 +624,128 @@ def test_avi_riff_boundary_is_8_plus_size():
     bad[4:8] = (12).to_bytes(4, "little")
     with pytest.raises(codecs.UnsupportedFormat):
         containers.avi_meta(bytes(bad))
+
+
+# ------------------------------------------------ ADVICE r14 closures
+
+def test_mp3_spurious_sync_refuses():
+    """A lone header-shaped 4 bytes inside junk must NOT lock the
+    scan: the header at pos+frame_size has to parse with matching
+    version/layer/rate (2-consecutive-frame validation, ADVICE r14).
+    Junk after a single valid-looking header fails that check."""
+    lone = bytes([0xFF, 0xFB, 0x90, 0x40])      # valid MPEG-1 L3 hdr
+    junk = bytes((i * 37 + 11) % 251 for i in range(2048))
+    # ensure the junk itself carries no accidental sync run
+    payload = junk[:512] + lone + junk[512:]
+    with pytest.raises(codecs.UnsupportedFormat):
+        containers.mp3_meta(payload)
+    # a real stream (consecutive identical frames) still parses
+    good = containers.make_mp3(6, xing=False)
+    assert containers.mp3_meta(good)["n_frames"] == 6
+    # a single truncated frame (stream ends before a second header
+    # could exist) is still accepted — nothing disproves it
+    one = containers.make_mp3(1, xing=False)
+    assert containers.mp3_meta(one)["rate"] == 44100
+
+
+def test_id3_shelled_flac_redispatches():
+    """An ID3v2 tag is a shell, not a codec: ID3+fLaC must sniff as
+    flac and parse via the FLAC walker, never lock onto a spurious
+    MPEG sync inside FLAC frames (ADVICE r14)."""
+    flac = containers.make_flac(80000, 8000, 1, 16)
+    size = 64
+    shell = (b"ID3\x04\x00\x00"
+             + bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                      (size >> 7) & 0x7F, size & 0x7F])
+             + b"\x00" * size)
+    shelled = shell + flac
+    assert codecs.sniff(shelled) == "flac"
+    m = containers.flac_meta(shelled)
+    assert (m["total_samples"], m["rate"]) == (80000, 8000)
+    with pytest.raises(codecs.UnsupportedFormat):
+        containers.mp3_meta(shelled)
+    # decode tier follows: flac-dims, not mp3-dims or stub
+    assert _decode_one(shelled, "audio") == (80000, 8000, 1,
+                                             "flac-dims")
+
+
+def test_pdf_page_token_needs_delimiter():
+    """'/Type /PageLabel' (a real PDF dict type) and any other
+    '/Type /Page<suffix>' name must not count as a page; delimiters
+    per ISO 32000-1 §7.2.2 do (ADVICE r14)."""
+    body = (b"%PDF-1.6\n"
+            b"1 0 obj << /Type /Page >> endobj\n"
+            b"2 0 obj << /Type /Page/Parent 3 0 R >> endobj\n"
+            b"3 0 obj << /Type /Pages /Count 2 >> endobj\n"
+            b"4 0 obj << /Type /PageLabel >> endobj\n"
+            b"5 0 obj << /Type /PageMode >> endobj\n")
+    m = containers.pdf_meta(body)
+    assert m["pages_est"] == 2
+    # a token ending at EOF still counts (delimiter-or-end)
+    assert containers.pdf_meta(b"%PDF-1.4 /Type /Page")["pages_est"] \
+        == 1
+
+
+def _zip64_fixture(n_members: int) -> bytes:
+    z64 = (b"PK\x06\x06" + (44).to_bytes(8, "little")
+           + (45).to_bytes(2, "little") + (45).to_bytes(2, "little")
+           + (0).to_bytes(4, "little") + (0).to_bytes(4, "little")
+           + n_members.to_bytes(8, "little")
+           + n_members.to_bytes(8, "little")
+           + (123456).to_bytes(8, "little")
+           + (0).to_bytes(8, "little"))
+    loc = (b"PK\x06\x07" + (0).to_bytes(4, "little")
+           + (0).to_bytes(8, "little")          # z64 record at 0
+           + (1).to_bytes(4, "little"))
+    eocd = (b"PK\x05\x06" + b"\x00" * 4
+            + (0xFFFF).to_bytes(2, "little")
+            + (0xFFFF).to_bytes(2, "little")
+            + (0xFFFFFFFF).to_bytes(4, "little")
+            + (0xFFFFFFFF).to_bytes(4, "little")
+            + (0).to_bytes(2, "little"))
+    return z64 + loc + eocd
+
+
+def test_zip64_sentinel_reads_real_counts():
+    """A ZIP64 archive stores 0xFFFF in the EOCD entry count; the
+    walker must follow the locator to the ZIP64 EOCD record instead
+    of reporting exactly 65535 members as data (ADVICE r14)."""
+    m = containers.zip_meta(_zip64_fixture(70000))
+    assert m["n_members"] == 70000
+    assert m["central_dir_bytes"] == 123456
+    # sentinel with NO locator refuses typed (stub tier), never 65535
+    bare = (b"PK\x05\x06" + b"\x00" * 4
+            + (0xFFFF).to_bytes(2, "little") * 2
+            + (0xFFFFFFFF).to_bytes(4, "little") * 2
+            + (0).to_bytes(2, "little"))
+    with pytest.raises(codecs.UnsupportedFormat):
+        containers.zip_meta(bare)
+    # classic small archives still read the 16-bit count verbatim
+    import io
+    import zipfile
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("a.txt", "x")
+        z.writestr("b.txt", "y")
+    assert containers.zip_meta(buf.getvalue())["n_members"] == 2
+
+
+def test_mp4_facts_override_claimed_modality():
+    """ISO-BMFF tier dispatch keys on the parsed moov/meta facts,
+    not the bridge's major-brand guess (ADVICE r14): an audio-only
+    'isom' MP4 claimed video attributes the audio convention
+    (ticks, timescale, n_audio), and a HEIF with an unlisted brand
+    claimed video attributes heif-dims with real ispe dims."""
+    m4a_isom = containers.make_mp4(5.0, 44100, audio=True,
+                                   brand=b"isom")
+    assert _decode_one(m4a_isom, "video") == (220500, 44100, 1,
+                                              "mp4-dims")
+    assert _decode_one(m4a_isom, "audio") == (220500, 44100, 1,
+                                              "mp4-dims")
+    heis = containers.make_heif(640, 480, brand=b"heis")
+    assert _decode_one(heis, "video") == (640, 480, 3, "heif-dims")
+    assert _decode_one(heis, "image") == (640, 480, 3, "heif-dims")
+    # a real video track still wins the video convention
+    vid = containers.make_mp4(10.0, 30, 640, 360, audio=True,
+                              n_frames=300)
+    assert _decode_one(vid, "audio") == (640, 360, 300, "mp4-dims")
