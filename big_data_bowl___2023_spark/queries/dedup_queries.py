@@ -212,16 +212,28 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 def _embedding_lsh_oracle() -> str:
     """The LSH pipeline restated in SQL: identical literal ±1 planes,
-    signature bits by projection sign, candidates = collision in ≥ 1
-    table, exact cosine verify. Deterministic end to end."""
+    signature bits by sign of the MEAN-CENTERED projection
+    (sign(u·s − μ·s), the shipped `center=True` default — one offs
+    row of per-plane offsets, VERDICT r14 #4), candidates = collision
+    in ≥ 1 table, exact cosine verify. The −1e-9 tie tolerance
+    mirrors the Spark kernel's. Deterministic end to end."""
     from ..dedup.embedding import make_tables
     planes = make_tables(_EMB_DIM, _EMB_TABLES, _EMB_PLANES)
+
+    def plane_lit(t: int, p: int) -> str:
+        return "[" + ", ".join(str(x) for x in planes[t][p]) + "]"
+
+    mu_cols = ", ".join(f"AVG(u[{d + 1}]) AS m{d}"
+                        for d in range(_EMB_DIM))
+    mu_list = "[" + ", ".join(f"m{d}" for d in range(_EMB_DIM)) + "]"
+    off_cols = ",\n                 ".join(
+        f"list_dot_product({mu_list}, {plane_lit(t, p)}) AS off_{t}_{p}"
+        for t in range(_EMB_TABLES) for p in range(_EMB_PLANES))
     sig_cols = []
     for t in range(_EMB_TABLES):
         bits = " || ".join(
-            "CASE WHEN list_dot_product(u, ["
-            + ", ".join(str(x) for x in planes[t][p])
-            + "]) >= 0 THEN '1' ELSE '0' END"
+            f"CASE WHEN list_dot_product(u, {plane_lit(t, p)})"
+            f" - off_{t}_{p} >= -1e-9 THEN '1' ELSE '0' END"
             for p in range(_EMB_PLANES))
         sig_cols.append(f"({bits}) AS sig_{t}")
     collide = " OR ".join(
@@ -233,9 +245,11 @@ def _embedding_lsh_oracle() -> str:
                      list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
                          AS u
               FROM v),
+        mu AS (SELECT {mu_cols} FROM n),
+        offs AS (SELECT {off_cols} FROM mu),
         sig AS (SELECT vec_id, u,
                  {sig_select}
-                FROM n)
+                FROM n CROSS JOIN offs)
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                ROUND(list_dot_product(a.u, b.u), 6) AS cosine
         FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND ({collide})
@@ -255,11 +269,14 @@ def dedup_embedding_lsh_verified(spark, sf_dir):
     width ~32), one signature-keyed self-join for candidates, exact
     fold verification. Precision 1.0 by construction; recall vs the
     exact kernel is asserted in pytest. Candidate volume scales
-    ~n·bucket, not n²."""
+    ~n·bucket, not n². Runs the shipped ``center=True`` default —
+    the r14 mean-centering that fixes positive-orthant recall — so
+    the oracle hash covers the production signature path, not an
+    uncentered special case (VERDICT r14 #4)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return dd.cosine_near_dup_pairs_lsh(
         emb, COSINE_THRESHOLD, dim=_EMB_DIM, n_tables=_EMB_TABLES,
-        target_bucket=_EMB_BUCKET)
+        target_bucket=_EMB_BUCKET, center=True)
 
 
 @query(
