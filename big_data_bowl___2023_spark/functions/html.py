@@ -1,0 +1,153 @@
+"""HTML → training-text extraction — map-side, codegen, zero shuffle.
+
+The curation chain (pipelines/curation.py) assumes plain-text
+``documents``, but the corpora the LLM-pipeline operators target are
+web crawls: C4 (Raffel et al. 2020 §2.1), Gopher/MassiveWeb (Rae et
+al. 2021 §A.1.1) and RefinedWeb (Penedo et al. 2023 §3.1) all operate
+AFTER an extraction step that strips markup and boilerplate. This
+module is that step, built as two composable passes:
+
+1. `strip_tags` — drop comments and `<script>/<style>/<noscript>/
+   <template>` elements WITH their content, turn block-element
+   boundaries (`</p>`, `<br>`, `</li>`, ...) into newlines so the
+   document's visual line structure survives tag removal, strip every
+   remaining tag, decode the common character entities, and normalize
+   whitespace. Pure `regexp_replace`/`replace` chains — one
+   whole-stage-codegen projection, no UDF, no shuffle.
+
+2. `boilerplate_line_filter` — the C4 §2.1 line rules over the
+   extracted lines: keep only lines with ≥ ``min_words`` words that
+   end in terminal punctuation, and drop any line mentioning
+   "javascript" (case-insensitive), containing a curly brace (leaked
+   code/CSS), or containing "lorem ipsum". `split` → higher-order
+   `filter` → `array_join`, still one codegen projection.
+
+`extract_html_text` composes the two. Every regex is written to the
+RE2-compatible subset (no backreferences, no lookaround) so the exact
+chain restates in DuckDB for the driver oracle.
+
+Reference scope note: the reference analysis
+(paulg66/Big-Data-Bowl---2023) has no web-text stage — this is a
+first-class engine extension for the 100 TB curation target
+(VERDICT r14 task #2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# elements whose CONTENT is invisible text (scripts, styles, inert
+# templates) — removed wholesale; separate patterns per tag because
+# a backreference alternation would not restate in RE2/DuckDB
+CONTENT_STRIP_TAGS = ("script", "style", "noscript", "template")
+
+# closing (or void) tags that end a visual block — each becomes a
+# newline so the line-level boilerplate rules see real lines
+BLOCK_BREAK_RE = (
+    r"(?i)</(p|div|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|table|section|"
+    r"article|blockquote|header|footer|nav|pre|dd|dt)\s*>"
+    r"|(?i)<(br|hr)\s*/?\s*>")
+
+# decode order matters: &amp; LAST, so "&amp;lt;" yields the literal
+# text "&lt;" instead of double-decoding to "<"
+HTML_ENTITIES = (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                 ("&quot;", "\""), ("&#39;", "'"), ("&apos;", "'"),
+                 ("&amp;", "&"))
+
+# C4 §2.1: "only retained lines that ended in a terminal punctuation
+# mark" — period/!/? optionally followed by a closing quote
+TERMINAL_PUNCT_RE = "[.!?][\"']?$"
+
+DEFAULT_MIN_WORDS = 3          # C4 §2.1's per-line word floor
+
+
+def strip_tags(col: Column) -> Column:
+    """Markup removal as one codegen chain (see module docstring):
+    comments → content-strip elements → block breaks to ``\\n`` →
+    remaining tags to spaces → entity decode → whitespace normalize
+    (runs of spaces/tabs collapse, line edges trim, blank lines
+    drop, outer whitespace trims)."""
+    c = F.regexp_replace(col, r"(?s)<!--.*?-->", " ")
+    for tag in CONTENT_STRIP_TAGS:
+        c = F.regexp_replace(
+            c, rf"(?is)<{tag}\b[^>]*>.*?</{tag}\s*>", " ")
+    c = F.regexp_replace(c, BLOCK_BREAK_RE, "\n")
+    # remaining tags become SPACES, not empty strings: adjacent cell/
+    # inline text ("Home</td><td>About") must not fuse into one word
+    c = F.regexp_replace(c, r"<[^>]*>", " ")
+    for ent, rep in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    c = F.regexp_replace(c, r"[ \t\f\r]+", " ")
+    c = F.regexp_replace(c, r"(?m)^ +| +$", "")
+    c = F.regexp_replace(c, r"\n+", "\n")
+    return F.regexp_replace(c, r"^\n|\n$", "")
+
+
+def line_keep_predicate(line: Column,
+                        min_words: int = DEFAULT_MIN_WORDS) -> Column:
+    """The C4 §2.1 keep-rule for one extracted line. Lines arrive
+    space-normalized from `strip_tags`, so the word count is an exact
+    single-space split."""
+    t = F.trim(line)
+    low = F.lower(t)
+    return ((t != F.lit(""))
+            & (F.size(F.split(t, " ")) >= F.lit(min_words))
+            & t.rlike(TERMINAL_PUNCT_RE)
+            & ~low.contains("javascript")
+            & ~t.contains("{") & ~t.contains("}")
+            & ~low.contains("lorem ipsum"))
+
+
+def boilerplate_line_filter(col: Column,
+                            min_words: int = DEFAULT_MIN_WORDS) -> Column:
+    """Drop boilerplate lines from extracted text: split on newlines,
+    keep lines passing `line_keep_predicate`, re-join. Higher-order
+    `filter` over the line array — still a single projection, no
+    explode, no shuffle."""
+    lines = F.split(col, "\n")
+    kept = F.filter(lines, lambda x: line_keep_predicate(x, min_words))
+    return F.array_join(kept, "\n")
+
+
+def extract_html_text(col: Column,
+                      min_words: int = DEFAULT_MIN_WORDS) -> Column:
+    """Full extraction: `strip_tags` then `boilerplate_line_filter`.
+    The 100 TB shape: one narrow map-side projection per document —
+    Catalyst fuses both passes into the same WholeStageCodegen span
+    as any downstream quality/dedup expressions, so extraction adds
+    ZERO jobs, stages, or shuffles to a curation run."""
+    return boilerplate_line_filter(strip_tags(col), min_words)
+
+
+def oracle_sql_expr(text_expr: str,
+                    min_words: int = DEFAULT_MIN_WORDS) -> str:
+    """The identical chain restated for DuckDB (driver oracle).
+    Kept adjacent to the Spark chain so the two are reviewed as one
+    unit; every construct is RE2-safe by construction."""
+    c = f"regexp_replace({text_expr}, '(?s)<!--.*?-->', ' ', 'g')"
+    for tag in CONTENT_STRIP_TAGS:
+        c = (f"regexp_replace({c}, '(?is)<{tag}\\b[^>]*>.*?"
+             f"</{tag}\\s*>', ' ', 'g')")
+    block = BLOCK_BREAK_RE.replace("'", "''")
+    c = f"regexp_replace({c}, '{block}', chr(10), 'g')"
+    c = f"regexp_replace({c}, '<[^>]*>', ' ', 'g')"
+    for ent, rep in HTML_ENTITIES:
+        lit = rep.replace("'", "''")
+        c = f"replace({c}, '{ent}', '{lit}')"
+    c = f"regexp_replace({c}, '[ \\t\\f\\r]+', ' ', 'g')"
+    c = f"regexp_replace({c}, '(?m)^ +| +$', '', 'g')"
+    c = f"regexp_replace({c}, '{chr(0x5C)}n+', chr(10), 'g')"
+    c = f"regexp_replace({c}, '^{chr(0x5C)}n|{chr(0x5C)}n$', '', 'g')"
+    term = TERMINAL_PUNCT_RE.replace("'", "''")
+    keep = (f"x -> len(trim(x)) > 0"
+            f" AND len(string_split(trim(x), ' ')) >= {min_words}"
+            f" AND regexp_matches(trim(x), '{term}')"
+            f" AND NOT contains(lower(trim(x)), 'javascript')"
+            f" AND NOT contains(trim(x), '{{')"
+            f" AND NOT contains(trim(x), '}}')"
+            f" AND NOT contains(lower(trim(x)), 'lorem ipsum')")
+    # COALESCE: DuckDB's array_to_string([]) is NULL where Spark's
+    # array_join([]) is '' — an all-boilerplate page must agree
+    return (f"COALESCE(array_to_string(list_filter("
+            f"string_split({c}, chr(10)), {keep}), chr(10)), '')")

@@ -63,6 +63,7 @@ def curation_frame(docs: DataFrame,
                    quality_model=None,
                    quality_model_threshold: float = 0.5,
                    max_docs_per_source: int | None = None,
+                   html_input: bool = False,
                    stage_hook=None) -> DataFrame:
     """Build the full curation chain LAZILY and return the packed
     frame (one row per training chunk with its (source, shard)
@@ -89,6 +90,16 @@ def curation_frame(docs: DataFrame,
         return r, frame
 
     input_n, docs = hook("input", docs)
+
+    if html_input:
+        # web-crawl front door (C4 §2.1 / RefinedWeb §3.1): markup +
+        # boilerplate-line extraction BEFORE any quality/dedup stage,
+        # so every downstream rule sees prose, not tag soup. A pure
+        # projection — Catalyst fuses it into the gopher_filter scan,
+        # adding zero jobs or shuffles (functions/html.py).
+        from ..functions.html import extract_html_text
+        docs = docs.withColumn("text", extract_html_text(F.col("text")))
+        _, docs = hook("after_html_extract", docs)
 
     quality = gopher_filter(docs, min_words=min_words)
     _, quality = hook("after_quality", quality)

@@ -400,14 +400,19 @@ def o5_ranking(spark, sf_dir):
 
 # ------------------------------------------------------------- set ops
 
-@query(
-    "u2_except",
-    f"""{EVENTS_CTE}
+# Registry curation (round 15): u2_except demoted from the 50-slot
+# driver registry to free a slot for the HTML→text extraction query
+# (t_html_extract, VERDICT r14 #2) — U2's driver coverage continues
+# via j7_anti_join (the anti-difference face of the same component),
+# and the EXCEPT-DISTINCT path keeps full DuckDB oracle parity in
+# tests/test_demoted_ops.py via this module's U2_ORACLE.
+U2_ORACLE = f"""{EVENTS_CTE}
         SELECT DISTINCT user_id FROM ev WHERE event_type = 'purchase'
         EXCEPT
         SELECT DISTINCT user_id FROM ev
-        WHERE event_type = 'error' AND value > 300.0""",
-)
+        WHERE event_type = 'error' AND value > 300.0"""
+
+
 def u2_except(spark, sf_dir):
     """U2 (engine set surface): EXCEPT DISTINCT — purchasers with no
     high-value error. The reference only has key-wise anti_join

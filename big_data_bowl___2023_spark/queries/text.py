@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions import html as Hx
 from ..functions import text as Tx
 from ..registry import query
 from ._util import load_table
@@ -132,3 +133,57 @@ def t_lang_distribution(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum(F.when(F.col("s_en") > 0, 1).otherwise(0))
                   .alias("n_en_markers")))
+
+
+# ---------------------------------------------- HTML → text (round 15)
+
+# Deterministic crawl-page envelope wrapped around each document's
+# text so the extraction query exercises every rule on REAL corpus
+# rows (the testdata documents are plain text): invisible script/
+# style content, a comment, nav/header boilerplate (no terminal
+# punctuation), a "javascript" line, a too-short list item, a kept
+# list item, leaked code with braces, and an entity line including
+# the &amp;lt; double-decode trap. Shared verbatim by the Spark query
+# and the DuckDB oracle; no single quotes so it embeds in a SQL
+# literal unchanged.
+_HTML_PRE = (
+    '<html><head><title>Doc</title>'
+    '<style>body { color: #fff; }</style>'
+    '<script type="text/javascript">var x = 1;</script></head>'
+    '<body><!-- header --><div class="nav">Home | About | Contact</div>'
+    '<h1>Tiny header</h1><p>')
+_HTML_POST = (
+    '.</p><p>Enable javascript to view this page properly.</p>'
+    '<ul><li>One.</li><li>Item two ok.</li></ul>'
+    '<p>function f() { return 1; }.</p>'
+    '<p>R&amp;D &amp;lt;tags&amp;gt; stay literal in this line.</p>'
+    '</body></html>')
+
+
+@query(
+    "t_html_extract",
+    f"""WITH ex AS (
+          SELECT doc_id,
+                 {Hx.oracle_sql_expr(
+                     f"'{_HTML_PRE}' || text || '{_HTML_POST}'")}
+                     AS extracted_text
+          FROM documents)
+        SELECT doc_id, extracted_text,
+               len(string_split(extracted_text, chr(10))) AS n_lines
+        FROM ex""",
+)
+def t_html_extract(spark, sf_dir):
+    """HTML → training-text extraction (functions/html.py): tag/
+    script/style strip + C4 §2.1 boilerplate line rules, end to end
+    over a synthesized crawl page per document. One codegen
+    projection — no UDF, no explode, no shuffle; the oracle restates
+    the identical RE2-safe chain in DuckDB, so the hash pins both
+    the markup strip and every line rule."""
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(F.lit(_HTML_PRE), F.col("text"),
+                    F.lit(_HTML_POST))
+    extracted = Hx.extract_html_text(html)
+    return (docs.select("doc_id", extracted.alias("extracted_text"))
+            .withColumn("n_lines",
+                        F.size(F.split(F.col("extracted_text"),
+                                       "\n"))))

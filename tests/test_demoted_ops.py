@@ -220,3 +220,23 @@ def test_t_lang_distribution_matches_duckdb(spark, sf_dir):
                 f"'{sf_dir}/documents.parquet'")
     ref = set(map(tuple, con.execute(T_LANG_ORACLE).fetchall()))
     assert got == ref
+
+
+def test_u2_except_matches_duckdb(spark, sf_dir):
+    """u2_except was demoted from the driver registry in round 15 to
+    free a slot for t_html_extract (U2/A9 stay driver-checked via
+    j7_anti_join and the dedup distinct paths); its exact EXCEPT
+    DISTINCT oracle parity is kept here."""
+    import duckdb
+
+    from big_data_bowl___2023_spark.queries.relational import (
+        U2_ORACLE,
+        u2_except,
+    )
+
+    got = {tuple(r) for r in u2_except(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_dir}/events.parquet'")
+    ref = set(map(tuple, con.execute(U2_ORACLE).fetchall()))
+    assert got == ref

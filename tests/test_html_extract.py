@@ -1,0 +1,169 @@
+"""HTML → text extraction (functions/html.py): hand-built fixtures
+for the markup strip and every C4 §2.1 line rule, DuckDB parity of
+the restated oracle chain, the opt-in curation stage, and the
+zero-Exchange plan claim (VERDICT r14 task #2).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_bowl___2023_spark.functions import html as Hx
+
+
+def _extract(spark, payloads: list[str],
+             min_words: int = Hx.DEFAULT_MIN_WORDS) -> list[str]:
+    df = spark.createDataFrame([(i, p) for i, p in enumerate(payloads)],
+                               "i int, html string")
+    rows = (df.select("i", Hx.extract_html_text(
+        F.col("html"), min_words).alias("t"))
+            .orderBy("i").collect())
+    return [r["t"] for r in rows]
+
+
+def test_script_style_comments_stripped_with_content(spark):
+    html = ("<html><head><style>p { margin: 0; }</style>"
+            "<script>if (a < b) { alert('x'); }</script>"
+            "<noscript>Turn it on.</noscript></head>"
+            "<body><!-- secret note with many words here. -->"
+            "<p>Real content stays right here.</p></body></html>")
+    [out] = _extract(spark, [html])
+    assert out == "Real content stays right here."
+
+
+def test_block_structure_becomes_lines(spark):
+    html = ("<div>First block line survives intact.</div>"
+            "<p>Second block line also survives.</p>"
+            "Inline <b>bold</b> and <i>italic</i> join the tail line.")
+    [out] = _extract(spark, [html])
+    assert out.split("\n") == [
+        "First block line survives intact.",
+        "Second block line also survives.",
+        "Inline bold and italic join the tail line.",
+    ]
+
+
+def test_entities_decode_after_tag_strip(spark):
+    # &lt;em&gt; must survive as literal text "<em>", never be
+    # stripped as a tag; &amp;lt; must decode ONCE to "&lt;"
+    html = ("<p>Use &lt;em&gt; tags &amp; write &amp;lt; for less-than"
+            " &quot;properly&quot; I&#39;d say.</p>")
+    [out] = _extract(spark, [html])
+    assert out == ("Use <em> tags & write &lt; for less-than"
+                   " \"properly\" I'd say.")
+
+
+def test_c4_line_rules(spark):
+    html = ("<p>Home | About | Contact</p>"            # no terminal .
+            "<p>Too short.</p>"                        # < 3 words
+            "<p>Enable javascript to continue reading.</p>"
+            "<p>var f = function() { return; }.</p>"   # braces
+            "<p>Lorem ipsum dolor sit amet filler.</p>"
+            "<p>This sentence is boilerplate-free and kept.</p>"
+            "<p>Is this kept too?</p>"
+            '<p>"A quoted ending works."</p>')
+    [out] = _extract(spark, [html])
+    assert out.split("\n") == [
+        "This sentence is boilerplate-free and kept.",
+        "Is this kept too?",
+        '"A quoted ending works."',
+    ]
+
+
+def test_min_words_knob(spark):
+    html = "<p>Four words right here.</p><p>Only three here.</p>"
+    [strict] = _extract(spark, [html], min_words=4)
+    assert strict == "Four words right here."
+    [loose] = _extract(spark, [html], min_words=3)
+    assert loose.split("\n") == ["Four words right here.",
+                                 "Only three here."]
+
+
+def test_everything_boilerplate_yields_empty(spark):
+    [out] = _extract(spark, ["<nav>Home</nav><footer>(c) 2026</footer>"])
+    assert out == ""
+
+
+def test_oracle_chain_parity(spark):
+    """The DuckDB restatement (oracle_sql_expr) is the SAME function:
+    byte-identical output on fixtures exercising every rule."""
+    fixtures = [
+        "<html><head><style>a { b }</style><script>x<y</script></head>"
+        "<body><!-- c --><p>Alpha beta gamma delta.</p></body></html>",
+        "<div>Keep this full sentence line.</div><p>Home | Nav</p>"
+        "<p>Enable javascript now please.</p><p>code { x }.</p>",
+        "<p>R&amp;D &amp;lt;keeps&amp;gt; &quot;entity&#39;s&quot;"
+        " rules intact.</p>",
+        "<ul><li>One.</li><li>Item two fine here.</li></ul>"
+        "<table><tr><td>Cell a</td><td>cell b joined stays.</td></tr>"
+        "</table>",
+        "plain text with no markup at all ends here.",
+        "",
+    ]
+    df = spark.createDataFrame([(i, p) for i, p in enumerate(fixtures)],
+                               "i int, html string")
+    got = [r["t"] for r in df.select(
+        "i", Hx.extract_html_text(F.col("html")).alias("t"))
+        .orderBy("i").collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fx (i INT, html VARCHAR)")
+    con.executemany("INSERT INTO fx VALUES (?, ?)",
+                    list(enumerate(fixtures)))
+    ref = [r[0] for r in con.execute(
+        f"SELECT {Hx.oracle_sql_expr('html')} FROM fx ORDER BY i")
+        .fetchall()]
+    assert got == ref
+
+
+def test_curation_html_stage(spark):
+    """html_input=True cleans tag soup before the quality gate: a
+    crawl page whose prose passes gopher once extracted survives,
+    and the stage boundary fires for the audit hook."""
+    from big_data_bowl___2023_spark.pipelines.curation import (
+        curation_frame,
+    )
+    prose = ("the quick brown fox jumps over the lazy dog and then "
+             "keeps running through the field with more and more "
+             "words because the gopher gate wants real length. ") * 4
+    page = ("<html><head><script>var nav = {};</script></head><body>"
+            "<div>Home | About</div><p>" + prose.strip() + "</p>"
+            "</body></html>")
+    docs = spark.createDataFrame(
+        [(1, page, "web"), (2, "<p>Too short.</p>", "web")],
+        "doc_id long, text string, source string")
+    seen = []
+    out = curation_frame(docs, min_words=20, seq_len=64,
+                         html_input=True,
+                         stage_hook=lambda k, f: seen.append(k))
+    rows = out.collect()
+    assert "after_html_extract" in seen
+    assert {r["doc_id"] for r in rows} == {1}
+    # no tag soup reaches the packed chunks
+    joined = " ".join(r["text"] if "text" in r else "" for r in rows)
+    assert "<" not in joined and "script" not in joined
+
+
+def test_extraction_plan_is_shuffle_free(spark):
+    """The 100 TB claim: extraction is ONE codegen projection — the
+    physical plan for scan→extract carries no Exchange and no
+    Python UDF eval node."""
+    df = spark.range(8).select(
+        F.concat(F.lit("<p>row "), F.col("id"),
+                 F.lit(" body text here.</p>")).alias("html"))
+    plan = (df.select(Hx.extract_html_text(F.col("html")).alias("t"))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+@pytest.mark.parametrize("payload", [
+    "<p>unterminated <b tag soup",
+    "<<<>>><p></p>",
+    "&amp;&amp;lt;&bogus; &#39;",
+    "<script>never closed",
+])
+def test_malformed_markup_never_raises(spark, payload):
+    [out] = _extract(spark, [payload])
+    assert isinstance(out, str)
