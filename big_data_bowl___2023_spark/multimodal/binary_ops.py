@@ -698,3 +698,72 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64,
 
     return (media.select("media_id", "data")
             .mapInPandas(sample, FRAME_SCHEMA))
+
+
+DOC_TEXT_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("tier", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("n_chars", T.IntegerType()),
+    T.StructField("n_streams", T.IntegerType()),
+    T.StructField("n_skipped", T.IntegerType()),
+])
+
+
+def _document_text_one(data: bytes) -> tuple[str, str, int, int]:
+    """Per-record document-text dispatch: PDF content-stream
+    extraction (containers.pdf_text — Tj/TJ walk over raw and
+    FlateDecode streams), with the honest-tier labels: ``pdf-text``
+    (some text), ``pdf-text-empty`` (valid PDF, no extractable
+    show-text — scanned/image-only or all-exotic filters),
+    ``pdf-text-refused`` (encrypted/malformed), ``not-document``
+    (payload is not a PDF at all)."""
+    if codecs.sniff(data) != "pdf":
+        return "not-document", "", 0, 0
+    try:
+        m = containers.pdf_text(data)
+    except codecs.UnsupportedFormat:
+        return "pdf-text-refused", "", 0, 0
+    tier = "pdf-text" if m["text"] else "pdf-text-empty"
+    return tier, m["text"], m["n_streams"], m["n_skipped"]
+
+
+def extract_document_text(media: DataFrame) -> DataFrame:
+    """Arrow-batched document-text pass (VERDICT r14 #3): the
+    document analogue of `decode_media` — (media_id, data) →
+    (tier, text, stream counts). Same 100 TB shape as the other
+    four media passes: ONE mapInPandas over the pruned payload
+    column, zero shuffle, blobs never leave their input partition;
+    the output rows are text + scalars (KB-scale), so everything
+    downstream (dedup, curation, profiling) joins on media_id
+    without ever touching the binary again."""
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [_document_text_one(bytes(d)) for d in pdf["data"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "tier": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "n_chars": [len(r[1]) for r in rows],
+                "n_streams": [r[2] for r in rows],
+                "n_skipped": [r[3] for r in rows],
+            })
+
+    return (media.select("media_id", "data")
+            .mapInPandas(extract, DOC_TEXT_SCHEMA))
+
+
+def document_text_profile(media: DataFrame) -> DataFrame:
+    """Data-card rollup for the document-text tier — the pdf_text
+    companion to `media_profile`: per-tier record counts, extracted
+    characters, and skipped-stream totals, so a corpus card states
+    exactly how much of a document bucket yielded text, how much
+    refused (encrypted), and how much was image-only. Aggregates the
+    KB-scale extraction rows — bucket-cardinality output."""
+    ext = extract_document_text(media)
+    return (ext.groupBy("tier")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.sum("n_streams").alias("total_streams"),
+                 F.sum("n_skipped").alias("total_skipped"))
+            .orderBy(F.desc("n_docs"), "tier"))

@@ -1040,3 +1040,286 @@ def tar_meta(data: bytes) -> dict:
     except Exception as exc:
         raise UnsupportedFormat(f"malformed tar archive: {exc}") \
             from exc
+
+
+# ------------------------------------------------- PDF text extraction
+
+PDF_MAX_STREAMS = 512         # stream objects walked per document
+PDF_MAX_TEXT = 1 << 20        # extracted-text character cap
+PDF_TJ_SPACE = -180           # TJ kerning (thousandths of em) that
+                              # reads as a word gap, like real
+                              # extractors' default
+
+
+def _pdf_literal(buf: bytes, i: int) -> tuple[str, int]:
+    """Parse the literal string starting at ``buf[i] == '('``
+    (ISO 32000-1 §7.3.4.2): balanced unescaped parens, \\n \\r \\t
+    \\b \\f \\( \\) \\\\ escapes, 1-3 digit octal escapes, and
+    backslash-EOL line continuations. Returns (text, next_index);
+    bytes decode as Latin-1 (the simple-font tier — see pdf_text)."""
+    out = bytearray()
+    depth, i = 1, i + 1
+    n = len(buf)
+    while i < n and depth > 0:
+        c = buf[i]
+        if c == 0x5C:                      # backslash
+            i += 1
+            if i >= n:
+                break
+            e = buf[i]
+            if e in b"nrtbf":
+                out += {0x6E: b"\n", 0x72: b"\r", 0x74: b"\t",
+                        0x62: b"\b", 0x66: b"\f"}[e]
+                i += 1
+            elif e in b"()\\":
+                out.append(e)
+                i += 1
+            elif 0x30 <= e <= 0x37:        # octal, up to 3 digits
+                oct_d, k = 0, 0
+                while k < 3 and i < n and 0x30 <= buf[i] <= 0x37:
+                    oct_d = oct_d * 8 + (buf[i] - 0x30)
+                    i += 1
+                    k += 1
+                out.append(oct_d & 0xFF)
+            elif e in b"\r\n":             # line continuation
+                i += 1
+                if e == 0x0D and i < n and buf[i] == 0x0A:
+                    i += 1
+            else:                          # §7.3.4.2: ignore the \
+                out.append(e)
+                i += 1
+            continue
+        if c == 0x28:
+            depth += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                i += 1
+                break
+        out.append(c)
+        i += 1
+    return out.decode("latin-1"), i
+
+
+def _pdf_hex_string(buf: bytes, i: int) -> tuple[str, int]:
+    """Parse the hex string at ``buf[i] == '<'`` (§7.3.4.3); an odd
+    final digit is padded with 0 per spec."""
+    j = buf.find(b">", i + 1)
+    if j < 0:
+        return "", len(buf)
+    digits = bytes(ch for ch in buf[i + 1:j]
+                   if ch in b"0123456789abcdefABCDEF")
+    if len(digits) % 2:
+        digits += b"0"
+    return bytes.fromhex(digits.decode("ascii")).decode("latin-1"), \
+        j + 1
+
+
+def _pdf_stream_text(buf: bytes, parts: list) -> None:
+    """Scan ONE decoded content stream for show-text operators
+    (§9.4.3: Tj, ', \", TJ) and line-move operators (Td/TD/T*, and
+    ET as a block break → newline markers). A tiny operand-stack
+    walk — strings and arrays are tracked, every other token is
+    skipped — so malformed streams degrade to fewer strings, never
+    an exception."""
+    i, n = 0, len(buf)
+    last: str | None = None
+    arr: list | None = None
+    while i < n:
+        c = buf[i]
+        if c == 0x28:                                  # ( literal
+            s, i = _pdf_literal(buf, i)
+            if arr is not None:
+                arr.append(s)
+            else:
+                last = s
+            continue
+        if c == 0x3C:
+            if buf[i + 1:i + 2] == b"<":               # << dict
+                i += 2
+                continue
+            s, i = _pdf_hex_string(buf, i)             # < hex
+            if arr is not None:
+                arr.append(s)
+            else:
+                last = s
+            continue
+        if c == 0x5B:                                  # [ array
+            arr = []
+            i += 1
+            continue
+        if c == 0x5D:                                  # ] end array
+            i += 1
+            continue
+        if c == 0x25:                                  # % comment
+            j = buf.find(b"\n", i)
+            i = n if j < 0 else j + 1
+            continue
+        if (arr is not None
+                and (0x30 <= c <= 0x39 or c in b"+-.")):
+            j = i + 1                                  # TJ kerning
+            while j < n and (0x30 <= buf[j] <= 0x39
+                             or buf[j] in b"+-.eE"):
+                j += 1
+            try:
+                if float(buf[i:j]) <= PDF_TJ_SPACE:
+                    arr.append(" ")
+            except ValueError:
+                pass
+            i = j
+            continue
+        if (0x41 <= c <= 0x5A or 0x61 <= c <= 0x7A
+                or c in b"'\"*"):                      # operator
+            j = i + 1
+            while j < n and (0x41 <= buf[j] <= 0x5A
+                             or 0x61 <= buf[j] <= 0x7A
+                             or buf[j] in b"'\"*0-9"):
+                j += 1
+            op = buf[i:j]
+            if op == b"Tj" and last is not None:
+                parts.append(last)
+            elif op in (b"'", b'"') and last is not None:
+                parts.append("\n")
+                parts.append(last)
+            elif op == b"TJ" and arr is not None:
+                parts.append("".join(arr))
+            elif op in (b"Td", b"TD", b"T*", b"ET"):
+                parts.append("\n")
+            if op == b"TJ":
+                arr = None
+            if op in (b"Tj", b"'", b'"'):
+                last = None
+            i = j
+            continue
+        i += 1
+
+
+def pdf_text(data: bytes) -> dict:
+    """Text extraction from PDF content streams — the document tier
+    above `pdf_meta` (version/pages): walks every ``stream`` object,
+    inflates FlateDecode bodies (zlib) or takes unfiltered bodies
+    verbatim, and reads the show-text operators (Tj/'/\"/TJ — ISO
+    32000-1 §9.4.3) with Td/TD/T*/ET as line breaks. Returns
+    ``text``, ``n_streams`` (decoded), ``n_skipped`` (undecodable —
+    other filters, broken zlib, or past the walk cap).
+
+    Honest-tier contract (same stance as the codec family):
+    * ``/Encrypt`` in the trailer → typed `UnsupportedFormat`
+      (strings are RC4/AES-encrypted; silent garbage is worse
+      than a refusal).
+    * Exotic filters (DCT/LZW/JBIG2/Crypt/filter ARRAYS) are
+      skipped and COUNTED, never guessed at.
+    * String bytes decode as Latin-1 — exact for Standard/WinAnsi
+      simple fonts, garbage-in-garbage-out for CID/Type0 subsets
+      (a font-table parse is out of pure-python scope; callers see
+      the skip/stream counts and can gate on them)."""
+    try:
+        if data[:5] != b"%PDF-":
+            raise UnsupportedFormat("not a PDF payload")
+        if b"/Encrypt" in data:
+            raise UnsupportedFormat(
+                "encrypted PDF — strings are not extractable")
+        parts: list[str] = []
+        n_streams = n_skipped = 0
+        pos = 0
+        while n_streams + n_skipped < PDF_MAX_STREAMS:
+            at = data.find(b"stream", pos)
+            if at < 0:
+                break
+            head = data[max(0, at - 512):at]
+            if head.rstrip()[-9:] == b"endstream".rstrip() \
+                    and not head.rstrip().endswith(b">>"):
+                pos = at + 6
+                continue
+            body_at = at + 6
+            if data[body_at:body_at + 2] == b"\r\n":
+                body_at += 2
+            elif data[body_at:body_at + 1] in (b"\n", b"\r"):
+                body_at += 1
+            end = data.find(b"endstream", body_at)
+            if end < 0:
+                break
+            body = data[body_at:end]
+            pos = end + 9
+            filt = None
+            f_at = head.rfind(b"/Filter")
+            if f_at >= 0:
+                filt = head[f_at + 7:f_at + 64].strip()
+            if filt is None:
+                decoded = body
+            elif filt.startswith(b"/FlateDecode"):
+                import zlib
+                try:
+                    decoded = zlib.decompress(body)
+                except Exception:
+                    n_skipped += 1
+                    continue
+            else:                       # arrays / exotic filters
+                n_skipped += 1
+                continue
+            if b"BT" not in decoded and b"Tj" not in decoded \
+                    and b"TJ" not in decoded:
+                continue                # image/xref stream, no text
+            n_streams += 1
+            _pdf_stream_text(decoded, parts)
+            if sum(len(p) for p in parts) > PDF_MAX_TEXT:
+                break
+        import re as _re
+        text = "".join(parts)[:PDF_MAX_TEXT]
+        text = _re.sub(r"[ \t]*\n[ \t]*", "\n", text)
+        text = _re.sub(r"\n{2,}", "\n", text).strip("\n")
+        return {"text": text, "n_streams": n_streams,
+                "n_skipped": n_skipped}
+    except UnsupportedFormat:
+        raise
+    except Exception as exc:
+        raise UnsupportedFormat(f"malformed PDF payload: {exc}") \
+            from exc
+
+
+def make_pdf(pages: list[str], compress: bool = False,
+             encrypted: bool = False, exotic_filter: bool = False) \
+        -> bytes:
+    """Minimal valid PDF: catalog → page tree → one page + one
+    content stream per entry, each showing its text via Tj/TJ.
+    ``compress`` emits FlateDecode streams (zlib), ``encrypted``
+    plants an /Encrypt trailer entry, ``exotic_filter`` tags the
+    streams /DCTDecode — the three tiers pdf_text distinguishes."""
+    import zlib
+    objs: list[bytes] = []
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(len(pages)))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(f"<< /Type /Pages /Kids [{kids}] "
+                f"/Count {len(pages)} >>".encode())
+    for i, text in enumerate(pages):
+        objs.append(f"<< /Type /Page /Parent 2 0 R "
+                    f"/Contents {4 + 2 * i} 0 R >>".encode())
+        safe = (text.replace("\\", r"\\").replace("(", r"\(")
+                .replace(")", r"\)"))
+        stream = (f"BT /F1 12 Tf 72 720 Td ({safe}) Tj ET"
+                  .encode("latin-1"))
+        if compress or exotic_filter:
+            body = zlib.compress(stream) if compress else stream
+            name = "/FlateDecode" if compress else "/DCTDecode"
+            objs.append(f"<< /Length {len(body)} /Filter {name} >>"
+                        .encode() + b"\nstream\n" + body
+                        + b"\nendstream")
+        else:
+            objs.append(f"<< /Length {len(stream)} >>".encode()
+                        + b"\nstream\n" + stream + b"\nendstream")
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for k, payload in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{k} 0 obj\n".encode() + payload + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    trailer = f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R"
+    if encrypted:
+        trailer += " /Encrypt 9 0 R"
+    out += (trailer + " >>\n").encode()
+    out += f"startxref\n{xref_at}\n%%EOF\n".encode()
+    return bytes(out)
