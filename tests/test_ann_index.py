@@ -365,3 +365,49 @@ def test_quantized_payoff_warning(spark, sf_dir, tmp_path,
         w.simplefilter("always")
         ann_index_search_quantized(spark, idx, queries, 3).count()
     assert not [r for r in rec if "payoff" in str(r.message)]
+
+
+def test_marker_snapshot_cache_invalidates_on_append(
+        spark, sf_dir, tmp_path, monkeypatch):
+    """VERDICT r14 #8: the over-cap marker-snapshot cache
+    (_MARKER_SNAP_CACHE, keyed by filesystem signature) must refresh
+    when append_to_index un-deletes an id between searches — the r12
+    cache was only ever measured on a static marker dir. Cap forced
+    to 4 so a handful of markers exercises the checkpoint mode."""
+    from big_data_bowl___2023_spark.similarity import (
+        delete_from_index,
+    )
+    from big_data_bowl___2023_spark.similarity import index as ix
+
+    monkeypatch.setattr(ix, "DELETE_MARKER_VALUES_CAP", 4)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    idx = str(tmp_path / "idx")
+    build_ann_index(emb, idx)
+    base = _topk_rows(ann_index_search(spark, idx, queries, 5))
+    victims = sorted({nid for _, nid, _, _ in base})[:6]
+    assert len(victims) == 6
+
+    delete_from_index(spark, idx, victims)
+    got = _topk_rows(ann_index_search(spark, idx, queries, 5))
+    assert ix._last_marker_mode == "checkpoint"   # over the cap of 4
+    assert all(nid not in victims for _, nid, _, _ in got)
+    key = (spark.sparkContext.applicationId,
+           __import__("os").path.abspath(idx))
+    sig_before = ix._MARKER_SNAP_CACHE[key][0]
+
+    # un-delete ONE victim; five markers remain (still over-cap), so
+    # the next search takes the checkpoint path again — a stale
+    # cached snapshot would keep excluding the re-added id
+    back = victims[0]
+    append_to_index(emb.filter(F.col("vec_id") == back), idx)
+    got2 = _topk_rows(ann_index_search(spark, idx, queries, 5))
+    assert ix._last_marker_mode == "checkpoint"
+    assert ix._MARKER_SNAP_CACHE[key][0] != sig_before
+    assert any(nid == back for _, nid, _, _ in got2)
+    assert all(nid not in victims[1:] for _, nid, _, _ in got2)
+    # and the round trip equals a rebuild without the still-deleted
+    ref = str(tmp_path / "ref")
+    build_ann_index(emb.filter(~F.col("vec_id").isin(victims[1:])),
+                    ref)
+    assert got2 == _topk_rows(ann_index_search(spark, ref, queries, 5))
