@@ -456,8 +456,15 @@ def _run_sweep(spark, qs, names, sf_dir, sf, n_runs) -> dict:
                 str(spark.sparkContext.defaultParallelism))
         if calibration_s and cal_anchor:
             cal_drift = round(max(1.0, calibration_s / cal_anchor), 3)
+        # 1.3, not 1.5 (r15 adjudication, BASELINE.md): the r14
+        # driver sweep read bloom_probe_corpus at 1.48× anchor —
+        # 1.3% UNDER the old 1.5× trigger — while isolated quiet
+        # probes reproduce 0.79–0.94× on both flagged queries.
+        # Quiet medians never approach 1.3×, so the tighter trigger
+        # adds no retry storms; localized ambient load in the
+        # 1.3–1.5× band now gets its later-in-wall-clock re-run.
         retry_ratio = float(
-            os.environ.get("SPARK_GRAFT_RETRY_RATIO", "1.5"))
+            os.environ.get("SPARK_GRAFT_RETRY_RATIO", "1.3"))
         retry_ratio *= cal_drift or 1.0
         for name in names:
             t = times.get(name)
