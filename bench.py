@@ -316,6 +316,33 @@ def _extra_ops():
         at the feature you'd enable at 100 TB)."""
         return _stream_ingest(spark, sf_dir, audit=True)
 
+    def media_card(spark, sf_dir):
+        """Extra #13 (verdict r14 #6): the full multimodal data-card
+        path — binaryFile bridge (magic-byte modality inference) →
+        Arrow decode pass across every attribution tier →
+        media_profile rollup — over a deterministic generated mix,
+        so late-round multimodal regressions surface in the anchored,
+        drift-gated bench instead of only in pytest walls. The
+        template payloads are built once per process (driver-side,
+        KB-scale); replication to _MEDIA_BENCH_COPIES copies per
+        template happens IN-PLAN (explode(sequence)), so the timed
+        work is the bridge + decode + rollup, not createDataFrame."""
+        base = _media_bench_templates(spark)
+        files = (base
+                 .select(F.explode(F.sequence(
+                     F.lit(0), F.lit(_MEDIA_BENCH_COPIES - 1)))
+                     .alias("i"), "tier", "content")
+                 .select(F.concat("tier", F.lit("_"), "i",
+                                  F.lit(".bin")).alias("path"),
+                         "content",
+                         F.octet_length("content").cast("long")
+                          .alias("length")))
+        from big_data_bowl___2023_spark.multimodal.binary_ops import (
+            media_from_binary_files,
+            media_profile,
+        )
+        return media_profile(media_from_binary_files(files))
+
     return {"dedup_winnow_overlap": winnow,
             "bloom_probe_corpus": bloom_probe,
             "dedup_semantic_pairs": semdedup,
@@ -327,7 +354,101 @@ def _extra_ops():
             "corpus_profile": profile,
             "stream_curation_ingest": stream_ingest,
             "stream_curation_ingest_audit": stream_ingest_audit,
-            "hybrid_index_topk": hybrid_index}
+            "hybrid_index_topk": hybrid_index,
+            "media_profile": media_card}
+
+
+# --- media_profile extra: deterministic tier templates -----------------
+
+_MEDIA_BENCH_COPIES = 192     # copies per template, in-plan explode
+_MEDIA_TEMPLATE_CACHE: dict = {}
+
+
+def _media_bench_templates(spark):
+    """One (tier, payload) row per attribution tier — every payload
+    deterministic, KB-scale, spec-valid for its tier: real pixel
+    decodes (PNG/BMP/baseline+progressive JPEG/GIF/WAV/Y4M),
+    metadata walkers (arith-JPEG, frameless GIF, TIFF, MP4 video,
+    M4A, MP3, FLAC, Ogg, AVI, HEIF, AVIF, MKV), document/archive
+    tiers (PDF/ZIP/GZIP/TAR) and unclassifiable junk. Cached per
+    (process, session) like the hybrid index — a data card's corpus
+    predates its profiling."""
+    key = spark.sparkContext.applicationId
+    cached = _MEDIA_TEMPLATE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    import gzip as _gz
+    import io
+    import tarfile
+    import zipfile
+
+    import numpy as np
+
+    from big_data_bowl___2023_spark.multimodal import (
+        codecs,
+        containers,
+        gif as gifmod,
+        jpeg,
+    )
+    img = (np.arange(16 * 24 * 3, dtype=np.uint64) % 256) \
+        .astype(np.uint8).reshape(16, 24, 3)
+    clip = (np.arange(4 * 16 * 16, dtype=np.uint64) % 251) \
+        .astype(np.uint8).reshape(4, 16, 16)
+    t = np.arange(2000) / 2000.0
+    tone = np.stack([np.sin(2 * np.pi * 440 * t)], axis=1)
+    base_jpeg = jpeg.make_jpeg(img)
+    sof_at = base_jpeg.index(b"\xff\xc0")
+    arith_jpeg = base_jpeg[:sof_at + 1] + b"\xc9" \
+        + base_jpeg[sof_at + 2:]
+    gif_hdr = (b"GIF89a" + (24).to_bytes(2, "little")
+               + (16).to_bytes(2, "little") + b"\x00\x00\x00")
+    tiff = (b"II*\x00\x08\x00\x00\x00\x02\x00"
+            b"\x00\x01\x03\x00\x01\x00\x00\x00\x40\x00\x00\x00"
+            b"\x01\x01\x03\x00\x01\x00\x00\x00\x30\x00\x00\x00"
+            b"\x00\x00\x00\x00")
+    zbuf = io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w") as z:
+        z.writestr("a.txt", "alpha")
+        z.writestr("b.txt", "beta")
+    tbuf = io.BytesIO()
+    with tarfile.open(fileobj=tbuf, mode="w") as tf:
+        data = b"member payload"
+        ti = tarfile.TarInfo("m.txt")
+        ti.size = len(data)
+        tf.addfile(ti, io.BytesIO(data))
+    templates = [
+        ("png", codecs.make_png(img)),
+        ("bmp", codecs.make_bmp(img)),
+        ("jpg_base", base_jpeg),
+        ("jpg_prog", jpeg.make_jpeg(img, progressive=True)),
+        ("jpg_arith", arith_jpeg),
+        ("gif", gifmod.make_gif((img // 32) * 32)),
+        ("gif_hdr", gif_hdr),
+        ("wav", codecs.make_wav(tone, 8000)),
+        ("y4m", codecs.make_y4m(clip)),
+        ("mp4", containers.make_mp4(5.0, 600, 320, 240)),
+        ("m4a", containers.make_mp4(2.0, 8000, audio=True,
+                                    brand=b"M4A ")),
+        ("mp3", containers.make_mp3(4, xing=True, id3_bytes=32)),
+        ("flac", containers.make_flac(80000, 8000, 1)),
+        ("ogg", containers.make_ogg("opus", 48000, 1, 48000)),
+        ("avi", containers.make_avi(160, 120, 50)),
+        ("heif", containers.make_heif(64, 48)),
+        ("avif", containers.make_heif(32, 32, brand=b"avif")),
+        ("tiff", tiff),
+        ("mkv", containers.make_mkv("matroska", 320, 240, 4.0)),
+        ("pdf", containers.make_pdf(["Bench page one text."],
+                                    compress=True)),
+        ("zip", zbuf.getvalue()),
+        ("gz", _gz.compress(b"gzip member payload", mtime=0)),
+        ("tar", tbuf.getvalue()),
+        ("junk", b"\x00unclassifiable junk payload bytes" * 16),
+    ]
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in templates],
+        "tier string, content binary").localCheckpoint()
+    _MEDIA_TEMPLATE_CACHE[key] = df
+    return df
 
 
 # serving-shaped bench state: the hybrid extra's per-(process, sf)

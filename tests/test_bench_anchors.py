@@ -44,3 +44,33 @@ def test_anchors_have_no_stale_entries():
 def test_anchor_values_sane():
     for name, v in _anchor_names().items():
         assert isinstance(v, (int, float)) and 0 < v < 300, (name, v)
+
+
+def test_media_profile_extra_attribution(spark):
+    """The media_profile bench extra (r15 #6) must keep its exact
+    per-tier attribution: a late-round walker regression that
+    silently re-routes a tier to the stub would otherwise only move
+    the timing, which drift could mask."""
+    import bench
+
+    fn = bench._extra_ops()["media_profile"]
+    rows = fn(spark, "/root/testdata/sf0.001").collect()
+    got = {(r["modality"], r["decoder"]): r["n_media"] for r in rows}
+    k = bench._MEDIA_BENCH_COPIES
+    expect = {
+        ("image", "png"): k, ("image", "bmp"): k,
+        ("image", "jpeg"): 2 * k,            # baseline + progressive
+        ("image", "jpeg-dims"): k,           # arithmetic → dims tier
+        ("image", "gif"): k, ("image", "gif-dims"): k,
+        ("image", "tiff-dims"): k,
+        ("image", "heif-dims"): k, ("image", "avif-dims"): k,
+        ("audio", "wav"): k, ("audio", "mp3-dims"): k,
+        ("audio", "flac-dims"): k, ("audio", "ogg-dims"): k,
+        ("audio", "mp4-dims"): k,            # M4A
+        ("video", "y4m"): k, ("video", "mp4-dims"): k,
+        ("video", "avi-dims"): k, ("video", "mkv-dims"): k,
+        ("unknown", "pdf-meta"): k, ("unknown", "zip-meta"): k,
+        ("unknown", "gzip-meta"): k, ("unknown", "tar-meta"): k,
+        ("unknown", "unknown-stub"): k,
+    }
+    assert got == expect
