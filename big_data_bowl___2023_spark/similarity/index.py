@@ -683,14 +683,24 @@ _MARKER_SNAP_LOCK = threading.Lock()
 
 # Below this many probed-cell FLOAT vector bytes the int8 screen's
 # second scan costs more than its ¾-byte saving and the float tier is
-# the faster serve — measured, not assumed: at 128k vectors × 64 d
-# (≈ 64 MiB probed) the quantized tier had NOT crossed over (warm
-# 10.57 s vs 8.13 s hybrid, BASELINE.md round-11 `--hybrid 4 64`
-# table). The documented payoff regime is byte-bound scans — probed
-# bytes ≳ 1M vectors × 256 dims × 8 B ≈ 2 GiB, or object-store scan
-# bandwidth. The band between the 64 MiB measurement and this 2 GiB
-# regime bound is unmeasured locally; the constant sits at the regime
-# bound so the warning never fires where the tier plausibly pays.
+# the faster serve. MEASURED (r15 `--quant-crossover` leg, synthetic
+# full-rank corpora, warm median-of-3, local[32], BASELINE.md
+# round-15 table): the screen does NOT cross over at ANY locally
+# measurable point — quant/float warm ratio 1.75× at 32k×64 d
+# (16 MiB), 2.7× at 128k×64 d, 3.9× at 32k–128k×256 d (64–256 MiB),
+# 4.5–4.6× at 32k–128k×512 d (128–512 MiB) — and the ratio GROWS
+# with dims, because on page-cached local storage the scan is
+# compute-bound, so the screen's own O(n·d) int8 arithmetic +
+# re-rank second scan scale faster than the ¾-byte I/O saving it
+# buys. Conclusion written into the constant: the payoff condition
+# is not a corpus/dim size but a STORAGE-BANDWIDTH one — the tier
+# pays only where the float scan is genuinely byte-bound (cold
+# object store / network-attached parquet, where cutting bytes 4×
+# cuts wall ~4×), which no warm-local measurement can reproduce.
+# The constant stays at the 2 GiB regime bound (≈ 1M × 256 d × 8 B,
+# past any page cache) so the advisory warning never fires in the
+# measured no-payoff band yet still flags layouts whose probed bytes
+# are small enough that even a byte-bound scan wouldn't pay.
 QUANTIZED_PAYOFF_BYTES = 2 * 1024 ** 3
 
 # cells path -> {cell: rows} from a footer-only count (zero columns

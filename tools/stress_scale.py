@@ -800,6 +800,85 @@ def marker_legs(spark, emb0, scales) -> None:
         }), flush=True)
 
 
+def quant_crossover_legs(spark, dims) -> None:
+    """Quantized-tier crossover measurement (VERDICT r14 #5): the
+    int8 screen's payoff regime ("byte-bound scans, ≳1M × ≳256 d")
+    was asserted from the 64×/64-dim leg, never measured at high
+    dims — this leg measures it. SYNTHETIC and sf-independent: a
+    deterministic pseudo-random corpus (xxhash64-derived uniform
+    components, full-rank — a low-rank construction would collapse
+    the cell layout) at n ∈ {32768, 131072} × the given dims
+    (default 64/256/512), a persistent float and quantized index per
+    point, then cold + warm-median-of-3 of `ann_index_search`
+    (arrow kernel) vs `ann_index_search_quantized` (int8 screen,
+    arrow) over the same 16 queries. One JSON line per point with
+    the probed-corpus bytes and the quant/float warm ratio; the
+    crossover is the first point where the ratio drops below 1.
+    The measured threshold is written into index.py's
+    QUANTIZED_PAYOFF_BYTES note (the r14 PIL-threshold pattern)."""
+    import shutil
+    import statistics
+    import tempfile
+
+    from big_data_bowl___2023_spark.similarity import (
+        ann_index_search,
+        ann_index_search_quantized,
+        build_ann_index,
+    )
+
+    for d in dims:
+        for n in (32768, 131072):
+            vecs = (spark.range(n)
+                    .select(F.col("id").alias("vec_id"),
+                            F.transform(
+                                F.sequence(F.lit(0), F.lit(d - 1)),
+                                lambda i: (F.abs(F.xxhash64(
+                                    F.col("id"), i)) % 10007)
+                                / 10007.0 - 0.5)
+                            .alias("embedding"))
+                    .repartition(32)).localCheckpoint()
+            queries = vecs.limit(16).localCheckpoint()
+            work = tempfile.mkdtemp(prefix="qxover_")
+            rec = {"n": n, "dim": d,
+                   "corpus_mib": round(n * d * 8 / 2**20, 1)}
+            try:
+                t0 = time.time()
+                build_ann_index(vecs, f"{work}/f", dim=d,
+                                warn_skew=False)
+                rec["build_float_sec"] = round(time.time() - t0, 2)
+                t0 = time.time()
+                build_ann_index(vecs, f"{work}/q", dim=d,
+                                quantize=True, warn_skew=False)
+                rec["build_quant_sec"] = round(time.time() - t0, 2)
+                for tier in ("float", "quant"):
+                    def search():
+                        if tier == "float":
+                            return ann_index_search(
+                                spark, f"{work}/f", queries, 10,
+                                score_kernel="arrow")
+                        return ann_index_search_quantized(
+                            spark, f"{work}/q", queries, 10,
+                            screen_kernel="arrow")
+                    t0 = time.time()
+                    search().count()
+                    rec[f"{tier}_cold_sec"] = round(
+                        time.time() - t0, 2)
+                    warm = []
+                    for _ in range(3):
+                        t0 = time.time()
+                        search().count()
+                        warm.append(time.time() - t0)
+                    rec[f"{tier}_warm_sec"] = round(
+                        statistics.median(warm), 2)
+                rec["quant_over_float_warm"] = round(
+                    rec["quant_warm_sec"]
+                    / max(rec["float_warm_sec"], 1e-9), 3)
+            finally:
+                shutil.rmtree(work, ignore_errors=True)
+            print(json.dumps({"stress": "quant_crossover", **rec}),
+                  flush=True)
+
+
 def hybrid_legs(spark, docs0, emb0, scales) -> None:
     """Hybrid-serving legs (VERDICT r10 #5): the bench's
     `hybrid_index_topk` extra runs the FLOAT tier at a 2k-vector
@@ -1148,6 +1227,7 @@ def main() -> None:
     want_media = "--media" in argv
     want_media_mix = "--media-mix" in argv
     want_stream_ingest = "--stream-ingest" in argv
+    want_quantx = "--quant-crossover" in argv
     want_codec_floor = "--codec-floor" in argv
     if want_codec_floor:
         # Spark-free: the per-core decode floor — a JVM would only
@@ -1157,17 +1237,18 @@ def main() -> None:
     if sum([want_product, want_vector, want_substr, want_index,
             want_bpe, want_colloc, want_hybrid,
             want_markers, want_media, want_media_mix,
-            want_stream_ingest]) > 1:
+            want_stream_ingest, want_quantx]) > 1:
         raise SystemExit("--product/--vector/--substr/--index/--bpe"
                          "/--colloc/--hybrid/--markers/--media"
-                         "/--media-mix/--stream-ingest are exclusive "
-                         "modes")
+                         "/--media-mix/--stream-ingest/--quant-crossover "
+                         "are exclusive modes")
     scales: list[int] = []
     paths: list[str] = []
     for a in argv:
         if a in ("--product", "--vector", "--substr", "--index",
                  "--bpe", "--colloc", "--hybrid", "--markers",
-                 "--media", "--media-mix", "--stream-ingest"):
+                 "--media", "--media-mix", "--stream-ingest",
+                 "--quant-crossover"):
             continue
         if re.fullmatch(r"[0-9]+", a):      # positive ints only
             scales.append(int(a))
@@ -1187,7 +1268,7 @@ def main() -> None:
                        or want_index or want_bpe or want_colloc
                        or want_hybrid or want_markers
                        or want_media or want_media_mix
-                       or want_stream_ingest):
+                       or want_stream_ingest or want_quantx):
         raise SystemExit("scale arguments require --product/--vector"
                          "/--substr/--index/--bpe/--colloc/--hybrid"
                          "/--markers/--media/--media-mix"
@@ -1195,6 +1276,12 @@ def main() -> None:
     product_scales = (scales or [16, 64]) if want_product else None
     sf_dir = paths[0] if paths else "/root/testdata/sf0.1"
     spark = get_spark("stress")
+    if want_quantx:
+        # scale args are DIMS for this mode (synthetic corpus,
+        # sf-independent — no table load)
+        quant_crossover_legs(spark, scales or [64, 256, 512])
+        spark.stop()
+        return
     if want_vector:
         emb0 = load_table(spark, sf_dir, "embeddings").cache()
         emb0.count()
