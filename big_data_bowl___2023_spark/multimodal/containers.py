@@ -1226,11 +1226,10 @@ def pdf_text(data: bytes) -> dict:
             at = data.find(b"stream", pos)
             if at < 0:
                 break
+            if data[max(0, at - 3):at] == b"end":
+                pos = at + 6               # the 'stream' inside an
+                continue                   # unconsumed 'endstream'
             head = data[max(0, at - 512):at]
-            if head.rstrip()[-9:] == b"endstream".rstrip() \
-                    and not head.rstrip().endswith(b">>"):
-                pos = at + 6
-                continue
             body_at = at + 6
             if data[body_at:body_at + 2] == b"\r\n":
                 body_at += 2

@@ -241,7 +241,8 @@ def make_curation_ingest_batch_fn(out_dir: str, index_dir: str,
                                   bloom_dir: str | None = None,
                                   bloom_expected_keys: int = 1_000_000,
                                   bloom_fpr: float = 0.01,
-                                  audit_dir: str | None = None):
+                                  audit_dir: str | None = None,
+                                  html_input: bool = False):
     """The continuous-ingestion LOOP: a ``foreachBatch`` function that
     curates each micro-batch against the CURRENT membership index,
     appends the survivors to ``out_dir``, and appends their
@@ -394,6 +395,7 @@ def make_curation_ingest_batch_fn(out_dir: str, index_dir: str,
                 bench_id_col=bench_id_col,
                 history_bloom=history_bloom,
                 broadcast_handle=probe_bcs,
+                html_input=html_input,
                 stage_hook=capture if audit_dir is not None else None)
             curated = pin(curated, truncate=True)
             # renew-or-abort immediately before the batch's first
@@ -450,6 +452,7 @@ def curate_document_stream(stream_docs: DataFrame,
                            bench_id_col: str = "bench_id",
                            history_bloom: DataFrame | None = None,
                            broadcast_handle: list | None = None,
+                           html_input: bool = False,
                            stage_hook=None) -> DataFrame:
     """The stream-safe curation stages composed over a document
     stream (or a batch frame — every stage is trigger-agnostic):
@@ -489,6 +492,15 @@ def curate_document_stream(stream_docs: DataFrame,
         return r if r is not None else frame
 
     out = hook("stream_input", stream_docs)
+    if html_input:
+        # web-crawl front door, stream-safe by construction: a pure
+        # projection (functions/html.py), no state, no shuffle —
+        # the same opt-in stage the batch chain runs, so an ingest
+        # loop pointed at raw crawl pages curates prose, not tag soup
+        from ..functions.html import extract_html_text
+        out = hook("after_html_extract",
+                   out.withColumn("text",
+                                  extract_html_text(F.col("text"))))
     out = hook("after_gopher",
                gopher_filter(out, min_words=min_words))
     if quality_model is not None:

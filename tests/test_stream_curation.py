@@ -536,3 +536,50 @@ def test_ingest_loop_audit_lineage(spark, tmp_path):
     # corpus unchanged by the replay (no duplicate appends):
     # one of {1,4}, plus 2 and 7
     assert spark.read.parquet(out_dir).count() == 3
+
+
+def test_stream_html_input_stage(spark, tmp_path):
+    """html_input=True (r15): the extraction stage is stream-safe —
+    a genuine rate-less file stream of crawl pages curates prose,
+    and the ingest loop keeps only documents whose EXTRACTED text
+    passes the gates; tag soup never reaches a fingerprint."""
+    from big_data_bowl___2023_spark.streaming.curation import (
+        make_curation_ingest_batch_fn,
+    )
+    prose = ("the quick brown fox jumps over the lazy dog and then "
+             "keeps running through the open field with many more "
+             "plain words to satisfy the gopher length gate easily. ") * 3
+    pages = [
+        (1, "<html><head><style>p{x}</style></head><body><p>"
+            + prose.strip() + "</p></body></html>", "web"),
+        # all-boilerplate page: extraction empties it → gopher drops
+        (2, "<nav>Home | About</nav><script>var x = 1;</script>",
+         "web"),
+    ]
+    docs = spark.createDataFrame(
+        pages, "doc_id long, text string, source string")
+
+    # batch-callable foreachBatch fn (the loop's documented contract)
+    out_dir = str(tmp_path / "out")
+    idx_dir = str(tmp_path / "idx")
+    process = make_curation_ingest_batch_fn(out_dir, idx_dir,
+                                            min_words=20,
+                                            html_input=True)
+    process(docs, 0)
+    kept = spark.read.parquet(out_dir)
+    rows = kept.collect()
+    assert {r["doc_id"] for r in rows} == {1}
+    assert "<" not in rows[0]["text"] and "{" not in rows[0]["text"]
+
+    # genuine streaming leg: the composed gates run under
+    # availableNow with the same verdict
+    src = str(tmp_path / "src")
+    docs.write.parquet(src)
+    stream = (spark.readStream.schema(docs.schema).parquet(src))
+    got = run_available_now(
+        curate_document_stream(stream, min_words=20,
+                               html_input=True),
+        spark, output_mode="append")
+    srows = got.collect()
+    assert {r["doc_id"] for r in srows} == {1}
+    assert "<" not in srows[0]["text"]
