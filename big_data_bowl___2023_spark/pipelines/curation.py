@@ -64,6 +64,7 @@ def curation_frame(docs: DataFrame,
                    quality_model_threshold: float = 0.5,
                    max_docs_per_source: int | None = None,
                    html_input: bool = False,
+                   lang_keep: list | None = None,
                    stage_hook=None) -> DataFrame:
     """Build the full curation chain LAZILY and return the packed
     frame (one row per training chunk with its (source, shard)
@@ -100,6 +101,16 @@ def curation_frame(docs: DataFrame,
         from ..functions.html import extract_html_text
         docs = docs.withColumn("text", extract_html_text(F.col("text")))
         _, docs = hook("after_html_extract", docs)
+
+    if lang_keep is not None:
+        # language gate BEFORE the quality rules (the CCNet /
+        # RefinedWeb order: off-language pages shouldn't spend
+        # quality/dedup compute): marker-stopword language ID
+        # (functions/text.py::detect_lang) — a pure codegen
+        # predicate, fused into the same scan as everything else
+        docs = docs.filter(Tx.detect_lang(F.col("text"))
+                           .isin(list(lang_keep)))
+        _, docs = hook("after_lang_filter", docs)
 
     quality = gopher_filter(docs, min_words=min_words)
     _, quality = hook("after_quality", quality)
@@ -250,6 +261,7 @@ def curation_audit(docs: DataFrame, min_words: int = 50,
     from ..session import pin
 
     reasons = {
+        "after_lang_filter": "wrong_language",
         "after_quality": "gopher",           # enriched below
         "after_model_quality": "quality_model",
         "after_line_dedup": "emptied_by_line_scrub",

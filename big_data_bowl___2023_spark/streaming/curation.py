@@ -153,6 +153,7 @@ def _stream_batch_audit(batch_df: DataFrame,
     from ..functions.gopher import flags as gopher_flags_fn
 
     reasons = {
+        "after_lang_filter": "wrong_language",
         "after_gopher": "gopher",            # enriched below
         "after_model_quality": "quality_model",
         "after_decontamination": "benchmark_contaminated",
@@ -242,7 +243,8 @@ def make_curation_ingest_batch_fn(out_dir: str, index_dir: str,
                                   bloom_expected_keys: int = 1_000_000,
                                   bloom_fpr: float = 0.01,
                                   audit_dir: str | None = None,
-                                  html_input: bool = False):
+                                  html_input: bool = False,
+                                  lang_keep: list | None = None):
     """The continuous-ingestion LOOP: a ``foreachBatch`` function that
     curates each micro-batch against the CURRENT membership index,
     appends the survivors to ``out_dir``, and appends their
@@ -395,7 +397,7 @@ def make_curation_ingest_batch_fn(out_dir: str, index_dir: str,
                 bench_id_col=bench_id_col,
                 history_bloom=history_bloom,
                 broadcast_handle=probe_bcs,
-                html_input=html_input,
+                html_input=html_input, lang_keep=lang_keep,
                 stage_hook=capture if audit_dir is not None else None)
             curated = pin(curated, truncate=True)
             # renew-or-abort immediately before the batch's first
@@ -453,6 +455,7 @@ def curate_document_stream(stream_docs: DataFrame,
                            history_bloom: DataFrame | None = None,
                            broadcast_handle: list | None = None,
                            html_input: bool = False,
+                           lang_keep: list | None = None,
                            stage_hook=None) -> DataFrame:
     """The stream-safe curation stages composed over a document
     stream (or a batch frame — every stage is trigger-agnostic):
@@ -501,6 +504,13 @@ def curate_document_stream(stream_docs: DataFrame,
         out = hook("after_html_extract",
                    out.withColumn("text",
                                   extract_html_text(F.col("text"))))
+    if lang_keep is not None:
+        # language gate before quality (CCNet order) — a pure
+        # codegen predicate, stream-safe like every other gate here
+        from ..functions.text import detect_lang
+        out = hook("after_lang_filter",
+                   out.filter(detect_lang(F.col("text"))
+                              .isin(list(lang_keep))))
     out = hook("after_gopher",
                gopher_filter(out, min_words=min_words))
     if quality_model is not None:

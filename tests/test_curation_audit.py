@@ -161,3 +161,32 @@ def test_exact_dup_detail_never_names_a_dropped_doc(spark):
     # {5,7} was wholly dropped; the kept doc 2 differs raw) → NULL;
     # same for 7 — never the phantom '5'
     assert audit[5][2] is None and audit[7][2] is None
+
+
+def test_lang_filter_stage_and_attribution(spark):
+    """lang_keep (r15): off-language docs drop BEFORE the quality
+    gate (the CCNet order) and the audit attributes them
+    wrong_language; on-language docs flow through unchanged."""
+    en = ("the quick brown fox jumps over the lazy dog and the "
+          "seven wizards brew strong coffee near the old stone "
+          "bridge during a calm morning of wind and golden leaves "
+          "falling everywhere around the little town square")
+    es = ("el rapido zorro marron salta sobre el perro perezoso "
+          "mientras los siete magos preparan un cafe fuerte cerca "
+          "del viejo puente de piedra durante una manana tranquila "
+          "con viento suave que mueve las hojas doradas del pueblo")
+    docs = spark.createDataFrame(
+        [(1, "a", en), (2, "a", es)],
+        "doc_id long, source string, text string")
+    kwargs = dict(min_words=5, seq_len=16, shard_budget=64,
+                  lang_keep=["en"])
+    audit = {r["doc_id"]: (r["stage"], r["reason"])
+             for r in curation_audit(docs, **kwargs).collect()}
+    assert audit[1] == ("kept", "kept")
+    assert audit[2] == ("after_lang_filter", "wrong_language")
+    out = curation_frame(docs, **kwargs)
+    assert {r["doc_id"] for r in out.collect()} == {1}
+    # without the gate both survive — the stage is genuinely opt-in
+    both = curation_frame(docs, min_words=5, seq_len=16,
+                          shard_budget=64)
+    assert {r["doc_id"] for r in both.collect()} == {1, 2}

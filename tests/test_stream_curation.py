@@ -583,3 +583,19 @@ def test_stream_html_input_stage(spark, tmp_path):
     srows = got.collect()
     assert {r["doc_id"] for r in srows} == {1}
     assert "<" not in srows[0]["text"]
+
+
+def test_stream_lang_filter(spark):
+    """lang_keep in the stream chain (r15): same gate, stream-safe;
+    the batch-callable form and the batch operator agree."""
+    en = ("the quick brown fox jumps over the lazy dog and the "
+          "seven wizards brew strong coffee near the old stone "
+          "bridge during a calm morning of wind and golden leaves")
+    es = ("el rapido zorro marron salta sobre el perro perezoso "
+          "mientras los siete magos preparan un cafe fuerte cerca "
+          "del viejo puente de piedra durante una manana tranquila")
+    docs = spark.createDataFrame(
+        [(1, en, "a"), (2, es, "a")],
+        "doc_id long, text string, source string")
+    out = curate_document_stream(docs, min_words=5, lang_keep=["en"])
+    assert {r["doc_id"] for r in out.collect()} == {1}
