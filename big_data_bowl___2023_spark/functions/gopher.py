@@ -95,3 +95,115 @@ def gopher_filter(df: DataFrame, text_col: str = "text",
     return (gopher_flags(df, text_col, **thresholds)
             .filter(F.col("pass_gopher"))
             .select(*df.columns))
+
+
+# ------------------------------------ repetition signals (Gopher A1)
+
+# published defaults: top-n-gram character-fraction ceilings for
+# n = 2, 3, 4 and duplicated-n-gram ceilings for n = 5..10
+TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11,
+                 10: 0.10}
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       top_ns: tuple = (2, 3, 4),
+                       dup_ns: tuple = (5, 6, 7, 8, 9, 10)) -> DataFrame:
+    """Per-document n-gram repetition fractions — the half of the
+    Gopher rule set `flags` could not express as a single projection
+    (within-doc n-gram frequency needs an aggregation):
+    ``top_{n}gram_char_frac`` for n in ``top_ns`` and
+    ``dup_{n}gram_char_frac`` for n in ``dup_ns``, each relative to
+    the document's normalized character count (tokens joined by
+    single spaces). Missing/short docs (fewer than n tokens) read
+    0.0 — nothing repeats in an n-gram space that doesn't exist.
+
+    Definitions (documented divergence from the paper's prose, which
+    never pins tie-breaks): *top* = max over distinct n-grams of
+    occurrences × gram length — the most character-massive n-gram,
+    which equals "the most frequent n-gram's characters" except on
+    count ties, where it deterministically takes the longest; *dup*
+    = Σ over n-grams occurring ≥ 2× of occurrences × gram length.
+    Overlapping occurrences each count, as in the reference
+    implementations.
+
+    The 100 TB shape: grams for EVERY n are built in one codegen
+    projection (per-n transform over the token array), exploded
+    once, and aggregated in a single groupBy((id, n, gram)) →
+    groupBy((id, n)) chain — ONE shuffle keyed by (id, n, gram)
+    with map-side partial counts, never one shuffle per n; the
+    result joins back on the id. Skew-safe: a pathological
+    one-gram-repeated doc produces many rows of ONE key, bounded by
+    that doc's own token count."""
+    ns = sorted(set(top_ns) | set(dup_ns))
+    toks = F.filter(Tx.tokenize(F.col(text_col)), lambda t: t != "")
+    total = F.length(F.array_join(toks, " ")).cast("double")
+    base = df.select(F.col(id_col).alias("__id"),
+                     toks.alias("__w"),
+                     total.alias("__total"))
+
+    def grams(n: int) -> str:
+        return (f"transform(sequence(1, size(__w) - {n} + 1), "
+                f"i -> named_struct('n', {n}, "
+                f"'gram', array_join(slice(__w, i, {n}), ' ')))")
+
+    tagged = " || ".join(
+        f"CASE WHEN size(__w) >= {n} THEN {grams(n)} "
+        f"ELSE array() END" for n in ns)
+    ex = (base.select("__id", "__total",
+                      F.explode(F.expr(f"({tagged})")).alias("__g"))
+          .select("__id", "__total",
+                  F.col("__g.n").alias("__n"),
+                  F.col("__g.gram").alias("__gram")))
+    per_gram = (ex.groupBy("__id", "__total", "__n", "__gram")
+                .agg(F.count(F.lit(1)).alias("__c")))
+    mass = F.col("__c") * F.length("__gram")
+    per_n = (per_gram.groupBy("__id", "__total", "__n")
+             .agg(F.max(mass).alias("__top_chars"),
+                  F.sum(F.when(F.col("__c") >= 2, mass)
+                        .otherwise(F.lit(0))).alias("__dup_chars")))
+    safe_total = F.when(F.col("__total") > 0, F.col("__total"))
+    stats = per_n.select(
+        "__id", "__n",
+        F.round(F.coalesce(F.col("__top_chars") / safe_total,
+                           F.lit(0.0)), 6).alias("__top_frac"),
+        F.round(F.least(F.lit(1.0),
+                        F.coalesce(F.col("__dup_chars") / safe_total,
+                                   F.lit(0.0))), 6)
+         .alias("__dup_frac"))
+    wide = (stats.groupBy("__id")
+            .pivot("__n", ns)
+            .agg(F.first("__top_frac").alias("top"),
+                 F.first("__dup_frac").alias("dup")))
+    cols = [F.col(c) for c in df.columns]
+    out = df.join(wide, F.col(id_col) == F.col("__id"), "left")
+    for n in top_ns:
+        src = f"{n}_top" if len(ns) > 1 else "top"
+        cols.append(F.coalesce(F.col(src), F.lit(0.0))
+                    .alias(f"top_{n}gram_char_frac"))
+    for n in dup_ns:
+        src = f"{n}_dup" if len(ns) > 1 else "dup"
+        cols.append(F.coalesce(F.col(src), F.lit(0.0))
+                    .alias(f"dup_{n}gram_char_frac"))
+    return out.select(*cols)
+
+
+def repetition_filter(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      top_max: dict | None = None,
+                      dup_max: dict | None = None) -> DataFrame:
+    """Documents passing every repetition ceiling (published Gopher
+    defaults), original schema. Composes with `gopher_filter` as the
+    aggregation-grade second half of the rule set."""
+    top_max = TOP_NGRAM_MAX if top_max is None else top_max
+    dup_max = DUP_NGRAM_MAX if dup_max is None else dup_max
+    sig = repetition_signals(df, text_col, id_col,
+                             top_ns=tuple(top_max),
+                             dup_ns=tuple(dup_max))
+    cond = F.lit(True)
+    for n, t in top_max.items():
+        cond = cond & (F.col(f"top_{n}gram_char_frac") <= F.lit(t))
+    for n, t in dup_max.items():
+        cond = cond & (F.col(f"dup_{n}gram_char_frac") <= F.lit(t))
+    return sig.filter(cond).select(*df.columns)

@@ -4,7 +4,9 @@ Each stage already exists as a tested operator; this module is the
 PRODUCT composition — the one function a data engineer calls to turn
 a raw document table into packed training shards:
 
-    quality gate (Gopher rules) → [learned quality filter
+    [HTML→text extraction (C4 §2.1)] → [language gate] →
+    quality gate (Gopher rules) → [n-gram repetition ceilings
+    (Gopher A1)] → [learned quality filter
     (fastText-style classifier)] → PII redaction →
     [corpus-wide repeated-line scrub (C4 rule)] → exact dedup →
     near-dup cluster resolution (MinHash-LSH → connected components,
@@ -14,7 +16,8 @@ a raw document table into packed training shards:
     per-source token-budget packing →
     sharded JSONL export (partitioned by source/shard)
 
-    Bracketed stages are opt-in (``quality_model`` /
+    Bracketed stages are opt-in (``html_input`` / ``lang_keep`` /
+    ``repetition_rules`` / ``quality_model`` /
     ``line_dedup_min_chars`` / ``overlap_shared`` / ``dsir_target`` /
     ``max_docs_per_source`` arguments); embedding-space
     SemDeDup runs separately on the embeddings table
@@ -65,6 +68,7 @@ def curation_frame(docs: DataFrame,
                    max_docs_per_source: int | None = None,
                    html_input: bool = False,
                    lang_keep: list | None = None,
+                   repetition_rules: bool = False,
                    stage_hook=None) -> DataFrame:
     """Build the full curation chain LAZILY and return the packed
     frame (one row per training chunk with its (source, shard)
@@ -114,6 +118,15 @@ def curation_frame(docs: DataFrame,
 
     quality = gopher_filter(docs, min_words=min_words)
     _, quality = hook("after_quality", quality)
+
+    if repetition_rules:
+        # the aggregation half of the Gopher rule set (A1 top/dup
+        # n-gram character ceilings): one extra (id, n, gram)
+        # shuffle over the quality survivors only — after the cheap
+        # projection gate, before any dedup pays per-doc cost
+        from ..functions.gopher import repetition_filter
+        quality = repetition_filter(quality)
+        _, quality = hook("after_repetition", quality)
 
     if quality_model is not None:
         # learned second gate (functions/quality_model.py): scoring
@@ -263,6 +276,7 @@ def curation_audit(docs: DataFrame, min_words: int = 50,
     reasons = {
         "after_lang_filter": "wrong_language",
         "after_quality": "gopher",           # enriched below
+        "after_repetition": "ngram_repetition",
         "after_model_quality": "quality_model",
         "after_line_dedup": "emptied_by_line_scrub",
         "after_exact_dedup": "exact_duplicate",
