@@ -167,3 +167,57 @@ def test_extraction_plan_is_shuffle_free(spark):
 def test_malformed_markup_never_raises(spark, payload):
     [out] = _extract(spark, [payload])
     assert isinstance(out, str)
+
+
+def test_randomized_cross_engine_parity(spark):
+    """120 seeded pseudo-random tag-soup documents — composed from
+    tags (balanced and not), entities (valid and bogus), text runs,
+    comments, scripts, and stray delimiters — must extract
+    byte-identically through the Spark chain and the DuckDB
+    restatement. One job per engine (the whole corpus rides a single
+    DataFrame), so this covers the input space the fixed fixtures
+    cannot without per-example Spark overhead."""
+    import random
+
+    rng = random.Random(42)
+    words = ["alpha", "beta", "gamma", "delta", "words", "lines",
+             "keep", "drop", "javascript", "lorem", "ipsum", "x"]
+    tags = ["p", "div", "li", "h2", "td", "span", "b", "nav",
+            "script", "style", "table", "br"]
+    ents = ["&amp;", "&lt;", "&gt;", "&quot;", "&#39;", "&nbsp;",
+            "&amp;lt;", "&bogus;", "&#xA;"]
+
+    def frag():
+        k = rng.random()
+        if k < 0.35:
+            return " ".join(rng.choices(words, k=rng.randint(1, 8))) \
+                + rng.choice([".", "!", "?", "", " "])
+        if k < 0.55:
+            t = rng.choice(tags)
+            return f"<{t}>" if rng.random() < 0.6 else f"</{t}>"
+        if k < 0.65:
+            return rng.choice(ents)
+        if k < 0.75:
+            return "<!-- " + " ".join(rng.choices(words, k=3)) + " -->"
+        if k < 0.85:
+            return rng.choice(["<", ">", "{", "}", "\n", "  ",
+                               "<<p", "< notatag", "</"])
+        t = rng.choice(["script", "style"])
+        return (f"<{t}>" + " ".join(rng.choices(words, k=4))
+                + (f"</{t}>" if rng.random() < 0.8 else ""))
+
+    fixtures = ["".join(frag() for _ in range(rng.randint(1, 30)))
+                for _ in range(120)]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(fixtures)], "i int, html string")
+    got = [r["t"] for r in df.select(
+        "i", Hx.extract_html_text(F.col("html")).alias("t"))
+        .orderBy("i").collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fx (i INT, html VARCHAR)")
+    con.executemany("INSERT INTO fx VALUES (?, ?)",
+                    list(enumerate(fixtures)))
+    ref = [r[0] for r in con.execute(
+        f"SELECT {Hx.oracle_sql_expr('html')} FROM fx ORDER BY i")
+        .fetchall()]
+    assert got == ref
