@@ -151,14 +151,22 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
     tagged = " || ".join(
         f"CASE WHEN size(__w) >= {n} THEN {grams(n)} "
         f"ELSE array() END" for n in ns)
+    # the shuffle key is the gram's 64-bit hash, not its text: the
+    # count/mass statistics only need identity + length, so the
+    # (id, n, gram) exchange carries 12 B per gram instead of the
+    # full string (~5× fewer shuffle bytes at n = 10). A within-doc
+    # 64-bit collision (≈ k²/2⁶⁵ at k grams per doc) merges two
+    # counts of one heuristic fraction — negligible and harmless.
     ex = (base.select("__id", "__total",
                       F.explode(F.expr(f"({tagged})")).alias("__g"))
           .select("__id", "__total",
                   F.col("__g.n").alias("__n"),
-                  F.col("__g.gram").alias("__gram")))
-    per_gram = (ex.groupBy("__id", "__total", "__n", "__gram")
-                .agg(F.count(F.lit(1)).alias("__c")))
-    mass = F.col("__c") * F.length("__gram")
+                  F.xxhash64(F.col("__g.gram")).alias("__gh"),
+                  F.length(F.col("__g.gram")).alias("__gl")))
+    per_gram = (ex.groupBy("__id", "__total", "__n", "__gh")
+                .agg(F.count(F.lit(1)).alias("__c"),
+                     F.max("__gl").alias("__gl")))
+    mass = F.col("__c") * F.col("__gl")
     per_n = (per_gram.groupBy("__id", "__total", "__n")
              .agg(F.max(mass).alias("__top_chars"),
                   F.sum(F.when(F.col("__c") >= 2, mass)
