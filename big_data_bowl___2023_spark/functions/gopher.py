@@ -123,7 +123,9 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
     never pins tie-breaks): *top* = max over distinct n-grams of
     occurrences × gram length — the most character-massive n-gram,
     which equals "the most frequent n-gram's characters" except on
-    count ties, where it deterministically takes the longest; *dup*
+    count ties, where it deterministically takes the longest —
+    capped at 1.0 like *dup* (overlapping occurrences can otherwise
+    push the mass past the character count); *dup*
     = Σ over n-grams occurring ≥ 2× of occurrences × gram length.
     Overlapping occurrences each count, as in the reference
     implementations.
@@ -174,8 +176,10 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
     safe_total = F.when(F.col("__total") > 0, F.col("__total"))
     stats = per_n.select(
         "__id", "__n",
-        F.round(F.coalesce(F.col("__top_chars") / safe_total,
-                           F.lit(0.0)), 6).alias("__top_frac"),
+        F.round(F.least(F.lit(1.0),
+                        F.coalesce(F.col("__top_chars") / safe_total,
+                                   F.lit(0.0))), 6)
+         .alias("__top_frac"),
         F.round(F.least(F.lit(1.0),
                         F.coalesce(F.col("__dup_chars") / safe_total,
                                    F.lit(0.0))), 6)
@@ -186,13 +190,14 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
                  F.first("__dup_frac").alias("dup")))
     cols = [F.col(c) for c in df.columns]
     out = df.join(wide, F.col(id_col) == F.col("__id"), "left")
+    # pivot columns are ALWAYS '{value}_{alias}' when the pivot agg
+    # carries more than one expression — even for a single pivot
+    # value (review r15: the len(ns)==1 special case crashed)
     for n in top_ns:
-        src = f"{n}_top" if len(ns) > 1 else "top"
-        cols.append(F.coalesce(F.col(src), F.lit(0.0))
+        cols.append(F.coalesce(F.col(f"{n}_top"), F.lit(0.0))
                     .alias(f"top_{n}gram_char_frac"))
     for n in dup_ns:
-        src = f"{n}_dup" if len(ns) > 1 else "dup"
-        cols.append(F.coalesce(F.col(src), F.lit(0.0))
+        cols.append(F.coalesce(F.col(f"{n}_dup"), F.lit(0.0))
                     .alias(f"dup_{n}gram_char_frac"))
     return out.select(*cols)
 

@@ -26,6 +26,13 @@ module is that step, built as two composable passes:
 RE2-compatible subset (no backreferences, no lookaround) so the exact
 chain restates in DuckDB for the driver oracle.
 
+Documented limitation (shared by every regex-grade extractor,
+including C4's own): a ``>`` inside a QUOTED attribute value
+(``<p title="a>b">``) ends the tag match early, leaking the
+remainder (``b">``) into the text — the stray fragment then rarely
+survives the line rules (no terminal punctuation), and a full
+HTML5 tokenizer is deliberately out of scope for a codegen chain.
+
 Reference scope note: the reference analysis
 (paulg66/Big-Data-Bowl---2023) has no web-text stage — this is a
 first-class engine extension for the 100 TB curation target
@@ -67,7 +74,11 @@ def strip_tags(col: Column) -> Column:
     comments → content-strip elements → block breaks to ``\\n`` →
     remaining tags to spaces → entity decode → whitespace normalize
     (runs of spaces/tabs collapse, line edges trim, blank lines
-    drop, outer whitespace trims)."""
+    drop, outer whitespace trims). NULL input reads as "" so the
+    chain agrees with the DuckDB restatement, whose trailing
+    COALESCE yields '' (review r15 — a NULL-text document must not
+    hash-diverge the driver oracle)."""
+    col = F.coalesce(col, F.lit(""))
     c = F.regexp_replace(col, r"(?s)<!--.*?-->", " ")
     for tag in CONTENT_STRIP_TAGS:
         c = F.regexp_replace(

@@ -136,7 +136,8 @@ def sniff(data: bytes) -> str | None:
         # dispatch to the FLAC walker, not lock onto a spurious
         # MPEG sync inside FLAC frames (ADVICE r14)
         from .containers import _id3v2_end    # lazy: avoids a cycle
-        if data[_id3v2_end(data):][:4] == b"fLaC":
+        end = _id3v2_end(data)
+        if data[end:end + 4] == b"fLaC":
             return "flac"
         return "mp3"
     if (len(data) >= 4 and data[0] == 0xFF

@@ -1125,6 +1125,7 @@ def _pdf_stream_text(buf: bytes, parts: list) -> None:
     i, n = 0, len(buf)
     last: str | None = None
     arr: list | None = None
+    closed: list | None = None
     while i < n:
         c = buf[i]
         if c == 0x28:                                  # ( literal
@@ -1146,9 +1147,16 @@ def _pdf_stream_text(buf: bytes, parts: list) -> None:
             continue
         if c == 0x5B:                                  # [ array
             arr = []
+            closed = None
             i += 1
             continue
         if c == 0x5D:                                  # ] end array
+            # the closed array is an OPERAND awaiting its operator:
+            # only a following TJ consumes it — any other operator
+            # (dash patterns '[3 3] 0 d', destinations, ...) must
+            # discard it, never divert later strings (review r15)
+            closed = arr
+            arr = None
             i += 1
             continue
         if c == 0x25:                                  # % comment
@@ -1181,12 +1189,13 @@ def _pdf_stream_text(buf: bytes, parts: list) -> None:
             elif op in (b"'", b'"') and last is not None:
                 parts.append("\n")
                 parts.append(last)
-            elif op == b"TJ" and arr is not None:
-                parts.append("".join(arr))
+            elif op == b"TJ" and closed is not None:
+                parts.append("".join(closed))
             elif op in (b"Td", b"TD", b"T*", b"ET"):
                 parts.append("\n")
-            if op == b"TJ":
-                arr = None
+            # every operator consumes its operands: a pending array
+            # or string never survives past the next operator token
+            closed = None
             if op in (b"Tj", b"'", b'"'):
                 last = None
             i = j
@@ -1216,7 +1225,14 @@ def pdf_text(data: bytes) -> dict:
     try:
         if data[:5] != b"%PDF-":
             raise UnsupportedFormat("not a PDF payload")
-        if b"/Encrypt" in data:
+        # /Encrypt lives in the trailer dictionary (or the xref
+        # stream dict, both at the tail) — scope the refusal there so
+        # a page whose VISIBLE TEXT mentions '/Encrypt' is not
+        # falsely refused (review r15); a linearized file's first-
+        # page trailer copy is still within rfind's reach
+        t_at = data.rfind(b"trailer")
+        tail = data[t_at:] if t_at >= 0 else data[-4096:]
+        if b"/Encrypt" in tail:
             raise UnsupportedFormat(
                 "encrypted PDF — strings are not extractable")
         parts: list[str] = []
@@ -1230,6 +1246,14 @@ def pdf_text(data: bytes) -> dict:
                 pos = at + 6               # the 'stream' inside an
                 continue                   # unconsumed 'endstream'
             head = data[max(0, at - 512):at]
+            # bound the dict lookback to THIS object: without the
+            # cut, rfind('/Filter') could pick up the PREVIOUS
+            # object's filter when the current dict has none and
+            # misclassify an unfiltered stream (review r15)
+            for tok in (b"endstream", b"obj"):
+                cut = head.rfind(tok)
+                if cut >= 0:
+                    head = head[cut + len(tok):]
             body_at = at + 6
             if data[body_at:body_at + 2] == b"\r\n":
                 body_at += 2

@@ -75,7 +75,7 @@ def test_duckdb_parity(spark):
         cnt AS (SELECT doc_id, total, gram, COUNT(*) AS c
                 FROM grams GROUP BY 1, 2, 3)
         SELECT doc_id,
-               ROUND(MAX(c * len(gram)) / total, 6) AS topf,
+               ROUND(LEAST(1.0, MAX(c * len(gram)) / total), 6) AS topf,
                ROUND(LEAST(1.0, COALESCE(SUM(CASE WHEN c >= 2
                      THEN c * len(gram) END), 0) / total), 6) AS dupf
         FROM cnt GROUP BY doc_id, total"""
@@ -151,3 +151,19 @@ def test_curation_stage_and_audit(spark):
              for r in curation_audit(docs, **kwargs).collect()}
     assert audit[1] == ("kept", "kept")
     assert audit[2] == ("after_repetition", "ngram_repetition")
+
+
+def test_review_r15_single_n_and_top_cap(spark):
+    """Review r15 regressions: (a) a single-n call must not crash on
+    pivot column naming; (b) top fractions are capped at 1.0 like
+    dup (overlapping occurrences exceed the char count)."""
+    docs = spark.createDataFrame([(1, "a a a a")],
+                                 "doc_id long, text string")
+    one = repetition_signals(docs, top_ns=(2,), dup_ns=(2,))
+    row = one.collect()[0]
+    # 2-gram "a a" ×3 overlapping, len 3 → mass 9 over 7 chars → cap
+    assert row["top_2gram_char_frac"] == 1.0
+    assert row["dup_2gram_char_frac"] == 1.0
+    # single-entry threshold dicts drive the same path
+    kept = repetition_filter(docs, top_max={2: 0.5}, dup_max={2: 0.5})
+    assert kept.count() == 0

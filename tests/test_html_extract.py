@@ -221,3 +221,21 @@ def test_randomized_cross_engine_parity(spark):
         f"SELECT {Hx.oracle_sql_expr('html')} FROM fx ORDER BY i")
         .fetchall()]
     assert got == ref
+
+
+def test_review_r15_null_text_matches_oracle(spark):
+    """NULL text must agree across engines: both read as ''
+    (review r15 — the Spark chain coalesces up front; the oracle's
+    trailing COALESCE was already '')."""
+    df = spark.createDataFrame([(1, None), (2, "<p>Real line here.</p>")],
+                               "i int, html string")
+    got = {r["i"]: r["t"] for r in df.select(
+        "i", Hx.extract_html_text(F.col("html")).alias("t")).collect()}
+    assert got[1] == "" and got[2] == "Real line here."
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fx (i INT, html VARCHAR)")
+    con.executemany("INSERT INTO fx VALUES (?, ?)",
+                    [(1, None), (2, "<p>Real line here.</p>")])
+    ref = {i: t for i, t in con.execute(
+        f"SELECT i, {Hx.oracle_sql_expr('html')} FROM fx").fetchall()}
+    assert ref == got

@@ -149,3 +149,48 @@ def test_spark_pass_and_profile(spark):
     plan = (extract_document_text(media)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "MapInPandas" in plan
+
+
+def test_review_r15_dash_pattern_array_does_not_eat_text():
+    """A '[3 3] 0 d' dash-pattern array before BT must not divert
+    the following show-text strings into a dead operand (review
+    r15: the array is consumed by its OWN operator, whatever it is)."""
+    stream = b"0.5 w [3 3] 0 d BT (Hello dash world.) Tj ET"
+    m = containers.pdf_text(_wrap_stream(stream))
+    assert m["text"] == "Hello dash world."
+    # and an array immediately followed by TJ still emits
+    stream2 = b"BT [(a) -250 (b)] TJ T* [9 9] 0 d (tail line.) Tj ET"
+    m2 = containers.pdf_text(_wrap_stream(stream2))
+    assert m2["text"] == "a b\ntail line."
+
+
+def test_review_r15_filter_lookback_stays_in_object():
+    """An unfiltered stream FOLLOWING a FlateDecode object must not
+    inherit the previous object's /Filter (review r15: the dict
+    lookback is bounded at the current object)."""
+    import zlib
+    z = zlib.compress(b"BT (compressed one.) Tj ET")
+    raw = b"BT (plain second stream.) Tj ET"
+    pdf = (b"%PDF-1.4\n"
+           b"1 0 obj\n<< /Length " + str(len(z)).encode()
+           + b" /Filter /FlateDecode >>\nstream\n" + z
+           + b"\nendstream\nendobj\n"
+           b"2 0 obj\n<< /Length " + str(len(raw)).encode()
+           + b" >>\nstream\n" + raw + b"\nendstream\nendobj\n"
+           b"trailer\n<< /Size 3 >>\n%%EOF\n")
+    m = containers.pdf_text(pdf)
+    assert m["text"] == "compressed one.\nplain second stream."
+    assert m["n_streams"] == 2 and m["n_skipped"] == 0
+
+
+def test_review_r15_encrypt_mention_in_text_not_refused():
+    """'/Encrypt' in VISIBLE page text must not refuse the document;
+    only the trailer dictionary means encryption (review r15)."""
+    body = _wrap_stream(
+        b"BT (The /Encrypt key marks secured files.) Tj ET")
+    m = containers.pdf_text(body)
+    assert m["text"] == "The /Encrypt key marks secured files."
+    # the real thing still refuses
+    pdf = containers.make_pdf(["secret"], encrypted=True)
+    with pytest.raises(codecs.UnsupportedFormat):
+        containers.pdf_text(pdf)
