@@ -654,6 +654,20 @@ def main() -> None:
             .mode("overwrite").save()
     except Exception:
         pass
+    # Warm the PYTHON worker pool + Arrow serde too (r15): the first
+    # mapInPandas execution of a session forks one worker per core
+    # and initializes the Arrow path — the r15 isolated probes read
+    # ~2.5 s first shots on winnow/bloom from exactly this, which
+    # eats the median-of-3's noise headroom. One trivial pass across
+    # all partitions pays it outside the timed window; workers are
+    # reused afterwards (spark.python.worker.reuse default).
+    try:
+        (spark.range(256)
+         .repartition(spark.sparkContext.defaultParallelism)
+         .mapInPandas(lambda it: it, "id long")
+         .write.format("noop").mode("overwrite").save())
+    except Exception:
+        pass
 
     sweep = _run_sweep(spark, qs, names, sf_dir, sf, n_runs)
 
