@@ -287,8 +287,20 @@ def curation_audit(docs: DataFrame, min_words: int = 50,
         "after_source_cap": "source_quota",
     }
     captured: list[tuple[str, DataFrame]] = []
+    # reason-enrichment must see the text the STAGES saw: under
+    # html_input the gopher rules (and the dedup fingerprint key)
+    # run on post-extraction text, so a tag-soup page with many raw
+    # "words" that extracts to '' must be re-flagged against the
+    # extracted text, not the markup (review r15)
+    text_source = [docs]
 
     def capture(key, frame):
+        if key == "after_html_extract":
+            pinned = pin(frame)
+            if pin_handles is not None:
+                pin_handles.append(pinned)
+            text_source[0] = pinned
+            return pinned
         if key not in reasons:
             return None              # input / chunk-grain stages
         pinned = pin(frame)
@@ -299,6 +311,7 @@ def curation_audit(docs: DataFrame, min_words: int = 50,
 
     curation_frame(docs, stage_hook=capture, min_words=min_words,
                    **kwargs)
+    text_docs = text_source[0]
 
     prev = docs.select("doc_id", "source")
     parts: list[DataFrame] = []
@@ -335,7 +348,7 @@ def curation_audit(docs: DataFrame, min_words: int = 50,
         if key == "after_quality":
             # name the first failing rule: re-flag ONLY the dropped
             # docs (map-side over a drop-sized join back to text)
-            txt = dropped.join(docs.select("doc_id", "text"),
+            txt = dropped.join(text_docs.select("doc_id", "text"),
                                "doc_id")
             rule_flags = gopher_flags_fn(F.col("text"),
                                          min_words=min_words)
@@ -357,8 +370,8 @@ def curation_audit(docs: DataFrame, min_words: int = 50,
             # collision CREATED by an upstream rewrite (redaction,
             # line scrub) has no surviving raw twin — detail stays
             # NULL there; stage and reason are exact regardless.
-            fp = fingerprint_docs(docs).select("doc_id",
-                                               "fingerprint")
+            fp = fingerprint_docs(text_docs).select("doc_id",
+                                                    "fingerprint")
             canon = (fp.join(cur, "doc_id", "semi")
                      .groupBy("fingerprint")
                      .agg(F.min("doc_id").alias("__kept")))

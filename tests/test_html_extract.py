@@ -239,3 +239,45 @@ def test_review_r15_null_text_matches_oracle(spark):
     ref = {i: t for i, t in con.execute(
         f"SELECT i, {Hx.oracle_sql_expr('html')} FROM fx").fetchall()}
     assert ref == got
+
+
+def test_emptied_page_attributed_downstream(spark):
+    """A crawl page whose EVERY line is boilerplate extracts to ''
+    and must die at the quality gate with a named rule — the audit
+    answers 'why did this page vanish' even though the extraction
+    stage itself never drops rows."""
+    from big_data_bowl___2023_spark.pipelines.curation import (
+        curation_audit,
+    )
+    prose = ("the quick brown fox jumps over the lazy dog and then "
+             "keeps running through the field with more and more "
+             "words because the gopher gate wants real length. ") * 3
+    docs = spark.createDataFrame(
+        [(1, "<p>" + prose.strip() + "</p>", "web"),
+         (2, "<nav>Home | About</nav><script>x</script>", "web")],
+        "doc_id long, text string, source string")
+    audit = {r["doc_id"]: (r["stage"], r["reason"]) for r in
+             curation_audit(docs, min_words=20, seq_len=64,
+                            html_input=True).collect()}
+    assert audit[1] == ("kept", "kept")
+    assert audit[2][0] == "after_quality"      # died at gopher...
+    assert audit[2][1] == "pass_word_count"    # ...for zero words
+
+
+def test_audit_reasons_use_extracted_text(spark):
+    """Review r15: a page whose RAW tag soup has plenty of 'words'
+    but extracts to '' must be re-flagged against the EXTRACTED
+    text — the rule the pipeline actually applied."""
+    from big_data_bowl___2023_spark.pipelines.curation import (
+        curation_audit,
+    )
+    soup = ("<nav>" + " ".join(f"link{i}" for i in range(40))
+            + "</nav><script>var x = 1;</script>")
+    docs = spark.createDataFrame(
+        [(1, soup, "web")], "doc_id long, text string, source string")
+    audit = {r["doc_id"]: (r["stage"], r["reason"]) for r in
+             curation_audit(docs, min_words=20, seq_len=64,
+                            html_input=True).collect()}
+    # 40 raw tokens would PASS min_words=20 — only the extracted
+    # empty text names the true cause
+    assert audit[1] == ("after_quality", "pass_word_count")
