@@ -172,7 +172,14 @@ def _stream_batch_audit(batch_df: DataFrame,
                    .withColumn("detail",
                                F.lit(None).cast("string")))
         if key == "after_gopher":
-            txt = dropped.join(batch_df.select("doc_id", "text"),
+            # re-flag against the text the gate SAW: the extraction
+            # boundary when html_input ran, else the raw batch
+            # (review r15 — raw tag-soup word counts name the wrong
+            # rule for pages that extract to empty)
+            pre_gopher = next(
+                (f for k, f in captured
+                 if k == "after_html_extract"), batch_df)
+            txt = dropped.join(pre_gopher.select("doc_id", "text"),
                                "doc_id")
             rule_flags = gopher_flags_fn(F.col("text"),
                                          min_words=min_words)

@@ -599,3 +599,26 @@ def test_stream_lang_filter(spark):
         "doc_id long, text string, source string")
     out = curate_document_stream(docs, min_words=5, lang_keep=["en"])
     assert {r["doc_id"] for r in out.collect()} == {1}
+
+
+def test_stream_audit_reasons_use_extracted_text(spark, tmp_path):
+    """Review r15, streaming face: the ingest-loop audit re-flags
+    gopher drops against the post-extraction boundary when
+    html_input ran."""
+    from big_data_bowl___2023_spark.streaming.curation import (
+        make_curation_ingest_batch_fn,
+    )
+    soup = ("<nav>" + " ".join(f"link{i}" for i in range(40))
+            + "</nav><script>var x = 1;</script>")
+    docs = spark.createDataFrame(
+        [(1, soup, "web")], "doc_id long, text string, source string")
+    out_dir = str(tmp_path / "out")
+    idx_dir = str(tmp_path / "idx")
+    audit_dir = str(tmp_path / "audit")
+    process = make_curation_ingest_batch_fn(
+        out_dir, idx_dir, min_words=20, html_input=True,
+        audit_dir=audit_dir)
+    process(docs, 0)
+    audit = {r["doc_id"]: (r["stage"], r["reason"]) for r in
+             spark.read.parquet(audit_dir).collect()}
+    assert audit[1] == ("after_gopher", "pass_word_count")
