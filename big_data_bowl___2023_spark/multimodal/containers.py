@@ -270,11 +270,19 @@ def _id3v2_end(data: bytes) -> int:
     size, 4 × 7 bits — ID3v2 §3.1), or 0 when the payload carries no
     tag. Shared by `mp3_meta`, `flac_meta` and `codecs.sniff` so an
     ID3-shelled FLAC dispatches to the FLAC walker instead of
-    locking onto a spurious MPEG sync inside the FLAC frames."""
+    locking onto a spurious MPEG sync inside the FLAC frames.
+
+    The declared syncsafe size excludes the 10-byte header AND, when
+    the v2.4 footer flag (byte 5 bit 4, ID3v2.4 §3.1) is set, the
+    10-byte footer — a footered tag's audio starts at
+    10 + size + 10 (ADVICE r15)."""
     if data[:3] != b"ID3" or len(data) < 10:
         return 0
-    return 10 + ((data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14
-                 | (data[8] & 0x7F) << 7 | (data[9] & 0x7F))
+    end = 10 + ((data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14
+                | (data[8] & 0x7F) << 7 | (data[9] & 0x7F))
+    if data[5] & 0x10:                       # v2.4 footer present
+        end += 10
+    return end
 
 
 def mp3_meta(data: bytes) -> dict:
@@ -1179,9 +1187,12 @@ def _pdf_stream_text(buf: bytes, parts: list) -> None:
         if (0x41 <= c <= 0x5A or 0x61 <= c <= 0x7A
                 or c in b"'\"*"):                      # operator
             j = i + 1
+            # bytes literals have no ranges — a "0-9" spelling would
+            # be the 3-byte set {0, -, 9} (ADVICE r15); no standard
+            # operator carries a digit, so only ' " * continue tokens
             while j < n and (0x41 <= buf[j] <= 0x5A
                              or 0x61 <= buf[j] <= 0x7A
-                             or buf[j] in b"'\"*0-9"):
+                             or buf[j] in b"'\"*"):
                 j += 1
             op = buf[i:j]
             if op == b"Tj" and last is not None:
@@ -1194,10 +1205,12 @@ def _pdf_stream_text(buf: bytes, parts: list) -> None:
             elif op in (b"Td", b"TD", b"T*", b"ET"):
                 parts.append("\n")
             # every operator consumes its operands: a pending array
-            # or string never survives past the next operator token
+            # or string never survives past the next operator token —
+            # clearing `last` only on show ops let a malformed
+            # stream like `(A) Tj (LEAK) ... Tm Tj` re-show the
+            # stale operand (ADVICE r15); drop, never re-show
             closed = None
-            if op in (b"Tj", b"'", b'"'):
-                last = None
+            last = None
             i = j
             continue
         i += 1

@@ -749,3 +749,28 @@ def test_mp4_facts_override_claimed_modality():
     vid = containers.make_mp4(10.0, 30, 640, 360, audio=True,
                               n_frames=300)
     assert _decode_one(vid, "audio") == (640, 360, 300, "mp4-dims")
+
+
+def test_advice_r15_id3v24_footer_offset():
+    """An ID3v2.4 tag with the footer flag (byte 5 bit 4) declares a
+    size that excludes BOTH the 10-byte header and the 10-byte
+    footer — audio starts at 10+size+10. A footered ID3-shelled
+    FLAC previously missed the fLaC check by 10 bytes and sniffed
+    as mp3 (ADVICE r15)."""
+    flac = containers.make_flac(80000, 8000, 1, 16)
+    size = 64
+    syncsafe = bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                      (size >> 7) & 0x7F, size & 0x7F])
+    # footer flag set: header + size bytes of frames + 10-byte footer
+    shell = (b"ID3\x04\x00\x10" + syncsafe + b"\x00" * size
+             + b"3DI\x04\x00\x10" + syncsafe)
+    assert containers._id3v2_end(shell + flac) == len(shell)
+    shelled = shell + flac
+    assert codecs.sniff(shelled) == "flac"
+    m = containers.flac_meta(shelled)
+    assert (m["total_samples"], m["rate"]) == (80000, 8000)
+    with pytest.raises(codecs.UnsupportedFormat):
+        containers.mp3_meta(shelled)
+    # footerless tag keeps the old arithmetic
+    plain = (b"ID3\x04\x00\x00" + syncsafe + b"\x00" * size)
+    assert containers._id3v2_end(plain + flac) == 10 + size

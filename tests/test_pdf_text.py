@@ -194,3 +194,29 @@ def test_review_r15_encrypt_mention_in_text_not_refused():
     pdf = containers.make_pdf(["secret"], encrypted=True)
     with pytest.raises(codecs.UnsupportedFormat):
         containers.pdf_text(pdf)
+
+
+def test_advice_r15_stale_string_cleared_by_every_operator():
+    """A pending literal string must not survive PAST a non-show
+    operator: `(A) Tj (LEAK) 1 0 0 1 10 10 Tm Tj` previously
+    re-showed 'LEAK' via the stale operand (ADVICE r15). Malformed
+    streams degrade to DROPPED strings, never re-shown ones."""
+    stream = b"BT (A) Tj (LEAK) 1 0 0 1 10 10 Tm Tj ET"
+    m = containers.pdf_text(_wrap_stream(stream))
+    assert "LEAK" not in m["text"]
+    assert m["text"].startswith("A")
+    # a well-formed stream is unaffected: string → its own show op
+    ok = b"BT (A) Tj (B) Tj ET"
+    assert containers.pdf_text(_wrap_stream(ok))["text"] == "AB"
+
+
+def test_advice_r15_operator_token_ends_at_digit():
+    """The operator-continuation set is spelled without digits —
+    b"'\"*0-9" was the literal byte set {', ", *, 0, -, 9}, so
+    digits 1-8 already terminated tokens while 0 and 9 did not
+    (ADVICE r15). Now every digit terminates uniformly: `T*0` and
+    `T*9` both tokenize the line-break operator identically."""
+    for d in b"0123456789":
+        stream = b"BT (a) Tj T*%c (b) Tj ET" % d
+        m = containers.pdf_text(_wrap_stream(stream))
+        assert m["text"] == "a\nb", (d, m["text"])
