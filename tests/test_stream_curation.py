@@ -622,3 +622,32 @@ def test_stream_audit_reasons_use_extracted_text(spark, tmp_path):
     audit = {r["doc_id"]: (r["stage"], r["reason"]) for r in
              spark.read.parquet(audit_dir).collect()}
     assert audit[1] == ("after_gopher", "pass_word_count")
+
+
+def test_absent_path_probe_is_silent_and_trace_free(spark, tmp_path,
+                                                    capfd):
+    """Verdict r15 #6: probing a not-yet-existing fingerprint/bloom
+    dir must not spray a JVM WARN stack (FileStreamSink.hasMetadata's
+    80-line FileNotFoundException fragment led BENCH_r15's stderr
+    tail). The bootstrap probe now answers absence with one
+    Hadoop-FS exists() RPC before any read planning — so a sweep's
+    stderr tail holds only ordinary log lines."""
+    from big_data_bowl___2023_spark.streaming.curation import (
+        _read_parquet_if_present,
+    )
+    capfd.readouterr()                         # drain prior output
+    missing = str(tmp_path / "never_written_fps")
+    assert _read_parquet_if_present(spark, missing) is None
+    err = capfd.readouterr().err
+    assert "FileNotFoundException" not in err
+    assert "FileStreamSink" not in err
+    assert "\tat " not in err                  # no stack frames at all
+    # present-dir behavior unchanged: a real parquet dir still reads
+    good = str(tmp_path / "present")
+    spark.range(3).write.parquet(good)
+    df = _read_parquet_if_present(spark, good)
+    assert df is not None and df.count() == 3
+    # and an existing-but-empty dir still reads as the bootstrap state
+    empty = str(tmp_path / "empty_dir")
+    (tmp_path / "empty_dir").mkdir()
+    assert _read_parquet_if_present(spark, empty) is None
