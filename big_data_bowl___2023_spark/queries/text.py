@@ -31,7 +31,12 @@ _DE = ", ".join(f"'{w}'" for w in Tx.LANG_MARKERS["de"])
                  len(list_filter(string_split(text,' '), x -> x IN ({_EN}))) AS s_en,
                  len(list_filter(string_split(text,' '), x -> x IN ({_ES}))) AS s_es,
                  len(list_filter(string_split(text,' '), x -> x IN ({_FR}))) AS s_fr,
-                 len(list_filter(string_split(text,' '), x -> x IN ({_DE}))) AS s_de
+                 len(list_filter(string_split(text,' '), x -> x IN ({_DE}))) AS s_de,
+                 len(regexp_extract_all(text, '{Tx.SCRIPT_RANGES["ja"]}')) AS c_ja,
+                 len(regexp_extract_all(text, '{Tx.SCRIPT_RANGES["ko"]}')) AS c_ko,
+                 len(regexp_extract_all(text, '{Tx.SCRIPT_RANGES["th"]}')) AS c_th,
+                 len(regexp_extract_all(text, '{Tx.SCRIPT_RANGES["zh"]}')) AS c_zh,
+                 length(regexp_replace(text, '[ \t\n\r\f]', '', 'g')) AS n_ns
           FROM documents)
         SELECT doc_id,
                len(string_split(text, ' ')) AS n_tokens,
@@ -40,6 +45,14 @@ _DE = ", ".join(f"'{w}'" for w in Tx.LANG_MARKERS["de"])
                md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
                    AS fingerprint,
                CASE
+                 WHEN n_ns > 0 AND c_ja * {Tx.SCRIPT_DEN}
+                      >= n_ns * {Tx.SCRIPT_KANA_NUM} THEN 'ja'
+                 WHEN n_ns > 0 AND c_ko * {Tx.SCRIPT_DEN}
+                      >= n_ns * {Tx.SCRIPT_MAIN_NUM} THEN 'ko'
+                 WHEN n_ns > 0 AND c_th * {Tx.SCRIPT_DEN}
+                      >= n_ns * {Tx.SCRIPT_MAIN_NUM} THEN 'th'
+                 WHEN n_ns > 0 AND c_zh * {Tx.SCRIPT_DEN}
+                      >= n_ns * {Tx.SCRIPT_MAIN_NUM} THEN 'zh'
                  WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de
                       AND s_en > 0 THEN 'en'
                  WHEN s_es >= s_fr AND s_es >= s_de AND s_es > 0 THEN 'es'
@@ -53,9 +66,11 @@ def t_text_features(spark, sf_dir):
     """Per-document text features in ONE codegen scan: whitespace
     token count, BPE-ish pre-tokenizer piece count (the LLM token
     budget estimate), md5 fingerprint over normalized text (the
-    exact-dedup key), and marker-stopword language ID (first language
-    in marker order wins ties). No explode, no UDF — four curation
-    features for one pass over the corpus."""
+    exact-dedup key), and two-tier language ID — Unicode-script
+    character fractions for space-free scripts (ja/ko/th/zh, r16)
+    ahead of marker-stopword scores (first language in marker order
+    wins ties). No explode, no UDF — four curation features for one
+    pass over the corpus."""
     docs = load_table(spark, sf_dir, "documents")
     txt = F.col("text")
     return docs.select(
