@@ -26,12 +26,19 @@ module is that step, built as two composable passes:
 RE2-compatible subset (no backreferences, no lookaround) so the exact
 chain restates in DuckDB for the driver oracle.
 
-Documented limitation (shared by every regex-grade extractor,
-including C4's own): a ``>`` inside a QUOTED attribute value
-(``<p title="a>b">``) ends the tag match early, leaking the
-remainder (``b">``) into the text — the stray fragment then rarely
-survives the line rules (no terminal punctuation), and a full
-HTML5 tokenizer is deliberately out of scope for a codegen chain.
+Quoted-attribute handling (r16, verdict r15 #8): the generic
+tag-strip pattern is QUOTE-AWARE — ``TAG_RE`` lets a tag body
+contain single- or double-quoted segments, so a ``>`` inside a
+quoted attribute value (``<p title="a>b">``) no longer ends the
+match early and leaks ``b">`` into the text. Pure alternation +
+repetition (no lookaround, no backreferences), so it still restates
+verbatim in RE2/DuckDB. Remaining documented limitation: an
+UNBALANCED stray quote inside an unclosed ``<`` fragment can extend
+a match to the next quote (the usual regex-extractor failure class —
+a full HTML5 tokenizer stays out of scope for a codegen chain);
+the element-content strip patterns keep the simpler ``[^>]*`` open
+tag, where an early ``>`` only shifts where the (removed) content
+begins.
 
 Reference scope note: the reference analysis
 (paulg66/Big-Data-Bowl---2023) has no web-text stage — this is a
@@ -66,6 +73,12 @@ HTML_ENTITIES = (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
 # mark" — period/!/? optionally followed by a closing quote
 TERMINAL_PUNCT_RE = "[.!?][\"']?$"
 
+# quote-aware generic tag matcher (module docstring): the tag body is
+# unquoted-safe chars, with any number of quoted segments (which may
+# contain > or <) interleaved — "a>b" in a title no longer ends the
+# tag early. RE2-safe: alternation + star only.
+TAG_RE = "<[^<>\"']*(?:\"[^\"]*\"[^<>\"']*|'[^']*'[^<>\"']*)*>"
+
 DEFAULT_MIN_WORDS = 3          # C4 §2.1's per-line word floor
 
 
@@ -86,7 +99,7 @@ def strip_tags(col: Column) -> Column:
     c = F.regexp_replace(c, BLOCK_BREAK_RE, "\n")
     # remaining tags become SPACES, not empty strings: adjacent cell/
     # inline text ("Home</td><td>About") must not fuse into one word
-    c = F.regexp_replace(c, r"<[^>]*>", " ")
+    c = F.regexp_replace(c, TAG_RE, " ")
     for ent, rep in HTML_ENTITIES:
         c = F.replace(c, F.lit(ent), F.lit(rep))
     c = F.regexp_replace(c, r"[ \t\f\r]+", " ")
@@ -142,7 +155,8 @@ def oracle_sql_expr(text_expr: str,
              f"</{tag}\\s*>', ' ', 'g')")
     block = BLOCK_BREAK_RE.replace("'", "''")
     c = f"regexp_replace({c}, '{block}', chr(10), 'g')"
-    c = f"regexp_replace({c}, '<[^>]*>', ' ', 'g')"
+    tag = TAG_RE.replace("'", "''")
+    c = f"regexp_replace({c}, '{tag}', ' ', 'g')"
     for ent, rep in HTML_ENTITIES:
         lit = rep.replace("'", "''")
         c = f"replace({c}, '{ent}', '{lit}')"

@@ -281,3 +281,77 @@ def test_audit_reasons_use_extracted_text(spark):
     # 40 raw tokens would PASS min_words=20 — only the extracted
     # empty text names the true cause
     assert audit[1] == ("after_quality", "pass_word_count")
+
+
+def test_r16_quoted_attribute_gt_does_not_leak(spark):
+    """Verdict r15 #8a: a '>' inside a quoted attribute value must
+    not end the tag match early — TAG_RE allows quoted segments, so
+    `<p title="a>b">` strips as ONE tag instead of leaking `b">`."""
+    fixtures = [
+        '<p title="a>b">Quoted markers survive the strip here.</p>',
+        "<p title='x>y'>Single quoted attr behaves the same way.</p>",
+        '<a href="/x" data-arrow="-->" title="2 > 1">Two quoted '
+        'attributes with angle junk work too.</a>'
+        '<p>Tail sentence stays intact after the link.</p>',
+        # unquoted attrs keep working
+        '<p class=lead>Unquoted attributes still strip fine.</p>',
+    ]
+    outs = _extract(spark, fixtures)
+    assert outs[0] == "Quoted markers survive the strip here."
+    assert outs[1] == "Single quoted attr behaves the same way."
+    assert 'b">' not in outs[0] and "y'>" not in outs[1]
+    # <a> is inline — both sentences share a line; the point is the
+    # quoted angle junk ('-->', '2 > 1') must not leak into it
+    assert outs[2] == ("Two quoted attributes with angle junk work "
+                       "too. Tail sentence stays intact after the "
+                       "link.")
+    assert "-->" not in outs[2] and "2 > 1" not in outs[2]
+    assert outs[3] == "Unquoted attributes still strip fine."
+    # and the DuckDB restatement agrees byte-for-byte
+    import duckdb as _dd
+    con = _dd.connect()
+    con.execute("CREATE TABLE fx (i INT, html VARCHAR)")
+    con.executemany("INSERT INTO fx VALUES (?, ?)",
+                    list(enumerate(fixtures)))
+    ref = [r[0] for r in con.execute(
+        f"SELECT {Hx.oracle_sql_expr('html')} FROM fx ORDER BY i")
+        .fetchall()]
+    assert outs == ref
+
+
+def test_r16_real_page_shape_end_to_end(spark):
+    """Verdict r15 #8b: a realistically-shaped page — nav bar,
+    cookie banner, sidebar fragments, article prose, footer — must
+    reduce to the article prose alone, end-to-end through
+    strip_tags + the C4 line rules."""
+    page = (
+        '<html><head><title>Widget Review — Example Site</title>'
+        '<meta charset="utf-8"><link rel="stylesheet" href="/m.css">'
+        '<style>.nav { display: flex; } a:hover { color: red; }</style>'
+        '<script src="/analytics.js"></script>'
+        '<script>window.dataLayer = window.dataLayer || [];</script>'
+        '</head><body>'
+        '<nav class="nav"><a href="/">Home</a><a href="/blog">Blog</a>'
+        '<a href="/about">About</a></nav>'
+        '<div id="cookie-banner">We use cookies to improve your '
+        'experience click accept to continue</div>'
+        '<aside><h3>Related</h3><ul><li><a href="/a">Top 10 widgets'
+        '</a></li><li><a href="/b">Widget FAQ</a></li></ul></aside>'
+        '<article><h1>The widget review</h1>'
+        '<p>The widget arrived quickly and the build quality is '
+        'excellent for the price.</p>'
+        '<p>After a week of daily use, the battery still lasts two '
+        'full days.</p>'
+        '<p title="score > 4">Overall the widget earns a strong '
+        'recommendation from us.</p></article>'
+        '<footer><p>© 2026 Example Site</p><p>Terms | Privacy</p>'
+        '<p>Enable javascript for the comment form.</p></footer>'
+        '</body></html>')
+    [out] = _extract(spark, [page])
+    assert out.split("\n") == [
+        "The widget arrived quickly and the build quality is "
+        "excellent for the price.",
+        "After a week of daily use, the battery still lasts two "
+        "full days.",
+        "Overall the widget earns a strong recommendation from us.",
+    ]
