@@ -312,6 +312,25 @@ def make_curation_ingest_batch_fn(out_dir: str, index_dir: str,
     ``stage_hook`` protocol (each boundary pinned once; the chain
     still evaluates once), so the per-batch overhead is the pins +
     drop-sized enrichment joins, not extra pipeline evaluations."""
+    # The benchmark frame is fixed for the lifetime of the loop, so
+    # its distinct-shingle collection — a full shingle job — runs
+    # ONCE at the first batch and rides the closure afterwards. A
+    # stream processes thousands of batches; re-collecting an
+    # identical literal set per batch was one whole Spark job of
+    # pure overhead each time (guide §4.5's once-per-task rule,
+    # applied at the loop grain). ``None`` = not yet computed;
+    # ``[]`` = computed, benchmark had no shingles.
+    bench_shingle_cache: list = [None]
+
+    def _bench_shingles():
+        if benchmark is None:
+            return None
+        if bench_shingle_cache[0] is None:
+            bench_shingle_cache[0] = benchmark_shingle_set(
+                benchmark, decontaminate_n, bench_text_col,
+                bench_id_col)
+        return bench_shingle_cache[0]
+
     def _read_bloom_dir(spark):
         """(artifact df | None, dir params | None). Params come from
         the DIR whenever it exists — never from the constructor args
@@ -410,6 +429,7 @@ def make_curation_ingest_batch_fn(out_dir: str, index_dir: str,
         try:
             curated = curate_document_stream(
                 batch_df, history=history, benchmark=benchmark,
+                bench_shingles=_bench_shingles(),
                 quality_model=quality_model,
                 quality_model_threshold=quality_model_threshold,
                 min_words=min_words, decontaminate_n=decontaminate_n,
@@ -437,10 +457,17 @@ def make_curation_ingest_batch_fn(out_dir: str, index_dir: str,
             # filter AHEAD of the index (harmless: "maybe" rows
             # still hit the exact join) — never BEHIND it, which
             # would silently admit duplicates forever after.
-            new_fps = pin(
-                curated.select("fingerprint").distinct(),
-                truncate=True)
+            new_fps = curated.select("fingerprint").distinct()
             if bloom_dir is not None:
+                # consumed twice (filter summary + index append):
+                # pin so the distinct runs once. ``curated`` is
+                # already a truncated pin, so the lineage below this
+                # point never reaches the target paths either way —
+                # with a single consumer (no bloom gate) the pin is
+                # one whole materialization job of pure overhead per
+                # batch and the write below consumes the distinct
+                # directly.
+                new_fps = pin(new_fps, truncate=True)
                 bloom_summary(new_fps, "fingerprint", *bloom_params) \
                     .write.mode("append").parquet(bloom_dir)
             new_fps.write.mode("append").parquet(index_dir)
@@ -477,7 +504,9 @@ def curate_document_stream(stream_docs: DataFrame,
                            broadcast_handle: list | None = None,
                            html_input: bool = False,
                            lang_keep: list | None = None,
-                           stage_hook=None) -> DataFrame:
+                           stage_hook=None,
+                           bench_shingles: list[str] | None = None
+                           ) -> DataFrame:
     """The stream-safe curation stages composed over a document
     stream (or a batch frame — every stage is trigger-agnostic):
 
@@ -543,8 +572,15 @@ def curate_document_stream(stream_docs: DataFrame,
     # keys on (no reason label; it can never be a dropping stage)
     out = hook("after_redaction", redact_documents(out))
     if benchmark is not None:
-        shingles = benchmark_shingle_set(
-            benchmark, decontaminate_n, bench_text_col, bench_id_col)
+        # ``bench_shingles`` lets a long-lived caller (the ingest
+        # loop) collect the benchmark's shingle set once and reuse it
+        # across batches instead of re-running the collection job at
+        # every plan build; passing the frame alone keeps the
+        # one-shot call sites unchanged.
+        shingles = bench_shingles if bench_shingles is not None \
+            else benchmark_shingle_set(
+                benchmark, decontaminate_n, bench_text_col,
+                bench_id_col)
         out = hook("after_decontamination",
                    stream_decontaminate(out, shingles,
                                         decontaminate_n, min_overlap))
