@@ -109,7 +109,21 @@ def remove_repeated_lines(docs: DataFrame, min_chars: int = 30,
 
     rep = repeated_line_stats(docs, min_chars, delimiter, id_col,
                               text_col, max_occurrences)
-    lines = split_lines(docs, delimiter, id_col, text_col)
+    # Pass-through columns ride the explode and are re-emitted by the
+    # reassembly groupBy (``first`` — constant within a doc), so the
+    # input is consumed exactly twice (stats pass + rewrite pass).
+    # The previous shape joined the rebuilt text back against
+    # ``docs``, which evaluated the whole upstream chain a third
+    # time — at corpus scale a full extra pass for a per-doc
+    # metadata attach (guide §2.4). ``posexplode_outer`` keeps
+    # NULL-text docs in the rewrite pass (they rebuild to "", as the
+    # old join-back shape returned for them).
+    others = [c for c in docs.columns if c not in (id_col, text_col)]
+    lines = docs.select(
+        F.col(id_col), *[F.col(c) for c in others],
+        F.posexplode_outer(
+            F.split(F.col(text_col), _regex_quote(delimiter)))
+         .alias("line_no", "line"))
     norm = F.trim(F.col("line"))
     keyed = lines.withColumn(
         "line_hash",
@@ -124,17 +138,21 @@ def remove_repeated_lines(docs: DataFrame, min_chars: int = 30,
         | ((F.lit(keep == "first"))
            & (F.col(id_col) == F.col("first_doc"))
            & (F.col("line_no") == F.col("first_line_no"))))
-    surviving = marked.filter(is_kept)
-    rebuilt = (surviving
+    # Removed lines become NULL structs (collect_list skips them), so
+    # every doc keeps its reassembly row — a doc whose every line is
+    # removed (or whose text is NULL) comes back with empty text,
+    # same as the old left-join + coalesce('') contract.
+    rebuilt = (marked
                .groupBy(id_col)
-               .agg(F.array_join(
-                   F.transform(
-                       F.array_sort(F.collect_list(
-                           F.struct("line_no", "line"))),
-                       lambda s: s.line),
-                   delimiter).alias("__rebuilt")))
-    out = (docs.join(rebuilt, id_col, "left")
-           .withColumn(text_col,
-                       F.coalesce(F.col("__rebuilt"), F.lit("")))
-           .drop("__rebuilt"))
-    return out
+               .agg(*[F.first(c).alias(c) for c in others],
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.when(is_kept,
+                                       F.struct("line_no", "line")))),
+                            lambda s: s.line),
+                        delimiter, "").alias("__rebuilt")))
+    return rebuilt.select(
+        *[F.col(c) if c != text_col
+          else F.col("__rebuilt").alias(text_col)
+          for c in docs.columns])

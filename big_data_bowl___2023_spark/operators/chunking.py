@@ -23,13 +23,19 @@ from ..functions import text as Tx
 def chunk_sequences(df: DataFrame, seq_len: int,
                     stride: int | None = None,
                     text_col: str = "text",
-                    id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, seq_idx, seq_text, n_tokens): whitespace-token windows.
+                    id_col: str = "doc_id",
+                    carry_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, seq_idx, seq_text, n_tokens[, carry...]): whitespace-
+    token windows.
 
     The final window may be shorter than ``seq_len`` (kept — dropping
     tails biases against short documents); empty documents produce no
     rows. ``stride`` defaults to ``seq_len`` (disjoint windows, lossless
-    reconstruction by concatenation)."""
+    reconstruction by concatenation). ``carry_cols`` names per-doc
+    metadata columns to replicate onto every chunk row (appended after
+    ``n_tokens``) — the same rows a ``doc_id`` join-back against the
+    input would attach, without re-evaluating the input a second
+    time."""
     if stride is None:
         stride = seq_len
     if stride <= 0 or seq_len <= 0:
@@ -42,14 +48,15 @@ def chunk_sequences(df: DataFrame, seq_len: int,
     starts = F.sequence(F.lit(0), (n_seq - 1).cast("int"))
     window = F.slice(F.col("__toks"), F.col("seq_idx") * stride + 1,
                      seq_len)
+    carried = [F.col(c) for c in carry_cols]
     # split("") yields [""] (size 1), so emptiness is a text predicate
     return (df.filter(F.length(F.trim(F.col(text_col))) > 0)
-            .select(F.col(id_col).alias("doc_id"),
+            .select(F.col(id_col).alias("doc_id"), *carried,
                     toks.alias("__toks"),
                     F.explode(starts).alias("seq_idx"))
             .select("doc_id", "seq_idx",
                     F.concat_ws(" ", window).alias("seq_text"),
-                    F.size(window).alias("n_tokens"))
+                    F.size(window).alias("n_tokens"), *carry_cols)
             # stride > seq_len can place the last start index past the
             # final token (ceil((n-L)/S)+1 overshoots when S doesn't
             # divide n-L evenly) — an empty window is never a chunk

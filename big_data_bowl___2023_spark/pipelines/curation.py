@@ -23,11 +23,14 @@ a raw document table into packed training shards:
     SemDeDup runs separately on the embeddings table
     (dedup/semantic.py) because it keys on vectors, not text.
 
-Everything stays one lazy Catalyst chain until the export action; the
-returned stats (one count per stage) are the audit record a curation
-run must emit anyway. At 100 TB each stage keeps its own scale
-contract (documented in its module) — the composition adds no new
-shuffles beyond the stages themselves.
+Stages compose as Catalyst chains between PINNED fan-out boundaries
+(session.pin — the scrub input, the dedup survivor sets): a boundary
+consumed by two downstream subtrees materializes once instead of
+re-deriving the whole upstream per consumer. The returned stats (one
+count per stage) are the audit record a curation run must emit
+anyway. At 100 TB each stage keeps its own scale contract
+(documented in its module) — the composition adds no new shuffles
+beyond the stages themselves.
 """
 
 from __future__ import annotations
@@ -50,6 +53,7 @@ from ..functions.redact import redact_documents
 from ..functions import text as Tx
 from ..operators.chunking import chunk_sequences
 from ..operators.sampling import cap_per_group, pack_by_budget
+from ..session import pin
 from ..sources.io import write_jsonl
 
 
@@ -70,11 +74,13 @@ def curation_frame(docs: DataFrame,
                    lang_keep: list | None = None,
                    repetition_rules: bool = False,
                    stage_hook=None) -> DataFrame:
-    """Build the full curation chain LAZILY and return the packed
-    frame (one row per training chunk with its (source, shard)
-    assignment) — no action is run here, so the caller picks the
-    sink: ``curate_and_export`` writes JSONL shards, the bench runs
-    it through the noop sink to time pure compute.
+    """Build the full curation chain and return the packed frame
+    (one row per training chunk with its (source, shard)
+    assignment) — the caller picks the sink: ``curate_and_export``
+    writes JSONL shards, the bench runs it through the noop sink to
+    time pure compute. Fan-out boundaries materialize eagerly at
+    build time (see below); everything between them stays one lazy
+    Catalyst chain.
 
     ``stage_hook(key, frame)``, when given, is called at every stage
     boundary — ``curate_and_export`` uses it for the per-stage audit
@@ -85,16 +91,28 @@ def curation_frame(docs: DataFrame,
     `curation_audit` uses to pin each stage's output so every stage
     evaluates exactly once instead of once per downstream prefix
     (any value-preserving wrap is legal; changing the rows is the
-    hook author's foot-gun)."""
+    hook author's foot-gun).
+
+    Fan-out boundaries consumed by MORE THAN ONE downstream subtree
+    (the scrub input, the exact-dedup output, the near-dup survivor
+    set) are PINNED here (``session.pin``) unless the hook already
+    replaced them: without the pin every consumer re-evaluates the
+    whole upstream chain — the sf0.1 bench plan held 28 parquet
+    scans and 102 exchanges of pure re-derivation (guide §2.4), and
+    at corpus scale each re-derivation is a full extra pass. The
+    pins materialize at plan-build time, so the chain is no longer
+    construction-lazy; it still computes everything from the inputs
+    on every call, and the caller-visible rows are unchanged in
+    every pin-durability mode."""
     def hook(key: str, frame: DataFrame):
         if stage_hook is None:
-            return None, frame
+            return None, frame, False
         r = stage_hook(key, frame)
         if isinstance(r, DataFrame):
-            return None, r
-        return r, frame
+            return None, r, True
+        return r, frame, False
 
-    input_n, docs = hook("input", docs)
+    input_n, docs, _ = hook("input", docs)
 
     if html_input:
         # web-crawl front door (C4 §2.1 / RefinedWeb §3.1): markup +
@@ -104,7 +122,7 @@ def curation_frame(docs: DataFrame,
         # adding zero jobs or shuffles (functions/html.py).
         from ..functions.html import extract_html_text
         docs = docs.withColumn("text", extract_html_text(F.col("text")))
-        _, docs = hook("after_html_extract", docs)
+        _, docs, _ = hook("after_html_extract", docs)
 
     if lang_keep is not None:
         # language gate BEFORE the quality rules (the CCNet /
@@ -114,10 +132,10 @@ def curation_frame(docs: DataFrame,
         # predicate, fused into the same scan as everything else
         docs = docs.filter(Tx.detect_lang(F.col("text"))
                            .isin(list(lang_keep)))
-        _, docs = hook("after_lang_filter", docs)
+        _, docs, _ = hook("after_lang_filter", docs)
 
     quality = gopher_filter(docs, min_words=min_words)
-    _, quality = hook("after_quality", quality)
+    _, quality, _ = hook("after_quality", quality)
 
     if repetition_rules:
         # the aggregation half of the Gopher rule set (A1 top/dup
@@ -126,7 +144,7 @@ def curation_frame(docs: DataFrame,
         # projection gate, before any dedup pays per-doc cost
         from ..functions.gopher import repetition_filter
         quality = repetition_filter(quality)
-        _, quality = hook("after_repetition", quality)
+        _, quality, _ = hook("after_repetition", quality)
 
     if quality_model is not None:
         # learned second gate (functions/quality_model.py): scoring
@@ -134,27 +152,41 @@ def curation_frame(docs: DataFrame,
         quality = model_quality_filter(
             quality, quality_model,
             threshold=quality_model_threshold).drop("quality_prob")
-        _, quality = hook("after_model_quality", quality)
+        _, quality, _ = hook("after_model_quality", quality)
 
     clean = redact_documents(quality)
 
     if line_dedup_min_chars is not None:
         # corpus-wide boilerplate scrub (C4 repeated-span rule) BEFORE
         # exact dedup: stripping shared footers/banners first lets the
-        # whole-text fingerprint see the real content.
+        # whole-text fingerprint see the real content. The scrub
+        # consumes its input twice (stats pass + rewrite pass) — pin
+        # the gate/redaction prefix so both passes read one
+        # materialization instead of re-running the upstream chain.
+        clean = pin(clean)
         clean = remove_repeated_lines(clean,
                                       min_chars=line_dedup_min_chars)
-        _, clean = hook("after_line_dedup", clean)
+        _, clean, _ = hook("after_line_dedup", clean)
 
     deduped = exact_dedup(clean).drop("fingerprint")
-    _, deduped = hook("after_exact_dedup", deduped)
+    _, deduped, replaced = hook("after_exact_dedup", deduped)
+    if not replaced:
+        # fan-out: consumed by the MinHash pair mine AND the survivor
+        # window below
+        deduped = pin(deduped)
 
     pairs = minhash_band_pairs(deduped, jaccard_threshold)
     # keep the longest doc per near-dup cluster (id tiebreak)
     withlen = deduped.withColumn("__len", F.length("text"))
     canon = (canonical_docs(withlen, pairs, prefer_col="__len")
              .drop("__len", "cluster_id"))
-    _, canon = hook("after_near_dedup", canon)
+    _, canon, replaced = hook("after_near_dedup", canon)
+    if not replaced and (overlap_shared is not None
+                        or benchmark is not None):
+        # fan-out: the winnow stage consumes canon for fingerprints
+        # AND the keep-longest window; decontamination consumes it
+        # for the shingle probe AND the anti-join pass-through
+        canon = pin(canon)
 
     if overlap_shared is not None:
         # verbatim-overlap (winnowed fingerprint) dedup: same
@@ -164,28 +196,37 @@ def curation_frame(docs: DataFrame,
         withlen = canon.withColumn("__len", F.length("text"))
         canon = (canonical_docs(withlen, ov, prefer_col="__len")
                  .drop("__len", "cluster_id"))
-        _, canon = hook("after_overlap_dedup", canon)
+        _, canon, replaced = hook("after_overlap_dedup", canon)
+        if not replaced and benchmark is not None:
+            canon = pin(canon)
 
     if benchmark is not None:
         canon = decontaminate(canon, benchmark)
-        _, canon = hook("after_decontamination", canon)
+        _, canon, replaced = hook("after_decontamination", canon)
+        if not replaced and dsir_target is not None:
+            # DSIR consumes its raw side twice (feature pass + the
+            # final selected join)
+            canon = pin(canon)
 
     if dsir_target is not None:
         n_sel = dsir_n_docs or max(
             1, (input_n if input_n is not None else docs.count()) // 2)
         canon = dsir_resample(canon, dsir_target, n_sel) \
             .drop("logw", "key")
-        _, canon = hook("after_dsir_selection", canon)
+        _, canon, _ = hook("after_dsir_selection", canon)
 
     if max_docs_per_source is not None:
         # RefinedWeb-style per-source quota AFTER dedup/selection so
         # the cap counts surviving docs, not raw crawl volume.
         canon = cap_per_group(canon, ["source"], max_docs_per_source)
-        _, canon = hook("after_source_cap", canon)
+        _, canon, _ = hook("after_source_cap", canon)
 
-    chunks = (chunk_sequences(canon, seq_len)
-              .join(canon.select("doc_id", "source"), "doc_id"))
-    _, chunks = hook("chunks", chunks)
+    # `source` rides the chunk explode instead of a join-back against
+    # canon — the join re-evaluated the whole surviving chain once
+    # more just to attach one metadata column (guide §2.4); the
+    # carried column produces the identical rows.
+    chunks = chunk_sequences(canon, seq_len, carry_cols=("source",))
+    _, chunks, _ = hook("chunks", chunks)
 
     return pack_by_budget(chunks, shard_budget, "n_tokens",
                           ["source"], id_col="doc_id")
@@ -202,8 +243,8 @@ def curate_and_export(docs: DataFrame, out_dir: str,
 
     ``lazy_stats=False`` (default) counts after every stage — the
     audit record a curation run must emit anyway, at the cost of one
-    extra job per stage. ``lazy_stats=True`` skips every count so the
-    whole pipeline collapses into the single export action — the
+    extra job per stage. ``lazy_stats=True`` skips every count so
+    only the fan-out boundary pins and the export action run — the
     100 TB mode when the audit comes from the written manifest
     instead."""
     stats: dict = {}
@@ -484,22 +525,31 @@ def curation_sequences(docs: DataFrame, seq_len: int = 2048,
     from ..operators.chunking import assemble_sequences, sequence_manifest
 
     captured: dict = {}
+    # boundaries that can be the curated corpus the manifest reads —
+    # pin them via the replacement protocol (unless the user hook
+    # already replaced), so the manifest consumes a materialization
+    # and the chain's own internal fan-out pins are not duplicated
+    terminal = ("after_source_cap", "after_dsir_selection",
+                "after_decontamination", "after_overlap_dedup",
+                "after_near_dedup")
 
     def capture(key, frame):
+        from ..session import pin
+
         r = stage_hook(key, frame) if stage_hook is not None else None
         # when the user hook exercises the DataFrame-replacement
         # protocol (e.g. a pin-injecting audit hook), the chain runs
         # on the replacement — record THAT frame, or the manifest
         # below would silently re-evaluate the unpinned original
         # (review r11 finding)
+        if not isinstance(r, DataFrame) and key in terminal:
+            r = pin(frame)
         captured[key] = r if isinstance(r, DataFrame) else frame
         return r
 
     curation_frame(docs, stage_hook=capture, **kwargs)
     # the last doc-grain stage that ran is the curated corpus
-    for key in ("after_source_cap", "after_dsir_selection",
-                "after_decontamination", "after_overlap_dedup",
-                "after_near_dedup"):
+    for key in terminal:
         if key in captured:
             canon = captured[key]
             break
