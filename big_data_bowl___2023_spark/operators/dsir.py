@@ -34,8 +34,6 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..dedup.ngram import shingle_docs
-
 def hex_to_int(col: F.Column, n: int) -> F.Column:
     """Hex-string → integer. Spark side uses ``conv``; the DuckDB
     oracle computes the same value with a strpos('0123456789abcdef')
@@ -49,10 +47,23 @@ def hashed_ngram_counts(df: DataFrame, n_hex: int = 3,
                         id_col: str = "doc_id") -> DataFrame:
     """(doc_id, bucket, cnt): unigram + bigram occurrences hashed into
     16^n_hex buckets by md5-hex prefix. Occurrence counts (not
-    distinct) — DSIR features are bag counts."""
-    uni = shingle_docs(df, text_col, id_col, n=1, distinct=False)
-    bi = shingle_docs(df, text_col, id_col, n=2, distinct=False)
-    grams = uni.unionByName(bi)
+    distinct) — DSIR features are bag counts.
+
+    Both gram orders are built from ONE tokenize and exploded from
+    one concatenated array, so the corpus is scanned once — the
+    union-of-two-``shingle_docs`` shape read (and tokenized) it
+    twice for the same multiset of gram rows (guide §2.3: project/
+    derive before the exchange, not per consumer)."""
+    from ..functions import text as Tx
+
+    toks = Tx.tokenize(F.col(text_col))
+    # same slice/zip_with kernel as shingle_docs: n=1 is the token
+    # array itself; n=2 zips the two offset slices
+    g = F.greatest(F.size(toks) - 1, F.lit(0))
+    bi = F.zip_with(F.slice(toks, 1, g), F.slice(toks, 2, g),
+                    lambda a, b: F.concat_ws(" ", a, b))
+    grams = df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(F.concat(toks, bi)).alias("shingle"))
     bucket = F.substring(
         F.md5(F.encode(F.col("shingle"), "UTF-8")), 1, n_hex)
     return (grams.select("doc_id", bucket.alias("bucket"))
@@ -60,15 +71,18 @@ def hashed_ngram_counts(df: DataFrame, n_hex: int = 3,
             .agg(F.count(F.lit(1)).alias("cnt")))
 
 
-def bucket_log_probs(df: DataFrame, n_hex: int = 3, alpha: float = 1.0,
-                     text_col: str = "text",
-                     id_col: str = "doc_id") -> tuple[DataFrame, float]:
-    """Add-alpha-smoothed bucket log-probabilities of a corpus, plus
-    the default log-prob of a bucket with zero observed count. The
-    table has ≤ 16^n_hex rows — broadcast material."""
+def _log_probs_from_counts(counts: DataFrame, n_hex: int,
+                           alpha: float) -> tuple[DataFrame, float]:
+    """(bucket, lp) + zero-count default from a (bucket, n) table.
+    The table (≤ 16^n_hex rows) is PINNED before the eager total:
+    the total and the lp projection both consume it, and without the
+    pin each consumption re-ran the whole upstream gram scan —
+    the eager ``.first()`` here made that a guaranteed full extra
+    corpus pass per model (guide §2.4)."""
+    from ..session import pin
+
+    counts = pin(counts)
     b = 16 ** n_hex
-    counts = (hashed_ngram_counts(df, n_hex, text_col, id_col)
-              .groupBy("bucket").agg(F.sum("cnt").alias("n")))
     total = counts.agg(F.sum("n")).first()[0] or 0
     denom = float(total) + alpha * b
     lp = counts.select(
@@ -77,23 +91,40 @@ def bucket_log_probs(df: DataFrame, n_hex: int = 3, alpha: float = 1.0,
     return lp, math.log(alpha / denom)
 
 
+def bucket_log_probs(df: DataFrame, n_hex: int = 3, alpha: float = 1.0,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> tuple[DataFrame, float]:
+    """Add-alpha-smoothed bucket log-probabilities of a corpus, plus
+    the default log-prob of a bucket with zero observed count. The
+    table has ≤ 16^n_hex rows — broadcast material."""
+    counts = (hashed_ngram_counts(df, n_hex, text_col, id_col)
+              .groupBy("bucket").agg(F.sum("cnt").alias("n")))
+    return _log_probs_from_counts(counts, n_hex, alpha)
+
+
 def importance_weights(raw: DataFrame, target: DataFrame,
                        n_hex: int = 3, alpha: float = 1.0,
                        text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """(doc_id, logw): per-raw-document importance weight
     Σ_buckets cnt·(log p_target − log p_raw). Bucket models are
-    broadcast; the raw corpus incurs exactly one groupBy(doc)
-    shuffle (inside hashed_ngram_counts) plus one more for the
-    final per-doc sum."""
+    broadcast; the raw corpus incurs exactly ONE gram scan + one
+    groupBy(doc, bucket) shuffle: the per-doc feature table is
+    pinned and the raw-side bucket model folds FROM it (a tiny
+    re-aggregation of the pin) instead of re-scanning the corpus —
+    the previous shape ran the gram pass over ``raw`` three times
+    (eager model total, lazy model probabilities, feature pass)."""
+    from ..session import pin
+
+    feats = pin(hashed_ngram_counts(raw, n_hex, text_col, id_col))
+    raw_counts = feats.groupBy("bucket").agg(F.sum("cnt").alias("n"))
     lp_t, def_t = bucket_log_probs(target, n_hex, alpha, text_col, id_col)
-    lp_r, def_r = bucket_log_probs(raw, n_hex, alpha, text_col, id_col)
+    lp_r, def_r = _log_probs_from_counts(raw_counts, n_hex, alpha)
     ratio = (lp_t.withColumnRenamed("lp", "lp_t")
              .join(lp_r.withColumnRenamed("lp", "lp_r"), "bucket", "full")
              .select("bucket",
                      (F.coalesce("lp_t", F.lit(def_t))
                       - F.coalesce("lp_r", F.lit(def_r))).alias("lw")))
-    feats = hashed_ngram_counts(raw, n_hex, text_col, id_col)
     return (feats.join(F.broadcast(ratio), "bucket", "left")
             .groupBy("doc_id")
             .agg(F.sum(F.col("cnt")
