@@ -100,9 +100,24 @@ def fingerprint_overlap_pairs(df: DataFrame, k: int = 3, w: int = 4,
     pair join (boilerplate present in thousands of docs would
     otherwise contribute d² pairs — the ngram.py stopword-shingle
     guard applied to fingerprints)."""
-    fp = (winnow_fingerprints(df, k, w, text_col, id_col)
-          .select("doc_id", "fp").distinct())
+    from ..session import pin
+
+    # The fingerprint set is consumed by up to four subtrees (the
+    # doc-frequency count, its join-back, and BOTH sides of the pair
+    # self-join) — unpinned, each consumption re-ran the k-gram
+    # explode + winnowing window over the full corpus (the sf0.1
+    # plan held 8 scans of pure re-derivation). The pinned table is
+    # (id, 32-hex) rows at ~2/(w+1) of the k-gram count — the
+    # lightweight proxy the guide's worked example materializes
+    # (guide §8): fingerprint once, decide pairs from the pin.
+    fp = pin(winnow_fingerprints(df, k, w, text_col, id_col)
+             .select("doc_id", "fp").distinct())
     if max_doc_freq is not None:
+        # the freq count and its join-back both read the pin; the
+        # filtered result is NOT re-pinned — the self-join sides
+        # re-run only the cheap join-over-pin, and the measured A/B
+        # (sf0.1, interleaved) put a second materialization ~10%
+        # slower than recomputing that join
         freq = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
         fp = (fp.join(freq.filter(F.col("df") <= max_doc_freq), "fp")
                 .select("doc_id", "fp"))
