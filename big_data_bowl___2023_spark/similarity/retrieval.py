@@ -29,11 +29,19 @@ def term_postings(docs: DataFrame, text_col: str = "text",
     tfidf). One explode + two grouped passes; corpus-level scalars
     (N, avgdl) ride along via a broadcast 1-row join instead of a
     driver collect."""
+    from ..session import pin
+
     toks = docs.select(F.col(id_col).alias("doc_id"),
                        F.explode(Tx.norm_tokens(F.col(text_col)))
                         .alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    # tf feeds THREE subtrees (doc lengths, doc frequencies, the
+    # postings join) and dl two more (corpus scalars, join) — pinned,
+    # the corpus token explode + (doc, term) shuffle runs once and
+    # every consumer reads the materialized postings-grain table
+    # (text never re-enters; guide §2.4 / §8's decide-on-the-proxy)
+    tf = pin(toks.groupBy("doc_id", "term")
+             .agg(F.count(F.lit(1)).alias("tf")))
+    dl = pin(tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     corpus = dl.agg(F.count(F.lit(1)).alias("n_docs"),
                     F.avg("dl").alias("avgdl"))

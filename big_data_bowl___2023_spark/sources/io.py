@@ -659,7 +659,16 @@ def read_hidden_parquet(spark: SparkSession, path: str) -> DataFrame:
     fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
     matches = fs.globStatus(jp)
     if matches is not None and len(matches) > 0:
-        return spark.read.parquet(glob)
+        # hand the read the CONCRETE matched files, not the glob
+        # string: FileStreamSink.hasMetadata probes a single read
+        # path literally (getFileStatus on "part-*"), and the miss
+        # logged an 80-line WARN stack per serving call — the same
+        # unattributed-trace family as the bootstrap probes fixed
+        # for the streaming loop (verdict r15 #6). Multiple concrete
+        # paths skip that probe entirely; a single one resolves to a
+        # real file.
+        return spark.read.parquet(
+            *[m.getPath().toString() for m in matches])
     return spark.read.parquet(path)
 
 
