@@ -54,13 +54,18 @@ BUDGETS = {
     "qpipe_epa_comparison": (2, 1),     # per-order agg + median agg;
                                         # orders side broadcasts
     "qpipe_time_to_throw": (1, 0),      # one grouped min/max
-    "curation_e2e": (42, 8),            # whole product composition:
-                                        # measured 39 shuffles / 12
-                                        # broadcasts at sf0.01 — the
-                                        # ceiling catches a stage
-                                        # losing its broadcast or a
-                                        # new shuffle creeping into
-                                        # ANY stage of the chain
+    "curation_e2e": (5, 2),             # r16: the fan-out pins
+                                        # materialize four boundaries
+                                        # (localCheckpoint → Scan
+                                        # ExistingRDD), so the visible
+                                        # terminal plan is the tail
+                                        # segment only: measured 5
+                                        # shuffles / 2 broadcasts at
+                                        # sf0.01. Stage-level shapes
+                                        # behind the pins stay guarded
+                                        # by the plan-fingerprint gate
+                                        # (PLAN_FINGERPRINTS.json,
+                                        # both pin modes).
     "heavy_hitters_lines": (1, 1),      # candidate-only recount: one
                                         # groupBy shuffle, candidates
                                         # broadcast (pass 1 is
