@@ -41,15 +41,32 @@ def flags(text: Column,
           max_symbol_word_frac: float = MAX_SYMBOL_WORD_FRAC,
           min_alpha_word_frac: float = MIN_ALPHA_WORD_FRAC,
           max_dup_line_frac: float = MAX_DUP_LINE_FRAC) -> dict[str, Column]:
-    """rule-name → boolean PASS column (True = keep)."""
-    w = _words(text)
-    n = F.size(w).cast("double")
-    mean_len = F.when(n > 0, F.aggregate(
-        w, F.lit(0), lambda a, t: a + F.length(t)).cast("double") / n)
-    frac = lambda pred: F.when(
-        n > 0, F.size(F.filter(w, pred)).cast("double") / n)
-    symbol_frac = frac(lambda t: t.contains("#") | t.contains("…"))
-    alpha_frac = frac(lambda t: t.rlike("[A-Za-z]"))
+    """rule-name → boolean PASS column (True = keep).
+
+    Word-shape rules are pure codegen regexp_counts (r16; guide
+    §4.1) — the previous interpreted array filters/folds walked the
+    token array once per rule with CodegenFallback lambdas.
+    Equivalence under the single-space ``tokenize``: a non-empty
+    token IS a maximal run of non-space characters, so
+    ``[^ ]+`` counts words; the summed word length is the count of
+    non-space characters (``length`` after deleting spaces); a word
+    containing ``#``/``…`` (or an ASCII letter) is one match of
+    run-prefix + class-char + run-suffix — the ``[^ #…]*`` /
+    ``[^ A-Za-z]*`` prefixes make the first class-char the anchor, so
+    each qualifying word yields exactly one non-overlapping match.
+    Null text → null counts → null flags, coalesced False by every
+    consumer, as before."""
+    n = F.regexp_count(text, F.lit(r"[^ ]+")).cast("double")
+    sum_len = F.length(F.regexp_replace(text, F.lit(" "), F.lit("")))
+    mean_len = F.when(n > 0, sum_len.cast("double") / n)
+    symbol_frac = F.when(
+        n > 0,
+        F.regexp_count(text, F.lit(r"[^ #…]*[#…][^ ]*"))
+        .cast("double") / n)
+    alpha_frac = F.when(
+        n > 0,
+        F.regexp_count(text, F.lit(r"[^ A-Za-z]*[A-Za-z][^ ]*"))
+        .cast("double") / n)
     lines = F.filter(F.split(text, "\n"),
                      lambda line: F.trim(line) != "")
     nl = F.size(lines).cast("double")

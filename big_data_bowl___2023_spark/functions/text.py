@@ -76,19 +76,51 @@ def count_in_set(tokens: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
 
 
+def marker_count(text: Column, words: tuple[str, ...]) -> Column:
+    """``count_in_set(tokenize(text), words)`` as ONE codegen
+    regexp_count instead of an interpreted array traversal (r16,
+    guide §4.1): higher-order ``F.filter`` is CodegenFallback — every
+    call re-splits the text and walks the tokens one interpreted
+    lambda step at a time, and four language scores meant four such
+    walks per row (the hottest expression in the corpus-profile scan,
+    ~1.1 s of a 2.2 s sf0.1 query on detect_lang alone).
+
+    Exact-equivalence argument (the driver hashes depend on it):
+    ``tokenize`` splits on single spaces, so token boundaries are
+    exactly the space characters — a token equals a marker word iff
+    the word appears flanked by space-or-edge. ``(?:\\A| )`` consumes
+    the leading boundary (tokens are disjoint, so consuming one space
+    never hides an adjacent token's boundary: the next token's
+    leading space is its own), and the trailing boundary is a
+    zero-width ``(?=\\z| )`` lookahead. ``\\A``/``\\z`` — NOT ``^``/
+    ``$`` — because Java's ``$`` also matches before a final line
+    terminator, which would count ``"the\\n"`` as a marker token.
+    Alternation order is irrelevant: Java backtracks through
+    alternatives until the lookahead holds. Null text → null, same
+    as ``size(filter(null))``."""
+    import re as _re
+
+    alts = "|".join(_re.escape(w) for w in words)
+    return F.regexp_count(text, F.lit(rf"(?:\A| )(?:{alts})(?=\z| )"))
+
+
 def stopword_ratio(text: Column) -> Column:
-    toks = tokenize(text)
-    n = F.size(toks)
+    n = F.size(tokenize(text))
     return F.when(n > 0,
-                  count_in_set(toks, STOPWORDS) / n.cast("double")
+                  marker_count(text, STOPWORDS) / n.cast("double")
                   ).otherwise(F.lit(0.0))
 
 
 def avg_token_len(text: Column) -> Column:
+    # sum of token lengths == length(text) − (n − 1): splitting on a
+    # single-char separator partitions the string, so the separators
+    # are exactly the n−1 counted-out characters (r16 — replaces an
+    # interpreted O(tokens) F.aggregate fold with O(1) codegen
+    # arithmetic; integer-exact, so the derived doubles are
+    # bit-identical).
     toks = tokenize(text)
     n = F.size(toks)
-    total = F.aggregate(toks, F.lit(0),
-                        lambda acc, t: acc + F.length(t))
+    total = F.length(text) - (n - F.lit(1))
     return F.when(n > 0, total.cast("double") / n.cast("double")
                   ).otherwise(F.lit(0.0))
 
@@ -104,8 +136,7 @@ def quality_score(text: Column) -> Column:
 
 
 def lang_scores(text: Column) -> dict[str, Column]:
-    toks = tokenize(text)
-    return {lang: count_in_set(toks, markers)
+    return {lang: marker_count(text, markers)
             for lang, markers in LANG_MARKERS.items()}
 
 
@@ -161,28 +192,47 @@ def detect_lang(text: Column) -> Column:
     2. Marker-stopword scores for space-delimited languages: highest
        marker count wins, ties broken by fixed language order.
 
-    Zero evidence on both tiers → ``'und'``."""
-    scores = lang_scores(text)
-    best_lang = F.lit("und")
-    best_score = F.lit(0)
-    # Forward iteration with strict > : the first language in
-    # LANG_MARKERS order wins ties (deterministic, oracle-matched).
-    for lang in LANG_MARKERS:
-        s = scores[lang]
-        better = s > best_score
-        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(better, s).otherwise(best_score)
+    Zero evidence on both tiers → ``'und'``.
+
+    Shape (r16): built WHEN-FREE, as array picks + ``F.get`` over
+    always-evaluated subtrees. The previous nested-CASE chain
+    embedded each score subtree in both the condition and the
+    carried best-so-far of every later step — exponential expression
+    duplication that Spark's codegen subexpression elimination cannot
+    collapse (CSE skips conditionally-evaluated CaseWhen branches) —
+    measured 1.7 s vs 0.42 s for this form on the sf0.1 document
+    scan, identical values row-for-row (pytest + driver hash).
+
+    Equivalence notes: ``array_position(scores, array_max(scores))``
+    returns the FIRST index of the maximum — the old forward
+    iteration with strict ``>`` (first language in LANG_MARKERS order
+    wins ties). ``F.get`` is 0-based; index 0 selects the packed
+    ``'und'``/marker fallback, mirroring the old innermost
+    ``otherwise``. Null text: every count is null, both pick indexes
+    coalesce to 0, and the marker element itself degrades to
+    ``'und'`` through the null-propagating ``amax > 0`` — same values
+    the old chain produced."""
+    langs = list(LANG_MARKERS)
+    scores = F.array(*[marker_count(text, LANG_MARKERS[lang])
+                       for lang in langs])
+    amax = F.array_max(scores)
+    pos = F.array_position(scores, amax).cast("int")
+    midx = F.coalesce((amax > 0).cast("int") * pos, F.lit(0))
+    marker_out = F.get(
+        F.array(F.lit("und"), *[F.lit(lang) for lang in langs]), midx)
     sc = script_counts(text)
     n = nonspace_char_count(text)
     den, kana, main = SCRIPT_DEN, SCRIPT_KANA_NUM, SCRIPT_MAIN_NUM
-    out = best_lang
-    # Reverse SCRIPT_RANGES order so the built CASE chain tests ja
-    # first — the LAST .when wrapped is the FIRST evaluated.
-    for s in reversed(SCRIPT_RANGES):
-        num = kana if s == "ja" else main
-        out = F.when((n > 0) & (sc[s] * den >= n * num),
-                     F.lit(s)).otherwise(out)
-    return out
+    # SCRIPT_RANGES dict order IS the check order (ja first): the
+    # pick array's first true element wins, like the old CASE chain.
+    names = list(SCRIPT_RANGES)
+    picks = F.array(*[
+        (n > 0) & (sc[s] * den >= n * (kana if s == "ja" else main))
+        for s in names])
+    sidx = F.coalesce(
+        F.array_position(picks, F.lit(True)).cast("int"), F.lit(0))
+    return F.get(F.concat(F.array(marker_out),
+                          F.array(*[F.lit(s) for s in names])), sidx)
 
 
 def compression_ratio_udf():
