@@ -456,27 +456,31 @@ def corpus_profile(docs: DataFrame, text_col: str = "text",
     run: (source, n_docs, n_tokens, avg_tokens, gopher_pass_rate,
     mean_quality, en_share, compression_p50, exact_dup_rate).
 
-    Two corpus passes regardless of size: ONE aggregation scan computes
-    every per-document signal (token counts, Gopher flags, heuristic
-    quality, language ID, zlib compression ratio) map-side and folds
-    them per source; the exact-duplicate rate adds the standard
+    ONE corpus text pass regardless of size (r16; previously two):
+    a single scan computes every per-document signal (token counts,
+    Gopher flags, heuristic quality, language ID, zlib compression
+    ratio, md5 fingerprint) map-side; the narrow signal table
+    (~9 scalars/doc, no text) is pinned and BOTH aggregates read it —
+    the per-source signal fold, and the exact-duplicate rate's
     fingerprint shuffle (count per md5, docs in shared fingerprints)
-    and joins its tiny per-source tally back broadcast-side. Medians
-    use Spark's exact ``percentile`` (same interpolation DuckDB's
-    quantile_cont applies, so the card is oracle-checkable).
+    whose tiny per-source tally joins back broadcast-side. At corpus
+    scale the pin trades a ~100 B/doc materialization for a second
+    full read+decompress of the text column. Medians use Spark's
+    exact ``percentile`` (same interpolation DuckDB's quantile_cont
+    applies, so the card is oracle-checkable).
     """
-    from ..dedup.exact import fingerprint_docs
     from ..functions.gopher import all_pass
     from ..functions.text import compression_ratio_udf, detect_lang
 
-    enriched = docs.select(
+    enriched = pin(docs.select(
         F.col(source_col).alias("source"),
         Tx.token_count(F.col(text_col)).alias("__tok"),
         all_pass(F.col(text_col)).cast("double").alias("__pass"),
         Tx.quality_score(F.col(text_col)).alias("__q"),
         (detect_lang(F.col(text_col)) == "en")
         .cast("double").alias("__en"),
-        compression_ratio_udf()(F.col(text_col)).alias("__c"))
+        compression_ratio_udf()(F.col(text_col)).alias("__c"),
+        Tx.fingerprint(F.col(text_col)).alias("fingerprint")))
     base = (enriched.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("__tok").alias("n_tokens"),
@@ -489,10 +493,9 @@ def corpus_profile(docs: DataFrame, text_col: str = "text",
 
     from pyspark.sql import Window
 
-    # fingerprint_docs keeps every input column, so source rides
-    # along and no join-back is needed — one fingerprint shuffle total
-    fp = (fingerprint_docs(docs, text_col, id_col)
-          .select(F.col(source_col).alias("source"), "fingerprint"))
+    # the dup-rate pass reads the PINNED signal table — source rides
+    # along, no join-back, and the text column is never re-scanned
+    fp = enriched.select("source", "fingerprint")
     shared = (fp.withColumn(
         "__n", F.count(F.lit(1)).over(Window.partitionBy("fingerprint")))
         .filter(F.col("__n") > 1)
