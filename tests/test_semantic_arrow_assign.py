@@ -69,6 +69,13 @@ def test_semantic_pairs_identical_under_arrow_kernel(spark, sf_dir):
          semantic_dup_pairs(emb, 0.4, dim=64,
                             assign_kernel="arrow").collect()}
     assert a == b and a
+    # r16: the bench extra now runs BOTH corpus-scale kernels —
+    # pin the exact configuration it ships (assign + verify arrow)
+    c = {(r.vec_a, r.vec_b, r.cosine) for r in
+         semantic_dup_pairs(emb, 0.4, dim=64,
+                            assign_kernel="arrow",
+                            verify_kernel="arrow").collect()}
+    assert a == c
 
 
 def test_unknown_kernel_rejected(spark):
