@@ -68,11 +68,23 @@ def _small_star(edges: DataFrame) -> DataFrame:
                .distinct())
 
 
-def _checksum(edges: DataFrame) -> tuple[int, int]:
+def _checksum(edges: DataFrame) -> tuple[int, int, int]:
     row = edges.agg(F.count(F.lit(1)).alias("c"),
+                    F.countDistinct("u").alias("du"),
                     F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0))
                      .alias("h")).collect()[0]
-    return int(row.c), int(row.h)
+    return int(row.c), int(row.du), int(row.h)
+
+
+def _is_star_union(edges: DataFrame) -> bool:
+    """True iff no edge TARGET is also an edge SOURCE (one semi-join
+    over the already-materialized round output). Callers must have
+    established that every source has exactly one edge (count ==
+    distinct-source count, free from :func:`_checksum`)."""
+    return (edges.alias("e")
+                 .join(edges.select("u").alias("s"),
+                       F.col("e.v") == F.col("s.u"), "left_semi")
+                 .isEmpty())
 
 
 def connected_components(pairs: DataFrame, a_col: str = "doc_a",
@@ -81,10 +93,27 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     where component = the minimum node id of its connected component.
 
     Alternates large-star / small-star until the edge set reaches a
-    fixpoint (checked with a count + order-independent hash — one
-    1-row action per round, no driver-side edge materialization).
-    At the fixpoint the edge set is a union of stars: every node
-    points directly at its component root.
+    fixpoint. Two stop tests per round, both over the round's pinned
+    output (no driver-side edge materialization):
+
+    * identity — count + distinct-source count + order-independent
+      hash unchanged from the previous round (one 1-row action);
+    * early star detection (r16) — every round output orients edges
+      root-ward (target < source, see the star lemmas above), so the
+      edge set is a fixpoint as soon as it is a union of DISJOINT
+      stars: every source has exactly one edge (count ==
+      distinct-source count, free from the same 1-row action) and no
+      target is itself a source (one semi-join over the pinned
+      output). Another large-star/small-star round over such a set
+      is the identity — large-star re-emits each (leaf, root), and
+      small-star's inverted minimum is the root itself — so stopping
+      here returns bit-identical components while saving the whole
+      final "confirm nothing changed" round (2 grouped passes + a
+      checkpoint over the edge set, the dominant per-round cost at
+      scale). The test must NOT run on the raw normalized input:
+      pre-round edges are unoriented, and a root listed as a SOURCE
+      — e.g. the single edge (1, 2) — passes the star shape test
+      but is not a fixpoint of the round function.
     """
     edges = pin(_normalize_edges(pairs, a_col, b_col), truncate=True)
     prev = _checksum(edges)
@@ -94,6 +123,8 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
         if cur == prev:
             break
         prev = cur
+        if cur[0] == cur[1] and _is_star_union(edges):
+            break
     roots = edges.select(F.col("u").alias("node"),
                          F.col("v").alias("component"))
     self_rows = roots.select(F.col("component").alias("node"),

@@ -128,3 +128,52 @@ def _group_by_cluster(lab):
     for node, cid in lab.items():
         out.setdefault(cid, []).append(node)
     return out
+
+
+def test_components_early_star_stop_rounds_and_equivalence(spark,
+                                                           monkeypatch):
+    """r16: a round output that is already a union of disjoint stars
+    is a fixpoint (every round orients target < source), so the loop
+    stops WITHOUT the extra confirm-identity round. Pin both the
+    round count and the bit-identical output."""
+    from big_data_bowl___2023_spark.dedup import clusters as CL
+
+    calls = {"n": 0}
+    orig = CL._large_star
+
+    def counted(edges):
+        calls["n"] += 1
+        return orig(edges)
+
+    monkeypatch.setattr(CL, "_large_star", counted)
+
+    # triangle + hub: one round collapses both to stars rooted at
+    # the component min — the early test must fire after round 1
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (10, 12), (10, 13)]
+    got = _spark_components(spark, edges)
+    want = _union_find(sorted({n for e in edges for n in e}), edges)
+    assert got == want
+    assert calls["n"] == 1
+
+    # the star test must NOT shortcut the unoriented INPUT: a single
+    # edge listing the root as the SOURCE shape-checks as a star but
+    # is not a fixpoint of the round function
+    calls["n"] = 0
+    got = _spark_components(spark, [(1, 2)])
+    assert got == {1: 1, 2: 1}
+    assert calls["n"] >= 1
+
+    # seeded random graphs, star-heavy and chain-heavy, node-for-node
+    x = 424242
+    for trial in range(3):
+        es = []
+        for _ in range(40):
+            x = (1103515245 * x + 12345) % (1 << 31)
+            a = x % 60
+            x = (1103515245 * x + 12345) % (1 << 31)
+            b = x % 60
+            if a != b:
+                es.append((a, b))
+        got = _spark_components(spark, es)
+        want = _union_find(sorted({n for e in es for n in e}), es)
+        assert got == want
