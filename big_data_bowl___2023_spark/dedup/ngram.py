@@ -16,6 +16,42 @@ from pyspark.sql import functions as F
 from ..functions import text as Tx
 
 
+def _shingle_chain(toks, n: int):
+    """The slice/zip_with shingle build over an ALREADY-BOUND token
+    array (a lambda variable or plain column reference). Callers go
+    through :func:`shingle_array` — passing a derived expression here
+    re-evaluates it once per reference (~2n times), which is the
+    regression the let-binding exists to prevent."""
+    cols = [F.slice(toks, i + 1, F.greatest(F.size(toks) - n + 1, F.lit(0)))
+            for i in range(n)]
+    sh = cols[0]
+    for c in cols[1:]:
+        sh = F.zip_with(sh, c, lambda a, b: F.concat_ws(" ", a, b))
+    return sh
+
+
+def shingle_array(text, n: int):
+    """array<string> of the text's word n-gram shingles — THE shingle
+    expression every consumer (explode table, map-side overlap probe)
+    composes from. NULL text → NULL; < n tokens → empty array.
+
+    Let-binding (r16, guide §4.1/§4.6): the chain references its token
+    array ~2n times (n slices + their size() guards), and zip_with is
+    CodegenFallback — evaluated interpreted, with NO common-
+    subexpression elimination inside the fallback subtree. Written
+    inline over a derived text expression (e.g. the PII-redaction
+    regexp chain in the streaming curation gate), every one of those
+    references re-evaluated the whole upstream expression per row —
+    measured 2.5x the filter cost at n=8 over the redaction chain.
+    ``transform(array(tokenize(text)), t -> chain(t))`` evaluates the
+    token array ONCE and binds it as a lambda variable; every chain
+    reference then reads the bound value. Values are bit-identical
+    (pytest-pinned, incl. NULL/short-doc edges)."""
+    return F.element_at(
+        F.transform(F.array(Tx.tokenize(text)),
+                    lambda t: _shingle_chain(t, n)), 1)
+
+
 def shingle_docs(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", n: int = 2,
                  distinct: bool = True) -> DataFrame:
@@ -25,14 +61,9 @@ def shingle_docs(df: DataFrame, text_col: str = "text",
     ``distinct=False`` skips the dedup exchange for consumers whose
     aggregates are duplicate-insensitive (min-hash) or that dedup in
     the same shuffle (collect_set)."""
-    toks = Tx.tokenize(F.col(text_col))
-    cols = [F.slice(toks, i + 1, F.greatest(F.size(toks) - n + 1, F.lit(0)))
-            for i in range(n)]
-    sh = cols[0]
-    for c in cols[1:]:
-        sh = F.zip_with(sh, c, lambda a, b: F.concat_ws(" ", a, b))
     out = df.select(F.col(id_col).alias("doc_id"),
-                    F.explode(sh).alias("shingle"))
+                    F.explode(shingle_array(F.col(text_col), n))
+                     .alias("shingle"))
     return out.distinct() if distinct else out
 
 

@@ -56,14 +56,22 @@ def hashed_ngram_counts(df: DataFrame, n_hex: int = 3,
     derive before the exchange, not per consumer)."""
     from ..functions import text as Tx
 
-    toks = Tx.tokenize(F.col(text_col))
     # same slice/zip_with kernel as shingle_docs: n=1 is the token
-    # array itself; n=2 zips the two offset slices
-    g = F.greatest(F.size(toks) - 1, F.lit(0))
-    bi = F.zip_with(F.slice(toks, 1, g), F.slice(toks, 2, g),
-                    lambda a, b: F.concat_ws(" ", a, b))
+    # array itself; n=2 zips the two offset slices. Let-bound like
+    # dedup.ngram.shingle_array (r16): the chain references the token
+    # array 5x, zip_with is CodegenFallback (no CSE inside the
+    # fallback subtree), so binding tokenize(text) as a lambda
+    # variable evaluates it once per row instead of five times.
+    def _grams(t):
+        g = F.greatest(F.size(t) - 1, F.lit(0))
+        bi = F.zip_with(F.slice(t, 1, g), F.slice(t, 2, g),
+                        lambda a, b: F.concat_ws(" ", a, b))
+        return F.concat(t, bi)
+
+    both = F.element_at(
+        F.transform(F.array(Tx.tokenize(F.col(text_col))), _grams), 1)
     grams = df.select(F.col(id_col).alias("doc_id"),
-                      F.explode(F.concat(toks, bi)).alias("shingle"))
+                      F.explode(both).alias("shingle"))
     bucket = F.substring(
         F.md5(F.encode(F.col("shingle"), "UTF-8")), 1, n_hex)
     return (grams.select("doc_id", bucket.alias("bucket"))

@@ -128,3 +128,57 @@ def test_gopher_flags_match_interpreted_filters(spark):
     new = G.flags(txt)
     _assert_all_equal(_frame(spark),
                       [(old[k], new[k]) for k in old])
+
+
+def test_shingle_array_letbind_matches_inline_chain(spark):
+    """r16: `dedup.ngram.shingle_array` binds the token array once
+    (transform(array(tokenize(text)), t -> chain(t))) instead of
+    evaluating tokenize per chain reference. Values must stay
+    bit-identical to the original inline slice/zip_with chain for
+    every n the engine uses (2 = minhash/jaccard, 8 = decon),
+    including NULL text (NULL array) and < n tokens (empty array)."""
+    from big_data_bowl___2023_spark.dedup.ngram import shingle_array
+
+    txt = F.col("text")
+
+    def inline_chain(n):
+        toks = Tx.tokenize(txt)
+        cols = [F.slice(toks, i + 1,
+                        F.greatest(F.size(toks) - n + 1, F.lit(0)))
+                for i in range(n)]
+        sh = cols[0]
+        for c in cols[1:]:
+            sh = F.zip_with(sh, c, lambda a, b: F.concat_ws(" ", a, b))
+        return sh
+
+    _assert_all_equal(_frame(spark),
+                      [(inline_chain(n), shingle_array(txt, n))
+                       for n in (1, 2, 3, 8)])
+
+
+def test_dsir_gram_letbind_matches_union_of_orders(spark):
+    """r16: the let-bound unigram+bigram array in
+    `dsir.hashed_ngram_counts` must emit exactly the multiset the
+    two-order union emitted (bag counts — DSIR features)."""
+    from big_data_bowl___2023_spark.operators.dsir import (
+        hashed_ngram_counts,
+    )
+
+    df = _frame(spark).withColumn(
+        "doc_id", F.monotonically_increasing_id())
+    got = hashed_ngram_counts(df).orderBy("doc_id", "bucket")
+
+    toks = Tx.tokenize(F.col("text"))
+    g = F.greatest(F.size(toks) - 1, F.lit(0))
+    bi = F.zip_with(F.slice(toks, 1, g), F.slice(toks, 2, g),
+                    lambda a, b: F.concat_ws(" ", a, b))
+    grams = df.select("doc_id",
+                      F.explode(F.concat(toks, bi)).alias("shingle"))
+    bucket = F.substring(
+        F.md5(F.encode(F.col("shingle"), "UTF-8")), 1, 3)
+    want = (grams.select("doc_id", bucket.alias("bucket"))
+            .groupBy("doc_id", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy("doc_id", "bucket"))
+    assert [r.asDict() for r in got.collect()] \
+        == [r.asDict() for r in want.collect()]
