@@ -146,6 +146,10 @@ def test_components_early_star_stop_rounds_and_equivalence(spark,
         return orig(edges)
 
     monkeypatch.setattr(CL, "_large_star", counted)
+    # force the DISTRIBUTED tier: this test pins the star LOOP's
+    # round behavior, which the r16 small-graph driver tier would
+    # otherwise bypass entirely at these edge counts
+    monkeypatch.setattr(CL, "DRIVER_EDGE_BOUND", -1)
 
     # triangle + hub: one round collapses both to stars rooted at
     # the component min — the early test must fire after round 1
@@ -177,3 +181,52 @@ def test_components_early_star_stop_rounds_and_equivalence(spark,
         got = _spark_components(spark, es)
         want = _union_find(sorted({n for e in es for n in e}), es)
         assert got == want
+
+
+def test_components_driver_tier_matches_star_loop(spark, monkeypatch):
+    """r16: the size-gated driver union-find tier must return
+    bit-identical (node, component) rows to the distributed star
+    loop — same graphs through both tiers, long AND string ids,
+    including the empty edge set."""
+    from big_data_bowl___2023_spark.dedup import clusters as CL
+
+    graphs = [
+        [(1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (5, 7), (4, 5),
+         (10, 11), (10, 12), (10, 13)],          # chain+triangle+star
+        [(1, 2)],
+        [(2, 1), (3, 2), (4, 3)],                # reversed chain
+        [],
+    ]
+    x = 999331
+    for _ in range(2):                           # seeded random mixes
+        es = []
+        for _ in range(60):
+            x = (1103515245 * x + 12345) % (1 << 31)
+            a = x % 50
+            x = (1103515245 * x + 12345) % (1 << 31)
+            b = x % 50
+            if a != b:
+                es.append((a, b))
+        graphs.append(es)
+
+    for edges in graphs:
+        pairs = spark.createDataFrame(edges, "doc_a: long, doc_b: long")
+        got_driver = sorted(
+            (r.node, r.component)
+            for r in dd.connected_components(pairs).collect())
+        monkeypatch.setattr(CL, "DRIVER_EDGE_BOUND", -1)
+        got_loop = sorted(
+            (r.node, r.component)
+            for r in dd.connected_components(pairs).collect())
+        monkeypatch.setattr(CL, "DRIVER_EDGE_BOUND", 100_000)
+        assert got_driver == got_loop
+
+    # string ids: binary-vs-codepoint ordering must agree on min-roots
+    sedges = [("b", "a"), ("c", "b"), ("zz", "z"), ("Z", "a9")]
+    pairs = spark.createDataFrame(sedges, "doc_a: string, doc_b: string")
+    got_driver = sorted((r.node, r.component)
+                        for r in dd.connected_components(pairs).collect())
+    monkeypatch.setattr(CL, "DRIVER_EDGE_BOUND", -1)
+    got_loop = sorted((r.node, r.component)
+                      for r in dd.connected_components(pairs).collect())
+    assert got_driver == got_loop
