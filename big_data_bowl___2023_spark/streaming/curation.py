@@ -51,7 +51,6 @@ from ..dedup.bloom import (
 )
 from ..dedup.decontaminate import DEFAULT_NGRAM
 from ..dedup.ngram import shingle_docs
-from ..functions.gopher import gopher_filter
 from ..functions.quality_model import model_quality_filter
 from ..functions.redact import redact_documents
 from ..session import pin
@@ -138,8 +137,6 @@ def stream_decontaminate(docs: DataFrame,
     pass when per-item thresholds matter."""
     from pyspark.sql import Column
 
-    from ..dedup.ngram import shingle_array
-
     if isinstance(bench_shingles, Column):
         # a pre-built literal array (see bench_shingle_array): Column
         # expressions are plan-independent, so a long-lived caller
@@ -152,6 +149,20 @@ def stream_decontaminate(docs: DataFrame,
         if not bench_shingles:
             return docs
         bench_arr = F.array(*[F.lit(s) for s in bench_shingles])
+    return docs.filter(
+        stream_decon_condition(bench_arr, n, min_overlap, text_col))
+
+
+def stream_decon_condition(bench_arr: "Column", n: int = DEFAULT_NGRAM,
+                           min_overlap: int = 1,
+                           text_col: str = "text") -> "Column":
+    """The decontamination KEEP predicate as a reusable Column —
+    plan-independent like the benchmark literal, so a long-lived
+    caller (the ingest loop) builds it once per loop instead of per
+    micro-batch (the shingle_array lambda conversion alone costs
+    ~0.1 s of driver py4j per build)."""
+    from ..dedup.ngram import shingle_array
+
     sh = shingle_array(F.col(text_col), n)
     if min_overlap == 1:
         # "shares >= 1 distinct shingle" is exactly arrays_overlap —
@@ -161,11 +172,9 @@ def stream_decontaminate(docs: DataFrame,
         # measured ~40% off the filter's scan time at a 2.1k-shingle
         # benchmark with identical survivors. NULL text stays kept
         # via the same coalesce (overlap of a NULL array is NULL).
-        return docs.filter(
-            F.coalesce(~F.arrays_overlap(sh, bench_arr), F.lit(True)))
+        return F.coalesce(~F.arrays_overlap(sh, bench_arr), F.lit(True))
     n_shared = F.size(F.array_intersect(sh, bench_arr))
-    return docs.filter(
-        F.coalesce(n_shared < min_overlap, F.lit(True)))
+    return F.coalesce(n_shared < min_overlap, F.lit(True))
 
 
 def _stream_batch_audit(batch_df: DataFrame,
@@ -343,6 +352,11 @@ def make_curation_ingest_batch_fn(out_dir: str, index_dir: str,
     # 2k-element literal costs ~1.2 s of driver py4j time per batch.
     # ``None`` = not yet computed; ``[]`` = computed and empty.
     bench_shingle_cache: list = [None]
+    # per-loop Column cache (curate_document_stream's ``expr_cache``):
+    # the gate expressions depend only on this factory's constant
+    # arguments, so batches after the first reuse the built Columns
+    # instead of re-paying the py4j construction per micro-batch
+    expr_cache: dict = {}
 
     def _bench_shingles():
         if benchmark is None:
@@ -464,7 +478,8 @@ def make_curation_ingest_batch_fn(out_dir: str, index_dir: str,
                 history_bloom=history_bloom,
                 broadcast_handle=probe_bcs,
                 html_input=html_input, lang_keep=lang_keep,
-                stage_hook=capture if audit_dir is not None else None)
+                stage_hook=capture if audit_dir is not None else None,
+                expr_cache=expr_cache)
             curated = pin(curated, truncate=True)
             # renew-or-abort immediately before the batch's first
             # durable write (verdict r11 #1): a batch stalled past
@@ -530,7 +545,8 @@ def curate_document_stream(stream_docs: DataFrame,
                            html_input: bool = False,
                            lang_keep: list | None = None,
                            stage_hook=None,
-                           bench_shingles: list[str] | None = None
+                           bench_shingles: list[str] | None = None,
+                           expr_cache: dict | None = None
                            ) -> DataFrame:
     """The stream-safe curation stages composed over a document
     stream (or a batch frame — every stage is trigger-agnostic):
@@ -562,12 +578,37 @@ def curate_document_stream(stream_docs: DataFrame,
     REPLACES the boundary in-chain (so an audit capture can pin each
     boundary and the chain evaluates once). Hooks that pin are for
     BATCH frames (foreachBatch / backfills) — a hook on a genuine
-    readStream frame must stay lazy."""
+    readStream frame must stay lazy.
+
+    ``expr_cache`` — an optional caller-owned dict the gate Columns
+    are memoized into (r16): the predicates/projections built here
+    are plan-independent and loop-constant, so a foreachBatch caller
+    passes one dict per loop and pays their py4j construction once
+    instead of per micro-batch. Must be dropped if any constructor
+    argument changes; ``make_curation_ingest_batch_fn`` scopes one
+    per loop."""
     def hook(key: str, frame: DataFrame) -> DataFrame:
         if stage_hook is None:
             return frame
         r = stage_hook(key, frame)
         return r if r is not None else frame
+
+    def expr(key, build):
+        # ``expr_cache`` (r16): gate predicates/projections are plan-
+        # independent Column expressions whose only inputs are the
+        # loop-constant arguments, but BUILDING them costs driver
+        # py4j round trips per F.* call (~0.23 s/chain; the
+        # shingle-lambda conversion alone ~0.1 s). A long-lived
+        # caller passes one dict per loop and every micro-batch after
+        # the first reuses the built Columns — the same once-per-loop
+        # hoist as the benchmark-shingle literal. One-shot callers
+        # pass nothing and build fresh, same expressions either way.
+        if expr_cache is None:
+            return build()
+        col = expr_cache.get(key)
+        if col is None:
+            col = expr_cache[key] = build()
+        return col
 
     out = hook("stream_input", stream_docs)
     if html_input:
@@ -577,17 +618,27 @@ def curate_document_stream(stream_docs: DataFrame,
         # loop pointed at raw crawl pages curates prose, not tag soup
         from ..functions.html import extract_html_text
         out = hook("after_html_extract",
-                   out.withColumn("text",
-                                  extract_html_text(F.col("text"))))
+                   out.withColumn("text", expr(
+                       "html_extract",
+                       lambda: extract_html_text(F.col("text")))))
     if lang_keep is not None:
         # language gate before quality (CCNet order) — a pure
         # codegen predicate, stream-safe like every other gate here
         from ..functions.text import detect_lang
         out = hook("after_lang_filter",
-                   out.filter(detect_lang(F.col("text"))
-                              .isin(list(lang_keep))))
+                   out.filter(expr(
+                       "lang_keep",
+                       lambda: detect_lang(F.col("text"))
+                       .isin(list(lang_keep)))))
+    # filter(all_pass) is row- and column-identical to gopher_filter
+    # (whose flag projections exist only to be pruned again); the
+    # direct predicate makes the gate a cacheable Column
+    from ..functions.gopher import all_pass as gopher_all_pass
     out = hook("after_gopher",
-               gopher_filter(out, min_words=min_words))
+               out.filter(expr(
+                   "gopher_pass",
+                   lambda: gopher_all_pass(F.col("text"),
+                                           min_words=min_words))))
     if quality_model is not None:
         out = hook("after_model_quality", model_quality_filter(
             out, quality_model,
@@ -595,7 +646,10 @@ def curate_document_stream(stream_docs: DataFrame,
     # rewrites text, never drops — the boundary exists so an audit
     # hook can capture the POST-redaction text the dedup fingerprint
     # keys on (no reason label; it can never be a dropping stage)
-    out = hook("after_redaction", redact_documents(out))
+    from ..functions.redact import redact_text
+    out = hook("after_redaction",
+               out.withColumn("text", expr(
+                   "redact", lambda: redact_text(F.col("text")))))
     if benchmark is not None:
         # ``bench_shingles`` lets a long-lived caller (the ingest
         # loop) collect the benchmark's shingle set once and reuse it
@@ -606,9 +660,20 @@ def curate_document_stream(stream_docs: DataFrame,
             else benchmark_shingle_set(
                 benchmark, decontaminate_n, bench_text_col,
                 bench_id_col)
-        out = hook("after_decontamination",
-                   stream_decontaminate(out, shingles,
-                                        decontaminate_n, min_overlap))
+        from pyspark.sql import Column
+
+        if isinstance(shingles, Column):
+            out = hook("after_decontamination", out.filter(expr(
+                "decon_keep",
+                lambda: stream_decon_condition(
+                    shingles, decontaminate_n, min_overlap))))
+        elif shingles:
+            out = hook("after_decontamination",
+                       stream_decontaminate(out, shingles,
+                                            decontaminate_n,
+                                            min_overlap))
+        else:
+            out = hook("after_decontamination", out)
     if ts_col is not None and dedup_delay is not None:
         out = hook("after_stream_dedup",
                    incremental_dedup_watermarked(out, ts_col,
