@@ -74,3 +74,30 @@ def test_benchmark_side_is_broadcast(spark, sf_dir):
     plan = contamination_report(
         docs, bench, n=8)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_min_overlap_1_fast_path_matches_report_path(spark, sf_dir):
+    """r16: the semi-join fast path in contaminated_doc_ids must flag
+    exactly the docs the per-pair report path flags at min_overlap=1
+    — same corpus, same benchmark, row-for-row."""
+    from pyspark.sql import functions as F
+
+    from big_data_bowl___2023_spark.dedup.decontaminate import (
+        contaminated_doc_ids,
+        contamination_report,
+    )
+    from big_data_bowl___2023_spark.sources.io import load_table
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.regexp_replace("text", " merge ", "\n")
+                    .alias("text")))
+    benchmark = (docs.filter(F.col("doc_id") % 97 == 0)
+                 .select(F.col("doc_id").alias("bench_id"), "text"))
+    fast = sorted(r.doc_id for r in
+                  contaminated_doc_ids(docs, benchmark).collect())
+    want = sorted(r.doc_id for r in
+                  contamination_report(docs, benchmark, min_overlap=1)
+                  .select("doc_id").distinct().collect())
+    assert fast == want
+    assert len(fast) > 0        # the fixture corpus must exercise it
