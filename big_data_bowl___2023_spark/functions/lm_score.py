@@ -28,11 +28,19 @@ ADD_K = 0.5
 
 
 def _bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    # let-bound like dedup.ngram.shingle_array (r16): the chain
+    # references the token array 5x and zip_with is CodegenFallback
+    # (no CSE inside the fallback subtree), so the tokenize+filter
+    # tree is bound once as a lambda variable instead of being
+    # re-evaluated per reference per row
+    def _pairs(t):
+        g = F.greatest(F.size(t) - 1, F.lit(0))
+        return F.zip_with(
+            F.slice(t, 1, g), F.slice(t, 2, g),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+
     toks = F.filter(tokenize(F.col(text_col)), lambda t: t != "")
-    grams = F.zip_with(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    grams = F.element_at(F.transform(F.array(toks), _pairs), 1)
     return (df.select(F.col(id_col).alias("doc_id"),
                       F.explode(grams).alias("g"))
             .select("doc_id", "g.w1", "g.w2"))

@@ -42,14 +42,20 @@ from ..functions import text as Tx
 def bigram_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(left, right, n): adjacent normalized-word pair counts, formed
     map-side per document (one shuffle, keyed by the pair)."""
+    # let-bound like dedup.ngram.shingle_array (r16): norm_tokens is
+    # a 4-step chain the zip/slice/size references would otherwise
+    # re-evaluate 4x per row inside the CodegenFallback subtree
+    def _pairs(t):
+        return F.filter(
+            F.zip_with(t,
+                       F.slice(t, 2, F.greatest(F.size(t) - 1,
+                                                F.lit(0))),
+                       lambda a, b: F.struct(a.alias("left"),
+                                             b.alias("right"))),
+            lambda p: p["right"].isNotNull())
+
     toks = Tx.norm_tokens(F.col(text_col))
-    pairs = F.filter(
-        F.zip_with(toks,
-                   F.slice(toks, 2, F.greatest(F.size(toks) - 1,
-                                               F.lit(0))),
-                   lambda a, b: F.struct(a.alias("left"),
-                                         b.alias("right"))),
-        lambda p: p["right"].isNotNull())
+    pairs = F.element_at(F.transform(F.array(toks), _pairs), 1)
     return (docs.select(F.explode(pairs).alias("p"))
             .select(F.col("p.left").alias("left"),
                     F.col("p.right").alias("right"))
