@@ -180,8 +180,16 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     """
     edges = pin(_normalize_edges(pairs, a_col, b_col), truncate=True)
     prev = _checksum(edges)
+    # the driver tier needs Python's ordering to agree with Spark's
+    # min/least semantics — guaranteed for integral and (binary-
+    # collated) string ids, the only id families the dedup stages
+    # emit; anything else (e.g. double ids, where NaN orders
+    # differently) stays on the distributed loop
+    _dt = (T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+           T.StringType)
     if (prev[0] <= DRIVER_EDGE_BOUND
-            and edges.schema[0].dataType == edges.schema[1].dataType):
+            and edges.schema[0].dataType == edges.schema[1].dataType
+            and isinstance(edges.schema[0].dataType, _dt)):
         return _driver_components(edges)
     for _ in range(MAX_ROUNDS):
         edges = pin(_small_star(_large_star(edges)), truncate=True)
