@@ -181,15 +181,21 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     edges = pin(_normalize_edges(pairs, a_col, b_col), truncate=True)
     prev = _checksum(edges)
     # the driver tier needs Python's ordering to agree with Spark's
-    # min/least semantics — guaranteed for integral and (binary-
-    # collated) string ids, the only id families the dedup stages
-    # emit; anything else (e.g. double ids, where NaN orders
-    # differently) stays on the distributed loop
-    _dt = (T.LongType, T.IntegerType, T.ShortType, T.ByteType,
-           T.StringType)
+    # min/least semantics — guaranteed for integral and BINARY-
+    # collated string ids, the only id families the dedup stages
+    # emit; anything else stays on the distributed loop. Strings are
+    # gated by EXACT type equality, not isinstance (ADVICE r16): on
+    # Spark 4.x a collation-tagged StringType (e.g. UTF8_LCASE) is
+    # still a StringType instance, but its min/least uses collation
+    # order while Python compares code points — so only the default
+    # binary collation qualifies. Doubles stay distributed too (NaN
+    # orders differently).
+    _int_dt = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+    _id_dt = edges.schema[0].dataType
     if (prev[0] <= DRIVER_EDGE_BOUND
-            and edges.schema[0].dataType == edges.schema[1].dataType
-            and isinstance(edges.schema[0].dataType, _dt)):
+            and _id_dt == edges.schema[1].dataType
+            and (isinstance(_id_dt, _int_dt)
+                 or _id_dt == T.StringType())):
         return _driver_components(edges)
     for _ in range(MAX_ROUNDS):
         edges = pin(_small_star(_large_star(edges)), truncate=True)

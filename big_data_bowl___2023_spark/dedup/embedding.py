@@ -171,13 +171,28 @@ def _verify_exact(v: DataFrame, cand: DataFrame,
     return joined.mapInPandas(verify, _OUT_SCHEMA)
 
 
+def _gather_eligible(v: DataFrame, n_vectors: int | None,
+                     gather_ceiling: int = GATHER_CEILING_ROWS) -> bool:
+    """The prefilter's "auto" gather decision, exposed so an entry
+    point that wants the gathered matrix for MORE than the screen
+    (r17: the LSH path derives its centering mean from it) can make
+    the same call once and share the broadcast."""
+    if not isinstance(v.schema["id"].dataType,
+                      (T.LongType, T.IntegerType, T.ShortType,
+                       T.ByteType)):
+        return False
+    if n_vectors is None:
+        n_vectors = v.count()
+    return n_vectors <= gather_ceiling
+
+
 def _np_prefilter(v: DataFrame, cand: DataFrame,
                   threshold: float,
                   broadcast_vectors: bool | str = False,
                   broadcast_handle: list | None = None,
                   n_vectors: int | None = None,
-                  gather_ceiling: int = GATHER_CEILING_ROWS
-                  ) -> DataFrame:
+                  gather_ceiling: int = GATHER_CEILING_ROWS,
+                  gathered=None) -> DataFrame:
     """Vectorized candidate screening: evaluate every candidate
     pair's dot per Arrow batch with one einsum — keeps the
     interpreted fold off the (possibly large) candidate set; only
@@ -226,25 +241,28 @@ def _np_prefilter(v: DataFrame, cand: DataFrame,
     ``broadcast_handle``: a caller-owned list the gather broadcast is
     appended to, so loops (the streaming ingest) can unpersist it
     eagerly after the batch's actions instead of leaving O(corpus)
-    broadcast blocks to GC — the streaming/curation.py convention."""
+    broadcast blocks to GC — the streaming/curation.py convention.
+
+    ``gathered``: a CALLER-BUILT broadcast of the
+    ``gather_unit_matrix`` triple (r17) — forces gather mode and
+    skips the collect here, so an entry point that already gathered
+    the table (e.g. for the centering mean) never gathers twice. The
+    caller owns that broadcast's lifetime."""
     import numpy as np
 
     cut = threshold - _PREFILTER_MARGIN
 
-    if broadcast_vectors == "auto":
-        if not isinstance(v.schema["id"].dataType,
-                          (T.LongType, T.IntegerType, T.ShortType,
-                           T.ByteType)):
-            broadcast_vectors = False
-        else:
-            if n_vectors is None:
-                n_vectors = v.count()
-            broadcast_vectors = n_vectors <= gather_ceiling
+    if gathered is not None:
+        broadcast_vectors = True
+    elif broadcast_vectors == "auto":
+        broadcast_vectors = _gather_eligible(v, n_vectors,
+                                             gather_ceiling)
 
     if broadcast_vectors:
-        bc = v.sparkSession.sparkContext.broadcast(
-            V.gather_unit_matrix(v))
-        if broadcast_handle is not None:
+        bc = gathered if gathered is not None else \
+            v.sparkSession.sparkContext.broadcast(
+                V.gather_unit_matrix(v))
+        if broadcast_handle is not None and gathered is None:
             broadcast_handle.append(bc)
 
         def dots_gather(batches: Iterator[pd.DataFrame]
@@ -420,7 +438,8 @@ def scaled_n_planes(n: int, target_bucket: int = 32) -> int:
 def lsh_candidate_pairs(v: DataFrame, dim: int, n_tables: int,
                         n_planes: int,
                         max_bucket: int | None = None,
-                        center: bool = False) -> DataFrame:
+                        center: bool = False,
+                        mu: list | None = None) -> DataFrame:
     """Distinct id pairs colliding in ≥ 1 signature table.
 
     Signatures for all tables are computed in ONE Arrow pass (a
@@ -441,7 +460,11 @@ def lsh_candidate_pairs(v: DataFrame, dim: int, n_tables: int,
     positive-orthant corpora (e.g. [0,1] media statistic features),
     where uncentered signatures degenerate toward a handful of hot
     sign patterns; a no-op-cost choice for zero-mean embeddings.
-    Costs one extra aggregate job (dim floats to the driver)."""
+    Costs one extra aggregate job (dim floats to the driver) unless
+    the caller already holds the mean — ``mu`` (r17) skips the
+    aggregate and uses the given per-dimension corpus mean (the LSH
+    entry point derives it from the gathered unit matrix it collects
+    for the candidate screen anyway)."""
     import numpy as np
 
     planes = make_tables(dim, n_tables, n_planes)
@@ -449,8 +472,9 @@ def lsh_candidate_pairs(v: DataFrame, dim: int, n_tables: int,
         n_tables * n_planes, dim)
     off = np.zeros(n_tables * n_planes, dtype=np.float64)
     if center:
-        mu = np.asarray(mean_unit_vector(v, dim), dtype=np.float64)
-        off = S @ mu                               # (T*P,)
+        if mu is None:
+            mu = mean_unit_vector(v, dim)
+        off = S @ np.asarray(mu, dtype=np.float64)   # (T*P,)
 
     sig_schema = T.StructType([
         T.StructField("id", T.LongType()),
@@ -525,17 +549,50 @@ def cosine_near_dup_pairs_lsh(df: DataFrame, threshold: float,
     such as media statistic features; precision stays 1.0 either way
     (verification is exact on the original space), only candidate
     recall changes."""
+    import numpy as np
+
     v = pin(_normalized(df, vec_col, id_col))
     n = None
     if n_planes is None:
         n = v.count()
         n_planes = scaled_n_planes(n, target_bucket)
+    # gather ONCE for everything below (r17, guide §1.2): when the
+    # screen's "auto" decision would gather the unit matrix anyway,
+    # build that broadcast up front and reuse it — the centering mean
+    # falls out of the matrix for free (np mean over id-sorted rows:
+    # deterministic; agrees with the Spark/DuckDB aggregate to float-
+    # summation order, the same far-from-boundary premise every
+    # cross-engine mean in this family already rests on), removing
+    # the per-call 64-expression aggregate job. Past the ceiling (or
+    # for non-integer ids / forced modes) the Spark aggregate and the
+    # screen's own mode logic run exactly as before.
+    gathered = None
+    mu = None
+    if prefilter_broadcast == "auto":
+        if n is None:
+            n = v.count()
+    if prefilter_broadcast == "auto" and _gather_eligible(v, n):
+        gathered = v.sparkSession.sparkContext.broadcast(
+            V.gather_unit_matrix(v))
+        if center:
+            sids, perm, mat = gathered.value
+            mu = ([float(x) for x in np.mean(mat[perm], axis=0)]
+                  if len(sids) else [0.0] * dim)
     cand = lsh_candidate_pairs(v, dim, n_tables, n_planes, max_bucket,
-                               center=center)
+                               center=center, mu=mu)
     survivors = _np_prefilter(v, cand, threshold,
                               broadcast_vectors=prefilter_broadcast,
-                              n_vectors=n)
-    return _verify_exact(v, survivors, threshold, kernel=verify_kernel)
+                              n_vectors=n, gathered=gathered)
+    # broadcast_candidates=False (r17): the prefilter survivors feed
+    # exactly ONE join chain, so "auto"'s pin + count jobs buy nothing
+    # here (the same round-7 evidence as cosine_near_dup_pairs — +18%
+    # on that bench query); AQE's runtime stats make the small-side
+    # broadcast decision for free, and on a mass-dup corpus
+    # (survivors ~output-sized) the AQE shuffle join degrades
+    # gracefully where a forced broadcast would OOM.
+    return _verify_exact(v, survivors, threshold,
+                         broadcast_candidates=False,
+                         kernel=verify_kernel)
 
 
 def cosine_pairs_allpairs_fold(df: DataFrame, threshold: float,

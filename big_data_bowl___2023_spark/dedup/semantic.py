@@ -299,7 +299,14 @@ def pairs_with_centroids(df: DataFrame, cents: list, threshold: float,
                               broadcast_vectors=prefilter_broadcast,
                               broadcast_handle=broadcast_handle,
                               n_vectors=n)
-    return _verify_exact(u, survivors, threshold, kernel=verify_kernel)
+    # broadcast_candidates=False (r17): the screen's survivors feed
+    # exactly ONE join chain — "auto"'s pin + count jobs buy nothing
+    # (round-7 evidence, see cosine_near_dup_pairs); AQE makes the
+    # same broadcast decision from runtime stats and degrades to a
+    # shuffle join on a mass-dup corpus instead of OOMing.
+    return _verify_exact(u, survivors, threshold,
+                         broadcast_candidates=False,
+                         kernel=verify_kernel)
 
 
 def keep_min_per_component(df: DataFrame, pairs: DataFrame,

@@ -593,6 +593,28 @@ def curate_document_stream(stream_docs: DataFrame,
         r = stage_hook(key, frame)
         return r if r is not None else frame
 
+    if expr_cache is not None:
+        # config fingerprint (ADVICE r16): the cached Columns are only
+        # valid for the constructor arguments they were built from —
+        # a dict shared across differing configs would silently filter
+        # with stale predicates. The fingerprint is stored on first
+        # use and mismatched reuse fails loudly. Column-typed
+        # bench_shingles participate by object identity: the literal
+        # array is built once per loop and reused (the id is stable
+        # exactly as long as the cache should be).
+        _fp = (min_words, tuple(lang_keep) if lang_keep is not None
+               else None, decontaminate_n, min_overlap,
+               bool(html_input),
+               id(bench_shingles)
+               if not isinstance(bench_shingles, (list, type(None)))
+               else None)
+        seen = expr_cache.setdefault("__config", _fp)
+        if seen != _fp:
+            raise ValueError(
+                "curate_document_stream: expr_cache was built for a "
+                f"different configuration ({seen} != {_fp}) — pass "
+                "one dict per loop configuration")
+
     def expr(key, build):
         # ``expr_cache`` (r16): gate predicates/projections are plan-
         # independent Column expressions whose only inputs are the
