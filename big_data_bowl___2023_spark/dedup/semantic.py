@@ -97,9 +97,23 @@ def kmeans_assign(df: DataFrame, k: int = 16, n_iters: int = 4,
     # before the assignment scan — see train_pq's kernel note
     cents = train_pq(df, vec_col=vec_col, id_col=id_col, dim=dim,
                      m=1, k=k, n_iters=n_iters, n=n,
-                     assign_kernel=assign_kernel)[0]
+                     assign_kernel=assign_kernel,
+                     lloyd=_lloyd_tier(assign_kernel))[0]
     return assign_with_centroids(v, cents, codegen_max_k,
                                  kernel=assign_kernel)
+
+
+def _lloyd_tier(assign_kernel: str | None) -> str:
+    """The semantic family's Lloyd-tier rule (r17): callers that
+    chose the arrow kernels already accepted last-ulp reassociation
+    (every GEMM/einsum kernel's documented contract), so their
+    capped-sample training runs as the driver numpy loop — removing
+    seeds-collect + sample-pin + one Spark job per Lloyd round of
+    pure fixed latency. The "sql" kernel keeps the distributed
+    aggregation whose arithmetic the bit-pinned oracle paths fold."""
+    return "driver" if resolve_kernel(assign_kernel,
+                                      "assignment") == "arrow" \
+        else "spark"
 
 
 def assign_with_centroids(v: DataFrame, cents: list,
@@ -245,10 +259,13 @@ def semantic_dup_pairs(df: DataFrame, threshold: float,
     # and this operator pins partitioning-invariant output (the same
     # property its sibling ops test). Callers that accept layout-
     # dependent (still deterministic-per-layout) centroids can call
-    # kmeans_assign(..., n=...) themselves.
+    # kmeans_assign(..., n=...) themselves. The arrow-kernel driver
+    # Lloyd tier (_lloyd_tier) is partitioning-invariant by
+    # construction (md5-sorted sample, deterministic numpy sums).
     cents = train_pq(df, vec_col=vec_col, id_col=id_col, dim=dim,
                      m=1, k=k, n_iters=n_iters,
-                     assign_kernel=assign_kernel)[0]
+                     assign_kernel=assign_kernel,
+                     lloyd=_lloyd_tier(assign_kernel))[0]
     return pairs_with_centroids(df, cents, threshold, vec_col, id_col,
                                 max_bucket=max_bucket,
                                 assign_kernel=assign_kernel,
@@ -396,7 +413,8 @@ def incremental_semantic_pairs(new_emb: DataFrame, corpus: DataFrame,
             dim = len(vc.select("u").first().u)
         cents = train_pq(corpus, vec_col=vec_col, id_col=id_col,
                          dim=dim, m=1, k=k, n_iters=n_iters,
-                         assign_kernel=assign_kernel)[0]
+                         assign_kernel=assign_kernel,
+                         lloyd=_lloyd_tier(assign_kernel))[0]
     ac = assign_with_centroids(vc, cents, kernel=assign_kernel)
     an = assign_with_centroids(_normalized(new_emb, vec_col, id_col),
                                cents, kernel=assign_kernel)

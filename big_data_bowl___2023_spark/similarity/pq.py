@@ -112,13 +112,70 @@ def _lloyd_codes_arrow(sub_tbl: DataFrame, cents: list) -> DataFrame:
     return sub_tbl.mapInPandas(codes, out_schema)
 
 
+def _train_lloyd_driver(v: DataFrame, dim: int, m: int, k: int,
+                        n_iters: int, train_rows: int) -> list:
+    """The bounded-sample Lloyd loop run ONCE on the driver in numpy
+    (r17): one TakeOrdered collect of the ``train_rows`` smallest-md5
+    rows (the identical deterministic sample + seed selection as the
+    distributed path), then every round is a GEMM argmin + per-
+    cluster mean over the in-memory matrix — zero Spark jobs per
+    round. The distributed trainer's per-round cost on a CAPPED
+    sample is almost entirely fixed job latency (the sample makes
+    each round O(1) in corpus size by design), so at any scale this
+    tier replaces seeds-collect + sample-pin + n_iters round jobs
+    with one bounded collect (≤ train_rows × dim doubles — ~50 MB at
+    the 100k × 64 default, same measured-size-buys-the-collect
+    pattern as clusters.DRIVER_EDGE_BOUND).
+
+    Arithmetic contract: assignment is the same argmin(|c|²/2 − u·c)
+    with first-minimum ties as ``_lloyd_codes_arrow``; the update
+    mean is numpy over md5-sorted rows — DETERMINISTIC and
+    partitioning-invariant (strictly stronger than the distributed
+    aggregation, whose float sums follow shuffle merge order), but it
+    reassociates the distributed path's sums, so codebooks agree to
+    float-summation order (~1e-9), not bitwise — the documented
+    tolerance class of the arrow kernels and the sampled-training
+    identity test. Callers that need the bit-pinned distributed
+    aggregation (every "sql"-kernel registry path) never route here."""
+    import numpy as np
+
+    pdf = (v.orderBy(F.md5(F.col("id").cast("string")))
+           .limit(train_rows).select("u").toPandas())
+    sub = dim // m
+    if not len(pdf):
+        return [[] for _ in range(m)]
+    U = V.stack_batch(pdf["u"])                      # (n, dim) sorted
+    n_seed = min(k, len(pdf))
+    cents = [[[float(x) for x in U[j, mi * sub:(mi + 1) * sub]]
+              for j in range(n_seed)] for mi in range(m)]
+    SV = [U[:, mi * sub:(mi + 1) * sub] for mi in range(m)]
+    for _ in range(n_iters):
+        prev = [[list(c) for c in cb] for cb in cents]
+        new = []
+        for mi in range(m):
+            C = np.asarray(cents[mi], dtype=np.float64)  # (k, sub)
+            half_c2 = 0.5 * (C * C).sum(axis=1)
+            codes = np.argmin(half_c2[None, :] - SV[mi] @ C.T, axis=1)
+            cb = [list(c) for c in cents[mi]]
+            for j in range(len(cb)):       # empty clusters keep prev
+                mask = codes == j
+                if mask.any():
+                    cb[j] = [float(x) for x in SV[mi][mask].mean(axis=0)]
+            new.append(cb)
+        cents = new
+        if cents == prev:       # exact fixpoint: done
+            break
+    return cents
+
+
 def train_pq(corpus: DataFrame, vec_col: str = "embedding",
              id_col: str = "vec_id", dim: int = 64,
              m: int = DEFAULT_M, k: int = DEFAULT_K,
              n_iters: int = 8,
              train_rows: int | None = 100_000,
              n: int | None = None,
-             assign_kernel: str | None = None) -> list:
+             assign_kernel: str | None = None,
+             lloyd: str | None = None) -> list:
     """m×k×(dim/m) codebooks as a nested Python list.
 
     Deterministic init (subvectors of the k corpus rows with smallest
@@ -157,13 +214,37 @@ def train_pq(corpus: DataFrame, vec_col: str = "embedding",
     same Spark aggregation either way — when assignments agree (real
     embeddings; pytest pins codebook equality), the codebooks are
     bit-identical. Default "sql" keeps every driver-hashed path on
-    the fold."""
+    the fold.
+
+    ``lloyd="driver"`` (r17) runs the whole capped-sample Lloyd loop
+    on the driver in numpy (:func:`_train_lloyd_driver`): one bounded
+    TakeOrdered collect replaces the seeds collect, the sample pin
+    and every per-round Spark job — the sample cap already makes each
+    round O(1) in corpus size, so those jobs were pure fixed latency.
+    Codebooks agree with the distributed trainer to float-summation
+    order (~1e-9, the sampled-training tolerance class), NOT bitwise;
+    the semantic entry points select this tier exactly when the
+    caller chose the arrow kernels (whose contract already accepts
+    last-ulp reassociation), and every "sql"-kernel / driver-hashed
+    path stays on the distributed aggregation. Default/"spark" is the
+    distributed loop."""
     # resolve_kernel validates and raises on typos BEFORE the sample
     # sort / seed collect / pin jobs — a bad kernel fails instantly,
     # not after minutes of cluster work
     assign_kernel = resolve_kernel(assign_kernel, "assignment")
+    if lloyd not in (None, "spark", "driver"):
+        raise ValueError(f"unknown lloyd tier {lloyd!r} (expected "
+                         f"'spark' or 'driver')")
     sub = dim // m
     v = _normalized(corpus, vec_col, id_col)
+    if lloyd == "driver":
+        # the bounded-collect tier (r17): requires the sample cap —
+        # an uncapped driver collect would be the unbounded-driver
+        # hazard the star loop exists to avoid
+        if train_rows is None:
+            raise ValueError("lloyd='driver' needs train_rows (the "
+                             "bounded sample is what buys the collect)")
+        return _train_lloyd_driver(v, dim, m, k, n_iters, train_rows)
     if train_rows is not None and (n is None or n > train_rows):
         # TakeOrdered computes per-partition top-n map-side; the
         # repartition fans the (small) training set back out so the
