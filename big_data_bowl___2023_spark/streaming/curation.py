@@ -449,17 +449,35 @@ def make_curation_ingest_batch_fn(out_dir: str, index_dir: str,
                 history_bloom = None    # nothing to gate against
         probe_bcs: list = []
         captured: list[tuple[str, DataFrame]] = []
+        # the LAST boundary is what _process_locked pins as `curated`
+        # anyway — capture records it lazily and the pinned frame is
+        # patched back in below, so the final boundary is
+        # materialized once, not twice (r17)
+        last_key = ("after_history_dedup" if history is not None
+                    else "after_stream_dedup")
 
         def capture(key: str, frame: DataFrame) -> DataFrame:
-            # pin each boundary so the audit's anti-joins read a
-            # materialization instead of re-running the chain prefix
-            # (the curation_audit single-pass protocol). Blocks free
-            # when the batch function's references drop — same
-            # GC-release rationale as the marker snapshot cache.
-            # stream_input is skipped: the audit reads the input ids
-            # from batch_df directly, so pinning it would localCheck-
-            # point the whole raw batch for nothing (review r12).
+            # pin each MATERIALIZATION boundary so the audit's
+            # anti-joins read a materialization instead of re-running
+            # the chain prefix (the curation_audit single-pass
+            # protocol). Blocks free when the batch function's
+            # references drop — same GC-release rationale as the
+            # marker snapshot cache. Three key classes are NOT
+            # pinned:
+            # * stream_input — the audit reads input ids from
+            #   batch_df directly (review r12);
+            # * the fused map-side boundaries (r17) — cumulative
+            #   FILTERS over the pinned ``curation_flags`` frame;
+            #   pinning a filter-of-a-checkpoint re-materializes the
+            #   same bytes for nothing;
+            # * the final boundary — _process_locked pins the chain
+            #   result as ``curated`` and patches it back in.
             if key == "stream_input":
+                return frame
+            if key == last_key or (quality_model is None and key in (
+                    "after_lang_filter", "after_gopher",
+                    "after_redaction", "after_decontamination")):
+                captured.append((key, frame))
                 return frame
             pinned = pin(frame)
             captured.append((key, pinned))
@@ -481,6 +499,12 @@ def make_curation_ingest_batch_fn(out_dir: str, index_dir: str,
                 stage_hook=capture if audit_dir is not None else None,
                 expr_cache=expr_cache)
             curated = pin(curated, truncate=True)
+            if captured and captured[-1][0] == last_key:
+                # the final boundary was recorded lazily (capture
+                # skips it); the pin above IS its materialization —
+                # hand that to the audit so its joins never re-run
+                # the dedup/anti-join suffix
+                captured[-1] = (last_key, curated)
             # renew-or-abort immediately before the batch's first
             # durable write (verdict r11 #1): a batch stalled past
             # the TTL must not append beside a new writer
@@ -643,59 +667,130 @@ def curate_document_stream(stream_docs: DataFrame,
                    out.withColumn("text", expr(
                        "html_extract",
                        lambda: extract_html_text(F.col("text")))))
-    if lang_keep is not None:
-        # language gate before quality (CCNet order) — a pure
-        # codegen predicate, stream-safe like every other gate here
-        from ..functions.text import detect_lang
-        out = hook("after_lang_filter",
-                   out.filter(expr(
-                       "lang_keep",
-                       lambda: detect_lang(F.col("text"))
-                       .isin(list(lang_keep)))))
-    # filter(all_pass) is row- and column-identical to gopher_filter
-    # (whose flag projections exist only to be pruned again); the
-    # direct predicate makes the gate a cacheable Column
     from ..functions.gopher import all_pass as gopher_all_pass
-    out = hook("after_gopher",
-               out.filter(expr(
-                   "gopher_pass",
-                   lambda: gopher_all_pass(F.col("text"),
-                                           min_words=min_words))))
-    if quality_model is not None:
-        out = hook("after_model_quality", model_quality_filter(
-            out, quality_model,
-            threshold=quality_model_threshold).drop("quality_prob"))
-    # rewrites text, never drops — the boundary exists so an audit
-    # hook can capture the POST-redaction text the dedup fingerprint
-    # keys on (no reason label; it can never be a dropping stage)
     from ..functions.redact import redact_text
-    out = hook("after_redaction",
-               out.withColumn("text", expr(
-                   "redact", lambda: redact_text(F.col("text")))))
+
+    # resolve the benchmark shingles once — both chain shapes below
+    # need them. ``bench_shingles`` lets a long-lived caller (the
+    # ingest loop) collect the benchmark's shingle set once and reuse
+    # it across batches instead of re-running the collection job at
+    # every plan build; passing the frame alone keeps the one-shot
+    # call sites unchanged.
+    shingles = None
     if benchmark is not None:
-        # ``bench_shingles`` lets a long-lived caller (the ingest
-        # loop) collect the benchmark's shingle set once and reuse it
-        # across batches instead of re-running the collection job at
-        # every plan build; passing the frame alone keeps the
-        # one-shot call sites unchanged.
         shingles = bench_shingles if bench_shingles is not None \
             else benchmark_shingle_set(
                 benchmark, decontaminate_n, bench_text_col,
                 bench_id_col)
-        from pyspark.sql import Column
+    from pyspark.sql import Column
 
+    def decon_cond():
         if isinstance(shingles, Column):
-            out = hook("after_decontamination", out.filter(expr(
-                "decon_keep",
-                lambda: stream_decon_condition(
-                    shingles, decontaminate_n, min_overlap))))
-        elif shingles:
+            return expr("decon_keep",
+                        lambda: stream_decon_condition(
+                            shingles, decontaminate_n, min_overlap))
+        return stream_decon_condition(
+            F.array(*[F.lit(s) for s in shingles]),
+            decontaminate_n, min_overlap)
+
+    # FUSED map-side prefix under a stage_hook (r17, guide §2.4/§1.2):
+    # with an audit hook attached, every map-side boundary used to be
+    # pinned separately — lang survivors, gopher survivors, the
+    # redacted frame, decon survivors — i.e. up to four full
+    # materializations of overlapping row sets per micro-batch
+    # (builder-measured: the 6 audit pins cost ~0.85 s/batch, the
+    # dominant audit overhead). All of those gates are pure row-local
+    # expressions over one scan, so the hooked chain now computes ONE
+    # flag projection — (…, __lang, __gopher, redacted text,
+    # __decon) — hands it to the hook as the ``curation_flags``
+    # boundary (the audit pins exactly this one frame), and every
+    # boundary after it is a cumulative FILTER over those
+    # materialized flag columns: the boundaries and the chain read
+    # the same pinned flags, so lineage content cannot diverge from
+    # the chain definition (the audit's row sets are bit-identical to
+    # the sequential gates — flags are independent per-row
+    # predicates; parity pinned by the audit suite). Trade, stated:
+    # flags evaluate on EVERY input row (the sequential chain skips
+    # e.g. the decon shingle build for gopher-dropped rows), which
+    # buys back ~3 materialization jobs per batch — the right side of
+    # the trade whenever most rows pass, and only the hooked (audit)
+    # path pays it; the un-hooked chain below is untouched. The
+    # redacted text is projected FIRST and ``__decon`` computed over
+    # the projected attribute in a SECOND select: CollapseProject
+    # refuses to inline the non-cheap redaction regex chain into two
+    # consumers, so redaction still evaluates once per row.
+    # quality_model breaks the map-side run (a model scorer between
+    # gopher and redaction), so that configuration keeps the
+    # sequential per-boundary shape.
+    if stage_hook is not None and quality_model is None:
+        flag_cols = []
+        if lang_keep is not None:
+            from ..functions.text import detect_lang
+            flag_cols.append(expr(
+                "lang_keep",
+                lambda: detect_lang(F.col("text"))
+                .isin(list(lang_keep))).alias("__lang"))
+        flag_cols.append(expr(
+            "gopher_pass",
+            lambda: gopher_all_pass(F.col("text"),
+                                    min_words=min_words))
+            .alias("__gopher"))
+        red = expr("redact", lambda: redact_text(F.col("text")))
+        flagged = out.select(
+            *[red.alias("text") if c == "text" else F.col(c)
+              for c in out.columns], *flag_cols)
+        has_decon = benchmark is not None and (
+            isinstance(shingles, Column) or bool(shingles))
+        if has_decon:
+            flagged = flagged.withColumn("__decon", decon_cond())
+        out = hook("curation_flags", flagged)
+        if lang_keep is not None:
+            out = hook("after_lang_filter", out.filter(F.col("__lang")))
+        out = hook("after_gopher", out.filter(F.col("__gopher")))
+        out = hook("after_redaction", out)
+        if benchmark is not None:
             out = hook("after_decontamination",
-                       stream_decontaminate(out, shingles,
-                                            decontaminate_n,
-                                            min_overlap))
-        else:
-            out = hook("after_decontamination", out)
+                       out.filter(F.col("__decon")) if has_decon
+                       else out)
+        out = out.drop("__lang", "__gopher", "__decon")
+    else:
+        if lang_keep is not None:
+            # language gate before quality (CCNet order) — a pure
+            # codegen predicate, stream-safe like every other gate
+            from ..functions.text import detect_lang
+            out = hook("after_lang_filter",
+                       out.filter(expr(
+                           "lang_keep",
+                           lambda: detect_lang(F.col("text"))
+                           .isin(list(lang_keep)))))
+        # filter(all_pass) is row- and column-identical to
+        # gopher_filter (whose flag projections exist only to be
+        # pruned again); the direct predicate makes the gate a
+        # cacheable Column
+        out = hook("after_gopher",
+                   out.filter(expr(
+                       "gopher_pass",
+                       lambda: gopher_all_pass(F.col("text"),
+                                               min_words=min_words))))
+        if quality_model is not None:
+            out = hook("after_model_quality", model_quality_filter(
+                out, quality_model,
+                threshold=quality_model_threshold)
+                .drop("quality_prob"))
+        # rewrites text, never drops — the boundary exists so an
+        # audit hook can capture the POST-redaction text the dedup
+        # fingerprint keys on (no reason label; it can never be a
+        # dropping stage)
+        out = hook("after_redaction",
+                   out.withColumn("text", expr(
+                       "redact",
+                       lambda: redact_text(F.col("text")))))
+        if benchmark is not None:
+            if isinstance(shingles, Column) or shingles:
+                out = hook("after_decontamination",
+                           out.filter(decon_cond()))
+            else:
+                out = hook("after_decontamination", out)
     if ts_col is not None and dedup_delay is not None:
         out = hook("after_stream_dedup",
                    incremental_dedup_watermarked(out, ts_col,
