@@ -112,19 +112,50 @@ def fingerprint_overlap_pairs(df: DataFrame, k: int = 3, w: int = 4,
     # (guide §8): fingerprint once, decide pairs from the pin.
     fp = pin(winnow_fingerprints(df, k, w, text_col, id_col)
              .select("doc_id", "fp").distinct())
+    # doc-frequency pass: ALWAYS computed now (r17) because df >= 2
+    # prunes every pair-sterile fingerprint — a fingerprint in one
+    # document contributes zero pairs but used to flow through both
+    # self-join sides; on real corpora most fingerprints are unique,
+    # so this shrinks both join inputs at the cost of a count the
+    # capped path already paid. Output is unchanged by construction
+    # (pairs need two docs).
+    freq = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    cap = (F.col("df") <= max_doc_freq) if max_doc_freq is not None \
+        else F.lit(True)
+    elig = freq.filter((F.col("df") >= 2) & cap)
     if max_doc_freq is not None:
-        # the freq count and its join-back both read the pin; the
-        # filtered result is NOT re-pinned — the self-join sides
-        # re-run only the cheap join-over-pin, and the measured A/B
-        # (sf0.1, interleaved) put a second materialization ~10%
-        # slower than recomputing that join
-        freq = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
-        fp = (fp.join(freq.filter(F.col("df") <= max_doc_freq), "fp")
-                .select("doc_id", "fp"))
-    a = fp.select(F.col("doc_id").alias("doc_a"), "fp")
-    b = fp.select(F.col("doc_id").alias("doc_b"), "fp")
-    return (a.join(b, "fp")
-             .filter(F.col("doc_a") < F.col("doc_b"))
-             .groupBy("doc_a", "doc_b")
-             .agg(F.count(F.lit(1)).alias("shared"))
-             .filter(F.col("shared") >= min_shared))
+        # CAPPED path (r17): eligible groups are <= max_doc_freq docs
+        # BY CONSTRUCTION, so the pair join collapses into one
+        # groupBy(fp) + a map-side combination explode — the
+        # fp-keyed exchange happens once instead of once per
+        # self-join side, and the (bounded) doc lists never exceed
+        # the cap that already guards the d² blowup. The join-back
+        # reuses freq's fp partitioning, so groupBy(fp) adds no new
+        # exchange.
+        grouped = (fp.join(elig.select("fp"), "fp")
+                   .groupBy("fp")
+                   .agg(F.sort_array(F.collect_list("doc_id"))
+                        .alias("ids")))
+        exploded = grouped.select(
+            F.col("ids"), F.posexplode("ids").alias("__i", "doc_a"))
+        pairs = exploded.select(
+            "doc_a",
+            F.explode(F.slice(
+                F.col("ids"), F.col("__i") + 2,
+                F.size("ids") - F.col("__i") - 1)).alias("doc_b"))
+    else:
+        # UNCAPPED: a hot fingerprint's group is unbounded, so the
+        # doc list must never materialize on one worker — keep the
+        # self-join shape (AQE splits skewed fp partitions; the df>=2
+        # prune above still removes the sterile singletons).
+        sel = (fp.join(elig.select("fp"), "fp")
+               .select("doc_id", "fp"))
+        a = sel.select(F.col("doc_id").alias("doc_a"), "fp")
+        b = sel.select(F.col("doc_id").alias("doc_b"), "fp")
+        pairs = (a.join(b, "fp")
+                 .filter(F.col("doc_a") < F.col("doc_b"))
+                 .select("doc_a", "doc_b"))
+    return (pairs
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("shared"))
+            .filter(F.col("shared") >= min_shared))

@@ -369,14 +369,62 @@ def _build_ann_index_unlocked(corpus, index_dir, dim, n_planes,
                 stacklevel=2)
 
 
+# (dim, n_planes) / ranges artifact snapshots per (application,
+# index_dir), gated on a filesystem signature of the artifact dir
+# (r17, same invalidation discipline as _MARKER_SNAP_CACHE): the
+# serving path re-read + collected these one-row/dim-row parquets on
+# EVERY search — one full read-plan + job each — although they change
+# only when a REBUILD rewrites them (appends/compactions never touch
+# meta; ranges are frozen at build). The signature (mtime + file
+# count + byte length — one listing RPC) re-reads after any rewrite;
+# a missing dir is never cached.
+_ARTIFACT_CACHE: dict[tuple, tuple[tuple, object]] = {}
+_ARTIFACT_LOCK = threading.Lock()
+
+
+def _artifact_sig(spark: SparkSession, path: str) -> tuple | None:
+    jvm = spark._jvm
+    jp = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jp):
+        return None
+    summ = fs.getContentSummary(jp)
+    return (fs.getFileStatus(jp).getModificationTime(),
+            summ.getFileCount(), summ.getLength())
+
+
+def _cached_artifact(spark: SparkSession, index_dir: str, name: str,
+                     read):
+    """``read()`` once per (app, dir, signature); thereafter serve
+    the driver-local value until the artifact dir's signature moves."""
+    path = f"{index_dir}/{name}"
+    sig = _artifact_sig(spark, path)
+    key = (spark.sparkContext.applicationId,
+           os.path.abspath(index_dir.rstrip("/")), name)
+    if sig is not None:
+        with _ARTIFACT_LOCK:
+            cached = _ARTIFACT_CACHE.get(key)
+        if cached is not None and cached[0] == sig:
+            return cached[1]
+    value = read()
+    if sig is not None:
+        with _ARTIFACT_LOCK:
+            _ARTIFACT_CACHE[key] = (sig, value)
+    return value
+
+
 def _read_meta(spark: SparkSession, index_dir: str) -> tuple[int, int]:
     from ..sources.io import read_hidden_parquet
 
-    row = read_hidden_parquet(spark, f"{index_dir}/{_META}").collect()
-    if len(row) != 1:
-        raise ValueError(f"corrupt index meta at {index_dir}: "
-                         f"{len(row)} rows, expected 1")
-    return int(row[0]["dim"]), int(row[0]["n_planes"])
+    def read():
+        row = read_hidden_parquet(spark,
+                                  f"{index_dir}/{_META}").collect()
+        if len(row) != 1:
+            raise ValueError(f"corrupt index meta at {index_dir}: "
+                             f"{len(row)} rows, expected 1")
+        return int(row[0]["dim"]), int(row[0]["n_planes"])
+
+    return _cached_artifact(spark, index_dir, _META, read)
 
 
 def _read_ranges(spark: SparkSession, index_dir: str) -> list | None:
@@ -390,10 +438,13 @@ def _read_ranges(spark: SparkSession, index_dir: str) -> list | None:
         return None
     from ..sources.io import read_hidden_parquet
 
-    rows = read_hidden_parquet(spark,
-                               f"{index_dir}/{_RANGES}").collect()
-    return [(r["lo"], r["hi"])
-            for r in sorted(rows, key=lambda r: r["i"])]
+    def read():
+        rows = read_hidden_parquet(spark,
+                                   f"{index_dir}/{_RANGES}").collect()
+        return [(r["lo"], r["hi"])
+                for r in sorted(rows, key=lambda r: r["i"])]
+
+    return _cached_artifact(spark, index_dir, _RANGES, read)
 
 
 def append_to_index(batch: DataFrame, index_dir: str,

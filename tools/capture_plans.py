@@ -43,18 +43,36 @@ def main() -> None:
         os.path.abspath(__file__))), "plans", tag)
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture-plans")
+
+    def write_plan(name: str, df) -> None:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as fh:
+            fh.write(buf.getvalue())
+        print(f"wrote {path}")
+
     for name in names:
         try:
-            df = qs[name](spark, sf_dir)
-            buf = io.StringIO()
-            with redirect_stdout(buf):
-                df.explain("formatted")
-            path = os.path.join(out_dir, f"{name}_{suffix}.txt")
-            with open(path, "w") as fh:
-                fh.write(buf.getvalue())
-            print(f"wrote {path}")
+            write_plan(name, qs[name](spark, sf_dir))
         except Exception as exc:  # noqa: BLE001 — capture what we can
             print(f"SKIP {name}: {exc}")
+    # the eager foreachBatch loops have no terminal plan; capture the
+    # representative against-history micro-batch frames instead
+    # (VERDICT r16 #7 — plans/<tag>/stream_curation_ingest*__batch_plan)
+    if not sys.argv[3:]:
+        import shutil
+
+        try:
+            frames, tmp = bench._stream_batch_plan_frames(spark, sf_dir)
+            try:
+                for name, df in frames.items():
+                    write_plan(name, df)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+        except Exception as exc:  # noqa: BLE001
+            print(f"SKIP stream batch plans: {exc}")
     spark.stop()
 
 

@@ -156,7 +156,9 @@ def _query_universe() -> set | None:
 
         from big_data_bowl___2023_spark import registry
 
-        return set(registry.all_queries()) | set(bench._extra_ops())
+        return (set(registry.all_queries()) | set(bench._extra_ops())
+                | {"stream_curation_ingest__batch_plan",
+                   "stream_curation_ingest_audit__batch_plan"})
     except Exception:
         return None
 
@@ -333,6 +335,29 @@ def main() -> int:
                 diffs = [(a, b) for a, b in zip(srows, orows) if a != b]
                 for a, b in diffs[:3]:
                     print(f"  spark : {a}\n  oracle: {b}")
+    if with_extras and not name_filter:
+        # representative micro-batch plans for the two EAGER loop
+        # extras (VERDICT r16 #7): the loops execute at call time, so
+        # the gate never saw their per-batch plan shape — fingerprint
+        # the lazy batch-1 frames bench._stream_batch_plan_frames
+        # constructs against a real bootstrap state. Rows are already
+        # exercised by the extras' own runs above; this adds the
+        # plan-shape gate.
+        import shutil
+
+        try:
+            frames, tmp = bench._stream_batch_plan_frames(spark,
+                                                          sf_dir)
+            try:
+                for pname, pdf in sorted(frames.items()):
+                    fingerprints[pname] = plan_report(pdf)
+                    print(f"plan-only {pname}: fingerprinted")
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL stream batch plans: {e}")
+            n_fail += 1
+
     if name_filter and not update_plans:
         # partial sweeps never judge the tree-wide baseline
         print("plan-gate: filtered sweep, skipping")
