@@ -191,7 +191,17 @@ def _stream_batch_audit(batch_df: DataFrame,
     (re-flagged over the drop-sized subset only), the within-batch
     exact dedup names the kept twin sharing the post-redaction
     fingerprint, and against-history drops are
-    ``history_duplicate``."""
+    ``history_duplicate``.
+
+    Under the FUSED chain (r17 — a ``curation_flags`` boundary is
+    present) the map-side stages need no joins at all: the pinned
+    flags carry one boolean per gate, so each doc's first failing
+    map gate is a ``when`` chain over ONE read of the flags pin
+    (:func:`_map_stage_attribution`) — row-identical to the
+    anti-joins because the boundaries ARE cumulative flag filters
+    (a NULL flag drops in the filter and attributes here via
+    ``coalesce(flag, False)``). The dedup/history stages keep the
+    join mechanics (their survivor sets come from real shuffles)."""
     from ..functions import text as Tx
     from ..functions.gopher import flags as gopher_flags_fn
 
@@ -203,11 +213,20 @@ def _stream_batch_audit(batch_df: DataFrame,
         "after_stream_dedup": "exact_duplicate",
         "after_history_dedup": "history_duplicate",
     }
-    prev = batch_df.select("doc_id", "source")
-    parts: list[DataFrame] = []
+    flags = next((f for k, f in captured if k == "curation_flags"),
+                 None)
+    skip: set = set()
+    if flags is not None:
+        prev, parts = _map_stage_attribution(flags, captured,
+                                             batch_df, min_words)
+        skip = {"after_lang_filter", "after_gopher",
+                "after_decontamination"}
+    else:
+        prev = batch_df.select("doc_id", "source")
+        parts = []
     for key, frame in captured:
-        if key not in reasons:
-            continue                         # stream_input boundary
+        if key not in reasons or key in skip:
+            continue                 # stream_input / fused map stages
         cur = frame.select("doc_id")
         dropped = (prev.join(cur, "doc_id", "left_anti")
                    .withColumn("stage", F.lit(key))
@@ -262,6 +281,57 @@ def _stream_batch_audit(batch_df: DataFrame,
         out = out.unionByName(p)
     return out.select("doc_id", "source", "stage", "reason",
                       "detail")
+
+
+def _map_stage_attribution(flags: DataFrame, captured, batch_df,
+                           min_words: int):
+    """(map-stage survivors, [drop parts]) from the pinned
+    ``curation_flags`` frame alone (r17): each doc's first failing
+    map gate is a ``when`` chain in stage order — lang, gopher,
+    decon — with ``coalesce(flag, False)`` matching the filters'
+    NULL-drops. Replaces three anti-join + semi-join pairs (six
+    broadcast joins re-reading the flags pin) with one projection;
+    the gopher reason enrichment keeps its drop-sized text join
+    against the text the gate saw."""
+    from ..functions.gopher import flags as gopher_flags_fn
+
+    cols = set(flags.columns)
+
+    def ok(c):
+        return F.coalesce(F.col(c), F.lit(False)) if c in cols \
+            else F.lit(True)
+
+    stage = (F.when(~ok("__lang"), F.lit("after_lang_filter"))
+             .when(~ok("__gopher"), F.lit("after_gopher"))
+             .when(~ok("__decon"), F.lit("after_decontamination")))
+    attrib = flags.select("doc_id", "source", stage.alias("stage"))
+    dropped = attrib.filter(F.col("stage").isNotNull())
+    non_gopher = (dropped.filter(F.col("stage") != "after_gopher")
+                  .select("doc_id", "source", "stage",
+                          F.when(F.col("stage") == "after_lang_filter",
+                                 F.lit("wrong_language"))
+                          .otherwise(F.lit("benchmark_contaminated"))
+                          .alias("reason"),
+                          F.lit(None).cast("string").alias("detail")))
+    # re-flag gopher drops against the text the gate SAW: the
+    # extraction boundary when html_input ran, else the raw batch
+    # (review r15 — raw tag-soup word counts name the wrong rule for
+    # pages that extract to empty). Drop-sized join, like before.
+    pre_gopher = next((f for k, f in captured
+                       if k == "after_html_extract"), batch_df)
+    txt = (dropped.filter(F.col("stage") == "after_gopher")
+           .join(pre_gopher.select("doc_id", "text"), "doc_id"))
+    rule_flags = gopher_flags_fn(F.col("text"), min_words=min_words)
+    first_fail = F.coalesce(
+        *[F.when(~passes, F.lit(name))
+          for name, passes in rule_flags.items()],
+        F.lit("null_text"))
+    gopher_part = txt.select(
+        "doc_id", "source", "stage", first_fail.alias("reason"),
+        F.lit(None).cast("string").alias("detail"))
+    survivors = (attrib.filter(F.col("stage").isNull())
+                 .select("doc_id", "source"))
+    return survivors, [non_gopher, gopher_part]
 
 
 def captured_text(captured: list[tuple[str, DataFrame]],
